@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an `array<float>` embedding column.
+  *
+  * Cosine is computed in double with a strictly sequential fold
+  * (zip_with → aggregate), so the arithmetic is bit-reproducible and the
+  * DuckDB oracle can replay it exactly — floating-point summation order
+  * is pinned, not left to the engine.
+  *
+  * Scale notes: brute-force top-k broadcasts the (small) query set and
+  * scans candidates once — a map-only plan plus one shuffle for the
+  * per-query top-k window; the LSH variant buckets candidates by
+  * random-hyperplane signs so each bucket's candidate set is a tiny
+  * fraction of the corpus (the IVF-style route at 10^9 vectors).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Exact top-k neighbors for each query vector (brute force — the
+    * correctness baseline). Queries are broadcast; rank ties broken by
+    * candidate id. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
+    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("_cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  /** All pairs with cosine ≥ threshold (exact, for corpus near-dup
+    * detection at moderate scale; LSH below is the 10^9-row path). */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("vec_a"), col(vecCol).as("_va"))
+    val b = vectors.select(col(idCol).as("vec_b"), col(vecCol).as("_vb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed), embedded as
+    * literal arrays so the plan is a constant — no data dependency. */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Random-hyperplane (sign) LSH bucket id: bit i = sign(v · plane_i).
+    * Vectors in the same bucket are cosine-close with high probability;
+    * the bucket join replaces the O(n²) cross join. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 7L): Column = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket,
+    * then exact cosine rank within the bucket. Trades recall for a
+    * corpus-fraction scan; `nPlanes` tunes bucket granularity. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"),
+      lshBucket(col(vecCol), nPlanes, dim).as("_bucket"))
+    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("_cv"),
+      lshBucket(col(vecCol), nPlanes, dim).as("_bucket"))
+    val scored = c.join(broadcast(q), Seq("_bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+}

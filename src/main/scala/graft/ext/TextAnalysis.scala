@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language-ID heuristic, quality scoring, document
+  * fingerprinting. All pure Column expressions (higher-order functions,
+  * no UDFs) so they vectorize per-row with no serialization wall and
+  * scale embarrassingly parallel — no shuffle is introduced by any
+  * function here.
+  *
+  * Every function is deterministic and engine-portable (the DuckDB
+  * oracle replays the identical arithmetic).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (split of a trimmed empty
+    * string yields [""] — filtered so empty docs count 0 tokens). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish regex tokenizer: letter runs, digit runs, single
+    * punctuation marks. */
+  val RegexTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(RegexTokenPattern), lit(0)))
+
+  /** Language-ID n-gram/stopword heuristic: ratio of English marker
+    * tokens among all tokens. Buckets are deterministic; 'empty' guards
+    * zero-token docs. */
+  val EnMarkers = Seq("the", "a", "of", "and", "is")
+
+  def langIdHeuristic(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(EnMarkers.map(lit): _*)))
+    val n = size(toks)
+    val ratio = hits * lit(1.0) / n
+    when(n === 0, lit("empty"))
+      .when(ratio >= 0.10, lit("en"))
+      .when(ratio >= 0.05, lit("en_like"))
+      .otherwise(lit("other"))
+  }
+
+  /** Quality metrics: token count, char count, non-whitespace chars,
+    * mean token length, and a composite score — all integer-derived
+    * double arithmetic (bit-reproducible across engines). */
+  def nonWsChars(text: Column): Column =
+    length(regexp_replace(text, "\\s", ""))
+
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(nonWsChars(text) * lit(1.0) / n)
+  }
+
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val len = length(text)
+    val inkRatio = when(len === 0, lit(0.0))
+      .otherwise(nonWsChars(text) * lit(1.0) / len)
+    val sizeNorm = least(n, lit(200)) * lit(1.0) / lit(200.0)
+    inkRatio * sizeNorm
+  }
+
+  /** Rolling polynomial fingerprint over characters, mod 1e9+7:
+    * fp = fold(codes, 0, (acc, c) => (acc*31 + c) mod p). Character
+    * codes via explicit 1-based indexing (not split) so the fold order
+    * and element set are unambiguous and oracle-portable. */
+  val FpMod = 1000000007L
+
+  def fingerprint(text: Column): Column = {
+    val codes = transform(sequence(lit(1), length(text)),
+      i => ascii(text.substr(i, lit(1))).cast("long"))
+    when(length(text) === 0 || text.isNull, lit(0L))
+      .otherwise(aggregate(codes, lit(0L),
+        (acc, c) => (acc * lit(31L) + c) % lit(FpMod)))
+  }
+}

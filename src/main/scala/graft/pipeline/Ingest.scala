@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import graft.ops.{Normalize, PartitionKeys, Upsert}
+import graft.schema.{TableSpec, Tables}
+import graft.sources.CsvSource
+import graft.state.WatermarkStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Flow dispatch + per-table orchestration (reference: gluejob.py:141-171,
+  * 306-327, 602-627; README.md:6-17).
+  *
+  * Run modes:
+  *  - OnDemand  -> initial load from CSV (no watermark advance,
+  *                 gluejob.py:163-171)
+  *  - Scheduled -> incremental from source frames filtered by watermark
+  *  - anything else -> no-op default_behavior (gluejob.py:141-142)
+  *
+  * JobMode selects `allTables` or a single table (gluejob.py:306-327);
+  * unknown modes no-op. Watermarks commit once, after every selected
+  * table succeeds (gluejob.py:621-623) — at-least-once, idempotent via
+  * the upsert dedup.
+  */
+object Ingest {
+
+  sealed trait Flow
+  case object OnDemand extends Flow
+  case object Scheduled extends Flow
+  case object NoOp extends Flow
+
+  def flowOf(trigger: String): Flow = trigger match {
+    case "OnDemand" => OnDemand
+    case "Scheduled" => Scheduled
+    case _ => NoOp
+  }
+
+  def selectTables(jobMode: String): Seq[TableSpec] = jobMode match {
+    case "allTables" => Tables.active
+    case name if Tables.registry.contains(name) &&
+      Tables.registry(name).enabled => Seq(Tables.registry(name))
+    case _ => Nil
+  }
+
+  /** One table, one batch: watermark filter -> bronze normalize ->
+    * partition keys -> idempotent partitioned upsert. `source` is the
+    * raw frame from CsvSource/JdbcSource; empty batches short-circuit
+    * before the sink (gluejob.py:175-179). */
+  def ingestTable(spark: SparkSession, spec: TableSpec, source: DataFrame,
+      watermark: String, outRoot: String): Boolean = {
+    val delta = source.filter(
+      coalesce(col("updated_at").cast("string"), lit("")) >= watermark)
+    if (delta.isEmpty) false
+    else {
+      val bronze = PartitionKeys.withCompanyYearMonth(
+        Normalize.toBronze(delta, spec), spec.dateCol)
+      Upsert.upsertPartitioned(spark, bronze, s"$outRoot/${spec.name}",
+        key = spec.idCol, tieBreak = "updated_at")
+      true
+    }
+  }
+
+  /** Initial CSV load: no watermark filter, no watermark advance
+    * (gluejob.py:163-171); missing files skip the table. */
+  def initialLoad(spark: SparkSession, csvRoot: String, outRoot: String,
+      tables: Seq[TableSpec] = Tables.active): Seq[String] =
+    tables.flatMap { spec =>
+      val df = CsvSource.read(spark, spec, s"$csvRoot/${spec.name}.csv")
+      if (df.isEmpty) None
+      else {
+        val bronze = PartitionKeys.withCompanyYearMonth(
+          Normalize.toBronze(df, spec), spec.dateCol)
+        Upsert.upsertPartitioned(spark, bronze, s"$outRoot/${spec.name}",
+          key = spec.idCol, tieBreak = "updated_at")
+        Some(spec.name)
+      }
+    }
+
+  /** Incremental run over pre-built source frames (the JDBC read in
+    * prod; any frame in tests). `probeTime` is the source-DB time
+    * captured at batch start (S5) — becomes the next watermark for every
+    * table that ingested. Watermarks commit only after all succeed. */
+  def incrementalRun(spark: SparkSession, store: WatermarkStore,
+      sources: Map[String, DataFrame], probeTime: String, outRoot: String,
+      tables: Seq[TableSpec] = Tables.active): Seq[String] = {
+    val done = tables.filter(t => sources.contains(t.name)).map { spec =>
+      ingestTable(spark, spec, sources(spec.name), store.get(spec.name),
+        outRoot)
+      store.advance(spec.name, probeTime)
+      spec.name
+    }
+    store.commit()
+    done
+  }
+}

@@ -1,0 +1,556 @@
+package graft.queries
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Normalize, PartitionKeys, SemiJoins}
+import graft.schema.TableSpec
+import graft.streaming.EventsStream
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One catalog entry: the Spark query and (when ANSI-SQL-expressible)
+  * the equivalent DuckDB oracle SQL over the same parquet tables.
+  *
+  * Oracle-parity conventions (the driver hash-compares values):
+  *  - aggregate sums go through DECIMAL casts (exact arithmetic) and the
+  *    final value is cast to an explicit DECIMAL(18,s) on BOTH sides;
+  *  - timestamps are emitted as formatted strings (never raw timestamps:
+  *    ns/µs and tz representation differ between engines);
+  *  - doubles appear only where both engines execute the *identical*
+  *    sequential arithmetic (int-derived divisions, pinned-order folds);
+  *  - ints: Spark int32 ⇔ DuckDB CAST(... AS INT); keys/counts stay
+  *    BIGINT.
+  */
+final case class Q(name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Catalog {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS): read as long, convert with integral
+    * division (oracle: make_timestamp(epoch_ns(ts)//1000)). */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+
+  private val dec2 = "decimal(18,2)"
+  private val dec4 = "decimal(18,4)"
+
+  // ---------------------------------------------------------------- core
+
+  /** A2.1 TPC-H Q1-shaped pricing summary: filter → groupBy → 4 aggs.
+    * Decimal-FIRST arithmetic: base columns are cast to decimal before
+    * multiplying, because casting a double *product* to decimal rounds
+    * differently across engines (Spark rounds the shortest-repr string,
+    * DuckDB rints the scaled binary) — decimal×decimal is exact in both. */
+  private val q01 = Q("q01_pricing_summary",
+    (s, dir) => {
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val discF = lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")
+      val taxF = lit(1).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < to_timestamp(lit("2000-01-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec2)).cast(dec2).as("sum_base_price"),
+          sum(price * discF).cast("decimal(24,4)").as("sum_disc_price"),
+          sum(price * discF * taxF).cast("decimal(24,6)").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,4)) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(24,6)) AS sum_charge,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+      GROUP BY l_returnflag, l_linestatus"""))
+
+  /** P1/P2 projection + pushed predicates (scan reads 5 of 11 cols). */
+  private val q02 = Q("q02_filter_project",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01"))
+        && col("l_shipdate") < to_timestamp(lit("1997-01-01"))
+        && col("l_discount") >= 0.05 && col("l_quantity") < 24.0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        col("l_returnflag")),
+    Some("""SELECT l_orderkey, l_linenumber,
+      strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_returnflag
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_quantity < 24.0"""))
+
+  /** J1 2-way watermarked semi-join (gluejob.py:548-556 shape). */
+  private val q03 = Q("q03_semijoin_2way",
+    (s, dir) => {
+      val wm = to_timestamp(lit("1999-01-01 00:00:00"))
+      val parents = t(s, dir, "orders").filter(col("o_orderdate") >= wm)
+      SemiJoins.semiJoinChain(t(s, dir, "lineitem"),
+        Seq(("l_orderkey", parents, "o_orderkey")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(dec2).as("quantity"), col("l_returnflag"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+      CAST(l_quantity AS DECIMAL(18,2)) AS quantity, l_returnflag
+      FROM lineitem WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')"""))
+
+  /** J2 3-way chain: lineitem ⋈ orders ⋈ customer (gluejob.py:558-567). */
+  private val q04 = Q("q04_semijoin_3way",
+    (s, dir) => {
+      val wm = to_timestamp(lit("1998-01-01 00:00:00"))
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ords = t(s, dir, "orders").filter(col("o_orderdate") >= wm)
+      SemiJoins.semiJoinChain(t(s, dir, "lineitem"),
+        Seq(("l_orderkey", ords, "o_orderkey"),
+          ("o_custkey", cust, "c_custkey")))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_partkey, l_linenumber
+      FROM lineitem WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND o_custkey IN (
+            SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING'))"""))
+
+  /** J3 deep chain: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    * (gluejob.py:569-579 shape, one hop deeper). */
+  private val q05 = Q("q05_semijoin_4way",
+    (s, dir) => {
+      val wm = to_timestamp(lit("1997-01-01 00:00:00"))
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val ords = t(s, dir, "orders").filter(col("o_orderdate") >= wm)
+      SemiJoins.semiJoinChain(t(s, dir, "lineitem"),
+        Seq(("l_orderkey", ords, "o_orderkey"),
+          ("o_custkey", cust, "c_custkey"),
+          ("c_nationkey", nation, "n_nationkey"),
+          ("n_regionkey", region, "r_regionkey")))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_suppkey, l_linenumber
+      FROM lineitem WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_custkey IN (SELECT c_custkey FROM customer
+            WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+              WHERE n_regionkey IN (SELECT r_regionkey FROM region
+                WHERE r_name = 'ASIA'))))"""))
+
+  /** F1 boolean canonicalization truth table over a derived column
+    * (gluejob.py:16-28): six mapped spellings + pass-through. */
+  private val q06 = Q("q06_bool_canon",
+    (s, dir) => {
+      val spellings = Seq("True", "False", "t", "f", "true", "false", "yes")
+      val raw = element_at(array(spellings.map(lit): _*),
+        (col("event_id") % 7 + 1).cast("int"))
+      t(s, dir, "events").select(col("event_id"), raw.as("flag_raw"),
+        Normalize.boolCanon(raw).as("flag"))
+    },
+    Some("""SELECT event_id, raw AS flag_raw,
+      CASE WHEN raw IN ('True','true','t') THEN 'true'
+           WHEN raw IN ('False','false','f') THEN 'false'
+           ELSE raw END AS flag
+      FROM (SELECT event_id,
+        ['True','False','t','f','true','false','yes'][CAST(event_id % 7 + 1 AS INT)] AS raw
+        FROM events)"""))
+
+  /** J4/A2 upsert precedence: new-batch beats old on the id, pinned by
+    * an explicit priority window (gluejob.py:197-198, SURVEY §7.4.1). */
+  private val q07 = Q("q07_upsert_dedup",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val newDf = o.filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01")))
+        .withColumn("src", lit("new"))
+      val oldDf = o.filter(col("o_orderdate") < to_timestamp(lit("2000-01-01")))
+        .withColumn("src", lit("old"))
+      val w = Window.partitionBy(col("o_orderkey")).orderBy(col("src").asc)
+      newDf.unionByName(oldDf)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderkey"), col("src"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    },
+    Some("""SELECT o_orderkey, src, o_orderstatus, order_date FROM (
+      SELECT u.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY src ASC) rn
+      FROM (
+        SELECT o_orderkey, 'new' AS src, o_orderstatus,
+          strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        UNION ALL
+        SELECT o_orderkey, 'old' AS src, o_orderstatus,
+          strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01') u) z
+      WHERE rn = 1"""))
+
+  /** A1/F4 storage-partition derivation: company/year/month + per-
+    * partition counts (gluejob.py:183-188). */
+  private val q08 = Q("q08_partition_derive",
+    (s, dir) => PartitionKeys.withCompanyYearMonth(
+        t(s, dir, "orders"), "o_orderdate")
+      .groupBy(col("company"), col("year"), col("month"))
+      .agg(count(lit(1)).as("n_rows")),
+    Some("""SELECT 'Locaweb' AS company,
+      CAST(year(o_orderdate) AS INT) AS year,
+      CAST(month(o_orderdate) AS INT) AS month,
+      count(*) AS n_rows
+      FROM orders GROUP BY 1, 2, 3"""))
+
+  /** §2.6 set op: union-all slices + anti-join dedup (J4 shape). */
+  private val q09 = Q("q09_union_anti_dedup",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01"))
+        && col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      val b = o.filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01"))
+        && col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      a.unionByName(b.join(a, Seq("o_orderkey"), "left_anti"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    },
+    Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      UNION ALL
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')"""))
+
+  /** §2.6 window: top-3 orders per customer (deterministic tie-break). */
+  private val q10 = Q("q10_window_topk",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+          col("o_totalprice").cast(dec2).as("price"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn,
+      CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+        FROM orders) z WHERE rn <= 3"""))
+
+  /** §2.6 global sort + limit (top-k by price). */
+  private val q11 = Q("q11_sort_limit",
+    (s, dir) => t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice").cast(dec2).as("price")),
+    Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"""))
+
+  /** §2.5 distinct aggregation. */
+  private val q12 = Q("q12_distinct_agg",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec2)).cast(dec2).as("sum_price")),
+    Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+      count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      FROM orders GROUP BY o_orderstatus"""))
+
+  /** F2-F7 datetime function battery (gluejob.py:78-87, 182-186, 301). */
+  private val q13 = Q("q13_datetime_funcs",
+    (s, dir) => t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_micro"),
+        date_format(date_trunc("DAY", col("o_orderdate")),
+          "yyyy-MM-dd HH:mm:ss").as("day_start"),
+        date_format(col("o_orderdate") - expr("INTERVAL 1 DAY"),
+          "yyyy-MM-dd HH:mm:ss").as("minus_1d"),
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m")),
+    Some("""SELECT o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS ts_micro,
+      strftime(date_trunc('day', o_orderdate), '%Y-%m-%d %H:%M:%S') AS day_start,
+      strftime(o_orderdate - INTERVAL 1 DAY, '%Y-%m-%d %H:%M:%S') AS minus_1d,
+      CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m
+      FROM orders WHERE o_orderkey <= 500"""))
+
+  /** F8 / multimodal-JSON: props JSON → typed extraction + agg. */
+  private val q14 = Q("q14_json_extract",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n")),
+    Some("""SELECT event_type,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      count(*) AS n
+      FROM events GROUP BY event_type"""))
+
+  /** P3/§2.8 watermark boundary `>=` re-read on the events stream table
+    * (ns timestamps: integral ns→µs division on both sides). */
+  private val q15 = Q("q15_watermark_boundary",
+    (s, dir) => events(s, dir)
+      .filter(col("ts_us") >= to_timestamp(lit("2024-01-15 00:00:00")))
+      .select(col("event_id"),
+        date_format(col("ts_us"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_text"),
+        col("event_type")),
+    Some("""SELECT event_id,
+      strftime(make_timestamp(epoch_ns(ts) // 1000), '%Y-%m-%d %H:%M:%S.%f') AS ts_text,
+      event_type
+      FROM events
+      WHERE make_timestamp(epoch_ns(ts) // 1000) >= TIMESTAMP '2024-01-15 00:00:00'"""))
+
+  /** §2.5 rollup (grouping-sets family). */
+  private val q16 = Q("q16_rollup",
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
+        count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      count(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
+
+  /** Sessionization by inactivity gap (>1h) — lag window over event
+    * time, the batch face of stateful streaming. */
+  private val q17 = Q("q17_sessionize",
+    (s, dir) => {
+      val gapNs = 3600L * 1000000000L
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull
+            || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    },
+    Some("""SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+      count(*) AS n_events FROM (
+        SELECT user_id,
+          CASE WHEN lag(epoch_ns(ts)) OVER
+              (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) IS NULL
+            OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+              (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC)
+              > 3600000000000
+          THEN 1 ELSE 0 END AS new_sess
+        FROM events) z GROUP BY user_id"""))
+
+  /** §2.1 stringly bronze normalization of a typed table (all-string
+    * cast + canonical µs text on the date column). */
+  private val q18 = Q("q18_bronze_cast",
+    (s, dir) => {
+      val spec = TableSpec("orders_bronze",
+        columns = Seq("id", "status", "created_at"),
+        idCol = "id", dateCol = "created_at")
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"), col("o_orderstatus").as("status"),
+        col("o_orderdate").as("created_at"))
+      Normalize.toBronze(src, spec)
+    },
+    Some("""SELECT CAST(o_orderkey AS VARCHAR) AS id,
+      o_orderstatus AS status,
+      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS created_at
+      FROM orders"""))
+
+  // ----------------------------------------------------- training-data ext
+
+  /** Exact dedup groups (hash groupBy) on raw text. */
+  private val q20 = Q("q20_dedup_exact",
+    (s, dir) => Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id"),
+    Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id,
+      count(*) AS n_copies FROM documents GROUP BY text"""))
+
+  /** Exact dedup on a whitespace/case-normalized key. */
+  private val q21 = Q("q21_dedup_normkey",
+    (s, dir) => Dedup.normalizedGroups(t(s, dir, "documents"), "text", "doc_id"),
+    Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id,
+      count(*) AS n_copies FROM documents
+      GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""))
+
+  /** Blocked exact 5-gram Jaccard near-dup pairs (lang × length-bucket
+    * blocking; threshold 0.6). */
+  private val q22 = Q("q22_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+      "text", "doc_id",
+      blockCols = Seq(col("lang"), expr("n_chars div 64")),
+      k = 5, threshold = 0.6),
+    Some("""WITH g AS (
+        SELECT doc_id, lang || CAST(n_chars // 64 AS VARCHAR) AS blk,
+          list_distinct([substring(text, i, 5) FOR i IN range(1, len(text) - 3)]) AS sh
+        FROM documents WHERE len(text) >= 5)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0) z
+      WHERE jaccard >= 0.6"""))
+
+  /** MinHash(32)+LSH(8×4) near-dup pairs, exact-Jaccard verified.
+    * Not ANSI-expressible (engine-specific xxhash64) → rows-only check. */
+  private val q23 = Q("q23_minhash_lsh",
+    (s, dir) => Dedup.minHashLshPairs(t(s, dir, "documents"),
+      "text", "doc_id", k = 5, numPerms = 32, rowsPerBand = 4,
+      threshold = 0.5),
+    None)
+
+  /** SimHash64 near-pairs, hamming ≤ 6 via pigeonhole banding.
+    * Engine-specific hash → rows-only check. */
+  private val q24 = Q("q24_simhash",
+    (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"),
+      "text", "doc_id", maxDist = 6, chunks = 4),
+    None)
+
+  private def cosineOracleCte: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, v,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          [v[i] * v[i] FOR i IN range(1, len(v) + 1)]), (a, b) -> a + b) AS nrm
+        FROM e)"""
+
+  /** Brute-force exact cosine top-5 for the first 10 query vectors.
+    * Cosine = pinned sequential double fold on both engines. */
+  private val q25 = Q("q25_cosine_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+    },
+    Some(cosineOracleCte + """
+      SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)]), (a, b) -> a + b)
+             / sqrt(q.nrm * c.nrm)) DESC, c.vec_id ASC) AS rank
+        FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) z
+      WHERE rank <= 5"""))
+
+  /** Exact cosine near-dup pairs ≥ 0.4 (embedding-space dedup). */
+  private val q26 = Q("q26_cosine_neardup",
+    (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.4),
+    Some(cosineOracleCte + """
+      SELECT vec_a, vec_b, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]), (x, y) -> x + y)
+           / sqrt(a.nrm * b.nrm) AS cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id) z
+      WHERE cos >= 0.4"""))
+
+  /** Approximate top-3 via random-hyperplane LSH buckets (the 10^9-row
+    * path; approximation → rows-only check). */
+  private val q27 = Q("q27_ann_lsh",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", k = 3, nPlanes = 8, dim = 64)
+    },
+    None)
+
+  /** Language-ID stopword-ratio heuristic. */
+  private val q28 = Q("q28_lang_id",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.langIdHeuristic(col("text")).as("detected")),
+    Some("""SELECT doc_id,
+      CASE WHEN n = 0 THEN 'empty'
+           WHEN hits * 1.0 / n >= 0.10 THEN 'en'
+           WHEN hits * 1.0 / n >= 0.05 THEN 'en_like'
+           ELSE 'other' END AS detected
+      FROM (SELECT doc_id,
+        len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> x IN ('the','a','of','and','is'))) AS hits
+        FROM documents) z"""))
+
+  /** Quality scoring: token/char counts, ink ratio, composite score —
+    * all integer-derived arithmetic. */
+  private val q29 = Q("q29_quality_score",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_m"),
+        TextAnalysis.nonWsChars(col("text")).as("ink_chars"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextAnalysis.qualityScore(col("text")).as("score")),
+    Some("""SELECT doc_id, CAST(n AS INT) AS n_tokens,
+      CAST(len(text) AS INT) AS n_chars_m,
+      CAST(ink AS INT) AS ink_chars,
+      CASE WHEN n = 0 THEN 0.0 ELSE ink * 1.0 / n END AS mean_tok_len,
+      (CASE WHEN len(text) = 0 THEN 0.0 ELSE ink * 1.0 / len(text) END)
+        * (least(n, 200) * 1.0 / 200.0) AS score
+      FROM (SELECT doc_id, text,
+        len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n,
+        len(regexp_replace(text, '\s', '', 'g')) AS ink
+        FROM documents) z"""))
+
+  /** Token counting: whitespace + BPE-ish regex tokenizer. */
+  private val q30 = Q("q30_token_stats",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("re_tokens")),
+    Some("""SELECT doc_id,
+      CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS INT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS re_tokens
+      FROM documents"""))
+
+  /** Rolling polynomial document fingerprint (char-level, mod 1e9+7). */
+  private val q31 = Q("q31_fingerprint",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")),
+    Some("""SELECT doc_id,
+      CASE WHEN len(text) = 0 THEN 0 ELSE
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ord(text[i]) AS BIGINT) FOR i IN range(1, len(text) + 1)]),
+          (a, c) -> (a * 31 + c) % 1000000007)
+      END AS fp
+      FROM documents"""))
+
+  /** Multimodal metadata plumbing: opaque binary payload + typed meta
+    * struct; metadata queries never touch payload bytes. */
+  private val q32 = Q("q32_multimodal_meta",
+    (s, dir) => Multimodal.toMediaFrame(t(s, dir, "documents"),
+        "text", "doc_id")
+      .select(col("media_id"), col("meta.kind").as("kind"),
+        col("meta.n_bytes").as("n_bytes")),
+    Some("""SELECT doc_id AS media_id,
+      ['image','audio','video','text'][CAST(doc_id % 4 + 1 AS INT)] AS kind,
+      CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      FROM documents"""))
+
+  /** Structured Streaming windowed aggregation driven to completion
+    * (Trigger.AvailableNow, complete mode ⇒ equals the batch agg). */
+  private val q40 = Q("q40_stream_windowed",
+    (s, dir) => EventsStream.runToCompletion(s, s"$dir/events.parquet",
+      queryName = "q40_events_windowed"),
+    Some("""SELECT strftime(make_timestamp((epoch_ns(ts) // 1000 // 21600000000) * 21600000000),
+        '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      FROM events GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
+    q26, q27, q28, q29, q30, q31, q32, q40)
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming face of the engine.
+  *
+  * The reference job is itself a watermarked micro-batch incremental
+  * stream (daily cron + per-table watermark dict, SURVEY §2.8); this
+  * module expresses the same semantics with real Structured Streaming:
+  * file source → event-time watermark → windowed aggregation, driven to
+  * completion with Trigger.AvailableNow for batch-equivalent runs.
+  */
+object EventsStream {
+
+  /** Schema of the events fixture. `ts` is TIMESTAMP(NANOS) in parquet,
+    * which Spark only reads as a raw long
+    * (spark.sql.legacy.parquet.nanosAsLong) — converted to micros with
+    * integral division (never via double: 1e18-scale nanos lose low
+    * bits in a double). */
+  def eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window counts per event_type with a 1-hour watermark.
+    * Returns the aggregated streaming DataFrame; callers pick the sink.
+    * Output columns are final (window start text, type, count, decimal
+    * sum) so batch and stream results are directly comparable. */
+  def windowedCounts(spark: SparkSession, path: String,
+      windowLen: String = "6 hours"): DataFrame = {
+    // FileStreamSource only accepts directories; stream the parent dir
+    // with a glob filter for the one fixture file.
+    val p = new org.apache.hadoop.fs.Path(path)
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Run the stream over the (static) fixture to completion via an
+    * in-memory sink — batch-equivalent semantics, used by tests and the
+    * oracle-checked q40. Complete mode keeps pre-watermark windows so
+    * the result equals the batch aggregation. */
+  def runToCompletion(spark: SparkSession, path: String,
+      queryName: String = "events_windowed"): DataFrame = {
+    val q = windowedCounts(spark, path).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.pipeline.Ingest
+import graft.schema.Tables
+import graft.state.WatermarkStore
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** End-to-end pipeline tests over fixture CSVs exercising the FIXTURES.md
+  * conventions: bool spellings, duplicate ids across batches, watermark
+  * boundary rows, multi-partition spans, empty deltas, missing files. */
+class IngestSpec extends SparkSpec {
+
+  private def writeCsv(dir: String, name: String, content: String): Unit =
+    Files.writeString(Paths.get(dir, name), content)
+
+  private val migCols = Tables.registry("retail_order_migrations").columns
+
+  private def migCsv(rows: Seq[Map[String, String]]): String = {
+    val header = migCols.mkString(";")
+    val lines = rows.map(r => migCols.map(c => r.getOrElse(c, "")).mkString(";"))
+    (header +: lines).mkString("\n")
+  }
+
+  private def migRow(id: String, createdAt: String, prePaid: String) = Map(
+    "id" -> id, "retail_subscription_id" -> s"s$id", "customer_id" -> "c1",
+    "status" -> "ok", "created_at" -> createdAt, "updated_at" -> createdAt,
+    "pre_paid" -> prePaid, "main" -> "f")
+
+  test("initial load: CSV → bronze → partitioned parquet; missing files skip") {
+    val root = tmpDir("ingest")
+    val csvDir = s"$root/load"; val outDir = s"$root/raw"
+    Files.createDirectories(Paths.get(csvDir))
+    writeCsv(csvDir, "retail_order_migrations.csv", migCsv(Seq(
+      migRow("1", "2024-01-05 10:00:00", "True"),
+      migRow("2", "2024-02-05 10:00:00", "f"),
+      migRow("3", "2024-02-06 10:00:00", "weird"))))
+    val done = Ingest.initialLoad(spark, csvDir, outDir)
+    assert(done == Seq("retail_order_migrations")) // others missing → skipped
+    val out = spark.read.parquet(s"$outDir/retail_order_migrations")
+    assert(out.count() == 3)
+    // bronze: all strings, canon bools, micro timestamps, partition cols
+    val r = out.filter(col("id") === "1").collect()(0)
+    assert(r.getAs[String]("pre_paid") == "true")
+    assert(r.getAs[String]("created_at") == "2024-01-05 10:00:00.000000")
+    assert(r.getAs[Int]("year") == 2024 && r.getAs[Int]("month") == 1)
+    assert(out.filter(col("id") === "3").collect()(0)
+      .getAs[String]("pre_paid") == "weird") // pass-through preserved
+  }
+
+  test("incremental run: watermark filter, >= boundary, new-wins, commit-after-all") {
+    val root = tmpDir("ingest")
+    val outDir = s"$root/raw"
+    val wmPath = s"$root/wm.json"
+    val clock = () => java.time.LocalDateTime.of(2024, 2, 2, 4, 0, 0)
+    val store = new WatermarkStore(Paths.get(wmPath), clock)
+    import spark.implicits._
+    def src(rows: (String, String, String)*) =
+      rows.map { case (id, ts, flag) =>
+        (id, s"s$id", "c1", "ok", ts, ts, flag, "f")
+      }.toDF("id", "retail_subscription_id", "customer_id", "status",
+        "created_at", "updated_at", "pre_paid", "main")
+
+    // batch 1: default watermark = 2024-02-01 00:00:00 (yesterday midnight)
+    // row exactly ON the boundary must be ingested (>= semantics)
+    val b1 = src(("10", "2024-02-01 00:00:00", "t"),
+      ("11", "2024-02-01 12:00:00", "f"),
+      ("9", "2024-01-31 23:59:59", "t")) // below watermark → excluded
+    Ingest.incrementalRun(spark, store,
+      Map("retail_order_migrations" -> b1), "2024-02-02 04:00:00", outDir,
+      tables = Seq(Tables.registry("retail_order_migrations")))
+    val after1 = spark.read.parquet(s"$outDir/retail_order_migrations")
+    assert(after1.select("id").collect().map(_.getString(0)).toSet ==
+      Set("10", "11"))
+    // watermark committed to probe time
+    assert(new WatermarkStore(Paths.get(wmPath), clock)
+      .get("retail_order_migrations") == "2024-02-02 04:00:00")
+
+    // batch 2: update id=10 (re-read boundary overlap) + new id=12
+    val b2 = src(("10", "2024-02-02 06:00:00", "f"),
+      ("12", "2024-02-02 07:00:00", "t"))
+    Ingest.incrementalRun(spark, store,
+      Map("retail_order_migrations" -> b2), "2024-02-03 04:00:00", outDir,
+      tables = Seq(Tables.registry("retail_order_migrations")))
+    val after2 = spark.read.parquet(s"$outDir/retail_order_migrations")
+    assert(after2.count() == 3)
+    assert(after2.filter(col("id") === "10").collect()(0)
+      .getAs[String]("pre_paid") == "false") // new beat old
+  }
+
+  test("empty delta short-circuits the sink (gluejob.py:175-179)") {
+    val root = tmpDir("ingest")
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("id", "updated_at")
+      .withColumn("created_at", col("updated_at"))
+    val wrote = Ingest.ingestTable(spark,
+      Tables.registry("retail_orders"), empty,
+      "2024-01-01 00:00:00", s"$root/raw")
+    assert(!wrote)
+    assert(!new java.io.File(s"$root/raw/retail_orders").exists())
+  }
+
+  test("flow dispatch (gluejob.py:141-155, 306-327)") {
+    assert(Ingest.flowOf("OnDemand") == Ingest.OnDemand)
+    assert(Ingest.flowOf("Scheduled") == Ingest.Scheduled)
+    assert(Ingest.flowOf("whatever") == Ingest.NoOp)
+    assert(Ingest.selectTables("allTables").size == 8)
+    assert(Ingest.selectTables("retail_plans").map(_.name) ==
+      Seq("retail_plans"))
+    assert(Ingest.selectTables("checkout_orders").isEmpty) // disabled
+    assert(Ingest.selectTables("nope").isEmpty)
+  }
+}
+
+/** Property-style invariants (upsert idempotence / precedence). */
+class UpsertPropertySpec extends SparkSpec {
+  import graft.ops.Upsert
+  import spark.implicits._
+
+  test("merge idempotence: merge(b, merge(b, old)) == merge(b, old)") {
+    val r = new scala.util.Random(7)
+    val ids = (1 to 50).map(_.toString)
+    def randBatch() = ids.filter(_ => r.nextBoolean()).map(id =>
+      (id, r.nextInt(1000).toString,
+        f"2024-01-${r.nextInt(27) + 1}%02d 00:00:00"))
+      .toDF("id", "payload", "updated_at")
+    for (_ <- 1 to 3) {
+      val b = randBatch(); val old = randBatch()
+      val once = Upsert.merge(b, old, "id", "updated_at")
+      val twice = Upsert.merge(b, once, "id", "updated_at")
+      assert(twice.orderBy("id").collect().toSeq ==
+        once.orderBy("id").collect().toSeq)
+    }
+  }
+}
