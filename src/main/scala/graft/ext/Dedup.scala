@@ -43,33 +43,36 @@ object Dedup {
 
   // ---- character shingles + exact Jaccard --------------------------------
 
-  /** Distinct k-char shingles via explicit 1-based substring positions
+  /** Distinct k-char shingles, single-pass custom expression
     * (oracle-portable; docs shorter than k yield no shingles). */
   def shingles(text: Column, k: Int): Column =
-    when(length(text) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), length(text) - (k - 1)),
-        i => text.substr(i, lit(k)))))
+    graft.functions.VectorFunctions.shingles(text, k, word = false)
 
-  /** Exact Jaccard over pre-distinct shingle arrays; |A∪B| by
-    * inclusion-exclusion (deterministic integer arithmetic). */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    val uni = size(a) + size(b) - inter
-    when(uni === 0, lit(0.0)).otherwise(inter * lit(1.0) / uni)
-  }
+  /** Exact Jaccard over pre-distinct shingle arrays. Single-pass custom
+    * expression (one hash-set build + probe per pair) — the composed
+    * size(array_intersect)/inclusion-exclusion tree rebuilds its hash
+    * set once per consumer after project-collapse. Same value. */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.jaccardSim(a, b)
+
+  /** Distinct word n-gram shingles (space-joined token windows),
+    * single-pass custom expression. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.VectorFunctions.shingles(text, n, word = true)
 
   /** Near-duplicate pairs by *blocked* exact Jaccard: candidates are
     * restricted to identical (blockCols) — e.g. language + length
-    * bucket — then exact k-shingle Jaccard ≥ threshold. Deterministic
-    * and oracle-checkable; the blocking bounds the pair count so each
-    * block's self-join is an independent, shuffle-local task. */
+    * bucket — then exact Jaccard over word n-gram shingles ≥ threshold
+    * (word grams: ~5× smaller sets than char grams at equal recall on
+    * prose). Deterministic and oracle-checkable; the blocking bounds
+    * the pair count so each block's self-join is an independent,
+    * shuffle-local task. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      blockCols: Seq[Column], k: Int, threshold: Double): DataFrame = {
+      blockCols: Seq[Column], n: Int, threshold: Double): DataFrame = {
     val base = docs
-      .withColumn("_block", concat_ws("", blockCols: _*))
+      .withColumn("_block", concat_ws("", blockCols: _*))
       .select(col(idCol).as("_id"), col("_block"),
-        shingles(col(textCol), k).as("_sh"))
+        sort_array(wordShingles(col(textCol), n)).as("_sh"))
       .filter(size(col("_sh")) > 0)
     val a = base.select(col("_id").as("doc_a"), col("_block"),
       col("_sh").as("_sha"))
@@ -77,88 +80,77 @@ object Dedup {
       col("_sh").as("_shb"))
     a.join(b, Seq("_block"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("_sha"), col("_shb")))
+      .withColumn("jaccard", graft.functions.VectorFunctions
+        .jaccardSorted(col("_sha"), col("_shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   // ---- MinHash + LSH -----------------------------------------------------
 
-  /** Universal-hash parameters for the MinHash permutations,
-    * deterministic from a fixed seed. p = 2^31-1 (Mersenne prime) keeps
-    * a*h+b < 2^62 — no long overflow under ANSI arithmetic. */
+  /** MinHash modulus: 2^31-1 (Mersenne prime) keeps a*h+b < 2^62 — no
+    * long overflow under ANSI arithmetic. Permutation params live in
+    * graft.functions.MinHashSig (same seed derivation). */
   private val MinHashP = 2147483647L
-  private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
-    val r = new scala.util.Random(seed)
-    Seq.fill(n)((math.abs(r.nextLong()) % (MinHashP - 1) + 1,
-      math.abs(r.nextLong()) % MinHashP))
-  }
 
   /** MinHash signature: for each permutation i, min over shingle hashes
-    * of (a_i*h + b_i) mod p. Shingle base hash = xxhash64 (codegen'd). */
+    * of (a_i*h + b_i) mod p. Shingle base hash = xxhash64 (codegen'd);
+    * the numPerms×shingles min-plane runs in the custom MinHashSig
+    * expression (one JVM loop) instead of numPerms interpreted array
+    * traversals. Permutation params derive from the same seed. */
   def minHashSignature(sh: Column, numPerms: Int = 32,
-      seed: Long = 42L): Column = {
-    val hashes = transform(sh, s => pmod(xxhash64(s), lit(MinHashP)))
-    val sig = perms(numPerms, seed).map { case (a, b) =>
-      array_min(transform(hashes,
-        h => pmod(h * lit(a) + lit(b), lit(MinHashP))))
-    }
-    array(sig: _*)
-  }
+      seed: Long = 42L): Column =
+    graft.functions.VectorFunctions.minHashSig(sh, numPerms, seed)
 
-  /** LSH near-dup pairs: signature → bands of `rowsPerBand` → explode →
-    * equi-join on (band, bandHash) → exact Jaccard verify ≥ threshold.
-    * Shuffle volume is #docs × #bands small rows; the verify join
-    * re-reads only candidate shingle sets. */
+  /** LSH near-dup pairs over word n-gram shingles: signature → bands
+    * of `rowsPerBand` → explode → equi-join on (band, bandHash) →
+    * exact Jaccard verify ≥ threshold. Shuffle volume is #docs × #bands
+    * small rows; the verify join attaches shingle sets only to the
+    * (band-collided) candidate pairs. */
   def minHashLshPairs(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, numPerms: Int = 32, rowsPerBand: Int = 4,
+      n: Int = 3, numPerms: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val numBands = numPerms / rowsPerBand
     val base = docs.select(col(idCol).as("_id"),
-        shingles(col(textCol), k).as("_sh"))
+        sort_array(wordShingles(col(textCol), n)).as("_sh"))
       .filter(size(col("_sh")) > 0)
+    // banded rows are SLIM (id, bandNo, bandHash) — the shingle arrays
+    // never ride through the candidate join or the pair-dedup shuffle.
+    val banded = base
       .withColumn("_sig", minHashSignature(col("_sh"), numPerms))
-    val banded = base.select(col("_id"), col("_sh"),
-      explode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
-            .as("bh")))).as("_band"))
-      .select(col("_id"), col("_sh"),
+      .select(col("_id"),
+        explode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)))
+              .as("bh")))).as("_band"))
+      .select(col("_id"),
         col("_band.band").as("_bandNo"), col("_band.bh").as("_bandHash"))
-    val a = banded.select(col("_id").as("doc_a"), col("_sh").as("_sha"),
-      col("_bandNo"), col("_bandHash"))
-    val b = banded.select(col("_id").as("doc_b"), col("_sh").as("_shb"),
-      col("_bandNo"), col("_bandHash"))
-    a.join(b, Seq("_bandNo", "_bandHash"))
+    val cand = banded.select(col("_id").as("doc_a"), col("_bandNo"),
+        col("_bandHash"))
+      .join(banded.select(col("_id").as("doc_b"), col("_bandNo"),
+        col("_bandHash")), Seq("_bandNo", "_bandHash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("_sha"), col("_shb"))
-      .dropDuplicates("doc_a", "doc_b") // candidate may fire in >1 band
-      .withColumn("jaccard", jaccard(col("_sha"), col("_shb")))
+      .select("doc_a", "doc_b")
+      .distinct() // candidate may fire in >1 band
+    // verify: attach shingle sets back to the (small) candidate set
+    cand
+      .join(base.select(col("_id").as("doc_a"), col("_sh").as("_sha")),
+        Seq("doc_a"))
+      .join(base.select(col("_id").as("doc_b"), col("_sh").as("_shb")),
+        Seq("doc_b"))
+      .withColumn("jaccard", graft.functions.VectorFunctions
+        .jaccardSorted(col("_sha"), col("_shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   // ---- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens: per bit, sum +1/-1 of each
-    * token-hash bit, sign → fingerprint bit. Expressed as a 64-wide
-    * aggregate of array lanes — per-row, no shuffle. */
-  def simHash64(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val lanes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1,
-            lit(1L)).otherwise(lit(-1L)))
-      })
-    aggregate(
-      zip_with(lanes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** 64-bit SimHash over whitespace tokens: per bit, sign of the +1/-1
+    * sum across token xxhash64 bits. One JVM loop per row (custom
+    * expression) — per-row, no shuffle. */
+  def simHash64(text: Column): Column =
+    graft.functions.VectorFunctions.simHash64(text)
 
   /** Near-pairs with hamming(simhash) ≤ maxDist via pigeonhole banding:
     * split 64 bits into `chunks` chunks; distance ≤ chunks-1 guarantees

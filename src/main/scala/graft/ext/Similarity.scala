@@ -1,15 +1,18 @@
 package graft.ext
 
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity operators over an `array<float>` embedding column.
   *
-  * Cosine is computed in double with a strictly sequential fold
-  * (zip_with → aggregate), so the arithmetic is bit-reproducible and the
-  * DuckDB oracle can replay it exactly — floating-point summation order
-  * is pinned, not left to the engine.
+  * Cosine is computed in double with a strictly sequential fold, so the
+  * arithmetic is bit-reproducible and the DuckDB oracle replays it
+  * exactly. The fold runs in the custom codegen'd
+  * [[graft.functions.DotProduct]] expression (a tight JVM loop) rather
+  * than interpreted zip_with/aggregate trees; norms are computed once
+  * per vector *before* any pairwise join, never per pair.
   *
   * Scale notes: brute-force top-k broadcasts the (small) query set and
   * scans candidates once — a map-only plan plus one shuffle for the
@@ -19,26 +22,32 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product in double (codegen expression). */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
   def norm2(a: Column): Column = dot(a, a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
+  /** id/vec/precomputed-norm projection — norms are per-vector, done
+    * before joins so no pair recomputes them. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, nrmAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      norm2(col(vecCol)).as(nrmAs))
+
   /** Exact top-k neighbors for each query vector (brute force — the
     * correctness baseline). Queries are broadcast; rank ties broken by
     * candidate id. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
-    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("_cv"))
+    val q = withNorm(queries, idCol, vecCol, "q_id", "_qv", "_qn")
+    val c = withNorm(candidates, idCol, vecCol, "n_id", "_cv", "_cn")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("cos",
+        dot(col("_qv"), col("_cv")) / sqrt(col("_qn") * col("_cn")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -50,11 +59,12 @@ object Similarity {
     * detection at moderate scale; LSH below is the 10^9-row path). */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = vectors.select(col(idCol).as("vec_a"), col(vecCol).as("_va"))
-    val b = vectors.select(col(idCol).as("vec_b"), col(vecCol).as("_vb"))
+    val a = withNorm(vectors, idCol, vecCol, "vec_a", "_va", "_na")
+    val b = withNorm(vectors, idCol, vecCol, "vec_b", "_vb", "_nb")
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .withColumn("cos",
+        dot(col("_va"), col("_vb")) / sqrt(col("_na") * col("_nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
@@ -82,13 +92,14 @@ object Similarity {
     * corpus-fraction scan; `nPlanes` tunes bucket granularity. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"),
-      lshBucket(col(vecCol), nPlanes, dim).as("_bucket"))
-    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("_cv"),
-      lshBucket(col(vecCol), nPlanes, dim).as("_bucket"))
+    val q = withNorm(queries, idCol, vecCol, "q_id", "_qv", "_qn")
+      .withColumn("_bucket", lshBucket(col("_qv"), nPlanes, dim))
+    val c = withNorm(candidates, idCol, vecCol, "n_id", "_cv", "_cn")
+      .withColumn("_bucket", lshBucket(col("_cv"), nPlanes, dim))
     val scored = c.join(broadcast(q), Seq("_bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("cos",
+        dot(col("_qv"), col("_cv")) / sqrt(col("_qn") * col("_cn")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))

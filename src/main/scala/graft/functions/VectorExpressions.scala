@@ -1,0 +1,309 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot per-row kernels.
+  *
+  * The built-in route (zip_with/aggregate/array_intersect) evaluates an
+  * interpreted expression tree per ELEMENT, and Catalyst's project
+  * collapse can re-evaluate a whole array expression once per consumer.
+  * These expressions run one tight JVM loop per ROW instead — the
+  * arithmetic (sequential double fold) is exactly the one the DuckDB
+  * oracle replays, so swapping them in changes nothing numerically.
+  */
+
+/** Sequential-fold dot product of two float/double arrays in double.
+  * Whole-stage-codegen'd: the generated code is a plain for-loop.
+  * Array elements are assumed non-null; result is null if either array
+  * is null. Unequal lengths fold over the common prefix. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okElem(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okElem(left) && okElem(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xi * yi
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) { $s += ($getA) * ($getB); }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** Exact Jaccard similarity of two string arrays (each pre-distinct) in
+  * ONE pass: hash-set of the smaller side, probe with the larger.
+  * Replaces size(array_intersect)/inclusion-exclusion trees that
+  * re-build hash sets per consumer. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("jaccard_sim needs array<string>")
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    var x = a.asInstanceOf[ArrayData]
+    var y = b.asInstanceOf[ArrayData]
+    if (x.numElements() > y.numElements()) { val t = x; x = y; y = t }
+    val nx = x.numElements(); val ny = y.numElements()
+    if (nx + ny == 0) return 0.0
+    val set = new java.util.HashSet[UTF8String](nx * 2)
+    var i = 0
+    while (i < nx) { set.add(x.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < ny) { if (set.contains(y.getUTF8String(i))) inter += 1; i += 1 }
+    val uni = nx + ny - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** MinHash signature over shingles: sig[j] = min over shingles s of
+  * (a_j*hash(s) + b_j) mod p, p = 2^31-1. Accepts either raw
+  * array<string> shingles (hashed in-loop via xxhash64 seed 42, then
+  * pmod — identical to pmod(xxhash64(s), p)) or pre-hashed array<long>.
+  * One Scala loop instead of numPerms interpreted array traversals. */
+case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType | StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "min_hash_sig needs array<long> or array<string>")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val P = 2147483647L
+  private lazy val isString =
+    child.dataType.asInstanceOf[ArrayType].elementType == StringType
+  private lazy val (as, bs) = {
+    val r = new scala.util.Random(seed)
+    val a = new Array[Long](numPerms); val b = new Array[Long](numPerms)
+    var i = 0
+    while (i < numPerms) {
+      a(i) = math.abs(r.nextLong()) % (P - 1) + 1
+      b(i) = math.abs(r.nextLong()) % P
+      i += 1
+    }
+    (a, b)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = if (isString) {
+        val x = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(hs.getUTF8String(i), StringType, 42L)
+        val m = x % P
+        if (m < 0) m + P else m // pmod
+      } else hs.getLong(i)
+      var j = 0
+      while (j < numPerms) {
+        val p = (as(j) * h + bs(j)) % P
+        if (p < sig(j)) sig(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** 64-bit SimHash over the whitespace tokens of a string: per bit, sign
+  * of the +1/-1 sum across token xxhash64 bits. Tokenization matches
+  * TextAnalysis.tokens (split \s+, drop empties); hash matches
+  * Spark's xxhash64 (XXH64, seed 42). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("sim_hash64 needs string")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].toString.split("\\s+")
+    val lanes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        val bytes = UTF8String.fromString(toks(t))
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(bytes, StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) lanes(i) += 1 else lanes(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (lanes(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Exact Jaccard of two SORTED string arrays via allocation-free merge
+  * intersection (binary UTF8String order, as produced by sort_array).
+  * Same value as JaccardSim; preferred in pair loops — no per-pair
+  * hash-set allocation, so no GC churn at millions of pairs. */
+case class JaccardSortedSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("jaccard_sorted needs array<string>")
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    if (nx + ny == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val uni = nx + ny - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** Column-facing API for the custom expressions. */
+object VectorFunctions {
+  private def e(c: Column): Expression = ColumnBridge.expression(c)
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(e(a), e(b)))
+  def jaccardSim(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSim(e(a), e(b)))
+  def minHashSig(hashes: Column, numPerms: Int, seed: Long): Column =
+    ColumnBridge.column(MinHashSig(e(hashes), numPerms, seed))
+  def simHash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(e(text)))
+  def shingles(text: Column, n: Int, word: Boolean): Column =
+    ColumnBridge.column(Shingles(e(text), n, word))
+  def jaccardSorted(a: Column, b: Column): Column =
+    ColumnBridge.column(JaccardSortedSim(e(a), e(b)))
+}
+
+/** Distinct k-shingles of a string in one pass: char mode slides a
+  * k-char window; word mode joins n consecutive whitespace tokens with
+  * single spaces. Replaces transform(sequence)/substr trees, which
+  * re-evaluate any inlined token subtree once per element after
+  * project-collapse. First-occurrence order, ASCII/BMP semantics. */
+case class Shingles(child: Expression, n: Int, word: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("shingles needs string input")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val out = new java.util.LinkedHashSet[String]()
+    if (word) {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i + n <= text.length) {
+        out.add(text.substring(i, i + n))
+        i += 1
+      }
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

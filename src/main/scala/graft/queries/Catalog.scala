@@ -384,30 +384,35 @@ object Catalog {
       count(*) AS n_copies FROM documents
       GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""))
 
-  /** Blocked exact 5-gram Jaccard near-dup pairs (lang × length-bucket
-    * blocking; threshold 0.6). */
+  /** Blocked exact word-trigram Jaccard near-dup pairs (lang ×
+    * length-bucket blocking; threshold 0.6). */
   private val q22 = Q("q22_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"),
       "text", "doc_id",
       blockCols = Seq(col("lang"), expr("n_chars div 64")),
-      k = 5, threshold = 0.6),
-    Some("""WITH g AS (
+      n = 3, threshold = 0.6),
+    Some("""WITH t AS (
         SELECT doc_id, lang || CAST(n_chars // 64 AS VARCHAR) AS blk,
-          list_distinct([substring(text, i, 5) FOR i IN range(1, len(text) - 3)]) AS sh
-        FROM documents WHERE len(text) >= 5)
+          list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, blk,
+          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3)
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           len(list_intersect(a.sh, b.sh)) * 1.0 /
             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-        FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        WHERE len(a.sh) > 0 AND len(b.sh) > 0) z
+        FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id) z
       WHERE jaccard >= 0.6"""))
 
-  /** MinHash(32)+LSH(8×4) near-dup pairs, exact-Jaccard verified.
+  /** MinHash(32)+LSH(8×4) near-dup pairs over word trigrams,
+    * exact-Jaccard verified.
     * Not ANSI-expressible (engine-specific xxhash64) → rows-only check. */
   private val q23 = Q("q23_minhash_lsh",
     (s, dir) => Dedup.minHashLshPairs(t(s, dir, "documents"),
-      "text", "doc_id", k = 5, numPerms = 32, rowsPerBand = 4,
+      "text", "doc_id", n = 3, numPerms = 32, rowsPerBand = 4,
       threshold = 0.5),
     None)
 

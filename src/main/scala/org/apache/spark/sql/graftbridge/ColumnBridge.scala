@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark 4's private[sql] Column<->Expression conversion
+  * (org.apache.spark.sql.classic.ExpressionUtils). Spark 4 wraps
+  * Columns in ColumnNodes; building a Column from a custom Catalyst
+  * Expression requires this hop, which upstream keeps private[sql] —
+  * hence this shim living under the org.apache.spark.sql package. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
