@@ -87,6 +87,47 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer of `nCells`
+    * deterministic centroids (the first nCells corpus vectors) assigns
+    * every vector to its nearest cell (one broadcast pass); queries
+    * probe their `nProbe` nearest cells and rank exactly within them.
+    * At 10^9 vectors this scans nProbe/nCells of the corpus per query;
+    * the inverted lists are just a `_cell` column, so they partition,
+    * bucket, and prune like any other key. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = candidates.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
+        norm2(col(vecCol)).as("_centn"))
+    val cellRank = Window.partitionBy(col("n_id"))
+      .orderBy(col("_csim").desc, col("cent_id").asc)
+    val assigned = withNorm(candidates, idCol, vecCol, "n_id", "_cv", "_cn")
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim",
+        dot(col("_cv"), col("_centv")) / sqrt(col("_cn") * col("_centn")))
+      .withColumn("_cr", row_number().over(cellRank))
+      .filter(col("_cr") === 1)
+      .select(col("n_id"), col("_cv"), col("_cn"), col("cent_id").as("_cell"))
+    val probeRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("_csim").desc, col("cent_id").asc)
+    val probes = withNorm(queries, idCol, vecCol, "q_id", "_qv", "_qn")
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim",
+        dot(col("_qv"), col("_centv")) / sqrt(col("_qn") * col("_centn")))
+      .withColumn("_pr", row_number().over(probeRank))
+      .filter(col("_pr") <= nProbe)
+      .select(col("q_id"), col("_qv"), col("_qn"), col("cent_id").as("_cell"))
+    val scored = assigned.join(broadcast(probes), Seq("_cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("_qv"), col("_cv")) / sqrt(col("_qn") * col("_cn")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine rank within the bucket. Trades recall for a
     * corpus-fraction scan; `nPlanes` tunes bucket granularity. */

@@ -369,6 +369,92 @@ object Catalog {
       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS created_at
       FROM orders"""))
 
+  /** §2.5 aggregate-function battery: min/max/count/distinct/avg
+    * (avg as decimal-sum cast double over count — deterministic). */
+  private val q33 = Q("q33_agg_battery",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .withColumn("avg_qty",
+        col("sum_qty").cast("double") / col("n")),
+    Some("""SELECT l_returnflag, min(l_quantity) AS min_qty,
+      max(l_quantity) AS max_qty,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      count(*) AS n, count(DISTINCT l_suppkey) AS n_supp,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** §2.5 cube (full grouping-sets lattice over two dims). */
+  private val q34 = Q("q34_cube",
+    (s, dir) => t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec2)).cast(dec2).as("sum_price")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""))
+
+  /** IVF coarse-quantizer ANN (nCells=16, nProbe=2) — the inverted-list
+    * scale path beside LSH. Approximate → rows-only check. */
+  private val q35 = Q("q35_ivf_ann",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 3, nCells = 16, nProbe = 2)
+    },
+    None)
+
+  /** As-of join: each purchase event picks up the user's most recent
+    * signup event at-or-before it (union + running last, one shuffle). */
+  private val q37 = Q("q37_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.AsOfJoin.asOfPrior(purchases, "ts", signups, "ts",
+        keys = Seq("user_id"), rightVal = "event_id",
+        asCol = "signup_id", tiebreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("signup_id"))
+    },
+    Some("""SELECT event_id, user_id, signup_id FROM (
+      SELECT event_id, user_id, tag,
+        last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY epoch_ns(ts) ASC, tag ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_id
+      FROM (SELECT event_id, user_id, ts,
+              CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS tag
+            FROM events WHERE event_type IN ('signup', 'purchase')) u) z
+      WHERE tag = 1"""))
+
+  /** Stateful streaming sessionization (flatMapGroupsWithState): closed
+    * sessions per user; single-batch source ⇒ every session except each
+    * user's last. Oracle replays the same fold with window SQL. */
+  private val q41 = Q("q41_stream_sessions",
+    (s, dir) => graft.streaming.Sessionize.runToCompletion(
+      s, s"$dir/events.parquet",
+      queryName = "q41_events_sessions").toDF(),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us FROM events),
+      m AS (SELECT user_id, ts_us, event_id,
+        CASE WHEN lag(ts_us) OVER w IS NULL
+          OR ts_us - lag(ts_us) OVER w > 3600000000 THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      s AS (SELECT user_id, ts_us, event_id, sum(new_sess)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+      g AS (SELECT user_id, sid, min(ts_us) AS start_us,
+        max(ts_us) AS end_us, count(*) AS n_events FROM s GROUP BY 1, 2)
+      SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
+      FROM g
+      WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)"""))
+
   // ----------------------------------------------------- training-data ext
 
   /** Exact dedup groups (hash groupBy) on raw text. */
@@ -557,5 +643,5 @@ object Catalog {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q40)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41)
 }
