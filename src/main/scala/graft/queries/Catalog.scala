@@ -455,6 +455,84 @@ object Catalog {
       FROM g
       WHERE sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)"""))
 
+  /** Streaming dedup-within-watermark (the reference's idempotent
+    * re-read absorption, §2.8, as a stream): dropDuplicates on a key
+    * inside a streaming query; single-batch source ⇒ equals batch
+    * distinct-min aggregation. */
+  private val q42 = Q("q42_stream_dedup",
+    (s, dir) => EventsStream.withStatePartitions(s) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val stream = s.readStream
+        .schema(EventsStream.eventsSchema)
+        .option("pathGlobFilter", p.getName)
+        .parquet(p.getParent.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_types"))
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName("q42_dedup")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("q42_dedup")
+    },
+    Some("""SELECT user_id, count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id"""))
+
+  /** Batched per-partition multimodal decode (mapPartitions stage with
+    * the stub decoder) — engine-side imperative batch path; checksum is
+    * deterministic but the path is not ANSI SQL → rows-only. */
+  private val q43 = Q("q43_multimodal_features",
+    (s, dir) => {
+      val media = Multimodal.toMediaFrame(t(s, dir, "documents"),
+        "text", "doc_id")
+      Multimodal.extractFeatures(s, media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("checksum"))
+    },
+    None)
+
+  /** Sketch aggregates (HLL approx distinct) — approximate,
+    * engine-specific → rows-only. */
+  private val q44 = Q("q44_approx_distinct",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders")),
+    None)
+
+  /** Exact interpolated percentiles (sorted exact doubles; both engines
+    * use linear interpolation at p*(n-1)). */
+  private val q45 = Q("q45_percentiles",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90")),
+    Some("""SELECT o_orderstatus,
+      quantile_cont(o_totalprice, 0.5) AS p50,
+      quantile_cont(o_totalprice, 0.9) AS p90
+      FROM orders GROUP BY o_orderstatus"""))
+
+  /** Skew-safe salted aggregation: two-stage (key, salt) partial →
+    * key final. Result ≡ plain GROUP BY (the oracle), but no single
+    * reducer ever sees a hot key's full row set — the 100 TB pattern
+    * for skewed keys. */
+  private val q46 = Q("q46_salted_agg",
+    (s, dir) => t(s, dir, "lineitem")
+      .withColumn("_salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(16)))
+      .groupBy(col("l_returnflag"), col("_salt"))
+      .agg(sum(col("l_quantity").cast(dec2)).as("_psum"),
+        count(lit(1)).as("_pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("_psum")).cast(dec2).as("sum_qty"),
+        sum(col("_pn")).cast("long").as("n")),
+    Some("""SELECT l_returnflag,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      count(*) AS n
+      FROM lineitem GROUP BY l_returnflag"""))
+
   // ----------------------------------------------------- training-data ext
 
   /** Exact dedup groups (hash groupBy) on raw text. */
@@ -643,5 +721,6 @@ object Catalog {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
+    q42, q43, q44, q45, q46)
 }

@@ -56,7 +56,8 @@ object EventsStream {
     * oracle-checked q40. Complete mode keeps pre-watermark windows so
     * the result equals the batch aggregation. */
   def runToCompletion(spark: SparkSession, path: String,
-      queryName: String = "events_windowed"): DataFrame = {
+      queryName: String = "events_windowed"): DataFrame =
+    withStatePartitions(spark) {
     val q = windowedCounts(spark, path).writeStream
       .outputMode("complete")
       .format("memory")
@@ -65,5 +66,16 @@ object EventsStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Streaming state lives per shuffle partition; micro-batches over
+    * bounded fixtures pay a state-store commit per partition per batch,
+    * so size the state partitioning to the data, not the CPU count.
+    * Restores the session setting afterwards. */
+  def withStatePartitions[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
   }
 }

@@ -44,7 +44,8 @@ object Sessionize {
   /** Run over the events fixture (single-file batch => one micro-batch,
     * so closed sessions = every session except each user's last). */
   def runToCompletion(spark: SparkSession, path: String,
-      queryName: String = "events_sessions"): Dataset[ClosedSession] = {
+      queryName: String = "events_sessions"): Dataset[ClosedSession] =
+    EventsStream.withStatePartitions(spark) {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path)
     val events = spark.readStream
