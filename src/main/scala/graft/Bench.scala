@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // events.ts is TIMESTAMP(NANOS) parquet — readable only as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

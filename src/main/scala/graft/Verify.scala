@@ -14,6 +14,7 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // events.ts is TIMESTAMP(NANOS) parquet — readable only as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -35,6 +35,7 @@ object JobMain {
         conf.getOrElse("shufflePartitions", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, conf, trigger, jobMode)

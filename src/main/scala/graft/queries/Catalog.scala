@@ -533,6 +533,20 @@ object Catalog {
       count(*) AS n
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** SQL-facing API surface: the custom expressions registered through
+    * SparkSessionExtensions, driven from spark.sql over a temp view.
+    * Engine-specific hashes → rows-only. */
+  private val q47 = Q("q47_sql_api",
+    (s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""SELECT doc_id,
+          sim_hash64(text) AS simhash,
+          size(shingles(text, 3, true)) AS n_shingles,
+          element_at(min_hash_sig(shingles(text, 3, true), 8, 42), 1) AS mh0
+        FROM documents_v""")
+    },
+    None)
+
   // ----------------------------------------------------- training-data ext
 
   /** Exact dedup groups (hash groupBy) on raw text. */
@@ -722,5 +736,5 @@ object Catalog {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
-    q42, q43, q44, q45, q46)
+    q42, q43, q44, q45, q46, q47)
 }

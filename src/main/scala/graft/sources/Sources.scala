@@ -59,12 +59,21 @@ object JdbcSource {
 
   def read(spark: SparkSession, spec: TableSpec, conn: ConnInfo,
       watermark: String,
+      numPartitions: Int = 1): DataFrame =
+    readFromUrl(spark, spec, url(spec.source, conn), conn.user,
+      conn.password, watermark, numPartitions)
+
+  /** Dialect-agnostic variant (any JDBC URL — also used by tests
+    * against embedded Derby). The watermark `>=` predicate is applied
+    * as a Catalyst filter and pushed into the remote query. */
+  def readFromUrl(spark: SparkSession, spec: TableSpec, jdbcUrl: String,
+      user: String, password: String, watermark: String,
       numPartitions: Int = 1): DataFrame = {
     val reader = spark.read.format("jdbc")
-      .option("url", url(spec.source, conn))
+      .option("url", jdbcUrl)
       .option("dbtable", spec.name)
-      .option("user", conn.user)
-      .option("password", conn.password)
+      .option("user", user)
+      .option("password", password)
     val base =
       (if (numPartitions > 1)
         // range-partitioned parallel extract on the watermark column
