@@ -74,12 +74,27 @@ object Dedup {
       .select(col(idCol).as("_id"), col("_block"),
         sort_array(wordShingles(col(textCol), n)).as("_sh"))
       .filter(size(col("_sh")) > 0)
-    val a = base.select(col("_id").as("doc_a"), col("_block"),
-      col("_sh").as("_sha"))
-    val b = base.select(col("_id").as("doc_b"), col("_block"),
-      col("_sh").as("_shb"))
-    a.join(b, Seq("_block"))
+    // PPJoin-style prefix filter: J(A,B) >= t implies A and B share a
+    // shingle within each one's first |S| - ceil(t*|S|) + 1 elements of
+    // the global (sorted) order — so candidates come from an equi-join
+    // on prefix shingles, not the full blocked cross product. Exact:
+    // no false negatives; ceil's double rounding can only lengthen the
+    // prefix (longer = safe).
+    val prefLen = size(col("_sh")) -
+      ceil(size(col("_sh")) * lit(threshold)).cast("int") + lit(1)
+    val pref = base.select(col("_id"), col("_block"),
+      explode(slice(col("_sh"), lit(1), prefLen)).as("_tok"))
+    val cand = pref.select(col("_id").as("doc_a"), col("_block"), col("_tok"))
+      .join(pref.select(col("_id").as("doc_b"), col("_block"), col("_tok")),
+        Seq("_block", "_tok"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(base.select(col("_id").as("doc_a"), col("_sh").as("_sha")),
+        Seq("doc_a"))
+      .join(base.select(col("_id").as("doc_b"), col("_sh").as("_shb")),
+        Seq("doc_b"))
       .withColumn("jaccard", graft.functions.VectorFunctions
         .jaccardSorted(col("_sha"), col("_shb")))
       .filter(col("jaccard") >= threshold)

@@ -16,12 +16,21 @@ object Bucketing {
   /** Write `df` as a bucketed+sorted parquet table in the session
     * catalog (in-memory catalog supports bucketing; no Hive needed). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // an in-memory catalog forgets tables across sessions but the
+    // managed location survives — drop both before rewriting
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on `key` — shuffle-free when both
     * were written with the same bucket count on the key. */

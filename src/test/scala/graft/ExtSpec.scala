@@ -154,3 +154,32 @@ class StreamingSpec extends SparkSpec {
     assert(g == w && g.nonEmpty)
   }
 }
+
+/** Prefix-filtered blocked Jaccard must equal the brute-force blocked
+  * pairwise result (PPJoin prefix lemma — no false negatives). */
+class PrefixFilterSpec extends SparkSpec {
+  test("prefix-filtered pairs == brute-force blocked pairs") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val got = graft.ext.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      blockCols = Seq(col("lang"), expr("n_chars div 64")),
+      n = 3, threshold = 0.6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: full pairwise within block
+    val base = docs
+      .withColumn("_block", concat_ws("", col("lang"), expr("n_chars div 64")))
+      .select(col("doc_id").as("_id"), col("_block"),
+        sort_array(graft.ext.Dedup.wordShingles(col("text"), 3)).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val brute = base.select(col("_id").as("doc_a"), col("_block"),
+        col("_sh").as("_sha"))
+      .join(base.select(col("_id").as("doc_b"), col("_block"),
+        col("_sh").as("_shb")), Seq("_block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(graft.functions.VectorFunctions
+        .jaccardSorted(col("_sha"), col("_shb")) >= 0.6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+}
