@@ -87,6 +87,21 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Exact top-k through the custom whole-operator plan
+    * (graft.plans.SimilarityTopK → SimilarityTopKExec): bounded
+    * per-partition heaps, zero shuffle — same results (and the same
+    * DuckDB oracle) as bruteForceTopK, different physical strategy.
+    * Requires GraftExtensions on the session. */
+  def topKPlanned(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol), col(vecCol))
+    val c = candidates.select(col(idCol), col(vecCol))
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(
+      queries.sparkSession,
+      graft.plans.SimilarityTopK(k, q.queryExecution.logical,
+        c.queryExecution.logical))
+  }
+
   /** IVF-style approximate top-k: a coarse quantizer of `nCells`
     * deterministic centroids (the first nCells corpus vectors) assigns
     * every vector to its nearest cell (one broadcast pass); queries

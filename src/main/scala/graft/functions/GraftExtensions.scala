@@ -42,6 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => graft.plans.SimilarityTopKStrategy)
     e.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

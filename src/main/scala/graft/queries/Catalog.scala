@@ -547,6 +547,25 @@ object Catalog {
     },
     None)
 
+  /** Same semantics as q25 but through the custom LogicalPlan +
+    * SparkStrategy + SparkPlan operator (no shuffle; bounded heaps) —
+    * proven by the SAME DuckDB oracle. */
+  private val q48 = Q("q48_topk_custom_plan",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.topKPlanned(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+    },
+    Some(cosineOracleCte + """
+      SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)]), (a, b) -> a + b)
+             / sqrt(q.nrm * c.nrm)) DESC, c.vec_id ASC) AS rank
+        FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) z
+      WHERE rank <= 5"""))
+
   // ----------------------------------------------------- training-data ext
 
   /** Exact dedup groups (hash groupBy) on raw text. */
@@ -736,5 +755,5 @@ object Catalog {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
-    q42, q43, q44, q45, q46, q47)
+    q42, q43, q44, q45, q46, q47, q48)
 }

@@ -89,3 +89,25 @@ class JdbcDerbySpec extends SparkSpec {
     conn.close()
   }
 }
+
+/** The custom whole-operator plan (LogicalPlan + Strategy + Exec via
+  * SparkSessionExtensions) must plan through SimilarityTopKExec and
+  * produce exactly the composed implementation's results. */
+class CustomPlanSpec extends SparkSpec {
+  test("SimilarityTopK plans to SimilarityTopKExec and matches bruteForceTopK") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val planned = graft.ext.Similarity.topKPlanned(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 4)
+    val execNodes = planned.queryExecution.executedPlan.collect {
+      case e: graft.plans.SimilarityTopKExec => e
+    }
+    assert(execNodes.nonEmpty, "strategy did not plan SimilarityTopKExec")
+    val physical = planned.queryExecution.executedPlan.toString
+    assert(!physical.contains("Window"), "custom plan must not shuffle/rank")
+    val composed = graft.ext.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 4)
+    val g = planned.collect().map(_.toSeq).toSet
+    val w = composed.collect().map(_.toSeq).toSet
+    assert(g == w && g.size == 20)
+  }
+}
