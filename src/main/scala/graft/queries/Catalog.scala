@@ -566,6 +566,55 @@ object Catalog {
         FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) z
       WHERE rank <= 5"""))
 
+  /** §2.7 string-function battery (beyond the reference's F1-F8):
+    * concat/substr/upper/lower/trim/lpad/replace/length/reverse. */
+  private val q49 = Q("q49_string_funcs",
+    (s, dir) => t(s, dir, "customer")
+      .filter(col("c_custkey") <= 500)
+      .select(col("c_custkey"),
+        concat(col("c_name"), lit("#"), col("c_mktsegment")).as("tagged"),
+        upper(col("c_mktsegment")).as("seg_up"),
+        lower(col("c_name")).as("name_lo"),
+        substring(col("c_name"), 1, 8).as("name8"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_pad"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        length(col("c_name")).as("name_len"),
+        reverse(col("c_mktsegment")).as("seg_rev")),
+    Some("""SELECT c_custkey,
+      c_name || '#' || c_mktsegment AS tagged,
+      upper(c_mktsegment) AS seg_up,
+      lower(c_name) AS name_lo,
+      substring(c_name, 1, 8) AS name8,
+      lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+      regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+      CAST(length(c_name) AS INT) AS name_len,
+      reverse(c_mktsegment) AS seg_rev
+      FROM customer WHERE c_custkey <= 500"""))
+
+  /** §2.7 conditional/null functions: CASE, nullif, coalesce,
+    * least/greatest, if. */
+  private val q50 = Q("q50_conditionals",
+    (s, dir) => t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") === "F", lit("final"))
+          .when(col("o_orderstatus") === "O", lit("open"))
+          .otherwise(lit("other")).as("status_label"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("pending"))
+          .as("status_or_pending"),
+        least(col("o_custkey"), col("o_orderkey")).as("least_key"),
+        greatest(col("o_custkey"), col("o_orderkey")).as("greatest_key"),
+        (col("o_orderkey") % 2 === 0).cast("string").as("is_even")),
+    Some("""SELECT o_orderkey,
+      CASE WHEN o_orderstatus = 'F' THEN 'final'
+           WHEN o_orderstatus = 'O' THEN 'open'
+           ELSE 'other' END AS status_label,
+      coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+      least(o_custkey, o_orderkey) AS least_key,
+      greatest(o_custkey, o_orderkey) AS greatest_key,
+      CAST(o_orderkey % 2 = 0 AS VARCHAR) AS is_even
+      FROM orders WHERE o_orderkey <= 1000"""))
+
   // ----------------------------------------------------- training-data ext
 
   /** Exact dedup groups (hash groupBy) on raw text. */
@@ -755,5 +804,5 @@ object Catalog {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50)
 }
