@@ -75,10 +75,15 @@ object Upsert {
       merge(delta, existingTouched, key, tieBreak)
     }
 
-    merged.write
+    // one write task per storage partition (no small-file spray from the
+    // merge window's hash partitioning), bounded file sizes for the
+    // scan-side at scale
+    merged.repartition(partCols.map(col): _*)
+      .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .option("compression", "snappy")
+      .option("maxRecordsPerFile", 5000000L)
       .partitionBy(partCols: _*)
       .parquet(path)
   }

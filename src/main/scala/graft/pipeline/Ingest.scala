@@ -48,13 +48,13 @@ object Ingest {
   def ingestTable(spark: SparkSession, spec: TableSpec, source: DataFrame,
       watermark: String, outRoot: String): Boolean = {
     val delta = source.filter(
-      coalesce(col("updated_at").cast("string"), lit("")) >= watermark)
+      coalesce(col(spec.updatedCol).cast("string"), lit("")) >= watermark)
     if (delta.isEmpty) false
     else {
       val bronze = PartitionKeys.withCompanyYearMonth(
         Normalize.toBronze(delta, spec), spec.dateCol)
       Upsert.upsertPartitioned(spark, bronze, s"$outRoot/${spec.name}",
-        key = spec.idCol, tieBreak = "updated_at")
+        key = spec.idCol, tieBreak = spec.updatedCol)
       true
     }
   }
@@ -70,7 +70,7 @@ object Ingest {
         val bronze = PartitionKeys.withCompanyYearMonth(
           Normalize.toBronze(df, spec), spec.dateCol)
         Upsert.upsertPartitioned(spark, bronze, s"$outRoot/${spec.name}",
-          key = spec.idCol, tieBreak = "updated_at")
+          key = spec.idCol, tieBreak = spec.updatedCol)
         Some(spec.name)
       }
     }

@@ -25,6 +25,9 @@ final case class TableSpec(
     columns: Seq[String],
     idCol: String,
     dateCol: String,
+    /** incremental watermark / recency column (gluejob.py:526-598;
+      * DT_UpdatedAt for checkout_orders). */
+    updatedCol: String = "updated_at",
     boolCols: Seq[String] = Nil,
     source: SourceDb = Postgres,
     csvSep: String = ";",
@@ -124,6 +127,7 @@ object Tables {
       "DT_CreatedAt", "DT_UpdatedAt", "dt_finalization", "status",
       "total_amount", "use_anti_fraude", "Login", "customerEmail"),
     idCol = "ID_Order", dateCol = "DT_CreatedAt",
+    updatedCol = "DT_UpdatedAt",
     source = SqlServer, csvSep = ",", enabled = false)
 
   val all: Seq[TableSpec] = Seq(retailOrders, retailSubscriptions,

@@ -77,14 +77,14 @@ object JdbcSource {
     val base =
       (if (numPartitions > 1)
         // range-partitioned parallel extract on the watermark column
-        reader.option("partitionColumn", "updated_at")
+        reader.option("partitionColumn", spec.updatedCol)
           .option("numPartitions", numPartitions.toString)
           .option("lowerBound", watermark)
           .option("upperBound", java.time.LocalDateTime.now.toString)
        else reader).load()
     // `>=` (not `>`) re-reads the boundary row set; dedup absorbs it
     // (gluejob.py:526 et al.) — pushed to the remote DB by Catalyst.
-    base.filter(col("updated_at") >= lit(watermark))
+    base.filter(col(spec.updatedCol) >= lit(watermark))
       .select(spec.columns.map(col): _*)
   }
 

@@ -61,7 +61,7 @@ object IncrementalIngest {
             Normalize.toBronze(batch, spec), spec.dateCol)
           Upsert.upsertPartitioned(spark, bronze,
             s"$outRoot/${spec.name}", key = spec.idCol,
-            tieBreak = "updated_at")
+            tieBreak = spec.updatedCol)
         }
       }
       .start()

@@ -133,3 +133,34 @@ class UpsertPropertySpec extends SparkSpec {
     }
   }
 }
+
+/** The disabled SQL Server table's CSV dialect: comma separator,
+  * ID_Order key, DT_CreatedAt partition column (gluejob.py:174,191,
+  * 227,235) — ingestable when explicitly requested. */
+class CheckoutOrdersSpec extends SparkSpec {
+  test("checkout_orders: comma CSV, ID_Order dedup key, DT_CreatedAt partition") {
+    val root = tmpDir("checkout")
+    val spec = graft.schema.Tables.registry("checkout_orders")
+    assert(spec.csvSep == "," && !spec.enabled)
+    val header = spec.columns.mkString(",")
+    val row = spec.columns.map {
+      case "ID_Order" => "42"
+      case "DT_CreatedAt" | "DT_UpdatedAt" => "2024-06-15 08:30:00"
+      case "use_anti_fraude" => "t"
+      case _ => "v"
+    }.mkString(",")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/load"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/load/checkout_orders.csv"),
+      header + "\n" + row)
+    val done = graft.pipeline.Ingest.initialLoad(spark, s"$root/load",
+      s"$root/raw", tables = Seq(spec))
+    assert(done == Seq("checkout_orders"))
+    val out = spark.read.parquet(s"$root/raw/checkout_orders")
+    val r = out.collect()(0)
+    assert(r.getAs[String]("ID_Order") == "42")
+    assert(r.getAs[String]("DT_CreatedAt") == "2024-06-15 08:30:00.000000")
+    assert(r.getAs[Int]("year") == 2024 && r.getAs[Int]("month") == 6)
+  }
+}
