@@ -101,6 +101,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the blocked-
+    * Jaccard pair graph, labels = min doc id per component (the keeper).
+    * Iterative min-label propagation — each round is one join + one
+    * map-side-combinable aggregation, lineage cut per round with
+    * localCheckpoint; converges in O(component diameter) rounds (dup
+    * clusters are shallow). Docs with no near-dup are singleton
+    * clusters of themselves. */
+  def dupClusters(docs: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[Column], n: Int, threshold: Double,
+      maxIters: Int = 15): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, textCol, idCol, blockCols, n,
+      threshold).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).as("node"), col(idCol).as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("doc_b"), col("lbl").as("_nl")),
+          Seq("doc_b"))
+        .groupBy(col("doc_a")).agg(min(col("_nl")).as("_nmin"))
+      val next = labels
+        .join(nbrMin.select(col("doc_a").as("node"), col("_nmin")),
+          Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("_nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.select(col("node"),
+          col("lbl").as("_old")), Seq("node"))
+        .filter(col("lbl") =!= col("_old")).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** MinHash modulus: 2^31-1 (Mersenne prime) keeps a*h+b < 2^62 — no

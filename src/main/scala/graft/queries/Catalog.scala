@@ -653,6 +653,37 @@ object Catalog {
         FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id) z
       WHERE jaccard >= 0.6"""))
 
+  /** Near-dup clusters: connected components over the q22 pair graph,
+    * cluster id = min doc id (the dedup keeper). Oracle replays the
+    * same closure with a recursive CTE. */
+  private val q51 = Q("q51_dedup_clusters",
+    (s, dir) => Dedup.dupClusters(t(s, dir, "documents"),
+      "text", "doc_id",
+      blockCols = Seq(col("lang"), expr("n_chars div 64")),
+      n = 3, threshold = 0.6),
+    Some("""WITH RECURSIVE t AS (
+        SELECT doc_id, lang || CAST(n_chars // 64 AS VARCHAR) AS blk,
+          list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, blk,
+          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3),
+      p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+      e AS (SELECT da AS a, db AS b FROM p
+            UNION ALL SELECT db, da FROM p),
+      r AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.b, r.lbl FROM r JOIN e ON r.node = e.a)
+      SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      FROM r GROUP BY node"""))
+
   /** MinHash(32)+LSH(8×4) near-dup pairs over word trigrams,
     * exact-Jaccard verified.
     * Not ANSI-expressible (engine-specific xxhash64) → rows-only check. */
@@ -804,5 +835,5 @@ object Catalog {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 }
