@@ -653,6 +653,27 @@ object Catalog {
         FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id) z
       WHERE jaccard >= 0.6"""))
 
+  /** Generator/UDTF family (§2.9): explode tokens → corpus vocabulary
+    * stats (term frequency + document frequency), top-100. */
+  private val q52 = Q("q52_vocab_stats",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("tf"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token").asc)
+        .limit(100)
+    },
+    Some("""SELECT token, count(*) AS tf,
+      count(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, unnest(list_filter(
+              string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token
+            FROM documents) z
+      GROUP BY token
+      ORDER BY tf DESC, token ASC LIMIT 100"""))
+
   /** Near-dup clusters: connected components over the q22 pair graph,
     * cluster id = min doc id (the dedup keeper). Oracle replays the
     * same closure with a recursive CTE. */
@@ -835,5 +856,5 @@ object Catalog {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
 }
