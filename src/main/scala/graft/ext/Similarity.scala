@@ -143,6 +143,19 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 100 TB
+    * storage path (4x smaller vectors; scan-side dequant is one
+    * multiply). scale = max|x|/127; q_i = floor(x_i/scale + 0.5)
+    * (explicit floor — engine-portable rounding, no round() dialect
+    * drift). Returns struct(scale, int8 array). */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0)
+    struct(
+      scale.as("scale"),
+      transform(vec, x =>
+        floor(x.cast("double") / scale + lit(0.5)).cast("int")).as("q"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine rank within the bucket. Trades recall for a
     * corpus-fraction scan; `nPlanes` tunes bucket granularity. */

@@ -653,6 +653,32 @@ object Catalog {
         FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id) z
       WHERE jaccard >= 0.6"""))
 
+  /** Int8 embedding quantization: per-vector scale, quantized lanes,
+    * max reconstruction error (explicit-floor rounding, pinned double
+    * arithmetic — oracle-portable). */
+  private val q53 = Q("q53_embed_quantize",
+    (s, dir) => t(s, dir, "embeddings")
+      .withColumn("_scale",
+        array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          / lit(127.0))
+      .withColumn("_q", transform(col("embedding"),
+        x => floor(x.cast("double") / col("_scale") + lit(0.5)).cast("int")))
+      .select(col("vec_id"), col("_scale").as("scale"),
+        element_at(col("_q"), 1).as("q0"),
+        element_at(col("_q"), 2).as("q1"),
+        array_max(zip_with(col("embedding"), col("_q"),
+          (x, qq) => abs(x.cast("double") - qq.cast("double") * col("_scale"))))
+          .as("max_err")),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      sc AS (SELECT vec_id, v,
+        list_max([abs(x) FOR x IN v]) / 127.0 AS scale FROM e)
+      SELECT vec_id, scale,
+        CAST(floor(v[1] / scale + 0.5) AS INT) AS q0,
+        CAST(floor(v[2] / scale + 0.5) AS INT) AS q1,
+        list_max([abs(v[i] - floor(v[i] / scale + 0.5) * scale)
+          FOR i IN range(1, len(v) + 1)]) AS max_err
+      FROM sc"""))
+
   /** Generator/UDTF family (§2.9): explode tokens → corpus vocabulary
     * stats (term frequency + document frequency), top-100. */
   private val q52 = Q("q52_vocab_stats",
@@ -856,5 +882,5 @@ object Catalog {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }
