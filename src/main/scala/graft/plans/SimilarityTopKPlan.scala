@@ -26,13 +26,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * oracle as the composed implementation.
   */
 case class SimilarityTopK(k: Int, queries: LogicalPlan,
-    candidates: LogicalPlan) extends BinaryNode {
+    candidates: LogicalPlan, output: Seq[Attribute]) extends BinaryNode {
   override def left: LogicalPlan = queries
   override def right: LogicalPlan = candidates
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("q_id", LongType, nullable = false)(),
-    AttributeReference("n_id", LongType, nullable = false)(),
-    AttributeReference("rank", IntegerType, nullable = false)())
   // the node GENERATES its output attributes (they are not derived from
   // child output) — without this the planner flags missing inputs
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -45,6 +41,18 @@ case class SimilarityTopK(k: Int, queries: LogicalPlan,
       queries.output ++ candidates.output)
   override protected def withNewChildrenInternal(l: LogicalPlan,
       r: LogicalPlan): LogicalPlan = copy(queries = l, candidates = r)
+}
+
+object SimilarityTopK {
+  /** Output attributes are minted ONCE here and carried as a field:
+    * a `val output` re-mints exprIds on every copy()/transform, which
+    * silently invalidates any parent operator's references. */
+  def apply(k: Int, queries: LogicalPlan,
+      candidates: LogicalPlan): SimilarityTopK =
+    SimilarityTopK(k, queries, candidates, Seq(
+      AttributeReference("q_id", LongType, nullable = false)(),
+      AttributeReference("n_id", LongType, nullable = false)(),
+      AttributeReference("rank", IntegerType, nullable = false)()))
 }
 
 object SimilarityTopKStrategy extends SparkStrategy {
@@ -135,5 +143,36 @@ case class SimilarityTopKExec(k: Int, output: Seq[Attribute],
         p(InternalRow(q, n, r)).copy(): InternalRow
       }
     }
+  }
+}
+
+/** Optimizer rule (injected via SparkSessionExtensions): predicates on
+  * `q_id` above a SimilarityTopK commute with the operator (each
+  * query's top-k is independent), so they push into the QUERIES child
+  * — from where Catalyst pushes them all the way into the scan. The
+  * difference at scale: filter-then-search touches only the asked-for
+  * queries instead of searching for all and discarding. */
+object PushFilterThroughSimilarityTopK
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, topk: SimilarityTopK) =>
+      val qId = topk.output.head // q_id
+      val (push, keep) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(AttributeSet(qId :: Nil)))
+      if (push.isEmpty) f
+      else {
+        val childId = topk.queries.output.head
+        val rewritten = push.map(_.transform {
+          case a: Attribute if a.semanticEquals(qId) => childId
+        })
+        val newTopk = topk.copy(queries =
+          Filter(rewritten.reduce(And), topk.queries))
+        keep.reduceOption(And).map(Filter(_, newTopk)).getOrElse(newTopk)
+      }
   }
 }

@@ -111,3 +111,25 @@ class CustomPlanSpec extends SparkSpec {
     assert(g == w && g.size == 20)
   }
 }
+
+/** The injected optimizer rule must push q_id predicates through the
+  * custom operator into the queries-side scan, leaving rank predicates
+  * above, without changing results. */
+class CustomRuleSpec extends SparkSpec {
+  test("q_id filter pushes through SimilarityTopK to the scan") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val filtered = graft.ext.Similarity.topKPlanned(emb, emb,
+      "vec_id", "embedding", 3)
+      .filter(col("q_id") < 3 && col("rank") === 1)
+    val physical = filtered.queryExecution.executedPlan.toString
+    // pushed: the queries-side parquet scan carries the vec_id predicate
+    assert(physical.contains("LessThan(vec_id,3)"), physical.take(800))
+    // results equal pre-filtering the query set
+    val want = graft.ext.Similarity.topKPlanned(
+      emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", 3)
+      .filter(col("rank") === 1)
+      .collect().map(_.toSeq).toSet
+    val got = filtered.collect().map(_.toSeq).toSet
+    assert(got == want && got.size == 3)
+  }
+}
