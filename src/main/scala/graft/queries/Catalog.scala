@@ -653,6 +653,62 @@ object Catalog {
         FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id) z
       WHERE jaccard >= 0.6"""))
 
+  /** Full multi-way INNER join + aggregation (TPC-H Q5 shape): revenue
+    * per nation — columns flow from all four tables; AQE broadcasts the
+    * dimension chain, the fact table shuffles once for the group-by. */
+  private val q54 = Q("q54_join_agg",
+    (s, dir) => {
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val discF = lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01"))
+          && col("o_orderdate") < to_timestamp(lit("1999-01-01")))
+        .groupBy(col("n_name"))
+        .agg(sum(price * discF).cast("decimal(24,4)").as("revenue"),
+          count(lit(1)).as("n_items"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    },
+    Some("""SELECT n_name,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,4)) AS revenue,
+      count(*) AS n_items, count(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY n_name"""))
+
+  /** LEFT OUTER join: orders with their (possibly zero) line counts —
+    * null-side handling + coalesce. */
+  private val q55 = Q("q55_outer_join",
+    (s, dir) => {
+      val liAgg = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("_n"),
+          sum(col("l_quantity").cast(dec2)).as("_q"))
+      t(s, dir, "orders")
+        .join(liAgg, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("_n"), lit(0L)).as("n_lines"),
+          coalesce(col("_q").cast(dec2), lit(0).cast(dec2)).as("sum_qty"))
+    },
+    Some("""SELECT o_orderkey,
+      CAST(coalesce(n, 0) AS BIGINT) AS n_lines,
+      CAST(coalesce(q, 0) AS DECIMAL(18,2)) AS sum_qty
+      FROM orders LEFT JOIN (
+        SELECT l_orderkey, count(*) AS n,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        FROM lineitem GROUP BY l_orderkey) z
+      ON o_orderkey = l_orderkey"""))
+
   /** Int8 embedding quantization: per-vector scale, quantized lanes,
     * max reconstruction error (explicit-floor rounding, pinned double
     * arithmetic — oracle-portable). */
@@ -882,5 +938,5 @@ object Catalog {
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
 }
