@@ -34,7 +34,12 @@ for name in sorted(oracle):
     files = glob.glob(f"{res_dir}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); fails.append(name); continue
-    got = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
+    # Read Spark output via pandas/pyarrow (NOT DuckDB): the driver's
+    # comparator materializes parquet decimals as decimal.Decimal
+    # ("1.50") while the DuckDB oracle side comes back float64 ("1.5"),
+    # so reading both sides through DuckDB would mask representation
+    # mismatches (this bit us in round 1 on all 12 decimal queries).
+    got = pd.read_parquet(res_dir)
     try:
         want = con.sql(oracle[name]).df()
     except Exception as e:

@@ -78,10 +78,13 @@ object Dedup {
     // shingle within each one's first |S| - ceil(t*|S|) + 1 elements of
     // the global (sorted) order — so candidates come from an equi-join
     // on prefix shingles, not the full blocked cross product. Exact:
-    // no false negatives; ceil's double rounding can only lengthen the
-    // prefix (longer = safe).
+    // no false negatives. ceil over doubles can round UP across an
+    // integer (t*|S| = 1.0000000000000002 for t=0.1, |S|=10), which
+    // would SHORTEN the prefix and drop exact-boundary pairs — the
+    // epsilon keeps ceil at the true integer bound (safe: it can only
+    // lengthen the prefix).
     val prefLen = size(col("_sh")) -
-      ceil(size(col("_sh")) * lit(threshold)).cast("int") + lit(1)
+      ceil(size(col("_sh")) * lit(threshold) - lit(1e-9)).cast("int") + lit(1)
     val pref = base.select(col("_id"), col("_block"),
       explode(slice(col("_sh"), lit(1), prefLen)).as("_tok"))
     val cand = pref.select(col("_id").as("doc_a"), col("_block"), col("_tok"))
@@ -207,22 +210,43 @@ object Dedup {
   def simHash64(text: Column): Column =
     graft.functions.VectorFunctions.simHash64(text)
 
-  /** Near-pairs with hamming(simhash) ≤ maxDist via pigeonhole banding:
-    * split 64 bits into `chunks` chunks; distance ≤ chunks-1 guarantees
-    * an equal chunk, so an equi-join on (chunkNo, chunkValue) finds all
-    * such pairs; exact bit_count(xor) verifies. */
+  /** Near-pairs with hamming(simhash) ≤ maxDist via block-combination
+    * banding (Manku/Jain/Sarma, WWW'07 §3): split 64 bits into `chunks`
+    * blocks; a pair within distance d has at least chunks−d untouched
+    * blocks, so it collides on at least one of the C(chunks, chunks−d)
+    * combinations of chunks−d blocks. Each combination's block values
+    * pack into ONE wide long key — wider keys ⇒ exponentially smaller
+    * join buckets than single-block banding (8-bit blocks give 256
+    * bucket values and a quadratic candidate blowup; two packed blocks
+    * give 65536). Exact bit_count(xor) ≤ maxDist verifies BEFORE the
+    * pair-dedup shuffle, so only true near-pairs are shuffled. */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3, chunks: Int = 4): DataFrame = {
+    // Pigeonhole: maxDist differing bits can touch at most maxDist
+    // chunks, so an untouched combination exists only if
+    // maxDist < chunks. Anything looser silently drops pairs whose
+    // diff bits spread across every chunk.
+    require(maxDist < chunks,
+      s"simHashPairs recall guarantee needs maxDist < chunks " +
+        s"(got maxDist=$maxDist, chunks=$chunks)")
+    require(64 % chunks == 0, s"chunks must divide 64 (got $chunks)")
     val width = 64 / chunks
+    def block(c: Int): Column =
+      shiftright(col("_fp"), c * width).bitwiseAND(lit((1L << width) - 1))
+    // All combinations of chunks−maxDist blocks, each packed into a
+    // single long (total width (chunks−maxDist)·width ≤ 64 bits). For
+    // maxDist = chunks−1 this degenerates to classic one-block-per-band.
+    val combos = (0 until chunks).combinations(chunks - maxDist).toSeq
+    val bands = combos.zipWithIndex.map { case (combo, i) =>
+      val packed = combo.map(block).reduce((acc, b) =>
+        shiftleft(acc, width).bitwiseOR(b))
+      struct(lit(i).as("no"), packed.as("v"))
+    }
     val base = docs.select(col(idCol).as("_id"),
         simHash64(col(textCol)).as("_fp"))
-      .withColumn("_chunk", explode(transform(
-        sequence(lit(0), lit(chunks - 1)),
-        c => struct(c.as("no"),
-          call_function("shiftright", col("_fp"), c * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("v")))))
+      .withColumn("_band", explode(array(bands: _*)))
       .select(col("_id"), col("_fp"),
-        col("_chunk.no").as("_cno"), col("_chunk.v").as("_cv"))
+        col("_band.no").as("_cno"), col("_band.v").as("_cv"))
     val a = base.select(col("_id").as("doc_a"), col("_fp").as("_fpa"),
       col("_cno"), col("_cv"))
     val b = base.select(col("_id").as("doc_b"), col("_fp").as("_fpb"),
@@ -231,7 +255,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("doc_a", "doc_b")
   }
 }

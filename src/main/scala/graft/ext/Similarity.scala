@@ -94,8 +94,13 @@ object Similarity {
     * Requires GraftExtensions on the session. */
   def topKPlanned(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol), col(vecCol))
-    val c = candidates.select(col(idCol), col(vecCol))
+    // The exec reads vectors with toFloatArray — an array<double> input
+    // would silently reinterpret 8-byte lanes as floats. Normalize any
+    // numeric-array input to the array<float> contract up front.
+    val asFloat = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType)
+    val q = queries.select(col(idCol), col(vecCol).cast(asFloat).as(vecCol))
+    val c = candidates.select(col(idCol), col(vecCol).cast(asFloat).as(vecCol))
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(
       queries.sparkSession,
       graft.plans.SimilarityTopK(k, q.queryExecution.logical,
@@ -150,10 +155,14 @@ object Similarity {
     * drift). Returns struct(scale, int8 array). */
   def quantizeInt8(vec: Column): Column = {
     val scale = array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0)
+    // All-zero vector ⇒ scale = 0 ⇒ x/scale is NaN; pin q = 0 there
+    // (exact reconstruction, max_err 0) instead of leaking NaN.
     struct(
       scale.as("scale"),
       transform(vec, x =>
-        floor(x.cast("double") / scale + lit(0.5)).cast("int")).as("q"))
+        when(scale === 0, lit(0))
+          .otherwise(floor(x.cast("double") / scale + lit(0.5)))
+          .cast("int")).as("q"))
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket,

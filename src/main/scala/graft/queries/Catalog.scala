@@ -45,7 +45,10 @@ object Catalog {
     * Decimal-FIRST arithmetic: base columns are cast to decimal before
     * multiplying, because casting a double *product* to decimal rounds
     * differently across engines (Spark rounds the shortest-repr string,
-    * DuckDB rints the scaled binary) — decimal×decimal is exact in both. */
+    * DuckDB rints the scaled binary) — decimal×decimal is exact in both.
+    * Final decimals are emitted as STRINGS (fixed-scale render is
+    * identical in both engines; the driver's reader is not guaranteed to
+    * canonicalize decimal vs float representations the same way). */
   private val q01 = Q("q01_pricing_summary",
     (s, dir) => {
       val price = col("l_extendedprice").cast("decimal(12,2)")
@@ -55,20 +58,20 @@ object Catalog {
         .filter(col("l_shipdate") < to_timestamp(lit("2000-01-01")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec2)).cast(dec2).as("sum_base_price"),
-          sum(price * discF).cast("decimal(24,4)").as("sum_disc_price"),
-          sum(price * discF * taxF).cast("decimal(24,6)").as("sum_charge"),
+          sum(col("l_quantity").cast(dec2)).cast(dec2).cast("string").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec2)).cast(dec2).cast("string").as("sum_base_price"),
+          sum(price * discF).cast("decimal(24,4)").cast("string").as("sum_disc_price"),
+          sum(price * discF * taxF).cast("decimal(24,6)").cast("string").as("sum_charge"),
           count(lit(1)).as("count_order"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,4)) AS sum_disc_price,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_base_price,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,4)) AS VARCHAR) AS sum_disc_price,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-        * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(24,6)) AS sum_charge,
+        * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(24,6)) AS VARCHAR) AS sum_charge,
       count(*) AS count_order
       FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
       GROUP BY l_returnflag, l_linestatus"""))
@@ -97,10 +100,11 @@ object Catalog {
       SemiJoins.semiJoinChain(t(s, dir, "lineitem"),
         Seq(("l_orderkey", parents, "o_orderkey")))
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast(dec2).as("quantity"), col("l_returnflag"))
+          col("l_quantity").cast(dec2).cast("string").as("quantity"),
+          col("l_returnflag"))
     },
     Some("""SELECT l_orderkey, l_linenumber,
-      CAST(l_quantity AS DECIMAL(18,2)) AS quantity, l_returnflag
+      CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS quantity, l_returnflag
       FROM lineitem WHERE l_orderkey IN (
         SELECT o_orderkey FROM orders
         WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')"""))
@@ -240,10 +244,10 @@ object Catalog {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rn"),
-          col("o_totalprice").cast(dec2).as("price"))
+          col("o_totalprice").cast(dec2).cast("string").as("price"))
     },
     Some("""SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn,
-      CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM (
+      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
           row_number() OVER (PARTITION BY o_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC) rn
@@ -254,8 +258,9 @@ object Catalog {
     (s, dir) => t(s, dir, "orders")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       .limit(100)
-      .select(col("o_orderkey"), col("o_totalprice").cast(dec2).as("price")),
-    Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(dec2).cast("string").as("price")),
+    Some("""SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
       FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"""))
 
   /** §2.5 distinct aggregation. */
@@ -264,10 +269,10 @@ object Catalog {
       .groupBy(col("o_orderstatus"))
       .agg(countDistinct(col("o_custkey")).as("n_cust"),
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(dec2)).cast(dec2).as("sum_price")),
+        sum(col("o_totalprice").cast(dec2)).cast(dec2).cast("string").as("sum_price")),
     Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
       count(*) AS n_orders,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price
       FROM orders GROUP BY o_orderstatus"""))
 
   /** F2-F7 datetime function battery (gluejob.py:78-87, 182-186, 301). */
@@ -318,10 +323,10 @@ object Catalog {
   private val q16 = Q("q16_rollup",
     (s, dir) => t(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
+      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).cast("string").as("sum_qty"),
         count(lit(1)).as("n")),
     Some("""SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
       count(*) AS n
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
 
@@ -380,10 +385,11 @@ object Catalog {
         count(lit(1)).as("n"),
         countDistinct(col("l_suppkey")).as("n_supp"))
       .withColumn("avg_qty",
-        col("sum_qty").cast("double") / col("n")),
+        col("sum_qty").cast("double") / col("n"))
+      .withColumn("sum_qty", col("sum_qty").cast("string")),
     Some("""SELECT l_returnflag, min(l_quantity) AS min_qty,
       max(l_quantity) AS max_qty,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
       count(*) AS n, count(DISTINCT l_suppkey) AS n_supp,
       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
         / count(*) AS avg_qty
@@ -394,9 +400,9 @@ object Catalog {
     (s, dir) => t(s, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(dec2)).cast(dec2).as("sum_price")),
+        sum(col("o_totalprice").cast(dec2)).cast(dec2).cast("string").as("sum_price")),
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""))
 
   /** IVF coarse-quantizer ANN (nCells=16, nProbe=2) — the inverted-list
@@ -526,10 +532,10 @@ object Catalog {
       .agg(sum(col("l_quantity").cast(dec2)).as("_psum"),
         count(lit(1)).as("_pn"))
       .groupBy(col("l_returnflag"))
-      .agg(sum(col("_psum")).cast(dec2).as("sum_qty"),
+      .agg(sum(col("_psum")).cast(dec2).cast("string").as("sum_qty"),
         sum(col("_pn")).cast("long").as("n")),
     Some("""SELECT l_returnflag,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
       count(*) AS n
       FROM lineitem GROUP BY l_returnflag"""))
 
@@ -670,13 +676,13 @@ object Catalog {
         .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01"))
           && col("o_orderdate") < to_timestamp(lit("1999-01-01")))
         .groupBy(col("n_name"))
-        .agg(sum(price * discF).cast("decimal(24,4)").as("revenue"),
+        .agg(sum(price * discF).cast("decimal(24,4)").cast("string").as("revenue"),
           count(lit(1)).as("n_items"),
           countDistinct(col("o_orderkey")).as("n_orders"))
     },
     Some("""SELECT n_name,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,4)) AS revenue,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(24,4)) AS VARCHAR) AS revenue,
       count(*) AS n_items, count(DISTINCT o_orderkey) AS n_orders
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -698,11 +704,12 @@ object Catalog {
         .join(liAgg, col("o_orderkey") === col("l_orderkey"), "left")
         .select(col("o_orderkey"),
           coalesce(col("_n"), lit(0L)).as("n_lines"),
-          coalesce(col("_q").cast(dec2), lit(0).cast(dec2)).as("sum_qty"))
+          coalesce(col("_q").cast(dec2), lit(0).cast(dec2))
+            .cast("string").as("sum_qty"))
     },
     Some("""SELECT o_orderkey,
       CAST(coalesce(n, 0) AS BIGINT) AS n_lines,
-      CAST(coalesce(q, 0) AS DECIMAL(18,2)) AS sum_qty
+      CAST(CAST(coalesce(q, 0) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty
       FROM orders LEFT JOIN (
         SELECT l_orderkey, count(*) AS n,
           sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
@@ -718,7 +725,9 @@ object Catalog {
         array_max(transform(col("embedding"), x => abs(x.cast("double"))))
           / lit(127.0))
       .withColumn("_q", transform(col("embedding"),
-        x => floor(x.cast("double") / col("_scale") + lit(0.5)).cast("int")))
+        x => when(col("_scale") === 0, lit(0))
+          .otherwise(floor(x.cast("double") / col("_scale") + lit(0.5)))
+          .cast("int")))
       .select(col("vec_id"), col("_scale").as("scale"),
         element_at(col("_q"), 1).as("q0"),
         element_at(col("_q"), 2).as("q1"),
@@ -729,10 +738,13 @@ object Catalog {
       sc AS (SELECT vec_id, v,
         list_max([abs(x) FOR x IN v]) / 127.0 AS scale FROM e)
       SELECT vec_id, scale,
-        CAST(floor(v[1] / scale + 0.5) AS INT) AS q0,
-        CAST(floor(v[2] / scale + 0.5) AS INT) AS q1,
-        list_max([abs(v[i] - floor(v[i] / scale + 0.5) * scale)
-          FOR i IN range(1, len(v) + 1)]) AS max_err
+        CASE WHEN scale = 0 THEN 0
+          ELSE CAST(floor(v[1] / scale + 0.5) AS INT) END AS q0,
+        CASE WHEN scale = 0 THEN 0
+          ELSE CAST(floor(v[2] / scale + 0.5) AS INT) END AS q1,
+        CASE WHEN scale = 0 THEN 0.0
+          ELSE list_max([abs(v[i] - floor(v[i] / scale + 0.5) * scale)
+            FOR i IN range(1, len(v) + 1)]) END AS max_err
       FROM sc"""))
 
   /** Generator/UDTF family (§2.9): explode tokens → corpus vocabulary
@@ -800,7 +812,7 @@ object Catalog {
     * Engine-specific hash → rows-only check. */
   private val q24 = Q("q24_simhash",
     (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"),
-      "text", "doc_id", maxDist = 6, chunks = 4),
+      "text", "doc_id", maxDist = 6, chunks = 8),
     None)
 
   private def cosineOracleCte: String =
@@ -932,7 +944,7 @@ object Catalog {
     Some("""SELECT strftime(make_timestamp((epoch_ns(ts) // 1000 // 21600000000) * 21600000000),
         '%Y-%m-%d %H:%M:%S') AS window_start,
       event_type, count(*) AS n,
-      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_value
       FROM events GROUP BY 1, 2"""))
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,

@@ -45,7 +45,8 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .cast("string").as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
