@@ -947,8 +947,74 @@ object Catalog {
       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_value
       FROM events GROUP BY 1, 2"""))
 
+  // ------------------------------------------------------- round-2 widening
+
+  /** §2.6 set-operation battery beyond the reference's UNION ALL:
+    * INTERSECT and EXCEPT (both distinct semantics), tagged and stacked
+    * into one result. */
+  private val q57 = Q("q57_setops",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val building = cust.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val active97 = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01"))
+          && col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      building.intersect(active97).withColumn("op", lit("both"))
+        .unionByName(
+          building.except(active97).withColumn("op", lit("only_seg")))
+    },
+    Some("""WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      a AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01')
+      SELECT c_custkey, 'both' AS op FROM (SELECT * FROM b INTERSECT SELECT * FROM a) z
+      UNION ALL
+      SELECT c_custkey, 'only_seg' AS op FROM (SELECT * FROM b EXCEPT SELECT * FROM a) z"""))
+
+  /** §2.5 pivot: per-user event-type count matrix (explicit value list
+    * so the plan is a single pass, no distinct-values pre-query). */
+  private val q58 = Q("q58_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: types.map(tp =>
+          coalesce(col(tp), lit(0L)).as(tp)): _*)
+    },
+    Some("""SELECT user_id,
+      count(*) FILTER (event_type = 'click') AS click,
+      count(*) FILTER (event_type = 'error') AS error,
+      count(*) FILTER (event_type = 'purchase') AS purchase,
+      count(*) FILTER (event_type = 'signup') AS signup,
+      count(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY user_id"""))
+
+  /** §2.5 unpivot (melt): wide numeric lineitem columns → long
+    * (key, metric, value) rows; raw doubles pass through untouched so
+    * both engines emit identical bits. */
+  private val q61 = Q("q61_unpivot",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 200)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "v"),
+    Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS v
+      FROM lineitem WHERE l_orderkey <= 200
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem WHERE l_orderkey <= 200
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      FROM lineitem WHERE l_orderkey <= 200"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
+    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
+    q57, q58, q61)
 }
