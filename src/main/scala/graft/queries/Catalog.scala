@@ -1012,9 +1012,34 @@ object Catalog {
       SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
       FROM lineitem WHERE l_orderkey <= 200"""))
 
+  /** §2.4 extension — interval/range join with NO equi key (purchase →
+    * errors within the next 2 minutes, across all users). Binned equi
+    * join via [[graft.ops.RangeJoin]] instead of the
+    * BroadcastNestedLoopJoin Spark would otherwise plan; the DuckDB
+    * oracle states the same semantics as a theta join. ns→µs via
+    * integral div on both sides. */
+  private val q62 = Q("q62_range_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_u", expr("ts div 1000"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_u").as("p_ts"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("ts_u").as("e_ts"))
+      graft.ops.RangeJoin.intervalJoin(p, "p_ts", e, "e_ts", 120000000L)
+        .select(col("p_id"), col("e_id"),
+          (col("e_ts") - col("p_ts")).as("delta_us"))
+    },
+    Some("""SELECT p.event_id AS p_id, e.event_id AS e_id,
+      epoch_ns(e.ts) // 1000 - epoch_ns(p.ts) // 1000 AS delta_us
+      FROM events p JOIN events e
+        ON epoch_ns(e.ts) // 1000 >= epoch_ns(p.ts) // 1000
+       AND epoch_ns(e.ts) // 1000 < epoch_ns(p.ts) // 1000 + 120000000
+      WHERE p.event_type = 'purchase' AND e.event_type = 'error'"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q57, q58, q61)
+    q57, q58, q61, q62)
 }
