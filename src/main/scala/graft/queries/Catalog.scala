@@ -1037,9 +1037,24 @@ object Catalog {
        AND epoch_ns(e.ts) // 1000 < epoch_ns(p.ts) // 1000 + 120000000
       WHERE p.event_type = 'purchase' AND e.event_type = 'error'"""))
 
+  /** §2.8 extension — stream-stream inner join (equi key + event-time
+    * range + two-sided watermark state eviction); append-mode result
+    * equals the batch theta join the oracle states. */
+  private val q63 = Q("q63_stream_stream_join",
+    (s, dir) => graft.streaming.StreamJoin.runToCompletion(
+      s, s"$dir/events.parquet", queryName = "q63_purchase_error"),
+    Some("""SELECT p.event_id AS p_id, e.event_id AS e_id,
+      p.user_id AS user_id,
+      epoch_ns(e.ts) // 1000 - epoch_ns(p.ts) // 1000 AS delta_us
+      FROM events p JOIN events e
+        ON p.user_id = e.user_id
+       AND epoch_ns(e.ts) // 1000 >= epoch_ns(p.ts) // 1000
+       AND epoch_ns(e.ts) // 1000 < epoch_ns(p.ts) // 1000 + 1800000000
+      WHERE p.event_type = 'purchase' AND e.event_type = 'error'"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q57, q58, q61, q62)
+    q57, q58, q61, q62, q63)
 }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-stream join: the canonical Spark pattern the reference's
+  * batch-incremental design cannot express (SURVEY §2.8 "none") — two
+  * live streams joined on an equi key PLUS an event-time range, with
+  * watermarks on both sides so the state store can evict rows that can
+  * no longer match.
+  *
+  * At 100 TB the knobs that matter: the equi key (user_id) hash-
+  * partitions both sides so each state-store instance only holds its
+  * key range; the time-range condition + watermark bound state size to
+  * (rate × interval) per key instead of the whole history. Without the
+  * range condition Spark must keep ALL past rows of both sides forever.
+  */
+object StreamJoin {
+
+  /** Purchases joined to same-user errors that occur within
+    * `[p.ts, p.ts + intervalMin)`. Both sides are independent streaming
+    * readers over the same events fixture (ns→µs integral conversion),
+    * 1-hour watermarks. Inner join → append semantics: results are
+    * emitted as soon as both rows arrive, final result equals the batch
+    * join, which is what the DuckDB oracle (q63) states. */
+  def purchaseErrorJoin(spark: SparkSession, path: String,
+      intervalMin: Int = 30): DataFrame = {
+    def side(eventType: String, pre: String): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      spark.readStream
+        .schema(EventsStream.eventsSchema)
+        .option("pathGlobFilter", p.getName)
+        .parquet(p.getParent.toString)
+        .filter(col("event_type") === eventType)
+        .select(
+          col("event_id").as(s"${pre}_id"),
+          col("user_id").as(s"${pre}_user"),
+          timestamp_micros(expr("ts div 1000")).as(s"${pre}_ts"))
+        .withWatermark(s"${pre}_ts", "1 hour")
+    }
+    side("purchase", "p").join(side("error", "e"),
+      col("p_user") === col("e_user")
+        && col("e_ts") >= col("p_ts")
+        && col("e_ts") < col("p_ts") + expr(s"INTERVAL $intervalMin MINUTES"))
+      .select(col("p_id"), col("e_id"), col("p_user").as("user_id"),
+        (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("delta_us"))
+  }
+
+  /** Drive the join over the bounded fixture to completion (append mode,
+    * memory sink, AvailableNow) and return the result table. */
+  def runToCompletion(spark: SparkSession, path: String,
+      intervalMin: Int = 30,
+      queryName: String = "purchase_error_join"): DataFrame =
+    EventsStream.withStatePartitions(spark) {
+      val q = purchaseErrorJoin(spark, path, intervalMin).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
+}
