@@ -1052,9 +1052,60 @@ object Catalog {
        AND epoch_ns(e.ts) // 1000 < epoch_ns(p.ts) // 1000 + 1800000000
       WHERE p.event_type = 'purchase' AND e.event_type = 'error'"""))
 
+  /** §2.5 grouping sets — the general form of rollup(q16)/cube(q34),
+    * with an explicit non-hierarchical set list. */
+  private val q64 = Q("q64_grouping_sets",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).cast("string")
+        .as("sum_qty"), count(lit(1)).as("n")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
+      count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())"""))
+
+  /** Skew-resilient salted join ([[graft.ops.SkewJoin]]): events (5-value
+    * hot key) joined back to a per-type aggregate — the "enrich rows with
+    * their group stats" shape whose hot partitions straggle unsalted. */
+  private val q65 = Q("q65_salted_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
+      val dim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+      graft.ops.SkewJoin.saltedJoin(ev, dim, "event_type", salt = 8)
+        .select(col("event_id"), col("event_type"), col("n_type"))
+    },
+    Some("""SELECT event_id, event_type, n_type
+      FROM events JOIN (SELECT event_type, count(*) AS n_type
+        FROM events GROUP BY event_type) USING (event_type)"""))
+
+  /** SCD-2 interval versioning ([[graft.ops.Scd2]]) of the ingest feed:
+    * one window shuffle, no self-join; tie-broken by orderkey so the
+    * version chain is deterministic. */
+  private val q66 = Q("q66_scd2",
+    (s, dir) => graft.ops.Scd2.versions(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate")),
+        "o_custkey", "o_orderdate", tieBreak = Seq("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss"),
+          lit("9999-12-31 00:00:00")).as("valid_to"),
+        col("is_current")),
+    Some("""SELECT o_custkey, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S'),
+        '9999-12-31 00:00:00') AS valid_to,
+      lead(o_orderdate) OVER w IS NULL AS is_current
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q57, q58, q61, q62, q63)
+    q57, q58, q61, q62, q63, q64, q65, q66)
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.{Scd2, SkewJoin}
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSpec {
+
+  test("salted join == plain join on skewed keys") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val big = (0 until 5000).map(i =>
+      (i.toLong, if (i % 10 == 0) s"k${i % 7}" else "hot")).toDF("id", "k")
+    val dim = Seq(("hot", 1L), ("k0", 2L), ("k3", 3L)).toDF("k", "v")
+    val got = SkewJoin.saltedJoin(big, dim, "k", salt = 8)
+      .select("id", "v").as[(Long, Long)].collect().toSet
+    val want = big.join(dim, "k")
+      .select("id", "v").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("big-side salt is deterministic (stable across re-evaluation)") {
+    import spark.implicits._
+    val big = (0 until 1000).map(i => (i.toLong, "hot")).toDF("id", "k")
+    val dim = Seq(("hot", 1L)).toDF("k", "v")
+    val j = SkewJoin.saltedJoin(big, dim, "k", salt = 4)
+    // rand()-based salt would make two actions disagree on row counts
+    assert(j.count() == j.count())
+    assert(j.count() == 1000)
+  }
+}
+
+class Scd2Spec extends SparkSpec {
+
+  test("version chain: contiguous intervals, one current row per key") {
+    import spark.implicits._
+    val feed = Seq(
+      (1L, "2024-01-01 00:00:00", "a"),
+      (1L, "2024-02-01 00:00:00", "b"),
+      (1L, "2024-03-01 00:00:00", "c"),
+      (2L, "2024-01-15 00:00:00", "x")
+    ).toDF("id", "ts_s", "payload")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val v = Scd2.versions(feed, "id", "ts").cache()
+    // exactly one current version per key
+    val cur = v.filter(col("is_current")).groupBy(col("id")).count()
+    assert(cur.collect().forall(_.getLong(1) == 1))
+    // valid_to of version n == valid_from of version n+1 (contiguous)
+    val rows = v.filter(col("id") === 1L).orderBy(col("valid_from"))
+      .select(col("payload"), col("valid_to").cast("string")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(rows(0).getString(1) == "2024-02-01 00:00:00")
+    assert(rows(1).getString(1) == "2024-03-01 00:00:00")
+    assert(rows(2).getString(1) == null)
+  }
+}
