@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for the 100 TB parquet lake.
+  *
+  * The reference writes one parquet object per (year, month)
+  * (`gluejob.py:173-205`) — fine at pandas scale, fatal at cluster
+  * scale: a single file per partition serializes both the write and
+  * every later scan. This module is the scale path:
+  *
+  *  - '''hive partitioning''' on low-cardinality derived keys → scans
+  *    with a partition predicate never open non-matching directories
+  *    (partition pruning happens in the file index, before any I/O);
+  *  - '''range clustering''' (repartitionByRange + sortWithinPartitions)
+  *    on the query-time filter column → parquet row-group min/max
+  *    statistics become tight and disjoint, so pushed-down predicates
+  *    skip row groups instead of scanning them;
+  *  - '''compaction''' of streaming/incremental small files into
+  *    ~target-sized files — 100k × 1 MB files is a driver-side
+  *    file-listing DoS and a task-scheduling DoS at once.
+  */
+object Layout {
+
+  /** Write hive-partitioned, range-clustered parquet: partition dirs on
+    * `partitionCols`, files within each partition range-distributed and
+    * sorted on `sortCols`. `filesPerPartition` bounds file count (AQE
+    * cannot merge the final sorted write). */
+  def writeClustered(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      filesPerPartition: Int = 4): Unit = {
+    val dist = (partitionCols ++ sortCols).map(col)
+    df.repartitionByRange(
+        math.max(filesPerPartition, 1) * math.max(partitionCols.size, 1),
+        dist: _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Compact a directory of small parquet files into ~`targetBytes`
+    * files at `outPath`. Coalesce (not repartition): merging files needs
+    * no shuffle, only fewer write tasks. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(n)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Count the data files under a path (test/ops observability). */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+}

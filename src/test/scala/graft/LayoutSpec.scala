@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  test("clustered write prunes partitions and pushes sort-column filter") {
+    val out = tmpDir("layout") + "/events_clustered"
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000")).drop("ts")
+    Layout.writeClustered(ev, out,
+      partitionCols = Seq("event_type"), sortCols = Seq("ts_us"))
+
+    val back = spark.read.parquet(out)
+      .filter(col("event_type") === "click" && col("ts_us") > 0L)
+    val plan = back.queryExecution.executedPlan.toString
+
+    // partition predicate must land in PartitionFilters (pruned before
+    // I/O), NOT PushedFilters; the sort-column predicate must be pushed
+    // into the parquet reader where row-group stats apply.
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"))
+    assert(plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("GreaterThan(ts_us"))
+
+    // pruning: only the click directory is read
+    val allParts = Layout.dataFileCount(spark, out)
+    val clickParts = Layout.dataFileCount(spark, s"$out/event_type=click")
+    assert(clickParts < allParts)
+    assert(back.count() ==
+      ev.filter(col("event_type") === "click" && col("ts_us") > 0L).count())
+  }
+
+  test("compact merges small files to ~target size") {
+    val smallDir = tmpDir("layout") + "/small"
+    val outDir = tmpDir("layout") + "/compacted"
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    ev.repartition(40).write.mode("overwrite").parquet(smallDir)
+    assert(Layout.dataFileCount(spark, smallDir) == 40)
+    Layout.compact(spark, smallDir, outDir, targetBytes = 1L << 20)
+    val n = Layout.dataFileCount(spark, outDir)
+    assert(n < 40)
+    assert(spark.read.parquet(outDir).count() == ev.count())
+  }
+}
