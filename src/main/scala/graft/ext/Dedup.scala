@@ -119,7 +119,13 @@ object Dedup {
     val edges = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
-    var labels = docs.select(col(idCol).as("node"), col(idCol).as("lbl"))
+    // Iterate ONLY over edge-connected nodes: near-dups are a sliver of
+    // the corpus, so the propagation working set is |edge nodes|, not
+    // |docs| — at 100 TB the difference between joining the whole corpus
+    // per round and joining a few thousand rows. Singletons rejoin at
+    // the end with themselves as cluster id.
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
     var converged = false
     var it = 0
@@ -128,20 +134,32 @@ object Dedup {
         .join(labels.select(col("node").as("doc_b"), col("lbl").as("_nl")),
           Seq("doc_b"))
         .groupBy(col("doc_a")).agg(min(col("_nl")).as("_nmin"))
+      // convergence flag rides ALONG in the same pass (one action per
+      // round: the eager checkpoint) instead of a separate join+count
       val next = labels
         .join(nbrMin.select(col("doc_a").as("node"), col("_nmin")),
           Seq("node"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("_nmin"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("_nmin"), col("lbl"))).as("lbl"),
+          (col("_nmin") < col("lbl")).as("_changed"))
         .localCheckpoint()
-      val changed = next.join(labels.select(col("node"),
-          col("lbl").as("_old")), Seq("node"))
-        .filter(col("lbl") =!= col("_old")).count()
-      labels = next
-      converged = changed == 0
+      val changed = next.filter(col("_changed")).head(1).nonEmpty
+      // drop the superseded iteration's checkpoint blocks — they pin
+      // executor storage memory for the rest of the job otherwise
+      // (Dataset.unpersist can't reach them; see bridge scaladoc)
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .unpersistLocalCheckpoint(labels)
+      labels = next.select(col("node"), col("lbl"))
+      converged = !changed
       it += 1
     }
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .unpersistLocalCheckpoint(edges)
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
   // ---- MinHash + LSH -----------------------------------------------------

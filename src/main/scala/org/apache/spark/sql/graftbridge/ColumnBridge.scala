@@ -21,4 +21,17 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Free the storage blocks behind a `localCheckpoint()`ed Dataset.
+    * `Dataset.unpersist` only talks to the CacheManager; checkpoint
+    * blocks are RDD-level persists reachable only through the plan's
+    * LogicalRDD leaf. Without this, iterative algorithms pin every
+    * superseded iteration in executor storage memory until GC happens
+    * to collect the Dataset (ContextCleaner is async + GC-driven). */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }
