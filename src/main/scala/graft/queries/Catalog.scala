@@ -1103,9 +1103,101 @@ object Catalog {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
 
+  /** Deterministic stratified sampling: per-stratum rates via an
+    * arithmetic hash on the key (Knuth multiplicative) — unlike
+    * rand()-based sample(), re-runs, retried tasks, and the oracle all
+    * agree on membership; at 100 TB the sample is also reproducible
+    * across re-ingests. */
+  private val q67 = Q("q67_stratified_sample",
+    (s, dir) => {
+      val rate = when(col("o_orderstatus") === "O", 10)
+        .when(col("o_orderstatus") === "F", 20).otherwise(50)
+      t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey") * lit(2654435761L), lit(100)) < rate)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE (o_orderkey * 2654435761) % 100 <
+        CASE o_orderstatus WHEN 'O' THEN 10 WHEN 'F' THEN 20 ELSE 50 END"""))
+
+  /** TF-IDF top-3 terms per document. IDF is emitted as the exact
+    * integer (n_docs * 1e6) div df — both engines share integral
+    * arithmetic, whereas ln() can differ in the last bit between libm
+    * implementations and would break the hash compare. One shuffle for
+    * tf, one for df, df side broadcast back. */
+  private val q68 = Q("q68_tfidf",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(broadcast(dfc), Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", expr("tf * ((n_docs * 1000000) div df)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("score"), col("rk"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+      SELECT doc_id, token, score, rk FROM (
+        SELECT doc_id, token, tf * ((n_docs * 1000000) // df) AS score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY tf * ((n_docs * 1000000) // df) DESC, token ASC) AS rk
+        FROM tf JOIN dfc USING (token) CROSS JOIN n) z
+      WHERE rk <= 3"""))
+
+  /** Array-function battery over the embedding column (no arithmetic —
+    * element selection/ordering only, so float32 bits pass through both
+    * engines untouched). */
+  private val q69 = Q("q69_array_funcs",
+    (s, dir) => t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        element_at(col("embedding"), 1).as("first_v"),
+        array_max(col("embedding")).as("max_v"),
+        array_min(col("embedding")).as("min_v"),
+        element_at(reverse(sort_array(col("embedding"))), 2).as("second_max"),
+        array_position(col("embedding"), element_at(col("embedding"), 1))
+          .cast("long").as("pos_first")),
+    Some("""SELECT vec_id,
+      CAST(len(embedding) AS INT) AS n_dims,
+      embedding[1] AS first_v,
+      list_max(embedding) AS max_v,
+      list_min(embedding) AS min_v,
+      list_reverse_sort(embedding)[2] AS second_max,
+      CAST(list_position(embedding, embedding[1]) AS BIGINT) AS pos_first
+      FROM embeddings"""))
+
+  /** Hopping (sliding) windows on the event stream: 6-hour windows
+    * every 3 hours — each event feeds 2 overlapping windows. */
+  private val q70 = Q("q70_stream_hopping",
+    (s, dir) => EventsStream.runToCompletion(s, s"$dir/events.parquet",
+      queryName = "q70_events_hopping",
+      windowLen = "6 hours", slide = Some("3 hours")),
+    Some("""SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, count(*) AS n,
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_value
+      FROM (SELECT event_type, value, unnest([
+          (epoch_ns(ts) // 1000 // 10800000000) * 10800000000,
+          (epoch_ns(ts) // 1000 // 10800000000) * 10800000000 - 10800000000
+        ]) AS ws FROM events) z
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q57, q58, q61, q62, q63, q64, q65, q66)
+    q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 }

@@ -33,17 +33,24 @@ object EventsStream {
     * Output columns are final (window start text, type, count, decimal
     * sum) so batch and stream results are directly comparable. */
   def windowedCounts(spark: SparkSession, path: String,
-      windowLen: String = "6 hours"): DataFrame = {
+      windowLen: String = "6 hours", slide: Option[String] = None)
+      : DataFrame = {
     // FileStreamSource only accepts directories; stream the parent dir
     // with a glob filter for the one fixture file.
     val p = new org.apache.hadoop.fs.Path(path)
+    // slide < windowLen ⇒ HOPPING windows: each event lands in
+    // windowLen/slide overlapping windows (state grows by that factor —
+    // at scale prefer tumbling + a rolling-sum post-pass when the ratio
+    // is large). None ⇒ tumbling.
+    val win = slide.map(sl => window(col("ts"), windowLen, sl))
+      .getOrElse(window(col("ts"), windowLen))
     spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", p.getName)
       .parquet(p.getParent.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(win, col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
           .cast("string").as("sum_value"))
@@ -57,9 +64,11 @@ object EventsStream {
     * oracle-checked q40. Complete mode keeps pre-watermark windows so
     * the result equals the batch aggregation. */
   def runToCompletion(spark: SparkSession, path: String,
-      queryName: String = "events_windowed"): DataFrame =
+      queryName: String = "events_windowed",
+      windowLen: String = "6 hours", slide: Option[String] = None)
+      : DataFrame =
     withStatePartitions(spark) {
-    val q = windowedCounts(spark, path).writeStream
+    val q = windowedCounts(spark, path, windowLen, slide).writeStream
       .outputMode("complete")
       .format("memory")
       .queryName(queryName)
