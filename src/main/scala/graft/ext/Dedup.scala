@@ -69,11 +69,16 @@ object Dedup {
     * shuffle-local task. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[Column], n: Int, threshold: Double): DataFrame = {
+    // materialize the shingled corpus ONCE: three consumers below
+    // (prefix explode + the two verify-stage rejoins) would otherwise
+    // re-tokenize the whole corpus each — at 100 TB the shingle pass IS
+    // the dominant cost, so it must run exactly once
     val base = docs
       .withColumn("_block", concat_ws("", blockCols: _*))
       .select(col(idCol).as("_id"), col("_block"),
         sort_array(wordShingles(col(textCol), n)).as("_sh"))
       .filter(size(col("_sh")) > 0)
+      .localCheckpoint()
     // PPJoin-style prefix filter: J(A,B) >= t implies A and B share a
     // shingle within each one's first |S| - ceil(t*|S|) + 1 elements of
     // the global (sorted) order — so candidates come from an equi-join
