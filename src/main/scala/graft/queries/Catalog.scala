@@ -1195,9 +1195,28 @@ object Catalog {
         ]) AS ws FROM events) z
       GROUP BY 1, 2"""))
 
+  /** §2.9 typed-Aggregator top-k (bounded k-row buffers through
+    * map-side partial agg — contrast q10's full window sort; same
+    * semantics, one bounded shuffle). Oracle = the window formulation. */
+  private val q71 = Q("q71_topk_agg",
+    (s, dir) => {
+      val topk = graft.functions.TopKByValue.topK(3)
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(topk(col("value"), col("event_id")).as("top"))
+        .select(col("user_id"), posexplode(col("top")))
+        .select(col("user_id"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.id").as("event_id"), col("col.value").as("value"))
+    },
+    Some("""SELECT user_id, rk, event_id, value FROM (
+      SELECT user_id, event_id, value,
+        CAST(row_number() OVER (PARTITION BY user_id
+          ORDER BY value DESC, event_id ASC) AS BIGINT) AS rk
+      FROM events) z WHERE rk <= 3"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+    q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
 }
