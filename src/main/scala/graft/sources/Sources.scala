@@ -105,3 +105,38 @@ object JdbcSource {
     ts.format(graft.state.WatermarkStore.Fmt)
   }
 }
+
+/** JSON-lines source — the third bronze-input format alongside CSV and
+  * JDBC. Change feeds and event exports commonly land as JSONL; at
+  * scale the non-negotiables are an EXPLICIT schema (schema inference
+  * reads the whole dataset twice before the job starts) and a policy
+  * for malformed lines that quarantines instead of killing the batch.
+  */
+object JsonSource {
+
+  /** Read JSONL with the declared schema. PERMISSIVE mode parses what
+    * it can; lines that don't parse land whole in `_quarantine` (null
+    * for good rows), so the caller can split good/bad and dead-letter
+    * the bad — the same at-least-once + idempotent-merge posture as the
+    * reference's ingest (bad rows re-arrive next run, dedup absorbs). */
+  def read(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+      path: String): DataFrame =
+    spark.read
+      .schema(schema.add("_quarantine", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantine")
+      .json(path)
+
+  /** Split a [[read]] result into (good rows without the quarantine
+    * column, quarantined raw lines). The batch is cached first: Spark
+    * refuses to answer queries that prune down to ONLY the corrupt-
+    * record column straight off the files
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
+    * halves re-reading+re-parsing the raw JSON would double the scan
+    * anyway — one parse, two consumers. */
+  def split(df: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = df.cache()
+    (parsed.filter(col("_quarantine").isNull).drop("_quarantine"),
+      parsed.filter(col("_quarantine").isNotNull).select(col("_quarantine")))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.sources.JsonSource
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class JsonSourceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("updated_at", StringType)))
+
+  test("jsonl roundtrip with explicit schema; corrupt lines quarantined") {
+    val dir = tmpDir("jsonl")
+    val f = java.nio.file.Paths.get(dir, "feed.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "name": "a", "updated_at": "2026-01-01 00:00:00"}
+        |{"id": 2, "name": "b", "updated_at": "2026-01-02 00:00:00"}
+        |{not json at all
+        |{"id": 3, "name": "c", "updated_at": "2026-01-03 00:00:00"}
+        |""".stripMargin)
+
+    val (good, bad) = JsonSource.split(JsonSource.read(spark, schema, dir))
+    assert(good.columns.toSeq == Seq("id", "name", "updated_at"))
+    assert(good.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    val quarantined = bad.collect().map(_.getString(0))
+    assert(quarantined.length == 1 && quarantined(0).startsWith("{not json"))
+  }
+
+  test("json sink roundtrip preserves values") {
+    val dir = tmpDir("jsonl") + "/out"
+    val df = spark.read.parquet(s"${sf()}/nation.parquet")
+    df.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(df.schema).json(dir)
+    assert(back.orderBy(col("n_nationkey")).collect().toSeq ==
+      df.orderBy(col("n_nationkey")).collect().toSeq)
+  }
+}
