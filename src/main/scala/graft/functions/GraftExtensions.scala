@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.SimilarityTopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.PushFilterThroughSimilarityTopK)
+    e.injectOptimizerRule(_ => graft.plans.RewriteRangeJoinAsBinned)
     e.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
