@@ -48,6 +48,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast semi:\n$plan")
   }
 
+  test("runtime bloom-filter injection prunes the fact side of a filtered dim join") {
+    // At 100 TB the dim filter's bloom sketch is broadcast and applied
+    // AT THE FACT SCAN, skipping rows before the shuffle. Size
+    // thresholds are tuned for clusters, so pin them down to let the
+    // optimizer fire at test scale.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "500MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // force a shuffle join: broadcast joins use their own runtime DPP
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = sf("sf0.01")
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val j = li.join(orders,
+        li("l_orderkey") === orders("o_orderkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter in:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q02 filter+project: predicate and projection reach the scan") {
     val plan = finalPlan(run("q02_filter_project"))
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
