@@ -71,4 +71,31 @@ object Multimodal {
         }
       }
   }
+
+  final case class Frame(media_id: Long, frame_idx: Int, n_bytes: Int,
+      n_resized: Int)
+
+  /** Frame-sample + resize over video payloads: split the opaque
+    * payload into fixed-size frames (STUB for a container demuxer),
+    * keep every `stride`-th frame, "resize" each (STUB: byte
+    * decimation by `resizeStep`). flatMap over an iterator — one frame
+    * in flight per row, so a 10 GB video never materializes all its
+    * frames in executor memory; the expansion happens AFTER
+    * partitioning, so frame fan-out multiplies rows, not shuffle input. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 256, stride: Int = 2, resizeStep: Int = 4)
+      : Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, p) =>
+          val nFrames = (p.length + frameBytes - 1) / frameBytes
+          (0 until nFrames by stride).iterator.map { fi =>
+            val len = math.min(frameBytes, p.length - fi * frameBytes)
+            Frame(id, fi, len, (len + resizeStep - 1) / resizeStep)
+          }
+        }
+      }
+  }
 }

@@ -1214,9 +1214,27 @@ object Catalog {
           ORDER BY value DESC, event_id ASC) AS BIGINT) AS rk
       FROM events) z WHERE rk <= 3"""))
 
+  /** Multimodal frame-sample + resize (stub demux/decimate; real
+    * iterator-batched executor plumbing): every 2nd 256-byte frame of
+    * each 'video' payload. The oracle replays the byte arithmetic. */
+  private val q72 = Q("q72_frame_sample",
+    (s, dir) => {
+      val media = Multimodal.toMediaFrame(t(s, dir, "documents"),
+        "text", "doc_id").filter(col("meta.kind") === "video")
+      Multimodal.sampleFrames(s, media).toDF()
+    },
+    Some("""WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
+        FROM documents WHERE doc_id % 4 = 2),
+      f AS (SELECT media_id, nb, unnest(range(0,
+          CAST(ceil(nb / 256.0) AS INT), 2)) AS frame_idx FROM m)
+      SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        CAST(least(256, nb - frame_idx * 256) AS INT) AS n_bytes,
+        CAST((least(256, nb - frame_idx * 256) + 3) // 4 AS INT) AS n_resized
+      FROM f"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+    q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }
