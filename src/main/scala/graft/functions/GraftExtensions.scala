@@ -67,5 +67,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => Shingles(args(0),
         intArg(args(1), "n"),
         if (args.length > 2) boolArg(args(2), "word") else true)))
+    e.injectFunction((FunctionIdentifier("zorder64"),
+      info("zorder64"),
+      (args: Seq[Expression]) => ZOrder64(args(0), args(1))))
   }
 }

@@ -40,6 +40,22 @@ object Layout {
       .parquet(path)
   }
 
+  /** Write Z-ORDER clustered parquet: rows sorted by the Morton
+    * interleave of two pre-normalized long columns, so row-group
+    * min/max stats stay tight on BOTH columns and predicates on either
+    * skip row groups — a plain sort only skips on its leading column.
+    * (`graft.functions.ZOrder64`; inputs should be ranks/buckets of
+    * comparable magnitude.) */
+  def writeZOrdered(df: DataFrame, path: String,
+      colA: String, colB: String, numFiles: Int = 8): Unit = {
+    val z = graft.functions.ZOrder64(col(colA), col(colB))
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Compact a directory of small parquet files into ~`targetBytes`
     * files at `outPath`. Coalesce (not repartition): merging files needs
     * no shuffle, only fewer write tasks. */
