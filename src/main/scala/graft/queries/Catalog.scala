@@ -1232,9 +1232,35 @@ object Catalog {
         CAST((least(256, nb - frame_idx * 256) + 3) // 4 AS INT) AS n_resized
       FROM f"""))
 
+  /** Repetition signals (Gopher-rule family): duplicate-token ratio per
+    * doc — the cheap high-precision filter for boilerplate/spam in
+    * training corpora. Ratio = two IEEE ops (divide, subtract) on
+    * int-derived doubles: bit-identical across engines. */
+  private val q73 = Q("q73_repetition",
+    (s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") /
+            col("n_tokens").cast("double")).as("dup_ratio"))
+    },
+    Some("""SELECT doc_id, n_tokens, n_distinct,
+      1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_ratio
+      FROM (SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS INT) AS n_tokens,
+        CAST(len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0))) AS INT) AS n_distinct
+        FROM documents) z
+      WHERE n_tokens > 0"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
-    q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
+    q73)
 }
