@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.ops.{Normalize, PartitionKeys, SemiJoins}
+import graft.ops.{Cdc, Normalize, PartitionKeys, SemiJoins}
 import graft.schema.TableSpec
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1257,10 +1257,98 @@ object Catalog {
         FROM documents) z
       WHERE n_tokens > 0"""))
 
+  /** CDC apply: collapse an I/U/D change feed to the final snapshot
+    * (general form of the reference's delete-less upsert,
+    * gluejob.py:197-198). The feed is derived deterministically from
+    * lineitem: l_linenumber orders versions of an order; linenumber 7
+    * marks a delete, 1 an insert, else update. One key-shuffle window.
+    * This testdata repeats (orderkey, linenumber), so quantity joins the
+    * sequence as a tiebreak — the winning row is then fully determined
+    * on every emitted column (the totally-ordered-seq contract of
+    * [[Cdc.applyLatest]]). */
+  private val q74 = Q("q74_cdc_apply",
+    (s, dir) => {
+      val feed = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_linenumber") === 7, "D")
+          .when(col("l_linenumber") === 1, "I").otherwise("U").as("op"),
+        col("l_quantity").cast(dec2).cast("string").as("quantity"))
+      Cdc.applyLatest(feed, "l_orderkey", Seq("l_linenumber", "quantity"), "op")
+    },
+    Some("""WITH feed AS (
+      SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_linenumber = 7 THEN 'D'
+             WHEN l_linenumber = 1 THEN 'I' ELSE 'U' END AS op,
+        CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS quantity
+      FROM lineitem)
+      SELECT l_orderkey, l_linenumber, op, quantity FROM (
+        SELECT *, row_number() OVER (PARTITION BY l_orderkey
+          ORDER BY l_linenumber DESC, quantity DESC) AS rn FROM feed) z
+      WHERE rn = 1 AND op <> 'D'"""))
+
+  /** ntile bucketing (quartiles of account balance per nation) —
+    * partitioned window, so it scales; ties broken by key for
+    * determinism. */
+  private val q75 = Q("q75_ntile",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast(dec2).cast("string").as("acctbal"),
+          ntile(4).over(w).as("quartile"))
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+      CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS acctbal,
+      CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        ORDER BY c_acctbal ASC, c_custkey ASC) AS INT) AS quartile
+      FROM customer"""))
+
+  /** Correlated EXISTS / NOT EXISTS through the SQL surface — Catalyst
+    * decorrelates both into semi/anti hash joins (verified in
+    * PlanShapeSpec). */
+  private val q76 = Q("q76_exists_subquery",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("q76_customer")
+      t(s, dir, "orders").createOrReplaceTempView("q76_orders")
+      s.sql("""SELECT c_custkey, c_name FROM q76_customer c
+        WHERE EXISTS (SELECT 1 FROM q76_orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM q76_orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                  AND o.o_totalprice < 5000)""")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+                AND o.o_totalprice < 5000)"""))
+
+  /** Running-sum window frame (ROWS UNBOUNDED PRECEDING → CURRENT ROW)
+    * over decimal — exact arithmetic, so prefix order never changes the
+    * value. */
+  private val q77 = Q("q77_running_sum",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec2)).over(w)
+            .cast(dec2).cast("string").as("running_total"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS DECIMAL(18,2)) AS VARCHAR) AS running_total
+      FROM orders"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73)
+    q73, q74, q75, q76, q77)
 }
