@@ -81,11 +81,25 @@ object EventsStream {
   /** Streaming state lives per shuffle partition; micro-batches over
     * bounded fixtures pay a state-store commit per partition per batch,
     * so size the state partitioning to the data, not the CPU count.
-    * Restores the session setting afterwards. */
+    *
+    * Also skips the trailing no-data micro-batch: every bounded run in
+    * this engine emits its results in the data batch itself (complete
+    * mode re-emits full state; the stream-stream inner join and
+    * NoTimeout sessions emit eagerly), so the extra batch only pays
+    * another round of state commits. A pipeline that relies on
+    * watermark-driven FINAL emission (append-mode windowed agg,
+    * dropDuplicatesWithinWatermark, event-time timeouts) must keep
+    * no-data batches on — don't route it through this wrapper.
+    * Restores the session settings afterwards. */
   def withStatePartitions[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
