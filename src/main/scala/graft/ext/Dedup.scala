@@ -281,4 +281,35 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .dropDuplicates("doc_a", "doc_b")
   }
+
+  // ---- blocklist ---------------------------------------------------------
+
+  /** Remove corpus rows whose long key appears in a blocklist, with a
+    * Bloom prefilter: the blocklist is sketched into a Bloom filter
+    * (distributed treeAggregate via `stat.bloomFilter`, driver gets
+    * only the bitset) and broadcast; rows the filter rejects are
+    * definitely clean (no false negatives) and stream straight
+    * through, while the (fpp-small) candidate fraction is verified by
+    * an exact anti-join. At 100 TB this turns a full corpus×blocklist
+    * shuffle into a map-side membership test plus an anti-join whose
+    * left side is |corpus|·fpp + true hits. The membership test is a
+    * broadcast closure over the sketch (not codegen); it prunes
+    * 99%+ of rows before the only shuffle.
+    *
+    * Exact semantics (the Bloom stage only prunes, never decides), so
+    * the result equals `corpus WHERE NOT EXISTS (blocklist)` and is
+    * DuckDB-checkable. */
+  def blocklistFilter(corpus: DataFrame, keyCol: String,
+      bad: DataFrame, badKeyCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val nBad = math.max(bad.count(), 1L)
+    val bf = bad.stat.bloomFilter(badKeyCol, nBad, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val might = udf((k: Long) => bc.value.mightContainLong(k))
+    val clean = corpus.filter(!might(col(keyCol)))
+    val candidates = corpus.filter(might(col(keyCol)))
+      .join(bad.select(col(badKeyCol).as(keyCol)), Seq(keyCol), "left_anti")
+    clean.unionByName(candidates)
+  }
 }

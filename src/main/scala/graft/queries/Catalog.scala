@@ -1345,10 +1345,213 @@ object Catalog {
         AS DECIMAL(18,2)) AS VARCHAR) AS running_total
       FROM orders"""))
 
+  /** Exact-substring dedup at token-8-gram granularity (the n-gram
+    * formulation of Lee et al. 2022's "Deduplicating Training Data
+    * Makes Language Models Better"): every distinct 8-gram is owned by
+    * the lowest doc_id containing it; a later doc's gram is a
+    * duplicate. Per doc: distinct grams, duplicated grams, integer
+    * dup percentage. One shuffle keys the gram (window min = the
+    * ownership pass), one keys the doc (the per-doc rollup). At
+    * 100 TB the gram string never ships: substitute
+    * xxhash64(gram) as the shuffle key (128-bit if collision-rate
+    * math demands) — same plan shape, ~20 bytes/row instead of the
+    * 8-token text. Kept as strings here so DuckDB states identical
+    * semantics. */
+  private val q78 = Q("q78_ngram_dedup",
+    (s, dir) => {
+      val w = Window.partitionBy(col("gram"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Dedup.wordShingles(col("text"), 8)).as("gram"))
+        .withColumn("owner", min(col("doc_id")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("owner") < col("doc_id"), 1)).as("n_dup_grams"))
+        .withColumn("dup_pct", expr("n_dup_grams * 100 div n_grams"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(
+          [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 6)])) AS gram
+        FROM t WHERE len(toks) >= 8),
+      o AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS owner FROM g)
+      SELECT doc_id, count(*) AS n_grams,
+        count(*) FILTER (WHERE owner < doc_id) AS n_dup_grams,
+        (count(*) FILTER (WHERE owner < doc_id)) * 100 // count(*) AS dup_pct
+      FROM o GROUP BY doc_id"""))
+
+  /** Benchmark-contamination scan: distinct 4-gram overlap between a
+    * held-out eval slice (doc_id % 10 = 0) and the training corpus;
+    * pairs sharing ≥ 3 grams are flagged. The eval side is BROADCAST —
+    * at 100 TB the corpus is the big side but eval suites stay MBs, so
+    * the scan is one shuffle-free map pass over the corpus grams
+    * followed by a small pair-count aggregation. */
+  private val q79 = Q("q79_contamination",
+    (s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Dedup.wordShingles(col("text"), 4)).as("gram"))
+      val ev = g.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_doc"), col("gram"))
+      g.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("corpus_doc"), col("gram"))
+        .join(broadcast(ev), "gram")
+        .groupBy(col("eval_doc"), col("corpus_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(
+          [array_to_string(toks[i:i+3], ' ') FOR i IN range(1, len(toks) - 2)])) AS gram
+        FROM t WHERE len(toks) >= 4)
+      SELECT eval_doc, corpus_doc, n_shared FROM (
+        SELECT a.doc_id AS eval_doc, b.doc_id AS corpus_doc,
+          count(*) AS n_shared
+        FROM g a JOIN g b ON a.gram = b.gram
+        WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        GROUP BY 1, 2) z WHERE n_shared >= 3"""))
+
+  /** Time-spine gap fill: per-user hourly event counts densified over
+    * each user's [first, last] hour with zeros, plus a running
+    * cumulative. The spine is INTEGER hours (ns div 3600e9) generated
+    * with sequence/explode — integer arithmetic end to end, so the
+    * spine, the join keys and the cumulative sum are all exact. Spine
+    * rows scale as users × active-hours, not events — at 100 TB the
+    * per-hour pre-aggregation (map-side partial) collapses the event
+    * volume before the spine join ever sees it. */
+  private val q80 = Q("q80_gap_fill",
+    (s, dir) => {
+      val perHr = t(s, dir, "events").filter(col("user_id") < 40)
+        .groupBy(col("user_id"), expr("ts div 3600000000000").as("hr"))
+        .agg(count(lit(1)).as("n_events"))
+      val spine = perHr.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(perHr, Seq("user_id", "hr"), "left")
+        .na.fill(0L, Seq("n_events"))
+        .select(col("user_id"), col("hr"),
+          date_format(timestamp_micros(col("hr") * lit(3600000000L)),
+            "yyyy-MM-dd HH:00").as("hour_ts"),
+          col("n_events"),
+          sum(col("n_events")).over(w).as("cum_events"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr
+        FROM events WHERE user_id < 40),
+      ph AS (SELECT user_id, hr, count(*) AS n_events FROM e GROUP BY 1, 2),
+      spine AS (SELECT user_id, unnest(range(min(hr), max(hr) + 1)) AS hr
+        FROM ph GROUP BY user_id)
+      SELECT s.user_id, s.hr,
+        strftime(make_timestamp(s.hr * 3600000000), '%Y-%m-%d %H:00') AS hour_ts,
+        COALESCE(ph.n_events, 0) AS n_events,
+        CAST(sum(COALESCE(ph.n_events, 0)) OVER (PARTITION BY s.user_id
+          ORDER BY s.hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cum_events
+      FROM spine s LEFT JOIN ph ON s.user_id = ph.user_id AND s.hr = ph.hr"""))
+
+  /** Deterministic per-group reservoir sample: k=5 docs per source,
+    * ranked by a fixed multiplicative hash (Knuth 2654435761) with
+    * doc_id tiebreak — reproducible across runs, partitionings and
+    * engines, unlike rand()-based sampling. One shuffle (the
+    * per-source window); at scale the rank-k selection is a bounded
+    * per-group top-k, not a global sort. */
+  private val q81 = Q("q81_reservoir_sample",
+    (s, dir) => {
+      val h = pmod(col("doc_id") * lit(2654435761L) + lit(97531L),
+        lit(1000000007L))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(h.asc, col("doc_id").asc)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+    },
+    Some("""SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source
+        ORDER BY (doc_id * 2654435761 + 97531) % 1000000007 ASC,
+          doc_id ASC) AS INT) AS rk
+      FROM documents) z WHERE rk <= 5"""))
+
+  /** PII-style scrubbing battery over the events payload: digit runs
+    * masked to <NUM>, match counts for digit runs and an email
+    * pattern (codegen'd regexp_replace/regexp_extract_all — no UDF).
+    * Pure map pass: no shuffle, scales linearly and pushes the two
+    * needed columns into the scan. */
+  private val q82 = Q("q82_pii_scrub",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"),
+        size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+          .as("n_nums"),
+        size(regexp_extract_all(col("props"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+          .as("n_emails")),
+    Some("""SELECT event_id,
+      regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+      CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_nums,
+      CAST(len(regexp_extract_all(props,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails
+      FROM events"""))
+
+  /** Blocklist removal with a Bloom prefilter (ext.Dedup
+    * .blocklistFilter): the blocklist is the fingerprint set of every
+    * 25th doc; any doc whose rolling-hash fingerprint matches — i.e.
+    * the listed docs AND their byte-identical copies — is dropped.
+    * Bloom prunes map-side; an exact anti-join over the surviving
+    * sliver decides, so the result is exactly NOT EXISTS(blocklist)
+    * and the oracle can state it. */
+  private val q83 = Q("q83_bloom_blocklist",
+    (s, dir) => {
+      val f = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      val bad = f.filter(col("doc_id") % 25 === 0).select(col("fp"))
+      Dedup.blocklistFilter(f, "fp", bad, "fp")
+    },
+    Some("""WITH f AS (SELECT doc_id,
+        CASE WHEN len(text) = 0 THEN 0 ELSE
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(ord(text[i]) AS BIGINT) FOR i IN range(1, len(text) + 1)]),
+            (a, c) -> (a * 31 + c) % 1000000007)
+        END AS fp
+        FROM documents),
+      bad AS (SELECT fp FROM f WHERE doc_id % 25 = 0)
+      SELECT doc_id, fp FROM f
+      WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.fp = f.fp)"""))
+
+  /** §2.8 extension — stream-stream LEFT OUTER join. Matched rows
+    * equal q63; unmatched purchases surface with null error columns
+    * once the global watermark passes their join window. The final
+    * watermark over a bounded run is min(max purchase ts, max error
+    * ts) − 1 h, so exactly the purchases with
+    * p_ts + 30 min < that watermark emit their null row — the oracle
+    * states that cutoff; later purchases are (correctly) still held
+    * in state when the input drains. */
+  private val q84 = Q("q84_stream_outer_join",
+    (s, dir) => graft.streaming.StreamJoin.runLeftOuterToCompletion(
+      s, s"$dir/events.parquet", queryName = "q84_purchase_error_left"),
+    Some("""WITH p AS (SELECT event_id AS p_id, user_id,
+        epoch_ns(ts) // 1000 AS pts FROM events
+        WHERE event_type = 'purchase'),
+      e AS (SELECT event_id AS e_id, user_id AS e_user,
+        epoch_ns(ts) // 1000 AS ets FROM events
+        WHERE event_type = 'error'),
+      w AS (SELECT least((SELECT max(pts) FROM p),
+        (SELECT max(ets) FROM e)) - 3600000000 AS wm)
+      SELECT p.p_id, e.e_id, p.user_id, e.ets - p.pts AS delta_us
+      FROM p LEFT JOIN e
+        ON p.user_id = e.e_user
+       AND e.ets >= p.pts AND e.ets < p.pts + 1800000000
+      WHERE e.e_id IS NOT NULL
+         OR p.pts + 1800000000 < (SELECT wm FROM w)"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
 }

@@ -91,10 +91,11 @@ object EventsStream {
     * dropDuplicatesWithinWatermark, event-time timeouts) must keep
     * no-data batches on — don't route it through this wrapper.
     * Restores the session settings afterwards. */
-  def withStatePartitions[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
+  def withStatePartitions[T](spark: SparkSession, n: Int = 8,
+      skipNoData: Boolean = true)(f: => T): T = {
     val keys = Seq(
       "spark.sql.shuffle.partitions" -> n.toString,
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> (!skipNoData).toString)
     val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try f finally prev.foreach {

@@ -25,7 +25,7 @@ object StreamJoin {
     * emitted as soon as both rows arrive, final result equals the batch
     * join, which is what the DuckDB oracle (q63) states. */
   def purchaseErrorJoin(spark: SparkSession, path: String,
-      intervalMin: Int = 30): DataFrame = {
+      intervalMin: Int = 30, joinType: String = "inner"): DataFrame = {
     def side(eventType: String, pre: String): DataFrame = {
       val p = new org.apache.hadoop.fs.Path(path)
       spark.readStream
@@ -42,10 +42,40 @@ object StreamJoin {
     side("purchase", "p").join(side("error", "e"),
       col("p_user") === col("e_user")
         && col("e_ts") >= col("p_ts")
-        && col("e_ts") < col("p_ts") + expr(s"INTERVAL $intervalMin MINUTES"))
+        && col("e_ts") < col("p_ts") + expr(s"INTERVAL $intervalMin MINUTES"),
+      joinType)
       .select(col("p_id"), col("e_id"), col("p_user").as("user_id"),
         (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("delta_us"))
   }
+
+  /** LEFT OUTER stream-stream join: matched rows emit eagerly like the
+    * inner join; an UNMATCHED purchase emits its null-padded row only
+    * once the global watermark (min over both sides' per-batch
+    * max-event-time minus delay) passes the end of its join window
+    * [p_ts, p_ts + interval) — only then can the state store prove no
+    * error will ever arrive for it. Purchases whose window end is
+    * still >= the final watermark when the bounded input drains stay
+    * in state, unemitted: that cutoff IS the streaming semantics, and
+    * the oracle states it (`p_ts + interval < final watermark`).
+    *
+    * Needs no-data micro-batches ON: the null emissions happen in the
+    * watermark-advancing batch AFTER the last data batch, so this
+    * deliberately bypasses the skipNoData fast path used by the
+    * eager-emitting streams. */
+  def runLeftOuterToCompletion(spark: SparkSession, path: String,
+      intervalMin: Int = 30,
+      queryName: String = "purchase_error_left_join"): DataFrame =
+    EventsStream.withStatePartitions(spark, skipNoData = false) {
+      val q = purchaseErrorJoin(spark, path, intervalMin, "left_outer")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
 
   /** Drive the join over the bounded fixture to completion (append mode,
     * memory sink, AvailableNow) and return the result table. */

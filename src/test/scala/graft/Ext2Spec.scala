@@ -143,3 +143,49 @@ class IncrementalIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/${spec.name}").count() == 3)
   }
 }
+
+class BlocklistSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom blocklist: exact anti-join semantics, no false negatives") {
+    val corpus = (0L until 2000L).map(i => (i, i % 500)).toDF("id", "fp")
+    val bad = Seq(7L, 13L, 499L).toDF("fp")
+    val got = graft.ext.Dedup.blocklistFilter(corpus, "fp", bad, "fp")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = corpus.join(bad, Seq("fp"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // every survivor's key is genuinely clean, every dropped key is listed
+    assert(!got.exists(id => Set(7L, 13L, 499L).contains(id % 500)))
+    assert(got.size == 2000 - 3 * 4)
+  }
+}
+
+class StreamOuterJoinSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("left-outer stream join: matches inner results + watermark-released nulls") {
+    val path = s"${sf()}/events.parquet"
+    val out = graft.streaming.StreamJoin.runLeftOuterToCompletion(
+      spark, path, queryName = "spec_pe_left_join").cache()
+    val matched = out.filter(col("e_id").isNotNull)
+    val inner = graft.streaming.StreamJoin.runToCompletion(
+      spark, path, queryName = "spec_pe_inner_again")
+    assert(matched.count() == inner.count())
+    // null rows exist, and none of them belongs to a purchase whose
+    // join window the final watermark had not yet passed
+    val ev = spark.read.parquet(path).withColumn("ts_us", expr("ts div 1000"))
+    val wm = ev.filter(col("event_type") === "purchase")
+      .agg(max("ts_us")).head().getLong(0)
+      .min(ev.filter(col("event_type") === "error")
+        .agg(max("ts_us")).head().getLong(0)) - 3600L * 1000000
+    val unmatched = out.filter(col("e_id").isNull)
+    assert(unmatched.count() > 0)
+    val pTs = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts_us")).as[(Long, Long)].collect().toMap
+    unmatched.select("p_id").as[Long].collect().foreach { pid =>
+      assert(pTs(pid) + 1800L * 1000000 < wm)
+    }
+  }
+}
