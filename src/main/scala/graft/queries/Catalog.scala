@@ -1548,10 +1548,22 @@ object Catalog {
       WHERE e.e_id IS NOT NULL
          OR p.pts + 1800000000 < (SELECT wm FROM w)"""))
 
+  /** §2.8 extension — transformWithState (Spark 4 arbitrary-state
+    * API, RocksDB-backed): per-user ValueState counter assigns
+    * monotone sequence numbers; deterministic, so the batch
+    * row_number() oracle states the exact result. */
+  private val q85 = Q("q85_transform_with_state",
+    (s, dir) => graft.streaming.TransformWithStateOps.runSeqNo(
+      s, s"$dir/events.parquet", queryName = "q85_events_seqno"),
+    Some("""SELECT user_id, event_id,
+      row_number() OVER (PARTITION BY user_id
+        ORDER BY epoch_ns(ts) ASC, event_id ASC) AS seq_no
+      FROM events"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
 }

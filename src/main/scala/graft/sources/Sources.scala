@@ -140,3 +140,22 @@ object JsonSource {
       parsed.filter(col("_quarantine").isNotNull).select(col("_quarantine")))
   }
 }
+
+/** ORC source/sink — the second columnar format next to parquet.
+  * Spark's native ORC reader has the same pushdown machinery as
+  * parquet (predicate pushdown into stripe/row-group indexes, column
+  * pruning, vectorized read), so interchange with ORC-based warehouses
+  * (Hive, Trino) costs no plan quality. Snappy to match the
+  * reference's parquet compression choice (gluejob.py:187). */
+object OrcSource {
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def write(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").option("compression", "snappy")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
+}

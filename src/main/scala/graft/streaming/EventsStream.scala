@@ -92,10 +92,14 @@ object EventsStream {
     * no-data batches on — don't route it through this wrapper.
     * Restores the session settings afterwards. */
   def withStatePartitions[T](spark: SparkSession, n: Int = 8,
-      skipNoData: Boolean = true)(f: => T): T = {
-    val keys = Seq(
+      skipNoData: Boolean = true)(f: => T): T =
+    withConf(spark, Seq(
       "spark.sql.shuffle.partitions" -> n.toString,
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> (!skipNoData).toString)
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> (!skipNoData).toString))(f)
+
+  /** Run `f` with session confs temporarily overridden, restoring
+    * (set-back or unset) afterwards. */
+  def withConf[T](spark: SparkSession, keys: Seq[(String, String)])(f: => T): T = {
     val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try f finally prev.foreach {

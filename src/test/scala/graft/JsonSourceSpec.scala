@@ -37,3 +37,23 @@ class JsonSourceSpec extends SparkSpec {
       df.orderBy(col("n_nationkey")).collect().toSeq)
   }
 }
+
+class OrcSourceSpec extends SparkSpec {
+
+  test("orc roundtrip: parity with the parquet fixture + pushdown") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet(s"${sf()}/orders.parquet")
+    val dir = tmpDir("orc_rt")
+    graft.sources.OrcSource.write(src, s"$dir/orders_orc")
+    val back = graft.sources.OrcSource.read(spark, s"$dir/orders_orc")
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // predicate + projection reach the ORC scan like they do on parquet
+    val plan = back.filter(col("o_orderkey") < 100)
+      .select("o_orderkey", "o_orderstatus")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]"),
+      s"missing ORC pushdown in:\n$plan")
+  }
+}

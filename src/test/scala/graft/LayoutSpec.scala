@@ -45,3 +45,24 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == ev.count())
   }
 }
+
+class DppSpec extends SparkSpec {
+
+  test("dynamic partition pruning fires on partitioned fact x filtered dim") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("dpp")
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    graft.ops.Layout.writeClustered(orders, s"$dir/orders_part",
+      partitionCols = Seq("o_year"), sortCols = Seq("o_orderkey"))
+    val fact = spark.read.parquet(s"$dir/orders_part")
+    // dim: one row per year, filtered to a single year at runtime
+    val dim = fact.select("o_year").distinct()
+      .withColumn("pick", col("o_year") % 7)
+    val joined = fact.join(dim.filter(col("pick") === 3), Seq("o_year"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no DPP subquery in plan:\n${plan.take(2000)}")
+    assert(joined.count() > 0)
+  }
+}
