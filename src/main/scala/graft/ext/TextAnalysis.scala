@@ -66,14 +66,22 @@ object TextAnalysis {
   }
 
   /** Rolling polynomial fingerprint over characters, mod 1e9+7:
-    * fp = fold(codes, 0, (acc, c) => (acc*31 + c) mod p). Character
-    * codes via explicit 1-based indexing (not split) so the fold order
-    * and element set are unambiguous and oracle-portable. */
+    * fp = fold(codes, 0, (acc, c) => (acc*31 + c) mod p).
+    *
+    * Characters come from split(text, '') — one O(len) pass. The
+    * earlier substr(i, 1)-per-index formulation was O(len²): UTF8
+    * substr re-seeks from the string head for every position, which
+    * at ~500-char docs made the fingerprint the whole cost of the
+    * blocklist pipeline. split yields a trailing "" under Java's
+    * limit=-1 semantics, filtered out so the fold sees exactly the
+    * character sequence (same value as the indexed form and the
+    * per-char oracle). */
   val FpMod = 1000000007L
 
   def fingerprint(text: Column): Column = {
-    val codes = transform(sequence(lit(1), length(text)),
-      i => ascii(text.substr(i, lit(1))).cast("long"))
+    val codes = transform(
+      filter(split(text, ""), c => length(c) > 0),
+      c => ascii(c).cast("long"))
     when(length(text) === 0 || text.isNull, lit(0L))
       .otherwise(aggregate(codes, lit(0L),
         (acc, c) => (acc * lit(31L) + c) % lit(FpMod)))

@@ -1506,8 +1506,14 @@ object Catalog {
     * and the oracle can state it. */
   private val q83 = Q("q83_bloom_blocklist",
     (s, dir) => {
+      // materialize the fingerprinted frame ONCE: the rolling hash is
+      // O(doc length) per row, and the blocklist flow reads the frame
+      // four times (blocklist size probe, Bloom build, clean pass,
+      // candidate anti-join) — without the checkpoint each pass would
+      // re-hash the whole corpus
       val f = t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .localCheckpoint()
       val bad = f.filter(col("doc_id") % 25 === 0).select(col("fp"))
       Dedup.blocklistFilter(f, "fp", bad, "fp")
     },
@@ -1560,10 +1566,68 @@ object Catalog {
         ORDER BY epoch_ns(ts) ASC, event_id ASC) AS seq_no
       FROM events"""))
 
+  /** Distributed second moments, oracle-exact: l_quantity is
+    * integer-valued, so n/Σq/Σq² are exact BIGINTs and the sample
+    * variance comes out as an integral division, scaled ×1000
+    * ((n·Σq²−(Σq)²)·1000 div (n·(n−1))). One map-side-combinable
+    * aggregation — the single-pass sum/sumsq shape IS how
+    * distributed variance merges (Spark's own var_samp keeps
+    * (n, mean, M2) per partition and merges); for float columns at
+    * 100 TB you'd use that built-in, this formulation exists to be
+    * bit-checkable against the oracle. */
+  private val q86 = Q("q86_moments",
+    (s, dir) => {
+      val q = col("l_quantity").cast("bigint")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(q).as("s"), sum(q * q).as("ss"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          expr("s * 1000 div n").as("mean_milli"),
+          expr("(n * ss - s * s) * 1000 div (n * (n - 1))").as("var_milli"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, n,
+      s * 1000 // n AS mean_milli,
+      (n * ss - s * s) * 1000 // (n * (n - 1)) AS var_milli
+      FROM (SELECT l_returnflag, l_linestatus,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+        CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+          AS BIGINT) AS ss
+        FROM lineitem GROUP BY 1, 2) z"""))
+
+  /** Full-outer join with nulls on BOTH sides: big-spender order
+    * aggregates vs low-balance customers — each side keeps rows the
+    * other lacks. Same shuffle profile as the left join (hash both
+    * sides on the key); at scale full-outer forbids broadcast, so the
+    * sort-merge/shuffled-hash path this takes is the real plan. */
+  private val q87 = Q("q87_full_outer",
+    (s, dir) => {
+      val big = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 250000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+      val low = t(s, dir, "customer")
+        .filter(col("c_acctbal") < 1000)
+        .select(col("c_custkey"), col("c_nationkey"))
+      big.join(low, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+          coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"),
+          col("c_nationkey").isNotNull.as("is_low_bal"))
+    },
+    Some("""SELECT COALESCE(o_custkey, c_custkey) AS custkey,
+      CAST(COALESCE(n_big_orders, 0) AS BIGINT) AS n_big_orders,
+      c_nationkey IS NOT NULL AS is_low_bal
+      FROM (SELECT o_custkey, count(*) AS n_big_orders FROM orders
+        WHERE o_totalprice > 250000 GROUP BY 1) b
+      FULL OUTER JOIN (SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_acctbal < 1000) c
+      ON o_custkey = c_custkey"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
+    q86, q87)
 }

@@ -91,7 +91,7 @@ object EventsStream {
     * dropDuplicatesWithinWatermark, event-time timeouts) must keep
     * no-data batches on — don't route it through this wrapper.
     * Restores the session settings afterwards. */
-  def withStatePartitions[T](spark: SparkSession, n: Int = 8,
+  def withStatePartitions[T](spark: SparkSession, n: Int = 4,
       skipNoData: Boolean = true)(f: => T): T =
     withConf(spark, Seq(
       "spark.sql.shuffle.partitions" -> n.toString,

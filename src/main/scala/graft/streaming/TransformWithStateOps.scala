@@ -52,7 +52,7 @@ object TransformWithStateOps {
   def runSeqNo(spark: SparkSession, path: String,
       queryName: String = "events_seqno"): DataFrame =
     EventsStream.withConf(spark, Seq(
-      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
