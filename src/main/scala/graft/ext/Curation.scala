@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed pipeline a training-data
+  * run actually executes, built entirely from the catalog's verified
+  * stages so the whole chain stays DuckDB-checkable:
+  *
+  *   language gate → quality gate → normalized-key dedup → PII scrub
+  *   → per-doc stats.
+  *
+  * Plan shape at 100 TB: the two gates are pushed-down map filters
+  * (no shuffle, prune early — they drop the bulk of the corpus before
+  * anything pays a network hop); the dedup is the pipeline's ONE
+  * shuffle, keyed on the normalized text (hash the key at real scale
+  * instead of shipping the full string — same plan, ~16 bytes/row);
+  * the scrub and stats are map-side again. Filters-first ordering is
+  * load-bearing: dedup shuffle volume is proportional to what
+  * survives the gates.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, textCol: String, idCol: String,
+      minQuality: Double = 0.2): DataFrame = {
+    val text = col(textCol)
+    val gated = docs
+      .filter(TextAnalysis.langIdHeuristic(text).isin("en", "en_like"))
+      .filter(TextAnalysis.qualityScore(text) >= minQuality)
+    val w = Window.partitionBy(Dedup.normKey(text)).orderBy(col(idCol).asc)
+    gated
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol),
+        TextAnalysis.tokenCount(text).as("n_tokens"),
+        length(regexp_replace(text, "[0-9]+", "<NUM>")).as("clean_chars"))
+  }
+
+  /** Near-dup cluster collapse: given [[Dedup.dupClusters]] labels,
+    * keep the best doc per cluster (longest by token count, min id
+    * tiebreak) — the "keep one representative" step after clustering.
+    * The keeper choice is a bounded per-cluster top-1, not a sort. */
+  def clusterKeepers(docs: DataFrame, clusters: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).as("_ntok"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("_ntok").desc, col("doc_id").asc)
+    clusters.join(scored, "doc_id")
+      .select(col("cluster_id"), col("doc_id"), col("_ntok"),
+        row_number().over(w).as("_rk"),
+        count(lit(1)).over(Window.partitionBy(col("cluster_id")))
+          .as("n_docs"))
+      .filter(col("_rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"),
+        col("n_docs"))
+  }
+}

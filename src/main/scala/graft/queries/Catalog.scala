@@ -1623,11 +1623,83 @@ object Catalog {
         WHERE c_acctbal < 1000) c
       ON o_custkey = c_custkey"""))
 
+  /** Near-dup cluster collapse: q51's connected components, then one
+    * keeper per cluster (max token count, min doc_id tiebreak) —
+    * "dedup keep-one", the step a curation run actually ships. */
+  private val q88 = Q("q88_cluster_keeper",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.dupClusters(docs, "text", "doc_id",
+        blockCols = Seq(col("lang"), expr("n_chars div 64")),
+        n = 3, threshold = 0.6)
+      graft.ext.Curation.clusterKeepers(docs, clusters, "text", "doc_id")
+    },
+    Some("""WITH RECURSIVE t AS (
+        SELECT doc_id, lang || CAST(n_chars // 64 AS VARCHAR) AS blk,
+          list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, blk,
+          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3),
+      p AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+      e AS (SELECT da AS a, db AS b FROM p
+            UNION ALL SELECT db, da FROM p),
+      r AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT e.b, r.lbl FROM r JOIN e ON r.node = e.a),
+      c AS (SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+        FROM r GROUP BY node),
+      s AS (SELECT c.cluster_id, c.doc_id,
+          len(list_filter(string_split_regex(trim(d.text), '\s+'),
+            x -> len(x) > 0)) AS ntok
+        FROM c JOIN documents d ON c.doc_id = d.doc_id)
+      SELECT cluster_id, doc_id AS keeper_id, n_docs FROM (
+        SELECT cluster_id, doc_id,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY ntok DESC, doc_id ASC) AS rk,
+          count(*) OVER (PARTITION BY cluster_id) AS n_docs
+        FROM s) z WHERE rk = 1"""))
+
+  /** End-to-end curation pipeline (ext.Curation.curate): language
+    * gate → quality gate → normalized-key dedup → PII scrub → stats.
+    * Every stage is individually oracle-verified (q28/q29/q21/q82);
+    * this entry verifies the COMPOSITION. */
+  private val q89 = Q("q89_curation_pipeline",
+    (s, dir) => graft.ext.Curation.curate(
+      t(s, dir, "documents"), "text", "doc_id"),
+    Some("""WITH s AS (SELECT doc_id, text,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS n,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> x IN ('the','a','of','and','is'))) AS hits,
+        len(regexp_replace(text, '\s', '', 'g')) AS ink
+        FROM documents),
+      f AS (SELECT doc_id, text, n FROM s
+        WHERE n > 0 AND hits * 1.0 / n >= 0.05
+          AND (CASE WHEN len(text) = 0 THEN 0.0
+            ELSE ink * 1.0 / len(text) END)
+            * (least(n, 200) * 1.0 / 200.0) >= 0.2),
+      d AS (SELECT doc_id, text, n, row_number() OVER (
+          PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+          ORDER BY doc_id ASC) AS rn
+        FROM f)
+      SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        CAST(len(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS INT)
+          AS clean_chars
+      FROM d WHERE rn = 1"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87)
+    q86, q87, q88, q89)
 }

@@ -21,3 +21,54 @@ class SketchSpec extends SparkSpec {
     }
   }
 }
+
+/** Frequency estimation via count-min sketch: the mergeable heavy-
+  * hitters sketch for 100 TB streams. Spark builds it distributed
+  * (partial sketches merge associatively); CMS guarantees
+  * est >= true and est <= true + eps*N with prob 1-delta. */
+class CountMinSpec extends SparkSpec {
+
+  test("count_min_sketch: overestimates only, within eps*N") {
+    val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+    val eps = 0.001
+    val n = li.count()
+    val sketchBytes = li.select(
+      count_min_sketch(col("l_suppkey"), lit(eps), lit(0.99), lit(42))
+        .as("s")).head().getAs[Array[Byte]]("s")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val exact = li.groupBy(col("l_suppkey")).count()
+      .orderBy(col("count").desc).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    exact.foreach { case (k, cnt) =>
+      val est = cms.estimateCount(k)
+      assert(est >= cnt, s"CMS underestimated key $k: $est < $cnt")
+      assert(est <= cnt + (eps * n).toLong + 1,
+        s"CMS error above eps*N for key $k: est=$est exact=$cnt")
+    }
+  }
+}
+
+/** approx_percentile: Greenwald-Khanna with accuracy a bounds rank
+  * error by n/a — pinned against the exact percentile. */
+class ApproxPercentileSpec extends SparkSpec {
+
+  test("approx_percentile rank error within n/accuracy") {
+    val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+      .select(col("l_extendedprice").cast("double").as("x")).cache()
+    val n = li.count()
+    val acc = 1000
+    val Array(approx, exactLo, exactHi) = {
+      val a = li.select(expr(s"approx_percentile(x, 0.5, $acc)"))
+        .head().getDouble(0)
+      // exact values at the rank-error envelope bounds
+      val sorted = li.orderBy(col("x")).collect().map(_.getDouble(0))
+      val mid = (n * 0.5).toLong.toInt
+      val slack = (n / acc).toInt + 1
+      Array(a, sorted(math.max(0, mid - slack)),
+        sorted(math.min(sorted.length - 1, mid + slack)))
+    }
+    assert(approx >= exactLo && approx <= exactHi,
+      s"approx median $approx outside rank envelope [$exactLo, $exactHi]")
+  }
+}
