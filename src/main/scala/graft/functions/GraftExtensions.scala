@@ -70,5 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("zorder64"),
       info("zorder64"),
       (args: Seq[Expression]) => ZOrder64(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("pos_ngrams"),
+      info("pos_ngrams"),
+      (args: Seq[Expression]) => PosNGrams(args(0), intArg(args(1), "n"))))
   }
 }

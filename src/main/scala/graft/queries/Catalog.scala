@@ -1695,11 +1695,173 @@ object Catalog {
           AS clean_chars
       FROM d WHERE rn = 1"""))
 
+  /** RANGE window frame over an integer day ordinal: per customer,
+    * rolling 30-day order total. RANGE (value-based) vs the ROWS frame
+    * of q77 — the frame content depends on the ORDER BY value, not row
+    * position; decimal sum stays order-insensitive. */
+  private val q90 = Q("q90_range_frame",
+    (s, dir) => {
+      val day = datediff(col("o_orderdate"), to_date(lit("1990-01-01")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(day)
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), day.as("day"),
+          sum(col("o_totalprice").cast(dec2)).over(w)
+            .cast(dec2).cast("string").as("sum_30d"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+      CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS INT) AS day,
+      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey
+        ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        AS DECIMAL(18,2)) AS VARCHAR) AS sum_30d
+      FROM orders"""))
+
+  /** Window-function battery: lag/lead/first/last (explicit full
+    * frame), percent_rank, cume_dist — rank-derived doubles are
+    * identical integer divisions in both engines. */
+  private val q91 = Q("q91_window_battery",
+    (s, dir) => {
+      val ord = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val full = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val bal = col("c_acctbal").cast(dec2)
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          lag(bal, 1).over(ord).cast("string").as("prev_bal"),
+          lead(bal, 1).over(ord).cast("string").as("next_bal"),
+          first_value(col("c_custkey")).over(full).as("poorest"),
+          last_value(col("c_custkey")).over(full).as("richest"),
+          percent_rank().over(ord).as("pct_rank"),
+          cume_dist().over(ord).as("cume"))
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+      CAST(lag(CAST(c_acctbal AS DECIMAL(18,2)), 1) OVER w AS VARCHAR) AS prev_bal,
+      CAST(lead(CAST(c_acctbal AS DECIMAL(18,2)), 1) OVER w AS VARCHAR) AS next_bal,
+      first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        AND UNBOUNDED FOLLOWING) AS poorest,
+      last_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        AND UNBOUNDED FOLLOWING) AS richest,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey
+        ORDER BY c_acctbal ASC, c_custkey ASC)"""))
+
+  /** Schema-on-read JSON parsing: from_json with a declared schema
+    * (typed struct access, not stringly get_json_object like q14). */
+  private val q92 = Q("q92_json_struct",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"),
+        (from_json(col("props"), lit("k INT")).getField("k") % 10)
+          .as("k_mod")),
+    Some("""SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_mod
+      FROM events"""))
+
+  /** Null semantics battery: nullif-derived null keys group together,
+    * null-safe equality (<=> ⇔ IS NOT DISTINCT FROM), count(col) vs
+    * count(*) null skipping. */
+  private val q93 = Q("q93_null_semantics",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("nullif(o_orderstatus, 'O')").as("status_n"),
+        col("o_totalprice"))
+      .groupBy(col("status_n"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("status_n")).as("n_nonnull"),
+        sum(when(col("status_n").isNull,
+          col("o_totalprice").cast(dec2))).cast(dec2)
+          .cast("string").as("open_total"))
+      .withColumn("is_open_grp", col("status_n") <=> lit(null)),
+    Some("""SELECT status_n, n_rows, n_nonnull, open_total,
+      status_n IS NOT DISTINCT FROM NULL AS is_open_grp
+      FROM (SELECT nullif(o_orderstatus, 'O') AS status_n,
+        count(*) AS n_rows,
+        count(nullif(o_orderstatus, 'O')) AS n_nonnull,
+        CAST(CAST(sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+          AS DECIMAL(18,2)) AS VARCHAR) AS open_total
+        FROM orders GROUP BY 1) z"""))
+
+  /** Edit-distance near-matches (classic Wagner-Fischer DP, identical
+    * in both engines), blocked by nation so the self-join never goes
+    * quadratic in the corpus — same blocking discipline as q22. */
+  private val q94 = Q("q94_levenshtein",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 3 && col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_name"))
+      val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    },
+    Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM (SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey = 3 AND c_acctbal > 9000) a
+      JOIN (SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey = 3 AND c_acctbal > 9000) b
+      ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2"""))
+
+  /** Bitwise aggregates: per-group OR/AND/XOR of a line-number bitmask
+    * plus popcount — commutative/associative, so partial aggregation
+    * merges exactly. */
+  private val q95 = Q("q95_bit_aggs",
+    (s, dir) => {
+      val mask = expr("shiftleft(CAST(1 AS BIGINT), CAST(l_linenumber AS INT))")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(bit_or(mask).as("or_mask"),
+          bit_and(mask).as("and_mask"),
+          bit_xor(mask).as("xor_mask"))
+        .withColumn("n_lines_seen", bit_count(col("or_mask")))
+    },
+    Some("""SELECT l_returnflag,
+      CAST(bit_or(mask) AS BIGINT) AS or_mask,
+      CAST(bit_and(mask) AS BIGINT) AS and_mask,
+      CAST(bit_xor(mask) AS BIGINT) AS xor_mask,
+      CAST(bit_count(bit_or(mask)) AS INT) AS n_lines_seen
+      FROM (SELECT l_returnflag,
+        (CAST(1 AS BIGINT) << CAST(l_linenumber AS INT)) AS mask
+        FROM lineitem) z GROUP BY l_returnflag"""))
+
+  /** §2.9 — custom Catalyst Generator (UDTF): pos_ngrams(text, n)
+    * emits one row per word n-gram with its token position, through
+    * the standard LATERAL VIEW syntax (GenerateExec; column pruning
+    * survives around it). Restricted to every 20th doc to keep the
+    * dump bounded. */
+  private val q96 = Q("q96_udtf_ngrams",
+    (s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") % 20 === 0)
+        .createOrReplaceTempView("q96_docs")
+      s.sql("""SELECT doc_id, g.pos, g.gram
+        FROM q96_docs LATERAL VIEW pos_ngrams(text, 3) g AS pos, gram""")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS toks
+        FROM documents WHERE doc_id % 20 = 0),
+      u AS (SELECT doc_id, toks,
+          unnest(range(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 3)
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        array_to_string(toks[i:i+2], ' ') AS gram
+      FROM u"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89)
+    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
 }

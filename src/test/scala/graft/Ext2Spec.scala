@@ -189,3 +189,20 @@ class StreamOuterJoinSpec extends SparkSpec {
     }
   }
 }
+
+class PosNGramsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pos_ngrams generator: positions and grams, edge cases") {
+    Seq((1L, "a b c d"), (2L, "x y"), (3L, ""), (4L, "  padded   text  here "))
+      .toDF("id", "text").createOrReplaceTempView("png_docs")
+    val got = spark.sql(
+      """SELECT id, g.pos, g.gram FROM png_docs
+         LATERAL VIEW pos_ngrams(text, 3) g AS pos, gram""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 0, "a b c"), (1L, 1, "b c d"),
+      (4L, 0, "padded text here")))
+    // doc 2 (too short) and doc 3 (empty) emit nothing
+  }
+}
