@@ -22,18 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Spread a narrow input across the executor parallelism before a
-    * CPU-heavy per-row kernel (shingling, signatures). At real scale
-    * the scan arrives in thousands of splits and this is a no-op; the
-    * local fixtures are single parquet files → one partition, which
-    * would serialize the kernel on one core. Costs one shuffle of the
-    * raw rows — paid only when the input is narrower than the
-    * cluster. */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
-
   // ---- exact -------------------------------------------------------------
 
   /** Exact duplicate groups by raw text: keeper = min id (deterministic),
@@ -85,7 +73,7 @@ object Dedup {
     // (prefix explode + the two verify-stage rejoins) would otherwise
     // re-tokenize the whole corpus each — at 100 TB the shingle pass IS
     // the dominant cost, so it must run exactly once
-    val base = spread(docs)
+    val base = docs
       .withColumn("_block", concat_ws("", blockCols: _*))
       .select(col(idCol).as("_id"), col("_block"),
         sort_array(wordShingles(col(textCol), n)).as("_sh"))
@@ -204,7 +192,7 @@ object Dedup {
       n: Int = 3, numPerms: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val numBands = numPerms / rowsPerBand
-    val base = spread(docs).select(col(idCol).as("_id"),
+    val base = docs.select(col(idCol).as("_id"),
         sort_array(wordShingles(col(textCol), n)).as("_sh"))
       .filter(size(col("_sh")) > 0)
     // banded rows are SLIM (id, bandNo, bandHash) — the shingle arrays
@@ -277,7 +265,7 @@ object Dedup {
         shiftleft(acc, width).bitwiseOR(b))
       struct(lit(i).as("no"), packed.as("v"))
     }
-    val base = spread(docs).select(col(idCol).as("_id"),
+    val base = docs.select(col(idCol).as("_id"),
         simHash64(col(textCol)).as("_fp"))
       .withColumn("_band", explode(array(bands: _*)))
       .select(col("_id"), col("_fp"),
