@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-kernel implementations shared by the interpreted `eval` path
+  * and the generated code of the custom expressions: `doGenCode`
+  * emits a single static-style call (`TextKernels$.MODULE$.xxx(...)`),
+  * so the expression participates in whole-stage codegen — child
+  * columns arrive through the generated unsafe-row accessors instead
+  * of the boxed `Expression.eval(InternalRow)` detour CodegenFallback
+  * takes per row. */
+object TextKernels {
+
+  final val MinHashP = 2147483647L
+
+  def shingles(textU: UTF8String, n: Int, word: Boolean): ArrayData = {
+    val text = textU.toString
+    val out = new java.util.LinkedHashSet[String]()
+    if (word) {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i + n <= text.length) {
+        out.add(text.substring(i, i + n))
+        i += 1
+      }
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+    ArrayData.toArrayData(arr)
+  }
+
+  def simHash64(textU: UTF8String): Long = {
+    val toks = textU.toString.split("\\s+")
+    val lanes = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        val h = XxHash64Function.hash(
+          UTF8String.fromString(toks(t)), StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) lanes(i) += 1 else lanes(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) { if (lanes(i) > 0) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  def minHashSig(hs: ArrayData, isString: Boolean,
+      as: Array[Long], bs: Array[Long]): ArrayData = {
+    val numPerms = as.length
+    val n = hs.numElements()
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = if (isString) {
+        val x = XxHash64Function.hash(hs.getUTF8String(i), StringType, 42L)
+        val m = x % MinHashP
+        if (m < 0) m + MinHashP else m // pmod
+      } else hs.getLong(i)
+      var j = 0
+      while (j < numPerms) {
+        val p = (as(j) * h + bs(j)) % MinHashP
+        if (p < sig(j)) sig(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  def jaccardHash(a: ArrayData, b: ArrayData): Double = {
+    var x = a; var y = b
+    if (x.numElements() > y.numElements()) { val t = x; x = y; y = t }
+    val nx = x.numElements(); val ny = y.numElements()
+    if (nx + ny == 0) return 0.0
+    val set = new java.util.HashSet[UTF8String](nx * 2)
+    var i = 0
+    while (i < nx) { set.add(x.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < ny) { if (set.contains(y.getUTF8String(i))) inter += 1; i += 1 }
+    val uni = nx + ny - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni
+  }
+
+  def jaccardSorted(x: ArrayData, y: ArrayData): Double = {
+    val nx = x.numElements(); val ny = y.numElements()
+    if (nx + ny == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val uni = nx + ny - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni
+  }
+}

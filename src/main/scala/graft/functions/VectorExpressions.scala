@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -84,7 +84,7 @@ case class DotProduct(left: Expression, right: Expression)
   * Replaces size(array_intersect)/inclusion-exclusion trees that
   * re-build hash sets per consumer. */
 case class JaccardSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType match {
@@ -94,21 +94,12 @@ case class JaccardSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    var x = a.asInstanceOf[ArrayData]
-    var y = b.asInstanceOf[ArrayData]
-    if (x.numElements() > y.numElements()) { val t = x; x = y; y = t }
-    val nx = x.numElements(); val ny = y.numElements()
-    if (nx + ny == 0) return 0.0
-    val set = new java.util.HashSet[UTF8String](nx * 2)
-    var i = 0
-    while (i < nx) { set.add(x.getUTF8String(i)); i += 1 }
-    var inter = 0
-    i = 0
-    while (i < ny) { if (set.contains(y.getUTF8String(i))) inter += 1; i += 1 }
-    val uni = nx + ny - inter
-    if (uni == 0) 0.0 else inter.toDouble / uni
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardHash(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.jaccardHash($a, $b);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)
@@ -120,7 +111,7 @@ case class JaccardSim(left: Expression, right: Expression)
   * pmod — identical to pmod(xxhash64(s), p)) or pre-hashed array<long>.
   * One Scala loop instead of numPerms interpreted array traversals. */
 case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType | StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -144,27 +135,15 @@ case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
     (a, b)
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val hs = v.asInstanceOf[ArrayData]
-    val n = hs.numElements()
-    val sig = Array.fill(numPerms)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val h = if (isString) {
-        val x = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(hs.getUTF8String(i), StringType, 42L)
-        val m = x % P
-        if (m < 0) m + P else m // pmod
-      } else hs.getLong(i)
-      var j = 0
-      while (j < numPerms) {
-        val p = (as(j) * h + bs(j)) % P
-        if (p < sig(j)) sig(j) = p
-        j += 1
-      }
-      i += 1
-    }
-    ArrayData.toArrayData(sig)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.minHashSig(v.asInstanceOf[ArrayData], isString, as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.minHashSig(" +
+        s"$v, $isString, $asRef, $bsRef);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -176,7 +155,7 @@ case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
   * TextAnalysis.tokens (split \s+, drop empties); hash matches
   * Spark's xxhash64 (XXH64, seed 42). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -184,28 +163,12 @@ case class SimHash64(child: Expression)
   }
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[UTF8String].toString.split("\\s+")
-    val lanes = new Array[Int](64)
-    var t = 0
-    while (t < toks.length) {
-      if (toks(t).nonEmpty) {
-        val bytes = UTF8String.fromString(toks(t))
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(bytes, StringType, 42L)
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) lanes(i) += 1 else lanes(i) -= 1
-          i += 1
-        }
-      }
-      t += 1
-    }
-    var fp = 0L
-    var i = 0
-    while (i < 64) { if (lanes(i) > 0) fp |= (1L << i); i += 1 }
-    fp
-  }
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.simHash64(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.simHash64($v);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -216,7 +179,7 @@ case class SimHash64(child: Expression)
   * Same value as JaccardSim; preferred in pair loops — no per-pair
   * hash-set allocation, so no GC churn at millions of pairs. */
 case class JaccardSortedSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(_.dataType match {
@@ -226,21 +189,12 @@ case class JaccardSortedSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val nx = x.numElements(); val ny = y.numElements()
-    if (nx + ny == 0) return 0.0
-    var i = 0; var j = 0; var inter = 0
-    while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { inter += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
-    }
-    val uni = nx + ny - inter
-    if (uni == 0) 0.0 else inter.toDouble / uni
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.jaccardSorted($a, $b);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)
@@ -269,7 +223,7 @@ object VectorFunctions {
   * re-evaluate any inlined token subtree once per element after
   * project-collapse. First-occurrence order, ASCII/BMP semantics. */
 case class Shingles(child: Expression, n: Int, word: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -277,32 +231,12 @@ case class Shingles(child: Expression, n: Int, word: Boolean)
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString
-    val out = new java.util.LinkedHashSet[String]()
-    if (word) {
-      val toks = text.split("\\s+").filter(_.nonEmpty)
-      var i = 0
-      while (i + n <= toks.length) {
-        val sb = new java.lang.StringBuilder(toks(i))
-        var j = 1
-        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-        out.add(sb.toString)
-        i += 1
-      }
-    } else {
-      var i = 0
-      while (i + n <= text.length) {
-        out.add(text.substring(i, i + n))
-        i += 1
-      }
-    }
-    val arr = new Array[AnyRef](out.size)
-    val it = out.iterator()
-    var i = 0
-    while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
-    ArrayData.toArrayData(arr)
-  }
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.shingles(v.asInstanceOf[UTF8String], n, word)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.shingles($v, $n, $word);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
