@@ -498,7 +498,18 @@ object Catalog {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("checksum"))
     },
-    None)
+    // FakeDecoder's checksum folds over UTF-8 BYTES; the oracle folds
+    // over code points (ord) — identical because the documents fixture
+    // is pure ASCII (verified at sf0.01/sf0.1), where byte == ord.
+    Some("""SELECT doc_id AS media_id,
+      (['image','audio','video','text'])[CAST(doc_id % 4 AS INT) + 1] AS kind,
+      CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      CASE WHEN len(text) = 0 THEN 0 ELSE
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ord(text[i]) AS BIGINT) FOR i IN range(1, len(text) + 1)]),
+          (a, c) -> (a * 31 + c) % 1000000007)
+      END AS checksum
+      FROM documents"""))
 
   /** Sketch aggregates (HLL approx distinct) — approximate,
     * engine-specific → rows-only. */
@@ -1857,11 +1868,25 @@ object Catalog {
         array_to_string(toks[i:i+2], ' ') AS gram
       FROM u"""))
 
+  /** Stream-static broadcast join (stateless): the events stream
+    * enriched with the customer dim per micro-batch, aggregated per
+    * nation × event type. Oracle = the equivalent batch join+agg. */
+  private val q97 = Q("q97_stream_static_join",
+    (s, dir) => EventsStream.runEnrichedToCompletion(
+      s, s"$dir/events.parquet",
+      t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+      "c_custkey", "c_nationkey", "q97_enriched"),
+    Some("""SELECT c_nationkey, event_type, count(*) AS n,
+      CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        AS VARCHAR) AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
+    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
 }

@@ -78,6 +78,39 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Stream-static equi-join, driven to completion: the static dim is
+    * re-planned each micro-batch and BROADCAST into the stream — the
+    * join is STATELESS (only stream-stream joins buffer state) and the
+    * stream side never repartitions; each micro-batch's tasks probe the
+    * broadcast table locally. That is the 100 TB shape for enriching an
+    * event firehose with a dimension: shuffle volume is the aggregation
+    * only, and a dim refresh is picked up at the next micro-batch
+    * without restarting the query. Complete mode + AvailableNow makes
+    * the bounded run equal the batch join+agg the oracle states. */
+  def runEnrichedToCompletion(spark: SparkSession, path: String,
+      dim: DataFrame, dimKey: String, groupCol: String,
+      queryName: String = "events_enriched"): DataFrame =
+    withStatePartitions(spark) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val q = spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", p.getName)
+        .parquet(p.getParent.toString)
+        .join(broadcast(dim), col("user_id") === col(dimKey))
+        .groupBy(col(groupCol), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("string").as("sum_value"))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
+
   /** Streaming state lives per shuffle partition; micro-batches over
     * bounded fixtures pay a state-store commit per partition per batch,
     * so size the state partitioning to the data, not the CPU count.
