@@ -27,6 +27,40 @@ class SkewJoinSpec extends SparkSpec {
     assert(j.count() == j.count())
     assert(j.count() == 1000)
   }
+
+  test("AQE splits the skewed partition at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // The declarative alternative to hand-salting: AQE observes the
+    // skewed shuffle partition at stage boundary and splits it into
+    // advisory-size reads. Thresholds lowered so the fixture's hot key
+    // (~97% of rows, each padded to ~1 KB) trips the same logic that a
+    // hot key trips at TB scale.
+    graft.streaming.EventsStream.withConf(spark, Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "8")) {
+      val pad = "x" * 1024
+      val big = (0 until 4000).map(i =>
+        (i.toLong, if (i % 32 == 0) s"k${i % 7}" else "hot", pad))
+        .toDF("id", "k", "pad")
+      val dim = (0 until 8).flatMap(i => Seq((s"k$i", i.toLong)))
+        .toDF("k", "v").union(Seq(("hot", 99L)).toDF("k", "v"))
+      val j = big.join(dim, "k").select("id", "v")
+      // collect() the SAME DataFrame whose plan we inspect — a separate
+      // count() would spawn its own execution and leave this plan
+      // un-finalized
+      val n = j.collect().length
+      assert(n == 4000)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected a skew-split join in the final adaptive plan:\n$finalPlan")
+    }
+  }
 }
 
 class Scd2Spec extends SparkSpec {
