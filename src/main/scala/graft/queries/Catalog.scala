@@ -1882,11 +1882,58 @@ object Catalog {
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       GROUP BY 1, 2"""))
 
+  /** FULL OUTER stream-stream join: matched rows emit eagerly;
+    * unmatched purchases null-pad once the watermark passes their join
+    * window end (as in q84); unmatched errors null-pad once the
+    * watermark passes their own event time (any matching purchase
+    * would be late). The oracle states both cutoffs. */
+  private val q98 = Q("q98_stream_full_outer",
+    (s, dir) => graft.streaming.StreamJoin.runOuterToCompletion(
+      s, s"$dir/events.parquet", "full_outer",
+      queryName = "q98_purchase_error_full"),
+    Some("""WITH p AS (SELECT event_id AS p_id, user_id,
+        epoch_ns(ts) // 1000 AS pts FROM events
+        WHERE event_type = 'purchase'),
+      e AS (SELECT event_id AS e_id, user_id AS e_user,
+        epoch_ns(ts) // 1000 AS ets FROM events
+        WHERE event_type = 'error'),
+      w AS (SELECT least((SELECT max(pts) FROM p),
+        (SELECT max(ets) FROM e)) - 3600000000 AS wm)
+      SELECT p.p_id, e.e_id,
+        COALESCE(p.user_id, e.e_user) AS user_id,
+        e.ets - p.pts AS delta_us
+      FROM p FULL JOIN e
+        ON p.user_id = e.e_user
+       AND e.ets >= p.pts AND e.ets < p.pts + 1800000000
+      WHERE (p.p_id IS NOT NULL AND e.e_id IS NOT NULL)
+         OR (e.e_id IS NULL AND p.p_id IS NOT NULL
+             AND p.pts + 1800000000 < (SELECT wm FROM w))
+         OR (p.p_id IS NULL AND e.e_id IS NOT NULL
+             AND e.ets < (SELECT wm FROM w))"""))
+
+  /** Mergeable HLL sketches (DataSketches, Spark 4 hll_sketch_agg):
+    * the 100 TB distinct-count shape — per-partition/day sketches that
+    * union associatively instead of re-scanning history. Estimates are
+    * engine-specific (DuckDB's HLL differs) → rows-only here; the
+    * merge==global and error-envelope contracts are spec-checked. */
+  private val q99 = Q("q99_hll_sketch",
+    (s, dir) => {
+      val day = t(s, dir, "lineitem")
+        .withColumn("_day", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+        .groupBy(col("l_returnflag"), col("_day"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("_sk"))
+      day.groupBy(col("l_returnflag"))
+        .agg(hll_union_agg(col("_sk")).as("_merged"))
+        .select(col("l_returnflag"),
+          hll_sketch_estimate(col("_merged")).as("est_parts"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
+    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
 }

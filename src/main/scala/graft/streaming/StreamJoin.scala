@@ -44,7 +44,10 @@ object StreamJoin {
         && col("e_ts") >= col("p_ts")
         && col("e_ts") < col("p_ts") + expr(s"INTERVAL $intervalMin MINUTES"),
       joinType)
-      .select(col("p_id"), col("e_id"), col("p_user").as("user_id"),
+      .select(col("p_id"), col("e_id"),
+        // coalesce so FULL OUTER keeps the key on error-only rows;
+        // inner/left always have p_user, so those results are unchanged
+        coalesce(col("p_user"), col("e_user")).as("user_id"),
         (unix_micros(col("e_ts")) - unix_micros(col("p_ts"))).as("delta_us"))
   }
 
@@ -65,8 +68,19 @@ object StreamJoin {
   def runLeftOuterToCompletion(spark: SparkSession, path: String,
       intervalMin: Int = 30,
       queryName: String = "purchase_error_left_join"): DataFrame =
+    runOuterToCompletion(spark, path, "left_outer", intervalMin, queryName)
+
+  /** FULL OUTER adds the symmetric eviction: an unmatched ERROR emits
+    * null-padded once the watermark passes its own event time (any
+    * matching purchase would need p_ts <= e_ts, and rows below the
+    * watermark are dropped as late) — vs the purchase side's
+    * `p_ts + interval < watermark` cutoff. Both cutoffs are stated by
+    * the q98 oracle. */
+  def runOuterToCompletion(spark: SparkSession, path: String,
+      joinType: String, intervalMin: Int = 30,
+      queryName: String = "purchase_error_outer_join"): DataFrame =
     EventsStream.withStatePartitions(spark, skipNoData = false) {
-      val q = purchaseErrorJoin(spark, path, intervalMin, "left_outer")
+      val q = purchaseErrorJoin(spark, path, intervalMin, joinType)
         .writeStream
         .outputMode("append")
         .format("memory")
