@@ -73,5 +73,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("pos_ngrams"),
       info("pos_ngrams"),
       (args: Seq[Expression]) => PosNGrams(args(0), intArg(args(1), "n"))))
+    e.injectFunction((FunctionIdentifier("theta_sketch_agg"),
+      info("theta_sketch_agg"),
+      (args: Seq[Expression]) => ThetaSketchAgg(args(0),
+        if (args.length > 1) intArg(args(1), "lgK") else 12)
+        .toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("theta_estimate"),
+      info("theta_estimate"),
+      (args: Seq[Expression]) => ThetaEstimate(args(0))))
+    e.injectFunction((FunctionIdentifier("theta_intersect_estimate"),
+      info("theta_intersect_estimate"),
+      (args: Seq[Expression]) => ThetaIntersectEstimate(args(0), args(1))))
   }
 }

@@ -1929,11 +1929,34 @@ object Catalog {
     },
     None)
 
+  /** Theta sketch set algebra (custom TypedImperativeAggregate over
+    * DataSketches): distinct-part overlap between return flags via
+    * sketch INTERSECTION — the question HLL unions cannot answer.
+    * Estimates are sketch-specific → rows-only; accuracy and
+    * mergeability are spec-pinned. */
+  private val q100 = Q("q100_theta_intersect",
+    (s, dir) => {
+      import graft.functions.ThetaFunctions._
+      val sk = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(thetaSketchAgg(col("l_partkey")).as("_sk"))
+      sk.select(col("l_returnflag").as("flag_a"), col("_sk").as("_ska"))
+        .join(sk.select(col("l_returnflag").as("flag_b"), col("_sk").as("_skb")),
+          col("flag_a") < col("flag_b"))
+        .select(col("flag_a"), col("flag_b"),
+          round(thetaEstimate(col("_ska"))).cast("long").as("est_a"),
+          round(thetaEstimate(col("_skb"))).cast("long").as("est_b"),
+          round(thetaIntersectEstimate(col("_ska"), col("_skb")))
+            .cast("long").as("est_both"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
     q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
+    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
+    q100)
 }

@@ -75,6 +75,63 @@ class HllSketchSpec extends SparkSpec {
   }
 }
 
+/** Theta sketches (custom TypedImperativeAggregate): distinct sketches
+  * whose set INTERSECTION is estimable — q100's operation. Contracts:
+  * estimates track exact within the lgK envelope, including through
+  * repartitioned (multi-partial merge) builds, and the intersection
+  * estimate tracks the exact overlap. */
+class ThetaSketchSpec extends SparkSpec {
+  import graft.functions.ThetaFunctions._
+
+  test("per-flag sketches: estimate and A∩B intersection track exact") {
+    val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(thetaSketchAgg(col("l_partkey")).as("sk"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Array[Byte]](1), r.getLong(2)))
+      .toMap
+    assert(sk.size >= 2)
+    sk.foreach { case (flag, (bytes, exact)) =>
+      val est = graft.functions.ThetaKernels.estimate(bytes)
+      assert(math.abs(est - exact) / exact < 0.05, s"$flag: $est vs $exact")
+    }
+    // exact overlap of two flags vs the sketch intersection
+    val Seq(fa, fb) = sk.keys.toSeq.sorted.take(2)
+    val exactBoth = li.filter(col("l_returnflag") === fa)
+      .select(col("l_partkey")).intersect(
+        li.filter(col("l_returnflag") === fb).select(col("l_partkey")))
+      .count()
+    val estBoth = graft.functions.ThetaKernels.intersectEstimate(
+      sk(fa)._1, sk(fb)._1)
+    assert(math.abs(estBoth - exactBoth) / exactBoth < 0.08,
+      s"intersection: est=$estBoth exact=$exactBoth")
+  }
+
+  test("theta sketch build is merge-tolerant (repartitioned == envelope)") {
+    val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    def est(df: org.apache.spark.sql.DataFrame): Double = {
+      val bytes = df.agg(thetaSketchAgg(col("l_partkey")).as("sk"))
+        .head().getAs[Array[Byte]]("sk")
+      graft.functions.ThetaKernels.estimate(bytes)
+    }
+    Seq(est(li), est(li.repartition(17, col("l_orderkey")))).foreach { e =>
+      assert(math.abs(e - exact) / exact < 0.05, s"est=$e exact=$exact")
+    }
+  }
+
+  test("theta functions reachable from SQL (extensions registration)") {
+    val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+    li.createOrReplaceTempView("theta_li")
+    val r = spark.sql("""
+      SELECT theta_estimate(theta_sketch_agg(l_partkey)) AS est
+      FROM theta_li""").head().getDouble(0)
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    assert(math.abs(r - exact) / exact < 0.05)
+  }
+}
+
 /** Frequency estimation via count-min sketch: the mergeable heavy-
   * hitters sketch for 100 TB streams. Spark builds it distributed
   * (partial sketches merge associatively); CMS guarantees
