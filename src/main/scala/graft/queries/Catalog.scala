@@ -1951,6 +1951,31 @@ object Catalog {
     },
     None)
 
+  /** Inverted index build: token → sorted posting list + document
+    * frequency. The classic IR/contamination-lookup artifact; one
+    * explode + one hash aggregation, map-side combinable on token. At
+    * 100 TB the only caution is posting-list skew for stopwords — the
+    * df floor keeps the common terms but a production build would also
+    * cap or shard the hottest lists (as q78's gram ownership does).
+    * Lists ride as comma-joined strings so the oracle hash-compare is
+    * representation-stable. */
+  private val q101 = Q("q101_inverted_index",
+    (s, dir) => t(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        concat_ws(",", transform(sort_array(collect_set(col("doc_id"))),
+          x => x.cast("string"))).as("postings"))
+      .filter(col("df") >= 10),
+    Some("""WITH t AS (SELECT doc_id,
+        unnest(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS tok
+        FROM documents WHERE doc_id % 10 = 0)
+      SELECT tok, count(DISTINCT doc_id) AS df,
+        array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+      FROM t GROUP BY tok HAVING count(DISTINCT doc_id) >= 10"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -1958,5 +1983,5 @@ object Catalog {
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100)
+    q100, q101)
 }

@@ -1,0 +1,59 @@
+package graft
+
+/** Catalog-wide physical-plan audit over the relational (non-streaming,
+  * non-iterative) queries: the plans the engine ships must be the plans
+  * you'd WANT at 100 TB — every join keyed (no cartesian/nested-loop
+  * fallback) and the hot path inside whole-stage codegen. Queries whose
+  * builders execute eagerly (streaming runs, connected-components
+  * loops, localCheckpoint stages) or that intentionally broadcast a
+  * cross product (exact cosine top-k) are excluded by name.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val audited = Seq(
+    "q01_pricing_summary", "q02_filter_project", "q03_semijoin_2way",
+    "q04_semijoin_3way", "q05_semijoin_4way", "q06_bool_canon",
+    "q08_partition_derive", "q09_union_anti_dedup", "q10_window_topk",
+    "q11_sort_limit", "q12_distinct_agg", "q13_datetime_funcs",
+    "q14_json_extract", "q15_watermark_boundary", "q16_rollup",
+    "q17_sessionize", "q18_bronze_cast", "q20_dedup_exact",
+    "q21_dedup_normkey", "q28_lang_id", "q29_quality_score",
+    "q30_token_stats", "q31_fingerprint", "q33_agg_battery", "q34_cube",
+    "q45_percentiles", "q46_salted_agg", "q49_string_funcs",
+    "q50_conditionals", "q52_vocab_stats", "q54_join_agg",
+    "q55_outer_join", "q57_setops", "q58_pivot", "q61_unpivot",
+    "q64_grouping_sets", "q67_stratified_sample", "q68_tfidf",
+    "q73_repetition", "q75_ntile", "q76_exists_subquery",
+    "q77_running_sum", "q78_ngram_dedup", "q80_gap_fill",
+    "q81_reservoir_sample", "q82_pii_scrub", "q86_moments",
+    "q87_full_outer", "q90_range_frame", "q91_window_battery",
+    "q92_json_struct", "q93_null_semantics", "q95_bit_aggs",
+    "q101_inverted_index")
+
+  test("relational plans: keyed joins only, whole-stage codegen present") {
+    val dir = sf("sf0.001")
+    val qs = graft.queries.Catalog.all.filter(q => audited.contains(q.name))
+    // names drift — fail loudly if the list goes stale instead of
+    // silently auditing nothing
+    assert(qs.size >= 50, s"audit list matched only ${qs.size} queries")
+    // inspect the static physical plan: an un-executed
+    // AdaptiveSparkPlan hides the codegen spans until stages run
+    graft.streaming.EventsStream.withConf(spark,
+      Seq("spark.sql.adaptive.enabled" -> "false")) {
+    qs.foreach { q =>
+      val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name}: cartesian product in plan")
+      // q68 cross-joins a broadcast SINGLE-ROW aggregate (corpus size)
+      // into the scorer — a constant-cost broadcast, not a data-sized
+      // nested loop; every data-sized join must still be keyed
+      if (q.name != "q68_tfidf")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name}: nested-loop join in plan")
+      // codegen spans render as "*(n) Operator" in the tree string
+      assert(plan.contains("*("),
+        s"${q.name}: no whole-stage codegen span\n$plan")
+    }
+    }
+  }
+}
