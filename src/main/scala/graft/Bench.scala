@@ -51,7 +51,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Durable copy first: the driver greps stdout for the metric line,
+    // and rounds 1-2 both lost it to interleaved shutdown noise. The
+    // file survives regardless of log ordering.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Stop Spark BEFORE printing so state-store/executor shutdown chatter
+    // can't land after (and bury) the metric line; then emit it as the
+    // absolute last stdout line.
     spark.stop()
+    System.out.flush(); System.err.flush()
+    println(json)
+    System.out.flush()
   }
 }

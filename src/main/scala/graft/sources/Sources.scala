@@ -65,10 +65,19 @@ object JdbcSource {
 
   /** Dialect-agnostic variant (any JDBC URL — also used by tests
     * against embedded Derby). The watermark `>=` predicate is applied
-    * as a Catalyst filter and pushed into the remote query. */
+    * as a Catalyst filter and pushed into the remote query.
+    *
+    * `upperBound` (parallel extract only) defaults to driver-now; it is
+    * a range-split hint, NOT a filter — rows outside [lower, upper) still
+    * arrive via the unbounded first/last stride queries, so a lagging
+    * driver clock cannot drop data. Spark parses timestamp bounds with
+    * `Timestamp.valueOf` (`yyyy-MM-dd HH:mm:ss[.f]`), so both bounds are
+    * rendered with [[graft.state.WatermarkStore.Fmt]] — ISO-8601's 'T'
+    * separator would throw at load. */
   def readFromUrl(spark: SparkSession, spec: TableSpec, jdbcUrl: String,
       user: String, password: String, watermark: String,
-      numPartitions: Int = 1): DataFrame = {
+      numPartitions: Int = 1,
+      upperBound: Option[String] = None): DataFrame = {
     val reader = spark.read.format("jdbc")
       .option("url", jdbcUrl)
       .option("dbtable", spec.name)
@@ -80,7 +89,9 @@ object JdbcSource {
         reader.option("partitionColumn", spec.updatedCol)
           .option("numPartitions", numPartitions.toString)
           .option("lowerBound", watermark)
-          .option("upperBound", java.time.LocalDateTime.now.toString)
+          .option("upperBound", upperBound.getOrElse(
+            java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+              .format(graft.state.WatermarkStore.Fmt)))
        else reader).load()
     // `>=` (not `>`) re-reads the boundary row set; dedup absorbs it
     // (gluejob.py:526 et al.) — pushed to the remote DB by Catalyst.

@@ -88,6 +88,49 @@ class JdbcDerbySpec extends SparkSpec {
       scan.replaceAll("\\s", "").contains("updated_at"))
     conn.close()
   }
+
+  test("parallel extract: 4 range partitions, same rows as serial") {
+    // Regression for the upperBound format bug: Spark parses timestamp
+    // partition bounds with Timestamp.valueOf, which rejects ISO-8601's
+    // 'T' separator — the default (driver-now) bound must render as
+    // 'yyyy-MM-dd HH:mm:ss'. Partition column must be a real TIMESTAMP.
+    val url = "jdbc:derby:memory:graftpar;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val spec = Tables.registry("retail_plans")
+    val cols = spec.columns.map {
+      case "updated_at" => "\"updated_at\" TIMESTAMP"
+      case c => s"\"$c\" VARCHAR(64)"
+    }.mkString(", ")
+    val st = conn.createStatement()
+    try st.execute("DROP TABLE retail_plans") catch { case _: Throwable => }
+    st.execute(s"CREATE TABLE retail_plans ($cols)")
+    val ins = conn.prepareStatement(
+      "INSERT INTO retail_plans VALUES (" +
+        spec.columns.map(_ => "?").mkString(", ") + ")")
+    for (i <- 1 to 40) {
+      spec.columns.zipWithIndex.foreach {
+        case ("updated_at", j) => ins.setTimestamp(j + 1,
+          java.sql.Timestamp.valueOf(f"2024-02-${i % 20 + 1}%02d 06:30:00"))
+        case ("id", j) => ins.setString(j + 1, i.toString)
+        case (_, j) => ins.setString(j + 1, "x")
+      }
+      ins.executeUpdate()
+    }
+    val wm = "2024-02-03 00:00:00"
+    val serial = JdbcSource.readFromUrl(spark, spec, url, "", "", wm)
+    // default upperBound (driver now) — the branch that used to throw
+    val par = JdbcSource.readFromUrl(spark, spec, url, "", "", wm,
+      numPartitions = 4)
+    assert(par.rdd.getNumPartitions == 4)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("id").collect().map(_.getString(0)).toSet
+    assert(key(par) == key(serial) && key(par).size == 36)
+    // pinned upperBound (deterministic strides) — identical row set too
+    val pinned = JdbcSource.readFromUrl(spark, spec, url, "", "", wm,
+      numPartitions = 4, upperBound = Some("2024-02-10 00:00:00"))
+    assert(pinned.rdd.getNumPartitions == 4 && key(pinned) == key(serial))
+    conn.close()
+  }
 }
 
 /** The custom whole-operator plan (LogicalPlan + Strategy + Exec via
