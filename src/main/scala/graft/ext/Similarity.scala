@@ -55,10 +55,54 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
-  /** All pairs with cosine ≥ threshold (exact, for corpus near-dup
-    * detection at moderate scale; LSH below is the 10^9-row path). */
+  /** Near-dup pairs with cosine ≥ threshold, banded-LSH candidates.
+    *
+    * Candidate generation is `nBands` independent sign-LSH bands of
+    * `planesPerBand` hyperplanes each: a pair is a candidate iff it
+    * shares a full bucket in ≥1 band (recall 1-(1-p^r)^B, p =
+    * 1-θ/π — e.g. ≈0.75 at cos 0.4 with 8×4, higher for closer
+    * pairs). Candidates are verified with the exact cosine — no false
+    * positives. The join is an equi-join on (band, bucket): slim
+    * shuffle keys, no cartesian product, the shape that survives 100 TB.
+    * Everything is deterministic (seeded literal planes), so an external
+    * engine replaying the same planes computes the identical pair set.
+    */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, nBands: Int = 8, planesPerBand: Int = 4,
+      dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val planes = bandPlanes(nBands, planesPerBand, dim, seed)
+    val n = withNorm(vectors, idCol, vecCol, "_id", "_v", "_n")
+    val bands = array(planes.zipWithIndex.map { case (band, b) =>
+      val bucket = band.zipWithIndex.map { case (p, i) =>
+        when(dot(col("_v"), array(p.map(lit): _*)) > 0, lit(1 << i))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }: _*)
+    val banded = n.withColumn("_bb", explode(bands))
+      .select(col("_id"), col("_v"), col("_n"),
+        col("_bb.band").as("_band"), col("_bb.bucket").as("_bucket"))
+    val a = banded.select(col("_id").as("vec_a"), col("_v").as("_va"),
+      col("_n").as("_na"), col("_band"), col("_bucket"))
+    val b = banded.select(col("_id").as("vec_b"), col("_v").as("_vb"),
+      col("_n").as("_nb"), col("_band"), col("_bucket"))
+    a.join(b, Seq("_band", "_bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      // a pair matching in several bands appears once per band — dedupe
+      // BEFORE the cosine so each survivor is scored exactly once
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos",
+        dot(col("_va"), col("_vb")) / sqrt(col("_na") * col("_nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** All pairs with cosine ≥ threshold — EXACT but O(n²): a true cross
+    * join, only for small corpora (re-ranking a candidate subset,
+    * validation runs). The banded [[cosineNearDupPairs]] is the
+    * at-scale default. */
+  def cosineNearDupPairsExact(vectors: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
     val a = withNorm(vectors, idCol, vecCol, "vec_a", "_va", "_na")
     val b = withNorm(vectors, idCol, vecCol, "vec_b", "_vb", "_nb")
     a.crossJoin(b)
@@ -68,6 +112,14 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /** The deterministic plane constants behind [[cosineNearDupPairs]]:
+    * band b uses planes [b*r, (b+1)*r) of one seeded Gaussian stream.
+    * Public so oracle SQL can embed the identical literals. */
+  def bandPlanes(nBands: Int, planesPerBand: Int, dim: Int,
+      seed: Long): Seq[Seq[Array[Double]]] =
+    hyperplanes(nBands * planesPerBand, dim, seed)
+      .grouped(planesPerBand).toSeq
 
   /** Deterministic pseudo-random hyperplanes (fixed seed), embedded as
     * literal arrays so the plan is a constant — no data dependency. */

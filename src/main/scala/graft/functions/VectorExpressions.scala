@@ -120,20 +120,9 @@ case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val P = 2147483647L
   private lazy val isString =
     child.dataType.asInstanceOf[ArrayType].elementType == StringType
-  private lazy val (as, bs) = {
-    val r = new scala.util.Random(seed)
-    val a = new Array[Long](numPerms); val b = new Array[Long](numPerms)
-    var i = 0
-    while (i < numPerms) {
-      a(i) = math.abs(r.nextLong()) % (P - 1) + 1
-      b(i) = math.abs(r.nextLong()) % P
-      i += 1
-    }
-    (a, b)
-  }
+  private lazy val (as, bs) = MinHashSig.perms(numPerms, seed)
 
   override def nullSafeEval(v: Any): Any =
     TextKernels.minHashSig(v.asInstanceOf[ArrayData], isString, as, bs)
@@ -148,6 +137,25 @@ case class MinHashSig(child: Expression, numPerms: Int, seed: Long)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+object MinHashSig {
+  val P = 2147483647L
+
+  /** The seeded permutation constants sig[j] = min (a_j*h + b_j) mod P.
+    * Public so an oracle replaying the signature can embed the exact
+    * same (a_j, b_j) literals. */
+  def perms(numPerms: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val r = new scala.util.Random(seed)
+    val a = new Array[Long](numPerms); val b = new Array[Long](numPerms)
+    var i = 0
+    while (i < numPerms) {
+      a(i) = math.abs(r.nextLong()) % (P - 1) + 1
+      b(i) = math.abs(r.nextLong()) % P
+      i += 1
+    }
+    (a, b)
+  }
 }
 
 /** 64-bit SimHash over the whitespace tokens of a string: per bit, sign

@@ -551,18 +551,60 @@ object Catalog {
       FROM lineitem GROUP BY l_returnflag"""))
 
   /** SQL-facing API surface: the custom expressions registered through
-    * SparkSessionExtensions, driven from spark.sql over a temp view.
-    * Engine-specific hashes → rows-only. */
+    * SparkSessionExtensions (shingles, jaccard_sim, min_hash_sig),
+    * driven from spark.sql over a temp view. Every output is
+    * deterministic AND engine-portable: shingle counts, a
+    * prefix-vs-full shingle jaccard (integer-derived double), and the
+    * first minhash slot over REPLAYABLE rolling-hash pre-hashes (the
+    * array<long> input path) with the seeded permutation constants
+    * embedded in the oracle via [[graft.functions.MinHashSig.perms]].
+    * sim_hash64's xxhash64 basis is not replayable externally — its
+    * SQL-callable exactness is pinned in ExtensionsSpec instead. */
   private val q47 = Q("q47_sql_api",
     (s, dir) => {
       t(s, dir, "documents").createOrReplaceTempView("documents_v")
       s.sql("""SELECT doc_id,
-          sim_hash64(text) AS simhash,
           size(shingles(text, 3, true)) AS n_shingles,
-          element_at(min_hash_sig(shingles(text, 3, true), 8, 42), 1) AS mh0
+          size(shingles(text, 5, false)) AS n_char_shingles,
+          jaccard_sim(shingles(text, 3, true),
+                      shingles(substring(text, 1, 100), 3, true)) AS jac_prefix,
+          element_at(min_hash_sig(transform(shingles(text, 3, true),
+            s -> aggregate(sequence(1, length(s)), CAST(0 AS BIGINT),
+              (acc, i) -> (acc * 31 + ascii(substring(s, i, 1))) % 1000000007)),
+            8, 42), 1) AS mh0
         FROM documents_v""")
     },
-    None)
+    Some {
+      val (a0, b0) = {
+        val (as, bs) = graft.functions.MinHashSig.perms(8, 42L)
+        (as(0), bs(0))
+      }
+      s"""WITH d AS (SELECT doc_id, text,
+        list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS tk,
+        list_filter(string_split_regex(trim(substr(text, 1, 100)), '\\s+'), x -> len(x) > 0) AS tkp
+        FROM documents),
+      s AS (SELECT doc_id,
+        list_distinct([array_to_string(tk[i:i+2], ' ')
+          FOR i IN range(1, greatest(len(tk) - 2, 0) + 1)]) AS sh3,
+        list_distinct([array_to_string(tkp[i:i+2], ' ')
+          FOR i IN range(1, greatest(len(tkp) - 2, 0) + 1)]) AS sh3p,
+        list_distinct([text[i:i+4]
+          FOR i IN range(1, greatest(len(text) - 4, 0) + 1)]) AS ch5
+        FROM d)
+      SELECT doc_id,
+        CAST(len(sh3) AS INT) AS n_shingles,
+        CAST(len(ch5) AS INT) AS n_char_shingles,
+        CASE WHEN len(sh3) + len(sh3p) = 0 THEN 0.0
+             ELSE len(list_intersect(sh3, sh3p)) * 1.0 /
+                  (len(sh3) + len(sh3p) - len(list_intersect(sh3, sh3p)))
+        END AS jac_prefix,
+        coalesce(list_min([($a0 * h + $b0) % 2147483647 FOR h IN
+          [list_reduce(list_prepend(CAST(0 AS BIGINT),
+             [CAST(ord(g[i]) AS BIGINT) FOR i IN range(1, len(g) + 1)]),
+             (a, c) -> (a * 31 + c) % 1000000007) FOR g IN sh3]]),
+          9223372036854775807) AS mh0
+      FROM s"""
+    })
 
   /** Same semantics as q25 but through the custom LogicalPlan +
     * SparkStrategy + SparkPlan operator (no shuffle; bounded heaps) —
@@ -851,18 +893,47 @@ object Catalog {
         FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) z
       WHERE rank <= 5"""))
 
-  /** Exact cosine near-dup pairs ≥ 0.4 (embedding-space dedup). */
+  /** DuckDB replay of one sign-LSH band bucket: same literal planes,
+    * same sequential dot fold as the Spark side, so the sign (and hence
+    * the candidate set) is bitwise-identical. */
+  private def lshBucketSql(band: Seq[Array[Double]]): String =
+    band.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(_.toString).mkString(", ")
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        [v[i] * ([$lits])[i] FOR i IN range(1, ${p.length} + 1)]),
+        (a, b) -> a + b) > 0 THEN ${1 << i} ELSE 0 END)"""
+    }.mkString(" + ")
+
+  /** Cosine near-dup pairs ≥ 0.4 via banded sign-LSH candidates +
+    * exact-cosine verify (embedding-space dedup, the 100 TB shape:
+    * equi-join on (band, bucket), no cross join). The oracle replays
+    * the identical deterministic planes, so the candidate set — and
+    * therefore the result — matches exactly. */
   private val q26 = Q("q26_cosine_neardup",
     (s, dir) => Similarity.cosineNearDupPairs(t(s, dir, "embeddings"),
       "vec_id", "embedding", threshold = 0.4),
-    Some(cosineOracleCte + """
+    Some {
+      val bands = Similarity.bandPlanes(nBands = 8, planesPerBand = 4,
+        dim = 64, seed = 7L)
+      val bk = bands.zipWithIndex.map { case (band, b) =>
+        s"SELECT vec_id, v, nrm, $b AS band, ${lshBucketSql(band)} AS bucket FROM n"
+      }.mkString("\n UNION ALL ")
+      cosineOracleCte + s""",
+      bk AS ($bk),
+      cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bucket = b.bucket
+          AND a.vec_id < b.vec_id)
       SELECT vec_a, vec_b, cos FROM (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        SELECT c.vec_a, c.vec_b,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             [a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)]), (x, y) -> x + y)
            / sqrt(a.nrm * b.nrm) AS cos
-        FROM n a JOIN n b ON a.vec_id < b.vec_id) z
-      WHERE cos >= 0.4"""))
+        FROM cand c
+        JOIN n a ON a.vec_id = c.vec_a
+        JOIN n b ON b.vec_id = c.vec_b) z
+      WHERE cos >= 0.4"""
+    })
 
   /** Approximate top-3 via random-hyperplane LSH buckets (the 10^9-row
     * path; approximation → rows-only check). */
@@ -1800,16 +1871,24 @@ object Catalog {
         FROM orders GROUP BY 1) z"""))
 
   /** Edit-distance near-matches (classic Wagner-Fischer DP, identical
-    * in both engines), blocked by nation so the self-join never goes
-    * quadratic in the corpus — same blocking discipline as q22. */
+    * in both engines). Candidates come from an EQUI-join on a name-
+    * length band: levenshtein ≤ 2 implies |len_a − len_b| ≤ 2, so side
+    * b emits keys len−2..len+2 and side a joins on its exact length —
+    * every qualifying pair matches exactly once, nothing quadratic in
+    * the corpus, and the blocking is lossless (the oracle needs no
+    * length predicate). Same candidate-then-verify discipline as q22. */
   private val q94 = Q("q94_levenshtein",
     (s, dir) => {
       val c = t(s, dir, "customer")
         .filter(col("c_nationkey") === 3 && col("c_acctbal") > 9000)
-        .select(col("c_custkey"), col("c_name"))
-      val a = c.select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
-      val b = c.select(col("c_custkey").as("id_b"), col("c_name").as("name_b"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("c_custkey"), col("c_name"),
+          length(col("c_name")).as("_len"))
+      val a = c.select(col("c_custkey").as("id_a"),
+        col("c_name").as("name_a"), col("_len").as("_key"))
+      val b = c.select(col("c_custkey").as("id_b"),
+        col("c_name").as("name_b"),
+        explode(sequence(col("_len") - 2, col("_len") + 2)).as("_key"))
+      a.join(b, Seq("_key")).filter(col("id_a") < col("id_b"))
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .filter(col("dist") <= 2)
         .select(col("id_a"), col("id_b"), col("dist"))

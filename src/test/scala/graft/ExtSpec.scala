@@ -80,6 +80,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("banded near-dup pairs: exact-verified subset, keyed join, full recall at cos=1") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val banded = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.4)
+    // candidate generation must be an equi-join, never a cross join
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    val got = banded.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.cosineNearDupPairsExact(emb, "vec_id",
+      "embedding", threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // subset of the exact pair set, scores bitwise-identical
+    assert(got.nonEmpty && got.keySet.subsetOf(exact.keySet))
+    got.foreach { case (k, c) => assert(exact(k) == c) }
+    // identical vectors agree on every plane sign → recall 1 at cos=1
+    val dup = exact.filter { case (_, c) => c >= 1.0 - 1e-12 }
+    assert(dup.keySet.subsetOf(got.keySet))
+  }
+
   test("LSH top-k returns plausible neighbors (bucketed subset)") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val got = Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb,

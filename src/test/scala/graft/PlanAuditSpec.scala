@@ -17,7 +17,8 @@ class PlanAuditSpec extends SparkSpec {
     "q11_sort_limit", "q12_distinct_agg", "q13_datetime_funcs",
     "q14_json_extract", "q15_watermark_boundary", "q16_rollup",
     "q17_sessionize", "q18_bronze_cast", "q20_dedup_exact",
-    "q21_dedup_normkey", "q28_lang_id", "q29_quality_score",
+    "q21_dedup_normkey", "q26_cosine_neardup", "q28_lang_id",
+    "q29_quality_score",
     "q30_token_stats", "q31_fingerprint", "q33_agg_battery", "q34_cube",
     "q45_percentiles", "q46_salted_agg", "q49_string_funcs",
     "q50_conditionals", "q52_vocab_stats", "q54_join_agg",
@@ -27,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "q77_running_sum", "q78_ngram_dedup", "q80_gap_fill",
     "q81_reservoir_sample", "q82_pii_scrub", "q86_moments",
     "q87_full_outer", "q90_range_frame", "q91_window_battery",
-    "q92_json_struct", "q93_null_semantics", "q95_bit_aggs",
+    "q92_json_struct", "q93_null_semantics", "q94_levenshtein",
+    "q95_bit_aggs",
     "q101_inverted_index")
 
   test("relational plans: keyed joins only, whole-stage codegen present") {
