@@ -20,6 +20,35 @@ import org.apache.spark.sql.functions._
   *    join (hamming ≤ k ⇒ some 16-bit chunk equal), then exact
   *    `bit_count(xor)` verify.
   */
+/** Lineage-cut strategy for the iterative / multi-consumer dedup stages.
+  *
+  * [[LocalCheckpoint]] stores blocks on the executors: fastest (no
+  * filesystem round-trip) but any executor loss kills the whole job
+  * mid-iteration — fine for short jobs and bench runs. For a long
+  * 100 TB clustering run use [[ReliableCheckpoint]]: blocks go to the
+  * SparkContext checkpoint dir (HDFS / object store), so lost executors
+  * recompute nothing — the run survives. Caller must
+  * `sc.setCheckpointDir` first in that mode.
+  */
+sealed trait Checkpointer {
+  def cut(df: DataFrame): DataFrame
+  /** Drop a superseded cut's storage (iterations would otherwise pin
+    * executor memory for the rest of the job). */
+  def release(df: DataFrame): Unit
+}
+case object LocalCheckpoint extends Checkpointer {
+  def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(df)
+}
+case object ReliableCheckpoint extends Checkpointer {
+  def cut(df: DataFrame): DataFrame = df.checkpoint()
+  /** Checkpoint files belong to the context — reclaimed by
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` (or the job's
+    * teardown), never while a consumer may still read them. */
+  def release(df: DataFrame): Unit = ()
+}
+
 object Dedup {
 
   // ---- exact -------------------------------------------------------------
@@ -68,17 +97,17 @@ object Dedup {
     * the pair count so each block's self-join is an independent,
     * shuffle-local task. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-      blockCols: Seq[Column], n: Int, threshold: Double): DataFrame = {
+      blockCols: Seq[Column], n: Int, threshold: Double,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
     // materialize the shingled corpus ONCE: three consumers below
     // (prefix explode + the two verify-stage rejoins) would otherwise
     // re-tokenize the whole corpus each — at 100 TB the shingle pass IS
     // the dominant cost, so it must run exactly once
-    val base = docs
+    val base = cp.cut(docs
       .withColumn("_block", concat_ws("", blockCols: _*))
       .select(col(idCol).as("_id"), col("_block"),
         sort_array(wordShingles(col(textCol), n)).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-      .localCheckpoint()
+      .filter(size(col("_sh")) > 0))
     // PPJoin-style prefix filter: J(A,B) >= t implies A and B share a
     // shingle within each one's first |S| - ceil(t*|S|) + 1 elements of
     // the global (sorted) order — so candidates come from an equi-join
@@ -118,20 +147,19 @@ object Dedup {
     * clusters of themselves. */
   def dupClusters(docs: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[Column], n: Int, threshold: Double,
-      maxIters: Int = 15): DataFrame = {
+      maxIters: Int = 15,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
     val pairs = ngramJaccardPairs(docs, textCol, idCol, blockCols, n,
-      threshold).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+      threshold, cp).select(col("doc_a"), col("doc_b"))
+    val edges = cp.cut(pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     // Iterate ONLY over edge-connected nodes: near-dups are a sliver of
     // the corpus, so the propagation working set is |edge nodes|, not
     // |docs| — at 100 TB the difference between joining the whole corpus
     // per round and joining a few thousand rows. Singletons rejoin at
     // the end with themselves as cluster id.
-    var labels = edges.select(col("doc_a").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+    var labels = cp.cut(edges.select(col("doc_a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -141,25 +169,22 @@ object Dedup {
         .groupBy(col("doc_a")).agg(min(col("_nl")).as("_nmin"))
       // convergence flag rides ALONG in the same pass (one action per
       // round: the eager checkpoint) instead of a separate join+count
-      val next = labels
+      val next = cp.cut(labels
         .join(nbrMin.select(col("doc_a").as("node"), col("_nmin")),
           Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("_nmin"), col("lbl"))).as("lbl"),
-          (col("_nmin") < col("lbl")).as("_changed"))
-        .localCheckpoint()
+          (col("_nmin") < col("lbl")).as("_changed")))
       val changed = next.filter(col("_changed")).head(1).nonEmpty
-      // drop the superseded iteration's checkpoint blocks — they pin
-      // executor storage memory for the rest of the job otherwise
-      // (Dataset.unpersist can't reach them; see bridge scaladoc)
-      org.apache.spark.sql.graftbridge.ColumnBridge
-        .unpersistLocalCheckpoint(labels)
+      // drop the superseded iteration's storage — it would pin executor
+      // memory for the rest of the job otherwise (Dataset.unpersist
+      // can't reach a localCheckpoint's blocks; see bridge scaladoc)
+      cp.release(labels)
       labels = next.select(col("node"), col("lbl"))
       converged = !changed
       it += 1
     }
-    org.apache.spark.sql.graftbridge.ColumnBridge
-      .unpersistLocalCheckpoint(edges)
+    cp.release(edges)
     docs.select(col(idCol).as("doc_id"))
       .join(labels.select(col("node").as("doc_id"), col("lbl")),
         Seq("doc_id"), "left")
@@ -298,18 +323,36 @@ object Dedup {
     *
     * Exact semantics (the Bloom stage only prunes, never decides), so
     * the result equals `corpus WHERE NOT EXISTS (blocklist)` and is
-    * DuckDB-checkable. */
+    * DuckDB-checkable. NULL keys match nothing under NOT EXISTS, so
+    * they route to the definitely-clean branch (the membership UDF
+    * never sees them).
+    *
+    * `expectedItems` sizes the Bloom filter without running a separate
+    * `count()` action over the blocklist — pass the known/approximate
+    * blocklist cardinality when the caller has it (an overestimate
+    * only wastes bits; an underestimate only raises the candidate
+    * fraction, never correctness).
+    *
+    * The two branches each scan the corpus (two map-only, column-pruned
+    * passes, shuffle = candidates only). That is deliberate: the
+    * one-scan alternative — null-out clean keys and anti-join
+    * everything — shuffles the FULL corpus width, which at 100 TB costs
+    * far more than a second scan. Callers with an already-cached corpus
+    * get one scan automatically. */
   def blocklistFilter(corpus: DataFrame, keyCol: String,
       bad: DataFrame, badKeyCol: String,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
     val spark = corpus.sparkSession
-    val nBad = math.max(bad.count(), 1L)
+    val nBad = expectedItems.getOrElse(math.max(bad.count(), 1L))
     val bf = bad.stat.bloomFilter(badKeyCol, nBad, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val might = udf((k: Long) => bc.value.mightContainLong(k))
-    val clean = corpus.filter(!might(col(keyCol)))
-    val candidates = corpus.filter(might(col(keyCol)))
+    // primitive-Long UDF yields null for null input; the isNull guard
+    // decides those rows (true || null = true, false || b = b)
+    val isClean = col(keyCol).isNull || !might(col(keyCol))
+    val candidates = corpus.filter(!isClean)
       .join(bad.select(col(badKeyCol).as(keyCol)), Seq(keyCol), "left_anti")
-    clean.unionByName(candidates)
+    corpus.filter(isClean).unionByName(candidates)
   }
 }

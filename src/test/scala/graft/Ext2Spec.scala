@@ -159,6 +159,22 @@ class BlocklistSpec extends SparkSpec {
     assert(!got.exists(id => Set(7L, 13L, 499L).contains(id % 500)))
     assert(got.size == 2000 - 3 * 4)
   }
+
+  test("null keys survive (NOT EXISTS semantics) and expectedItems skips the count") {
+    val corpus = ((0L until 100L).map(i => (i, Option(i % 10))) :+
+      (100L, None: Option[Long]) :+ (101L, None: Option[Long]))
+      .toDF("id", "fp")
+    val bad = Seq(3L, 7L).toDF("fp")
+    val got = graft.ext.Dedup.blocklistFilter(corpus, "fp", bad, "fp",
+        expectedItems = Some(16L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = corpus.join(bad, Seq("fp"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // both null-keyed rows are retained — a left_anti keeps them too
+    assert(got.contains(100L) && got.contains(101L))
+    assert(got.size == 100 - 2 * 10 + 2)
+  }
 }
 
 class StreamOuterJoinSpec extends SparkSpec {

@@ -177,6 +177,27 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
+/** The reliable-checkpoint mode (executor-loss-safe lineage cuts) must
+  * produce byte-identical clusters to the default local mode. */
+class ReliableCheckpointSpec extends SparkSpec {
+  test("dupClusters: ReliableCheckpoint == LocalCheckpoint clusters") {
+    val ckpt = tmpDir("ckpt_reliable")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    def run(cp: graft.ext.Checkpointer) =
+      graft.ext.Dedup.dupClusters(docs, "text", "doc_id",
+        blockCols = Seq(col("lang"), expr("n_chars div 64")),
+        n = 3, threshold = 0.6, cp = cp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run(graft.ext.LocalCheckpoint)
+    val reliable = run(graft.ext.ReliableCheckpoint)
+    assert(reliable == local && local.nonEmpty)
+    // the reliable mode actually wrote checkpoint data
+    val wrote = new java.io.File(ckpt).listFiles()
+    assert(wrote != null && wrote.nonEmpty)
+  }
+}
+
 /** Prefix-filtered blocked Jaccard must equal the brute-force blocked
   * pairwise result (PPJoin prefix lemma — no false negatives). */
 class PrefixFilterSpec extends SparkSpec {
