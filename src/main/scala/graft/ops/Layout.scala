@@ -25,15 +25,27 @@ object Layout {
 
   /** Write hive-partitioned, range-clustered parquet: partition dirs on
     * `partitionCols`, files within each partition range-distributed and
-    * sorted on `sortCols`. `filesPerPartition` bounds file count (AQE
-    * cannot merge the final sorted write). */
+    * sorted on `sortCols`. Task count = filesPerPartition × the number
+    * of distinct partition VALUES (approx-counted in one cheap agg pass
+    * when `partitionValues` isn't supplied), so each hive partition dir
+    * lands ~filesPerPartition files regardless of how many partition
+    * values exist (AQE cannot merge the final sorted write). Callers
+    * that know the value count (e.g. months in a year) should pass it
+    * and skip the sizing pass. */
   def writeClustered(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String],
-      filesPerPartition: Int = 4): Unit = {
+      filesPerPartition: Int = 4,
+      partitionValues: Option[Long] = None): Unit = {
+    val nVals = partitionValues.getOrElse {
+      if (partitionCols.isEmpty) 1L
+      else df.select(approx_count_distinct(
+          struct(partitionCols.map(col): _*)).as("n"))
+        .collect()(0).getLong(0)
+    }
+    val nTasks = (math.max(filesPerPartition, 1).toLong
+      * math.max(nVals, 1L)).min(Int.MaxValue.toLong).toInt
     val dist = (partitionCols ++ sortCols).map(col)
-    df.repartitionByRange(
-        math.max(filesPerPartition, 1) * math.max(partitionCols.size, 1),
-        dist: _*)
+    df.repartitionByRange(nTasks, dist: _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)

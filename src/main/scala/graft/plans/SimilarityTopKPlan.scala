@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * per partition and merges heaps — no shuffle at all, O(k·|queries|)
   * partial state per partition, single scan of the candidates. At 10^9
   * candidates the composed plan shuffles billions of rows; this one
-  * moves #partitions × |queries| × k tuples.
+  * tree-aggregates the partials on the executors and hands the driver a
+  * single |queries| × k merge (partition count never reaches the driver).
   *
   * Children contract: both sides project exactly (id: bigint,
   * vec: array<float>). Cosine is the same pinned sequential double fold
@@ -126,13 +127,30 @@ case class SimilarityTopKExec(k: Int, output: Seq[Attribute],
         }
       }
       Iterator.single(heaps.map(_.dequeueAll.toArray))
-    }.collect()
+    }
 
-    // driver merge: #partitions × |queries| × k tuples
+    // tree-merge the per-partition partials on the EXECUTORS: top-k
+    // selection under the total order (-cos, id) is associative, so
+    // pairwise merge-and-truncate loses nothing. The driver receives
+    // exactly ONE |queries|×k partial — partition count never appears
+    // in driver memory (a flat collect would hold
+    // #partitions × |queries| × k tuples and OOM on wide query sets).
+    def mergeTopK(a: Array[Array[(Double, Long)]],
+        b: Array[Array[(Double, Long)]]): Array[Array[(Double, Long)]] = {
+      val out = new Array[Array[(Double, Long)]](a.length)
+      var qi = 0
+      while (qi < a.length) {
+        out(qi) = (a(qi) ++ b(qi))
+          .sortBy { case (c, id) => (-c, id) }.take(kk)
+        qi += 1
+      }
+      out
+    }
+    val zero = Array.fill(qRows.length)(Array.empty[(Double, Long)])
+    val best = partials.treeAggregate(zero)(mergeTopK, mergeTopK)
+
     val merged = qRows.indices.flatMap { qi =>
-      val all = partials.iterator.flatMap(p => p(qi)).toArray
-      val top = all.sortBy { case (c, id) => (-c, id) }.take(kk)
-      top.zipWithIndex.map { case ((_, nId), rank) =>
+      best(qi).zipWithIndex.map { case ((_, nId), rank) =>
         (qRows(qi)._1, nId, rank + 1)
       }
     }

@@ -1194,12 +1194,17 @@ object Catalog {
     (s, dir) => {
       val rate = when(col("o_orderstatus") === "O", 10)
         .when(col("o_orderstatus") === "F", 20).otherwise(50)
+      // mask the key to 31 bits BEFORE the Knuth multiply: keys ≳ 3.5e9
+      // would overflow the product — silently wrapped here (non-ANSI)
+      // but a hard BIGINT error in the oracle engine. Identity at any
+      // key < 2^31, so current results are unchanged.
       t(s, dir, "orders")
-        .filter(pmod(col("o_orderkey") * lit(2654435761L), lit(100)) < rate)
+        .filter(pmod(pmod(col("o_orderkey"), lit(2147483648L))
+          * lit(2654435761L), lit(100)) < rate)
         .select(col("o_orderkey"), col("o_orderstatus"))
     },
     Some("""SELECT o_orderkey, o_orderstatus FROM orders
-      WHERE (o_orderkey * 2654435761) % 100 <
+      WHERE ((o_orderkey % 2147483648) * 2654435761) % 100 <
         CASE o_orderstatus WHEN 'O' THEN 10 WHEN 'F' THEN 20 ELSE 50 END"""))
 
   /** TF-IDF top-3 terms per document. IDF is emitted as the exact
@@ -1543,8 +1548,9 @@ object Catalog {
     * per-group top-k, not a global sort. */
   private val q81 = Q("q81_reservoir_sample",
     (s, dir) => {
-      val h = pmod(col("doc_id") * lit(2654435761L) + lit(97531L),
-        lit(1000000007L))
+      // 31-bit mask before the multiply — same overflow guard as q67
+      val h = pmod(pmod(col("doc_id"), lit(2147483648L))
+        * lit(2654435761L) + lit(97531L), lit(1000000007L))
       val w = Window.partitionBy(col("source"))
         .orderBy(h.asc, col("doc_id").asc)
       t(s, dir, "documents")
@@ -1554,7 +1560,7 @@ object Catalog {
     },
     Some("""SELECT source, doc_id, rk FROM (
       SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source
-        ORDER BY (doc_id * 2654435761 + 97531) % 1000000007 ASC,
+        ORDER BY ((doc_id % 2147483648) * 2654435761 + 97531) % 1000000007 ASC,
           doc_id ASC) AS INT) AS rk
       FROM documents) z WHERE rk <= 5"""))
 

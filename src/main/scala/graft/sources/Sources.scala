@@ -138,17 +138,27 @@ object JsonSource {
       .option("columnNameOfCorruptRecord", "_quarantine")
       .json(path)
 
-  /** Split a [[read]] result into (good rows without the quarantine
-    * column, quarantined raw lines). The batch is cached first: Spark
+  /** A [[split]] result: good rows, quarantined raw lines, and a
+    * `release()` that unpersists the shared parsed cache once both
+    * halves are consumed — without it every split pins its whole parsed
+    * batch in executor storage for the session lifetime. */
+  final case class Split(good: DataFrame, quarantined: DataFrame,
+      release: () => Unit)
+
+  /** Split a [[read]] result into good rows (without the quarantine
+    * column) and quarantined raw lines. The batch is cached first: Spark
     * refuses to answer queries that prune down to ONLY the corrupt-
     * record column straight off the files
     * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
     * halves re-reading+re-parsing the raw JSON would double the scan
-    * anyway — one parse, two consumers. */
-  def split(df: DataFrame): (DataFrame, DataFrame) = {
+    * anyway — one parse, two consumers. Call `release()` after both
+    * halves are materialized (written / collected). */
+  def split(df: DataFrame): Split = {
     val parsed = df.cache()
-    (parsed.filter(col("_quarantine").isNull).drop("_quarantine"),
-      parsed.filter(col("_quarantine").isNotNull).select(col("_quarantine")))
+    Split(
+      parsed.filter(col("_quarantine").isNull).drop("_quarantine"),
+      parsed.filter(col("_quarantine").isNotNull).select(col("_quarantine")),
+      () => { parsed.unpersist(); () })
   }
 }
 

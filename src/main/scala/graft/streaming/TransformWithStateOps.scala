@@ -26,8 +26,19 @@ object TransformWithStateOps {
   /** Per-user monotone sequence numbers: a ValueState[Long] counter
     * carried across micro-batches; rows within a (key, batch) are
     * ordered by (ts, event_id) before numbering so the assignment is
-    * deterministic and equal to the batch window
-    * row_number() OVER (PARTITION BY user ORDER BY ts, event_id). */
+    * deterministic.
+    *
+    * Equality with the batch window
+    * row_number() OVER (PARTITION BY user ORDER BY ts, event_id) holds
+    * only when all of a key's rows arrive in ONE micro-batch (true for
+    * the single-file AvailableNow fixture driven by [[runSeqNo]]). If
+    * the source splits input across batches (multiple files,
+    * maxFilesPerTrigger), numbering follows batch-arrival order — still
+    * monotone per key and gap-free, but not the global (ts, event_id)
+    * order. Sources that need the global order across batches must
+    * buffer by event time (ListState + watermark timers) before
+    * numbering — same caveat as EventsStream.withStatePartitions
+    * documents for skipNoData. */
   class SeqNoProcessor extends StatefulProcessor[Long, Ev, Seqd] {
     @transient private var cnt: ValueState[Long] = _
 

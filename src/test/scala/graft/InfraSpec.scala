@@ -153,6 +153,23 @@ class CustomPlanSpec extends SparkSpec {
     val w = composed.collect().map(_.toSeq).toSet
     assert(g == w && g.size == 20)
   }
+
+  test("wide query set: every corpus vector as a query (tree-merged partials)") {
+    // exercises the executor-side tree merge: the driver must only see
+    // one |queries|*k partial, never #partitions of them — and results
+    // must still equal the composed window plan at full width
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .repartition(16) // force many partials into the tree merge
+    val k = 3
+    val planned = graft.ext.Similarity.topKPlanned(
+      emb, emb, "vec_id", "embedding", k)
+    val composed = graft.ext.Similarity.bruteForceTopK(
+      emb, emb, "vec_id", "embedding", k)
+    val g = planned.collect().map(_.toSeq).toSet
+    val w = composed.collect().map(_.toSeq).toSet
+    val nQ = emb.count()
+    assert(g == w && g.size == nQ * k)
+  }
 }
 
 /** The injected optimizer rule must push q_id predicates through the

@@ -21,11 +21,15 @@ class JsonSourceSpec extends SparkSpec {
         |{"id": 3, "name": "c", "updated_at": "2026-01-03 00:00:00"}
         |""".stripMargin)
 
-    val (good, bad) = JsonSource.split(JsonSource.read(spark, schema, dir))
-    assert(good.columns.toSeq == Seq("id", "name", "updated_at"))
-    assert(good.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
-    val quarantined = bad.collect().map(_.getString(0))
+    val split = JsonSource.split(JsonSource.read(spark, schema, dir))
+    assert(split.good.columns.toSeq == Seq("id", "name", "updated_at"))
+    assert(split.good.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    val quarantined = split.quarantined.collect().map(_.getString(0))
     assert(quarantined.length == 1 && quarantined(0).startsWith("{not json"))
+    // release() frees the shared parsed cache (no pinned storage after)
+    split.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
   test("json sink roundtrip preserves values") {
