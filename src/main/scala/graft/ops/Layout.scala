@@ -95,3 +95,74 @@ object Layout {
     n
   }
 }
+
+/** Byte-compatible writer for the reference's S3 layout
+  * (gluejob.py:187):
+  * `{base}/{table}/company={company}/{table}_year={y}/{table}_month={m}/{table}.parquet`
+  * — table-prefixed partition directory names, unpadded int values, ONE
+  * snappy parquet object per partition named `{table}.parquet`.
+  *
+  * This exists ONLY for drop-in path compatibility with consumers that
+  * glob the reference's paths; [[Upsert.upsertPartitioned]]'s idiomatic
+  * `partitionBy` layout (multi-file partitions, standard column names)
+  * is the default and the right shape at scale — a single file per
+  * partition serializes both the write and every later scan, which is
+  * exactly the reference bottleneck SURVEY §7.4(3) opted out of.
+  *
+  * Mechanics: the prefixed dir names fall out of naming the partition
+  * COLUMNS `{table}_year`/`{table}_month` (hive encoding does the
+  * rest); one `repartition` task per partition yields exactly one file,
+  * renamed to `{table}.parquet` in a post-write FS pass that also drops
+  * `_SUCCESS`/checksum artifacts the reference layout doesn't have. */
+object ReferenceLayout {
+
+  /** Write `df` (carrying int `year`/`month` columns, as produced by
+    * Normalize's partition derivation) in the reference layout. */
+  def write(df: DataFrame, basePath: String, table: String,
+      company: String = "Locaweb"): Unit = {
+    val yearCol = s"${table}_year"; val monthCol = s"${table}_month"
+    val parts = Seq("company", yearCol, monthCol)
+    val tablePath = s"$basePath/$table"
+    df.withColumn("company", lit(company))
+      .withColumnRenamed("year", yearCol)
+      .withColumnRenamed("month", monthCol)
+      .repartition(parts.map(col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "snappy")
+      .partitionBy(parts: _*)
+      .parquet(tablePath)
+    renameToSingleObject(df.sparkSession, tablePath, table)
+  }
+
+  /** Read the reference layout back with the engine's standard column
+    * names (`year`/`month`) — partition pruning on them still reaches
+    * the file index because they remain partition columns. */
+  def read(spark: SparkSession, basePath: String, table: String): DataFrame =
+    spark.read.parquet(s"$basePath/$table")
+      .withColumnRenamed(s"${table}_year", "year")
+      .withColumnRenamed(s"${table}_month", "month")
+
+  private def renameToSingleObject(spark: SparkSession, tablePath: String,
+      table: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+    if (fs.exists(marker)) fs.delete(marker, false)
+    // snapshot the listing BEFORE renaming — mutating under a live
+    // RemoteIterator is undefined on some filesystems
+    val it = fs.listFiles(root, true)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        parts += f
+    }
+    parts.foreach { f =>
+      val target = new org.apache.hadoop.fs.Path(f.getParent, s"$table.parquet")
+      require(!fs.exists(target),
+        s"multiple files in ${f.getParent} — partition not single-file")
+      fs.rename(f, target)
+    }
+  }
+}

@@ -5,6 +5,40 @@ import org.apache.spark.sql.functions._
 
 class LayoutSpec extends SparkSpec {
 
+  test("reference layout: exact path scheme, one object per partition, prunable read-back") {
+    val base = tmpDir("ref_layout")
+    val table = "retail_orders"
+    val df = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select(col("o_orderkey").as("id"),
+        col("o_orderdate").cast("string").as("created_at"),
+        col("o_totalprice").cast("string").as("total"))
+    val keyed = graft.ops.PartitionKeys.withCompanyYearMonth(df, "created_at")
+    graft.ops.ReferenceLayout.write(keyed, base, table)
+
+    // the reference's byte-exact path shape (gluejob.py:187): prefixed
+    // dirs, unpadded ints, single {table}.parquet object, no marker
+    val (y, m) = keyed.select(min("year"), min("month")).collect()(0) match {
+      case r => (r.getInt(0), r.getInt(1))
+    }
+    val sample = new java.io.File(
+      s"$base/$table/company=Locaweb/${table}_year=$y/${table}_month=$m/$table.parquet")
+    assert(sample.isFile, s"missing ${sample.getPath}")
+    assert(!new java.io.File(s"$base/$table/_SUCCESS").exists())
+    val leaves = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+    assert(leaves.nonEmpty && leaves.forall(_.endsWith(s"/$table.parquet")))
+
+    // read-back parity with standard column names + partition pruning
+    val back = graft.ops.ReferenceLayout.read(spark, base, table)
+    assert(back.count() == keyed.count())
+    val pruned = back.filter(col("year") === y && col("month") === m)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains(s"${table}_year") && plan.contains("PartitionFilters"),
+      plan.take(600))
+    assert(pruned.count() ==
+      keyed.filter(col("year") === y && col("month") === m).count())
+  }
+
   test("clustered write prunes partitions and pushes sort-column filter") {
     val out = tmpDir("layout") + "/events_clustered"
     val ev = spark.read.parquet(s"${sf()}/events.parquet")
