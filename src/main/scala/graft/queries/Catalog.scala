@@ -413,7 +413,32 @@ object Catalog {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb,
         "vec_id", "embedding", k = 3, nCells = 16, nProbe = 2)
     },
-    None)
+    // Deterministic end to end (centroids = first 16 corpus vectors,
+    // argmax assignment and probe ranking tie-broken by id, exact
+    // cosine ranks) — the oracle replays the full IVF pipeline.
+    Some(cosineOracleCte + s""",
+      cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        ORDER BY vec_id ASC LIMIT 16),
+      asg AS (SELECT n_id, v, nrm, cell FROM (
+        SELECT n.vec_id AS n_id, n.v, n.nrm, cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS cr
+        FROM n CROSS JOIN cent) z WHERE cr = 1),
+      prb AS (SELECT q_id, qv, qn, cell FROM (
+        SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qn,
+          cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS pr
+        FROM n CROSS JOIN cent WHERE n.vec_id < 50) z WHERE pr <= 2)
+      SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+        SELECT p.q_id, a.n_id,
+          row_number() OVER (PARTITION BY p.q_id ORDER BY
+            (${dotFoldSql("p.qv", "a.v")} / sqrt(p.qn * a.nrm)) DESC,
+            a.n_id ASC) AS rank
+        FROM asg a JOIN prb p ON a.cell = p.cell AND p.q_id <> a.n_id) z
+      WHERE rank <= 3"""))
 
   /** As-of join: each purchase event picks up the user's most recent
     * signup event at-or-before it (union + running last, one shuffle). */
@@ -935,15 +960,38 @@ object Catalog {
       WHERE cos >= 0.4"""
     })
 
+  /** The shared sequential-fold cosine term for ANN oracles (identical
+    * arithmetic to the DotProduct expression → bitwise-equal doubles). */
+  private def dotFoldSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      [$a[i] * $b[i] FOR i IN range(1, len($a) + 1)]), (x, y) -> x + y)"""
+
   /** Approximate top-3 via random-hyperplane LSH buckets (the 10^9-row
-    * path; approximation → rows-only check). */
+    * path). The bucketing is DETERMINISTIC (seeded literal planes), so
+    * the oracle replays the identical buckets and exact within-bucket
+    * ranks — a full hash check, not rows-only, despite "approximate"
+    * recall semantics. */
   private val q27 = Q("q27_ann_lsh",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 100), emb,
         "vec_id", "embedding", k = 3, nPlanes = 8, dim = 64)
     },
-    None)
+    Some {
+      // the same 8 planes lshBucket derives from seed 7
+      val planes = Similarity.bandPlanes(nBands = 1, planesPerBand = 8,
+        dim = 64, seed = 7L).head
+      cosineOracleCte + s""",
+      b AS (SELECT vec_id, v, nrm, ${lshBucketSql(planes)} AS bucket FROM n)
+      SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            (${dotFoldSql("q.v", "c.v")} / sqrt(q.nrm * c.nrm)) DESC,
+            c.vec_id ASC) AS rank
+        FROM b q JOIN b c ON q.bucket = c.bucket
+          AND q.vec_id < 100 AND c.vec_id <> q.vec_id) z
+      WHERE rank <= 3"""
+    })
 
   /** Language-ID stopword-ratio heuristic. */
   private val q28 = Q("q28_lang_id",
