@@ -79,18 +79,28 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(b).as("band"), bucket.as("bucket"))
     }: _*)
+    // candidate rows are SLIM (id, band, bucket): the vectors must not
+    // ride through the pair join/dedup shuffle — with b buckets per
+    // band the join emits O(n²/b) rows per band, and at 64 floats per
+    // side that is a multi-GB shuffle the 16-byte id-pair rows avoid
+    // (same discipline as Dedup.minHashLshPairs)
     val banded = n.withColumn("_bb", explode(bands))
-      .select(col("_id"), col("_v"), col("_n"),
+      .select(col("_id"),
         col("_bb.band").as("_band"), col("_bb.bucket").as("_bucket"))
-    val a = banded.select(col("_id").as("vec_a"), col("_v").as("_va"),
-      col("_n").as("_na"), col("_band"), col("_bucket"))
-    val b = banded.select(col("_id").as("vec_b"), col("_v").as("_vb"),
-      col("_n").as("_nb"), col("_band"), col("_bucket"))
-    a.join(b, Seq("_band", "_bucket"))
+    val cand = banded.select(col("_id").as("vec_a"), col("_band"),
+        col("_bucket"))
+      .join(banded.select(col("_id").as("vec_b"), col("_band"),
+        col("_bucket")), Seq("_band", "_bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      // a pair matching in several bands appears once per band — dedupe
-      // BEFORE the cosine so each survivor is scored exactly once
-      .dropDuplicates("vec_a", "vec_b")
+      .select("vec_a", "vec_b")
+      .distinct() // a pair matching in several bands collides once per band
+    // verify: attach vectors only to the surviving candidate pairs,
+    // score each exactly once
+    cand
+      .join(n.select(col("_id").as("vec_a"), col("_v").as("_va"),
+        col("_n").as("_na")), Seq("vec_a"))
+      .join(n.select(col("_id").as("vec_b"), col("_v").as("_vb"),
+        col("_n").as("_nb")), Seq("vec_b"))
       .withColumn("cos",
         dot(col("_va"), col("_vb")) / sqrt(col("_na") * col("_nb")))
       .filter(col("cos") >= threshold)
