@@ -227,6 +227,110 @@ object Similarity {
           .cast("int")).as("q"))
   }
 
+  /** Squared L2 over one PQ subspace as a strictly sequential fold
+    * (init 0.0, ascending element order), so DuckDB's
+    * `list_reduce(list_prepend(0.0, [...]))` replays it bitwise. Both
+    * inputs are full vectors addressed with global 1-based indices. */
+  private def subL2(a: Column, b: Column, j: Int, sub: Int): Column =
+    aggregate(sequence(lit(j * sub + 1), lit(j * sub + sub)), lit(0.0),
+      (acc, i) =>
+        acc + (element_at(a, i) - element_at(b, i)) *
+          (element_at(a, i) - element_at(b, i)))
+
+  /** Product-quantization encode: split each `dim`-vector into `nSub`
+    * subspaces and store, per subspace, the id of the nearest codeword
+    * — `nSub` small ints instead of `dim` floats (32x at 8x16x64
+    * defaults), THE storage shape for 10^9-vector corpora.
+    *
+    * The codebook is the deterministic convention used by [[ivfTopK]]:
+    * codeword c of every subspace is the sub-slice of corpus vector
+    * `id = c` (`id < nCodewords` — a pruned k-row scan), so an external
+    * engine can rebuild the identical codebook from the data alone.
+    * Real deployments would swap in k-means-trained codebooks; the
+    * plan shape (tiny broadcast codebook, map-side argmin) is the same.
+    *
+    * Plan: one broadcast join (k codebook rows per vector) and one
+    * partially-aggregated min-struct groupBy — all k rows of a vector
+    * sit in its input partition, so the map-side combine collapses
+    * them and the shuffle carries one slim row per vector. Ties on
+    * distance break to the lowest codeword id (struct comparison),
+    * mirrored by the oracle's `ORDER BY d, c` rank.
+    *
+    * Output: (_id, codes array<int>, err = Σ_j d_j as a pinned
+    * left-assoc chain, recon = concatenated chosen codewords). */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+      nSub: Int = 8, nCodewords: Int = 16, dim: Int = 64): DataFrame = {
+    val sub = dim / nSub
+    require(sub * nSub == dim, s"dim $dim not divisible by nSub $nSub")
+    val e = vectors.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val cb = e.filter(col("_id") < nCodewords)
+      .select(col("_id").as("_cb"), col("_v").as("_cv"))
+    val aggs = (0 until nSub).map { j =>
+      min(struct(
+        subL2(col("_v"), col("_cv"), j, sub).as("d"),
+        col("_cb").as("c"),
+        slice(col("_cv"), j * sub + 1, sub).as("w"))).as(s"_m$j")
+    }
+    e.crossJoin(broadcast(cb))
+      .groupBy(col("_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("_id"),
+        array((0 until nSub).map(j => col(s"_m$j").getField("c")
+          .cast("int")): _*).as("codes"),
+        (0 until nSub).map(j => col(s"_m$j").getField("d"))
+          .foldLeft(lit(0.0))(_ + _).as("err"),
+        flatten(array((0 until nSub).map(j =>
+          col(s"_m$j").getField("w")): _*)).as("recon"))
+  }
+
+  /** PQ asymmetric-distance top-k: candidates are scanned as CODES
+    * ONLY (nSub ints/row — no vectors ride the scan); each query
+    * precomputes its distance table tab[j*k + c] = L2²(q_j, C_j[c])
+    * against the broadcast codebook, and a candidate's distance is the
+    * left-assoc chain Σ_j tab[j*k + code_j] — nSub array lookups per
+    * (query, candidate), zero shuffle until the bounded per-query
+    * top-k window. This is the classic IVF-ADC probe shape (Jégou et
+    * al., TPAMI 2011) re-expressed as a broadcast join + fold.
+    *
+    * Deterministic end to end (codebook = corpus ids < nCodewords, tie
+    * break on ascending candidate id), so the DuckDB oracle replays
+    * the exact ranks despite "approximate" recall semantics. */
+  def pqAdcTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, topK: Int, nSub: Int = 8, nCodewords: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val sub = dim / nSub
+    val enc = pqEncode(candidates, idCol, vecCol, nSub, nCodewords, dim)
+      .select(col("_id").as("n_id"), col("codes"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("_qv"))
+    val cb = candidates
+      .select(col(idCol).as("_cb"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .filter(col("_cb") < nCodewords)
+    // tab laid out j-major: entry (j, c) at 1-based index j*k + c + 1
+    val qtab = q.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("_cb"),
+        array((0 until nSub).map(j =>
+          subL2(col("_qv"), col("_cv"), j, sub)): _*).as("_ds"))
+      .groupBy(col("q_id"))
+      .agg(sort_array(collect_list(struct(col("_cb"), col("_ds")))).as("_s"))
+      .select(col("q_id"),
+        flatten(array((0 until nSub).map(j =>
+          transform(col("_s"), s =>
+            element_at(s.getField("_ds"), j + 1))): _*)).as("_tab"))
+    val scored = enc.crossJoin(broadcast(qtab))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dist", (0 until nSub).foldLeft(lit(0.0))((acc, j) =>
+        acc + element_at(col("_tab"),
+          lit(j * nCodewords) + element_at(col("codes"), j + 1) + 1)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine rank within the bucket. Trades recall for a
     * corpus-fraction scan; `nPlanes` tunes bucket granularity. */

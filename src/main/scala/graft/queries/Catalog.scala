@@ -2109,6 +2109,70 @@ object Catalog {
         array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
       FROM t GROUP BY tok HAVING count(DISTINCT doc_id) >= 10"""))
 
+  /** The shared PQ CTE chain: deterministic codebook (corpus ids <
+    * 16), per-(vector, subspace) squared-L2 to every codeword as the
+    * same sequential fold Spark runs, argmin with the (d, c) tie
+    * break. Replays [[graft.ext.Similarity.pqEncode]] bitwise. */
+  private def pqOracleCte: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cb AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < 16),
+      pa AS (SELECT e.vec_id, cb.c, js.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(e.v[i] - cb.cv[i]) * (e.v[i] - cb.cv[i])
+             FOR i IN range(js.j * 8 + 1, js.j * 8 + 9)]), (x, y) -> x + y) AS d
+        FROM e CROSS JOIN cb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
+      sel AS (SELECT vec_id, j, c, d FROM (
+          SELECT vec_id, j, c, d,
+            row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+          FROM pa) z
+        WHERE rn = 1)"""
+
+  /** Product-quantization encode over the embeddings corpus: 8
+    * subspaces x 16 codewords (corpus ids < 16 as the deterministic
+    * codebook — see pqEncode's scaladoc). codes ride as a comma string
+    * for representation-stable hashing; err is the pinned left-assoc
+    * chain of per-subspace distances. */
+  private val q102 = Q("q102_pq_encode",
+    (s, dir) => Similarity.pqEncode(t(s, dir, "embeddings"),
+      "vec_id", "embedding")
+      .select(col("_id").as("vec_id"),
+        concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+        col("err")),
+    Some(pqOracleCte + """
+      SELECT vec_id,
+        array_to_string(list(c ORDER BY j), ',') AS codes,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY j)),
+          (x, y) -> x + y) AS err
+      FROM sel GROUP BY vec_id"""))
+
+  /** PQ asymmetric-distance top-5 for the first 10 query vectors:
+    * candidates scanned as codes only, per-query distance table against
+    * the broadcast codebook, rank by the chained table-lookup sum. The
+    * oracle recomputes each candidate's chosen codewords and folds the
+    * identical per-subspace distances, so ranks hash-match exactly. */
+  private val q103 = Q("q103_pq_adc_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqAdcTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", topK = 5)
+    },
+    Some(pqOracleCte + """,
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+      tj AS (SELECT s.vec_id, q.q_id, s.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(q.qv[i] - cb.cv[i]) * (q.qv[i] - cb.cv[i])
+             FOR i IN range(s.j * 8 + 1, s.j * 8 + 9)]), (x, y) -> x + y) AS t
+        FROM sel s JOIN cb ON cb.c = s.c CROSS JOIN q),
+      dist AS (SELECT q_id, vec_id AS n_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY j)),
+            (x, y) -> x + y) AS d
+        FROM tj GROUP BY q_id, vec_id)
+      SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+        SELECT q_id, n_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rank
+        FROM dist WHERE n_id <> q_id) z
+      WHERE rank <= 5"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -2116,5 +2180,5 @@ object Catalog {
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101)
+    q100, q101, q102, q103)
 }

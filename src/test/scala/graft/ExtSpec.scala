@@ -102,6 +102,41 @@ class SimilaritySpec extends SparkSpec {
     assert(dup.keySet.subsetOf(got.keySet))
   }
 
+  test("PQ encode picks the nearest codeword per subspace; ADC ranks match a driver replay") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 120)
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val cbk = (0L until 16L).map(all)
+    def sub2(a: Array[Double], b: Array[Double], j: Int): Double = {
+      var s = 0.0
+      for (i <- j * 8 until j * 8 + 8) s += (a(i) - b(i)) * (a(i) - b(i))
+      s
+    }
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    enc.foreach { case (id, codes) =>
+      assert(codes.length == 8)
+      for (j <- 0 until 8) {
+        val want = (0 until 16).minBy(c => (sub2(all(id), cbk(c), j), c))
+        assert(codes(j) == want, s"id=$id subspace=$j")
+      }
+    }
+    // ADC distance from codes only must reproduce driver-side ranks
+    val got = Similarity.pqAdcTopK(emb.filter(col("vec_id") < 3), emb,
+      "vec_id", "embedding", topK = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    for (qid <- 0L until 3L) {
+      val want = all.keys.filter(_ != qid).toSeq
+        .map(n => n -> (0 until 8).map(j => sub2(all(qid), cbk(enc(n)(j)), j)).sum)
+        .sortBy { case (n, d) => (d, n) }.take(4).map(_._1)
+      want.zipWithIndex.foreach { case (n, i) =>
+        assert(got((qid, i + 1)) == n, s"q=$qid rank=${i + 1}")
+      }
+    }
+  }
+
   test("LSH top-k returns plausible neighbors (bucketed subset)") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val got = Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb,
