@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.ops.{Cdc, Normalize, PartitionKeys, SemiJoins}
 import graft.schema.TableSpec
 import graft.streaming.EventsStream
@@ -2173,6 +2173,50 @@ object Catalog {
         FROM dist WHERE n_id <> q_id) z
       WHERE rank <= 5"""))
 
+  /** Token-budget sequence packing (1024-token shards over doc order):
+    * the Spark side runs the distributed two-phase prefix sum
+    * (bucketed running sums + cumulative bucket offsets — see
+    * [[graft.ext.Packing]]); the oracle is the plain global window it
+    * must equal. */
+  private val q104 = Q("q104_pack_budget",
+    (s, dir) => Packing.packBudget(t(s, dir, "documents"), "doc_id",
+      TextAnalysis.tokenCount(col("text")), budget = 1024L, bucketSpan = 64L)
+      .withColumnRenamed("_id", "doc_id"),
+    Some("""WITH d AS (SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        FROM d)
+      SELECT doc_id, n_tokens, start, start // 1024 AS shard,
+        start % 1024 AS shard_offset,
+        (start % 1024) + n_tokens > 1024 AS spills
+      FROM c"""))
+
+  /** Domain-mixture sample to a 40/25/20/15 target over four sources:
+    * quotas derive from the live per-domain counts (scale = the
+    * binding domain kept whole), membership from the deterministic
+    * hash rank — both replayed verbatim by the oracle. */
+  private val q105 = Q("q105_mixture_sample",
+    (s, dir) => Sampling.mixtureSample(t(s, dir, "documents"),
+      "doc_id", "source",
+      Map("src0" -> 0.4, "src1" -> 0.25, "src2" -> 0.2, "src3" -> 0.15)),
+    Some("""WITH w(source, wt) AS (VALUES
+        ('src0', 0.4), ('src1', 0.25), ('src2', 0.2), ('src3', 0.15)),
+      c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+      cw AS (SELECT c.source, cnt, wt FROM c JOIN w USING (source)),
+      s AS (SELECT min(CAST(cnt AS DOUBLE) / wt) AS scale FROM cw),
+      k AS (SELECT source, CAST(floor(wt * (SELECT scale FROM s)) AS BIGINT) AS keep
+        FROM cw),
+      r AS (SELECT d.doc_id, d.source, k.keep,
+          row_number() OVER (PARTITION BY d.source
+            ORDER BY ((d.doc_id % 2147483648) * 2654435761) % 2147483647,
+              d.doc_id) AS rn
+        FROM documents d JOIN k USING (source))
+      SELECT doc_id, source FROM r WHERE rn <= keep"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -2180,5 +2224,5 @@ object Catalog {
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103)
+    q100, q101, q102, q103, q104, q105)
 }

@@ -222,3 +222,75 @@ class PosNGramsSpec extends SparkSpec {
     // doc 2 (too short) and doc 3 (empty) emit nothing
   }
 }
+
+class PackingSpec extends SparkSpec {
+  import graft.ext.Packing
+  import spark.implicits._
+
+  test("two-phase prefix sum equals the global running sum at any bucket span") {
+    val docs = Seq((0L, 10L), (1L, 500L), (5L, 700L), (7L, 200L),
+      (12L, 1100L), (13L, 1L), (40L, 300L)).toDF("id", "n")
+    // driver oracle: plain cumulative walk in id order
+    val want = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) => (id, n, cum + n) }
+      .drop(1).map { case (id, n, end) =>
+        val start = end - n
+        id -> ((n, start, start / 1024, start % 1024, start % 1024 + n > 1024))
+      }.toMap
+    for (span <- Seq(1L, 4L, 64L, 1000000L)) {
+      val got = Packing.packBudget(docs, "id", col("n"), 1024L, span)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+        .toMap
+      assert(got == want, s"span=$span")
+    }
+  }
+
+  test("shards partition the stream: offsets stay under budget, non-spill fits") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = Packing.packBudget(docs, "doc_id",
+      graft.ext.TextAnalysis.tokenCount(col("text")), 1024L, 64L).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, start, shard, off, spills) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(off >= 0 && off < 1024)
+      assert(shard == start / 1024)
+      assert(spills == (off + n > 1024))
+    }
+    // starts are dense: sorted by id, each start = previous start + n
+    val sorted = out.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) == a.getLong(2) + a.getLong(1))
+      case _ =>
+    }
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import graft.ext.Sampling
+
+  test("mixture quotas are exact, binding domain kept whole, unlisted dropped") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val w = Map("src0" -> 0.4, "src1" -> 0.25, "src2" -> 0.2, "src3" -> 0.15)
+    val out = Sampling.mixtureSample(docs, "doc_id", "source", w)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom.keySet == w.keySet)
+    val counts = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val scale = w.map { case (d, wt) => counts(d) / wt }.min
+    w.foreach { case (d, wt) =>
+      assert(byDom(d) == math.floor(wt * scale).toLong, d)
+    }
+    // the binding domain (max wt here) survives in full
+    val binding = w.maxBy { case (d, wt) => wt / counts(d) }._1
+    assert(byDom(binding) == counts(binding))
+    // determinism: second run picks the identical ids
+    val again = Sampling.mixtureSample(docs, "doc_id", "source", w)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+  }
+}
