@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ext.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
-import graft.ops.{Cdc, Normalize, PartitionKeys, SemiJoins}
+import graft.ops.{Cdc, Normalize, PartitionKeys, Profiling, SemiJoins}
 import graft.schema.TableSpec
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2217,6 +2217,24 @@ object Catalog {
         FROM documents d JOIN k USING (source))
       SELECT doc_id, source FROM r WHERE rn <= keep"""))
 
+  /** Column-profile battery over documents (exact mode): one scan,
+    * long-format audit rows. The oracle is the per-column UNION ALL
+    * the exploded wide row must equal. */
+  private val q106 = Q("q106_profile",
+    (s, dir) => Profiling.profile(t(s, dir, "documents"),
+      Seq("doc_id", "lang", "source", "n_chars")),
+    Some {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+          count(*) - count($c) AS n_nulls,
+          count(DISTINCT $c) AS n_distinct,
+          CAST(min($c) AS VARCHAR) AS min_s,
+          CAST(max($c) AS VARCHAR) AS max_s
+        FROM documents"""
+      }.mkString("\nUNION ALL\n")
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -2224,5 +2242,5 @@ object Catalog {
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105)
+    q100, q101, q102, q103, q104, q105, q106)
 }

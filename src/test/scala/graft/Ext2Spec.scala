@@ -294,3 +294,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 }
+
+class ProfilingSpec extends SparkSpec {
+  import graft.ops.Profiling
+  import spark.implicits._
+
+  test("profile counts nulls/distincts exactly; approx mode drops the Expand") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (2L, null),
+      (null, "b")).toDF("k", "v")
+    val rows = Profiling.profile(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(rows("k") == ((4L, 1L, 2L, "1", "2")))
+    assert(rows("v") == ((4L, 1L, 2L, "a", "b")))
+    val exactPlan = Profiling.profile(df, Seq("k", "v"))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"))
+    val approxPlan = Profiling.profile(df, Seq("k", "v"), approximate = true)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"))
+  }
+}
