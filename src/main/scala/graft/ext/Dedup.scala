@@ -138,6 +138,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Cross-corpus near-dup pairs — train-vs-eval DECONTAMINATION at
+    * document granularity: every (left, right) pair in the same block
+    * with n-gram Jaccard ≥ threshold. Same exact PPJoin prefix filter
+    * as [[ngramJaccardPairs]] (the prefix lemma is symmetric in the
+    * pair, so it holds unchanged across two corpora): candidates come
+    * from an equi-join of the two sides' prefix tokens, never a
+    * blocked cross product, and each side's shingle pass runs once.
+    * Typical use: left = training corpus, right = benchmark/eval set;
+    * surviving left ids are the documents to drop. */
+  def crossJaccardPairs(left: DataFrame, right: DataFrame,
+      textCol: String, idCol: String, blockCols: Seq[Column], n: Int,
+      threshold: Double, cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    def prep(df: DataFrame) = cp.cut(df
+      .withColumn("_block", concat_ws("", blockCols: _*))
+      .select(col(idCol).as("_id"), col("_block"),
+        sort_array(wordShingles(col(textCol), n)).as("_sh"))
+      .filter(size(col("_sh")) > 0))
+    def prefixed(base: DataFrame, as: String) = {
+      val prefLen = size(col("_sh")) -
+        ceil(size(col("_sh")) * lit(threshold) - lit(1e-9)).cast("int") + lit(1)
+      base.select(col("_id").as(as), col("_block"),
+        explode(slice(col("_sh"), lit(1), prefLen)).as("_tok"))
+    }
+    val a = prep(left)
+    val b = prep(right)
+    val cand = prefixed(a, "left_id")
+      .join(prefixed(b, "right_id"), Seq("_block", "_tok"))
+      .select("left_id", "right_id")
+      .distinct()
+    cand
+      .join(a.select(col("_id").as("left_id"), col("_sh").as("_sha")),
+        Seq("left_id"))
+      .join(b.select(col("_id").as("right_id"), col("_sh").as("_shb")),
+        Seq("right_id"))
+      .withColumn("jaccard", graft.functions.VectorFunctions
+        .jaccardSorted(col("_sha"), col("_shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the blocked-
     * Jaccard pair graph, labels = min doc id per component (the keeper).
     * Iterative min-label propagation — each round is one join + one

@@ -149,6 +149,37 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Multi-probe LSH top-k: each query probes its own sign-LSH bucket
+    * PLUS every bucket at Hamming distance 1 (one flipped hyperplane
+    * sign — the buckets a near-boundary neighbor most likely fell
+    * into). Classic multi-probe recall lift (Lv et al., VLDB 2007)
+    * with no extra hash tables: the probe set explodes query-side
+    * (tiny), candidates keep one bucket each, and the probe join stays
+    * an equi-join on the bucket key. Probe buckets are distinct, so
+    * no candidate is scored twice. Deterministic planes → the oracle
+    * replays buckets, probe flips, and exact within-probe ranks. */
+  def lshTopKMultiProbe(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, nPlanes: Int = 8,
+      dim: Int = 64, probeBits: Int = 8): DataFrame = {
+    require(probeBits <= nPlanes)
+    val q = withNorm(queries, idCol, vecCol, "q_id", "_qv", "_qn")
+      .withColumn("_b", lshBucket(col("_qv"), nPlanes, dim))
+      .withColumn("_bucket", explode(array(
+        (lit(0L) +: (0 until probeBits).map(i => lit(1L << i))).map(m =>
+          col("_b").bitwiseXOR(m)): _*)))
+    val c = withNorm(candidates, idCol, vecCol, "n_id", "_cv", "_cn")
+      .withColumn("_bucket", lshBucket(col("_cv"), nPlanes, dim))
+    val scored = c.join(broadcast(q), Seq("_bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos",
+        dot(col("_qv"), col("_cv")) / sqrt(col("_qn") * col("_cn")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** Exact top-k through the custom whole-operator plan
     * (graft.plans.SimilarityTopK → SimilarityTopKExec): bounded
     * per-partition heaps, zero shuffle — same results (and the same

@@ -993,6 +993,34 @@ object Catalog {
       WHERE rank <= 3"""
     })
 
+  /** Multi-probe LSH top-3: q27's buckets plus all Hamming-1 probe
+    * buckets per query (recall lift with no extra tables). The probe
+    * flips are integer XORs of the deterministic bucket, so the oracle
+    * replays the exact candidate set and ranks — full hash check. */
+  private val q108 = Q("q108_ann_multiprobe",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", k = 3, nPlanes = 8, dim = 64)
+    },
+    Some {
+      val planes = Similarity.bandPlanes(nBands = 1, planesPerBand = 8,
+        dim = 64, seed = 7L).head
+      cosineOracleCte + s""",
+      b AS (SELECT vec_id, v, nrm, ${lshBucketSql(planes)} AS bucket FROM n),
+      qp AS (SELECT vec_id, v, nrm,
+          unnest([xor(bucket, m) FOR m IN [0, 1, 2, 4, 8, 16, 32, 64, 128]]) AS probe
+        FROM b WHERE vec_id < 100)
+      SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            (${dotFoldSql("q.v", "c.v")} / sqrt(q.nrm * c.nrm)) DESC,
+            c.vec_id ASC) AS rank
+        FROM qp q JOIN b c ON q.probe = c.bucket
+          AND c.vec_id <> q.vec_id) z
+      WHERE rank <= 3"""
+    })
+
   /** Language-ID stopword-ratio heuristic. */
   private val q28 = Q("q28_lang_id",
     (s, dir) => t(s, dir, "documents")
@@ -2235,6 +2263,39 @@ object Catalog {
       }.mkString("\nUNION ALL\n")
     })
 
+  /** Doc-level train-vs-eval decontamination: cross-corpus blocked
+    * Jaccard (eval = doc_id % 3 = 0 as the held-out benchmark split),
+    * q22's blocks and threshold. train_id rows surviving here are the
+    * training documents a pipeline must drop. */
+  private val q107 = Q("q107_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossJaccardPairs(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id",
+        blockCols = Seq(col("lang"), expr("n_chars div 64")),
+        n = 3, threshold = 0.6)
+        .select(col("left_id").as("train_id"),
+          col("right_id").as("eval_id"), col("jaccard"))
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, lang || CAST(n_chars // 64 AS VARCHAR) AS blk,
+          list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, blk,
+          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3)
+      SELECT train_id, eval_id, jaccard FROM (
+        SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+          len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM g a JOIN g b ON a.blk = b.blk
+          AND a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0) z
+      WHERE jaccard >= 0.6"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -2242,5 +2303,5 @@ object Catalog {
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108)
 }

@@ -316,3 +316,52 @@ class ProfilingSpec extends SparkSpec {
     assert(!approxPlan.contains("Expand"))
   }
 }
+
+class CrossDedupSpec extends SparkSpec {
+  import graft.ext.Dedup
+
+  test("cross-corpus pairs = split-filtered self-join pairs, via equi-join only") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val blocks = Seq(col("lang"), expr("n_chars div 64"))
+    val cross = Dedup.crossJaccardPairs(
+      docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0),
+      "text", "doc_id", blocks, n = 3, threshold = 0.6)
+    val plan = cross.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    val got = cross.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // oracle: the full self-join pair set, restricted to straddling pairs
+    val all = Dedup.ngramJaccardPairs(docs, "text", "doc_id", blocks,
+      n = 3, threshold = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    val want = all.flatMap { case ((a, b), j) =>
+      (if (a % 3 != 0 && b % 3 == 0) Seq((a, b) -> j) else Nil) ++
+        (if (b % 3 != 0 && a % 3 == 0) Seq((b, a) -> j) else Nil)
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
+
+class MultiProbeSpec extends SparkSpec {
+  import graft.ext.Similarity
+
+  test("Hamming-1 probing never loses recall vs single-bucket LSH") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 30)
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hits(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3))
+    val single = hits(Similarity.lshTopK(q, emb, "vec_id", "embedding", 3))
+    val multi = hits(Similarity.lshTopKMultiProbe(q, emb, "vec_id", "embedding", 3))
+    val rSingle = (single & truth).size
+    val rMulti = (multi & truth).size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single $rSingle")
+    assert(rMulti > 0)
+    // every query still gets ranked output, ranks within k
+    val rows = Similarity.lshTopKMultiProbe(q, emb, "vec_id", "embedding", 3)
+      .collect()
+    assert(rows.forall(_.getInt(2) <= 3))
+  }
+}
