@@ -28,14 +28,19 @@ object Packing {
     * boundary (the tail that a training loader would truncate or wrap).
     * Ids must be non-negative; order is total because ids are unique. */
   def packBudget(df: DataFrame, idCol: String, tokens: Column,
-      budget: Long, bucketSpan: Long = 65536L): DataFrame = {
+      budget: Long, bucketSpan: Long = 65536L,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
     require(budget > 0 && bucketSpan > 0)
     val base = df.select(col(idCol).as("_id"), tokens.cast("long").as("n_tokens"))
       .withColumn("_bkt", expr(s"_id div ${bucketSpan}L"))
-    val local = base.withColumn("_end",
-      sum(col("n_tokens")).over(Window.partitionBy(col("_bkt")).orderBy(col("_id"))))
-    val offs = base.groupBy(col("_bkt"))
-      .agg(sum(col("n_tokens")).as("_t"))
+    // materialize the windowed slim rows ONCE (Dedup's Checkpointer
+    // discipline): the offsets branch and the final join both consume
+    // them, and without the cut each would re-derive the token counts
+    // from text — the expensive pass at 100 TB
+    val local = cp.cut(base.withColumn("_end",
+      sum(col("n_tokens")).over(Window.partitionBy(col("_bkt")).orderBy(col("_id")))))
+    val offs = local.groupBy(col("_bkt"))
+      .agg(max(col("_end")).as("_t"))
       .withColumn("_off", coalesce(
         sum(col("_t")).over(Window.orderBy(col("_bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -47,5 +52,37 @@ object Packing {
       .withColumn("spills", col("shard_offset") + col("n_tokens") > budget)
       .select(col("_id"), col("n_tokens"), col("start"), col("shard"),
         col("shard_offset"), col("spills"))
+  }
+
+  /** Deterministic epoch shuffle: a global training-order permutation
+    * index (`ord` = dense rank in (hash31(id), id) order) plus a
+    * round-robin shard over that order — the "shuffle then shard"
+    * step before writing training splits. Seed folds into the hash so
+    * each epoch is a different reproducible permutation.
+    *
+    * Same no-global-window discipline as [[packBudget]], bucketing on
+    * hash RANGES (hash div span) instead of id ranges: bucket
+    * boundaries align with hash order, so per-bucket ranks plus
+    * cumulative bucket counts reconstruct the exact global rank. */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int,
+      seed: Long = 0L, nBuckets: Int = 1024): DataFrame = {
+    require(nShards > 0 && nBuckets > 0)
+    val span = (1L << 31) / nBuckets + 1L
+    val h = pmod(pmod(col("_id") + lit(seed), lit(2147483648L))
+      * lit(2654435761L), lit(2147483647L))
+    val base = df.select(col(idCol).as("_id"))
+      .withColumn("_h", h)
+      .withColumn("_bkt", expr(s"_h div ${span}L"))
+    val local = base.withColumn("_rn", row_number().over(
+      Window.partitionBy(col("_bkt")).orderBy(col("_h"), col("_id"))))
+    val offs = base.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    local.join(broadcast(offs), "_bkt")
+      .withColumn("ord", col("_off") + col("_rn") - 1)
+      .withColumn("shard", pmod(col("ord"), lit(nShards.toLong)))
+      .select(col("_id"), col("ord"), col("shard"))
   }
 }

@@ -2296,6 +2296,23 @@ object Catalog {
           AND a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0) z
       WHERE jaccard >= 0.6"""))
 
+  /** Epoch shuffle (seed 1): global permutation rank over the seeded
+    * hash order, round-robin into 8 shards. The Spark side reconstructs
+    * the rank from bucketed partials; the oracle is the global window
+    * it must equal. */
+  private val q109 = Q("q109_epoch_shuffle",
+    (s, dir) => Packing.epochShuffle(t(s, dir, "documents"), "doc_id",
+      nShards = 8, seed = 1L)
+      .withColumnRenamed("_id", "doc_id"),
+    Some("""SELECT doc_id,
+        row_number() OVER (ORDER BY
+          ((doc_id + 1) % 2147483648) * 2654435761 % 2147483647,
+          doc_id) - 1 AS ord,
+        (row_number() OVER (ORDER BY
+          ((doc_id + 1) % 2147483648) * 2654435761 % 2147483647,
+          doc_id) - 1) % 8 AS shard
+      FROM documents"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -2303,5 +2320,5 @@ object Catalog {
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107, q108)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109)
 }

@@ -365,3 +365,82 @@ class MultiProbeSpec extends SparkSpec {
     assert(rows.forall(_.getInt(2) <= 3))
   }
 }
+
+class EpochShuffleSpec extends SparkSpec {
+  import graft.ext.Packing
+
+  test("epoch shuffle is a dense permutation, shards balanced, seeded, bucket-invariant") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val n = docs.count()
+    val out = Packing.epochShuffle(docs, "doc_id", nShards = 8, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).sorted.toSeq == (0L until n).toSeq) // dense perm
+    out.foreach { case (_, ord, sh) => assert(sh == ord % 8) }
+    val byShard = out.groupBy(_._3).view.mapValues(_.length).values
+    assert(byShard.max - byShard.min <= 1)
+    // a different seed produces a different permutation of the same ids
+    val other = Packing.epochShuffle(docs, "doc_id", nShards = 8, seed = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(other.map(_._1).sorted.toSeq == out.map(_._1).sorted.toSeq)
+    assert(other.toMap != out.map(t => (t._1, t._2)).toMap)
+    // bucket count must not change the result
+    val coarse = Packing.epochShuffle(docs, "doc_id", nShards = 8,
+      seed = 1L, nBuckets = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(coarse == out.map(t => (t._1, t._2)).toMap)
+  }
+}
+
+class Round3PlanShapeSpec extends SparkSpec {
+  import graft.queries.Catalog
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+  private def finalPlan(name: String): String = {
+    val df = Catalog.all.find(_.name == name).get.fn(spark, sf())
+    df.count()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q102 PQ encode: partial min-struct agg, broadcast codebook, no shuffle of vectors post-agg") {
+    val plan = finalPlan("q102_pq_encode")
+    assert(plan.contains("partial_"), s"no map-side combine:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"codebook not broadcast:\n$plan")
+  }
+
+  test("q103 ADC search: candidate side scans codes only (no embedding in post-encode joins)") {
+    val plan = finalPlan("q103_pq_adc_topk")
+    // the final probe join must be against the slim (n_id, codes) side:
+    // a single cross join with the broadcast per-query table
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("q104 packing: offsets broadcast back, no single-partition window over the data") {
+    val plan = finalPlan("q104_pack_budget")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"bucket offsets not broadcast:\n$plan")
+    // data-side window partitions by bucket, never empty partition spec
+    assert(!plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"global un-partitioned window over data:\n$plan")
+  }
+
+  test("q107 decontamination: candidates via shuffle equi-join, no cross product") {
+    val plan = finalPlan("q107_decontaminate")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q108 multi-probe: bucket equi-join with broadcast probe side") {
+    val plan = finalPlan("q108_ann_multiprobe")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q109 epoch shuffle: rank windows partition by bucket, offsets broadcast") {
+    val plan = finalPlan("q109_epoch_shuffle")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"offsets not broadcast:\n$plan")
+  }
+}
