@@ -54,6 +54,28 @@ object Packing {
         col("shard_offset"), col("spills"))
   }
 
+  /** Materialize the packed training sequences: [[packBudget]]'s shard
+    * assignment joined back to the text and concatenated in offset
+    * order with an EOS separator — the blob a pretraining loader
+    * actually reads. One full-text shuffle (inherent: rows must meet
+    * their shard) and a per-shard sorted concat whose memory is
+    * bounded by ~budget tokens of text per group, independent of
+    * corpus size. */
+  def packMaterialize(df: DataFrame, idCol: String, textCol: String,
+      tokens: Column, budget: Long, bucketSpan: Long = 65536L,
+      eos: String = " <eos> ", cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    val assign = packBudget(df, idCol, tokens, budget, bucketSpan, cp)
+      .select(col("_id"), col("n_tokens"), col("start"), col("shard"))
+    df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .join(assign, "_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        concat_ws(eos, transform(
+          sort_array(collect_list(struct(col("start"), col("_text")))),
+          s => s.getField("_text"))).as("packed"))
+  }
+
   /** Deterministic epoch shuffle: a global training-order permutation
     * index (`ord` = dense rank in (hash31(id), id) order) plus a
     * round-robin shard over that order — the "shuffle then shard"

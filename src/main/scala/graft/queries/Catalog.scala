@@ -2313,6 +2313,27 @@ object Catalog {
           doc_id) - 1) % 8 AS shard
       FROM documents"""))
 
+  /** Packed-sequence materialization: q104's shard assignment joined
+    * back to the text, concatenated in offset order with an EOS
+    * separator — the training blobs themselves. The oracle's ordered
+    * string_agg must byte-match the sorted-struct concat. */
+  private val q110 = Q("q110_pack_materialize",
+    (s, dir) => Packing.packMaterialize(t(s, dir, "documents"),
+      "doc_id", "text", TextAnalysis.tokenCount(col("text")),
+      budget = 1024L, bucketSpan = 64L),
+    Some("""WITH d AS (SELECT doc_id, text,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, text, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        FROM d)
+      SELECT start // 1024 AS shard, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        string_agg(text, ' <eos> ' ORDER BY start) AS packed
+      FROM c GROUP BY start // 1024"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -2320,5 +2341,5 @@ object Catalog {
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
 }

@@ -247,6 +247,25 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("materialized shards round-trip: splitting on eos restores docs in offset order") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val packed = graft.ext.Packing.packMaterialize(docs, "doc_id", "text",
+      graft.ext.TextAnalysis.tokenCount(col("text")), 1024L, 64L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val assign = graft.ext.Packing.packBudget(docs, "doc_id",
+      graft.ext.TextAnalysis.tokenCount(col("text")), 1024L, 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wantByShard = assign.groupBy(_._3).view.mapValues(
+      _.sortBy(_._2).map(t => texts(t._1)).mkString(" <eos> ")).toMap
+    assert(packed.keySet == wantByShard.keySet)
+    packed.foreach { case (shard, (nDocs, _, blob)) =>
+      assert(blob == wantByShard(shard), s"shard $shard")
+      assert(nDocs == assign.count(_._3 == shard))
+    }
+  }
+
   test("shards partition the stream: offsets stay under budget, non-spill fits") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val out = Packing.packBudget(docs, "doc_id",
