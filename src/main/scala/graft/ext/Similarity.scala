@@ -241,6 +241,47 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** One distributed k-means refinement step: assign every vector to
+    * its nearest centroid (same deterministic convention and exact
+    * cosine assignment as [[ivfTopK]]), then recompute each cell's
+    * centroid as the element-wise mean — the codebook-training inner
+    * loop for IVF/PQ indexes, run entirely as one broadcast join plus
+    * one map-side-combined aggregation (`dim` long sums per cell, no
+    * explode, no second shuffle).
+    *
+    * Element means are FIXED-POINT: lanes quantize to micro-units
+    * (floor(x·1e6 + 0.5), the q53 rounding), sums stay in exact Long
+    * arithmetic (order-independent — double sums would round
+    * differently under different partitionings), and the mean is
+    * floor(s·1000 / n) milli-micro units. Every step is replayable by
+    * an external engine; the string join keeps the 64-lane result
+    * representation-stable for hashing. */
+  def kmeansStep(candidates: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, dim: Int = 64): DataFrame = {
+    val cents = candidates.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
+        norm2(col(vecCol)).as("_centn"))
+    val cellRank = Window.partitionBy(col("n_id"))
+      .orderBy(col("_csim").desc, col("cent_id").asc)
+    val assigned = withNorm(candidates, idCol, vecCol, "n_id", "_cv", "_cn")
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim",
+        dot(col("_cv"), col("_centv")) / sqrt(col("_cn") * col("_centn")))
+      .withColumn("_cr", row_number().over(cellRank))
+      .filter(col("_cr") === 1)
+      .select(col("n_id"),
+        col("_cv").cast("array<double>").as("_v"), col("cent_id").as("cell"))
+    val sums = (1 to dim).map(i =>
+      sum(floor(element_at(col("_v"), i) * lit(1000000.0) + lit(0.5))
+        .cast("long")).as(s"_s$i"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sums: _*)
+      .select(col("cell"), col("n_members"),
+        concat_ws(",", (1 to dim).map(i =>
+          floor(col(s"_s$i") * lit(1000.0) / col("n_members"))
+            .cast("long").cast("string")): _*).as("centroid_milli"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 100 TB
     * storage path (4x smaller vectors; scan-side dequant is one
     * multiply). scale = max|x|/127; q_i = floor(x_i/scale + 0.5)

@@ -440,6 +440,33 @@ object Catalog {
         FROM asg a JOIN prb p ON a.cell = p.cell AND p.q_id <> a.n_id) z
       WHERE rank <= 3"""))
 
+  /** One k-means codebook-training step over the embeddings: q35's
+    * deterministic assignment, then fixed-point element-wise means
+    * (micro-unit long sums — order-independent, unlike double sums —
+    * divided with explicit floor). Full oracle despite the iterative-ML
+    * shape. */
+  private val q111 = Q("q111_kmeans_step",
+    (s, dir) => Similarity.kmeansStep(t(s, dir, "embeddings"),
+      "vec_id", "embedding", nCells = 16, dim = 64),
+    Some(cosineOracleCte + s""",
+      cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        ORDER BY vec_id ASC LIMIT 16),
+      asg AS (SELECT n_id, v, cell FROM (
+        SELECT n.vec_id AS n_id, n.v, cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS cr
+        FROM n CROSS JOIN cent) z WHERE cr = 1),
+      m AS (SELECT cell, i.i AS pos, count(*) AS cnt,
+          CAST(sum(CAST(floor(a.v[i.i] * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS s
+        FROM asg a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY cell, i.i)
+      SELECT cell, CAST(min(cnt) AS BIGINT) AS n_members,
+        string_agg(CAST(CAST(floor(s * 1000.0 / cnt) AS BIGINT) AS VARCHAR),
+          ',' ORDER BY pos) AS centroid_milli
+      FROM m GROUP BY cell"""))
+
   /** As-of join: each purchase event picks up the user's most recent
     * signup event at-or-before it (union + running last, one shuffle). */
   private val q37 = Q("q37_asof_join",
@@ -2341,5 +2368,6 @@ object Catalog {
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
+    q111)
 }

@@ -463,3 +463,23 @@ class Round3PlanShapeSpec extends SparkSpec {
       s"offsets not broadcast:\n$plan")
   }
 }
+
+class KmeansStepSpec extends SparkSpec {
+  import graft.ext.Similarity
+
+  test("kmeans step: members partition the corpus; fixed-point means are partitioning-invariant") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val out = Similarity.kmeansStep(emb, "vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.map(_._2).sum == emb.count())
+    out.foreach { case (_, n, c) =>
+      assert(n > 0)
+      assert(c.split(",").length == 64)
+    }
+    // double sums would drift under a different partitioning; the
+    // micro-unit long sums must not
+    val re = Similarity.kmeansStep(emb.repartition(7), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+}
