@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -85,5 +85,49 @@ object TextAnalysis {
     when(length(text) === 0 || text.isNull, lit(0L))
       .otherwise(aggregate(codes, lit(0L),
         (acc, c) => (acc * lit(31L) + c) % lit(FpMod)))
+  }
+
+  /** BM25 relevance scores for a fixed query-term set — the retrieval
+    * ranking a curation/dedup pipeline uses to pull topical slices.
+    * All corpus statistics (document frequency, average length) are
+    * computed in-plan; the df and length sides are term/scalar-tiny
+    * and broadcast, so the corpus pays one tokenize pass plus one
+    * (doc, term) aggregation.
+    *
+    * Oracle-exact by construction: idf is the q68-style integer
+    * rational floor(1e6·(N−df+0.5)/(df+0.5)) (ln() differs across libm
+    * builds and would break cross-engine hashing; BM25's ranking is
+    * monotone in the rational, so ranks are preserved), the k1/b terms
+    * evaluate in one pinned double expression, and the per-document
+    * term sum folds in ascending term order. */
+  def bm25Scores(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val base = docs.select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
+    val dl = base.select(col("_id"), size(col("_tk")).cast("long").as("_dl"))
+    val stats = dl.agg(count(lit(1)).as("_nd"), sum(col("_dl")).as("_sd"))
+    val tf = base.select(col("_id"), explode(col("_tk")).as("_t"))
+      .filter(col("_t").isin(terms: _*))
+      .groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_tf"))
+    val dfs = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+    val scored = tf
+      .join(broadcast(dfs), "_t")
+      .join(dl, "_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf_micro",
+        expr("((_nd - _df) * 2000000 + 1000000) div (2 * _df + 1)"))
+      .withColumn("_s",
+        col("_idf_micro").cast("double")
+          * (col("_tf").cast("double") * lit(k1 + 1.0))
+          / (col("_tf").cast("double") + lit(k1)
+            * (lit(1.0) - lit(b) + lit(b)
+              * (col("_dl").cast("double")
+                / (col("_sd").cast("double") / col("_nd").cast("double"))))))
+    scored.groupBy(col("_id"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("_t"), col("_s")))),
+          s => s.getField("_s")),
+        lit(0.0), (acc, x) => acc + x).as("bm25_micro"))
+      .select(col("_id"), col("bm25_micro"))
   }
 }

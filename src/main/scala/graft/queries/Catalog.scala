@@ -2361,6 +2361,39 @@ object Catalog {
         string_agg(text, ' <eos> ' ORDER BY start) AS packed
       FROM c GROUP BY start // 1024"""))
 
+  /** BM25 scores for a 3-term query over the documents corpus:
+    * integer-rational idf (ln-free), one pinned double expression per
+    * term, ascending-term fold per document — hash-exact across
+    * engines. */
+  private val q112 = Q("q112_bm25",
+    (s, dir) => TextAnalysis.bm25Scores(t(s, dir, "documents"),
+      "text", "doc_id", terms = Seq("key", "spark", "table"))
+      .withColumnRenamed("_id", "doc_id"),
+    Some {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH tk AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS tk
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+            CAST(sum(dl) AS BIGINT) AS sd FROM dl),
+        tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(tk) AS t FROM tk) z
+          WHERE t IN ('key', 'spark', 'table') GROUP BY doc_id, t),
+        dfs AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        sc AS (SELECT f.doc_id, f.t,
+            CAST(((st.nd - d.df) * 2000000 + 1000000) // (2 * d.df + 1) AS DOUBLE)
+              * (CAST(f.tf AS DOUBLE) * ${k1 + 1.0})
+              / (CAST(f.tf AS DOUBLE) + $k1 * (1.0 - $b + $b
+                * (CAST(l.dl AS DOUBLE)
+                  / (CAST(st.sd AS DOUBLE) / CAST(st.nd AS DOUBLE))))) AS s
+          FROM tf f JOIN dfs d USING (t) JOIN dl l USING (doc_id) CROSS JOIN st)
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY t)),
+            (x, y) -> x + y) AS bm25_micro
+        FROM sc GROUP BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -2369,5 +2402,5 @@ object Catalog {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111)
+    q111, q112)
 }

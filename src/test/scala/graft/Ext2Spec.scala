@@ -483,3 +483,24 @@ class KmeansStepSpec extends SparkSpec {
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 }
+
+class Bm25Spec extends SparkSpec {
+  import graft.ext.TextAnalysis
+
+  test("bm25: positive scores, only docs containing a term, repartition-invariant") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val terms = Seq("key", "spark", "table")
+    val out = TextAnalysis.bm25Scores(docs, "text", "doc_id", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.nonEmpty && out.values.forall(_ > 0))
+    // exactly the docs containing >= 1 query term are scored
+    val withTerm = docs.collect().filter { r =>
+      r.getString(1).trim.split("\\s+").exists(terms.contains)
+    }.map(_.getLong(0)).toSet
+    assert(out.keySet == withTerm)
+    // the ascending-term fold pins the double sum: partitioning must not move a bit
+    val re = TextAnalysis.bm25Scores(docs.repartition(7), "text", "doc_id", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(re == out)
+  }
+}
