@@ -37,6 +37,32 @@ object Curation {
         length(regexp_replace(text, "[0-9]+", "<NUM>")).as("clean_chars"))
   }
 
+  /** The full training-prep chain, every stage one of the verified
+    * operators: quality/language gates and normalized-key dedup
+    * ([[curate]]) → cross-corpus decontamination against the held-out
+    * eval split ([[Dedup.crossJaccardPairs]], survivors only — the
+    * shingle pass runs on the post-dedup corpus, not the raw one) →
+    * token-budget shard assignment ([[graft.ext.Packing.packBudget]]).
+    * Composition preserves each stage's 100 TB shape: map gates first,
+    * one keyed dedup shuffle, prefix-filtered contamination equi-join,
+    * two-phase prefix-sum packing. */
+  def trainPrep(docs: DataFrame, textCol: String, idCol: String,
+      evalPred: Column, blockCols: Seq[Column], n: Int = 3,
+      threshold: Double = 0.6, budget: Long = 1024L,
+      minQuality: Double = 0.2): DataFrame = {
+    val eval = docs.filter(evalPred)
+    val train = docs.filter(!evalPred)
+    val curated = curate(train, textCol, idCol, minQuality)
+    val survivors = train.join(curated.select(col(idCol)), Seq(idCol))
+    val bad = Dedup.crossJaccardPairs(survivors, eval, textCol, idCol,
+        blockCols, n, threshold)
+      .select(col("left_id").as(idCol)).distinct()
+    val clean = curated.join(bad, Seq(idCol), "left_anti")
+    graft.ext.Packing.packBudget(clean, idCol, col("n_tokens"), budget)
+      .select(col("_id").as(idCol), col("n_tokens"), col("start"),
+        col("shard"))
+  }
+
   /** Near-dup cluster collapse: given [[Dedup.dupClusters]] labels,
     * keep the best doc per cluster (longest by token count, min id
     * tiebreak) — the "keep one representative" step after clustering.

@@ -2394,6 +2394,53 @@ object Catalog {
         FROM sc GROUP BY doc_id"""
     })
 
+  /** The end-to-end training-prep composition: q89's gates + dedup on
+    * the train split, q107's decontamination of the survivors against
+    * the eval split, q104's packing of what remains. The oracle
+    * replays the whole chain — the composition itself is what's
+    * verified. */
+  private val q113 = Q("q113_train_prep",
+    (s, dir) => graft.ext.Curation.trainPrep(t(s, dir, "documents"),
+      "text", "doc_id", evalPred = col("doc_id") % 3 === 0,
+      blockCols = Seq(col("lang"), expr("n_chars div 64")),
+      n = 3, threshold = 0.6, budget = 1024L),
+    Some("""WITH s AS (SELECT doc_id, text,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS n,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> x IN ('the','a','of','and','is'))) AS hits,
+        len(regexp_replace(text, '\s', '', 'g')) AS ink
+        FROM documents WHERE doc_id % 3 <> 0),
+      f AS (SELECT doc_id, text, n FROM s
+        WHERE n > 0 AND hits * 1.0 / n >= 0.05
+          AND (CASE WHEN len(text) = 0 THEN 0.0
+            ELSE ink * 1.0 / len(text) END)
+            * (least(n, 200) * 1.0 / 200.0) >= 0.2),
+      d AS (SELECT doc_id, n, row_number() OVER (
+          PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+          ORDER BY doc_id ASC) AS rn
+        FROM f),
+      cur AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tokens FROM d WHERE rn = 1),
+      t2 AS (SELECT doc_id, lang || CAST(n_chars // 64 AS VARCHAR) AS blk,
+          list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (SELECT doc_id, blk,
+          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM t2 WHERE len(toks) >= 3),
+      bad AS (SELECT DISTINCT a.doc_id FROM g a JOIN g b
+        ON a.blk = b.blk AND b.doc_id % 3 = 0
+          AND a.doc_id IN (SELECT doc_id FROM cur)
+          AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+      keep AS (SELECT doc_id, n_tokens FROM cur
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+      c AS (SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        FROM keep)
+      SELECT doc_id, n_tokens, start, start // 1024 AS shard FROM c"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -2402,5 +2449,5 @@ object Catalog {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112)
+    q111, q112, q113)
 }
