@@ -241,6 +241,71 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** Combined IVF-PQ search — the canonical 10^9-vector index shape
+    * (Jégou et al.): candidates live in the index as (cell, codes) —
+    * one int plus nSub bytes per vector — queries probe their
+    * `nProbe` nearest cells and ADC-rank only the codes in those
+    * cells. vs [[pqAdcTopK]] this prunes the scan to nProbe/nCells of
+    * the corpus; vs [[ivfTopK]] the probed rows are codes, not raw
+    * vectors. The probe is an equi-join on the cell key with the tiny
+    * (probe × ADC-table) side broadcast: partition the index by cell
+    * and the probe never shuffles the corpus.
+    *
+    * Production IVF-PQ encodes residuals v − centroid(cell) against
+    * trained codebooks; this uses raw-vector PQ and the deterministic
+    * first-k codebook convention so the DuckDB oracle can replay the
+    * index build bit-for-bit — the plan shape is identical either way.
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 2,
+      nSub: Int = 8, nCodewords: Int = 16, dim: Int = 64): DataFrame = {
+    val sub = dim / nSub
+    val cents = candidates.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
+        norm2(col(vecCol)).as("_centn"))
+    val cellRank = Window.partitionBy(col("n_id"))
+      .orderBy(col("_csim").desc, col("cent_id").asc)
+    val assigned = withNorm(candidates, idCol, vecCol, "n_id", "_cv", "_cn")
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim",
+        dot(col("_cv"), col("_centv")) / sqrt(col("_cn") * col("_centn")))
+      .withColumn("_cr", row_number().over(cellRank))
+      .filter(col("_cr") === 1)
+      .select(col("n_id"), col("cent_id").as("_cell"))
+    val index = pqEncode(candidates, idCol, vecCol, nSub, nCodewords, dim)
+      .select(col("_id").as("n_id"), col("codes"))
+      .join(assigned, "n_id")
+    val probeRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("_csim").desc, col("cent_id").asc)
+    val probes = withNorm(queries, idCol, vecCol, "q_id", "_qv", "_qn")
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim",
+        dot(col("_qv"), col("_centv")) / sqrt(col("_qn") * col("_centn")))
+      .withColumn("_pr", row_number().over(probeRank))
+      .filter(col("_pr") <= nProbe)
+      .select(col("q_id"), col("_qv"), col("cent_id").as("_cell"))
+    val cb = candidates
+      .select(col(idCol).as("_cb"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .filter(col("_cb") < nCodewords)
+    val qtab = adcTables(
+      probes.select(col("q_id"), col("_qv")).distinct()
+        .select(col("q_id"), col("_qv").cast("array<double>").as("_qv")),
+      cb, nSub, sub)
+    val scored = index
+      .join(broadcast(probes.select(col("q_id"), col("_cell"))
+        .join(qtab, "q_id")), Seq("_cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dist", (0 until nSub).foldLeft(lit(0.0))((acc, j) =>
+        acc + element_at(col("_tab"),
+          lit(j * nCodewords) + element_at(col("codes"), j + 1) + 1)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** One distributed k-means refinement step: assign every vector to
     * its nearest centroid (same deterministic convention and exact
     * cosine assignment as [[ivfTopK]]), then recompute each cell's
@@ -356,6 +421,22 @@ object Similarity {
           col(s"_m$j").getField("w")): _*)).as("recon"))
   }
 
+  /** Per-query ADC lookup tables against a broadcast codebook, laid
+    * out j-major: entry (j, c) at 1-based index j*k + c + 1. Input
+    * `q` must carry (q_id, _qv double array); `cb` (_cb, _cv). */
+  private def adcTables(q: DataFrame, cb: DataFrame, nSub: Int,
+      sub: Int): DataFrame =
+    q.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("_cb"),
+        array((0 until nSub).map(j =>
+          subL2(col("_qv"), col("_cv"), j, sub)): _*).as("_ds"))
+      .groupBy(col("q_id"))
+      .agg(sort_array(collect_list(struct(col("_cb"), col("_ds")))).as("_s"))
+      .select(col("q_id"),
+        flatten(array((0 until nSub).map(j =>
+          transform(col("_s"), s =>
+            element_at(s.getField("_ds"), j + 1))): _*)).as("_tab"))
+
   /** PQ asymmetric-distance top-k: candidates are scanned as CODES
     * ONLY (nSub ints/row — no vectors ride the scan); each query
     * precomputes its distance table tab[j*k + c] = L2²(q_j, C_j[c])
@@ -380,17 +461,7 @@ object Similarity {
       .select(col(idCol).as("_cb"),
         col(vecCol).cast("array<double>").as("_cv"))
       .filter(col("_cb") < nCodewords)
-    // tab laid out j-major: entry (j, c) at 1-based index j*k + c + 1
-    val qtab = q.crossJoin(broadcast(cb))
-      .select(col("q_id"), col("_cb"),
-        array((0 until nSub).map(j =>
-          subL2(col("_qv"), col("_cv"), j, sub)): _*).as("_ds"))
-      .groupBy(col("q_id"))
-      .agg(sort_array(collect_list(struct(col("_cb"), col("_ds")))).as("_s"))
-      .select(col("q_id"),
-        flatten(array((0 until nSub).map(j =>
-          transform(col("_s"), s =>
-            element_at(s.getField("_ds"), j + 1))): _*)).as("_tab"))
+    val qtab = adcTables(q, cb, nSub, sub)
     val scored = enc.crossJoin(broadcast(qtab))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("dist", (0 until nSub).foldLeft(lit(0.0))((acc, j) =>

@@ -467,6 +467,58 @@ object Catalog {
           ',' ORDER BY pos) AS centroid_milli
       FROM m GROUP BY cell"""))
 
+  /** IVF-PQ probe (q35's cells + q102's codes): queries rank only the
+    * PQ codes inside their 2 probed cells. Deterministic index build
+    * and probe → the oracle replays cells, codes, ADC folds, and
+    * ranks. */
+  private val q114 = Q("q114_ivfpq_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 3, nCells = 16, nProbe = 2)
+    },
+    Some(cosineOracleCte + s""",
+      cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        ORDER BY vec_id ASC LIMIT 16),
+      asg AS (SELECT n_id, cell FROM (
+        SELECT n.vec_id AS n_id, cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS cr
+        FROM n CROSS JOIN cent) z WHERE cr = 1),
+      cb AS (SELECT vec_id AS c, v AS cv2 FROM e WHERE vec_id < 16),
+      pa AS (SELECT e.vec_id, cb.c, js.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(e.v[i] - cb.cv2[i]) * (e.v[i] - cb.cv2[i])
+             FOR i IN range(js.j * 8 + 1, js.j * 8 + 9)]), (x, y) -> x + y) AS d
+        FROM e CROSS JOIN cb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
+      sel AS (SELECT vec_id, j, c FROM (
+          SELECT vec_id, j, c,
+            row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+          FROM pa) z WHERE rn = 1),
+      prb AS (SELECT q_id, qv, cell FROM (
+        SELECT n.vec_id AS q_id, n.v AS qv, cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS pr
+        FROM n CROSS JOIN cent WHERE n.vec_id < 50) z WHERE pr <= 2),
+      tj AS (SELECT s.vec_id, p.q_id, s.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(p.qv[i] - cb.cv2[i]) * (p.qv[i] - cb.cv2[i])
+             FOR i IN range(s.j * 8 + 1, s.j * 8 + 9)]), (x, y) -> x + y) AS t
+        FROM sel s JOIN cb ON cb.c = s.c
+        JOIN asg a ON a.n_id = s.vec_id
+        JOIN prb p ON p.cell = a.cell),
+      dist AS (SELECT q_id, vec_id AS n_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY j)),
+            (x, y) -> x + y) AS d
+        FROM tj GROUP BY q_id, vec_id)
+      SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+        SELECT q_id, n_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rank
+        FROM dist WHERE n_id <> q_id) z
+      WHERE rank <= 3"""))
+
   /** As-of join: each purchase event picks up the user's most recent
     * signup event at-or-before it (union + running last, one shuffle). */
   private val q37 = Q("q37_asof_join",
@@ -2449,5 +2501,5 @@ object Catalog {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113)
+    q111, q112, q113, q114)
 }

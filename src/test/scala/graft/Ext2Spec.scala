@@ -504,3 +504,32 @@ class Bm25Spec extends SparkSpec {
     assert(re == out)
   }
 }
+
+class IvfPqSpec extends SparkSpec {
+  import graft.ext.Similarity
+
+  test("IVF-PQ: every neighbor comes from a probed cell; ranks bounded") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val out = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty && out.forall(_._3 <= 3))
+    // driver replay of cells and probes (cosine argmax over first 16)
+    val all = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val cents = (0L until 16L).map(all)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    def cell(v: Array[Double]): Int =
+      (0 until 16).minBy(c => (-cos(v, cents(c)), c))
+    val probed = (0L until 10L).map { qi =>
+      qi -> (0 until 16).sortBy(c => (-cos(all(qi), cents(c)), c)).take(2).toSet
+    }.toMap
+    out.foreach { case (qi, ni, _) =>
+      assert(probed(qi).contains(cell(all(ni))), s"q=$qi n=$ni outside probes")
+    }
+  }
+}
