@@ -347,6 +347,45 @@ object Similarity {
             .cast("long").cast("string")): _*).as("centroid_milli"))
   }
 
+  /** The full spherical k-means loop over [[kmeansStep]]'s shape:
+    * assign by cosine argmax, update centroids to the element-wise
+    * mean (the Σcos-maximizing direction), repeat. Lineage is cut per
+    * round through the [[Checkpointer]] — the tiny centroid table is
+    * what checkpoints, so each iteration costs exactly one corpus scan
+    * instead of re-deriving every prior round. Objective Σ cos(v,
+    * centroid) is monotone non-decreasing (spec-pinned); the
+    * cross-engine-exact single step stays [[kmeansStep]]'s fixed-point
+    * oracle. Returns (n_id, cell, cos_to_centroid). */
+  def kmeansIterate(candidates: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, iters: Int = 3, dim: Int = 64,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    val vecs = candidates.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    var cents = cp.cut(vecs.orderBy(col("n_id").asc).limit(nCells)
+      .select(col("n_id").as("cent_id"), col("_v").as("_c")))
+    def assigned(cs: DataFrame): DataFrame = {
+      val r = Window.partitionBy(col("n_id"))
+        .orderBy(col("_sim").desc, col("cent_id").asc)
+      vecs.crossJoin(broadcast(cs))
+        .withColumn("_sim", cosine(col("_v"), col("_c")))
+        .withColumn("_r", row_number().over(r))
+        .filter(col("_r") === 1)
+        .select(col("n_id"), col("_v"), col("_sim"), col("cent_id").as("cell"))
+    }
+    for (_ <- 1 to iters) {
+      val means = (1 to dim).map(i => avg(element_at(col("_v"), i)).as(s"_m$i"))
+      val next = assigned(cents).groupBy(col("cell"))
+        .agg(means.head, means.tail: _*)
+        .select(col("cell").as("cent_id"),
+          array((1 to dim).map(i => col(s"_m$i")): _*).as("_c"))
+      val old = cents
+      cents = cp.cut(next)
+      cp.release(old)
+    }
+    assigned(cents)
+      .select(col("n_id"), col("cell"), col("_sim").as("cos_to_centroid"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 100 TB
     * storage path (4x smaller vectors; scan-side dequant is one
     * multiply). scale = max|x|/127; q_i = floor(x_i/scale + 0.5)

@@ -41,4 +41,21 @@ object Profiling {
       col(s"_mx_$c").as("max_s"))): _*)
     wide.select(explode(entries).as("p")).select(col("p.*"))
   }
+
+  /** Fixed-width histogram of a non-negative integral expression —
+    * the distribution panel of the profile report (length/token-count
+    * histograms drive packing-budget and truncation choices). One
+    * map-side-combinable aggregation; buckets are value div width, so
+    * the binning needs no data-dependent bounds pass. */
+  def histogram(df: DataFrame, value: Column, width: Long): DataFrame = {
+    require(width > 0)
+    df.select(value.cast("long").as("_v"))
+      .withColumn("_bucket", expr(s"_v div ${width}L"))
+      .groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("_v")).as("lo"),
+        max(col("_v")).as("hi"))
+      .select(col("_bucket").as("bucket"),
+        (col("_bucket") * width).as("bucket_lo"), col("n"),
+        col("lo"), col("hi"))
+  }
 }

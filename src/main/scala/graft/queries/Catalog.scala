@@ -2493,6 +2493,18 @@ object Catalog {
         FROM keep)
       SELECT doc_id, n_tokens, start, start // 1024 AS shard FROM c"""))
 
+  /** Token-count histogram at width 25 — the profile panel that sizes
+    * packing budgets. */
+  private val q115 = Q("q115_histogram",
+    (s, dir) => Profiling.histogram(t(s, dir, "documents"),
+      TextAnalysis.tokenCount(col("text")), width = 25L),
+    Some("""SELECT n // 25 AS bucket, (n // 25) * 25 AS bucket_lo,
+        count(*) AS n, CAST(min(n) AS BIGINT) AS lo, CAST(max(n) AS BIGINT) AS hi
+      FROM (SELECT CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS BIGINT) AS n
+        FROM documents) z
+      GROUP BY n // 25"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -2501,5 +2513,5 @@ object Catalog {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114)
+    q111, q112, q113, q114, q115)
 }

@@ -533,3 +533,20 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 }
+
+class KmeansIterateSpec extends SparkSpec {
+  import graft.ext.Similarity
+
+  test("spherical k-means objective is monotone over iterations") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    def obj(iters: Int): (Double, Long) = {
+      val rows = Similarity.kmeansIterate(emb, "vec_id", "embedding",
+        iters = iters).collect()
+      (rows.map(_.getDouble(2)).sum, rows.length.toLong)
+    }
+    val (o1, n1) = obj(1)
+    val (o3, n3) = obj(3)
+    assert(n1 == emb.count() && n3 == n1) // every vector assigned
+    assert(o3 >= o1 - 1e-9, s"objective decreased: $o1 -> $o3")
+  }
+}
