@@ -26,7 +26,9 @@ object Packing {
     * offset in id order. Returns (_id, n_tokens, start, shard,
     * shard_offset, spills): `spills` marks documents crossing a shard
     * boundary (the tail that a training loader would truncate or wrap).
-    * Ids must be non-negative; order is total because ids are unique. */
+    * Ids must be non-negative; order is total because ids are unique.
+    * The tokens expression must be non-null — a null count would
+    * propagate into every later start offset's meaning. */
   def packBudget(df: DataFrame, idCol: String, tokens: Column,
       budget: Long, bucketSpan: Long = 65536L,
       cp: Checkpointer = LocalCheckpoint): DataFrame = {

@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   * quotas need that per-domain ordering — at extreme skew trade
   * exactness for a map-only hash-threshold filter (`h < rate * 2^31`,
   * quota ± binomial noise) as q67 does for fixed rates.
+  *
+  * A domain present in the weight map but absent from the data simply
+  * contributes no rows (the quota join is inner): the other domains'
+  * quotas still honor THEIR weights against the feasible scale, so the
+  * realized mixture is the target renormalized over present domains.
   */
 object Sampling {
 

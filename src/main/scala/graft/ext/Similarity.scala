@@ -433,7 +433,10 @@ object Similarity {
     * mirrored by the oracle's `ORDER BY d, c` rank.
     *
     * Output: (_id, codes array<int>, err = Σ_j d_j as a pinned
-    * left-assoc chain, recon = concatenated chosen codewords). */
+    * left-assoc chain, recon = concatenated chosen codewords).
+    * Preconditions: every vector is exactly `dim` long (short vectors
+    * would null the subspace folds) and ids 0..nCodewords-1 exist in
+    * the corpus (they ARE the codebook). */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
       nSub: Int = 8, nCodewords: Int = 16, dim: Int = 64): DataFrame = {
     val sub = dim / nSub
