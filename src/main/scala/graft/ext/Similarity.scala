@@ -406,12 +406,12 @@ object Similarity {
   /** Squared L2 over one PQ subspace as a strictly sequential fold
     * (init 0.0, ascending element order), so DuckDB's
     * `list_reduce(list_prepend(0.0, [...]))` replays it bitwise. Both
-    * inputs are full vectors addressed with global 1-based indices. */
+    * inputs are full vectors; runs in the codegen'd
+    * [[graft.functions.SubspaceL2]] kernel (an equivalent
+    * `aggregate(sequence(...))` HOF would drop the stage out of
+    * whole-stage codegen — the PQ hot path at k x m evals/vector). */
   private def subL2(a: Column, b: Column, j: Int, sub: Int): Column =
-    aggregate(sequence(lit(j * sub + 1), lit(j * sub + sub)), lit(0.0),
-      (acc, i) =>
-        acc + (element_at(a, i) - element_at(b, i)) *
-          (element_at(a, i) - element_at(b, i)))
+    VectorFunctions.subspaceL2(a, b, j * sub, sub)
 
   /** Product-quantization encode: split each `dim`-vector into `nSub`
     * subspaces and store, per subspace, the id of the nearest codeword

@@ -79,6 +79,76 @@ case class DotProduct(left: Expression, right: Expression)
       : Expression = copy(left = l, right = r)
 }
 
+/** Squared L2 distance over one PQ subspace — elements [offset,
+  * offset+len) of both arrays, 0-based — as the same strictly
+  * sequential double fold the interpreted
+  * `aggregate(sequence(...))` HOF runs (bitwise-identical results, so
+  * the DuckDB oracles are unaffected), but in whole-stage codegen:
+  * higher-order functions drop the surrounding stage out of codegen
+  * and re-enter the interpreter per row, which at nCodewords x nSub
+  * evaluations per vector is the PQ hot path. Short arrays clamp to
+  * their length (preconditions upstream guarantee full `dim`). */
+case class SubspaceL2(left: Expression, right: Expression,
+    offset: Int, len: Int) extends BinaryExpression {
+
+  private def okElem(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okElem(left) && okElem(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"subspace_l2 needs array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(offset + len, math.min(x.numElements(), y.numElements()))
+    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    var s = 0.0
+    var i = offset
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
+      s"""
+        int $n = java.lang.Math.min($offset + $len,
+          java.lang.Math.min($a.numElements(), $b.numElements()));
+        double $s = 0.0;
+        for (int $i = $offset; $i < $n; $i++) {
+          double $d = ($getA) - ($getB);
+          $s += $d * $d;
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 /** Exact Jaccard similarity of two string arrays (each pre-distinct) in
   * ONE pass: hash-set of the smaller side, probe with the larger.
   * Replaces size(array_intersect)/inclusion-exclusion trees that
@@ -223,6 +293,8 @@ object VectorFunctions {
     ColumnBridge.column(Shingles(e(text), n, word))
   def jaccardSorted(a: Column, b: Column): Column =
     ColumnBridge.column(JaccardSortedSim(e(a), e(b)))
+  def subspaceL2(a: Column, b: Column, offset: Int, len: Int): Column =
+    ColumnBridge.column(SubspaceL2(e(a), e(b), offset, len))
 }
 
 /** Distinct k-shingles of a string in one pass: char mode slides a
