@@ -516,6 +516,59 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with the deterministic coarse quantizer (the
+    * [[ivfTopK]] cell assignment — cosine argmax against the first
+    * `nCells` corpus vectors, ties to the lowest centroid id), then
+    * WITHIN each cell drop every vector that has a lower-id cell-mate
+    * with cosine ≥ `threshold`; the min-id exemplar of each near-dup
+    * neighborhood survives.
+    *
+    * Scale shape: pair generation is an equi-join on the cell key over
+    * SLIM (id, cell) rows — quadratic only within a cell, which is the
+    * algorithm's point (nCells grows with the corpus, ~√n keeps cells
+    * constant-sized), so no O(n²) cross join ever forms. Vectors attach
+    * to candidate pairs only for the exact-cosine verify (the q26
+    * slim-pair discipline); the final kept flag is one broadcast-able
+    * left join of the (small) dropped-id set.
+    *
+    * Deterministic end to end → the DuckDB oracle replays cells, pairs,
+    * and the kept flag exactly. Returns (vec_id, cell, kept). */
+  def semDeDup(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16): DataFrame = {
+    val cents = vectors.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
+        norm2(col(vecCol)).as("_centn"))
+    val cellRank = Window.partitionBy(col("_id"))
+      .orderBy(col("_csim").desc, col("cent_id").asc)
+    val assigned = withNorm(vectors, idCol, vecCol, "_id", "_v", "_n")
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim",
+        dot(col("_v"), col("_centv")) / sqrt(col("_n") * col("_centn")))
+      .withColumn("_cr", row_number().over(cellRank))
+      .filter(col("_cr") === 1)
+      .select(col("_id"), col("_v"), col("_n"), col("cent_id").as("_cell"))
+    val slim = assigned.select(col("_id"), col("_cell"))
+    val cand = slim.select(col("_id").as("vec_a"), col("_cell"))
+      .join(slim.select(col("_id").as("vec_b"), col("_cell")), Seq("_cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+    val n = assigned.select(col("_id"), col("_v"), col("_n"))
+    val dropped = cand
+      .join(n.select(col("_id").as("vec_a"), col("_v").as("_va"),
+        col("_n").as("_na")), Seq("vec_a"))
+      .join(n.select(col("_id").as("vec_b"), col("_v").as("_vb"),
+        col("_n").as("_nb")), Seq("vec_b"))
+      .filter(dot(col("_va"), col("_vb"))
+        / sqrt(col("_na") * col("_nb")) >= threshold)
+      .select(col("vec_b").as("_id"))
+      .distinct()
+    assigned.select(col("_id"), col("_cell"))
+      .join(dropped.withColumn("_drop", lit(1)), Seq("_id"), "left")
+      .select(col("_id").as("vec_id"), col("_cell").as("cell"),
+        when(col("_drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * then exact cosine rank within the bucket. Trades recall for a
     * corpus-fraction scan; `nPlanes` tunes bucket granularity. */
