@@ -37,6 +37,35 @@ object Similarity {
     df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
       norm2(col(vecCol)).as(nrmAs))
 
+  /** Zero-shuffle nearest-cell assignment — the coarse-quantizer step
+    * shared by IVF, IVF-PQ, k-means and SemDeDup.
+    *
+    * The centroid table collapses to ONE array-of-structs row (sorted
+    * ascending by cent_id — the tie-break order), rides a broadcast to
+    * every corpus partition, and the codegen'd
+    * [[graft.functions.NearestCentroid]] kernel folds over it inside
+    * the scan projection: argmax cosine, ties to the lowest id,
+    * numerically identical to exploding (vector × centroid) pairs and
+    * ranking with `row_number` — but with no ×nCells row expansion and
+    * NO shuffle of the corpus (at 10^9 vectors the exploded variant
+    * shuffles nCells full-vector copies per row just to pick a max).
+    *
+    * `cents` must carry (cent_id, _centv, _centn = ‖_centv‖²). Output =
+    * `vectors`' columns + `_cell` (winning centroid id, long) + `_csim`
+    * (cosine to it). */
+  private[graft] def assignCells(vectors: DataFrame, cents: DataFrame,
+      vecCol: String): DataFrame = {
+    val packed = cents.agg(sort_array(collect_list(struct(
+      col("cent_id").cast("long").as("id"), col("_centv").as("v"),
+      col("_centn").as("n")))).as("_cents"))
+    val keep = vectors.columns.map(col)
+    vectors.crossJoin(broadcast(packed))
+      .withColumn("_asg",
+        VectorFunctions.nearestCentroid(col(vecCol), col("_cents")))
+      .select(keep :+ col("_asg").getField("cell").as("_cell")
+        :+ col("_asg").getField("sim").as("_csim"): _*)
+  }
+
   /** Exact top-k neighbors for each query vector (brute force — the
     * correctness baseline). Queries are broadcast; rank ties broken by
     * candidate id. */
@@ -212,15 +241,12 @@ object Similarity {
     val cents = candidates.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
         norm2(col(vecCol)).as("_centn"))
-    val cellRank = Window.partitionBy(col("n_id"))
-      .orderBy(col("_csim").desc, col("cent_id").asc)
-    val assigned = withNorm(candidates, idCol, vecCol, "n_id", "_cv", "_cn")
-      .crossJoin(broadcast(cents))
-      .withColumn("_csim",
-        dot(col("_cv"), col("_centv")) / sqrt(col("_cn") * col("_centn")))
-      .withColumn("_cr", row_number().over(cellRank))
-      .filter(col("_cr") === 1)
-      .select(col("n_id"), col("_cv"), col("_cn"), col("cent_id").as("_cell"))
+    // corpus-side assignment: zero-shuffle broadcast-array fold (the
+    // probe side below keeps its window — query-cardinality-tiny)
+    val assigned = assignCells(
+      withNorm(candidates, idCol, vecCol, "n_id", "_cv", "_cn"),
+      cents, "_cv")
+      .select(col("n_id"), col("_cv"), col("_cn"), col("_cell"))
     val probeRank = Window.partitionBy(col("q_id"))
       .orderBy(col("_csim").desc, col("cent_id").asc)
     val probes = withNorm(queries, idCol, vecCol, "q_id", "_qv", "_qn")
@@ -229,7 +255,8 @@ object Similarity {
         dot(col("_qv"), col("_centv")) / sqrt(col("_qn") * col("_centn")))
       .withColumn("_pr", row_number().over(probeRank))
       .filter(col("_pr") <= nProbe)
-      .select(col("q_id"), col("_qv"), col("_qn"), col("cent_id").as("_cell"))
+      .select(col("q_id"), col("_qv"), col("_qn"),
+        col("cent_id").cast("long").as("_cell"))
     val scored = assigned.join(broadcast(probes), Seq("_cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos",
@@ -263,15 +290,12 @@ object Similarity {
     val cents = candidates.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
         norm2(col(vecCol)).as("_centn"))
-    val cellRank = Window.partitionBy(col("n_id"))
-      .orderBy(col("_csim").desc, col("cent_id").asc)
-    val assigned = withNorm(candidates, idCol, vecCol, "n_id", "_cv", "_cn")
-      .crossJoin(broadcast(cents))
-      .withColumn("_csim",
-        dot(col("_cv"), col("_centv")) / sqrt(col("_cn") * col("_centn")))
-      .withColumn("_cr", row_number().over(cellRank))
-      .filter(col("_cr") === 1)
-      .select(col("n_id"), col("cent_id").as("_cell"))
+    // index-build assignment: zero-shuffle broadcast-array fold (the
+    // kernel derives ‖v‖² itself — no norm projection needed here)
+    val assigned = assignCells(
+      candidates.select(col(idCol).as("n_id"), col(vecCol).as("_cv")),
+      cents, "_cv")
+      .select(col("n_id"), col("_cell"))
     val index = pqEncode(candidates, idCol, vecCol, nSub, nCodewords, dim)
       .select(col("_id").as("n_id"), col("codes"))
       .join(assigned, "n_id")
@@ -283,7 +307,7 @@ object Similarity {
         dot(col("_qv"), col("_centv")) / sqrt(col("_qn") * col("_centn")))
       .withColumn("_pr", row_number().over(probeRank))
       .filter(col("_pr") <= nProbe)
-      .select(col("q_id"), col("_qv"), col("cent_id").as("_cell"))
+      .select(col("q_id"), col("_qv"), col("cent_id").cast("long").as("_cell"))
     val cb = candidates
       .select(col(idCol).as("_cb"),
         col(vecCol).cast("array<double>").as("_cv"))
@@ -326,16 +350,11 @@ object Similarity {
     val cents = candidates.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
         norm2(col(vecCol)).as("_centn"))
-    val cellRank = Window.partitionBy(col("n_id"))
-      .orderBy(col("_csim").desc, col("cent_id").asc)
-    val assigned = withNorm(candidates, idCol, vecCol, "n_id", "_cv", "_cn")
-      .crossJoin(broadcast(cents))
-      .withColumn("_csim",
-        dot(col("_cv"), col("_centv")) / sqrt(col("_cn") * col("_centn")))
-      .withColumn("_cr", row_number().over(cellRank))
-      .filter(col("_cr") === 1)
+    val assigned = assignCells(
+      candidates.select(col(idCol).as("n_id"), col(vecCol).as("_cv")),
+      cents, "_cv")
       .select(col("n_id"),
-        col("_cv").cast("array<double>").as("_v"), col("cent_id").as("cell"))
+        col("_cv").cast("array<double>").as("_v"), col("_cell").as("cell"))
     val sums = (1 to dim).map(i =>
       sum(floor(element_at(col("_v"), i) * lit(1000000.0) + lit(0.5))
         .cast("long")).as(s"_s$i"))
@@ -363,15 +382,12 @@ object Similarity {
       col(vecCol).cast("array<double>").as("_v"))
     var cents = cp.cut(vecs.orderBy(col("n_id").asc).limit(nCells)
       .select(col("n_id").as("cent_id"), col("_v").as("_c")))
-    def assigned(cs: DataFrame): DataFrame = {
-      val r = Window.partitionBy(col("n_id"))
-        .orderBy(col("_sim").desc, col("cent_id").asc)
-      vecs.crossJoin(broadcast(cs))
-        .withColumn("_sim", cosine(col("_v"), col("_c")))
-        .withColumn("_r", row_number().over(r))
-        .filter(col("_r") === 1)
-        .select(col("n_id"), col("_v"), col("_sim"), col("cent_id").as("cell"))
-    }
+    def assigned(cs: DataFrame): DataFrame =
+      assignCells(vecs,
+        cs.select(col("cent_id"), col("_c").as("_centv"),
+          norm2(col("_c")).as("_centn")), "_v")
+        .select(col("n_id"), col("_v"), col("_csim").as("_sim"),
+          col("_cell").as("cell"))
     for (_ <- 1 to iters) {
       val means = (1 to dim).map(i => avg(element_at(col("_v"), i)).as(s"_m$i"))
       val next = assigned(cents).groupBy(col("cell"))
@@ -539,15 +555,9 @@ object Similarity {
     val cents = vectors.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
         norm2(col(vecCol)).as("_centn"))
-    val cellRank = Window.partitionBy(col("_id"))
-      .orderBy(col("_csim").desc, col("cent_id").asc)
-    val assigned = withNorm(vectors, idCol, vecCol, "_id", "_v", "_n")
-      .crossJoin(broadcast(cents))
-      .withColumn("_csim",
-        dot(col("_v"), col("_centv")) / sqrt(col("_n") * col("_centn")))
-      .withColumn("_cr", row_number().over(cellRank))
-      .filter(col("_cr") === 1)
-      .select(col("_id"), col("_v"), col("_n"), col("cent_id").as("_cell"))
+    val assigned = assignCells(
+      withNorm(vectors, idCol, vecCol, "_id", "_v", "_n"), cents, "_v")
+      .select(col("_id"), col("_v"), col("_n"), col("_cell"))
     val slim = assigned.select(col("_id"), col("_cell"))
     val cand = slim.select(col("_id").as("vec_a"), col("_cell"))
       .join(slim.select(col("_id").as("vec_b"), col("_cell")), Seq("_cell"))

@@ -278,6 +278,105 @@ case class JaccardSortedSim(left: Expression, right: Expression)
       : Expression = copy(left = l, right = r)
 }
 
+/** Argmax-cosine coarse-quantizer assignment: fold over a PACKED
+  * centroid array (one broadcast row of struct<id: long, v:
+  * array<float|double>, n: double>, sorted ascending by id) and return
+  * struct(cell, sim) for the nearest centroid by cosine, ties to the
+  * lowest id. Numerically identical to exploding (vector × centroid)
+  * pairs and ranking with `row_number` — dot and the vector norm are
+  * the same sequential double folds as [[DotProduct]], sim =
+  * dot/sqrt(nv·nc) — but with no ×nCells row expansion and NO shuffle:
+  * the whole assignment is one codegen'd projection over the corpus
+  * scan. NaN sims rank above everything (Spark/DuckDB descending-sort
+  * semantics), equal sims keep the earlier (lower-id) centroid. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okElem(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = right.dataType match {
+    case ArrayType(StructType(fs), _)
+        if fs.length == 3 && fs(0).dataType == LongType &&
+          okElem(fs(1).dataType) && fs(2).dataType == DoubleType &&
+          okElem(left.dataType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "nearest_centroid needs (array<float|double>, " +
+        "array<struct<long, array<float|double>, double>>), got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("sim", DoubleType, nullable = false)))
+
+  private lazy val vecIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val centIsFloat = right.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType](1)
+    .dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, cs: Any): Any =
+    VectorKernels.nearestCentroid(v.asInstanceOf[ArrayData], vecIsFloat,
+      cs.asInstanceOf[ArrayData], centIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.nearestCentroid(" +
+        s"$a, $vecIsFloat, $b, $centIsFloat);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** JVM kernels behind the vector expressions (static-forwarder call
+  * targets for the generated code). */
+object VectorKernels {
+
+  /** See [[NearestCentroid]]. `cents` elements are struct(id long,
+    * v array, n double) in ascending-id order. */
+  def nearestCentroid(vec: ArrayData, vecIsFloat: Boolean,
+      cents: ArrayData, centIsFloat: Boolean): InternalRow = {
+    val nVec = vec.numElements()
+    var nv = 0.0
+    var i = 0
+    while (i < nVec) {
+      val x = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      nv += x * x
+      i += 1
+    }
+    var bestSim = Double.NaN
+    var bestId = -1L
+    var first = true
+    var c = 0
+    val nc = cents.numElements()
+    while (c < nc) {
+      val row = cents.getStruct(c, 3)
+      val cv = row.getArray(1)
+      var d = 0.0
+      val n = math.min(nVec, cv.numElements())
+      i = 0
+      while (i < n) {
+        val x = if (vecIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val y = if (centIsFloat) cv.getFloat(i).toDouble else cv.getDouble(i)
+        d += x * y
+        i += 1
+      }
+      val sim = d / math.sqrt(nv * row.getDouble(2))
+      // descending-sort semantics: NaN above all, strict > elsewhere
+      // (equal keeps the earlier = lower-id centroid)
+      if (first || (sim.isNaN && !bestSim.isNaN) || sim > bestSim) {
+        bestSim = sim; bestId = row.getLong(0); first = false
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestSim))
+  }
+}
+
 /** Column-facing API for the custom expressions. */
 object VectorFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -295,6 +394,8 @@ object VectorFunctions {
     ColumnBridge.column(JaccardSortedSim(e(a), e(b)))
   def subspaceL2(a: Column, b: Column, offset: Int, len: Int): Column =
     ColumnBridge.column(SubspaceL2(e(a), e(b), offset, len))
+  def nearestCentroid(vec: Column, cents: Column): Column =
+    ColumnBridge.column(NearestCentroid(e(vec), e(cents)))
 }
 
 /** Distinct k-shingles of a string in one pass: char mode slides a

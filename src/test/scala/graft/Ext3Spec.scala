@@ -1,0 +1,105 @@
+package graft
+
+import graft.ext.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: the zero-shuffle coarse-quantizer assignment
+  * (broadcast-array fold replacing the ×nCells crossJoin +
+  * `row_number` argmin) and its plan-shape pins. */
+class NearestCentroidSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def packed(cents: Seq[(Long, Seq[Double])]) = {
+    val n = cents.map { case (id, v) =>
+      (id, v, v.map(x => x * x).sum)
+    }.toDF("cent_id", "_centv", "_centn")
+    n
+  }
+
+  test("assignment matches the exploded row_number argmin, ties to lowest id") {
+    val cents = packed(Seq(
+      0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0), 2L -> Seq(1.0, 0.0)))
+    val vecs = Seq(
+      (10L, Seq(0.9, 0.1)),  // nearest cent 0 (cent 2 identical — tie to 0)
+      (11L, Seq(0.1, 0.9)),  // nearest cent 1
+      (12L, Seq(1.0, 1.0)))  // exact tie 0/1/2 on cosine -> lowest id 0
+      .toDF("n_id", "_v")
+    val out = Similarity.assignCells(vecs, cents, "_v")
+      .select("n_id", "_cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 0L, 11L -> 1L, 12L -> 0L))
+  }
+
+  test("zero vector (all-NaN sims) assigns to the lowest centroid id") {
+    val cents = packed(Seq(3L -> Seq(1.0, 0.0), 7L -> Seq(0.0, 1.0)))
+    val vecs = Seq((1L, Seq(0.0, 0.0))).toDF("n_id", "_v")
+    val out = Similarity.assignCells(vecs, cents, "_v").collect()
+    assert(out.head.getAs[Long]("_cell") == 3L)
+    assert(out.head.getAs[Double]("_csim").isNaN)
+  }
+
+  test("sim equals the sequential-fold cosine of the winning centroid") {
+    val cents = packed(Seq(0L -> Seq(0.3, -0.2, 0.5), 1L -> Seq(-0.1, 0.9, 0.4)))
+    val vecs = Seq((5L, Seq(0.2, 0.7, 0.1))).toDF("n_id", "_v")
+    val r = Similarity.assignCells(vecs, cents, "_v").collect().head
+    val v = Array(0.2, 0.7, 0.1); val c = Array(-0.1, 0.9, 0.4)
+    var d = 0.0; var nv = 0.0; var nc = 0.0
+    for (i <- 0 until 3) { d += v(i) * c(i); nv += v(i) * v(i); nc += c(i) * c(i) }
+    assert(r.getAs[Long]("_cell") == 1L)
+    assert(r.getAs[Double]("_csim") == d / math.sqrt(nv * nc)) // bitwise
+  }
+}
+
+class Round5PlanShapeSpec extends SparkSpec {
+  import graft.queries.Catalog
+
+  private def executed(df: DataFrame): String = {
+    df.count()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def catalogPlan(name: String): String =
+    executed(Catalog.all.find(_.name == name).get.fn(spark, sf()))
+
+  test("assignCells itself: no Window, no corpus shuffle (≤1 tiny Exchange for the packed centroids)") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val cents = emb.orderBy(col("vec_id").asc).limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("_centv"),
+        Similarity.norm2(col("embedding")).as("_centn"))
+    val asg = Similarity.assignCells(
+      emb.select(col("vec_id").as("n_id"), col("embedding").as("_v")),
+      cents, "_v")
+    val plan = executed(asg)
+    assert(!plan.contains("Window"), s"window argmin resurfaced:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"corpus shuffle in assignment ($exchanges Exchanges):\n$plan")
+    assert(plan.contains("nearestcentroid") || plan.contains("NearestCentroid")
+      || plan.contains("BroadcastNestedLoopJoin"),
+      s"broadcast fold missing:\n$plan")
+  }
+
+  test("q35 IVF: no assignment shuffle — corpus never hash-partitions on n_id") {
+    val plan = catalogPlan("q35_ivf_ann")
+    assert(!plan.contains("windowspecdefinition(n_id"),
+      s"per-vector window resurfaced:\n$plan")
+    assert(!plan.contains("hashpartitioning(n_id"),
+      s"corpus shuffled on n_id:\n$plan")
+  }
+
+  test("q111 kmeans step: single Exchange family is the cell aggregation, no Window at all") {
+    val plan = catalogPlan("q111_kmeans_step")
+    assert(!plan.contains("Window"), s"window argmin resurfaced:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side combine:\n$plan")
+  }
+
+  test("q114 IVF-PQ: index-build assignment windowless") {
+    val plan = catalogPlan("q114_ivfpq_topk")
+    assert(!plan.contains("windowspecdefinition(n_id"),
+      s"per-vector window resurfaced:\n$plan")
+  }
+}
