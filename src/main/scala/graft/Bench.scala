@@ -59,11 +59,16 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Stop Spark BEFORE printing so state-store/executor shutdown chatter
-    // can't land after (and bury) the metric line; then emit it as the
-    // absolute last stdout line.
+    // can't land after (and bury) the metric line; then emit the metric
+    // as the absolute last stdout lines. The driver keeps only a ~4 KB
+    // stdout TAIL: the full per-query map (~4.5 KB at 108 queries) gets
+    // truncated mid-line there (rounds 3-4 both parsed null), so the
+    // LAST line is a minimal total-only object that always fits; the
+    // full map rides the line before it and BENCH_LOCAL.json.
     spark.stop()
     System.out.flush(); System.err.flush()
     println(json)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -357,9 +357,13 @@ object Dedup {
     * through, while the (fpp-small) candidate fraction is verified by
     * an exact anti-join. At 100 TB this turns a full corpus×blocklist
     * shuffle into a map-side membership test plus an anti-join whose
-    * left side is |corpus|·fpp + true hits. The membership test is a
-    * broadcast closure over the sketch (not codegen); it prunes
-    * 99%+ of rows before the only shuffle.
+    * left side is |corpus|·fpp + true hits. The membership test is
+    * Spark's native `BloomFilterMightContain` over a binary-literal
+    * sketch — the same expression AQE's runtime row-level filtering
+    * injects — so it stays inside whole-stage codegen (a UDF here
+    * would drop the scan projection out of codegen and block any
+    * pushdown around it); it prunes 99%+ of rows before the only
+    * shuffle.
     *
     * Exact semantics (the Bloom stage only prunes, never decides), so
     * the result equals `corpus WHERE NOT EXISTS (blocklist)` and is
@@ -383,14 +387,21 @@ object Dedup {
       bad: DataFrame, badKeyCol: String,
       fpp: Double = 0.01,
       expectedItems: Option[Long] = None): DataFrame = {
-    val spark = corpus.sparkSession
     val nBad = expectedItems.getOrElse(math.max(bad.count(), 1L))
     val bf = bad.stat.bloomFilter(badKeyCol, nBad, fpp)
-    val bc = spark.sparkContext.broadcast(bf)
-    val might = udf((k: Long) => bc.value.mightContainLong(k))
-    // primitive-Long UDF yields null for null input; the isNull guard
-    // decides those rows (true || null = true, false || b = b)
-    val isClean = col(keyCol).isNull || !might(col(keyCol))
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val might = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(lit(bytes)),
+        ColumnBridge.expression(col(keyCol).cast("long"))))
+    // might_contain(null) is null; the isNull guard decides those rows
+    // (true || null = true, false || b = b)
+    val isClean = col(keyCol).isNull || !might
     val candidates = corpus.filter(!isClean)
       .join(bad.select(col(badKeyCol).as(keyCol)), Seq(keyCol), "left_anti")
     corpus.filter(isClean).unionByName(candidates)

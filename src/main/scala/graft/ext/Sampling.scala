@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
   * subset. Domains absent from the weight map are dropped.
   *
   * Shapes: the count and quota sides are domain-cardinality-tiny
-  * (broadcast); the data side pays one per-domain rank window. Exact
-  * quotas need that per-domain ordering — at extreme skew trade
-  * exactness for a map-only hash-threshold filter (`h < rate * 2^31`,
-  * quota ± binomial noise) as q67 does for fixed rates.
+  * (broadcast); the data side pays one rank window partitioned by
+  * (domain, hash-range bucket) — NOT by domain alone, which would
+  * serialize a 50-of-100-TB mega-domain into a single task. Bucket
+  * boundaries align with the (hash, id) rank order, so per-bucket
+  * ranks plus cumulative per-(domain, bucket) counts reconstruct the
+  * exact global per-domain rank (the `Packing.epochShuffle` two-phase
+  * prefix-sum discipline); the offsets side is domains × nBuckets
+  * tiny rows, broadcast back. Exact quotas need that total ordering —
+  * for approximate quotas a map-only hash-threshold filter (`h <
+  * rate * 2^31`, quota ± binomial noise) is cheaper, as q67 does for
+  * fixed rates.
   *
   * A domain present in the weight map but absent from the data simply
   * contributes no rows (the quota join is inner): the other domains'
@@ -32,8 +39,8 @@ object Sampling {
     pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(2147483647L))
 
   def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
-      weights: Map[String, Double]): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0))
+      weights: Map[String, Double], nBuckets: Int = 256): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0) && nBuckets > 0)
     val spark = df.sparkSession
     import spark.implicits._
     val wdf = weights.toSeq.sortBy(_._1).toDF(domainCol, "_wt")
@@ -42,11 +49,25 @@ object Sampling {
     val scale = counts.agg(min(col("_c").cast("double") / col("_wt")).as("_scale"))
     val quotas = counts.crossJoin(broadcast(scale))
       .select(col(domainCol), floor(col("_wt") * col("_scale")).as("_keep"))
-    df.select(col(idCol), col(domainCol))
+    // two-phase exact per-domain rank: hash-range buckets parallelize
+    // the window; cumulative bucket counts restore the global rank
+    val span = (1L << 31) / nBuckets + 1L
+    val base = df.select(col(idCol), col(domainCol))
       .join(broadcast(quotas), domainCol)
-      .withColumn("_rn", row_number().over(Window.partitionBy(col(domainCol))
-        .orderBy(hash31(col(idCol)), col(idCol))))
-      .filter(col("_rn") <= col("_keep"))
+      .withColumn("_h", hash31(col(idCol)))
+      .withColumn("_bkt", expr(s"_h div ${span}L"))
+    val local = base.withColumn("_rn", row_number().over(
+      Window.partitionBy(col(domainCol), col("_bkt"))
+        .orderBy(col("_h"), col(idCol))))
+    val offs = base.groupBy(col(domainCol), col("_bkt"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.partitionBy(col(domainCol))
+          .orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(domainCol), col("_bkt"), col("_off"))
+    local.join(broadcast(offs), Seq(domainCol, "_bkt"))
+      .filter(col("_off") + col("_rn") <= col("_keep"))
       .select(col(idCol), col(domainCol))
   }
 }

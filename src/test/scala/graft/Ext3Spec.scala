@@ -52,6 +52,49 @@ class NearestCentroidSpec extends SparkSpec {
   }
 }
 
+class MixtureSampleBucketedSpec extends SparkSpec {
+  import graft.ext.Sampling
+  import spark.implicits._
+
+  test("bucketed two-phase rank = single-bucket reference on a skewed fixture; rank window keyed by (domain, bucket)") {
+    // 90% of rows in one mega-domain — the shape that serialized into
+    // one task under a per-domain-only window
+    val skewed = ((0L until 1800L).map(i => (i, "big")) ++
+      (10000L until 10200L).map(i => (i, "small"))).toDF("id", "dom")
+    val w = Map("big" -> 0.7, "small" -> 0.3)
+    val bucketed = Sampling.mixtureSample(skewed, "id", "dom", w, nBuckets = 64)
+    val reference = Sampling.mixtureSample(skewed, "id", "dom", w, nBuckets = 1)
+    val got = bucketed.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == reference.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // quota exactness on the skewed fixture
+    val byDom = got.groupBy(_._2).view.mapValues(_.size).toMap
+    val scale = math.min(1800 / 0.7, 200 / 0.3)
+    assert(byDom("big") == math.floor(0.7 * scale).toInt)
+    assert(byDom("small") == math.floor(0.3 * scale).toInt)
+    // the data-side rank stage is keyed by (domain, bucket): >1 task
+    // for a mega-domain. (The offsets window keys by domain alone but
+    // only sees domains × nBuckets counter rows.)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(dom#") && plan.contains("_bkt"),
+      s"rank window not bucketed:\n${plan.take(3000)}")
+  }
+}
+
+class BlocklistPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom prefilter is the native might_contain expression — no UDF in the plan") {
+    // parquet-backed corpus: a LocalRelation would be folded at plan
+    // time and hide the filter expression entirely
+    val corpus = spark.read.parquet(s"${sf()}/documents.parquet")
+    val bad = Seq(7L, 13L).toDF("doc_id")
+    val df = graft.ext.Dedup.blocklistFilter(corpus, "doc_id", bad, "doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"native expression missing:\n${plan.take(2000)}")
+    assert(!plan.contains("UDF"), s"UDF resurfaced:\n${plan.take(2000)}")
+  }
+}
+
 class Round5PlanShapeSpec extends SparkSpec {
   import graft.queries.Catalog
 
