@@ -455,12 +455,27 @@ object Similarity {
     * the corpus (they ARE the codebook). */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
       nSub: Int = 8, nCodewords: Int = 16, dim: Int = 64): DataFrame = {
+    val e = vectors.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    pqEncodeWith(vectors, idCol, vecCol,
+      e.filter(col("_id") < nCodewords)
+        .select(col("_id").as("_cb"), col("_v").as("_cv")), nSub, dim)
+  }
+
+  /** [[pqEncode]] against an EXPLICIT codebook — `(_cb, _cv)` rows,
+    * typically [[pqTrainCodebook]]'s trained centroids (codeword c of
+    * subspace j = elements [j·sub, (j+1)·sub) of codebook vector c).
+    * Same plan shape as the convention-codebook path: tiny broadcast
+    * codebook, map-side-combined min-struct argmin, one slim row per
+    * vector through the shuffle. */
+  def pqEncodeWith(vectors: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, nSub: Int = 8, dim: Int = 64): DataFrame = {
     val sub = dim / nSub
     require(sub * nSub == dim, s"dim $dim not divisible by nSub $nSub")
     val e = vectors.select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
-    val cb = e.filter(col("_id") < nCodewords)
-      .select(col("_id").as("_cb"), col("_v").as("_cv"))
+    val cb = codebook.select(col("_cb").cast("long").as("_cb"),
+      col("_cv").cast("array<double>").as("_cv"))
     val aggs = (0 until nSub).map { j =>
       min(struct(
         subL2(col("_v"), col("_cv"), j, sub).as("d"),
@@ -477,6 +492,47 @@ object Similarity {
           .foldLeft(lit(0.0))(_ + _).as("err"),
         flatten(array((0 until nSub).map(j =>
           col(s"_m$j").getField("w")): _*)).as("recon"))
+  }
+
+  /** Trained PQ codebook: `iters` rounds of the FIXED-POINT spherical
+    * k-means step ([[kmeansStep]]'s arithmetic — micro-unit long sums,
+    * floor(s·1000/n) milli-micro means — so every round is
+    * order-independent and an external engine replays the exact
+    * centroids), starting from the first-`nCodewords` convention.
+    * Returns (cent_id, _c array<double>) where each lane is the exact
+    * integer m divided by 1e9 — both sides of the oracle perform the
+    * identical IEEE division on identical exact inputs.
+    *
+    * Each round is one zero-shuffle assignment pass ([[assignCells]])
+    * plus one map-side-combined aggregation of dim long sums per cell;
+    * the tiny centroid table is what checkpoints between rounds, so
+    * round k never re-derives rounds 1..k-1. */
+  def pqTrainCodebook(candidates: DataFrame, idCol: String, vecCol: String,
+      nCodewords: Int = 16, iters: Int = 2, dim: Int = 64,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    val vecs = candidates.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    var cents = cp.cut(vecs.orderBy(col("n_id").asc).limit(nCodewords)
+      .select(col("n_id").cast("long").as("cent_id"), col("_v").as("_c")))
+    val sums = (1 to dim).map(i =>
+      sum(floor(element_at(col("_v"), i) * lit(1000000.0) + lit(0.5))
+        .cast("long")).as(s"_s$i"))
+    for (_ <- 1 to iters) {
+      val asg = assignCells(vecs,
+        cents.select(col("cent_id"), col("_c").as("_centv"),
+          norm2(col("_c")).as("_centn")), "_v")
+        .select(col("n_id"), col("_v"), col("_cell").as("cell"))
+      val next = asg.groupBy(col("cell"))
+        .agg(count(lit(1)).as("_n"), sums: _*)
+        .select(col("cell").as("cent_id"),
+          array((1 to dim).map(i =>
+            floor(col(s"_s$i") * lit(1000.0) / col("_n")).cast("long")
+              .cast("double") / lit(1000000000.0)): _*).as("_c"))
+      val old = cents
+      cents = cp.cut(next)
+      cp.release(old)
+    }
+    cents
   }
 
   /** Per-query ADC lookup tables against a broadcast codebook, laid

@@ -2493,6 +2493,91 @@ object Catalog {
         FROM keep)
       SELECT doc_id, n_tokens, start, start // 1024 AS shard FROM c"""))
 
+  /** SemDeDup semantic dedup over the embeddings corpus: cluster with
+    * the deterministic coarse quantizer, drop within-cell vectors with
+    * a lower-id cell-mate at cosine ≥ 0.4, keep the min-id exemplar.
+    * Cells, pairs, and the kept flag are all deterministic → full
+    * hash oracle. */
+  private val q116 = Q("q116_semdedup",
+    (s, dir) => Similarity.semDeDup(t(s, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.4, nCells = 16),
+    Some(cosineOracleCte + s""",
+      cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        ORDER BY vec_id ASC LIMIT 16),
+      asg AS (SELECT n_id, v, nrm, cell FROM (
+        SELECT n.vec_id AS n_id, n.v, n.nrm, cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS cr
+        FROM n CROSS JOIN cent) z WHERE cr = 1),
+      dropped AS (SELECT DISTINCT b.n_id AS id
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.n_id < b.n_id
+        WHERE (${dotFoldSql("a.v", "b.v")} / sqrt(a.nrm * b.nrm)) >= 0.4)
+      SELECT a.n_id AS vec_id, a.cell AS cell,
+        CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+      FROM asg a LEFT JOIN dropped d ON d.id = a.n_id"""))
+
+  /** The trained-PQ pipeline (train → encode): 2 rounds of fixed-point
+    * spherical k-means produce the codebook, then PQ-encode the corpus
+    * against it. The fixed-point means (micro-unit long sums,
+    * floor(s·1000/n), /1e9) make the TRAINED centroids — not just the
+    * assignment — exactly replayable, so the oracle recomputes the
+    * whole chain: both k-means rounds, the codebook, every subspace
+    * argmin, and the err fold. */
+  private val q117 = Q("q117_pq_trained",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+          nCodewords = 16, iters = 2, dim = 64)
+        .select(col("cent_id").as("_cb"), col("_c").as("_cv"))
+      Similarity.pqEncodeWith(emb, "vec_id", "embedding", cb)
+        .select(col("_id").as("vec_id"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          col("err"))
+    },
+    Some {
+      def meanRound(asg: String, out: String): String =
+        s"""m$out AS (SELECT cell, i.i AS pos, count(*) AS cnt,
+          CAST(sum(CAST(floor(a.v[i.i] * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS s
+        FROM $asg a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY cell, i.i),
+      c$out AS (SELECT cell AS cent_id,
+          list(CAST(floor(s * 1000.0 / cnt) AS BIGINT) / 1000000000.0
+            ORDER BY pos) AS c
+        FROM m$out GROUP BY cell)"""
+      def assignRound(cents: String, centNorm: String, out: String): String =
+        s"""a$out AS (SELECT n_id, v, cell FROM (
+        SELECT n.vec_id AS n_id, n.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "t.c")} / sqrt(n.nrm * $centNorm)) DESC,
+            t.cent_id ASC) AS cr
+        FROM n CROSS JOIN $cents t) z WHERE cr = 1)"""
+      cosineOracleCte + s""",
+      c0 AS (SELECT vec_id AS cent_id, v AS c, nrm AS cn FROM n
+        ORDER BY vec_id ASC LIMIT 16),
+      ${assignRound("c0", "t.cn", "1")},
+      ${meanRound("a1", "1")},
+      c1n AS (SELECT cent_id, c, ${dotFoldSql("c", "c")} AS cn FROM c1),
+      ${assignRound("c1n", "t.cn", "2")},
+      ${meanRound("a2", "2")},
+      pa AS (SELECT e.vec_id, cb.cent_id AS cc, js.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(e.v[i] - cb.c[i]) * (e.v[i] - cb.c[i])
+             FOR i IN range(js.j * 8 + 1, js.j * 8 + 9)]), (x, y) -> x + y) AS d
+        FROM e CROSS JOIN c2 cb
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
+      sel AS (SELECT vec_id, j, cc, d FROM (
+          SELECT vec_id, j, cc, d,
+            row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cc) AS rn
+          FROM pa) z WHERE rn = 1)
+      SELECT vec_id,
+        array_to_string(list(cc ORDER BY j), ',') AS codes,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY j)),
+          (x, y) -> x + y) AS err
+      FROM sel GROUP BY vec_id"""
+    })
+
   /** Token-count histogram at width 25 — the profile panel that sizes
     * packing budgets. */
   private val q115 = Q("q115_histogram",
@@ -2513,5 +2598,5 @@ object Catalog {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115)
+    q111, q112, q113, q114, q115, q116, q117)
 }

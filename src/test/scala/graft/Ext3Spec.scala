@@ -52,6 +52,66 @@ class NearestCentroidSpec extends SparkSpec {
   }
 }
 
+class SemDeDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted near-dup dropped, min-id exemplar kept, distinct cells untouched") {
+    // cents = first 2 vectors. id 10 is a scaled copy of id 0 (cosine
+    // 1.0 → same cell, over any threshold); id 11 is orthogonal-ish to
+    // everything (own cell, survives).
+    val vecs = Seq(
+      0L  -> Seq(1.0f, 0.0f, 0.0f),
+      1L  -> Seq(0.0f, 1.0f, 0.0f),
+      10L -> Seq(2.0f, 0.0f, 0.0f),
+      11L -> Seq(0.0f, 0.0f, 1.0f))
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.semDeDup(vecs, "vec_id", "embedding",
+        threshold = 0.9, nCells = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(0L)._2 == 1, "exemplar must survive")   // min-id exemplar
+    assert(out(10L)._2 == 0, "near-dup must drop")     // its copy
+    assert(out(0L)._1 == out(10L)._1, "copy must share the exemplar's cell")
+    assert(out(1L)._2 == 1 && out(11L)._2 == 1)        // no cell-mates over 0.9
+    // corpus-level sanity at sf: every cell keeps >= 1 exemplar
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val big = graft.ext.Similarity.semDeDup(emb, "vec_id", "embedding",
+        threshold = 0.4).collect()
+    assert(big.length == emb.count())
+    val byCell = big.groupBy(_.getLong(1))
+    byCell.foreach { case (c, rows) =>
+      assert(rows.exists(_.getInt(2) == 1), s"cell $c kept nothing")
+      // the minimum id in a cell can never be dropped (no lower-id mate)
+      val minId = rows.map(_.getLong(0)).min
+      assert(rows.find(_.getLong(0) == minId).get.getInt(2) == 1)
+    }
+  }
+}
+
+class TrainedPqSpec extends SparkSpec {
+  import graft.ext.Similarity
+
+  test("trained codebook reconstructs strictly better than the first-k convention") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+        nCodewords = 16, iters = 2, dim = 64)
+      .select(col("cent_id").as("_cb"), col("_c").as("_cv"))
+    val trained = Similarity.pqEncodeWith(emb, "vec_id", "embedding", cb)
+      .agg(sum(col("err"))).head.getDouble(0)
+    val convention = Similarity.pqEncode(emb, "vec_id", "embedding")
+      .agg(sum(col("err"))).head.getDouble(0)
+    assert(trained < convention,
+      s"trained codebook err $trained !< convention err $convention")
+  }
+
+  test("training is partitioning-invariant (fixed-point means)") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    def centroids(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTrainCodebook(df, "vec_id", "embedding", iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(centroids(emb) == centroids(emb.repartition(7)))
+  }
+}
+
 class MixtureSampleBucketedSpec extends SparkSpec {
   import graft.ext.Sampling
   import spark.implicits._
