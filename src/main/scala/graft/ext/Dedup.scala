@@ -248,6 +248,65 @@ object Dedup {
       seed: Long = 42L): Column =
     graft.functions.VectorFunctions.minHashSig(sh, numPerms, seed)
 
+  /** Rolling polynomial hash of one string (q31's fold: (acc·31 + c)
+    * mod 1e9+7 over the characters) — the ENGINE-PORTABLE shingle id
+    * behind [[minHashLshPairsPortable]]. */
+  private def polyHash(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), c => length(c) > 0),
+        c => ascii(c).cast("long")),
+      lit(0L), (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
+
+  /** [[minHashLshPairs]] with every hash in the chain SQL-replayable:
+    * shingle ids are the rolling polynomial fingerprint (instead of
+    * xxhash64), permutations are the public seeded (a_j, b_j) literals
+    * ([[graft.functions.MinHashSig.perms]]), and band keys are the RAW
+    * signature slices as comma strings (instead of hashing the slice).
+    * An external engine can therefore replay signatures, buckets,
+    * candidate pairs, and the exact-Jaccard verify — the full LSH
+    * recall surface gets a hash-equality oracle (q118), where the
+    * xxhash64 variant can only be checked rows-only (q23).
+    *
+    * Same scale shape as [[minHashLshPairs]]: slim (id, band, key)
+    * rows through the candidate join, shingles attached to surviving
+    * candidates only. The string band key is a few dozen bytes vs the
+    * 8-byte hashed key — the price of replayability; prefer the
+    * xxhash64 variant when cross-engine auditability isn't needed. */
+  def minHashLshPairsPortable(docs: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val numBands = numPerms / rowsPerBand
+    val base = docs.select(col(idCol).as("_id"),
+        sort_array(wordShingles(col(textCol), n)).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val banded = base
+      .withColumn("_hs", transform(col("_sh"), polyHash(_)))
+      .withColumn("_sig", minHashSignature(col("_hs"), numPerms, seed))
+      .select(col("_id"), explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand)
+            .cast("array<string>")).as("bk"))
+      }: _*)).as("_band"))
+      .select(col("_id"),
+        col("_band.band").as("_bandNo"), col("_band.bk").as("_bandKey"))
+    val cand = banded.select(col("_id").as("doc_a"), col("_bandNo"),
+        col("_bandKey"))
+      .join(banded.select(col("_id").as("doc_b"), col("_bandNo"),
+        col("_bandKey")), Seq("_bandNo", "_bandKey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(base.select(col("_id").as("doc_a"), col("_sh").as("_sha")),
+        Seq("doc_a"))
+      .join(base.select(col("_id").as("doc_b"), col("_sh").as("_shb")),
+        Seq("doc_b"))
+      .withColumn("jaccard", graft.functions.VectorFunctions
+        .jaccardSorted(col("_sha"), col("_shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** LSH near-dup pairs over word n-gram shingles: signature → bands
     * of `rowsPerBand` → explode → equi-join on (band, bandHash) →
     * exact Jaccard verify ≥ threshold. Shuffle volume is #docs × #bands

@@ -91,4 +91,49 @@ object Ingest {
     store.commit()
     done
   }
+
+  /** [[incrementalRun]] with bounded per-table parallelism. The
+    * reference walks its tables strictly sequentially
+    * (gluejob.py:306-327), leaving the cluster idle through every
+    * small table's latency; on Spark each table's
+    * filter→normalize→upsert is an independent job against a disjoint
+    * output path, so the idiomatic upgrade is to submit tables from a
+    * bounded driver pool and let the scheduler interleave their stages
+    * across the executor pool. `parallelism` caps in-flight tables
+    * (source-connection and driver-memory budget).
+    *
+    * Semantics are IDENTICAL to the sequential path: disjoint sinks
+    * per table, watermarks read once up front on the caller thread,
+    * advances + the single commit happen only after EVERY table
+    * returned — any table's failure aborts the commit for all
+    * (at-least-once, recovered by the idempotent upsert). */
+  def incrementalRunParallel(spark: SparkSession, store: WatermarkStore,
+      sources: Map[String, DataFrame], probeTime: String, outRoot: String,
+      tables: Seq[TableSpec] = Tables.active,
+      parallelism: Int = 4): Seq[String] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    require(parallelism > 0)
+    val selected = tables.filter(t => sources.contains(t.name))
+    if (selected.isEmpty) { store.commit(); return Nil }
+    // watermarks read on the caller thread — the store stays
+    // single-threaded; futures only touch Spark
+    val wms = selected.map(s => s.name -> store.get(s.name)).toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, selected.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val done =
+      try Await.result(
+        Future.sequence(selected.map { spec =>
+          Future {
+            ingestTable(spark, spec, sources(spec.name), wms(spec.name),
+              outRoot)
+            spec.name
+          }
+        }), Duration.Inf)
+      finally pool.shutdown()
+    selected.foreach(spec => store.advance(spec.name, probeTime))
+    store.commit()
+    done
+  }
 }

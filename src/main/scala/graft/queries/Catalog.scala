@@ -2578,6 +2578,51 @@ object Catalog {
       FROM sel GROUP BY vec_id"""
     })
 
+  /** MinHash-LSH near-dup pairs with the ENGINE-PORTABLE hash chain:
+    * rolling-polynomial shingle ids, public (a_j, b_j) permutation
+    * literals, raw signature-slice band keys. Unlike q23 (xxhash64 →
+    * rows-only) the FULL recall surface — signatures, buckets,
+    * candidates, verify — replays in DuckDB and hash-matches. */
+  private val q118 = Q("q118_minhash_portable",
+    (s, dir) => Dedup.minHashLshPairsPortable(t(s, dir, "documents"),
+      "text", "doc_id", n = 3, numPerms = 16, rowsPerBand = 4,
+      threshold = 0.5),
+    Some {
+      val (as, bs) = graft.functions.MinHashSig.perms(16, 42L)
+      val sigSql = (0 until 16).map(j =>
+        s"list_min([(h * ${as(j)} + ${bs(j)}) % 2147483647 FOR h IN hs])")
+        .mkString("[", ",\n        ", "]")
+      val bandsSql = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, " +
+          s"array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], ',') AS bk FROM s")
+        .mkString("\n        UNION ALL ")
+      s"""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (SELECT doc_id,
+          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3),
+      h AS (SELECT doc_id, sh,
+          [list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(ord(x[i]) AS BIGINT) FOR i IN range(1, len(x) + 1)]),
+            (a, c) -> (a * 31 + c) % 1000000007) FOR x IN sh] AS hs
+        FROM g),
+      s AS (SELECT doc_id, $sigSql AS sig FROM h),
+      bk AS ($bandsSql),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+          len(list_intersect(x.sh, y.sh)) * 1.0 /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+        FROM cand c JOIN g x ON x.doc_id = c.doc_a
+        JOIN g y ON y.doc_id = c.doc_b) z
+      WHERE jaccard >= 0.5"""
+    })
+
   /** Token-count histogram at width 25 — the profile panel that sizes
     * packing budgets. */
   private val q115 = Q("q115_histogram",
@@ -2598,5 +2643,5 @@ object Catalog {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117)
+    q111, q112, q113, q114, q115, q116, q117, q118)
 }

@@ -52,6 +52,57 @@ class NearestCentroidSpec extends SparkSpec {
   }
 }
 
+class ParallelIngestSpec extends SparkSpec {
+  import graft.pipeline.Ingest
+  import graft.schema.{TableSpec, Tables}
+  import graft.state.WatermarkStore
+  import org.apache.spark.sql.Row
+
+  private def srcFor(spec: TableSpec, ids: Range, ts: String) = {
+    val rows = ids.map { i =>
+      Row.fromSeq(spec.columns.map {
+        case c if c == spec.idCol => i.toString
+        case c if c == spec.updatedCol || c == spec.dateCol => ts
+        case _ => "x"
+      })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), spec.schema)
+  }
+
+  test("parallel incremental run = sequential run: same rows, same watermarks") {
+    val tables = Tables.active.take(4)
+    val ts = "2024-02-01 10:00:00"
+    val sources = tables.map(t => t.name -> srcFor(t, 0 until 50, ts)).toMap
+    val clock = () => java.time.LocalDateTime.of(2024, 2, 2, 4, 0, 0)
+    val rootA = tmpDir("ingseq"); val rootB = tmpDir("ingpar")
+    val storeA = new WatermarkStore(
+      java.nio.file.Paths.get(s"$rootA/wm.json"), clock)
+    val storeB = new WatermarkStore(
+      java.nio.file.Paths.get(s"$rootB/wm.json"), clock)
+    val probe = "2024-02-02 04:00:00"
+    val doneA = Ingest.incrementalRun(spark, storeA, sources, probe,
+      s"$rootA/raw", tables)
+    val doneB = Ingest.incrementalRunParallel(spark, storeB, sources, probe,
+      s"$rootB/raw", tables, parallelism = 4)
+    assert(doneA.toSet == doneB.toSet && doneB.size == 4)
+    tables.foreach { t =>
+      val a = spark.read.parquet(s"$rootA/raw/${t.name}")
+        .collect().map(_.toString).sorted.toSeq
+      val b = spark.read.parquet(s"$rootB/raw/${t.name}")
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"row mismatch for ${t.name}")
+      assert(storeA.get(t.name) == storeB.get(t.name))
+    }
+    // degenerate pool of 1 = strictly sequential, still identical
+    val rootC = tmpDir("ingone")
+    val storeC = new WatermarkStore(
+      java.nio.file.Paths.get(s"$rootC/wm.json"), clock)
+    val doneC = Ingest.incrementalRunParallel(spark, storeC, sources, probe,
+      s"$rootC/raw", tables, parallelism = 1)
+    assert(doneC.toSet == doneA.toSet)
+  }
+}
+
 class SemDeDupSpec extends SparkSpec {
   import spark.implicits._
 
@@ -83,6 +134,35 @@ class SemDeDupSpec extends SparkSpec {
       // the minimum id in a cell can never be dropped (no lower-id mate)
       val minId = rows.map(_.getLong(0)).min
       assert(rows.find(_.getLong(0) == minId).get.getInt(2) == 1)
+    }
+  }
+}
+
+class PortableMinHashSpec extends SparkSpec {
+  import graft.ext.Dedup
+  import graft.functions.TextKernels
+
+  test("portable LSH: no false positives vs exact shingle Jaccard; candidates only from banding") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = Dedup.minHashLshPairsPortable(docs, "text", "doc_id",
+        n = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 >= 0.5))
+    // ground truth: driver-side exact Jaccard over word 3-gram shingles
+    def sh(s: String): Set[String] = {
+      val t = s.trim.split("\\s+").filter(_.nonEmpty)
+      if (t.length < 3) Set.empty
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> sh(r.getString(1))).toMap
+    out.foreach { case (a, b, j) =>
+      val (x, y) = (texts(a), texts(b))
+      val inter = (x & y).size
+      val exact = inter.toDouble / (x.size + y.size - inter)
+      assert(exact == j, s"($a,$b): spark $j != exact $exact")
+      assert(exact >= 0.5)
     }
   }
 }
