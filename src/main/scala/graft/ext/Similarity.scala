@@ -285,8 +285,35 @@ object Similarity {
     */
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 2,
-      nSub: Int = 8, nCodewords: Int = 16, dim: Int = 64): DataFrame = {
+      nSub: Int = 8, nCodewords: Int = 16, dim: Int = 64): DataFrame =
+    ivfPqTopKWith(queries, candidates, idCol, vecCol, k,
+      candidates.select(col(idCol).as("_cb"),
+          col(vecCol).cast("array<double>").as("_cv"))
+        .filter(col("_cb") < nCodewords),
+      nCells, nProbe, nSub, nCodewords, dim)
+
+  /** [[ivfPqTopK]] against an EXPLICIT PQ codebook (`(_cb, _cv)` rows,
+    * typically [[pqTrainCodebook]]'s trained centroids) — the full
+    * train → encode → probe composition. The coarse quantizer stays
+    * the deterministic first-`nCells` convention; codes and per-query
+    * ADC tables use the supplied codebook, densified to ascending-id
+    * rank order so a code indexes its per-subspace ADC block
+    * positionally (cell-dropout in training would otherwise leave id
+    * gaps). Precondition: exactly `nCodewords` codebook rows — the ADC
+    * lookup fold is compiled statically against that layout. */
+  def ivfPqTopKWith(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, codebook: DataFrame,
+      nCells: Int = 16, nProbe: Int = 2, nSub: Int = 8,
+      nCodewords: Int = 16, dim: Int = 64): DataFrame = {
     val sub = dim / nSub
+    // tiny table: the rank window's single-partition pass is nCodewords
+    // rows, never corpus data
+    val cbDense = codebook
+      .select(col("_cb").cast("long").as("_cbOrig"),
+        col("_cv").cast("array<double>").as("_cv"))
+      .withColumn("_cb",
+        (row_number().over(Window.orderBy(col("_cbOrig"))) - 1).cast("long"))
+      .select(col("_cb"), col("_cv"))
     val cents = candidates.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
         norm2(col(vecCol)).as("_centn"))
@@ -296,7 +323,7 @@ object Similarity {
       candidates.select(col(idCol).as("n_id"), col(vecCol).as("_cv")),
       cents, "_cv")
       .select(col("n_id"), col("_cell"))
-    val index = pqEncode(candidates, idCol, vecCol, nSub, nCodewords, dim)
+    val index = pqEncodeWith(candidates, idCol, vecCol, cbDense, nSub, dim)
       .select(col("_id").as("n_id"), col("codes"))
       .join(assigned, "n_id")
     val probeRank = Window.partitionBy(col("q_id"))
@@ -308,14 +335,10 @@ object Similarity {
       .withColumn("_pr", row_number().over(probeRank))
       .filter(col("_pr") <= nProbe)
       .select(col("q_id"), col("_qv"), col("cent_id").cast("long").as("_cell"))
-    val cb = candidates
-      .select(col(idCol).as("_cb"),
-        col(vecCol).cast("array<double>").as("_cv"))
-      .filter(col("_cb") < nCodewords)
     val qtab = adcTables(
       probes.select(col("q_id"), col("_qv")).distinct()
         .select(col("q_id"), col("_qv").cast("array<double>").as("_qv")),
-      cb, nSub, sub)
+      cbDense, nSub, sub)
     val scored = index
       .join(broadcast(probes.select(col("q_id"), col("_cell"))
         .join(qtab, "q_id")), Seq("_cell"))
@@ -633,6 +656,27 @@ object Similarity {
       .join(dropped.withColumn("_drop", lit(1)), Seq("_id"), "left")
       .select(col("_id").as("vec_id"), col("_cell").as("cell"),
         when(col("_drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
+
+  /** Recall@k of an approximate ANN ranking against the exact one —
+    * the evaluation dashboard for the LSH/IVF/PQ family (how much
+    * recall the corpus-fraction scan trades away). Both inputs are
+    * (q_id, n_id, rank) frames as produced by every top-k operator
+    * here; rows with rank ≤ k compare. Per query: n_hit = |approx ∩
+    * exact|, recall = n_hit / |exact ground truth| (which can be < k
+    * at corpus edges). Inputs are query-cardinality-tiny, so the join
+    * and the aggregation broadcast/fit anywhere; the expensive part is
+    * producing the two rankings, not comparing them. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val e = exact.filter(col("rank") <= k).select(col("q_id"), col("n_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id")).withColumn("_hit", lit(1L))
+    e.join(a, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hit"),
+        count(lit(1)).as("_n"))
+      .select(col("q_id"), col("n_hit"),
+        (col("n_hit") * lit(1.0) / col("_n")).as("recall"))
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket,

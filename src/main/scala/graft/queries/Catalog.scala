@@ -2517,6 +2517,37 @@ object Catalog {
         CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
       FROM asg a LEFT JOIN dropped d ON d.id = a.n_id"""))
 
+  /** Shared DuckDB replay of [[graft.ext.Similarity.pqTrainCodebook]]
+    * at iters = 2: assignment round (cosine argmax, lowest-id ties) →
+    * fixed-point mean round, twice; `c2` is the trained codebook
+    * (cent_id, c DOUBLE[]). Requires `cosineOracleCte`'s `n`. */
+  private def kmeansTwoRoundsSql: String = {
+    def meanRound(asg: String, out: String): String =
+      s"""m$out AS (SELECT cell, i.i AS pos, count(*) AS cnt,
+          CAST(sum(CAST(floor(a.v[i.i] * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS s
+        FROM $asg a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY cell, i.i),
+      c$out AS (SELECT cell AS cent_id,
+          list(CAST(floor(s * 1000.0 / cnt) AS BIGINT) / 1000000000.0
+            ORDER BY pos) AS c
+        FROM m$out GROUP BY cell)"""
+    def assignRound(cents: String, out: String): String =
+      s"""a$out AS (SELECT n_id, v, cell FROM (
+        SELECT n.vec_id AS n_id, n.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "t.c")} / sqrt(n.nrm * t.cn)) DESC,
+            t.cent_id ASC) AS cr
+        FROM n CROSS JOIN $cents t) z WHERE cr = 1)"""
+    s"""c0 AS (SELECT vec_id AS cent_id, v AS c, nrm AS cn FROM n
+        ORDER BY vec_id ASC LIMIT 16),
+      ${assignRound("c0", "1")},
+      ${meanRound("a1", "1")},
+      c1n AS (SELECT cent_id, c, ${dotFoldSql("c", "c")} AS cn FROM c1),
+      ${assignRound("c1n", "2")},
+      ${meanRound("a2", "2")}"""
+  }
+
   /** The trained-PQ pipeline (train → encode): 2 rounds of fixed-point
     * spherical k-means produce the codebook, then PQ-encode the corpus
     * against it. The fixed-point means (micro-unit long sums,
@@ -2536,31 +2567,8 @@ object Catalog {
           col("err"))
     },
     Some {
-      def meanRound(asg: String, out: String): String =
-        s"""m$out AS (SELECT cell, i.i AS pos, count(*) AS cnt,
-          CAST(sum(CAST(floor(a.v[i.i] * 1000000.0 + 0.5) AS BIGINT))
-            AS BIGINT) AS s
-        FROM $asg a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
-        GROUP BY cell, i.i),
-      c$out AS (SELECT cell AS cent_id,
-          list(CAST(floor(s * 1000.0 / cnt) AS BIGINT) / 1000000000.0
-            ORDER BY pos) AS c
-        FROM m$out GROUP BY cell)"""
-      def assignRound(cents: String, centNorm: String, out: String): String =
-        s"""a$out AS (SELECT n_id, v, cell FROM (
-        SELECT n.vec_id AS n_id, n.v, t.cent_id AS cell,
-          row_number() OVER (PARTITION BY n.vec_id ORDER BY
-            (${dotFoldSql("n.v", "t.c")} / sqrt(n.nrm * $centNorm)) DESC,
-            t.cent_id ASC) AS cr
-        FROM n CROSS JOIN $cents t) z WHERE cr = 1)"""
       cosineOracleCte + s""",
-      c0 AS (SELECT vec_id AS cent_id, v AS c, nrm AS cn FROM n
-        ORDER BY vec_id ASC LIMIT 16),
-      ${assignRound("c0", "t.cn", "1")},
-      ${meanRound("a1", "1")},
-      c1n AS (SELECT cent_id, c, ${dotFoldSql("c", "c")} AS cn FROM c1),
-      ${assignRound("c1n", "t.cn", "2")},
-      ${meanRound("a2", "2")},
+      $kmeansTwoRoundsSql,
       pa AS (SELECT e.vec_id, cb.cent_id AS cc, js.j,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             [(e.v[i] - cb.c[i]) * (e.v[i] - cb.c[i])
@@ -2623,6 +2631,105 @@ object Catalog {
       WHERE jaccard >= 0.5"""
     })
 
+  /** ANN quality dashboard: per-query recall@3 of the LSH bucket scan
+    * (q27's pipeline) against the exact brute-force ranking (q25's).
+    * Both rankings are deterministic, so the recall surface itself —
+    * not just each ranking — gets a hash oracle. */
+  private val q119 = Q("q119_ann_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 100)
+      Similarity.recallAtK(
+        Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 3,
+          nPlanes = 8, dim = 64),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 3),
+        k = 3)
+    },
+    Some {
+      val planes = Similarity.bandPlanes(nBands = 1, planesPerBand = 8,
+        dim = 64, seed = 7L).head
+      cosineOracleCte + s""",
+      b AS (SELECT vec_id, v, nrm, ${lshBucketSql(planes)} AS bucket FROM n),
+      apx AS (SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            (${dotFoldSql("q.v", "c.v")} / sqrt(q.nrm * c.nrm)) DESC,
+            c.vec_id ASC) AS rank
+        FROM b q JOIN b c ON q.bucket = c.bucket
+          AND q.vec_id < 100 AND c.vec_id <> q.vec_id) z
+      WHERE rank <= 3),
+      ext AS (SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            (${dotFoldSql("q.v", "c.v")} / sqrt(q.nrm * c.nrm)) DESC,
+            c.vec_id ASC) AS rank
+        FROM n q JOIN n c ON q.vec_id < 100 AND c.vec_id <> q.vec_id) z
+      WHERE rank <= 3)
+      SELECT e.q_id,
+        CAST(sum(CASE WHEN a.n_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_hit,
+        sum(CASE WHEN a.n_id IS NULL THEN 0 ELSE 1 END) * 1.0 / count(*)
+          AS recall
+      FROM ext e LEFT JOIN apx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+      GROUP BY e.q_id"""
+    })
+
+  /** The full trained IVF-PQ probe (train → encode → probe): q117's
+    * trained codebook drives q114's cell-pruned ADC search. Every
+    * stage is deterministic — k-means rounds, coarse cells, codes,
+    * ADC folds, ranks — so the composed result hash-matches. */
+  private val q120 = Q("q120_ivfpq_trained",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+          nCodewords = 16, iters = 2, dim = 64)
+        .select(col("cent_id").as("_cb"), col("_c").as("_cv"))
+      Similarity.ivfPqTopKWith(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 3, cb, nCells = 16, nProbe = 2)
+    },
+    Some(cosineOracleCte + s""",
+      $kmeansTwoRoundsSql,
+      cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        ORDER BY vec_id ASC LIMIT 16),
+      asg AS (SELECT n_id, cell FROM (
+        SELECT n.vec_id AS n_id, cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS cr
+        FROM n CROSS JOIN cent) z WHERE cr = 1),
+      pa AS (SELECT e.vec_id, cb.cent_id AS cc, js.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(e.v[i] - cb.c[i]) * (e.v[i] - cb.c[i])
+             FOR i IN range(js.j * 8 + 1, js.j * 8 + 9)]), (x, y) -> x + y) AS d
+        FROM e CROSS JOIN c2 cb
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
+      sel AS (SELECT vec_id, j, cc FROM (
+          SELECT vec_id, j, cc,
+            row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cc) AS rn
+          FROM pa) z WHERE rn = 1),
+      prb AS (SELECT q_id, qv, cell FROM (
+        SELECT n.vec_id AS q_id, n.v AS qv, cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS pr
+        FROM n CROSS JOIN cent WHERE n.vec_id < 50) z WHERE pr <= 2),
+      tj AS (SELECT s.vec_id, p.q_id, s.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(p.qv[i] - cb.c[i]) * (p.qv[i] - cb.c[i])
+             FOR i IN range(s.j * 8 + 1, s.j * 8 + 9)]), (x, y) -> x + y) AS t
+        FROM sel s JOIN c2 cb ON cb.cent_id = s.cc
+        JOIN asg a ON a.n_id = s.vec_id
+        JOIN prb p ON p.cell = a.cell),
+      dist AS (SELECT q_id, vec_id AS n_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY j)),
+            (x, y) -> x + y) AS d
+        FROM tj GROUP BY q_id, vec_id)
+      SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+        SELECT q_id, n_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rank
+        FROM dist WHERE n_id <> q_id) z
+      WHERE rank <= 3"""))
+
   /** Token-count histogram at width 25 — the profile panel that sizes
     * packing budgets. */
   private val q115 = Q("q115_histogram",
@@ -2643,5 +2750,5 @@ object Catalog {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
 }

@@ -192,6 +192,48 @@ class TrainedPqSpec extends SparkSpec {
   }
 }
 
+class IvfPqTrainedSpec extends SparkSpec {
+  import graft.ext.Similarity
+  import spark.implicits._
+
+  test("explicit codebook with id gaps: dense remap keeps ADC lookups positional (driver replay)") {
+    val rnd = new scala.util.Random(11)
+    val dim = 8; val nSub = 2; val sub = 4
+    val vecs = (0L until 20L).map(i => i -> Seq.fill(dim)(rnd.nextGaussian()))
+    val df = vecs.toDF("vec_id", "embedding")
+    // codebook ids 2, 7, 13 — deliberate gaps to exercise the remap
+    val cbIds = Seq(2L, 7L, 13L)
+    val cb = vecs.filter(v => cbIds.contains(v._1)).toDF("_cb", "_cv")
+    val out = Similarity.ivfPqTopKWith(df.filter(col("vec_id") < 5), df,
+        "vec_id", "embedding", k = 3, cb,
+        nCells = 4, nProbe = 2, nSub = nSub, nCodewords = 3, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // driver replay
+    val all = vecs.toMap
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map(t => t._1 * t._2).sum
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    val cents = (0L until 4L).map(all)
+    def cell(v: Seq[Double]) = (0 until 4).minBy(c => (-cos(v, cents(c)), c))
+    def subL2(a: Seq[Double], b: Seq[Double], j: Int) =
+      (j * sub until (j + 1) * sub).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val cbv = cbIds.map(all) // dense order = ascending original id
+    def codes(v: Seq[Double]) =
+      (0 until nSub).map(j => (0 until 3).minBy(c => (subL2(v, cbv(c), j), c)))
+    val want = (0L until 5L).flatMap { qi =>
+      val probed = (0 until 4).sortBy(c => (-cos(all(qi), cents(c)), c)).take(2).toSet
+      val cand = (0L until 20L).filter(ni =>
+        ni != qi && probed.contains(cell(all(ni))))
+      val ranked = cand.sortBy { ni =>
+        val d = (0 until nSub).map(j => subL2(all(qi), cbv(codes(all(ni))(j)), j)).sum
+        (d, ni)
+      }
+      ranked.take(3).zipWithIndex.map { case (ni, r) => (qi, ni, r + 1) }
+    }.toSet
+    assert(out == want)
+  }
+}
+
 class MixtureSampleBucketedSpec extends SparkSpec {
   import graft.ext.Sampling
   import spark.implicits._
