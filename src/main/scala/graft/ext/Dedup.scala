@@ -248,14 +248,6 @@ object Dedup {
       seed: Long = 42L): Column =
     graft.functions.VectorFunctions.minHashSig(sh, numPerms, seed)
 
-  /** Rolling polynomial hash of one string (q31's fold: (acc·31 + c)
-    * mod 1e9+7 over the characters) — the ENGINE-PORTABLE shingle id
-    * behind [[minHashLshPairsPortable]]. */
-  private def polyHash(s: Column): Column =
-    aggregate(
-      transform(filter(split(s, ""), c => length(c) > 0),
-        c => ascii(c).cast("long")),
-      lit(0L), (acc, c) => (acc * lit(31L) + c) % lit(1000000007L))
 
   /** [[minHashLshPairs]] with every hash in the chain SQL-replayable:
     * shingle ids are the rolling polynomial fingerprint (instead of
@@ -280,7 +272,8 @@ object Dedup {
         sort_array(wordShingles(col(textCol), n)).as("_sh"))
       .filter(size(col("_sh")) > 0)
     val banded = base
-      .withColumn("_hs", transform(col("_sh"), polyHash(_)))
+      .withColumn("_hs",
+        graft.functions.VectorFunctions.polyHashAll(col("_sh")))
       .withColumn("_sig", minHashSignature(col("_hs"), numPerms, seed))
       .select(col("_id"), explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),

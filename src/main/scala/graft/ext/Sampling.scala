@@ -39,7 +39,8 @@ object Sampling {
     pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(2147483647L))
 
   def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
-      weights: Map[String, Double], nBuckets: Int = 256): DataFrame = {
+      weights: Map[String, Double], nBuckets: Int = 256,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0) && nBuckets > 0)
     val spark = df.sparkSession
     import spark.implicits._
@@ -50,12 +51,16 @@ object Sampling {
     val quotas = counts.crossJoin(broadcast(scale))
       .select(col(domainCol), floor(col("_wt") * col("_scale")).as("_keep"))
     // two-phase exact per-domain rank: hash-range buckets parallelize
-    // the window; cumulative bucket counts restore the global rank
+    // the window; cumulative bucket counts restore the global rank.
+    // The slim (id, domain, quota, hash, bucket) rows materialize ONCE
+    // (packBudget's Checkpointer discipline) — the rank branch and the
+    // offsets branch both consume them, and without the cut each would
+    // re-scan the corpus.
     val span = (1L << 31) / nBuckets + 1L
-    val base = df.select(col(idCol), col(domainCol))
+    val base = cp.cut(df.select(col(idCol), col(domainCol))
       .join(broadcast(quotas), domainCol)
       .withColumn("_h", hash31(col(idCol)))
-      .withColumn("_bkt", expr(s"_h div ${span}L"))
+      .withColumn("_bkt", expr(s"_h div ${span}L")))
     val local = base.withColumn("_rn", row_number().over(
       Window.partitionBy(col(domainCol), col("_bkt"))
         .orderBy(col("_h"), col(idCol))))

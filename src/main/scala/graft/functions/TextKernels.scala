@@ -116,4 +116,30 @@ object TextKernels {
     val uni = nx + ny - inter
     if (uni == 0) 0.0 else inter.toDouble / uni
   }
+
+  /** Rolling polynomial hash of every string in an array: (acc·31 +
+    * codePoint) mod 1e9+7 over the characters of each element — the
+    * q31 fingerprint fold, one JVM loop per element instead of a
+    * nested interpreted aggregate-inside-transform tree (which costs
+    * per-shingle-per-char interpretation in the LSH hot path). Code
+    * points match both `ascii(split(s, ''))` on BMP text and DuckDB's
+    * `ord(s[i])`. */
+  def polyHashAll(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var acc = 0L
+      var k = 0
+      while (k < s.length) {
+        val cp = s.codePointAt(k)
+        acc = (acc * 31L + cp) % 1000000007L
+        k += Character.charCount(cp)
+      }
+      out(i) = acc
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }

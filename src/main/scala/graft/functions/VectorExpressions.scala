@@ -377,6 +377,29 @@ object VectorKernels {
   }
 }
 
+/** Per-element rolling polynomial hash of a string array (the q31
+  * fingerprint fold, (acc·31 + codepoint) mod 1e9+7) — the
+  * engine-portable shingle id for the replayable MinHash variant, in
+  * one codegen'd loop per row. */
+case class PolyHashArray(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("poly_hash_all needs array<string>")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.polyHashAll(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.polyHashAll($v);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-facing API for the custom expressions. */
 object VectorFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -396,6 +419,8 @@ object VectorFunctions {
     ColumnBridge.column(SubspaceL2(e(a), e(b), offset, len))
   def nearestCentroid(vec: Column, cents: Column): Column =
     ColumnBridge.column(NearestCentroid(e(vec), e(cents)))
+  def polyHashAll(arr: Column): Column =
+    ColumnBridge.column(PolyHashArray(e(arr)))
 }
 
 /** Distinct k-shingles of a string in one pass: char mode slides a
