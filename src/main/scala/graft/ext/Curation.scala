@@ -63,6 +63,33 @@ object Curation {
         col("shard"))
   }
 
+  /** Embedding-driven semantic curation — the cross-modal pipeline
+    * step where vector-space dedup decides which TEXTS survive:
+    * [[Similarity.semDeDup]] keepers (cosine near-dup exemplars within
+    * coarse cells) gate the document corpus, then the quality gate and
+    * per-doc stats run on the survivors only.
+    *
+    * Shapes at 100 TB: semDeDup pays its slim cell-key pair join on
+    * the embedding side; the keeper set joins back to the documents as
+    * (id, cell) rows — broadcast-able after heavy dedup, an equi-join
+    * on the id otherwise; the gate and token stats are map-side on the
+    * survivors. Documents without an embedding row are dropped (inner
+    * join) — at training scale an unembedded doc has no dedup
+    * evidence, so it doesn't enter the curated pool. */
+  def semanticCurate(docs: DataFrame, textCol: String, idCol: String,
+      embeddings: DataFrame, vecIdCol: String, vecCol: String,
+      threshold: Double = 0.4, nCells: Int = 16,
+      minQuality: Double = 0.2): DataFrame = {
+    val keep = Similarity
+      .semDeDup(embeddings, vecIdCol, vecCol, threshold, nCells)
+      .filter(col("kept") === 1)
+      .select(col("vec_id").as(idCol), col("cell"))
+    docs.join(keep, idCol)
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .select(col(idCol), col("cell"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+  }
+
   /** Near-dup cluster collapse: given [[Dedup.dupClusters]] labels,
     * keep the best doc per cluster (longest by token count, min id
     * tiebreak) — the "keep one representative" step after clustering.

@@ -2502,7 +2502,15 @@ object Catalog {
     (s, dir) => Similarity.semDeDup(t(s, dir, "embeddings"),
       "vec_id", "embedding", threshold = 0.4, nCells = 16),
     Some(cosineOracleCte + s""",
-      cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+      ${semDeDupCtes(0.4)}
+      SELECT a.n_id AS vec_id, a.cell AS cell,
+        CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+      FROM asg a LEFT JOIN dropped d ON d.id = a.n_id"""))
+
+  /** Shared DuckDB replay of [[graft.ext.Similarity.semDeDup]]'s
+    * cells/pairs/dropped set (needs `cosineOracleCte`'s `n`). */
+  private def semDeDupCtes(threshold: Double): String =
+    s"""cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
         ORDER BY vec_id ASC LIMIT 16),
       asg AS (SELECT n_id, v, nrm, cell FROM (
         SELECT n.vec_id AS n_id, n.v, n.nrm, cent.cent_id AS cell,
@@ -2512,10 +2520,31 @@ object Catalog {
         FROM n CROSS JOIN cent) z WHERE cr = 1),
       dropped AS (SELECT DISTINCT b.n_id AS id
         FROM asg a JOIN asg b ON a.cell = b.cell AND a.n_id < b.n_id
-        WHERE (${dotFoldSql("a.v", "b.v")} / sqrt(a.nrm * b.nrm)) >= 0.4)
-      SELECT a.n_id AS vec_id, a.cell AS cell,
-        CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
-      FROM asg a LEFT JOIN dropped d ON d.id = a.n_id"""))
+        WHERE (${dotFoldSql("a.v", "b.v")} / sqrt(a.nrm * b.nrm))
+          >= $threshold)"""
+
+  /** Cross-modal semantic curation: semDeDup keepers (q116) gate the
+    * DOCUMENT corpus, then the q113 quality formula and token stats
+    * run on the survivors — embedding-space dedup deciding which texts
+    * enter the training pool. */
+  private val q121 = Q("q121_semantic_curation",
+    (s, dir) => graft.ext.Curation.semanticCurate(
+      t(s, dir, "documents"), "text", "doc_id",
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, nCells = 16, minQuality = 0.2),
+    Some(cosineOracleCte + s""",
+      ${semDeDupCtes(0.4)},
+      keep AS (SELECT a.n_id AS doc_id, a.cell FROM asg a
+        WHERE a.n_id NOT IN (SELECT id FROM dropped)),
+      s AS (SELECT d.doc_id, k.cell,
+          len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+            x -> len(x) > 0)) AS ntok,
+          len(regexp_replace(d.text, '\\s', '', 'g')) AS ink,
+          len(d.text) AS lt
+        FROM documents d JOIN keep k ON k.doc_id = d.doc_id)
+      SELECT doc_id, cell, CAST(ntok AS INT) AS n_tokens FROM s
+      WHERE (CASE WHEN lt = 0 THEN 0.0 ELSE ink * 1.0 / lt END)
+        * (least(ntok, 200) * 1.0 / 200.0) >= 0.2"""))
 
   /** Shared DuckDB replay of [[graft.ext.Similarity.pqTrainCodebook]]
     * at iters = 2: assignment round (cosine argmax, lowest-id ties) →
@@ -2750,5 +2779,5 @@ object Catalog {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
 }
