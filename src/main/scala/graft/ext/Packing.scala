@@ -78,6 +78,33 @@ object Packing {
           s => s.getField("_text"))).as("packed"))
   }
 
+  /** Context-window chunking: split each document's token sequence
+    * into fixed-size windows with `overlap` shared tokens between
+    * consecutive chunks (stride = window − overlap) — the
+    * long-document step before sequence packing. Chunk k covers token
+    * positions [k·stride, k·stride + window); the last chunk may be
+    * short. Entirely map-side: one tokenize pass, chunks generated in
+    * the same projection (explode), NO shuffle — at 100 TB this is a
+    * pure scan transform that composes with [[packBudget]] downstream.
+    * Returns (doc_id, chunk_id, n_tokens, chunk). */
+  def chunkDocs(docs: DataFrame, textCol: String, idCol: String,
+      window: Int, overlap: Int = 0): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    docs.select(col(idCol).as("doc_id"),
+        graft.ext.TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("doc_id"), col("_toks"),
+        explode(sequence(lit(0),
+          expr(s"(size(_toks) - 1) div $stride"))).as("chunk_id"))
+      .withColumn("_ck",
+        slice(col("_toks"), col("chunk_id") * stride + 1, lit(window)))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        size(col("_ck")).as("n_tokens"),
+        concat_ws(" ", col("_ck")).as("chunk"))
+  }
+
   /** Deterministic epoch shuffle: a global training-order permutation
     * index (`ord` = dense rank in (hash31(id), id) order) plus a
     * round-robin shard over that order — the "shuffle then shard"

@@ -2759,6 +2759,26 @@ object Catalog {
         FROM dist WHERE n_id <> q_id) z
       WHERE rank <= 3"""))
 
+  /** Context-window chunking (window 64, overlap 16): the map-only
+    * long-document split before packing. Slices, counts, and the
+    * joined chunk text all replay in SQL. */
+  private val q122 = Q("q122_doc_chunking",
+    (s, dir) => Packing.chunkDocs(t(s, dir, "documents"),
+      "text", "doc_id", window = 64, overlap = 16),
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS toks
+      FROM documents),
+      c AS (SELECT doc_id, toks,
+        unnest(range(0, ((len(toks) - 1) // 48) + 1)) AS chunk_id
+      FROM t WHERE len(toks) > 0)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        CAST(len(toks[chunk_id * 48 + 1 :
+          least(chunk_id * 48 + 64, len(toks))]) AS INT) AS n_tokens,
+        array_to_string(toks[chunk_id * 48 + 1 :
+          least(chunk_id * 48 + 64, len(toks))], ' ') AS chunk
+      FROM c"""))
+
   /** Token-count histogram at width 25 — the profile panel that sizes
     * packing budgets. */
   private val q115 = Q("q115_histogram",
@@ -2779,5 +2799,6 @@ object Catalog {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
+    q122)
 }

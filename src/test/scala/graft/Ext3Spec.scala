@@ -277,6 +277,95 @@ class BlocklistPlanSpec extends SparkSpec {
   }
 }
 
+class ChunkDocsSpec extends SparkSpec {
+  import graft.ext.Packing
+  import spark.implicits._
+
+  test("chunks tile the token sequence: full coverage, exact overlap, short tail") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"), (3L, "   "), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkDocs(docs, "text", "doc_id",
+        window = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 3 (whitespace only) produces nothing
+    assert(!out.exists(_._1 == 3L))
+    // doc 1: 10 tokens, stride 3 -> chunks at 0,3,6,9
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(d1.map(_._4).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7",
+      "t7 t8 t9 t10", "t10")) // 1-token overlap, short tail
+    assert(d1.map(_._3).toSeq == Seq(4, 4, 4, 1))
+    // doc 2 fits in one window; doc 4 is a single token
+    assert(out.filter(_._1 == 2L).map(_._4).toSeq == Seq("a b c"))
+    assert(out.filter(_._1 == 4L).map(_._4).toSeq == Seq("solo"))
+  }
+}
+
+class KernelEquivalenceSpec extends SparkSpec {
+  import graft.ext.Similarity
+  import graft.functions.VectorFunctions
+  import org.apache.spark.sql.expressions.Window
+  import spark.implicits._
+
+  test("assignCells == exploded row_number argmin, bitwise, incl. ties and zero vectors") {
+    val rnd = new scala.util.Random(5)
+    // 300 random vectors + a zero vector (NaN sims) + an exact copy of
+    // vector 3 among the centroids (tie on every query)
+    val data = (0L until 300L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))) :+
+      (300L, Seq.fill(16)(0.0f))
+    val vecs = data.toDF("n_id", "_v")
+    val cents = vecs.filter(col("n_id") < 8)
+      .unionByName(vecs.filter(col("n_id") === 3)
+        .select((col("n_id") + 100).as("n_id"), col("_v")))
+      .select(col("n_id").as("cent_id"), col("_v").as("_centv"),
+        Similarity.norm2(col("_v")).as("_centn"))
+    val got = Similarity.assignCells(vecs, cents, "_v")
+      .select(col("n_id"), col("_cell"), col("_csim"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // reference formulation: the ×nCells explode + row_number argmin.
+    // The zero vector is excluded here — dot/sqrt(0) trips ANSI
+    // DIVIDE_BY_ZERO in the SQL formulation (a robustness edge the
+    // kernel handles by ranking the NaN sim, asserted below).
+    val w = Window.partitionBy(col("n_id"))
+      .orderBy(col("_csim").desc, col("cent_id").asc)
+    val want = vecs.filter(col("n_id") < 300).crossJoin(broadcast(cents))
+      .withColumn("_csim", Similarity.dot(col("_v"), col("_centv"))
+        / sqrt(Similarity.dot(col("_v"), col("_v")) * col("_centn")))
+      .withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
+      .collect().map(r => r.getAs[Long]("n_id") ->
+        ((r.getAs[Long]("cent_id"), r.getAs[Double]("_csim")))).toMap
+    assert(got.keySet == want.keySet + 300L)
+    want.foreach { case (id, (cell, sim)) =>
+      assert(got(id)._1 == cell, s"cell mismatch for $id")
+      assert(got(id)._2 == sim, s"sim mismatch for $id")
+    }
+    // the planted tie (centroid 103 == centroid 3) resolves to 3
+    assert(got(3L)._1 == 3L)
+    // the zero vector (all sims NaN) lands in the lowest centroid id
+    assert(got(300L)._1 == 0L && got(300L)._2.isNaN)
+  }
+
+  test("PolyHashArray == the interpreted split/ascii/aggregate fold") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(200)
+    val sh = graft.ext.Dedup.wordShingles(col("text"), 3)
+    val columnFold = transform(sh, s =>
+      aggregate(
+        transform(filter(split(s, ""), c => length(c) > 0),
+          c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => (acc * lit(31L) + c) % lit(1000000007L)))
+    val rows = docs.select(
+        VectorFunctions.polyHashAll(sh).as("k"), columnFold.as("f"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+}
+
 class Round5PlanShapeSpec extends SparkSpec {
   import graft.queries.Catalog
 
