@@ -2779,6 +2779,39 @@ object Catalog {
           least(chunk_id * 48 + 64, len(toks))], ' ') AS chunk
       FROM c"""))
 
+  /** Chunk-then-pack composition: q122's windows (no overlap) become
+    * the packing units — the actual long-document training-shard
+    * layout. Chunk keys are doc_id·1024 + chunk_id, so the pack order
+    * and the two-phase prefix sum replay exactly. */
+  private val q123 = Q("q123_chunk_pack",
+    (s, dir) => {
+      val chunks = Packing.chunkDocs(t(s, dir, "documents"),
+          "text", "doc_id", window = 64, overlap = 0)
+        .select((col("doc_id") * 1024 + col("chunk_id")).as("ck"),
+          col("n_tokens"))
+      Packing.packBudget(chunks, "ck", col("n_tokens"), budget = 512L)
+        .select(col("_id").as("chunk_key"), col("n_tokens"),
+          col("start"), col("shard"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS toks
+      FROM documents),
+      c AS (SELECT doc_id, toks,
+        unnest(range(0, ((len(toks) - 1) // 64) + 1)) AS chunk_id
+      FROM t WHERE len(toks) > 0),
+      k AS (SELECT doc_id * 1024 + chunk_id AS ck,
+        CAST(len(toks[chunk_id * 64 + 1 :
+          least(chunk_id * 64 + 64, len(toks))]) AS BIGINT) AS n_tokens
+      FROM c),
+      p AS (SELECT ck, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY ck
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start
+      FROM k)
+      SELECT ck AS chunk_key, n_tokens, start, start // 512 AS shard
+      FROM p"""))
+
   /** Token-count histogram at width 25 — the profile panel that sizes
     * packing budgets. */
   private val q115 = Q("q115_histogram",
@@ -2800,5 +2833,5 @@ object Catalog {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122)
+    q122, q123)
 }

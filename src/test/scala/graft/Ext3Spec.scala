@@ -416,4 +416,24 @@ class Round5PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition(n_id"),
       s"per-vector window resurfaced:\n$plan")
   }
+
+  test("q118 portable LSH: candidates via equi-join, no cross product") {
+    val plan = catalogPlan("q118_minhash_portable")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("q120 trained IVF-PQ: index-build assignment windowless, broadcast ADC side") {
+    val plan = catalogPlan("q120_ivfpq_trained")
+    assert(!plan.contains("windowspecdefinition(n_id"),
+      s"per-vector window resurfaced:\n$plan")
+    assert(plan.contains("BroadcastExchange")
+      || plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("q121 semantic curation: cell-key equi pair join, no cross product, no per-vector window") {
+    val plan = catalogPlan("q121_semantic_curation")
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("windowspecdefinition(_id"),
+      s"per-vector window resurfaced:\n$plan")
+  }
 }
