@@ -50,12 +50,43 @@ object Sampling {
     val scale = counts.agg(min(col("_c").cast("double") / col("_wt")).as("_scale"))
     val quotas = counts.crossJoin(broadcast(scale))
       .select(col(domainCol), floor(col("_wt") * col("_scale")).as("_keep"))
-    // two-phase exact per-domain rank: hash-range buckets parallelize
-    // the window; cumulative bucket counts restore the global rank.
-    // The slim (id, domain, quota, hash, bucket) rows materialize ONCE
-    // (packBudget's Checkpointer discipline) — the rank branch and the
-    // offsets branch both consume them, and without the cut each would
-    // re-scan the corpus.
+    quotaSelect(df, idCol, domainCol, quotas, nBuckets, cp)
+  }
+
+  /** Temperature-scaled domain mixing (the multilingual-pretraining
+    * re-balancing knob): target weight w_d ∝ count_d^α flattens the
+    * natural distribution toward uniform as α → 0, and the quota
+    * machinery then serves the largest total the corpus supports
+    * without upsampling. Only α with ENGINE-EXACT arithmetic is
+    * accepted — 0.5 (IEEE sqrt, correctly rounded everywhere) and 1.0
+    * (identity, keeps all) — because `pow()` differs across libm
+    * builds and would break cross-engine replay. */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+      alpha: Double = 0.5, nBuckets: Int = 256,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    require(alpha == 0.5 || alpha == 1.0,
+      "only alpha in {0.5, 1.0} is engine-exact (pow differs across libm)")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_c"))
+    val weighted = counts.withColumn("_wt",
+      if (alpha == 0.5) sqrt(col("_c").cast("double"))
+      else col("_c").cast("double"))
+    val scale = weighted
+      .agg(min(col("_c").cast("double") / col("_wt")).as("_scale"))
+    val quotas = weighted.crossJoin(broadcast(scale))
+      .select(col(domainCol), floor(col("_wt") * col("_scale")).as("_keep"))
+    quotaSelect(df, idCol, domainCol, quotas, nBuckets, cp)
+  }
+
+  /** Shared exact-quota selection: keep the `_keep` lowest-hash-rank
+    * rows per domain via the two-phase (domain, hash-range bucket)
+    * rank — cumulative bucket counts restore the global per-domain
+    * rank, so no mega-domain ever serializes into one window task.
+    * The slim (id, domain, quota, hash, bucket) rows materialize ONCE
+    * (packBudget's Checkpointer discipline) — the rank branch and the
+    * offsets branch both consume them, and without the cut each would
+    * re-scan the corpus. */
+  private def quotaSelect(df: DataFrame, idCol: String, domainCol: String,
+      quotas: DataFrame, nBuckets: Int, cp: Checkpointer): DataFrame = {
     val span = (1L << 31) / nBuckets + 1L
     val base = cp.cut(df.select(col(idCol), col(domainCol))
       .join(broadcast(quotas), domainCol)

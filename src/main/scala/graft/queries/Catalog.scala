@@ -2812,6 +2812,50 @@ object Catalog {
       SELECT ck AS chunk_key, n_tokens, start, start // 512 AS shard
       FROM p"""))
 
+  /** 2-D Morton (Z-order) clustering key over (orderkey, partkey) —
+    * the data-layout key behind `Layout.writeZOrdered`'s two-column
+    * row-group pruning. The oracle replays the magic-number bit
+    * spread exactly (inputs normalized below 2^30 so no shift ever
+    * touches the sign bit on either engine). */
+  private val q124 = Q("q124_zorder_key",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        graft.functions.ZOrder64(
+          pmod(col("l_orderkey"), lit(1073741824L)).cast("long"),
+          pmod(col("l_partkey"), lit(1073741824L)).cast("long")).as("z")),
+    Some {
+      def spreadSql(v: String): String = Seq(
+        (16, "281470681808895"), (8, "71777214294589695"),
+        (4, "1085102592571150095"), (2, "3689348814741910323"),
+        (1, "6148914691236517205"))
+        .foldLeft(s"($v & 4294967295)") { case (acc, (sh, mask)) =>
+          s"(($acc | ($acc << $sh)) & $mask)"
+        }
+      val sx = spreadSql("(l_orderkey % 1073741824)")
+      val sy = spreadSql("(l_partkey % 1073741824)")
+      s"""SELECT l_orderkey, l_partkey, ($sx | ($sy << 1)) AS z
+      FROM lineitem"""
+    })
+
+  /** Temperature-scaled domain mixing at α = 0.5 (w_d ∝ √count_d —
+    * IEEE sqrt is correctly rounded on both engines, so the quotas
+    * and the hash-rank picks replay exactly). */
+  private val q125 = Q("q125_temperature_sample",
+    (s, dir) => Sampling.temperatureSample(t(s, dir, "documents"),
+      "doc_id", "lang", alpha = 0.5),
+    Some("""WITH c AS (SELECT lang, count(*) AS cnt FROM documents
+        GROUP BY lang),
+      w AS (SELECT lang, cnt, sqrt(CAST(cnt AS DOUBLE)) AS wt FROM c),
+      s AS (SELECT min(CAST(cnt AS DOUBLE) / wt) AS scale FROM w),
+      k AS (SELECT lang,
+        CAST(floor(wt * (SELECT scale FROM s)) AS BIGINT) AS keep FROM w),
+      r AS (SELECT d.doc_id, d.lang, k.keep,
+          row_number() OVER (PARTITION BY d.lang
+            ORDER BY ((d.doc_id % 2147483648) * 2654435761) % 2147483647,
+              d.doc_id) AS rn
+        FROM documents d JOIN k USING (lang))
+      SELECT doc_id, lang FROM r WHERE rn <= keep"""))
+
   /** Token-count histogram at width 25 — the profile panel that sizes
     * packing budgets. */
   private val q115 = Q("q115_histogram",
@@ -2833,5 +2877,5 @@ object Catalog {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123)
+    q122, q123, q124, q125)
 }

@@ -277,6 +277,29 @@ class BlocklistPlanSpec extends SparkSpec {
   }
 }
 
+class TemperatureSampleSpec extends SparkSpec {
+  import graft.ext.Sampling
+  import spark.implicits._
+
+  test("alpha=0.5 flattens toward uniform; binding domain whole; alpha=1 keeps all; bad alpha rejected") {
+    val docs = ((0L until 900L).map(i => (i, "big")) ++
+      (1000L until 1100L).map(i => (i, "small"))).toDF("id", "dom")
+    val out = Sampling.temperatureSample(docs, "id", "dom", alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = out.groupBy(_._2).view.mapValues(_.size).toMap
+    // scale = min(c/sqrt(c)) = sqrt(100) = 10; keep_big = floor(sqrt(900)*10)
+    assert(byDom("small") == 100)      // binding domain kept whole
+    assert(byDom("big") == 300)        // 900 -> 300: flattened 9:1 -> 3:1
+    // alpha = 1 is the identity mixture
+    val all = Sampling.temperatureSample(docs, "id", "dom", alpha = 1.0)
+    assert(all.count() == 1000)
+    // alphas needing pow() are rejected (libm-dependent, not replayable)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(docs, "id", "dom", alpha = 0.3)
+    }
+  }
+}
+
 class ChunkDocsSpec extends SparkSpec {
   import graft.ext.Packing
   import spark.implicits._
