@@ -100,6 +100,64 @@ object TextAnalysis {
     * monotone in the rational, so ranks are preserved), the k1/b terms
     * evaluate in one pinned double expression, and the per-document
     * term sum folds in ascending term order. */
+  /** Count-min sketch of the corpus token stream with ENGINE-PORTABLE
+    * hashes: `d` rows × `w` columns, cell(j, c) = Σ occurrences of
+    * tokens t with ((a_j·poly(t) + b_j) mod P) mod w = c — poly is the
+    * rolling polynomial fingerprint, (a_j, b_j) the public seeded
+    * permutation literals, so an external engine replays every cell.
+    *
+    * THE bounded-memory frequency structure at 100 TB: the build is
+    * one map-side-combinable aggregation whose state is ≤ d·w cells
+    * per partition regardless of corpus size (vs groupBy(token) whose
+    * key space grows with the vocabulary), and the merged sketch is
+    * d·w longs — broadcastable for downstream estimate probes. */
+  def countMinCells(docs: DataFrame, textCol: String, d: Int = 4,
+      w: Int = 512, seed: Long = 11L): DataFrame = {
+    require(d > 0 && w > 0)
+    val (as, bs) = graft.functions.MinHashSig.perms(d, seed)
+    docs.select(explode(tokens(col(textCol))).as("_t"))
+      .withColumn("_hv", element_at(
+        graft.functions.VectorFunctions.polyHashAll(array(col("_t"))), 1))
+      .select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("row"),
+          pmod(pmod(col("_hv") * lit(as(j)) + lit(bs(j)),
+            lit(graft.functions.MinHashSig.P)), lit(w.toLong))
+            .as("col"))): _*)).as("_rc"))
+      .groupBy(col("_rc").getField("row").as("row"),
+        col("_rc").getField("col").as("col"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy-hitter estimates from [[countMinCells]]: for every token
+    * with exact count ≥ `minCount`, the CMS estimate min_j cell(j,
+    * h_j(t)) — ≥ the true count by construction (collisions only
+    * inflate), equal when no row collides. Returns (tok, n_exact,
+    * cms_est); the exact side here is the audit baseline a production
+    * run would skip (it would probe the broadcast sketch instead of
+    * grouping the vocabulary). */
+  def cmsHeavyHitters(docs: DataFrame, textCol: String, minCount: Long,
+      d: Int = 4, w: Int = 512, seed: Long = 11L): DataFrame = {
+    val (as, bs) = graft.functions.MinHashSig.perms(d, seed)
+    val cells = countMinCells(docs, textCol, d, w, seed)
+    val exact = docs.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") >= minCount)
+    val probes = exact
+      .withColumn("_hv", element_at(
+        graft.functions.VectorFunctions.polyHashAll(array(col("tok"))), 1))
+      .select(col("tok"), col("n_exact"), explode(array((0 until d).map(j =>
+        struct(lit(j).as("row"),
+          pmod(pmod(col("_hv") * lit(as(j)) + lit(bs(j)),
+            lit(graft.functions.MinHashSig.P)), lit(w.toLong))
+            .as("col"))): _*)).as("_rc"))
+      .select(col("tok"), col("n_exact"),
+        col("_rc").getField("row").as("row"),
+        col("_rc").getField("col").as("col"))
+    probes.join(broadcast(cells), Seq("row", "col"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("cnt")).as("cms_est"))
+  }
+
   def bm25Scores(docs: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty)

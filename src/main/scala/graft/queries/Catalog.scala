@@ -2856,6 +2856,41 @@ object Catalog {
         FROM documents d JOIN k USING (lang))
       SELECT doc_id, lang FROM r WHERE rn <= keep"""))
 
+  /** Count-min heavy hitters with portable hashes: unlike the
+    * engine-specific HLL/theta sketches (q99/q100, rows-only), every
+    * CMS cell and estimate replays in SQL — a sketch with a full hash
+    * oracle. cms_est ≥ n_exact by construction. */
+  private val q126 = Q("q126_countmin_hitters",
+    (s, dir) => TextAnalysis.cmsHeavyHitters(t(s, dir, "documents"),
+      "text", minCount = 20L),
+    Some {
+      val (as, bs) = graft.functions.MinHashSig.perms(4, 11L)
+      val pRows = (0 until 4).map(j => s"($j, ${as(j)}, ${bs(j)})")
+        .mkString(", ")
+      val cellsSql = (0 until 4).map(j =>
+        s"SELECT $j AS rw, ((hv * ${as(j)} + ${bs(j)}) % 2147483647) % 512" +
+          s" AS cl, count(*) AS cnt FROM h GROUP BY 1, 2")
+        .mkString("\n        UNION ALL ")
+      s"""WITH t AS (SELECT unnest(list_filter(
+          string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS tok
+        FROM documents),
+      h AS (SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ord(tok[i]) AS BIGINT) FOR i IN range(1, len(tok) + 1)]),
+          (a, c) -> (a * 31 + c) % 1000000007) AS hv FROM t),
+      cells AS ($cellsSql),
+      ex AS (SELECT tok, count(*) AS n_exact FROM t GROUP BY tok
+        HAVING count(*) >= 20),
+      hh AS (SELECT DISTINCT tok, hv FROM h),
+      p(j, a, b) AS (VALUES $pRows)
+      SELECT e.tok, CAST(e.n_exact AS BIGINT) AS n_exact,
+        CAST(min(c.cnt) AS BIGINT) AS cms_est
+      FROM ex e JOIN hh ON hh.tok = e.tok
+      CROSS JOIN p
+      JOIN cells c ON c.rw = p.j
+        AND c.cl = ((hh.hv * p.a + p.b) % 2147483647) % 512
+      GROUP BY e.tok, e.n_exact"""
+    })
+
   /** Token-count histogram at width 25 — the profile panel that sizes
     * packing budgets. */
   private val q115 = Q("q115_histogram",
@@ -2877,5 +2912,5 @@ object Catalog {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125)
+    q122, q123, q124, q125, q126)
 }

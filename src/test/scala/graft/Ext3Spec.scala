@@ -277,6 +277,27 @@ class BlocklistPlanSpec extends SparkSpec {
   }
 }
 
+class PortableCountMinSpec extends SparkSpec {
+  import graft.ext.TextAnalysis
+
+  test("portable CMS never underestimates, cells bounded by d·w, every row sums to the stream length") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = TextAnalysis.cmsHeavyHitters(docs, "text", minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (t, n, est) => assert(est >= n, s"underestimate for $t") }
+    val cells = TextAnalysis.countMinCells(docs, "text")
+    assert(cells.count() <= 4L * 512L)
+    val totals = cells.groupBy(col("row")).agg(sum(col("cnt")))
+      .collect().map(_.getLong(1)).toSet
+    assert(totals.size == 1) // each row partitions the same token stream
+    // w >> vocabulary: a 4-row simultaneous collision is ~impossible,
+    // so every estimate is exact
+    TextAnalysis.cmsHeavyHitters(docs, "text", minCount = 5L, w = 1 << 20)
+      .collect().foreach(r => assert(r.getLong(2) == r.getLong(1)))
+  }
+}
+
 class TemperatureSampleSpec extends SparkSpec {
   import graft.ext.Sampling
   import spark.implicits._
