@@ -389,40 +389,29 @@ object Similarity {
             .cast("long").cast("string")): _*).as("centroid_milli"))
   }
 
-  /** The full spherical k-means loop over [[kmeansStep]]'s shape:
-    * assign by cosine argmax, update centroids to the element-wise
-    * mean (the Σcos-maximizing direction), repeat. Lineage is cut per
-    * round through the [[Checkpointer]] — the tiny centroid table is
-    * what checkpoints, so each iteration costs exactly one corpus scan
-    * instead of re-deriving every prior round. Objective Σ cos(v,
-    * centroid) is monotone non-decreasing (spec-pinned); the
-    * cross-engine-exact single step stays [[kmeansStep]]'s fixed-point
-    * oracle. Returns (n_id, cell, cos_to_centroid). */
+  /** The full spherical k-means loop: `iters` rounds of
+    * [[pqTrainCodebook]]'s FIXED-POINT training (assign by cosine
+    * argmax, means in micro-unit long arithmetic — every round is
+    * order-independent, so repeated runs and repartitionings agree
+    * bitwise, and an external engine replays the whole loop), then one
+    * final assignment against the trained centroids. Lineage is cut
+    * per round through the [[Checkpointer]] — the tiny centroid table
+    * is what checkpoints, so each iteration costs exactly one corpus
+    * scan. Objective Σ cos(v, centroid) is monotone non-decreasing up
+    * to the micro-unit quantization of the means (spec-pinned).
+    * Returns (n_id, cell, cos_to_centroid). */
   def kmeansIterate(candidates: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, iters: Int = 3, dim: Int = 64,
       cp: Checkpointer = LocalCheckpoint): DataFrame = {
-    val vecs = candidates.select(col(idCol).as("n_id"),
-      col(vecCol).cast("array<double>").as("_v"))
-    var cents = cp.cut(vecs.orderBy(col("n_id").asc).limit(nCells)
-      .select(col("n_id").as("cent_id"), col("_v").as("_c")))
-    def assigned(cs: DataFrame): DataFrame =
-      assignCells(vecs,
-        cs.select(col("cent_id"), col("_c").as("_centv"),
-          norm2(col("_c")).as("_centn")), "_v")
-        .select(col("n_id"), col("_v"), col("_csim").as("_sim"),
-          col("_cell").as("cell"))
-    for (_ <- 1 to iters) {
-      val means = (1 to dim).map(i => avg(element_at(col("_v"), i)).as(s"_m$i"))
-      val next = assigned(cents).groupBy(col("cell"))
-        .agg(means.head, means.tail: _*)
-        .select(col("cell").as("cent_id"),
-          array((1 to dim).map(i => col(s"_m$i")): _*).as("_c"))
-      val old = cents
-      cents = cp.cut(next)
-      cp.release(old)
-    }
-    assigned(cents)
-      .select(col("n_id"), col("cell"), col("_sim").as("cos_to_centroid"))
+    val cents = pqTrainCodebook(candidates, idCol, vecCol, nCells, iters,
+      dim, cp)
+    assignCells(
+      candidates.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("_v")),
+      cents.select(col("cent_id"), col("_c").as("_centv"),
+        norm2(col("_c")).as("_centn")), "_v")
+      .select(col("n_id"), col("_cell").as("cell"),
+        col("_csim").as("cos_to_centroid"))
   }
 
   /** Symmetric int8 quantization of an embedding column — the 100 TB

@@ -2891,6 +2891,24 @@ object Catalog {
       GROUP BY e.tok, e.n_exact"""
     })
 
+  /** The full iterated spherical k-means (2 fixed-point training
+    * rounds + final assignment) — previously spec-only because the
+    * means were order-dependent doubles; the fixed-point loop makes
+    * the WHOLE iteration replayable, assignments and cosines included. */
+  private val q127 = Q("q127_kmeans_iterate",
+    (s, dir) => Similarity.kmeansIterate(t(s, dir, "embeddings"),
+      "vec_id", "embedding", nCells = 16, iters = 2, dim = 64),
+    Some(cosineOracleCte + s""",
+      $kmeansTwoRoundsSql,
+      c2n AS (SELECT cent_id, c, ${dotFoldSql("c", "c")} AS cn FROM c2)
+      SELECT n_id, cell, sim AS cos_to_centroid FROM (
+        SELECT n.vec_id AS n_id, t.cent_id AS cell,
+          (${dotFoldSql("n.v", "t.c")} / sqrt(n.nrm * t.cn)) AS sim,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "t.c")} / sqrt(n.nrm * t.cn)) DESC,
+            t.cent_id ASC) AS cr
+        FROM n CROSS JOIN c2n t) z WHERE cr = 1"""))
+
   /** Token-count histogram at width 25 — the profile panel that sizes
     * packing budgets. */
   private val q115 = Q("q115_histogram",
@@ -2912,5 +2930,5 @@ object Catalog {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126)
+    q122, q123, q124, q125, q126, q127)
 }
