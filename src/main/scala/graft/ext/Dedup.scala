@@ -232,6 +232,78 @@ object Dedup {
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
   }
 
+  // ---- exact-substring span removal --------------------------------------
+
+  /** Exact-substring span REMOVAL (the full Lee et al. 2022 operator —
+    * q78's `ngramDedup` only reports duplication stats; this one edits
+    * the corpus): every token k-gram is owned by its globally first
+    * occurrence (lexicographic min of (doc id, position)); every other
+    * occurrence marks its k-token span as duplicated; per document the
+    * spans merge into disjoint intervals (gaps-and-islands) and the
+    * covered tokens are cut from the text.
+    *
+    * Returns one row per input document: (doc_id, n_tokens, n_removed,
+    * clean_text) — n_removed = tokens covered by the merged intervals,
+    * clean_text = the survivors joined by single spaces.
+    *
+    * 100 TB shape: the ownership pass is ONE aggregation keyed by the
+    * gram (`min(struct(id, pos))` — map-side combinable, unlike a
+    * window), the dup-span join re-shuffles on the same gram key, and
+    * the interval merge + token cut are windows/aggregations
+    * partitioned BY DOCUMENT — embarrassingly parallel, state bounded
+    * by tokens-per-doc. Gram text is the shuffle key here so the
+    * DuckDB oracle states identical semantics; at petabyte scale
+    * substitute the rolling polynomial hash ([[TextAnalysis
+    * .fingerprint]] / xxhash64, 128-bit if collision math demands) as
+    * the key — same plan shape, ~16 bytes per gram instead of the
+    * k-token string. */
+  def dedupSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    require(k > 0)
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("_id"),
+      TextAnalysis.tokens(col(textCol)).as("_tk"))
+    val grams = toks.filter(size(col("_tk")) >= k)
+      .select(col("_id"), explode(transform(
+        sequence(lit(0), size(col("_tk")) - k),
+        i => struct(i.cast("long").as("_pos"),
+          array_join(slice(col("_tk"), i + 1, lit(k)), " ").as("_gram")))).as("_g"))
+      .select(col("_id"), col("_g._pos").as("_pos"), col("_g._gram").as("_gram"))
+    val owners = grams.groupBy(col("_gram"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_own"))
+    val spans = grams.join(owners, Seq("_gram"))
+      .filter(struct(col("_id"), col("_pos")) =!= col("_own"))
+      .select(col("_id"), col("_pos").as("_s"), (col("_pos") + k).as("_e"))
+    // gaps-and-islands interval merge, per doc: a span starts a new
+    // island iff it begins at/after the running max end (ends are
+    // exclusive, so touching spans stay separate — the covered-token
+    // union is identical either way)
+    val wOrd = Window.partitionBy(col("_id")).orderBy(col("_s"), col("_e"))
+    val runMax = max(col("_e"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = spans
+      .withColumn("_new",
+        when(col("_s") >= coalesce(runMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("_isl",
+        sum(col("_new")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("_id"), col("_isl"))
+      .agg(min(col("_s")).as("_s"), max(col("_e")).as("_e"))
+    val ivs = islands.groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("_s"), col("_e")))).as("_ivs"),
+        sum(col("_e") - col("_s")).as("_rm"))
+    toks.join(ivs, Seq("_id"), "left")
+      .select(col("_id").as("doc_id"),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        coalesce(col("_rm"), lit(0L)).as("n_removed"),
+        array_join(
+          when(col("_ivs").isNull, col("_tk"))
+            .otherwise(filter(col("_tk"), (t, i) =>
+              !exists(col("_ivs"), iv =>
+                i.cast("long") >= iv.getField("_s")
+                  && i.cast("long") < iv.getField("_e")))),
+          " ").as("clean_text"))
+  }
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** MinHash modulus: 2^31-1 (Mersenne prime) keeps a*h+b < 2^62 — no

@@ -77,6 +77,28 @@ object Sampling {
     quotaSelect(df, idCol, domainCol, quotas, nBuckets, cp)
   }
 
+  /** Deterministic train/val/test assignment by portable hash bucket:
+    * split(id) = the cut whose cumulative percentage first exceeds
+    * hash31(id) mod 100. Map-only — NO shuffle, no state — and stable
+    * under corpus growth: a document's split never changes when rows
+    * are added or removed elsewhere (the property random sampling
+    * lacks and every training pipeline needs for reproducible
+    * held-out sets). `cuts` are (name, percent) and must sum to 100.
+    * The Knuth hash replays on any engine, so the oracle checks the
+    * exact assignment, not just the proportions. */
+  def hashSplit(df: DataFrame, idCol: String,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_._2 > 0)
+      && cuts.map(_._2).sum == 100, "cut percentages must sum to 100")
+    val bucket = pmod(hash31(col(idCol)), lit(100L))
+    val bounds = cuts.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val chain = cuts.tail.zip(bounds.tail).dropRight(1).foldLeft(
+      when(bucket < bounds.head, lit(cuts.head._1))) {
+        case (acc, ((name, _), b)) => acc.when(bucket < b, lit(name))
+      }.otherwise(lit(cuts.last._1))
+    df.withColumn("split", chain)
+  }
+
   /** Shared exact-quota selection: keep the `_keep` lowest-hash-rank
     * rows per domain via the two-phase (domain, hash-range bucket)
     * rank — cumulative bucket counts restore the global per-domain

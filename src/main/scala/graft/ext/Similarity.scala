@@ -268,6 +268,38 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** Incremental IVF index maintenance: assign a DELTA batch of new
+    * vectors to the EXISTING (frozen) coarse quantizer — the daily
+    * index-upsert path, where re-training/re-assigning the 10^9-vector
+    * base for every arriving batch would be absurd. Centroids follow
+    * the same deterministic first-`nCells`-by-id convention as
+    * [[ivfTopK]], so base and delta land in consistent cells and the
+    * whole operation replays in an external engine.
+    *
+    * Both assignment passes are the zero-shuffle [[assignCells]]
+    * broadcast fold; the only shuffles are the two map-side-combinable
+    * per-cell counts plus the cells-cardinality-tiny full outer join.
+    * Returns per-cell occupancy (cell, n_base, n_delta, n_total) — the
+    * monitoring surface that tells an operator when delta skew says
+    * it's time to re-train the quantizer. */
+  def ivfUpsert(base: DataFrame, delta: DataFrame, idCol: String,
+      vecCol: String, nCells: Int = 16): DataFrame = {
+    val cents = base.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
+        norm2(col(vecCol)).as("_centn"))
+    def cellCounts(df: DataFrame, as: String) =
+      assignCells(withNorm(df, idCol, vecCol, "n_id", "_cv", "_cn"),
+        cents, "_cv")
+        .groupBy(col("_cell").as("cell")).agg(count(lit(1)).as(as))
+    cellCounts(base, "n_base")
+      .join(cellCounts(delta, "n_delta"), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_base"), lit(0L))
+          + coalesce(col("n_delta"), lit(0L))).as("n_total"))
+  }
+
   /** Combined IVF-PQ search — the canonical 10^9-vector index shape
     * (Jégou et al.): candidates live in the index as (cell, codes) —
     * one int plus nSub bytes per vector — queries probe their

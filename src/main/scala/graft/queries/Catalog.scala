@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.ops.{Cdc, Normalize, PartitionKeys, Profiling, SemiJoins}
 import graft.schema.TableSpec
 import graft.streaming.EventsStream
@@ -2921,6 +2921,155 @@ object Catalog {
         FROM documents) z
       GROUP BY n // 25"""))
 
+  /** Exact-substring span REMOVAL (Lee et al. 2022 — q78 only reports
+    * stats; this edits the corpus): 8-gram ownership by lexicographic
+    * first (doc, pos), non-owner spans merged per doc
+    * (gaps-and-islands) and cut from the text. The oracle replays
+    * ownership, interval merge, and the token cut — the cleaned text
+    * itself hash-matches. */
+  private val q128 = Q("q128_span_dedup",
+    (s, dir) => Dedup.dedupSpans(t(s, dir, "documents"),
+      "text", "doc_id", k = 8),
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS toks FROM documents),
+      g AS (SELECT doc_id, i - 1 AS pos,
+          array_to_string(toks[i:i+7], ' ') AS gram
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+              FROM t WHERE len(toks) >= 8)),
+      od AS (SELECT gram, min(doc_id) AS od FROM g GROUP BY gram),
+      o2 AS (SELECT g.gram, any_value(o.od) AS od, min(g.pos) AS op
+        FROM g JOIN od o ON g.gram = o.gram AND g.doc_id = o.od
+        GROUP BY g.gram),
+      d AS (SELECT g.doc_id, g.pos AS s, g.pos + 8 AS e
+        FROM g JOIN o2 ON g.gram = o2.gram
+        WHERE NOT (g.doc_id = o2.od AND g.pos = o2.op)),
+      m AS (SELECT doc_id, s, e, CASE WHEN s >= coalesce(max(e) OVER (
+          PARTITION BY doc_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS ni FROM d),
+      i1 AS (SELECT doc_id, s, e, sum(ni) OVER (
+          PARTITION BY doc_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM m),
+      iv AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e
+        FROM i1 GROUP BY 1, 2),
+      ivl AS (SELECT doc_id,
+          list(struct_pack(s := s, e := e) ORDER BY s, e) AS ivs,
+          sum(e - s) AS rm FROM iv GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        CAST(coalesce(v.rm, 0) AS BIGINT) AS n_removed,
+        CASE WHEN v.ivs IS NULL
+          THEN coalesce(array_to_string(t.toks, ' '), '')
+          ELSE coalesce(array_to_string(list_filter(t.toks, (x, i) ->
+            len(list_filter(v.ivs, r -> i - 1 >= r.s AND i - 1 < r.e)) = 0),
+            ' '), '')
+        END AS clean_text
+      FROM t LEFT JOIN ivl v USING (doc_id)"""))
+
+  /** Hybrid retrieval: BM25 top-20 (q112's terms) ⊕ dense cosine
+    * top-20 for query vector 0, fused by reciprocal rank (k0 = 60),
+    * fused top-10. Both rank sides and the fused doubles replay
+    * exactly (integer-rational idf, pinned fold order, one
+    * correctly-rounded division per reciprocal). */
+  private val q129 = Q("q129_hybrid_rrf",
+    (s, dir) => {
+      val sparse = Retrieval.rankTopN(
+        TextAnalysis.bm25Scores(t(s, dir, "documents"), "text", "doc_id",
+          terms = Seq("key", "spark", "table"))
+          .withColumnRenamed("_id", "doc_id"),
+        "doc_id", "bm25_micro", n = 20)
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 20)
+        .select(col("n_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(sparse, dense, "doc_id", k0 = 60, topK = 10)
+    },
+    Some {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH tk AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS tk
+          FROM documents),
+        dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+            CAST(sum(dl) AS BIGINT) AS sd FROM dl),
+        tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(tk) AS t FROM tk) z
+          WHERE t IN ('key', 'spark', 'table') GROUP BY doc_id, t),
+        dfs AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+        sc AS (SELECT f.doc_id, f.t,
+            CAST(((st.nd - d.df) * 2000000 + 1000000) // (2 * d.df + 1) AS DOUBLE)
+              * (CAST(f.tf AS DOUBLE) * ${k1 + 1.0})
+              / (CAST(f.tf AS DOUBLE) + $k1 * (1.0 - $b + $b
+                * (CAST(l.dl AS DOUBLE)
+                  / (CAST(st.sd AS DOUBLE) / CAST(st.nd AS DOUBLE))))) AS s
+          FROM tf f JOIN dfs d USING (t) JOIN dl l USING (doc_id) CROSS JOIN st),
+        bm AS (SELECT doc_id,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY t)),
+              (x, y) -> x + y) AS bm25_micro
+          FROM sc GROUP BY doc_id),
+        sp AS (SELECT doc_id, rs FROM (SELECT doc_id, row_number() OVER (
+            ORDER BY bm25_micro DESC, doc_id ASC) AS rs FROM bm) z
+          WHERE rs <= 20),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, v,
+          ${dotFoldSql("v", "v")} AS nrm FROM e),
+        dn AS (SELECT doc_id, rd FROM (SELECT c.vec_id AS doc_id,
+            row_number() OVER (ORDER BY
+              (${dotFoldSql("q.v", "c.v")} / sqrt(q.nrm * c.nrm)) DESC,
+              c.vec_id ASC) AS rd
+          FROM n q JOIN n c ON q.vec_id = 0 AND c.vec_id <> 0) z
+          WHERE rd <= 20),
+        f AS (SELECT doc_id,
+            coalesce(1.0 / (60 + s.rs), 0.0)
+              + coalesce(1.0 / (60 + d.rd), 0.0) AS rrf
+          FROM sp s FULL OUTER JOIN dn d USING (doc_id))
+      SELECT doc_id, rrf, CAST(fr AS INT) AS fused_rank FROM (
+        SELECT doc_id, rrf, row_number() OVER (
+          ORDER BY rrf DESC, doc_id ASC) AS fr FROM f) z
+      WHERE fr <= 10"""
+    })
+
+  /** Deterministic train/val/test split (80/10/10) by portable Knuth
+    * hash bucket — map-only, shuffle-free, stable under corpus
+    * growth. The oracle checks the exact per-document assignment. */
+  private val q130 = Q("q130_train_split",
+    (s, dir) => Sampling.hashSplit(t(s, dir, "documents"), "doc_id",
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select(col("doc_id"), col("split")),
+    Some("""SELECT doc_id, CASE
+        WHEN ((doc_id % 2147483648) * 2654435761) % 2147483647 % 100 < 80
+          THEN 'train'
+        WHEN ((doc_id % 2147483648) * 2654435761) % 2147483647 % 100 < 90
+          THEN 'val'
+        ELSE 'test' END AS split
+      FROM documents"""))
+
+  /** Incremental IVF upsert: vec_id < 400 is the frozen base index
+    * (first-16 centroid convention), ≥ 400 the arriving delta batch;
+    * per-cell occupancy before/after. Both assignments are the
+    * zero-shuffle broadcast fold; the oracle replays the shared
+    * argmax-cosine assignment for base and delta alike. */
+  private val q131 = Q("q131_ivf_upsert",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfUpsert(emb.filter(col("vec_id") < 400),
+        emb.filter(col("vec_id") >= 400), "vec_id", "embedding",
+        nCells = 16)
+    },
+    Some(cosineOracleCte + s""",
+      c AS (SELECT vec_id AS cent_id, v, nrm FROM n WHERE vec_id < 16),
+      asg AS (SELECT vec_id, cell FROM (
+          SELECT x.vec_id, c.cent_id AS cell,
+            row_number() OVER (PARTITION BY x.vec_id ORDER BY
+              (${dotFoldSql("x.v", "c.v")} / sqrt(x.nrm * c.nrm)) DESC,
+              c.cent_id ASC) AS rn
+          FROM n x CROSS JOIN c) z WHERE rn = 1)
+      SELECT cell,
+        CAST(count(*) FILTER (WHERE vec_id < 400) AS BIGINT) AS n_base,
+        CAST(count(*) FILTER (WHERE vec_id >= 400) AS BIGINT) AS n_delta,
+        CAST(count(*) AS BIGINT) AS n_total
+      FROM asg GROUP BY cell"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -2930,5 +3079,5 @@ object Catalog {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
 }
