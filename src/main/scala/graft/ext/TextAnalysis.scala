@@ -188,4 +188,52 @@ object TextAnalysis {
         lit(0.0), (acc, x) => acc + x).as("bm25_micro"))
       .select(col("_id"), col("bm25_micro"))
   }
+
+  /** Bigram language-model quality scores (CCNet-style perplexity
+    * filtering, log-free): the corpus itself is the LM. Every adjacent
+    * token pair is scored with the add-one-smoothed conditional
+    * p(w₂|w₁) = (c(w₁,w₂) + 1) / (c(w₁·) + V) in exact integer
+    * micro-units (⌊p·10⁶⌋) — no transcendental log, whose last-ulp
+    * behavior differs across engines — summed per document. The
+    * micro-mean is a monotone quality signal, so the tercile
+    * head/middle/tail bucketing CCNet does on log-perplexity works
+    * unchanged on it (q136).
+    *
+    * Counts: c(w₁,w₂) over all adjacent pairs corpus-wide; c(w₁·)
+    * over bigram LEFT contexts (every token occurrence except each
+    * document's last); V = distinct tokens corpus-wide.
+    *
+    * Scale shape: one token-level explode, two keyed count
+    * aggregations (bigram, left context), two shuffle joins back on
+    * those keys, one broadcast scalar (V), one per-doc aggregation —
+    * all map-side combinable; no windows, no all-pairs, no driver
+    * loop. Output columns: _id, n_bigrams, lm_micro_sum,
+    * lm_mean_micro (null for docs with < 2 tokens). */
+  def bigramLmScores(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
+    val bg = base.filter(size(col("_tk")) >= 2)
+      .select(col("_id"), explode(expr(
+        "transform(sequence(0, size(_tk) - 2)," +
+          " i -> struct(_tk[i] AS w1, _tk[i + 1] AS w2))")).as("_b"))
+      .select(col("_id"), col("_b.w1").as("_w1"), col("_b.w2").as("_w2"))
+    val c12 = bg.groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("_c12"))
+    val c1 = bg.groupBy(col("_w1")).agg(count(lit(1)).as("_c1"))
+    val vocab = base.select(explode(col("_tk")).as("_t"))
+      .agg(count_distinct(col("_t")).as("_v"))
+    val perDoc = bg
+      .join(c12, Seq("_w1", "_w2"))
+      .join(c1, Seq("_w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_s", expr("((_c12 + 1) * 1000000) div (_c1 + _v)"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_s")).as("lm_micro_sum"), count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol).as("_id"))
+      .join(perDoc, Seq("_id"), "left")
+      .select(col("_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_micro_sum"), lit(0L)).as("lm_micro_sum"),
+        (col("lm_micro_sum").cast("double")
+          / col("n_bigrams").cast("double")).as("lm_mean_micro"))
+  }
 }

@@ -3070,6 +3070,37 @@ object Catalog {
         CAST(count(*) AS BIGINT) AS n_total
       FROM asg GROUP BY cell"""))
 
+  /** Bigram LM quality scoring (CCNet-style perplexity filter,
+    * log-free): corpus-trained add-one-smoothed p(w2|w1) in exact
+    * integer micro-units, summed per doc; the micro-mean is the one
+    * double (single BIGINT/BIGINT division — correctly rounded and
+    * identical in both engines). */
+  private val q132 = Q("q132_bigram_lm",
+    (s, dir) => TextAnalysis.bigramLmScores(t(s, dir, "documents"),
+      "text", "doc_id")
+      .withColumnRenamed("_id", "doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS toks FROM documents),
+      b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE len(toks) >= 2)),
+      c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM b GROUP BY w1, w2),
+      c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY w1),
+      v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS tok FROM t)),
+      sc AS (SELECT b.doc_id, ((c12.c12 + 1) * 1000000) // (c1.c1 + v.v) AS s
+        FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+      d AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS lm_micro_sum,
+          CAST(count(*) AS BIGINT) AS n_bigrams FROM sc GROUP BY doc_id)
+      SELECT t.doc_id,
+        CAST(coalesce(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CAST(coalesce(d.lm_micro_sum, 0) AS BIGINT) AS lm_micro_sum,
+        CAST(d.lm_micro_sum AS DOUBLE) / CAST(d.n_bigrams AS DOUBLE)
+          AS lm_mean_micro
+      FROM t LEFT JOIN d USING (doc_id)"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3079,5 +3110,5 @@ object Catalog {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
 }
