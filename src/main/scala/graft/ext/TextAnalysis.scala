@@ -197,7 +197,7 @@ object TextAnalysis {
     * behavior differs across engines — summed per document. The
     * micro-mean is a monotone quality signal, so the tercile
     * head/middle/tail bucketing CCNet does on log-perplexity works
-    * unchanged on it (q136).
+    * unchanged on it (q132).
     *
     * Counts: c(w₁,w₂) over all adjacent pairs corpus-wide; c(w₁·)
     * over bigram LEFT contexts (every token occurrence except each
