@@ -66,6 +66,51 @@ object Similarity {
         :+ col("_asg").getField("sim").as("_csim"): _*)
   }
 
+  /** The deterministic coarse quantizer shared by the whole IVF family:
+    * the first `nCells` corpus vectors by ascending id, projected to
+    * (cent_id, _centv, _centn = ‖v‖²). Pinning the convention (instead
+    * of a random init) is what lets an external engine rebuild the
+    * identical quantizer from the data alone; [[pqTrainCodebook]]
+    * refines from exactly this start. */
+  def coarseCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame =
+    corpus.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
+        norm2(col(vecCol)).as("_centn"))
+
+  /** Densify a `(_cb, _cv)` codebook to ascending-id rank order so a
+    * PQ code indexes its per-subspace ADC block positionally (trained
+    * codebooks can drop cells and leave id gaps). Tiny table: the rank
+    * window's single-partition pass is nCodewords rows, never corpus
+    * data. */
+  private def densifyCodebook(codebook: DataFrame): DataFrame =
+    codebook
+      .select(col("_cb").cast("long").as("_cbOrig"),
+        col("_cv").cast("array<double>").as("_cv"))
+      .withColumn("_cb",
+        (row_number().over(Window.orderBy(col("_cbOrig"))) - 1).cast("long"))
+      .select(col("_cb"), col("_cv"))
+
+  /** One IVF-PQ index fragment over `corpus` against a FROZEN quantizer
+    * and codebook: (n_id, cell, codes) — one long plus nSub small ints
+    * per vector, the at-rest shape a 10^9-vector index stores
+    * (partitioned by cell). Assignment is the zero-shuffle
+    * [[assignCells]] broadcast fold; encoding is the broadcast-codebook
+    * map-side argmin of [[pqEncodeWith]] — nothing here shuffles the
+    * corpus beyond the one slim encode aggregation. */
+  private def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      cbDense: DataFrame, cents: DataFrame, nSub: Int,
+      dim: Int): DataFrame = {
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("n_id"), col(vecCol).as("_cv")),
+      cents, "_cv")
+      .select(col("n_id"), col("_cell"))
+    pqEncodeWith(corpus, idCol, vecCol, cbDense, nSub, dim)
+      .select(col("_id").as("n_id"), col("codes"))
+      .join(assigned, "n_id")
+      .select(col("n_id"), col("_cell").as("cell"), col("codes"))
+  }
+
   /** Exact top-k neighbors for each query vector (brute force — the
     * correctness baseline). Queries are broadcast; rank ties broken by
     * candidate id. */
@@ -238,9 +283,7 @@ object Similarity {
     * bucket, and prune like any other key. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val cents = candidates.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
-        norm2(col(vecCol)).as("_centn"))
+    val cents = coarseCentroids(candidates, idCol, vecCol, nCells)
     // corpus-side assignment: zero-shuffle broadcast-array fold (the
     // probe side below keeps its window — query-cardinality-tiny)
     val assigned = assignCells(
@@ -284,9 +327,7 @@ object Similarity {
     * it's time to re-train the quantizer. */
   def ivfUpsert(base: DataFrame, delta: DataFrame, idCol: String,
       vecCol: String, nCells: Int = 16): DataFrame = {
-    val cents = base.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
-        norm2(col(vecCol)).as("_centn"))
+    val cents = coarseCentroids(base, idCol, vecCol, nCells)
     def cellCounts(df: DataFrame, as: String) =
       assignCells(withNorm(df, idCol, vecCol, "n_id", "_cv", "_cn"),
         cents, "_cv")
@@ -337,27 +378,60 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, codebook: DataFrame,
       nCells: Int = 16, nProbe: Int = 2, nSub: Int = 8,
       nCodewords: Int = 16, dim: Int = 64): DataFrame = {
+    val cents = coarseCentroids(candidates, idCol, vecCol, nCells)
+    val index = pqIndex(candidates, idCol, vecCol,
+      densifyCodebook(codebook), cents, nSub, dim)
+    ivfPqProbeIndex(queries, index, cents, codebook, idCol, vecCol, k,
+      nProbe, nSub, nCodewords, dim)
+  }
+
+  /** Merged PROBEABLE incremental IVF-PQ index over base ∪ delta — the
+    * growing-corpus maintenance path [[ivfUpsert]]'s occupancy dashboard
+    * monitors. The coarse quantizer is FROZEN on the base (first-`nCells`
+    * by id — re-deriving it per arriving batch would reassign the
+    * 10^9-vector base daily) and the codebook is the caller's (typically
+    * [[pqTrainCodebook]] trained once on the base); the delta is encoded
+    * against both and the fragments union into one (n_id, cell, codes)
+    * index that [[ivfPqProbeIndex]] searches directly.
+    *
+    * Because assignment and encoding are per-row map transforms against
+    * frozen broadcast state, the merged index is IDENTICAL to an index
+    * built from scratch on base ∪ delta with the same quantizer and
+    * codebook (spec-pinned) — union commutes with the maps, so N daily
+    * upserts never drift from a full rebuild. Scale shape: the union is
+    * plan-level (no shuffle); each fragment costs one corpus scan plus
+    * the slim per-vector encode aggregation; in storage terms the delta
+    * fragment is simply appended to the cell-partitioned index. */
+  def ivfPqUpsertIndex(base: DataFrame, delta: DataFrame, idCol: String,
+      vecCol: String, codebook: DataFrame, nCells: Int = 16,
+      nSub: Int = 8, dim: Int = 64): DataFrame = {
+    val cents = coarseCentroids(base, idCol, vecCol, nCells)
+    val cbDense = densifyCodebook(codebook)
+    pqIndex(base, idCol, vecCol, cbDense, cents, nSub, dim)
+      .unionByName(pqIndex(delta, idCol, vecCol, cbDense, cents, nSub, dim))
+  }
+
+  /** ADC probe over an EXPLICIT (n_id, cell, codes) index (as emitted
+    * by [[ivfPqUpsertIndex]]) — the search half of [[ivfPqTopKWith]]
+    * decoupled from the index build, so a stored/incrementally-merged
+    * index is queried without re-encoding the corpus. `cents` must be
+    * the quantizer the index was built with ([[coarseCentroids]]'
+    * (cent_id, _centv, _centn) shape) and `codebook` its `(_cb, _cv)`
+    * codebook; precondition: exactly `nCodewords` codebook rows — the
+    * ADC lookup fold is compiled statically against that layout.
+    *
+    * Plan: queries cross the broadcast quantizer to pick `nProbe`
+    * cells, per-query ADC tables build against the broadcast codebook,
+    * and the index is scanned ONCE with an equi-join on the cell key
+    * (tiny probe × ADC side broadcast) — partition the stored index by
+    * cell and the probe reads only the probed cells' codes, never raw
+    * vectors. */
+  def ivfPqProbeIndex(queries: DataFrame, index: DataFrame,
+      cents: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 2, nSub: Int = 8,
+      nCodewords: Int = 16, dim: Int = 64): DataFrame = {
     val sub = dim / nSub
-    // tiny table: the rank window's single-partition pass is nCodewords
-    // rows, never corpus data
-    val cbDense = codebook
-      .select(col("_cb").cast("long").as("_cbOrig"),
-        col("_cv").cast("array<double>").as("_cv"))
-      .withColumn("_cb",
-        (row_number().over(Window.orderBy(col("_cbOrig"))) - 1).cast("long"))
-      .select(col("_cb"), col("_cv"))
-    val cents = candidates.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
-        norm2(col(vecCol)).as("_centn"))
-    // index-build assignment: zero-shuffle broadcast-array fold (the
-    // kernel derives ‖v‖² itself — no norm projection needed here)
-    val assigned = assignCells(
-      candidates.select(col(idCol).as("n_id"), col(vecCol).as("_cv")),
-      cents, "_cv")
-      .select(col("n_id"), col("_cell"))
-    val index = pqEncodeWith(candidates, idCol, vecCol, cbDense, nSub, dim)
-      .select(col("_id").as("n_id"), col("codes"))
-      .join(assigned, "n_id")
+    val cbDense = densifyCodebook(codebook)
     val probeRank = Window.partitionBy(col("q_id"))
       .orderBy(col("_csim").desc, col("cent_id").asc)
     val probes = withNorm(queries, idCol, vecCol, "q_id", "_qv", "_qn")
@@ -371,7 +445,7 @@ object Similarity {
       probes.select(col("q_id"), col("_qv")).distinct()
         .select(col("q_id"), col("_qv").cast("array<double>").as("_qv")),
       cbDense, nSub, sub)
-    val scored = index
+    val scored = index.select(col("n_id"), col("cell").as("_cell"), col("codes"))
       .join(broadcast(probes.select(col("q_id"), col("_cell"))
         .join(qtab, "q_id")), Seq("_cell"))
       .filter(col("q_id") =!= col("n_id"))
@@ -402,9 +476,7 @@ object Similarity {
     * representation-stable for hashing. */
   def kmeansStep(candidates: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, dim: Int = 64): DataFrame = {
-    val cents = candidates.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
-        norm2(col(vecCol)).as("_centn"))
+    val cents = coarseCentroids(candidates, idCol, vecCol, nCells)
     val assigned = assignCells(
       candidates.select(col(idCol).as("n_id"), col(vecCol).as("_cv")),
       cents, "_cv")
@@ -652,9 +724,7 @@ object Similarity {
     * and the kept flag exactly. Returns (vec_id, cell, kept). */
   def semDeDup(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 16): DataFrame = {
-    val cents = vectors.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("_centv"),
-        norm2(col(vecCol)).as("_centn"))
+    val cents = coarseCentroids(vectors, idCol, vecCol, nCells)
     val assigned = assignCells(
       withNorm(vectors, idCol, vecCol, "_id", "_v", "_n"), cents, "_v")
       .select(col("_id"), col("_v"), col("_n"), col("_cell"))

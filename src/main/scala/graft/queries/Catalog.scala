@@ -3101,6 +3101,70 @@ object Catalog {
           AS lm_mean_micro
       FROM t LEFT JOIN d USING (doc_id)"""))
 
+  /** Probeable incremental IVF-PQ index: vec_id < 400 is the frozen
+    * base (quantizer = its first 16 ids, convention codebook), ≥ 400
+    * the arriving delta; the merged (n_id, cell, codes) index is
+    * probed directly — q131's occupancy dashboard upgraded to the
+    * operator a growing-corpus user actually runs. The oracle replays
+    * assignment, codes, ADC folds, and ranks over base ∪ delta with
+    * the base-frozen quantizer (frozen-state maps commute with union,
+    * so the replay covers the merged index exactly). */
+  private val q133 = Q("q133_ivfpq_upsert_probe",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") < 400)
+      val delta = emb.filter(col("vec_id") >= 400)
+      val cb = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("_cb"),
+          col("embedding").cast("array<double>").as("_cv"))
+      val index = Similarity.ivfPqUpsertIndex(base, delta, "vec_id",
+        "embedding", cb, nCells = 16, nSub = 8, dim = 64)
+      val cents = Similarity.coarseCentroids(base, "vec_id", "embedding", 16)
+      Similarity.ivfPqProbeIndex(emb.filter(col("vec_id") < 40), index,
+        cents, cb, "vec_id", "embedding", k = 4, nProbe = 3)
+    },
+    Some(cosineOracleCte + s""",
+      cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        WHERE vec_id < 400 ORDER BY vec_id ASC LIMIT 16),
+      asg AS (SELECT n_id, cell FROM (
+        SELECT n.vec_id AS n_id, cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS cr
+        FROM n CROSS JOIN cent) z WHERE cr = 1),
+      cb AS (SELECT vec_id AS c, v AS cv2 FROM e WHERE vec_id < 16),
+      pa AS (SELECT e.vec_id, cb.c, js.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(e.v[i] - cb.cv2[i]) * (e.v[i] - cb.cv2[i])
+             FOR i IN range(js.j * 8 + 1, js.j * 8 + 9)]), (x, y) -> x + y) AS d
+        FROM e CROSS JOIN cb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
+      sel AS (SELECT vec_id, j, c FROM (
+          SELECT vec_id, j, c,
+            row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+          FROM pa) z WHERE rn = 1),
+      prb AS (SELECT q_id, qv, cell FROM (
+        SELECT n.vec_id AS q_id, n.v AS qv, cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS pr
+        FROM n CROSS JOIN cent WHERE n.vec_id < 40) z WHERE pr <= 3),
+      tj AS (SELECT s.vec_id, p.q_id, s.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(p.qv[i] - cb.cv2[i]) * (p.qv[i] - cb.cv2[i])
+             FOR i IN range(s.j * 8 + 1, s.j * 8 + 9)]), (x, y) -> x + y) AS t
+        FROM sel s JOIN cb ON cb.c = s.c
+        JOIN asg a ON a.n_id = s.vec_id
+        JOIN prb p ON p.cell = a.cell),
+      dist AS (SELECT q_id, vec_id AS n_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY j)),
+            (x, y) -> x + y) AS d
+        FROM tj GROUP BY q_id, vec_id)
+      SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+        SELECT q_id, n_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rank
+        FROM dist WHERE n_id <> q_id) z
+      WHERE rank <= 4"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3110,5 +3174,6 @@ object Catalog {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
-    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
+    q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
+    q133)
 }

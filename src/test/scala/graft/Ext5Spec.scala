@@ -1,0 +1,79 @@
+package graft
+
+import graft.ext.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-6: the probeable incremental IVF-PQ index — upsert-merged
+  * fragments must be indistinguishable from a from-scratch build, both
+  * as stored (cell, codes) rows and through the ADC probe. */
+class IvfUpsertIndexSpec extends SparkSpec {
+
+  private def emb: DataFrame =
+    spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+  private def conventionCodebook(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("_cb"),
+        col("embedding").cast("array<double>").as("_cv"))
+
+  private def collectSet(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("merged upsert index == index built from scratch on base ∪ delta (frozen quantizer + codebook)") {
+    val base = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300)
+    val cb = conventionCodebook(emb)
+    val merged = Similarity.ivfPqUpsertIndex(base, delta, "vec_id",
+      "embedding", cb, nCells = 16, nSub = 8, dim = 64)
+    // scratch build: same frozen state, one pass over the union — the
+    // upsert must not drift from this no matter how the corpus arrived
+    val scratch = Similarity.ivfPqUpsertIndex(
+      base.unionByName(delta), emb.filter(lit(false)), "vec_id",
+      "embedding", cb, nCells = 16, nSub = 8, dim = 64)
+    assert(merged.columns.toSeq == Seq("n_id", "cell", "codes"))
+    val m = collectSet(merged.select(col("n_id"), col("cell"),
+      concat_ws(",", col("codes"))))
+    val s0 = collectSet(scratch.select(col("n_id"), col("cell"),
+      concat_ws(",", col("codes"))))
+    assert(m == s0)
+    assert(m.size == emb.count())
+  }
+
+  test("probe over the merged index == ivfPqTopKWith from scratch when base holds the quantizer ids") {
+    val base = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300)
+    val queries = emb.filter(col("vec_id") < 25)
+    val cb = conventionCodebook(emb)
+    val cents = Similarity.coarseCentroids(base, "vec_id", "embedding", 16)
+    val index = Similarity.ivfPqUpsertIndex(base, delta, "vec_id",
+      "embedding", cb, nCells = 16, nSub = 8, dim = 64)
+    val viaIndex = Similarity.ivfPqProbeIndex(queries, index, cents, cb,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    // base holds ids 0..299, so first-16-of-union == first-16-of-base
+    // and the from-scratch composed operator must agree rank-for-rank
+    val scratch = Similarity.ivfPqTopKWith(queries,
+      base.unionByName(delta), "vec_id", "embedding", k = 3, cb,
+      nCells = 16, nProbe = 2)
+    assert(collectSet(viaIndex) == collectSet(scratch))
+    assert(viaIndex.count() > 0)
+  }
+
+  test("trained-codebook upsert: delta encoded against the BASE-trained codebook, probe stays consistent") {
+    val base = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300)
+    val cb = Similarity.pqTrainCodebook(base, "vec_id", "embedding",
+        nCodewords = 16, iters = 1, dim = 64)
+      .select(col("cent_id").as("_cb"), col("_c").as("_cv"))
+    val cents = Similarity.coarseCentroids(base, "vec_id", "embedding", 16)
+    val index = Similarity.ivfPqUpsertIndex(base, delta, "vec_id",
+      "embedding", cb, nCells = 16, nSub = 8, dim = 64)
+    val probe = Similarity.ivfPqProbeIndex(
+      emb.filter(col("vec_id") < 10), index, cents, cb,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    val scratch = Similarity.ivfPqTopKWith(emb.filter(col("vec_id") < 10),
+      base.unionByName(delta), "vec_id", "embedding", k = 3, cb,
+      nCells = 16, nProbe = 2)
+    assert(collectSet(probe) == collectSet(scratch))
+  }
+}
