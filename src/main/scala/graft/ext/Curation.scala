@@ -37,6 +37,20 @@ object Curation {
         length(regexp_replace(text, "[0-9]+", "<NUM>")).as("clean_chars"))
   }
 
+  /** [[curate]] fed from raw crawl HTML — [[TextAnalysis.extractText]]
+    * (tag strip + line-quality boilerplate removal) runs as stage 0,
+    * then the extracted text flows through the verified gate → dedup →
+    * stats chain unchanged. The extraction is map-only, so the
+    * composed pipeline keeps curate's one-shuffle shape and the gates
+    * still prune before any network hop. */
+  def curateHtml(docs: DataFrame, htmlCol: String, idCol: String,
+      minQuality: Double = 0.2, minLineWords: Int = 3): DataFrame = {
+    val extracted = TextAnalysis.extractText(docs, htmlCol, idCol,
+        minLineWords)
+      .select(col("_id").as(idCol), col("text"))
+    curate(extracted, "text", idCol, minQuality)
+  }
+
   /** The full training-prep chain, every stage one of the verified
     * operators: quality/language gates and normalized-key dedup
     * ([[curate]]) → cross-corpus decontamination against the held-out

@@ -45,6 +45,51 @@ object TextAnalysis {
       .otherwise(lit("other"))
   }
 
+  /** Raw-HTML → visible text (the crawl front-end every pretraining
+    * pipeline runs before any other text operator — CCNet trains its
+    * LM on tag-stripped text, RefinedWeb's trafilatura stage plays the
+    * same role): drop script/style/comment blocks, convert block-level
+    * closes and `<br>` to line breaks, strip remaining tags, decode
+    * the six common entities (`&amp;` last so double-escapes survive
+    * one level). Script and style run as separate lazy-dotall passes —
+    * no backreferences, so the identical pattern replays on RE2-family
+    * engines. Pure codegen `regexp_replace`/`replace` chain: map-only,
+    * embarrassingly parallel, no shuffle. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)<br[^>]*>|</(p|div|li|ul|ol|tr|table|h[1-6]|title|blockquote" +
+        "|nav|header|footer|section|article)\\s*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+  }
+
+  /** Line-quality boilerplate removal over [[stripHtml]]'s output (the
+    * RefinedWeb/CCNet line filter): split on line breaks, collapse
+    * intra-line whitespace, drop empty lines, keep lines with ≥
+    * `minLineWords` words — nav crumbs, titles, and footer fragments
+    * fall below the bar while running prose survives. Returns
+    * (_id, text = kept lines joined by newline, n_lines_raw,
+    * n_lines_kept) — the doc-level extraction audit. Map-only. */
+  def extractText(docs: DataFrame, htmlCol: String, idCol: String,
+      minLineWords: Int = 3): DataFrame = {
+    val lines = filter(
+      transform(split(stripHtml(col(htmlCol)), "\n"),
+        l => trim(regexp_replace(l, "\\s+", " "))),
+      l => length(l) > 0)
+    val kept = filter(lines, l => size(split(l, " ")) >= minLineWords)
+    docs.select(col(idCol).as("_id"),
+      array_join(kept, "\n").as("text"),
+      size(lines).as("n_lines_raw"),
+      size(kept).as("n_lines_kept"))
+  }
+
   /** Quality metrics: token count, char count, non-whitespace chars,
     * mean token length, and a composite score — all integer-derived
     * double arithmetic (bit-reproducible across engines). */

@@ -3165,6 +3165,63 @@ object Catalog {
         FROM dist WHERE n_id <> q_id) z
       WHERE rank <= 4"""))
 
+  /** Raw-HTML → text extraction (the crawl front-end): each document
+    * is wrapped in a deterministic page shell — title, style, script
+    * (with a `<` inside to prove block stripping), nav, the body
+    * paragraph, an entity-bearing footer line, and a short crumb — and
+    * the extractor must drop the chrome, decode entities, and keep
+    * only lines with ≥ 3 words. The oracle replays the identical
+    * regex/replace chain and line filter. */
+  private val q134 = Q("q134_html_extract",
+    (s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Synth Page</title>" +
+          "<style>p { color: red; }</style>" +
+          "<script type=\"module\">var x = 1 < 2; // <tag></script>" +
+          "</head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><nav>home about</nav><p>"), col("text"),
+        lit("</p><p>Contact &amp; imprint page</p>" +
+          "<div>back</div></body></html>"))
+      TextAnalysis.extractText(
+        t(s, dir, "documents").withColumn("_html", html),
+        "_html", "doc_id", minLineWords = 3)
+        .withColumnRenamed("_id", "doc_id")
+    },
+    Some("""WITH h AS (SELECT doc_id,
+        '<html><head><title>Synth Page</title><style>p { color: red; }</style><script type="module">var x = 1 < 2; // <tag></script></head><body><h1>Doc '
+        || CAST(doc_id AS VARCHAR)
+        || '</h1><nav>home about</nav><p>' || text
+        || '</p><p>Contact &amp; imprint page</p><div>back</div></body></html>'
+          AS html
+      FROM documents),
+      s1 AS (SELECT doc_id, regexp_replace(html,
+        '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM h),
+      s2 AS (SELECT doc_id, regexp_replace(t,
+        '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s1),
+      s3 AS (SELECT doc_id, regexp_replace(t,
+        '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+      s4 AS (SELECT doc_id, regexp_replace(t,
+        '(?i)<br[^>]*>|</(p|div|li|ul|ol|tr|table|h[1-6]|title|blockquote|nav|header|footer|section|article)\s*>',
+        chr(10), 'g') AS t FROM s3),
+      s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t
+        FROM s4),
+      s6 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        '&nbsp;', ' '), '&amp;', '&') AS t FROM s5),
+      ln AS (SELECT doc_id,
+        list_filter(list_transform(string_split(t, chr(10)),
+          l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
+          l -> len(l) > 0) AS lines
+      FROM s6),
+      k AS (SELECT doc_id, lines,
+        list_filter(lines, l -> len(string_split(l, ' ')) >= 3) AS kept
+      FROM ln)
+      SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+        CAST(len(lines) AS INT) AS n_lines_raw,
+        CAST(len(kept) AS INT) AS n_lines_kept
+      FROM k"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3175,5 +3232,5 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133)
+    q133, q134)
 }

@@ -59,6 +59,49 @@ class IvfUpsertIndexSpec extends SparkSpec {
     assert(viaIndex.count() > 0)
   }
 
+  test("extractText: chrome dropped, entities decoded, short lines filtered, prose kept") {
+    import spark.implicits._
+    val html =
+      """<html><head><title>Short Title</title>
+        |<style>body { margin: 0; }</style>
+        |<script>if (1 < 2) { alert("</div> inside js string? no — block strip is lazy to </script>
+        |<!-- a comment with <p>fake tags</p> inside -->
+        |</head><body>
+        |<h1>Big Page</h1>
+        |<nav>home about</nav>
+        |<p>The   quick brown fox &amp; the lazy dog&#39;s friend jumped.</p>
+        |<p>Second real paragraph with plenty of words here.</p>
+        |<div>back</div>
+        |</body></html>""".stripMargin
+    val out = ext.TextAnalysis.extractText(
+      Seq((1L, html)).toDF("doc_id", "html"), "html", "doc_id")
+      .collect().head
+    val text = out.getAs[String]("text")
+    val lines = text.split("\n").toSeq
+    assert(lines == Seq(
+      "The quick brown fox & the lazy dog's friend jumped.",
+      "Second real paragraph with plenty of words here."))
+    assert(out.getAs[Int]("n_lines_kept") == 2)
+    // raw lines: title, h1, nav, 2 paragraphs, div = 6 non-empty
+    assert(out.getAs[Int]("n_lines_raw") == 6)
+    assert(!text.contains("alert") && !text.contains("margin")
+      && !text.contains("fake tags"))
+  }
+
+  test("curateHtml == extractText then curate (stage-0 composition)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .withColumn("_html",
+        concat(lit("<html><body><nav>menu</nav><p>"), col("text"),
+          lit("</p><footer>c</footer></body></html>")))
+    val composed = ext.Curation.curateHtml(docs, "_html", "doc_id")
+    val manual = ext.Curation.curate(
+      ext.TextAnalysis.extractText(docs, "_html", "doc_id")
+        .select(col("_id").as("doc_id"), col("text")),
+      "text", "doc_id")
+    assert(collectSet(composed) == collectSet(manual))
+    assert(composed.count() > 0)
+  }
+
   test("trained-codebook upsert: delta encoded against the BASE-trained codebook, probe stays consistent") {
     val base = emb.filter(col("vec_id") < 300)
     val delta = emb.filter(col("vec_id") >= 300)
