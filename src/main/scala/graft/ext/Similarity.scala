@@ -628,8 +628,25 @@ object Similarity {
       cp: Checkpointer = LocalCheckpoint): DataFrame = {
     val vecs = candidates.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("_v"))
-    var cents = cp.cut(vecs.orderBy(col("n_id").asc).limit(nCodewords)
-      .select(col("n_id").cast("long").as("cent_id"), col("_v").as("_c")))
+    pqTrainCodebookFrom(candidates, idCol, vecCol,
+      vecs.orderBy(col("n_id").asc).limit(nCodewords)
+        .select(col("n_id").cast("long").as("cent_id"), col("_v").as("_c")),
+      iters, dim, cp)
+  }
+
+  /** [[pqTrainCodebook]] from an EXPLICIT initial centroid table
+    * (`(cent_id, _c array<double>)` rows — e.g.
+    * [[kmeansSeedFarthest]]'s spread seeds instead of the first-k
+    * convention). Identical fixed-point rounds, so the whole loop
+    * stays order-independent and externally replayable given the same
+    * init. */
+  def pqTrainCodebookFrom(candidates: DataFrame, idCol: String,
+      vecCol: String, init: DataFrame, iters: Int = 2, dim: Int = 64,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    val vecs = candidates.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    var cents = cp.cut(init.select(col("cent_id").cast("long").as("cent_id"),
+      col("_c").cast("array<double>").as("_c")))
     val sums = (1 to dim).map(i =>
       sum(floor(element_at(col("_v"), i) * lit(1000000.0) + lit(0.5))
         .cast("long")).as(s"_s$i"))
@@ -649,6 +666,50 @@ object Similarity {
       cp.release(old)
     }
     cents
+  }
+
+  /** Deterministic farthest-first (Gonzalez 1985 k-center greedy)
+    * seeding — the D²-spirit upgrade over the first-k convention:
+    * start from the lowest-id vector, then repeatedly pick the vector
+    * whose best cosine to the chosen set is WORST (ties to the lowest
+    * id). On adversarial data where the first k ids share a cluster,
+    * first-k wastes cells; farthest-first provably 2-approximates the
+    * k-center optimum and spreads seeds across the corpus — and unlike
+    * true randomized k-means++ it is fully deterministic, so an
+    * external engine replays the exact seed sequence.
+    *
+    * Scale shape: each of the k-1 rounds is one zero-shuffle
+    * [[assignCells]] corpus scan folded to a SINGLE `min(struct)` row
+    * (map-side combinable — no sort, no window), plus a 1-row
+    * broadcast join to fetch the winner's vector; chosen-set state is
+    * k tiny checkpointed rows. k corpus scans is the classic
+    * farthest-first cost — amortized once per index build, and each
+    * scan is cheaper than one k-means round. Returns
+    * (cent_id, _c array<double>, seed_rank) — feed straight into
+    * [[pqTrainCodebookFrom]]. */
+  def kmeansSeedFarthest(candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    val vecs = candidates.select(col(idCol).cast("long").as("n_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    var chosen = cp.cut(vecs.orderBy(col("n_id").asc).limit(1)
+      .select(col("n_id").as("cent_id"), col("_v").as("_c"),
+        lit(0).as("seed_rank")))
+    for (i <- 1 until k) {
+      val asg = assignCells(vecs,
+        chosen.select(col("cent_id"), col("_c").as("_centv"),
+          norm2(col("_c")).as("_centn")), "_v")
+      val picked = asg
+        .agg(min(struct(col("_csim").as("s"), col("n_id").as("i"))).as("_m"))
+        .select(col("_m").getField("i").as("n_id"))
+      val next = vecs.join(broadcast(picked), "n_id")
+        .select(col("n_id").as("cent_id"), col("_v").as("_c"),
+          lit(i).as("seed_rank"))
+      val old = chosen
+      chosen = cp.cut(chosen.unionByName(next))
+      cp.release(old)
+    }
+    chosen
   }
 
   /** Per-query ADC lookup tables against a broadcast codebook, laid

@@ -3222,6 +3222,36 @@ object Catalog {
         CAST(len(kept) AS INT) AS n_lines_kept
       FROM k"""))
 
+  /** Deterministic farthest-first (Gonzalez) centroid seeding, k = 8:
+    * start at the min-id vector, each round add the vector whose best
+    * cosine to the chosen set is worst (ties to the lowest id). The
+    * oracle replays the greedy loop as chained CTEs — one block per
+    * round, same sequential dot fold — so the full seed SEQUENCE (not
+    * just the set) hash-matches. */
+  private val q135 = Q("q135_kmeans_seed",
+    (s, dir) => Similarity.kmeansSeedFarthest(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 8)
+      .select(col("cent_id"), col("seed_rank")),
+    Some {
+      val k = 8
+      val steps = (1 until k).map { i =>
+        s"""pk$i AS (SELECT y.vec_id FROM (
+            SELECT m.vec_id,
+              max(${dotFoldSql("m.v", "c.v")} / sqrt(m.nrm * c.nrm)) AS mx
+            FROM n m CROSS JOIN sel${i - 1} c GROUP BY m.vec_id) y
+          ORDER BY y.mx ASC, y.vec_id ASC LIMIT 1),
+        sel$i AS (SELECT * FROM sel${i - 1} UNION ALL
+          SELECT n.vec_id, n.v, n.nrm, $i AS r FROM n
+          JOIN pk$i USING (vec_id))"""
+      }.mkString(",\n")
+      cosineOracleCte + s""",
+        sel0 AS (SELECT vec_id, v, nrm, 0 AS r FROM n
+          WHERE vec_id = (SELECT min(vec_id) FROM n)),
+        $steps
+        SELECT vec_id AS cent_id, CAST(r AS INT) AS seed_rank
+        FROM sel${k - 1}"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3232,5 +3262,5 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134)
+    q133, q134, q135)
 }

@@ -59,6 +59,50 @@ class IvfUpsertIndexSpec extends SparkSpec {
     assert(viaIndex.count() > 0)
   }
 
+  test("farthest-first seeding: spread seeds, strictly lower quantization error than first-k on a clustered fixture") {
+    import spark.implicits._
+    // adversarial for first-k: ids 0..3 all sit in cluster A; clusters
+    // B, C, D only appear at higher ids
+    val dirs = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), // A
+      Seq(0.0, 1.0, 0.0, 0.0), // B
+      Seq(0.0, 0.0, 1.0, 0.0), // C
+      Seq(0.0, 0.0, 0.0, 1.0)) // D
+    val rows = (0 until 40).map { i =>
+      val c = if (i < 4) 0 else i % 4
+      val jitter = 0.05 * ((i % 7) - 3)
+      val v = dirs(c).zipWithIndex.map { case (x, j) =>
+        x + (if (j == (i % 4)) jitter else 0.0) }
+      (i.toLong, v)
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val seeds = Similarity.kmeansSeedFarthest(vecs, "vec_id", "embedding",
+      k = 4).collect()
+    assert(seeds.length == 4)
+    assert(seeds.map(_.getAs[Long]("cent_id")).toSet.size == 4)
+    def quantErr(init: DataFrame): Double = {
+      val trained = Similarity.pqTrainCodebookFrom(vecs, "vec_id",
+        "embedding", init, iters = 2, dim = 4)
+      val asg = Similarity.assignCells(
+        vecs.select(col("vec_id").as("n_id"),
+          col("embedding").cast("array<double>").as("_v")),
+        trained.select(col("cent_id"), col("_c").as("_centv"),
+          Similarity.norm2(col("_c")).as("_centn")), "_v")
+      asg.agg(avg(lit(1.0) - col("_csim"))).collect().head.getDouble(0)
+    }
+    val firstK = vecs.orderBy(col("vec_id").asc).limit(4)
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").cast("array<double>").as("_c"))
+    val farthest = Similarity.kmeansSeedFarthest(vecs, "vec_id",
+      "embedding", k = 4).select(col("cent_id"), col("_c"))
+    val (eFirst, eFar) = (quantErr(firstK), quantErr(farthest))
+    // first-k seeds all land in cluster A: even after 2 refinement
+    // rounds it cannot split the seized cluster; farthest-first covers
+    // all 4 clusters and must quantize strictly better
+    assert(eFar < eFirst,
+      s"farthest-first $eFar not better than first-k $eFirst")
+  }
+
   test("extractText: chrome dropped, entities decoded, short lines filtered, prose kept") {
     import spark.implicits._
     val html =
