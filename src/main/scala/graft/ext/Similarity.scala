@@ -406,10 +406,22 @@ object Similarity {
       vecCol: String, codebook: DataFrame, nCells: Int = 16,
       nSub: Int = 8, dim: Int = 64): DataFrame = {
     val cents = coarseCentroids(base, idCol, vecCol, nCells)
-    val cbDense = densifyCodebook(codebook)
-    pqIndex(base, idCol, vecCol, cbDense, cents, nSub, dim)
-      .unionByName(pqIndex(delta, idCol, vecCol, cbDense, cents, nSub, dim))
+    ivfPqIndexFragment(base, idCol, vecCol, codebook, cents, nSub, dim)
+      .unionByName(
+        ivfPqIndexFragment(delta, idCol, vecCol, codebook, cents, nSub, dim))
   }
+
+  /** One (n_id, cell, codes) index fragment over `corpus` against an
+    * explicit frozen quantizer + codebook — the unit of incremental
+    * index maintenance ([[ivfPqUpsertIndex]] is two of these unioned;
+    * [[graft.streaming.AnnIndexMaintenance]] appends one per
+    * micro-batch). Map-only against broadcast state except the one
+    * slim per-vector encode aggregation. */
+  def ivfPqIndexFragment(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, cents: DataFrame, nSub: Int = 8,
+      dim: Int = 64): DataFrame =
+    pqIndex(corpus, idCol, vecCol, densifyCodebook(codebook), cents,
+      nSub, dim)
 
   /** ADC probe over an EXPLICIT (n_id, cell, codes) index (as emitted
     * by [[ivfPqUpsertIndex]]) — the search half of [[ivfPqTopKWith]]

@@ -59,6 +59,41 @@ class IvfUpsertIndexSpec extends SparkSpec {
     assert(viaIndex.count() > 0)
   }
 
+  test("streaming index maintenance: N micro-batches == batch-built index, probe-equivalent") {
+    val base = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300)
+    val cb = conventionCodebook(emb)
+    val cents = Similarity.coarseCentroids(base, "vec_id", "embedding", 16)
+    val indexDir = tmpDir("annidx")
+    val landing = tmpDir("annlanding")
+    val ckpt = tmpDir("annckpt")
+    // initial batch build of the base index
+    Similarity.ivfPqIndexFragment(base, "vec_id", "embedding", cb, cents)
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
+    // delta arrives as 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+    delta.repartitionByRange(3, col("vec_id"))
+      .write.mode("overwrite").parquet(landing)
+    val src = spark.readStream
+      .schema(spark.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+    val q = graft.streaming.AnnIndexMaintenance.start(src, "vec_id",
+      "embedding", cents, cb, indexDir, ckpt)
+    q.awaitTermination()
+    val streamed = spark.read.parquet(indexDir)
+    val scratch = Similarity.ivfPqUpsertIndex(base.unionByName(delta),
+      emb.filter(lit(false)), "vec_id", "embedding", cb)
+    def keyed(df: DataFrame) = collectSet(df.select(col("n_id"),
+      col("cell").cast("long"), concat_ws(",", col("codes"))))
+    assert(keyed(streamed) == keyed(scratch))
+    // and the probe over the streamed index agrees with the composed op
+    val probe = Similarity.ivfPqProbeIndex(emb.filter(col("vec_id") < 10),
+      streamed, cents, cb, "vec_id", "embedding", k = 3, nProbe = 2)
+    val direct = Similarity.ivfPqTopKWith(emb.filter(col("vec_id") < 10),
+      emb, "vec_id", "embedding", k = 3, cb, nCells = 16, nProbe = 2)
+    assert(collectSet(probe) == collectSet(direct))
+  }
+
   test("farthest-first seeding: spread seeds, strictly lower quantization error than first-k on a clustered fixture") {
     import spark.implicits._
     // adversarial for first-k: ids 0..3 all sit in cluster A; clusters
