@@ -597,11 +597,13 @@ object Similarity {
     * codebook, map-side-combined min-struct argmin, one slim row per
     * vector through the shuffle. */
   def pqEncodeWith(vectors: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame, nSub: Int = 8, dim: Int = 64): DataFrame = {
+      codebook: DataFrame, nSub: Int = 8, dim: Int = 64,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val sub = dim / nSub
     require(sub * nSub == dim, s"dim $dim not divisible by nSub $nSub")
-    val e = vectors.select(col(idCol).as("_id"),
-      col(vecCol).cast("array<double>").as("_v"))
+    val e = vectors.select(col(idCol).as("_id") +:
+      col(vecCol).cast("array<double>").as("_v") +:
+      passthrough.map(col): _*)
     val cb = codebook.select(col("_cb").cast("long").as("_cb"),
       col("_cv").cast("array<double>").as("_cv"))
     val aggs = (0 until nSub).map { j =>
@@ -610,17 +612,49 @@ object Similarity {
         col("_cb").as("c"),
         slice(col("_cv"), j * sub + 1, sub).as("w"))).as(s"_m$j")
     }
+    // passthrough cols are functionally dependent on the id — adding
+    // them to the groupBy threads them through without a second join
     e.crossJoin(broadcast(cb))
-      .groupBy(col("_id"))
+      .groupBy(col("_id") +: passthrough.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("_id"),
+      .select(col("_id") +: passthrough.map(col) :+
         array((0 until nSub).map(j => col(s"_m$j").getField("c")
-          .cast("int")): _*).as("codes"),
-        (0 until nSub).map(j => col(s"_m$j").getField("d"))
-          .foldLeft(lit(0.0))(_ + _).as("err"),
+          .cast("int")): _*).as("codes") :+
+        ((0 until nSub).map(j => col(s"_m$j").getField("d"))
+          .foldLeft(lit(0.0))(_ + _)).as("err") :+
         flatten(array((0 until nSub).map(j =>
-          col(s"_m$j").getField("w")): _*)).as("recon"))
+          col(s"_m$j").getField("w")): _*)).as("recon"): _*)
   }
+
+  /** Per-vector cell residuals v − centroid(cell) against a frozen
+    * coarse quantizer — the quantity residual PQ encodes (residuals
+    * concentrate near the origin, so the codeword budget spends on far
+    * smaller variance than raw vectors). Assignment is the
+    * zero-shuffle [[assignCells]] fold; the centroid vector rides a
+    * broadcast join on the tiny cell key. Returns (_id, cell, _rv). */
+  def cellResiduals(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    assignCells(vectors.select(col(idCol).as("_id"),
+        col(vecCol).cast("array<double>").as("_v")), cents, "_v")
+      .join(broadcast(cents.select(col("cent_id").cast("long").as("_cell"),
+        col("_centv").cast("array<double>").as("_cw"))), Seq("_cell"))
+      .select(col("_id"), col("_cell").as("cell"),
+        zip_with(col("_v"), col("_cw"), (a, b) => a - b).as("_rv"))
+
+  /** Residual product-quantization encode — the production IVFADC
+    * formulation (Jégou et al., TPAMI 2011): PQ-encode the cell
+    * residual, not the raw vector. `codebook` must live in residual
+    * space (e.g. the residuals of the first nCodewords corpus vectors,
+    * or a codebook trained on [[cellResiduals]]). Same plan shape as
+    * [[pqEncodeWith]] — broadcast codebook, map-side-combined
+    * min-struct argmin, the cell key threaded through the groupBy (no
+    * second corpus join). Returns (_id, cell, codes, err). */
+  def pqEncodeResidual(vectors: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, cents: DataFrame, nSub: Int = 8,
+      dim: Int = 64): DataFrame =
+    pqEncodeWith(cellResiduals(vectors, idCol, vecCol, cents),
+      "_id", "_rv", codebook, nSub, dim, passthrough = Seq("cell"))
+      .select(col("_id"), col("cell"), col("codes"), col("err"))
 
   /** Trained PQ codebook: `iters` rounds of the FIXED-POINT spherical
     * k-means step ([[kmeansStep]]'s arithmetic — micro-unit long sums,
