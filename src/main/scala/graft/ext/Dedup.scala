@@ -339,21 +339,9 @@ object Dedup {
   def minHashLshPairsPortable(docs: DataFrame, textCol: String,
       idCol: String, n: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val numBands = numPerms / rowsPerBand
-    val base = docs.select(col(idCol).as("_id"),
-        sort_array(wordShingles(col(textCol), n)).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-    val banded = base
-      .withColumn("_hs",
-        graft.functions.VectorFunctions.polyHashAll(col("_sh")))
-      .withColumn("_sig", minHashSignature(col("_hs"), numPerms, seed))
-      .select(col("_id"), explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(",", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand)
-            .cast("array<string>")).as("bk"))
-      }: _*)).as("_band"))
-      .select(col("_id"),
-        col("_band.band").as("_bandNo"), col("_band.bk").as("_bandKey"))
+    val (base, banded) =
+      minHashBandedPortable(docs, textCol, idCol, n, numPerms, rowsPerBand,
+        seed)
     val cand = banded.select(col("_id").as("doc_a"), col("_bandNo"),
         col("_bandKey"))
       .join(banded.select(col("_id").as("doc_b"), col("_bandNo"),
@@ -370,6 +358,57 @@ object Dedup {
         .jaccardSorted(col("_sha"), col("_shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The portable-hash banding shared by [[minHashLshPairsPortable]]
+    * and [[minHashBandStats]]: (base = (_id, _sh sorted shingles),
+    * banded = slim (_id, _bandNo, _bandKey) rows, one per doc×band). */
+  private def minHashBandedPortable(docs: DataFrame, textCol: String,
+      idCol: String, n: Int, numPerms: Int, rowsPerBand: Int,
+      seed: Long): (DataFrame, DataFrame) = {
+    val numBands = numPerms / rowsPerBand
+    val base = docs.select(col(idCol).as("_id"),
+        sort_array(wordShingles(col(textCol), n)).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val banded = base
+      .withColumn("_hs",
+        graft.functions.VectorFunctions.polyHashAll(col("_sh")))
+      .withColumn("_sig", minHashSignature(col("_hs"), numPerms, seed))
+      .select(col("_id"), explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", slice(col("_sig"), b * rowsPerBand + 1, rowsPerBand)
+            .cast("array<string>")).as("bk"))
+      }: _*)).as("_band"))
+      .select(col("_id"),
+        col("_band.band").as("_bandNo"), col("_band.bk").as("_bandKey"))
+    (base, banded)
+  }
+
+  /** Band-occupancy histogram of the portable MinHash-LSH banding:
+    * for each band, how many buckets hold exactly `bucket_size` docs.
+    * This is the tuning dashboard an operator reads before running the
+    * pair join — the candidate-pair cost of band b is Σ C(size, 2)
+    * over its buckets, so a fat bucket here IS the skew that would
+    * blow up the self-join at 100 TB (the fix: more rows per band or a
+    * hotter-bucket cap). Because every hash in the portable chain
+    * replays in ANSI SQL, the full histogram — not just its row count —
+    * carries a DuckDB oracle (q136), pinning the banding/bucketing
+    * semantics that the xxhash64 fast path (q23) can only expose
+    * rows-only.
+    *
+    * Scale shape: the doc×band rows are slim (id, band, key) triples;
+    * two map-side-combinable aggregations, no join, no corpus-width
+    * shuffle. */
+  def minHashBandStats(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val (_, banded) =
+      minHashBandedPortable(docs, textCol, idCol, n, numPerms, rowsPerBand,
+        seed)
+    banded.groupBy(col("_bandNo"), col("_bandKey"))
+      .agg(count(lit(1)).as("_sz"))
+      .groupBy(col("_bandNo").as("band"), col("_sz").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"))
   }
 
   /** LSH near-dup pairs over word n-gram shingles: signature → bands
@@ -456,6 +495,63 @@ object Dedup {
     }
     val base = docs.select(col(idCol).as("_id"),
         simHash64(col(textCol)).as("_fp"))
+      .withColumn("_band", explode(array(bands: _*)))
+      .select(col("_id"), col("_fp"),
+        col("_band.no").as("_cno"), col("_band.v").as("_cv"))
+    val a = base.select(col("_id").as("doc_a"), col("_fp").as("_fpa"),
+      col("_cno"), col("_cv"))
+    val b = base.select(col("_id").as("doc_b"), col("_fp").as("_fpb"),
+      col("_cno"), col("_cv"))
+    a.join(b, Seq("_cno", "_cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** [[simHashPairs]] with the ENGINE-PORTABLE hash chain: distinct
+    * whitespace tokens → rolling polynomial hash → [[graft.functions.SimHashPoly]]
+    * majority-vote fingerprint from the public seeded (a_j, b_j)
+    * reshuffles. Every arithmetic step replays in ANSI SQL, so the
+    * whole hamming-pair surface — fingerprints, distances, the pair
+    * set — carries a brute-force DuckDB oracle (q137); the xxhash64
+    * variant (q24) can only be checked rows-only. The oracle need not
+    * replay the banding: pigeonhole banding has EXACT recall for
+    * hamming ≤ maxDist, so banded pairs ≡ brute-force pairs, and the
+    * oracle equivalence doubles as a recall proof of the banding
+    * itself.
+    *
+    * Same pigeonhole block-combination banding as [[simHashPairs]]
+    * (Manku et al., WWW'07), parameterized to the nBits-wide portable
+    * fingerprint: a pair within distance d shares at least chunks−d
+    * untouched blocks, so it collides on ≥1 of the C(chunks, chunks−d)
+    * packed block combinations. Shuffle = doc×combos slim rows; exact
+    * bit_count(xor) verifies before the pair-dedup shuffle. */
+  def simHashPairsPortable(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 2, chunks: Int = 4, nBits: Int = 48,
+      seed: Long = 77L): DataFrame = {
+    require(maxDist < chunks,
+      s"pigeonhole recall guarantee needs maxDist < chunks " +
+        s"(got maxDist=$maxDist, chunks=$chunks)")
+    require(nBits % chunks == 0,
+      s"chunks must divide nBits (got nBits=$nBits, chunks=$chunks)")
+    val width = nBits / chunks
+    def block(c: Int): Column =
+      shiftright(col("_fp"), c * width).bitwiseAND(lit((1L << width) - 1))
+    val combos = (0 until chunks).combinations(chunks - maxDist).toSeq
+    val bands = combos.zipWithIndex.map { case (combo, i) =>
+      val packed = combo.map(block).reduce((acc, b) =>
+        shiftleft(acc, width).bitwiseOR(b))
+      struct(lit(i).as("no"), packed.as("v"))
+    }
+    val base = docs.select(col(idCol).as("_id"),
+        array_distinct(filter(split(trim(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as("_tk"))
+      .filter(size(col("_tk")) > 0)
+      .select(col("_id"), graft.functions.VectorFunctions.simHashPoly(
+        graft.functions.VectorFunctions.polyHashAll(col("_tk")),
+        nBits, seed).as("_fp"))
       .withColumn("_band", explode(array(bands: _*)))
       .select(col("_id"), col("_fp"),
         col("_band.no").as("_cno"), col("_band.v").as("_cv"))

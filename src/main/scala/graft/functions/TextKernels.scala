@@ -65,6 +65,33 @@ object TextKernels {
     fp
   }
 
+  /** Portable SimHash over pre-hashed tokens: bit j of the fingerprint
+    * is set iff strictly more tokens than not have bit 0 set in the
+    * j-th affine reshuffle (a_j·h + b_j) mod P of their polynomial
+    * hash. Every step is non-negative 63-bit-safe integer arithmetic,
+    * so an ANSI engine replays the exact fingerprint — unlike
+    * [[simHash64]]'s xxhash64 lanes. nBits = as.length (≤ 62 keeps the
+    * fingerprint a positive long). */
+  def simHashPoly(hs: ArrayData, as: Array[Long], bs: Array[Long]): Long = {
+    val nBits = as.length
+    val n = hs.numElements()
+    val ones = new Array[Int](nBits)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < nBits) {
+        if ((((as(j) * h + bs(j)) % MinHashP) & 1L) == 1L) ones(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < nBits) { if (2 * ones(j) > n) fp |= (1L << j); j += 1 }
+    fp
+  }
+
   def minHashSig(hs: ArrayData, isString: Boolean,
       as: Array[Long], bs: Array[Long]): ArrayData = {
     val numPerms = as.length

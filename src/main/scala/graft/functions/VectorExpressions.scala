@@ -252,6 +252,42 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** Portable SimHash fingerprint over an array<long> of token hashes
+  * (the [[PolyHashArray]] output): bit j = majority vote of bit 0 of
+  * the j-th seeded affine reshuffle (a_j·h + b_j) mod 2^31−1, the same
+  * (a_j, b_j) family [[MinHashSig]] draws — so an external engine
+  * rebuilds the identical fingerprint from the public constants, where
+  * [[SimHash64]]'s xxhash64 lanes are engine-internal. One JVM loop
+  * per row, codegen via [[TextKernels.simHashPoly]]. */
+case class SimHashPoly(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(nBits > 0 && nBits <= 62, s"nBits must be in [1, 62], got $nBits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "sim_hash_poly needs array<long>")
+  }
+  override def dataType: DataType = LongType
+
+  private lazy val (as, bs) = MinHashSig.perms(nBits, seed)
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.simHashPoly(v.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("shAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("shBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.simHashPoly(" +
+        s"$v, $asRef, $bsRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Exact Jaccard of two SORTED string arrays via allocation-free merge
   * intersection (binary UTF8String order, as produced by sort_array).
   * Same value as JaccardSim; preferred in pair loops — no per-pair
@@ -411,6 +447,8 @@ object VectorFunctions {
     ColumnBridge.column(MinHashSig(e(hashes), numPerms, seed))
   def simHash64(text: Column): Column =
     ColumnBridge.column(SimHash64(e(text)))
+  def simHashPoly(hashes: Column, nBits: Int, seed: Long): Column =
+    ColumnBridge.column(SimHashPoly(e(hashes), nBits, seed))
   def shingles(text: Column, n: Int, word: Boolean): Column =
     ColumnBridge.column(Shingles(e(text), n, word))
   def jaccardSorted(a: Column, b: Column): Column =

@@ -2624,19 +2624,37 @@ object Catalog {
     (s, dir) => Dedup.minHashLshPairsPortable(t(s, dir, "documents"),
       "text", "doc_id", n = 3, numPerms = 16, rowsPerBand = 4,
       threshold = 0.5),
-    Some {
-      val (as, bs) = graft.functions.MinHashSig.perms(16, 42L)
-      val sigSql = (0 until 16).map(j =>
-        s"list_min([(h * ${as(j)} + ${bs(j)}) % 2147483647 FOR h IN hs])")
-        .mkString("[", ",\n        ", "]")
-      val bandsSql = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, " +
-          s"array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], ',') AS bk FROM s")
-        .mkString("\n        UNION ALL ")
-      s"""WITH t AS (SELECT doc_id,
-          list_filter(string_split_regex(trim(text), '\\s+'),
-            x -> len(x) > 0) AS toks
-        FROM documents),
+    Some(portableLshBkCtes + s""",
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+          len(list_intersect(x.sh, y.sh)) * 1.0 /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+        FROM cand c JOIN g x ON x.doc_id = c.doc_a
+        JOIN g y ON y.doc_id = c.doc_b) z
+      WHERE jaccard >= 0.5"""))
+
+  /** Shared DuckDB CTE chain of the portable MinHash-LSH family
+    * (q118/q136): whitespace tokens → distinct word trigrams → rolling
+    * polynomial shingle ids → 16-perm signature (the public seeded
+    * (a_j, b_j) literals) → 4-band raw-slice bucket keys
+    * `bk(doc_id, band, bk)`; `g(doc_id, sh)` carries the shingle sets
+    * for the exact-Jaccard verify. */
+  private def portableLshBkCtes: String = {
+    val (as, bs) = graft.functions.MinHashSig.perms(16, 42L)
+    val sigSql = (0 until 16).map(j =>
+      s"list_min([(h * ${as(j)} + ${bs(j)}) % 2147483647 FOR h IN hs])")
+      .mkString("[", ",\n        ", "]")
+    val bandsSql = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, " +
+        s"array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], ',') AS bk FROM s")
+      .mkString("\n        UNION ALL ")
+    s"""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\\s+'),
+          x -> len(x) > 0) AS toks
+      FROM documents),
       g AS (SELECT doc_id,
           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
             FOR i IN range(1, len(toks) - 1)]) AS sh
@@ -2647,18 +2665,8 @@ object Catalog {
             (a, c) -> (a * 31 + c) % 1000000007) FOR x IN sh] AS hs
         FROM g),
       s AS (SELECT doc_id, $sigSql AS sig FROM h),
-      bk AS ($bandsSql),
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bk a JOIN bk b
-          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
-      SELECT doc_a, doc_b, jaccard FROM (
-        SELECT c.doc_a, c.doc_b,
-          len(list_intersect(x.sh, y.sh)) * 1.0 /
-            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
-        FROM cand c JOIN g x ON x.doc_id = c.doc_a
-        JOIN g y ON y.doc_id = c.doc_b) z
-      WHERE jaccard >= 0.5"""
-    })
+      bk AS ($bandsSql)"""
+  }
 
   /** ANN quality dashboard: per-query recall@3 of the LSH bucket scan
     * (q27's pipeline) against the exact brute-force ranking (q25's).
@@ -3252,6 +3260,108 @@ object Catalog {
         FROM sel${k - 1}"""
     })
 
+  /** Band-occupancy histogram of the portable MinHash-LSH banding —
+    * the pre-join skew dashboard (candidate cost of a band is
+    * Σ C(size, 2) over its buckets). The full histogram replays in
+    * DuckDB via the public hash chain, pinning the banding/bucketing
+    * cardinality semantics the xxhash64 fast path (q23) exposes only
+    * rows-only. */
+  private val q136 = Q("q136_lsh_band_stats",
+    (s, dir) => Dedup.minHashBandStats(t(s, dir, "documents"),
+      "text", "doc_id", n = 3, numPerms = 16, rowsPerBand = 4),
+    Some(portableLshBkCtes + """,
+      bs AS (SELECT band, bk, count(*) AS sz FROM bk GROUP BY band, bk)
+      SELECT CAST(band AS INT) AS band, sz AS bucket_size,
+        count(*) AS n_buckets
+      FROM bs GROUP BY band, sz"""))
+
+  /** SimHash near-pairs with the ENGINE-PORTABLE hash chain: distinct
+    * whitespace tokens → rolling polynomial hash → majority-vote
+    * fingerprint from the public seeded (a_j, b_j) reshuffles
+    * (48 bits). The oracle is brute-force hamming over the replayed
+    * fingerprints — pigeonhole banding has exact recall, so the
+    * equality doubles as a recall proof of the banded plan. */
+  private val q137 = Q("q137_simhash_portable",
+    (s, dir) => Dedup.simHashPairsPortable(t(s, dir, "documents"),
+      "text", "doc_id", maxDist = 2, chunks = 4, nBits = 48),
+    Some {
+      val (as, bs) = graft.functions.MinHashSig.perms(48, 77L)
+      val bitsSql = (0 until 48).map(j =>
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"[((h * ${as(j)} + ${bs(j)}) % 2147483647) & 1 FOR h IN hs]), " +
+          "(x, y) -> x + y)")
+        .mkString("[", ",\n        ", "]")
+      val fpSql = (0 until 48).map(j =>
+        s"CASE WHEN 2 * sv[${j + 1}] > nt THEN ${1L << j} ELSE 0 END")
+        .mkString("\n        + ")
+      s"""WITH t AS (SELECT doc_id,
+          list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> len(x) > 0)) AS toks
+        FROM documents),
+      tn AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+      h AS (SELECT doc_id, len(toks) AS nt,
+          [list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(ord(x[i]) AS BIGINT) FOR i IN range(1, len(x) + 1)]),
+            (a, c) -> (a * 31 + c) % 1000000007) FOR x IN toks] AS hs
+        FROM tn),
+      sb AS (SELECT doc_id, nt, $bitsSql AS sv FROM h),
+      f AS (SELECT doc_id, $fpSql AS fp FROM sb)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      FROM f a JOIN f b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 2"""
+    })
+
+  /** Residual product-quantization encode — the production IVFADC
+    * formulation (PQ codes quantize v − centroid(cell), not v): coarse
+    * cells from the first-8 convention, residual codebook = residuals
+    * of corpus vectors 8..23. Deterministic end to end, so the full
+    * (cell, codes, err) surface replays in DuckDB. */
+  private val q138 = Q("q138_pq_residual",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.coarseCentroids(emb, "vec_id", "embedding",
+        nCells = 8)
+      val cb = Similarity.cellResiduals(
+          emb.filter(col("vec_id") >= 8 && col("vec_id") < 24),
+          "vec_id", "embedding", cents)
+        .select((col("_id") - 8).cast("long").as("_cb"),
+          col("_rv").as("_cv"))
+      Similarity.pqEncodeResidual(emb, "vec_id", "embedding", cb, cents)
+        .select(col("_id").as("vec_id"), col("cell"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          col("err"))
+    },
+    Some(cosineOracleCte + s""",
+      cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        ORDER BY vec_id ASC LIMIT 8),
+      asg AS (SELECT n_id, v, cell FROM (
+        SELECT n.vec_id AS n_id, n.v, cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS cr
+        FROM n CROSS JOIN cent) z WHERE cr = 1),
+      r AS (SELECT a.n_id, a.cell,
+          [a.v[i] - c.cv[i] FOR i IN range(1, 65)] AS rv
+        FROM asg a JOIN cent c ON a.cell = c.cent_id),
+      cb AS (SELECT n_id - 8 AS c, rv AS cv FROM r
+        WHERE n_id >= 8 AND n_id < 24),
+      pa AS (SELECT r.n_id, r.cell, cb.c, js.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(r.rv[i] - cb.cv[i]) * (r.rv[i] - cb.cv[i])
+             FOR i IN range(js.j * 8 + 1, js.j * 8 + 9)]), (x, y) -> x + y) AS d
+        FROM r CROSS JOIN cb
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
+      sel AS (SELECT n_id, cell, j, c, d FROM (
+          SELECT n_id, cell, j, c, d,
+            row_number() OVER (PARTITION BY n_id, j ORDER BY d, c) AS rn
+          FROM pa) z WHERE rn = 1)
+      SELECT n_id AS vec_id, CAST(cell AS BIGINT) AS cell,
+        array_to_string(list(c ORDER BY j), ',') AS codes,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY j)),
+          (x, y) -> x + y) AS err
+      FROM sel GROUP BY n_id, cell"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3262,5 +3372,5 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135)
+    q133, q134, q135, q136, q137, q138)
 }

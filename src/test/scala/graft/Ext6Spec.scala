@@ -1,0 +1,141 @@
+package graft
+
+import graft.ext.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-6: portable-oracle surface for the sketch family (LSH band
+  * stats, portable SimHash) and the residual-PQ encode. */
+class Ext6Spec extends SparkSpec {
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"${sf()}/documents.parquet")
+  private def emb: DataFrame =
+    spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+  // ---- minHashBandStats --------------------------------------------------
+
+  test("band-stats histogram partitions every banded doc, once per band") {
+    val stats = Dedup.minHashBandStats(docs, "text", "doc_id",
+      n = 3, numPerms = 16, rowsPerBand = 4).collect()
+    val bands = stats.map(_.getInt(0)).toSet
+    assert(bands == Set(0, 1, 2, 3))
+    // every doc with >= 1 shingle lands in exactly one bucket per band,
+    // so each band's occupancy-weighted bucket count == #banded docs
+    val banded = docs.select(col("doc_id"),
+        Dedup.wordShingles(col("text"), 3).as("_sh"))
+      .filter(size(col("_sh")) > 0).count()
+    val perBand = stats.groupBy(_.getInt(0)).view.mapValues(
+      _.map(r => r.getLong(1) * r.getLong(2)).sum)
+    perBand.foreach { case (b, total) =>
+      assert(total == banded, s"band $b covers $total of $banded docs")
+    }
+  }
+
+  test("band-stats candidate cost formula matches the actual candidate join") {
+    // sum of C(size, 2) over buckets == banded candidate pairs with
+    // multiplicity — the dashboard must predict the join the user runs
+    val stats = Dedup.minHashBandStats(docs, "text", "doc_id").collect()
+    val predicted = stats.map(r =>
+      r.getLong(2) * (r.getLong(1) * (r.getLong(1) - 1)) / 2).sum
+    // recompute the with-multiplicity pair count from the raw banding
+    val base = docs.select(col("doc_id").as("_id"),
+        sort_array(Dedup.wordShingles(col("text"), 3)).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_hs", graft.functions.VectorFunctions.polyHashAll(col("_sh")))
+      .withColumn("_sig", Dedup.minHashSignature(col("_hs"), 16, 42L))
+      .select(col("_id"), explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"), concat_ws(",",
+          slice(col("_sig"), b * 4 + 1, 4).cast("array<string>")).as("bk"))
+      }: _*)).as("_b"))
+      .select(col("_id"), col("_b.band"), col("_b.bk"))
+    val l = base.select(col("_id").as("ia"), col("band"), col("bk"))
+    val r = base.select(col("_id").as("ib"), col("band"), col("bk"))
+    val actual = l.join(r, Seq("band", "bk")).filter(col("ia") < col("ib"))
+      .count()
+    assert(predicted == actual)
+  }
+
+  // ---- simHashPairsPortable ----------------------------------------------
+
+  test("portable simhash banding has exact recall vs brute-force hamming") {
+    val banded = Dedup.simHashPairsPortable(docs, "text", "doc_id",
+      maxDist = 2, chunks = 4, nBits = 48)
+    // brute force over the same portable fingerprints
+    val fp = docs.select(col("doc_id").as("_id"),
+        array_distinct(filter(split(trim(col("text")), "\\s+"),
+          t => length(t) > 0)).as("_tk"))
+      .filter(size(col("_tk")) > 0)
+      .select(col("_id"), graft.functions.VectorFunctions.simHashPoly(
+        graft.functions.VectorFunctions.polyHashAll(col("_tk")),
+        48, 77L).as("_fp"))
+    val fa = fp.select(col("_id").as("doc_a"), col("_fp").as("_fpa"))
+    val fb = fp.select(col("_id").as("doc_b"), col("_fp").as("_fpb"))
+    val brute = fa.crossJoin(fb)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("hamming"))
+      .filter(col("hamming") <= 2)
+    val b1 = banded.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(2))).toSet
+    val b2 = brute.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(2))).toSet
+    assert(b1 == b2)
+    assert(b1.nonEmpty, "fixture corpus should contain near-dup pairs")
+  }
+
+  test("portable simhash is a bag-of-words fingerprint: reordered tokens " +
+      "pair at hamming 0, disjoint vocab does not pair") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+      (3L, "entirely different vocabulary about quantum chromodynamics " +
+        "lattice simulations and gauge theory")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairsPortable(fixture, "text", "doc_id",
+      maxDist = 2, chunks = 4, nBits = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  // ---- pqEncodeResidual --------------------------------------------------
+
+  test("residual encode == plain PQ encode over explicitly-computed residuals") {
+    val cents = Similarity.coarseCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.cellResiduals(
+        emb.filter(col("vec_id") >= 8 && col("vec_id") < 24),
+        "vec_id", "embedding", cents)
+      .select((col("_id") - 8).cast("long").as("_cb"), col("_rv").as("_cv"))
+    val viaOp = Similarity.pqEncodeResidual(emb, "vec_id", "embedding",
+      cb, cents)
+      .select(col("_id"), concat_ws(",", col("codes").cast("array<string>")).as("codes"), col("err"))
+    val residuals = Similarity.cellResiduals(emb, "vec_id", "embedding", cents)
+    val viaCompose = Similarity.pqEncodeWith(residuals, "_id", "_rv", cb)
+      .select(col("_id"), concat_ws(",", col("codes").cast("array<string>")).as("codes"), col("err"))
+    val a = viaOp.collect().map(_.mkString("|")).toSet
+    val b = viaCompose.collect().map(_.mkString("|")).toSet
+    assert(a == b)
+  }
+
+  test("codebook-source vectors encode to their own codeword with zero error") {
+    val cents = Similarity.coarseCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.cellResiduals(
+        emb.filter(col("vec_id") >= 8 && col("vec_id") < 24),
+        "vec_id", "embedding", cents)
+      .select((col("_id") - 8).cast("long").as("_cb"), col("_rv").as("_cv"))
+    val own = Similarity.pqEncodeResidual(emb, "vec_id", "embedding",
+        cb, cents)
+      .filter(col("_id") >= 8 && col("_id") < 24)
+      .collect()
+    assert(own.length == 16)
+    own.foreach { r =>
+      val id = r.getLong(0)
+      val codes = r.getSeq[Int](2)
+      assert(codes.forall(_ == (id - 8).toInt),
+        s"vec $id should self-encode, got $codes")
+      assert(r.getDouble(3) == 0.0, s"vec $id err ${r.getDouble(3)}")
+    }
+  }
+}
