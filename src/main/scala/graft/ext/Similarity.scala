@@ -471,6 +471,71 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** Residual IVF-ADC top-k — the full production formulation (Jégou
+    * et al., TPAMI 2011): the index stores PQ codes of CELL RESIDUALS
+    * (v − centroid(cell), via [[pqEncodeResidual]]), and a query
+    * probing cell c searches with ITS residual q − centroid(c). The
+    * ADC lookup tables are therefore per (query, probed cell) — nProbe×
+    * more table rows than the raw-vector probe, still a tiny broadcast
+    * (nProbe · nSub · nCodewords doubles per query) — and the corpus
+    * side is unchanged: codes only, one equi-join on the cell key,
+    * distances are nSub array lookups per candidate. Because residuals
+    * concentrate near the origin, the same codeword budget quantizes
+    * far less variance than raw-vector PQ — the accuracy rationale for
+    * this being the shape production IVF-PQ systems ship.
+    *
+    * `codebook` must live in residual space (e.g. [[cellResiduals]] of
+    * a sample, or [[pqTrainCodebookFrom]] on residuals); it is
+    * densified to rank order so codes index ADC blocks positionally.
+    * Deterministic end to end (first-`nCells` quantizer, pinned
+    * tie-breaks, j-ordered distance folds), so the full rank surface
+    * replays in an external engine (q139). */
+  def ivfPqResidualTopKWith(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, codebook: DataFrame,
+      nCells: Int = 8, nProbe: Int = 2, nSub: Int = 8,
+      nCodewords: Int = 16, dim: Int = 64): DataFrame = {
+    val sub = dim / nSub
+    val cents = coarseCentroids(candidates, idCol, vecCol, nCells)
+    val cbDense = densifyCodebook(codebook)
+    val index = pqEncodeResidual(candidates, idCol, vecCol, cbDense,
+        cents, nSub, dim)
+      .select(col("_id").as("n_id"), col("cell").as("_cell"), col("codes"))
+    val probeRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("_csim").desc, col("cent_id").asc)
+    val probes = withNorm(queries, idCol, vecCol, "q_id", "_qv", "_qn")
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim",
+        dot(col("_qv"), col("_centv")) / sqrt(col("_qn") * col("_centn")))
+      .withColumn("_pr", row_number().over(probeRank))
+      .filter(col("_pr") <= nProbe)
+      .select(col("q_id"), col("cent_id").cast("long").as("_cell"),
+        zip_with(col("_qv").cast("array<double>"),
+          col("_centv").cast("array<double>"), (a, b) => a - b).as("_qrv"))
+    // per-(query, probed-cell) ADC tables from the query RESIDUAL,
+    // j-major: entry (j, c) at 1-based index j*nCodewords + c + 1
+    val qtab = probes.crossJoin(broadcast(cbDense))
+      .select(col("q_id"), col("_cell"), col("_cb"),
+        array((0 until nSub).map(j =>
+          subL2(col("_qrv"), col("_cv"), j, sub)): _*).as("_ds"))
+      .groupBy(col("q_id"), col("_cell"))
+      .agg(sort_array(collect_list(struct(col("_cb"), col("_ds")))).as("_s"))
+      .select(col("q_id"), col("_cell"),
+        flatten(array((0 until nSub).map(j =>
+          transform(col("_s"), s =>
+            element_at(s.getField("_ds"), j + 1))): _*)).as("_tab"))
+    val scored = index
+      .join(broadcast(qtab), Seq("_cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dist", (0 until nSub).foldLeft(lit(0.0))((acc, j) =>
+        acc + element_at(col("_tab"),
+          lit(j * nCodewords) + element_at(col("codes"), j + 1) + 1)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dist").asc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** One distributed k-means refinement step: assign every vector to
     * its nearest centroid (same deterministic convention and exact
     * cosine assignment as [[ivfTopK]]), then recompute each cell's

@@ -3332,7 +3332,19 @@ object Catalog {
           concat_ws(",", col("codes").cast("array<string>")).as("codes"),
           col("err"))
     },
-    Some(cosineOracleCte + s""",
+    Some(cosineOracleCte + residualPqCtes + """
+      SELECT n_id AS vec_id, CAST(cell AS BIGINT) AS cell,
+        array_to_string(list(c ORDER BY j), ',') AS codes,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY j)),
+          (x, y) -> x + y) AS err
+      FROM sel GROUP BY n_id, cell"""))
+
+  /** Shared DuckDB CTE chain of the residual-PQ family (q138/q139):
+    * first-8 coarse quantizer → argmax-cosine assignment → cell
+    * residuals → residual codebook (vectors 8..23) → per-subspace
+    * argmin codes `sel(n_id, cell, j, c, d)`. Appends to
+    * [[cosineOracleCte]]. */
+  private def residualPqCtes: String = s""",
       cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
         ORDER BY vec_id ASC LIMIT 8),
       asg AS (SELECT n_id, v, cell FROM (
@@ -3355,12 +3367,47 @@ object Catalog {
       sel AS (SELECT n_id, cell, j, c, d FROM (
           SELECT n_id, cell, j, c, d,
             row_number() OVER (PARTITION BY n_id, j ORDER BY d, c) AS rn
-          FROM pa) z WHERE rn = 1)
-      SELECT n_id AS vec_id, CAST(cell AS BIGINT) AS cell,
-        array_to_string(list(c ORDER BY j), ',') AS codes,
-        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY j)),
-          (x, y) -> x + y) AS err
-      FROM sel GROUP BY n_id, cell"""))
+          FROM pa) z WHERE rn = 1)"""
+
+  /** Residual IVF-ADC probe — the full production composition over
+    * q138's index: per-(query, probed-cell) ADC tables built from the
+    * query's CELL RESIDUAL, codes-only candidate scan, pinned
+    * tie-breaks. The whole rank surface replays in DuckDB. */
+  private val q139 = Q("q139_ivfpq_residual",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.coarseCentroids(emb, "vec_id", "embedding",
+        nCells = 8)
+      val cb = Similarity.cellResiduals(
+          emb.filter(col("vec_id") >= 8 && col("vec_id") < 24),
+          "vec_id", "embedding", cents)
+        .select((col("_id") - 8).cast("long").as("_cb"),
+          col("_rv").as("_cv"))
+      Similarity.ivfPqResidualTopKWith(emb.filter(col("vec_id") < 30),
+        emb, "vec_id", "embedding", k = 3, cb, nCells = 8, nProbe = 2)
+    },
+    Some(cosineOracleCte + residualPqCtes + s""",
+      prb AS (SELECT q_id, cell, qrv FROM (
+        SELECT n.vec_id AS q_id, cent.cent_id AS cell,
+          [n.v[i] - cent.cv[i] FOR i IN range(1, 65)] AS qrv,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS pr
+        FROM n CROSS JOIN cent WHERE n.vec_id < 30) z WHERE pr <= 2),
+      dj AS (SELECT p.q_id, s.n_id, s.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(p.qrv[i] - cb.cv[i]) * (p.qrv[i] - cb.cv[i])
+             FOR i IN range(s.j * 8 + 1, s.j * 8 + 9)]), (x, y) -> x + y) AS d
+        FROM prb p JOIN sel s ON s.cell = p.cell AND s.n_id <> p.q_id
+        JOIN cb ON cb.c = s.c),
+      dd AS (SELECT q_id, n_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY j)),
+            (x, y) -> x + y) AS dist
+        FROM dj GROUP BY q_id, n_id)
+      SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+        SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+          ORDER BY dist ASC, n_id ASC) AS rank FROM dd) z
+      WHERE rank <= 3"""))
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
@@ -3372,5 +3419,5 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138)
+    q133, q134, q135, q136, q137, q138, q139)
 }

@@ -119,6 +119,53 @@ class Ext6Spec extends SparkSpec {
     assert(a == b)
   }
 
+  test("residual ADC probe ranks == direct reconstruction-distance ranks") {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Similarity.coarseCentroids(emb, "vec_id", "embedding", 8)
+    val cb = Similarity.cellResiduals(
+        emb.filter(col("vec_id") >= 8 && col("vec_id") < 24),
+        "vec_id", "embedding", cents)
+      .select((col("_id") - 8).cast("long").as("_cb"), col("_rv").as("_cv"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val viaOp = Similarity.ivfPqResidualTopKWith(queries, emb,
+      "vec_id", "embedding", k = 3, cb, nCells = 8, nProbe = 2)
+    // reference: ADC(q, n) over codes == L2²(q_residual, recon_n) when
+    // summed with the same per-subspace association — the defining
+    // identity of the asymmetric-distance table
+    val enc = Similarity.pqEncodeWith(
+      Similarity.cellResiduals(emb, "vec_id", "embedding", cents),
+      "_id", "_rv", cb, passthrough = Seq("cell"))
+      .select(col("_id").as("n_id"), col("cell").as("_cell"), col("recon"))
+    val probes = queries
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("_qv"))
+      .crossJoin(broadcast(cents.withColumn("_centn2",
+        graft.functions.VectorFunctions.dot(col("_centv"), col("_centv")))))
+      .withColumn("_csim",
+        graft.functions.VectorFunctions.dot(col("_qv"), col("_centv")) /
+          sqrt(graft.functions.VectorFunctions.dot(col("_qv"), col("_qv")) *
+            col("_centn2")))
+      .withColumn("_pr", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("_csim").desc, col("cent_id").asc)))
+      .filter(col("_pr") <= 2)
+      .select(col("q_id"), col("cent_id").cast("long").as("_cell"),
+        zip_with(col("_qv"), col("_centv").cast("array<double>"),
+          (a, b) => a - b).as("_qrv"))
+    val ref = probes.join(enc, Seq("_cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dist", (0 until 8).foldLeft(lit(0.0))((acc, j) =>
+        acc + graft.functions.VectorFunctions.subspaceL2(
+          col("_qrv"), col("recon"), j * 8, 8)))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("dist").asc, col("n_id").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"), col("rank"))
+    val a = viaOp.collect().map(_.mkString("|")).toSet
+    val b = ref.collect().map(_.mkString("|")).toSet
+    assert(a == b)
+    assert(a.size == 20 * 3)
+  }
+
   test("codebook-source vectors encode to their own codeword with zero error") {
     val cents = Similarity.coarseCentroids(emb, "vec_id", "embedding", 8)
     val cb = Similarity.cellResiduals(
