@@ -567,6 +567,45 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Corpus-global line-frequency boilerplate removal — the CCNet-style
+    * line dedup that precedes document dedup in crawl pipelines
+    * (Wenzek et al., LREC 2020 run it per shard; the RefinedWeb line
+    * filters assume it): a (trimmed, non-empty) line occurring in at
+    * least `minDocFreq` DISTINCT documents is boilerplate (nav bars,
+    * cookie banners, license footers) and is removed from every
+    * document; unique lines, empty lines, and original line order are
+    * preserved. Returns (idCol, clean_text).
+    *
+    * Scale shape: doc-frequency is one map-side-combinable aggregation
+    * over per-doc-distinct slim (line-key) rows; the per-doc
+    * boilerplate sets ride ONE corpus join on the id (only docs that
+    * contain a frequent line have a right side), and removal is a
+    * map-only array filter — document text is never exploded and
+    * re-grouped. For PB corpora substitute xxhash64(line) for the raw
+    * string key (same plan, 8-byte keys); the raw-string form here
+    * keeps the whole surface ANSI-replayable (q140). */
+  def lineDedupGlobal(docs: DataFrame, textCol: String, idCol: String,
+      minDocFreq: Int = 3): DataFrame = {
+    val ls = docs.select(col(idCol).as("_id"),
+      split(col(textCol), "\n", -1).as("_ls"))
+    val lines = ls.select(col("_id"), explode(col("_ls")).as("_line"))
+      .select(col("_id"), trim(col("_line")).as("_k"))
+      .filter(length(col("_k")) > 0)
+      .distinct() // doc frequency counts a line once per doc
+    val bad = lines.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_k"))
+    val badPerDoc = lines.join(bad, "_k")
+      .groupBy(col("_id")).agg(collect_set(col("_k")).as("_bad"))
+    ls.join(badPerDoc, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        concat_ws("\n", filter(col("_ls"), y =>
+          length(trim(y)) === 0 ||
+            !array_contains(coalesce(col("_bad"),
+              array().cast("array<string>")), trim(y)))).as("clean_text"))
+  }
+
   // ---- blocklist ---------------------------------------------------------
 
   /** Remove corpus rows whose long key appears in a blocklist, with a

@@ -3409,6 +3409,26 @@ object Catalog {
           ORDER BY dist ASC, n_id ASC) AS rank FROM dd) z
       WHERE rank <= 3"""))
 
+  /** Corpus-global line-frequency boilerplate removal (CCNet-style
+    * line dedup): trimmed non-empty lines in ≥ 3 distinct docs vanish
+    * from every doc; order and empty lines survive. Pure string/count
+    * semantics → full DuckDB replay. */
+  private val q140 = Q("q140_line_dedup",
+    (s, dir) => Dedup.lineDedupGlobal(t(s, dir, "documents"),
+      "text", "doc_id", minDocFreq = 3),
+    Some("""WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS l
+        FROM documents),
+      e AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS ix,
+          unnest(l) AS line
+        FROM ls),
+      freq AS (SELECT trim(line) AS k, count(DISTINCT doc_id) AS df
+        FROM e WHERE len(trim(line)) > 0 GROUP BY 1),
+      keep AS (SELECT e.doc_id, e.ix, e.line
+        FROM e LEFT JOIN freq f ON trim(e.line) = f.k AND f.df >= 3
+        WHERE f.k IS NULL)
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY ix) AS clean_text
+      FROM keep GROUP BY doc_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3419,5 +3439,5 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139)
+    q133, q134, q135, q136, q137, q138, q139, q140)
 }

@@ -100,6 +100,33 @@ class Ext6Spec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  // ---- lineDedupGlobal ---------------------------------------------------
+
+  test("global line dedup removes corpus-frequent lines, keeps order, " +
+      "empties, and sub-threshold lines") {
+    import spark.implicits._
+    val boiler = "accept our cookies to continue"
+    val fixture = Seq(
+      (1L, s"unique opening line\n$boiler\nbody of doc one"),
+      (2L, s"$boiler\n\n  body of doc two  "),
+      (3L, s"body of doc three\n  $boiler  "),
+      (4L, "shared twice only\nbody of doc four"),
+      (5L, "shared twice only\nbody of doc five"),
+      (6L, boiler)
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedupGlobal(fixture, "text", "doc_id",
+        minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // boilerplate (3 docs, matched after trim) vanishes everywhere
+    assert(out(1L) == "unique opening line\nbody of doc one")
+    assert(out(2L) == "\n  body of doc two  ")   // empty line survives
+    assert(out(3L) == "body of doc three")       // trailing variant matched
+    // df = 2 < minDocFreq: kept
+    assert(out(4L) == "shared twice only\nbody of doc four")
+    assert(out(5L) == "shared twice only\nbody of doc five")
+    assert(out(6L) == "")                        // fully-boilerplate doc stays
+  }
+
   // ---- pqEncodeResidual --------------------------------------------------
 
   test("residual encode == plain PQ encode over explicitly-computed residuals") {
