@@ -567,6 +567,35 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Eval-set n-gram contamination scores — the overlap metric the
+    * GPT-3/PaLM decontamination appendices report (there with 8-13
+    * grams; `n` is a parameter): for each eval document, the fraction
+    * of its distinct word n-grams that occur ANYWHERE in the training
+    * corpus. Complements [[crossJaccardPairs]] (doc-level pair
+    * finding) with the gram-level audit that catches partial overlap
+    * no single training doc dominates. Returns
+    * (idCol, n_grams, n_hit, overlap).
+    *
+    * Scale shape: the train side collapses to a DISTINCT gram-key set
+    * (one map-combinable aggregation — grams never carry doc ids); the
+    * probe is a keyed left join of the (small) eval side's exploded
+    * grams, then a per-doc count — no corpus×corpus work, and the
+    * 100 TB variant substitutes xxhash64(gram) 8-byte keys with an
+    * optional Bloom prefilter exactly as [[blocklistFilter]]. Raw
+    * string grams here keep the surface ANSI-replayable (q141). */
+  def gramOverlapScores(train: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val tg = train.select(explode(wordShingles(col(textCol), n)).as("_g"))
+      .distinct()
+    val eg = eval.select(col(idCol),
+      explode(wordShingles(col(textCol), n)).as("_g"))
+    eg.join(tg.withColumn("_hit", lit(1)), Seq("_g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("overlap", col("n_hit").cast("double") / col("n_grams"))
+  }
+
   /** Corpus-global line-frequency boilerplate removal — the CCNet-style
     * line dedup that precedes document dedup in crawl pipelines
     * (Wenzek et al., LREC 2020 run it per shard; the RefinedWeb line

@@ -3429,6 +3429,34 @@ object Catalog {
       SELECT doc_id, string_agg(line, chr(10) ORDER BY ix) AS clean_text
       FROM keep GROUP BY doc_id"""))
 
+  /** Gram-level eval contamination audit: per eval doc (doc_id ≡ 0
+    * mod 10), the fraction of its distinct word trigrams present
+    * anywhere in the train split. Pure set/count semantics → full
+    * DuckDB replay. */
+  private val q141 = Q("q141_gram_overlap",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.gramOverlapScores(d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 3)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (SELECT doc_id,
+          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3),
+      tr AS (SELECT DISTINCT unnest(sh) AS gm FROM g WHERE doc_id % 10 <> 0),
+      ev AS (SELECT doc_id, unnest(sh) AS gm FROM g WHERE doc_id % 10 = 0)
+      SELECT ev.doc_id, count(*) AS n_grams,
+        CAST(sum(CASE WHEN tr.gm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hit,
+        CAST(sum(CASE WHEN tr.gm IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) AS overlap
+      FROM ev LEFT JOIN tr ON ev.gm = tr.gm
+      GROUP BY ev.doc_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3439,5 +3467,5 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141)
 }

@@ -127,6 +127,28 @@ class Ext6Spec extends SparkSpec {
     assert(out(6L) == "")                        // fully-boilerplate doc stays
   }
 
+  // ---- gramOverlapScores -------------------------------------------------
+
+  test("gram overlap: verbatim eval doc scores 1.0, novel scores 0.0, " +
+      "partial overlap is the exact gram fraction") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the cat sat on the mat today"),
+      (2L, "dogs chase cats around the yard")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "the cat sat on the mat today"),       // verbatim copy
+      (11L, "quantum lattice gauge theory papers"),// fully novel
+      (12L, "the cat sat on a hat") // shares "the cat sat", "cat sat on"
+    ).toDF("doc_id", "text")
+    val out = Dedup.gramOverlapScores(train, eval, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) == ((5L, 5L, 1.0)))
+    assert(out(11L) == ((3L, 0L, 0.0)))
+    assert(out(12L) == ((4L, 2L, 0.5)))
+  }
+
   // ---- pqEncodeResidual --------------------------------------------------
 
   test("residual encode == plain PQ encode over explicitly-computed residuals") {
