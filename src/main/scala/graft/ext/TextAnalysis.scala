@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -254,6 +255,59 @@ object TextAnalysis {
     * all map-side combinable; no windows, no all-pairs, no driver
     * loop. Output columns: _id, n_bigrams, lm_micro_sum,
     * lm_mean_micro (null for docs with < 2 tokens). */
+  /** CCNet head/middle/tail bucketing (Wenzek et al., LREC 2020 §4.3):
+    * within each domain (CCNet: language), rank documents by LM
+    * quality best-first and label the top `headFrac` "head", the next
+    * `midFrac` "middle", the rest "tail" — the partition CCNet
+    * publishes and downstream recipes sample from. Score is any
+    * monotone quality signal ([[bigramLmScores]]' `lm_mean_micro`
+    * here, higher = better); null scores (docs too short to score)
+    * rank last. Returns (idCol, domainCol, bucket).
+    *
+    * Exact terciles need a per-domain total ordering, and a window
+    * partitioned by domain alone would serialize a 50-of-100-TB
+    * mega-domain into one task — so this uses the same two-phase
+    * bucketed rank as `Sampling.mixtureSample`: local ranks within
+    * (domain, score-range bucket) plus cumulative bucket counts
+    * reconstruct the exact global rank; score ranges normalize by the
+    * per-domain max (one tiny agg) so the buckets adapt to the score
+    * scale. The offsets side is domains × nBuckets tiny rows,
+    * broadcast back. Fractions should be "nice" decimals — they are
+    * replayed literally by the oracle (q142). */
+  def perplexityBuckets(scored: DataFrame, idCol: String,
+      domainCol: String, scoreCol: String, headFrac: Double = 0.1,
+      midFrac: Double = 0.3, nBuckets: Int = 256,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    require(headFrac > 0 && midFrac > 0 && headFrac + midFrac < 1.0)
+    val base = cp.cut(scored.select(col(idCol), col(domainCol),
+        coalesce(col(scoreCol).cast("double"), lit(-1.0)).as("_s"))
+      .join(broadcast(scored.groupBy(col(domainCol)).agg(
+        greatest(max(coalesce(col(scoreCol).cast("double"), lit(-1.0))),
+          lit(1.0)).as("_mx"))), domainCol)
+      .withColumn("_bkt", least(
+        floor(col("_s") * nBuckets / col("_mx")),
+        lit((nBuckets - 1).toLong))))
+    val local = base.withColumn("_rn", row_number().over(
+      Window.partitionBy(col(domainCol), col("_bkt"))
+        .orderBy(col("_s").desc, col(idCol).asc)))
+    val offs = base.groupBy(col(domainCol), col("_bkt"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.partitionBy(col(domainCol))
+          .orderBy(col("_bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n",
+        sum(col("_c")).over(Window.partitionBy(col(domainCol))))
+      .select(col(domainCol), col("_bkt"), col("_off"), col("_n"))
+    local.join(broadcast(offs), Seq(domainCol, "_bkt"))
+      .withColumn("_r", col("_off") + col("_rn"))
+      .select(col(idCol), col(domainCol),
+        when(col("_r") <= ceil(lit(headFrac) * col("_n")), lit("head"))
+          .when(col("_r") <= ceil(lit(headFrac + midFrac) * col("_n")),
+            lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   def bigramLmScores(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))

@@ -3087,7 +3087,20 @@ object Catalog {
     (s, dir) => TextAnalysis.bigramLmScores(t(s, dir, "documents"),
       "text", "doc_id")
       .withColumnRenamed("_id", "doc_id"),
-    Some("""WITH t AS (SELECT doc_id,
+    Some(bigramLmCtes + """
+      SELECT t.doc_id,
+        CAST(coalesce(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CAST(coalesce(d.lm_micro_sum, 0) AS BIGINT) AS lm_micro_sum,
+        CAST(d.lm_micro_sum AS DOUBLE) / CAST(d.n_bigrams AS DOUBLE)
+          AS lm_mean_micro
+      FROM t LEFT JOIN d USING (doc_id)"""))
+
+  /** Shared DuckDB CTE chain of the bigram-LM family (q132/q142):
+    * tokens → adjacent pairs → corpus counts → add-one micro-unit
+    * conditionals → per-doc sums `d(doc_id, lm_micro_sum, n_bigrams)`
+    * (docs with < 2 tokens absent from `d`; `t` has every doc). */
+  private def bigramLmCtes: String =
+    """WITH t AS (SELECT doc_id,
         list_filter(string_split_regex(trim(text), '\s+'),
           x -> len(x) > 0) AS toks FROM documents),
       b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
@@ -3101,13 +3114,7 @@ object Catalog {
       sc AS (SELECT b.doc_id, ((c12.c12 + 1) * 1000000) // (c1.c1 + v.v) AS s
         FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
       d AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS lm_micro_sum,
-          CAST(count(*) AS BIGINT) AS n_bigrams FROM sc GROUP BY doc_id)
-      SELECT t.doc_id,
-        CAST(coalesce(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        CAST(coalesce(d.lm_micro_sum, 0) AS BIGINT) AS lm_micro_sum,
-        CAST(d.lm_micro_sum AS DOUBLE) / CAST(d.n_bigrams AS DOUBLE)
-          AS lm_mean_micro
-      FROM t LEFT JOIN d USING (doc_id)"""))
+          CAST(count(*) AS BIGINT) AS n_bigrams FROM sc GROUP BY doc_id)"""
 
   /** Probeable incremental IVF-PQ index: vec_id < 400 is the frozen
     * base (quantizer = its first 16 ids, convention codebook), ≥ 400
@@ -3457,6 +3464,37 @@ object Catalog {
       FROM ev LEFT JOIN tr ON ev.gm = tr.gm
       GROUP BY ev.doc_id"""))
 
+  /** CCNet head/middle/tail perplexity bucketing per language over the
+    * bigram-LM scores (q132's signal): top 10% "head", next 30%
+    * "middle", rest "tail", ranked best-first with pinned tie-breaks.
+    * The oracle replays the global per-language rank with a plain
+    * window — equality proves the engine's two-phase bucketed-rank
+    * reconstruction exactly. */
+  private val q142 = Q("q142_perplexity_buckets",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = TextAnalysis.bigramLmScores(d, "text", "doc_id")
+        .join(d.select(col("doc_id").as("_id"), col("lang")), Seq("_id"))
+      TextAnalysis.perplexityBuckets(scored, "_id", "lang",
+          "lm_mean_micro", headFrac = 0.1, midFrac = 0.3)
+        .withColumnRenamed("_id", "doc_id")
+    },
+    Some(bigramLmCtes + """,
+      s2 AS (SELECT t.doc_id, dm.lang,
+          coalesce(CAST(d.lm_micro_sum AS DOUBLE)
+            / CAST(d.n_bigrams AS DOUBLE), -1.0) AS s
+        FROM t LEFT JOIN d USING (doc_id)
+        JOIN documents dm USING (doc_id)),
+      r AS (SELECT doc_id, lang, s,
+          row_number() OVER (PARTITION BY lang ORDER BY s DESC, doc_id) AS r,
+          count(*) OVER (PARTITION BY lang) AS n
+        FROM s2)
+      SELECT doc_id, lang,
+        CASE WHEN r <= ceil(0.1 * n) THEN 'head'
+             WHEN r <= ceil(0.4 * n) THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM r"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3467,5 +3505,5 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140, q141)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
 }

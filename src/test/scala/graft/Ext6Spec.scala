@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Similarity}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 /** Round-6: portable-oracle surface for the sketch family (LSH band
@@ -149,6 +150,31 @@ class Ext6Spec extends SparkSpec {
     assert(out(12L) == ((4L, 2L, 0.5)))
   }
 
+  // ---- perplexityBuckets -------------------------------------------------
+
+  test("perplexity buckets: exact per-domain terciles, best-first, " +
+      "nulls sink to tail") {
+    import spark.implicits._
+    val scored = ((1 to 10).map(i =>
+        (i.toLong, "en", Some(i * 100.0))) ++ Seq(
+        (21L, "fr", Some(500.0)), (22L, "fr", Some(400.0)),
+        (23L, "fr", None))) // unscoreable doc
+      .toDF("id", "dom", "score")
+    val out = graft.ext.TextAnalysis.perplexityBuckets(
+        scored, "id", "dom", "score", headFrac = 0.1, midFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // en: 10 docs ranked 1000..100 → head = ceil(1) = rank 1 (id 10),
+    // middle = ranks 2-4 (ids 9,8,7), tail = the rest
+    assert(out(10L) == "head")
+    assert(Seq(9L, 8L, 7L).forall(out(_) == "middle"))
+    assert(Seq(6L, 5L, 4L, 3L, 2L, 1L).forall(out(_) == "tail"))
+    // fr: 3 docs → head = ceil(0.3) = rank 1, middle = rank 2 (ceil(1.2)),
+    // null score ranks last → tail
+    assert(out(21L) == "head")
+    assert(out(22L) == "middle")
+    assert(out(23L) == "tail")
+  }
+
   // ---- pqEncodeResidual --------------------------------------------------
 
   test("residual encode == plain PQ encode over explicitly-computed residuals") {
@@ -233,5 +259,59 @@ class Ext6Spec extends SparkSpec {
         s"vec $id should self-encode, got $codes")
       assert(r.getDouble(3) == 0.0, s"vec $id err ${r.getDouble(3)}")
     }
+  }
+}
+
+/** Physical-shape gates for the round-6 operators: the plans that make
+  * them 100 TB-viable must not silently regress. */
+class Round6PlanShapeSpec extends SparkSpec {
+  import graft.queries.Catalog
+
+  private def executed(df: DataFrame): String = {
+    df.count()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def catalogPlan(name: String): String =
+    executed(Catalog.all.find(_.name == name).get.fn(spark, sf()))
+
+  test("q136 band stats: pure two-level aggregation — no join, " +
+      "map-side combine present") {
+    val plan = catalogPlan("q136_lsh_band_stats")
+    assert(!plan.contains("Join"), s"histogram grew a join:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side combine:\n$plan")
+  }
+
+  test("q137 portable simhash: banded equi-join only — no cartesian, " +
+      "fingerprint kernel in the scan projection") {
+    val plan = catalogPlan("q137_simhash_portable")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair join degenerated to a cartesian:\n$plan")
+    assert(plan.toLowerCase.contains("simhashpoly"),
+      s"portable fingerprint kernel missing from the plan:\n$plan")
+  }
+
+  test("q139 residual probe: codes-only corpus side joins the broadcast " +
+      "probe tables; corpus never hash-partitions on n_id") {
+    val plan = catalogPlan("q139_ivfpq_residual")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe-table join not broadcast:\n$plan")
+    assert(!plan.contains("hashpartitioning(n_id"),
+      s"index side shuffled on n_id:\n$plan")
+    assert(!plan.contains("windowspecdefinition(n_id"),
+      s"per-vector window resurfaced in the encode:\n$plan")
+  }
+
+  test("q140 line dedup: reassembly is a map-only array filter — no " +
+      "collect_list regroup of document text, no window") {
+    val plan = catalogPlan("q140_line_dedup")
+    assert(!plan.contains("collect_list"),
+      s"text regrouped via collect_list:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+    assert(plan.contains("collect_set"),
+      s"per-doc boilerplate set aggregation missing:\n$plan")
   }
 }
