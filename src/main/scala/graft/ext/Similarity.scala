@@ -493,13 +493,12 @@ object Similarity {
   def ivfPqResidualTopKWith(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int, codebook: DataFrame,
       nCells: Int = 8, nProbe: Int = 2, nSub: Int = 8,
-      nCodewords: Int = 16, dim: Int = 64,
-      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+      nCodewords: Int = 16, dim: Int = 64): DataFrame = {
     val sub = dim / nSub
     val cents = coarseCentroids(candidates, idCol, vecCol, nCells)
     val cbDense = densifyCodebook(codebook)
     val index = pqEncodeResidual(candidates, idCol, vecCol, cbDense,
-        cents, nSub, dim, cp)
+        cents, nSub, dim)
       .select(col("_id").as("n_id"), col("cell").as("_cell"), col("codes"))
     val probeRank = Window.partitionBy(col("q_id"))
       .orderBy(col("_csim").desc, col("cent_id").asc)
@@ -716,18 +715,24 @@ object Similarity {
     * min-struct argmin, the cell key threaded through the groupBy (no
     * second corpus join). Returns (_id, cell, codes, err).
     *
-    * The residuals MUST materialize (`cp.cut`) before the codeword
-    * cross join: project-collapse would otherwise inline the
+    * The residuals MUST materialize behind a barrier before the
+    * codeword cross join: project-collapse would otherwise inline the
     * zip_with subtraction — and the whole NearestCentroid assignment
     * fold behind it — into every (codeword × subspace) argmin term,
     * re-deriving the assignment ~nCodewords·nSub times per vector
-    * (measured 30× wall-clock on the sf0.1 corpus). Long 100 TB runs
-    * should pass [[ReliableCheckpoint]], or persist the encode output
-    * as the stored index fragment. */
+    * (measured 10× wall-clock on the sf0.1 corpus). The barrier is a
+    * `repartition(_id)` exchange, not a localCheckpoint: the shuffle
+    * files are disk-backed and auto-cleaned (a checkpoint would pin
+    * the full residual corpus in executor storage for the JVM's
+    * lifetime — poison in a long-lived multi-query session), and
+    * hash-partitioning on `_id` already satisfies the encode's
+    * (_id, cell) aggregation, so the plan's total exchange count is
+    * unchanged — the groupBy shuffle just moves below the expansion. */
   def pqEncodeResidual(vectors: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, cents: DataFrame, nSub: Int = 8,
-      dim: Int = 64, cp: Checkpointer = LocalCheckpoint): DataFrame =
-    pqEncodeWith(cp.cut(cellResiduals(vectors, idCol, vecCol, cents)),
+      dim: Int = 64): DataFrame =
+    pqEncodeWith(
+      cellResiduals(vectors, idCol, vecCol, cents).repartition(col("_id")),
       "_id", "_rv", codebook, nSub, dim, passthrough = Seq("cell"))
       .select(col("_id"), col("cell"), col("codes"), col("err"))
 

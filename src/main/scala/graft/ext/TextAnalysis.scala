@@ -279,14 +279,18 @@ object TextAnalysis {
       midFrac: Double = 0.3, nBuckets: Int = 256,
       cp: Checkpointer = LocalCheckpoint): DataFrame = {
     require(headFrac > 0 && midFrac > 0 && headFrac + midFrac < 1.0)
-    val base = cp.cut(scored.select(col(idCol), col(domainCol),
-        coalesce(col(scoreCol).cast("double"), lit(-1.0)).as("_s"))
-      .join(broadcast(scored.groupBy(col(domainCol)).agg(
-        greatest(max(coalesce(col(scoreCol).cast("double"), lit(-1.0))),
-          lit(1.0)).as("_mx"))), domainCol)
+    // cut the slim scored projection ONCE: three consumers (the
+    // per-domain max, the local-rank branch, the offsets branch) would
+    // otherwise each re-evaluate the upstream scoring plan — for the
+    // bigram-LM signal that is the full corpus-count chain per branch
+    val slim = cp.cut(scored.select(col(idCol), col(domainCol),
+      coalesce(col(scoreCol).cast("double"), lit(-1.0)).as("_s")))
+    val mx = slim.groupBy(col(domainCol))
+      .agg(greatest(max(col("_s")), lit(1.0)).as("_mx"))
+    val base = slim.join(broadcast(mx), domainCol)
       .withColumn("_bkt", least(
         floor(col("_s") * nBuckets / col("_mx")),
-        lit((nBuckets - 1).toLong))))
+        lit((nBuckets - 1).toLong)))
     val local = base.withColumn("_rn", row_number().over(
       Window.partitionBy(col(domainCol), col("_bkt"))
         .orderBy(col("_s").desc, col(idCol).asc)))

@@ -2550,7 +2550,18 @@ object Catalog {
     * at iters = 2: assignment round (cosine argmax, lowest-id ties) →
     * fixed-point mean round, twice; `c2` is the trained codebook
     * (cent_id, c DOUBLE[]). Requires `cosineOracleCte`'s `n`. */
-  private def kmeansTwoRoundsSql: String = {
+  private def kmeansTwoRoundsSql: String =
+    kmeansTwoRoundsSqlOver("n", "vec_id",
+      """c0 AS (SELECT vec_id AS cent_id, v AS c, nrm AS cn FROM n
+        ORDER BY vec_id ASC LIMIT 16)""")
+
+  /** Two fixed-point spherical k-means rounds over an arbitrary
+    * `(id, v, nrm)` base table with an arbitrary init CTE (`c0`) —
+    * the q117/q120 raw-space rounds and q143's residual-space rounds
+    * share this generator. Emits CTEs a1/m1/c1/c1n/a2/m2/c2; `c2` is
+    * the trained codebook (cent_id, c). */
+  private def kmeansTwoRoundsSqlOver(base: String, id: String,
+      c0Sql: String): String = {
     def meanRound(asg: String, out: String): String =
       s"""m$out AS (SELECT cell, i.i AS pos, count(*) AS cnt,
           CAST(sum(CAST(floor(a.v[i.i] * 1000000.0 + 0.5) AS BIGINT))
@@ -2563,13 +2574,12 @@ object Catalog {
         FROM m$out GROUP BY cell)"""
     def assignRound(cents: String, out: String): String =
       s"""a$out AS (SELECT n_id, v, cell FROM (
-        SELECT n.vec_id AS n_id, n.v, t.cent_id AS cell,
-          row_number() OVER (PARTITION BY n.vec_id ORDER BY
-            (${dotFoldSql("n.v", "t.c")} / sqrt(n.nrm * t.cn)) DESC,
+        SELECT b.$id AS n_id, b.v, t.cent_id AS cell,
+          row_number() OVER (PARTITION BY b.$id ORDER BY
+            (${dotFoldSql("b.v", "t.c")} / sqrt(b.nrm * t.cn)) DESC,
             t.cent_id ASC) AS cr
-        FROM n CROSS JOIN $cents t) z WHERE cr = 1)"""
-    s"""c0 AS (SELECT vec_id AS cent_id, v AS c, nrm AS cn FROM n
-        ORDER BY vec_id ASC LIMIT 16),
+        FROM $base b CROSS JOIN $cents t) z WHERE cr = 1)"""
+    s"""$c0Sql,
       ${assignRound("c0", "1")},
       ${meanRound("a1", "1")},
       c1n AS (SELECT cent_id, c, ${dotFoldSql("c", "c")} AS cn FROM c1),
@@ -3495,6 +3505,70 @@ object Catalog {
              ELSE 'tail' END AS bucket
       FROM r"""))
 
+  /** The COMPLETE production IVFADC chain, all in residual space:
+    * coarse quantize → cell residuals → TRAIN the residual codebook
+    * (2 fixed-point k-means rounds from the 8..23-residual init) →
+    * residual encode → per-(query, probed-cell) ADC probe. Every
+    * stage — including the residual-space training rounds — replays
+    * in DuckDB. Zero residuals (the centroids' own) give NaN cosines
+    * in training assignment; both engines rank NaN first and tie to
+    * the lowest centroid id, so even that corner is pinned. */
+  private val q143 = Q("q143_ivfpq_residual_trained",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.coarseCentroids(emb, "vec_id", "embedding",
+        nCells = 8)
+      val res = graft.ext.LocalCheckpoint.cut(
+        Similarity.cellResiduals(emb, "vec_id", "embedding", cents))
+      val init = res.filter(col("_id") >= 8 && col("_id") < 24)
+        .select((col("_id") - 8).cast("long").as("cent_id"),
+          col("_rv").as("_c"))
+      val cb = Similarity.pqTrainCodebookFrom(res, "_id", "_rv", init,
+          iters = 2)
+        .select(col("cent_id").as("_cb"), col("_c").as("_cv"))
+      Similarity.ivfPqResidualTopKWith(emb.filter(col("vec_id") < 30),
+        emb, "vec_id", "embedding", k = 3, cb, nCells = 8, nProbe = 2)
+    },
+    Some(cosineOracleCte + residualPqCtes + s""",
+      rn2 AS (SELECT n_id, rv AS v, ${dotFoldSql("rv", "rv")} AS nrm
+        FROM r),
+      ${kmeansTwoRoundsSqlOver("rn2", "n_id",
+        """c0 AS (SELECT n_id - 8 AS cent_id, v AS c, nrm AS cn FROM rn2
+        WHERE n_id >= 8 AND n_id < 24)""")},
+      cbd AS (SELECT row_number() OVER (ORDER BY cent_id) - 1 AS cc,
+          c AS cv FROM c2),
+      pb AS (SELECT r.n_id, r.cell, cbd.cc, js.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(r.rv[i] - cbd.cv[i]) * (r.rv[i] - cbd.cv[i])
+             FOR i IN range(js.j * 8 + 1, js.j * 8 + 9)]), (x, y) -> x + y) AS d
+        FROM r CROSS JOIN cbd
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
+      se2 AS (SELECT n_id, cell, j, cc FROM (
+          SELECT n_id, cell, j, cc,
+            row_number() OVER (PARTITION BY n_id, j ORDER BY d, cc) AS rw
+          FROM pb) z WHERE rw = 1),
+      prb AS (SELECT q_id, cell, qrv FROM (
+        SELECT n.vec_id AS q_id, cent.cent_id AS cell,
+          [n.v[i] - cent.cv[i] FOR i IN range(1, 65)] AS qrv,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS pr
+        FROM n CROSS JOIN cent WHERE n.vec_id < 30) z WHERE pr <= 2),
+      dj AS (SELECT p.q_id, s.n_id, s.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(p.qrv[i] - cbd.cv[i]) * (p.qrv[i] - cbd.cv[i])
+             FOR i IN range(s.j * 8 + 1, s.j * 8 + 9)]), (x, y) -> x + y) AS d
+        FROM prb p JOIN se2 s ON s.cell = p.cell AND s.n_id <> p.q_id
+        JOIN cbd ON cbd.cc = s.cc),
+      dd AS (SELECT q_id, n_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d ORDER BY j)),
+            (x, y) -> x + y) AS dist
+        FROM dj GROUP BY q_id, n_id)
+      SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+        SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+          ORDER BY dist ASC, n_id ASC) AS rank FROM dd) z
+      WHERE rank <= 3"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3505,5 +3579,5 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
 }
