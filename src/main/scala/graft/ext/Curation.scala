@@ -37,6 +37,37 @@ object Curation {
         length(regexp_replace(text, "[0-9]+", "<NUM>")).as("clean_chars"))
   }
 
+  /** The CCNet pipeline proper (Wenzek et al., LREC 2020), composed
+    * from the verified stages: corpus-global line dedup
+    * ([[Dedup.lineDedupGlobal]] — their shard-level duplicate-line
+    * removal) → bigram-LM quality scoring of the CLEANED text
+    * ([[TextAnalysis.bigramLmScores]] — scoring after dedup matters:
+    * boilerplate lines would otherwise dominate the corpus LM counts
+    * and score themselves fluent) → per-language head/middle/tail
+    * bucketing ([[TextAnalysis.perplexityBuckets]]) → keep head and
+    * middle, as the published recipe samples from. Returns
+    * (idCol, langCol, bucket) for survivors.
+    *
+    * Scale shape is the union of its stages' shapes: line dedup's
+    * keyed aggregations + one id join, the LM's keyed count
+    * aggregations, and the two-phase bucketed rank — no stage adds a
+    * window over a raw-corpus partition. The cleaned corpus is cut
+    * once ([[Checkpointer]]) because the LM chain consumes it
+    * multiple times (bigram, context, vocab passes). */
+  def ccnetCurate(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, minDocFreq: Int = 3, headFrac: Double = 0.1,
+      midFrac: Double = 0.3,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    val cleaned = cp.cut(
+      Dedup.lineDedupGlobal(docs, textCol, idCol, minDocFreq))
+    val scored = TextAnalysis.bigramLmScores(cleaned, "clean_text", idCol)
+      .join(docs.select(col(idCol).as("_id"), col(langCol)), Seq("_id"))
+    TextAnalysis.perplexityBuckets(scored, "_id", langCol,
+        "lm_mean_micro", headFrac, midFrac, cp = cp)
+      .filter(col("bucket").isin("head", "middle"))
+      .select(col("_id").as(idCol), col(langCol), col("bucket"))
+  }
+
   /** [[curate]] fed from raw crawl HTML — [[TextAnalysis.extractText]]
     * (tag strip + line-quality boilerplate removal) runs as stage 0,
     * then the extracted text flows through the verified gate → dedup →

@@ -3109,10 +3109,15 @@ object Catalog {
     * tokens → adjacent pairs → corpus counts → add-one micro-unit
     * conditionals → per-doc sums `d(doc_id, lm_micro_sum, n_bigrams)`
     * (docs with < 2 tokens absent from `d`; `t` has every doc). */
-  private def bigramLmCtes: String =
-    """WITH t AS (SELECT doc_id,
-        list_filter(string_split_regex(trim(text), '\s+'),
-          x -> len(x) > 0) AS toks FROM documents),
+  private def bigramLmCtes: String = "WITH " + bigramLmCtesFrom("documents")
+
+  /** [[bigramLmCtes]] over an arbitrary `(doc_id, text)` source CTE —
+    * no leading WITH so line-dedup (q144) can feed its cleaned text
+    * in. */
+  private def bigramLmCtesFrom(src: String): String =
+    s"""t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\\s+'),
+          x -> len(x) > 0) AS toks FROM $src),
       b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
         FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
               FROM t WHERE len(toks) >= 2)),
@@ -3433,7 +3438,16 @@ object Catalog {
   private val q140 = Q("q140_line_dedup",
     (s, dir) => Dedup.lineDedupGlobal(t(s, dir, "documents"),
       "text", "doc_id", minDocFreq = 3),
-    Some("""WITH ls AS (SELECT doc_id, string_split(text, chr(10)) AS l
+    Some("WITH " + lineDedupCtes + """
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY ix) AS clean_text
+      FROM keep GROUP BY doc_id"""))
+
+  /** Shared DuckDB CTE chain of the line-dedup family (q140/q144):
+    * per-doc line explode with positions → corpus line doc-frequency →
+    * `keep(doc_id, ix, line)` surviving lines. No leading WITH so it
+    * composes after/with other chains. */
+  private def lineDedupCtes: String =
+    """ls AS (SELECT doc_id, string_split(text, chr(10)) AS l
         FROM documents),
       e AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS ix,
           unnest(l) AS line
@@ -3442,9 +3456,7 @@ object Catalog {
         FROM e WHERE len(trim(line)) > 0 GROUP BY 1),
       keep AS (SELECT e.doc_id, e.ix, e.line
         FROM e LEFT JOIN freq f ON trim(e.line) = f.k AND f.df >= 3
-        WHERE f.k IS NULL)
-      SELECT doc_id, string_agg(line, chr(10) ORDER BY ix) AS clean_text
-      FROM keep GROUP BY doc_id"""))
+        WHERE f.k IS NULL)"""
 
   /** Gram-level eval contamination audit: per eval doc (doc_id ≡ 0
     * mod 10), the fraction of its distinct word trigrams present
@@ -3569,6 +3581,34 @@ object Catalog {
           ORDER BY dist ASC, n_id ASC) AS rank FROM dd) z
       WHERE rank <= 3"""))
 
+  /** The CCNet pipeline end to end: global line dedup → bigram-LM
+    * scoring of the CLEANED text → per-language tercile bucketing →
+    * keep head+middle. Every stage's CTE chain composes in the oracle,
+    * so the whole published recipe — not just its pieces — replays. */
+  private val q144 = Q("q144_ccnet_pipeline",
+    (s, dir) => graft.ext.Curation.ccnetCurate(t(s, dir, "documents"),
+      "text", "doc_id", "lang"),
+    Some("WITH " + lineDedupCtes + """,
+      cl AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ix) AS text
+        FROM keep GROUP BY doc_id),
+      """ + bigramLmCtesFrom("cl") + """,
+      s2 AS (SELECT t.doc_id, dm.lang,
+          coalesce(CAST(d.lm_micro_sum AS DOUBLE)
+            / CAST(d.n_bigrams AS DOUBLE), -1.0) AS s
+        FROM t LEFT JOIN d USING (doc_id)
+        JOIN documents dm USING (doc_id)),
+      r AS (SELECT doc_id, lang, s,
+          row_number() OVER (PARTITION BY lang ORDER BY s DESC, doc_id) AS r,
+          count(*) OVER (PARTITION BY lang) AS n
+        FROM s2)
+      SELECT doc_id, lang, bucket FROM (
+        SELECT doc_id, lang,
+          CASE WHEN r <= ceil(0.1 * n) THEN 'head'
+               WHEN r <= ceil(0.4 * n) THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM r) z
+      WHERE bucket IN ('head', 'middle')"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3579,5 +3619,6 @@ object Catalog {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
-    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143)
+    q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
+    q144)
 }

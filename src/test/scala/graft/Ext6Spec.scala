@@ -175,6 +175,24 @@ class Ext6Spec extends SparkSpec {
     assert(out(23L) == "tail")
   }
 
+  // ---- ccnetCurate -------------------------------------------------------
+
+  test("ccnet pipeline keeps exactly the per-language head+middle of the " +
+      "cleaned-text ranking") {
+    val out = graft.ext.Curation.ccnetCurate(docs, "text", "doc_id", "lang")
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => Set("head", "middle").contains(r.getString(2))))
+    val survivors = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    val totals = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, n) =>
+      val expect = math.ceil(0.4 * n).toLong
+      assert(survivors.getOrElse(lang, 0) == expect,
+        s"lang $lang: ${survivors.getOrElse(lang, 0)} of $n, want $expect")
+    }
+  }
+
   // ---- pqEncodeResidual --------------------------------------------------
 
   test("residual encode == plain PQ encode over explicitly-computed residuals") {
