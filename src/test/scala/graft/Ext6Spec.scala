@@ -173,6 +173,10 @@ class Ext6Spec extends SparkSpec {
     assert(out(21L) == "head")
     assert(out(22L) == "middle")
     assert(out(23L) == "tail")
+    // release the op's internal localCheckpoint — later shared-session
+    // suites assert a clean persistent-RDD slate
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 
   // ---- ccnetCurate -------------------------------------------------------
@@ -191,6 +195,10 @@ class Ext6Spec extends SparkSpec {
       assert(survivors.getOrElse(lang, 0) == expect,
         s"lang $lang: ${survivors.getOrElse(lang, 0)} of $n, want $expect")
     }
+    // release the pipeline's internal localCheckpoints — later
+    // shared-session suites assert a clean persistent-RDD slate
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 
   // ---- pqEncodeResidual --------------------------------------------------
