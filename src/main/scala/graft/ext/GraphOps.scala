@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality for corpus curation. Crawl-scale pipelines weight
+  * documents by the authority of their source (CommonCrawl publishes
+  * harmonic/PageRank centrality per domain and CCNet-descendant
+  * recipes sample by it) — this is that signal, computed inside the
+  * engine so the weighting joins the curation chain without an
+  * external graph system. */
+object GraphOps {
+
+  /** Deterministic fixed-point PageRank: `iters` power-iteration
+    * rounds over an integer-keyed edge list, every quantity an exact
+    * Long in micro-units (1.0 ≡ 1 000 000) — rank updates are
+    * r'(v) = (1e6 − damp) + Σ_{u→v} floor(r(u)·damp / (deg(u)·1e6)),
+    * so the whole trajectory is order-independent and an external
+    * engine replays the exact ranks (q145); float PageRank would
+    * diverge across engines in the last ulp and break hashing.
+    * Dangling-node mass is dropped (the standard simplification),
+    * identically on both sides. Returns (node, rank_micro).
+    *
+    * Scale shape per round: one keyed join of the rank state onto the
+    * edge list (both hash-partitioned on the source key — at 10^9
+    * edges pre-bucket both by src and the join is shuffle-free), one
+    * map-side-combinable sum per destination, one left join back to
+    * the node set. State between rounds is the node-cardinality rank
+    * table, cut per round with the [[Checkpointer]] discipline
+    * ([[ReliableCheckpoint]] for long jobs) so round k never replays
+    * rounds 1..k−1; superseded cuts are released eagerly. */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, dampMicro: Long = 850000L,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    require(iters >= 1 && dampMicro > 0 && dampMicro < 1000000L)
+    // the edge list, node set, and degree table are FROZEN across
+    // rounds — cut each once, or every round re-derives the upstream
+    // edge plan (for a derived graph that is the full source join)
+    val e = cp.cut(edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst")).distinct())
+    val nodes = cp.cut(e.select(col("_src").as("_n"))
+      .unionByName(e.select(col("_dst").as("_n"))).distinct())
+    val outDeg = cp.cut(
+      e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")))
+    val base = 1000000L - dampMicro
+    var ranks = cp.cut(nodes.select(col("_n"), lit(1000000L).as("_r")))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.select(col("_n").as("_src"), col("_r")), "_src")
+        .join(outDeg, "_src")
+        .select(col("_dst").as("_n"),
+          expr(s"(_r * ${dampMicro}L) div (_deg * 1000000L)").as("_c"))
+      val next = nodes
+        .join(contrib.groupBy(col("_n")).agg(sum(col("_c")).as("_in")),
+          Seq("_n"), "left")
+        .select(col("_n"),
+          (lit(base) + coalesce(col("_in"), lit(0L))).as("_r"))
+      val old = ranks
+      ranks = cp.cut(next)
+      cp.release(old)
+    }
+    ranks.select(col("_n").as("node"), col("_r").as("rank_micro"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, GraphOps, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis}
 import graft.ops.{Cdc, Normalize, PartitionKeys, Profiling, SemiJoins}
 import graft.schema.TableSpec
 import graft.streaming.EventsStream
@@ -3609,6 +3609,41 @@ object Catalog {
         FROM r) z
       WHERE bucket IN ('head', 'middle')"""))
 
+  /** Fixed-point PageRank (3 rounds, damping 0.85 in micro-units) over
+    * the customer→supplier digraph derived from orders⋈lineitem
+    * (supplier keys offset to a disjoint id space). Exact Long
+    * arithmetic end to end → the full rank trajectory replays. */
+  private val q145 = Q("q145_pagerank",
+    (s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      GraphOps.pageRankFixedPoint(edges, "src", "dst", iters = 3)
+    },
+    Some {
+      def iterSql(prev: String, out: String): String =
+        s"""$out AS (SELECT nodes.n,
+            CAST(150000 + coalesce(x.s, 0) AS BIGINT) AS r
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS n,
+              CAST(sum((r.r * 850000) // (deg.d * 1000000)) AS BIGINT) AS s
+            FROM e JOIN $prev r ON r.n = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) x ON nodes.n = x.n)"""
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      ${iterSql("r0", "r1")},
+      ${iterSql("r1", "r2")},
+      ${iterSql("r2", "r3")}
+      SELECT n AS node, r AS rank_micro FROM r3"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3620,5 +3655,5 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144)
+    q144, q145)
 }

@@ -201,6 +201,23 @@ class Ext6Spec extends SparkSpec {
       .foreach(_.unpersist(blocking = false))
   }
 
+  // ---- pageRankFixedPoint ------------------------------------------------
+
+  test("fixed-point pagerank reproduces the hand-computed exact trajectory") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    val out = graft.ext.GraphOps.pageRankFixedPoint(edges, "s", "d",
+        iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // base = 150000; it1: r=(150000, 575000, 1425000); it2 below
+    assert(out == Map(
+      1L -> 150000L,
+      2L -> 213750L,   // 150000 + floor(150000*0.85/2 micro)
+      3L -> 702500L))  // 150000 + 63750 + floor(575000*0.85 micro)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   // ---- pqEncodeResidual --------------------------------------------------
 
   test("residual encode == plain PQ encode over explicitly-computed residuals") {
