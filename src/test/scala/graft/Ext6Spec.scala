@@ -348,6 +348,15 @@ class Round6PlanShapeSpec extends SparkSpec {
       s"per-vector window resurfaced in the encode:\n$plan")
   }
 
+  test("q138 residual encode: the repartition barrier is the ONLY corpus " +
+      "exchange — the encode aggregation reuses its partitioning") {
+    val plan = catalogPlan("q138_pq_residual")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly the _id repartition, got $exchanges exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
   test("q140 line dedup: reassembly is a map-only array filter — no " +
       "collect_list regroup of document text, no window") {
     val plan = catalogPlan("q140_line_dedup")

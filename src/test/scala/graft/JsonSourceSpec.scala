@@ -21,6 +21,11 @@ class JsonSourceSpec extends SparkSpec {
         |{"id": 3, "name": "c", "updated_at": "2026-01-03 00:00:00"}
         |""".stripMargin)
 
+    // suites share one session and some exercise internally-checkpointing
+    // operators whose blocks the ContextCleaner reclaims lazily — so the
+    // release() contract is "no NEW pinned storage", not a globally
+    // empty map (the global assert was flaky under suite-order/GC timing)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val split = JsonSource.split(JsonSource.read(spark, schema, dir))
     assert(split.good.columns.toSeq == Seq("id", "name", "updated_at"))
     assert(split.good.select("id").collect().map(_.getLong(0)).toSet ==
@@ -29,7 +34,7 @@ class JsonSourceSpec extends SparkSpec {
     assert(quarantined.length == 1 && quarantined(0).startsWith("{not json"))
     // release() frees the shared parsed cache (no pinned storage after)
     split.release()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before))
   }
 
   test("json sink roundtrip preserves values") {
