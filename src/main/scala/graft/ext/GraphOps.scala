@@ -59,6 +59,11 @@ object GraphOps {
       ranks = cp.cut(next)
       cp.release(old)
     }
+    // the final rank cut is materialized (cuts are eager), so the
+    // frozen inputs' blocks are dead weight — release them rather than
+    // pin them in a long-lived shared session until the ContextCleaner
+    // happens to reclaim them
+    cp.release(e); cp.release(nodes); cp.release(outDeg)
     ranks.select(col("_n").as("node"), col("_r").as("rank_micro"))
   }
 }
