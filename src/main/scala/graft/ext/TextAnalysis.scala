@@ -255,6 +255,29 @@ object TextAnalysis {
     * all map-side combinable; no windows, no all-pairs, no driver
     * loop. Output columns: _id, n_bigrams, lm_micro_sum,
     * lm_mean_micro (null for docs with < 2 tokens). */
+  /** Per-domain dataset card — the summary table every corpus release
+    * publishes (docs, tokens, chars, exact-dup count under the
+    * normalized key, short-doc count, mean length): one
+    * map-side-combinable aggregation pass over the corpus, the
+    * count-distinct being its only second shuffle. All counts are
+    * exact integers and the mean is one Long/Long IEEE division, so
+    * the card hash-replays (q146). */
+  def datasetCard(docs: DataFrame, textCol: String, idCol: String,
+      domainCol: String, shortDocTokens: Int = 10): DataFrame = {
+    val text = col(textCol)
+    docs.select(col(domainCol), tokenCount(text).cast("long").as("_tk"),
+        length(text).cast("long").as("_ch"), Dedup.normKey(text).as("_nk"))
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tk")).as("n_tokens"),
+        sum(col("_ch")).as("n_chars"),
+        (count(lit(1)) - count_distinct(col("_nk"))).as("n_dups"),
+        sum(when(col("_tk") < shortDocTokens, 1L).otherwise(0L))
+          .as("n_short"))
+      .withColumn("mean_tokens",
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** CCNet head/middle/tail bucketing (Wenzek et al., LREC 2020 §4.3):
     * within each domain (CCNet: language), rank documents by LM
     * quality best-first and label the top `headFrac` "head", the next

@@ -3644,6 +3644,26 @@ object Catalog {
       SELECT n AS node, r AS rank_micro FROM r3"""
     })
 
+  /** Per-language dataset card: docs / tokens / chars / exact dups
+    * (normalized key) / short docs / mean length — all exact counts,
+    * one IEEE division → full hash replay. */
+  private val q146 = Q("q146_dataset_card",
+    (s, dir) => TextAnalysis.datasetCard(t(s, dir, "documents"),
+      "text", "doc_id", "lang"),
+    Some("""SELECT lang, count(*) AS n_docs,
+        CAST(sum(tk) AS BIGINT) AS n_tokens,
+        CAST(sum(ch) AS BIGINT) AS n_chars,
+        count(*) - count(DISTINCT nk) AS n_dups,
+        CAST(sum(CASE WHEN tk < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        CAST(sum(tk) AS DOUBLE) / count(*) AS mean_tokens
+      FROM (SELECT lang,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS tk,
+          CAST(len(text) AS BIGINT) AS ch,
+          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nk
+        FROM documents)
+      GROUP BY lang"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3655,5 +3675,5 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145)
+    q144, q145, q146)
 }

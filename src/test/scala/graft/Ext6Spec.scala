@@ -201,6 +201,30 @@ class Ext6Spec extends SparkSpec {
       .foreach(_.unpersist(blocking = false))
   }
 
+  // ---- datasetCard -------------------------------------------------------
+
+  test("dataset card: exact per-domain docs/tokens/dups/short counts") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "en", "one two three four five six seven eight nine ten"),
+      (2L, "en", "ONE  two three four five six seven eight nine ten"),
+      (3L, "en", "tiny doc"),
+      (4L, "fr", "un deux trois")
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.ext.TextAnalysis.datasetCard(fixture, "text", "doc_id",
+        "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getLong(1) == 3)            // n_docs
+    assert(en.getLong(2) == 22)           // 10 + 10 + 2 tokens
+    // docs 1/2 collapse under the normalized (lower, ws-squashed) key
+    assert(en.getLong(4) == 1)            // n_dups
+    assert(en.getLong(5) == 1)            // n_short (doc 3)
+    assert(en.getDouble(6) == 22.0 / 3)
+    val fr = out("fr")
+    assert(fr.getLong(1) == 1 && fr.getLong(4) == 0 && fr.getLong(5) == 1)
+  }
+
   // ---- pageRankFixedPoint ------------------------------------------------
 
   test("fixed-point pagerank reproduces the hand-computed exact trajectory") {
