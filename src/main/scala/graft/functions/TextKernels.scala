@@ -92,6 +92,25 @@ object TextKernels {
     fp
   }
 
+  /** One BPE merge application: greedy left-to-right replacement of
+    * adjacent symbol pair (l, r) with their concatenation — the
+    * standard tokenizer-training step (Sennrich et al., ACL 2016).
+    * Greedy-scan semantics equal the closed form "merge every match
+    * position, except in runs of l==r keep only even offsets from the
+    * run start" — which is what the SQL oracle replays. */
+  def bpeMergeStep(a: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = a.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && a.getUTF8String(i).equals(l)
+          && a.getUTF8String(i + 1).equals(r)) {
+        out.add(UTF8String.concat(l, r)); i += 2
+      } else { out.add(a.getUTF8String(i)); i += 1 }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
   def minHashSig(hs: ArrayData, isString: Boolean,
       as: Array[Long], bs: Array[Long]): ArrayData = {
     val numPerms = as.length

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -288,6 +288,37 @@ case class SimHashPoly(child: Expression, nBits: Int, seed: Long)
     copy(child = c)
 }
 
+/** One BPE merge application over an array<string> symbol sequence:
+  * greedy left-to-right replacement of adjacent (left, right) with
+  * their concatenation, one JVM loop per row via
+  * [[TextKernels.bpeMergeStep]]. The tokenizer-training inner step —
+  * a HOF fold with struct state would leave whole-stage codegen and
+  * re-interpret per element. */
+case class BpeMerge(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "bpe_merge needs (array<string>, string, string)")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any, l: Any, r: Any): Any =
+    TextKernels.bpeMergeStep(a.asInstanceOf[ArrayData],
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, l, r) =>
+      s"${ev.value} = graft.functions.TextKernels.bpeMergeStep($a, $l, $r);")
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** Exact Jaccard of two SORTED string arrays via allocation-free merge
   * intersection (binary UTF8String order, as produced by sort_array).
   * Same value as JaccardSim; preferred in pair loops — no per-pair
@@ -449,6 +480,8 @@ object VectorFunctions {
     ColumnBridge.column(SimHash64(e(text)))
   def simHashPoly(hashes: Column, nBits: Int, seed: Long): Column =
     ColumnBridge.column(SimHashPoly(e(hashes), nBits, seed))
+  def bpeMerge(symbols: Column, left: Column, right: Column): Column =
+    ColumnBridge.column(BpeMerge(e(symbols), e(left), e(right)))
   def shingles(text: Column, n: Int, word: Boolean): Column =
     ColumnBridge.column(Shingles(e(text), n, word))
   def jaccardSorted(a: Column, b: Column): Column =

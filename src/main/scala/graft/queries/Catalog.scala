@@ -3664,6 +3664,49 @@ object Catalog {
         FROM documents)
       GROUP BY lang"""))
 
+  /** Distributed BPE tokenizer training: 8 merge rounds over the
+    * corpus word-frequency table, pinned tie-breaks. The oracle
+    * unrolls every round — pair counts, argmax, and the closed-form
+    * greedy merge application — so the learned merge list replays
+    * exactly. */
+  private val q147 = Q("q147_bpe_train",
+    (s, dir) => graft.ext.Bpe.train(t(s, dir, "documents"), "text", k = 8),
+    Some {
+      val k = 8
+      val rounds = (1 to k).map { r =>
+        val prev = s"w${r - 1}"
+        s"""pc$r AS (SELECT p.l AS l, p.r AS r, CAST(sum(n) AS BIGINT) AS cnt
+        FROM (SELECT unnest([{'l': a[i], 'r': a[i + 1]}
+            FOR i IN range(1, len(a))]) AS p, n
+          FROM $prev WHERE len(a) >= 2) z
+        GROUP BY p.l, p.r),
+      tp$r AS (SELECT l, r, cnt FROM pc$r
+        ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+      w$r AS (SELECT
+          [CASE WHEN list_contains(m, i) THEN a[i] || a[i + 1]
+                ELSE a[i] END
+           FOR i IN range(1, len(a) + 1)
+           IF NOT list_contains(m, i - 1)] AS a, n
+        FROM (SELECT a, n,
+            [i FOR i IN range(1, len(a))
+             IF a[i] = t.l AND a[i + 1] = t.r
+               AND (t.l <> t.r
+                 OR (i - coalesce(list_max(
+                      [j FOR j IN range(1, i + 1) IF a[j] <> t.l]), 0)
+                    - 1) % 2 = 0)] AS m
+          FROM $prev CROSS JOIN tp$r t) z)"""
+      }.mkString(",\n      ")
+      val finalSel = (1 to k).map(r =>
+        s"""SELECT $r AS rank, l AS "left", r AS "right",
+          cnt AS pair_count FROM tp$r""").mkString("\n      UNION ALL ")
+      s"""WITH wc AS (SELECT tok AS w, count(*) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> len(x) > 0)) AS tok FROM documents) z GROUP BY tok),
+      w0 AS (SELECT [w[i] FOR i IN range(1, len(w) + 1)] AS a, n FROM wc),
+      $rounds
+      $finalSel"""
+    })
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3675,5 +3718,5 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146)
+    q144, q145, q146, q147)
 }

@@ -201,6 +201,30 @@ class Ext6Spec extends SparkSpec {
       .foreach(_.unpersist(blocking = false))
   }
 
+  // ---- Bpe.train ---------------------------------------------------------
+
+  test("bpe training: greedy run merging, frequency-weighted counts, " +
+      "early exhaustion") {
+    import spark.implicits._
+    val corpus = Seq((1L, "aaaa aaaa bb")).toDF("doc_id", "text")
+    val merges = graft.ext.Bpe.train(corpus, "text", k = 5)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // "aaaa"x2: greedy (a,a) merges at offsets 0 and 2 => 3 pairs/word;
+    // after round 1 both words are [aa,aa]; round 3 consumes "bb";
+    // nothing mergeable remains => 3 of the requested 5 rounds
+    assert(merges.toSeq == Seq(
+      (1, "a", "a", 6L), (2, "aa", "aa", 2L), (3, "b", "b", 1L)))
+  }
+
+  test("bpe training breaks count ties lexicographically") {
+    import spark.implicits._
+    val corpus = Seq((1L, "cd ab cd ab")).toDF("doc_id", "text")
+    val merges = graft.ext.Bpe.train(corpus, "text", k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(merges.toSeq == Seq((1, "a", "b"), (2, "c", "d")))
+  }
+
   // ---- datasetCard -------------------------------------------------------
 
   test("dataset card: exact per-domain docs/tokens/dups/short counts") {
