@@ -73,4 +73,31 @@ object Bpe {
         StructField("right", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false))))
   }
+
+  /** Tokenize the corpus with a learned merge list: per-document BPE
+    * token counts — the sizing pass every packing/budgeting stage
+    * consumes ([[Packing.packBudget]] takes exactly this shape).
+    *
+    * Scale shape: the merge chain (k chained codegen
+    * [[graft.functions.BpeMerge]] kernels) applies ONCE per DISTINCT
+    * word — the same vocabulary collapse training uses — and
+    * per-document counts come from a keyed join of the slim
+    * (doc, word) rows against the word→length vocabulary (broadcast
+    * at real scale) plus one map-combinable sum. Documents with no
+    * tokens produce no row (explode semantics), identically in the
+    * oracle (q148). */
+  def encodeTokenCounts(docs: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val chars = filter(split(col("_w"), ""), s => length(s) > 0)
+    val applied = merges.foldLeft(chars) { case (acc, (l, r)) =>
+      graft.functions.VectorFunctions.bpeMerge(acc, lit(l), lit(r))
+    }
+    val words = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("_w"))
+    val vocab = words.select(col("_w")).distinct()
+      .select(col("_w"), size(applied).cast("long").as("_len"))
+    words.join(vocab, "_w")
+      .groupBy(col(idCol))
+      .agg(sum(col("_len")).as("n_bpe_tokens"))
+  }
 }

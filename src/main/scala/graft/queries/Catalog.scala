@@ -3671,23 +3671,31 @@ object Catalog {
     * exactly. */
   private val q147 = Q("q147_bpe_train",
     (s, dir) => graft.ext.Bpe.train(t(s, dir, "documents"), "text", k = 8),
-    Some {
-      val k = 8
-      val rounds = (1 to k).map { r =>
-        val prev = s"w${r - 1}"
-        s"""pc$r AS (SELECT p.l AS l, p.r AS r, CAST(sum(n) AS BIGINT) AS cnt
+    Some(bpeRoundsCtes(8) + "\n      " + (1 to 8).map(r =>
+      s"""SELECT $r AS rank, l AS "left", r AS "right",
+          cnt AS pair_count FROM tp$r""").mkString("\n      UNION ALL ")))
+
+  /** Shared DuckDB CTE chain of the BPE family (q147/q148): word
+    * frequency table → k unrolled merge rounds, each = weighted pair
+    * counts `pc_r`, pinned-tie argmax `tp_r`, and the closed-form
+    * greedy merge application `w_r(w, a, n)` — the word key rides
+    * through every round so encode queries can join back. */
+  private def bpeRoundsCtes(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      val prev = s"w${r - 1}"
+      s"""pc$r AS (SELECT p.l AS l, p.r AS r, CAST(sum(n) AS BIGINT) AS cnt
         FROM (SELECT unnest([{'l': a[i], 'r': a[i + 1]}
             FOR i IN range(1, len(a))]) AS p, n
           FROM $prev WHERE len(a) >= 2) z
         GROUP BY p.l, p.r),
       tp$r AS (SELECT l, r, cnt FROM pc$r
         ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-      w$r AS (SELECT
+      w$r AS (SELECT w,
           [CASE WHEN list_contains(m, i) THEN a[i] || a[i + 1]
                 ELSE a[i] END
            FOR i IN range(1, len(a) + 1)
            IF NOT list_contains(m, i - 1)] AS a, n
-        FROM (SELECT a, n,
+        FROM (SELECT w, a, n,
             [i FOR i IN range(1, len(a))
              IF a[i] = t.l AND a[i + 1] = t.r
                AND (t.l <> t.r
@@ -3695,17 +3703,34 @@ object Catalog {
                       [j FOR j IN range(1, i + 1) IF a[j] <> t.l]), 0)
                     - 1) % 2 = 0)] AS m
           FROM $prev CROSS JOIN tp$r t) z)"""
-      }.mkString(",\n      ")
-      val finalSel = (1 to k).map(r =>
-        s"""SELECT $r AS rank, l AS "left", r AS "right",
-          cnt AS pair_count FROM tp$r""").mkString("\n      UNION ALL ")
-      s"""WITH wc AS (SELECT tok AS w, count(*) AS n FROM (
+    }.mkString(",\n      ")
+    s"""WITH wc AS (SELECT tok AS w, count(*) AS n FROM (
           SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
             x -> len(x) > 0)) AS tok FROM documents) z GROUP BY tok),
-      w0 AS (SELECT [w[i] FOR i IN range(1, len(w) + 1)] AS a, n FROM wc),
-      $rounds
-      $finalSel"""
-    })
+      w0 AS (SELECT w, [w[i] FOR i IN range(1, len(w) + 1)] AS a, n
+        FROM wc),
+      $rounds"""
+  }
+
+  /** Tokenize with the learned merges: per-doc BPE token counts — the
+    * sizing pass packing consumes. Distinct-word apply + keyed join
+    * back; the oracle replays training AND encoding. */
+  private val q148 = Q("q148_bpe_encode",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.train(d, "text", k = 8)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ext.Bpe.encodeTokenCounts(d, "text", "doc_id", merges)
+    },
+    Some(bpeRoundsCtes(8) + """
+      SELECT d.doc_id, CAST(sum(len(w8.a)) AS BIGINT) AS n_bpe_tokens
+      FROM (SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> len(x) > 0)) AS tok
+        FROM documents) d
+      JOIN w8 ON d.tok = w8.w
+      GROUP BY d.doc_id"""))
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
@@ -3718,5 +3743,5 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147)
+    q144, q145, q146, q147, q148)
 }

@@ -225,6 +225,19 @@ class Ext6Spec extends SparkSpec {
     assert(merges.toSeq == Seq((1, "a", "b"), (2, "c", "d")))
   }
 
+  test("bpe encode counts tokens under the learned merges") {
+    import spark.implicits._
+    val corpus = Seq((1L, "aaaa aaaa bb"), (2L, "aaaa b")).toDF("doc_id", "text")
+    val merges = graft.ext.Bpe.train(corpus, "text", k = 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = graft.ext.Bpe.encodeTokenCounts(corpus, "text", "doc_id",
+        merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // merges collapse "aaaa" -> [aaaa] and "bb" -> [bb]; "b" stays [b]
+    assert(out == Map(1L -> 3L, 2L -> 2L))
+  }
+
   // ---- datasetCard -------------------------------------------------------
 
   test("dataset card: exact per-domain docs/tokens/dups/short counts") {
