@@ -255,6 +255,37 @@ object TextAnalysis {
     * all map-side combinable; no windows, no all-pairs, no driver
     * loop. Output columns: _id, n_bigrams, lm_micro_sum,
     * lm_mean_micro (null for docs with < 2 tokens). */
+  /** Deterministic T5-style span corruption (Raffel et al., JMLR
+    * 2020 §3.1.4 objective, BERT-style token selection): token i of
+    * document d is masked iff the Knuth hash of (d·1000003 + i) lands
+    * under `rateMicro`/1e6, and maximal masked runs collapse to
+    * `<extra_id_k>` sentinels — input keeps the unmasked text with
+    * sentinels, targets hold each sentinel's hidden tokens. Hash-based
+    * selection instead of an RNG makes every example REPRODUCIBLE and
+    * growth-stable (a document's corruption never changes when the
+    * corpus does — the q130 hash-split property, which per-worker RNG
+    * streams lack) and lets the oracle replay the exact masks (q149).
+    * Run lengths follow the geometric distribution token-level masking
+    * induces. Map-only: two codegen kernel renders per row, no
+    * shuffle. Returns (idCol, input_text, targets). */
+  def spanCorrupt(docs: DataFrame, textCol: String, idCol: String,
+      rateMicro: Int = 150000): DataFrame = {
+    val tk = tokens(col(textCol))
+    val mask = transform(sequence(lit(1), size(col("_tk"))), i =>
+      pmod(pmod(col(idCol) * lit(1000003L) + i.cast("long"),
+        lit(2147483648L)) * lit(2654435761L), lit(2147483647L))
+        % lit(1000000L) < lit(rateMicro.toLong))
+    docs.select(col(idCol), tk.as("_tk"))
+      .withColumn("_m", mask)
+      .select(col(idCol),
+        graft.functions.VectorFunctions
+          .spanCorrupt(col("_tk"), col("_m"), targets = false)
+          .as("input_text"),
+        graft.functions.VectorFunctions
+          .spanCorrupt(col("_tk"), col("_m"), targets = true)
+          .as("targets"))
+  }
+
   /** Per-domain dataset card — the summary table every corpus release
     * publishes (docs, tokens, chars, exact-dup count under the
     * normalized key, short-doc count, mean length): one

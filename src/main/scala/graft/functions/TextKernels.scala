@@ -111,6 +111,32 @@ object TextKernels {
     ArrayData.toArrayData(out.toArray)
   }
 
+  /** T5-style span-corruption rendering: maximal masked runs collapse
+    * to `<extra_id_k>` sentinels. `targets = false` renders the input
+    * side (unmasked tokens + sentinels in place of each run);
+    * `targets = true` renders the target side (each sentinel followed
+    * by the tokens it hid). One JVM loop; single-space joined. */
+  def spanCorrupt(toks: ArrayData, mask: ArrayData,
+      targets: Boolean): UTF8String = {
+    val n = toks.numElements()
+    val sb = new java.lang.StringBuilder()
+    var k = -1
+    var prev = false
+    var i = 0
+    def app(s: String): Unit = {
+      if (sb.length > 0) sb.append(' ')
+      sb.append(s)
+    }
+    while (i < n) {
+      val m = mask.getBoolean(i)
+      if (m && !prev) { k += 1; app(s"<extra_id_$k>") }
+      if (m == targets) app(toks.getUTF8String(i).toString)
+      prev = m
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   def minHashSig(hs: ArrayData, isString: Boolean,
       as: Array[Long], bs: Array[Long]): ArrayData = {
     val numPerms = as.length

@@ -319,6 +319,34 @@ case class BpeMerge(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+/** T5-style span-corruption rendering over (tokens, mask flags): the
+  * input side or the target side per `targets`, via
+  * [[TextKernels.spanCorrupt]] — one codegen loop instead of a
+  * windowed run-index + conditional string_agg pipeline per side. */
+case class SpanCorrupt(left: Expression, right: Expression,
+    targets: Boolean) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(BooleanType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "span_corrupt needs (array<string>, array<boolean>)")
+    }
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(a: Any, m: Any): Any =
+    TextKernels.spanCorrupt(a.asInstanceOf[ArrayData],
+      m.asInstanceOf[ArrayData], targets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, m) =>
+      s"${ev.value} = graft.functions.TextKernels.spanCorrupt($a, $m, $targets);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 /** Exact Jaccard of two SORTED string arrays via allocation-free merge
   * intersection (binary UTF8String order, as produced by sort_array).
   * Same value as JaccardSim; preferred in pair loops — no per-pair
@@ -482,6 +510,8 @@ object VectorFunctions {
     ColumnBridge.column(SimHashPoly(e(hashes), nBits, seed))
   def bpeMerge(symbols: Column, left: Column, right: Column): Column =
     ColumnBridge.column(BpeMerge(e(symbols), e(left), e(right)))
+  def spanCorrupt(tokens: Column, mask: Column, targets: Boolean): Column =
+    ColumnBridge.column(SpanCorrupt(e(tokens), e(mask), targets))
   def shingles(text: Column, n: Int, word: Boolean): Column =
     ColumnBridge.column(Shingles(e(text), n, word))
   def jaccardSorted(a: Column, b: Column): Column =

@@ -3732,6 +3732,42 @@ object Catalog {
       JOIN w8 ON d.tok = w8.w
       GROUP BY d.doc_id"""))
 
+  /** Deterministic T5-style span corruption: Knuth-hash token masks,
+    * maximal runs → <extra_id_k> sentinels, input/target rendering.
+    * Hash selection replays exactly, so both rendered sides
+    * hash-match. */
+  private val q149 = Q("q149_span_corrupt",
+    (s, dir) => TextAnalysis.spanCorrupt(t(s, dir, "documents"),
+      "text", "doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            x -> len(x) > 0) AS toks
+        FROM documents),
+      e AS (SELECT doc_id, i AS pos, toks[i] AS tok,
+          ((((doc_id * 1000003 + i) % 2147483648) * 2654435761)
+            % 2147483647) % 1000000 < 150000 AS m
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+              FROM t)),
+      r AS (SELECT doc_id, pos, tok, m,
+          CASE WHEN m AND NOT coalesce(
+            lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false)
+          THEN 1 ELSE 0 END AS st
+        FROM e),
+      r2 AS (SELECT doc_id, pos, tok, m, st,
+          sum(st) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k
+        FROM r),
+      sides AS (SELECT doc_id,
+          string_agg(CASE WHEN NOT m THEN tok
+            WHEN st = 1 THEN '<extra_id_' || k || '>' END,
+            ' ' ORDER BY pos) AS input_text,
+          string_agg(CASE WHEN st = 1
+              THEN '<extra_id_' || k || '> ' || tok
+            WHEN m THEN tok END, ' ' ORDER BY pos) AS targets
+        FROM r2 GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(s.input_text, '') AS input_text,
+        coalesce(s.targets, '') AS targets
+      FROM t LEFT JOIN sides s USING (doc_id)"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3743,5 +3779,5 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148)
+    q144, q145, q146, q147, q148, q149)
 }

@@ -238,6 +238,38 @@ class Ext6Spec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 2L))
   }
 
+  // ---- spanCorrupt -------------------------------------------------------
+
+  test("span corruption round-trips: substituting targets' spans into the " +
+      "input restores the original token stream") {
+    val out = graft.ext.TextAnalysis.spanCorrupt(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    val orig = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").filter(_.nonEmpty).toSeq)
+      .toMap
+    assert(out.keySet == orig.keySet)
+    var masked = 0L
+    var total = 0L
+    orig.foreach { case (id, toks) =>
+      val (inp, tgt) = out(id)
+      val spans = tgt.split("<extra_id_\\d+>").toSeq.drop(1)
+        .map(_.trim.split(" ").filter(_.nonEmpty).toSeq)
+      val restored = inp.split(" ").filter(_.nonEmpty).toSeq.flatMap { t =>
+        if (t.matches("<extra_id_\\d+>"))
+          spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Seq(t)
+      }
+      assert(restored == toks, s"doc $id failed to round-trip")
+      masked += spans.map(_.size).sum
+      total += toks.size
+    }
+    // Knuth-hash selection should land near the 15% target rate
+    val rate = masked.toDouble / total
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate out of band")
+  }
+
   // ---- datasetCard -------------------------------------------------------
 
   test("dataset card: exact per-domain docs/tokens/dups/short counts") {
