@@ -286,6 +286,31 @@ object TextAnalysis {
           .as("targets"))
   }
 
+  /** Tokenizer-coverage analysis: per-document out-of-vocabulary rate
+    * under the corpus top-`vocabSize` token vocabulary (ties pinned:
+    * count desc, then token lexicographic — so the vocabulary itself
+    * is deterministic and the oracle replays it). The signal coverage
+    * studies read before fixing a vocab size. Returns
+    * (idCol, n_tokens, n_oov, oov_rate).
+    *
+    * Scale shape: the vocabulary is one map-combinable count
+    * aggregation plus a bounded top-N sort (vocabSize rows); the probe
+    * is a keyed left join of slim (doc, token) rows against the
+    * (broadcast-size) vocabulary and one per-doc sum. */
+  def oovRate(docs: DataFrame, textCol: String, idCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("_t"))
+    val vocab = toks.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_t").asc).limit(vocabSize)
+      .select(col("_t"), lit(1).as("_in"))
+    toks.join(vocab, Seq("_t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Per-domain dataset card — the summary table every corpus release
     * publishes (docs, tokens, chars, exact-dup count under the
     * normalized key, short-doc count, mean length): one

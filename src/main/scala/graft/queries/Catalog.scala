@@ -3768,6 +3768,28 @@ object Catalog {
         coalesce(s.targets, '') AS targets
       FROM t LEFT JOIN sides s USING (doc_id)"""))
 
+  /** Per-doc OOV rate under the pinned top-16 corpus vocabulary (the
+    * synthetic corpus has 31 distinct tokens — 16 keeps the boundary
+    * real) — the tokenizer-coverage dashboard. Exact counts + one
+    * IEEE division → full hash replay. */
+  private val q150 = Q("q150_oov_rate",
+    (s, dir) => TextAnalysis.oovRate(t(s, dir, "documents"),
+      "text", "doc_id", vocabSize = 16),
+    Some("""WITH e AS (SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> len(x) > 0)) AS t
+        FROM documents),
+      v AS (SELECT t FROM (
+          SELECT t, count(*) AS c FROM e GROUP BY t
+          ORDER BY c DESC, t ASC LIMIT 16) z)
+      SELECT e.doc_id, count(*) AS n_tokens,
+        CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) AS oov_rate
+      FROM e LEFT JOIN v ON e.t = v.t
+      GROUP BY e.doc_id"""))
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
@@ -3779,5 +3801,5 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148, q149)
+    q144, q145, q146, q147, q148, q149, q150)
 }

@@ -270,6 +270,23 @@ class Ext6Spec extends SparkSpec {
     assert(rate > 0.10 && rate < 0.20, s"mask rate $rate out of band")
   }
 
+  // ---- oovRate -----------------------------------------------------------
+
+  test("oov rate under a pinned top-N vocabulary, lexicographic tie at " +
+      "the boundary") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=2, d=1 — top-2 keeps a and b (tie b/c at 2
+    // broken lexicographically)
+    val corpus = Seq(
+      (1L, "a a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.oovRate(corpus, "text", "doc_id",
+        vocabSize = 2)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))   // c is OOV
+    assert(out(2L) == ((4L, 2L, 0.5)))    // c, d are OOV
+  }
+
   // ---- datasetCard -------------------------------------------------------
 
   test("dataset card: exact per-domain docs/tokens/dups/short counts") {
