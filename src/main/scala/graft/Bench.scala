@@ -45,6 +45,19 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
+        // Session hygiene between queries: a shared multi-query JVM
+        // must not let one query's storage (cached tables, any stray
+        // localCheckpoint blocks) ride into the next — round 6's bench
+        // recorded a ~70-80s stall on whichever cut-heavy query ran
+        // under the accumulated pressure. Unpersist EVERYTHING; each
+        // query owns its full cost and nothing else's.
+        try {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
+          spark.sessionState.catalog.getTempViewNames()
+            .foreach(spark.catalog.dropTempView)
+        } catch { case _: Throwable => }
         System.err.println(f"[bench] $name $dt%.2fs")
         name -> dt
     }

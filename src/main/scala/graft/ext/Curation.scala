@@ -51,19 +51,21 @@ object Curation {
     * Scale shape is the union of its stages' shapes: line dedup's
     * keyed aggregations + one id join, the LM's keyed count
     * aggregations, and the two-phase bucketed rank — no stage adds a
-    * window over a raw-corpus partition. The cleaned corpus is cut
-    * once ([[Checkpointer]]) because the LM chain consumes it
-    * multiple times (bigram, context, vocab passes). */
+    * window over a raw-corpus partition. The cleaned corpus
+    * materializes once behind a repartition barrier (the LM chain
+    * consumes it multiple times — bigram, context, vocab passes —
+    * and ReuseExchange serves all of them from one map stage); a
+    * localCheckpoint here would pin corpus blocks a lazily-returned
+    * DataFrame can never release. */
   def ccnetCurate(docs: DataFrame, textCol: String, idCol: String,
       langCol: String, minDocFreq: Int = 3, headFrac: Double = 0.1,
-      midFrac: Double = 0.3,
-      cp: Checkpointer = LocalCheckpoint): DataFrame = {
-    val cleaned = cp.cut(
-      Dedup.lineDedupGlobal(docs, textCol, idCol, minDocFreq))
+      midFrac: Double = 0.3): DataFrame = {
+    val cleaned = Dedup.lineDedupGlobal(docs, textCol, idCol, minDocFreq)
+      .repartition(col(idCol))
     val scored = TextAnalysis.bigramLmScores(cleaned, "clean_text", idCol)
       .join(docs.select(col(idCol).as("_id"), col(langCol)), Seq("_id"))
     TextAnalysis.perplexityBuckets(scored, "_id", langCol,
-        "lm_mean_micro", headFrac, midFrac, cp = cp)
+        "lm_mean_micro", headFrac, midFrac)
       .filter(col("bucket").isin("head", "middle"))
       .select(col("_id").as(idCol), col(langCol), col("bucket"))
   }

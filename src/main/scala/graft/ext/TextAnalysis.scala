@@ -355,15 +355,27 @@ object TextAnalysis {
     * replayed literally by the oracle (q142). */
   def perplexityBuckets(scored: DataFrame, idCol: String,
       domainCol: String, scoreCol: String, headFrac: Double = 0.1,
-      midFrac: Double = 0.3, nBuckets: Int = 256,
-      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+      midFrac: Double = 0.3, nBuckets: Int = 256): DataFrame = {
     require(headFrac > 0 && midFrac > 0 && headFrac + midFrac < 1.0)
-    // cut the slim scored projection ONCE: three consumers (the
-    // per-domain max, the local-rank branch, the offsets branch) would
-    // otherwise each re-evaluate the upstream scoring plan — for the
-    // bigram-LM signal that is the full corpus-count chain per branch
-    val slim = cp.cut(scored.select(col(idCol), col(domainCol),
-      coalesce(col(scoreCol).cast("double"), lit(-1.0)).as("_s")))
+    // Materialize the slim scored projection ONCE behind a
+    // repartition barrier: three consumers (the per-domain max, the
+    // local-rank branch, the offsets branch) would otherwise each
+    // re-evaluate the upstream scoring plan — for the bigram-LM
+    // signal that is the full corpus-count chain per branch. The
+    // barrier is an Exchange, so within the final single-action plan
+    // ReuseExchange computes the map stage once and all three
+    // branches re-read the shuffle files; the files are disk-backed
+    // and auto-cleaned on GC. A localCheckpoint here (as before round
+    // 7) pins corpus-sized executor blocks that a lazily-returned
+    // DataFrame can never release — poison in a long-lived
+    // multi-query session (the round-6 bench stall). Partitioned on
+    // the id (even), NOT the domain — a 50-of-100-TB mega-domain
+    // would serialize into one task; the (domain, _bkt) shuffles the
+    // consumers need happen below regardless, exactly as they did
+    // above the old cut.
+    val slim = scored.select(col(idCol), col(domainCol),
+      coalesce(col(scoreCol).cast("double"), lit(-1.0)).as("_s"))
+      .repartition(col(idCol))
     val mx = slim.groupBy(col(domainCol))
       .agg(greatest(max(col("_s")), lit(1.0)).as("_mx"))
     val base = slim.join(broadcast(mx), domainCol)

@@ -3530,8 +3530,15 @@ object Catalog {
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.coarseCentroids(emb, "vec_id", "embedding",
         nCells = 8)
-      val res = graft.ext.LocalCheckpoint.cut(
-        Similarity.cellResiduals(emb, "vec_id", "embedding", cents))
+      // Repartition barrier, NOT a localCheckpoint: a catalog query
+      // returns a lazy DataFrame, so a cut here could never be
+      // released and would pin the residual corpus for the JVM's
+      // lifetime (the round-6 bench stall). The barrier stops
+      // project-collapse just the same (Similarity.scala
+      // pqEncodeResidual documents the idiom); the training rounds'
+      // small re-reads go through shuffle files, not pinned blocks.
+      val res = Similarity.cellResiduals(emb, "vec_id", "embedding", cents)
+        .repartition(col("_id"))
       val init = res.filter(col("_id") >= 8 && col("_id") < 24)
         .select((col("_id") - 8).cast("long").as("cent_id"),
           col("_rv").as("_c"))

@@ -173,10 +173,11 @@ class Ext6Spec extends SparkSpec {
     assert(out(21L) == "head")
     assert(out(22L) == "middle")
     assert(out(23L) == "tail")
-    // release the op's internal localCheckpoint — later shared-session
-    // suites assert a clean persistent-RDD slate
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    // round-7 contract: the op materializes via a repartition barrier,
+    // never a localCheckpoint — a lazily-returned DataFrame could not
+    // release one, pinning executor blocks for the session's lifetime
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "perplexityBuckets must not pin persistent RDD blocks")
   }
 
   // ---- ccnetCurate -------------------------------------------------------
@@ -195,10 +196,10 @@ class Ext6Spec extends SparkSpec {
       assert(survivors.getOrElse(lang, 0) == expect,
         s"lang $lang: ${survivors.getOrElse(lang, 0)} of $n, want $expect")
     }
-    // release the pipeline's internal localCheckpoints — later
-    // shared-session suites assert a clean persistent-RDD slate
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    // round-7 contract: the pipeline materializes intermediates via
+    // repartition barriers, never localCheckpoints it cannot release
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "ccnetCurate must not pin persistent RDD blocks")
   }
 
   // ---- Bpe.train ---------------------------------------------------------
