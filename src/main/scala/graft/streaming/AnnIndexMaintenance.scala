@@ -9,29 +9,65 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * map with Structured Streaming's foreachBatch: every micro-batch of
   * arriving vectors is assigned and PQ-encoded against the FROZEN
   * coarse quantizer + codebook (both broadcast, both trained once on
-  * the base corpus) and appended to a cell-partitioned parquet index
+  * the base corpus) and lands in a cell-partitioned parquet index
   * that [[graft.ext.Similarity.ivfPqProbeIndex]] searches directly.
   *
-  * Because a fragment is a per-row map against frozen state, appending
+  * Because a fragment is a per-row map against frozen state, landing
   * N micro-batch fragments yields the IDENTICAL index to one batch
   * build over all the data (spec-pinned) — streaming arrival order
   * never changes the index. Cell-partitioned storage means a probe
   * with `nProbe` cells reads only those directories.
   *
-  * Delivery note: foreachBatch + blind append is at-least-once — a
-  * retried batch would duplicate its rows. The checkpoint makes
-  * replays batch-id-stable, so production hardening is either
-  * batchId-keyed subdirectories (idempotent overwrite per batch) or a
-  * MERGE into a table format with n_id as the key; the fragment
-  * computation itself needs no change.
+  * Delivery is EXACTLY-ONCE on the index contents: each micro-batch
+  * writes (mode Overwrite) its own `batch=<batchId>` directory, and
+  * the streaming checkpoint makes replays batch-id-stable — the same
+  * batchId always carries the same source offsets, so a batch retried
+  * after any failure (including one that died between the data write
+  * and the offset commit) overwrites its own directory with the same
+  * rows and the index converges to the run-once state. A blind
+  * `append` here would be at-least-once: the retry would duplicate
+  * the batch's rows. The layout price is one extra top-level
+  * partition column (`batch`) that probes ignore; cell pruning still
+  * holds — `cell` remains a partition directory level under each
+  * batch, and a cell-key filter prunes across all batches.
   */
 object AnnIndexMaintenance {
+
+  /** Reserved batch directory for the initial batch-built index, so
+    * the base and the streamed fragments share one uniform
+    * `batch=<id>/cell=<c>` layout (mixed partition depths under one
+    * root break parquet partition discovery). */
+  val BaseBatchId: Long = -1L
+
+  /** Write the base corpus's fragment under the reserved
+    * [[BaseBatchId]] directory. Idempotent (Overwrite). */
+  def writeBase(base: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, codebook: DataFrame, indexDir: String,
+      nSub: Int = 8, dim: Int = 64): Unit =
+    Similarity.ivfPqIndexFragment(base, idCol, vecCol, codebook, cents,
+        nSub, dim)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/batch=$BaseBatchId")
+
+  /** The idempotent unit of maintenance: encode one micro-batch and
+    * overwrite its own `batch=<batchId>` directory. Running this
+    * twice with the same (batch, batchId) — a foreachBatch replay —
+    * leaves the index byte-identical to running it once
+    * (spec-pinned). */
+  def writeFragment(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, cents: DataFrame, codebook: DataFrame,
+      indexDir: String, nSub: Int = 8, dim: Int = 64): Unit =
+    Similarity.ivfPqIndexFragment(batch, idCol, vecCol, codebook, cents,
+        nSub, dim)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/batch=$batchId")
 
   /** Start maintaining the index at `indexDir` from the streaming
     * `source` (must carry `idCol` and `vecCol`). `cents` and
     * `codebook` are the frozen quantizer/codebook the base index was
     * built with ([[graft.ext.Similarity.coarseCentroids]] /
-    * [[graft.ext.Similarity.pqTrainCodebook]] shapes). */
+    * [[graft.ext.Similarity.pqTrainCodebook]] shapes); the base
+    * fragment should have been laid down with [[writeBase]]. */
   def start(source: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, codebook: DataFrame, indexDir: String,
       checkpointDir: String, nSub: Int = 8, dim: Int = 64,
@@ -39,11 +75,10 @@ object AnnIndexMaintenance {
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          Similarity.ivfPqIndexFragment(batch, idCol, vecCol, codebook,
-              cents, nSub, dim)
-            .write.mode("append").partitionBy("cell").parquet(indexDir)
+          writeFragment(batch, batchId, idCol, vecCol, cents, codebook,
+            indexDir, nSub, dim)
         }
       }
       .start()

@@ -67,9 +67,9 @@ class IvfUpsertIndexSpec extends SparkSpec {
     val indexDir = tmpDir("annidx")
     val landing = tmpDir("annlanding")
     val ckpt = tmpDir("annckpt")
-    // initial batch build of the base index
-    Similarity.ivfPqIndexFragment(base, "vec_id", "embedding", cb, cents)
-      .write.mode("append").partitionBy("cell").parquet(indexDir)
+    // initial batch build of the base index (reserved batch=-1 dir)
+    graft.streaming.AnnIndexMaintenance.writeBase(base, "vec_id",
+      "embedding", cents, cb, indexDir)
     // delta arrives as 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
     delta.repartitionByRange(3, col("vec_id"))
       .write.mode("overwrite").parquet(landing)
@@ -92,6 +92,38 @@ class IvfUpsertIndexSpec extends SparkSpec {
     val direct = Similarity.ivfPqTopKWith(emb.filter(col("vec_id") < 10),
       emb, "vec_id", "embedding", k = 3, cb, nCells = 16, nProbe = 2)
     assert(collectSet(probe) == collectSet(direct))
+  }
+
+  test("streaming index maintenance is exactly-once: replaying a batch " +
+      "with its batchId leaves the index unchanged") {
+    val base = emb.filter(col("vec_id") < 300)
+    val delta = emb.filter(col("vec_id") >= 300)
+    val cb = conventionCodebook(emb)
+    val cents = Similarity.coarseCentroids(base, "vec_id", "embedding", 16)
+    val indexDir = tmpDir("annreplay")
+    graft.streaming.AnnIndexMaintenance.writeBase(base, "vec_id",
+      "embedding", cents, cb, indexDir)
+    // batch 0 lands once
+    graft.streaming.AnnIndexMaintenance.writeFragment(delta, 0L,
+      "vec_id", "embedding", cents, cb, indexDir)
+    def snapshot(): Set[String] = collectSet(
+      spark.read.parquet(indexDir).select(col("n_id"),
+        col("cell").cast("long"), concat_ws(",", col("codes"))))
+    val once = snapshot()
+    assert(once.size == emb.count(),
+      "base + one delta batch must cover the corpus exactly once")
+    // a foreachBatch retry re-delivers the SAME rows under the SAME
+    // batchId (the streaming checkpoint pins offsets per batch) — the
+    // batchId-keyed overwrite must converge, not append duplicates
+    graft.streaming.AnnIndexMaintenance.writeFragment(delta, 0L,
+      "vec_id", "embedding", cents, cb, indexDir)
+    assert(snapshot() == once,
+      "replaying batch 0 must leave the index byte-identical")
+    // and a genuinely NEW batch id with new rows still appends
+    graft.streaming.AnnIndexMaintenance.writeFragment(
+      emb.filter(lit(false)), 1L, "vec_id", "embedding", cents, cb,
+      indexDir)
+    assert(spark.read.parquet(indexDir).count() == once.size)
   }
 
   test("farthest-first seeding: spread seeds, strictly lower quantization error than first-k on a clustered fixture") {
