@@ -160,6 +160,7 @@ class Ext6Spec extends SparkSpec {
         (21L, "fr", Some(500.0)), (22L, "fr", Some(400.0)),
         (23L, "fr", None))) // unscoreable doc
       .toDF("id", "dom", "score")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val out = graft.ext.TextAnalysis.perplexityBuckets(
         scored, "id", "dom", "score", headFrac = 0.1, midFrac = 0.3)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
@@ -175,8 +176,13 @@ class Ext6Spec extends SparkSpec {
     assert(out(23L) == "tail")
     // round-7 contract: the op materializes via a repartition barrier,
     // never a localCheckpoint — a lazily-returned DataFrame could not
-    // release one, pinning executor blocks for the session's lifetime
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    // release one, pinning executor blocks for the session's lifetime.
+    // "No NEW pinned storage" rather than a global isEmpty: suites
+    // share the session and run in parallel, so another suite's
+    // in-flight checkpoint may be visible here (JsonSourceSpec
+    // documents the same pattern).
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+        .subsetOf(pinnedBefore),
       "perplexityBuckets must not pin persistent RDD blocks")
   }
 
@@ -184,6 +190,7 @@ class Ext6Spec extends SparkSpec {
 
   test("ccnet pipeline keeps exactly the per-language head+middle of the " +
       "cleaned-text ranking") {
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val out = graft.ext.Curation.ccnetCurate(docs, "text", "doc_id", "lang")
       .collect()
     assert(out.nonEmpty)
@@ -198,7 +205,9 @@ class Ext6Spec extends SparkSpec {
     }
     // round-7 contract: the pipeline materializes intermediates via
     // repartition barriers, never localCheckpoints it cannot release
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    // ("no NEW pinned storage" — parallel suites share the session)
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+        .subsetOf(pinnedBefore),
       "ccnetCurate must not pin persistent RDD blocks")
   }
 
@@ -224,6 +233,68 @@ class Ext6Spec extends SparkSpec {
     val merges = graft.ext.Bpe.train(corpus, "text", k = 2)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
     assert(merges.toSeq == Seq((1, "a", "b"), (2, "c", "d")))
+  }
+
+  test("bpe incremental pair maintenance replays the full-recount merge " +
+      "list on a mixed corpus") {
+    import spark.implicits._
+    // overlapping runs, ties, shared symbols across words — the cases
+    // where a wrong pair delta would surface as a diverging argmax
+    val corpus = Seq((1L, "abab abab banana bandana"),
+      (2L, "ananas banana abab aa aab")).toDF("doc_id", "text")
+    val merges = graft.ext.Bpe.train(corpus, "text", k = 6)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // reference: the pre-round-7 full recount, replayed per round over
+    // the evolving word table
+    var words = corpus
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_n"))
+      .select(graft.ext.Bpe.codePointSyms(col("_w")).as("_sym"), col("_n"))
+    val expect = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long)]
+    for (_ <- 1 to 6) {
+      val top = graft.ext.Bpe.fullPairCounts(words)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        expect += ((l, r, c))
+        words = words.select(graft.functions.VectorFunctions.bpeMerge(
+          col("_sym"), lit(l), lit(r)).as("_sym"), col("_n"))
+      }
+    }
+    assert(merges.toSeq == expect.toSeq)
+  }
+
+  test("bpe splits words into code points: surrogate pairs stay whole") {
+    import spark.implicits._
+    // 😀 = U+1F600 (two UTF-16 code units); a code-unit split would
+    // produce invalid half-symbols and a garbage merge list
+    val corpus = Seq((1L, "😀😀 " +
+      "😀😀")).toDF("doc_id", "text")
+    val merges = graft.ext.Bpe.train(corpus, "text", k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(merges.toSeq == Seq((1, "😀", "😀", 2L)))
+    val counts = graft.ext.Bpe.encodeTokenCounts(corpus, "text", "doc_id",
+        Seq(("😀", "😀")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 2L))
+  }
+
+  test("bpe affected-word predicate matches exactly the words with the " +
+      "pair adjacent") {
+    import spark.implicits._
+    val words = Seq("abab", "ba", "aab", "b", "xaby")
+      .toDF("_w")
+      .select(graft.ext.Bpe.codePointSyms(col("_w")).as("_sym"),
+        col("_w"))
+    val hit = words
+      .filter(graft.ext.Bpe.hasPair(col("_sym"), "a", "b"))
+      .collect().map(_.getString(1)).toSet
+    assert(hit == Set("abab", "aab", "xaby"))
   }
 
   test("bpe encode counts tokens under the learned merges") {
