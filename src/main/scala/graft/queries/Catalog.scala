@@ -3438,9 +3438,17 @@ object Catalog {
   private val q140 = Q("q140_line_dedup",
     (s, dir) => Dedup.lineDedupGlobal(t(s, dir, "documents"),
       "text", "doc_id", minDocFreq = 3),
-    Some("WITH " + lineDedupCtes + """
-      SELECT doc_id, string_agg(line, chr(10) ORDER BY ix) AS clean_text
-      FROM keep GROUP BY doc_id"""))
+    // LEFT JOIN from the full doc set + coalesce to '': the engine
+    // emits a row for EVERY input doc (fully-boilerplate docs survive
+    // with empty clean_text — pinned by spec), while a bare
+    // string_agg ... GROUP BY doc_id would silently drop docs whose
+    // every line was removed (q149 uses the same pattern)
+    Some("WITH " + lineDedupCtes + """,
+      agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ix)
+          AS clean_text
+        FROM keep GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+      FROM documents d LEFT JOIN agg a USING (doc_id)"""))
 
   /** Shared DuckDB CTE chain of the line-dedup family (q140/q144):
     * per-doc line explode with positions → corpus line doc-frequency →
@@ -3595,9 +3603,16 @@ object Catalog {
   private val q144 = Q("q144_ccnet_pipeline",
     (s, dir) => graft.ext.Curation.ccnetCurate(t(s, dir, "documents"),
       "text", "doc_id", "lang"),
+    // cl keeps EVERY doc (LEFT JOIN + coalesce to ''): dropping an
+    // all-boilerplate doc would also shrink the per-language n and
+    // shift the tercile boundaries for every other doc of that
+    // language — the engine ranks such docs at s=-1.0 within the full
+    // population
     Some("WITH " + lineDedupCtes + """,
-      cl AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ix) AS text
-        FROM keep GROUP BY doc_id),
+      cl AS (SELECT d.doc_id, coalesce(a.text, '') AS text
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY ix) AS text
+          FROM keep GROUP BY doc_id) a USING (doc_id)),
       """ + bigramLmCtesFrom("cl") + """,
       s2 AS (SELECT t.doc_id, dm.lang,
           coalesce(CAST(d.lm_micro_sum AS DOUBLE)

@@ -211,6 +211,30 @@ class Ext6Spec extends SparkSpec {
       "ccnetCurate must not pin persistent RDD blocks")
   }
 
+  test("line dedup and ccnet pipeline keep fully-boilerplate docs " +
+      "(empty clean_text, ranked at the tail within the full population)") {
+    import spark.implicits._
+    // 3 exact-duplicate docs: every line is boilerplate, nothing
+    // survives — the doc must still emit (clean_text = '') and still
+    // count toward the per-language population n (dropping it would
+    // shift the tercile boundaries for every other doc). Verified
+    // equal to the q140/q144 oracles' LEFT JOIN + coalesce replay on
+    // this exact input.
+    val d = Seq((1L, "buy now", "en"), (2L, "buy now", "en"),
+        (3L, "buy now", "en"), (4L, "hello world\nbuy now", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cleaned = Dedup.lineDedupGlobal(d, "text", "doc_id", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned == Map(1L -> "", 2L -> "", 3L -> "",
+      4L -> "hello world"))
+    val kept = graft.ext.Curation.ccnetCurate(d, "text", "doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // n=4: head = ceil(0.4) = rank 1 (doc 4, the only scoreable doc),
+    // middle = rank 2 (doc 1 — unscoreable docs tie at the bottom,
+    // doc_id ascending)
+    assert(kept == Map(4L -> "head", 1L -> "middle"))
+  }
+
   // ---- Bpe.train ---------------------------------------------------------
 
   test("bpe training: greedy run merging, frequency-weighted counts, " +
