@@ -18,8 +18,13 @@ object GraphOps {
     * so the whole trajectory is order-independent and an external
     * engine replays the exact ranks (q145); float PageRank would
     * diverge across engines in the last ulp and break hashing.
-    * Dangling-node mass is dropped (the standard simplification),
-    * identically on both sides. Returns (node, rank_micro).
+    * Multiply/divide intermediates ride DECIMAL(38,0), so hub ranks
+    * past the Long product bound (~1.08e13 micro at default damping)
+    * stay exact instead of silently wrapping; the Long rank column
+    * itself is exact while total rank mass n·1e6 fits, i.e. to ~10^12
+    * nodes. Dangling-node mass is dropped (the standard
+    * simplification), identically on both sides. Returns
+    * (node, rank_micro).
     *
     * Scale shape per round: one keyed join of the rank state onto the
     * edge list (both hash-partitioned on the source key — at 10^9
@@ -31,7 +36,8 @@ object GraphOps {
     * rounds 1..k−1; superseded cuts are released eagerly. */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampMicro: Long = 850000L,
-      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+      cp: Checkpointer = LocalCheckpoint,
+      initRanks: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && dampMicro > 0 && dampMicro < 1000000L)
     // the edge list, node set, and degree table are FROZEN across
     // rounds — cut each once, or every round re-derives the upstream
@@ -43,18 +49,40 @@ object GraphOps {
     val outDeg = cp.cut(
       e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")))
     val base = 1000000L - dampMicro
-    var ranks = cp.cut(nodes.select(col("_n"), lit(1000000L).as("_r")))
+    // warm start: resume power iteration from a stored (node,
+    // rank_micro) fixed point — the incremental re-rank path after a
+    // graph update, and how a multi-day 10^9-edge rank job restarts
+    // without replaying finished rounds. Nodes absent from the warm
+    // state enter at the cold 1e6.
+    var ranks = cp.cut(initRanks match {
+      case Some(init) => nodes
+        .join(init.select(col("node").as("_n"),
+          col("rank_micro").as("_ir")), Seq("_n"), "left")
+        .select(col("_n"), coalesce(col("_ir"), lit(1000000L)).as("_r"))
+      case None => nodes.select(col("_n"), lit(1000000L).as("_r"))
+    })
     for (_ <- 1 to iters) {
+      // DECIMAL(38,0) intermediates: `_r * damp` overflows Long once a
+      // node's rank_micro exceeds ~1.08e13 (hub in-degree ≳ 10^7 at
+      // default damping — realistic for popular domains at crawl
+      // scale), and non-ANSI Spark would WRAP SILENTLY to wrong ranks
+      // while an ANSI replay raises. `div` floors identically, so
+      // values are bit-equal wherever Long arithmetic doesn't
+      // overflow, and correct where it would. Rank mass itself is
+      // bounded by n·1e6, so the Long rank column is exact to ~10^12
+      // nodes.
       val contrib = e
         .join(ranks.select(col("_n").as("_src"), col("_r")), "_src")
         .join(outDeg, "_src")
         .select(col("_dst").as("_n"),
-          expr(s"(_r * ${dampMicro}L) div (_deg * 1000000L)").as("_c"))
+          expr(s"(CAST(_r AS DECIMAL(38,0)) * ${dampMicro}L)" +
+            s" div (CAST(_deg AS DECIMAL(38,0)) * 1000000L)").as("_c"))
       val next = nodes
-        .join(contrib.groupBy(col("_n")).agg(sum(col("_c")).as("_in")),
+        .join(contrib.groupBy(col("_n"))
+            .agg(sum(col("_c").cast("decimal(38,0)")).as("_in")),
           Seq("_n"), "left")
         .select(col("_n"),
-          (lit(base) + coalesce(col("_in"), lit(0L))).as("_r"))
+          (lit(base) + coalesce(col("_in").cast("long"), lit(0L))).as("_r"))
       val old = ranks
       ranks = cp.cut(next)
       cp.release(old)

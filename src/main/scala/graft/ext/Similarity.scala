@@ -456,7 +456,7 @@ object Similarity {
     val qtab = adcTables(
       probes.select(col("q_id"), col("_qv")).distinct()
         .select(col("q_id"), col("_qv").cast("array<double>").as("_qv")),
-      cbDense, nSub, sub)
+      cbDense, nSub, sub, nCodewords, "ivfPqProbeIndex")
     val scored = index.select(col("n_id"), col("cell").as("_cell"), col("codes"))
       .join(broadcast(probes.select(col("q_id"), col("_cell"))
         .join(qtab, "q_id")), Seq("_cell"))
@@ -487,6 +487,10 @@ object Similarity {
     * `codebook` must live in residual space (e.g. [[cellResiduals]] of
     * a sample, or [[pqTrainCodebookFrom]] on residuals); it is
     * densified to rank order so codes index ADC blocks positionally.
+    * Precondition: exactly `nCodewords` codebook rows — a trained
+    * codebook that lost an empty cell would shift every positional
+    * block, so the plan carries a runtime cardinality guard that
+    * errors instead of returning silently wrong distances.
     * Deterministic end to end (first-`nCells` quantizer, pinned
     * tie-breaks, j-ordered distance folds), so the full rank surface
     * replays in an external engine (q139). */
@@ -520,9 +524,8 @@ object Similarity {
       .groupBy(col("q_id"), col("_cell"))
       .agg(sort_array(collect_list(struct(col("_cb"), col("_ds")))).as("_s"))
       .select(col("q_id"), col("_cell"),
-        flatten(array((0 until nSub).map(j =>
-          transform(col("_s"), s =>
-            element_at(s.getField("_ds"), j + 1))): _*)).as("_tab"))
+        guardedAdcFlatten(col("_s"), nSub, nCodewords,
+          "ivfPqResidualTopKWith").as("_tab"))
     val scored = index
       .join(broadcast(qtab), Seq("_cell"))
       .filter(col("q_id") =!= col("n_id"))
@@ -841,8 +844,25 @@ object Similarity {
   /** Per-query ADC lookup tables against a broadcast codebook, laid
     * out j-major: entry (j, c) at 1-based index j*k + c + 1. Input
     * `q` must carry (q_id, _qv double array); `cb` (_cb, _cv). */
+  /** Plan-embedded codebook-cardinality guard: the ADC lookup fold
+    * indexes `_tab` positionally as j·nCodewords + code, so a codebook
+    * that lost a cell (e.g. a trained codebook whose groupBy covered
+    * only assigned cells) would silently shift every block and return
+    * wrong distances. Checked at RUNTIME on the per-query table rows —
+    * zero extra jobs (a driver-side count here would re-run an entire
+    * training aggregation just to validate it) and loud instead of
+    * silently wrong. */
+  private def guardedAdcFlatten(s: Column, nSub: Int, nCodewords: Int,
+      op: String): Column =
+    when(size(s) === nCodewords,
+      flatten(array((0 until nSub).map(j =>
+        transform(s, e => element_at(e.getField("_ds"), j + 1))): _*)))
+      .otherwise(raise_error(concat(
+        lit(s"$op: codebook must have exactly $nCodewords rows, got "),
+        size(s).cast("string"))))
+
   private def adcTables(q: DataFrame, cb: DataFrame, nSub: Int,
-      sub: Int): DataFrame =
+      sub: Int, nCodewords: Int, op: String): DataFrame =
     q.crossJoin(broadcast(cb))
       .select(col("q_id"), col("_cb"),
         array((0 until nSub).map(j =>
@@ -850,9 +870,7 @@ object Similarity {
       .groupBy(col("q_id"))
       .agg(sort_array(collect_list(struct(col("_cb"), col("_ds")))).as("_s"))
       .select(col("q_id"),
-        flatten(array((0 until nSub).map(j =>
-          transform(col("_s"), s =>
-            element_at(s.getField("_ds"), j + 1))): _*)).as("_tab"))
+        guardedAdcFlatten(col("_s"), nSub, nCodewords, op).as("_tab"))
 
   /** PQ asymmetric-distance top-k: candidates are scanned as CODES
     * ONLY (nSub ints/row — no vectors ride the scan); each query
@@ -878,7 +896,7 @@ object Similarity {
       .select(col(idCol).as("_cb"),
         col(vecCol).cast("array<double>").as("_cv"))
       .filter(col("_cb") < nCodewords)
-    val qtab = adcTables(q, cb, nSub, sub)
+    val qtab = adcTables(q, cb, nSub, sub, nCodewords, "pqAdcTopK")
     val scored = enc.crossJoin(broadcast(qtab))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("dist", (0 until nSub).foldLeft(lit(0.0))((acc, j) =>

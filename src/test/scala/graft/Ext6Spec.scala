@@ -424,6 +424,26 @@ class Ext6Spec extends SparkSpec {
       .foreach(_.unpersist(blocking = false))
   }
 
+  test("pagerank survives hub ranks past the Long product bound " +
+      "(decimal intermediates), warm-started from a stored fixed point") {
+    import spark.implicits._
+    // a hub at rank_micro 1.105e13 (what a 13M-in-degree domain
+    // reaches at default damping) has a damped product over Long.Max:
+    // Long arithmetic would wrap silently to a wrong downstream rank,
+    // the decimal intermediates must floor the exact value. Warm
+    // start stands in for the giant star that would produce the rank
+    // (and pins the resume-from-stored-ranks path itself).
+    val edges = Seq((0L, 1L)).toDF("s", "d")
+    val init = Seq((0L, 11050000150000L)).toDF("node", "rank_micro")
+    val out = graft.ext.GraphOps.pageRankFixedPoint(edges, "s", "d",
+        iters = 1, initRanks = Some(init))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sink = 150000 + floor(11_050_000_150_000 · 0.85)
+    assert(out == Map(0L -> 150000L, 1L -> 9392500277500L))
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   // ---- pqEncodeResidual --------------------------------------------------
 
   test("residual encode == plain PQ encode over explicitly-computed residuals") {
@@ -488,6 +508,27 @@ class Ext6Spec extends SparkSpec {
     val b = ref.collect().map(_.mkString("|")).toSet
     assert(a == b)
     assert(a.size == 20 * 3)
+  }
+
+  test("residual ADC probe errors loudly on a codebook that lost a cell") {
+    val cents = Similarity.coarseCentroids(emb, "vec_id", "embedding", 8)
+    // 15 rows where the positional ADC layout requires exactly 16 —
+    // the guard must raise, never silently shift every block
+    val cbShort = Similarity.cellResiduals(
+        emb.filter(col("vec_id") >= 8 && col("vec_id") < 23),
+        "vec_id", "embedding", cents)
+      .select((col("_id") - 8).cast("long").as("_cb"), col("_rv").as("_cv"))
+    val ex = intercept[Throwable] {
+      Similarity.ivfPqResidualTopKWith(
+        emb.filter(col("vec_id") < 4), emb, "vec_id", "embedding",
+        k = 3, cbShort, nCells = 8, nProbe = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains(
+        "codebook must have exactly 16 rows")),
+      s"unexpected failure: ${messages(ex).mkString(" | ")}")
   }
 
   test("codebook-source vectors encode to their own codeword with zero error") {
