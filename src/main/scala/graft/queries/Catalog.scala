@@ -615,14 +615,9 @@ object Catalog {
       END AS checksum
       FROM documents"""))
 
-  /** Sketch aggregates (HLL approx distinct) — approximate,
-    * engine-specific → rows-only. */
-  private val q44 = Q("q44_approx_distinct",
-    (s, dir) => t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders")),
-    None)
+  // q44 (HLL approx_count_distinct) RETIRED — engine-specific
+  // estimates could only ever get a rows-only check; exact distinct
+  // semantics are oracled by q126 and the HLL surface is spec-pinned.
 
   /** Exact interpolated percentiles (sorted exact doubles; both engines
     * use linear interpolation at p*(n-1)). */
@@ -956,21 +951,10 @@ object Catalog {
       SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
       FROM r GROUP BY node"""))
 
-  /** MinHash(32)+LSH(8×4) near-dup pairs over word trigrams,
-    * exact-Jaccard verified.
-    * Not ANSI-expressible (engine-specific xxhash64) → rows-only check. */
-  private val q23 = Q("q23_minhash_lsh",
-    (s, dir) => Dedup.minHashLshPairs(t(s, dir, "documents"),
-      "text", "doc_id", n = 3, numPerms = 32, rowsPerBand = 4,
-      threshold = 0.5),
-    None)
-
-  /** SimHash64 near-pairs, hamming ≤ 6 via pigeonhole banding.
-    * Engine-specific hash → rows-only check. */
-  private val q24 = Q("q24_simhash",
-    (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"),
-      "text", "doc_id", maxDist = 6, chunks = 8),
-    None)
+  // q23 (xxhash64 MinHash-LSH pairs) and q24 (engine-hash SimHash)
+  // RETIRED — outputs depend on engine-internal hashes, so they could
+  // only ever get rows-only checks; the portable twins q118/q136 and
+  // q137 oracle the same recall surfaces and cost laws in full.
 
   private def cosineOracleCte: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2151,45 +2135,11 @@ object Catalog {
          OR (p.p_id IS NULL AND e.e_id IS NOT NULL
              AND e.ets < (SELECT wm FROM w))"""))
 
-  /** Mergeable HLL sketches (DataSketches, Spark 4 hll_sketch_agg):
-    * the 100 TB distinct-count shape — per-partition/day sketches that
-    * union associatively instead of re-scanning history. Estimates are
-    * engine-specific (DuckDB's HLL differs) → rows-only here; the
-    * merge==global and error-envelope contracts are spec-checked. */
-  private val q99 = Q("q99_hll_sketch",
-    (s, dir) => {
-      val day = t(s, dir, "lineitem")
-        .withColumn("_day", date_format(col("l_shipdate"), "yyyy-MM-dd"))
-        .groupBy(col("l_returnflag"), col("_day"))
-        .agg(hll_sketch_agg(col("l_partkey")).as("_sk"))
-      day.groupBy(col("l_returnflag"))
-        .agg(hll_union_agg(col("_sk")).as("_merged"))
-        .select(col("l_returnflag"),
-          hll_sketch_estimate(col("_merged")).as("est_parts"))
-    },
-    None)
-
-  /** Theta sketch set algebra (custom TypedImperativeAggregate over
-    * DataSketches): distinct-part overlap between return flags via
-    * sketch INTERSECTION — the question HLL unions cannot answer.
-    * Estimates are sketch-specific → rows-only; accuracy and
-    * mergeability are spec-pinned. */
-  private val q100 = Q("q100_theta_intersect",
-    (s, dir) => {
-      import graft.functions.ThetaFunctions._
-      val sk = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(thetaSketchAgg(col("l_partkey")).as("_sk"))
-      sk.select(col("l_returnflag").as("flag_a"), col("_sk").as("_ska"))
-        .join(sk.select(col("l_returnflag").as("flag_b"), col("_sk").as("_skb")),
-          col("flag_a") < col("flag_b"))
-        .select(col("flag_a"), col("flag_b"),
-          round(thetaEstimate(col("_ska"))).cast("long").as("est_a"),
-          round(thetaEstimate(col("_skb"))).cast("long").as("est_b"),
-          round(thetaIntersectEstimate(col("_ska"), col("_skb")))
-            .cast("long").as("est_both"))
-    },
-    None)
+  // q99 (HLL sketch union chain) and q100 (theta sketch intersection)
+  // RETIRED — sketch estimates are engine-specific, so they could only
+  // ever get rows-only checks; merge==global, error-envelope, and
+  // intersection accuracy stay spec-pinned (SketchSpec), and the exact
+  // distinct/overlap semantics are oracled by q126.
 
   /** Inverted index build: token → sorted posting list + document
     * frequency. The classic IR/contamination-lookup artifact; one
@@ -3812,14 +3762,24 @@ object Catalog {
       FROM e LEFT JOIN v ON e.t = v.t
       GROUP BY e.doc_id"""))
 
+  /** Every catalog query carries a full DuckDB oracle. The five
+    * engine-hash queries that could only ever get a rows-only check
+    * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
+    * q100 theta — outputs depend on engine-internal xxhash64/sketch
+    * bytes) are RETIRED from the driver-checked catalog: their
+    * semantics are pinned by the fully-oracled portable twins
+    * (q118 recall-surface MinHash, q137 brute-force-Hamming SimHash,
+    * q126 exact heavy-hitters, q136 band-occupancy cost law) and
+    * their engine paths stay covered by SketchSpec/ExtSpec/Ext3Spec/
+    * Ext6Spec. Retired ids are never reused. */
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q23, q24, q25,
+    q11, q12, q13, q14, q15, q16, q17, q18, q20, q21, q22, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q37, q40, q41,
-    q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
+    q42, q43, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55,
     q57, q58, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
+    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98,
+    q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
