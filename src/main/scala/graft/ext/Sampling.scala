@@ -53,6 +53,32 @@ object Sampling {
     quotaSelect(df, idCol, domainCol, quotas, nBuckets, cp)
   }
 
+  /** Authority-weighted domain mixing — the CCNet-style source-quality
+    * prior: each domain's target weight is its PageRank mass
+    * ([[GraphOps.pageRankFixedPoint]]'s rank_micro over the source
+    * graph), so high-authority sources claim proportionally more of
+    * the served corpus. Same exact-quota machinery as
+    * [[mixtureSample]] (scale = the binding domain kept whole,
+    * deterministic Knuth-hash-rank membership, replayable by any
+    * engine), but the weight table arrives as a DATAFRAME
+    * (`(domainCol, rank_micro)`, domain-cardinality rows, broadcast)
+    * instead of a driver-side map — ranks flow straight from the
+    * graph job without a collect. Domains with no rank row (sources
+    * absent from the graph) are dropped, mirroring mixtureSample's
+    * absent-weight semantics. */
+  def authorityMixtureSample(df: DataFrame, idCol: String,
+      domainCol: String, domainRanks: DataFrame, nBuckets: Int = 256,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_c"))
+      .join(broadcast(domainRanks.select(col(domainCol),
+        col("rank_micro").cast("double").as("_wt"))), domainCol)
+    val scale = counts
+      .agg(min(col("_c").cast("double") / col("_wt")).as("_scale"))
+    val quotas = counts.crossJoin(broadcast(scale))
+      .select(col(domainCol), floor(col("_wt") * col("_scale")).as("_keep"))
+    quotaSelect(df, idCol, domainCol, quotas, nBuckets, cp)
+  }
+
   /** Temperature-scaled domain mixing (the multilingual-pretraining
     * re-balancing knob): target weight w_d ∝ count_d^α flattens the
     * natural distribution toward uniform as α → 0, and the quota

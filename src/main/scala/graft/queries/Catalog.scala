@@ -3762,6 +3762,78 @@ object Catalog {
       FROM e LEFT JOIN v ON e.t = v.t
       GROUP BY e.doc_id"""))
 
+  /** PageRank composed into curation: authority-weighted mixture
+    * sampling ([[Sampling.authorityMixtureSample]]) with per-source
+    * weights = PageRank mass over the source-adjacency graph
+    * (consecutive doc ids "link" their sources — the deterministic
+    * stand-in for the hyperlink graph a real crawl provides; at crawl
+    * scale the edge list arrives from the link extractor instead).
+    * The full chain — dense node ids, edge derivation, 3 fixed-point
+    * rank rounds, rank→weight→quota, hash-rank membership — replays
+    * in the oracle. */
+  private val q151 = Q("q151_authority_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val nodeMap = d.select(col("source")).distinct()
+        .select(col("source"),
+          (row_number().over(Window.orderBy(col("source"))) - 1)
+            .cast("long").as("_node"))
+      val edges = d.select(col("doc_id"), col("source").as("_sa"))
+        .join(d.select((col("doc_id") - 1).as("doc_id"),
+          col("source").as("_sb")), "doc_id")
+        .filter(col("_sa") =!= col("_sb"))
+        .join(broadcast(nodeMap.select(col("source").as("_sa"),
+          col("_node").as("src"))), "_sa")
+        .join(broadcast(nodeMap.select(col("source").as("_sb"),
+          col("_node").as("dst"))), "_sb")
+        .select(col("src"), col("dst"))
+      val ranks = GraphOps.pageRankFixedPoint(edges, "src", "dst",
+        iters = 3)
+      val domainRanks = nodeMap
+        .join(ranks, nodeMap("_node") === ranks("node"))
+        .select(col("source"), col("rank_micro"))
+      Sampling.authorityMixtureSample(d, "doc_id", "source", domainRanks)
+    },
+    Some {
+      def iterSql(prev: String, out: String): String =
+        s"""$out AS (SELECT nodes.n,
+            CAST(150000 + coalesce(x.s, 0) AS BIGINT) AS r
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS n,
+              CAST(sum((r.r * 850000) // (deg.d * 1000000)) AS BIGINT) AS s
+            FROM e JOIN $prev r ON r.n = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) x ON nodes.n = x.n)"""
+      s"""WITH nm AS (SELECT source,
+          row_number() OVER (ORDER BY source) - 1 AS node
+        FROM (SELECT DISTINCT source FROM documents)),
+      e AS (SELECT DISTINCT na.node AS src, nb.node AS dst
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        JOIN nm na ON na.source = a.source
+        JOIN nm nb ON nb.source = b.source
+        WHERE a.source <> b.source),
+      nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      ${iterSql("r0", "r1")},
+      ${iterSql("r1", "r2")},
+      ${iterSql("r2", "r3")},
+      rk AS (SELECT nm.source, r3.r FROM nm JOIN r3 ON nm.node = r3.n),
+      c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+      cw AS (SELECT c.source, cnt, CAST(rk.r AS DOUBLE) AS wt
+        FROM c JOIN rk USING (source)),
+      s AS (SELECT min(CAST(cnt AS DOUBLE) / wt) AS scale FROM cw),
+      k AS (SELECT source,
+          CAST(floor(wt * (SELECT scale FROM s)) AS BIGINT) AS keep
+        FROM cw),
+      r AS (SELECT d.doc_id, d.source, k.keep,
+          row_number() OVER (PARTITION BY d.source
+            ORDER BY ((d.doc_id % 2147483648) * 2654435761) % 2147483647,
+              d.doc_id) AS rn
+        FROM documents d JOIN k USING (source))
+      SELECT doc_id, source FROM r WHERE rn <= keep"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -3783,5 +3855,5 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148, q149, q150)
+    q144, q145, q146, q147, q148, q149, q150, q151)
 }
