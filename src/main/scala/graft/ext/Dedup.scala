@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * recompute nothing — the run survives. Caller must
   * `sc.setCheckpointDir` first in that mode.
   */
-sealed trait Checkpointer {
+trait Checkpointer {
   def cut(df: DataFrame): DataFrame
   /** Drop a superseded cut's storage (iterations would otherwise pin
     * executor memory for the rest of the job). */

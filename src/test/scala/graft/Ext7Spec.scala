@@ -48,3 +48,99 @@ class Ext7Spec extends SparkSpec {
     assert(kept.map(_._2) == Set("A") && kept.size == 6)
   }
 }
+
+/** Physical-shape gates for the round-6/7 heavy chains: the plan
+  * properties that make them 100 TB-viable must not silently regress
+  * under future edits. */
+class Round7PlanShapeSpec extends SparkSpec {
+  import graft.queries.Catalog
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+  private def executed(df: DataFrame): String = {
+    df.count()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q143 trained-residual chain: the encode barrier is the ONLY " +
+      "corpus-keyed exchange; everything else rides the query side") {
+    val df = Catalog.all.find(_.name == "q143_ivfpq_residual_trained").get
+      .fn(spark, sf())
+    val plan = executed(df)
+    val ex = "Exchange hashpartitioning\\((\\w+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(ex.count(_ == "_id") == 1,
+      s"expected exactly the one _id encode barrier, got $ex:\n$plan")
+    assert(ex.forall(k => k == "_id" || k == "q_id"),
+      s"corpus-keyed exchange beyond the documented barrier: $ex\n$plan")
+    assert(!plan.contains("hashpartitioning(n_id"),
+      s"index side shuffled on n_id:\n$plan")
+  }
+
+  test("q145 pagerank rounds: each per-round plan is join+aggregate, " +
+      "never a window; state cut once per round plus the frozen inputs") {
+    import spark.implicits._
+    val captured = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val cp = new graft.ext.Checkpointer {
+      def cut(df: DataFrame): DataFrame = { captured += df; df }
+      def release(df: DataFrame): Unit = ()
+    }
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    graft.ext.GraphOps.pageRankFixedPoint(edges, "s", "d", iters = 3,
+      cp = cp)
+    // e, nodes, outDeg, rank init + one cut per round
+    assert(captured.size == 7, s"expected 7 cuts, got ${captured.size}")
+    captured.drop(4).zipWithIndex.foreach { case (round, i) =>
+      val plan = round.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("Window"),
+        s"round ${i + 1} grew a window:\n$plan")
+      assert(plan.contains("Join"), s"round ${i + 1} lost its join:\n$plan")
+      assert(plan.contains("Aggregate"),
+        s"round ${i + 1} lost its aggregate:\n$plan")
+    }
+  }
+
+  test("q147 bpe training: per-round cluster work is exactly the delta " +
+      "job and the word-table cut — no hidden full recount") {
+    import spark.implicits._
+    val k = 4
+    val groupId = "bpe-jobcount-pin"
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(js.properties).exists(
+            _.getProperty("spark.jobGroup.id") == groupId))
+          counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val corpus = Seq(
+        (1L, "abcdefgh abcdefgh abcd ijklmnop ijklmnop ijkl"))
+        .toDF("doc_id", "text")
+      def jobsFor(rounds: Int): Int = {
+        counter.set(0)
+        spark.sparkContext.setJobGroup(groupId, "bpe job-count pin")
+        val merges = graft.ext.Bpe.train(corpus, "text", rounds).collect()
+        spark.sparkContext.clearJobGroup()
+        assert(merges.length == rounds)
+        Thread.sleep(1000) // listener bus drain
+        counter.get
+      }
+      val j4 = jobsFor(k)
+      val j8 = jobsFor(2 * k)
+      // a round is the affected-slice delta (2 jobs under AQE's
+      // map-stage/result split) plus the word-table cut — NEVER a
+      // full pair recount, whose jobs would also scale with corpus
+      // aggregations. Setup (word cut + the ONE full pair count) and
+      // the merge-list collect are constant, so the job count must be
+      // exactly linear in k with slope <= 3.
+      assert(j8 - j4 == 3 * k || j8 - j4 == 2 * k,
+        s"jobs grew ${j8 - j4} over $k extra rounds (j4=$j4, j8=$j8) — " +
+          "per-round work is no longer delta+cut")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
