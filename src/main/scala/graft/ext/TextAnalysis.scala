@@ -111,6 +111,102 @@ object TextAnalysis {
     inkRatio * sizeNorm
   }
 
+  /** Gopher-style document quality gate (Rae et al. 2021, appendix A
+    * — the rule set RefinedWeb/Dolma reimplement): per-doc repetition
+    * and format signals plus the published keep conjunction. Every
+    * signal is an integer-count-derived ratio, so an external engine
+    * replays each value bit-exactly; the whole gate is array
+    * expressions over split results — MAP-ONLY, zero shuffle, the
+    * 100 TB shape being one codegen'd corpus scan.
+    *
+    * Signals: n_words; mean_word_len; frac_alpha_words (words
+    * containing a letter); n_stop_hits (distinct members of the
+    * pinned 8-stopword list present, lowercased); frac_bullet_lines /
+    * frac_ellipsis_lines (over trimmed non-empty lines);
+    * dup_line_frac (1 − distinct/total lines); symbol_word_ratio
+    * ('#' plus '...' occurrences per word). `keep` is the Gopher
+    * gate: 50 ≤ n_words ≤ 100000, 3 ≤ mean_word_len ≤ 10,
+    * symbol_word_ratio < 0.1, frac_bullet_lines < 0.9,
+    * frac_ellipsis_lines < 0.3, frac_alpha_words ≥ 0.8,
+    * n_stop_hits ≥ 2, dup_line_frac < 0.3. */
+  def gopherQualityFlags(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val ws = tokens(col(textCol))
+    val lw = transform(ws, w => lower(w))
+    val ls = filter(transform(split(col(textCol), "\n", -1),
+      l => trim(l)), l => length(l) > 0)
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(num * lit(1.0) / den)
+    val nWords = size(ws)
+    val nLines = size(ls)
+    val meanLen = ratio(aggregate(transform(ws,
+      w => length(w).cast("long")), lit(0L), (a, b) => a + b), nWords)
+    val fracAlpha = ratio(
+      size(filter(ws, w => w.rlike("[A-Za-z]"))), nWords)
+    val stopHits = stops.map(s =>
+      when(array_contains(lw, s), lit(1)).otherwise(lit(0)))
+      .reduce(_ + _).cast("long")
+    val fracBullet = ratio(size(filter(ls, l =>
+      l.substr(lit(1), lit(1)).isin("-", "*", "•"))), nLines)
+    val fracEllipsis = ratio(size(filter(ls, l =>
+      l.endsWith("...") || l.endsWith("…"))), nLines)
+    val dupLine = ratio(nLines - size(array_distinct(ls)), nLines)
+    val nHash = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val nEll = ((length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3)
+      .cast("long")
+    val symbolRatio = ratio(nHash + nEll, nWords)
+    docs.select(col(idCol), nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        fracAlpha.as("frac_alpha_words"),
+        stopHits.as("n_stop_hits"),
+        fracBullet.as("frac_bullet_lines"),
+        fracEllipsis.as("frac_ellipsis_lines"),
+        dupLine.as("dup_line_frac"),
+        symbolRatio.as("symbol_word_ratio"))
+      .withColumn("keep",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_word_ratio") < 0.1 &&
+        col("frac_bullet_lines") < 0.9 &&
+        col("frac_ellipsis_lines") < 0.3 &&
+        col("frac_alpha_words") >= 0.8 &&
+        col("n_stop_hits") >= 2 &&
+        col("dup_line_frac") < 0.3)
+  }
+
+  /** PII redaction — the scrub pass every released training corpus
+    * runs (CCNet/RedPajama-style): emails, IPv4 literals, and long
+    * digit runs (phone-shaped) become pinned placeholder tokens, with
+    * per-doc match counts for the removal audit. Map-only (three
+    * chained regexp_replace over the scan — zero shuffle). The
+    * patterns are deliberately restricted to the
+    * backreference/lookaround-free subset where Java's leftmost-first
+    * greedy matching and RE2's leftmost-longest agree, so an external
+    * engine replays the exact redacted text; counts are taken BEFORE
+    * replacement, and the replacement order (email → IP → digit run)
+    * is pinned — placeholders contain no digits or '@', so later
+    * passes never re-match earlier output. */
+  def piiRedact(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val digits = "\\b\\d{7,}\\b"
+    def count(c: Column, pat: String): Column =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, email, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipv4, "<IP>")
+    val t3 = regexp_replace(t2, digits, "<NUM>")
+    docs.select(col(idCol), t3.as("clean_text"),
+      count(t0, email).as("n_emails"),
+      count(t1, ipv4).as("n_ips"),
+      count(t2, digits).as("n_phones"))
+  }
+
   /** Rolling polynomial fingerprint over characters, mod 1e9+7:
     * fp = fold(codes, 0, (acc, c) => (acc*31 + c) mod p).
     *

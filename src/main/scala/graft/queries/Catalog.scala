@@ -3834,6 +3834,97 @@ object Catalog {
       SELECT doc_id, source FROM r WHERE rn <= keep"""
     })
 
+  /** Gopher-style quality gate (Rae et al. 2021 appendix A): per-doc
+    * repetition/format signals + the published keep conjunction. All
+    * integer-derived ratios — the oracle replays every signal and the
+    * gate bit-exactly. */
+  private val q152 = Q("q152_gopher_quality",
+    (s, dir) => TextAnalysis.gopherQualityFlags(t(s, dir, "documents"),
+      "text", "doc_id"),
+    Some("""WITH t AS (SELECT doc_id, text,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS ws,
+        list_filter([trim(l) FOR l IN string_split(text, chr(10))],
+          l -> len(l) > 0) AS ls
+      FROM documents),
+      s AS (SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CASE WHEN len(ws) = 0 THEN 0.0
+          ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(len(w) AS BIGINT) FOR w IN ws]), (a, b) -> a + b)
+            AS DOUBLE) / len(ws) END AS mean_word_len,
+        CASE WHEN len(ws) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(ws,
+            w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(ws)
+          END AS frac_alpha_words,
+        CAST((CASE WHEN list_contains([lower(w) FOR w IN ws], 'the')
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains([lower(w) FOR w IN ws], 'be')
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains([lower(w) FOR w IN ws], 'to')
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains([lower(w) FOR w IN ws], 'of')
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains([lower(w) FOR w IN ws], 'and')
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains([lower(w) FOR w IN ws], 'that')
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains([lower(w) FOR w IN ws], 'have')
+            THEN 1 ELSE 0 END)
+          + (CASE WHEN list_contains([lower(w) FOR w IN ws], 'with')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits,
+        CASE WHEN len(ls) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(ls, l -> l[1] IN ('-', '*', '•')))
+            AS DOUBLE) / len(ls) END AS frac_bullet_lines,
+        CASE WHEN len(ls) = 0 THEN 0.0
+          ELSE CAST(len(list_filter(ls, l -> ends_with(l, '...')
+            OR ends_with(l, '…'))) AS DOUBLE) / len(ls)
+          END AS frac_ellipsis_lines,
+        CASE WHEN len(ls) = 0 THEN 0.0
+          ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+            / len(ls) END AS dup_line_frac,
+        CASE WHEN len(ws) = 0 THEN 0.0
+          ELSE CAST((len(text) - len(replace(text, '#', '')))
+            + (len(text) - len(replace(text, '...', ''))) // 3
+            AS DOUBLE) / len(ws) END AS symbol_word_ratio
+      FROM t)
+      SELECT *,
+        (n_words >= 50 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND symbol_word_ratio < 0.1
+          AND frac_bullet_lines < 0.9 AND frac_ellipsis_lines < 0.3
+          AND frac_alpha_words >= 0.8 AND n_stop_hits >= 2
+          AND dup_line_frac < 0.3) AS keep
+      FROM s"""))
+
+  /** PII scrub: emails / IPv4s / long digit runs → placeholders, with
+    * per-doc audit counts. Patterns live in the Java↔RE2-agreeing
+    * regex subset; DuckDB needs the explicit 'g' flag (its
+    * regexp_replace is first-match-only by default, Spark's is
+    * global). */
+  private val q153 = Q("q153_pii_redact",
+    (s, dir) => TextAnalysis.piiRedact(t(s, dir, "documents"),
+      "text", "doc_id"),
+    Some("""WITH t AS (SELECT doc_id, text,
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          '<EMAIL>', 'g') AS t1
+      FROM documents),
+      u AS (SELECT doc_id, text, t1,
+        regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+          '<IP>', 'g') AS t2
+      FROM t)
+      SELECT doc_id,
+        regexp_replace(t2, '\b\d{7,}\b', '<NUM>', 'g') AS clean_text,
+        CAST(len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t1,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(t2, '\b\d{7,}\b')) AS BIGINT)
+          AS n_phones
+      FROM u"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -3855,5 +3946,5 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148, q149, q150, q151)
+    q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
 }

@@ -47,6 +47,52 @@ class Ext7Spec extends SparkSpec {
     assert(kept == viaMap)
     assert(kept.map(_._2) == Set("A") && kept.size == 6)
   }
+
+  test("gopher quality gate: each rule fires on its triggering doc, " +
+      "a clean doc passes") {
+    import spark.implicits._
+    val good = ("the quick brown fox jumps over the lazy dog and " +
+      "then runs off to the river bank with great speed today because " +
+      "it must be home before dark falls on that quiet valley floor " +
+      "where all of the other animals have gathered to rest and wait " +
+      "for morning light to come back over the eastern hills again soon")
+    val docs = Seq(
+      (1L, good),                                    // passes the gate
+      (2L, "short text only"),                       // n_words < 50
+      (3L, Seq.fill(60)("# ##").mkString(" ")),      // symbol ratio
+      (4L, (1 to 30).map(i => s"- item $i the of").mkString("\n")), // bullets
+      (5L, Seq.fill(30)("same line of the day").mkString("\n"))     // dup lines
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.gopherQualityFlags(docs, "text",
+        "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(9), r.getLong(1), r.getDouble(7))).toMap
+    assert(out(1L)._1, s"clean doc rejected: ${out(1L)}")
+    assert(!out(2L)._1 && out(2L)._2 == 3L)
+    assert(!out(3L)._1)
+    assert(!out(4L)._1)
+    assert(!out(5L)._1 && out(5L)._3 > 0.9) // 30 lines, 1 distinct
+  }
+
+  test("pii redaction replaces emails, ipv4s, digit runs — counts " +
+      "audited, placeholders never re-matched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@ex-ample.co.uk or 10.0.255.1 call 5551234567"),
+      (2L, "ip 1.2.3.4.5 and short 123456 stay partial v1.2"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.piiRedact(docs, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(1L) == ("mail <EMAIL> or <IP> call <NUM>", 1L, 1L, 1L))
+    // "1.2.3.4.5": the IPv4 pattern takes "1.2.3.4" (the .5 survives);
+    // 6-digit run is below the 7-digit phone floor
+    assert(out(2L) == ("ip <IP>.5 and short 123456 stay partial v1.2",
+      0L, 1L, 0L))
+    assert(out(3L) == ("no pii here at all", 0L, 0L, 0L))
+  }
 }
 
 /** Physical-shape gates for the round-6/7 heavy chains: the plan
