@@ -13,6 +13,44 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Hard-negative mining for retrieval/embedding training (the
+    * DPR/Contriever data recipe): for each query vector, the top-`k`
+    * most-cosine-similar candidates whose GROUP differs from the
+    * query's — same-group hits (the document's own source, a near-dup
+    * cluster, a known-positive set) are excluded at the pair level,
+    * because they are presumed positives and training on them as
+    * negatives poisons the contrastive loss. Returns
+    * (q_id, neg_id, rank), rank 1 = hardest negative.
+    *
+    * Scale shape: mining batches are bounded (queries broadcast);
+    * candidates stream through the pair filter into the bounded
+    * per-query rank — [[Similarity.bruteForceTopK]]'s discipline with
+    * a group anti-predicate fused before the kernel, so excluded
+    * pairs never pay the dot product. At 10^9 candidates swap the
+    * feed for an ANN probe (IVF cells) and keep this as the in-cell
+    * scorer; the exact form is the oracle-checkable contract. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0)
+    val dotF = graft.functions.VectorFunctions.dot _
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("_qv"), col(groupCol).as("_qg"),
+      dotF(col(vecCol), col(vecCol)).as("_qn"))
+    val c = candidates.select(col(idCol).as("n_id"),
+      col(vecCol).as("_cv"), col(groupCol).as("_cg"),
+      dotF(col(vecCol), col(vecCol)).as("_cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id") && col("_qg") =!= col("_cg"))
+      .withColumn("cos",
+        dotF(col("_qv"), col("_cv")) / sqrt(col("_qn") * col("_cn")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id").as("neg_id"), col("rank"))
+  }
+
   /** Global top-n of `df` by (scoreCol desc, idCol asc) with a 1-based
     * rank. The top-n is `orderBy.limit` — Spark plans a
     * TakeOrderedAndProject (per-partition heap + driver merge of n·P

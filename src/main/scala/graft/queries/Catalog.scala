@@ -3925,6 +3925,33 @@ object Catalog {
           AS n_phones
       FROM u"""))
 
+  /** Hard-negative mining (DPR/Contriever recipe): per query, top-5
+    * cosine neighbors from a DIFFERENT source — same-source hits are
+    * presumed positives and excluded at pair level. Deterministic
+    * exact form → the full rank surface replays. */
+  private val q154 = Q("q154_hard_negatives",
+    (s, dir) => {
+      val withSrc = t(s, dir, "embeddings")
+        .join(t(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      Retrieval.hardNegatives(withSrc.filter(col("vec_id") < 10),
+        withSrc, "vec_id", "embedding", "source", k = 5)
+    },
+    Some(cosineOracleCte + """,
+      g AS (SELECT n.vec_id, n.v, n.nrm, d.source
+        FROM n JOIN documents d ON d.doc_id = n.vec_id)
+      SELECT q_id, neg_id, CAST(rank AS INT) AS rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS neg_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [q.v[i] * c.v[i] FOR i IN range(1, len(q.v) + 1)]),
+              (a, b) -> a + b)
+             / sqrt(q.nrm * c.nrm)) DESC, c.vec_id ASC) AS rank
+        FROM g q JOIN g c ON c.vec_id <> q.vec_id
+          AND c.source <> q.source
+        WHERE q.vec_id < 10) z
+      WHERE rank <= 5"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -3946,5 +3973,5 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148, q149, q150, q151, q152, q153)
+    q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154)
 }

@@ -93,6 +93,25 @@ class Ext7Spec extends SparkSpec {
       0L, 1L, 0L))
     assert(out(3L) == ("no pii here at all", 0L, 0L, 0L))
   }
+
+  test("hard negatives exclude same-group candidates and rank by " +
+      "exact cosine") {
+    import spark.implicits._
+    // q=(1,0): A-group candidates must never appear; among B-group,
+    // (1,0) dup direction ranks above the orthogonal (0,1)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"),  // query
+      (2L, Seq(1.0f, 0.1f), "A"),  // same group — excluded
+      (3L, Seq(1.0f, 0.0f), "B"),  // cos 1.0 → rank 1
+      (4L, Seq(0.7f, 0.7f), "B"),  // cos ~0.707 → rank 2
+      (5L, Seq(0.0f, 1.0f), "C")   // cos 0 → rank 3
+    ).toDF("id", "vec", "grp")
+    val out = graft.ext.Retrieval.hardNegatives(
+        vecs.filter(col("id") === 1L), vecs, "id", "vec", "grp", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(out == Set((1L, 3L, 1), (1L, 4L, 2), (1L, 5L, 3)))
+  }
 }
 
 /** Physical-shape gates for the round-6/7 heavy chains: the plan
