@@ -178,6 +178,60 @@ object TextAnalysis {
         col("dup_line_frac") < 0.3)
   }
 
+  /** Top word-n-gram repetition (the remaining Gopher repetition
+    * family, Rae et al. 2021 A1.1: "fraction of characters in the
+    * most common n-gram"): per doc and per n, the most frequent
+    * space-joined word n-gram (ties → lexicographically smallest),
+    * its count, and the fraction of the doc's non-whitespace
+    * characters its occurrences cover (count × the gram's non-space
+    * length / total non-ws chars).
+    *
+    * MAP-ONLY per doc — no explode/groupBy shuffle: grams sort with
+    * `sort_array` and a single `aggregate` fold walks the sorted runs
+    * (state = current run + best-so-far; ascending order means a
+    * strictly-greater-count update keeps the smallest gram on ties),
+    * so the corpus pays one codegen'd scan at any scale. The oracle
+    * replays via the conventional unnest + GROUP BY argmax — two
+    * different computation paths pinning the same value. */
+  def topNgramStats(docs: DataFrame, textCol: String, idCol: String,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1))
+    val ws = tokens(col(textCol))
+    val denom = nonWsChars(col(textCol))
+    val init = struct(lit("").as("cur"), lit(0L).as("cnt"),
+      lit("").as("bg"), lit(0L).as("bc"))
+    def best(n: Int): Column = {
+      val grams = when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n), i =>
+          concat_ws(" ", slice(ws, i + 1, lit(n)))))
+        .otherwise(expr("array()").cast("array<string>"))
+      val folded = aggregate(sort_array(grams), init,
+        (st, g) => {
+          val run = when(g === st.getField("cur"),
+            st.getField("cnt") + 1).otherwise(lit(1L))
+          struct(g.as("cur"), run.as("cnt"),
+            when(run > st.getField("bc"), g)
+              .otherwise(st.getField("bg")).as("bg"),
+            when(run > st.getField("bc"), run)
+              .otherwise(st.getField("bc")).as("bc"))
+        })
+      struct(folded.getField("bg").as("gram"),
+        folded.getField("bc").as("cnt"))
+    }
+    val cols = ns.flatMap { n =>
+      val b = best(n)
+      val cnt = b.getField("cnt")
+      val gram = b.getField("gram")
+      val gramChars = when(cnt > 0,
+        (length(gram) - (n - 1)).cast("long")).otherwise(lit(0L))
+      Seq(gram.as(s"top${n}_gram"), cnt.as(s"top${n}_cnt"),
+        when(denom === 0 || cnt === 0, lit(0.0))
+          .otherwise(cnt * gramChars * lit(1.0) / denom)
+          .as(s"top${n}_char_frac"))
+    }
+    docs.select(col(idCol) +: cols: _*)
+  }
+
   /** PII redaction — the scrub pass every released training corpus
     * runs (CCNet/RedPajama-style): emails, IPv4 literals, and long
     * digit runs (phone-shaped) become pinned placeholder tokens, with

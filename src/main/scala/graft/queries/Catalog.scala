@@ -3952,6 +3952,51 @@ object Catalog {
         WHERE q.vec_id < 10) z
       WHERE rank <= 5"""))
 
+  /** Top-n-gram repetition signals (the Gopher "fraction of chars in
+    * the most common n-gram"): engine computes per-doc via the
+    * map-only sorted-run fold; the oracle replays via unnest +
+    * GROUP BY argmax — two computation paths, one pinned value. */
+  private val q155 = Q("q155_top_ngram",
+    (s, dir) => TextAnalysis.topNgramStats(t(s, dir, "documents"),
+      "text", "doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS ws,
+        len(regexp_replace(text, '\s', '', 'g')) AS denom
+      FROM documents),
+      g2 AS (SELECT doc_id,
+          unnest([array_to_string(ws[i:i+1], ' ')
+            FOR i IN range(1, len(ws))]) AS gm
+        FROM t WHERE len(ws) >= 2),
+      b2 AS (SELECT doc_id, gm, count(*) AS c
+        FROM g2 GROUP BY doc_id, gm),
+      t2 AS (SELECT doc_id, gm, c FROM (
+          SELECT doc_id, gm, c, row_number() OVER (PARTITION BY doc_id
+            ORDER BY c DESC, gm ASC) AS rn FROM b2) z
+        WHERE rn = 1),
+      g3 AS (SELECT doc_id,
+          unnest([array_to_string(ws[i:i+2], ' ')
+            FOR i IN range(1, len(ws) - 1)]) AS gm
+        FROM t WHERE len(ws) >= 3),
+      b3 AS (SELECT doc_id, gm, count(*) AS c
+        FROM g3 GROUP BY doc_id, gm),
+      t3 AS (SELECT doc_id, gm, c FROM (
+          SELECT doc_id, gm, c, row_number() OVER (PARTITION BY doc_id
+            ORDER BY c DESC, gm ASC) AS rn FROM b3) z
+        WHERE rn = 1)
+      SELECT t.doc_id,
+        coalesce(t2.gm, '') AS top2_gram,
+        CAST(coalesce(t2.c, 0) AS BIGINT) AS top2_cnt,
+        CASE WHEN denom = 0 OR t2.c IS NULL THEN 0.0
+          ELSE CAST(t2.c * (len(t2.gm) - 1) AS DOUBLE) / denom
+          END AS top2_char_frac,
+        coalesce(t3.gm, '') AS top3_gram,
+        CAST(coalesce(t3.c, 0) AS BIGINT) AS top3_cnt,
+        CASE WHEN denom = 0 OR t3.c IS NULL THEN 0.0
+          ELSE CAST(t3.c * (len(t3.gm) - 2) AS DOUBLE) / denom
+          END AS top3_char_frac
+      FROM t LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -3973,5 +4018,6 @@ object Catalog {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121,
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
-    q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154)
+    q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
+    q155)
 }

@@ -112,6 +112,31 @@ class Ext7Spec extends SparkSpec {
       .toSet
     assert(out == Set((1L, 3L, 1), (1L, 4L, 2), (1L, 5L, 3)))
   }
+
+  test("top n-gram stats: run fold finds the argmax gram, smallest on " +
+      "ties, exact char fractions, degenerate docs zeroed") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b" ×3 (wrapping through "b a b"), tie-free; 9 non-ws chars
+      (1L, "a b a b a b x"),
+      // all bigrams count 1 → tie broken to lexicographically smallest
+      (2L, "c d e"),
+      (3L, "one"),  // < 2 tokens → zeros
+      (4L, "")      // empty
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.topNgramStats(docs, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getString(4), r.getLong(5))).toMap
+    // doc1: "a b"×3, gram chars 2, denom 7 ("ababab x"→7 non-ws)
+    assert(out(1L)._1 == "a b" && out(1L)._2 == 3L)
+    assert(math.abs(out(1L)._3 - 3.0 * 2.0 / 7.0) < 1e-12)
+    // doc1 trigrams: "a b a"×2 vs "b a b"×2 → tie → "a b a"
+    assert(out(1L)._4 == "a b a" && out(1L)._5 == 2L)
+    assert(out(2L)._1 == "c d" && out(2L)._2 == 1L)
+    assert(out(3L) == (("", 0L, 0.0, "", 0L)))
+    assert(out(4L) == (("", 0L, 0.0, "", 0L)))
+  }
 }
 
 /** Physical-shape gates for the round-6/7 heavy chains: the plan
