@@ -137,6 +137,44 @@ class Ext7Spec extends SparkSpec {
     assert(out(3L) == (("", 0L, 0.0, "", 0L)))
     assert(out(4L) == (("", 0L, 0.0, "", 0L)))
   }
+
+  test("quality gate, pii redaction, and top-ngram stats are stream-safe: " +
+      "streaming run equals the batch run row-for-row") {
+    // the three new ops are pure map-only column expressions, so they
+    // must compose into readStream→writeStream unchanged — the
+    // property that lets one curation definition serve both the batch
+    // backfill and the live crawl feed
+    val dir = sf()
+    val batchDf = spark.read.parquet(s"$dir/documents.parquet")
+    def viaStream(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame, name: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val q = f(spark.readStream.schema(batchDf.schema)
+          .option("pathGlobFilter", p.getName)
+          .parquet(p.getParent.toString))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table(name).collect().map(_.mkString("|")).toSet
+      spark.catalog.dropTempView(name)
+      rows
+    }
+    def ops = Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)](
+      ("par_gate", df => graft.ext.TextAnalysis.gopherQualityFlags(
+        df, "text", "doc_id")),
+      ("par_pii", df => graft.ext.TextAnalysis.piiRedact(
+        df, "text", "doc_id")),
+      ("par_ngram", df => graft.ext.TextAnalysis.topNgramStats(
+        df, "text", "doc_id")))
+    ops.foreach { case (name, f) =>
+      val streamed = viaStream(f, name)
+      val batch = f(batchDf).collect().map(_.mkString("|")).toSet
+      assert(streamed == batch, s"$name diverges between stream and batch")
+    }
+  }
 }
 
 /** Physical-shape gates for the round-6/7 heavy chains: the plan
