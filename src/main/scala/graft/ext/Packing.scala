@@ -29,6 +29,27 @@ object Packing {
     * Ids must be non-negative; order is total because ids are unique.
     * The tokens expression must be non-null — a null count would
     * propagate into every later start offset's meaning. */
+  /** Release manifest over a [[packBudget]] shard assignment: one row
+    * per shard with doc/token totals, the id span, and an
+    * ORDER-INDEPENDENT content checksum (sum of the docs' rolling
+    * text fingerprints mod 1e9+7 — commutative, so any partitioning
+    * and any replaying engine produce the identical value). This is
+    * the integrity artifact a dataset release ships: a consumer
+    * re-derives each shard's checksum after download and compares.
+    * `docFp` is the (_id, _fp) fingerprint table (one text pass,
+    * [[TextAnalysis.fingerprint]]); the manifest itself is one keyed
+    * join of slim rows plus one map-combinable aggregation. */
+  def shardManifest(assignment: DataFrame, docFp: DataFrame): DataFrame =
+    assignment.select(col("_id"), col("n_tokens"), col("shard"))
+      .join(docFp.select(col("_id"),
+        pmod(col("_fp"), lit(TextAnalysis.FpMod)).as("_fp")), "_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("_id")).as("min_id"),
+        max(col("_id")).as("max_id"),
+        pmod(sum(col("_fp")), lit(TextAnalysis.FpMod)).as("checksum"))
+
   def packBudget(df: DataFrame, idCol: String, tokens: Column,
       budget: Long, bucketSpan: Long = 65536L,
       cp: Checkpointer = LocalCheckpoint): DataFrame = {

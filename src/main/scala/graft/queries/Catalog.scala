@@ -3997,6 +3997,43 @@ object Catalog {
           END AS top3_char_frac
       FROM t LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)"""))
 
+  /** Shard release manifest: q104's deterministic packing + per-shard
+    * totals, id span, and the order-independent fingerprint-sum
+    * checksum a release consumer re-derives after download. */
+  private val q156 = Q("q156_shard_manifest",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val assignment = Packing.packBudget(d, "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 1024L,
+        bucketSpan = 64L)
+      val fp = d.select(col("doc_id").as("_id"),
+        TextAnalysis.fingerprint(col("text")).as("_fp"))
+      Packing.shardManifest(assignment, fp)
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS start
+        FROM d),
+      f AS (SELECT doc_id,
+        CASE WHEN len(text) = 0 THEN 0 ELSE
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(ord(text[i]) AS BIGINT)
+             FOR i IN range(1, len(text) + 1)]),
+            (a, ch) -> (a * 31 + ch) % 1000000007) END AS fp
+        FROM documents)
+      SELECT start // 1024 AS shard,
+        count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        min(c.doc_id) AS min_id, max(c.doc_id) AS max_id,
+        CAST(sum(fp % 1000000007) % 1000000007 AS BIGINT) AS checksum
+      FROM c JOIN f ON c.doc_id = f.doc_id
+      GROUP BY 1"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -4019,5 +4056,5 @@ object Catalog {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155)
+    q155, q156)
 }

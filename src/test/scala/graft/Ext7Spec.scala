@@ -138,6 +138,30 @@ class Ext7Spec extends SparkSpec {
     assert(out(4L) == (("", 0L, 0.0, "", 0L)))
   }
 
+  test("shard manifest: totals partition the corpus, checksum is " +
+      "order-independent") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, s"doc $i word " * (i % 5 + 1)))
+      .toDF("doc_id", "text")
+    val asg = graft.ext.Packing.packBudget(docs, "doc_id",
+      graft.ext.TextAnalysis.tokenCount(col("text")), budget = 30L,
+      bucketSpan = 8L)
+    val fp = docs.select(col("doc_id").as("_id"),
+      graft.ext.TextAnalysis.fingerprint(col("text")).as("_fp"))
+    val m = graft.ext.Packing.shardManifest(asg, fp).collect()
+    // every doc in exactly one shard; totals add up
+    assert(m.map(_.getLong(1)).sum == 40L)
+    val totalTokens = docs.select(sum(
+      graft.ext.TextAnalysis.tokenCount(col("text")))).head.getLong(0)
+    assert(m.map(_.getLong(2)).sum == totalTokens)
+    // checksum ignores row order: recompute from a reversed-id frame
+    val m2 = graft.ext.Packing.shardManifest(
+      asg.orderBy(col("_id").desc), fp.orderBy(col("_id").desc))
+      .collect()
+    assert(m.map(r => r.getLong(0) -> r.getLong(5)).toMap ==
+      m2.map(r => r.getLong(0) -> r.getLong(5)).toMap)
+  }
+
   test("quality gate, pii redaction, and top-ngram stats are stream-safe: " +
       "streaming run equals the batch run row-for-row") {
     // the three new ops are pure map-only column expressions, so they
