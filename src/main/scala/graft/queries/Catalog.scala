@@ -4034,6 +4034,39 @@ object Catalog {
       FROM c JOIN f ON c.doc_id = f.doc_id
       GROUP BY 1"""))
 
+  /** Tokenizer fertility dashboard: BPE tokens per word by language
+    * under the corpus-trained k=8 merge list — the metric that decides
+    * whether a tokenizer serves a multilingual corpus (fertility ≫ 1
+    * for a language means its text fragments into shards of symbols).
+    * Train + encode + per-language rollup all replay in the oracle. */
+  private val q157 = Q("q157_fertility",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.train(d, "text", k = 8)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ext.Bpe.encodeTokenCounts(d, "text", "doc_id", merges)
+        .join(d.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("_nw")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(col("_nw")).as("n_words"))
+        .withColumn("fertility",
+          col("n_bpe_tokens") * lit(1.0) / col("n_words"))
+    },
+    Some(bpeRoundsCtes(8) + """
+      SELECT dm.lang,
+        CAST(sum(len(w8.a)) AS BIGINT) AS n_bpe_tokens,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(len(w8.a)) AS DOUBLE) / count(*) AS fertility
+      FROM (SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> len(x) > 0)) AS tok
+        FROM documents) e
+      JOIN w8 ON e.tok = w8.w
+      JOIN documents dm ON dm.doc_id = e.doc_id
+      GROUP BY dm.lang"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -4056,5 +4089,5 @@ object Catalog {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156)
+    q155, q156, q157)
 }

@@ -162,6 +162,38 @@ class Ext7Spec extends SparkSpec {
       m2.map(r => r.getLong(0) -> r.getLong(5)).toMap)
   }
 
+  test("top n-gram run fold == naive group-count argmax on random " +
+      "token streams (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // small alphabet forces heavy repetition and ties — the cases
+    // where the run fold's tie-break or run accounting would slip
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c", "ab", "x"))
+    val docs = (0 until 60).flatMap(i =>
+        tokGen.apply(Gen.Parameters.default, Seed(i.toLong))
+          .map(ts => (i.toLong, ts.mkString(" "))))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.topNgramStats(docs, "text",
+        "doc_id", ns = Seq(2))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    val ref = docs.collect().map { r =>
+      val toks = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+      val grams = toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      val best =
+        if (grams.isEmpty) ("", 0L)
+        else {
+          val counts = grams.groupBy(identity).view.mapValues(_.length)
+          val (g, c) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+          (g, c.toLong)
+        }
+      r.getLong(0) -> best
+    }.toMap
+    assert(out == ref)
+  }
+
   test("quality gate, pii redaction, and top-ngram stats are stream-safe: " +
       "streaming run equals the batch run row-for-row") {
     // the three new ops are pure map-only column expressions, so they
