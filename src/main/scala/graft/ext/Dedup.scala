@@ -48,6 +48,24 @@ case object ReliableCheckpoint extends Checkpointer {
     * teardown), never while a consumer may still read them. */
   def release(df: DataFrame): Unit = ()
 }
+/** Lineage BARRIER for lazily-returned compositions: `cut` is a
+  * hash-repartition exchange (on every column — deterministic, no
+  * sort-before-repartition pass) instead of a checkpoint, so nothing
+  * is ever pinned in block storage — intermediate state lives in
+  * shuffle files the ContextCleaner reclaims, and ReuseExchange
+  * serves multi-consumer reads from the single exchange write. The
+  * tradeoff: lineage depth grows with rounds (an executor loss
+  * replays upstream rounds from the surviving shuffle outputs), so
+  * use it where a catalog query COMPOSES a small fixed number of
+  * iterations into a lazily-returned DataFrame — a cut there could
+  * never be released and would pin blocks for the session's lifetime
+  * (the round-6 bench stall). Long-running iterative jobs that
+  * execute eagerly keep [[LocalCheckpoint]] / [[ReliableCheckpoint]]. */
+case object ShuffleBarrier extends Checkpointer {
+  def cut(df: DataFrame): DataFrame =
+    df.repartition(df.columns.map(col): _*)
+  def release(df: DataFrame): Unit = ()
+}
 
 object Dedup {
 

@@ -39,8 +39,7 @@ object Sampling {
     pmod(pmod(id, lit(2147483648L)) * lit(2654435761L), lit(2147483647L))
 
   def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
-      weights: Map[String, Double], nBuckets: Int = 256,
-      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+      weights: Map[String, Double], nBuckets: Int = 256): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0) && nBuckets > 0)
     val spark = df.sparkSession
     import spark.implicits._
@@ -50,7 +49,7 @@ object Sampling {
     val scale = counts.agg(min(col("_c").cast("double") / col("_wt")).as("_scale"))
     val quotas = counts.crossJoin(broadcast(scale))
       .select(col(domainCol), floor(col("_wt") * col("_scale")).as("_keep"))
-    quotaSelect(df, idCol, domainCol, quotas, nBuckets, cp)
+    quotaSelect(df, idCol, domainCol, quotas, nBuckets)
   }
 
   /** Authority-weighted domain mixing — the CCNet-style source-quality
@@ -67,8 +66,8 @@ object Sampling {
     * absent from the graph) are dropped, mirroring mixtureSample's
     * absent-weight semantics. */
   def authorityMixtureSample(df: DataFrame, idCol: String,
-      domainCol: String, domainRanks: DataFrame, nBuckets: Int = 256,
-      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+      domainCol: String, domainRanks: DataFrame,
+      nBuckets: Int = 256): DataFrame = {
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_c"))
       .join(broadcast(domainRanks.select(col(domainCol),
         col("rank_micro").cast("double").as("_wt"))), domainCol)
@@ -76,7 +75,7 @@ object Sampling {
       .agg(min(col("_c").cast("double") / col("_wt")).as("_scale"))
     val quotas = counts.crossJoin(broadcast(scale))
       .select(col(domainCol), floor(col("_wt") * col("_scale")).as("_keep"))
-    quotaSelect(df, idCol, domainCol, quotas, nBuckets, cp)
+    quotaSelect(df, idCol, domainCol, quotas, nBuckets)
   }
 
   /** Temperature-scaled domain mixing (the multilingual-pretraining
@@ -88,8 +87,7 @@ object Sampling {
     * (identity, keeps all) — because `pow()` differs across libm
     * builds and would break cross-engine replay. */
   def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
-      alpha: Double = 0.5, nBuckets: Int = 256,
-      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+      alpha: Double = 0.5, nBuckets: Int = 256): DataFrame = {
     require(alpha == 0.5 || alpha == 1.0,
       "only alpha in {0.5, 1.0} is engine-exact (pow differs across libm)")
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_c"))
@@ -100,7 +98,7 @@ object Sampling {
       .agg(min(col("_c").cast("double") / col("_wt")).as("_scale"))
     val quotas = weighted.crossJoin(broadcast(scale))
       .select(col(domainCol), floor(col("_wt") * col("_scale")).as("_keep"))
-    quotaSelect(df, idCol, domainCol, quotas, nBuckets, cp)
+    quotaSelect(df, idCol, domainCol, quotas, nBuckets)
   }
 
   /** Deterministic train/val/test assignment by portable hash bucket:
@@ -129,21 +127,34 @@ object Sampling {
     * rows per domain via the two-phase (domain, hash-range bucket)
     * rank — cumulative bucket counts restore the global per-domain
     * rank, so no mega-domain ever serializes into one window task.
-    * The slim (id, domain, quota, hash, bucket) rows materialize ONCE
-    * (packBudget's Checkpointer discipline) — the rank branch and the
-    * offsets branch both consume them, and without the cut each would
-    * re-scan the corpus. */
+    * The slim (id, domain, quota, hash, bucket) rows go through ONE
+    * `repartition(domain, _bkt)` exchange — NOT a checkpoint: the
+    * samplers are lazily returned by catalog queries, so a cut here
+    * could never be released and would pin a corpus-cardinality table
+    * for the session's lifetime. The barrier's hash layout IS the
+    * rank window's required distribution, so the corpus is shuffled
+    * and sorted exactly once; the offsets branch deliberately does
+    * NOT share it — column pruning gives it its own 2-column scan
+    * whose map-side-combined aggregate ships only domains × nBuckets
+    * rows, far cheaper than forcing both branches through one
+    * un-pruned subtree. Net corpus cost: two narrow column scans,
+    * one shuffle+sort, zero pinned blocks. */
   private def quotaSelect(df: DataFrame, idCol: String, domainCol: String,
-      quotas: DataFrame, nBuckets: Int, cp: Checkpointer): DataFrame = {
+      quotas: DataFrame, nBuckets: Int): DataFrame = {
     val span = (1L << 31) / nBuckets + 1L
-    val base = cp.cut(df.select(col(idCol), col(domainCol))
+    val pre = df.select(col(idCol), col(domainCol))
       .join(broadcast(quotas), domainCol)
       .withColumn("_h", hash31(col(idCol)))
-      .withColumn("_bkt", expr(s"_h div ${span}L")))
+      .withColumn("_bkt", expr(s"_h div ${span}L"))
+    // the barrier serves ONLY the window branch; the offsets branch
+    // aggregates the PRE-barrier rows so its partial (map-side) agg
+    // combines before any exchange — behind the barrier it would ship
+    // every corpus row through a second shuffle just to count them
+    val base = pre.repartition(col(domainCol), col("_bkt"))
     val local = base.withColumn("_rn", row_number().over(
       Window.partitionBy(col(domainCol), col("_bkt"))
         .orderBy(col("_h"), col(idCol))))
-    val offs = base.groupBy(col(domainCol), col("_bkt"))
+    val offs = pre.groupBy(col(domainCol), col("_bkt"))
       .agg(count(lit(1)).as("_c"))
       .withColumn("_off", coalesce(
         sum(col("_c")).over(Window.partitionBy(col(domainCol))

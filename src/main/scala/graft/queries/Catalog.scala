@@ -1733,14 +1733,17 @@ object Catalog {
     * and the oracle can state it. */
   private val q83 = Q("q83_bloom_blocklist",
     (s, dir) => {
-      // materialize the fingerprinted frame ONCE: the rolling hash is
-      // O(doc length) per row, and the blocklist flow reads the frame
-      // four times (blocklist size probe, Bloom build, clean pass,
-      // candidate anti-join) — without the checkpoint each pass would
-      // re-hash the whole corpus
+      // Repartition barrier, NOT a localCheckpoint: the rolling hash
+      // is O(doc length) per row and the blocklist flow reads the
+      // frame four times (blocklist size probe, Bloom build, clean
+      // pass, candidate anti-join) — the barrier computes it ONCE
+      // (ReuseExchange serves all four consumers from the single
+      // exchange write) without pinning blocks a lazily-returned
+      // catalog DataFrame could never release (the q143 idiom,
+      // Catalog.scala q143 / Similarity.pqEncodeResidual).
       val f = t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .localCheckpoint()
+        .repartition(col("doc_id"))
       val bad = f.filter(col("doc_id") % 25 === 0).select(col("fp"))
       Dedup.blocklistFilter(f, "fp", bad, "fp")
     },
@@ -3768,16 +3771,36 @@ object Catalog {
     * (consecutive doc ids "link" their sources — the deterministic
     * stand-in for the hyperlink graph a real crawl provides; at crawl
     * scale the edge list arrives from the link extractor instead).
-    * The full chain — dense node ids, edge derivation, 3 fixed-point
-    * rank rounds, rank→weight→quota, hash-rank membership — replays
-    * in the oracle. */
+    * The full chain — node-id assignment, edge derivation, 3
+    * fixed-point rank rounds, rank→weight→quota, hash-rank
+    * membership — replays in the oracle. Node ids differ by design:
+    * the engine keys nodes by collision-guarded xxhash64 (scale-safe,
+    * no global window), the oracle by dense row_number — the ranks
+    * and therefore the sampled rows are invariant under the
+    * relabeling, which is exactly what the hash-match certifies. */
   private val q151 = Q("q151_authority_sample",
     (s, dir) => {
       val d = t(s, dir, "documents")
+      // Node ids are xxhash64(source), NOT a dense rank: a global
+      // row_number over the distinct-domain set would funnel every
+      // domain (~10^8 at crawl scale) through ONE window task.
+      // PageRank only needs stable, distinct Long keys — ranks are
+      // invariant under any bijective relabeling, so the oracle's
+      // dense row_number ids replay the identical (source,
+      // rank_micro) table as long as the hash is collision-free on
+      // the domain set. That precondition is guarded IN-PLAN (the
+      // ADC-codebook discipline): the map is built as a groupBy on
+      // the hash, and a bucket holding two distinct sources raises
+      // loudly instead of silently merging their rank mass.
       val nodeMap = d.select(col("source")).distinct()
-        .select(col("source"),
-          (row_number().over(Window.orderBy(col("source"))) - 1)
-            .cast("long").as("_node"))
+        .withColumn("_node", xxhash64(col("source")))
+        .groupBy(col("_node"))
+        .agg(min(col("source")).as("_src1"), count(lit(1)).as("_nc"))
+        .select(when(col("_nc") === 1, col("_src1"))
+          .otherwise(raise_error(concat(
+            lit("q151: xxhash64 collision on source domain "),
+            col("_src1")))).as("source"),
+          col("_node"))
       val edges = d.select(col("doc_id"), col("source").as("_sa"))
         .join(d.select((col("doc_id") - 1).as("doc_id"),
           col("source").as("_sb")), "doc_id")
@@ -3787,8 +3810,15 @@ object Catalog {
         .join(broadcast(nodeMap.select(col("source").as("_sb"),
           col("_node").as("dst"))), "_sb")
         .select(col("src"), col("dst"))
+      // ShuffleBarrier, not the default LocalCheckpoint: this catalog
+      // query RETURNS the composition lazily, so a checkpoint's
+      // blocks (per-round rank state AND the final ranks) could
+      // never be released and would pin storage for the session's
+      // lifetime. With 3 rounds the barrier lineage is shallow, and
+      // every intermediate lives in ContextCleaner-reclaimed shuffle
+      // files instead.
       val ranks = GraphOps.pageRankFixedPoint(edges, "src", "dst",
-        iters = 3)
+        iters = 3, cp = graft.ext.ShuffleBarrier)
       val domainRanks = nodeMap
         .join(ranks, nodeMap("_node") === ranks("node"))
         .select(col("source"), col("rank_micro"))
