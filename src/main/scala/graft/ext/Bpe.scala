@@ -41,6 +41,31 @@ object Bpe {
   private[graft] def hasPair(sym: Column, l: String, r: String): Column =
     hasPair(sym, lit(l), lit(r))
 
+  /** Unsigned-lexicographic UTF-8 byte order — the ONE string order
+    * every engine agrees on (Spark's UTF8String binary comparison,
+    * DuckDB's ORDER BY, a byte-wise memcmp anywhere). Java's natural
+    * String order compares UTF-16 code units instead, and the two
+    * DISAGREE precisely where it bites a tokenizer: a
+    * supplementary-plane symbol (emoji — surrogates D800..DFFF) sorts
+    * BELOW a BMP symbol ≥ U+E000 in UTF-16 but ABOVE all of the BMP
+    * in UTF-8. A pair-count tie broken with String order would pick a
+    * different merge than the q147/q148 oracles and diverge the
+    * entire subsequent merge list, so the driver argmax tie-break
+    * goes through this instead. */
+  private[graft] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val xi = x(i) & 0xff
+      val yi = y(i) & 0xff
+      if (xi != yi) return xi < yi
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Full weighted pair count over a word table — run ONCE at
     * initialization; every later round maintains it by delta. */
   private[graft] def fullPairCounts(words: DataFrame): DataFrame =
@@ -63,8 +88,11 @@ object Bpe {
     * DRIVER memory: its cardinality is bounded by the distinct
     * adjacent symbol pairs of the vocabulary (≈ alphabet² + O(k) new
     * symbols' neighborhoods — millions at web scale, never
-    * corpus-proportional), which makes the per-round argmax (ties:
-    * count desc, then pair lexicographic — pinned so any engine
+    * corpus-proportional, and guarded by `maxPairs` against the
+    * CJK-alphabet worst case where alphabet² outgrows the driver
+    * heap), which makes the per-round argmax (ties: count desc, then
+    * pair UTF-8-byte lexicographic — the order Spark's binary string
+    * comparison and DuckDB's ORDER BY share, pinned so any engine
     * replays the exact merge list) a free in-memory scan instead of a
     * sort job. Per round the cluster runs exactly TWO jobs — the
     * affected-slice delta and the word-table cut (map-only merge
@@ -84,29 +112,64 @@ object Bpe {
     * Returns (rank, left, right, pair_count) — the ordered merge
     * list, i.e. the trained tokenizer. */
   def train(docs: DataFrame, textCol: String, k: Int,
-      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+      cp: Checkpointer = LocalCheckpoint,
+      maxPairs: Int = 8 << 20): DataFrame = {
     require(k >= 1)
+    require(maxPairs >= 1)
     val spark = docs.sparkSession
     var words = cp.cut(docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("_w"))
       .groupBy(col("_w")).agg(count(lit(1)).as("_n"))
       .select(codePointSyms(col("_w")).as("_sym"), col("_n")))
-    // driver-resident pair table (bounded — see scaladoc), seeded by
-    // the one and only full pair aggregation
+    // driver-resident pair table, seeded by the one and only full
+    // pair aggregation. Its cardinality is bounded by the distinct
+    // adjacent symbol pairs of the vocabulary — ≈ alphabet² + O(k)
+    // merged-symbol neighborhoods. For ASCII-ish corpora that is
+    // thousands of entries; a CJK-heavy corpus has ~10⁴ base symbols
+    // and can observe ~10⁸ pairs, PAST what a driver heap holds. The
+    // guard makes that a loud failure instead of a driver OOM
+    // mid-job: `maxPairs` defaults to 8M entries (~1 GB of boxed
+    // tuples — within a production driver, far below the CJK worst
+    // case), checked STREAMING during the seed (toLocalIterator pulls
+    // partition-by-partition, so the bound trips before the heap
+    // fills) and after every round's delta fold.
+    def guard(n: Int): Unit = require(n <= maxPairs,
+      s"BPE pair table exceeds maxPairs=$maxPairs (alphabet too large " +
+        "for driver-resident counts — e.g. a CJK-heavy corpus at " +
+        "alphabet^2 pairs). Shrink the alphabet (byte-level pre-split) " +
+        "or raise maxPairs on a bigger driver.")
     val pairCounts =
       scala.collection.mutable.HashMap.empty[(String, String), Long]
-    fullPairCounts(words).collect().foreach { row =>
-      pairCounts((row.getString(0), row.getString(1))) = row.getLong(2)
-    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // release the word-table cut on EVERY exit path — a guard trip
+    // mid-training must not leave blocks pinned in a shared session
+    try {
+    val seed = fullPairCounts(words).toLocalIterator()
+    while (seed.hasNext) {
+      val row = seed.next()
+      pairCounts((row.getString(0), row.getString(1))) = row.getLong(2)
+      guard(pairCounts.size)
+    }
     var r = 1
     var exhausted = false
     while (r <= k && !exhausted) {
       if (pairCounts.isEmpty) exhausted = true
       else {
-        val ((l, rt), cnt) = pairCounts.minBy { case ((pl, pr), c) =>
-          (-c, pl, pr)
+        // argmax by (count desc, l, r) with ties in UTF-8 byte order
+        // (see utf8Less) — a Scala tuple minBy would compare strings
+        // by UTF-16 code units and diverge from the oracles' ORDER BY
+        // on astral-vs-BMP(≥U+E000) ties
+        var best: ((String, String), Long) = null
+        pairCounts.foreach { e =>
+          if (best == null) best = e
+          else {
+            val ((bl, br), bc) = best
+            val ((pl, pr), c) = e
+            if (c > bc || (c == bc && (utf8Less(pl, bl) ||
+                (pl == bl && utf8Less(pr, br))))) best = e
+          }
         }
+        val ((l, rt), cnt) = best
         merges += Row(r, l, rt, cnt)
         val mergedSym = graft.functions.VectorFunctions.bpeMerge(
           col("_sym"), lit(l), lit(rt))
@@ -142,6 +205,7 @@ object Bpe {
           val nv = pairCounts.getOrElse(key, 0L) + row.getLong(2)
           if (nv > 0) pairCounts(key) = nv else pairCounts.remove(key)
         }
+        guard(pairCounts.size)
         // one unconditional kernel pass over the word table (a no-op
         // copy for unaffected words — cheaper than guarding with a
         // per-row pair-existence test), cut EVERY round: a deferred
@@ -155,7 +219,7 @@ object Bpe {
         r += 1
       }
     }
-    cp.release(words)
+    } finally cp.release(words)
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1),
       StructType(Seq(

@@ -44,6 +44,62 @@ class Round8PlanShapeSpec extends SparkSpec {
       "q151/q83 must not pin blocks a lazy catalog frame cannot release")
   }
 
+  test("bpe tie-break is UTF-8 byte order: an astral-plane symbol loses " +
+      "a count tie to U+E000 (UTF-16 tuple order would pick the emoji)") {
+    import spark.implicits._
+    // one occurrence each: pair (U+1F600 emoji, a) vs pair (U+E000,
+    // b). In UTF-16, the surrogate D83D sorts below E000 -> Java
+    // tuple order would merge the emoji pair first; in UTF-8
+    // (F0 9F 98 80 vs EE 80 80) the emoji sorts ABOVE all of the
+    // BMP -> the oracles' ORDER BY l, r picks (U+E000, b). The merge
+    // list must follow UTF-8 or every later round diverges.
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    val corpus = Seq((1L, s"${emoji}a ${pua}b")).toDF("doc_id", "text")
+    val m = graft.ext.Bpe.train(corpus, "text", k = 1).collect()
+    assert(m.length == 1)
+    assert(m(0).getString(1) == pua && m(0).getString(2) == "b",
+      s"tie resolved to (${m(0).getString(1)}, ${m(0).getString(2)}) " +
+        "- not the UTF-8-least pair")
+  }
+
+  test("bpe pair-table guard fires loudly when the alphabet's pair " +
+      "cardinality exceeds maxPairs, instead of exhausting the driver") {
+    import spark.implicits._
+    // 12 distinct symbols in one word → 11 distinct adjacent pairs
+    val corpus = Seq((1L, "abcdefghijkl")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Bpe.train(corpus, "text", k = 1, maxPairs = 4)
+    }
+    assert(e.getMessage.contains("maxPairs"),
+      s"guard message must name the bound: ${e.getMessage}")
+    // and the same corpus trains fine when the bound accommodates it
+    assert(graft.ext.Bpe.train(corpus, "text", k = 1, maxPairs = 64)
+      .collect().length == 1)
+  }
+
+  test("q157 fertility drops a zero-token language entirely (no NaN " +
+      "row) — engine mirrors the oracle's tokens-join semantics") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q157nan").toString
+    // language "zz" has only empty/whitespace docs → zero tokens:
+    // the oracle's tokens-join drops it, so the engine must too —
+    // an (n_bpe_tokens=0, n_words=0, fertility=NaN) row would
+    // hash-mismatch on exactly this fixture
+    Seq((1L, "the cat sat", "en", "a.com"),
+        (2L, "le chat", "fr", "b.com"),
+        (3L, "", "zz", "c.com"),
+        (4L, "   ", "zz", "c.com"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Catalog.all.find(_.name == "q157_fertility").get
+      .fn(spark, dir).collect()
+    val langs = out.map(_.getString(0)).toSet
+    assert(langs == Set("en", "fr"), s"got $langs")
+    assert(out.forall(r => !r.getDouble(3).isNaN && r.getLong(2) > 0),
+      "fertility must never divide by zero")
+  }
+
   test("quotaSelect barrier shape: the corpus is shuffled+sorted exactly " +
       "once (the REPARTITION_BY_COL barrier under the rank window); every " +
       "other (dom,_bkt) exchange ships only post-partial-agg sliver rows") {
