@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, GraphOps, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, GraphOps, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis, Unigram}
 import graft.ops.{Cdc, Normalize, PartitionKeys, Profiling, SemiJoins}
 import graft.schema.TableSpec
 import graft.streaming.EventsStream
@@ -4097,6 +4097,120 @@ object Catalog {
       JOIN documents dm ON dm.doc_id = e.doc_id
       GROUP BY dm.lang"""))
 
+  /** Shared oracle CTEs for the unigram-family tokenizer (q158/q161):
+    * replays [[Unigram.train]] round by round — substring candidate
+    * seeding (weighted freq ≥ minCount, chars exempt), greedy
+    * maximal-munch segmentation as a recursive CTE (longest piece at
+    * each position via the NOT EXISTS longer-match guard), hard-EM
+    * usage pruning (top-T multi-char by usage desc / piece asc —
+    * DuckDB's ORDER BY is the same UTF-8 byte order as Spark's binary
+    * string comparison), and the final scoring pass. The vocabulary
+    * CTEs are MATERIALIZED: DuckDB inlines plain CTEs into the
+    * recursive term, where the correlated NOT EXISTS over an inlined
+    * union+limit misplans and matches nothing. `includeWc` lets q161
+    * share the `wc` word-count CTE with the BPE round CTEs. */
+  private def unigramCtes(maxPieceLen: Int = 4, minCount: Long = 2L,
+      topPieces: Int = 12, includeWc: Boolean = true): String = {
+    def seg(name: String, vocab: String): String =
+      s"""$name AS (
+        WITH RECURSIVE s AS (
+          SELECT w, n, 1 AS pos, CAST(NULL AS VARCHAR) AS piece FROM wc
+          UNION ALL
+          SELECT s.w, s.n, s.pos + len(v.piece), v.piece
+          FROM s JOIN $vocab v ON v.piece = s.w[s.pos:s.pos+len(v.piece)-1]
+          WHERE s.pos <= len(s.w)
+            AND NOT EXISTS (SELECT 1 FROM $vocab v2
+              WHERE len(v2.piece) > len(v.piece)
+                AND v2.piece = s.w[s.pos:s.pos+len(v2.piece)-1])
+        ) SELECT w, n, piece FROM s WHERE piece IS NOT NULL)"""
+    val wc = if (includeWc)
+      """WITH wc AS (SELECT tok AS w, count(*) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> len(x) > 0)) AS tok FROM documents) z GROUP BY tok),
+      """
+    else ""
+    s"""$wc
+      uchars AS (SELECT DISTINCT
+          unnest([w[i:i] FOR i IN range(1, len(w)+1)]) AS piece FROM wc),
+      ucand AS (SELECT piece FROM (
+          SELECT unnest(flatten([[w[i:i+l-1] FOR i IN range(1, len(w)-l+2)]
+            FOR l IN range(2, least($maxPieceLen, len(w))+1)])) AS piece, n
+          FROM wc) z
+        GROUP BY piece HAVING sum(n) >= $minCount),
+      uv0 AS MATERIALIZED (SELECT piece FROM uchars
+        UNION SELECT piece FROM ucand),
+      ${seg("useg1", "uv0")},
+      uu1 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS usage
+        FROM useg1 GROUP BY piece),
+      uv1 AS MATERIALIZED (SELECT piece FROM uchars
+        UNION SELECT piece FROM (
+          SELECT u.piece AS piece FROM uu1 u
+          WHERE len(u.piece) > 1 AND u.usage > 0
+          ORDER BY u.usage DESC, u.piece ASC LIMIT $topPieces) z),
+      ${seg("useg2", "uv1")},
+      uu2 AS (SELECT piece, CAST(sum(n) AS BIGINT) AS usage
+        FROM useg2 GROUP BY piece)"""
+  }
+
+  /** Unigram-family tokenizer training ([[Unigram.train]]): the
+    * SentencePiece-family counterpart to q147's BPE, with greedy
+    * maximal-munch segmentation and hard-EM frequency pruning in
+    * place of float Viterbi/EM so every round replays bit-exactly in
+    * the oracle (integer counts + UTF-8 tie order only). Output: the
+    * final vocabulary scored by the last segmentation round. */
+  private val q158 = Q("q158_unigram_train",
+    (s, dir) => Unigram.train(t(s, dir, "documents"), "text"),
+    Some(unigramCtes() + """
+      SELECT v.piece AS piece, CAST(len(v.piece) AS INT) AS piece_len,
+        CAST(coalesce(u.usage, 0) AS BIGINT) AS usage
+      FROM uv1 v LEFT JOIN uu2 u ON v.piece = u.piece"""))
+
+  /** Tokenizer decision dashboard: BPE (q147's k=8 merge list) vs
+    * unigram (q158's pruned vocabulary) fertility side by side, per
+    * language, on the same corpus — the comparison a tokenizer
+    * choice actually uses. Both trainings, both encodes, and the
+    * per-language rollup replay in the oracle (the two CTE families
+    * share the `wc` word table). */
+  private val q161 = Q("q161_tokenizer_compare",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.train(d, "text", k = 8)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val bpe = graft.ext.Bpe.encodeTokenCounts(d, "text", "doc_id", merges)
+      val vocab = Unigram.train(d, "text").collect()
+        .map(_.getString(0)).toSeq
+      val uni = Unigram.encodeTokenCounts(d, "text", "doc_id", vocab)
+      bpe.join(uni, "doc_id")
+        .join(d.select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("_nw")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("_nw")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(col("n_uni_tokens")).as("n_uni_tokens"))
+        .withColumn("bpe_fertility",
+          col("n_bpe_tokens") * lit(1.0) / col("n_words"))
+        .withColumn("uni_fertility",
+          col("n_uni_tokens") * lit(1.0) / col("n_words"))
+    },
+    Some(bpeRoundsCtes(8) + "," + unigramCtes(includeWc = false) + """,
+      uwpc AS (SELECT w, CAST(count(*) AS BIGINT) AS p
+        FROM useg2 GROUP BY w)
+      SELECT dm.lang,
+        CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(len(w8.a)) AS BIGINT) AS n_bpe_tokens,
+        CAST(sum(u.p) AS BIGINT) AS n_uni_tokens,
+        CAST(sum(len(w8.a)) AS DOUBLE) / count(*) AS bpe_fertility,
+        CAST(sum(u.p) AS DOUBLE) / count(*) AS uni_fertility
+      FROM (SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> len(x) > 0)) AS tok
+        FROM documents) e
+      JOIN w8 ON e.tok = w8.w
+      JOIN uwpc u ON e.tok = u.w
+      JOIN documents dm ON dm.doc_id = e.doc_id
+      GROUP BY dm.lang"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -4119,5 +4233,5 @@ object Catalog {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156, q157)
+    q155, q156, q157, q158, q161)
 }

@@ -100,6 +100,38 @@ class Round8PlanShapeSpec extends SparkSpec {
       "fertility must never divide by zero")
   }
 
+  test("unigram train: maximal munch picks longest pieces, prune keeps " +
+      "chars + top multi-char by usage, scores come from the final round") {
+    import spark.implicits._
+    // wc: abab x2, cd x1. Candidates (weighted freq >= 2): ab, ba,
+    // aba, bab, abab (cd occurs once -> dropped). Round 1 munches
+    // abab -> [abab], cd -> [c, d]; prune keeps the one used
+    // multi-char piece; round 2 scores.
+    val docs = Seq((1L, "abab cd"), (2L, "abab")).toDF("doc_id", "text")
+    val out = graft.ext.Unigram.train(docs, "text").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out.keySet == Set("a", "b", "c", "d", "abab"), s"got $out")
+    assert(out("abab") == (4, 2L))
+    assert(out("c") == (1, 1L) && out("d") == (1, 1L))
+    assert(out("a") == (1, 0L) && out("b") == (1, 0L),
+      "chars absorbed into abab must survive pruning with usage 0")
+  }
+
+  test("unigram encode: out-of-vocabulary positions fall back to " +
+      "single-char unknown pieces, zero-token docs produce no row") {
+    import spark.implicits._
+    val docs = Seq((1L, "abx zz"), (2L, "ab ab"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val out = graft.ext.Unigram.encodeTokenCounts(docs, "text", "doc_id",
+      Seq("ab")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // abx = ab + x(unk) = 2; zz = 2 unks; doc2 = ab + ab = 2
+    assert(out == Map(1L -> 4L, 2L -> 2L), s"got $out")
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+        .subsetOf(pinnedBefore),
+      "encode must stay storage-free (ShuffleBarrier, not checkpoints)")
+  }
+
   test("quotaSelect barrier shape: the corpus is shuffled+sorted exactly " +
       "once (the REPARTITION_BY_COL barrier under the rank window); every " +
       "other (dom,_bkt) exchange ships only post-partial-agg sliver rows") {
