@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, GraphOps, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis, Unigram}
+import graft.ext.{Dedup, GraphOps, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis, Unigram, Urls}
 import graft.ops.{Cdc, Normalize, PartitionKeys, Profiling, SemiJoins}
 import graft.schema.TableSpec
 import graft.streaming.EventsStream
@@ -4165,6 +4165,140 @@ object Catalog {
         CAST(coalesce(u.usage, 0) AS BIGINT) AS usage
       FROM uv1 v LEFT JOIN uu2 u ON v.piece = u.piece"""))
 
+  /** Incremental PageRank maintenance — the daily-refresh authority
+    * pipeline a crawl actually runs: rank the base graph (3 exact
+    * rounds), a day of new edges arrives (the orderkey%10 slice — the
+    * deterministic stand-in for the link extractor's delta), resume
+    * ONE round over the updated graph from the stored fixed point
+    * ([[GraphOps.pageRankFixedPoint]]'s `initRanks` warm start; nodes
+    * first seen in the delta enter at the cold 1e6). Both phases —
+    * the base trajectory and the warm resumed round — replay in the
+    * oracle. ShuffleBarrier throughout: the catalog returns the
+    * composition lazily, so no phase may pin storage. */
+  private val q159 = Q("q159_pagerank_incremental",
+    (s, dir) => {
+      def edges(filtered: Boolean) = {
+        val j = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+        (if (filtered) j.filter(col("o_orderkey") % 10 =!= 0) else j)
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+      }
+      val stored = GraphOps.pageRankFixedPoint(edges(filtered = true),
+        "src", "dst", iters = 3, cp = graft.ext.ShuffleBarrier)
+      GraphOps.pageRankFixedPoint(edges(filtered = false), "src", "dst",
+        iters = 1, cp = graft.ext.ShuffleBarrier,
+        initRanks = Some(stored))
+    },
+    Some {
+      def iterSql(e: String, nodes: String, deg: String,
+          prev: String, out: String): String =
+        s"""$out AS (SELECT $nodes.n,
+            CAST(150000 + coalesce(x.s, 0) AS BIGINT) AS r
+          FROM $nodes LEFT JOIN (
+            SELECT $e.dst AS n,
+              CAST(sum((r.r * 850000) // ($deg.d * 1000000)) AS BIGINT) AS s
+            FROM $e JOIN $prev r ON r.n = $e.src
+            JOIN $deg ON $deg.src = $e.src
+            GROUP BY $e.dst) x ON $nodes.n = x.n)"""
+      s"""WITH eb AS (SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 10 <> 0),
+      nb AS (SELECT src AS n FROM eb UNION SELECT dst FROM eb),
+      degb AS (SELECT src, count(*) AS d FROM eb GROUP BY src),
+      b0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nb),
+      ${iterSql("eb", "nb", "degb", "b0", "b1")},
+      ${iterSql("eb", "nb", "degb", "b1", "b2")},
+      ${iterSql("eb", "nb", "degb", "b2", "b3")},
+      ef AS (SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nf AS (SELECT src AS n FROM ef UNION SELECT dst FROM ef),
+      degf AS (SELECT src, count(*) AS d FROM ef GROUP BY src),
+      f0 AS (SELECT nf.n, CAST(coalesce(b3.r, 1000000) AS BIGINT) AS r
+        FROM nf LEFT JOIN b3 ON nf.n = b3.n),
+      ${iterSql("ef", "nf", "degf", "f0", "f1")}
+      SELECT n AS node, r AS rank_micro FROM f1"""
+    })
+
+  /** URL canonicalization + URL-level dedup ([[Urls.canonicalDedup]]):
+    * the crawl-dedup stage that precedes content hashing. The fixture
+    * derives four deterministic messy spellings per page id from
+    * (doc_id, source) — uppercase scheme/host + default port + www +
+    * unsorted query + fragment vs their clean twins — so each rule of
+    * the canonicalizer is load-bearing: ids 4k/4k+1 collapse to one
+    * http URL, 4k+2/4k+3 to one https URL. The oracle replays the
+    * derivation AND every normalization rule. */
+  private val q160 = Q("q160_url_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val page = (col("doc_id") / 4).cast("long")
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://WWW."), upper(col("source")),
+            lit(".COM:80/Pg/"), page, lit("/?b=2&a=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://"), col("source"),
+            lit(".com/Pg/"), page, lit("?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("HTTPS://"), upper(col("source")),
+            lit(".com:443/Pg/"), page, lit("/ix.html#x")))
+        .otherwise(
+          concat(lit("https://"), col("source"),
+            lit(".com/Pg/"), page, lit("/ix.html")))
+      Urls.canonicalDedup(d.select(col("doc_id"), url.as("url")),
+        "url", "doc_id")
+    },
+    Some("""WITH u AS (SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'HTTP://WWW.' || upper(source)
+            || '.COM:80/Pg/' || (doc_id // 4) || '/?b=2&a=1#frag'
+          WHEN 1 THEN 'http://' || source
+            || '.com/Pg/' || (doc_id // 4) || '?a=1&b=2'
+          WHEN 2 THEN 'HTTPS://' || upper(source)
+            || '.com:443/Pg/' || (doc_id // 4) || '/ix.html#x'
+          ELSE 'https://' || source
+            || '.com/Pg/' || (doc_id // 4) || '/ix.html'
+        END AS url
+        FROM documents),
+      c AS (SELECT doc_id,
+        lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag
+          FROM u)),
+      p AS (SELECT doc_id, scheme, rest,
+        regexp_extract(rest, '^([^/?]*)', 1) AS hostport
+        FROM c),
+      q AS (SELECT doc_id, scheme,
+        regexp_replace(
+          lower(regexp_replace(hostport, ':[0-9]+$', '')),
+          '^www\.', '') AS host,
+        regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        substr(rest, len(hostport) + 1) AS afterhost
+        FROM p),
+      r AS (SELECT doc_id, scheme, host,
+        CASE WHEN port = '' THEN ''
+          WHEN scheme = 'http' AND port = '80' THEN ''
+          WHEN scheme = 'https' AND port = '443' THEN ''
+          ELSE ':' || port END AS portpart,
+        CASE WHEN regexp_replace(
+            regexp_extract(afterhost, '^([^?]*)', 1), '/+$', '') = ''
+          THEN '/'
+          ELSE regexp_replace(
+            regexp_extract(afterhost, '^([^?]*)', 1), '/+$', '') END
+          AS path,
+        CASE WHEN regexp_extract(afterhost, '\?(.*)$', 1) = '' THEN ''
+          ELSE '?' || array_to_string(list_sort(string_split(
+            regexp_extract(afterhost, '\?(.*)$', 1), '&')), '&') END
+          AS querypart
+        FROM q)
+      SELECT scheme || '://' || host || portpart || path || querypart
+          AS canon_url,
+        min(doc_id) AS keeper_id, count(*) AS n_copies
+      FROM r GROUP BY 1"""))
+
   /** Tokenizer decision dashboard: BPE (q147's k=8 merge list) vs
     * unigram (q158's pruned vocabulary) fertility side by side, per
     * language, on the same corpus — the comparison a tokenizer
@@ -4233,5 +4367,5 @@ object Catalog {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156, q157, q158, q161)
+    q155, q156, q157, q158, q159, q160, q161)
 }

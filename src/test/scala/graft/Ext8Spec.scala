@@ -132,6 +132,26 @@ class Round8PlanShapeSpec extends SparkSpec {
       "encode must stay storage-free (ShuffleBarrier, not checkpoints)")
   }
 
+  test("url canonicalizer: each rule fires — case, default/custom port, " +
+      "www, trailing slash, query sort, fragment, bare host") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://WWW.Ex.COM:80/A/?b=2&a=1#f", "http://ex.com/A?a=1&b=2"),
+      ("http://ex.com/A?a=1&b=2",          "http://ex.com/A?a=1&b=2"),
+      ("https://Ex.com:443/x/",            "https://ex.com/x"),
+      ("https://ex.com:8443/x",            "https://ex.com:8443/x"),
+      ("http://ex.com:8080/",              "http://ex.com:8080/"),
+      ("http://www.ex.com",                "http://ex.com/"),
+      ("http://ex.com///",                 "http://ex.com/"))
+    val out = cases.map(_._1).toDF("url")
+      .select(graft.ext.Urls.canonicalize(org.apache.spark.sql.functions
+        .col("url")).as("c"))
+      .collect().map(_.getString(0))
+    cases.zip(out).foreach { case ((in, want), got) =>
+      assert(got == want, s"canonicalize($in) = $got, want $want")
+    }
+  }
+
   test("quotaSelect barrier shape: the corpus is shuffled+sorted exactly " +
       "once (the REPARTITION_BY_COL barrier under the rank window); every " +
       "other (dom,_bkt) exchange ships only post-partial-agg sliver rows") {
