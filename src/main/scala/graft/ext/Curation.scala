@@ -57,6 +57,21 @@ object Curation {
     * and ReuseExchange serves all of them from one map stage); a
     * localCheckpoint here would pin corpus blocks a lazily-returned
     * DataFrame can never release. */
+  /** The MAP-ONLY curation kernel: Gopher quality gate
+    * ([[TextAnalysis.gopherKeep]]) then PII redaction
+    * ([[TextAnalysis.piiRedact]]) — no shuffle, no state, no
+    * cross-document dependency, which is exactly what lets ONE
+    * definition serve the batch backfill and the live streaming feed
+    * ([[graft.streaming.CurationStream]]): a partition of the input
+    * produces the corresponding partition of the output, so N
+    * micro-batches over a split of the corpus union to the batch
+    * run's rows bit-for-bit (spec-pinned). Returns
+    * (idCol, clean_text, n_emails, n_ips, n_phones) for survivors. */
+  def gateAndRedact(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    TextAnalysis.piiRedact(
+      docs.filter(TextAnalysis.gopherKeep(col(textCol))), textCol, idCol)
+
   def ccnetCurate(docs: DataFrame, textCol: String, idCol: String,
       langCol: String, minDocFreq: Int = 3, headFrac: Double = 0.1,
       midFrac: Double = 0.3): DataFrame = {

@@ -129,13 +129,16 @@ object TextAnalysis {
     * symbol_word_ratio < 0.1, frac_bullet_lines < 0.9,
     * frac_ellipsis_lines < 0.3, frac_alpha_words ≥ 0.8,
     * n_stop_hits ≥ 2, dup_line_frac < 0.3. */
-  def gopherQualityFlags(docs: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
+  /** The Gopher signal set of a text column, as named Columns —
+    * shared by [[gopherQualityFlags]] (the per-signal dashboard) and
+    * [[gopherKeep]] (the bare gate predicate for map-only filter
+    * composition, e.g. the streaming curation stage). */
+  private def gopherSignals(text: Column): Seq[(String, Column)] = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have",
       "with")
-    val ws = tokens(col(textCol))
+    val ws = tokens(text)
     val lw = transform(ws, w => lower(w))
-    val ls = filter(transform(split(col(textCol), "\n", -1),
+    val ls = filter(transform(split(text, "\n", -1),
       l => trim(l)), l => length(l) > 0)
     def ratio(num: Column, den: Column): Column =
       when(den === 0, lit(0.0)).otherwise(num * lit(1.0) / den)
@@ -149,24 +152,45 @@ object TextAnalysis {
       when(array_contains(lw, s), lit(1)).otherwise(lit(0)))
       .reduce(_ + _).cast("long")
     val fracBullet = ratio(size(filter(ls, l =>
-      l.substr(lit(1), lit(1)).isin("-", "*", "•"))), nLines)
+      l.substr(lit(1), lit(1)).isin("-", "*", "\u2022"))), nLines)
     val fracEllipsis = ratio(size(filter(ls, l =>
-      l.endsWith("...") || l.endsWith("…"))), nLines)
+      l.endsWith("...") || l.endsWith("\u2026"))), nLines)
     val dupLine = ratio(nLines - size(array_distinct(ls)), nLines)
-    val nHash = length(col(textCol)) -
-      length(regexp_replace(col(textCol), "#", ""))
-    val nEll = ((length(col(textCol)) -
-      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3)
+    val nHash = length(text) -
+      length(regexp_replace(text, "#", ""))
+    val nEll = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3)
       .cast("long")
     val symbolRatio = ratio(nHash + nEll, nWords)
-    docs.select(col(idCol), nWords.cast("long").as("n_words"),
-        meanLen.as("mean_word_len"),
-        fracAlpha.as("frac_alpha_words"),
-        stopHits.as("n_stop_hits"),
-        fracBullet.as("frac_bullet_lines"),
-        fracEllipsis.as("frac_ellipsis_lines"),
-        dupLine.as("dup_line_frac"),
-        symbolRatio.as("symbol_word_ratio"))
+    Seq("n_words" -> nWords.cast("long"),
+      "mean_word_len" -> meanLen,
+      "frac_alpha_words" -> fracAlpha,
+      "n_stop_hits" -> stopHits,
+      "frac_bullet_lines" -> fracBullet,
+      "frac_ellipsis_lines" -> fracEllipsis,
+      "dup_line_frac" -> dupLine,
+      "symbol_word_ratio" -> symbolRatio)
+  }
+
+  /** The published Gopher keep conjunction as a bare Column predicate
+    * over the signals — MAP-ONLY, so it composes into filters,
+    * streams, and the foreachBatch curation stage unchanged. */
+  def gopherKeep(text: Column): Column = {
+    val sig = gopherSignals(text).toMap
+    sig("n_words") >= 50 && sig("n_words") <= 100000 &&
+      sig("mean_word_len") >= 3.0 && sig("mean_word_len") <= 10.0 &&
+      sig("symbol_word_ratio") < 0.1 &&
+      sig("frac_bullet_lines") < 0.9 &&
+      sig("frac_ellipsis_lines") < 0.3 &&
+      sig("frac_alpha_words") >= 0.8 &&
+      sig("n_stop_hits") >= 2 &&
+      sig("dup_line_frac") < 0.3
+  }
+
+  def gopherQualityFlags(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol) +: gopherSignals(col(textCol)).map {
+        case (n, c) => c.as(n) }: _*)
       .withColumn("keep",
         col("n_words") >= 50 && col("n_words") <= 100000 &&
         col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
@@ -176,7 +200,6 @@ object TextAnalysis {
         col("frac_alpha_words") >= 0.8 &&
         col("n_stop_hits") >= 2 &&
         col("dup_line_frac") < 0.3)
-  }
 
   /** Top word-n-gram repetition (the remaining Gopher repetition
     * family, Rae et al. 2021 A1.1: "fraction of characters in the

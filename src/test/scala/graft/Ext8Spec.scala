@@ -152,6 +152,59 @@ class Round8PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("streaming curation: N micro-batches == the batch gateAndRedact " +
+      "run row-for-row, and a replayed batchId leaves the area unchanged") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    import spark.implicits._
+    // purpose-built corpus: the testdata fixture never passes the
+    // Gopher gate (synthetic vocab has no stopwords), so the gate
+    // would be vacuous on it. Even ids pass (>=50 words, stopwords,
+    // alpha-heavy) and carry PII to redact; odd ids are too short
+    // and must be dropped — the gate is load-bearing both ways.
+    val sentence = "the quick brown fox jumps over that lazy dog " +
+      "and then runs back with great speed to the warm den again "
+    val docs = (0L until 60L).map { i =>
+      val text =
+        if (i % 2 == 0) (sentence * 3) +
+          s"mail bob$i@example.com code 1234567$i end"
+        else s"tiny doc $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val landing = tmpDir("curlanding")
+    val outDir = tmpDir("curout")
+    val ckpt = tmpDir("curckpt")
+    docs.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(landing)
+    val src = spark.readStream
+      .schema(spark.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+    val q = graft.streaming.CurationStream.start(src, "text", "doc_id",
+      outDir, ckpt)
+    q.awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(concat_ws("|", col("doc_id"), col("clean_text"),
+        col("n_emails"), col("n_ips"), col("n_phones")))
+        .collect().map(_.getString(0)).toSet
+    val streamed = spark.read.parquet(outDir)
+    val batch = graft.ext.Curation.gateAndRedact(docs, "text", "doc_id")
+    assert(rows(streamed) == rows(batch),
+      "micro-batched curation must union to the batch run exactly")
+    assert(rows(streamed).nonEmpty, "gate kept nothing — fixture broken")
+    // foreachBatch replay: same rows under the SAME batchId (the
+    // checkpoint pins offsets per batch) — the batchId-keyed
+    // overwrite must converge, not append duplicates
+    val batch0 = spark.read.parquet(s"$landing")
+      .orderBy(col("doc_id")).limit(50)
+    graft.streaming.CurationStream.writeFragment(batch0, 999L,
+      "text", "doc_id", outDir)
+    val once = rows(spark.read.parquet(outDir))
+    graft.streaming.CurationStream.writeFragment(batch0, 999L,
+      "text", "doc_id", outDir)
+    assert(rows(spark.read.parquet(outDir)) == once,
+      "replaying a batchId must leave the curated area unchanged")
+  }
+
   test("quotaSelect barrier shape: the corpus is shuffled+sorted exactly " +
       "once (the REPARTITION_BY_COL barrier under the rank window); every " +
       "other (dom,_bkt) exchange ships only post-partial-agg sliver rows") {
