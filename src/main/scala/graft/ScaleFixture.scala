@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Deterministic scale-up generator for the documents/embeddings
+  * fixture family — the input for the two-point scaling probe
+  * ([[ScaleProbe]]): `/root/testdata` is read-only and tops out at
+  * sf0.1, so larger inputs are generated locally with the same
+  * schemas and distribution family (30-word vocabulary, 10..100-word
+  * docs, 5 language codes, 20 sources, every 25th doc an exact
+  * duplicate of its predecessor so the dedup family has real work;
+  * 64-dim ~uniform[-0.5,0.5] embeddings, labels 0..9). All values
+  * derive from splitmix64 of the row id — no RNG state, so any row
+  * count reproduces bit-identically, distributed or local.
+  *
+  * Usage: ScaleFixture <outDir> <nDocs> <nVecs> */
+object ScaleFixture {
+
+  /** splitmix64 — the standard 64-bit finalizer (public domain,
+    * Steele et al.); pure function of the input, no stream state. */
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  private val vocab = Array("spark", "window", "merge", "table",
+    "column", "vector", "stream", "value", "data", "small", "join",
+    "filter", "big", "group", "hash", "customer", "sort", "order",
+    "slow", "line", "part", "fast", "row", "the", "agg", "key",
+    "query", "a", "scan", "batch")
+  private val langs = Array("en", "de", "fr", "es", "zh")
+
+  def docText(id: Long): String = {
+    val h0 = mix(id * 2654435761L + 1)
+    val n = 10 + (Math.floorMod(h0, 91L)).toInt
+    val sb = new StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(vocab(Math.floorMod(mix(h0 + i), vocab.length.toLong).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def docRow(id: Long): Row = {
+    // every 25th doc repeats its predecessor's text: exact-dup and
+    // fingerprint work at the fixture's density
+    val text = if (id % 25 == 0 && id > 0) docText(id - 1) else docText(id)
+    val h = mix(id)
+    Row(id, text, langs(Math.floorMod(h, 5L).toInt),
+      "src" + Math.floorMod(h >>> 8, 20L), text.length.toLong)
+  }
+
+  def vecRow(id: Long): Row = {
+    // 10 label-centered clusters + noise, mirroring the fixture's
+    // structure (uniform vectors degenerate quantizer training — the
+    // in-plan codebook guard rightly rejects a collapsed codebook)
+    val label = Math.floorMod(mix(id + 7L), 10L).toInt
+    val emb = Array.tabulate(64) { j =>
+      val center =
+        (Math.floorMod(mix(label * 64L + j + 13L), 1000000L).toFloat /
+          1000000.0f - 0.5f) * 0.8f
+      val noise =
+        (Math.floorMod(mix(id * 64L + j), 1000000L).toFloat /
+          1000000.0f - 0.5f) * 0.2f
+      center + noise
+    }
+    Row(id, emb.toIndexedSeq, label)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val nDocs = args(1).toLong
+    val nVecs = args(2).toLong
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(
+        spark.sparkContext.range(0L, nDocs, numSlices = 8).map(docRow),
+        docSchema)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.createDataFrame(
+        spark.sparkContext.range(0L, nVecs, numSlices = 8).map(vecRow),
+        vecSchema)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    println(s"SCALEFIXTURE wrote $nDocs docs / $nVecs vecs to $outDir")
+    spark.stop()
+  }
+}
