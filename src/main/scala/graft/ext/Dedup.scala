@@ -35,6 +35,21 @@ trait Checkpointer {
   /** Drop a superseded cut's storage (iterations would otherwise pin
     * executor memory for the rest of the job). */
   def release(df: DataFrame): Unit
+  /** Cut a FROZEN, multiply-referenced input (an iterative job's edge
+    * list / node set / degree table), laid out by `keys` — the columns
+    * every downstream join/agg keys on — so consumers inherit the
+    * exchange's hash layout instead of re-shuffling. Checkpointers
+    * materialize as usual; a lineage barrier repartitions by `keys`
+    * only (a full-row repartition on top of a keyed aggregate would be
+    * a second, redundant shuffle of the same rows). */
+  def cutShared(df: DataFrame, keys: Seq[String]): DataFrame = cut(df)
+  /** Cut PER-ITERATION state (referenced exactly once by the next
+    * round). Checkpointers must truncate here or round k replays
+    * rounds 1..k−1 across separate actions; a lineage barrier inside
+    * one lazily-composed plan can skip it entirely — a single-consumer
+    * subtree executes once per action regardless, and the extra
+    * exchange would just re-shuffle the state table every round. */
+  def cutState(df: DataFrame): DataFrame = cut(df)
 }
 case object LocalCheckpoint extends Checkpointer {
   def cut(df: DataFrame): DataFrame = df.localCheckpoint()
@@ -65,6 +80,17 @@ case object ShuffleBarrier extends Checkpointer {
   def cut(df: DataFrame): DataFrame =
     df.repartition(df.columns.map(col): _*)
   def release(df: DataFrame): Unit = ()
+  /** Keyed layout: one exchange on exactly the columns downstream
+    * joins/aggs need — ReuseExchange serves every consumer from it and
+    * nobody re-shuffles. */
+  override def cutShared(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.repartition(keys.map(col): _*)
+  /** Identity: within one lazily-composed plan the per-round state is
+    * single-consumer, so it executes once per action with or without a
+    * barrier — the round's own join/agg exchanges are the natural
+    * stage boundaries, and an extra repartition would re-shuffle the
+    * full state table every round for nothing. */
+  override def cutState(df: DataFrame): DataFrame = df
 }
 
 object Dedup {

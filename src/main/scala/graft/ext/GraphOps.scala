@@ -42,19 +42,23 @@ object GraphOps {
     // the edge list, node set, and degree table are FROZEN across
     // rounds — cut each once, or every round re-derives the upstream
     // edge plan (for a derived graph that is the full source join)
-    val e = cp.cut(edges.select(col(srcCol).cast("long").as("_src"),
-      col(dstCol).cast("long").as("_dst")).distinct())
-    val nodes = cp.cut(e.select(col("_src").as("_n"))
-      .unionByName(e.select(col("_dst").as("_n"))).distinct())
-    val outDeg = cp.cut(
-      e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")))
+    // keyed cuts: every consumer joins/aggregates e and outDeg on _src
+    // and nodes on _n, so laying the cut out by that key lets the
+    // downstream operators inherit the exchange's hash layout instead
+    // of inserting their own shuffle per round
+    val e = cp.cutShared(edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst")).distinct(), Seq("_src"))
+    val nodes = cp.cutShared(e.select(col("_src").as("_n"))
+      .unionByName(e.select(col("_dst").as("_n"))).distinct(), Seq("_n"))
+    val outDeg = cp.cutShared(
+      e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")), Seq("_src"))
     val base = 1000000L - dampMicro
     // warm start: resume power iteration from a stored (node,
     // rank_micro) fixed point — the incremental re-rank path after a
     // graph update, and how a multi-day 10^9-edge rank job restarts
     // without replaying finished rounds. Nodes absent from the warm
     // state enter at the cold 1e6.
-    var ranks = cp.cut(initRanks match {
+    var ranks = cp.cutState(initRanks match {
       case Some(init) => nodes
         .join(init.select(col("node").as("_n"),
           col("rank_micro").as("_ir")), Seq("_n"), "left")
@@ -84,7 +88,7 @@ object GraphOps {
         .select(col("_n"),
           (lit(base) + coalesce(col("_in").cast("long"), lit(0L))).as("_r"))
       val old = ranks
-      ranks = cp.cut(next)
+      ranks = cp.cutState(next)
       cp.release(old)
     }
     // the final rank cut is materialized (cuts are eager), so the

@@ -44,8 +44,13 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val wdf = weights.toSeq.sortBy(_._1).toDF(domainCol, "_wt")
+    // keyed barrier: `counts` is referenced twice (scale + quotas), and
+    // without a common exchange each reference would re-run the full
+    // corpus aggregation — the barrier is domain-cardinality tiny and
+    // ReuseExchange serves both consumers from the single write
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_c"))
       .join(broadcast(wdf), domainCol)
+      .repartition(col(domainCol))
     val scale = counts.agg(min(col("_c").cast("double") / col("_wt")).as("_scale"))
     val quotas = counts.crossJoin(broadcast(scale))
       .select(col(domainCol), floor(col("_wt") * col("_scale")).as("_keep"))
@@ -68,9 +73,13 @@ object Sampling {
   def authorityMixtureSample(df: DataFrame, idCol: String,
       domainCol: String, domainRanks: DataFrame,
       nBuckets: Int = 256): DataFrame = {
+    // same double-reference barrier as mixtureSample — and here the
+    // broadcast side carries the whole upstream PageRank chain, so an
+    // un-deduped re-execution would replay the graph job per consumer
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_c"))
       .join(broadcast(domainRanks.select(col(domainCol),
         col("rank_micro").cast("double").as("_wt"))), domainCol)
+      .repartition(col(domainCol))
     val scale = counts
       .agg(min(col("_c").cast("double") / col("_wt")).as("_scale"))
     val quotas = counts.crossJoin(broadcast(scale))
@@ -91,9 +100,11 @@ object Sampling {
     require(alpha == 0.5 || alpha == 1.0,
       "only alpha in {0.5, 1.0} is engine-exact (pow differs across libm)")
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_c"))
+    // double-reference barrier (scale + quotas), as in mixtureSample
     val weighted = counts.withColumn("_wt",
       if (alpha == 0.5) sqrt(col("_c").cast("double"))
       else col("_c").cast("double"))
+      .repartition(col(domainCol))
     val scale = weighted
       .agg(min(col("_c").cast("double") / col("_wt")).as("_scale"))
     val quotas = weighted.crossJoin(broadcast(scale))

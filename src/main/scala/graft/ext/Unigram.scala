@@ -38,9 +38,10 @@ import org.apache.spark.sql.types._
   * (piece, len(piece)) and no nested-loop join ever appears. The
   * frontier only shrinks (words leave as they finish); per-step state
   * is cut with the [[Checkpointer]] discipline and released at round
-  * end. The round-1 candidate table stays DISTRIBUTED (never
-  * collected); only pruned vocabularies (≤ alphabet + topPieces rows
-  * each) are driver-materialized. */
+  * end. The round-1
+  * candidate table stays DISTRIBUTED (never collected); only pruned
+  * vocabularies (≤ alphabet + topPieces rows each) are
+  * driver-materialized. */
 object Unigram {
 
   private val outSchema = StructType(Seq(
@@ -87,7 +88,16 @@ object Unigram {
 
   /** Full greedy segmentation of the word table: per-piece weighted
     * usage (lazy — the caller materializes what it needs, then
-    * releases `cuts`). */
+    * releases `cuts`). Steps are cut EAGERLY on purpose: a lazy chain
+    * nests step k's subtree inside steps k+1..maxSteps AND the usage
+    * union (~maxSteps²/2 copies), and the optimizer/AQE pays
+    * per-copy planning cost that measurably exceeds the one-job-per-
+    * step round-trip (measured: lazy-chained training was ~1.7×
+    * slower at sf0.1). At scale the per-step job overhead amortizes
+    * into the frontier join itself. (An isEmpty early-exit probe was
+    * measured too: it costs a job per step and the greedy munch of a
+    * natural corpus does reach max-word-length depth — all-unknown
+    * words segment into single chars — so it never fires.) */
   private def segment(wc: DataFrame, vocab: DataFrame, maxPieceLen: Int,
       maxSteps: Int, cp: Checkpointer,
       cuts: scala.collection.mutable.ArrayBuffer[DataFrame]): DataFrame = {
@@ -201,12 +211,17 @@ object Unigram {
         .agg(count(lit(1)).as("n_uni_tokens"))
     }
     val vocab = vocabDf(spark, pieces)
+    // lazy chain, no per-step barrier: each munch step already ends in
+    // an aggregate exchange, so ReuseExchange serves both consumers of
+    // step k (step k+1's frontier and the piece-count union) from one
+    // execution — a full-row repartition on top would re-shuffle every
+    // step's output a second time for nothing
     val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var frontier = wc.select(col("_w"), col("_n"), lit(1).as("_pos"))
     for (_ <- 1 to maxLen) {
-      val cut = ShuffleBarrier.cut(munchStep(frontier, vocab, maxPieceLen))
-      steps += cut.select(col("_w"))
-      frontier = cut
+      val step = munchStep(frontier, vocab, maxPieceLen)
+      steps += step.select(col("_w"))
+      frontier = step
         .select(col("_w"), col("_n"), (col("_pos") + col("_len")).as("_pos"))
         .filter(col("_pos") <= length(col("_w")))
     }

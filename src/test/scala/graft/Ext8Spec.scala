@@ -239,4 +239,53 @@ class Round8PlanShapeSpec extends SparkSpec {
         s"(dom,_bkt) exchange at line $i is not post-partial-agg:\n$plan")
     }
   }
+
+  test("checkpointer API: ShuffleBarrier.cutShared repartitions by the " +
+      "join keys only, cutState is identity; LocalCheckpoint truncates " +
+      "lineage for both") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // barrier: keyed layout, not a full-row repartition — a downstream
+    // join on k inherits the exchange's hash layout
+    val shared = graft.ext.ShuffleBarrier.cutShared(df, Seq("k"))
+    val reps = shared.queryExecution.logical.collect {
+      case r: RepartitionByExpression => r }
+    assert(reps.size == 1 && reps.head.partitionExpressions.size == 1,
+      s"cutShared must add ONE single-key repartition: $reps")
+    // state: identity — per-round state is single-consumer inside one
+    // lazily-composed plan, an exchange would re-shuffle it for nothing
+    assert(graft.ext.ShuffleBarrier.cutState(df) eq df,
+      "ShuffleBarrier.cutState must be identity")
+    // checkpointers keep eager truncation semantics on both paths
+    val lcShared = graft.ext.LocalCheckpoint.cutShared(df, Seq("k"))
+    val lcState = graft.ext.LocalCheckpoint.cutState(df)
+    try {
+      assert(lcShared.queryExecution.optimizedPlan.collectLeaves()
+        .forall(l => !l.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "cutShared must truncate to checkpointed blocks")
+      assert(lcShared.count() == 2 && lcState.count() == 2)
+    } finally {
+      graft.ext.LocalCheckpoint.release(lcShared)
+      graft.ext.LocalCheckpoint.release(lcState)
+    }
+  }
+
+  test("pagerank under ShuffleBarrier: one execution materializes the " +
+      "whole chain with the frozen inputs keyed for their joins — and " +
+      "the warm-start resume replays the stored trajectory exactly") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val cold = graft.ext.GraphOps.pageRankFixedPoint(edges, "src", "dst",
+      iters = 2, cp = graft.ext.ShuffleBarrier)
+    val stored = graft.ext.GraphOps.pageRankFixedPoint(edges, "src", "dst",
+      iters = 1, cp = graft.ext.ShuffleBarrier)
+    val resumed = graft.ext.GraphOps.pageRankFixedPoint(edges, "src", "dst",
+      iters = 1, cp = graft.ext.ShuffleBarrier, initRanks = Some(stored))
+    val a = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = resumed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"resume-from-round-1 must equal 2 cold rounds: $a vs $b")
+  }
 }
