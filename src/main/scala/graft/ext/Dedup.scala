@@ -443,6 +443,52 @@ object Dedup {
     * Scale shape: the doc×band rows are slim (id, band, key) triples;
     * two map-side-combinable aggregations, no join, no corpus-width
     * shuffle. */
+  /** INCREMENTAL MinHash-LSH maintenance — the daily-crawl shape: the
+    * base corpus was deduped yesterday (its internal pairs already
+    * emitted and acted on), a delta batch arrives today, and the only
+    * pairs that matter are the ones a delta doc participates in:
+    * (delta × base) ∪ (delta × delta). Banding a document depends only
+    * on its own text, so the delta's band table unions against the
+    * base's — in production the base side is the PERSISTED band index
+    * read back from storage (the [[graft.ext.Similarity.ivfUpsert]]
+    * fragment discipline), never recomputed; here both sides derive
+    * from their doc tables. The candidate join keys the (small) delta
+    * band table against base ∪ delta, so shuffle volume is
+    * O(|delta| × bands + collided buckets) — NOT O(|base|²), which is
+    * what re-running full-corpus dedup per day would cost. Exact
+    * Jaccard verify attaches shingles to surviving candidates only,
+    * like [[minHashLshPairsPortable]]. Requires disjoint id spaces.
+    * Incremental ∪ previous-run pairs ≡ full-corpus pairs — the
+    * union-parity property Ext8Spec pins. */
+  def minHashLshDeltaPairs(baseDocs: DataFrame, deltaDocs: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, numPerms: Int = 16,
+      rowsPerBand: Int = 4, threshold: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val (baseSh, baseBanded) = minHashBandedPortable(baseDocs, textCol,
+      idCol, n, numPerms, rowsPerBand, seed)
+    val (deltaSh, deltaBanded) = minHashBandedPortable(deltaDocs, textCol,
+      idCol, n, numPerms, rowsPerBand, seed)
+    val all = baseBanded.unionByName(deltaBanded)
+    val cand = deltaBanded.select(col("_id").as("_d"), col("_bandNo"),
+        col("_bandKey"))
+      .join(all.select(col("_id").as("_o"), col("_bandNo"),
+        col("_bandKey")), Seq("_bandNo", "_bandKey"))
+      .filter(col("_d") =!= col("_o"))
+      .select(least(col("_d"), col("_o")).as("doc_a"),
+        greatest(col("_d"), col("_o")).as("doc_b"))
+      .distinct()
+    val sh = baseSh.unionByName(deltaSh)
+    cand
+      .join(sh.select(col("_id").as("doc_a"), col("_sh").as("_sha")),
+        Seq("doc_a"))
+      .join(sh.select(col("_id").as("doc_b"), col("_sh").as("_shb")),
+        Seq("doc_b"))
+      .withColumn("jaccard", graft.functions.VectorFunctions
+        .jaccardSorted(col("_sha"), col("_shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   def minHashBandStats(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
       seed: Long = 42L): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, GraphOps, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis, Unigram, Urls}
+import graft.ext.{Classifier, Dedup, GraphOps, Multimodal, Packing, Retrieval, Sampling, Similarity, TextAnalysis, Unigram, Urls}
 import graft.ops.{Cdc, Normalize, PartitionKeys, Profiling, SemiJoins}
 import graft.schema.TableSpec
 import graft.streaming.EventsStream
@@ -3871,7 +3871,16 @@ object Catalog {
   private val q152 = Q("q152_gopher_quality",
     (s, dir) => TextAnalysis.gopherQualityFlags(t(s, dir, "documents"),
       "text", "doc_id"),
-    Some("""WITH t AS (SELECT doc_id, text,
+    Some(s"""WITH $gopherSignalCtes
+      SELECT *, $gopherKeepSql AS keep
+      FROM s"""))
+
+  /** Shared DuckDB CTEs of the Gopher-gate family (q152, and the
+    * q163/q164 classifier whose weak labels distill the gate):
+    * `t(doc_id, lang, text, ws, ls)` tokenized docs, `s(doc_id,
+    * signals…)` the per-doc quality signals; [[gopherKeepSql]] is the
+    * published keep conjunction over `s`'s columns. */
+  private def gopherSignalCtes: String = """t AS (SELECT doc_id, lang, text,
         list_filter(string_split_regex(trim(text), '\s+'),
           x -> len(x) > 0) AS ws,
         list_filter([trim(l) FOR l IN string_split(text, chr(10))],
@@ -3917,15 +3926,15 @@ object Catalog {
           ELSE CAST((len(text) - len(replace(text, '#', '')))
             + (len(text) - len(replace(text, '...', ''))) // 3
             AS DOUBLE) / len(ws) END AS symbol_word_ratio
-      FROM t)
-      SELECT *,
-        (n_words >= 50 AND n_words <= 100000
+      FROM t)"""
+
+  private def gopherKeepSql: String =
+    """(n_words >= 50 AND n_words <= 100000
           AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
           AND symbol_word_ratio < 0.1
           AND frac_bullet_lines < 0.9 AND frac_ellipsis_lines < 0.3
           AND frac_alpha_words >= 0.8 AND n_stop_hits >= 2
-          AND dup_line_frac < 0.3) AS keep
-      FROM s"""))
+          AND dup_line_frac < 0.3)"""
 
   /** PII scrub: emails / IPv4s / long digit runs → placeholders, with
     * per-doc audit counts. Patterns live in the Java↔RE2-agreeing
@@ -4345,6 +4354,134 @@ object Catalog {
       JOIN documents dm ON dm.doc_id = e.doc_id
       GROUP BY dm.lang"""))
 
+  /** Incremental MinHash-LSH dedup maintenance
+    * ([[Dedup.minHashLshDeltaPairs]]): yesterday's corpus (doc_id % 10
+    * ≠ 0) is already deduped; today's delta (doc_id % 10 = 0) arrives,
+    * and only pairs touching a delta doc are computed — the
+    * (delta × base) ∪ (delta × delta) shape whose shuffle is sized by
+    * the delta, not the base². Banding is per-document, so the oracle
+    * reuses the full-corpus portable chain (q118's CTEs) and just
+    * restricts the candidate join to delta-involved pairs. */
+  private val q162 = Q("q162_minhash_delta",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.minHashLshDeltaPairs(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", n = 3, numPerms = 16, rowsPerBand = 4,
+        threshold = 0.5)
+    },
+    Some(portableLshBkCtes + s""",
+      cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+          greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id <> b.doc_id
+        WHERE a.doc_id % 10 = 0)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+          len(list_intersect(x.sh, y.sh)) * 1.0 /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+        FROM cand c JOIN g x ON x.doc_id = c.doc_a
+        JOIN g y ON y.doc_id = c.doc_b) z
+      WHERE jaccard >= 0.5"""))
+
+  /** Shared DuckDB CTEs of the exact-perceptron quality classifier
+    * (q163/q164): Gopher-gate weak labels ±1, hashed bag-of-words
+    * features (the q118 portable rolling-poly token hash mod `dim`),
+    * then `rounds` unrolled perceptron rounds — round 1 against the
+    * zero vector is the plain Σ y·count aggregate, each later round
+    * is score → misclassified → gradient → full-outer weight merge,
+    * every sum a BIGINT. `w$rounds(f, wt)` is the trained model. */
+  private def perceptronCtes(dim: Int, rounds: Int): String = {
+    val polyHash = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(ord(w[i]) AS BIGINT) FOR i IN range(1, len(w) + 1)]),
+            (a, c) -> (a * 31 + c) % 1000000007)"""
+    val sb = new StringBuilder
+    sb ++= s"""$gopherSignalCtes,
+      lbl AS (SELECT doc_id,
+          CASE WHEN $gopherKeepSql THEN 1 ELSE -1 END AS y
+        FROM s),
+      ft AS (SELECT e.doc_id, l.y, e.h % $dim AS f,
+          CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, unnest([$polyHash FOR w IN ws]) AS h
+          FROM t) e
+        JOIN lbl l ON l.doc_id = e.doc_id
+        GROUP BY e.doc_id, l.y, f),
+      w1 AS (SELECT f, CAST(sum(y * c) AS BIGINT) AS wt
+        FROM ft GROUP BY f)"""
+    for (r <- 2 to rounds) sb ++= s""",
+      p$r AS (SELECT ft.doc_id, ft.y, sum(coalesce(w.wt, 0) * ft.c) AS p
+        FROM ft LEFT JOIN w${r - 1} w ON w.f = ft.f
+        GROUP BY ft.doc_id, ft.y),
+      m$r AS (SELECT doc_id FROM p$r WHERE y * p <= 0),
+      g$r AS (SELECT f, CAST(sum(y * c) AS BIGINT) AS g
+        FROM ft JOIN m$r USING (doc_id) GROUP BY f),
+      w$r AS (SELECT coalesce(a.f, b.f) AS f,
+          coalesce(a.wt, 0) + coalesce(b.g, 0) AS wt
+        FROM w${r - 1} a FULL JOIN g$r b ON a.f = b.f)"""
+    sb.toString
+  }
+
+  /** Exact-integer quality-classifier training
+    * ([[Classifier.perceptronTrain]]): distill the Gopher rule gate
+    * (q152) into a fastText-style hashed linear model — 3 batch
+    * perceptron rounds, every margin/gradient/weight an exact Long,
+    * so the full fit replays in the oracle round by round. */
+  private val q163 = Q("q163_quality_classifier",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Classifier.perceptronTrain(
+        d.withColumn("_lbl",
+          when(TextAnalysis.gopherKeep(col("text")), 1L).otherwise(-1L)),
+        "text", "doc_id", "_lbl", dim = 256, rounds = 3)
+    },
+    Some(s"""WITH ${perceptronCtes(256, 3)}
+      SELECT f AS feature, CAST(wt AS BIGINT) AS weight FROM w3"""))
+
+  /** Classifier-vs-rule dashboard: sweep the trained model (q163's
+    * weights) back over the corpus and report per-language agreement
+    * with the rule gate it distilled — the calibration readout a
+    * pipeline owner checks before swapping the gate for the model.
+    * Token-less documents score nowhere (no feature rows) and are
+    * excluded on both sides. */
+  private val q164 = Q("q164_classifier_agreement",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val labeled = d.withColumn("_lbl",
+        when(TextAnalysis.gopherKeep(col("text")), 1L).otherwise(-1L))
+      val w = Classifier.perceptronTrain(labeled, "text", "doc_id",
+        "_lbl", dim = 256, rounds = 3)
+      Classifier.perceptronScore(d, "text", "doc_id", w, dim = 256)
+        .join(labeled.select(col("doc_id"), col("lang"),
+          col("_lbl")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_lbl") === 1, 1L).otherwise(0L)).as("n_keep_rule"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep_model"),
+          sum(when((col("_lbl") === 1) === col("keep"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .withColumn("agreement",
+          col("n_agree") * lit(1.0) / col("n_docs"))
+    },
+    Some(s"""WITH ${perceptronCtes(256, 3)},
+      sc AS (SELECT ft.doc_id,
+          CAST(sum(coalesce(w.wt, 0) * ft.c) AS BIGINT) AS score
+        FROM ft LEFT JOIN w3 w ON w.f = ft.f
+        GROUP BY ft.doc_id)
+      SELECT t.lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN l.y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_keep_rule,
+        CAST(sum(CASE WHEN sc.score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_keep_model,
+        CAST(sum(CASE WHEN (l.y = 1) = (sc.score > 0) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_agree,
+        CAST(sum(CASE WHEN (l.y = 1) = (sc.score > 0) THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*) AS agreement
+      FROM sc JOIN lbl l USING (doc_id)
+      JOIN t ON t.doc_id = sc.doc_id
+      GROUP BY t.lang"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -4367,5 +4504,5 @@ object Catalog {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156, q157, q158, q159, q160, q161)
+    q155, q156, q157, q158, q159, q160, q161, q162, q163, q164)
 }

@@ -272,6 +272,82 @@ class Round8PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash dedup: delta pairs ∪ yesterday's base pairs " +
+      "== full-corpus pairs, and no base-base pair is recomputed") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val base = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10
+      =!= 0)
+    val delta = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10
+      === 0)
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(graft.ext.Dedup.minHashLshPairsPortable(
+      docs, "text", "doc_id", n = 3, numPerms = 16, rowsPerBand = 4,
+      threshold = 0.5))
+    val basePairs = pairSet(graft.ext.Dedup.minHashLshPairsPortable(
+      base, "text", "doc_id", n = 3, numPerms = 16, rowsPerBand = 4,
+      threshold = 0.5))
+    val deltaPairs = pairSet(graft.ext.Dedup.minHashLshDeltaPairs(
+      base, delta, "text", "doc_id", n = 3, numPerms = 16,
+      rowsPerBand = 4, threshold = 0.5))
+    assert(deltaPairs.union(basePairs) == full,
+      "incremental ∪ previous-run pairs must equal the full-corpus run")
+    assert(deltaPairs.forall { case (a, b) => a % 10 == 0 || b % 10 == 0 },
+      "every delta pair must touch a delta doc — base-base pairs are " +
+        "yesterday's work and must not be recomputed")
+    assert(deltaPairs.nonEmpty, "fixture must exercise the delta join")
+  }
+
+  test("perceptron: round-1 weights are the plain Σ y·count aggregate, " +
+      "a separable fixture converges (later rounds change nothing), and " +
+      "the returned fit is storage-free") {
+    import spark.implicits._
+    // 'good' docs share token g, 'bad' docs token b — linearly
+    // separable in one round; w2 == w1 because nothing is
+    // misclassified after the first update
+    val docs = Seq(
+      (1L, "g g g", 1L), (2L, "g g", 1L),
+      (3L, "b b b", -1L), (4L, "b b", -1L))
+      .toDF("doc_id", "text", "y")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    def fit(rounds: Int): Map[Long, Long] =
+      graft.ext.Classifier.perceptronTrain(docs, "text", "doc_id", "y",
+        dim = 64, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = fit(1)
+    // hand-computed: feature(g) gets +5 (3+2 counts), feature(b) -5
+    assert(w1.values.toSet == Set(5L, -5L), s"got $w1")
+    assert(fit(3) == w1, "a separable fixture must be stable after round 1")
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+        .subsetOf(pinnedBefore),
+      "perceptronTrain must stay storage-free (barriers, not cuts)")
+    // and the score sweep gates exactly by the learned sign
+    val scored = graft.ext.Classifier.perceptronScore(docs, "text",
+      "doc_id", graft.ext.Classifier.perceptronTrain(docs, "text",
+        "doc_id", "y", dim = 64, rounds = 3), dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(scored == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+  }
+
+  test("perceptron learns past round 1: a doc misclassified by w1 " +
+      "moves the weights in round 2 exactly as the closed form says") {
+    import spark.implicits._
+    // y=+1 docs: "a a", "a c"; y=-1 doc: "c". w1: a -> +3, c -> 0.
+    // Round 2 scores: doc1 +6 ok; doc2 +3 ok; doc3 0 -> y*p = 0 (a
+    // zero-margin miss) -> g2: c -> -1 -> w2: a +3, c -1.
+    val docs = Seq((1L, "a a", 1L), (2L, "a c", 1L), (3L, "c", -1L))
+      .toDF("doc_id", "text", "y")
+    def fit(rounds: Int): Map[Long, Long] =
+      graft.ext.Classifier.perceptronTrain(docs, "text", "doc_id", "y",
+        dim = 64, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = fit(1); val w2 = fit(2)
+    assert(w1.values.toSet == Set(3L, 0L), s"w1: $w1")
+    assert(w2.values.toSet == Set(3L, -1L), s"w2: $w2")
+    assert(w1.keySet == w2.keySet,
+      "feature buckets must be stable across rounds")
+  }
+
   test("pagerank under ShuffleBarrier: one execution materializes the " +
       "whole chain with the frozen inputs keyed for their joins — and " +
       "the warm-start resume replays the stored trajectory exactly") {
