@@ -463,13 +463,42 @@ object Dedup {
   def minHashLshDeltaPairs(baseDocs: DataFrame, deltaDocs: DataFrame,
       textCol: String, idCol: String, n: Int = 3, numPerms: Int = 16,
       rowsPerBand: Int = 4, threshold: Double = 0.5,
+      seed: Long = 42L): DataFrame =
+    minHashDeltaPairsFromIndex(
+      minHashDocIndex(baseDocs, textCol, idCol, n, numPerms, rowsPerBand,
+        seed),
+      minHashDocIndex(deltaDocs, textCol, idCol, n, numPerms, rowsPerBand,
+        seed),
+      threshold)
+
+  /** The STORABLE per-document dedup index row: (_id, _sh sorted
+    * shingles, _bands array of (band, bk) keys) — one row per doc, the
+    * thing a daily pipeline persists so tomorrow's delta joins against
+    * an index read instead of re-shingling the corpus
+    * ([[graft.streaming.DedupMaintenance]] lands exactly this schema
+    * per micro-batch). */
+  def minHashDocIndex(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
       seed: Long = 42L): DataFrame = {
-    val (baseSh, baseBanded) = minHashBandedPortable(baseDocs, textCol,
-      idCol, n, numPerms, rowsPerBand, seed)
-    val (deltaSh, deltaBanded) = minHashBandedPortable(deltaDocs, textCol,
-      idCol, n, numPerms, rowsPerBand, seed)
-    val all = baseBanded.unionByName(deltaBanded)
-    val cand = deltaBanded.select(col("_id").as("_d"), col("_bandNo"),
+    val (base, banded) = minHashBandedPortable(docs, textCol, idCol, n,
+      numPerms, rowsPerBand, seed)
+    base.join(
+      banded.groupBy(col("_id")).agg(sort_array(collect_list(
+        struct(col("_bandNo"), col("_bandKey")))).as("_bands")),
+      Seq("_id"))
+  }
+
+  /** [[minHashLshDeltaPairs]] over prebuilt [[minHashDocIndex]]
+    * tables: band-key equi-join of the delta against base ∪ delta,
+    * exact-Jaccard verify on surviving candidates only. */
+  def minHashDeltaPairsFromIndex(baseIdx: DataFrame, deltaIdx: DataFrame,
+      threshold: Double): DataFrame = {
+    def banded(idx: DataFrame): DataFrame = idx
+      .select(col("_id"), explode(col("_bands")).as("_b"))
+      .select(col("_id"), col("_b._bandNo").as("_bandNo"),
+        col("_b._bandKey").as("_bandKey"))
+    val all = banded(baseIdx).unionByName(banded(deltaIdx))
+    val cand = banded(deltaIdx).select(col("_id").as("_d"), col("_bandNo"),
         col("_bandKey"))
       .join(all.select(col("_id").as("_o"), col("_bandNo"),
         col("_bandKey")), Seq("_bandNo", "_bandKey"))
@@ -477,7 +506,8 @@ object Dedup {
       .select(least(col("_d"), col("_o")).as("doc_a"),
         greatest(col("_d"), col("_o")).as("doc_b"))
       .distinct()
-    val sh = baseSh.unionByName(deltaSh)
+    val sh = baseIdx.select(col("_id"), col("_sh"))
+      .unionByName(deltaIdx.select(col("_id"), col("_sh")))
     cand
       .join(sh.select(col("_id").as("doc_a"), col("_sh").as("_sha")),
         Seq("doc_a"))

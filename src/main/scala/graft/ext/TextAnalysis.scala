@@ -484,6 +484,41 @@ object TextAnalysis {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Model-free document embeddings by signed random projection — the
+    * SimHash idea kept DENSE: embedding[d] = Σ_tokens sign_d(h(token))
+    * where h is the portable rolling-poly token hash (the q118 chain)
+    * and sign_d flips on the parity of the d-th seeded affine
+    * permutation (the [[graft.functions.MinHashSig.perms]] literals).
+    * Sparse random projection preserves bag-of-words cosine in
+    * expectation (Johnson–Lindenstrauss/Achlioptas; Charikar 2002 for
+    * the sign form), so the output drops straight into the engine's
+    * cosine/ANN family (q25/q27/q116) when no trained encoder exists
+    * — the bootstrap embedding a curation pipeline starts with.
+    * Every component is an exact Long sum, so the entire embedding
+    * table hash-replays (q165); a learned float encoder could never
+    * carry that oracle. Map-only until the single per-doc
+    * aggregation; token strings never leave the scan. Token-less
+    * docs produce no row (the tokens-join semantics). */
+  def hashEmbed(docs: DataFrame, textCol: String, idCol: String,
+      dim: Int = 16, seed: Long = 42L): DataFrame = {
+    require(dim >= 1)
+    val (as, bs) = graft.functions.MinHashSig.perms(dim, seed)
+    val sums = (0 until dim).map { d =>
+      // h < 2^31 and a_d < 2^31 keep a_d*h + b_d < 2^62 (the MinHash
+      // overflow discipline); parity of the permuted value is an
+      // unbiased ±1 that any engine replays
+      sum(when(pmod(col("_h") * lit(as(d)) + lit(bs(d)),
+        lit(2147483647L)) % 2 === 0, 1L).otherwise(-1L)).as(s"_e$d")
+    }
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.VectorFunctions.polyHashAll(
+          tokens(col(textCol)))).as("_h"))
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        array((0 until dim).map(d => col(s"_e$d")): _*).as("embedding"))
+  }
+
   /** Per-domain dataset card — the summary table every corpus release
     * publishes (docs, tokens, chars, exact-dup count under the
     * normalized key, short-doc count, mean length): one

@@ -4482,6 +4482,99 @@ object Catalog {
       JOIN t ON t.doc_id = sc.doc_id
       GROUP BY t.lang"""))
 
+  /** Model-free signed-random-projection document embeddings
+    * ([[TextAnalysis.hashEmbed]]): 16 exact-Long components per doc,
+    * every permutation literal public — the full embedding table
+    * hash-replays, which no float encoder could offer. */
+  private val q165 = Q("q165_hash_embed",
+    // the op returns array<long> for the ANN family; the catalog
+    // output serializes it (the driver compare hashes scalars)
+    (s, dir) => TextAnalysis.hashEmbed(t(s, dir, "documents"),
+      "text", "doc_id", dim = 16)
+      .select(col("doc_id"),
+        concat_ws(",", col("embedding")).as("embedding")),
+    Some {
+      val (as, bs) = graft.functions.MinHashSig.perms(16, 42L)
+      val comps = (0 until 16).map(d =>
+        s"CAST(sum(CASE WHEN ((h * ${as(d)} + ${bs(d)}) % 2147483647)" +
+          s" % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)")
+        .mkString("[", ",\n        ", "]")
+      s"""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> len(x) > 0) AS ws
+        FROM documents),
+        e AS (SELECT doc_id,
+            unnest([list_reduce(list_prepend(CAST(0 AS BIGINT),
+              [CAST(ord(w[i]) AS BIGINT) FOR i IN range(1, len(w) + 1)]),
+              (a, c) -> (a * 31 + c) % 1000000007) FOR w IN ws]) AS h
+          FROM t)
+        SELECT doc_id, array_to_string($comps, ',') AS embedding
+        FROM e GROUP BY doc_id"""
+    })
+
+  /** Train/eval leakage dashboard: near-duplicate pairs (the q118
+    * recall surface) that CROSS hash-split boundaries — the document
+    * pairs where one twin lands in train and the other in a held-out
+    * split, silently leaking eval content into training. Composes
+    * [[Dedup.minHashLshPairsPortable]] with [[Sampling.hashSplit]];
+    * both chains replay, so the full leak table (pair counts + overlap
+    * envelope per split crossing) carries a hash oracle. At scale this
+    * is the q118 pair join plus a broadcast-free map-only split
+    * assignment — no new shuffle beyond the dedup itself. */
+  private val q166 = Q("q166_split_leakage",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minHashLshPairsPortable(d, "text", "doc_id",
+        n = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.5)
+      val split = Sampling.hashSplit(d.select(col("doc_id")), "doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      pairs
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("_sa")), Seq("doc_a"))
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("_sb")), Seq("doc_b"))
+        .select(least(col("_sa"), col("_sb")).as("split_a"),
+          greatest(col("_sa"), col("_sb")).as("split_b"),
+          col("jaccard"))
+        .groupBy(col("split_a"), col("split_b"))
+        // min/max, not mean: a double mean would sum IEEE values in
+        // partition order and break the hash oracle; min/max are
+        // order-independent and each jaccard is a single replayable
+        // division
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("jaccard")).as("min_jaccard"),
+          max(col("jaccard")).as("max_jaccard"))
+        .withColumn("leaks", col("split_a") =!= col("split_b"))
+    },
+    Some(portableLshBkCtes + s""",
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      pr AS (SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+          len(list_intersect(x.sh, y.sh)) * 1.0 /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+            AS jaccard
+        FROM cand c JOIN g x ON x.doc_id = c.doc_a
+        JOIN g y ON y.doc_id = c.doc_b) z
+      WHERE jaccard >= 0.5),
+      sp AS (SELECT doc_id, CASE
+        WHEN ((doc_id % 2147483648) * 2654435761) % 2147483647 % 100 < 80
+          THEN 'train'
+        WHEN ((doc_id % 2147483648) * 2654435761) % 2147483647 % 100 < 90
+          THEN 'val'
+        ELSE 'test' END AS split
+      FROM documents)
+      SELECT least(a.split, b.split) AS split_a,
+        greatest(a.split, b.split) AS split_b,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        min(jaccard) AS min_jaccard,
+        max(jaccard) AS max_jaccard,
+        least(a.split, b.split) <> greatest(a.split, b.split) AS leaks
+      FROM pr JOIN sp a ON a.doc_id = pr.doc_a
+      JOIN sp b ON b.doc_id = pr.doc_b
+      GROUP BY 1, 2"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -4504,5 +4597,6 @@ object Catalog {
     q122, q123, q124, q125, q126, q127, q128, q129, q130, q131, q132,
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
-    q155, q156, q157, q158, q159, q160, q161, q162, q163, q164)
+    q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
+    q166)
 }

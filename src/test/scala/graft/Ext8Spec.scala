@@ -348,6 +348,107 @@ class Round8PlanShapeSpec extends SparkSpec {
       "feature buckets must be stable across rounds")
   }
 
+  test("streaming dedup maintenance: micro-batched delta pairs union to " +
+      "the full-corpus run, each batch lands its index fragment, and a " +
+      "replayed batchId converges") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val landing = tmpDir("dedlanding")
+    val indexDir = tmpDir("dedindex")
+    val pairsDir = tmpDir("dedpairs")
+    val ckpt = tmpDir("dedckpt")
+    docs.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(landing)
+    val src = spark.readStream
+      .schema(spark.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+    val q = graft.streaming.DedupMaintenance.start(src, "text", "doc_id",
+      indexDir, pairsDir, ckpt)
+    q.awaitTermination()
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_a"), col("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairSet(spark.read.parquet(pairsDir))
+    val full = pairSet(graft.ext.Dedup.minHashLshPairsPortable(
+      docs, "text", "doc_id", n = 3, numPerms = 16, rowsPerBand = 4,
+      threshold = 0.5))
+    assert(streamed == full,
+      "batched pair emission must union to the full-corpus dedup")
+    assert(streamed.nonEmpty, "fixture has near-dup pairs — none emitted")
+    // the accumulated index holds every doc exactly once
+    val idx = graft.streaming.DedupMaintenance.readIndex(spark, indexDir)
+    val indexed = idx.select(col("_id")).collect().map(_.getLong(0))
+    val shingled = graft.ext.Dedup.minHashDocIndex(docs, "text", "doc_id")
+      .select(col("_id")).collect().map(_.getLong(0))
+    assert(indexed.sorted.toSeq == shingled.sorted.toSeq,
+      "index fragments must cover each (shingled) doc exactly once")
+    // replay, hermetic: land two batches in fresh dirs, snapshot, then
+    // re-process batch 1 under its own id — the batchId-keyed
+    // overwrite plus the left-anti self-exclusion must converge to
+    // identical pairs and an identical index
+    val idx2 = tmpDir("dedindex2"); val pairs2 = tmpDir("dedpairs2")
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300)
+    graft.streaming.DedupMaintenance.processBatch(a, 0L, "text",
+      "doc_id", idx2, pairs2)
+    graft.streaming.DedupMaintenance.processBatch(b, 1L, "text",
+      "doc_id", idx2, pairs2)
+    val oncePairs = pairSet(spark.read.parquet(pairs2))
+    val onceIdx = graft.streaming.DedupMaintenance.readIndex(spark, idx2)
+      .select(col("_id")).collect().map(_.getLong(0)).sorted.toSeq
+    graft.streaming.DedupMaintenance.processBatch(b, 1L, "text",
+      "doc_id", idx2, pairs2)
+    assert(pairSet(spark.read.parquet(pairs2)) == oncePairs,
+      "replaying a batchId must leave the pairs log unchanged")
+    assert(graft.streaming.DedupMaintenance.readIndex(spark, idx2)
+        .select(col("_id")).collect().map(_.getLong(0)).sorted.toSeq
+      == onceIdx, "replaying a batchId must leave the index unchanged")
+    assert(oncePairs == full,
+      "two explicit batches must also union to the full-corpus run")
+  }
+
+  test("hash embeddings: identical texts embed identically, and the " +
+      "fixture's near-dup pairs dominate random pairs on cosine — the " +
+      "JL sanity a bootstrap embedding must clear") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = graft.ext.TextAnalysis.hashEmbed(docs, "text", "doc_id",
+      dim = 16)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toArray).toMap
+    // determinism / text-functional: re-run equals first run
+    val emb2 = graft.ext.TextAnalysis.hashEmbed(docs, "text", "doc_id",
+      dim = 16).collect().map(r => r.getLong(0) ->
+        r.getSeq[Long](1).toArray).toMap
+    assert(emb.keySet == emb2.keySet
+      && emb.keySet.forall(k => emb(k).sameElements(emb2(k))))
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val dupPairs = graft.ext.Dedup.minHashLshPairsPortable(docs, "text",
+      "doc_id", n = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dupPairs.nonEmpty)
+    val dupCos = dupPairs.map { case (a, b) => cos(emb(a), emb(b)) }
+    val ids = emb.keys.toArray.sorted
+    val rndCos = (0 until 200).map { i =>
+      val a = ids(i % ids.length)
+      val b = ids((i * 37 + 11) % ids.length)
+      if (a == b) 1.0 else cos(emb(a), emb(b))
+    }.filter(_ < 1.0)
+    val dupMean = dupCos.sum / dupCos.length
+    val rndMean = rndCos.sum / rndCos.length
+    assert(dupMean > rndMean + 0.3,
+      f"near-dup mean cosine $dupMean%.3f must clearly exceed " +
+        f"random-pair mean $rndMean%.3f")
+  }
+
   test("pagerank under ShuffleBarrier: one execution materializes the " +
       "whole chain with the frozen inputs keyed for their joins — and " +
       "the warm-start resume replays the stored trajectory exactly") {
