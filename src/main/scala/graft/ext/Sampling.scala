@@ -112,6 +112,21 @@ object Sampling {
     quotaSelect(df, idCol, domainCol, quotas, nBuckets)
   }
 
+  /** Per-domain document cap — the "max B documents per host/cluster"
+    * rule every crawl pipeline applies somewhere: every domain keeps
+    * at most `cap` rows, chosen by the same deterministic Knuth-hash
+    * rank as the mixture samplers, so any engine replays the kept
+    * set. Same two-phase (domain, bucket) machinery as
+    * [[mixtureSample]] — a 50-of-100-TB mega-domain is capped without
+    * ever serializing into one task. */
+  def capPerDomain(df: DataFrame, idCol: String, domainCol: String,
+      cap: Long, nBuckets: Int = 256): DataFrame = {
+    require(cap > 0)
+    val quotas = df.select(col(domainCol)).distinct()
+      .withColumn("_keep", lit(cap))
+    quotaSelect(df, idCol, domainCol, quotas, nBuckets)
+  }
+
   /** Deterministic train/val/test assignment by portable hash bucket:
     * split(id) = the cut whose cumulative percentage first exceeds
     * hash31(id) mod 100. Map-only — NO shuffle, no state — and stable

@@ -4575,6 +4575,70 @@ object Catalog {
       JOIN sp b ON b.doc_id = pr.doc_b
       GROUP BY 1, 2"""))
 
+  /** Cluster-balanced diversity sampling: hash-embed the corpus
+    * (q165's model-free embeddings), assign every doc to its
+    * argmax-cosine cell over the first-8-docs seeded centroids (the
+    * q35 IVF convention), cap each cluster at 20 docs by Knuth-hash
+    * rank ([[Sampling.capPerDomain]]) — the "spread the sample across
+    * semantic clusters" selection a curation pipeline runs instead of
+    * uniform sampling. Every stage replays: embeddings are exact
+    * Longs, the assignment is the pinned argmax-cosine fold,
+    * the cap is the deterministic hash rank. Zero-signal docs (empty
+    * or sign-cancelled embeddings) are excluded on both sides —
+    * cosine against a zero vector is NaN and engines order NaN
+    * differently. */
+  private val q167 = Q("q167_cluster_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val emb = TextAnalysis.hashEmbed(d, "text", "doc_id", dim = 16)
+        .select(col("doc_id"),
+          col("embedding").cast("array<float>").as("_v"))
+        .filter(Similarity.norm2(col("_v")) > 0)
+      val cents = Similarity.coarseCentroids(emb, "doc_id", "_v",
+        nCells = 8)
+      val assigned = Similarity.assignCells(emb, cents, "_v")
+        .select(col("doc_id"), col("_cell").as("cluster"))
+      Sampling.capPerDomain(assigned, "doc_id", "cluster", cap = 20)
+    },
+    Some {
+      val (as, bs) = graft.functions.MinHashSig.perms(16, 42L)
+      val comps = (0 until 16).map(d =>
+        s"CAST(sum(CASE WHEN ((h * ${as(d)} + ${bs(d)}) % 2147483647)" +
+          s" % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)")
+        .mkString("[", ",\n        ", "]")
+      s"""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> len(x) > 0) AS ws
+        FROM documents),
+        e AS (SELECT doc_id,
+            unnest([list_reduce(list_prepend(CAST(0 AS BIGINT),
+              [CAST(ord(w[i]) AS BIGINT) FOR i IN range(1, len(w) + 1)]),
+              (a, c) -> (a * 31 + c) % 1000000007) FOR w IN ws]) AS h
+          FROM t),
+        he AS (SELECT doc_id, $comps AS iv FROM e GROUP BY doc_id),
+        n AS (SELECT doc_id,
+            [CAST(x AS DOUBLE) FOR x IN iv] AS v,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN iv]),
+              (a, b) -> a + b) AS nrm
+          FROM he),
+        nz AS (SELECT * FROM n WHERE nrm > 0),
+        cent AS (SELECT doc_id AS cent_id, v AS cv, nrm AS cn FROM nz
+          ORDER BY doc_id ASC LIMIT 8),
+        asg AS (SELECT doc_id, cell FROM (
+          SELECT nz.doc_id, cent.cent_id AS cell,
+            row_number() OVER (PARTITION BY nz.doc_id ORDER BY
+              (${dotFoldSql("nz.v", "cent.cv")} / sqrt(nz.nrm * cent.cn))
+                DESC, cent.cent_id ASC) AS cr
+          FROM nz CROSS JOIN cent) z WHERE cr = 1),
+        r AS (SELECT doc_id, cell,
+            row_number() OVER (PARTITION BY cell ORDER BY
+              ((doc_id % 2147483648) * 2654435761) % 2147483647,
+              doc_id) AS rn
+          FROM asg)
+        SELECT doc_id, cell AS cluster FROM r WHERE rn <= 20"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -4598,5 +4662,5 @@ object Catalog {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166)
+    q166, q167)
 }

@@ -449,6 +449,23 @@ class Round8PlanShapeSpec extends SparkSpec {
         f"random-pair mean $rndMean%.3f")
   }
 
+  test("capPerDomain keeps exactly min(cap, |domain|) rows per domain, " +
+      "deterministically — re-running selects the identical subset") {
+    import spark.implicits._
+    val docs = ((1 to 100).map(i => (i.toLong, "big"))
+      ++ (101 to 110).map(i => (i.toLong, "small")))
+      .toDF("id", "dom")
+    def run(): Map[String, Set[Long]] =
+      graft.ext.Sampling.capPerDomain(docs, "id", "dom", cap = 25L,
+        nBuckets = 8)
+        .collect().map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val once = run()
+    assert(once("big").size == 25, "cap must bind on the big domain")
+    assert(once("small").size == 10, "an under-cap domain keeps all rows")
+    assert(run() == once, "the kept set must be deterministic")
+  }
+
   test("pagerank under ShuffleBarrier: one execution materializes the " +
       "whole chain with the frozen inputs keyed for their joins — and " +
       "the warm-start resume replays the stored trajectory exactly") {
