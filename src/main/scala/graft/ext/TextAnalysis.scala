@@ -611,6 +611,64 @@ object TextAnalysis {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** Interpolated Kneser–Ney bigram conditionals in exact micro-units
+    * — the smoothing the CCNet/KenLM quality model actually uses,
+    * under the same replay discipline as [[bigramLmScores]]: no logs,
+    * no floats; every conditional is a chain of Long multiplications
+    * and floor divisions, so the corpus-trained model AND every
+    * per-doc score hash-replay (q168).
+    *
+    *   P(w₂|w₁) = max(c₁₂ − D, 0)/c₁ + λ(w₁)·P_cont(w₂)
+    *   λ(w₁)    = D·N₁₊(w₁·)/c₁
+    *   P_cont   = N₁₊(·w₂)/|bigram types|
+    *
+    * with D = `discountMicro`/1e6 (default 0.75, the standard KN
+    * discount). Mass conservation (Σ_w P(w|u) ≈ 1 up to floor error)
+    * is what distinguishes this from the add-one model: rare
+    * continuations are scored by how many contexts they complete,
+    * not how often they occur — the "Francisco problem".
+    *
+    * Scale shape: four keyed count tables off one bigram explode (all
+    * map-side combinable), a broadcast scalar for the type count, and
+    * the same slim per-doc join+sum as the add-one model. */
+  def knBigramLmScores(docs: DataFrame, textCol: String, idCol: String,
+      discountMicro: Long = 750000L): DataFrame = {
+    require(discountMicro > 0 && discountMicro < 1000000L)
+    val base = docs.select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
+    val bg = base.filter(size(col("_tk")) >= 2)
+      .select(col("_id"), explode(expr(
+        "transform(sequence(0, size(_tk) - 2)," +
+          " i -> struct(_tk[i] AS w1, _tk[i + 1] AS w2))")).as("_b"))
+      .select(col("_id"), col("_b.w1").as("_w1"), col("_b.w2").as("_w2"))
+    val c12 = bg.groupBy(col("_w1"), col("_w2")).agg(count(lit(1)).as("_c12"))
+    val c1 = bg.groupBy(col("_w1")).agg(count(lit(1)).as("_c1"))
+    // continuation counts: distinct successors of w1 / predecessors
+    // of w2, and the distinct-bigram-type total — all derived from
+    // the (already slim) c12 table
+    val n1pF = c12.groupBy(col("_w1")).agg(count(lit(1)).as("_n1pf"))
+    val n1pP = c12.groupBy(col("_w2")).agg(count(lit(1)).as("_n1pp"))
+    val types = c12.agg(count(lit(1)).as("_bt"))
+    val perDoc = bg
+      .join(c12, Seq("_w1", "_w2"))
+      .join(c1, Seq("_w1"))
+      .join(n1pF, Seq("_w1"))
+      .join(n1pP, Seq("_w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("_s", expr(
+        s"(greatest(_c12 * 1000000 - ${discountMicro}L, 0L) div _c1)" +
+          s" + ((((${discountMicro}L * _n1pf) div _c1)" +
+          s" * ((_n1pp * 1000000) div _bt)) div 1000000)"))
+      .groupBy(col("_id"))
+      .agg(sum(col("_s")).as("kn_micro_sum"), count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol).as("_id"))
+      .join(perDoc, Seq("_id"), "left")
+      .select(col("_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_micro_sum"), lit(0L)).as("kn_micro_sum"),
+        (col("kn_micro_sum").cast("double")
+          / col("n_bigrams").cast("double")).as("kn_mean_micro"))
+  }
+
   def bigramLmScores(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))

@@ -4639,6 +4639,44 @@ object Catalog {
         SELECT doc_id, cell AS cluster FROM r WHERE rn <= 20"""
     })
 
+  /** Kneser–Ney bigram LM scores ([[TextAnalysis.knBigramLmScores]]):
+    * the CCNet/KenLM smoothing family under the micro-unit replay
+    * discipline — discounted observed mass + continuation-count
+    * backoff, every conditional a Long floor-division chain the
+    * oracle replays term by term. */
+  private val q168 = Q("q168_kneser_ney_lm",
+    (s, dir) => TextAnalysis.knBigramLmScores(t(s, dir, "documents"),
+      "text", "doc_id")
+      .withColumnRenamed("_id", "doc_id"),
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS toks FROM documents),
+      b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE len(toks) >= 2)),
+      c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM b GROUP BY w1, w2),
+      c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY w1),
+      nf AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1pf
+        FROM c12 GROUP BY w1),
+      np AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1pp
+        FROM c12 GROUP BY w2),
+      bt AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM c12),
+      sc AS (SELECT b.doc_id,
+          (greatest(c12.c12 * 1000000 - 750000, 0) // c1.c1)
+            + ((((750000 * nf.n1pf) // c1.c1)
+              * ((np.n1pp * 1000000) // bt.bt)) // 1000000) AS s
+        FROM b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        JOIN nf USING (w1) JOIN np USING (w2) CROSS JOIN bt),
+      d AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS kn_micro_sum,
+        CAST(count(*) AS BIGINT) AS n_bigrams FROM sc GROUP BY doc_id)
+      SELECT t.doc_id,
+        CAST(coalesce(d.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        CAST(coalesce(d.kn_micro_sum, 0) AS BIGINT) AS kn_micro_sum,
+        CAST(d.kn_micro_sum AS DOUBLE) / CAST(d.n_bigrams AS DOUBLE)
+          AS kn_mean_micro
+      FROM t LEFT JOIN d USING (doc_id)"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -4662,5 +4700,5 @@ object Catalog {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167)
+    q166, q167, q168)
 }

@@ -466,6 +466,27 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(run() == once, "the kept set must be deterministic")
   }
 
+  test("kneser-ney bigram scores match the closed form on a hand-" +
+      "computed fixture and conserve probability mass per context") {
+    import spark.implicits._
+    // corpus: "a b", "a b", "a c" → c(a,·)=3, c(a,b)=2, c(a,c)=1,
+    // N1+(a·)=2, N1+(·b)=N1+(·c)=1, |types|=2, D=0.75:
+    //   P(b|a) = (2−0.75)/3 + (0.75·2/3)·(1/2) = 0.41666 + 0.25
+    //   P(c|a) = (1−0.75)/3 + 0.25            = 0.08333 + 0.25
+    // micro floors: 416666+250000 = 666666; 83333+250000 = 333333
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.knBigramLmScores(docs, "text",
+      "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 666666L), s"got ${out(1L)}")
+    assert(out(2L) == (1L, 666666L))
+    assert(out(3L) == (1L, 333333L), s"got ${out(3L)}")
+    assert(out(4L) == (0L, 0L), "a 1-token doc has no bigrams")
+    // mass conservation (the property add-one lacks): Σ_w P(w|a) ≈ 1
+    assert(666666L + 333333L == 999999L) // = 1 − 2 floor ulps
+  }
+
   test("pagerank under ShuffleBarrier: one execution materializes the " +
       "whole chain with the frozen inputs keyed for their joins — and " +
       "the warm-start resume replays the stored trajectory exactly") {
