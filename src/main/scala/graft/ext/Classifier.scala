@@ -25,16 +25,14 @@ import org.apache.spark.sql.functions._
   *    weak-supervision/distillation recipe real pipelines use when no
   *    human labels exist.
   *
-  * Scale shape: the feature table is built once, laid out by doc id
-  * behind one keyed barrier; each round then costs one BROADCAST join
-  * of the ≤`dim`-row weight table (no corpus shuffle — margins group
-  * on the barrier's own layout), one map-side-combined gradient
-  * aggregation (≤ dim rows per partition reach the exchange), and a
-  * dim-bounded full-outer weight merge. Rounds chain lazily behind
-  * per-round keyed barriers, so a catalog query returns the whole fit
-  * storage-free and plan size stays LINEAR in rounds (without the
-  * barrier each round references the previous weights twice and the
-  * tree doubles per round). */
+  * Scale shape: the feature table is built once, checkpoint-cut, and
+  * released before return; each round is one distributed pass — a
+  * BROADCAST join of the ≤`dim`-row weight table (no corpus shuffle),
+  * the margin grouping, and one map-side-combined gradient
+  * aggregation (≤ dim rows per partition reach the exchange) — ending
+  * in a dim-bounded driver collect, the model-sync step of every
+  * distributed training loop. The returned fit is a detached
+  * LocalRelation, so nothing cluster-side outlives the call. */
 object Classifier {
 
   /** Sparse hashed features (_id, _y, _f, _c): one row per (doc,
@@ -50,43 +48,70 @@ object Classifier {
       .groupBy(col("_id"), col("_y"), col("_f"))
       .agg(count(lit(1)).as("_c"))
 
-  /** One perceptron round: broadcast-score every doc against `w`,
-    * collect the misclassified set (y·score ≤ 0), add the summed
-    * y·count gradient. `ft` must be laid out by _id so the margin
-    * grouping and the gradient's doc join both inherit its layout. */
-  private def step(ft: DataFrame, w: DataFrame): DataFrame = {
-    val mis = ft
-      .join(broadcast(w), Seq("_f"), "left")
-      .groupBy(col("_id"), col("_y"))
-      .agg(sum(coalesce(col("weight"), lit(0L)) * col("_c")).as("_p"))
-      .filter(col("_y") * col("_p") <= 0)
-      .select(col("_id"))
-    val grad = ft.join(mis, Seq("_id"))
-      .groupBy(col("_f")).agg(sum(col("_y") * col("_c")).as("_g"))
-    // USING full-outer join: Spark emits the coalesced _f itself
-    w.join(grad, Seq("_f"), "full")
-      .select(col("_f"),
-        (coalesce(col("weight"), lit(0L))
-          + coalesce(col("_g"), lit(0L))).as("weight"))
+  /** Train `rounds` exact batch-perceptron rounds; returns
+    * (feature, weight) — only touched feature buckets appear, as a
+    * DETACHED LocalRelation (the [[Bpe.train]]/[[Unigram.train]]
+    * convention: model parameters are driver-small BY CONSTRUCTION —
+    * the hashing trick bounds them at `dim` rows — so each round
+    * syncs the weight table through the driver, which is the model-
+    * sync step of every distributed training loop). Round 1 against
+    * the zero vector marks every doc misclassified, so w₁[f] =
+    * Σ y·count — the oracle replays it as a plain aggregate and each
+    * later round as score→filter→gradient CTEs.
+    *
+    * The feature table is built once, cut with the [[Checkpointer]]
+    * discipline, and released before return; each round is ONE
+    * distributed pass (margins → misclassified → gradient) ending in
+    * a ≤dim-row collect. A fully-lazy weight recurrence was measured
+    * first and rejected: each round references the previous weights
+    * twice (scoring + merge), so the composed plan doubled per round
+    * (~100 exchange/scan nodes at 3 rounds) and re-planning cost grew
+    * with the corpus. */
+  def perceptronTrain(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, dim: Int = 256, rounds: Int = 3,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    require(dim > 0 && rounds >= 1)
+    val spark = docs.sparkSession
+    val ft = cp.cut(
+      hashedFeatures(docs, textCol, idCol, labelCol, dim))
+    try {
+      var w: Map[Long, Long] = ft
+        .groupBy(col("_f")).agg(sum(col("_y") * col("_c")).as("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (_ <- 2 to rounds) {
+        val wdf = spark.createDataFrame(asJava(w.toSeq.sorted.map {
+          case (f, wt) => org.apache.spark.sql.Row(f, wt) }),
+          weightSchema("_wt"))
+        val mis = ft
+          .join(broadcast(wdf), Seq("_f"), "left")
+          .groupBy(col("_id"), col("_y"))
+          .agg(sum(coalesce(col("_wt"), lit(0L)) * col("_c")).as("_p"))
+          .filter(col("_y") * col("_p") <= 0)
+          .select(col("_id"))
+        val grad = ft.join(mis, Seq("_id"))
+          .groupBy(col("_f")).agg(sum(col("_y") * col("_c")).as("_g"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        w = grad.foldLeft(w) { case (acc, (f, g)) =>
+          acc.updated(f, acc.getOrElse(f, 0L) + g) }
+      }
+      spark.createDataFrame(asJava(w.toSeq.sorted.map {
+        case (f, wt) => org.apache.spark.sql.Row(f, wt) }),
+        weightSchema("weight"))
+        .withColumnRenamed("_f", "feature")
+    } finally cp.release(ft)
   }
 
-  /** Train `rounds` exact batch-perceptron rounds; returns
-    * (feature, weight) — only touched feature buckets appear. Lazy
-    * and storage-free: safe to return from a catalog query. Round 1
-    * against the zero vector marks every doc misclassified, so
-    * w₁[f] = Σ y·count — the oracle replays it as a plain aggregate
-    * and each later round as score→filter→gradient CTEs. */
-  def perceptronTrain(docs: DataFrame, textCol: String, idCol: String,
-      labelCol: String, dim: Int = 256, rounds: Int = 3): DataFrame = {
-    require(dim > 0 && rounds >= 1)
-    val ft = ShuffleBarrier.cutShared(
-      hashedFeatures(docs, textCol, idCol, labelCol, dim), Seq("_id"))
-    var w = ShuffleBarrier.cutShared(
-      ft.groupBy(col("_f")).agg(sum(col("_y") * col("_c")).as("weight")),
-      Seq("_f"))
-    for (_ <- 2 to rounds)
-      w = ShuffleBarrier.cutShared(step(ft, w), Seq("_f"))
-    w.select(col("_f").as("feature"), col("weight"))
+  private def weightSchema(valueName: String) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_f",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(valueName,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private def asJava[T](s: Seq[T]): java.util.List[T] = {
+    val l = new java.util.ArrayList[T](s.size)
+    s.foreach(l.add)
+    l
   }
 
   /** Sweep a trained weight table over a corpus: per-doc integer
