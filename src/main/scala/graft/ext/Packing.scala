@@ -50,6 +50,28 @@ object Packing {
         max(col("_id")).as("max_id"),
         pmod(sum(col("_fp")), lit(TextAnalysis.FpMod)).as("checksum"))
 
+  /** Release-over-release manifest diff — the regression check a
+    * corpus release runs before shipping: full-outer join of two
+    * [[shardManifest]] tables on shard id, each shard classified
+    * added / removed / changed (any of docs, tokens, or the
+    * order-independent checksum moved) / unchanged. Shard-cardinality
+    * tiny on both sides; one keyed join. */
+  def manifestDiff(oldM: DataFrame, newM: DataFrame): DataFrame = {
+    val o = oldM.select(col("shard"), col("n_docs").as("_od"),
+      col("n_tokens").as("_ot"), col("checksum").as("_oc"))
+    val n = newM.select(col("shard"), col("n_docs").as("_nd"),
+      col("n_tokens").as("_nt"), col("checksum").as("_nc"))
+    o.join(n, Seq("shard"), "full")
+      .select(col("shard"),
+        when(col("_od").isNull, "added")
+          .when(col("_nd").isNull, "removed")
+          .when(col("_oc") =!= col("_nc") || col("_od") =!= col("_nd")
+            || col("_ot") =!= col("_nt"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("_od").as("v1_docs"), col("_nd").as("v2_docs"),
+        col("_oc").as("v1_checksum"), col("_nc").as("v2_checksum"))
+  }
+
   def packBudget(df: DataFrame, idCol: String, tokens: Column,
       budget: Long, bucketSpan: Long = 65536L,
       cp: Checkpointer = LocalCheckpoint): DataFrame = {

@@ -4677,6 +4677,66 @@ object Catalog {
           AS kn_mean_micro
       FROM t LEFT JOIN d USING (doc_id)"""))
 
+  /** Release-over-release corpus diff ([[Packing.manifestDiff]]):
+    * v1 is last release (ids < 450, with ids 100–199 in their
+    * pre-recrawl spelling — upper-cased text), v2 is today's
+    * (ids ≥ 50). Stable id-range shards (id div 50) make the diff
+    * meaningful: shard 0 removed, the recrawled shards changed (the
+    * order-independent checksum catches a same-size content edit),
+    * the new crawl's shard added, the rest byte-stable. Every
+    * manifest column replays (q156's chain), so the whole diff table
+    * carries a hash oracle. */
+  private val q169 = Q("q169_release_diff",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      def manifest(docs: DataFrame): DataFrame = {
+        val assignment = docs.select(col("doc_id").as("_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"),
+          expr("doc_id div 50L").as("shard"))
+        val fp = docs.select(col("doc_id").as("_id"),
+          TextAnalysis.fingerprint(col("text")).as("_fp"))
+        Packing.shardManifest(assignment, fp)
+      }
+      val v1 = d.filter(col("doc_id") < 450)
+        .withColumn("text", when(col("doc_id").between(100, 199),
+          upper(col("text"))).otherwise(col("text")))
+      val v2 = d.filter(col("doc_id") >= 50)
+      Packing.manifestDiff(manifest(v1), manifest(v2))
+    },
+    Some {
+      def manifestSql(src: String, name: String): String =
+        s"""$name AS (SELECT doc_id // 50 AS shard,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          CAST(sum(fp % 1000000007) % 1000000007 AS BIGINT) AS checksum
+        FROM (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+          CASE WHEN len(text) = 0 THEN 0 ELSE
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              [CAST(ord(text[i]) AS BIGINT)
+               FOR i IN range(1, len(text) + 1)]),
+              (a, ch) -> (a * 31 + ch) % 1000000007) END AS fp
+          FROM $src) GROUP BY 1)"""
+      s"""WITH v1 AS (SELECT doc_id,
+          CASE WHEN doc_id BETWEEN 100 AND 199 THEN upper(text)
+            ELSE text END AS text
+        FROM documents WHERE doc_id < 450),
+      v2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50),
+      ${manifestSql("v1", "m1")},
+      ${manifestSql("v2", "m2")}
+      SELECT coalesce(m1.shard, m2.shard) AS shard,
+        CASE WHEN m1.shard IS NULL THEN 'added'
+          WHEN m2.shard IS NULL THEN 'removed'
+          WHEN m1.checksum <> m2.checksum OR m1.n_docs <> m2.n_docs
+            OR m1.n_tokens <> m2.n_tokens THEN 'changed'
+          ELSE 'unchanged' END AS status,
+        m1.n_docs AS v1_docs, m2.n_docs AS v2_docs,
+        m1.checksum AS v1_checksum, m2.checksum AS v2_checksum
+      FROM m1 FULL JOIN m2 ON m1.shard = m2.shard"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -4700,5 +4760,5 @@ object Catalog {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168)
+    q166, q167, q168, q169)
 }
