@@ -2587,7 +2587,7 @@ object Catalog {
     (s, dir) => Dedup.minHashLshPairsPortable(t(s, dir, "documents"),
       "text", "doc_id", n = 3, numPerms = 16, rowsPerBand = 4,
       threshold = 0.5),
-    Some(portableLshBkCtes + s""",
+    Some(portableLshBkCtes() + s""",
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bk a JOIN bk b
           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
@@ -2604,15 +2604,19 @@ object Catalog {
     * polynomial shingle ids → 16-perm signature (the public seeded
     * (a_j, b_j) literals) → 4-band raw-slice bucket keys
     * `bk(doc_id, band, bk)`; `g(doc_id, sh)` carries the shingle sets
-    * for the exact-Jaccard verify. */
-  private def portableLshBkCtes: String = {
+    * for the exact-Jaccard verify. `rowsPerBand` tunes the band shape
+    * (16/rowsPerBand bands): 4 is the dedup default; q170 drops to 2
+    * for a looser candidate net that admits verify-failures. */
+  private def portableLshBkCtes(rowsPerBand: Int = 4): String = {
     val (as, bs) = graft.functions.MinHashSig.perms(16, 42L)
+    val nBands = 16 / rowsPerBand
     val sigSql = (0 until 16).map(j =>
       s"list_min([(h * ${as(j)} + ${bs(j)}) % 2147483647 FOR h IN hs])")
       .mkString("[", ",\n        ", "]")
-    val bandsSql = (0 until 4).map(b =>
+    val bandsSql = (0 until nBands).map(b =>
       s"SELECT doc_id, $b AS band, " +
-        s"array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], ',') AS bk FROM s")
+        s"array_to_string(sig[${b * rowsPerBand + 1}:" +
+        s"${b * rowsPerBand + rowsPerBand}], ',') AS bk FROM s")
       .mkString("\n        UNION ALL ")
     s"""WITH t AS (SELECT doc_id,
         list_filter(string_split_regex(trim(text), '\\s+'),
@@ -3244,7 +3248,7 @@ object Catalog {
   private val q136 = Q("q136_lsh_band_stats",
     (s, dir) => Dedup.minHashBandStats(t(s, dir, "documents"),
       "text", "doc_id", n = 3, numPerms = 16, rowsPerBand = 4),
-    Some(portableLshBkCtes + """,
+    Some(portableLshBkCtes() + """,
       bs AS (SELECT band, bk, count(*) AS sz FROM bk GROUP BY band, bk)
       SELECT CAST(band AS INT) AS band, sz AS bucket_size,
         count(*) AS n_buckets
@@ -4371,7 +4375,7 @@ object Catalog {
         "text", "doc_id", n = 3, numPerms = 16, rowsPerBand = 4,
         threshold = 0.5)
     },
-    Some(portableLshBkCtes + s""",
+    Some(portableLshBkCtes() + s""",
       cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
           greatest(a.doc_id, b.doc_id) AS doc_b
         FROM bk a JOIN bk b
@@ -4546,7 +4550,7 @@ object Catalog {
           max(col("jaccard")).as("max_jaccard"))
         .withColumn("leaks", col("split_a") =!= col("split_b"))
     },
-    Some(portableLshBkCtes + s""",
+    Some(portableLshBkCtes() + s""",
       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bk a JOIN bk b
           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
@@ -4737,6 +4741,108 @@ object Catalog {
       FROM m1 FULL JOIN m2 ON m1.shard = m2.shard"""
     })
 
+  /** Contrastive training pairs mined from the LSH candidate set:
+    * positives are the verified near-dups (jaccard ≥ 0.5), hard
+    * negatives the band-collided pairs that FAILED the verify —
+    * lexically close enough to share a signature band yet not
+    * duplicates, exactly the "hard" negatives an embedding/retrieval
+    * model trains against (random negatives are trivially separable).
+    * One chain yields both labels: the labeled-pair dataset is the
+    * q118 pipeline with the threshold turned into the label bit. */
+  private val q170 = Q("q170_contrastive_pairs",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = Dedup.minHashDocIndex(d, "text", "doc_id", n = 3,
+        numPerms = 16, rowsPerBand = 2)
+      val b = idx.select(col("_id"), explode(col("_bands")).as("_b"))
+        .select(col("_id"), col("_b._bandNo").as("_bandNo"),
+          col("_b._bandKey").as("_bandKey"))
+      val cand = b.select(col("_id").as("doc_a"), col("_bandNo"),
+          col("_bandKey"))
+        .join(b.select(col("_id").as("doc_b"), col("_bandNo"),
+          col("_bandKey")), Seq("_bandNo", "_bandKey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sh = idx.select(col("_id"), col("_sh"))
+      cand
+        .join(sh.select(col("_id").as("doc_a"), col("_sh").as("_sha")),
+          Seq("doc_a"))
+        .join(sh.select(col("_id").as("doc_b"), col("_sh").as("_shb")),
+          Seq("doc_b"))
+        .withColumn("jaccard", graft.functions.VectorFunctions
+          .jaccardSorted(col("_sha"), col("_shb")))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          when(col("jaccard") >= 0.5, 1).otherwise(0).as("label"))
+    },
+    Some(portableLshBkCtes(rowsPerBand = 2) + s""",
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)
+      SELECT c.doc_a, c.doc_b,
+        len(list_intersect(x.sh, y.sh)) * 1.0 /
+          (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+          AS jaccard,
+        CAST(CASE WHEN len(list_intersect(x.sh, y.sh)) * 1.0 /
+          (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+          >= 0.5 THEN 1 ELSE 0 END AS INT) AS label
+      FROM cand c JOIN g x ON x.doc_id = c.doc_a
+      JOIN g y ON y.doc_id = c.doc_b"""))
+
+  /** Vocabulary coverage curve — the tokenizer/vocab-sizing
+    * dashboard: for vocab sizes 2^k (k = 0..12), what fraction of
+    * corpus token OCCURRENCES the top-2^k types by frequency cover
+    * (ties in UTF-8 type order, the q150 discipline). The rank and
+    * cumulative sums run over the vocab-cardinality type table, never
+    * the corpus: one corpus aggregation, then window passes over
+    * |vocab| rows. Coverage = cumulative/total, one IEEE division per
+    * output row. */
+  private val q171 = Q("q171_vocab_coverage",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      import s.implicits._
+      val tc = d.select(explode(TextAnalysis.tokens(col("text")))
+          .as("_t"))
+        .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+      // only the top max-size ranks matter, so bound FIRST with a
+      // distributed TakeOrdered (never a global window over the type
+      // table — 10^8+ types at web scale); the rank/cumsum windows
+      // then run over a constant ≤4096 rows
+      val top = tc.orderBy(col("_c").desc, col("_t").asc).limit(4096)
+      val ranked = top.withColumn("_r", row_number().over(
+          Window.orderBy(col("_c").desc, col("_t").asc)))
+        .withColumn("_cum", sum(col("_c")).over(
+          Window.orderBy(col("_r"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      val total = tc.agg(sum(col("_c")).as("_tot"))
+      val sizes = (0 to 12).map(k => 1L << k)
+      val sdf = sizes.toDF("vocab_size")
+      sdf.join(ranked, col("_r") <= col("vocab_size"))
+        .groupBy(col("vocab_size"))
+        .agg(max(col("_cum")).as("covered"), max(col("_r")).as("n_types"))
+        .crossJoin(broadcast(total))
+        .select(col("vocab_size"), col("n_types"), col("covered"),
+          (col("covered").cast("double") / col("_tot").cast("double"))
+            .as("coverage"))
+    },
+    Some("""WITH tc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT unnest(list_filter(string_split_regex(trim(text),
+            '\s+'), x -> len(x) > 0)) AS t
+          FROM documents) GROUP BY t),
+      r AS (SELECT t, c,
+          row_number() OVER (ORDER BY c DESC, t ASC) AS rk,
+          sum(c) OVER (ORDER BY c DESC, t ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM tc),
+      tot AS (SELECT sum(c) AS tot FROM tc),
+      sz AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+        1024, 2048, 4096]) AS vocab_size)
+      SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+        CAST(max(rk) AS BIGINT) AS n_types,
+        CAST(max(cum) AS BIGINT) AS covered,
+        CAST(max(cum) AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS coverage
+      FROM sz JOIN r ON r.rk <= sz.vocab_size CROSS JOIN tot
+      GROUP BY vocab_size, tot.tot"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -4760,5 +4866,5 @@ object Catalog {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168, q169)
+    q166, q167, q168, q169, q170, q171)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
 
 /** Round-8 plan-shape pins: the q151 node-id fix (no global window on
@@ -502,5 +503,45 @@ class Round8PlanShapeSpec extends SparkSpec {
     val a = cold.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = resumed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b, s"resume-from-round-1 must equal 2 cold rounds: $a vs $b")
+  }
+
+  test("q170 contrastive pairs: BOTH classes are populated — the " +
+      "2-row bands admit verify-failures as hard negatives (a tighter " +
+      "band shape silently empties the negative class)") {
+    val df = Catalog.all.find(_.name == "q170_contrastive_pairs").get
+      .fn(spark, sf("sf0.01"))
+    val byLabel = df.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byLabel.getOrElse(1, 0L) > 0, "no positives — LSH net broken")
+    assert(byLabel.getOrElse(0, 0L) > 0,
+      "no hard negatives — every candidate verified as a dup; the " +
+        "training set degenerates to positives-only")
+    // label is a pure function of jaccard: no pair may contradict it
+    val bad = df.filter(
+      (col("label") === 1 && col("jaccard") < 0.5) ||
+        (col("label") === 0 && col("jaccard") >= 0.5)).count()
+    assert(bad == 0, s"$bad pair(s) whose label contradicts jaccard")
+  }
+
+  test("q171 vocab coverage: every global window runs over a " +
+      "limit-bounded input (never the unbounded type table), and the " +
+      "coverage curve is monotone in [0, 1]") {
+    val df = Catalog.all.find(_.name == "q171_vocab_coverage").get
+      .fn(spark, sf())
+    val unbounded = globalWindows(df.queryExecution.optimizedPlan)
+      .filterNot(_.child.collectFirst {
+        case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
+      }.isDefined)
+    assert(unbounded.isEmpty,
+      s"${unbounded.size} global window(s) over an unbounded input — " +
+        "at web scale the full type table (10^8+ rows) would funnel " +
+        "through one task; rank/cumsum must run on the TakeOrdered top-k")
+    val rows = df.orderBy("vocab_size").collect()
+    assert(rows.length == 13, s"13 sizes expected, got ${rows.length}")
+    val cov = rows.map(_.getDouble(3))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b },
+      s"coverage not monotone: ${cov.mkString(", ")}")
+    assert(cov.forall(c => c >= 0.0 && c <= 1.0))
+    assert(cov.last == cov.max)
   }
 }
