@@ -149,6 +149,86 @@ object Sampling {
     df.withColumn("split", chain)
   }
 
+  /** DSIR-style data-selection scores (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"):
+    * hashed bag-of-n-grams multinomials of a TARGET subset vs the
+    * whole RAW corpus, and a per-doc importance score that ranks how
+    * much each raw document "looks like" the target distribution —
+    * the selection signal pretraining pipelines use to upweight
+    * quality-like text without a trained classifier.
+    *
+    * The published method scores `log p_t(x) − log p_r(x)` in floats
+    * and Gumbel-resamples; this engine keeps the repo's exact-integer
+    * discipline instead: each bucket's add-one-smoothed probability
+    * RATIO `(ct_b+1)(Tr+dim) / ((cr_b+1)(Tt+dim))` is quantized ONCE
+    * to micro-units by integral division (DECIMAL(38,0) intermediates
+    * — the BIGINT product overflows beyond ~3e9-gram corpora), and
+    * the doc score is the exact Long `Σ_b c_b · ratio_b`, so any
+    * engine replays every value bit-for-bit. Ranking by the linear
+    * ratio sum weights high-ratio buckets harder than the log-sum
+    * would (documented deviation from the paper — same add-one
+    * models, integer-replayable score).
+    *
+    * Features: unigrams + bigrams of whitespace tokens through the
+    * portable rolling-poly hash mod `dim` (the q118/q163 chain — the
+    * fastText hashing trick, no vocabulary to ship). Token-less docs
+    * have no grams and drop (q164's convention).
+    *
+    * Scale shape: DSIR is inherently two corpus passes — train the
+    * bucket models, then score against them — and this is exactly two.
+    * The model pass map-side-combines gram occurrences straight into
+    * the dim-bounded stats table (≤ dim rows per partition reach its
+    * exchange); the grand totals come from a single-partition window
+    * over THAT ≤dim-row table, never from a re-aggregation whose
+    * lineage would sneak in a third corpus scan (an intermediate
+    * per-doc feature table was tried first: its three consumers prune
+    * different columns, so ReuseExchange never fires and the corpus
+    * was scanned three times). The scoring pass joins the ≤dim-row
+    * broadcast ratio table to gram occurrences and folds them with ONE
+    * doc-keyed exchange (map-side partial agg) — the corpus itself is
+    * never shuffled. */
+  def dsirScores(docs: DataFrame, textCol: String, idCol: String,
+      isTarget: org.apache.spark.sql.Column, dim: Int = 1024): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("_id"), isTarget.as("_t"),
+      toks.as("_w"))
+    // sequence(1, n-1) REVERSES for n < 2 (Spark descends when stop <
+    // start) — guard empties explicitly
+    val bigrams = when(size(col("_w")) < 2,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("_w")) - 1),
+        i => concat_ws(" ", element_at(col("_w"), i),
+          element_at(col("_w"), i + 1))))
+    val grams = base.select(col("_id"), col("_t"),
+        explode(graft.functions.VectorFunctions.polyHashAll(
+          concat(col("_w"), bigrams))).as("_h"))
+      .select(col("_id"), col("_t"),
+        pmod(col("_h"), lit(dim.toLong)).as("_f"))
+    val stats = grams.groupBy(col("_f"))
+      .agg(count(lit(1)).as("_cr"),
+        count(when(col("_t"), lit(1))).as("_ct"))
+    // totals over the dim-bounded stats table: a single-partition
+    // window over ≤ dim rows, NOT over anything corpus-sized
+    val w = Window.partitionBy(lit(1))
+    val ratio = stats
+      .withColumn("_tr", sum(col("_cr")).over(w))
+      .withColumn("_tt", sum(col("_ct")).over(w))
+      .withColumn("_ratio", expr(
+        s"""CAST((CAST(_ct + 1 AS DECIMAL(38,0)) *
+           CAST(_tr + $dim AS DECIMAL(38,0)) * 1000000) div
+           (CAST(_cr + 1 AS DECIMAL(38,0)) *
+            CAST(_tt + $dim AS DECIMAL(38,0))) AS BIGINT)"""))
+      .select(col("_f"), col("_ratio"))
+    grams.join(broadcast(ratio), Seq("_f"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("_ratio")).as("dsir_score"))
+      .select(col("_id").as("doc_id"), col("n_grams"),
+        col("dsir_score"),
+        expr("dsir_score div n_grams").as("dsir_norm"))
+  }
+
   /** Shared exact-quota selection: keep the `_keep` lowest-hash-rank
     * rows per domain via the two-phase (domain, hash-range bucket)
     * rank — cumulative bucket counts restore the global per-domain

@@ -4843,6 +4843,45 @@ object Catalog {
       FROM sz JOIN r ON r.rk <= sz.vocab_size CROSS JOIN tot
       GROUP BY vocab_size, tot.tot"""))
 
+  /** DSIR importance scores ([[Sampling.dsirScores]]): target = the
+    * Gopher-gate keepers (q152's predicate doubling as the "looks
+    * like quality text" exemplar set, the same weak-supervision move
+    * as q163), raw = the whole corpus. Every per-doc score is an
+    * exact Long the oracle replays: add-one bucket models, micro-unit
+    * integral-division ratios, Σ c·ratio. */
+  private val q172 = Q("q172_dsir_scores",
+    (s, dir) => Sampling.dsirScores(t(s, dir, "documents"), "text",
+      "doc_id", TextAnalysis.gopherKeep(col("text")), dim = 1024),
+    Some(s"""WITH $gopherSignalCtes,
+      tgt AS (SELECT doc_id, $gopherKeepSql AS tg FROM s),
+      gr AS (SELECT t.doc_id, g.tg, unnest(ws) AS w
+          FROM t JOIN tgt g USING (doc_id)
+        UNION ALL
+        SELECT t.doc_id, g.tg,
+            unnest([ws[i] || ' ' || ws[i+1]
+              FOR i IN range(1, len(ws))]) AS w
+          FROM t JOIN tgt g USING (doc_id)),
+      fb AS (SELECT doc_id, tg,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(ord(w[i]) AS BIGINT) FOR i IN range(1, len(w) + 1)]),
+            (a, c) -> (a * 31 + c) % 1000000007) % 1024 AS f
+        FROM gr),
+      c AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS c
+        FROM fb GROUP BY doc_id, f),
+      st AS (SELECT f, CAST(count(*) AS BIGINT) AS cr,
+          CAST(count(*) FILTER (WHERE tg) AS BIGINT) AS ct
+        FROM fb GROUP BY f),
+      tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM st),
+      r AS (SELECT f,
+          CAST((CAST(ct + 1 AS HUGEINT) * (tr + 1024) * 1000000)
+            // (CAST(cr + 1 AS HUGEINT) * (tt + 1024)) AS BIGINT)
+            AS ratio
+        FROM st CROSS JOIN tot)
+      SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_grams,
+        CAST(sum(c.c * r.ratio) AS BIGINT) AS dsir_score,
+        CAST(sum(c.c * r.ratio) // sum(c.c) AS BIGINT) AS dsir_norm
+      FROM c JOIN r USING (f) GROUP BY c.doc_id"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -4866,5 +4905,5 @@ object Catalog {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168, q169, q170, q171)
+    q166, q167, q168, q169, q170, q171, q172)
 }

@@ -544,4 +544,59 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(cov.forall(c => c >= 0.0 && c <= 1.0))
     assert(cov.last == cov.max)
   }
+
+  test("q172 dsir: exactly the two inherent corpus passes (model + " +
+      "score), and the only global window runs over the dim-bounded " +
+      "bucket-stats aggregate, never the corpus") {
+    val df = Catalog.all.find(_.name == "q172_dsir_scores").get
+      .fn(spark, sf())
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    val scans = "Scan parquet".r.findAllMatchIn(plan).size
+    assert(scans == 2,
+      s"DSIR is two corpus passes by construction; got $scans scans — " +
+        s"a third means the totals re-derived the corpus (the unreused " +
+        s"feature-table shape this operator was rewritten to avoid):\n$plan")
+    val unbounded = globalWindows(df.queryExecution.optimizedPlan)
+      .filterNot(_.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.nonEmpty => a
+      }.isDefined)
+    assert(unbounded.isEmpty,
+      s"${unbounded.size} global window(s) NOT over the keyed bucket " +
+        "aggregate — the totals window must see ≤ dim rows, not docs")
+  }
+
+  test("dsir scores rank target-distribution text above raw-only text " +
+      "on a hand-built corpus, with exact gram counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta gamma", true),
+      (3L, "zeta eta theta", false),
+      (4L, "zeta eta iota alpha", false)).toDF("id", "text", "tgt")
+    val out = graft.ext.Sampling.dsirScores(docs, "text", "id",
+      col("tgt"), dim = 1024).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // unigrams + bigrams: doc 1 has 4 + 3 = 7 grams
+    assert(out(1L)._1 == 7, s"doc 1 gram count: ${out(1L)._1}")
+    assert(out(3L)._1 == 5, s"doc 3 gram count: ${out(3L)._1}")
+    // every target doc must out-rank every raw-only doc on the
+    // normalized score: their grams dominate the target multinomial
+    val (tgtMin, rawMax) =
+      (Seq(1L, 2L).map(out(_)._2).min, Seq(3L, 4L).map(out(_)._2).max)
+    assert(tgtMin > rawMax,
+      s"target docs must outscore raw-only docs: min(target)=$tgtMin " +
+        s"<= max(raw)=$rawMax")
+    // raw-only docs sit strictly below the 1e6 micro-unit neutral
+    // line: every one of their buckets has ct=0, so each ratio is
+    // (Tr+dim)/((cr+1)(Tt+dim)) < 1. (No symmetric bound for targets:
+    // a gram shared with a raw doc plus add-one shrinkage can pull a
+    // target doc's mean under 1e6 at toy counts.)
+    assert(rawMax < 1000000L)
+  }
 }
