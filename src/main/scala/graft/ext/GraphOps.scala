@@ -98,4 +98,93 @@ object GraphOps {
     cp.release(e); cp.release(nodes); cp.release(outDeg)
     ranks.select(col("_n").as("node"), col("_r").as("rank_micro"))
   }
+
+  /** Deterministic fixed-point HITS (Kleinberg 1999): `iters`
+    * alternating authority/hub rounds over an integer-keyed edge
+    * list — a(v) = Σ_{u→v} h(u), then h(u) = Σ_{u→v} a(v) — with
+    * every quantity an exact integer. Classic HITS ℓ²-normalizes
+    * each round in floats; this engine instead runs the rounds RAW
+    * in DECIMAL(38,0) (no data-dependent scalar mid-round, so each
+    * round stays a single-consumer join+agg chain — a mid-round
+    * max-rescale would make every round's state a two-consumer
+    * subtree that doubles per round under a lineage barrier) and
+    * scales ONCE at the end to micro-units of the maximum
+    * (top node ≡ 1 000 000) by integral division, so any engine
+    * replays the exact scores and the RANKING matches float HITS
+    * (positive rescaling is order-preserving; documented deviation:
+    * per-round relative magnitudes are not ℓ²-normalized).
+    *
+    * Exactness bound: raw values grow ≤ d^(2·iters)·1e6 for max
+    * degree d — DECIMAL(38,0) holds d ≈ 10^7 (a very popular crawl
+    * domain) at the default iters=2. Beyond that a sum overflows to
+    * null (non-ANSI Spark) and the final projection raise_errors
+    * LOUDLY instead of shipping silently-wrong scores; cap degree or
+    * lower iters if it fires.
+    *
+    * Scale shape: per half-round, one keyed join of the score state
+    * onto the edge list plus one map-side-combinable sum — the same
+    * shape as [[pageRankFixedPoint]]; the edge list and node set are
+    * frozen, cut once, keyed. The final rescale broadcasts a 1-row
+    * max aggregate (the repo's scale-scalar idiom); under a lineage
+    * barrier the max branch re-derives the last half-round once —
+    * bounded, unlike the exponential mid-round alternative. Returns
+    * (node, auth_micro, hub_micro). */
+  def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = cp.cutShared(edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst")).distinct(), Seq("_src"))
+    val nodes = cp.cutShared(e.select(col("_src").as("_n"))
+      .unionByName(e.select(col("_dst").as("_n"))).distinct(), Seq("_n"))
+    val dec = "decimal(38,0)"
+    var hub = cp.cutState(nodes.select(col("_n"),
+      lit(1000000L).cast(dec).as("_h")))
+    var auth = hub // placeholder; iters >= 1 always overwrites
+    // a node with NO incoming contributions is legitimately 0; a node
+    // WITH contributions whose sum came back null hit decimal
+    // overflow — coalescing that to 0 would ship silently-wrong
+    // scores, so keep the contribution count and raise loudly
+    def fold(state: DataFrame, stateCol: String, joinKey: String,
+        groupKey: String, outCol: String): DataFrame =
+      nodes.join(
+          e.join(state.select(col("_n").as(joinKey), col(stateCol)),
+              joinKey)
+            .groupBy(col(groupKey))
+            .agg(sum(col(stateCol)).as("_s"), count(lit(1)).as("_k")),
+          nodes("_n") === col(groupKey), "left")
+        .select(col("_n"),
+          when(col("_k").isNotNull && col("_s").isNull,
+            raise_error(lit("HITS overflow: a DECIMAL(38,0) score sum " +
+              "exceeded 38 digits — lower iters or cap max degree")))
+            .otherwise(coalesce(col("_s"), lit(0L).cast(dec)))
+            .as(outCol))
+    for (_ <- 1 to iters) {
+      val oldA = auth
+      auth = cp.cutState(fold(hub, "_h", "_src", "_dst", "_a"))
+      if (!(oldA eq hub)) cp.release(oldA)
+      val oldH = hub
+      hub = cp.cutState(fold(auth, "_a", "_dst", "_src", "_h"))
+      cp.release(oldH)
+    }
+    val raw = cp.cutShared(
+      auth.join(hub, Seq("_n")), Seq("_n"))
+    cp.release(e); cp.release(nodes)
+    val mx = raw.agg(max(col("_a")).as("_ma"), max(col("_h")).as("_mh"))
+    // the ×1e6 rescale can itself overflow 38 digits (raw > 1e32):
+    // a null AFTER the division means overflow somewhere in the
+    // multiply/divide chain (raw and max are never legitimately null
+    // here), so any null result raises rather than ships
+    def scaled(v: String, m: String) = {
+      val s = expr(
+        s"CAST((CAST($v AS DECIMAL(38,0)) * 1000000) div $m AS BIGINT)")
+      when(s.isNull,
+        raise_error(lit(s"HITS overflow: rescaling $v to micro-units " +
+          "exceeded DECIMAL(38,0) — lower iters or cap max degree")))
+        .otherwise(s)
+    }
+    raw.crossJoin(broadcast(mx))
+      .select(col("_n").as("node"),
+        scaled("_a", "_ma").as("auth_micro"),
+        scaled("_h", "_mh").as("hub_micro"))
+  }
 }

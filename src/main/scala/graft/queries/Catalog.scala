@@ -4882,6 +4882,49 @@ object Catalog {
         CAST(sum(c.c * r.ratio) // sum(c.c) AS BIGINT) AS dsir_norm
       FROM c JOIN r USING (f) GROUP BY c.doc_id"""))
 
+  /** HITS hubs/authorities ([[GraphOps.hitsFixedPoint]]) on the same
+    * derived customer→supplier graph as q145's PageRank: the
+    * complementary centrality pair (who LINKS well vs who IS linked
+    * well) a crawl frontier prioritizer uses alongside PageRank. Raw
+    * integer rounds, one end rescale to micro-units of the max —
+    * every score an exact Long the oracle replays. ShuffleBarrier:
+    * lazily-returned catalog frame, nothing pinned. */
+  private val q173 = Q("q173_hits",
+    (s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      GraphOps.hitsFixedPoint(edges, "src", "dst", iters = 2,
+        cp = graft.ext.ShuffleBarrier)
+    },
+    Some {
+      def half(prev: String, prevCol: String, joinKey: String,
+          groupKey: String, out: String, outCol: String): String =
+        s"""$out AS (SELECT nodes.n,
+            coalesce(x.s, CAST(0 AS HUGEINT)) AS $outCol
+          FROM nodes LEFT JOIN (
+            SELECT e.$groupKey AS n, CAST(sum(p.$prevCol) AS HUGEINT) AS s
+            FROM e JOIN $prev p ON p.n = e.$joinKey
+            GROUP BY e.$groupKey) x ON nodes.n = x.n)"""
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+      h0 AS (SELECT n, CAST(1000000 AS HUGEINT) AS h FROM nodes),
+      ${half("h0", "h", "src", "dst", "a1", "a")},
+      ${half("a1", "a", "dst", "src", "h1", "h")},
+      ${half("h1", "h", "src", "dst", "a2", "a")},
+      ${half("a2", "a", "dst", "src", "h2", "h")},
+      mx AS (SELECT max(a) AS ma FROM a2),
+      mxh AS (SELECT max(h) AS mh FROM h2)
+      SELECT a2.n AS node,
+        CAST((a2.a * 1000000) // mx.ma AS BIGINT) AS auth_micro,
+        CAST((h2.h * 1000000) // mxh.mh AS BIGINT) AS hub_micro
+      FROM a2 JOIN h2 ON a2.n = h2.n CROSS JOIN mx CROSS JOIN mxh"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -4905,5 +4948,5 @@ object Catalog {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168, q169, q170, q171, q172)
+    q166, q167, q168, q169, q170, q171, q172, q173)
 }

@@ -599,4 +599,24 @@ class Round8PlanShapeSpec extends SparkSpec {
     // target doc's mean under 1e6 at toy counts.)
     assert(rawMax < 1000000L)
   }
+
+  test("hits matches the hand-derived fixed point on a 4-node graph, " +
+      "and a lazily-returned ShuffleBarrier run pins no storage") {
+    import spark.implicits._
+    // 1→3, 2→3, 2→4: node 2 links BOTH authorities (best hub), node 3
+    // is cited by both hubs (best authority). Hand-run: a2 = {3: 5e6,
+    // 4: 3e6}, h2 = {1: 5e6, 2: 8e6} → micro-units of each max.
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val out = graft.ext.GraphOps.hitsFixedPoint(edges, "src", "dst",
+      iters = 2, cp = graft.ext.ShuffleBarrier).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+        .subsetOf(pinnedBefore),
+      "ShuffleBarrier hits must not pin blocks")
+    assert(out(3L) == ((1000000L, 0L)), s"node 3: ${out(3L)}")
+    assert(out(4L) == ((600000L, 0L)), s"node 4: ${out(4L)}")
+    assert(out(1L) == ((0L, 625000L)), s"node 1: ${out(1L)}")
+    assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
+  }
 }
