@@ -201,6 +201,60 @@ object TextAnalysis {
         col("n_stop_hits") >= 2 &&
         col("dup_line_frac") < 0.3)
 
+  /** C4-style page cleaning (Raffel et al. 2020 §2.2, the third of
+    * the classic web-text recipes alongside Gopher ([[gopherKeep]])
+    * and CCNet ([[Dedup.lineDedupGlobal]] + [[perplexityBuckets]])):
+    * line rules keep only lines that end in terminal punctuation,
+    * carry ≥ `minLineWords` single-space-separated words, and do not
+    * mention "javascript"; page rules then drop any doc containing
+    * "lorem ipsum", a curly bracket, or a `badWords` hit (C4's
+    * configurable blocklist — word-boundary regex over the RAW page,
+    * like the paper), or whose CLEANED text has fewer than
+    * `minSentences` terminal punctuation marks (the paper counts
+    * sentences on the retained text).
+    *
+    * Emits one row per input doc — `keep` marks the survivors and the
+    * counters say which rule bit — so the dashboard shows rule yields
+    * without a second pass.
+    *
+    * Scale shape: MAP-ONLY — every rule is a codegen'd Column
+    * expression over split/filter/array_join higher-order functions;
+    * no explode, no shuffle, stream-safe. At 100 TB this is one scan,
+    * embarrassingly parallel. */
+  def c4Clean(docs: DataFrame, textCol: String, idCol: String,
+      minLineWords: Int = 3, minSentences: Int = 5,
+      badWords: Seq[String] = Nil): DataFrame = {
+    require(minLineWords >= 1 && minSentences >= 0)
+    require(badWords.forall(_.matches("[A-Za-z0-9']+")),
+      "badWords must be plain words — they are spliced into a regex")
+    def wordCount(l: Column): Column =
+      size(filter(split(l, " "), w => length(w) > 0))
+    val kept = filter(split(col(textCol), "\n"), l =>
+      l.rlike("[.!?\"]\\s*$") &&
+        wordCount(l) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val clean = array_join(kept, "\n")
+    // sentence count = terminal marks in the CLEANED text (length
+    // difference, not a regex extract — identical in any engine)
+    val nSent = length(col("_clean")) -
+      length(regexp_replace(col("_clean"), "[.!?]", ""))
+    val badHit: Column = badWords match {
+      case Nil => lit(false)
+      case ws => lower(col(textCol))
+        .rlike("\\b(" + ws.map(_.toLowerCase).mkString("|") + ")\\b")
+    }
+    docs.select(col(idCol), col(textCol), kept.as("_kept"),
+        clean.as("_clean"))
+      .select(col(idCol), col("_clean").as("clean_text"),
+        size(col("_kept")).as("n_lines_kept"),
+        (size(split(col(textCol), "\n")) - size(col("_kept")))
+          .as("n_lines_dropped"),
+        nSent.as("n_sentences"),
+        (!lower(col(textCol)).contains("lorem ipsum") &&
+          !col(textCol).contains("{") && !col(textCol).contains("}") &&
+          !badHit && nSent >= minSentences).as("keep"))
+  }
+
   /** Top word-n-gram repetition (the remaining Gopher repetition
     * family, Rae et al. 2021 A1.1: "fraction of characters in the
     * most common n-gram"): per doc and per n, the most frequent

@@ -4925,6 +4925,75 @@ object Catalog {
       FROM a2 JOIN h2 ON a2.n = h2.n CROSS JOIN mx CROSS JOIN mxh"""
     })
 
+  /** C4 page cleaning ([[TextAnalysis.c4Clean]]) over synthesized
+    * multi-line pages (the q134 move — the flat fixture text gets a
+    * deterministic line structure built identically on both sides,
+    * with lines that exercise EVERY rule: a good intro, a javascript
+    * line, an unpunctuated nav line, a too-short line, conditional
+    * lorem-ipsum / curly-brace / multi-sentence lines keyed off
+    * doc_id, and an unpunctuated raw-vocabulary tail so the badword
+    * blocklist scans the raw page like the paper). */
+  private val q174 = Q("q174_c4_clean",
+    (s, dir) => {
+      val lines = array(
+        concat(lit("Intro about "), substring(col("text"), 1, 40),
+          lit(" here.")),
+        lit("please enable javascript now."),
+        lit("read more"),
+        lit("ok fine."),
+        when(pmod(col("doc_id"), lit(5)) =!= 0,
+          lit("One more good sentence. And another one here! " +
+            "Plus a third?")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("Lorem ipsum dolor sit amet.")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("template code { display: none }.")),
+        when(pmod(col("doc_id"), lit(5)) =!= 0,
+          lit("Contact the team today. We reply fast. Promise!")),
+        concat(lit("tags "), col("text")))
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        array_join(filter(lines, l => l.isNotNull), "\n").as("_text"))
+      TextAnalysis.c4Clean(synth, "_text", "doc_id",
+        minLineWords = 3, minSentences = 5, badWords = Seq("vector"))
+    },
+    Some("""WITH syn AS (SELECT doc_id, concat_ws(chr(10),
+        'Intro about ' || substr(text, 1, 40) || ' here.',
+        'please enable javascript now.',
+        'read more',
+        'ok fine.',
+        CASE WHEN doc_id % 5 <> 0 THEN
+          'One more good sentence. And another one here! Plus a third?'
+          END,
+        CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet.' END,
+        CASE WHEN doc_id % 11 = 0 THEN
+          'template code { display: none }.' END,
+        CASE WHEN doc_id % 5 <> 0 THEN
+          'Contact the team today. We reply fast. Promise!' END,
+        'tags ' || text) AS t
+      FROM documents),
+      kp AS (SELECT doc_id, t,
+        list_filter(string_split(t, chr(10)), l ->
+          regexp_matches(l, '[.!?"]\s*$')
+          AND len(list_filter(string_split(l, ' '),
+            w -> len(w) > 0)) >= 3
+          AND NOT contains(lower(l), 'javascript')) AS kept,
+        len(string_split(t, chr(10))) AS n_all FROM syn),
+      cl AS (SELECT doc_id, t, kept, n_all,
+        array_to_string(kept, chr(10)) AS clean_text FROM kp),
+      sn AS (SELECT *, CAST(len(clean_text) -
+          len(regexp_replace(clean_text, '[.!?]', '', 'g')) AS INT)
+          AS n_sentences
+        FROM cl)
+      SELECT doc_id, clean_text,
+        CAST(len(kept) AS INT) AS n_lines_kept,
+        CAST(n_all - len(kept) AS INT) AS n_lines_dropped,
+        n_sentences,
+        (NOT contains(lower(t), 'lorem ipsum')
+          AND NOT contains(t, '{') AND NOT contains(t, '}')
+          AND NOT regexp_matches(lower(t), '\b(vector)\b')
+          AND n_sentences >= 5) AS keep
+      FROM sn"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -4948,5 +5017,5 @@ object Catalog {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168, q169, q170, q171, q172, q173)
+    q166, q167, q168, q169, q170, q171, q172, q173, q174)
 }
