@@ -9,7 +9,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.ts is TIMESTAMP(NANOS) parquet — readable only as long
+      // a TIMESTAMP(NANOS) events fixture is readable only as long; no-op
+      // for micros fixtures (Normalize.epochNanos adapts either way)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -3,7 +3,7 @@ package graft.ops
 import graft.schema.TableSpec
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampNTZType, TimestampType}
 
 /** Bronze normalization (reference: gluejob.py:16-48, 278, 182-186).
   *
@@ -20,6 +20,35 @@ object Normalize {
     when(c.isin("True", "true", "t"), lit("true"))
       .when(c.isin("False", "false", "f"), lit("false"))
       .otherwise(c)
+
+  /** Epoch-nanosecond LONG view of an event-time column, whatever the
+    * fixture generation shipped: parquet TIMESTAMP(NANOS) arrives as a
+    * raw LONG of nanoseconds (the only way Spark reads nanos),
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    * TIMESTAMP_NTZ, and an instant-annotated column as TIMESTAMP. All
+    * engine entry points pin spark.sql.session.timeZone=UTC, so the
+    * NTZ→LTZ cast is wall-clock preserving and matches DuckDB's
+    * epoch_ns() on the same naive column. Integral arithmetic only —
+    * 1e18-scale nanos lose low bits in a double. */
+  def epochNanos(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case LongType => col(name)
+      case TimestampNTZType =>
+        unix_micros(col(name).cast(TimestampType)) * lit(1000L)
+      case TimestampType => unix_micros(col(name)) * lit(1000L)
+      case dt => throw new IllegalArgumentException(
+        s"epochNanos: unsupported type $dt for column $name")
+    }
+
+  /** Epoch-microsecond LONG view; same contract as [[epochNanos]]. */
+  def epochMicros(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case LongType => expr(s"`$name` div 1000")
+      case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      case TimestampType => unix_micros(col(name))
+      case dt => throw new IllegalArgumentException(
+        s"epochMicros: unsupported type $dt for column $name")
+    }
 
   /** Timestamp text canonicalization F2+F3 (gluejob.py:182,186): parse,
     * re-emit with 6-digit microsecond text. */

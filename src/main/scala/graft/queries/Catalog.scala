@@ -30,10 +30,21 @@ object Catalog {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     s.read.parquet(s"$dir/$n.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS): read as long, convert with integral
-    * division (oracle: make_timestamp(epoch_ns(ts)//1000)). */
+  /** events with `ts` canonicalized to epoch-nanosecond LONG, whatever
+    * the fixture generation shipped (TIMESTAMP(NANOS) → raw long;
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ — see
+    * [[graft.ops.Normalize.epochNanos]]). Every downstream query keeps
+    * integral nanosecond arithmetic, and the DuckDB oracles' epoch_ns()
+    * sees the same integers either way. */
+  private def eventsNs(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.withColumn("ts", graft.ops.Normalize.epochNanos(raw, "ts"))
+  }
+
+  /** eventsNs plus a TIMESTAMP ts_us column (oracle:
+    * make_timestamp(epoch_ns(ts)//1000)). */
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    eventsNs(s, dir)
       .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
 
   private val dec2 = "decimal(18,2)"
@@ -161,7 +172,7 @@ object Catalog {
       val spellings = Seq("True", "False", "t", "f", "true", "false", "yes")
       val raw = element_at(array(spellings.map(lit): _*),
         (col("event_id") % 7 + 1).cast("int"))
-      t(s, dir, "events").select(col("event_id"), raw.as("flag_raw"),
+      eventsNs(s, dir).select(col("event_id"), raw.as("flag_raw"),
         Normalize.boolCanon(raw).as("flag"))
     },
     Some("""SELECT event_id, raw AS flag_raw,
@@ -295,7 +306,7 @@ object Catalog {
 
   /** F8 / multimodal-JSON: props JSON → typed extraction + agg. */
   private val q14 = Q("q14_json_extract",
-    (s, dir) => t(s, dir, "events")
+    (s, dir) => eventsNs(s, dir)
       .select(col("event_type"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("event_type"))
@@ -337,7 +348,7 @@ object Catalog {
       val gapNs = 3600L * 1000000000L
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts").asc, col("event_id").asc)
-      t(s, dir, "events")
+      eventsNs(s, dir)
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_sess",
           when(col("prev_ts").isNull
@@ -523,7 +534,7 @@ object Catalog {
     * signup event at-or-before it (union + running last, one shuffle). */
   private val q37 = Q("q37_asof_join",
     (s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = eventsNs(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       val signups = ev.filter(col("event_type") === "signup")
@@ -572,11 +583,12 @@ object Catalog {
   private val q42 = Q("q42_stream_dedup",
     (s, dir) => EventsStream.withStatePartitions(s) {
       val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-      val stream = s.readStream
-        .schema(EventsStream.eventsSchema)
+      val raw = s.readStream
+        .schema(EventsStream.eventsSchema(s, s"$dir/events.parquet"))
         .option("pathGlobFilter", p.getName)
         .parquet(p.getParent.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = raw
+        .withColumn("ts", timestamp_micros(EventsStream.tsMicros(raw)))
         .withWatermark("ts", "1 hour")
         .dropDuplicates("user_id", "event_type")
         .groupBy(col("user_id"))
@@ -1199,7 +1211,7 @@ object Catalog {
   private val q58 = Q("q58_pivot",
     (s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
-      t(s, dir, "events")
+      eventsNs(s, dir)
         .groupBy(col("user_id"))
         .pivot("event_type", types)
         .agg(count(lit(1)))
@@ -1241,7 +1253,7 @@ object Catalog {
     * integral div on both sides. */
   private val q62 = Q("q62_range_join",
     (s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = eventsNs(s, dir)
         .withColumn("ts_u", expr("ts div 1000"))
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("ts_u").as("p_ts"))
@@ -1294,7 +1306,7 @@ object Catalog {
     * their group stats" shape whose hot partitions straggle unsalted. */
   private val q65 = Q("q65_salted_join",
     (s, dir) => {
-      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"))
+      val ev = eventsNs(s, dir).select(col("event_id"), col("event_type"))
       val dim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
       graft.ops.SkewJoin.saltedJoin(ev, dim, "event_type", salt = 8)
         .select(col("event_id"), col("event_type"), col("n_type"))
@@ -1427,7 +1439,7 @@ object Catalog {
   private val q71 = Q("q71_topk_agg",
     (s, dir) => {
       val topk = graft.functions.TopKByValue.topK(3)
-      t(s, dir, "events")
+      eventsNs(s, dir)
         .groupBy(col("user_id"))
         .agg(topk(col("value"), col("event_id")).as("top"))
         .select(col("user_id"), posexplode(col("top")))
@@ -1650,7 +1662,7 @@ object Catalog {
     * volume before the spine join ever sees it. */
   private val q80 = Q("q80_gap_fill",
     (s, dir) => {
-      val perHr = t(s, dir, "events").filter(col("user_id") < 40)
+      val perHr = eventsNs(s, dir).filter(col("user_id") < 40)
         .groupBy(col("user_id"), expr("ts div 3600000000000").as("hr"))
         .agg(count(lit(1)).as("n_events"))
       val spine = perHr.groupBy(col("user_id"))
@@ -1709,7 +1721,7 @@ object Catalog {
     * Pure map pass: no shuffle, scales linearly and pushes the two
     * needed columns into the scan. */
   private val q82 = Q("q82_pii_scrub",
-    (s, dir) => t(s, dir, "events")
+    (s, dir) => eventsNs(s, dir)
       .select(col("event_id"),
         regexp_replace(col("props"), "[0-9]+", "<NUM>").as("scrubbed"),
         size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
@@ -1983,7 +1995,7 @@ object Catalog {
   /** Schema-on-read JSON parsing: from_json with a declared schema
     * (typed struct access, not stringly get_json_object like q14). */
   private val q92 = Q("q92_json_struct",
-    (s, dir) => t(s, dir, "events")
+    (s, dir) => eventsNs(s, dir)
       .select(col("event_id"),
         from_json(col("props"), lit("k INT")).getField("k").as("k"),
         (from_json(col("props"), lit("k INT")).getField("k") % 10)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -15,18 +15,22 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Schema of the events fixture. `ts` is TIMESTAMP(NANOS) in parquet,
-    * which Spark only reads as a raw long
-    * (spark.sql.legacy.parquet.nanosAsLong) — converted to micros with
-    * integral division (never via double: 1e18-scale nanos lose low
-    * bits in a double). */
-  def eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Schema of the events fixture, read from the file itself: a file
+    * stream needs a declared schema, and fixture generations have
+    * shipped `ts` both as TIMESTAMP(NANOS) (Spark reads it as a raw
+    * LONG of nanos) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (TIMESTAMP_NTZ). Declaring the file's own schema keeps the
+    * vectorized reader happy either way; [[tsMicros]] canonicalizes
+    * downstream. One driver-side footer read at stream construction —
+    * not per micro-batch. */
+  def eventsSchema(spark: SparkSession, path: String): StructType =
+    spark.read.parquet(path).schema
+
+  /** `ts` as epoch-microsecond LONG whatever the declared type; pure
+    * integral arithmetic (1e18-scale nanos lose low bits in a double).
+    * Works on streaming DataFrames — schema-driven, no data peek. */
+  def tsMicros(df: DataFrame): Column =
+    graft.ops.Normalize.epochMicros(df, "ts")
 
   /** Tumbling-window counts per event_type with a 1-hour watermark.
     * Returns the aggregated streaming DataFrame; callers pick the sink.
@@ -44,11 +48,12 @@ object EventsStream {
     // is large). None ⇒ tumbling.
     val win = slide.map(sl => window(col("ts"), windowLen, sl))
       .getOrElse(window(col("ts"), windowLen))
-    spark.readStream
-      .schema(eventsSchema)
+    val raw = spark.readStream
+      .schema(eventsSchema(spark, path))
       .option("pathGlobFilter", p.getName)
       .parquet(p.getParent.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw
+      .withColumn("ts", timestamp_micros(tsMicros(raw)))
       .withWatermark("ts", "1 hour")
       .groupBy(win, col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -93,7 +98,7 @@ object EventsStream {
     withStatePartitions(spark) {
       val p = new org.apache.hadoop.fs.Path(path)
       val q = spark.readStream
-        .schema(eventsSchema)
+        .schema(eventsSchema(spark, path))
         .option("pathGlobFilter", p.getName)
         .parquet(p.getParent.toString)
         .join(broadcast(dim), col("user_id") === col(dimKey))

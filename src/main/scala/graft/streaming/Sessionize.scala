@@ -48,11 +48,12 @@ object Sessionize {
     EventsStream.withStatePartitions(spark) {
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(path)
-    val events = spark.readStream
-      .schema(EventsStream.eventsSchema)
+    val raw = spark.readStream
+      .schema(EventsStream.eventsSchema(spark, path))
       .option("pathGlobFilter", p.getName)
       .parquet(p.getParent.toString)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+    val events = raw
+      .select(col("user_id"), EventsStream.tsMicros(raw).as("ts_us"),
         col("event_id"))
       .as[Event]
     val sessions = events

@@ -28,15 +28,16 @@ object StreamJoin {
       intervalMin: Int = 30, joinType: String = "inner"): DataFrame = {
     def side(eventType: String, pre: String): DataFrame = {
       val p = new org.apache.hadoop.fs.Path(path)
-      spark.readStream
-        .schema(EventsStream.eventsSchema)
+      val raw = spark.readStream
+        .schema(EventsStream.eventsSchema(spark, path))
         .option("pathGlobFilter", p.getName)
         .parquet(p.getParent.toString)
+      raw
         .filter(col("event_type") === eventType)
         .select(
           col("event_id").as(s"${pre}_id"),
           col("user_id").as(s"${pre}_user"),
-          timestamp_micros(expr("ts div 1000")).as(s"${pre}_ts"))
+          timestamp_micros(EventsStream.tsMicros(raw)).as(s"${pre}_ts"))
         .withWatermark(s"${pre}_ts", "1 hour")
     }
     side("purchase", "p").join(side("error", "e"),

@@ -69,12 +69,13 @@ object TransformWithStateOps {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
       import spark.implicits._
       val p = new org.apache.hadoop.fs.Path(path)
-      val evs = spark.readStream
-        .schema(EventsStream.eventsSchema)
+      val raw = spark.readStream
+        .schema(EventsStream.eventsSchema(spark, path))
         .option("pathGlobFilter", p.getName)
         .parquet(p.getParent.toString)
+      val evs = raw
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("ts_us"))
+          EventsStream.tsMicros(raw).as("ts_us"))
         .as[Ev]
       val q = evs.groupByKey(_.user_id)
         .transformWithState(new SeqNoProcessor,

@@ -47,8 +47,8 @@ class SessionizeSpec extends SparkSpec {
     val got = Sessionize.runToCompletion(spark, s"$dir/events.parquet",
       queryName = "spec_sessions").toDF()
     // batch oracle: sessions per user minus the (never-closed) last one
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+    val ev = eventsUs(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts_us", "event_id")
     val sessions = ev
@@ -191,7 +191,7 @@ class StreamOuterJoinSpec extends SparkSpec {
     assert(matched.count() == inner.count())
     // null rows exist, and none of them belongs to a purchase whose
     // join window the final watermark had not yet passed
-    val ev = spark.read.parquet(path).withColumn("ts_us", expr("ts div 1000"))
+    val ev = eventsUs(path)
     val wm = ev.filter(col("event_type") === "purchase")
       .agg(max("ts_us")).head().getLong(0)
       .min(ev.filter(col("event_type") === "error")

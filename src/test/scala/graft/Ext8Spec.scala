@@ -619,4 +619,51 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(1L) == ((0L, 625000L)), s"node 1: ${out(1L)}")
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
+
+  test("c4Clean applies every line rule and every page rule on a " +
+      "hand-built page, and is map-only (no exchange in the plan)") {
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    val page =
+      "A good first sentence right here.\n" + // kept
+        "please enable javascript to continue.\n" + // dropped: javascript
+        "home\n" + // dropped: short + no terminal punct
+        "too short.\n" + // dropped: < 3 words
+        "no terminal punctuation on this long line\n" + // dropped: punct
+        "Ends with a quote after punct.\"\n" + // kept: ." counts
+        "Another keeper. With two more! Sentences here?" // kept
+    val docs = Seq(
+      (1L, page),
+      (2L, "Lorem Ipsum dolor sit amet and then some. More. " +
+        "Text. Here. Now."), // page-dropped: lorem ipsum
+      (3L, "Styled with css { color: red } badly. Yes. No. Ok. Go."),
+      (4L, "Contains the banned token xylophone here. A. B. C. D."),
+      (5L, "Only two sentences total right here. Second one now."),
+      (6L, "One. Two. Three. Four. Five clean sentences right here."))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(docs, "text", "doc_id",
+      minLineWords = 3, minSentences = 5,
+      badWords = Seq("xylophone")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
+    // doc 1: 3 of 7 lines kept; 5 terminal marks in the cleaned text
+    // (1 + 2 from ." + ... wait: line1 ".", line6 ".", line7 ".!?" = 5)
+    assert(out(1L) == ((3, 4, 5, true)), s"doc 1: ${out(1L)}")
+    assert(!out(2L)._4, "lorem ipsum page must be dropped")
+    assert(!out(3L)._4, "curly-brace page must be dropped")
+    assert(!out(4L)._4, "badword page must be dropped")
+    assert(!out(5L)._4, "2-sentence page fails minSentences=5")
+    assert(out(6L)._4, "clean 5-sentence page must survive")
+    // badWords splice into a regex — reject anything non-word
+    intercept[IllegalArgumentException] {
+      TextAnalysis.c4Clean(docs, "text", "doc_id",
+        badWords = Seq("a|b"))
+    }
+    // map-only: no Exchange anywhere in the executed plan
+    val df = TextAnalysis.c4Clean(docs, "text", "doc_id")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"c4Clean must stay map-only:\n$plan")
+  }
 }

@@ -199,8 +199,8 @@ class StreamingSpec extends SparkSpec {
     val dir = sf()
     val got = EventsStream.runToCompletion(spark, s"$dir/events.parquet",
       queryName = "spec_events_windowed")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+    val batch = eventsUs(s"$dir/events.parquet")
+      .withColumn("ts_us", timestamp_micros(col("ts_us")))
       .groupBy(window(col("ts_us"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")

@@ -41,8 +41,7 @@ class LayoutSpec extends SparkSpec {
 
   test("clustered write prunes partitions and pushes sort-column filter") {
     val out = tmpDir("layout") + "/events_clustered"
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000")).drop("ts")
+    val ev = eventsUs(s"${sf()}/events.parquet")
     Layout.writeClustered(ev, out,
       partitionCols = Seq("event_type"), sortCols = Seq("ts_us"))
 

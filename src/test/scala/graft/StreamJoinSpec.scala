@@ -11,8 +11,7 @@ class StreamJoinSpec extends SparkSpec {
         queryName = "spec_pe_join")
       .select("p_id", "e_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val ev = spark.read.parquet(path)
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = eventsUs(path)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts_us").as("p_ts"))

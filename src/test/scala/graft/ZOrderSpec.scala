@@ -46,8 +46,7 @@ class ZOrderSpec extends SparkSpec {
 
   test("writeZOrdered roundtrip preserves rows") {
     val out = tmpDir("zorder") + "/events_z"
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000")).drop("ts")
+    val ev = eventsUs(s"${sf()}/events.parquet")
       .withColumn("ts_bucket", expr("ts_us div 3600000000")) // hour buckets
     Layout.writeZOrdered(ev, out, "user_id", "ts_bucket")
     val back = spark.read.parquet(out)
