@@ -755,6 +755,45 @@ object Dedup {
               array().cast("array<string>")), trim(y)))).as("clean_text"))
   }
 
+  /** Corpus-global PARAGRAPH-frequency boilerplate removal — the same
+    * CCNet-style doc-frequency gate as [[lineDedupGlobal]] one
+    * granularity up: a (trimmed, non-empty) paragraph — a blank-line
+    * separated block, split on runs of 2+ newlines — appearing in at
+    * least `minDocFreq` DISTINCT documents is boilerplate (repeated
+    * bios, share widgets, multi-line footers that line-dedup only
+    * shaves partially) and is removed whole. Surviving paragraphs are
+    * re-joined canonically with a single blank line; paragraph order
+    * is preserved, internal single newlines are untouched. Returns
+    * (idCol, clean_text).
+    *
+    * Scale shape identical to [[lineDedupGlobal]]: one
+    * map-side-combinable doc-frequency agg over per-doc-distinct
+    * paragraph keys, one id-keyed join back (right side only for docs
+    * containing a frequent paragraph), map-only array filter — text is
+    * never exploded-and-regrouped. PB corpora: substitute
+    * xxhash64(paragraph) keys, same plan. */
+  def paragraphDedupGlobal(docs: DataFrame, textCol: String, idCol: String,
+      minDocFreq: Int = 3): DataFrame = {
+    val ps = docs.select(col(idCol).as("_id"),
+      split(col(textCol), "\n{2,}", -1).as("_ps"))
+    val paras = ps.select(col("_id"), explode(col("_ps")).as("_p"))
+      .select(col("_id"), trim(col("_p")).as("_k"))
+      .filter(length(col("_k")) > 0)
+      .distinct() // doc frequency counts a paragraph once per doc
+    val bad = paras.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocFreq)
+      .select(col("_k"))
+    val badPerDoc = paras.join(bad, "_k")
+      .groupBy(col("_id")).agg(collect_set(col("_k")).as("_bad"))
+    ps.join(badPerDoc, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        concat_ws("\n\n", filter(col("_ps"), y =>
+          length(trim(y)) > 0 &&
+            !array_contains(coalesce(col("_bad"),
+              array().cast("array<string>")), trim(y)))).as("clean_text"))
+  }
+
   // ---- blocklist ---------------------------------------------------------
 
   /** Remove corpus rows whose long key appears in a blocklist, with a

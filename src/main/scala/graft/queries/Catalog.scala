@@ -5006,6 +5006,100 @@ object Catalog {
           AND n_sentences >= 5) AS keep
       FROM sn"""))
 
+  /** Blocklist term-hit scoring ([[TextAnalysis.blocklistHits]]) with
+    * terms drawn from the fixture vocabulary so hit counts vary:
+    * total word-boundary occurrences, distinct terms hit, and the
+    * keep flag at maxHits=4. */
+  private val q175 = Q("q175_blocklist_hits",
+    (s, dir) => TextAnalysis.blocklistHits(t(s, dir, "documents"),
+      "text", "doc_id", terms = Seq("hash", "spark", "window"),
+      maxHits = 4),
+    Some("""SELECT doc_id,
+      CAST(len(regexp_extract_all(lower(text),
+        '\b(hash|spark|window)\b', 1)) AS INT) AS n_hits,
+      CAST(len(list_distinct(regexp_extract_all(lower(text),
+        '\b(hash|spark|window)\b', 1))) AS INT) AS n_terms,
+      len(regexp_extract_all(lower(text),
+        '\b(hash|spark|window)\b', 1)) < 4 AS keep
+      FROM documents"""))
+
+  /** Corpus-global paragraph boilerplate removal
+    * ([[Dedup.paragraphDedupGlobal]]) over synthesized multi-paragraph
+    * pages: a unique intro, a newsletter paragraph shared by every
+    * page (df = all), an author bio shared by every third page, and a
+    * unique tail — both shared paragraphs contain an INTERNAL single
+    * newline, pinning that paragraph keys are whole blocks, not
+    * lines. minDocFreq=3 removes both shared blocks; survivors
+    * re-join with one blank line. */
+  private val q176 = Q("q176_paragraph_dedup",
+    (s, dir) => {
+      val paras = array(
+        concat(lit("Intro: "), substring(col("text"), 1, 30), lit(".")),
+        lit("Subscribe to our newsletter.\nNo spam ever."),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("About the author.\nWrites about data.")),
+        concat(lit("Tail: "), substring(col("text"), 31, 40), lit(".")))
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        array_join(filter(paras, p => p.isNotNull), "\n\n").as("_text"))
+      Dedup.paragraphDedupGlobal(synth, "_text", "doc_id",
+        minDocFreq = 3)
+    },
+    Some("""WITH syn AS (SELECT doc_id, concat_ws(chr(10)||chr(10),
+        'Intro: ' || substr(text, 1, 30) || '.',
+        'Subscribe to our newsletter.' || chr(10) || 'No spam ever.',
+        CASE WHEN doc_id % 3 = 0 THEN
+          'About the author.' || chr(10) || 'Writes about data.' END,
+        'Tail: ' || substr(text, 31, 40) || '.') AS t FROM documents),
+      ps AS (SELECT doc_id, string_split_regex(t, '\n{2,}') AS pl
+        FROM syn),
+      e AS (SELECT doc_id, unnest(range(1, len(pl) + 1)) AS ix,
+          unnest(pl) AS p FROM ps),
+      freq AS (SELECT trim(p) AS k, count(DISTINCT doc_id) AS df
+        FROM e WHERE len(trim(p)) > 0 GROUP BY 1),
+      keep AS (SELECT e.doc_id, e.ix, e.p
+        FROM e LEFT JOIN freq f ON trim(e.p) = f.k AND f.df >= 3
+        WHERE f.k IS NULL AND len(trim(e.p)) > 0),
+      agg AS (SELECT doc_id, string_agg(p, chr(10)||chr(10)
+          ORDER BY ix) AS clean_text
+        FROM keep GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+      FROM documents d LEFT JOIN agg a USING (doc_id)"""))
+
+  /** Winnowing fingerprints ([[TextAnalysis.winnowFingerprints]]),
+    * k=5, w=4, over the raw fixture text. The oracle replays gram
+    * hashing with the q31 fold and the rightmost-min window selection
+    * via two grouped range-joins (window min, then max position
+    * achieving it) — a completely different computation path pinning
+    * the same fingerprint set. */
+  private val q177 = Q("q177_winnow_fingerprints",
+    (s, dir) => TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+      "text", "doc_id", k = 5, w = 4),
+    Some("""WITH s AS (SELECT doc_id,
+        regexp_replace(lower(text), '\s+', '', 'g') AS st
+        FROM documents),
+      h0 AS (SELECT doc_id, st,
+        unnest(range(1, len(st) - 4 + 1)) AS pos FROM s),
+      g AS (SELECT doc_id, pos, st[pos:pos+4] AS gram FROM h0),
+      hh AS (SELECT doc_id, pos,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ord(gram[j]) AS BIGINT)
+            FOR j IN range(1, len(gram) + 1)]),
+          (a, c) -> (a * 31 + c) % 1000000007) AS h
+        FROM g),
+      mm AS (SELECT doc_id, max(pos) AS m FROM hh GROUP BY doc_id),
+      wins AS (SELECT hh.doc_id, hh.pos AS j
+        FROM hh JOIN mm USING (doc_id)
+        WHERE hh.pos >= least(4, mm.m)),
+      wmin AS (SELECT w.doc_id, w.j, min(hi.h) AS mh
+        FROM wins w JOIN hh hi ON hi.doc_id = w.doc_id
+          AND hi.pos BETWEEN w.j - 3 AND w.j
+        GROUP BY w.doc_id, w.j),
+      pick AS (SELECT wm.doc_id, wm.mh AS fp, max(hi.pos) AS pos
+        FROM wmin wm JOIN hh hi ON hi.doc_id = wm.doc_id
+          AND hi.pos BETWEEN wm.j - 3 AND wm.j AND hi.h = wm.mh
+        GROUP BY wm.doc_id, wm.j, wm.mh)
+      SELECT DISTINCT doc_id, fp, pos FROM pick"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5029,5 +5123,6 @@ object Catalog {
     q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
-    q166, q167, q168, q169, q170, q171, q172, q173, q174)
+    q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
+    q177)
 }

@@ -647,7 +647,7 @@ class Round8PlanShapeSpec extends SparkSpec {
       .map(r => r.getLong(0) ->
         ((r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
     // doc 1: 3 of 7 lines kept; 5 terminal marks in the cleaned text
-    // (1 + 2 from ." + ... wait: line1 ".", line6 ".", line7 ".!?" = 5)
+    // (line 1 ".", line 6 "..", line 7 ".!?" → 1+1+3 = 5)
     assert(out(1L) == ((3, 4, 5, true)), s"doc 1: ${out(1L)}")
     assert(!out(2L)._4, "lorem ipsum page must be dropped")
     assert(!out(3L)._4, "curly-brace page must be dropped")
@@ -665,5 +665,134 @@ class Round8PlanShapeSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"c4Clean must stay map-only:\n$plan")
+  }
+
+  test("blocklistHits counts word-boundary hits, distinct terms, and " +
+      "the keep gate; rejects regex-syntax terms; map-only") {
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Spark and spark and SPARK again"), // 3 hits, 1 term
+      (2L, "hash join beats hash scan on a window"), // 3 hits, 2 terms
+      (3L, "sparkle hashes windowing"), // substrings only: 0 hits
+      (4L, "clean of terms entirely"),
+      (5L, "spark hash window spark hash window")) // 6 hits, 3 terms
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistHits(docs, "text", "doc_id",
+      terms = Seq("hash", "spark", "window"), maxHits = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3, 1, true)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((3, 2, true)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((0, 0, true)), "substrings must not match \\b terms")
+    assert(out(4L) == ((0, 0, true)), s"doc 4: ${out(4L)}")
+    assert(out(5L) == ((6, 3, false)), "6 hits >= maxHits=4 must not keep")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistHits(docs, "text", "doc_id",
+        terms = Seq("a|b"))
+    }
+    val df = TextAnalysis.blocklistHits(docs, "text", "doc_id",
+      terms = Seq("hash"))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"blocklistHits must stay map-only:\n$plan")
+  }
+
+  test("paragraphDedupGlobal removes df>=minDocFreq paragraphs whole " +
+      "(internal newlines intact), keeps rarer ones, preserves order, " +
+      "and keeps fully-boilerplate docs with empty clean_text") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    val shared = "Subscribe now.\nNo spam."   // df=3 → boilerplate
+    val rare = "About the author.\nBio here." // df=2 → kept
+    val docs = Seq(
+      (1L, s"Unique one.\n\n$shared\n\n$rare"),
+      (2L, s"$shared\n\nUnique two.\n\n$rare"),
+      (3L, s"$shared\n\n\n\nUnique three."), // 2+ blank lines, one split
+      (4L, shared)) // fully boilerplate → survives, empty clean_text
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupGlobal(docs, "text", "doc_id",
+      minDocFreq = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"Unique one.\n\n$rare", s"doc 1: '${out(1L)}'")
+    assert(out(2L) == s"Unique two.\n\n$rare", s"doc 2: '${out(2L)}'")
+    assert(out(3L) == "Unique three.", s"doc 3: '${out(3L)}'")
+    assert(out(4L) == "", "fully-boilerplate doc must survive empty")
+    assert(out.size == 4)
+    // the shared block is keyed as a WHOLE paragraph: its first line
+    // alone ("Subscribe now.") inside a different paragraph must NOT
+    // be removed
+    val docs2 = docs.union(Seq(
+      (5L, "Subscribe now.\nDifferent second line.")).toDF("doc_id", "text"))
+    val out2 = Dedup.paragraphDedupGlobal(docs2, "text", "doc_id",
+      minDocFreq = 3).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(5L) == "Subscribe now.\nDifferent second line.",
+      s"doc 5: '${out2(5L)}'")
+  }
+
+  /** Reference winnowing (Schleimer et al.): brute-force over code
+    * points, rightmost-min per window — an independent path the HOF
+    * implementation must reproduce exactly. */
+  private def refWinnow(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val s = text.toLowerCase.replaceAll("\\s+", "")
+    val cps = s.codePoints.toArray
+    val m = cps.length - k + 1
+    if (m < 1) return Set.empty
+    val hs = Array.tabulate(m) { i =>
+      var acc = 0L
+      (i until i + k).foreach(j => acc = (acc * 31 + cps(j)) % 1000000007L)
+      acc
+    }
+    (math.min(w, m) to m).map { j => // 1-based window end
+      var bh = Long.MaxValue; var bp = 0
+      (math.max(1, j - w + 1) to j).foreach { i =>
+        if (hs(i - 1) <= bh) { bh = hs(i - 1); bp = i }
+      }
+      (bh, bp.toLong)
+    }.toSet
+  }
+
+  test("winnowFingerprints equals the reference algorithm on varied " +
+      "inputs, honors the w+k-1 match guarantee, and is map-only") {
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "aaaaaaaaaaaa", // all-equal hashes: rightmost-tie path
+      3L -> "abcd",  // len 4 < k=5 → no fingerprints
+      4L -> "abcde", // exactly one gram, short-window path
+      5L -> "abcdefg", // m=3 < w=4 → single window over all grams
+      6L -> "Spaces   and\tCASE   are canonicalized away",
+      7L -> "spacesandcasearecanonicalizedaway") // same as 6 stripped
+    val docs = texts.toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(docs, "text", "doc_id",
+      k = 5, w = 4).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    texts.foreach { case (id, tx) =>
+      val want = refWinnow(tx, 5, 4)
+      assert(got.getOrElse(id, Set.empty) == want,
+        s"doc $id: got ${got.getOrElse(id, Set.empty)} want $want")
+    }
+    // canonicalization: 6 and 7 are byte-identical after strip+lower
+    assert(got(6L) == got(7L))
+    // guarantee: docs sharing a substring of length >= w+k-1 = 8
+    // (after stripping) share at least one fingerprint VALUE
+    val a = "xqzjvwkpt common-shared-run of text here xyzzy"
+    val b = "completely different prefix common-shared-run suffix!"
+    val g2 = TextAnalysis.winnowFingerprints(
+      Seq(10L -> a, 11L -> b).toDF("doc_id", "text"),
+      "text", "doc_id", k = 5, w = 4).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(1)).toSet }
+    assert((g2(10L) & g2(11L)).nonEmpty,
+      "shared substring >= w+k-1 must share a fingerprint")
+    val df = TextAnalysis.winnowFingerprints(docs, "text", "doc_id")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"winnowFingerprints must stay map-only:\n$plan")
   }
 }
