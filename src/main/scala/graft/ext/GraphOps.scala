@@ -130,15 +130,33 @@ object GraphOps {
     * bounded, unlike the exponential mid-round alternative. Returns
     * (node, auth_micro, hub_micro). */
   def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 2, cp: Checkpointer = LocalCheckpoint): DataFrame = {
+      iters: Int = 2, cp: Checkpointer = LocalCheckpoint,
+      initHubs: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = cp.cutShared(edges.select(col(srcCol).cast("long").as("_src"),
       col(dstCol).cast("long").as("_dst")).distinct(), Seq("_src"))
     val nodes = cp.cutShared(e.select(col("_src").as("_n"))
       .unionByName(e.select(col("_dst").as("_n"))).distinct(), Seq("_n"))
     val dec = "decimal(38,0)"
-    var hub = cp.cutState(nodes.select(col("_n"),
-      lit(1000000L).cast(dec).as("_h")))
+    // warm start: resume the alternating rounds from a stored
+    // (node, auth_micro, hub_micro) result — the daily-refresh path
+    // after an edge delta. Hub is the carry state (each iteration
+    // reads hubs first); HITS is linear in the state, so resuming
+    // from the end-rescaled micro-units preserves the RANKING the
+    // rounds would have produced from the raw state (positive scaling
+    // commutes with E^T/E), it only floors sub-micro precision — the
+    // same documented deviation as the end rescale itself. Nodes
+    // absent from the warm state enter at the cold 1e6.
+    var hub = cp.cutState(initHubs match {
+      case Some(init) => nodes
+        .join(init.select(col("node").as("_n"),
+          col("hub_micro").as("_ih")), Seq("_n"), "left")
+        .select(col("_n"),
+          coalesce(col("_ih").cast(dec), lit(1000000L).cast(dec))
+            .as("_h"))
+      case None => nodes.select(col("_n"),
+        lit(1000000L).cast(dec).as("_h"))
+    })
     var auth = hub // placeholder; iters >= 1 always overwrites
     // a node with NO incoming contributions is legitimately 0; a node
     // WITH contributions whose sum came back null hit decimal

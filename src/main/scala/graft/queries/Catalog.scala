@@ -5100,6 +5100,70 @@ object Catalog {
         GROUP BY wm.doc_id, wm.j, wm.mh)
       SELECT DISTINCT doc_id, fp, pos FROM pick"""))
 
+  /** Incremental HITS maintenance ([[GraphOps.hitsFixedPoint]] warm
+    * start — q159's daily-refresh discipline for the q173 signal):
+    * rank the filtered graph 2 rounds, store the scaled result, add
+    * the held-out edges, resume ONE round from the stored hub state.
+    * The oracle replays both phases — base rounds, end rescale, warm
+    * f0 with cold 1e6 entry for new nodes, one resumed round, final
+    * rescale. */
+  private val q178 = Q("q178_hits_incremental",
+    (s, dir) => {
+      def edges(filtered: Boolean) = {
+        val j = t(s, dir, "orders")
+          .join(t(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+        (if (filtered) j.filter(col("o_orderkey") % 10 =!= 0) else j)
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+      }
+      val stored = GraphOps.hitsFixedPoint(edges(filtered = true),
+        "src", "dst", iters = 2, cp = graft.ext.ShuffleBarrier)
+      GraphOps.hitsFixedPoint(edges(filtered = false), "src", "dst",
+        iters = 1, cp = graft.ext.ShuffleBarrier,
+        initHubs = Some(stored))
+    },
+    Some {
+      def half(e: String, nodes: String, prev: String, prevCol: String,
+          joinKey: String, groupKey: String, out: String,
+          outCol: String): String =
+        s"""$out AS (SELECT $nodes.n,
+            coalesce(x.s, CAST(0 AS HUGEINT)) AS $outCol
+          FROM $nodes LEFT JOIN (
+            SELECT e2.$groupKey AS n, CAST(sum(p.$prevCol) AS HUGEINT) AS s
+            FROM $e e2 JOIN $prev p ON p.n = e2.$joinKey
+            GROUP BY e2.$groupKey) x ON $nodes.n = x.n)"""
+      s"""WITH eb AS (SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 10 <> 0),
+      nb AS (SELECT src AS n FROM eb UNION SELECT dst FROM eb),
+      hb0 AS (SELECT n, CAST(1000000 AS HUGEINT) AS h FROM nb),
+      ${half("eb", "nb", "hb0", "h", "src", "dst", "ab1", "a")},
+      ${half("eb", "nb", "ab1", "a", "dst", "src", "hb1", "h")},
+      ${half("eb", "nb", "hb1", "h", "src", "dst", "ab2", "a")},
+      ${half("eb", "nb", "ab2", "a", "dst", "src", "hb2", "h")},
+      mb AS (SELECT max(h) AS mh FROM hb2),
+      sb AS (SELECT hb2.n,
+          CAST((hb2.h * 1000000) // mb.mh AS BIGINT) AS hub
+        FROM hb2 CROSS JOIN mb),
+      ef AS (SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nf AS (SELECT src AS n FROM ef UNION SELECT dst FROM ef),
+      f0 AS (SELECT nf.n, CAST(coalesce(sb.hub, 1000000) AS HUGEINT) AS h
+        FROM nf LEFT JOIN sb ON nf.n = sb.n),
+      ${half("ef", "nf", "f0", "h", "src", "dst", "af1", "a")},
+      ${half("ef", "nf", "af1", "a", "dst", "src", "hf1", "h")},
+      mxa AS (SELECT max(a) AS ma FROM af1),
+      mxh AS (SELECT max(h) AS mh FROM hf1)
+      SELECT af1.n AS node,
+        CAST((af1.a * 1000000) // mxa.ma AS BIGINT) AS auth_micro,
+        CAST((hf1.h * 1000000) // mxh.mh AS BIGINT) AS hub_micro
+      FROM af1 JOIN hf1 ON af1.n = hf1.n
+      CROSS JOIN mxa CROSS JOIN mxh"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5124,5 +5188,5 @@ object Catalog {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
-    q177)
+    q177, q178)
 }

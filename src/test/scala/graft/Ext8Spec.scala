@@ -620,6 +620,39 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
 
+  test("hits warm start: resuming one round from the stored scaled " +
+      "state over an edge delta matches the hand-derived integers, " +
+      "and an empty warm state degrades to the cold run") {
+    import spark.implicits._
+    val base = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val full = base.union(Seq((5L, 4L)).toDF("src", "dst"))
+    val stored = graft.ext.GraphOps.hitsFixedPoint(base, "src", "dst",
+      iters = 2, cp = graft.ext.ShuffleBarrier)
+    val out = graft.ext.GraphOps.hitsFixedPoint(full, "src", "dst",
+      iters = 1, cp = graft.ext.ShuffleBarrier, initHubs = Some(stored))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // stored hubs {1: 625000, 2: 1e6}; node 5 enters cold at 1e6.
+    // One round over 1→3, 2→3, 2→4, 5→4:
+    //   a = {3: 625000+1e6 = 1625000, 4: 1e6+1e6 = 2000000}
+    //   h = {1: 1625000, 2: 1625000+2000000 = 3625000, 5: 2000000}
+    // micro-rescale: a/2000000, h/3625000 (floored)
+    assert(out(3L) == ((812500L, 0L)), s"node 3: ${out(3L)}")
+    assert(out(4L) == ((1000000L, 0L)), s"node 4: ${out(4L)}")
+    assert(out(1L) == ((0L, 448275L)), s"node 1: ${out(1L)}")
+    assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
+    assert(out(5L) == ((0L, 551724L)), s"node 5: ${out(5L)}")
+    val empty = Seq.empty[(Long, Long, Long)]
+      .toDF("node", "auth_micro", "hub_micro")
+    val warmEmpty = graft.ext.GraphOps.hitsFixedPoint(full, "src", "dst",
+      iters = 1, cp = graft.ext.ShuffleBarrier, initHubs = Some(empty))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cold = graft.ext.GraphOps.hitsFixedPoint(full, "src", "dst",
+      iters = 1, cp = graft.ext.ShuffleBarrier)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(warmEmpty == cold, "empty warm state must equal the cold run")
+  }
+
   test("c4Clean applies every line rule and every page rule on a " +
       "hand-built page, and is map-only (no exchange in the plan)") {
     import graft.ext.TextAnalysis
