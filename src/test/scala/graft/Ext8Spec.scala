@@ -620,6 +620,72 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
 
+  test("streaming graph maintenance: every landed rank snapshot is the " +
+      "pure warm-start function of the fragments at-or-before it, and " +
+      "a replayed batchId reproduces identical snapshots") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.GraphMaintenance
+    val edges = spark.read.parquet(s"${sf()}/orders.parquet")
+      .join(spark.read.parquet(s"${sf()}/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + org.apache.spark.sql.functions.lit(1000000L))
+          .as("dst"))
+    val landing = tmpDir("gmlanding")
+    val edgesDir = tmpDir("gmedges")
+    val ranksDir = tmpDir("gmranks")
+    val ckpt = tmpDir("gmckpt")
+    edges.repartitionByRange(3, col("src"))
+      .write.mode("overwrite").parquet(landing)
+    val src = spark.readStream
+      .schema(spark.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+    val q = GraphMaintenance.start(src, "src", "dst", edgesDir,
+      ranksDir, ckpt)
+    q.awaitTermination()
+    def rankSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("node"), col("rank_micro"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fragments union to the full distinct edge set
+    val landed = GraphMaintenance.readEdges(spark, edgesDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = edges.distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(landed == want, "edge fragments must union to the edge set")
+    // every snapshot = warm-start(fragments <= id, snapshot(< id)) —
+    // the pure-function/replay-stability contract, checked without
+    // assuming which file the stream put in which batch
+    val fs = new org.apache.hadoop.fs.Path(ranksDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(new org.apache.hadoop.fs.Path(ranksDir))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+    assert(ids.length == 3, s"expected 3 rank snapshots, got ${ids.toSeq}")
+    ids.foreach { id =>
+      val expect = graft.ext.GraphOps.pageRankFixedPoint(
+        GraphMaintenance.readEdges(spark, edgesDir, Some(id)),
+        "src", "dst", iters = 1, cp = graft.ext.ShuffleBarrier,
+        initRanks = GraphMaintenance.readRanks(spark, ranksDir, Some(id)))
+      assert(rankSet(spark.read.parquet(s"$ranksDir/batch=$id"))
+          == rankSet(expect), s"snapshot $id is not the pure function")
+    }
+    // replay the MIDDLE batch after later ones landed: identical bytes
+    val mid = ids(1)
+    val before = rankSet(spark.read.parquet(s"$ranksDir/batch=$mid"))
+    val batchEdges = spark.read.parquet(s"$edgesDir/batch=$mid")
+    GraphMaintenance.processBatch(batchEdges, mid, "src", "dst",
+      edgesDir, ranksDir)
+    assert(rankSet(spark.read.parquet(s"$ranksDir/batch=$mid")) == before,
+      "replaying a batchId must reproduce its original snapshot")
+    val last = ids.last
+    val expectLast = graft.ext.GraphOps.pageRankFixedPoint(
+      GraphMaintenance.readEdges(spark, edgesDir, Some(last)),
+      "src", "dst", iters = 1, cp = graft.ext.ShuffleBarrier,
+      initRanks = GraphMaintenance.readRanks(spark, ranksDir, Some(last)))
+    assert(rankSet(spark.read.parquet(s"$ranksDir/batch=$last"))
+        == rankSet(expectLast), "later snapshots must be untouched")
+  }
+
   test("hits warm start: resuming one round from the stored scaled " +
       "state over an edge delta matches the hand-derived integers, " +
       "and an empty warm state degrades to the cold run") {
