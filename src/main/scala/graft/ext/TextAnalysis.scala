@@ -778,6 +778,41 @@ object TextAnalysis {
       (size(hits) < maxHits).as("keep"))
   }
 
+  /** Script/charset profile — the char-class censor a multilingual
+    * crawl runs before (and as a sanity check on) model-based
+    * language ID: exact per-document counts of Latin letters,
+    * Cyrillic (U+0400–U+04FF), CJK unified ideographs
+    * (U+4E00–U+9FFF), digits, whitespace, and U+FFFD replacement
+    * characters (the mojibake signature of a charset-decoding bug
+    * upstream), plus a dominant-script label (cjk if it strictly
+    * beats both alphabets, else cyrillic if it beats latin, else
+    * latin — a pinned deterministic tie order).
+    *
+    * Counts are length-difference after codepoint-range
+    * regexp_replace — explicit \\uXXXX ranges, not \\p{script=…}
+    * classes, so the Java-regex engine and an RE2-based oracle see
+    * byte-identical semantics. MAP-ONLY, stream-safe, no shuffle. */
+  def scriptProfile(docs: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    def cnt(pat: String): Column =
+      length(col(textCol)) -
+        length(regexp_replace(col(textCol), pat, ""))
+    val nLatin = cnt("[A-Za-z]")
+    val nCyr = cnt("[\\u0400-\\u04FF]")
+    val nCjk = cnt("[\\u4E00-\\u9FFF]")
+    docs.select(col(idCol),
+      length(col(textCol)).as("n_chars"),
+      nLatin.as("n_latin"),
+      nCyr.as("n_cyrillic"),
+      nCjk.as("n_cjk"),
+      cnt("[0-9]").as("n_digit"),
+      cnt("\\s").as("n_space"),
+      cnt("\\uFFFD").as("n_replacement"),
+      when(nCjk > nLatin && nCjk > nCyr, lit("cjk"))
+        .when(nCyr > nLatin, lit("cyrillic"))
+        .otherwise(lit("latin")).as("script"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS local fingerprinting scheme). Over the
     * lowercased, whitespace-stripped text: hash every k-gram with the

@@ -5164,6 +5164,61 @@ object Catalog {
       CROSS JOIN mxa CROSS JOIN mxh"""
     })
 
+  /** Script/charset profile ([[TextAnalysis.scriptProfile]]) over
+    * synthesized mixed-script pages: residue class 0 stays Latin,
+    * 1 gets a Cyrillic tail that outweighs its Latin prefix, 2 a CJK
+    * run that outweighs both, 3 digits plus U+FFFD mojibake — so
+    * every counter and every branch of the dominant-script label is
+    * load-bearing on the fixture. */
+  private val q179 = Q("q179_script_profile",
+    (s, dir) => {
+      val cyrTail =
+        " киты плывут на север сквозь холодные тёмные воды океана"
+      val cjkTail = " 数据流在大规模集群上持续不断地处理着海量文本语料库内容"
+      val txt = when(pmod(col("doc_id"), lit(4)) === 0,
+          substring(col("text"), 1, 60))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(substring(col("text"), 1, 10), lit(cyrTail)))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(substring(col("text"), 1, 10), lit(cjkTail)))
+        .otherwise(concat(substring(col("text"), 1, 30),
+          lit(" 1234567890 "), lit("���")))
+      val synth = t(s, dir, "documents")
+        .select(col("doc_id"), txt.as("_text"))
+      TextAnalysis.scriptProfile(synth, "_text", "doc_id")
+    },
+    Some("""WITH syn AS (SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN substr(text, 1, 60)
+          WHEN 1 THEN substr(text, 1, 10) ||
+            ' киты плывут на север сквозь холодные тёмные воды океана'
+          WHEN 2 THEN substr(text, 1, 10) ||
+            ' 数据流在大规模集群上持续不断地处理着海量文本语料库内容'
+          ELSE substr(text, 1, 30) || ' 1234567890 ' ||
+            repeat(chr(65533), 3)
+        END AS t FROM documents),
+      c AS (SELECT doc_id,
+        CAST(len(t) AS INT) AS n_chars,
+        CAST(len(t) - len(regexp_replace(t, '[A-Za-z]', '', 'g'))
+          AS INT) AS n_latin,
+        CAST(len(t) - len(regexp_replace(t,
+          '[\x{0400}-\x{04FF}]', '', 'g')) AS INT) AS n_cyrillic,
+        CAST(len(t) - len(regexp_replace(t,
+          '[\x{4E00}-\x{9FFF}]', '', 'g')) AS INT) AS n_cjk,
+        CAST(len(t) - len(regexp_replace(t, '[0-9]', '', 'g'))
+          AS INT) AS n_digit,
+        CAST(len(t) - len(regexp_replace(t, '\s', '', 'g'))
+          AS INT) AS n_space,
+        CAST(len(t) - len(regexp_replace(t, '\x{FFFD}', '', 'g'))
+          AS INT) AS n_replacement
+        FROM syn)
+      SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_digit,
+        n_space, n_replacement,
+        CASE WHEN n_cjk > n_latin AND n_cjk > n_cyrillic THEN 'cjk'
+          WHEN n_cyrillic > n_latin THEN 'cyrillic'
+          ELSE 'latin' END AS script
+      FROM c"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5188,5 +5243,5 @@ object Catalog {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
-    q177, q178)
+    q177, q178, q179)
 }

@@ -620,6 +620,35 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
 
+  test("scriptProfile counts each char class exactly, labels the " +
+      "dominant script with the pinned tie order, and is map-only") {
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abc XYZ 12 é"),       // é: not [A-Za-z], not counted
+      (2L, "ab абв"),   // cyr 3 > latin 2
+      (3L, "ab 一二三"),   // cjk 3 > latin 2, > cyr 0
+      (4L, "ab аб"),         // tie cyr 2 = latin 2 → latin
+      (5L, "аб 一二"), // tie cjk 2 = cyr 2 → cyrillic
+      (6L, "x �� 9\t"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getInt(5), r.getInt(6), r.getInt(7), r.getString(8)))).toMap
+    assert(out(1L) == ((12, 6, 0, 0, 2, 3, 0, "latin")), s"1: ${out(1L)}")
+    assert(out(2L) == ((6, 2, 3, 0, 0, 1, 0, "cyrillic")), s"2: ${out(2L)}")
+    assert(out(3L) == ((6, 2, 0, 3, 0, 1, 0, "cjk")), s"3: ${out(3L)}")
+    assert(out(4L)._8 == "latin", "latin wins the latin=cyrillic tie")
+    assert(out(5L)._8 == "cyrillic", "cjk must STRICTLY beat both")
+    assert(out(6L) == ((7, 1, 0, 0, 1, 3, 2, "latin")), s"6: ${out(6L)}")
+    val df = TextAnalysis.scriptProfile(docs, "text", "doc_id")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"scriptProfile must stay map-only:\n$plan")
+  }
+
   test("streaming graph maintenance: every landed rank snapshot is the " +
       "pure warm-start function of the fragments at-or-before it, and " +
       "a replayed batchId reproduces identical snapshots") {
