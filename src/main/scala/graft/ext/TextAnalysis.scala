@@ -778,6 +778,55 @@ object TextAnalysis {
       (size(hits) < maxHits).as("keep"))
   }
 
+  /** UL2-style mixture-of-denoisers training-pair builder (Tay et al.
+    * 2022): each document is deterministically assigned one denoiser
+    * by a Knuth multiplicative hash of its id — R (regular T5 span
+    * corruption at `rateR`), X (extreme corruption at `rateX`), or S
+    * (sequential PrefixLM: the last max(1, n/4) tokens become the
+    * target behind a single sentinel) — and rendered to the
+    * (input_text, targets) pair that mode produces. R and X reuse the
+    * q149 span-corruption kernel with mode-specific mask rates; S is
+    * a pure slice. Empty docs render to empty pairs in every mode.
+    *
+    * MAP-ONLY: the mode hash, both masks, and all three renderings
+    * are per-row expressions; the when-chain picks one — no shuffle,
+    * stream-safe, same scale shape as [[spanCorrupt]]. */
+  def mixtureDenoise(docs: DataFrame, textCol: String, idCol: String,
+      rateR: Int = 150000, rateX: Int = 400000): DataFrame = {
+    require(rateR > 0 && rateR < 1000000 && rateX > 0 && rateX < 1000000)
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("_tk"))
+    def mask(rate: Int): Column =
+      transform(sequence(lit(1), size(col("_tk"))), i =>
+        pmod(pmod(col(idCol) * lit(1000003L) + i.cast("long"),
+          lit(2147483648L)) * lit(2654435761L), lit(2147483647L))
+          % lit(1000000L) < lit(rate.toLong))
+    val md = pmod(pmod(col(idCol) * lit(2654435761L),
+      lit(2147483647L)), lit(3L))
+    val n = size(col("_tk"))
+    val cut = n - greatest(lit(1),
+      floor(n.cast("double") / lit(4.0)).cast("int"))
+    val sInput = when(n === 0, lit("")).otherwise(concat_ws(" ",
+      concat(slice(col("_tk"), lit(1), cut), array(lit("<extra_id_0>")))))
+    val sTarget = when(n === 0, lit("")).otherwise(concat_ws(" ",
+      concat(array(lit("<extra_id_0>")),
+        slice(col("_tk"), cut + 1, n - cut))))
+    import graft.functions.{VectorFunctions => VF}
+    base.withColumn("_mR", mask(rateR)).withColumn("_mX", mask(rateX))
+      .select(col(idCol),
+        when(md === 0, lit("r")).when(md === 1, lit("x"))
+          .otherwise(lit("s")).as("mode"),
+        when(md === 0,
+            VF.spanCorrupt(col("_tk"), col("_mR"), targets = false))
+          .when(md === 1,
+            VF.spanCorrupt(col("_tk"), col("_mX"), targets = false))
+          .otherwise(sInput).as("input_text"),
+        when(md === 0,
+            VF.spanCorrupt(col("_tk"), col("_mR"), targets = true))
+          .when(md === 1,
+            VF.spanCorrupt(col("_tk"), col("_mX"), targets = true))
+          .otherwise(sTarget).as("targets"))
+  }
+
   /** Script/charset profile — the char-class censor a multilingual
     * crawl runs before (and as a sanity check on) model-based
     * language ID: exact per-document counts of Latin letters,

@@ -5219,6 +5219,68 @@ object Catalog {
           ELSE 'latin' END AS script
       FROM c"""))
 
+  /** UL2 mixture-of-denoisers ([[TextAnalysis.mixtureDenoise]]): the
+    * oracle assigns modes with the same Knuth hash, replays the q149
+    * span-corruption chain TWICE (rate 150000 for R-docs, 400000 for
+    * X-docs), renders the S split with list slicing, and stitches the
+    * three sides back per doc. */
+  private val q180 = Q("q180_mixture_denoise",
+    (s, dir) => TextAnalysis.mixtureDenoise(t(s, dir, "documents"),
+      "text", "doc_id"),
+    Some {
+      def chain(sfx: String, rate: Int, mdVal: Int): String =
+        s"""e$sfx AS (SELECT doc_id, i AS pos, toks[i] AS tok,
+            ((((doc_id * 1000003 + i) % 2147483648) * 2654435761)
+              % 2147483647) % 1000000 < $rate AS m
+          FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+                FROM md WHERE md = $mdVal)),
+        r$sfx AS (SELECT doc_id, pos, tok, m,
+            CASE WHEN m AND NOT coalesce(
+              lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false)
+            THEN 1 ELSE 0 END AS st
+          FROM e$sfx),
+        r2$sfx AS (SELECT doc_id, pos, tok, m, st,
+            sum(st) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k
+          FROM r$sfx),
+        sides$sfx AS (SELECT doc_id,
+            string_agg(CASE WHEN NOT m THEN tok
+              WHEN st = 1 THEN '<extra_id_' || k || '>' END,
+              ' ' ORDER BY pos) AS input_text,
+            string_agg(CASE WHEN st = 1
+                THEN '<extra_id_' || k || '> ' || tok
+              WHEN m THEN tok END, ' ' ORDER BY pos) AS targets
+          FROM r2$sfx GROUP BY doc_id)"""
+      s"""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> len(x) > 0) AS toks
+        FROM documents),
+      md AS (SELECT doc_id, toks,
+          ((doc_id * 2654435761) % 2147483647) % 3 AS md
+        FROM t),
+      ${chain("r", 150000, 0)},
+      ${chain("x", 400000, 1)},
+      scut AS (SELECT doc_id, toks, len(toks) AS n,
+          len(toks) - greatest(1, len(toks) // 4) AS cut
+        FROM md WHERE md = 2),
+      ssides AS (SELECT doc_id,
+          CASE WHEN n = 0 THEN '' ELSE
+            array_to_string(list_append(toks[1:cut], '<extra_id_0>'),
+              ' ') END AS input_text,
+          CASE WHEN n = 0 THEN '' ELSE
+            array_to_string(list_prepend('<extra_id_0>',
+              toks[cut+1:n]), ' ') END AS targets
+        FROM scut)
+      SELECT m2.doc_id,
+        CASE m2.md WHEN 0 THEN 'r' WHEN 1 THEN 'x' ELSE 's' END AS mode,
+        coalesce(sr.input_text, sx.input_text, ss.input_text, '')
+          AS input_text,
+        coalesce(sr.targets, sx.targets, ss.targets, '') AS targets
+      FROM md m2
+      LEFT JOIN sidesr sr ON m2.md = 0 AND m2.doc_id = sr.doc_id
+      LEFT JOIN sidesx sx ON m2.md = 1 AND m2.doc_id = sx.doc_id
+      LEFT JOIN ssides ss ON m2.md = 2 AND m2.doc_id = ss.doc_id"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5243,5 +5305,5 @@ object Catalog {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
-    q177, q178, q179)
+    q177, q178, q179, q180)
 }

@@ -620,6 +620,50 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
 
+  test("mixtureDenoise: hash-assigned modes, R-rows equal the plain " +
+      "spanCorrupt rendering, S-rows split at n - max(1, n/4), empty " +
+      "docs render empty in every mode, and the plan is map-only") {
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    // ((id * 2654435761) % 2147483647) % 3 → 0-4: r, 5-8: s, 9-11: x
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (9L, "one two three four five six seven eight nine ten"),
+      (6L, "a b c d e f g h"),
+      (3L, ""),
+      (5L, "   ")) // s mode, whitespace-only → 0 tokens
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.mixtureDenoise(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(out(0L)._1 == "r" && out(9L)._1 == "x" && out(6L)._1 == "s"
+      && out(3L)._1 == "r" && out(5L)._1 == "s",
+      s"mode assignment: ${out.view.mapValues(_._1).toMap}")
+    // R-mode rows must be exactly the q149 kernel at the default rate
+    val plainR = TextAnalysis.spanCorrupt(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2)))).toMap
+    Seq(0L, 3L).foreach { id =>
+      assert((out(id)._2, out(id)._3) == plainR(id),
+        s"doc $id r-mode != spanCorrupt: ${out(id)}")
+    }
+    // the X-mode doc must differ from its R rendering (the rate is
+    // the whole point) — 10 tokens at 40% vs 15% masks diverge
+    assert((out(9L)._2, out(9L)._3) != plainR(9L),
+      "x-mode must not equal the r-rate rendering on this fixture")
+    // S split: n=8 → cut = 8 - max(1, 2) = 6
+    assert(out(6L)._2 == "a b c d e f <extra_id_0>", s"s-in: ${out(6L)}")
+    assert(out(6L)._3 == "<extra_id_0> g h", s"s-tgt: ${out(6L)}")
+    // empty docs: empty pair in whatever mode
+    assert(out(3L)._2 == "" && out(3L)._3 == "")
+    assert(out(5L)._2 == "" && out(5L)._3 == "")
+    val df = TextAnalysis.mixtureDenoise(docs, "text", "doc_id")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"mixtureDenoise must stay map-only:\n$plan")
+  }
+
   test("scriptProfile counts each char class exactly, labels the " +
       "dominant script with the pinned tie order, and is map-only") {
     import graft.ext.TextAnalysis
