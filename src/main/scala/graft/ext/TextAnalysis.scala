@@ -873,42 +873,29 @@ object TextAnalysis {
     * full window contribute their single best hash; documents shorter
     * than k contribute nothing.
     *
-    * MAP-ONLY — grams, hashes, and window argmins are higher-order
-    * folds inside one codegen stage, and the per-window picks dedup
-    * with array_distinct BEFORE explode, so no shuffle exists in the
-    * plan at all. Cost is O(len·k) hashing + O(len·w) selection per
-    * doc; the O(len) amortized deque formulation would need a UDF and
-    * lose codegen — at k,w ≤ ~10 the constant-factor HOF wins.
-    * 100 TB: embarrassingly parallel over docs, like q31/q128. */
+    * MAP-ONLY — strip/lower is one regexp_replace and everything else
+    * (k-gram poly hashing + amortized-O(len) monotone-deque window
+    * selection, dedup included) is ONE codegen'd kernel
+    * ([[graft.functions.TextKernels.winnowFingerprint]]) whose encoded
+    * picks explode straight to rows, so no shuffle exists in the plan
+    * at all and no per-gram intermediate is ever materialized (the
+    * split-chars + HOF-fold formulation this replaced benched 8.1 s on
+    * the sf0.1 corpus). 100 TB: embarrassingly parallel over docs,
+    * like q31/q128. */
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
     val stripped = regexp_replace(lower(col(textCol)), "\\s+", "")
-    val chars = filter(split(stripped, ""), c => length(c) > 0)
-    val base = docs.select(col(idCol), chars.as("_cs"))
-      .select(col(idCol), col("_cs"),
-        (size(col("_cs")) - lit(k - 1)).as("_m"))
-      .filter(col("_m") >= 1)
-    val grams = transform(sequence(lit(1), col("_m")),
-      i => concat_ws("", slice(col("_cs"), i, lit(k))))
-    val hashed = base.select(col(idCol), col("_m"),
-      graft.functions.VectorFunctions.polyHashAll(grams).as("_hs"))
     // windows end at j ∈ [min(w,m) .. m], span [max(1, j−w+1) .. j];
-    // fold keeps (hash, pos) with `<=` so ties resolve RIGHTMOST
-    val picks = transform(
-      sequence(least(lit(w), col("_m")), col("_m")),
-      j => aggregate(
-        sequence(greatest(lit(1), j - lit(w - 1)), j),
-        struct(lit(Long.MaxValue).as("h"), lit(0L).as("p")),
-        (acc, i) => {
-          val hi = element_at(col("_hs"), i)
-          when(hi <= acc.getField("h"),
-            struct(hi.as("h"), i.cast("long").as("p")))
-            .otherwise(acc)
-        }))
-    hashed
-      .select(col(idCol), explode(array_distinct(picks)).as("_f"))
-      .select(col(idCol), col("_f.h").as("fp"), col("_f.p").as("pos"))
+    // ties resolve RIGHTMOST (pinned in kernel and oracle alike);
+    // picks arrive (hash << 32 | pos)-encoded, distinct per doc
+    docs
+      .select(col(idCol),
+        explode(graft.functions.VectorFunctions
+          .winnowFingerprint(stripped, k, w)).as("_e"))
+      .select(col(idCol),
+        shiftrightunsigned(col("_e"), 32).as("fp"),
+        col("_e").bitwiseAND(lit(0xFFFFFFFFL)).as("pos"))
   }
 }

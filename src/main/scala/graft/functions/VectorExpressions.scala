@@ -495,6 +495,30 @@ case class PolyHashArray(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Fused winnowing fingerprints over a canonical string — k-gram poly
+  * hashing + rightmost-min w-window selection in one codegen'd loop
+  * ([[TextKernels.winnowFingerprint]]), returning first-seen-distinct
+  * (hash << 32 | pos) encoded longs. */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("winnow_fingerprint needs string")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.winnowFingerprint(v.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.winnowFingerprint($v, $k, $w);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-facing API for the custom expressions. */
 object VectorFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -522,6 +546,8 @@ object VectorFunctions {
     ColumnBridge.column(NearestCentroid(e(vec), e(cents)))
   def polyHashAll(arr: Column): Column =
     ColumnBridge.column(PolyHashArray(e(arr)))
+  def winnowFingerprint(s: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprint(e(s), k, w))
 }
 
 /** Distinct k-shingles of a string in one pass: char mode slides a
