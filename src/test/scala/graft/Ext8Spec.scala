@@ -620,6 +620,43 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
 
+  test("the round-8 map-only ops are stream-safe: c4Clean, " +
+      "blocklistHits, scriptProfile, and mixtureDenoise produce " +
+      "identical rows through readStream as through batch") {
+    val dir = sf()
+    val batchDf = spark.read.parquet(s"$dir/documents.parquet")
+    def viaStream(f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame, name: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val q = f(spark.readStream.schema(batchDf.schema)
+          .option("pathGlobFilter", p.getName)
+          .parquet(p.getParent.toString))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table(name).collect().map(_.mkString("|")).toSet
+      spark.catalog.dropTempView(name)
+      rows
+    }
+    import graft.ext.TextAnalysis
+    def ops = Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)](
+      ("par_c4", df => TextAnalysis.c4Clean(df, "text", "doc_id")),
+      ("par_block", df => TextAnalysis.blocklistHits(
+        df, "text", "doc_id", terms = Seq("hash", "spark"))),
+      ("par_script", df => TextAnalysis.scriptProfile(
+        df, "text", "doc_id")),
+      ("par_mix", df => TextAnalysis.mixtureDenoise(
+        df, "text", "doc_id")))
+    ops.foreach { case (name, f) =>
+      val streamed = viaStream(f, name)
+      val batch = f(batchDf).collect().map(_.mkString("|")).toSet
+      assert(streamed == batch, s"$name diverges between stream and batch")
+    }
+  }
+
   test("mixtureDenoise: hash-assigned modes, R-rows equal the plain " +
       "spanCorrupt rendering, S-rows split at n - max(1, n/4), empty " +
       "docs render empty in every mode, and the plan is map-only") {
