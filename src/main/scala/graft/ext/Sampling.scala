@@ -245,6 +245,63 @@ object Sampling {
     * rows, far cheaper than forcing both branches through one
     * un-pruned subtree. Net corpus cost: two narrow column scans,
     * one shuffle+sort, zero pinned blocks. */
+  /** Token-budget mixture sampling — the epoch planner of a
+    * pretraining mix: given per-domain mixture weights (micro-units
+    * summing to ≤ 1e6) and a total token budget, give each domain the
+    * quota budget·w/1e6 TOKENS (not documents) and fill it greedily
+    * in the deterministic portable order (Knuth hash of id, tie id):
+    * a document is selected iff the token mass of the documents
+    * BEFORE it (same domain, hash order) is under quota — each domain
+    * overshoots by at most one document and never undershoots while
+    * documents remain, and any engine replays the exact pick set.
+    * Returns (id, domain, tokens) of the selected documents.
+    *
+    * Scale shape: the per-domain running token sum runs on
+    * (domain, bucket) slices via the [[quotaSelect]] two-phase
+    * pattern — a bucket-local cumsum window behind a keyed
+    * repartition barrier plus broadcast exclusive bucket-offset sums
+    * aggregated map-side BEFORE the barrier — so no mega-domain
+    * single-partition window exists at crawl scale; weights, quotas,
+    * and offsets are all broadcast scalars/slivers. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, domainCol: String,
+      tokensCol: String, budgetTokens: Long,
+      weightsMicro: Seq[(String, Long)], nBuckets: Int = 64): DataFrame = {
+    require(budgetTokens > 0 && nBuckets > 0)
+    require(weightsMicro.nonEmpty && weightsMicro.forall(_._2 > 0),
+      "weights must be positive micro-units")
+    require(weightsMicro.map(_._2).sum <= 1000000L,
+      "mixture weights must sum to <= 1e6 micro")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotas = weightsMicro.sortBy(_._1).toDF(domainCol, "_wm")
+      .withColumn("_quota", expr(s"(${budgetTokens}L * _wm) div 1000000"))
+      .select(col(domainCol), col("_quota"))
+    val span = (1L << 31) / nBuckets + 1L
+    val pre = df.select(col(idCol), col(domainCol),
+        col(tokensCol).cast("long").as("_tok"))
+      .join(broadcast(quotas), domainCol)
+      .withColumn("_h", hash31(col(idCol)))
+      .withColumn("_bkt", expr(s"_h div ${span}L"))
+    // barrier serves only the cumsum branch; the offsets branch
+    // aggregates PRE-barrier rows so its partial agg combines
+    // map-side (the quotaSelect discipline)
+    val base = pre.repartition(col(domainCol), col("_bkt"))
+    val local = base.withColumn("_ct", sum(col("_tok")).over(
+      Window.partitionBy(col(domainCol), col("_bkt"))
+        .orderBy(col("_h"), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offs = pre.groupBy(col(domainCol), col("_bkt"))
+      .agg(sum(col("_tok")).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.partitionBy(col(domainCol))
+          .orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(domainCol), col("_bkt"), col("_off"))
+    local.join(broadcast(offs), Seq(domainCol, "_bkt"))
+      .filter(col("_off") + col("_ct") - col("_tok") < col("_quota"))
+      .select(col(idCol), col(domainCol), col("_tok").as(tokensCol))
+  }
+
   private def quotaSelect(df: DataFrame, idCol: String, domainCol: String,
       quotas: DataFrame, nBuckets: Int): DataFrame = {
     val span = (1L << 31) / nBuckets + 1L

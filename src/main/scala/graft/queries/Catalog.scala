@@ -5281,6 +5281,39 @@ object Catalog {
       LEFT JOIN ssides ss ON m2.md = 2 AND m2.doc_id = ss.doc_id"""
     })
 
+  /** Token-budget epoch sampling ([[Sampling.tokenBudgetSample]]):
+    * 30k-token budget over the four fixture sources at a 50/25/15/10
+    * mix — binding quotas at sf0.01+ (whole small domains at
+    * sf0.001, still well-defined). The oracle replays the greedy
+    * token fill with a plain per-domain running-sum window — the
+    * reference formulation of the engine's two-phase bucketed shape. */
+  private val q181 = Q("q181_token_budget_sample",
+    (s, dir) => {
+      val d = t(s, dir, "documents").withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      Sampling.tokenBudgetSample(d, "doc_id", "source", "n_tokens",
+        budgetTokens = 30000L,
+        weightsMicro = Seq("src0" -> 500000L, "src1" -> 250000L,
+          "src2" -> 150000L, "src3" -> 100000L))
+    },
+    Some("""WITH w(source, wm) AS (VALUES
+        ('src0', 500000), ('src1', 250000),
+        ('src2', 150000), ('src3', 100000)),
+      q AS (SELECT source,
+        (CAST(30000 AS BIGINT) * wm) // 1000000 AS quota FROM w),
+      d AS (SELECT doc_id, source,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> len(x) > 0)) AS BIGINT) AS tok
+        FROM documents),
+      r AS (SELECT d.doc_id, d.source, d.tok, q.quota,
+          sum(d.tok) OVER (PARTITION BY d.source
+            ORDER BY ((d.doc_id % 2147483648) * 2654435761) % 2147483647,
+              d.doc_id
+            ROWS UNBOUNDED PRECEDING) AS ct
+        FROM d JOIN q USING (source))
+      SELECT doc_id, source, tok AS n_tokens
+      FROM r WHERE ct - tok < quota"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5305,5 +5338,5 @@ object Catalog {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
-    q177, q178, q179, q180)
+    q177, q178, q179, q180, q181)
 }

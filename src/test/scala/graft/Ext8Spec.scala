@@ -620,6 +620,54 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
 
+  test("tokenBudgetSample matches a direct greedy reference, is " +
+      "bucket-count invariant, overshoots by at most one doc per " +
+      "domain, and keeps every window domain-partitioned") {
+    import graft.ext.Sampling
+    import spark.implicits._
+    val rows = (1L to 200L).map { id =>
+      (id, s"dom${id % 3}", 5L + (id * 7) % 23) }
+    val df = rows.toDF("doc_id", "dom", "n_tok")
+    val weights = Seq("dom0" -> 400000L, "dom1" -> 350000L,
+      "dom2" -> 250000L)
+    val budget = 1500L
+    def run(buckets: Int): Set[Long] =
+      Sampling.tokenBudgetSample(df, "doc_id", "dom", "n_tok",
+        budget, weights, nBuckets = buckets)
+        .collect().map(_.getLong(0)).toSet
+    val got = run(64)
+    // direct greedy reference: hash order, select while the exclusive
+    // token prefix is under quota
+    val want = rows.groupBy(_._2).flatMap { case (dom, rs) =>
+      val q = budget * weights.toMap.apply(dom) / 1000000L
+      var acc = 0L
+      val sel = scala.collection.mutable.ArrayBuffer[Long]()
+      rs.sortBy(r => (((r._1 % 2147483648L) * 2654435761L)
+          % 2147483647L, r._1))
+        .foreach { r => if (acc < q) sel += r._1; acc += r._3 }
+      sel
+    }.toSet
+    assert(got == want, s"greedy pick diverges: got ${got.size} " +
+      s"want ${want.size}")
+    assert(run(1) == got && run(7) == got,
+      "the pick set must not depend on the bucket count")
+    // per-domain overshoot bound: selected mass - last pick < quota
+    val sel = rows.filter(r => got(r._1))
+    weights.foreach { case (dom, wm) =>
+      val q = budget * wm / 1000000L
+      val mass = sel.filter(_._2 == dom).map(_._3).sum
+      val maxTok = sel.filter(_._2 == dom).map(_._3).max
+      assert(mass - maxTok < q && mass > 0,
+        s"$dom mass $mass outside (0, quota $q + one doc]")
+    }
+    // no global (partition-less) window anywhere in the plan
+    val bad = Sampling.tokenBudgetSample(df, "doc_id", "dom", "n_tok",
+      budget, weights).queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, "tokenBudgetSample grew a global window")
+  }
+
   test("the round-8 map-only ops are stream-safe: c4Clean, " +
       "blocklistHits, scriptProfile, and mixtureDenoise produce " +
       "identical rows through readStream as through batch") {
