@@ -650,6 +650,21 @@ object Dedup {
     * bit_count(xor) verifies before the pair-dedup shuffle. */
   def simHashPairsPortable(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 2, chunks: Int = 4, nBits: Int = 48,
+      seed: Long = 77L): DataFrame =
+    simHashPairsFromTokenArrays(
+      docs.select(col(idCol),
+        array_distinct(filter(split(trim(col(textCol)), "\\s+"),
+          t => length(t) > 0)).as("_ptk")),
+      "_ptk", idCol, maxDist, chunks, nBits, seed)
+
+  /** [[simHashPairsPortable]] over a caller-supplied token-array
+    * column (already distinct-ed or not — distinctness is re-applied)
+    * — the entry point for non-whitespace tokenizations: payload
+    * byte-stream shingles (q182), code identifiers, URL path
+    * segments. Same portable chain, same pigeonhole banding, same
+    * oracle-equivalence contract. */
+  def simHashPairsFromTokenArrays(docs: DataFrame, tokensCol: String,
+      idCol: String, maxDist: Int = 2, chunks: Int = 4, nBits: Int = 48,
       seed: Long = 77L): DataFrame = {
     require(maxDist < chunks,
       s"pigeonhole recall guarantee needs maxDist < chunks " +
@@ -666,8 +681,7 @@ object Dedup {
       struct(lit(i).as("no"), packed.as("v"))
     }
     val base = docs.select(col(idCol).as("_id"),
-        array_distinct(filter(split(trim(col(textCol)), "\\s+"),
-          t => length(t) > 0)).as("_tk"))
+        array_distinct(col(tokensCol)).as("_tk"))
       .filter(size(col("_tk")) > 0)
       .select(col("_id"), graft.functions.VectorFunctions.simHashPoly(
         graft.functions.VectorFunctions.polyHashAll(col("_tk")),

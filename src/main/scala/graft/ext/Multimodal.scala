@@ -98,4 +98,32 @@ object Multimodal {
         }
       }
   }
+
+  /** Payload-level near-duplicate pairs — the perceptual-hash stand-in
+    * for image/audio dedup: SimHash over character shingles of the hex
+    * rendering of the opaque binary payload (`gram` hex chars ≈
+    * gram/2 bytes, sliding by half-byte), banded with the pigeonhole
+    * blocks and Hamming-verified exactly like text SimHash (q137). A
+    * real pipeline swaps the hex-shingle tokenization for decoded
+    * perceptual features (pHash DCT bits, audio chroma) behind the
+    * same [[graft.ext.Dedup.simHashPairsFromTokenArrays]] entry point;
+    * the Spark-side shape — map-only fingerprint, slim banded
+    * shuffle, exact verify — is the product. Returns
+    * (doc_a, doc_b, hamming) on media_id.
+    *
+    * Engine-portable end to end (hex ↔ DuckDB hex(), shingles ↔
+    * char slices, poly hash ↔ q31 fold), so the q182 oracle replays
+    * the full brute-force pair surface — which doubles as the
+    * pigeonhole recall proof at this tokenization too. */
+  def payloadNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      gram: Int = 8, maxDist: Int = 2, chunks: Int = 4, nBits: Int = 48,
+      seed: Long = 77L): DataFrame = {
+    require(gram >= 1)
+    val media = toMediaFrame(docs, textCol, idCol)
+      .select(col("media_id"),
+        graft.functions.VectorFunctions.shingles(
+          hex(col("payload")), gram, word = false).as("_sh"))
+    graft.ext.Dedup.simHashPairsFromTokenArrays(media, "_sh",
+      "media_id", maxDist, chunks, nBits, seed)
+  }
 }

@@ -5314,6 +5314,46 @@ object Catalog {
       SELECT doc_id, source, tok AS n_tokens
       FROM r WHERE ct - tok < quota"""))
 
+  /** Payload-level near-dup pairs ([[Multimodal.payloadNearDupPairs]])
+    * — SimHash over hex-rendered payload shingles, the
+    * perceptual-hash stand-in for image/audio dedup. The oracle
+    * replays the whole brute-force pair surface (hex → char 8-grams →
+    * poly hashes → majority-vote bits → Hamming ≤ 2), which doubles
+    * as the pigeonhole recall proof at this tokenization. */
+  private val q182 = Q("q182_payload_neardup",
+    (s, dir) => Multimodal.payloadNearDupPairs(t(s, dir, "documents"),
+      "text", "doc_id", gram = 8, maxDist = 2, chunks = 4, nBits = 48),
+    Some {
+      val (as, bs) = graft.functions.MinHashSig.perms(48, 77L)
+      val bitsSql = (0 until 48).map(j =>
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"[((h * ${as(j)} + ${bs(j)}) % 2147483647) & 1 FOR h IN hs]), " +
+          "(x, y) -> x + y)")
+        .mkString("[", ",\n        ", "]")
+      val fpSql = (0 until 48).map(j =>
+        s"CASE WHEN 2 * sv[${j + 1}] > nt THEN ${1L << j} ELSE 0 END")
+        .mkString("\n        + ")
+      s"""WITH hxt AS (SELECT doc_id AS media_id,
+          hex(encode(text)) AS hx
+        FROM documents),
+      t AS (SELECT media_id,
+          list_distinct([hx[i:i+7]
+            FOR i IN range(1, len(hx) - 8 + 2)]) AS toks
+        FROM hxt),
+      tn AS (SELECT media_id, toks FROM t WHERE len(toks) > 0),
+      h AS (SELECT media_id, len(toks) AS nt,
+          [list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(ord(x[i]) AS BIGINT) FOR i IN range(1, len(x) + 1)]),
+            (a, c) -> (a * 31 + c) % 1000000007) FOR x IN toks] AS hs
+        FROM tn),
+      sb AS (SELECT media_id, nt, $bitsSql AS sv FROM h),
+      f AS (SELECT media_id, $fpSql AS fp FROM sb)
+      SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+        CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      FROM f a JOIN f b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.fp, b.fp)) <= 2"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5338,5 +5378,5 @@ object Catalog {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
-    q177, q178, q179, q180, q181)
+    q177, q178, q179, q180, q181, q182)
 }

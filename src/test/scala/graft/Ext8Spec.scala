@@ -620,6 +620,46 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
 
+  test("payloadNearDupPairs pairs near-identical payloads, separates " +
+      "distinct ones, and the token-array core is the exact engine " +
+      "of the whitespace path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // identical payloads under distinct ids: Hamming 0, pairs
+    // deterministically through banding + verify (SimHash margins
+    // scale with √shingles, so a "one word changed" near-dup is NOT
+    // deterministically ≤ maxDist at any fixed seed — the real
+    // near-dup pair surface is pinned by the q182 brute-force oracle
+    // instead, 17 pairs at sf0.01)
+    val base = (1 to 150).map(i => s"word$i token$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // byte-identical payload
+      (3L, (1 to 150).map(i => s"другое$i слово$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.ext.Multimodal.payloadNearDupPairs(
+      docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.map(r => (r._1, r._2)).toSet == Set((1L, 2L)),
+      s"exactly the identical-payload pair must emerge: ${rows.toSeq}")
+    assert(rows.head._3 == 0, "identical payloads must be Hamming 0")
+    // the refactored core: whitespace path ≡ explicit token arrays
+    val fixture = spark.read.parquet(s"${sf()}/documents.parquet")
+    def ps(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaText = ps(graft.ext.Dedup.simHashPairsPortable(
+      fixture, "text", "doc_id"))
+    val viaTokens = ps(graft.ext.Dedup.simHashPairsFromTokenArrays(
+      fixture.select(col("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          "filter(split(trim(text), '\\\\s+'), t -> length(t) > 0)")
+          .as("_tk")),
+      "_tk", "doc_id"))
+    assert(viaText == viaTokens,
+      "token-array core must reproduce the whitespace path")
+  }
+
   test("tokenBudgetSample matches a direct greedy reference, is " +
       "bucket-count invariant, overshoots by at most one doc per " +
       "domain, and keeps every window domain-partitioned") {
