@@ -680,12 +680,18 @@ object Dedup {
         shiftleft(acc, width).bitwiseOR(b))
       struct(lit(i).as("no"), packed.as("v"))
     }
+    // barrier on the slim (_id, _fp) frame: the pair join consumes it
+    // as BOTH sides, and without the cut each side re-tokenizes and
+    // re-fingerprints the full corpus (measured 2× the q182 chain);
+    // behind the keyed repartition ReuseExchange serves both branches
+    // from one computation, and nothing is pinned
     val base = docs.select(col(idCol).as("_id"),
         array_distinct(col(tokensCol)).as("_tk"))
       .filter(size(col("_tk")) > 0)
       .select(col("_id"), graft.functions.VectorFunctions.simHashPoly(
         graft.functions.VectorFunctions.polyHashAll(col("_tk")),
         nBits, seed).as("_fp"))
+      .repartition(col("_id"))
       .withColumn("_band", explode(array(bands: _*)))
       .select(col("_id"), col("_fp"),
         col("_band.no").as("_cno"), col("_band.v").as("_cv"))
