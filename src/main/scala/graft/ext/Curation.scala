@@ -171,4 +171,32 @@ object Curation {
       .select(col("cluster_id"), col("doc_id").as("keeper_id"),
         col("n_docs"))
   }
+
+  /** The round-8 web-curation front end, every stage a verified
+    * operator: C4 page cleaning (line rules + page keep,
+    * [[TextAnalysis.c4Clean]]) → dominant-script gate on the CLEANED
+    * text ([[TextAnalysis.scriptLabel]] = latin) → blocklist gate
+    * ([[TextAnalysis.blocklistKeep]]) → corpus-global line-frequency
+    * boilerplate removal ([[graft.ext.Dedup.lineDedupGlobal]]) for
+    * the template lines c4's static rules can't know about. Returns
+    * (idCol, clean_text) for every gate survivor.
+    *
+    * Scale shape: the three gates are Column expressions fused into
+    * ONE map-only select-and-filter — no joins between stages, no
+    * shuffle until the line dedup's slim-key doc-frequency agg — so
+    * the pipeline prunes maximally before its first exchange, and the
+    * corpus text crosses the wire only in the final id-keyed
+    * boilerplate join. */
+  def webCurate(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], minLineWords: Int = 3, minSentences: Int = 2,
+      maxHits: Int = 2, minDocFreq: Int = 3): DataFrame = {
+    val gated = TextAnalysis.c4Clean(docs, textCol, idCol,
+        minLineWords, minSentences)
+      .filter(col("keep"))
+      .select(col(idCol), col("clean_text"))
+      .filter(TextAnalysis.scriptLabel(col("clean_text")) === "latin")
+      .filter(TextAnalysis.blocklistKeep(col("clean_text"), terms,
+        maxHits))
+    Dedup.lineDedupGlobal(gated, "clean_text", idCol, minDocFreq)
+  }
 }

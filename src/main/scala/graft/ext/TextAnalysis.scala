@@ -763,15 +763,31 @@ object TextAnalysis {
     * MAP-ONLY: one codegen'd regexp_extract_all per doc, no shuffle,
     * stream-safe. Terms are spliced into one alternation — validated
     * to plain word characters so a term can't inject regex syntax. */
-  def blocklistHits(docs: DataFrame, textCol: String, idCol: String,
-      terms: Seq[String], maxHits: Int = 2): DataFrame = {
-    require(terms.nonEmpty, "blocklistHits needs at least one term")
+  /** All word-boundary blocklist-term matches in `text` (validated,
+    * lowercased, deterministic alternation order) — the shared kernel
+    * of [[blocklistHits]] and [[blocklistKeep]]. */
+  def blocklistMatches(text: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "blocklist needs at least one term")
     require(terms.forall(_.matches("[A-Za-z0-9']+")),
       "blocklist terms must be plain words — they are spliced into a regex")
-    require(maxHits >= 0)
     val pat = "\\b(" + terms.map(_.toLowerCase).distinct.sorted
       .mkString("|") + ")\\b"
-    val hits = regexp_extract_all(lower(col(textCol)), lit(pat), lit(1))
+    regexp_extract_all(lower(text), lit(pat), lit(1))
+  }
+
+  /** Column-level keep gate: fewer than `maxHits` blocklist-term
+    * occurrences — composable into one map-only select
+    * ([[graft.ext.Curation.webCurate]]). */
+  def blocklistKeep(text: Column, terms: Seq[String],
+      maxHits: Int = 2): Column = {
+    require(maxHits >= 0)
+    size(blocklistMatches(text, terms)) < maxHits
+  }
+
+  def blocklistHits(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], maxHits: Int = 2): DataFrame = {
+    require(maxHits >= 0)
+    val hits = blocklistMatches(col(textCol), terms)
     docs.select(col(idCol),
       size(hits).as("n_hits"),
       size(array_distinct(hits)).as("n_terms"),
@@ -841,25 +857,33 @@ object TextAnalysis {
     * regexp_replace — explicit \\uXXXX ranges, not \\p{script=…}
     * classes, so the Java-regex engine and an RE2-based oracle see
     * byte-identical semantics. MAP-ONLY, stream-safe, no shuffle. */
+  private def classCount(text: Column, pat: String): Column =
+    length(text) - length(regexp_replace(text, pat, ""))
+
+  /** Column-level dominant-script label with the pinned tie order
+    * (cjk on strict wins, then cyrillic over latin) — composable into
+    * one map-only select ([[graft.ext.Curation.webCurate]]). */
+  def scriptLabel(text: Column): Column = {
+    val nLatin = classCount(text, "[A-Za-z]")
+    val nCyr = classCount(text, "[\\u0400-\\u04FF]")
+    val nCjk = classCount(text, "[\\u4E00-\\u9FFF]")
+    when(nCjk > nLatin && nCjk > nCyr, lit("cjk"))
+      .when(nCyr > nLatin, lit("cyrillic"))
+      .otherwise(lit("latin"))
+  }
+
   def scriptProfile(docs: DataFrame, textCol: String, idCol: String)
       : DataFrame = {
-    def cnt(pat: String): Column =
-      length(col(textCol)) -
-        length(regexp_replace(col(textCol), pat, ""))
-    val nLatin = cnt("[A-Za-z]")
-    val nCyr = cnt("[\\u0400-\\u04FF]")
-    val nCjk = cnt("[\\u4E00-\\u9FFF]")
+    def cnt(pat: String): Column = classCount(col(textCol), pat)
     docs.select(col(idCol),
       length(col(textCol)).as("n_chars"),
-      nLatin.as("n_latin"),
-      nCyr.as("n_cyrillic"),
-      nCjk.as("n_cjk"),
+      cnt("[A-Za-z]").as("n_latin"),
+      cnt("[\\u0400-\\u04FF]").as("n_cyrillic"),
+      cnt("[\\u4E00-\\u9FFF]").as("n_cjk"),
       cnt("[0-9]").as("n_digit"),
       cnt("\\s").as("n_space"),
       cnt("\\uFFFD").as("n_replacement"),
-      when(nCjk > nLatin && nCjk > nCyr, lit("cjk"))
-        .when(nCyr > nLatin, lit("cyrillic"))
-        .otherwise(lit("latin")).as("script"))
+      scriptLabel(col(textCol)).as("script"))
   }
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,

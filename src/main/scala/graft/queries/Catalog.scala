@@ -5354,6 +5354,90 @@ object Catalog {
       WHERE bit_count(xor(a.fp, b.fp)) <= 2"""
     })
 
+  /** Round-8 web-curation pipeline ([[Curation.webCurate]]): C4 clean
+    * → latin-script gate → blocklist gate → corpus line dedup, over
+    * synthesized pages where every stage is load-bearing — a
+    * javascript line for the c4 line rules, a social-share line every
+    * page shares (line dedup removes it corpus-wide), a long Cyrillic
+    * sentence on every 7th page (script gate drops the page), and two
+    * blocklist terms on every 11th (blocklist gate drops it). The
+    * oracle composes the q174, q179, q175, and q140 CTE chains. */
+  private val q183 = Q("q183_web_curate",
+    (s, dir) => {
+      val cyr = "Русские буквы тут доминируют над всеми латинскими " +
+        "символами страницы целиком и полностью без сомнений и каждое " +
+        "дополнительное слово усиливает их численное превосходство."
+      val lines = array(
+        concat(lit("Intro about "), substring(col("text"), 1, 40),
+          lit(" here.")),
+        lit("please enable javascript now."),
+        lit("Share this article on social media today."),
+        when(pmod(col("doc_id"), lit(5)) =!= 0,
+          lit("One more good sentence. And another one here! " +
+            "Plus a third?")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(cyr)),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("Contains zzzspam and zzzscam words here.")))
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        array_join(filter(lines, l => l.isNotNull), "\n").as("_text"))
+      graft.ext.Curation.webCurate(synth, "_text", "doc_id",
+        terms = Seq("zzzspam", "zzzscam"), minLineWords = 3,
+        minSentences = 2, maxHits = 2, minDocFreq = 3)
+    },
+    Some {
+      val cyr = "Русские буквы тут доминируют над всеми латинскими " +
+        "символами страницы целиком и полностью без сомнений и каждое " +
+        "дополнительное слово усиливает их численное превосходство."
+      s"""WITH syn AS (SELECT doc_id, concat_ws(chr(10),
+        'Intro about ' || substr(text, 1, 40) || ' here.',
+        'please enable javascript now.',
+        'Share this article on social media today.',
+        CASE WHEN doc_id % 5 <> 0 THEN
+          'One more good sentence. And another one here! Plus a third?'
+          END,
+        CASE WHEN doc_id % 7 = 0 THEN '$cyr' END,
+        CASE WHEN doc_id % 11 = 0 THEN
+          'Contains zzzspam and zzzscam words here.' END) AS t
+      FROM documents),
+      kp AS (SELECT doc_id, t,
+        list_filter(string_split(t, chr(10)), l ->
+          regexp_matches(l, '[.!?"]\\s*$$')
+          AND len(list_filter(string_split(l, ' '),
+            w -> len(w) > 0)) >= 3
+          AND NOT contains(lower(l), 'javascript')) AS kept FROM syn),
+      cl AS (SELECT doc_id, t,
+        array_to_string(kept, chr(10)) AS ct FROM kp),
+      sn AS (SELECT *, len(ct) -
+          len(regexp_replace(ct, '[.!?]', '', 'g')) AS ns FROM cl),
+      cts AS (SELECT doc_id, ct,
+        len(ct) - len(regexp_replace(ct, '[A-Za-z]', '', 'g')) AS nl,
+        len(ct) - len(regexp_replace(ct,
+          '[\\x{0400}-\\x{04FF}]', '', 'g')) AS nc,
+        len(ct) - len(regexp_replace(ct,
+          '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS nk
+        FROM sn
+        WHERE NOT contains(lower(t), 'lorem ipsum')
+          AND NOT contains(t, '{') AND NOT contains(t, '}')
+          AND ns >= 2),
+      gate AS (SELECT doc_id, ct FROM cts
+        WHERE NOT (nk > nl AND nk > nc) AND nc <= nl
+          AND len(regexp_extract_all(lower(ct),
+            '\\b(zzzscam|zzzspam)\\b', 1)) < 2),
+      ls2 AS (SELECT doc_id, string_split(ct, chr(10)) AS l FROM gate),
+      e2 AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS ix,
+          unnest(l) AS line FROM ls2),
+      freq2 AS (SELECT trim(line) AS k2, count(DISTINCT doc_id) AS df
+        FROM e2 WHERE len(trim(line)) > 0 GROUP BY 1),
+      keep2 AS (SELECT e2.doc_id, e2.ix, e2.line
+        FROM e2 LEFT JOIN freq2 f ON trim(e2.line) = f.k2 AND f.df >= 3
+        WHERE f.k2 IS NULL),
+      agg2 AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ix)
+          AS clean_text
+        FROM keep2 GROUP BY doc_id)
+      SELECT g.doc_id, coalesce(a.clean_text, '') AS clean_text
+      FROM gate g LEFT JOIN agg2 a USING (doc_id)"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5378,5 +5462,5 @@ object Catalog {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
-    q177, q178, q179, q180, q181, q182)
+    q177, q178, q179, q180, q181, q182, q183)
 }

@@ -620,6 +620,35 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
 
+  test("webCurate: each stage is load-bearing — c4 page keep, script " +
+      "gate, blocklist gate, and corpus line dedup all fire") {
+    import graft.ext.Curation
+    import spark.implicits._
+    val shared = "Everyone shares this exact line today."
+    val docs = Seq(
+      (1L, s"Unique insight number one right here.\n$shared"),
+      (2L, s"Unique insight number two right here.\n$shared"),
+      (3L, s"Unique insight number three right here.\n$shared"),
+      (4L, "Это доминирующее русское предложение существенно длиннее " +
+        "всего остального текста на странице сейчас.\n" +
+        "Short latin line here."),
+      (5L, "This page mentions zzzspam and zzzscam terms.\n" +
+        "Another good sentence right here."),
+      (6L, "Only one sentence lives here."))
+      .toDF("doc_id", "text")
+    val out = Curation.webCurate(docs, "text", "doc_id",
+      terms = Seq("zzzspam", "zzzscam"), minSentences = 2,
+      maxHits = 2, minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L),
+      s"survivors: ${out.keySet} — script/blocklist/c4 gates must drop " +
+        "4, 5, 6")
+    assert(out(1L) == "Unique insight number one right here.",
+      s"doc 1: '${out(1L)}' — the shared line must be deduped away")
+    assert(!out.values.exists(_.contains(shared)),
+      "no survivor may retain the corpus-frequent line")
+  }
+
   test("payloadNearDupPairs pairs near-identical payloads, separates " +
       "distinct ones, and the token-array core is the exact engine " +
       "of the whitespace path") {
