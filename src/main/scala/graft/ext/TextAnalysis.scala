@@ -857,6 +857,46 @@ object TextAnalysis {
     * regexp_replace — explicit \\uXXXX ranges, not \\p{script=…}
     * classes, so the Java-regex engine and an RE2-based oracle see
     * byte-identical semantics. MAP-ONLY, stream-safe, no shuffle. */
+  /** Intra-document duplicate-line removal — the within-page
+    * complement of the corpus-global [[graft.ext.Dedup.lineDedupGlobal]]
+    * (and the REMOVAL counterpart of the gopher `dup_line_frac`
+    * SIGNAL): later occurrences of a (trimmed, non-empty) line already
+    * seen in the same document are dropped, first occurrence and line
+    * order preserved, empty lines untouched. Returns (idCol,
+    * clean_text, n_lines, n_dupes_removed).
+    *
+    * MAP-ONLY: one higher-order fold per document (state = seen keys +
+    * surviving lines + removed count), no explode, no shuffle,
+    * stream-safe. Cost is O(lines² ) per doc via array_contains —
+    * fine at real page line counts (tens to hundreds); a corpus of
+    * pathological million-line docs would want a set-based kernel
+    * like [[graft.functions.TextKernels.winnowFingerprint]]. */
+  def dedupLinesWithin(docs: DataFrame, textCol: String, idCol: String)
+      : DataFrame = {
+    val ls = split(col(textCol), "\n", -1)
+    val init = struct(
+      array().cast("array<string>").as("seen"),
+      array().cast("array<string>").as("out"),
+      lit(0).as("nd"))
+    val folded = aggregate(ls, init, (acc, l) => {
+      val k = trim(l)
+      val isEmpty = length(k) === 0
+      val dup = array_contains(acc.getField("seen"), k)
+      struct(
+        when(isEmpty || dup, acc.getField("seen"))
+          .otherwise(concat(acc.getField("seen"), array(k))).as("seen"),
+        when(isEmpty || !dup,
+          concat(acc.getField("out"), array(l)))
+          .otherwise(acc.getField("out")).as("out"),
+        (acc.getField("nd") +
+          when(!isEmpty && dup, 1).otherwise(0)).as("nd"))
+    })
+    docs.select(col(idCol),
+      concat_ws("\n", folded.getField("out")).as("clean_text"),
+      size(ls).as("n_lines"),
+      folded.getField("nd").as("n_dupes_removed"))
+  }
+
   private def classCount(text: Column, pat: String): Column =
     length(text) - length(regexp_replace(text, pat, ""))
 

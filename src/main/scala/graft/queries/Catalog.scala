@@ -5438,6 +5438,55 @@ object Catalog {
       FROM gate g LEFT JOIN agg2 a USING (doc_id)"""
     })
 
+  /** Intra-document duplicate-line removal
+    * ([[TextAnalysis.dedupLinesWithin]]) over synthesized pages with a
+    * nav line repeated twice (three times on every third page) and an
+    * empty line — first occurrence kept, order and empties preserved.
+    * Oracle replays with a per-(doc, trimmed-line) occurrence
+    * row_number. */
+  private val q184 = Q("q184_dedup_lines_within",
+    (s, dir) => {
+      val nav = "Nav menu home products pricing."
+      val lines = array(
+        lit(nav),
+        concat(lit("Body text: "), substring(col("text"), 1, 50),
+          lit(".")),
+        lit(nav),
+        lit(""),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(nav)),
+        concat(lit("Tail: "), substring(col("text"), 51, 30), lit(".")))
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        array_join(filter(lines, l => l.isNotNull), "\n").as("_text"))
+      TextAnalysis.dedupLinesWithin(synth, "_text", "doc_id")
+    },
+    Some("""WITH syn AS (SELECT doc_id, concat_ws(chr(10),
+        'Nav menu home products pricing.',
+        'Body text: ' || substr(text, 1, 50) || '.',
+        'Nav menu home products pricing.',
+        '',
+        CASE WHEN doc_id % 3 = 0 THEN
+          'Nav menu home products pricing.' END,
+        'Tail: ' || substr(text, 51, 30) || '.') AS t FROM documents),
+      ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM syn),
+      e AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS ix,
+          unnest(l) AS line FROM ls),
+      f AS (SELECT doc_id, ix, line,
+          CASE WHEN len(trim(line)) > 0 THEN
+            row_number() OVER (PARTITION BY doc_id, trim(line)
+              ORDER BY ix)
+          ELSE 1 END AS occ
+        FROM e),
+      agg AS (SELECT doc_id,
+          string_agg(line, chr(10) ORDER BY ix)
+            FILTER (WHERE occ = 1) AS clean_text,
+          CAST(count(*) AS INT) AS n_lines,
+          CAST(count(*) FILTER (WHERE occ > 1) AS INT)
+            AS n_dupes_removed
+        FROM f GROUP BY doc_id)
+      SELECT doc_id, coalesce(clean_text, '') AS clean_text, n_lines,
+        n_dupes_removed
+      FROM agg"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5462,5 +5511,5 @@ object Catalog {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
-    q177, q178, q179, q180, q181, q182, q183)
+    q177, q178, q179, q180, q181, q182, q183, q184)
 }

@@ -620,6 +620,33 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
 
+  test("dedupLinesWithin keeps first occurrences in order, preserves " +
+      "empty lines, counts removals, and is map-only") {
+    import graft.ext.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav\nbody one.\nnav\n\nnav \nbody one.\ntail"),
+      (2L, "a\nb\nc"),
+      (3L, ""),
+      (4L, "\n\n"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesWithin(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // doc 1: 'nav ' trims to the seen 'nav' → removed; empty kept
+    assert(out(1L) == (("nav\nbody one.\n\ntail", 7, 3)),
+      s"doc 1: ${out(1L)}")
+    assert(out(2L) == (("a\nb\nc", 3, 0)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == (("", 1, 0)), s"doc 3: ${out(3L)}")
+    assert(out(4L) == (("\n\n", 3, 0)),
+      s"doc 4 (empties preserved): ${out(4L)}")
+    val df = TextAnalysis.dedupLinesWithin(docs, "text", "doc_id")
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"dedupLinesWithin must stay map-only:\n$plan")
+  }
+
   test("webCurate: each stage is load-bearing — c4 page keep, script " +
       "gate, blocklist gate, and corpus line dedup all fire") {
     import graft.ext.Curation
