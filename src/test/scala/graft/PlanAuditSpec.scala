@@ -30,7 +30,13 @@ class PlanAuditSpec extends SparkSpec {
     "q87_full_outer", "q90_range_frame", "q91_window_battery",
     "q92_json_struct", "q93_null_semantics", "q94_levenshtein",
     "q95_bit_aggs",
-    "q101_inverted_index")
+    "q101_inverted_index",
+    // round-8 additions: map-only gates/kernels + the bucketed
+    // sampler and curation composition
+    "q174_c4_clean", "q175_blocklist_hits", "q176_paragraph_dedup",
+    "q177_winnow_fingerprints", "q179_script_profile",
+    "q180_mixture_denoise", "q181_token_budget_sample",
+    "q183_web_curate", "q184_dedup_lines_within")
 
   test("relational plans: keyed joins only, whole-stage codegen present") {
     val dir = sf("sf0.001")
