@@ -620,6 +620,40 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
 
+  test("epochNanos/epochMicros adapt to all three event-time " +
+      "encodings and agree with each other") {
+    import graft.ops.Normalize
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val usWall = 1705312245123456L // 2024-01-15 09:50:45.123456 UTC
+    // LONG nanos (the TIMESTAMP(NANOS) fixture shape)
+    val asLong = Seq(usWall * 1000L).toDF("ts")
+    assert(asLong.select(Normalize.epochMicros(asLong, "ts"))
+      .head().getLong(0) == usWall)
+    assert(asLong.select(Normalize.epochNanos(asLong, "ts"))
+      .head().getLong(0) == usWall * 1000L)
+    // TIMESTAMP (instant) under the UTC session
+    val asTs = Seq("2024-01-15 09:50:45.123456").toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    assert(asTs.select(Normalize.epochMicros(asTs, "ts"))
+      .head().getLong(0) == usWall)
+    // TIMESTAMP_NTZ (the TIMESTAMP(MICROS, ntz) fixture shape):
+    // wall-clock preserving under the pinned UTC session
+    val asNtz = Seq("2024-01-15 09:50:45.123456").toDF("s")
+      .select(col("s").cast("timestamp_ntz").as("ts"))
+    assert(asNtz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(asNtz.select(Normalize.epochMicros(asNtz, "ts"))
+      .head().getLong(0) == usWall)
+    assert(asNtz.select(Normalize.epochNanos(asNtz, "ts"))
+      .head().getLong(0) == usWall * 1000L)
+    // unsupported types fail loudly, not silently
+    val asStr = Seq("x").toDF("ts")
+    intercept[IllegalArgumentException] {
+      Normalize.epochMicros(asStr, "ts")
+    }
+  }
+
   test("dedupLinesWithin keeps first occurrences in order, preserves " +
       "empty lines, counts removals, and is map-only") {
     import graft.ext.TextAnalysis
