@@ -62,4 +62,34 @@ object Urls {
     df.groupBy(canonicalize(col(urlCol)).as("canon_url"))
       .agg(min(col(idCol)).as("keeper_id"),
         count(lit(1)).as("n_copies"))
+
+  /** Canonical host of a URL — lowercased, `www.`-stripped,
+    * port-stripped — the node key a link graph aggregates on. */
+  def host(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(rest, "^([^/?]*)", 1)
+    regexp_replace(lower(regexp_replace(hostPort, ":[0-9]+$", "")),
+      "^www\\.", "")
+  }
+
+  /** Link extraction — the crawl-graph constructor that turns text
+    * into [[graft.ext.GraphOps]] input: every http(s) URL in the text
+    * (whitespace-delimited, trailing sentence punctuation stripped),
+    * canonicalized with the [[canonicalize]] rules, plus its
+    * canonical host. Returns (idCol, url, dst_host) — one row per
+    * link occurrence; join the doc's own host and aggregate for the
+    * (src_host, dst_host) edge list PageRank/HITS consume.
+    *
+    * MAP-ONLY: one regexp_extract_all + explode per document, all
+    * canonicalization pure Column expressions — no shuffle. */
+  def extractLinks(docs: DataFrame, textCol: String, idCol: String)
+      : DataFrame =
+    docs.select(col(idCol),
+        explode(regexp_extract_all(col(textCol),
+          lit("https?://[^\\s]+"), lit(0))).as("_raw"))
+      .select(col(idCol),
+        canonicalize(regexp_replace(col("_raw"), "[.,;:!?)'\"]+$", ""))
+          .as("url"))
+      .withColumn("dst_host", host(col("url")))
 }

@@ -5487,6 +5487,72 @@ object Catalog {
         n_dupes_removed
       FROM agg"""))
 
+  /** Link extraction ([[Urls.extractLinks]]) over pages with two
+    * synthesized embedded URLs each — one messy (mixed-case www host,
+    * default :443 port, unsorted query, fragment), one trailing a
+    * sentence period — so extraction, trailing-punct strip, and every
+    * canonicalization rule are load-bearing. The oracle replays the
+    * regex pull and the full q160 canonicalization chain. */
+  private val q185 = Q("q185_link_extract",
+    (s, dir) => {
+      val synth = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" See https://WWW.Site"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example.com:443/Path"), col("doc_id").cast("string"),
+          lit("/?b=2&a=1#frag and http://site"),
+          pmod(col("doc_id") + 1, lit(7)).cast("string"),
+          lit(".example.com/other.")).as("_text"))
+      Urls.extractLinks(synth, "_text", "doc_id")
+    },
+    Some("""WITH syn AS (SELECT doc_id,
+        text || ' See https://WWW.Site' || (doc_id % 7) ||
+          '.example.com:443/Path' || doc_id ||
+          '/?b=2&a=1#frag and http://site' || ((doc_id + 1) % 7) ||
+          '.example.com/other.' AS t
+        FROM documents),
+      m AS (SELECT doc_id,
+        unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS raw
+        FROM syn),
+      u AS (SELECT doc_id,
+        regexp_replace(raw, '[.,;:!?)''"]+$', '') AS url FROM m),
+      c AS (SELECT doc_id,
+        lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag
+          FROM u)),
+      p AS (SELECT doc_id, scheme, rest,
+        regexp_extract(rest, '^([^/?]*)', 1) AS hostport
+        FROM c),
+      q AS (SELECT doc_id, scheme,
+        regexp_replace(
+          lower(regexp_replace(hostport, ':[0-9]+$', '')),
+          '^www\.', '') AS host,
+        regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        substr(rest, len(hostport) + 1) AS afterhost
+        FROM p),
+      r AS (SELECT doc_id, scheme, host,
+        CASE WHEN port = '' THEN ''
+          WHEN scheme = 'http' AND port = '80' THEN ''
+          WHEN scheme = 'https' AND port = '443' THEN ''
+          ELSE ':' || port END AS portpart,
+        CASE WHEN regexp_replace(
+            regexp_extract(afterhost, '^([^?]*)', 1), '/+$', '') = ''
+          THEN '/'
+          ELSE regexp_replace(
+            regexp_extract(afterhost, '^([^?]*)', 1), '/+$', '') END
+          AS path,
+        CASE WHEN regexp_extract(afterhost, '\?(.*)$', 1) = '' THEN ''
+          ELSE '?' || array_to_string(list_sort(string_split(
+            regexp_extract(afterhost, '\?(.*)$', 1), '&')), '&') END
+          AS querypart
+        FROM q)
+      SELECT doc_id,
+        scheme || '://' || host || portpart || path || querypart AS url,
+        host AS dst_host
+      FROM r"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5511,5 +5577,5 @@ object Catalog {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
-    q177, q178, q179, q180, q181, q182, q183, q184)
+    q177, q178, q179, q180, q181, q182, q183, q184, q185)
 }

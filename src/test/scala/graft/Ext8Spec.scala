@@ -620,6 +620,45 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
 
+  test("extractLinks pulls every URL, strips trailing punctuation, " +
+      "canonicalizes, and composes into a GraphOps-ready edge list") {
+    import graft.ext.Urls
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
+    val docs = Seq(
+      (1L, "intro http://WWW.B.com:80/x/?z=1&a=2#f mid " +
+        "https://c.com/y. tail no-url"),
+      (2L, "bare text without links"),
+      (3L, "dup https://c.com/y! and https://c.com/y?"))
+      .toDF("doc_id", "text")
+    val links = Urls.extractLinks(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(links.toSet == Set(
+      (1L, "http://b.com/x?a=2&z=1", "b.com"),
+      (1L, "https://c.com/y", "c.com"),
+      (3L, "https://c.com/y", "c.com"),
+      (3L, "https://c.com/y", "c.com")) ||
+      links.sorted.toSeq == Seq(
+        (1L, "http://b.com/x?a=2&z=1", "b.com"),
+        (1L, "https://c.com/y", "c.com"),
+        (3L, "https://c.com/y", "c.com"),
+        (3L, "https://c.com/y", "c.com")),
+      s"links: ${links.toSeq}")
+    assert(links.count(_._1 == 3L) == 2,
+      "one row per occurrence — both doc-3 links kept")
+    // end-to-end: edges into PageRank run without error
+    val edges = Urls.extractLinks(docs, "text", "doc_id")
+      .join(docs.select(col("doc_id"), lit("self.com").as("src_host")),
+        Seq("doc_id"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n"))
+      .select(xxhash64(col("src_host")).as("src"),
+        xxhash64(col("dst_host")).as("dst"))
+    val ranks = graft.ext.GraphOps.pageRankFixedPoint(edges, "src",
+      "dst", iters = 1, cp = graft.ext.ShuffleBarrier)
+    assert(ranks.count() == 3, "self.com, b.com, c.com nodes ranked")
+  }
+
   test("epochNanos/epochMicros adapt to all three event-time " +
       "encodings and agree with each other") {
     import graft.ops.Normalize
