@@ -620,6 +620,62 @@ class Round8PlanShapeSpec extends SparkSpec {
     assert(out(2L) == ((0L, 1000000L)), s"node 2: ${out(2L)}")
   }
 
+  test("crawl-to-authority end to end, streaming: doc micro-batches → " +
+      "link extraction → incremental rank snapshots, final state = " +
+      "warm-start over all extracted edges") {
+    import graft.ext.Urls
+    import graft.streaming.GraphMaintenance
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod, xxhash64}
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" https://site"),
+          pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".example.com/p.")).as("text"))
+    val landing = tmpDir("crawl_landing")
+    val edgesDir = tmpDir("crawl_edges")
+    val ranksDir = tmpDir("crawl_ranks")
+    val ckpt = tmpDir("crawl_ckpt")
+    docs.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(landing)
+    def toEdges(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val links = Urls.extractLinks(df, "text", "doc_id")
+      links.join(df.select(col("doc_id"),
+          concat(col("source"), lit(".example.com")).as("src_host")),
+        Seq("doc_id"))
+        .select(xxhash64(col("src_host")).as("src"),
+          xxhash64(col("dst_host")).as("dst"))
+    }
+    val raw = spark.readStream
+      .schema(spark.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+    val q = GraphMaintenance.start(toEdges(raw), "src", "dst",
+      edgesDir, ranksDir, ckpt)
+    q.awaitTermination()
+    // the accumulated edge fragments equal the batch extraction
+    val streamedEdges = GraphMaintenance.readEdges(spark, edgesDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchEdges = toEdges(docs).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamedEdges == batchEdges,
+      "streamed link extraction must land the batch edge set")
+    // and the newest snapshot is the warm-start pure function of them
+    val fs = new org.apache.hadoop.fs.Path(ranksDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last = fs.listStatus(new org.apache.hadoop.fs.Path(ranksDir))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).max
+    val expect = graft.ext.GraphOps.pageRankFixedPoint(
+      GraphMaintenance.readEdges(spark, edgesDir, Some(last)),
+      "src", "dst", iters = 1, cp = graft.ext.ShuffleBarrier,
+      initRanks = GraphMaintenance.readRanks(spark, ranksDir, Some(last)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = spark.read.parquet(s"$ranksDir/batch=$last")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect,
+      "final snapshot must be the warm-start function of the fragments")
+  }
+
   test("extractLinks pulls every URL, strips trailing punctuation, " +
       "canonicalizes, and composes into a GraphOps-ready edge list") {
     import graft.ext.Urls
