@@ -116,6 +116,7 @@ object Bpe {
       maxPairs: Int = 8 << 20): DataFrame = {
     require(k >= 1)
     require(maxPairs >= 1)
+    trainingsStarted.incrementAndGet()
     val spark = docs.sparkSession
     var words = cp.cut(docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("_w"))
@@ -241,6 +242,29 @@ object Bpe {
     * at real scale) plus one map-combinable sum. Documents with no
     * tokens produce no row (explode semantics), identically in the
     * oracle (q148). */
+  /** Count of [[train]] invocations in this JVM — the observability
+    * hook for the one-training-per-input-per-run memo contract
+    * ([[TrainMemo]]); spec-pinned, never read by engine code. */
+  private[graft] val trainingsStarted =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** [[train]] through the per-JVM [[TrainMemo]]: the catalog's
+    * encode/fertility/compare queries (q148/q157/q161) each need the
+    * SAME deterministic k-merge list q147 learns — memoization makes
+    * the distributed training run once per distinct (input, k) per
+    * process instead of once per query. Default checkpointer and
+    * pair guard only: a custom `cp`/`maxPairs` changes failure
+    * behavior, not results, and cache keys deliberately ignore it. */
+  def trainMemoized(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    TrainMemo.cached(s"bpe:$textCol:$k", docs)(train(docs, textCol, k))
+
+  /** The memoized merge list in application order — the shape
+    * [[encodeTokenCounts]] consumes. */
+  def mergesMemoized(docs: DataFrame, textCol: String,
+      k: Int): Seq[(String, String)] =
+    trainMemoized(docs, textCol, k).orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   def encodeTokenCounts(docs: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val chars = codePointSyms(col("_w"))

@@ -273,8 +273,14 @@ object Sampling {
       "mixture weights must sum to <= 1e6 micro")
     val spark = df.sparkSession
     import spark.implicits._
+    // quota in DECIMAL(38,0): budget × micro-weight overflows Long for
+    // budgets above ~9.2e12 tokens (10T+-token epochs are the norm at
+    // crawl scale), and a silent wraparound here means negative quotas
+    // and an empty selection
     val quotas = weightsMicro.sortBy(_._1).toDF(domainCol, "_wm")
-      .withColumn("_quota", expr(s"(${budgetTokens}L * _wm) div 1000000"))
+      .withColumn("_quota", expr(
+        s"CAST((CAST(${budgetTokens}L AS DECIMAL(38,0)) * _wm) " +
+          "div 1000000 AS BIGINT)"))
       .select(col(domainCol), col("_quota"))
     val span = (1L << 31) / nBuckets + 1L
     val pre = df.select(col(idCol), col(domainCol),

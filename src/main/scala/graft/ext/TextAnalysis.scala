@@ -225,8 +225,11 @@ object TextAnalysis {
       minLineWords: Int = 3, minSentences: Int = 5,
       badWords: Seq[String] = Nil): DataFrame = {
     require(minLineWords >= 1 && minSentences >= 0)
-    require(badWords.forall(_.matches("[A-Za-z0-9']+")),
-      "badWords must be plain words — they are spliced into a regex")
+    require(badWords.forall(
+        _.matches("[A-Za-z0-9](?:[A-Za-z0-9']*[A-Za-z0-9])?")),
+      "badWords must be plain words with word characters at both ends " +
+        "— they are spliced into a \\b-anchored regex, and \\b next to " +
+        "an edge apostrophe can never match standalone text")
     def wordCount(l: Column): Column =
       size(filter(split(l, " "), w => length(w) > 0))
     val kept = filter(split(col(textCol), "\n"), l =>
@@ -768,8 +771,11 @@ object TextAnalysis {
     * of [[blocklistHits]] and [[blocklistKeep]]. */
   def blocklistMatches(text: Column, terms: Seq[String]): Column = {
     require(terms.nonEmpty, "blocklist needs at least one term")
-    require(terms.forall(_.matches("[A-Za-z0-9']+")),
-      "blocklist terms must be plain words — they are spliced into a regex")
+    require(terms.forall(
+        _.matches("[A-Za-z0-9](?:[A-Za-z0-9']*[A-Za-z0-9])?")),
+      "blocklist terms must be plain words with word characters at both " +
+        "ends — they are spliced into a \\b-anchored regex, and \\b next " +
+        "to an edge apostrophe can never match standalone text")
     val pat = "\\b(" + terms.map(_.toLowerCase).distinct.sorted
       .mkString("|") + ")\\b"
     regexp_extract_all(lower(text), lit(pat), lit(1))

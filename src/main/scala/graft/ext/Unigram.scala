@@ -130,6 +130,7 @@ object Unigram {
     require(maxPieceLen >= 1 && topPieces >= 0)
     require(rounds >= 2,
       "rounds >= 2: at least one prune round plus the scoring round")
+    trainingsStarted.incrementAndGet()
     val spark = docs.sparkSession
     val wc = cp.cut(wordCounts(docs, textCol))
     try {
@@ -185,6 +186,22 @@ object Unigram {
         spark.sparkContext.parallelize(out.toIndexedSeq, 1), outSchema)
     } finally cp.release(wc)
   }
+
+  /** Count of [[train]] invocations in this JVM — spec observability
+    * for the [[TrainMemo]] one-training-per-input-per-run contract. */
+  private[graft] val trainingsStarted =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** [[train]] through the per-JVM [[TrainMemo]] — the unigram twin
+    * of [[Bpe.trainMemoized]]. Default hyper-parameters only: the
+    * catalog family (q158/q161) trains exactly this configuration. */
+  def trainMemoized(docs: DataFrame, textCol: String): DataFrame =
+    TrainMemo.cached(s"unigram:$textCol", docs)(train(docs, textCol))
+
+  /** The memoized pruned vocabulary as the piece list
+    * [[encodeTokenCounts]] consumes. */
+  def vocabMemoized(docs: DataFrame, textCol: String): Seq[String] =
+    trainMemoized(docs, textCol).collect().map(_.getString(0)).toSeq
 
   /** Tokenize with a trained vocabulary: per-document piece counts —
     * the unigram twin of [[Bpe.encodeTokenCounts]], same

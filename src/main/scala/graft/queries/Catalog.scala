@@ -3661,7 +3661,8 @@ object Catalog {
     * greedy merge application — so the learned merge list replays
     * exactly. */
   private val q147 = Q("q147_bpe_train",
-    (s, dir) => graft.ext.Bpe.train(t(s, dir, "documents"), "text", k = 8),
+    (s, dir) => graft.ext.Bpe.trainMemoized(t(s, dir, "documents"),
+      "text", k = 8),
     Some(bpeRoundsCtes(8) + "\n      " + (1 to 8).map(r =>
       s"""SELECT $r AS rank, l AS "left", r AS "right",
           cnt AS pair_count FROM tp$r""").mkString("\n      UNION ALL ")))
@@ -3709,9 +3710,7 @@ object Catalog {
   private val q148 = Q("q148_bpe_encode",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val merges = graft.ext.Bpe.train(d, "text", k = 8)
-        .orderBy(col("rank")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = graft.ext.Bpe.mergesMemoized(d, "text", k = 8)
       graft.ext.Bpe.encodeTokenCounts(d, "text", "doc_id", merges)
     },
     Some(bpeRoundsCtes(8) + """
@@ -4097,9 +4096,7 @@ object Catalog {
   private val q157 = Q("q157_fertility",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val merges = graft.ext.Bpe.train(d, "text", k = 8)
-        .orderBy(col("rank")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = graft.ext.Bpe.mergesMemoized(d, "text", k = 8)
       graft.ext.Bpe.encodeTokenCounts(d, "text", "doc_id", merges)
         .join(d.select(col("doc_id"), col("lang"),
           TextAnalysis.tokenCount(col("text")).as("_nw")), "doc_id")
@@ -4184,7 +4181,7 @@ object Catalog {
     * the oracle (integer counts + UTF-8 tie order only). Output: the
     * final vocabulary scored by the last segmentation round. */
   private val q158 = Q("q158_unigram_train",
-    (s, dir) => Unigram.train(t(s, dir, "documents"), "text"),
+    (s, dir) => Unigram.trainMemoized(t(s, dir, "documents"), "text"),
     Some(unigramCtes() + """
       SELECT v.piece AS piece, CAST(len(v.piece) AS INT) AS piece_len,
         CAST(coalesce(u.usage, 0) AS BIGINT) AS usage
@@ -4333,12 +4330,9 @@ object Catalog {
   private val q161 = Q("q161_tokenizer_compare",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val merges = graft.ext.Bpe.train(d, "text", k = 8)
-        .orderBy(col("rank")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = graft.ext.Bpe.mergesMemoized(d, "text", k = 8)
       val bpe = graft.ext.Bpe.encodeTokenCounts(d, "text", "doc_id", merges)
-      val vocab = Unigram.train(d, "text").collect()
-        .map(_.getString(0)).toSeq
+      val vocab = Unigram.vocabMemoized(d, "text")
       val uni = Unigram.encodeTokenCounts(d, "text", "doc_id", vocab)
       bpe.join(uni, "doc_id")
         .join(d.select(col("doc_id"), col("lang"),
