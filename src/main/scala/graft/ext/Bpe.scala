@@ -135,10 +135,14 @@ object Bpe {
     // partition-by-partition, so the bound trips before the heap
     // fills) and after every round's delta fold.
     def guard(n: Int): Unit = require(n <= maxPairs,
-      s"BPE pair table exceeds maxPairs=$maxPairs (alphabet too large " +
-        "for driver-resident counts — e.g. a CJK-heavy corpus at " +
+      s"BPE pair table exceeds maxPairs=$maxPairs: observed >= $n " +
+        "distinct adjacent symbol pairs (alphabet too large for " +
+        "driver-resident counts — e.g. a CJK-heavy corpus at " +
         "alphabet^2 pairs). Shrink the alphabet (byte-level pre-split) " +
-        "or raise maxPairs on a bigger driver.")
+        "or raise maxPairs on a bigger driver; size it at >= the " +
+        "distinct adjacent symbol pairs of the corpus, ~ min(alphabet^2 " +
+        "+ k * alphabet, corpus pair kinds), at ~100 heap bytes per " +
+        "entry (the 8M default ~ 1 GB).")
     val pairCounts =
       scala.collection.mutable.HashMap.empty[(String, String), Long]
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]

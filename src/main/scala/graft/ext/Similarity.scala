@@ -471,6 +471,40 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
+  /** Two-stage retrieval — the shape every production vector store
+    * runs (FAISS/ScaNN deployments; Jégou et al. 2011 §VI re-ranking):
+    * stage 1 probes the compressed index for a WIDE candidate set
+    * ([[ivfPqTopK]]'s ADC top-`m`, m ≥ k — cell-pruned, codes only),
+    * stage 2 re-ranks JUST those ≤ m·|Q| candidates with the exact
+    * cosine and keeps top-`k`. ADC quantization distortion costs
+    * recall; exact re-ranking recovers most of it while touching raw
+    * vectors for only the candidate rows — the candidate ids are
+    * BROADCAST onto the corpus so the exact pass is a semi-join-shaped
+    * probe of the vector column, never a corpus×queries score
+    * (plan-pinned: the only Window in stage 2 ranks the bounded
+    * candidate frame). Recall lift vs the raw ADC ranking is measured
+    * per query in the q187 catalog dashboard. */
+  def twoStageTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int,
+      nCells: Int = 16, nProbe: Int = 2, nSub: Int = 8,
+      nCodewords: Int = 16, dim: Int = 64): DataFrame = {
+    require(m >= k, s"stage-1 candidate depth m=$m must be >= k=$k")
+    val cand = ivfPqTopK(queries, candidates, idCol, vecCol, k = m,
+      nCells, nProbe, nSub, nCodewords, dim)
+      .select(col("q_id"), col("n_id"))
+    val qn = withNorm(queries, idCol, vecCol, "q_id", "_qv", "_qn")
+    val cn = withNorm(candidates, idCol, vecCol, "n_id", "_nv", "_nn")
+    val scored = cn.join(broadcast(cand), "n_id")
+      .join(broadcast(qn), "q_id")
+      .withColumn("_sim",
+        dot(col("_qv"), col("_nv")) / sqrt(col("_qn") * col("_nn")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("_sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** Residual IVF-ADC top-k — the full production formulation (Jégou
     * et al., TPAMI 2011): the index stores PQ codes of CELL RESIDUALS
     * (v − centroid(cell), via [[pqEncodeResidual]]), and a query

@@ -5547,6 +5547,120 @@ object Catalog {
         host AS dst_host
       FROM r"""))
 
+  /** Shared DuckDB CTE chain of the two-stage retrieval family
+    * (q186/q187): q114's ADC index replay (first-16 codebook, 16
+    * coarse cells, 2 probes, 50 query vectors) widened to `adcr` (the
+    * full ADC ranking) and a depth-`m` candidate cut `cand`, plus the
+    * exact-cosine re-rank `rr` over JUST those candidates — the
+    * stage-2 surface of [[graft.ext.Similarity.twoStageTopK]]. */
+  private def twoStageCtes(m: Int): String = cosineOracleCte + s""",
+      cent AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+        ORDER BY vec_id ASC LIMIT 16),
+      asg AS (SELECT n_id, cell FROM (
+        SELECT n.vec_id AS n_id, cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS cr
+        FROM n CROSS JOIN cent) z WHERE cr = 1),
+      cb AS (SELECT vec_id AS c, v AS cv2 FROM e WHERE vec_id < 16),
+      pa AS (SELECT e.vec_id, cb.c, js.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(e.v[i] - cb.cv2[i]) * (e.v[i] - cb.cv2[i])
+             FOR i IN range(js.j * 8 + 1, js.j * 8 + 9)]), (x, y) -> x + y) AS d
+        FROM e CROSS JOIN cb CROSS JOIN (SELECT unnest(range(0, 8)) AS j) js),
+      sel AS (SELECT vec_id, j, c FROM (
+          SELECT vec_id, j, c,
+            row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+          FROM pa) z WHERE rn = 1),
+      prb AS (SELECT q_id, qv, cell FROM (
+        SELECT n.vec_id AS q_id, n.v AS qv, cent.cent_id AS cell,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            (${dotFoldSql("n.v", "cent.cv")} / sqrt(n.nrm * cent.cn)) DESC,
+            cent.cent_id ASC) AS pr
+        FROM n CROSS JOIN cent WHERE n.vec_id < 50) z WHERE pr <= 2),
+      tj AS (SELECT s.vec_id, p.q_id, s.j,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [(p.qv[i] - cb.cv2[i]) * (p.qv[i] - cb.cv2[i])
+             FOR i IN range(s.j * 8 + 1, s.j * 8 + 9)]), (x, y) -> x + y) AS t
+        FROM sel s JOIN cb ON cb.c = s.c
+        JOIN asg a ON a.n_id = s.vec_id
+        JOIN prb p ON p.cell = a.cell),
+      dist AS (SELECT q_id, vec_id AS n_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY j)),
+            (x, y) -> x + y) AS d
+        FROM tj GROUP BY q_id, vec_id),
+      adcr AS (SELECT q_id, n_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rank
+        FROM dist WHERE n_id <> q_id),
+      cand AS (SELECT q_id, n_id FROM adcr WHERE rank <= $m),
+      rr AS (SELECT c.q_id, c.n_id,
+          row_number() OVER (PARTITION BY c.q_id ORDER BY
+            (${dotFoldSql("q.v", "x.v")} / sqrt(q.nrm * x.nrm)) DESC,
+            c.n_id ASC) AS rank
+        FROM cand c JOIN n q ON q.vec_id = c.q_id
+        JOIN n x ON x.vec_id = c.n_id)"""
+
+  /** Two-stage ANN retrieval ([[Similarity.twoStageTopK]]): ADC top-10
+    * candidates from the cell-pruned compressed index, exact-cosine
+    * re-rank to top-3 — the approximate-candidates → exact-re-rank
+    * composition every production vector store runs. Both stages are
+    * deterministic, so the composed ranking hash-matches. */
+  private val q186 = Q("q186_two_stage_ann",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.twoStageTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 3, m = 10)
+    },
+    Some(twoStageCtes(10) + """
+      SELECT q_id, n_id, CAST(rank AS INT) AS rank
+      FROM rr WHERE rank <= 3"""))
+
+  /** Two-stage retrieval quality dashboard: per-query recall@3 of the
+    * raw ADC ranking (q114's stage 1 alone) NEXT TO the re-ranked
+    * two-stage result (q186), both against the exact brute-force
+    * ranking — the lift table that justifies the re-rank stage.
+    * Ext9Spec asserts the lift is non-negative in aggregate. */
+  private val q187 = Q("q187_two_stage_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      val ext = Similarity.bruteForceTopK(q, emb,
+        "vec_id", "embedding", k = 3)
+      val adc = Similarity.ivfPqTopK(q, emb,
+        "vec_id", "embedding", k = 3)
+      val two = Similarity.twoStageTopK(q, emb,
+        "vec_id", "embedding", k = 3, m = 10)
+      Similarity.recallAtK(adc, ext, k = 3)
+        .withColumnRenamed("n_hit", "n_hit_adc")
+        .withColumnRenamed("recall", "recall_adc")
+        .join(Similarity.recallAtK(two, ext, k = 3)
+          .withColumnRenamed("n_hit", "n_hit_rerank")
+          .withColumnRenamed("recall", "recall_rerank"), "q_id")
+    },
+    Some(twoStageCtes(10) + s""",
+      ext AS (SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            (${dotFoldSql("q.v", "c.v")} / sqrt(q.nrm * c.nrm)) DESC,
+            c.vec_id ASC) AS rank
+        FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id <> q.vec_id) z
+      WHERE rank <= 3),
+      a3 AS (SELECT q_id, n_id FROM adcr WHERE rank <= 3),
+      t3 AS (SELECT q_id, n_id FROM rr WHERE rank <= 3)
+      SELECT e.q_id,
+        CAST(sum(CASE WHEN a.n_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_hit_adc,
+        sum(CASE WHEN a.n_id IS NULL THEN 0 ELSE 1 END) * 1.0 / count(*)
+          AS recall_adc,
+        CAST(sum(CASE WHEN t.n_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_hit_rerank,
+        sum(CASE WHEN t.n_id IS NULL THEN 0 ELSE 1 END) * 1.0 / count(*)
+          AS recall_rerank
+      FROM ext e
+      LEFT JOIN a3 a ON a.q_id = e.q_id AND a.n_id = e.n_id
+      LEFT JOIN t3 t ON t.q_id = e.q_id AND t.n_id = e.n_id
+      GROUP BY e.q_id"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5571,5 +5685,5 @@ object Catalog {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
-    q177, q178, q179, q180, q181, q182, q183, q184, q185)
+    q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187)
 }
