@@ -5661,6 +5661,66 @@ object Catalog {
       LEFT JOIN t3 t ON t.q_id = e.q_id AND t.n_id = e.n_id
       GROUP BY e.q_id"""))
 
+  /** Suffix-array exact-substring dedup ([[SuffixDedup]], Lee et al.
+    * 2022 ExactSubstr): merged to-remove intervals of every duplicated
+    * 12-token span, one surviving occurrence per substring. The
+    * prefix-doubling rank chain — token dense rank, three pair-rank
+    * doubling rounds (2/4/8-token blocks), the overlapped
+    * `(r₃(i), r₃(i+4))` length-12 equality key, keeper selection, and
+    * the per-doc interval merge — replays round by round in the
+    * oracle with `dense_rank()`; ranks are sort positions (UTF-8
+    * token order, integer pairs, −1 sentinel), so both engines derive
+    * identical rank tables, not just identical final spans. */
+  private val q188 = Q("q188_suffix_dedup",
+    (s, dir) => graft.ext.SuffixDedup.duplicateSpans(
+      t(s, dir, "documents"), "text", "doc_id", spanLen = 12),
+    Some("""WITH tk0 AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS toks
+        FROM documents),
+      tk AS (SELECT doc_id, i AS pos, toks[i] AS tok, len(toks) AS dlen
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+          FROM tk0) z),
+      d0 AS (SELECT doc_id, pos, dlen,
+          dense_rank() OVER (ORDER BY tok) AS r FROM tk),
+      p1 AS (SELECT a.doc_id, a.pos, a.dlen, a.r, coalesce(b.r, -1) AS r2
+        FROM d0 a LEFT JOIN d0 b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+      d1 AS (SELECT doc_id, pos, dlen,
+          dense_rank() OVER (ORDER BY r, r2) AS r FROM p1),
+      p2 AS (SELECT a.doc_id, a.pos, a.dlen, a.r, coalesce(b.r, -1) AS r2
+        FROM d1 a LEFT JOIN d1 b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 2),
+      d2 AS (SELECT doc_id, pos, dlen,
+          dense_rank() OVER (ORDER BY r, r2) AS r FROM p2),
+      p3 AS (SELECT a.doc_id, a.pos, a.dlen, a.r, coalesce(b.r, -1) AS r2
+        FROM d2 a LEFT JOIN d2 b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 4),
+      d3 AS (SELECT doc_id, pos, dlen,
+          dense_rank() OVER (ORDER BY r, r2) AS r FROM p3),
+      ky AS (SELECT a.doc_id, a.pos, a.r AS k1, b.r AS k2
+        FROM d3 a JOIN d3 b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 4
+        WHERE a.pos + 11 <= a.dlen),
+      g AS (SELECT doc_id, pos,
+          count(*) OVER (PARTITION BY k1, k2) AS cnt,
+          row_number() OVER (PARTITION BY k1, k2
+            ORDER BY doc_id, pos) AS rn
+        FROM ky),
+      rm AS (SELECT doc_id, pos AS s, pos + 11 AS e
+        FROM g WHERE cnt > 1 AND rn > 1),
+      o AS (SELECT doc_id, s, e,
+          max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM rm),
+      isl AS (SELECT doc_id, s, e,
+          sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+        FROM o)
+      SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        CAST(max(e) AS BIGINT) AS span_end
+      FROM isl GROUP BY doc_id, grp"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5685,5 +5745,6 @@ object Catalog {
     q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154,
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
-    q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187)
+    q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
+    q188)
 }
