@@ -97,6 +97,34 @@ object ScaleFixture {
         spark.sparkContext.range(0L, nVecs, numSlices = 8).map(vecRow),
         vecSchema)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // optional 4th/5th args: orders/lineitem row counts — the minimal
+    // column set the graph family consumes (q178 reads only
+    // o_orderkey/o_custkey/l_orderkey/l_suppkey); key ranges follow
+    // the TPC-H-ish fixture ratios (10 customers per order-group,
+    // 1 supplier per 120 lineitems)
+    if (args.length > 4) {
+      val nOrders = args(3).toLong
+      val nLines = args(4).toLong
+      val nCust = math.max(1L, nOrders / 10L)
+      val nSupp = math.max(1L, nLines / 120L)
+      val orderSchema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType)))
+      val lineSchema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_suppkey", LongType)))
+      spark.createDataFrame(
+          spark.sparkContext.range(0L, nOrders, numSlices = 8).map(i =>
+            Row(i, Math.floorMod(mix(i + 31L), nCust))),
+          orderSchema)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      spark.createDataFrame(
+          spark.sparkContext.range(0L, nLines, numSlices = 8).map(i =>
+            Row(Math.floorMod(mix(i + 47L), nOrders),
+              Math.floorMod(mix(i + 59L), nSupp))),
+          lineSchema)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
     println(s"SCALEFIXTURE wrote $nDocs docs / $nVecs vecs to $outDir")
     spark.stop()
   }

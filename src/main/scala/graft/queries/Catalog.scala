@@ -5661,16 +5661,17 @@ object Catalog {
       LEFT JOIN t3 t ON t.q_id = e.q_id AND t.n_id = e.n_id
       GROUP BY e.q_id"""))
 
-  /** Suffix-array exact-substring dedup ([[SuffixDedup]], Lee et al.
-    * 2022 ExactSubstr): merged to-remove intervals of every duplicated
-    * 12-token span, one surviving occurrence per substring. The
-    * prefix-doubling rank chain — token dense rank, three pair-rank
-    * doubling rounds (2/4/8-token blocks), the overlapped
-    * `(r₃(i), r₃(i+4))` length-12 equality key, keeper selection, and
-    * the per-doc interval merge — replays round by round in the
-    * oracle with `dense_rank()`; ranks are sort positions (UTF-8
-    * token order, integer pairs, −1 sentinel), so both engines derive
-    * identical rank tables, not just identical final spans. */
+  /** Suffix-array-style exact-substring dedup ([[SuffixDedup]], Lee
+    * et al. 2022 ExactSubstr): merged to-remove intervals of every
+    * duplicated 12-token span, one surviving occurrence per
+    * substring. The doubling-id chain — token classes, three
+    * pair-class doubling rounds (2/4/8-token blocks), the overlapped
+    * `(id₃(i), id₃(i+4))` length-12 equality key, keeper selection,
+    * and the per-doc interval merge — replays round by round in the
+    * oracle: round ids are class REPRESENTATIVES (min packed
+    * (doc, pos) over the positions sharing the substring — pure
+    * integer arithmetic, −1 sentinel), so both engines derive the
+    * identical class tables, not just identical final spans. */
   private val q188 = Q("q188_suffix_dedup",
     (s, dir) => graft.ext.SuffixDedup.duplicateSpans(
       t(s, dir, "documents"), "text", "doc_id", spanLen = 12),
@@ -5682,22 +5683,26 @@ object Catalog {
         FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
           FROM tk0) z),
       d0 AS (SELECT doc_id, pos, dlen,
-          dense_rank() OVER (ORDER BY tok) AS r FROM tk),
+          min(doc_id * 4294967296 + pos) OVER (PARTITION BY tok) AS r
+        FROM tk),
       p1 AS (SELECT a.doc_id, a.pos, a.dlen, a.r, coalesce(b.r, -1) AS r2
         FROM d0 a LEFT JOIN d0 b
           ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
       d1 AS (SELECT doc_id, pos, dlen,
-          dense_rank() OVER (ORDER BY r, r2) AS r FROM p1),
+          min(doc_id * 4294967296 + pos) OVER (PARTITION BY r, r2) AS r
+        FROM p1),
       p2 AS (SELECT a.doc_id, a.pos, a.dlen, a.r, coalesce(b.r, -1) AS r2
         FROM d1 a LEFT JOIN d1 b
           ON b.doc_id = a.doc_id AND b.pos = a.pos + 2),
       d2 AS (SELECT doc_id, pos, dlen,
-          dense_rank() OVER (ORDER BY r, r2) AS r FROM p2),
+          min(doc_id * 4294967296 + pos) OVER (PARTITION BY r, r2) AS r
+        FROM p2),
       p3 AS (SELECT a.doc_id, a.pos, a.dlen, a.r, coalesce(b.r, -1) AS r2
         FROM d2 a LEFT JOIN d2 b
           ON b.doc_id = a.doc_id AND b.pos = a.pos + 4),
       d3 AS (SELECT doc_id, pos, dlen,
-          dense_rank() OVER (ORDER BY r, r2) AS r FROM p3),
+          min(doc_id * 4294967296 + pos) OVER (PARTITION BY r, r2) AS r
+        FROM p3),
       ky AS (SELECT a.doc_id, a.pos, a.r AS k1, b.r AS k2
         FROM d3 a JOIN d3 b
           ON b.doc_id = a.doc_id AND b.pos = a.pos + 4
