@@ -115,6 +115,37 @@ object SuffixDedup {
         col("_keep").getField("_pos").as("keeper_pos"))
   }
 
+  /** The deduplicated corpus itself: [[duplicateSpans]] APPLIED —
+    * every document re-rendered with its to-remove token ranges
+    * dropped (canonical single-space join). Token-less docs produce
+    * no row (explode semantics, as throughout); a FULLY-covered doc
+    * (e.g. an exact duplicate of an earlier doc) disappears — that is
+    * whole-document dedup falling out of the span contract. The span
+    * explode is bounded by the spans, not the corpus — duplicated
+    * ranges are the rare case by construction — and the re-render is
+    * one keyed anti-join plus an in-group sort of each document's own
+    * tokens (array_sort of the collected (pos, tok) structs — per-doc
+    * data, never a global sort). This is the q128 span-removal
+    * contract driven by the suffix formulation instead of gram
+    * ownership. */
+  def stripSpans(docs: DataFrame, textCol: String, idCol: String,
+      spanLen: Int): DataFrame = {
+    val covered = duplicateSpans(docs, textCol, idCol, spanLen)
+      .select(col(idCol).as("_cid"),
+        explode(sequence(col("span_start"), col("span_end")))
+          .as("_cpos"))
+    val kept = positions(docs, textCol, idCol)
+      .join(covered,
+        col(idCol) === col("_cid") &&
+          col("_pos").cast("long") === col("_cpos"),
+        "left_anti")
+    kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          s => s.getField("_tok")), " ").as("dedup_text"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Merged to-remove token intervals per document: every
     * NON-KEEPER duplicated `spanLen`-token span, overlapping-or-
     * adjacent intervals coalesced (gaps-and-islands per doc) —

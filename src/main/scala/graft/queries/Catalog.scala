@@ -5672,10 +5672,12 @@ object Catalog {
     * (doc, pos) over the positions sharing the substring — pure
     * integer arithmetic, −1 sentinel), so both engines derive the
     * identical class tables, not just identical final spans. */
-  private val q188 = Q("q188_suffix_dedup",
-    (s, dir) => graft.ext.SuffixDedup.duplicateSpans(
-      t(s, dir, "documents"), "text", "doc_id", spanLen = 12),
-    Some("""WITH tk0 AS (SELECT doc_id,
+  /** Shared DuckDB CTE chain of the suffix-dedup family (q188/q189):
+    * token positions, the class-representative doubling rounds
+    * (min packed (doc,pos) per substring class, -1 sentinel), the
+    * overlapped length-12 key, keeper selection, and the per-doc
+    * gaps-and-islands interval merge up to `isl`. */
+  private def suffixDedupCtes: String = """WITH tk0 AS (SELECT doc_id,
         list_filter(string_split_regex(trim(text), '\s+'),
           x -> len(x) > 0) AS toks
         FROM documents),
@@ -5721,10 +5723,37 @@ object Catalog {
       isl AS (SELECT doc_id, s, e,
           sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
             OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
-        FROM o)
+        FROM o)"""
+
+  private val q188 = Q("q188_suffix_dedup",
+    (s, dir) => graft.ext.SuffixDedup.duplicateSpans(
+      t(s, dir, "documents"), "text", "doc_id", spanLen = 12),
+    Some(suffixDedupCtes + """
       SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
         CAST(max(e) AS BIGINT) AS span_end
       FROM isl GROUP BY doc_id, grp"""))
+
+  /** The ExactSubstr contract APPLIED ([[SuffixDedup.stripSpans]]):
+    * the corpus re-rendered with q188's to-remove ranges dropped —
+    * per-doc surviving text plus token count; fully-duplicated docs
+    * disappear (whole-document dedup as the span contract's limit
+    * case). The oracle extends q188's chain: explode the merged
+    * spans to covered positions, anti-join the token table, re-render
+    * with an ordered string_agg. */
+  private val q189 = Q("q189_suffix_strip",
+    (s, dir) => graft.ext.SuffixDedup.stripSpans(
+      t(s, dir, "documents"), "text", "doc_id", spanLen = 12),
+    Some(suffixDedupCtes + """,
+      sp AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+        FROM isl GROUP BY doc_id, grp),
+      cov AS (SELECT doc_id, unnest(range(ss, se + 1)) AS cpos FROM sp),
+      kept AS (SELECT t.doc_id, t.pos, t.tok
+        FROM tk t LEFT JOIN cov c
+          ON c.doc_id = t.doc_id AND c.cpos = t.pos
+        WHERE c.cpos IS NULL)
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS dedup_text,
+        CAST(count(*) AS BIGINT) AS n_tokens
+      FROM kept GROUP BY doc_id"""))
 
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
@@ -5751,5 +5780,5 @@ object Catalog {
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188)
+    q188, q189)
 }
