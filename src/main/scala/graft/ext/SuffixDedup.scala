@@ -154,8 +154,15 @@ object SuffixDedup {
     * duplicated substring survives, the Lee et al. ExactSubstr
     * contract. */
   def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+      spanLen: Int): DataFrame =
+    mergeSpans(duplicatePositions(docs, textCol, idCol, spanLen),
+      idCol, spanLen)
+
+  /** Non-keeper duplicate positions → merged per-doc intervals
+    * (gaps-and-islands, overlap-or-adjacent coalesced). */
+  private def mergeSpans(dups: DataFrame, idCol: String,
       spanLen: Int): DataFrame = {
-    val rm = duplicatePositions(docs, textCol, idCol, spanLen)
+    val rm = dups
       .filter(!(col(idCol) === col("keeper_id") &&
         col("_pos") === col("keeper_pos")))
       .select(col(idCol), col("_pos").cast("long").as("_s"),
@@ -172,5 +179,98 @@ object SuffixDedup {
       .agg(min(col("_s")).as("span_start"), max(col("_e")).as("span_end"))
       .drop("_g")
       .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Incremental ExactSubstr maintenance — the delta-vs-corpus shape
+    * of [[Dedup.minHashLshDeltaPairs]] for exact spans: yesterday's
+    * corpus is already deduped and its per-round class tables are
+    * derivable once (storable, like the MinHash doc index); today's
+    * DELTA finds its duplicated `spanLen`-spans against base ∪ delta
+    * with per-round work sized by the DELTA — per round, delta
+    * positions pair per-doc (delta-local lead), LOOK UP the pair in
+    * the base round index (one keyed join against a static table),
+    * and only pairs unseen in base form new classes (a delta-keyed
+    * window). Base positions are never re-windowed.
+    *
+    * Id consistency: a delta position whose pair exists in base
+    * ADOPTS the base representative, so mixed classes share one id
+    * across both sides and the next round's lookup hits; delta-only
+    * classes take the delta minimum — representatives are members,
+    * so ids stay injective across classes regardless of which side
+    * supplied them. The FINAL keeper is the union minimum
+    * (`least(base keeper, delta keeper)`), which makes the result
+    * bit-identical to a full recompute restricted to delta docs —
+    * pinned by spec, including the adversarial case where a delta id
+    * sorts BELOW a base id sharing its span (the delta copy becomes
+    * the keeper and nothing is emitted for it).
+    *
+    * Returns delta-doc to-remove intervals only (the base is already
+    * deduped — its spans were handled when it was the delta). */
+  def duplicateSpansDelta(base: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String, spanLen: Int): DataFrame =
+    mergeSpans(duplicatePositionsDelta(base, delta, textCol, idCol,
+      spanLen), idCol, spanLen)
+
+  /** The delta half of [[duplicateSpansDelta]] before interval
+    * merging: (idCol, _pos, keeper_id, keeper_pos) for every delta
+    * position whose span occurs elsewhere in base ∪ delta. */
+  def duplicatePositionsDelta(base: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String, spanLen: Int): DataFrame = {
+    require(spanLen >= 2, "spanLen >= 2: single tokens are vocabulary")
+    val h = 63 - java.lang.Long.numberOfLeadingZeros(spanLen.toLong)
+    val half = (1L << h).toInt
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    // base chain, exactly as duplicatePositions — its (pair → rep)
+    // tables are the per-round indexes a daily pipeline would store
+    var baseR = positions(base, textCol, idCol)
+      .withColumn("_r", classRep(idCol, Seq(col("_tok"))))
+    val idx0 = baseR.select(col("_tok"), col("_r").as("_br")).distinct()
+    baseR = baseR.select(col(idCol), col("_pos"), col("_dlen"), col("_r"))
+    var deltaR = positions(delta, textCol, idCol)
+      .join(idx0, Seq("_tok"), "left")
+      .withColumn("_r",
+        coalesce(col("_br"), classRep(idCol, Seq(col("_tok")))))
+      .select(col(idCol), col("_pos"), col("_dlen"), col("_r"))
+    for (k <- 1 to h.toInt) {
+      val step = 1 << (k - 1)
+      val basePaired = baseR
+        .withColumn("_r2",
+          coalesce(lead(col("_r"), step).over(byDoc), sentinel))
+        .withColumn("_rn", classRep(idCol, Seq(col("_r"), col("_r2"))))
+      val idxK = basePaired
+        .select(col("_r"), col("_r2"), col("_rn").as("_brn")).distinct()
+      baseR = basePaired.select(col(idCol), col("_pos"), col("_dlen"),
+        col("_rn").as("_r"))
+      deltaR = deltaR
+        .withColumn("_r2",
+          coalesce(lead(col("_r"), step).over(byDoc), sentinel))
+        .join(idxK, Seq("_r", "_r2"), "left")
+        .withColumn("_rn",
+          coalesce(col("_brn"), classRep(idCol, Seq(col("_r"), col("_r2")))))
+        .select(col(idCol), col("_pos"), col("_dlen"),
+          col("_rn").as("_r"))
+    }
+    val off = spanLen - half
+    def keyed(r: DataFrame): DataFrame = r
+      .withColumn("_k2",
+        if (off == 0) col("_r")
+        else coalesce(lead(col("_r"), off).over(byDoc), sentinel))
+      .filter(col("_pos") + (spanLen - 1) <= col("_dlen"))
+    // base final-key keepers: the stored summary a delta run joins
+    val baseFin = keyed(baseR).groupBy(col("_r"), col("_k2"))
+      .agg(min(struct(col(idCol), col("_pos"))).as("_bkeep"))
+    val grp = Window.partitionBy(col("_r"), col("_k2"))
+    keyed(deltaR)
+      .withColumn("_dcnt", count(lit(1)).over(grp))
+      .withColumn("_dkeep", min(struct(col(idCol), col("_pos"))).over(grp))
+      .join(baseFin, Seq("_r", "_k2"), "left")
+      .filter(col("_bkeep").isNotNull || col("_dcnt") > 1)
+      .withColumn("_keep",
+        when(col("_bkeep").isNotNull,
+          least(col("_bkeep"), col("_dkeep")))
+          .otherwise(col("_dkeep")))
+      .select(col(idCol), col("_pos"),
+        col("_keep").getField(idCol).as("keeper_id"),
+        col("_keep").getField("_pos").as("keeper_pos"))
   }
 }

@@ -5755,6 +5755,29 @@ object Catalog {
         CAST(count(*) AS BIGINT) AS n_tokens
       FROM kept GROUP BY doc_id"""))
 
+  /** Incremental ExactSubstr maintenance
+    * ([[SuffixDedup.duplicateSpansDelta]]): yesterday's corpus
+    * (doc_id % 10 ≠ 0) holds stored per-round class indexes; today's
+    * delta (doc_id % 10 = 0) finds its duplicated 12-token spans
+    * against base ∪ delta with per-round work sized by the delta —
+    * the suffix twin of q162's MinHash delta. Bit-identical to the
+    * full recompute restricted to delta docs (spec-pinned), so the
+    * oracle is q188's full-corpus chain with the output filtered to
+    * the delta (islands are per-doc — filtering after the merge
+    * equals filtering before). */
+  private val q190 = Q("q190_suffix_delta",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ext.SuffixDedup.duplicateSpansDelta(
+        d.filter(col("doc_id") % 10 =!= 0),
+        d.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", spanLen = 12)
+    },
+    Some(suffixDedupCtes + """
+      SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        CAST(max(e) AS BIGINT) AS span_end
+      FROM isl WHERE doc_id % 10 = 0 GROUP BY doc_id, grp"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5780,5 +5803,5 @@ object Catalog {
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189)
+    q188, q189, q190)
 }
