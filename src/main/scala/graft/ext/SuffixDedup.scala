@@ -155,12 +155,13 @@ object SuffixDedup {
     * contract. */
   def duplicateSpans(docs: DataFrame, textCol: String, idCol: String,
       spanLen: Int): DataFrame =
-    mergeSpans(duplicatePositions(docs, textCol, idCol, spanLen),
+    spansOf(duplicatePositions(docs, textCol, idCol, spanLen),
       idCol, spanLen)
 
   /** Non-keeper duplicate positions → merged per-doc intervals
-    * (gaps-and-islands, overlap-or-adjacent coalesced). */
-  private def mergeSpans(dups: DataFrame, idCol: String,
+    * (gaps-and-islands, overlap-or-adjacent coalesced). Shared by the
+    * batch entries and [[graft.streaming.SuffixMaintenance]]. */
+  private[graft] def spansOf(dups: DataFrame, idCol: String,
       spanLen: Int): DataFrame = {
     val rm = dups
       .filter(!(col(idCol) === col("keeper_id") &&
@@ -208,8 +209,78 @@ object SuffixDedup {
     * deduped — its spans were handled when it was the delta). */
   def duplicateSpansDelta(base: DataFrame, delta: DataFrame,
       textCol: String, idCol: String, spanLen: Int): DataFrame =
-    mergeSpans(duplicatePositionsDelta(base, delta, textCol, idCol,
+    spansOf(duplicatePositionsDelta(base, delta, textCol, idCol,
       spanLen), idCol, spanLen)
+
+  /** Delta duplicate positions against STORED round indexes — the
+    * streaming-maintenance entry ([[graft.streaming.SuffixMaintenance]]):
+    * `idx0` maps tokens to landed representatives, `idxKs(k-1)` maps
+    * round-k pairs, `fin` maps final keys to the landed keeper.
+    * Unlike [[duplicatePositionsDelta]] (union-minimum keeper), the
+    * LANDED keeper takes precedence regardless of id order —
+    * stream-time first-occurrence-wins, the only keeper order a
+    * fragment log can honor. Returns (duplicate positions,
+    * r0 fragment, per-round fragments, fin fragment): each fragment
+    * holds exactly the keys this delta introduced (landed keys are
+    * never re-landed, so stored representatives stay stable).
+    * Representative structs are (d, p) = (doc id AS LONG, position) —
+    * the storable fixed schema. */
+  private[graft] def deltaAgainstIndex(delta: DataFrame, textCol: String,
+      idCol: String, spanLen: Int, idx0: DataFrame,
+      idxKs: Seq[DataFrame], fin: DataFrame)
+      : (DataFrame, DataFrame, Seq[DataFrame], DataFrame) = {
+    require(spanLen >= 2, "spanLen >= 2: single tokens are vocabulary")
+    val h = 63 - java.lang.Long.numberOfLeadingZeros(spanLen.toLong)
+    require(idxKs.length == h.toInt,
+      s"need $h round indexes for spanLen=$spanLen, got ${idxKs.length}")
+    val half = (1L << h).toInt
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    def rep: Column =
+      min(struct(col(idCol).cast("long").as("d"), col("_pos").as("p")))
+    val withR0 = positions(delta, textCol, idCol)
+      .join(idx0, Seq("_tok"), "left")
+      .withColumn("_rr",
+        coalesce(col("_br"), rep.over(Window.partitionBy(col("_tok")))))
+    val frag0 = withR0.filter(col("_br").isNull)
+      .select(col("_tok"), col("_rr").as("_br")).distinct()
+    var deltaR = withR0.select(col(idCol), col("_pos"), col("_dlen"),
+      col("_rr").as("_r"))
+    val fragKs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (k <- 1 to h.toInt) {
+      val step = 1 << (k - 1)
+      val paired = deltaR
+        .withColumn("_r2",
+          coalesce(lead(col("_r"), step).over(byDoc), sentinel))
+        .join(idxKs(k - 1), Seq("_r", "_r2"), "left")
+        .withColumn("_rr", coalesce(col("_brn"),
+          rep.over(Window.partitionBy(col("_r"), col("_r2")))))
+      fragKs += paired.filter(col("_brn").isNull)
+        .select(col("_r"), col("_r2"), col("_rr").as("_brn")).distinct()
+      deltaR = paired.select(col(idCol), col("_pos"), col("_dlen"),
+        col("_rr").as("_r"))
+    }
+    val off = spanLen - half
+    val keyed = deltaR
+      .withColumn("_k2",
+        if (off == 0) col("_r")
+        else coalesce(lead(col("_r"), off).over(byDoc), sentinel))
+      .filter(col("_pos") + (spanLen - 1) <= col("_dlen"))
+      .join(fin, Seq("_r", "_k2"), "left")
+    val grp = Window.partitionBy(col("_r"), col("_k2"))
+    val scored = keyed
+      .withColumn("_dcnt", count(lit(1)).over(grp))
+      .withColumn("_dkeep", rep.over(grp))
+    val fragFin = scored.filter(col("_bkeep").isNull)
+      .groupBy(col("_r"), col("_k2"))
+      .agg(min(col("_dkeep")).as("_bkeep"))
+    val dups = scored
+      .filter(col("_bkeep").isNotNull || col("_dcnt") > 1)
+      .withColumn("_keep", coalesce(col("_bkeep"), col("_dkeep")))
+      .select(col(idCol), col("_pos"),
+        col("_keep").getField("d").as("keeper_id"),
+        col("_keep").getField("p").as("keeper_pos"))
+    (dups, frag0, fragKs.toSeq, fragFin)
+  }
 
   /** The delta half of [[duplicateSpansDelta]] before interval
     * merging: (idCol, _pos, keeper_id, keeper_pos) for every delta
