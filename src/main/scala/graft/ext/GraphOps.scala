@@ -205,4 +205,178 @@ object GraphOps {
         scaled("_a", "_ma").as("auth_micro"),
         scaled("_h", "_mh").as("hub_micro"))
   }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond") — component label = min node id, the
+    * keeper rule every dedup-cluster consumer in this engine already
+    * uses ([[Dedup.dupClusters]]'s contract). The reason this exists
+    * NEXT TO min-label propagation: propagation converges in
+    * O(diameter) rounds — a crawl-frontier chain of 10^4 pages is
+    * 10^4 joins — while star contraction halves long paths every
+    * alternation (O(log² n) worst case, ~log n observed), each round
+    * two keyed window-min passes over the CURRENT edge set, which
+    * only shrinks as stars collapse.
+    *
+    * Round anatomy (edges kept canonical big→small, `_a > _b`):
+    * large-star symmetrizes and, per center u, hooks every LARGER
+    * neighbor to m = min(Γ(u) ∪ {u}); small-star then hooks every
+    * smaller-or-equal neighbor (and u itself) to the group min.
+    * Both are ONE window-min over the grouping key + a projection —
+    * no joins inside a round; convergence is detected by a 1-row
+    * (count, xor-of-hashes) aggregate per round (driver state: two
+    * longs — the hash is engine-internal loop control only, never
+    * output). At the fixed point the edge set IS the component
+    * assignment: stars (member → component min).
+    *
+    * Exact, deterministic, engine-portable output: (node, component)
+    * for every node incident to an edge — min-of-ids arithmetic only,
+    * so an external engine replays it as reachability min (q191's
+    * recursive-CTE oracle). Self-loops are dropped; singleton nodes
+    * never appear in the edge list and so (as throughout the dedup
+    * family) don't appear in the output — union the node table with
+    * label = own id downstream if the closed form is needed.
+    *
+    * Scale shape: state between rounds is the edge list itself, cut
+    * per round ([[Checkpointer]] discipline, superseded cuts
+    * released); window partitions are per-node adjacency (bounded by
+    * max degree, and star rounds only ever REDUCE a node's degree
+    * below its component size); nothing node- or corpus-cardinality
+    * ever reaches the driver. */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, cp: Checkpointer = LocalCheckpoint,
+      maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    var e = cp.cutState(edges.select(
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("_a"),
+        least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .distinct())
+    // (count, xor of per-edge hashes): order-independent fingerprint
+    // of the edge set for loop control. xor (not sum) so no overflow
+    // semantics are in play; a collision would only ever end the loop
+    // one round early on a set that agrees in count AND 64-bit xor —
+    // and the final state is re-checked by construction below.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(_a, _b))"), lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      // large-star: per center, hook every LARGER neighbor to the min
+      // of the closed neighborhood. m <= u < v keeps _a > _b canonical.
+      val sym = e.unionByName(
+        e.select(col("_b").as("_a"), col("_a").as("_b")))
+      val ls = sym
+        .withColumn("_m", least(
+          min(col("_b")).over(Window.partitionBy(col("_a"))), col("_a")))
+        .filter(col("_b") > col("_a")) // strictly larger neighbors v
+        .select(col("_b").as("_a"), col("_m").as("_b"))
+        .distinct()
+      // small-star: per center u (canonical _a), hook the smaller
+      // neighbors AND u itself to the group min c. x > c by minimality.
+      val c = min(col("_b")).over(Window.partitionBy(col("_a")))
+      val ss = ls
+        .withColumn("_c", c)
+        .select(explode(array(
+            struct(col("_b").as("x"), col("_c").as("ctr")),
+            struct(col("_a").as("x"), col("_c").as("ctr")))).as("_e"))
+        .select(col("_e.x").as("_a"), col("_e.ctr").as("_b"))
+        .filter(col("_a") =!= col("_b"))
+        .distinct()
+      val old = e
+      e = cp.cutState(ss)
+      cp.release(old)
+      val nfp = fingerprint(e)
+      converged = nfp == fp
+      fp = nfp
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters star rounds " +
+          "— raise maxIters (expected ~log2 of the longest path)")
+    // fixed point = stars; a member's single edge points at its
+    // component min. min() guards the (never-observed) case of a
+    // member with two star edges mid-collision.
+    val members = e.groupBy(col("_a").as("node"))
+      .agg(min(col("_b")).as("component"))
+    val centers = e.select(col("_b").as("node")).distinct()
+      .join(members.select(col("node")), Seq("node"), "left_anti")
+      .withColumn("component", col("node"))
+    members.unionByName(centers)
+  }
+
+  /** Exact triangle counting with degree orientation (the
+    * node-iterator++ / "compact-forward" shape; Suri &
+    * Vassilvitskii 2011 give the MapReduce account) — per-node
+    * triangle counts and the local clustering coefficient, the
+    * standard crawl-graph cohesion panel (link farms score near-
+    * clique LCC; isolated syndication hubs score ~0).
+    *
+    * Why orientation matters at scale: naive wedge generation is
+    * Σ deg(v)² — a 10^7-degree hub alone is 10^14 wedges. Orienting
+    * every edge from the (degree, id)-SMALLER endpoint to the larger
+    * caps out-degree at O(√m), so oriented wedges total O(m^{3/2})
+    * worst case — each triangle generated exactly once, at its
+    * (degree, id)-minimum apex.
+    *
+    * Plan: symmetrize+canonicalize once, one degree aggregate, the
+    * orientation projection, one self-join on the apex (wedge
+    * generation), one keyed join of wedges against oriented edges
+    * (closure test), then an explode + keyed count distributes each
+    * triangle to its three corners. Integer-exact throughout;
+    * lcc_micro = 2·T·1e6 div (deg·(deg−1)) in DECIMAL(38,0)
+    * intermediates. Returns (node, degree, n_tri, lcc_micro) for
+    * every node with an edge. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.select(
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("_a"),
+        least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .distinct()
+    val deg = und.select(col("_a").as("_n"))
+      .unionByName(und.select(col("_b").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    // orient from (deg, id)-smaller to larger: struct comparison gives
+    // the total order both engines replay
+    val withDeg = und
+      .join(deg.select(col("_n").as("_a"), col("_d").as("_da")), "_a")
+      .join(deg.select(col("_n").as("_b"), col("_d").as("_db")), "_b")
+    val oriented = withDeg.select(
+      when(struct(col("_da"), col("_a")) < struct(col("_db"), col("_b")),
+        struct(col("_a").as("s"), col("_b").as("t")))
+        .otherwise(struct(col("_b").as("s"), col("_a").as("t")))
+        .as("_e")).select(col("_e.s").as("_s"), col("_e.t").as("_t"))
+    // wedges at apex _s: unordered out-neighbor pairs, canonical by id
+    val w1 = oriented.select(col("_s"), col("_t").as("_u"))
+    val w2 = oriented.select(col("_s"), col("_t").as("_v"))
+    val wedges = w1.join(w2, "_s").filter(col("_u") < col("_v"))
+    // closure: the third side in EITHER orientation (its own (deg,id)
+    // order is independent of the wedge's id order)
+    val closing = oriented.select(
+        greatest(col("_s"), col("_t")).as("_hi"),
+        least(col("_s"), col("_t")).as("_lo"))
+    val tris = wedges.join(closing,
+      col("_v") === col("_hi") && col("_u") === col("_lo"))
+    val perNode = tris.select(explode(
+        array(col("_s"), col("_u"), col("_v"))).as("_n"))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_t"))
+    deg.join(perNode, Seq("_n"), "left")
+      .select(col("_n").as("node"), col("_d").as("degree"),
+        coalesce(col("_t"), lit(0L)).as("n_tri"),
+        when(col("_d") < 2, lit(0L)).otherwise(expr(
+          "CAST((CAST(coalesce(_t, 0) AS DECIMAL(38,0)) * 2000000)" +
+            " div (_d * (_d - 1)) AS BIGINT)")).as("lcc_micro"))
+  }
 }

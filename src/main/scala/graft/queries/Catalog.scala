@@ -5778,6 +5778,91 @@ object Catalog {
         CAST(max(e) AS BIGINT) AS span_end
       FROM isl WHERE doc_id % 10 = 0 GROUP BY doc_id, grp"""))
 
+  /** Connected components by large-star/small-star contraction
+    * ([[GraphOps.connectedComponents]], Kiveris et al. 2014) over a
+    * synthesized high-diameter crawl-frontier graph: 100-node id
+    * chains (diameter 99 — the case where q51's min-label propagation
+    * would need ~99 rounds and star contraction needs ~log) plus a
+    * chain-merge edge every 500 ids. Labels are component minima —
+    * pure min-of-ids arithmetic, so the oracle derives them as
+    * recursive-CTE reachability minima, algorithm-independent. */
+  private val q191 = Q("q191_connected_components",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val chain = d.filter(col("doc_id") % 100 =!= 99)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val merge = d.filter(col("doc_id") % 500 === 250)
+        .select(col("doc_id").as("src"), (col("doc_id") + 100).as("dst"))
+      GraphOps.connectedComponents(chain.unionByName(merge), "src", "dst")
+    },
+    Some("""WITH RECURSIVE e0 AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+        WHERE doc_id % 100 <> 99
+        UNION ALL
+        SELECT doc_id, doc_id + 100 FROM documents
+        WHERE doc_id % 500 = 250),
+      sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      nodes AS (SELECT DISTINCT a AS n FROM sym),
+      r(n, m) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT s.b, r.m FROM r JOIN sym s ON s.a = r.n)
+      SELECT n AS node, CAST(min(m) AS BIGINT) AS component
+      FROM r GROUP BY n"""))
+
+  /** Degree-oriented exact triangle counting / local clustering
+    * coefficient ([[GraphOps.triangleCounts]]) over a synthesized
+    * cohesion graph: 50-id cliques-of-triangles (steps +1/+2 give 48
+    * triangles per group) plus sparse +5 chords that change degrees
+    * without closing new triangles — so LCC separates the cohesive
+    * interior from chord endpoints and group boundaries. The oracle
+    * replays the same orientation (degree, id) and wedge join. */
+  private val q192 = Q("q192_triangle_lcc",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = d.filter(col("doc_id") % 50 =!= 49)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = d.filter(col("doc_id") % 50 < 48)
+        .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"))
+      val e3 = d.filter(col("doc_id") % 50 < 45 && col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 5).as("dst"))
+      GraphOps.triangleCounts(
+        e1.unionByName(e2).unionByName(e3), "src", "dst")
+    },
+    Some("""WITH e0 AS (
+        SELECT doc_id AS x, doc_id + 1 AS y FROM documents
+        WHERE doc_id % 50 <> 49
+        UNION ALL
+        SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 50 < 48
+        UNION ALL
+        SELECT doc_id, doc_id + 5 FROM documents
+        WHERE doc_id % 50 < 45 AND doc_id % 7 = 0),
+      und AS (SELECT DISTINCT greatest(x, y) AS a, least(x, y) AS b
+        FROM e0 WHERE x <> y),
+      deg AS (SELECT n, count(*) AS d FROM (
+          SELECT a AS n FROM und UNION ALL SELECT b FROM und) z
+        GROUP BY n),
+      ori AS (SELECT
+          CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+            THEN u.a ELSE u.b END AS s,
+          CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+            THEN u.b ELSE u.a END AS t
+        FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+      wedge AS (SELECT o1.s, o1.t AS u, o2.t AS v
+        FROM ori o1 JOIN ori o2 ON o1.s = o2.s AND o1.t < o2.t),
+      tri AS (SELECT w.s, w.u, w.v FROM wedge w JOIN ori o
+        ON greatest(o.s, o.t) = w.v AND least(o.s, o.t) = w.u),
+      pern AS (SELECT n, count(*) AS t FROM (
+          SELECT s AS n FROM tri UNION ALL SELECT u FROM tri
+          UNION ALL SELECT v FROM tri) z
+        GROUP BY n)
+      SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+        CAST(coalesce(pern.t, 0) AS BIGINT) AS n_tri,
+        CAST(CASE WHEN deg.d < 2 THEN 0
+          ELSE (coalesce(pern.t, 0) * 2000000) // (deg.d * (deg.d - 1))
+          END AS BIGINT) AS lcc_micro
+      FROM deg LEFT JOIN pern ON pern.n = deg.n"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5803,5 +5888,5 @@ object Catalog {
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190)
+    q188, q189, q190, q191, q192)
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.GraphOps
+
+/** Round-9: large-star/small-star connected components and
+  * degree-oriented triangle counting — parity against brute-force
+  * references computed in-test, plus the structural claims (log-round
+  * convergence on a high-diameter path; exactly-once triangle
+  * generation; canonical edge handling). */
+class GraphAlgSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ccLabels(edges: Seq[(Long, Long)],
+      maxIters: Int = 50): Map[Long, Long] =
+    GraphOps.connectedComponents(
+        edges.toDF("src", "dst"), "src", "dst", maxIters = maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Union-find reference (path-halving), labels = component min. */
+  private def ufLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    for ((a, b) <- edges if a != b) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-root by construction: union always hangs larger under smaller
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("connectedComponents matches union-find on an irregular graph " +
+      "(multi-component, duplicate + reversed edges)") {
+    val edges = (0L until 60L).map(i => (i, (i * 7 + 3) % 60)) ++
+      Seq((100L, 101L), (101L, 100L), (102L, 103L), (103L, 104L),
+        (200L, 200L), (104L, 102L)) // dup orientation, cycle, self-loop
+    val got = ccLabels(edges)
+    val want = ufLabels(edges.filter(e => e._1 != e._2))
+    assert(got == want)
+    // the self-looped node is edge-isolated and must NOT appear
+    assert(!got.contains(200L))
+  }
+
+  test("a diameter-400 path converges in star rounds, not diameter " +
+      "rounds, and labels collapse to the global min") {
+    val edges = (0L until 400L).map(i => (i, i + 1))
+    // min-label propagation would need ~400 rounds; star contraction
+    // is logarithmic — 15 is generous headroom over log2(401) ≈ 8.6
+    val got = ccLabels(edges, maxIters = 15)
+    assert(got.size == 401 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents raises loudly when maxIters is too small " +
+      "instead of shipping a half-contracted labeling") {
+    val edges = (0L until 200L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      ccLabels(edges, maxIters = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  private def triRows(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, Long)] =
+    GraphOps.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+
+  /** O(n³) brute-force triangle reference over the undirected set. */
+  private def bruteTri(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    def adj(a: Long, b: Long) =
+      und.contains((math.min(a, b), math.max(a, b)))
+    val tri = scala.collection.mutable.Map(nodes.map(n => n -> 0L): _*)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if adj(a, b) && adj(b, c) && adj(a, c)
+    } { tri(a) += 1; tri(b) += 1; tri(c) += 1 }
+    val deg = nodes.map(n =>
+      n -> und.count(e => e._1 == n || e._2 == n).toLong).toMap
+    nodes.map { n =>
+      val (d, t) = (deg(n), tri(n))
+      val lcc = if (d < 2) 0L else t * 2000000L / (d * (d - 1))
+      n -> ((d, t, lcc))
+    }.toMap
+  }
+
+  test("triangleCounts matches the O(n³) reference on an irregular " +
+      "graph (duplicate orientations and self-loops dropped)") {
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 3 + 1) % 40), (i, (i * 5 + 2) % 40))) ++
+      Seq((7L, 7L), (1L, 0L), (3L, 3L))
+    assert(triRows(edges) == bruteTri(edges))
+  }
+
+  test("triangleCounts structural anchors: a star has zero triangles; " +
+      "K5 is fully clustered (lcc_micro = 1e6 everywhere)") {
+    val star = (1L to 8L).map(i => (0L, i))
+    assert(triRows(star).values.forall { case (_, t, l) => t == 0 && l == 0 })
+    val k5 = for {
+      a <- 0L until 5L; b <- (a + 1) until 5L
+    } yield (a, b)
+    val got = triRows(k5)
+    assert(got.size == 5 &&
+      got.values.forall { case (d, t, l) => d == 4 && t == 6 && l == 1000000L })
+  }
+}
