@@ -179,4 +179,60 @@ object Packing {
       .withColumn("shard", pmod(col("ord"), lit(nShards.toLong)))
       .select(col("_id"), col("ord"), col("shard"))
   }
+
+  /** Length-bucketed padded batching — the SFT/fine-tuning dataloader
+    * counterpart of [[packBudget]]'s pretraining concat-packing:
+    * sequences are NOT concatenated but padded to their batch maximum,
+    * so batch composition decides how many pad tokens the accelerator
+    * burns. Bucketing by length bin (`_v div bucketWidth`) before
+    * cutting deterministic `batchSize`-row batches (id order within
+    * bin) bounds intra-batch length spread to one bin width — the
+    * standard bucketed-batching trick. Returns the per-bin waste
+    * dashboard: (len_bucket, bucket_lo, n_seqs, n_batches, pad_tokens,
+    * padded_tokens, pad_frac_micro) — the artifact that justifies (or
+    * rejects) a bucket-width choice before a training run.
+    *
+    * Same no-global-window discipline as [[packBudget]]: the in-bin
+    * rank comes from per-(bin, id-span) local row numbers plus
+    * broadcast cumulative span offsets (the window runs over the
+    * bin × span COUNT table, never the corpus); batch stats are one
+    * keyed aggregation on (bin, batch) and the dashboard a second on
+    * bin. Integer-exact throughout (pad_frac in micro-units by
+    * DECIMAL division), so an external engine replays every row
+    * (q194). */
+  def bucketBatches(df: DataFrame, idCol: String, tokens: Column,
+      bucketWidth: Long, batchSize: Int,
+      bucketSpan: Long = 65536L): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0 && bucketSpan > 0)
+    val base = df.select(col(idCol).cast("long").as("_id"),
+        tokens.cast("long").as("_v"))
+      .withColumn("_lb", expr(s"_v div ${bucketWidth}L"))
+      .withColumn("_sp", expr(s"_id div ${bucketSpan}L"))
+    val local = base.withColumn("_rn", row_number().over(
+      Window.partitionBy(col("_lb"), col("_sp")).orderBy(col("_id"))))
+    val offs = base.groupBy(col("_lb"), col("_sp"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.partitionBy(col("_lb"))
+          .orderBy(col("_sp"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_lb"), col("_sp"), col("_off"))
+    val ranked = local.join(broadcast(offs), Seq("_lb", "_sp"))
+      .withColumn("_batch", expr(s"(_off + _rn - 1) div ${batchSize}L"))
+    val perBatch = ranked.groupBy(col("_lb"), col("_batch"))
+      .agg(count(lit(1)).as("_cnt"), max(col("_v")).as("_mx"),
+        sum(col("_v")).as("_ts"))
+    perBatch.groupBy(col("_lb"))
+      .agg(sum(col("_cnt")).as("n_seqs"),
+        count(lit(1)).as("n_batches"),
+        sum(col("_cnt") * col("_mx") - col("_ts")).as("pad_tokens"),
+        sum(col("_cnt") * col("_mx")).as("padded_tokens"))
+      .select(col("_lb").as("len_bucket"),
+        (col("_lb") * bucketWidth).as("bucket_lo"),
+        col("n_seqs"), col("n_batches"), col("pad_tokens"),
+        col("padded_tokens"),
+        when(col("padded_tokens") === 0, lit(0L)).otherwise(
+          expr("CAST((CAST(pad_tokens AS DECIMAL(38,0)) * 1000000)" +
+            " div padded_tokens AS BIGINT)")).as("pad_frac_micro"))
+  }
 }

@@ -58,4 +58,69 @@ object Profiling {
         (col("_bucket") * width).as("bucket_lo"), col("n"),
         col("lo"), col("hi"))
   }
+
+  /** Per-key quantile + winsorized-mean profile from ONE fixed-width
+    * histogram pass — the scale-correct percentile panel. Exact
+    * percentiles need a per-key global sort (`percentile` collapses
+    * each key's values into one aggregation buffer;
+    * `approx_percentile` is engine-internal and un-replayable); a
+    * fixed-width histogram is ONE map-side-combinable aggregation
+    * with bounded state (max value ÷ width buckets per key), and its
+    * quantile estimates — the LOWER EDGE of the first bucket whose
+    * running count reaches ⌈q·n/100⌉ — are deterministic integers any
+    * engine replays (q193). Resolution is ±width by construction:
+    * tune width to the tolerance the dashboard needs.
+    *
+    * Winsorized mean: values clipped at the top requested quantile's
+    * bucket UPPER edge — the robust per-domain "typical length" that
+    * one 10^6-token pathological document cannot drag (the reason
+    * curation dashboards winsorize). Emitted in micro-units by
+    * integral division, DECIMAL(38,0) intermediates.
+    *
+    * Plan: the slim (key, value) projection is cut once
+    * ([[graft.ext.Checkpointer]] discipline — the histogram branch
+    * and the clip pass both consume it; without the cut each would
+    * re-derive the value expression, the expensive tokenize at
+    * 100 TB); the cumulative window runs over the per-(key, bucket)
+    * COUNT table (keys × buckets rows, not the corpus); the clip pass
+    * joins a broadcast per-key cap table. Returns one row per key:
+    * (key, n_rows, p<q>_lo per quantile, winsor_mean_micro). */
+  def quantileProfile(df: DataFrame, keyCol: String, value: Column,
+      width: Long, quantiles: Seq[Int] = Seq(50, 95, 99),
+      cp: graft.ext.Checkpointer = graft.ext.LocalCheckpoint)
+      : DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 1 && q <= 100),
+      s"quantiles must be percentages in [1, 100], got $quantiles")
+    import org.apache.spark.sql.expressions.Window
+    val slim = cp.cutShared(
+      df.select(col(keyCol).as("_k"), value.cast("long").as("_v")),
+      Seq("_k"))
+    val hist = slim
+      .groupBy(col("_k"), expr(s"_v div ${width}L").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val wK = Window.partitionBy(col("_k"))
+    val cu = hist
+      .withColumn("_cum", sum(col("_c")).over(wK.orderBy(col("_b"))))
+      .withColumn("_n", sum(col("_c")).over(wK))
+    val qAggs = quantiles.map { q =>
+      min(when(col("_cum") >= expr(s"(${q}L * _n + 99) div 100"),
+        col("_b"))).as(s"_b$q")
+    }
+    val qs = cu.groupBy(col("_k"))
+      .agg(max(col("_n")).as("n_rows"), qAggs: _*)
+    val top = quantiles.max
+    val caps = qs.select(col("_k"),
+      ((col(s"_b$top") + 1) * width - 1).as("_cap"))
+    val winsor = slim.join(broadcast(caps), "_k")
+      .groupBy(col("_k"))
+      .agg(sum(least(col("_v"), col("_cap")))
+        .cast("decimal(38,0)").as("_ws"))
+    val outQ = quantiles.map(q =>
+      (col(s"_b$q") * width).as(s"p${q}_lo"))
+    qs.join(winsor, "_k")
+      .select(col("_k").as(keyCol) +: col("n_rows") +: outQ :+
+        expr("CAST((_ws * 1000000) div n_rows AS BIGINT)")
+          .as("winsor_mean_micro"): _*)
+  }
 }

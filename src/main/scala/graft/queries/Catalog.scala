@@ -5863,6 +5863,76 @@ object Catalog {
           END AS BIGINT) AS lcc_micro
       FROM deg LEFT JOIN pern ON pern.n = deg.n"""))
 
+  /** One-pass histogram quantile profile
+    * ([[graft.ops.Profiling.quantileProfile]]): per-source token-count
+    * p50/p95/p99 (bucket-lower-edge estimates, width 8) and the
+    * p99-winsorized mean in micro-units — the percentile panel
+    * computed with bounded aggregation state instead of a per-key
+    * global sort. The oracle replays histogram, ceil-threshold
+    * running-count quantile picks, and the clipped-mean division. */
+  private val q193 = Q("q193_quantile_profile",
+    (s, dir) => graft.ops.Profiling.quantileProfile(
+      t(s, dir, "documents"), "source",
+      TextAnalysis.tokenCount(col("text")), width = 8L),
+    Some("""WITH v AS (SELECT source,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS tok
+        FROM documents),
+      h AS (SELECT source, tok // 8 AS b, count(*) AS c
+        FROM v GROUP BY source, tok // 8),
+      cu AS (SELECT source, b, c,
+          sum(c) OVER (PARTITION BY source ORDER BY b) AS cum,
+          sum(c) OVER (PARTITION BY source) AS n
+        FROM h),
+      qs AS (SELECT source, max(n) AS n,
+          min(CASE WHEN cum >= (50 * n + 99) // 100 THEN b END) AS b50,
+          min(CASE WHEN cum >= (95 * n + 99) // 100 THEN b END) AS b95,
+          min(CASE WHEN cum >= (99 * n + 99) // 100 THEN b END) AS b99
+        FROM cu GROUP BY source),
+      w AS (SELECT v.source,
+          sum(least(v.tok, (qs.b99 + 1) * 8 - 1)) AS ws
+        FROM v JOIN qs USING (source) GROUP BY v.source)
+      SELECT qs.source, CAST(qs.n AS BIGINT) AS n_rows,
+        CAST(qs.b50 * 8 AS BIGINT) AS p50_lo,
+        CAST(qs.b95 * 8 AS BIGINT) AS p95_lo,
+        CAST(qs.b99 * 8 AS BIGINT) AS p99_lo,
+        CAST((ws * 1000000) // qs.n AS BIGINT) AS winsor_mean_micro
+      FROM qs JOIN w ON w.source = qs.source"""))
+
+  /** Length-bucketed padded batching ([[Packing.bucketBatches]]):
+    * token-length bins of width 16, deterministic 8-sequence batches
+    * in id order, per-bin pad-waste dashboard — the bucket-width
+    * justification artifact for an SFT dataloader. The oracle replays
+    * rank, batch cut, and the per-batch max-padding arithmetic. */
+  private val q194 = Q("q194_bucket_batches",
+    (s, dir) => Packing.bucketBatches(
+      t(s, dir, "documents"), "doc_id",
+      TextAnalysis.tokenCount(col("text")),
+      bucketWidth = 16L, batchSize = 8),
+    Some("""WITH v AS (SELECT doc_id,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS tok
+        FROM documents),
+      r AS (SELECT doc_id, tok, tok // 16 AS lb,
+          row_number() OVER (PARTITION BY tok // 16
+            ORDER BY doc_id) - 1 AS rn
+        FROM v),
+      pb AS (SELECT lb, rn // 8 AS batch, count(*) AS cnt,
+          max(tok) AS mx, sum(tok) AS ts
+        FROM r GROUP BY lb, rn // 8),
+      d AS (SELECT lb, sum(cnt) AS n_seqs, count(*) AS n_batches,
+          sum(cnt * mx - ts) AS pad, sum(cnt * mx) AS padded
+        FROM pb GROUP BY lb)
+      SELECT CAST(lb AS BIGINT) AS len_bucket,
+        CAST(lb * 16 AS BIGINT) AS bucket_lo,
+        CAST(n_seqs AS BIGINT) AS n_seqs,
+        CAST(n_batches AS BIGINT) AS n_batches,
+        CAST(pad AS BIGINT) AS pad_tokens,
+        CAST(padded AS BIGINT) AS padded_tokens,
+        CAST(CASE WHEN padded = 0 THEN 0
+          ELSE (pad * 1000000) // padded END AS BIGINT) AS pad_frac_micro
+      FROM d"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5888,5 +5958,5 @@ object Catalog {
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q191, q192)
+    q188, q189, q190, q191, q192, q193, q194)
 }
