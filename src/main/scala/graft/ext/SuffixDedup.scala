@@ -129,8 +129,23 @@ object SuffixDedup {
     * contract driven by the suffix formulation instead of gram
     * ownership. */
   def stripSpans(docs: DataFrame, textCol: String, idCol: String,
-      spanLen: Int): DataFrame = {
-    val covered = duplicateSpans(docs, textCol, idCol, spanLen)
+      spanLen: Int): DataFrame =
+    stripWith(docs, duplicateSpans(docs, textCol, idCol, spanLen),
+      textCol, idCol)
+
+  /** [[stripSpans]] reading the span table from the per-session
+    * [[FrameMemo]] — the catalog-run path: q188 (the spans) and q189
+    * (the spans applied) share one derivation per run instead of
+    * re-running the doubling chain. Same result by construction
+    * (spec-pinned). */
+  def stripSpansMemoized(docs: DataFrame, textCol: String, idCol: String,
+      spanLen: Int): DataFrame =
+    stripWith(docs, duplicateSpansMemoized(docs, textCol, idCol, spanLen),
+      textCol, idCol)
+
+  private def stripWith(docs: DataFrame, spans: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val covered = spans
       .select(col(idCol).as("_cid"),
         explode(sequence(col("span_start"), col("span_end")))
           .as("_cpos"))
@@ -157,6 +172,17 @@ object SuffixDedup {
       spanLen: Int): DataFrame =
     spansOf(duplicatePositions(docs, textCol, idCol, spanLen),
       idCol, spanLen)
+
+  /** [[duplicateSpans]] through the per-session [[FrameMemo]]: the
+    * span table is derived once per distinct (corpus plan, spanLen)
+    * per session and replayed from its checkpoint thereafter — spans
+    * are bounded by corpus DUPLICATION, small relative to the corpus
+    * by construction, which is exactly [[FrameMemo]]'s storage
+    * contract. */
+  def duplicateSpansMemoized(docs: DataFrame, textCol: String,
+      idCol: String, spanLen: Int): DataFrame =
+    FrameMemo.cached(s"suffixSpans:$textCol:$idCol:$spanLen", docs)(
+      duplicateSpans(docs, textCol, idCol, spanLen))
 
   /** Non-keeper duplicate positions → merged per-doc intervals
     * (gaps-and-islands, overlap-or-adjacent coalesced). Shared by the

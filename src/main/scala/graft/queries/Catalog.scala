@@ -5726,7 +5726,7 @@ object Catalog {
         FROM o)"""
 
   private val q188 = Q("q188_suffix_dedup",
-    (s, dir) => graft.ext.SuffixDedup.duplicateSpans(
+    (s, dir) => graft.ext.SuffixDedup.duplicateSpansMemoized(
       t(s, dir, "documents"), "text", "doc_id", spanLen = 12),
     Some(suffixDedupCtes + """
       SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
@@ -5741,7 +5741,7 @@ object Catalog {
     * spans to covered positions, anti-join the token table, re-render
     * with an ordered string_agg. */
   private val q189 = Q("q189_suffix_strip",
-    (s, dir) => graft.ext.SuffixDedup.stripSpans(
+    (s, dir) => graft.ext.SuffixDedup.stripSpansMemoized(
       t(s, dir, "documents"), "text", "doc_id", spanLen = 12),
     Some(suffixDedupCtes + """,
       sp AS (SELECT doc_id, min(s) AS ss, max(e) AS se
