@@ -724,12 +724,27 @@ object Dedup {
     * optional Bloom prefilter exactly as [[blocklistFilter]]. Raw
     * string grams here keep the surface ANSI-replayable (q141). */
   def gramOverlapScores(train: DataFrame, eval: DataFrame,
-      textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    val tg = train.select(explode(wordShingles(col(textCol), n)).as("_g"))
+      textCol: String, idCol: String, n: Int = 3): DataFrame =
+    gramOverlapAgainst(gramKeySet(train, textCol, n), eval,
+      textCol, idCol, n)
+
+  /** The DISTINCT word-n-gram key set of a corpus — the reusable half
+    * of [[gramOverlapScores]] (one map-combinable aggregation). A
+    * long-lived monitor derives it once from the static benchmark and
+    * probes every arriving shard against it
+    * ([[graft.streaming.DecontamStream]]). */
+  def gramKeySet(docs: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    docs.select(explode(wordShingles(col(textCol), n)).as("_g"))
       .distinct()
+
+  /** [[gramOverlapScores]] against a prebuilt [[gramKeySet]]: per
+    * `eval` doc, the fraction of its distinct n-grams present in the
+    * set. Probe-side only — the gram set is never re-derived. */
+  def gramOverlapAgainst(grams: DataFrame, eval: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
     val eg = eval.select(col(idCol),
       explode(wordShingles(col(textCol), n)).as("_g"))
-    eg.join(tg.withColumn("_hit", lit(1)), Seq("_g"), "left")
+    eg.join(grams.withColumn("_hit", lit(1)), Seq("_g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hit"))
