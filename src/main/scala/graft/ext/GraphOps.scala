@@ -314,6 +314,37 @@ object GraphOps {
     members.unionByName(centers)
   }
 
+  /** Incremental connected-components maintenance — the delta-vs-
+    * stored-state shape of [[Dedup.minHashLshDeltaPairs]] /
+    * [[SuffixDedup.duplicateSpansDelta]] for component labels:
+    * yesterday's labeling IS a star edge set (member → component
+    * min — exactly [[connectedComponents]]' fixed point), so new
+    * edges fold in by re-running star contraction over stars ∪ delta.
+    * The warm start is already maximally contracted — every old
+    * component is depth-1 — so rounds scale with the DELTA's merge
+    * structure (typically 2–3), never with the accumulated graph's
+    * diameter; the cold recompute at the same `maxIters` fails loudly
+    * on a long-chain graph (spec-pinned). Base singletons (label =
+    * own id, no star edge) re-enter only if the delta touches them;
+    * the rest carry their label through unchanged. Result is
+    * bit-identical to a full recompute over base ∪ delta edges
+    * (labels are reachability minima — algorithm-independent). */
+  def connectedComponentsDelta(baseLabels: DataFrame, deltaEdges: DataFrame,
+      srcCol: String, dstCol: String,
+      cp: Checkpointer = LocalCheckpoint, maxIters: Int = 50): DataFrame = {
+    val stars = baseLabels
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("_s"), col("component").as("_d"))
+    val merged = connectedComponents(
+      stars.unionByName(deltaEdges.select(
+        col(srcCol).cast("long").as("_s"),
+        col(dstCol).cast("long").as("_d"))),
+      "_s", "_d", cp, maxIters)
+    val untouched = baseLabels
+      .join(merged.select(col("node")), Seq("node"), "left_anti")
+    merged.unionByName(untouched.select(col("node"), col("component")))
+  }
+
   /** Exact triangle counting with degree orientation (the
     * node-iterator++ / "compact-forward" shape; Suri &
     * Vassilvitskii 2011 give the MapReduce account) — per-node

@@ -5933,6 +5933,40 @@ object Catalog {
           ELSE (pad * 1000000) // padded END AS BIGINT) AS pad_frac_micro
       FROM d"""))
 
+  /** Incremental connected-components maintenance
+    * ([[GraphOps.connectedComponentsDelta]]): yesterday's labeling
+    * (60-id chains, stored as its star fixed point) absorbs today's
+    * delta of chain-merge edges with rounds sized by the delta, not
+    * the graph — the CC member of the engine's delta-maintenance
+    * family (MinHash q162, suffix q190, PageRank q159). Labels are
+    * reachability minima, so the oracle is the full-graph recursive
+    * CTE over base ∪ delta — which simultaneously pins
+    * delta ≡ full-recompute. */
+  private val q195 = Q("q195_cc_delta",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val base = d.filter(col("doc_id") % 60 =!= 59)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val delta = d.filter(col("doc_id") % 180 === 30)
+        .select(col("doc_id").as("src"), (col("doc_id") + 60).as("dst"))
+      val stored = GraphOps.connectedComponents(base, "src", "dst")
+      GraphOps.connectedComponentsDelta(stored, delta, "src", "dst")
+    },
+    Some("""WITH RECURSIVE e0 AS (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+        WHERE doc_id % 60 <> 59
+        UNION ALL
+        SELECT doc_id, doc_id + 60 FROM documents
+        WHERE doc_id % 180 = 30),
+      sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      nodes AS (SELECT DISTINCT a AS n FROM sym),
+      r(n, m) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT s.b, r.m FROM r JOIN sym s ON s.a = r.n)
+      SELECT n AS node, CAST(min(m) AS BIGINT) AS component
+      FROM r GROUP BY n"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5958,5 +5992,5 @@ object Catalog {
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q191, q192, q193, q194)
+    q188, q189, q190, q191, q192, q193, q194, q195)
 }

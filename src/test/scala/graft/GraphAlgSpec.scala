@@ -66,6 +66,41 @@ class GraphAlgSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponentsDelta equals the full recompute over " +
+      "base ∪ delta, including merges, untouched components, and " +
+      "singletons gaining their first edge") {
+    val base = (0L until 30L).map(i => (i, i + 1)) ++ // one 31-chain
+      Seq((100L, 101L), (102L, 103L)) ++ // two pairs
+      Seq((200L, 200L)) // base singleton via self-loop: no edge
+    val stored = GraphOps.connectedComponents(
+      base.toDF("src", "dst"), "src", "dst")
+    // merge the pairs, attach a brand-new node to the chain
+    val delta = Seq((101L, 102L), (31L, 500L))
+    val got = GraphOps.connectedComponentsDelta(stored,
+        delta.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ufLabels((base ++ delta).filter(e => e._1 != e._2))
+    assert(got == want)
+  }
+
+  test("the warm start converges where the cold recompute cannot: " +
+      "stars + delta merge within a round budget that a long-chain " +
+      "cold run exceeds") {
+    val base = (0L until 300L).map(i => (i, i + 1)) ++
+      (400L until 700L).map(i => (i, i + 1))
+    val stored = GraphOps.connectedComponents(
+      base.toDF("src", "dst"), "src", "dst")
+    val delta = Seq((150L, 550L))
+    val budget = 4
+    val warm = GraphOps.connectedComponentsDelta(stored,
+        delta.toDF("src", "dst"), "src", "dst", maxIters = budget)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(warm.size == 602 && warm.values.forall(_ == 0L))
+    intercept[IllegalStateException] {
+      ccLabels(base ++ delta, maxIters = budget)
+    }
+  }
+
   private def triRows(edges: Seq[(Long, Long)])
       : Map[Long, (Long, Long, Long)] =
     GraphOps.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
