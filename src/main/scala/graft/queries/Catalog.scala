@@ -5967,6 +5967,40 @@ object Catalog {
       SELECT n AS node, CAST(min(m) AS BIGINT) AS component
       FROM r GROUP BY n"""))
 
+  /** Native DataSourceV2 scan ([[graft.sources.DocStore]]): the
+    * deterministic generator table read through Catalyst's v2 scan
+    * path with doc_id range predicates pushed INTO the generator and
+    * columns pruned at the row builder (both spec-pinned via the
+    * source's generation counters). Size is fixed (60k ids, filter
+    * keeps 33,333) — this entry pins the SOURCE machinery, not a
+    * corpus op; the oracle regenerates the identical rows from
+    * `range()` with the same 31-bit multiplicative hashes. */
+  private val q196 = Q("q196_docstore_scan",
+    (s, dir) => {
+      val df = s.read.format("graft.sources.DocStore")
+        .option("nDocs", 60000L).option("slices", 8).load()
+      df.filter(col("doc_id") >= 12345 && col("doc_id") < 45678)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+    },
+    Some("""WITH ids AS (SELECT range AS doc_id
+        FROM range(12345, 45678)),
+      g AS (SELECT doc_id,
+          (doc_id * 2654435761) % 2147483647 AS a FROM ids),
+      g2 AS (SELECT doc_id, a, (a * 48271) % 2147483647 AS b FROM g),
+      rws AS (SELECT
+          CASE a % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+            WHEN 3 THEN 'es' ELSE 'pt' END AS lang,
+          'src' || CAST(b % 20 AS VARCHAR) AS source,
+          40 + b % 200 AS n_chars
+        FROM g2)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM rws GROUP BY lang"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -5992,5 +6026,5 @@ object Catalog {
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q191, q192, q193, q194, q195)
+    q188, q189, q190, q191, q192, q193, q194, q195, q196)
 }
