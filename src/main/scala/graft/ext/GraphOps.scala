@@ -34,10 +34,19 @@ object GraphOps {
     * table, cut per round with the [[Checkpointer]] discipline
     * ([[ReliableCheckpoint]] for long jobs) so round k never replays
     * rounds 1..k−1; superseded cuts are released eagerly. */
+  /** `seedNodes` (a `node` column) switches the teleport term to the
+    * TrustRank shape (Gyöngyi et al. 2004): the per-round base mass
+    * `1e6 − damp` lands ONLY on seed nodes; everything else receives
+    * rank exclusively through links, so trust decays with link
+    * distance from the seed set — the spam-demotion variant of the
+    * same fixed point (q197). Initial state is unchanged (cold 1e6
+    * everywhere unless `initRanks`), so the trajectory stays exactly
+    * replayable round by round. */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampMicro: Long = 850000L,
       cp: Checkpointer = LocalCheckpoint,
-      initRanks: Option[DataFrame] = None): DataFrame = {
+      initRanks: Option[DataFrame] = None,
+      seedNodes: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && dampMicro > 0 && dampMicro < 1000000L)
     // the edge list, node set, and degree table are FROZEN across
     // rounds — cut each once, or every round re-derives the upstream
@@ -48,11 +57,23 @@ object GraphOps {
     // of inserting their own shuffle per round
     val e = cp.cutShared(edges.select(col(srcCol).cast("long").as("_src"),
       col(dstCol).cast("long").as("_dst")).distinct(), Seq("_src"))
-    val nodes = cp.cutShared(e.select(col("_src").as("_n"))
-      .unionByName(e.select(col("_dst").as("_n"))).distinct(), Seq("_n"))
+    val bare = e.select(col("_src").as("_n"))
+      .unionByName(e.select(col("_dst").as("_n"))).distinct()
+    val base = 1000000L - dampMicro
+    // the node table carries its own per-node teleport mass: the
+    // uniform base, or — TrustRank — base at seeds and 0 elsewhere
+    // (one seed join at setup, zero per-round cost)
+    val nodes = cp.cutShared(seedNodes match {
+      case Some(sd) => bare
+        .join(sd.select(col("node").cast("long").as("_n"))
+          .distinct().withColumn("_isSeed", lit(1)), Seq("_n"), "left")
+        .select(col("_n"),
+          when(col("_isSeed").isNotNull, lit(base)).otherwise(lit(0L))
+            .as("_base"))
+      case None => bare.select(col("_n"), lit(base).as("_base"))
+    }, Seq("_n"))
     val outDeg = cp.cutShared(
       e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")), Seq("_src"))
-    val base = 1000000L - dampMicro
     // warm start: resume power iteration from a stored (node,
     // rank_micro) fixed point — the incremental re-rank path after a
     // graph update, and how a multi-day 10^9-edge rank job restarts
@@ -86,7 +107,8 @@ object GraphOps {
             .agg(sum(col("_c").cast("decimal(38,0)")).as("_in")),
           Seq("_n"), "left")
         .select(col("_n"),
-          (lit(base) + coalesce(col("_in").cast("long"), lit(0L))).as("_r"))
+          (col("_base") + coalesce(col("_in").cast("long"), lit(0L)))
+            .as("_r"))
       val old = ranks
       ranks = cp.cutState(next)
       cp.release(old)
@@ -275,12 +297,14 @@ object GraphOps {
       // of the closed neighborhood. m <= u < v keeps _a > _b canonical.
       val sym = e.unionByName(
         e.select(col("_b").as("_a"), col("_a").as("_b")))
+      // no distinct here: duplicate (v, m) pairs cannot change the
+      // small-star window minima below, and small-star's own distinct
+      // canonicalizes the round's output — one exchange saved per round
       val ls = sym
         .withColumn("_m", least(
           min(col("_b")).over(Window.partitionBy(col("_a"))), col("_a")))
         .filter(col("_b") > col("_a")) // strictly larger neighbors v
         .select(col("_b").as("_a"), col("_m").as("_b"))
-        .distinct()
       // small-star: per center u (canonical _a), hook the smaller
       // neighbors AND u itself to the group min c. x > c by minimality.
       val c = min(col("_b")).over(Window.partitionBy(col("_a")))

@@ -6001,6 +6001,49 @@ object Catalog {
         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
       FROM rws GROUP BY lang"""))
 
+  /** TrustRank-style seed-personalized PageRank
+    * ([[GraphOps.pageRankFixedPoint]] with `seedNodes`, Gyöngyi et
+    * al. 2004): q145's customer→supplier graph, but the per-round
+    * teleport mass lands only on every-10th customer — suppliers
+    * accumulate rank exclusively through links from (transitively)
+    * seeded mass, the spam-demotion variant. The oracle replays
+    * q145's exact-integer rounds with the seed-gated base term. */
+  private val q197 = Q("q197_trustrank",
+    (s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 10 === 0)
+      GraphOps.pageRankFixedPoint(edges, "src", "dst", iters = 3,
+        seedNodes = Some(seeds))
+    },
+    Some {
+      val seedBase = "CASE WHEN nodes.n < 1000000 AND nodes.n % 10 = 0" +
+        " THEN 150000 ELSE 0 END"
+      def iterSql(prev: String, out: String): String =
+        s"""$out AS (SELECT nodes.n,
+            CAST($seedBase + coalesce(x.s, 0) AS BIGINT) AS r
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS n,
+              CAST(sum((r.r * 850000) // (deg.d * 1000000)) AS BIGINT) AS s
+            FROM e JOIN $prev r ON r.n = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) x ON nodes.n = x.n)"""
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      ${iterSql("r0", "r1")},
+      ${iterSql("r1", "r2")},
+      ${iterSql("r2", "r3")}
+      SELECT n AS node, r AS rank_micro FROM r3"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -6026,5 +6069,5 @@ object Catalog {
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q191, q192, q193, q194, q195, q196)
+    q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
 }

@@ -101,6 +101,28 @@ class GraphAlgSpec extends SparkSpec {
     }
   }
 
+  test("seed-personalized PageRank: all-seeds degenerates to the " +
+      "uniform teleport; seed gating replays exact hand-derived ranks") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L))
+      .toDF("src", "dst")
+    val allNodes = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val uniform = GraphOps.pageRankFixedPoint(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allSeeded = GraphOps.pageRankFixedPoint(edges, "src", "dst",
+        seedNodes = Some(allNodes))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(allSeeded == uniform,
+      "seeding every node must equal the unpersonalized fixed point")
+    // hand-derived: 0→1, seeds={0}; base lands only on 0, node 1
+    // receives only decayed trust: r1(1)=850000 (from init 1e6),
+    // r2(1)=r3(1)=floor(150000*0.85)=127500; node 0 has no in-edges.
+    val chain = Seq((0L, 1L)).toDF("src", "dst")
+    val got = GraphOps.pageRankFixedPoint(chain, "src", "dst",
+        seedNodes = Some(Seq(0L).toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 150000L, 1L -> 127500L))
+  }
+
   private def triRows(edges: Seq[(Long, Long)])
       : Map[Long, (Long, Long, Long)] =
     GraphOps.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
