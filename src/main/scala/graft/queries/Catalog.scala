@@ -6044,6 +6044,81 @@ object Catalog {
       SELECT n AS node, r AS rank_micro FROM r3"""
     })
 
+  /** Ordered conversion funnel over the events stream: view → click
+    * → purchase, each step's timestamp strictly after the previous
+    * step's for the SAME user — the sequential-min formulation (per
+    * step one filtered keyed min-aggregate + one keyed join against
+    * the previous step; no per-user event-list collection, no window
+    * over a user's whole history), with per-step conversion in
+    * micro-units of step-1 users. Nanosecond-integer arithmetic
+    * throughout via [[eventsNs]]. */
+  private val q198 = Q("q198_funnel",
+    (s, dir) => {
+      val e = eventsNs(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val counts = v.select(lit(1L).as("step"))
+        .unionByName(c.select(lit(2L).as("step")))
+        .unionByName(p.select(lit(3L).as("step")))
+        .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
+      val first = counts.filter(col("step") === 1L)
+        .select(col("n_users").as("_n1"))
+      counts.crossJoin(broadcast(first))
+        .select(col("step"), col("n_users"),
+          expr("CAST(n_users * 1000000 div _n1 AS BIGINT)")
+            .as("conv_micro"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t
+        FROM events),
+      v AS (SELECT user_id, min(t) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(t) AS t2 FROM e
+        JOIN v ON v.user_id = e.user_id
+        WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(t) AS t3 FROM e
+        JOIN c ON c.user_id = e.user_id
+        WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id),
+      s AS (SELECT 1 AS step, count(*) AS n FROM v
+        UNION ALL SELECT 2, count(*) FROM c
+        UNION ALL SELECT 3, count(*) FROM p)
+      SELECT CAST(step AS BIGINT) AS step, CAST(n AS BIGINT) AS n_users,
+        CAST(n * 1000000 // (SELECT n FROM s WHERE step = 1) AS BIGINT)
+          AS conv_micro
+      FROM s"""))
+
+  /** Weekly cohort retention over the events stream: users cohorted
+    * by the week of their first event, per (cohort, week-offset)
+    * active-user counts — the lifecycle dashboard next to q198's
+    * funnel. One keyed min (cohort assignment), one per-(user, week)
+    * distinct, one keyed join, one keyed count; week buckets are
+    * integral nanosecond division, so both engines bin identically. */
+  private val q199 = Q("q199_cohort_retention",
+    (s, dir) => {
+      val wk = 604800000000000L // 7 * 86400 * 1e9 ns
+      val e = eventsNs(s, dir)
+        .select(col("user_id"), expr(s"ts div ${wk}L").as("_w"))
+      val first = e.groupBy(col("user_id")).agg(min(col("_w")).as("_w0"))
+      e.distinct().join(first, "user_id")
+        .groupBy(col("_w0").as("cohort_week"),
+          (col("_w") - col("_w0")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT user_id,
+        epoch_ns(ts) // 604800000000000 AS w FROM events),
+      f AS (SELECT user_id, min(w) AS w0 FROM e GROUP BY user_id)
+      SELECT CAST(f.w0 AS BIGINT) AS cohort_week,
+        CAST(e.w - f.w0 AS BIGINT) AS week_offset,
+        CAST(count(*) AS BIGINT) AS n_users
+      FROM e JOIN f ON f.user_id = e.user_id
+      GROUP BY f.w0, e.w - f.w0"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -6069,5 +6144,6 @@ object Catalog {
     q155, q156, q157, q158, q159, q160, q161, q162, q163, q164, q165,
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
-    q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
+    q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
+    q198, q199)
 }
