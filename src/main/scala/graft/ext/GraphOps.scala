@@ -369,6 +369,72 @@ object GraphOps {
     merged.unionByName(untouched.select(col("node"), col("component")))
   }
 
+  /** Deterministic random-walk corpus (the DeepWalk/node2vec feeder,
+    * Perozzi et al. 2014): `walksPerNode` walks of up to `walkLen`
+    * steps from every node, the step-k neighbor chosen by a 31-bit
+    * multiplicative hash of (current node, walk number, step, seed)
+    * mod out-degree — pseudo-random mixing with ZERO rng state, so
+    * any engine replays every walk exactly (q200's oracle) and a
+    * re-run emits bit-identical corpora (the property a training
+    * pipeline needs from its walk generator; true rng would make the
+    * walk corpus unreproducible). Walks stop early at sinks (no
+    * out-edges) — the standard directed-walk termination.
+    *
+    * Scale shape: the adjacency table (neighbor index per node via a
+    * per-node window — bounded by degree) and the degree table are
+    * built once; each step is ONE keyed join of the walk frontier
+    * against the adjacency on (node, chosen index). State between
+    * steps is the frontier (≤ nodes × walksPerNode rows, shrinking at
+    * sinks), cut per step. Emits (start_node, walk_no, step, node) —
+    * one row per visited position. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      walkLen: Int, walksPerNode: Int, seed: Long = 7L,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(walkLen >= 1 && walksPerNode >= 1,
+      s"need walkLen >= 1 and walksPerNode >= 1, got $walkLen/$walksPerNode")
+    val e = edges.select(col(srcCol).cast("long").as("_n"),
+      col(dstCol).cast("long").as("_nb")).distinct()
+    val adj = cp.cutShared(e
+      .withColumn("_idx", row_number().over(
+        Window.partitionBy(col("_n")).orderBy(col("_nb"))) - 1)
+      .withColumn("_deg", count(lit(1)).over(
+        Window.partitionBy(col("_n")))), Seq("_n"))
+    val nodes = e.select(col("_n"))
+      .unionByName(e.select(col("_nb").as("_n"))).distinct()
+    val starts = nodes
+      .select(col("_n").as("start_node"),
+        explode(sequence(lit(0L), lit(walksPerNode - 1L)))
+          .as("walk_no"))
+    var frontier = cp.cutState(
+      starts.withColumn("_cur", col("start_node")))
+    val frames = scala.collection.mutable.ArrayBuffer(
+      frontier.withColumn("step", lit(0L))
+        .select(col("start_node"), col("walk_no"), col("step"),
+          col("_cur").as("node")))
+    for (k <- 1 to walkLen) {
+      val pick = pmod(
+        col("_cur") * lit(2654435761L) +
+          col("walk_no") * lit(1000003L) + lit(k * 97L) + lit(seed),
+        lit(2147483647L)) % col("_deg")
+      val next = frontier
+        .join(adj, col("_cur") === col("_n"))
+        .filter(col("_idx") === pick)
+        .select(col("start_node"), col("walk_no"),
+          col("_nb").as("_cur"))
+      // every frontier stays referenced by its emitted frame — no
+      // release until the union is consumed (unlike the rank loops,
+      // whose superseded state truly is dead)
+      frontier = cp.cutState(next)
+      frames += frontier.withColumn("step", lit(k.toLong))
+        .select(col("start_node"), col("walk_no"), col("step"),
+          col("_cur").as("node"))
+    }
+    val out = frames.reduce(_ unionByName _)
+    cp.release(adj)
+    out
+  }
+
   /** Exact triangle counting with degree orientation (the
     * node-iterator++ / "compact-forward" shape; Suri &
     * Vassilvitskii 2011 give the MapReduce account) — per-node

@@ -6119,6 +6119,56 @@ object Catalog {
       FROM e JOIN f ON f.user_id = e.user_id
       GROUP BY f.w0, e.w - f.w0"""))
 
+  /** Deterministic random-walk corpus ([[GraphOps.randomWalks]]) over
+    * the q192 cohesion graph: 2 walks × 4 steps from every node,
+    * step-k neighbor = 31-bit hash of (node, walk, step, seed) mod
+    * out-degree — the DeepWalk feeder with zero rng state, so the
+    * oracle replays every hop (adjacency indexes + the same modular
+    * pick per unrolled step) and walks terminate identically at
+    * sinks (group-boundary nodes). */
+  private val q200 = Q("q200_random_walks",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = d.filter(col("doc_id") % 50 =!= 49)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = d.filter(col("doc_id") % 50 < 48)
+        .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"))
+      GraphOps.randomWalks(e1.unionByName(e2), "src", "dst",
+        walkLen = 4, walksPerNode = 2, seed = 7L)
+    },
+    Some {
+      def stepSql(k: Int, prev: String): String =
+        s"""s$k AS (SELECT s.start_node, s.walk_no, a.nb AS cur
+          FROM $prev s JOIN adj a ON a.n = s.cur
+          AND a.idx = (s.cur * 2654435761 + s.walk_no * 1000003
+            + $k * 97 + 7) % 2147483647 % a.deg)"""
+      s"""WITH e0 AS (
+        SELECT doc_id AS n, doc_id + 1 AS nb FROM documents
+        WHERE doc_id % 50 <> 49
+        UNION ALL
+        SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 50 < 48),
+      adj AS (SELECT n, nb,
+          row_number() OVER (PARTITION BY n ORDER BY nb) - 1 AS idx,
+          count(*) OVER (PARTITION BY n) AS deg
+        FROM e0),
+      nodes AS (SELECT DISTINCT n FROM (SELECT n FROM e0
+        UNION ALL SELECT nb FROM e0) z),
+      s0 AS (SELECT n AS start_node, wn AS walk_no, n AS cur
+        FROM nodes CROSS JOIN (SELECT unnest([0, 1]) AS wn) w),
+      ${stepSql(1, "s0")}, ${stepSql(2, "s1")}, ${stepSql(3, "s2")},
+      ${stepSql(4, "s3")}
+      SELECT start_node, CAST(walk_no AS BIGINT) AS walk_no,
+        CAST(0 AS BIGINT) AS step, cur AS node FROM s0
+      UNION ALL SELECT start_node, CAST(walk_no AS BIGINT),
+        CAST(1 AS BIGINT), cur FROM s1
+      UNION ALL SELECT start_node, CAST(walk_no AS BIGINT),
+        CAST(2 AS BIGINT), cur FROM s2
+      UNION ALL SELECT start_node, CAST(walk_no AS BIGINT),
+        CAST(3 AS BIGINT), cur FROM s3
+      UNION ALL SELECT start_node, CAST(walk_no AS BIGINT),
+        CAST(4 AS BIGINT), cur FROM s4"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -6145,5 +6195,5 @@ object Catalog {
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199)
+    q198, q199, q200)
 }

@@ -123,6 +123,35 @@ class GraphAlgSpec extends SparkSpec {
     assert(got == Map(0L -> 150000L, 1L -> 127500L))
   }
 
+  test("randomWalks: every hop is a real directed edge, walks stop at " +
+      "sinks, and a re-run emits the bit-identical corpus") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (2L, 4L)) // node 4 is a sink
+    val df = edges.toDF("src", "dst")
+    def run() = GraphOps.randomWalks(df, "src", "dst",
+        walkLen = 5, walksPerNode = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val a = run()
+    assert(a == run(), "the walk corpus must be reproducible")
+    // each (start, walk) trace: consecutive steps follow real edges
+    val eset = edges.toSet
+    val byWalk = a.groupBy(t => (t._1, t._2))
+    byWalk.values.foreach { trace =>
+      val path = trace.toSeq.sortBy(_._3).map(_._4)
+      path.sliding(2).foreach {
+        case Seq(u, v) => assert(eset.contains((u, v)),
+          s"hop $u->$v is not an edge")
+        case _ => ()
+      }
+      // a trace ends before walkLen only at the sink
+      if (path.size < 6) assert(path.last == 4L,
+        s"early termination away from the sink: $path")
+    }
+    // walks starting AT the sink are the start row alone
+    assert(byWalk((4L, 0L)).map(_._3) == Set(0L))
+  }
+
   private def triRows(edges: Seq[(Long, Long)])
       : Map[Long, (Long, Long, Long)] =
     GraphOps.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
