@@ -369,6 +369,90 @@ object GraphOps {
     merged.unionByName(untouched.select(col("node"), col("component")))
   }
 
+  /** One k-core peel round: drop every node whose degree in the
+    * current subgraph is < k, and every edge touching one. */
+  private def peelOnce(e: DataFrame, k: Int): DataFrame = {
+    val deg = e.select(col("_a").as("_n"))
+      .unionByName(e.select(col("_b").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    val keep = deg.filter(col("_d") >= k).select(col("_n"))
+    e.join(keep.withColumnRenamed("_n", "_a"), Seq("_a"), "left_semi")
+      .join(keep.withColumnRenamed("_n", "_b"), Seq("_b"), "left_semi")
+      .select(col("_a"), col("_b"))
+  }
+
+  private def canonEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("_a"),
+        least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .distinct()
+
+  private def coreOut(e: DataFrame): DataFrame =
+    e.select(col("_a").as("_n"))
+      .unionByName(e.select(col("_b").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("core_deg"))
+      .select(col("_n").as("node"), col("core_deg"))
+
+  /** Bounded k-core peeling (Seidman 1983 cores; the standard
+    * crawl-graph core/periphery signal — link farms sit in deep
+    * cores, pendant spam chains peel off immediately): exactly
+    * `rounds` rounds of "drop every node with degree < k in the
+    * current subgraph", then the survivors with their subgraph
+    * degree. An EXACT round count — no early stop — so the state is
+    * a pure function of (edges, k, rounds) and an external engine
+    * replays round by round (q201); peeling converges monotonically
+    * from above, so round-R output ⊇ the true k-core for every R.
+    * Per round: one map-combinable degree aggregate + two keyed
+    * semi-joins; state is the (shrinking) edge set, cut per round.
+    * Returns (node, core_deg). */
+  def kCoreRounds(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int, cp: Checkpointer = LocalCheckpoint)
+      : DataFrame = {
+    require(k >= 1 && rounds >= 1,
+      s"need k >= 1 and rounds >= 1, got k=$k rounds=$rounds")
+    var e = cp.cutState(canonEdges(edges, srcCol, dstCol))
+    for (_ <- 1 to rounds) {
+      val old = e
+      e = cp.cutState(peelOnce(e, k))
+      cp.release(old)
+    }
+    coreOut(e)
+  }
+
+  /** The true k-core: [[kCoreRounds]] iterated to the fixed point
+    * (edge count stable — peeling only ever removes, so count
+    * equality IS set equality), with a loud guard at `maxRounds`.
+    * Worst-case rounds = the longest peel cascade (a pendant path
+    * peels one node per round) — bound it or pre-trim degree-1
+    * chains when the graph may contain them. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 100, cp: Checkpointer = LocalCheckpoint)
+      : DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    var e = cp.cutState(canonEdges(edges, srcCol, dstCol))
+    var n = e.count()
+    var stable = false
+    var it = 0
+    while (!stable && it < maxRounds) {
+      it += 1
+      val old = e
+      e = cp.cutState(peelOnce(e, k))
+      cp.release(old)
+      val m = e.count()
+      stable = m == n
+      n = m
+    }
+    if (!stable)
+      throw new IllegalStateException(
+        s"kCore did not converge in $maxRounds peel rounds — a pendant " +
+          "cascade longer than the budget; raise maxRounds")
+    coreOut(e)
+  }
+
   /** Deterministic random-walk corpus (the DeepWalk/node2vec feeder,
     * Perozzi et al. 2014): `walksPerNode` walks of up to `walkLen`
     * steps from every node, the step-k neighbor chosen by a 31-bit

@@ -6169,6 +6169,50 @@ object Catalog {
         CAST(4 AS BIGINT), cur FROM s4"""
     })
 
+  /** Bounded k-core peeling ([[GraphOps.kCoreRounds]], k=3, 4 exact
+    * rounds) over the q192 cohesion graph: chord-reinforced interiors
+    * hold degree ≥ 3 while group boundaries cascade off one ring per
+    * round — the core/periphery signal after a fixed peel budget,
+    * replayed round by round in the oracle (degree aggregate + two
+    * semi-joins per round). */
+  private val q201 = Q("q201_kcore",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = d.filter(col("doc_id") % 50 =!= 49)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val e2 = d.filter(col("doc_id") % 50 < 48)
+        .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"))
+      val e3 = d.filter(col("doc_id") % 50 < 45 && col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("src"), (col("doc_id") + 5).as("dst"))
+      GraphOps.kCoreRounds(e1.unionByName(e2).unionByName(e3),
+        "src", "dst", k = 3, rounds = 4)
+    },
+    Some {
+      def round(i: Int): String = {
+        val p = s"e${i - 1}"
+        s"""d$i AS (SELECT n, count(*) AS d FROM (
+            SELECT a AS n FROM $p UNION ALL SELECT b FROM $p) z
+          GROUP BY n),
+        k$i AS (SELECT n FROM d$i WHERE d >= 3),
+        e$i AS (SELECT e.a, e.b FROM $p e
+          JOIN k$i x ON x.n = e.a JOIN k$i y ON y.n = e.b)"""
+      }
+      s"""WITH raw AS (
+        SELECT doc_id AS x, doc_id + 1 AS y FROM documents
+        WHERE doc_id % 50 <> 49
+        UNION ALL
+        SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 50 < 48
+        UNION ALL
+        SELECT doc_id, doc_id + 5 FROM documents
+        WHERE doc_id % 50 < 45 AND doc_id % 7 = 0),
+      e0 AS (SELECT DISTINCT greatest(x, y) AS a, least(x, y) AS b
+        FROM raw WHERE x <> y),
+      ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+      SELECT n AS node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+        SELECT a AS n FROM e4 UNION ALL SELECT b FROM e4) z
+      GROUP BY n"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -6195,5 +6239,5 @@ object Catalog {
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200)
+    q198, q199, q200, q201)
 }

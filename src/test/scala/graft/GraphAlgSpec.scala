@@ -123,6 +123,64 @@ class GraphAlgSpec extends SparkSpec {
     assert(got == Map(0L -> 150000L, 1L -> 127500L))
   }
 
+  /** Brute-force k-core: peel to fixpoint over an in-memory set. */
+  private def bruteCore(edges: Seq[(Long, Long)], k: Int)
+      : Map[Long, Long] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    var changed = true
+    while (changed) {
+      val deg = und.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = und.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != und.size
+      und = next
+    }
+    und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("kCore matches the brute-force fixpoint; K5 is its own 4-core; " +
+      "a tree vanishes entirely at k=2") {
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 3 + 1) % 40), (i, (i * 5 + 2) % 40))) ++
+      Seq((100L, 101L), (101L, 102L)) // pendant path: peels away
+    def run(k: Int) = GraphOps.kCore(edges.toDF("src", "dst"),
+        "src", "dst", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) == bruteCore(edges, 2))
+    assert(run(3) == bruteCore(edges, 3))
+    val k5 = for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b)
+    val core4 = GraphOps.kCore(k5.toDF("src", "dst"), "src", "dst", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core4 == (0L until 5L).map(_ -> 4L).toMap)
+    val tree = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L), (2L, 5L))
+    assert(GraphOps.kCore(tree.toDF("src", "dst"), "src", "dst", 2)
+      .count() == 0)
+  }
+
+  test("kCoreRounds is an exact round count converging from above, " +
+      "and kCore raises loudly when a pendant cascade outruns the " +
+      "round budget") {
+    // a triangle with a 6-node pendant chain: each round peels one
+    // chain node; the triangle is the true 2-core
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)) ++
+      (10L until 16L).map(i => (i, i + 1)) :+ (16L, 0L)
+    def rounds(r: Int): Set[Long] =
+      GraphOps.kCoreRounds(edges.toDF("src", "dst"), "src", "dst",
+        k = 2, rounds = r).collect().map(_.getLong(0)).toSet
+    val r1 = rounds(1); val r3 = rounds(3); val r7 = rounds(7)
+    assert(r1.size > r3.size && r3.size > r7.size,
+      "each round must peel further down the pendant chain")
+    assert(r7 == Set(0L, 1L, 2L), "the triangle is the true 2-core")
+    val ex = intercept[IllegalStateException] {
+      GraphOps.kCore(edges.toDF("src", "dst"), "src", "dst", k = 2,
+        maxRounds = 2)
+    }
+    assert(ex.getMessage.contains("peel rounds"))
+  }
+
   test("randomWalks: every hop is a real directed edge, walks stop at " +
       "sinks, and a re-run emits the bit-identical corpus") {
     val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 0L),
