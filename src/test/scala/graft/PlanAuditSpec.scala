@@ -36,7 +36,12 @@ class PlanAuditSpec extends SparkSpec {
     "q174_c4_clean", "q175_blocklist_hits", "q176_paragraph_dedup",
     "q177_winnow_fingerprints", "q179_script_profile",
     "q180_mixture_denoise", "q181_token_budget_sample",
-    "q183_web_curate", "q184_dedup_lines_within")
+    "q183_web_curate", "q184_dedup_lines_within",
+    // round-9 additions: the non-iterative graph/profile/batching
+    // queries and the DSv2 scan (CC/PageRank/k-core/walk loops and
+    // the checkpointing suffix family stay excluded as eager builders)
+    "q192_triangle_lcc", "q193_quantile_profile", "q194_bucket_batches",
+    "q196_docstore_scan", "q198_funnel", "q199_cohort_retention")
 
   test("relational plans: keyed joins only, whole-stage codegen present") {
     val dir = sf("sf0.001")
@@ -52,10 +57,11 @@ class PlanAuditSpec extends SparkSpec {
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"${q.name}: cartesian product in plan")
-      // q68 cross-joins a broadcast SINGLE-ROW aggregate (corpus size)
-      // into the scorer — a constant-cost broadcast, not a data-sized
-      // nested loop; every data-sized join must still be keyed
-      if (q.name != "q68_tfidf")
+      // q68 and q198 cross-join a broadcast SINGLE-ROW aggregate
+      // (corpus size / step-1 user count) into the output — a
+      // constant-cost broadcast, not a data-sized nested loop; every
+      // data-sized join must still be keyed
+      if (q.name != "q68_tfidf" && q.name != "q198_funnel")
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"${q.name}: nested-loop join in plan")
       // codegen spans render as "*(n) Operator" in the tree string
