@@ -123,6 +123,21 @@ class GraphAlgSpec extends SparkSpec {
     assert(got == Map(0L -> 150000L, 1L -> 127500L))
   }
 
+  test("property: connectedComponents == union-find on generated " +
+      "random graphs (8 seeds, mixed density, isolated-id gaps)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.listOfN(60, for {
+      a <- Gen.chooseNum(0L, 40L)
+      b <- Gen.chooseNum(0L, 40L)
+    } yield (a * 3, b * 3)) // id gaps: labels are values, not indexes
+    (0 until 8).foreach { i =>
+      val edges = edgeGen(Gen.Parameters.default, Seed(i.toLong)).get
+        .filter(e => e._1 != e._2)
+      assert(ccLabels(edges) == ufLabels(edges), s"seed $i diverged")
+    }
+  }
+
   /** Brute-force k-core: peel to fixpoint over an in-memory set. */
   private def bruteCore(edges: Seq[(Long, Long)], k: Int)
       : Map[Long, Long] = {
