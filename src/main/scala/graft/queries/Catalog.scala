@@ -6213,6 +6213,101 @@ object Catalog {
       GROUP BY n"""
     })
 
+  /** Composed crawl-to-trust pipeline ([[GraphE2eProbe]]'s chain as
+    * one oracled query): embedded links → host-id edges → connected
+    * components AND seed-personalized TrustRank over the host graph →
+    * top-5 authority docs per community. The oracle pulls host ids
+    * straight from the link regex (the planted digits are invariant
+    * under the canonicalization the engine runs), then replays the
+    * trust rounds exactly (q197's arithmetic) and the component
+    * labels as reachability minima (q191's CTE) — so the composition
+    * is correctness-pinned end to end, not just wall-timed. */
+  private val q202 = Q("q202_crawl_trust",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val synth = d.select(col("doc_id"),
+        pmod(col("doc_id"), lit(499L)).as("src_host"),
+        concat(lit("See https://site"),
+          pmod(col("doc_id") * 7, lit(499L)).cast("string"),
+          lit(".example.com/a and http://site"),
+          pmod(col("doc_id") * 13 + 1, lit(499L)).cast("string"),
+          lit(".example.com/b.")).as("_text"))
+      val links = Urls.extractLinks(synth, "_text", "doc_id")
+      val edges = links
+        .join(synth.select(col("doc_id"), col("src_host")), "doc_id")
+        .select(col("src_host"),
+          regexp_extract(col("dst_host"), "site([0-9]+)\\.", 1)
+            .cast("long").as("_dst"))
+        .filter(col("src_host") =!= col("_dst"))
+        .distinct()
+      val seeds = edges.select(col("src_host").as("node"))
+        .unionByName(edges.select(col("_dst").as("node")))
+        .distinct().filter(col("node") < 50)
+      val ranks = GraphOps.pageRankFixedPoint(edges, "src_host", "_dst",
+        iters = 3, seedNodes = Some(seeds))
+      val comps = GraphOps.connectedComponents(edges, "src_host", "_dst")
+      synth.select(col("doc_id"), col("src_host"))
+        .join(comps.withColumnRenamed("node", "src_host"), "src_host")
+        .join(ranks.withColumnRenamed("node", "src_host"), "src_host")
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(col("rank_micro").desc, col("doc_id"))))
+        .filter(col("_rn") <= 5)
+        .select(col("component"), col("doc_id"),
+          col("src_host").as("host"), col("rank_micro"))
+    },
+    Some {
+      val seedBase =
+        "CASE WHEN nodes.n < 50 THEN 150000 ELSE 0 END"
+      def iterSql(prev: String, out: String): String =
+        s"""$out AS (SELECT nodes.n,
+            CAST($seedBase + coalesce(x.s, 0) AS BIGINT) AS r
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS n,
+              CAST(sum((r.r * 850000) // (deg.d * 1000000)) AS BIGINT) AS s
+            FROM e JOIN $prev r ON r.n = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) x ON nodes.n = x.n)"""
+      s"""WITH RECURSIVE syn AS (SELECT doc_id,
+          doc_id % 499 AS src_host,
+          'See https://site' || (doc_id * 7 % 499) ||
+            '.example.com/a and http://site' ||
+            ((doc_id * 13 + 1) % 499) || '.example.com/b.' AS t
+        FROM documents),
+      lk AS (SELECT doc_id, src_host,
+          CAST(regexp_extract(unnest(
+            regexp_extract_all(t, 'https?://[^\\s]+')),
+            'site([0-9]+)\\.', 1) AS BIGINT) AS dst
+        FROM syn),
+      e AS (SELECT DISTINCT src_host AS src, dst FROM lk
+        WHERE src_host <> dst),
+      nodes AS (SELECT DISTINCT n FROM (SELECT src AS n FROM e
+        UNION ALL SELECT dst FROM e) un),
+      deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      ${iterSql("r0", "r1")},
+      ${iterSql("r1", "r2")},
+      ${iterSql("r2", "r3")},
+      sym AS (SELECT src AS a, dst AS b FROM e
+        UNION SELECT dst, src FROM e),
+      rc(n, m) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT s.b, rc.m FROM rc JOIN sym s ON s.a = rc.n),
+      comp AS (SELECT n, min(m) AS component FROM rc GROUP BY n),
+      scored AS (SELECT c.component, s.doc_id, s.src_host AS host,
+          r3.r AS rank_micro,
+          row_number() OVER (PARTITION BY c.component
+            ORDER BY r3.r DESC, s.doc_id) AS rn
+        FROM syn s
+        JOIN comp c ON c.n = s.src_host
+        JOIN r3 ON r3.n = s.src_host)
+      SELECT CAST(component AS BIGINT) AS component, doc_id,
+        CAST(host AS BIGINT) AS host,
+        CAST(rank_micro AS BIGINT) AS rank_micro
+      FROM scored WHERE rn <= 5"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -6239,5 +6334,5 @@ object Catalog {
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201)
+    q198, q199, q200, q201, q202)
 }
