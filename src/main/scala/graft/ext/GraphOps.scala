@@ -584,4 +584,55 @@ object GraphOps {
           "CAST((CAST(coalesce(_t, 0) AS DECIMAL(38,0)) * 2000000)" +
             " div (_d * (_d - 1)) AS BIGINT)")).as("lcc_micro"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, Phys. Rev. E 76), determinized for replay: labels start
+    * as node ids; each of `rounds` synchronous rounds every node
+    * adopts the label that is most frequent among its neighbors'
+    * PREVIOUS-round labels, ties broken by the smallest label. (The
+    * textbook asynchronous sweep is visit-order-dependent and cannot
+    * be hash-checked across engines; the synchronous min-tie-break
+    * variant is a pure function of the edge set, so an external engine
+    * replays every round exactly.) This is the cheap community signal
+    * a crawl-curation pipeline uses to diversify sampling across site
+    * clusters when full modularity methods (Louvain) are overkill.
+    *
+    * Scale shape per round: one keyed join of the label state onto the
+    * symmetrized edge list (both hash-partitioned on the neighbor key)
+    * and two keyed aggregations — the per-(node,label) vote count
+    * combines map-side, and the per-node argmax rides a single
+    * max(struct(count, −label)) agg instead of a window, so no sort
+    * and no per-node row buffering. State between rounds is the
+    * node-cardinality label table, cut with the [[Checkpointer]]
+    * discipline so round k never replays rounds 1..k−1.
+    * Returns (node, community, csize). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3, cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.select(col(srcCol).cast("long").as("_m"),
+        col(dstCol).cast("long").as("_n"))
+      .filter(col("_m") =!= col("_n"))
+    // symmetric closure, deduped: (_m = neighbor, _n = receiver); laid
+    // out by _m so each round's label join inherits the hash layout
+    val sym = cp.cutShared(und.unionByName(
+        und.select(col("_n").as("_m"), col("_m").as("_n")))
+      .distinct(), Seq("_m"))
+    var labels = sym.select(col("_m").as("_n")).distinct()
+      .select(col("_n"), col("_n").as("_lab"))
+    for (_ <- 1 to rounds) {
+      val voted = sym
+        .join(labels.select(col("_n").as("_m"), col("_lab")), Seq("_m"))
+        .groupBy(col("_n"), col("_lab")).agg(count(lit(1)).as("_c"))
+        // argmax by (count desc, label asc): labels are non-negative
+        // node ids, so max over (count, −label) picks it exactly
+        .groupBy(col("_n"))
+        .agg(max(struct(col("_c"), (-col("_lab")).as("_neg"))).as("_w"))
+        .select(col("_n"), (-col("_w._neg")).as("_lab"))
+      labels = cp.cutState(voted)
+    }
+    val sizes = labels.groupBy(col("_lab")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, Seq("_lab"))
+      .select(col("_n").as("node"), col("_lab").as("community"),
+        col("csize"))
+  }
 }

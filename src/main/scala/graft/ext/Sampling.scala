@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -308,6 +308,83 @@ object Sampling {
       .select(col(idCol), col(domainCol), col("_tok").as(tokensCol))
   }
 
+  /** Neyman-allocation stratified sampling (Neyman 1934): split a
+    * fixed labeling/eval budget across strata proportionally to
+    * N_s·σ_s — high-variance strata get more of the budget, uniform
+    * strata less, which minimizes the variance of the stratified
+    * estimator. This is the principled way to spend a fixed
+    * human-annotation budget over a heterogeneous corpus (the
+    * quality-audit sampling step of a curation pipeline), vs the
+    * proportional allocation q67 runs.
+    *
+    * Exact-integer discipline: N_s·σ_s = √(N_s·Σx² − (Σx)²), computed
+    * as an integer square root — a float sqrt seeds the value and a
+    * ±1 DECIMAL-compared correction makes it exact, so an engine with
+    * a different sqrt ulp replays identically. Zero-variance strata
+    * keep a weight floor of 1 (they stay sampleable; W stays > 0).
+    * Budget apportionment is largest-remainder (Hamilton): exact
+    * DECIMAL base quotas + the leftover distributed by (remainder
+    * desc, stratum asc). Selection inside each stratum is the
+    * [[quotaSelect]] two-phase bucketed rank over (hash31(id), id)
+    * order — no mega-stratum window at scale.
+    *
+    * Scale shape: one map-side-combinable moment agg (3 Longs per
+    * stratum), driver-free DECIMAL quota arithmetic on the
+    * strata-cardinality table (its two windows run over that bounded
+    * frame, like q193's bucket table), then the bucketed selection.
+    * Returns per-stratum (stratum, n_rows, weight, quota). */
+  def neymanQuotas(df: DataFrame, strataCol: String, valueCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val d = valueCol.cast("decimal(19,0)")
+    val m = df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("n_rows"),
+      sum(d).cast("decimal(38,0)").as("_s1"),
+      sum(d * d).cast("decimal(38,0)").as("_s2"))
+    val withW = m
+      .withColumn("_v", expr(
+        "CAST(n_rows AS DECIMAL(38,0)) * _s2 - _s1 * _s1"))
+      .withColumn("_y0", expr(
+        "CAST(floor(sqrt(CAST(_v AS DOUBLE))) AS BIGINT)"))
+      // exact isqrt: the float seed is within ±1 of the true root for
+      // any _v below DECIMAL(38) range; compare squares in DECIMAL so
+      // no Long overflow and no ulp dependence survives
+      .withColumn("_isq", expr(
+        """CASE
+          WHEN CAST(_y0 + 1 AS DECIMAL(38,0)) * (_y0 + 1) <= _v THEN _y0 + 1
+          WHEN CAST(_y0 AS DECIMAL(38,0)) * _y0 <= _v THEN _y0
+          ELSE _y0 - 1 END"""))
+      .withColumn("weight", greatest(col("_isq"), lit(1L)))
+    // quota arithmetic over the strata-cardinality frame: these
+    // windows run over #strata rows (bounded dashboard state), not
+    // corpus rows — the same justified-unpartitioned-window shape as
+    // q193's bucket table
+    val wTot = Window.partitionBy()
+    val apportioned = withW
+      .withColumn("_W", sum(col("weight")).over(wTot))
+      .withColumn("_prod", expr(
+        s"CAST(${budget}L AS DECIMAL(38,0)) * weight"))
+      .withColumn("_base", expr("CAST(_prod div _W AS BIGINT)"))
+      .withColumn("_rem", expr("CAST(_prod % _W AS BIGINT)"))
+      .withColumn("_left", lit(budget) - sum(col("_base")).over(wTot))
+      .withColumn("_rn", row_number().over(
+        wTot.orderBy(col("_rem").desc, col(strataCol))))
+      .withColumn("quota",
+        col("_base") + when(col("_rn") <= col("_left"), 1L).otherwise(0L))
+    apportioned.select(col(strataCol), col("n_rows"), col("weight"),
+      col("quota"))
+  }
+
+  /** [[neymanQuotas]] + per-stratum selection of the first `quota`
+    * rows in (hash31(id), id) order via the bucketed [[quotaSelect]].
+    * Returns the selected (idCol, strataCol) rows. */
+  def neymanSample(df: DataFrame, idCol: String, strataCol: String,
+      valueCol: Column, budget: Long, nBuckets: Int = 64): DataFrame = {
+    val q = neymanQuotas(df, strataCol, valueCol, budget)
+      .select(col(strataCol), col("quota").as("_keep"))
+    quotaSelect(df, idCol, strataCol, q, nBuckets)
+  }
+
   private def quotaSelect(df: DataFrame, idCol: String, domainCol: String,
       quotas: DataFrame, nBuckets: Int): DataFrame = {
     val span = (1L << 31) / nBuckets + 1L
@@ -333,5 +410,31 @@ object Sampling {
     local.join(broadcast(offs), Seq(domainCol, "_bkt"))
       .filter(col("_off") + col("_rn") <= col("_keep"))
       .select(col(idCol), col(domainCol))
+  }
+
+  /** Group-aware train/valid/test assignment: every row whose GROUP
+    * key (site, host, author, conversation) hashes into the same
+    * bucket lands in the same split, so no group straddles the
+    * train/eval boundary — the standard defense against the
+    * contamination mode q166's near-dup dashboard detects after the
+    * fact (near-identical pages from one host split across train and
+    * test). Row-hash splitting (q130) cannot give this guarantee;
+    * group-hash splitting gives it by construction.
+    *
+    * Map-only — the assignment is a pure 31-bit Knuth hash of the
+    * group key, no shuffle, no state, stable under corpus growth
+    * (adding documents never moves an existing host's split, exactly
+    * like q130's bucket discipline but at group granularity).
+    * `trainPct`/`validPct` are integer percents; the remainder is
+    * test. Adds a `split` column. */
+  def groupSplit(df: DataFrame, groupCol: Column,
+      trainPct: Int, validPct: Int): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"percents must partition 100, got train=$trainPct valid=$validPct")
+    val b = pmod(hash31(groupCol), lit(100L))
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + validPct, lit("valid"))
+        .otherwise(lit("test")))
   }
 }

@@ -6308,6 +6308,240 @@ object Catalog {
       FROM scored WHERE rn <= 5"""
     })
 
+  /** Synchronous label-propagation community detection
+    * ([[GraphOps.labelPropagation]], 3 determinized rounds) over a
+    * synthesized site-cluster graph: 40-id groups tied by +1 chains
+    * and +2 chords, plus one +1 bridge every 4th group boundary — so
+    * propagation has to both converge inside dense groups and resolve
+    * the bridged group pairs by the min-label tie-break. The oracle
+    * replays every round: per-(node,label) neighbor votes, then the
+    * (count desc, label asc) argmax via a window, then the final
+    * community-size join. */
+  private val q203 = Q("q203_label_propagation",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val chain = d.filter(col("doc_id") % 40 =!= 39)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val chord = d.filter(col("doc_id") % 40 < 38)
+        .select(col("doc_id").as("src"), (col("doc_id") + 2).as("dst"))
+      val bridge = d.filter(col("doc_id") % 160 === 39)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      GraphOps.labelPropagation(
+        chain.unionByName(chord).unionByName(bridge), "src", "dst",
+        rounds = 3)
+    },
+    Some {
+      def round(i: Int): String = {
+        val p = s"l${i - 1}"
+        s"""v$i AS (SELECT u.n, l.lab, count(*) AS c
+          FROM und u JOIN $p l ON l.n = u.m GROUP BY u.n, l.lab),
+        l$i AS (SELECT n, lab FROM (
+          SELECT n, lab, row_number() OVER (PARTITION BY n
+            ORDER BY c DESC, lab ASC) AS rn FROM v$i) z WHERE rn = 1)"""
+      }
+      s"""WITH raw AS (
+        SELECT doc_id AS x, doc_id + 1 AS y FROM documents
+        WHERE doc_id % 40 <> 39
+        UNION ALL
+        SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 40 < 38
+        UNION ALL
+        SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id % 160 = 39),
+      und AS (SELECT DISTINCT m, n FROM (
+        SELECT x AS m, y AS n FROM raw UNION ALL SELECT y, x FROM raw) s
+        WHERE m <> n),
+      l0 AS (SELECT DISTINCT m AS n, m AS lab FROM und),
+      ${round(1)}, ${round(2)}, ${round(3)},
+      sz AS (SELECT lab, count(*) AS csize FROM l3 GROUP BY lab)
+      SELECT CAST(l3.n AS BIGINT) AS node,
+        CAST(l3.lab AS BIGINT) AS community,
+        CAST(sz.csize AS BIGINT) AS csize
+      FROM l3 JOIN sz ON sz.lab = l3.lab"""
+    })
+
+  /** Group-aware (host-level) split dashboard
+    * ([[Sampling.groupSplit]]): docs are assigned to train/valid/test
+    * by a hash of their 20-doc "site", never individually — the
+    * leakage-safe split q166's near-dup audit would otherwise flag.
+    * Output: per-split host/doc/token totals plus the cross-split
+    * leak counter (structurally 0 — THE property the operator buys;
+    * the oracle recomputes it from the assignment, not from the
+    * construction). Assignment is map-only; the dashboard is one
+    * keyed agg per side. */
+  private val q205 = Q("q205_host_split",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .withColumn("_host", expr("doc_id div 20"))
+        .withColumn("_tok", TextAnalysis.tokenCount(col("text")))
+      val assigned = Sampling.groupSplit(base, col("_host"), 90, 5)
+      val leaky = assigned.groupBy(col("_host"))
+        .agg(countDistinct(col("split")).as("_k"))
+        .agg(coalesce(sum(when(col("_k") > 1, 1L)), lit(0L))
+          .as("leaky_hosts"))
+      assigned.groupBy(col("split"))
+        .agg(countDistinct(col("_host")).as("n_hosts"),
+          count(lit(1)).as("n_docs"),
+          sum(col("_tok")).as("tokens"))
+        .crossJoin(broadcast(leaky))
+    },
+    Some("""WITH a AS (SELECT doc_id, doc_id // 20 AS h,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS tok
+        FROM documents),
+      sp AS (SELECT doc_id, h, tok,
+          CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'valid' ELSE 'test' END AS split
+        FROM (SELECT *,
+          ((h % 2147483648) * 2654435761) % 2147483647 % 100 AS b
+          FROM a) z),
+      lk AS (SELECT CAST(coalesce(sum(
+            CASE WHEN k > 1 THEN 1 END), 0) AS BIGINT) AS leaky_hosts
+        FROM (SELECT h, count(DISTINCT split) AS k FROM sp GROUP BY h) y)
+      SELECT split, CAST(count(DISTINCT h) AS BIGINT) AS n_hosts,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS tokens, leaky_hosts
+      FROM sp, lk GROUP BY split, leaky_hosts"""))
+
+  /** Portable HLL register-sketch cardinality
+    * ([[graft.ext.Hll.registerEstimate]]): per-source distinct-token
+    * estimates whose registers ride the catalog's portable polynomial
+    * hash — so unlike the retired engine-hash sketch rows (q44/q99),
+    * the estimate ITSELF is value-checked: the oracle replays bucket,
+    * trailing-zero rank, register maxima, and the integer α·m²·2^R/Z
+    * estimate, and the row carries the exact count + relative error
+    * beside it. The sketch needs no distinct pass (register max is
+    * duplicate-idempotent) — one map + one keyed agg at any scale;
+    * the exact column is the sf-sized audit comparison. */
+  private val q206 = Q("q206_hll_portable",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs.select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("_w"))
+      val hashed = docs.select(col("source"), explode(
+        graft.functions.VectorFunctions.polyHashAll(
+          TextAnalysis.tokens(col("text")))).as("_h"))
+      val sk = graft.ext.Hll.registerEstimate(hashed, "source", col("_h"),
+        m = 64, maxRank = 30)
+      val exact = words.groupBy(col("source"))
+        .agg(countDistinct(col("_w")).as("n_exact"))
+      sk.join(exact, Seq("source"))
+        .select(col("source"), col("n_buckets_hit"), col("hll_est"),
+          col("n_exact"),
+          expr("abs(hll_est - n_exact) * 1000000L div n_exact")
+            .as("err_micro"))
+    },
+    Some {
+      val lnTabSql = graft.ext.Hll.linearCountTableMicro(64)
+        .mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT source,
+        list_filter(string_split_regex(trim(text), '\\s+'),
+          x -> len(x) > 0) AS toks
+        FROM documents),
+      w AS (SELECT source, unnest(toks) AS tok FROM t),
+      h0 AS (SELECT source, list_reduce(list_prepend(CAST(0 AS BIGINT),
+          [CAST(ord(tok[i]) AS BIGINT) FOR i IN range(1, len(tok) + 1)]),
+          (a, c) -> (a * 31 + c) % 1000000007) AS ph
+        FROM w),
+      h1 AS (SELECT source,
+          (xor(ph, ph >> 16) * 73244475) % 4294967296 AS g1 FROM h0),
+      h2 AS (SELECT source,
+          (xor(g1, g1 >> 16) * 73244475) % 4294967296 AS g2 FROM h1),
+      h AS (SELECT source, xor(g2, g2 >> 16) AS hh FROM h2),
+      r AS (SELECT source, hh % 64 AS bkt,
+          CASE WHEN hh // 64 = 0 THEN 30
+            ELSE least(bit_count(((hh // 64) & -(hh // 64)) - 1) + 1, 30)
+          END AS rk
+        FROM h),
+      regs AS (SELECT source, bkt, max(rk) AS m
+        FROM r GROUP BY source, bkt),
+      z AS (SELECT source, count(*) AS hit,
+          sum(CAST(1 AS BIGINT) << (30 - m)) AS zhit
+        FROM regs GROUP BY source),
+      raw AS (SELECT source, hit,
+          CAST(CAST(709213 AS HUGEINT) * 4096 * (CAST(1 AS BIGINT) << 30)
+            // (zhit + (64 - hit) * (CAST(1 AS BIGINT) << 30))
+            // 1000000 AS BIGINT) AS r
+        FROM z),
+      est AS (SELECT source, hit,
+          CASE WHEN r <= 160 AND hit < 64
+            THEN (64 * ($lnTabSql)[CAST(greatest(64 - hit, 1) AS INT)])
+              // 1000000
+            ELSE r END AS hll_est
+        FROM raw),
+      ex AS (SELECT source, count(DISTINCT tok) AS n_exact
+        FROM w GROUP BY source)
+      SELECT est.source, CAST(est.hit AS BIGINT) AS n_buckets_hit,
+        CAST(est.hll_est AS BIGINT) AS hll_est,
+        CAST(ex.n_exact AS BIGINT) AS n_exact,
+        CAST(abs(est.hll_est - ex.n_exact) * 1000000 // ex.n_exact
+          AS BIGINT) AS err_micro
+      FROM est JOIN ex USING (source)"""
+    })
+
+  /** Neyman-allocation audit sampling ([[Sampling.neymanQuotas]] /
+    * [[Sampling.neymanSample]]): a 400-row annotation budget split
+    * across sources proportionally to N_s·σ_s of token length (exact
+    * integer sqrt + largest-remainder apportionment), then the
+    * per-source selection by (hash31, id) rank. The oracle replays
+    * the moment aggs, the ±1-corrected isqrt, Hamilton rounding, and
+    * the selected token mass — so the whole allocate-then-select
+    * chain is value-pinned, not just row-counted. */
+  private val q209 = Q("q209_neyman_sample",
+    (s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), TextAnalysis.tokenCount(col("text")).as("_tok"))
+      val quotas = Sampling.neymanQuotas(base, "source", col("_tok"),
+        budget = 400L)
+      val sel = Sampling.neymanSample(base, "doc_id", "source",
+        col("_tok"), budget = 400L)
+      val selAgg = sel.join(base.select(col("doc_id"), col("_tok")),
+          "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sel"), sum(col("_tok")).as("sel_tokens"))
+      quotas.join(selAgg, Seq("source"), "left")
+        .select(col("source"), col("n_rows"), col("weight"), col("quota"),
+          coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+          coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+    },
+    Some("""WITH v AS (SELECT doc_id, source,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS tok
+        FROM documents),
+      m AS (SELECT source, count(*) AS n_rows,
+          CAST(sum(tok) AS HUGEINT) AS s1,
+          CAST(sum(CAST(tok AS HUGEINT) * tok) AS HUGEINT) AS s2
+        FROM v GROUP BY source),
+      w1 AS (SELECT *, CAST(floor(sqrt(CAST(var2 AS DOUBLE)))
+          AS BIGINT) AS y0
+        FROM (SELECT *, CAST(n_rows AS HUGEINT) * s2 - s1 * s1 AS var2
+          FROM m) z),
+      w2 AS (SELECT *, greatest(CASE
+          WHEN CAST(y0 + 1 AS HUGEINT) * (y0 + 1) <= var2 THEN y0 + 1
+          WHEN CAST(y0 AS HUGEINT) * y0 <= var2 THEN y0
+          ELSE y0 - 1 END, 1) AS weight FROM w1),
+      a1 AS (SELECT *, CAST(prod // W AS BIGINT) AS base,
+          CAST(prod % W AS BIGINT) AS rem
+        FROM (SELECT *, sum(weight) OVER () AS W,
+          CAST(400 AS HUGEINT) * weight AS prod FROM w2) z),
+      q AS (SELECT source, n_rows, weight,
+          base + CASE WHEN rn <= leftv THEN 1 ELSE 0 END AS quota
+        FROM (SELECT *, 400 - sum(base) OVER () AS leftv,
+          row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
+          FROM a1) z),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY h31, doc_id) AS rnk
+        FROM (SELECT v.*,
+          ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h31
+          FROM v) z),
+      s AS (SELECT r.source, count(*) AS n_sel, sum(r.tok) AS sel_tokens
+        FROM r JOIN q USING (source) WHERE rnk <= quota
+        GROUP BY r.source)
+      SELECT q.source, CAST(q.n_rows AS BIGINT) AS n_rows,
+        CAST(q.weight AS BIGINT) AS weight,
+        CAST(q.quota AS BIGINT) AS quota,
+        CAST(coalesce(s.n_sel, 0) AS BIGINT) AS n_sel,
+        CAST(coalesce(s.sel_tokens, 0) AS BIGINT) AS sel_tokens
+      FROM q LEFT JOIN s USING (source)"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -6334,5 +6568,5 @@ object Catalog {
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202)
+    q198, q199, q200, q201, q202, q203, q205, q206, q209)
 }

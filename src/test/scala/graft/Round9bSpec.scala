@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{GraphOps, Hll, Sampling}
+
+/** Round-9 continuation operators: synchronous label propagation,
+  * group-aware splitting, Neyman allocation, and the portable HLL
+  * register sketch — each against an in-test reference
+  * implementation plus its structural guarantees. */
+class Round9bSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------- label propagation
+
+  /** Reference synchronous LPA: most-frequent neighbor label, ties to
+    * the smallest label — the exact determinization the operator
+    * documents. */
+  private def lpaRef(edges: Seq[(Long, Long)],
+      rounds: Int): Map[Long, Long] = {
+    val sym = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, (e._2, e._1))).distinct
+    val neigh = sym.groupBy(_._2).map { case (n, es) => n -> es.map(_._1) }
+    var lab = neigh.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = neigh.map { case (n, ms) =>
+        val votes = ms.map(lab).groupBy(identity)
+          .map { case (l, v) => (l, v.size) }
+        n -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation matches the synchronous min-tie-break " +
+      "reference on an irregular graph (duplicate + reversed edges)") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1),          // triangle
+      (3, 4),                          // pendant off the triangle
+      (10, 11), (11, 12), (12, 10), (10, 12), // triangle w/ dup edge
+      (12, 11),                        // reversed duplicate
+      (20, 21),                        // isolated pair
+      (5, 5))                          // self-loop: dropped
+    val got = GraphOps.labelPropagation(
+        edges.toDF("src", "dst"), "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lpaRef(edges, rounds = 3))
+  }
+
+  test("labelPropagation: two disjoint cliques collapse to their min " +
+      "ids with correct community sizes") {
+    def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(50L, 51L, 52L))
+    val rows = GraphOps.labelPropagation(
+        edges.toDF("src", "dst"), "src", "dst", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // in a clique every node sees the same vote multiset after round 1
+    // minus its own absence; min-tie-break lands everyone on the min id
+    assert(rows.filter(_._1 < 10).forall(r => r._2 == 1L && r._3 == 4L))
+    assert(rows.filter(_._1 >= 50).forall(r => r._2 == 50L && r._3 == 3L))
+  }
+
+  // ------------------------------------------------------- group split
+
+  test("groupSplit: a group never straddles splits, assignment is " +
+      "stable under corpus growth, and all splits are populated") {
+    val big = (0L until 4000L).map(i => (i, i / 8)).toDF("id", "g")
+    val a = Sampling.groupSplit(big, col("g"), 80, 10)
+    val perGroup = a.groupBy("g")
+      .agg(countDistinct(col("split")).as("k")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    val bySplit = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "valid", "test"))
+    // growth stability: the first half's assignment is a strict subset
+    val half = Sampling.groupSplit(
+        big.filter(col("id") < 2000), col("g"), 80, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = a.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(half.forall { case (id, sp) => full(id) == sp })
+    intercept[IllegalArgumentException] {
+      Sampling.groupSplit(big, col("g"), 60, 40)
+    }
+  }
+
+  // ------------------------------------------------ Neyman allocation
+
+  private def isqrtRef(v: BigInt): Long = {
+    if (v <= 0) 0L
+    else {
+      var x = BigInt(math.sqrt(v.toDouble).toLong + 2)
+      while (x * x > v) x -= 1
+      x.toLong
+    }
+  }
+
+  test("neymanQuotas: exact isqrt weights, Hamilton quotas summing to " +
+      "the budget, weight floor for zero-variance strata") {
+    // stratum a: high variance; b: moderate; c: zero variance
+    val rows =
+      (0 until 40).map(i => ("a", if (i % 2 == 0) 1L else 99L)) ++
+      (0 until 40).map(i => ("b", 10L + (i % 5))) ++
+      (0 until 40).map(_ => ("c", 7L))
+    val df = rows.toDF("s", "v")
+    val q = Sampling.neymanQuotas(df, "s", col("v"), budget = 97L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // reference weights: isqrt(N·Σv² − (Σv)²), floored at 1
+    val ref = rows.groupBy(_._1).map { case (s, vs) =>
+      val n = BigInt(vs.size)
+      val s1 = BigInt(vs.map(_._2).sum)
+      val s2 = vs.map(v => BigInt(v._2) * v._2).sum
+      s -> math.max(isqrtRef(n * s2 - s1 * s1), 1L)
+    }
+    assert(q.map { case (s, t) => s -> t._2 } == ref)
+    assert(q.values.map(_._3).sum == 97L)
+    assert(q("c")._2 == 1L)
+    assert(q("a")._2 > q("b")._2)
+  }
+
+  test("neymanSample selects exactly min(quota, N) rows per stratum " +
+      "in (hash31, id) order") {
+    val rows = (0L until 30L).map(i => (i, "x", i % 3)) ++
+      (100L until 104L).map(i => (i, "y", 50L))
+    val df = rows.toDF("id", "s", "v")
+    val quotas = Sampling.neymanQuotas(df, "s", col("v"), budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val sel = Sampling.neymanSample(df, "id", "s", col("v"), budget = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySt = sel.groupBy(_._2).map { case (s, v) => s -> v.size.toLong }
+    for ((s, n) <- Seq("x" -> rows.count(_._2 == "x").toLong,
+        "y" -> rows.count(_._2 == "y").toLong)) {
+      assert(bySt.getOrElse(s, 0L) == math.min(quotas(s), n))
+    }
+  }
+
+  // ------------------------------------------------------ HLL sketch
+
+  test("Hll.registerEstimate: duplicate-idempotent, bucket count " +
+      "bounded by m, and within the published error band") {
+    // portable-hash stand-in: any well-mixed non-negative long works
+    val h = (id: Long) => ((id % 2147483648L) * 2654435761L) % 2147483647L
+    val uniq = (0L until 5000L).map(i => ("k", h(i * 7 + 1)))
+    val dups = uniq ++ uniq ++ uniq.take(1000)
+    val est1 = Hll.registerEstimate(
+      uniq.toDF("k", "hh"), "k", col("hh")).collect().head
+    val est2 = Hll.registerEstimate(
+      dups.toDF("k", "hh"), "k", col("hh")).collect().head
+    assert(est1.getLong(2) == est2.getLong(2),
+      "register max must be duplicate-idempotent")
+    assert(est1.getLong(1) <= 64L)
+    // m=64 → relative stddev ≈ 1.04/√64 ≈ 13%; allow 3σ
+    val est = est1.getLong(2).toDouble
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.4,
+      s"estimate $est too far from 5000")
+    intercept[IllegalArgumentException] {
+      Hll.registerEstimate(uniq.toDF("k", "hh"), "k", col("hh"), m = 48)
+    }
+  }
+
+  test("Hll.registerEstimate small-range: linear counting kicks in " +
+      "below 2.5m and lands near the exact count") {
+    val h = (id: Long) => ((id % 2147483648L) * 2654435761L) % 2147483647L
+    val small = (0L until 40L).map(i => ("k", h(i * 131 + 17)))
+    val r = Hll.registerEstimate(
+      small.toDF("k", "hh"), "k", col("hh")).collect().head
+    val est = r.getLong(2).toDouble
+    assert(math.abs(est - 40.0) / 40.0 < 0.3,
+      s"small-range estimate $est too far from 40")
+  }
+}
