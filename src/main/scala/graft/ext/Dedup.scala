@@ -404,6 +404,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** The raw candidate-pair set of the portable MinHash-LSH banding —
+    * the PRE-verify output (any shared band bucket), before the exact
+    * Jaccard filter [[minHashLshPairsPortable]] applies. Exposed so
+    * the candidate net itself can be measured against exact ground
+    * truth (q207's recall/precision surface): the banding's
+    * false-negative rate is a property of (numPerms, rowsPerBand) that
+    * tuning decisions need as a number, not a formula. */
+  def minHashLshCandidates(docs: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val (_, banded) =
+      minHashBandedPortable(docs, textCol, idCol, n, numPerms, rowsPerBand,
+        seed)
+    banded.select(col("_id").as("doc_a"), col("_bandNo"),
+        col("_bandKey"))
+      .join(banded.select(col("_id").as("doc_b"), col("_bandNo"),
+        col("_bandKey")), Seq("_bandNo", "_bandKey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
   /** The portable-hash banding shared by [[minHashLshPairsPortable]]
     * and [[minHashBandStats]]: (base = (_id, _sh sorted shingles),
     * banded = slim (_id, _bandNo, _bandKey) rows, one per doc×band). */

@@ -968,4 +968,33 @@ object TextAnalysis {
         shiftrightunsigned(col("_e"), 32).as("fp"),
         col("_e").bitwiseAND(lit(0xFFFFFFFFL)).as("pos"))
   }
+
+  /** Content-defined chunking (the rolling-boundary discipline of
+    * rsync/LBFS, Muthitacharoen et al. SOSP'01, degenerated to a
+    * stateless k-gram boundary so every cut replays in ANSI SQL):
+    * split each document where the k-gram hash ending at a position
+    * divides `div` — boundaries move WITH content, so an insertion
+    * early in a document shifts only the chunk it lands in, and
+    * byte-identical passages chunk identically across documents.
+    * That is the property payload-level dedup needs and fixed-width
+    * chunking (q122) structurally cannot give.
+    *
+    * One codegen'd kernel per document ([[graft.functions.CdcChunks]],
+    * expected chunk length ≈ `div` codepoints), then explode — no
+    * shuffle until the caller aggregates chunk identities.
+    * Embarrassingly parallel over docs at 100 TB, like q31/q177.
+    * Returns `keep` columns + (chunk_hash, chunk_len) per chunk in
+    * document order. */
+  def cdcChunks(docs: DataFrame, textCol: String, keep: Seq[String],
+      k: Int = 8, div: Long = 16L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(div >= 2, s"div must be >= 2, got $div")
+    docs
+      .select(keep.map(col) :+
+        explode(graft.functions.VectorFunctions
+          .cdcChunks(col(textCol), k, div)).as("_e"): _*)
+      .select(keep.map(col) :+
+        shiftrightunsigned(col("_e"), 32).as("chunk_hash") :+
+        col("_e").bitwiseAND(lit(0xFFFFFFFFL)).as("chunk_len"): _*)
+  }
 }

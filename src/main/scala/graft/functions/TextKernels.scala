@@ -256,6 +256,51 @@ object TextKernels {
     ArrayData.toArrayData(res.toArray)
   }
 
+  /** Content-defined chunking in one pass: a position p (1-based
+    * codepoint index, p ≥ k) ends a chunk when the k-gram poly hash
+    * ending at p satisfies `hash % div == 0`; the document end always
+    * ends the final chunk. Emits one encoded long per chunk:
+    * (chunkPolyHash << 32) | chunkLen — hash < 2^30 and codepoint
+    * length < 2^32, so the pack is exact. Purely stateless per
+    * position (no min/max-size clamps), which is exactly what lets an
+    * external engine replay every boundary in ANSI SQL; size clamps
+    * are a trivial kernel extension but make the rule sequential. */
+  def cdcChunks(s: UTF8String, k: Int, div: Long): ArrayData = {
+    val str = s.toString
+    var n = 0
+    var oi = 0
+    while (oi < str.length) { n += 1; oi += Character.charCount(str.codePointAt(oi)) }
+    if (n == 0) return ArrayData.toArrayData(Array.empty[Long])
+    val cps = new Array[Int](n)
+    var ci = 0
+    oi = 0
+    while (oi < str.length) {
+      val cp = str.codePointAt(oi); cps(ci) = cp; ci += 1
+      oi += Character.charCount(cp)
+    }
+    val res = new scala.collection.mutable.ArrayBuffer[Long]()
+    var chunkHash = 0L
+    var start = 0
+    var p = 0
+    while (p < n) {
+      chunkHash = (chunkHash * 31L + cps(p)) % 1000000007L
+      var isCut = false
+      if (p + 1 >= k) {
+        var gh = 0L
+        var j = p + 1 - k
+        while (j <= p) { gh = (gh * 31L + cps(j)) % 1000000007L; j += 1 }
+        isCut = gh % div == 0L
+      }
+      if (isCut || p == n - 1) {
+        res += (chunkHash << 32) | (p - start + 1).toLong
+        chunkHash = 0L
+        start = p + 1
+      }
+      p += 1
+    }
+    ArrayData.toArrayData(res.toArray)
+  }
+
   def polyHashAll(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = new Array[Long](n)

@@ -519,6 +519,30 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** Fused content-defined chunking ([[TextKernels.cdcChunks]]): k-gram
+  * boundary test + per-chunk poly hashing in one codegen'd loop,
+  * returning (chunkHash << 32 | chunkLen) encoded longs in document
+  * order. */
+case class CdcChunks(child: Expression, k: Int, div: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("cdc_chunks needs string")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.cdcChunks(v.asInstanceOf[UTF8String], k, div)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TextKernels.cdcChunks($v, $k, ${div}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Column-facing API for the custom expressions. */
 object VectorFunctions {
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -548,6 +572,8 @@ object VectorFunctions {
     ColumnBridge.column(PolyHashArray(e(arr)))
   def winnowFingerprint(s: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFingerprint(e(s), k, w))
+  def cdcChunks(s: Column, k: Int, div: Long): Column =
+    ColumnBridge.column(CdcChunks(e(s), k, div))
 }
 
 /** Distinct k-shingles of a string in one pass: char mode slides a

@@ -2619,7 +2619,8 @@ object Catalog {
     * for the exact-Jaccard verify. `rowsPerBand` tunes the band shape
     * (16/rowsPerBand bands): 4 is the dedup default; q170 drops to 2
     * for a looser candidate net that admits verify-failures. */
-  private def portableLshBkCtes(rowsPerBand: Int = 4): String = {
+  private def portableLshBkCtes(rowsPerBand: Int = 4,
+      where: String = ""): String = {
     val (as, bs) = graft.functions.MinHashSig.perms(16, 42L)
     val nBands = 16 / rowsPerBand
     val sigSql = (0 until 16).map(j =>
@@ -2633,7 +2634,7 @@ object Catalog {
     s"""WITH t AS (SELECT doc_id,
         list_filter(string_split_regex(trim(text), '\\s+'),
           x -> len(x) > 0) AS toks
-      FROM documents),
+      FROM documents $where),
       g AS (SELECT doc_id,
           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
             FOR i IN range(1, len(toks) - 1)]) AS sh
@@ -6401,6 +6402,72 @@ object Catalog {
         CAST(sum(tok) AS BIGINT) AS tokens, leaky_hosts
       FROM sp, lk GROUP BY split, leaky_hosts"""))
 
+  /** Content-defined chunk dedup dashboard
+    * ([[TextAnalysis.cdcChunks]], k=8-gram boundary, div=16 ≈ 16-char
+    * expected chunks): per-source chunk counts, char mass, distinct
+    * chunk identities ((hash, len) pairs), and the byte-level dedup
+    * ratio — the storage-planning panel for payload-level dedup,
+    * where boundaries must move WITH content so shared passages chunk
+    * identically regardless of offset. The oracle replays every
+    * boundary (k-gram hash % div), the lag-window chunk assembly, and
+    * each chunk's content hash. */
+  private val q204 = Q("q204_cdc_chunks",
+    (s, dir) => {
+      val chunks = TextAnalysis.cdcChunks(t(s, dir, "documents"),
+        "text", Seq("source"), k = 8, div = 16L)
+      val per = chunks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_len")).as("total_chars"))
+      val dist = chunks
+        .select(col("source"), col("chunk_hash"), col("chunk_len"))
+        .distinct()
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("chunk_len")).as("distinct_chars"))
+      per.join(dist, Seq("source"))
+        .select(col("source"), col("n_chunks"), col("total_chars"),
+          col("n_distinct"), col("distinct_chars"),
+          expr("distinct_chars * 1000000L div total_chars")
+            .as("dedup_ratio_micro"))
+    },
+    Some("""WITH s AS (SELECT doc_id, source, text AS st
+        FROM documents WHERE len(text) >= 1),
+      g AS (SELECT doc_id, st, unnest(range(8, len(st) + 1)) AS p
+        FROM s),
+      gh AS (SELECT doc_id, p,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(ord(st[j]) AS BIGINT) FOR j IN range(p - 7, p + 1)]),
+          (a, c) -> (a * 31 + c) % 1000000007) AS h
+        FROM g),
+      cuts AS (SELECT doc_id, p FROM gh WHERE h % 16 = 0
+        UNION SELECT doc_id, len(st) FROM s),
+      ch AS (SELECT doc_id, p AS cut,
+          coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1
+            AS st0
+        FROM cuts),
+      ck AS (SELECT c.doc_id, s.source, s.st[c.st0:c.cut] AS chunk,
+          c.cut - c.st0 + 1 AS clen
+        FROM ch c JOIN s ON s.doc_id = c.doc_id),
+      hh AS (SELECT doc_id, source, clen,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            [CAST(ord(chunk[j]) AS BIGINT)
+              FOR j IN range(1, len(chunk) + 1)]),
+          (a, c) -> (a * 31 + c) % 1000000007) AS chash
+        FROM ck),
+      per AS (SELECT source, count(*) AS n_chunks,
+          sum(clen) AS total_chars FROM hh GROUP BY source),
+      dst AS (SELECT source, count(*) AS n_distinct,
+          sum(clen) AS distinct_chars
+        FROM (SELECT DISTINCT source, chash, clen FROM hh) z
+        GROUP BY source)
+      SELECT per.source, CAST(n_chunks AS BIGINT) AS n_chunks,
+        CAST(total_chars AS BIGINT) AS total_chars,
+        CAST(n_distinct AS BIGINT) AS n_distinct,
+        CAST(distinct_chars AS BIGINT) AS distinct_chars,
+        CAST(distinct_chars * 1000000 // total_chars AS BIGINT)
+          AS dedup_ratio_micro
+      FROM per JOIN dst USING (source)"""))
+
   /** Portable HLL register-sketch cardinality
     * ([[graft.ext.Hll.registerEstimate]]): per-source distinct-token
     * estimates whose registers ride the catalog's portable polynomial
@@ -6476,6 +6543,91 @@ object Catalog {
           AS BIGINT) AS err_micro
       FROM est JOIN ex USING (source)"""
     })
+
+  /** MinHash-LSH candidate-net quality surface
+    * ([[Dedup.minHashLshCandidates]] vs exact all-pairs Jaccard on a
+    * 1-in-2 doc subsample): recall and precision of the pre-verify
+    * banding in micro-units — the tuning number behind the
+    * (numPerms=16, rowsPerBand=4) default that q118/q136 only imply.
+    * The subsample keeps the quadratic ground truth affordable while
+    * the banding runs its production shape; both sides replay the
+    * identical portable hash chain, so the measured surface itself is
+    * hash-checked (the q119/q187 discipline, applied to dedup). */
+  private val q207 = Q("q207_lsh_recall",
+    (s, dir) => {
+      val sub = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      val cand = Dedup.minHashLshCandidates(sub, "text", "doc_id",
+        n = 3, numPerms = 16, rowsPerBand = 4)
+      // all-pairs exact truth (constant block key = the scaladoc'd
+      // validation variant — affordable only on the subsample)
+      val truth = Dedup.ngramJaccardPairs(sub, "text", "doc_id",
+        blockCols = Seq(lit(1)), n = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val hit = cand.join(truth, Seq("doc_a", "doc_b"), "leftsemi")
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          expr("n_hit * 1000000L div greatest(n_truth, 1L)")
+            .as("recall_micro"),
+          expr("n_hit * 1000000L div greatest(n_cand, 1L)")
+            .as("precision_micro"))
+    },
+    Some(portableLshBkCtes(4, "WHERE doc_id % 2 = 0") + s""",
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bk a JOIN bk b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= 0.5),
+      hit AS (SELECT c.doc_a, c.doc_b FROM cand c
+        JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+      n AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+          (SELECT count(*) FROM cand) AS n_cand,
+          (SELECT count(*) FROM hit) AS n_hit)
+      SELECT CAST(n_truth AS BIGINT) AS n_truth,
+        CAST(n_cand AS BIGINT) AS n_cand,
+        CAST(n_hit AS BIGINT) AS n_hit,
+        CAST(n_hit * 1000000 // greatest(n_truth, 1) AS BIGINT)
+          AS recall_micro,
+        CAST(n_hit * 1000000 // greatest(n_cand, 1) AS BIGINT)
+          AS precision_micro
+      FROM n"""))
+
+  /** Time-decayed engagement scoring over the events stream: per-user
+    * Σ 2^−age_days in micro-units (age capped at 30 days), the
+    * freshness-weighted activity feature a sampling or ranking stage
+    * reads instead of a raw count. The closed half-life form makes
+    * every term independent — a pure map + one keyed agg, NO
+    * sequential fold, no window — which is what makes recency
+    * weighting free at event-log scale; the reference day is the
+    * corpus max, a broadcast scalar. All arithmetic integral
+    * (1e6 div 2^age), so the fold order cannot matter. */
+  private val q208 = Q("q208_decay_engagement",
+    (s, dir) => {
+      val withDay = eventsNs(s, dir).select(col("user_id"),
+        expr("ts div 86400000000000L").as("_day"))
+      val mx = withDay.agg(max(col("_day")).as("_mx"))
+      withDay.crossJoin(broadcast(mx))
+        .withColumn("_age",
+          least(col("_mx") - col("_day"), lit(30L)).cast("int"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("1000000L div shiftleft(1L, _age)"))
+            .as("decayed_micro"),
+          max(col("_day")).as("last_day"))
+    },
+    Some("""WITH d AS (SELECT user_id,
+        epoch_ns(ts) // 86400000000000 AS day
+        FROM events),
+      m AS (SELECT max(day) AS mx FROM d)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(1000000 // (CAST(1 AS BIGINT) <<
+          least(m.mx - d.day, 30))) AS BIGINT) AS decayed_micro,
+        CAST(max(day) AS BIGINT) AS last_day
+      FROM d, m GROUP BY user_id"""))
 
   /** Neyman-allocation audit sampling ([[Sampling.neymanQuotas]] /
     * [[Sampling.neymanSample]]): a 400-row annotation budget split
@@ -6568,5 +6720,6 @@ object Catalog {
     q166, q167, q168, q169, q170, q171, q172, q173, q174, q175, q176,
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q205, q206, q209)
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
+    q208, q209)
 }

@@ -160,6 +160,35 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------- content-defined chunks
+
+  test("cdcChunks: chunks tile the document exactly and a shared " +
+      "passage chunks identically despite a shifted prefix") {
+    import graft.ext.TextAnalysis
+    val shared = ("the quick brown fox jumps over the lazy dog and " +
+      "then runs far away into the deep dark forest tonight") * 3
+    val docs = Seq(
+      (1L, "AAA" + shared),            // 3-char prefix
+      (2L, "completely different lead-in text here: " + shared),
+      (3L, "xyz"))                     // shorter than k → one chunk
+    val df = docs.toDF("doc_id", "text")
+    val ch = TextAnalysis.cdcChunks(df, "text", Seq("doc_id"),
+      k = 8, div = 16L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // tiling: per-doc chunk lengths sum to the doc length
+    val lens = ch.groupBy(_._1).map { case (id, cs) => id -> cs.map(_._3).sum }
+    assert(lens == docs.map(d => d._1 -> d._2.length.toLong).toMap)
+    // the sub-k doc is exactly one whole-doc chunk
+    assert(ch.count(_._1 == 3L) == 1 && ch.find(_._1 == 3L).get._3 == 3L)
+    // content-defined property: doc1 and doc2 share most chunk
+    // identities from the shared passage even though its offset
+    // differs — fixed-width chunking would share none
+    val ids1 = ch.filter(_._1 == 1L).map(c => (c._2, c._3)).toSet
+    val ids2 = ch.filter(_._1 == 2L).map(c => (c._2, c._3)).toSet
+    val overlap = ids1.intersect(ids2).size.toDouble / ids1.size
+    assert(overlap > 0.6, s"shared-passage chunk overlap $overlap too low")
+  }
+
   test("Hll.registerEstimate small-range: linear counting kicks in " +
       "below 2.5m and lands near the exact count") {
     val h = (id: Long) => ((id % 2147483648L) * 2654435761L) % 2147483647L
