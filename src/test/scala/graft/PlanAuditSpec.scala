@@ -41,7 +41,12 @@ class PlanAuditSpec extends SparkSpec {
     // queries and the DSv2 scan (CC/PageRank/k-core/walk loops and
     // the checkpointing suffix family stay excluded as eager builders)
     "q192_triangle_lcc", "q193_quantile_profile", "q194_bucket_batches",
-    "q196_docstore_scan", "q198_funnel", "q199_cohort_retention")
+    "q196_docstore_scan", "q198_funnel", "q199_cohort_retention",
+    // round-9 continuation: chunking/sketch/sampling dashboards
+    // (q203 label propagation stays excluded as an eager
+    // checkpointing loop)
+    "q204_cdc_chunks", "q205_host_split", "q206_hll_portable",
+    "q207_lsh_recall", "q208_decay_engagement", "q209_neyman_sample")
 
   test("relational plans: keyed joins only, whole-stage codegen present") {
     val dir = sf("sf0.001")
@@ -57,11 +62,14 @@ class PlanAuditSpec extends SparkSpec {
       val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"${q.name}: cartesian product in plan")
-      // q68 and q198 cross-join a broadcast SINGLE-ROW aggregate
-      // (corpus size / step-1 user count) into the output — a
-      // constant-cost broadcast, not a data-sized nested loop; every
-      // data-sized join must still be keyed
-      if (q.name != "q68_tfidf" && q.name != "q198_funnel")
+      // these queries cross-join a broadcast SINGLE-ROW aggregate
+      // (corpus size / step-1 user count / leak counter / count
+      // scalars / reference day) into the output — a constant-cost
+      // broadcast, not a data-sized nested loop; every data-sized
+      // join must still be keyed
+      val singleRowBroadcast = Set("q68_tfidf", "q198_funnel",
+        "q205_host_split", "q207_lsh_recall", "q208_decay_engagement")
+      if (!singleRowBroadcast.contains(q.name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"${q.name}: nested-loop join in plan")
       // codegen spans render as "*(n) Operator" in the tree string
