@@ -61,10 +61,19 @@ object Hll {
     * intermediate here stays below 3.2e17). */
   def registerEstimate(df: DataFrame, keyCol: String, hashCol: Column,
       m: Int = 64, maxRank: Int = 30,
-      alphaMicro: Long = 709213L): DataFrame = {
+      alphaMicro: Long = 709213L): DataFrame =
+    estimateFromRegisters(registers(df, keyCol, hashCol, m, maxRank),
+      keyCol, m, maxRank, alphaMicro)
+
+  /** The register table alone: per (key, bucket) the max rank —
+    * integer state, mergeable EXACTLY by a further max (unlike
+    * float-merged sketch families), which is what the streaming
+    * maintenance twin rides. Returns (keyCol, bkt, reg). */
+  def registers(df: DataFrame, keyCol: String, hashCol: Column,
+      m: Int = 64, maxRank: Int = 30): DataFrame = {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of 2, got $m")
     require(maxRank >= 1 && maxRank <= 60)
-    val withReg = df
+    df
       .withColumn("_h0", hashCol.cast("long"))
       .withColumn("_g1", expr(
         "((_h0 ^ shiftright(_h0, 16)) * 73244475L) % 4294967296L"))
@@ -78,8 +87,20 @@ object Hll {
           .otherwise(least(
             expr("bit_count((_rest & -_rest) - 1) + 1").cast("int"),
             lit(maxRank))))
-    val regs = withReg.groupBy(col(keyCol), col("_bkt"))
-      .agg(max(col("_rank")).as("_m"))
+      .groupBy(col(keyCol), col("_bkt").as("bkt"))
+      .agg(max(col("_rank")).as("reg"))
+      .select(col(keyCol), col("bkt"), col("reg"))
+  }
+
+  /** Estimate from a (keyCol, bkt, reg) register table (the
+    * [[registers]] output or an exact max-merge of several). */
+  def estimateFromRegisters(regTable: DataFrame, keyCol: String,
+      m: Int = 64, maxRank: Int = 30,
+      alphaMicro: Long = 709213L): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of 2, got $m")
+    require(maxRank >= 1 && maxRank <= 60)
+    val regs = regTable.select(col(keyCol), col("bkt"),
+      col("reg").as("_m"))
     val shift = 1L << maxRank
     val lnTab = linearCountTableMicro(m)
     val withRaw = regs.groupBy(col(keyCol))

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.ext.Hll
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming HLL-register maintenance — the live-feed twin of the
+  * batch portable cardinality sketch ([[Hll.registerEstimate]],
+  * q206): every micro-batch lands its own per-key register fragment,
+  * and the current corpus registers are the CELL-WISE MAX of landed
+  * fragments. Because this engine's registers are integers (trailing
+  * -zero ranks, never floats), max-merge is exact and
+  * order-independent: the merged register table is BIT-IDENTICAL to
+  * the batch build over the union of all batches — the same
+  * no-approximate-merge guarantee [[SketchMaintenance]] pins for
+  * count-min via sums, here via max (spec-pinned). Most published
+  * sketch stores only claim mergeability; value-identity under
+  * re-partitioned arrival order is what makes the estimate
+  * hash-checkable downstream.
+  *
+  * Scale shape: per batch one map-side-combinable max-agg into
+  * ≤ keys·m rows (fragment size bounded by key cardinality, not
+  * batch rows), merge-on-read a keyed max over #batches × keys·m
+  * sliver rows, estimates via the batch arithmetic. Exactly-once by
+  * the batchId-keyed overwrite discipline shared with the other
+  * maintenance streams. */
+object HllMaintenance {
+
+  private def regSchema(keyType: DataType): StructType = StructType(Seq(
+    StructField("key", keyType), StructField("bkt", LongType),
+    StructField("reg", IntegerType)))
+
+  /** The idempotent unit: register-sketch one micro-batch and
+    * overwrite its own `batch=<batchId>` fragment. */
+  def writeFragment(batch: DataFrame, batchId: Long, keyCol: String,
+      hashCol: Column, outDir: String, m: Int = 64,
+      maxRank: Int = 30): Unit =
+    Hll.registers(batch, keyCol, hashCol, m, maxRank)
+      .withColumnRenamed(keyCol, "key")
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+
+  /** The current merged register table: cell-wise max of landed
+    * fragments with id ≤ `upToBatch` (None = everything).
+    * Empty-with-schema before the first batch. */
+  def mergedRegisters(spark: SparkSession, outDir: String,
+      keyType: DataType = StringType,
+      upToBatch: Option[Long] = None): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") &&
+          upToBatch.forall(p.getName.stripPrefix("batch=").toLong <= _))
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        regSchema(keyType))
+    else spark.read.schema(regSchema(keyType))
+      .parquet(dirs.map(_.toString): _*)
+      .groupBy(col("key"), col("bkt"))
+      .agg(max(col("reg")).as("reg"))
+  }
+
+  /** Current per-key estimates from the merged registers. */
+  def mergedEstimate(spark: SparkSession, outDir: String,
+      keyType: DataType = StringType, m: Int = 64, maxRank: Int = 30,
+      upToBatch: Option[Long] = None): DataFrame =
+    Hll.estimateFromRegisters(
+      mergedRegisters(spark, outDir, keyType, upToBatch),
+      "key", m, maxRank)
+
+  /** Start sketching the streaming `source`: `keyCol` groups the
+    * estimates, `hashCol` is the portable item hash. */
+  def start(source: DataFrame, keyCol: String, hashCol: Column,
+      outDir: String, checkpointDir: String, m: Int = 64,
+      maxRank: Int = 30,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          writeFragment(batch, batchId, keyCol, hashCol, outDir, m,
+            maxRank)
+        }
+      }
+      .start()
+}
