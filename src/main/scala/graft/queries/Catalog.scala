@@ -6496,10 +6496,27 @@ object Catalog {
           expr("abs(hll_est - n_exact) * 1000000L div n_exact")
             .as("err_micro"))
     },
-    Some {
-      val lnTabSql = graft.ext.Hll.linearCountTableMicro(64)
-        .mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT source,
+    Some(hllEstimateCtes + """,
+      ex AS (SELECT source, count(DISTINCT tok) AS n_exact
+        FROM w GROUP BY source)
+      SELECT est.source, CAST(est.hit AS BIGINT) AS n_buckets_hit,
+        CAST(est.hll_est AS BIGINT) AS hll_est,
+        CAST(ex.n_exact AS BIGINT) AS n_exact,
+        CAST(abs(est.hll_est - ex.n_exact) * 1000000 // ex.n_exact
+          AS BIGINT) AS err_micro
+      FROM est JOIN ex USING (source)"""))
+
+  /** Shared DuckDB CTE chain of the portable-HLL family (q206/q210):
+    * tokens → per-token poly hash → 32-bit avalanche finalizer →
+    * bucket/trailing-zero registers → max per (source, bucket) →
+    * integer estimate with the pinned linear-counting table
+    * ([[graft.ext.Hll.linearCountTableMicro]] — the SAME constant
+    * array the Spark plan carries). Ends at `est(source, hit,
+    * hll_est)`; `w(source, tok)` stays visible for the exact column. */
+  private def hllEstimateCtes: String = {
+    val lnTabSql = graft.ext.Hll.linearCountTableMicro(64)
+      .mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT source,
         list_filter(string_split_regex(trim(text), '\\s+'),
           x -> len(x) > 0) AS toks
         FROM documents),
@@ -6533,16 +6550,43 @@ object Catalog {
             THEN (64 * ($lnTabSql)[CAST(greatest(64 - hit, 1) AS INT)])
               // 1000000
             ELSE r END AS hll_est
-        FROM raw),
-      ex AS (SELECT source, count(DISTINCT tok) AS n_exact
-        FROM w GROUP BY source)
-      SELECT est.source, CAST(est.hit AS BIGINT) AS n_buckets_hit,
-        CAST(est.hll_est AS BIGINT) AS hll_est,
-        CAST(ex.n_exact AS BIGINT) AS n_exact,
-        CAST(abs(est.hll_est - ex.n_exact) * 1000000 // ex.n_exact
-          AS BIGINT) AS err_micro
-      FROM est JOIN ex USING (source)"""
-    })
+        FROM raw)"""
+  }
+
+  /** The streaming cardinality monitor end-to-end as an oracled
+    * catalog row: documents stream through
+    * [[graft.streaming.HllMaintenance]] (AvailableNow), per-batch
+    * register fragments land under batchId keys, and the returned
+    * estimates come from the CELL-WISE MAX merge of whatever landed —
+    * which the oracle checks against the plain batch SQL, because
+    * integer-register max-merge is exactly batch-equivalent (the
+    * property HllMaintenanceSpec pins under multi-batch arrival and
+    * replay). */
+  private val q210 = Q("q210_stream_hll",
+    (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("q210frag").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("q210ckpt").toString
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val raw = s.readStream
+        .schema(t(s, dir, "documents").schema)
+        .option("pathGlobFilter", p.getName)
+        .parquet(p.getParent.toString)
+      val hashed = raw.select(col("source"), explode(
+        graft.functions.VectorFunctions.polyHashAll(
+          TextAnalysis.tokens(col("text")))).as("_h"))
+      val q = graft.streaming.HllMaintenance.start(
+        hashed, "source", col("_h"), out, ckpt)
+      q.awaitTermination()
+      graft.streaming.HllMaintenance.mergedEstimate(s, out)
+        .select(col("key").as("source"), col("n_buckets_hit"),
+          col("hll_est"))
+    },
+    Some(hllEstimateCtes + """
+      SELECT source, CAST(hit AS BIGINT) AS n_buckets_hit,
+        CAST(hll_est AS BIGINT) AS hll_est
+      FROM est"""))
 
   /** MinHash-LSH candidate-net quality surface
     * ([[Dedup.minHashLshCandidates]] vs exact all-pairs Jaccard on a
@@ -6721,5 +6765,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209)
+    q208, q209, q210)
 }
