@@ -585,6 +585,40 @@ object GraphOps {
             " div (_d * (_d - 1)) AS BIGINT)")).as("lcc_micro"))
   }
 
+  /** Bounded-round BFS distances from a seed set (min-plus frontier
+    * propagation along edge direction): the hop-distance-from-
+    * whitelist feature that complements TrustRank's mass decay (q197)
+    * — spam heuristics and crawl schedulers read "how many links from
+    * a trusted host" as a number, and at bounded rounds the
+    * computation is a pure function of (edges, seeds, rounds), so
+    * every round replays in ANSI SQL. Nodes unreached within `rounds`
+    * are absent from the output (no sentinel).
+    *
+    * Scale shape per round: one keyed join of the current distance
+    * table onto the edge list (hash-partitioned on the source key)
+    * and one map-side-combinable min-agg; state is the reached-node
+    * table, cut per round. Returns (node, dist). */
+  def seedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, rounds: Int = 4,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = cp.cutShared(edges.select(
+        col(srcCol).cast("long").as("_src"),
+        col(dstCol).cast("long").as("_dst"))
+      .filter(col("_src") =!= col("_dst"))
+      .distinct(), Seq("_src"))
+    var dist = seeds.select(col(seeds.columns.head).cast("long").as("_n"))
+      .distinct().withColumn("_d", lit(0L))
+    for (_ <- 1 to rounds) {
+      val step = e
+        .join(dist.select(col("_n").as("_src"), col("_d")), Seq("_src"))
+        .select(col("_dst").as("_n"), (col("_d") + 1).as("_d"))
+      dist = cp.cutState(dist.unionByName(step)
+        .groupBy(col("_n")).agg(min(col("_d")).as("_d")))
+    }
+    dist.select(col("_n").as("node"), col("_d").as("dist"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007, Phys. Rev. E 76), determinized for replay: labels start
     * as node ids; each of `rounds` synchronous rounds every node

@@ -74,7 +74,11 @@ object Hll {
     require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of 2, got $m")
     require(maxRank >= 1 && maxRank <= 60)
     df
-      .withColumn("_h0", hashCol.cast("long"))
+      // mask to 32 bits BEFORE the finalizer: its multiply is
+      // overflow-safe only for sub-2^32 inputs (DuckDB raises on
+      // BIGINT overflow), and this lets raw ids — not just sub-2^31
+      // poly hashes — feed the sketch directly
+      .withColumn("_h0", pmod(hashCol.cast("long"), lit(4294967296L)))
       .withColumn("_g1", expr(
         "((_h0 ^ shiftright(_h0, 16)) * 73244475L) % 4294967296L"))
       .withColumn("_g2", expr(

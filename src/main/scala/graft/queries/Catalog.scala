@@ -6738,6 +6738,120 @@ object Catalog {
         CAST(coalesce(s.sel_tokens, 0) AS BIGINT) AS sel_tokens
       FROM q LEFT JOIN s USING (source)"""))
 
+  /** Bounded-round BFS distance from a 25-host seed whitelist
+    * ([[GraphOps.seedDistances]], 4 rounds) over the synthesized
+    * crawl host graph — the hop-distance feature TrustRank's mass
+    * decay (q197) implies but never surfaces as a number. The oracle
+    * unrolls every min-plus round; unreached hosts are absent by
+    * contract on both sides. */
+  private val q211 = Q("q211_seed_distance",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val edges = d.select(pmod(col("doc_id"), lit(499L)).as("src"),
+          pmod(col("doc_id") * 7, lit(499L)).as("dst"))
+        .unionByName(d.select(pmod(col("doc_id"), lit(499L)).as("src"),
+          pmod(col("doc_id") * 13 + 1, lit(499L)).as("dst")))
+      val seeds = d.select(pmod(col("doc_id"), lit(499L)).as("node"))
+        .filter(col("node") < 25).distinct()
+      GraphOps.seedDistances(edges, "src", "dst", seeds, rounds = 4)
+    },
+    Some {
+      def round(i: Int): String =
+        s"""d$i AS (SELECT n, min(d) AS d FROM (
+          SELECT n, d FROM d${i - 1}
+          UNION ALL
+          SELECT e.dst, p.d + 1 FROM e JOIN d${i - 1} p ON e.src = p.n)
+          z GROUP BY n)"""
+      s"""WITH e0 AS (
+        SELECT doc_id % 499 AS src, (doc_id * 7) % 499 AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id % 499, (doc_id * 13 + 1) % 499 FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      d0 AS (SELECT DISTINCT doc_id % 499 AS n, 0 AS d FROM documents
+        WHERE doc_id % 499 < 25),
+      ${round(1)}, ${round(2)}, ${round(3)}, ${round(4)}
+      SELECT CAST(n AS BIGINT) AS node, CAST(d AS BIGINT) AS dist
+      FROM d4"""
+    })
+
+  /** Rolling 3-day distinct-user cardinality via merged HLL registers
+    * — THE textbook mergeable-sketch use: per-day register tables are
+    * built once (map + keyed max), and every rolling window is a
+    * register max-merge, never a re-scan of raw events; the exact
+    * distinct count rides along as the sf-sized audit column. The
+    * oracle replays per-day registers, the window merge, the
+    * estimate, and the exact comparison. Raw user ids feed the sketch
+    * directly (the 32-bit mask + avalanche finalizer is the hash). */
+  private val q212 = Q("q212_rolling_distinct",
+    (s, dir) => {
+      val ev = eventsNs(s, dir).select(
+        expr("ts div 86400000000000L").as("_day"), col("user_id"))
+      val regs = graft.ext.Hll.registers(ev, "_day", col("user_id"))
+      val days = regs.select(col("_day").as("day")).distinct()
+      val win = days.join(regs,
+          col("_day").between(col("day") - 2, col("day")))
+        .groupBy(col("day"), col("bkt")).agg(max(col("reg")).as("reg"))
+      val est = graft.ext.Hll.estimateFromRegisters(win, "day")
+      val exact = days.join(ev,
+          col("_day").between(col("day") - 2, col("day")))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("day"))
+        .select(col("day"), col("n_buckets_hit"), col("hll_est"),
+          col("n_exact"),
+          expr("abs(hll_est - n_exact) * 1000000L div n_exact")
+            .as("err_micro"))
+    },
+    Some {
+      val lnTabSql = graft.ext.Hll.linearCountTableMicro(64)
+        .mkString("[", ", ", "]")
+      s"""WITH u AS (SELECT epoch_ns(ts) // 86400000000000 AS uday,
+          user_id % 4294967296 AS h0
+        FROM events),
+      h1 AS (SELECT uday,
+          (xor(h0, h0 >> 16) * 73244475) % 4294967296 AS g1 FROM u),
+      h2 AS (SELECT uday,
+          (xor(g1, g1 >> 16) * 73244475) % 4294967296 AS g2 FROM h1),
+      h AS (SELECT uday, xor(g2, g2 >> 16) AS hh FROM h2),
+      r AS (SELECT uday, hh % 64 AS bkt,
+          CASE WHEN hh // 64 = 0 THEN 30
+            ELSE least(bit_count(((hh // 64) & -(hh // 64)) - 1) + 1, 30)
+          END AS rk
+        FROM h),
+      regs AS (SELECT uday, bkt, max(rk) AS m
+        FROM r GROUP BY uday, bkt),
+      d AS (SELECT DISTINCT uday AS day FROM regs),
+      win AS (SELECT d.day, regs.bkt, max(regs.m) AS m
+        FROM d JOIN regs ON regs.uday BETWEEN d.day - 2 AND d.day
+        GROUP BY d.day, regs.bkt),
+      z AS (SELECT day, count(*) AS hit,
+          sum(CAST(1 AS BIGINT) << (30 - m)) AS zhit
+        FROM win GROUP BY day),
+      raw AS (SELECT day, hit,
+          CAST(CAST(709213 AS HUGEINT) * 4096 * (CAST(1 AS BIGINT) << 30)
+            // (zhit + (64 - hit) * (CAST(1 AS BIGINT) << 30))
+            // 1000000 AS BIGINT) AS r
+        FROM z),
+      est AS (SELECT day, hit,
+          CASE WHEN r <= 160 AND hit < 64
+            THEN (64 * ($lnTabSql)[CAST(greatest(64 - hit, 1) AS INT)])
+              // 1000000
+            ELSE r END AS hll_est
+        FROM raw),
+      ex AS (SELECT d.day, count(DISTINCT e.user_id) AS n_exact
+        FROM d JOIN (SELECT epoch_ns(ts) // 86400000000000 AS uday,
+            user_id FROM events) e
+          ON e.uday BETWEEN d.day - 2 AND d.day
+        GROUP BY d.day)
+      SELECT est.day, CAST(est.hit AS BIGINT) AS n_buckets_hit,
+        CAST(est.hll_est AS BIGINT) AS hll_est,
+        CAST(ex.n_exact AS BIGINT) AS n_exact,
+        CAST(abs(est.hll_est - ex.n_exact) * 1000000 // ex.n_exact
+          AS BIGINT) AS err_micro
+      FROM est JOIN ex USING (day)"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -6765,5 +6879,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210)
+    q208, q209, q210, q211, q212)
 }

@@ -160,6 +160,44 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- seed distances
+
+  test("seedDistances matches reference BFS, honors the round bound, " +
+      "and omits unreached nodes") {
+    val edges = Seq[(Long, Long)](
+      (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6),  // directed path
+      (0, 10), (10, 3),                                // shortcut to 3
+      (20, 21),                                        // unreachable isle
+      (7, 0))                                          // upstream of seed
+    val got = GraphOps.seedDistances(edges.toDF("src", "dst"),
+        "src", "dst", Seq(0L).toDF("node"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference BFS capped at 4 hops
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var ref = Map(0L -> 0L)
+    for (r <- 1L to 4L; (n, d) <- ref.toSeq if d == r - 1;
+        m <- adj.getOrElse(n, Seq.empty) if !ref.contains(m))
+      ref += (m -> r)
+    assert(got == ref)
+    assert(!got.contains(20L) && !got.contains(7L) && !got.contains(6L))
+    assert(got(3L) == 2L, "shortcut must win over the path distance")
+    assert(got.values.max <= 4L)
+  }
+
+  test("Hll.registers: window max-merge of per-day fragments equals " +
+      "registers over the union (the rolling-window composition)") {
+    val rows = (0L until 300L).map(i => (i % 3, i * 37 + 11))
+    val df = rows.toDF("day", "uid")
+    val perDay = Hll.registers(df, "day", col("uid"))
+    val merged = perDay.groupBy(col("bkt"))
+      .agg(max(col("reg")).as("reg"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val direct = Hll.registers(
+        df.withColumn("k", lit(1L)), "k", col("uid"))
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(merged == direct)
+  }
+
   // --------------------------------------------- content-defined chunks
 
   test("cdcChunks: chunks tile the document exactly and a shared " +
