@@ -6234,13 +6234,18 @@ object Catalog {
           pmod(col("doc_id") * 13 + 1, lit(499L)).cast("string"),
           lit(".example.com/b.")).as("_text"))
       val links = Urls.extractLinks(synth, "_text", "doc_id")
-      val edges = links
+      // host-graph-sized (499 hosts) and consumed by TWO iterative
+      // algorithms below, each of which would re-derive the whole
+      // extraction join chain — cut ONCE here so CC and TrustRank
+      // share a single materialization (FrameMemo storage rule: tiny
+      // relative to input by construction)
+      val edges = graft.ext.LocalCheckpoint.cut(links
         .join(synth.select(col("doc_id"), col("src_host")), "doc_id")
         .select(col("src_host"),
           regexp_extract(col("dst_host"), "site([0-9]+)\\.", 1)
             .cast("long").as("_dst"))
         .filter(col("src_host") =!= col("_dst"))
-        .distinct()
+        .distinct())
       val seeds = edges.select(col("src_host").as("node"))
         .unionByName(edges.select(col("_dst").as("node")))
         .distinct().filter(col("node") < 50)
