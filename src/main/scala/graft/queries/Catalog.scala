@@ -6857,6 +6857,36 @@ object Catalog {
       FROM est JOIN ex USING (day)"""
     })
 
+  /** Exact set-similarity self-join via prefix filtering
+    * ([[Dedup.prefixFilterJaccardPairs]], the SSJoin/PPJoin
+    * discipline, t = 3/5): candidates from shared rare-first prefix
+    * shingles, zero false negatives BY THEOREM — so the oracle here
+    * is deliberately the brute-force all-pairs Jaccard: a hash match
+    * pins the exactness guarantee itself (prefix output ≡ exhaustive
+    * output), not just the arithmetic. The LSH family (q118/q207)
+    * trades that guarantee for hash-bounded candidates; this is the
+    * other point on the design surface, and the one contamination
+    * audits reach for when "probably all duplicates" is not
+    * acceptable. */
+  private val q213 = Q("q213_prefix_join",
+    (s, dir) => Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"),
+      "text", "doc_id", n = 3, thresholdNum = 3, thresholdDen = 5),
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (SELECT doc_id,
+          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id) z
+      WHERE jaccard >= 0.6"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -6884,5 +6914,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212)
+    q208, q209, q210, q211, q212, q213)
 }

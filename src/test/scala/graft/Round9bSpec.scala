@@ -136,6 +136,34 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------- prefix-filter join
+
+  test("prefixFilterJaccardPairs == brute-force all-pairs at the " +
+      "threshold (zero false negatives) on an adversarial fixture") {
+    import graft.ext.Dedup
+    // near-threshold pairs, shared-common vs shared-rare shingles,
+    // length-skewed docs
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i k"),      // high overlap with 1
+      (3L, "a b c d e f x y z w"),      // moderate overlap with 1/2
+      (4L, "p q r s t u v w x y"),
+      (5L, "p q r s t u v w x y"),      // exact dup of 4
+      (6L, "p q r s t zz uu vv ww xx"), // half overlap with 4
+      (7L, "m n o"),                    // single shingle
+      (8L, "m n o"),                    // dup of 7
+      (9L, "completely different words here nothing shared at all ok"))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pf = Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",
+      n = 3, thresholdNum = 3, thresholdDen = 5)
+    val brute = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      blockCols = Seq(lit(1)), n = 3, threshold = 0.6)
+    assert(pairSet(pf) == pairSet(brute))
+    assert(pairSet(pf).contains((4L, 5L)) && pairSet(pf).contains((7L, 8L)))
+  }
+
   // ------------------------------------------------------ HLL sketch
 
   test("Hll.registerEstimate: duplicate-idempotent, bucket count " +
