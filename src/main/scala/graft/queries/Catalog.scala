@@ -6887,6 +6887,69 @@ object Catalog {
         FROM g a JOIN g b ON a.doc_id < b.doc_id) z
       WHERE jaccard >= 0.6"""))
 
+  /** Last-touch attribution over the events stream: each purchase is
+    * credited to the LAST click/view by the same user inside a 7-day
+    * lookback (strictly before, deterministic (ts, event_id) argmax
+    * — a keyed agg, no per-user window), purchases with no touch fall
+    * to the 'direct' channel. The per-channel rollup carries
+    * conversion counts, total touch-to-purchase lag minutes, and the
+    * channel share in micro — the marketing-attribution twin of the
+    * q37 as-of join, run entirely on integral ns arithmetic. The
+    * user-keyed join bounds candidate pairs by per-user activity ×
+    * lookback, never a cross product. */
+  private val q214 = Q("q214_attribution",
+    (s, dir) => {
+      val e = eventsNs(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("_pid"), col("user_id"),
+          col("ts").as("_pts"))
+      val touch = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_type").as("_ch"),
+          col("ts").as("_tts"), col("event_id").as("_teid"))
+      val last = p.join(touch, Seq("user_id"))
+        .filter(col("_tts") < col("_pts") &&
+          col("_tts") >= col("_pts") - lit(604800000000000L))
+        .groupBy(col("_pid"), col("_pts"))
+        .agg(max(struct(col("_tts"), col("_teid"), col("_ch")))
+          .as("_w"))
+        .select(col("_pid"), col("_pts"), col("_w._ch").as("_ch"),
+          col("_w._tts").as("_tts"))
+      val att = p.join(last.select(col("_pid"), col("_ch"), col("_tts")),
+          Seq("_pid"), "left")
+        .select(coalesce(col("_ch"), lit("direct")).as("channel"),
+          coalesce(expr("(_pts - _tts) div 60000000000L"), lit(0L))
+            .as("_lag"))
+      val tot = p.agg(count(lit(1)).as("_n"))
+      att.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conv"), sum(col("_lag")).as("sum_lag_min"))
+        .crossJoin(broadcast(tot))
+        .select(col("channel"), col("n_conv"), col("sum_lag_min"),
+          expr("n_conv * 1000000L div _n").as("share_micro"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+        epoch_ns(ts) AS tns FROM events),
+      p AS (SELECT event_id AS pid, user_id, tns AS pts FROM e
+        WHERE event_type = 'purchase'),
+      tch AS (SELECT user_id, event_type AS ch, tns AS tts,
+          event_id AS teid
+        FROM e WHERE event_type IN ('click', 'view')),
+      j AS (SELECT p.pid, p.pts, t.ch, t.tts, t.teid
+        FROM p JOIN tch t ON t.user_id = p.user_id
+          AND t.tts < p.pts AND t.tts >= p.pts - 604800000000000),
+      last AS (SELECT pid, ch, tts FROM (SELECT *,
+          row_number() OVER (PARTITION BY pid
+            ORDER BY tts DESC, teid DESC) AS rn FROM j) z
+        WHERE rn = 1),
+      att AS (SELECT coalesce(l.ch, 'direct') AS channel,
+          coalesce((p.pts - l.tts) // 60000000000, 0) AS lag
+        FROM p LEFT JOIN last l ON l.pid = p.pid),
+      tot AS (SELECT count(*) AS n FROM p)
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_conv,
+        CAST(sum(lag) AS BIGINT) AS sum_lag_min,
+        CAST(count(*) * 1000000 // tot.n AS BIGINT) AS share_micro
+      FROM att, tot GROUP BY channel, tot.n"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -6914,5 +6977,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213)
+    q208, q209, q210, q211, q212, q213, q214)
 }

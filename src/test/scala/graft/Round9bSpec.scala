@@ -164,6 +164,34 @@ class Round9bSpec extends SparkSpec {
     assert(pairSet(pf).contains((4L, 5L)) && pairSet(pf).contains((7L, 8L)))
   }
 
+  test("property: prefix join == brute force on generated corpora " +
+      "(6 seeds, small vocab forces near-threshold collisions)") {
+    import graft.ext.Dedup
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 8-word vocabulary + 5..12-word docs: dense shingle collisions,
+    // many pairs land NEAR the threshold where pruning bugs would bite
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen = Gen.listOfN(30, for {
+      len <- Gen.chooseNum(5, 12)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" "))
+    (0 until 6).foreach { i =>
+      val docs = docGen(Gen.Parameters.default, Seed(i.toLong)).get
+        .zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val pf = Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",
+          n = 3, thresholdNum = 3, thresholdDen = 5)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          blockCols = Seq(lit(1)), n = 3, threshold = 0.6)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pf == brute, s"seed $i diverged")
+    }
+  }
+
   // ------------------------------------------------------ HLL sketch
 
   test("Hll.registerEstimate: duplicate-idempotent, bucket count " +
