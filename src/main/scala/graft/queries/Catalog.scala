@@ -6950,6 +6950,105 @@ object Catalog {
         CAST(count(*) * 1000000 // tot.n AS BIGINT) AS share_micro
       FROM att, tot GROUP BY channel, tot.n"""))
 
+  /** Per-source distribution-drift dashboard: total-variation
+    * distance (in micro) between each source's token-length histogram
+    * and the corpus-wide profile — the outlier-source detector a
+    * curation review reads before debugging a mixture (PSI's ln
+    * makes it float-fragile; TVD is the integral member of the same
+    * family). Micro shares are integer divisions, so the statistic
+    * replays exactly. Scale shape: two keyed histogram aggs over
+    * bounded (key × bucket) state, then a broadcast of the
+    * bucket-cardinality global profile onto the source list — no
+    * corpus-sized join anywhere. */
+  private val q215 = Q("q215_source_drift",
+    (s, dir) => {
+      val v = t(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("_tok"))
+        .withColumn("_b", expr("_tok div 8"))
+      val per = v.groupBy(col("source"), col("_b"))
+        .agg(count(lit(1)).as("_c"))
+      val nSrc = v.groupBy(col("source")).agg(count(lit(1)).as("_n"))
+      val glob = v.groupBy(col("_b")).agg(count(lit(1)).as("_g"))
+      val tot = v.agg(count(lit(1)).as("_t"))
+      val grid = nSrc.crossJoin(broadcast(glob.crossJoin(tot)))
+      // integer `div` throughout: a double divide-then-truncate can
+      // land on the wrong side of an integer boundary when 1/n is
+      // below the quotient's ulp — the oracle's // is exact, so ours
+      // must be too
+      grid.join(per, Seq("source", "_b"), "left")
+        .withColumn("_p", expr("coalesce(_c, 0L) * 1000000L div _n"))
+        .withColumn("_q", expr("_g * 1000000L div _t"))
+        .groupBy(col("source"))
+        .agg(max(col("_n")).as("n_docs"),
+          expr("sum(abs(_p - _q)) div 2").as("tvd_micro"))
+    },
+    Some("""WITH v AS (SELECT source,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) // 8 AS b
+        FROM documents),
+      per AS (SELECT source, b, count(*) AS c FROM v GROUP BY source, b),
+      ns AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+      gl AS (SELECT b, count(*) AS g FROM v GROUP BY b),
+      tt AS (SELECT count(*) AS t FROM v),
+      grid AS (SELECT ns.source, ns.n, gl.b, gl.g, tt.t FROM ns, gl, tt),
+      sh AS (SELECT grid.source, grid.n,
+          coalesce(per.c, 0) * 1000000 // grid.n AS p,
+          grid.g * 1000000 // grid.t AS q
+        FROM grid LEFT JOIN per
+          ON per.source = grid.source AND per.b = grid.b)
+      SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        CAST(sum(abs(p - q)) // 2 AS BIGINT) AS tvd_micro
+      FROM sh GROUP BY source"""))
+
+  /** Item co-visitation top-k over the events stream (the classic
+    * "users who touched X also touched Y" co-occurrence join feeding
+    * every lightweight recommender): per user the DISTINCT touched
+    * item set (props.k), per unordered item pair the co-visitor
+    * count, then the top-5 neighbors per item by (count desc, item
+    * asc). The per-user self-join is bounded by per-user distinct
+    * items (≤ |item universe|), never a global cross; the top-k
+    * window is item-keyed. */
+  private val q216 = Q("q216_covisitation",
+    (s, dir) => {
+      val it = eventsNs(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("_k"))
+        .filter(col("_k").isNotNull).distinct()
+      val co = it.select(col("user_id"), col("_k").as("_ka"))
+        .join(it.select(col("user_id"), col("_k").as("_kb")),
+          Seq("user_id"))
+        .filter(col("_ka") < col("_kb"))
+        .groupBy(col("_ka"), col("_kb")).agg(count(lit(1)).as("_n"))
+      val sym = co.select(col("_ka").as("item"), col("_kb").as("rec"),
+          col("_n"))
+        .unionByName(co.select(col("_kb").as("item"),
+          col("_ka").as("rec"), col("_n")))
+      sym.withColumn("_r", row_number().over(
+          Window.partitionBy(col("item"))
+            .orderBy(col("_n").desc, col("rec"))))
+        .filter(col("_r") <= 5)
+        .select(col("item"), col("rec"), col("_n").as("n_co"),
+          col("_r").as("rank"))
+    },
+    Some("""WITH it AS (SELECT DISTINCT user_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_type IN ('click', 'view')
+          AND json_extract_string(props, '$.k') IS NOT NULL),
+      co AS (SELECT a.k AS ka, b.k AS kb, count(*) AS n
+        FROM it a JOIN it b ON a.user_id = b.user_id AND a.k < b.k
+        GROUP BY a.k, b.k),
+      sym AS (SELECT ka AS item, kb AS rec, n FROM co
+        UNION ALL SELECT kb, ka, n FROM co),
+      rk AS (SELECT item, rec, n,
+          row_number() OVER (PARTITION BY item
+            ORDER BY n DESC, rec ASC) AS r
+        FROM sym)
+      SELECT CAST(item AS BIGINT) AS item, CAST(rec AS BIGINT) AS rec,
+        CAST(n AS BIGINT) AS n_co, CAST(r AS BIGINT) AS rank
+      FROM rk WHERE r <= 5"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -6977,5 +7076,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216)
 }
