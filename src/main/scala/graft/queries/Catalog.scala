@@ -7049,6 +7049,104 @@ object Catalog {
         CAST(n AS BIGINT) AS n_co, CAST(r AS BIGINT) AS rank
       FROM rk WHERE r <= 5"""))
 
+  /** Event-type transition matrix (first-order Markov view of user
+    * journeys): consecutive event pairs per user in (ts, event_id)
+    * order — the deterministic tiebreak matters, events can share a
+    * timestamp — then per (from, to) counts and row-normalized
+    * probabilities in micro. One user-keyed lag window + one keyed
+    * agg; the matrix itself is |types|² bounded state. */
+  private val q217 = Q("q217_transitions",
+    (s, dir) => {
+      val e = eventsNs(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = e
+        .withColumn("_next", lead(col("event_type"), 1).over(w))
+        .filter(col("_next").isNotNull)
+      val m = pairs.groupBy(col("event_type").as("from_type"),
+          col("_next").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val rows = m.groupBy(col("from_type"))
+        .agg(sum(col("n_trans")).as("_row"))
+      m.join(rows, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          expr("n_trans * 1000000L div _row").as("p_micro"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id,
+        event_type FROM events),
+      p AS (SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY tns, event_id) AS to_type
+        FROM e),
+      m AS (SELECT from_type, to_type, count(*) AS n_trans
+        FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      r AS (SELECT from_type, sum(n_trans) AS rn FROM m
+        GROUP BY from_type)
+      SELECT m.from_type, m.to_type, CAST(m.n_trans AS BIGINT)
+          AS n_trans,
+        CAST(m.n_trans * 1000000 // r.rn AS BIGINT) AS p_micro
+      FROM m JOIN r USING (from_type)"""))
+
+  /** Referential-integrity + null-rate audit across the TPC-H-ish
+    * star: orphan counts for every FK edge the reference's semi-join
+    * chains assume (lineitem→orders, orders→customer,
+    * customer→nation, supplier→nation, part absence in lineitem) and
+    * the null rate of the key columns — the data-contract monitor an
+    * ingest pipeline runs BEFORE the joins that would silently drop
+    * rows. Each row is one anti-join count: broadcast the dimension
+    * side, never shuffle the fact. */
+  private val q218 = Q("q218_fk_audit",
+    (s, dir) => {
+      def orphans(fact: DataFrame, fk: String, dim: DataFrame,
+          pk: String, edge: String) = {
+        val o = fact.join(dim.select(col(pk).as(fk)).distinct(),
+          Seq(fk), "left_anti")
+        o.agg(count(lit(1)).as("n_orphans"))
+          .crossJoin(fact.agg(count(lit(1)).as("_n"),
+            sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk")))
+          .select(lit(edge).as("edge"), col("n_orphans"),
+            col("n_null_fk"), col("_n").as("n_fact"))
+      }
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val su = t(s, dir, "supplier")
+      val p = t(s, dir, "part")
+      orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(o, "o_custkey", c, "c_custkey",
+          "orders->customer"))
+        .unionByName(orphans(c, "c_nationkey", n, "n_nationkey",
+          "customer->nation"))
+        .unionByName(orphans(su, "s_nationkey", n, "n_nationkey",
+          "supplier->nation"))
+        .unionByName(orphans(li, "l_partkey", p, "p_partkey",
+          "lineitem->part"))
+    },
+    Some {
+      def edge(fact: String, fk: String, dim: String, pk: String,
+          name: String): String =
+        s"""SELECT '$name' AS edge,
+          CAST((SELECT count(*) FROM $fact f
+            WHERE NOT EXISTS (SELECT 1 FROM $dim d
+              WHERE d.$pk = f.$fk)) AS BIGINT) AS n_orphans,
+          CAST((SELECT count(*) FROM $fact WHERE $fk IS NULL)
+            AS BIGINT) AS n_null_fk,
+          CAST((SELECT count(*) FROM $fact) AS BIGINT) AS n_fact"""
+      Seq(
+        edge("lineitem", "l_orderkey", "orders", "o_orderkey",
+          "lineitem->orders"),
+        edge("orders", "o_custkey", "customer", "c_custkey",
+          "orders->customer"),
+        edge("customer", "c_nationkey", "nation", "n_nationkey",
+          "customer->nation"),
+        edge("supplier", "s_nationkey", "nation", "n_nationkey",
+          "supplier->nation"),
+        edge("lineitem", "l_partkey", "part", "p_partkey",
+          "lineitem->part")).mkString("\nUNION ALL\n")
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7076,5 +7174,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
 }
