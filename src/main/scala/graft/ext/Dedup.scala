@@ -448,15 +448,26 @@ object Dedup {
       .filter(col("_pos") <= col("_sz") -
         expr(s"($thresholdNum * _sz + ${thresholdDen - 1}) " +
           s"div $thresholdDen") + 1)
-      .select(col("_id"), col("_sz"), col("_tok"))
+      .select(col("_id"), col("_sz"), col("_pos"), col("_tok"))
     val cand = prefix.select(col("_id").as("doc_a"),
-        col("_sz").as("_sza"), col("_tok"))
+        col("_sz").as("_sza"), col("_pos").as("_posa"), col("_tok"))
       .join(prefix.select(col("_id").as("doc_b"),
-        col("_sz").as("_szb"), col("_tok")), Seq("_tok"))
+        col("_sz").as("_szb"), col("_pos").as("_posb"), col("_tok")),
+        Seq("_tok"))
       .filter(col("doc_a") < col("doc_b"))
       // length compatibility: t·|a| ≤ |b| and t·|b| ≤ |a|
       .filter(col("_szb") * thresholdDen >= col("_sza") * thresholdNum &&
         col("_sza") * thresholdDen >= col("_szb") * thresholdNum)
+      // positional filter (PPJoin): a shared token at sorted positions
+      // (i, j) bounds the overlap by 1 + min(|a|−i, |b|−j); J ≥ t
+      // needs overlap ≥ ⌈t·(|a|+|b|)/(1+t)⌉ — prune join rows whose
+      // bound cannot reach it (the pair survives iff ANY shared prefix
+      // token passes, so the verified output is invariant)
+      .filter(lit(1) + least(col("_sza") - col("_posa"),
+          col("_szb") - col("_posb")) >=
+        expr(s"($thresholdNum * (_sza + _szb) + " +
+          s"${thresholdDen + thresholdNum - 1}) " +
+          s"div ${thresholdDen + thresholdNum}"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     cand
