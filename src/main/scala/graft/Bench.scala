@@ -66,8 +66,13 @@ object Bench {
         // query owns its full cost and nothing else's.
         try {
           spark.catalog.clearCache()
+          // blocking: a fire-and-forget unpersist queues block
+          // removals that the NEXT checkpoint-heavy query then
+          // contends with (q51's recorded 3-18s swings on identical
+          // code track exactly this); paying the few ms here pins the
+          // cost to the query that caused it
           spark.sparkContext.getPersistentRDDs.valuesIterator
-            .foreach(_.unpersist(blocking = false))
+            .foreach(_.unpersist(blocking = true))
           spark.sessionState.catalog.getTempViewNames()
             .foreach(spark.catalog.dropTempView)
         } catch { case _: Throwable => }
