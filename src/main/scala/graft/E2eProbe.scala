@@ -54,7 +54,7 @@ object E2eProbe {
       // Bench hygiene between stages
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
-        _.unpersist(blocking = false))
+        _.unpersist(blocking = true))
       stages += ((name, sec, rows))
       System.err.println(f"[e2e] $name $sec%.2fs $rows rows")
     }

@@ -50,7 +50,7 @@ object GraphE2eProbe {
       val rows = spark.read.parquet(s"$out/$name").count()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
-        _.unpersist(blocking = false))
+        _.unpersist(blocking = true))
       stages += ((name, sec, rows))
       System.err.println(f"[graph-e2e] $name $sec%.2fs $rows rows")
     }

@@ -41,7 +41,7 @@ object ScaleProbe {
       // the Bench hygiene rule: nothing may stay pinned between runs
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(
-        _.unpersist(blocking = false))
+        _.unpersist(blocking = true))
       (sec, n)
     }
     // warm the JVM/codegen on the smaller dir before timing
