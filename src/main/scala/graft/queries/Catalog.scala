@@ -7147,6 +7147,108 @@ object Catalog {
           "lineitem->part")).mkString("\nUNION ALL\n")
     })
 
+  /** Exact near-dup collapse end-to-end: prefix-join pairs (q213's
+    * zero-false-negative candidate theorem) → connected components →
+    * min-id keeper per cluster — the EXACT twin of the q51/q88
+    * blocked-LSH collapse, for the audits where "probably all
+    * duplicates" is not acceptable. CC labels ARE the cluster minima,
+    * so the keeper falls out of the component id; output is the
+    * per-cluster removal ledger. The oracle composes the brute-force
+    * pair truth with recursive-CTE reachability minima — pinning
+    * pair exactness AND the collapse in one hash. */
+  private val q219 = Q("q219_exact_collapse",
+    (s, dir) => {
+      val pairs = Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"),
+          "text", "doc_id", n = 3, thresholdNum = 3, thresholdDen = 5)
+        .select(col("doc_a"), col("doc_b"))
+      GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("component").as("keeper"), col("n_members"),
+          (col("n_members") - 1).as("n_removed"))
+    },
+    Some("""WITH RECURSIVE t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (SELECT doc_id,
+          list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3),
+      pr AS (SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            AS jac
+        FROM g a JOIN g b ON a.doc_id < b.doc_id) z
+        WHERE jac >= 0.6),
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        UNION SELECT doc_b, doc_a FROM pr),
+      nodes AS (SELECT DISTINCT a AS n FROM sym),
+      rc(n, m) AS (SELECT n, n FROM nodes
+        UNION
+        SELECT s.b, rc.m FROM rc JOIN sym s ON s.a = rc.n),
+      comp AS (SELECT n, min(m) AS c FROM rc GROUP BY n)
+      SELECT CAST(c AS BIGINT) AS keeper,
+        CAST(count(*) AS BIGINT) AS n_members,
+        CAST(count(*) - 1 AS BIGINT) AS n_removed
+      FROM comp GROUP BY c"""))
+
+  /** Association rules from co-visitation (the support/confidence/
+    * lift layer over q216's co-occurrence counts, Agrawal et al.
+    * 1993): both rule directions per co-visited pair, confidence =
+    * co-visitors over antecedent visitors, lift against independence
+    * — all integer micro (the co-count and visitor counts are the
+    * only inputs), min-support 10 co-visitors. Keyed aggs + one
+    * broadcast of the per-item visitor counts; bounded by the item
+    * universe squared. */
+  private val q220 = Q("q220_assoc_rules",
+    (s, dir) => {
+      val it = eventsNs(s, dir)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("_k"))
+        .filter(col("_k").isNotNull).distinct()
+      val nItem = it.groupBy(col("_k")).agg(count(lit(1)).as("_na"))
+      val nUsers = it.agg(countDistinct(col("user_id")).as("_u"))
+      val co = it.select(col("user_id"), col("_k").as("_ka"))
+        .join(it.select(col("user_id"), col("_k").as("_kb")),
+          Seq("user_id"))
+        .filter(col("_ka") < col("_kb"))
+        .groupBy(col("_ka"), col("_kb")).agg(count(lit(1)).as("_nco"))
+        .filter(col("_nco") >= 10)
+      val rules = co.select(col("_ka").as("ante"), col("_kb").as("cons"),
+          col("_nco"))
+        .unionByName(co.select(col("_kb").as("ante"),
+          col("_ka").as("cons"), col("_nco")))
+      rules
+        .join(broadcast(nItem).withColumnRenamed("_k", "ante"), Seq("ante"))
+        .join(broadcast(nItem.withColumnRenamed("_k", "cons")
+          .withColumnRenamed("_na", "_nb")), Seq("cons"))
+        .crossJoin(broadcast(nUsers))
+        .select(col("ante"), col("cons"), col("_nco").as("n_co"),
+          expr("_nco * 1000000L div _na").as("conf_micro"),
+          expr("CAST(CAST(_nco AS DECIMAL(38,0)) * _u * 1000000 " +
+            "div (_na * _nb) AS BIGINT)").as("lift_micro"))
+    },
+    Some("""WITH it AS (SELECT DISTINCT user_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_type IN ('click', 'view')
+          AND json_extract_string(props, '$.k') IS NOT NULL),
+      ni AS (SELECT k, count(*) AS na FROM it GROUP BY k),
+      u AS (SELECT count(DISTINCT user_id) AS nu FROM it),
+      co AS (SELECT a.k AS ka, b.k AS kb, count(*) AS nco
+        FROM it a JOIN it b ON a.user_id = b.user_id AND a.k < b.k
+        GROUP BY a.k, b.k HAVING count(*) >= 10),
+      rules AS (SELECT ka AS ante, kb AS cons, nco FROM co
+        UNION ALL SELECT kb, ka, nco FROM co)
+      SELECT r.ante, r.cons, CAST(r.nco AS BIGINT) AS n_co,
+        CAST(r.nco * 1000000 // x.na AS BIGINT) AS conf_micro,
+        CAST(CAST(r.nco AS HUGEINT) * u.nu * 1000000
+          // (x.na * y.na) AS BIGINT) AS lift_micro
+      FROM rules r JOIN ni x ON x.k = r.ante
+      JOIN ni y ON y.k = r.cons, u"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7174,5 +7276,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220)
 }
