@@ -46,7 +46,11 @@ class PlanAuditSpec extends SparkSpec {
     // (q203 label propagation stays excluded as an eager
     // checkpointing loop)
     "q204_cdc_chunks", "q205_host_split", "q206_hll_portable",
-    "q207_lsh_recall", "q208_decay_engagement", "q209_neyman_sample")
+    "q207_lsh_recall", "q208_decay_engagement", "q209_neyman_sample",
+    // round-9 fifth wave (q219 excluded: eager CC loop; q210 streams)
+    "q213_prefix_join", "q214_attribution", "q215_source_drift",
+    "q216_covisitation", "q217_transitions", "q218_fk_audit",
+    "q220_assoc_rules")
 
   test("relational plans: keyed joins only, whole-stage codegen present") {
     val dir = sf("sf0.001")
@@ -67,8 +71,13 @@ class PlanAuditSpec extends SparkSpec {
       // scalars / reference day) into the output — a constant-cost
       // broadcast, not a data-sized nested loop; every data-sized
       // join must still be keyed
+      // q215's grid additionally crosses the source list with the
+      // BOUNDED bucket-cardinality global profile (dashboard state,
+      // like q193's bucket table) — same constant-cost class
       val singleRowBroadcast = Set("q68_tfidf", "q198_funnel",
-        "q205_host_split", "q207_lsh_recall", "q208_decay_engagement")
+        "q205_host_split", "q207_lsh_recall", "q208_decay_engagement",
+        "q214_attribution", "q215_source_drift", "q218_fk_audit",
+        "q220_assoc_rules")
       if (!singleRowBroadcast.contains(q.name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"${q.name}: nested-loop join in plan")

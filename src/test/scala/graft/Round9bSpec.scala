@@ -62,6 +62,20 @@ class Round9bSpec extends SparkSpec {
     assert(rows.filter(_._1 >= 50).forall(r => r._2 == 50L && r._3 == 3L))
   }
 
+  test("labelPropagation is invariant under input partitioning and " +
+      "edge order (the determinization claim)") {
+    val edges = (0L until 200L).filter(_ % 40 != 39).map(i => (i, i + 1)) ++
+      (0L until 200L).filter(_ % 40 < 38).map(i => (i, i + 2))
+    val a = GraphOps.labelPropagation(
+        edges.toDF("src", "dst"), "src", "dst", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = GraphOps.labelPropagation(
+        new scala.util.Random(7).shuffle(edges).toDF("src", "dst")
+          .repartition(7), "src", "dst", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   // ------------------------------------------------------- group split
 
   test("groupSplit: a group never straddles splits, assignment is " +
