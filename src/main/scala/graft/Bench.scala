@@ -71,7 +71,9 @@ object Bench {
           // contends with (q51's recorded 3-18s swings on identical
           // code track exactly this); paying the few ms here pins the
           // cost to the query that caused it
+          val memoKeep = graft.ext.FrameMemo.liveRddIds
           spark.sparkContext.getPersistentRDDs.valuesIterator
+            .filter(r => !memoKeep.contains(r.id))
             .foreach(_.unpersist(blocking = true))
           spark.sessionState.catalog.getTempViewNames()
             .foreach(spark.catalog.dropTempView)

@@ -37,7 +37,9 @@ object Verify {
       // queue removals under, the next query
       try {
         spark.catalog.clearCache()
+        val memoKeep = graft.ext.FrameMemo.liveRddIds
         spark.sparkContext.getPersistentRDDs.valuesIterator
+          .filter(r => !memoKeep.contains(r.id))
           .foreach(_.unpersist(blocking = true))
       } catch { case _: Throwable => }
     }

@@ -37,6 +37,21 @@ object FrameMemo {
 
   private[graft] def size: Int = cache.size
 
+  /** RDD ids of every live cached checkpoint — the harness hygiene
+    * sweeps (Bench/Verify between-query unpersist) must exempt these:
+    * a memoized frame whose blocks are swept replays as
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Bounded by the memo's own
+    * storage contract (small-relative-to-input frames only). */
+  def liveRddIds: Set[Int] = {
+    val b = Set.newBuilder[Int]
+    cache.values().forEach { df =>
+      try b ++= org.apache.spark.sql.graftbridge.ColumnBridge
+        .checkpointRddIds(df)
+      catch { case _: Exception => () }
+    }
+    b.result()
+  }
+
   /** Unpersist every cached checkpoint and forget it. */
   def clear(): Unit = {
     cache.values().forEach { df =>

@@ -34,4 +34,14 @@ object ColumnBridge {
         l.rdd.unpersist(blocking = false)
       case _ =>
     }
+
+  /** The RDD ids backing a checkpointed Dataset's LogicalRDD leaves —
+    * lets a harness-level storage sweep EXEMPT frames a live memo
+    * still references (ripping their blocks out produces
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next replay; the
+    * pre-blocking sweep only ever won that race by accident). */
+  def checkpointRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
 }
