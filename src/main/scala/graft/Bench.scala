@@ -51,13 +51,25 @@ object Bench {
     // the driver invokes with no args = full catalog)
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a failed query must be LOUD in the record: the old
+        // catch-and-continue made a broken query look like a fast one
+        // (q189 recorded 0.15s exception paths as wins). Failures land
+        // in the JSON "failures" array; the run still completes.
+        val failed =
+          try { fn(spark, sfDir).count(); false }
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] $name FAILED: ${e.getMessage}")
+            true
+          }
         val dt = (System.nanoTime() - t0) / 1e9
+        if (failed) failures += name
         // Session hygiene between queries: a shared multi-query JVM
         // must not let one query's storage (cached tables, any stray
         // localCheckpoint blocks) ride into the next — round 6's bench
@@ -84,8 +96,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val fl = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fl,"sf":"$sfDir"}"""
     // Durable copy first: the driver greps stdout for the metric line,
     // and rounds 1-2 both lost it to interleaved shutdown noise. The
     // file survives regardless of log ordering.
