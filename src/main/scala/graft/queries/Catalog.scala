@@ -7249,6 +7249,75 @@ object Catalog {
       FROM rules r JOIN ni x ON x.k = r.ante
       JOIN ni y ON y.k = r.cons, u"""))
 
+  /** Lexical-diversity dashboard per source: token mass, distinct
+    * types, type-token ratio, and hapax fraction (once-occurring
+    * types over types) in micro — the corpus-linguistics panel that
+    * separates template-generated sources (low TTR, low hapax) from
+    * natural text before any model-based scoring runs. Two keyed aggs
+    * over (source, word) — the word table never leaves the executors.
+    */
+  private val q221 = Q("q221_lexical_diversity",
+    (s, dir) => {
+      val w = t(s, dir, "documents").select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("_w"))
+      val perWord = w.groupBy(col("source"), col("_w"))
+        .agg(count(lit(1)).as("_c"))
+      perWord.groupBy(col("source"))
+        .agg(sum(col("_c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("_c") === 1, 1L).otherwise(0L)).as("_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("n_types * 1000000L div n_tokens").as("ttr_micro"),
+          expr("_hapax * 1000000L div n_types").as("hapax_micro"))
+    },
+    Some("""WITH w AS (SELECT source, unnest(list_filter(
+          string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS w
+        FROM documents),
+      pw AS (SELECT source, w, count(*) AS c FROM w GROUP BY source, w)
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_types,
+        CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_micro,
+        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+          // count(*) AS BIGINT) AS hapax_micro
+      FROM pw GROUP BY source"""))
+
+  /** Metadata-trust audit: agreement between the declared `lang`
+    * column and the engine's n-gram language heuristic (q28's),
+    * rolled up per (source, declared lang) — the dashboard that
+    * decides whether upstream metadata can gate routing decisions or
+    * must be re-derived. Map-only classify + one keyed agg. */
+  private val q222 = Q("q222_lang_agreement",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        TextAnalysis.langIdHeuristic(col("text")).as("_det"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_det") === col("lang"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("_det") === "en", 1L).otherwise(0L))
+          .as("n_det_en"))
+      .withColumn("agree_micro",
+        expr("n_agree * 1000000L div n_docs")),
+    Some("""WITH d AS (SELECT source, lang,
+        CASE WHEN n = 0 THEN 'empty'
+             WHEN hits * 1.0 / n >= 0.10 THEN 'en'
+             WHEN hits * 1.0 / n >= 0.05 THEN 'en_like'
+             ELSE 'other' END AS det
+      FROM (SELECT source, lang,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS n,
+        len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> x IN ('the','a','of','and','is'))) AS hits
+        FROM documents) z)
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN det = lang THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_agree,
+        CAST(sum(CASE WHEN det = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_det_en,
+        CAST(sum(CASE WHEN det = lang THEN 1 ELSE 0 END) * 1000000
+          // count(*) AS BIGINT) AS agree_micro
+      FROM d GROUP BY source, lang"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7276,5 +7345,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
 }
