@@ -50,7 +50,8 @@ class PlanAuditSpec extends SparkSpec {
     // round-9 fifth wave (q219 excluded: eager CC loop; q210 streams)
     "q213_prefix_join", "q214_attribution", "q215_source_drift",
     "q216_covisitation", "q217_transitions", "q218_fk_audit",
-    "q220_assoc_rules")
+    "q220_assoc_rules", "q221_lexical_diversity",
+    "q222_lang_agreement")
 
   test("relational plans: keyed joins only, whole-stage codegen present") {
     val dir = sf("sf0.001")
