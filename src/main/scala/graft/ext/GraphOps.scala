@@ -42,11 +42,19 @@ object GraphOps {
     * same fixed point (q197). Initial state is unchanged (cold 1e6
     * everywhere unless `initRanks`), so the trajectory stays exactly
     * replayable round by round. */
+  /** `weightCol` switches to weighted PageRank: contribution along an
+    * edge is proportional to its positive integer weight over the
+    * source's total out-weight (link multiplicity, click counts, …).
+    * Duplicate (src, dst) rows sum their weights; `None` is exactly
+    * the unweighted fixed point (all-ones weights make the formulas
+    * identical term for term, so every existing oracle replays
+    * unchanged). */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampMicro: Long = 850000L,
       cp: Checkpointer = LocalCheckpoint,
       initRanks: Option[DataFrame] = None,
-      seedNodes: Option[DataFrame] = None): DataFrame = {
+      seedNodes: Option[DataFrame] = None,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && dampMicro > 0 && dampMicro < 1000000L)
     // the edge list, node set, and degree table are FROZEN across
     // rounds — cut each once, or every round re-derives the upstream
@@ -55,8 +63,17 @@ object GraphOps {
     // and nodes on _n, so laying the cut out by that key lets the
     // downstream operators inherit the exchange's hash layout instead
     // of inserting their own shuffle per round
-    val e = cp.cutShared(edges.select(col(srcCol).cast("long").as("_src"),
-      col(dstCol).cast("long").as("_dst")).distinct(), Seq("_src"))
+    val eRaw = weightCol match {
+      case Some(w) => edges.select(col(srcCol).cast("long").as("_src"),
+          col(dstCol).cast("long").as("_dst"),
+          col(w).cast("long").as("_w"))
+        .filter(col("_w") > 0)
+        .groupBy(col("_src"), col("_dst")).agg(sum(col("_w")).as("_w"))
+      case None => edges.select(col(srcCol).cast("long").as("_src"),
+          col(dstCol).cast("long").as("_dst")).distinct()
+        .withColumn("_w", lit(1L))
+    }
+    val e = cp.cutShared(eRaw, Seq("_src"))
     val bare = e.select(col("_src").as("_n"))
       .unionByName(e.select(col("_dst").as("_n"))).distinct()
     val base = 1000000L - dampMicro
@@ -73,7 +90,7 @@ object GraphOps {
       case None => bare.select(col("_n"), lit(base).as("_base"))
     }, Seq("_n"))
     val outDeg = cp.cutShared(
-      e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")), Seq("_src"))
+      e.groupBy(col("_src")).agg(sum(col("_w")).as("_deg")), Seq("_src"))
     // warm start: resume power iteration from a stored (node,
     // rank_micro) fixed point — the incremental re-rank path after a
     // graph update, and how a multi-day 10^9-edge rank job restarts
@@ -100,7 +117,7 @@ object GraphOps {
         .join(ranks.select(col("_n").as("_src"), col("_r")), "_src")
         .join(outDeg, "_src")
         .select(col("_dst").as("_n"),
-          expr(s"(CAST(_r AS DECIMAL(38,0)) * ${dampMicro}L)" +
+          expr(s"(CAST(_r AS DECIMAL(38,0)) * ${dampMicro}L * _w)" +
             s" div (CAST(_deg AS DECIMAL(38,0)) * 1000000L)").as("_c"))
       val next = nodes
         .join(contrib.groupBy(col("_n"))

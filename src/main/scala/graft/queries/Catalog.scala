@@ -7318,6 +7318,55 @@ object Catalog {
           // count(*) AS BIGINT) AS agree_micro
       FROM d GROUP BY source, lang"""))
 
+  /** Weighted PageRank over the crawl host graph with LINK
+    * MULTIPLICITY as the edge weight
+    * ([[GraphOps.pageRankFixedPoint]] `weightCol`): contribution
+    * along an edge ∝ its weight over the source's total out-weight —
+    * a host linked 40× from one page farm is not the same signal as
+    * 40 distinct hosts linking once, and the unweighted rank (q145's
+    * distinct-edge view) cannot tell them apart. Same exact-integer
+    * trajectory, same per-round join+agg shape; the oracle replays
+    * the weighted rounds. */
+  private val q223 = Q("q223_weighted_pagerank",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val raw = d.select(pmod(col("doc_id"), lit(499L)).as("src"),
+          pmod(col("doc_id") * 7, lit(499L)).as("dst"))
+        .unionByName(d.select(pmod(col("doc_id"), lit(499L)).as("src"),
+          pmod(col("doc_id") * 13 + 1, lit(499L)).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      val weighted = raw.groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      GraphOps.pageRankFixedPoint(weighted, "src", "dst", iters = 3,
+        weightCol = Some("w"))
+    },
+    Some {
+      def iterSql(prev: String, out: String): String =
+        s"""$out AS (SELECT nodes.n,
+            CAST(150000 + coalesce(x.s, 0) AS BIGINT) AS r
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS n,
+              CAST(sum((CAST(r.r AS HUGEINT) * 850000 * e.w)
+                // (CAST(deg.d AS HUGEINT) * 1000000)) AS BIGINT) AS s
+            FROM e JOIN $prev r ON r.n = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) x ON nodes.n = x.n)"""
+      s"""WITH raw AS (
+        SELECT doc_id % 499 AS src, (doc_id * 7) % 499 AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id % 499, (doc_id * 13 + 1) % 499 FROM documents),
+      e AS (SELECT src, dst, count(*) AS w FROM raw
+        WHERE src <> dst GROUP BY src, dst),
+      nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, sum(w) AS d FROM e GROUP BY src),
+      r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      ${iterSql("r0", "r1")},
+      ${iterSql("r1", "r2")},
+      ${iterSql("r2", "r3")}
+      SELECT CAST(n AS BIGINT) AS node, r AS rank_micro FROM r3"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7345,5 +7394,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223)
 }

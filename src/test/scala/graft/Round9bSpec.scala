@@ -230,6 +230,27 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  test("weighted PageRank: all-ones weights == the unweighted fixed " +
+      "point; weight skew shifts mass exactly as hand-derived") {
+    val edges = Seq[(Long, Long)]((0, 1), (0, 2), (1, 2), (2, 0))
+      .toDF("src", "dst")
+    val unw = GraphOps.pageRankFixedPoint(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ones = GraphOps.pageRankFixedPoint(
+        edges.withColumn("w", lit(1L)), "src", "dst", iters = 2,
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unw == ones)
+    // 0 →(w=3)→ 1, 0 →(w=1)→ 2: after one round node 1 receives
+    // floor(1e6·0.85·3/4) and node 2 floor(1e6·0.85·1/4)
+    val skew = Seq((0L, 1L, 3L), (0L, 2L, 1L)).toDF("src", "dst", "w")
+    val r1 = GraphOps.pageRankFixedPoint(skew, "src", "dst", iters = 1,
+        weightCol = Some("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(1L) == 150000L + 637500L && r1(2L) == 150000L + 212500L)
+    assert(r1(0L) == 150000L)
+  }
+
   // ------------------------------------------------- seed distances
 
   test("seedDistances matches reference BFS, honors the round bound, " +
