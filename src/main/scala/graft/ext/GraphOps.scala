@@ -138,6 +138,60 @@ object GraphOps {
     ranks.select(col("_n").as("node"), col("_r").as("rank_micro"))
   }
 
+  /** Convergence telemetry for the PageRank fixed point: per round,
+    * the total |Δrank| mass and the count of nodes that moved — the
+    * dashboard that answers "how many iterations does THIS graph
+    * need" with a number instead of a convention (the q145 family
+    * pins iters=3; this is the evidence panel behind that choice).
+    * Same exact-integer trajectory as [[pageRankFixedPoint]] (the
+    * round body is a copy — kept in sync by the parity spec), plus
+    * one keyed self-join of consecutive rank states per round.
+    * Returns (iter, delta_mass_micro, n_changed). */
+  def pageRankConvergence(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int = 3, dampMicro: Long = 850000L,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    require(iters >= 1 && dampMicro > 0 && dampMicro < 1000000L)
+    val e = cp.cutShared(edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst")).distinct(), Seq("_src"))
+    val nodes = cp.cutShared(e.select(col("_src").as("_n"))
+      .unionByName(e.select(col("_dst").as("_n"))).distinct(), Seq("_n"))
+    val outDeg = cp.cutShared(
+      e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")), Seq("_src"))
+    val base = 1000000L - dampMicro
+    var ranks = cp.cutState(nodes.select(col("_n"), lit(1000000L).as("_r")))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var rows = Seq.empty[(Int, Long, Long)]
+    for (it <- 1 to iters) {
+      val contrib = e
+        .join(ranks.select(col("_n").as("_src"), col("_r")), "_src")
+        .join(outDeg, "_src")
+        .select(col("_dst").as("_n"),
+          expr(s"(CAST(_r AS DECIMAL(38,0)) * ${dampMicro}L)" +
+            s" div (CAST(_deg AS DECIMAL(38,0)) * 1000000L)").as("_c"))
+      val next = cp.cutState(nodes
+        .join(contrib.groupBy(col("_n"))
+            .agg(sum(col("_c").cast("decimal(38,0)")).as("_in")),
+          Seq("_n"), "left")
+        .select(col("_n"),
+          (lit(base) + coalesce(col("_in").cast("long"), lit(0L)))
+            .as("_r")))
+      // 1-row telemetry per round: bounded driver state by contract
+      val d = ranks.select(col("_n"), col("_r").as("_old"))
+        .join(next.select(col("_n"), col("_r").as("_new")), Seq("_n"))
+        .agg(sum(abs(col("_new") - col("_old"))).as("d"),
+          sum(when(col("_new") =!= col("_old"), 1L).otherwise(0L))
+            .as("c"))
+        .head()
+      rows = rows :+ ((it, d.getLong(0), d.getLong(1)))
+      cp.release(ranks)
+      ranks = next
+    }
+    cp.release(e); cp.release(nodes); cp.release(outDeg)
+    cp.release(ranks)
+    rows.toDF("iter", "delta_mass_micro", "n_changed")
+  }
+
   /** Deterministic fixed-point HITS (Kleinberg 1999): `iters`
     * alternating authority/hub rounds over an integer-keyed edge
     * list — a(v) = Σ_{u→v} h(u), then h(u) = Σ_{u→v} a(v) — with

@@ -7367,6 +7367,48 @@ object Catalog {
       SELECT CAST(n AS BIGINT) AS node, r AS rank_micro FROM r3"""
     })
 
+  /** PageRank convergence telemetry ([[GraphOps.pageRankConvergence]])
+    * over q145's customer→supplier graph: per round, the total |Δrank|
+    * mass and moved-node count — the evidence panel behind the
+    * family's iters=3 convention. The oracle unrolls the identical
+    * integer rounds and differences consecutive states. */
+  private val q224 = Q("q224_rank_convergence",
+    (s, dir) => {
+      val edges = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      GraphOps.pageRankConvergence(edges, "src", "dst", iters = 3)
+    },
+    Some {
+      def iterSql(prev: String, out: String): String =
+        s"""$out AS (SELECT nodes.n,
+            CAST(150000 + coalesce(x.s, 0) AS BIGINT) AS r
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS n,
+              CAST(sum((r.r * 850000) // (deg.d * 1000000)) AS BIGINT) AS s
+            FROM e JOIN $prev r ON r.n = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) x ON nodes.n = x.n)"""
+      def deltaSql(i: Int): String =
+        s"""SELECT $i AS iter,
+          CAST(sum(abs(a.r - b.r)) AS BIGINT) AS delta_mass_micro,
+          CAST(sum(CASE WHEN a.r <> b.r THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_changed
+        FROM r$i a JOIN r${i - 1} b ON a.n = b.n"""
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+      r0 AS (SELECT n, CAST(1000000 AS BIGINT) AS r FROM nodes),
+      ${iterSql("r0", "r1")},
+      ${iterSql("r1", "r2")},
+      ${iterSql("r2", "r3")}
+      ${deltaSql(1)} UNION ALL ${deltaSql(2)} UNION ALL ${deltaSql(3)}"""
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7394,5 +7436,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224)
 }

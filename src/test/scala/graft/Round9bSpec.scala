@@ -251,6 +251,27 @@ class Round9bSpec extends SparkSpec {
     assert(r1(0L) == 150000L)
   }
 
+  test("pageRankConvergence deltas match differences of the fixed " +
+      "point's per-iter states (the copy-kept-in-sync pin)") {
+    val edges = Seq[(Long, Long)]((0, 1), (1, 2), (2, 0), (0, 2),
+      (3, 0)).toDF("src", "dst")
+    def fp(i: Int): Map[Long, Long] =
+      GraphOps.pageRankFixedPoint(edges, "src", "dst", iters = i)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val conv = GraphOps.pageRankConvergence(edges, "src", "dst",
+        iters = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val states = Map(0 -> fp(1).keys.map(_ -> 1000000L).toMap,
+      1 -> fp(1), 2 -> fp(2), 3 -> fp(3))
+    for (i <- 1 to 3) {
+      val dm = states(i).map { case (n, r) =>
+        math.abs(r - states(i - 1)(n)) }.sum
+      val nc = states(i).count { case (n, r) => r != states(i - 1)(n) }
+      assert(conv(i) == ((dm, nc.toLong)), s"iter $i diverged")
+    }
+  }
+
   // ------------------------------------------------- seed distances
 
   test("seedDistances matches reference BFS, honors the round bound, " +
