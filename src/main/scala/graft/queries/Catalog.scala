@@ -7409,6 +7409,54 @@ object Catalog {
       ${deltaSql(1)} UNION ALL ${deltaSql(2)} UNION ALL ${deltaSql(3)}"""
     })
 
+  /** Partition-layout advisor over lineitem's candidate keys: per
+    * candidate column — cardinality, hottest-value share, mean rows
+    * per value, and the suitability verdict (enough values to prune,
+    * no value hot enough to skew a writer; the same 2..1000 / ≤50%
+    * envelope the reference's year/month layout satisfies). This is
+    * the dashboard that turns "what should we partition by" into
+    * numbers; each candidate costs one map-side-combinable keyed agg
+    * over the scan. */
+  private val q225 = Q("q225_partition_advisor",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def audit(name: String, c: Column) = {
+        val per = li.select(c.cast("string").as("_v"))
+          .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+        per.agg(count(lit(1)).as("n_distinct"),
+            sum(col("_c")).as("_rows"), max(col("_c")).as("_top"))
+          .select(lit(name).as("candidate"), col("n_distinct"),
+            expr("_top * 1000000L div _rows").as("top_share_micro"),
+            expr("_rows div n_distinct").as("avg_rows_per_value"),
+            (col("n_distinct").between(2, 1000) &&
+              expr("_top * 1000000L div _rows") <= 500000L)
+              .cast("int").as("suitable"))
+      }
+      audit("l_returnflag", col("l_returnflag"))
+        .unionByName(audit("l_linestatus", col("l_linestatus")))
+        .unionByName(audit("l_linenumber", col("l_linenumber")))
+        .unionByName(audit("l_suppkey", col("l_suppkey")))
+        .unionByName(audit("ship_year", year(col("l_shipdate"))))
+    },
+    Some {
+      def audit(name: String, exprSql: String): String =
+        s"""SELECT '$name' AS candidate,
+          CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS top_share_micro,
+          CAST(sum(c) // count(*) AS BIGINT) AS avg_rows_per_value,
+          CAST(CASE WHEN count(*) BETWEEN 2 AND 1000
+            AND max(c) * 1000000 // sum(c) <= 500000
+            THEN 1 ELSE 0 END AS INT) AS suitable
+        FROM (SELECT CAST($exprSql AS VARCHAR) AS v, count(*) AS c
+          FROM lineitem GROUP BY 1) z"""
+      Seq(audit("l_returnflag", "l_returnflag"),
+        audit("l_linestatus", "l_linestatus"),
+        audit("l_linenumber", "l_linenumber"),
+        audit("l_suppkey", "l_suppkey"),
+        audit("ship_year", "year(l_shipdate)"))
+        .mkString("\nUNION ALL\n")
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7436,5 +7484,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
 }
