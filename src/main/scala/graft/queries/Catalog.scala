@@ -7457,6 +7457,72 @@ object Catalog {
         .mkString("\nUNION ALL\n")
     })
 
+  /** JSONL round-trip pinned end-to-end: documents are written as
+    * JSON lines, re-read through [[graft.sources.JsonSource]] with
+    * the explicit schema + PERMISSIVE quarantine, split, and
+    * aggregated — and the oracle is the DIRECT aggregation over the
+    * parquet fixture, so the hash match proves the writer/reader
+    * pair loses nothing (escaping, nulls, unicode) and quarantines
+    * nothing on clean data. The quarantine count rides the output as
+    * the zero the contract promises. */
+  private val q226 = Q("q226_json_roundtrip",
+    (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("q226json").toString
+      val docs = t(s, dir, "documents")
+      docs.write.mode("overwrite").json(out)
+      val split = graft.sources.JsonSource.split(
+        graft.sources.JsonSource.read(s, docs.schema, out))
+      val nQuar = split.quarantined.agg(count(lit(1)).as("n_quarantined"))
+      val res = split.good.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .crossJoin(broadcast(nQuar))
+      val collected = res.collect()
+      split.release()
+      s.createDataFrame(
+        s.sparkContext.parallelize(collected.toIndexedSeq), res.schema)
+    },
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        CAST(0 AS BIGINT) AS n_quarantined
+      FROM documents GROUP BY source"""))
+
+  /** ORC round-trip (the warehouse-interchange path): a lineitem
+    * projection goes out through [[graft.sources.OrcSource]]
+    * (snappy, partitioned by return flag) and comes back into the
+    * q01-style decimal aggregation; the oracle aggregates the parquet
+    * fixture directly, so the match pins ORC's value fidelity AND
+    * that the partitioned layout reassembles completely. */
+  private val q227 = Q("q227_orc_roundtrip",
+    (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("q227orc").toString
+      graft.sources.OrcSource.write(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice")),
+        out, partitionBy = Seq("l_returnflag"))
+      graft.sources.OrcSource.read(s, out)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).cast("string")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec2)).cast(dec2)
+            .cast("string").as("sum_base_price"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        AS VARCHAR) AS sum_qty,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        AS DECIMAL(18,2)) AS VARCHAR) AS sum_base_price,
+      count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7484,5 +7550,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227)
 }
