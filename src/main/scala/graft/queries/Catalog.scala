@@ -7523,6 +7523,38 @@ object Catalog {
       count(*) AS n
       FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
 
+  /** CSV round-trip pin — the reference's OWN initial-load format
+    * (gluejob.py's separator-driven CSV bronze): a lineitem
+    * projection goes out as headered CSV and comes back through an
+    * EXPLICIT schema (never inference — the q226/q227 discipline),
+    * into the same decimal aggregation, hash-matched against the
+    * direct fixture aggregation. Completes the format-fidelity
+    * trilogy (JSONL / ORC / CSV). */
+  private val q228 = Q("q228_csv_roundtrip",
+    (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("q228csv").toString
+      val proj = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
+      proj.write.mode("overwrite").option("header", "true")
+        .option("sep", "|").csv(out)
+      s.read.schema(proj.schema).option("header", "true")
+        .option("sep", "|").csv(out)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).cast("string")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec2)).cast(dec2)
+            .cast("string").as("sum_base_price"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        AS VARCHAR) AS sum_qty,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        AS DECIMAL(18,2)) AS VARCHAR) AS sum_base_price,
+      count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7550,5 +7582,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228)
 }
