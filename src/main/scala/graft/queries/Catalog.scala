@@ -7555,6 +7555,59 @@ object Catalog {
       count(*) AS n
       FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
 
+  /** Mixture-feasibility planner: given per-domain available token
+    * mass and a target mixture (pinned 20000+3000·idx micro ramp over
+    * the src<idx> sources, 97% allocated / 3% headroom), compute the
+    * largest epoch that honors the mixture WITHOUT repetition
+    * (min over domains of available·1e6 div target), each domain's
+    * planned take and utilization, and — against a 2M-token desired
+    * budget — the per-domain repeat factor (>1e6 micro ⇒ that domain
+    * must repeat data). This is the capacity-planning sheet a
+    * pretraining data lead reads before committing to a mixture;
+    * q181's sampler then enforces whatever this sheet approves.
+    * One keyed agg + strata-frame arithmetic, all integral. */
+  private val q229 = Q("q229_mixture_planner",
+    (s, dir) => {
+      val avail = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("available"))
+        .withColumn("_idx",
+          regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"))
+        .withColumn("target_micro", lit(20000L) + col("_idx") * 3000L)
+      val cap = avail
+        .select(expr("min(available * 1000000L div target_micro)")
+          .as("epoch_cap"))
+      avail.crossJoin(broadcast(cap))
+        .select(col("source"), col("available"), col("target_micro"),
+          col("epoch_cap"),
+          expr("epoch_cap * target_micro div 1000000L").as("planned"),
+          expr("(epoch_cap * target_micro div 1000000L) * 1000000L " +
+            "div available").as("utilization_micro"),
+          expr("2000000L * target_micro div 1000000L").as("need"),
+          expr("(2000000L * target_micro div 1000000L) * 1000000L " +
+            "div available").as("repeat_micro"))
+    },
+    Some("""WITH a AS (SELECT source,
+        CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0))) AS BIGINT) AS available,
+        20000 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+          * 3000 AS target_micro
+        FROM documents GROUP BY source),
+      cap AS (SELECT min(available * 1000000 // target_micro)
+          AS epoch_cap FROM a)
+      SELECT a.source, a.available, CAST(a.target_micro AS BIGINT)
+          AS target_micro,
+        CAST(cap.epoch_cap AS BIGINT) AS epoch_cap,
+        CAST(cap.epoch_cap * a.target_micro // 1000000 AS BIGINT)
+          AS planned,
+        CAST((cap.epoch_cap * a.target_micro // 1000000) * 1000000
+          // a.available AS BIGINT) AS utilization_micro,
+        CAST(2000000 * a.target_micro // 1000000 AS BIGINT) AS need,
+        CAST((2000000 * a.target_micro // 1000000) * 1000000
+          // a.available AS BIGINT) AS repeat_micro
+      FROM a, cap"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7582,5 +7635,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
 }
