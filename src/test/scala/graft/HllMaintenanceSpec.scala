@@ -64,4 +64,41 @@ class HllMaintenanceSpec extends SparkSpec {
     assert(regRows(HllMaintenance.mergedRegisters(spark, outDir)) == once,
       "replaying a batchId must leave the merged registers unchanged")
   }
+
+  test("day-keyed streaming registers feed the rolling-window merge " +
+      "(q212's composition): window estimates == batch-built windows") {
+    import org.apache.spark.sql.functions.{max => fmax}
+    import org.apache.spark.sql.types.LongType
+    val ev = (0L until 240L).map(i => (i % 4, i * 131 + 7))
+      .toDF("day", "uid")
+    val landing = tmpDir("hllwinland")
+    val outDir = tmpDir("hllwinout")
+    val ckpt = tmpDir("hllwinckpt")
+    ev.repartitionByRange(3, col("uid"))
+      .write.mode("overwrite").parquet(landing)
+    val src = spark.readStream
+      .schema(spark.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+    graft.streaming.HllMaintenance.start(
+      src, "day", col("uid"), outDir, ckpt).awaitTermination()
+    // rolling 2-day window merge over the STREAMED per-day registers
+    val regs = graft.streaming.HllMaintenance
+      .mergedRegisters(spark, outDir, keyType = LongType)
+    val days = regs.select(col("key").as("day")).distinct()
+    val win = days.join(regs,
+        col("key").between(col("day") - 1, col("day")))
+      .groupBy(col("day"), col("bkt")).agg(fmax(col("reg")).as("reg"))
+    val streamed = Hll.estimateFromRegisters(win, "day")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // batch reference: registers straight from the rows, same window
+    val bregs = Hll.registers(ev, "day", col("uid"))
+    val bwin = days.join(bregs.withColumnRenamed("day", "key"),
+        col("key").between(col("day") - 1, col("day")))
+      .groupBy(col("day"), col("bkt")).agg(fmax(col("reg")).as("reg"))
+    val batch = Hll.estimateFromRegisters(bwin, "day")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
