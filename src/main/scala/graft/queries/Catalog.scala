@@ -7608,6 +7608,80 @@ object Catalog {
           // a.available AS BIGINT) AS repeat_micro
       FROM a, cap"""))
 
+  /** Effective-dataset-size waterfall — THE headline number a data
+    * card quotes: token mass at each dedup tier. raw → exact
+    * (normalized-key keeper, q21's rule) → near-dup (prefix-join
+    * pairs over the exact survivors collapsed by connected
+    * components, min-id keeper — the q219 exact machinery, so the
+    * near tier has zero false negatives). One row per tier with doc
+    * and token counts; the oracle replays the normkey grouping, the
+    * brute-force pair truth on survivors, and the reachability-min
+    * collapse. */
+  private val q230 = Q("q230_effective_size",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("_tok"))
+      def tier(name: String, d: DataFrame) =
+        d.agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("n_tokens"))
+          .select(lit(name).as("tier"), col("n_docs"), col("n_tokens"))
+      val exact = docs
+        .withColumn("_nk", Dedup.normKey(col("text")))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("_nk")).orderBy(col("doc_id"))))
+        .filter(col("_rn") === 1)
+        .select(col("doc_id"), col("text"), col("_tok"))
+      val pairs = Dedup.prefixFilterJaccardPairs(exact, "text",
+          "doc_id", n = 3, thresholdNum = 3, thresholdDen = 5)
+        .select(col("doc_a"), col("doc_b"))
+      val drop = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val near = exact.join(drop, Seq("doc_id"), "left_anti")
+      tier("1_raw", docs)
+        .unionByName(tier("2_exact", exact))
+        .unionByName(tier("3_near", near))
+    },
+    Some("""WITH RECURSIVE d AS (SELECT doc_id, text,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS BIGINT) AS tok
+        FROM documents),
+      ex AS (SELECT doc_id, text, tok FROM (SELECT *,
+          row_number() OVER (PARTITION BY
+            lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn FROM d) z
+        WHERE rn = 1),
+      g AS (SELECT doc_id, list_distinct(
+          [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM (SELECT doc_id, list_filter(
+            string_split_regex(trim(text), '\s+'), x -> len(x) > 0)
+            AS toks FROM ex) t0
+        WHERE len(toks) >= 3),
+      pr AS (SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            AS jac
+        FROM g a JOIN g b ON a.doc_id < b.doc_id) z
+        WHERE jac >= 0.6),
+      sym AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        UNION SELECT doc_b, doc_a FROM pr),
+      nodes AS (SELECT DISTINCT a AS n FROM sym),
+      rc(n, m) AS (SELECT n, n FROM nodes
+        UNION
+        SELECT s.b, rc.m FROM rc JOIN sym s ON s.a = rc.n),
+      drop0 AS (SELECT n FROM (SELECT n, min(m) AS c FROM rc
+        GROUP BY n) z WHERE n <> c),
+      nr AS (SELECT ex.doc_id, ex.tok FROM ex
+        WHERE ex.doc_id NOT IN (SELECT n FROM drop0))
+      SELECT '1_raw' AS tier, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS n_tokens FROM d
+      UNION ALL
+      SELECT '2_exact', count(*), CAST(sum(tok) AS BIGINT) FROM ex
+      UNION ALL
+      SELECT '3_near', count(*), CAST(sum(tok) AS BIGINT) FROM nr"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7635,5 +7709,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
 }
