@@ -63,17 +63,8 @@ object GraphOps {
     // and nodes on _n, so laying the cut out by that key lets the
     // downstream operators inherit the exchange's hash layout instead
     // of inserting their own shuffle per round
-    val eRaw = weightCol match {
-      case Some(w) => edges.select(col(srcCol).cast("long").as("_src"),
-          col(dstCol).cast("long").as("_dst"),
-          col(w).cast("long").as("_w"))
-        .filter(col("_w") > 0)
-        .groupBy(col("_src"), col("_dst")).agg(sum(col("_w")).as("_w"))
-      case None => edges.select(col(srcCol).cast("long").as("_src"),
-          col(dstCol).cast("long").as("_dst")).distinct()
-        .withColumn("_w", lit(1L))
-    }
-    val e = cp.cutShared(eRaw, Seq("_src"))
+    val e = cp.cutShared(rankEdges(edges, srcCol, dstCol, weightCol),
+      Seq("_src"))
     val bare = e.select(col("_src").as("_n"))
       .unionByName(e.select(col("_dst").as("_n"))).distinct()
     val base = 1000000L - dampMicro
@@ -104,28 +95,7 @@ object GraphOps {
       case None => nodes.select(col("_n"), lit(1000000L).as("_r"))
     })
     for (_ <- 1 to iters) {
-      // DECIMAL(38,0) intermediates: `_r * damp` overflows Long once a
-      // node's rank_micro exceeds ~1.08e13 (hub in-degree ≳ 10^7 at
-      // default damping — realistic for popular domains at crawl
-      // scale), and non-ANSI Spark would WRAP SILENTLY to wrong ranks
-      // while an ANSI replay raises. `div` floors identically, so
-      // values are bit-equal wherever Long arithmetic doesn't
-      // overflow, and correct where it would. Rank mass itself is
-      // bounded by n·1e6, so the Long rank column is exact to ~10^12
-      // nodes.
-      val contrib = e
-        .join(ranks.select(col("_n").as("_src"), col("_r")), "_src")
-        .join(outDeg, "_src")
-        .select(col("_dst").as("_n"),
-          expr(s"(CAST(_r AS DECIMAL(38,0)) * ${dampMicro}L * _w)" +
-            s" div (CAST(_deg AS DECIMAL(38,0)) * 1000000L)").as("_c"))
-      val next = nodes
-        .join(contrib.groupBy(col("_n"))
-            .agg(sum(col("_c").cast("decimal(38,0)")).as("_in")),
-          Seq("_n"), "left")
-        .select(col("_n"),
-          (col("_base") + coalesce(col("_in").cast("long"), lit(0L)))
-            .as("_r"))
+      val next = rankRound(e, outDeg, nodes, ranks, dampMicro)
       val old = ranks
       ranks = cp.cutState(next)
       cp.release(old)
@@ -138,44 +108,83 @@ object GraphOps {
     ranks.select(col("_n").as("node"), col("_r").as("rank_micro"))
   }
 
+  /** Weighted-or-unit edge canonicalization shared by the rank
+    * family: (src, dst) deduped with `_w` = summed positive weight
+    * (weighted) or the constant 1 (unweighted) — `None` makes the
+    * weighted round formula identical term for term to the classic
+    * one, so every unweighted oracle replays unchanged. */
+  private def rankEdges(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: Option[String]): DataFrame =
+    weightCol match {
+      case Some(w) => edges.select(col(srcCol).cast("long").as("_src"),
+          col(dstCol).cast("long").as("_dst"),
+          col(w).cast("long").as("_w"))
+        .filter(col("_w") > 0)
+        .groupBy(col("_src"), col("_dst")).agg(sum(col("_w")).as("_w"))
+      case None => edges.select(col(srcCol).cast("long").as("_src"),
+          col(dstCol).cast("long").as("_dst")).distinct()
+        .withColumn("_w", lit(1L))
+    }
+
+  /** ONE power-iteration round, shared verbatim by
+    * [[pageRankFixedPoint]] and [[pageRankConvergence]] so the two
+    * cannot drift (the Round9bSpec parity pin now guards a single
+    * code path). DECIMAL(38,0) intermediates: `_r * damp` overflows
+    * Long once a node's rank_micro exceeds ~1.08e13 (hub in-degree
+    * ≳ 10^7 at default damping — realistic for popular domains at
+    * crawl scale), and non-ANSI Spark would WRAP SILENTLY to wrong
+    * ranks while an ANSI replay raises. `div` floors identically, so
+    * values are bit-equal wherever Long arithmetic doesn't overflow,
+    * and correct where it would. Rank mass itself is bounded by
+    * n·1e6, so the Long rank column is exact to ~10^12 nodes.
+    * `nodes` carries the per-node teleport `_base` (uniform, or
+    * seeds-only for TrustRank). */
+  private def rankRound(e: DataFrame, outDeg: DataFrame,
+      nodes: DataFrame, ranks: DataFrame, dampMicro: Long): DataFrame = {
+    val contrib = e
+      .join(ranks.select(col("_n").as("_src"), col("_r")), "_src")
+      .join(outDeg, "_src")
+      .select(col("_dst").as("_n"),
+        expr(s"(CAST(_r AS DECIMAL(38,0)) * ${dampMicro}L * _w)" +
+          s" div (CAST(_deg AS DECIMAL(38,0)) * 1000000L)").as("_c"))
+    nodes
+      .join(contrib.groupBy(col("_n"))
+          .agg(sum(col("_c").cast("decimal(38,0)")).as("_in")),
+        Seq("_n"), "left")
+      .select(col("_n"),
+        (col("_base") + coalesce(col("_in").cast("long"), lit(0L)))
+          .as("_r"))
+  }
+
   /** Convergence telemetry for the PageRank fixed point: per round,
     * the total |Δrank| mass and the count of nodes that moved — the
     * dashboard that answers "how many iterations does THIS graph
     * need" with a number instead of a convention (the q145 family
     * pins iters=3; this is the evidence panel behind that choice).
-    * Same exact-integer trajectory as [[pageRankFixedPoint]] (the
-    * round body is a copy — kept in sync by the parity spec), plus
-    * one keyed self-join of consecutive rank states per round.
+    * Runs the IDENTICAL [[rankRound]] body the fixed point runs
+    * (shared helper, not a copy), so telemetry covers the weighted
+    * variant too: pass `weightCol` to profile q223's weighted rank.
+    * Adds one keyed self-join of consecutive rank states per round.
     * Returns (iter, delta_mass_micro, n_changed). */
   def pageRankConvergence(edges: DataFrame, srcCol: String,
       dstCol: String, iters: Int = 3, dampMicro: Long = 850000L,
-      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+      cp: Checkpointer = LocalCheckpoint,
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && dampMicro > 0 && dampMicro < 1000000L)
-    val e = cp.cutShared(edges.select(col(srcCol).cast("long").as("_src"),
-      col(dstCol).cast("long").as("_dst")).distinct(), Seq("_src"))
-    val nodes = cp.cutShared(e.select(col("_src").as("_n"))
-      .unionByName(e.select(col("_dst").as("_n"))).distinct(), Seq("_n"))
-    val outDeg = cp.cutShared(
-      e.groupBy(col("_src")).agg(count(lit(1)).as("_deg")), Seq("_src"))
+    val e = cp.cutShared(rankEdges(edges, srcCol, dstCol, weightCol),
+      Seq("_src"))
     val base = 1000000L - dampMicro
+    val nodes = cp.cutShared(e.select(col("_src").as("_n"))
+      .unionByName(e.select(col("_dst").as("_n"))).distinct()
+      .withColumn("_base", lit(base)), Seq("_n"))
+    val outDeg = cp.cutShared(
+      e.groupBy(col("_src")).agg(sum(col("_w")).as("_deg")), Seq("_src"))
     var ranks = cp.cutState(nodes.select(col("_n"), lit(1000000L).as("_r")))
     val spark = edges.sparkSession
     import spark.implicits._
     var rows = Seq.empty[(Int, Long, Long)]
     for (it <- 1 to iters) {
-      val contrib = e
-        .join(ranks.select(col("_n").as("_src"), col("_r")), "_src")
-        .join(outDeg, "_src")
-        .select(col("_dst").as("_n"),
-          expr(s"(CAST(_r AS DECIMAL(38,0)) * ${dampMicro}L)" +
-            s" div (CAST(_deg AS DECIMAL(38,0)) * 1000000L)").as("_c"))
-      val next = cp.cutState(nodes
-        .join(contrib.groupBy(col("_n"))
-            .agg(sum(col("_c").cast("decimal(38,0)")).as("_in")),
-          Seq("_n"), "left")
-        .select(col("_n"),
-          (lit(base) + coalesce(col("_in").cast("long"), lit(0L)))
-            .as("_r")))
+      val next = cp.cutState(rankRound(e, outDeg, nodes, ranks, dampMicro))
       // 1-row telemetry per round: bounded driver state by contract
       val d = ranks.select(col("_n"), col("_r").as("_old"))
         .join(next.select(col("_n"), col("_r").as("_new")), Seq("_n"))

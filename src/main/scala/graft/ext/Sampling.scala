@@ -320,8 +320,18 @@ object Sampling {
     * Exact-integer discipline: N_s·σ_s = √(N_s·Σx² − (Σx)²), computed
     * as an integer square root — a float sqrt seeds the value and a
     * ±1 DECIMAL-compared correction makes it exact, so an engine with
-    * a different sqrt ulp replays identically. Zero-variance strata
-    * keep a weight floor of 1 (they stay sampleable; W stays > 0).
+    * a different sqrt ulp replays identically. The ±1 seed guarantee
+    * holds only while the radicand stays below 2^104 (the double
+    * mantissa bound; past it the seed can drift further, the BIGINT
+    * seed itself can overflow near 1e38, and (y0+1)² can overflow
+    * DECIMAL(38,0) to null so the CASE would silently mis-branch
+    * under non-ANSI Spark) — so the radicand is GUARDED: any stratum
+    * with n·Σx² − (Σx)² ≥ 2^104 raises loudly instead of shipping a
+    * wrong weight. Token/length/count-scale valueCols sit ~15 orders
+    * of magnitude under the bound; hitting it means the valueCol is
+    * the wrong magnitude for exact Neyman arithmetic. Zero-variance
+    * strata keep a weight floor of 1 (they stay sampleable; W stays
+    * > 0).
     * Budget apportionment is largest-remainder (Hamilton): exact
     * DECIMAL base quotas + the leftover distributed by (remainder
     * desc, stratum asc). Selection inside each stratum is the
@@ -341,14 +351,22 @@ object Sampling {
       count(lit(1)).as("n_rows"),
       sum(d).cast("decimal(38,0)").as("_s1"),
       sum(d * d).cast("decimal(38,0)").as("_s2"))
+    // 2^104: the radicand bound under which the double-sqrt seed is
+    // provably within ±1 of the true root and every square below
+    // fits DECIMAL(38,0) — see the scaladoc guard discussion
+    val maxV = BigDecimal("20282409603651670423947251286016")
     val withW = m
-      .withColumn("_v", expr(
+      .withColumn("_vraw", expr(
         "CAST(n_rows AS DECIMAL(38,0)) * _s2 - _s1 * _s1"))
+      .withColumn("_v", when(col("_vraw") < lit(maxV), col("_vraw"))
+        .otherwise(raise_error(lit("neymanQuotas: stratum radicand " +
+          "n*sum(x^2) - sum(x)^2 >= 2^104 — exact isqrt guarantee " +
+          "void; rescale valueCol"))))
       .withColumn("_y0", expr(
         "CAST(floor(sqrt(CAST(_v AS DOUBLE))) AS BIGINT)"))
       // exact isqrt: the float seed is within ±1 of the true root for
-      // any _v below DECIMAL(38) range; compare squares in DECIMAL so
-      // no Long overflow and no ulp dependence survives
+      // any _v below the guarded 2^104 bound; compare squares in
+      // DECIMAL so no Long overflow and no ulp dependence survives
       .withColumn("_isq", expr(
         """CASE
           WHEN CAST(_y0 + 1 AS DECIMAL(38,0)) * (_y0 + 1) <= _v THEN _y0 + 1

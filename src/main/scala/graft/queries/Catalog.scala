@@ -7523,13 +7523,15 @@ object Catalog {
       count(*) AS n
       FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
 
-  /** CSV round-trip pin — the reference's OWN initial-load format
-    * (gluejob.py's separator-driven CSV bronze): a lineitem
-    * projection goes out as headered CSV and comes back through an
-    * EXPLICIT schema (never inference — the q226/q227 discipline),
-    * into the same decimal aggregation, hash-matched against the
-    * direct fixture aggregation. Completes the format-fidelity
-    * trilogy (JSONL / ORC / CSV). */
+  /** CSV round-trip pin — the reference's OWN initial-load format,
+    * using its dominant ';' separator (gluejob.py:234 — ',' only for
+    * checkout_orders, ';' for every other table's CSV bronze): a
+    * lineitem
+    * projection goes out as headered ';'-CSV and comes back through
+    * an EXPLICIT schema (never inference — the q226/q227
+    * discipline), into the same decimal aggregation, hash-matched
+    * against the direct fixture aggregation. Completes the
+    * format-fidelity trilogy (JSONL / ORC / CSV). */
   private val q228 = Q("q228_csv_roundtrip",
     (s, dir) => {
       val out = java.nio.file.Files
@@ -7537,9 +7539,9 @@ object Catalog {
       val proj = t(s, dir, "lineitem").select(col("l_returnflag"),
         col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
       proj.write.mode("overwrite").option("header", "true")
-        .option("sep", "|").csv(out)
+        .option("sep", ";").csv(out)
       s.read.schema(proj.schema).option("header", "true")
-        .option("sep", "|").csv(out)
+        .option("sep", ";").csv(out)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity").cast(dec2)).cast(dec2).cast("string")
             .as("sum_qty"),
@@ -7568,12 +7570,18 @@ object Catalog {
     * One keyed agg + strata-frame arithmetic, all integral. */
   private val q229 = Q("q229_mixture_planner",
     (s, dir) => {
+      // sources without a trailing index carry no mixture target:
+      // filter them EXPLICITLY on both sides (Spark's '' → null cast
+      // would keep a null-target row; DuckDB's CAST('') would abort
+      // the whole oracle — TRY_CAST + the same filter makes the two
+      // engines agree for any fixture, not just the current one)
       val avail = t(s, dir, "documents")
         .groupBy(col("source"))
         .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
           .as("available"))
         .withColumn("_idx",
           regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"))
+        .filter(col("_idx").isNotNull)
         .withColumn("target_micro", lit(20000L) + col("_idx") * 3000L)
       val cap = avail
         .select(expr("min(available * 1000000L div target_micro)")
@@ -7588,12 +7596,14 @@ object Catalog {
           expr("(2000000L * target_micro div 1000000L) * 1000000L " +
             "div available").as("repeat_micro"))
     },
-    Some("""WITH a AS (SELECT source,
+    Some("""WITH a0 AS (SELECT source,
         CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
           x -> len(x) > 0))) AS BIGINT) AS available,
-        20000 + CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
-          * 3000 AS target_micro
+        TRY_CAST(NULLIF(regexp_extract(source, '([0-9]+)$', 1), '')
+          AS BIGINT) AS idx
         FROM documents GROUP BY source),
+      a AS (SELECT source, available, 20000 + idx * 3000 AS target_micro
+        FROM a0 WHERE idx IS NOT NULL),
       cap AS (SELECT min(available * 1000000 // target_micro)
           AS epoch_cap FROM a)
       SELECT a.source, a.available, CAST(a.target_micro AS BIGINT)

@@ -43,7 +43,11 @@ object HllMaintenance {
 
   /** The current merged register table: cell-wise max of landed
     * fragments with id ≤ `upToBatch` (None = everything).
-    * Empty-with-schema before the first batch. */
+    * Empty-with-schema before the first batch. Safe against a live
+    * stream: only fragments whose parquet commit finished (the
+    * `_SUCCESS` marker exists) participate, so a batch write in
+    * flight is invisible rather than a partial merge; non-`batch=<n>`
+    * names (including non-numeric ids) are skipped, not thrown on. */
   def mergedRegisters(spark: SparkSession, outDir: String,
       keyType: DataType = StringType,
       upToBatch: Option[Long] = None): DataFrame = {
@@ -53,7 +57,9 @@ object HllMaintenance {
       if (!fs.exists(path)) Seq.empty
       else fs.listStatus(path).toSeq.map(_.getPath)
         .filter(p => p.getName.startsWith("batch=") &&
-          upToBatch.forall(p.getName.stripPrefix("batch=").toLong <= _))
+          p.getName.stripPrefix("batch=").toLongOption
+            .exists(id => upToBatch.forall(id <= _)) &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
