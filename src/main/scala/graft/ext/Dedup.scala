@@ -764,13 +764,39 @@ object Dedup {
     * oracle-equivalence contract. */
   def simHashPairsFromTokenArrays(docs: DataFrame, tokensCol: String,
       idCol: String, maxDist: Int = 2, chunks: Int = 4, nBits: Int = 48,
-      seed: Long = 77L): DataFrame = {
+      seed: Long = 77L): DataFrame =
+    hammingPairsFromFingerprints(
+      docs.select(col(idCol),
+          array_distinct(col(tokensCol)).as("_tk"))
+        .filter(size(col("_tk")) > 0)
+        .select(col(idCol), graft.functions.VectorFunctions.simHashPoly(
+          graft.functions.VectorFunctions.polyHashAll(col("_tk")),
+          nBits, seed).as("_fp")),
+      idCol, "_fp", maxDist, chunks, nBits)
+
+  /** Pigeonhole-banded Hamming self-join over PRECOMPUTED fingerprints
+    * — the back half of [[simHashPairsFromTokenArrays]], exposed
+    * directly for fingerprints that come from a DECODER rather than
+    * token hashing (image dHash bits, [[Images.dHashNearDupPairs]];
+    * audio chroma prints). Split the `nBits` fingerprint into
+    * `chunks` blocks; any pair within Hamming `maxDist` shares
+    * `chunks − maxDist` unchanged blocks, so joining on every
+    * (chunks − maxDist)-combination of blocks has ZERO false
+    * negatives — the same theorem q137 pins for text SimHash. Works
+    * for full 64-bit fingerprints (sign bit included): blocks are
+    * mask-extracted, so Java's arithmetic shift never leaks sign
+    * bits. Returns (doc_a < doc_b, hamming ≤ maxDist), deduped
+    * across bands. */
+  def hammingPairsFromFingerprints(fps: DataFrame, idCol: String,
+      fpCol: String, maxDist: Int, chunks: Int, nBits: Int): DataFrame = {
     require(maxDist < chunks,
       s"pigeonhole recall guarantee needs maxDist < chunks " +
         s"(got maxDist=$maxDist, chunks=$chunks)")
     require(nBits % chunks == 0,
       s"chunks must divide nBits (got nBits=$nBits, chunks=$chunks)")
     val width = nBits / chunks
+    require((chunks - maxDist) * width < 64,
+      s"packed band key must fit 63 bits, got ${(chunks - maxDist) * width}")
     def block(c: Int): Column =
       shiftright(col("_fp"), c * width).bitwiseAND(lit((1L << width) - 1))
     val combos = (0 until chunks).combinations(chunks - maxDist).toSeq
@@ -780,16 +806,11 @@ object Dedup {
       struct(lit(i).as("no"), packed.as("v"))
     }
     // barrier on the slim (_id, _fp) frame: the pair join consumes it
-    // as BOTH sides, and without the cut each side re-tokenizes and
-    // re-fingerprints the full corpus (measured 2× the q182 chain);
+    // as BOTH sides, and without the cut each side re-derives the
+    // fingerprints from the full corpus (measured 2× the q182 chain);
     // behind the keyed repartition ReuseExchange serves both branches
     // from one computation, and nothing is pinned
-    val base = docs.select(col(idCol).as("_id"),
-        array_distinct(col(tokensCol)).as("_tk"))
-      .filter(size(col("_tk")) > 0)
-      .select(col("_id"), graft.functions.VectorFunctions.simHashPoly(
-        graft.functions.VectorFunctions.polyHashAll(col("_tk")),
-        nBits, seed).as("_fp"))
+    val base = fps.select(col(idCol).as("_id"), col(fpCol).as("_fp"))
       .repartition(col("_id"))
       .withColumn("_band", explode(array(bands: _*)))
       .select(col("_id"), col("_fp"),

@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct; decode / feature
-  * extraction runs batched per partition. The actual media decode is a
-  * STUB (no media libs in this environment) — `FakeDecoder` is a
-  * deterministic stand-in with the same signature a real decoder
-  * (JNI/FFmpeg/ImageIO) would have; everything around it — schema,
-  * binary handling, per-partition batching, output shape — is real and
-  * tested.
+  * extraction runs batched per partition. IMAGE decode is REAL —
+  * [[Images]] runs the JDK's `javax.imageio` PNG codec on the
+  * executors (encode, decode, exact integral resize, 64-bit dHash,
+  * banded Hamming near-dup; q231's oracle proves the chain lossless).
+  * For payload kinds with no in-container decoder (audio/video
+  * containers need FFmpeg-class libs), `FakeDecoder` remains the
+  * deterministic stand-in with the same signature, so the
+  * partition-streaming plumbing — schema, binary handling, batching,
+  * output shape — stays exercised end-to-end for every kind.
   *
   * Scale: payloads never pass through the driver; mapPartitions streams
   * executor-local batches, and the metadata struct lets planners prune
@@ -105,10 +108,12 @@ object Multimodal {
     * gram/2 bytes, sliding by half-byte), banded with the pigeonhole
     * blocks and Hamming-verified exactly like text SimHash (q137). A
     * real pipeline swaps the hex-shingle tokenization for decoded
-    * perceptual features (pHash DCT bits, audio chroma) behind the
-    * same [[graft.ext.Dedup.simHashPairsFromTokenArrays]] entry point;
-    * the Spark-side shape — map-only fingerprint, slim banded
-    * shuffle, exact verify — is the product. Returns
+    * perceptual features — [[Images.dHashNearDupPairs]] IS that
+    * pipeline for PNG payloads (real decode → dHash bits →
+    * [[graft.ext.Dedup.hammingPairsFromFingerprints]]); this variant
+    * stays as the fallback for opaque payloads with no registered
+    * decoder. The Spark-side shape — map-only fingerprint, slim
+    * banded shuffle, exact verify — is identical. Returns
     * (doc_a, doc_b, hamming) on media_id.
     *
     * Engine-portable end to end (hex ↔ DuckDB hex(), shingles ↔

@@ -7692,6 +7692,58 @@ object Catalog {
       UNION ALL
       SELECT '3_near', count(*), CAST(sum(tok) AS BIGINT) FROM nr"""))
 
+  /** Image near-dup via a REAL codec chain: synthetic PNGs (integer
+    * pattern of (doc_id, x, y)) are encoded AND decoded through the
+    * JDK's `javax.imageio` on the executors, area-averaged to the 9×8
+    * dHash grid with exact integer arithmetic, 64-bit
+    * difference-hashed, and pair-joined with the pigeonhole-banded
+    * Hamming join ([[graft.ext.Images]]). The oracle NEVER sees a
+    * PNG: it computes the same grid ANALYTICALLY from the pattern
+    * formula and brute-forces all pairs — so a hash match proves the
+    * whole encode→decode→resize→hash chain is lossless-correct
+    * (PNG is lossless, the resize is integral), not merely that two
+    * copies of one implementation agree. Every 25th image is an
+    * exact copy of its predecessor (Hamming 0) and every 50k+7th a
+    * perturbed copy (first pixel column +16), so the pair surface has
+    * designed structure at every fixture scale. The 64-bit hash rides
+    * a single Spark LONG; the oracle packs it as two 32-bit words
+    * because DuckDB raises on `1 << 63`. */
+  private val q231 = Q("q231_image_dhash",
+    (s, dir) => graft.ext.Images.dHashNearDupPairs(
+      s, t(s, dir, "documents"), "doc_id", maxDist = 2),
+    Some("""WITH b AS (SELECT doc_id,
+        (CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+              WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+              ELSE doc_id END * 2654435761) % 2147483647 AS m,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      cell AS (SELECT doc_id, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
+            % 256) // 16 AS g
+        FROM b, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, cx, cy),
+      bits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM cell l JOIN cell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      h AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+        CAST(bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+          AS INT) AS hamming
+      FROM h a JOIN h z ON a.doc_id < z.doc_id
+      WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+        <= 2"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7719,5 +7771,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
 }
