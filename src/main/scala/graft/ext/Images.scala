@@ -179,6 +179,24 @@ object Images {
       .toDF()
   }
 
+  final case class DimRow(media_id: Long, width: Int, height: Int)
+
+  /** DECODED image dimensions — read off the real raster, not off
+    * metadata (the honest input for patch-token costing:
+    * [[Packing.packMultimodal]] buys accelerator budget by what the
+    * model will actually see). Streams per partition like
+    * [[dHashes]]; output is 16 bytes/row. */
+  def decodedMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[PngRow]
+      .mapPartitions(_.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        require(img != null, "payload is not a decodable image")
+        DimRow(r.media_id, img.getWidth, img.getHeight)
+      })
+      .toDF()
+  }
+
   /** End-to-end perceptual near-dup pairs over a corpus id column:
     * synthesize PNGs → decode → dHash → pigeonhole-banded Hamming
     * self-join. Returns (doc_a, doc_b, hamming ≤ maxDist) — the

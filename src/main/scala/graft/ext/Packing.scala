@@ -99,6 +99,43 @@ object Packing {
         col("shard_offset"), col("spills"))
   }
 
+  /** Interleaved MULTIMODAL budget packing — the VLM training-shard
+    * shape: each document contributes its text tokens, and a document
+    * with an attached image contributes that image's ViT patch tokens
+    * IMMEDIATELY AFTER its text (interleaved item order: item 2·doc
+    * is the text, 2·doc+1 the image), and the whole mixed sequence
+    * packs into fixed token-budget shards. Image cost =
+    * ⌈w/patch⌉·⌈h/patch⌉ from the DECODED dimensions
+    * ([[Images.decodedMeta]]) — integral ceilings, so the cost table
+    * replays exactly in any engine. Heterogeneous costs change
+    * NOTHING about the scale discipline: the assignment is the same
+    * two-phase bucketed prefix sum as [[packBudget]] (no global
+    * window), the union is map-side, and the kind join-back is on the
+    * slim item table. Returns the [[packBudget]] assignment plus
+    * `kind` ('text' | 'image'): (_id, kind, n_tokens, start, shard,
+    * shard_offset, spills). */
+  def packMultimodal(docs: DataFrame, idCol: String, textCol: String,
+      mediaDims: DataFrame, patch: Int, budget: Long,
+      bucketSpan: Long = 65536L,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
+    require(patch > 0, s"patch size must be positive, got $patch")
+    val text = docs.select((col(idCol).cast("long") * 2).as("_mid"),
+      lit("text").as("kind"),
+      graft.ext.TextAnalysis.tokenCount(col(textCol)).cast("long")
+        .as("_cost"))
+    val img = mediaDims.select(
+      (col("media_id").cast("long") * 2 + 1).as("_mid"),
+      lit("image").as("kind"),
+      (expr(s"(width + ${patch - 1}) div $patch") *
+        expr(s"(height + ${patch - 1}) div $patch")).cast("long")
+        .as("_cost"))
+    val items = text.unionByName(img)
+    packBudget(items, "_mid", col("_cost"), budget, bucketSpan, cp)
+      .join(items.select(col("_mid").as("_id"), col("kind")), "_id")
+      .select(col("_id"), col("kind"), col("n_tokens"), col("start"),
+        col("shard"), col("shard_offset"), col("spills"))
+  }
+
   /** Materialize the packed training sequences: [[packBudget]]'s shard
     * assignment joined back to the text and concatenated in offset
     * order with an EOS separator — the blob a pretraining loader

@@ -7744,6 +7744,63 @@ object Catalog {
       WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
         <= 2"""))
 
+  /** Interleaved multimodal sequence packing — the VLM training-shard
+    * sheet ([[Packing.packMultimodal]]): every 3rd document carries a
+    * real PNG (q231's codec chain), whose patch-token cost comes from
+    * the DECODED dimensions (⌈36/14⌉·⌈32/14⌉ = 9 — the oracle may
+    * hardcode the synthesis constant, Spark must earn it through
+    * `javax.imageio`); text and image items interleave in 2·doc /
+    * 2·doc+1 order and pack into 512-token shards via the two-phase
+    * bucketed prefix sum. Per-shard modality rollup: the oracle
+    * replays the global cumsum with one window — at fixture scale
+    * that's the semantics spec, while the engine path keeps the
+    * no-global-window shape for 100 TB. */
+  private val q232 = Q("q232_multimodal_pack",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.ext.Images.syntheticPngFrame(s,
+        docs.filter(col("doc_id") % 3 === 0), "doc_id")
+      val dims = graft.ext.Images.decodedMeta(s, media)
+      Packing.packMultimodal(docs, "doc_id", "text", dims,
+          patch = 14, budget = 512L)
+        .groupBy(col("shard"))
+        .agg(
+          sum(when(col("kind") === "text", 1L).otherwise(0L))
+            .as("n_text"),
+          sum(when(col("kind") === "image", 1L).otherwise(0L))
+            .as("n_image"),
+          sum(when(col("kind") === "text", col("n_tokens"))
+            .otherwise(0L)).as("text_tokens"),
+          sum(when(col("kind") === "image", col("n_tokens"))
+            .otherwise(0L)).as("image_tokens"),
+          sum(when(col("spills"), 1L).otherwise(0L)).as("n_spills"))
+    },
+    Some("""WITH txt AS (SELECT doc_id * 2 AS id, 'text' AS kind,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS BIGINT) AS c
+        FROM documents),
+      img AS (SELECT doc_id * 2 + 1 AS id, 'image' AS kind,
+          CAST(9 AS BIGINT) AS c
+        FROM documents WHERE doc_id % 3 = 0),
+      items AS (SELECT * FROM txt UNION ALL SELECT * FROM img),
+      pos AS (SELECT id, kind, c, CAST(coalesce(sum(c) OVER (
+          ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND
+          1 PRECEDING), 0) AS BIGINT) AS start FROM items),
+      a AS (SELECT kind, c, start // 512 AS shard,
+          start % 512 AS so FROM pos)
+      SELECT shard,
+        CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_text,
+        CAST(sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_image,
+        CAST(sum(CASE WHEN kind = 'text' THEN c ELSE 0 END) AS BIGINT)
+          AS text_tokens,
+        CAST(sum(CASE WHEN kind = 'image' THEN c ELSE 0 END) AS BIGINT)
+          AS image_tokens,
+        CAST(sum(CASE WHEN so + c > 512 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_spills
+      FROM a GROUP BY shard"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7771,5 +7828,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
 }

@@ -66,6 +66,43 @@ class Round10Spec extends SparkSpec {
       "uncommitted/non-numeric fragments leaked into the merge")
   }
 
+  test("packMultimodal: heterogeneous-cost assignment matches the " +
+      "reference cumsum, is bucketSpan-invariant, and interleaves " +
+      "each image directly after its document's text") {
+    val docs = (0L until 120L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val media = graft.ext.Images.syntheticPngFrame(spark,
+      docs.filter(col("doc_id") % 3 === 0), "doc_id")
+    val dims = graft.ext.Images.decodedMeta(spark, media)
+    def run(span: Long) = graft.ext.Packing.packMultimodal(
+        docs, "doc_id", "text", dims, patch = 14, budget = 40L,
+        bucketSpan = span)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    val got = run(65536L)
+    // two-phase bucketed prefix sum == one global cumsum, any span
+    assert(run(7L) == got, "bucketSpan changed the assignment")
+    // reference: interleaved id order, running offset
+    val costs = (0L until 120L).flatMap { i =>
+      val tc = i % 7 + 1
+      Seq((i * 2, "text", tc)) ++
+        (if (i % 3 == 0) Seq((i * 2 + 1, "image", 9L)) else Nil)
+    }.sortBy(_._1)
+    var off = 0L
+    for ((id, kind, c) <- costs) {
+      val (k, n, st, sh, so, sp) = got(id)
+      assert(k == kind && n == c && st == off && sh == off / 40 &&
+        so == off % 40 && sp == (off % 40 + c > 40), s"item $id diverged")
+      off += c
+    }
+    // the image of doc d starts exactly where d's text ends
+    for (i <- 0L until 120L by 3L)
+      assert(got(i * 2 + 1)._3 == got(i * 2)._3 + got(i * 2)._2)
+  }
+
   test("neymanQuotas raises loudly once a stratum radicand crosses " +
       "2^104 (the exact-isqrt validity bound)") {
     // two huge distinct values: n·Σx² − (Σx)² = (1e16 − 3e16)² ≈ 4e32
