@@ -97,8 +97,44 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fl = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Ambient normalization: pinned map-only anchor queries with their
+    // committed quiet-machine record times (round-10 quiet run,
+    // local[32], sf0.1). The anchors touch no iterative/stream/state
+    // machinery, so their only failure mode is the machine itself —
+    // the median observed/record ratio mechanically separates ambient
+    // inflation (all anchors uniformly high) from a real regression
+    // (anchors ~1.0 while one family is slow). Spread across the
+    // alphabetical run order so a time-localized interference window
+    // (the round-9 q35-q43 block) lands on at least one anchor.
+    // Re-pin whenever the anchor queries' code changes.
+    val anchorRecord: Map[String, Double] = Map(
+      "q18_bronze_cast" -> 0.145,
+      "q30_token_stats" -> 0.139,
+      "q49_string_funcs" -> 0.164,
+      "q69_array_funcs" -> 0.112,
+      "q77_running_sum" -> 0.099,
+      "q91_window_battery" -> 0.116,
+      "q124_zorder_key" -> 0.160,
+      "q153_pii_redact" -> 0.103,
+      "q175_blocklist_hits" -> 0.109,
+      "q184_dedup_lines_within" -> 0.124)
+    val resMap = results.toMap
+    val ratios = anchorRecord.toSeq.sortBy(_._1).flatMap {
+      case (n, rec) => resMap.get(n).map(obs => n -> obs / rec)
+    }
+    val ambientRatio =
+      if (ratios.isEmpty) 1.0
+      else {
+        val sorted = ratios.map(_._2).sorted
+        val m = sorted.length
+        if (m % 2 == 1) sorted(m / 2)
+        else (sorted(m / 2 - 1) + sorted(m / 2)) / 2
+      }
+    val ambient = ratios.map { case (n, r) => f""""$n":$r%.3f""" }
+      .mkString(
+        s"""{"ratio":$ambientRatio,"per_anchor":{""", ",", "}}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fl,"ambient":$ambient,"sf":"$sfDir"}"""
     // Durable copy first: the driver greps stdout for the metric line,
     // and rounds 1-2 both lost it to interleaved shutdown noise. The
     // file survives regardless of log ordering.
@@ -114,7 +150,7 @@ object Bench {
     spark.stop()
     System.out.flush(); System.err.flush()
     println(json)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ambient_ratio":$ambientRatio,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

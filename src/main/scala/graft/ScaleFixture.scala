@@ -55,6 +55,32 @@ object ScaleFixture {
       "src" + Math.floorMod(h >>> 8, 20L), text.length.toLong)
   }
 
+  private val eventTypes =
+    Array("view", "click", "purchase", "signup", "error")
+
+  /** Deterministic events row in the driver fixture's distribution
+    * family: ts spread uniformly over the same 30-day January-2024
+    * span (micros, monotone in event_id with per-slot jitter),
+    * user_id ~ uniform over nEvents/66 users (the fixture's
+    * 1500-users-per-100k ratio), 5 uniform event types, value a
+    * 2-decimal double, props the {"k": 0..99} JSON. */
+  def eventRow(id: Long, nEvents: Long): Row = {
+    val h = mix(id + 101L)
+    val spanUs = 30L * 24 * 3600 * 1000000L
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val slotUs = spanUs / nEvents
+    val ts = baseUs + id * slotUs +
+      Math.floorMod(mix(id + 3L), math.max(1L, slotUs))
+    val nUsers = math.max(1L, nEvents / 66L)
+    Row(id,
+      java.time.Instant.ofEpochSecond(ts / 1000000L,
+        (ts % 1000000L) * 1000L),
+      Math.floorMod(h, nUsers),
+      eventTypes(Math.floorMod(mix(id + 17L), 5L).toInt),
+      Math.floorMod(mix(id + 7L), 56022L) / 100.0,
+      s"""{"k": ${Math.floorMod(mix(id + 13L), 100L)}}""")
+  }
+
   def vecRow(id: Long): Row = {
     // 10 label-centered clusters + noise, mirroring the fixture's
     // structure (uniform vectors degenerate quantizer training — the
@@ -78,6 +104,10 @@ object ScaleFixture {
     val nVecs = args(2).toLong
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      // micros on disk like the driver fixture (epochNanos adapts to
+      // either annotation, but keep the files in the same family)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,6 +132,24 @@ object ScaleFixture {
     // o_orderkey/o_custkey/l_orderkey/l_suppkey); key ranges follow
     // the TPC-H-ish fixture ratios (10 customers per order-group,
     // 1 supplier per 120 lineitems)
+    // optional 6th arg: events row count (same schema/distribution
+    // family as the driver's events fixture — feeds the q198-q220
+    // analytics family's second scale point)
+    if (args.length > 5 && args(5).toLong > 0) {
+      val nEvents = args(5).toLong
+      val evSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+      spark.createDataFrame(
+          spark.sparkContext.range(0L, nEvents, numSlices = 8)
+            .map(i => eventRow(i, nEvents)),
+          evSchema)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
     if (args.length > 4) {
       val nOrders = args(3).toLong
       val nLines = args(4).toLong

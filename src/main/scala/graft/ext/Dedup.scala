@@ -431,6 +431,18 @@ object Dedup {
   def prefixFilterJaccardPairs(docs: DataFrame, textCol: String,
       idCol: String, n: Int = 3, thresholdNum: Int = 3,
       thresholdDen: Int = 5): DataFrame = {
+    val (base, cand) =
+      prefixCandidates(docs, textCol, idCol, n, thresholdNum, thresholdDen)
+    verifyJaccard(base, cand, thresholdNum, thresholdDen)
+  }
+
+  /** The SSJoin/PPJoin candidate machinery shared by the exact and
+    * capped prefix joins: (base = (_id, sorted shingles), cand =
+    * deduped (doc_a < doc_b) candidate pairs surviving the prefix,
+    * length, and positional filters). */
+  private def prefixCandidates(docs: DataFrame, textCol: String,
+      idCol: String, n: Int, thresholdNum: Int,
+      thresholdDen: Int): (DataFrame, DataFrame) = {
     require(n >= 1 && thresholdNum > 0 && thresholdDen >= thresholdNum,
       "threshold must be a rational in (0, 1]")
     val base = docs.select(col(idCol).as("_id"),
@@ -470,6 +482,14 @@ object Dedup {
           s"div ${thresholdDen + thresholdNum}"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+    (base, cand)
+  }
+
+  /** Exact-Jaccard verification of a (doc_a, doc_b) candidate frame
+    * against the shingle base — the verify tail shared by the exact
+    * and capped prefix joins. */
+  private def verifyJaccard(base: DataFrame, cand: DataFrame,
+      thresholdNum: Int, thresholdDen: Int): DataFrame =
     cand
       .join(base.select(col("_id").as("doc_a"), col("_sh").as("_sha")),
         Seq("doc_a"))
@@ -479,6 +499,60 @@ object Dedup {
         .jaccardSorted(col("_sha"), col("_shb")))
       .filter(col("jaccard") >= lit(thresholdNum.toDouble / thresholdDen))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** [[prefixFilterJaccardPairs]] with a PER-DOC CANDIDATE CAP — the
+    * adversarial-corpus guard: on a pathologically dense corpus (tiny
+    * vocabulary, boilerplate-dominated) the exact prefix join's
+    * candidate set grows with emitted-pair density (the q213/q219
+    * scaling probes measure 2.6–2.9× at 5× rows on the adversarial
+    * 30-word fixture), and an SLA-bound run needs a hard ceiling.
+    * Each document keeps its `maxCandidates` smallest-partner-id
+    * candidates IN EACH ORIENTATION (a pair survives iff it makes the
+    * cut on BOTH endpoints), so per-doc verify work is bounded by
+    * 2·maxCandidates whatever the corpus does; the kept set is a
+    * deterministic SUBSET of the uncapped candidates, so every
+    * emitted pair is a true ≥-threshold pair (precision unharmed;
+    * recall is what the cap spends, and the counter prices it).
+    * Truncation is LOUD, not silent: returns (pairs, stats) where
+    * stats is the per-doc truncation ledger
+    * (_id, n_cand, n_kept, n_dropped) for documents that lost
+    * candidates — n_dropped summing to exactly the uncapped−capped
+    * candidate difference (spec-pinned). An empty stats frame IS the
+    * proof the cap changed nothing. */
+  def prefixFilterJaccardPairsCapped(docs: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, thresholdNum: Int = 3,
+      thresholdDen: Int = 5, maxCandidates: Int = 64)
+      : (DataFrame, DataFrame) = {
+    require(maxCandidates >= 1,
+      s"maxCandidates must be >= 1, got $maxCandidates")
+    val (base, cand) =
+      prefixCandidates(docs, textCol, idCol, n, thresholdNum, thresholdDen)
+    // both orientations, ranked by partner id (deterministic, and the
+    // rank window is per-doc — bounded by that doc's candidate count,
+    // which is exactly the quantity being capped)
+    val oriented = cand.select(col("doc_a").as("_d"), col("doc_b").as("_p"))
+      .unionByName(
+        cand.select(col("doc_b").as("_d"), col("doc_a").as("_p")))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_d"))
+          .orderBy(col("_p"))))
+    val kept = oriented.filter(col("_rn") <= maxCandidates)
+      .select(least(col("_d"), col("_p")).as("doc_a"),
+        greatest(col("_d"), col("_p")).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("_votes"))
+      .filter(col("_votes") === 2) // survived the cap on BOTH endpoints
+      .select(col("doc_a"), col("doc_b"))
+    val stats = oriented
+      .groupBy(col("_d"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("_rn") <= maxCandidates, 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("n_dropped", col("n_cand") - col("n_kept"))
+      .filter(col("n_dropped") > 0)
+      .select(col("_d").as(idCol), col("n_cand"), col("n_kept"),
+        col("n_dropped"))
+    (verifyJaccard(base, kept, thresholdNum, thresholdDen), stats)
   }
 
   /** The raw candidate-pair set of the portable MinHash-LSH banding —

@@ -70,8 +70,40 @@ object Images {
     (v % 256L).toInt
   }
 
-  /** REAL PNG encode via `javax.imageio` (lossless 8-bit grayscale). */
-  def encodePng(id: Long, w: Int = DefaultW, h: Int = DefaultH): Array[Byte] = {
+  // In-memory stream cache: ImageIO's default spills every encode /
+  // decode through a temp FILE — at corpus scale that is an fsync per
+  // image. Process-wide, set once.
+  ImageIO.setUseCache(false)
+
+  /** One REUSABLE PNG codec per partition — `ImageIO.write`/`read`
+    * convenience methods scan the service registry per CALL; a
+    * million-image partition pays that a million times. This is the
+    * "one decoder instance per partition" discipline the multimodal
+    * scaladoc promises, made literal. Not thread-safe; one instance
+    * per `mapPartitions` closure. */
+  final class PngCodec {
+    private val writer = ImageIO.getImageWritersByFormatName("png").next()
+    private val reader = ImageIO.getImageReadersByFormatName("png").next()
+
+    def encode(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(out)
+      writer.write(img)
+      out.close()
+      bos.toByteArray
+    }
+
+    def decode(png: Array[Byte]): BufferedImage = {
+      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(png))
+      reader.setInput(in)
+      val img = reader.read(0)
+      in.close()
+      img
+    }
+  }
+
+  private def renderPattern(id: Long, w: Int, h: Int): BufferedImage = {
     val pid = baseId(id)
     val pert = isPerturbed(id)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
@@ -85,10 +117,12 @@ object Images {
       }
       y += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
   }
+
+  /** REAL PNG encode via `javax.imageio` (lossless 8-bit grayscale). */
+  def encodePng(id: Long, w: Int = DefaultW, h: Int = DefaultH): Array[Byte] =
+    new PngCodec().encode(renderPattern(id, w, h))
 
   /** REAL PNG decode + exact area-average resize to the
     * `GridCols`×`GridRows` dHash grid: cell (cx, cy) =
@@ -96,8 +130,11 @@ object Images {
     * samples off the raster (never `getRGB` — that would route
     * through sRGB conversion and un-pin the values). Returns the
     * grid row-major, length 72. */
-  def decodeGrayGrid(png: Array[Byte]): Array[Int] = {
-    val img = ImageIO.read(new ByteArrayInputStream(png))
+  def decodeGrayGrid(png: Array[Byte]): Array[Int] =
+    gridOf(new PngCodec().decode(png))
+
+  /** The area-average grid over an already-decoded raster. */
+  def gridOf(img: BufferedImage): Array[Int] = {
     require(img != null, "payload is not a decodable image")
     val w = img.getWidth
     val h = img.getHeight
@@ -160,7 +197,10 @@ object Images {
       idCol: String, w: Int = DefaultW, h: Int = DefaultH): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map(id => PngRow(id, encodePng(id, w, h))))
+      .mapPartitions { ids =>
+        val codec = new PngCodec()
+        ids.map(id => PngRow(id, codec.encode(renderPattern(id, w, h))))
+      }
       .toDF()
       .select(col("media_id"), col("payload"),
         struct(lit("image").as("kind"),
@@ -174,8 +214,11 @@ object Images {
   def dHashes(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[PngRow]
-      .mapPartitions(_.map(r =>
-        HashRow(r.media_id, dHash64(decodeGrayGrid(r.payload)))))
+      .mapPartitions { rows =>
+        val codec = new PngCodec()
+        rows.map(r =>
+          HashRow(r.media_id, dHash64(gridOf(codec.decode(r.payload)))))
+      }
       .toDF()
   }
 
@@ -189,11 +232,13 @@ object Images {
   def decodedMeta(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[PngRow]
-      .mapPartitions(_.map { r =>
-        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
-        require(img != null, "payload is not a decodable image")
-        DimRow(r.media_id, img.getWidth, img.getHeight)
-      })
+      .mapPartitions { rows =>
+        val codec = new PngCodec()
+        rows.map { r =>
+          val img = codec.decode(r.payload)
+          DimRow(r.media_id, img.getWidth, img.getHeight)
+        }
+      }
       .toDF()
   }
 

@@ -7801,6 +7801,54 @@ object Catalog {
           AS n_spills
       FROM a GROUP BY shard"""))
 
+  /** The capped prefix join's truncation ledger
+    * ([[Dedup.prefixFilterJaccardPairsCapped]], cap = 1 partner per
+    * orientation so the fixture actually truncates): per document
+    * that lost candidates, (n_cand, n_kept, n_dropped) — the loud
+    * price sheet of bounding an exact join's verify cost on an
+    * adversarial corpus. The oracle replays the WHOLE deterministic
+    * chain: prefix positions ((df, token)-ordered), length +
+    * positional filters, both-orientation smallest-partner ranks —
+    * so the ledger is exact, not a sampled estimate. The capped
+    * pair output's subset-of-uncapped guarantee is spec-pinned
+    * (Round10Spec); this query pins the ledger arithmetic
+    * cross-engine. */
+  private val q233 = Q("q233_capped_prefix_ledger",
+    (s, dir) => Dedup.prefixFilterJaccardPairsCapped(
+      t(s, dir, "documents"), "text", "doc_id", n = 3,
+      thresholdNum = 3, thresholdDen = 5, maxCandidates = 1)._2,
+    Some("""WITH t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (SELECT doc_id, list_distinct(
+          [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3),
+      tok AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS tk FROM g),
+      df AS (SELECT tk, count(*) AS d FROM tok GROUP BY tk),
+      pos AS (SELECT doc_id, sz, tk, row_number() OVER (
+          PARTITION BY doc_id ORDER BY d, tk) AS p
+        FROM tok JOIN df USING (tk)),
+      pre AS (SELECT * FROM pos
+        WHERE p <= sz - ((3 * sz + 4) // 5) + 1),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM pre a JOIN pre b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        WHERE b.sz * 5 >= a.sz * 3 AND a.sz * 5 >= b.sz * 3
+          AND 1 + least(a.sz - a.p, b.sz - b.p)
+            >= (3 * (a.sz + b.sz) + 7) // 8),
+      ori AS (SELECT da AS dd, db AS p2 FROM cand
+        UNION ALL SELECT db, da FROM cand),
+      rk AS (SELECT dd, row_number() OVER (
+          PARTITION BY dd ORDER BY p2) AS rn FROM ori)
+      SELECT dd AS doc_id, CAST(count(*) AS BIGINT) AS n_cand,
+        CAST(sum(CASE WHEN rn <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(count(*) - sum(CASE WHEN rn <= 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_dropped
+      FROM rk GROUP BY dd
+      HAVING count(*) > sum(CASE WHEN rn <= 1 THEN 1 ELSE 0 END)"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7828,5 +7876,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233)
 }

@@ -103,6 +103,41 @@ class Round10Spec extends SparkSpec {
       assert(got(i * 2 + 1)._3 == got(i * 2)._3 + got(i * 2)._2)
   }
 
+  test("prefixFilterJaccardPairsCapped: capped output is a subset of " +
+      "the uncapped pairs, a generous cap changes nothing, and the " +
+      "truncation ledger prices the loss exactly") {
+    // adversarial density: tiny vocabulary, heavy boilerplate overlap
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (0L until 60L).map { i =>
+      val words = (0 until 12).map(j =>
+        vocab(((i / 7 + j) % vocab.length).toInt))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(graft.ext.Dedup.prefixFilterJaccardPairs(
+      docs, "text", "doc_id", n = 3, thresholdNum = 3, thresholdDen = 5))
+    val (wide, wideStats) = graft.ext.Dedup.prefixFilterJaccardPairsCapped(
+      docs, "text", "doc_id", n = 3, thresholdNum = 3, thresholdDen = 5,
+      maxCandidates = 10000)
+    assert(pairs(wide) == uncapped, "a generous cap must be a no-op")
+    assert(wideStats.isEmpty, "no truncation may be reported at k=10000")
+    val (tight, tightStats) = graft.ext.Dedup.prefixFilterJaccardPairsCapped(
+      docs, "text", "doc_id", n = 3, thresholdNum = 3, thresholdDen = 5,
+      maxCandidates = 2)
+    val tightPairs = pairs(tight)
+    assert(tightPairs.subsetOf(uncapped),
+      "capped output must never invent a pair")
+    val ledger = tightStats.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ledger.forall { case (_, c, k, d) => c == k + d && k <= 2 })
+    assert(ledger.nonEmpty,
+      "the dense fixture must actually truncate at k=2")
+    // emitted pairs still honor the threshold (precision unharmed)
+    tight.collect().foreach(r =>
+      assert(r.getDouble(2) >= 0.6 - 1e-12))
+  }
+
   test("neymanQuotas raises loudly once a stratum radicand crosses " +
       "2^104 (the exact-isqrt validity bound)") {
     // two huge distinct values: n·Σx² − (Σx)² = (1e16 − 3e16)² ≈ 4e32
