@@ -582,11 +582,7 @@ object Catalog {
     * distinct-min aggregation. */
   private val q42 = Q("q42_stream_dedup",
     (s, dir) => EventsStream.withStatePartitions(s) {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-      val raw = s.readStream
-        .schema(EventsStream.eventsSchema(s, s"$dir/events.parquet"))
-        .option("pathGlobFilter", p.getName)
-        .parquet(p.getParent.toString)
+      val raw = EventsStream.streamParquet(s, s"$dir/events.parquet")
       val stream = raw
         .withColumn("ts", timestamp_micros(EventsStream.tsMicros(raw)))
         .withWatermark("ts", "1 hour")
@@ -6573,11 +6569,7 @@ object Catalog {
         .createTempDirectory("q210frag").toString
       val ckpt = java.nio.file.Files
         .createTempDirectory("q210ckpt").toString
-      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-      val raw = s.readStream
-        .schema(t(s, dir, "documents").schema)
-        .option("pathGlobFilter", p.getName)
-        .parquet(p.getParent.toString)
+      val raw = EventsStream.streamParquet(s, s"$dir/documents.parquet")
       val hashed = raw.select(col("source"), explode(
         graft.functions.VectorFunctions.polyHashAll(
           TextAnalysis.tokens(col("text")))).as("_h"))

@@ -26,6 +26,22 @@ object EventsStream {
   def eventsSchema(spark: SparkSession, path: String): StructType =
     spark.read.parquet(path).schema
 
+  /** Streaming source over a parquet fixture that may be a single
+    * FILE (the driver's layout — FileStreamSource accepts only
+    * directories, so stream the parent with a name glob) or a
+    * DIRECTORY of part files (generated scale sets, production
+    * landing dirs — stream it directly; a name glob on the parent
+    * would match the directory entry and read nothing). Shared by
+    * every file-backed stream in the engine. */
+  def streamParquet(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rs = spark.readStream.schema(eventsSchema(spark, path))
+    if (fs.getFileStatus(p).isDirectory) rs.parquet(path)
+    else rs.option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+  }
+
   /** `ts` as epoch-microsecond LONG whatever the declared type; pure
     * integral arithmetic (1e18-scale nanos lose low bits in a double).
     * Works on streaming DataFrames — schema-driven, no data peek. */
@@ -39,19 +55,13 @@ object EventsStream {
   def windowedCounts(spark: SparkSession, path: String,
       windowLen: String = "6 hours", slide: Option[String] = None)
       : DataFrame = {
-    // FileStreamSource only accepts directories; stream the parent dir
-    // with a glob filter for the one fixture file.
-    val p = new org.apache.hadoop.fs.Path(path)
     // slide < windowLen ⇒ HOPPING windows: each event lands in
     // windowLen/slide overlapping windows (state grows by that factor —
     // at scale prefer tumbling + a rolling-sum post-pass when the ratio
     // is large). None ⇒ tumbling.
     val win = slide.map(sl => window(col("ts"), windowLen, sl))
       .getOrElse(window(col("ts"), windowLen))
-    val raw = spark.readStream
-      .schema(eventsSchema(spark, path))
-      .option("pathGlobFilter", p.getName)
-      .parquet(p.getParent.toString)
+    val raw = streamParquet(spark, path)
     raw
       .withColumn("ts", timestamp_micros(tsMicros(raw)))
       .withWatermark("ts", "1 hour")
@@ -96,11 +106,7 @@ object EventsStream {
       dim: DataFrame, dimKey: String, groupCol: String,
       queryName: String = "events_enriched"): DataFrame =
     withStatePartitions(spark) {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val q = spark.readStream
-        .schema(eventsSchema(spark, path))
-        .option("pathGlobFilter", p.getName)
-        .parquet(p.getParent.toString)
+      val q = streamParquet(spark, path)
         .join(broadcast(dim), col("user_id") === col(dimKey))
         .groupBy(col(groupCol), col("event_type"))
         .agg(count(lit(1)).as("n"),

@@ -47,11 +47,7 @@ object Sessionize {
       queryName: String = "events_sessions"): Dataset[ClosedSession] =
     EventsStream.withStatePartitions(spark) {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(path)
-    val raw = spark.readStream
-      .schema(EventsStream.eventsSchema(spark, path))
-      .option("pathGlobFilter", p.getName)
-      .parquet(p.getParent.toString)
+    val raw = EventsStream.streamParquet(spark, path)
     val events = raw
       .select(col("user_id"), EventsStream.tsMicros(raw).as("ts_us"),
         col("event_id"))

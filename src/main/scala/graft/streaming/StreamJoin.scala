@@ -27,11 +27,7 @@ object StreamJoin {
   def purchaseErrorJoin(spark: SparkSession, path: String,
       intervalMin: Int = 30, joinType: String = "inner"): DataFrame = {
     def side(eventType: String, pre: String): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val raw = spark.readStream
-        .schema(EventsStream.eventsSchema(spark, path))
-        .option("pathGlobFilter", p.getName)
-        .parquet(p.getParent.toString)
+      val raw = EventsStream.streamParquet(spark, path)
       raw
         .filter(col("event_type") === eventType)
         .select(

@@ -68,11 +68,7 @@ object TransformWithStateOps {
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) {
       import spark.implicits._
-      val p = new org.apache.hadoop.fs.Path(path)
-      val raw = spark.readStream
-        .schema(EventsStream.eventsSchema(spark, path))
-        .option("pathGlobFilter", p.getName)
-        .parquet(p.getParent.toString)
+      val raw = EventsStream.streamParquet(spark, path)
       val evs = raw
         .select(col("user_id"), col("event_id"),
           EventsStream.tsMicros(raw).as("ts_us"))
