@@ -130,7 +130,7 @@ object Bench {
         if (m % 2 == 1) sorted(m / 2)
         else (sorted(m / 2 - 1) + sorted(m / 2)) / 2
       }
-    val ambient = ratios.map { case (n, r) => f""""$n":$r%.3f""" }
+    val ambient = ratios.map { case (n, r) => s""""$n":${Jfmt.f3(r)}""" }
       .mkString(
         s"""{"ratio":$ambientRatio,"per_anchor":{""", ",", "}}")
     val json =

@@ -144,7 +144,7 @@ object E2eProbe {
     }
 
     val cells = stages.map { case (n, s, r) =>
-      f""""$n":{"sec":$s%.2f,"rows":$r}"""
+      s""""$n":{"sec":${Jfmt.f2(s)},"rows":$r}"""
     }
     println(s"""{"dir":"$dir","stages":{${cells.mkString(",")}}}""")
     spark.stop()

@@ -49,7 +49,7 @@ object ScaleProbe {
     val cells = names.map { n =>
       val (sa, ra) = run(n, dirA)
       val (sb, rb) = run(n, dirB)
-      f""""$n":{"a_sec":$sa%.2f,"b_sec":$sb%.2f,"a_rows":$ra,"b_rows":$rb}"""
+      s""""$n":{"a_sec":${Jfmt.f2(sa)},"b_sec":${Jfmt.f2(sb)},"a_rows":$ra,"b_rows":$rb}"""
     }
     println(s"""{"dirA":"$dirA","dirB":"$dirB","queries":{${
       cells.mkString(",")}}}""")

@@ -51,7 +51,7 @@ object StreamStoreProbe {
     val cells = names.map { n =>
       val hdfs = run(n, None)
       val rocks = run(n, Some(RocksDb))
-      f""""$n":{"hdfs_sec":$hdfs%.2f,"rocksdb_sec":$rocks%.2f}"""
+      s""""$n":{"hdfs_sec":${Jfmt.f2(hdfs)},"rocksdb_sec":${Jfmt.f2(rocks)}}"""
     }
     println(s"""{"sf":"$sfDir","providers":{${cells.mkString(",")}}}""")
     spark.stop()

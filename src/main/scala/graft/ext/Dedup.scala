@@ -440,7 +440,7 @@ object Dedup {
     * capped prefix joins: (base = (_id, sorted shingles), cand =
     * deduped (doc_a < doc_b) candidate pairs surviving the prefix,
     * length, and positional filters). */
-  private def prefixCandidates(docs: DataFrame, textCol: String,
+  private[graft] def prefixCandidates(docs: DataFrame, textCol: String,
       idCol: String, n: Int, thresholdNum: Int,
       thresholdDen: Int): (DataFrame, DataFrame) = {
     require(n >= 1 && thresholdNum > 0 && thresholdDen >= thresholdNum,
@@ -516,9 +516,16 @@ object Dedup {
     * Truncation is LOUD, not silent: returns (pairs, stats) where
     * stats is the per-doc truncation ledger
     * (_id, n_cand, n_kept, n_dropped) for documents that lost
-    * candidates — n_dropped summing to exactly the uncapped−capped
-    * candidate difference (spec-pinned). An empty stats frame IS the
-    * proof the cap changed nothing. */
+    * candidates. The ledger prices ORIENTED candidate SLOTS (each
+    * pair occupies one slot at each endpoint, so Σ n_cand over all
+    * docs = 2·|uncapped pairs| and Σ n_kept = surviving slots): a
+    * pair cut at only one endpoint contributes 1 to Σ n_dropped yet
+    * removes a whole pair under the both-votes rule, so Σ n_dropped
+    * lies between 1× and 2× the uncapped−capped PAIR difference —
+    * spec-pinned per doc as n_cand = n_kept + n_dropped
+    * (Round10Spec), with the slot-vs-pair bound pinned in
+    * Round11Spec. An empty stats frame IS the proof the cap changed
+    * nothing. */
   def prefixFilterJaccardPairsCapped(docs: DataFrame, textCol: String,
       idCol: String, n: Int = 3, thresholdNum: Int = 3,
       thresholdDen: Int = 5, maxCandidates: Int = 64)

@@ -2,18 +2,21 @@ package graft.ext
 
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.imageio.ImageIO
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** REAL image decode for the multimodal column surface — the JDK's
-  * built-in `javax.imageio` PNG codec, no external dependency: opaque
-  * `binary` PNG payloads are decoded to an 8-bit grayscale raster on
-  * the executor, area-averaged to the classic 9×8 dHash grid with
-  * EXACT integer arithmetic (sum of the cell's pixels, floor-divided
-  * — no float resampling, so any engine that can read the pixels
-  * replays the grid bit for bit), and fingerprinted with the 64-bit
+  * built-in `javax.imageio` codecs (PNG and JPEG), no external
+  * dependency: opaque `binary` payloads are format-sniffed by magic
+  * bytes, decoded to an 8-bit grayscale raster on the executor,
+  * area-averaged to the classic 9×8 dHash grid with EXACT integer
+  * arithmetic — arbitrary (w, h), no divisibility requirement: each
+  * grid cell's value is the floor of a RATIONAL box sum (pixel
+  * overlap lengths in a ×9/×8 scaled integer axis — no float
+  * resampling anywhere, so any engine that can read the pixels
+  * replays the grid bit for bit) — and fingerprinted with the 64-bit
   * difference hash (Krawetz's dHash: bit (row, col) = 1 iff the cell
   * right of (row, col) is brighter). Near-duplicate pairs then ride
   * the SAME pigeonhole-banded Hamming join the text SimHash family
@@ -23,20 +26,23 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: payloads never touch the driver — encode and decode
   * both stream through `mapPartitions` (one codec instance per
-  * partition, one image in flight per row); the corpus-wide state is
-  * the slim (media_id, 64-bit fingerprint) table; pairs come from the
-  * banded join (zero false negatives for Hamming ≤ maxDist by the
-  * pigeonhole principle, exactly as q137 pins for SimHash).
+  * partition, disposed on task completion, one image in flight per
+  * row); the corpus-wide state is the slim (media_id, 64-bit
+  * fingerprint) table; pairs come from the banded join (zero false
+  * negatives for Hamming ≤ maxDist by the pigeonhole principle,
+  * exactly as q137 pins for SimHash).
   *
   * The synthetic pattern behind the test fixture's PNGs is an integer
-  * formula of (id, x, y) (SQL-replayable, so the q231 oracle computes
-  * the expected dHash ANALYTICALLY while Spark goes through the real
-  * encode→decode→resize→hash chain — a hash match proves the whole
-  * codec path is lossless-correct, not just plumbed). Every 25th
-  * image is an exact copy of its predecessor (Hamming 0) and every
-  * 50th-plus-7 a perturbed copy (first pixel column +16 gray —
-  * a near-dup that flips only gradient bits on the grid's left
-  * edge). */
+  * formula of (id, x, y) (SQL-replayable, so the q231/q234 oracles
+  * compute the expected dHash ANALYTICALLY while Spark goes through
+  * the real encode→decode→resize→hash chain — a hash match proves
+  * the whole codec path is lossless-correct, not just plumbed; PNG
+  * is lossless, so only PNG fixtures get the analytic oracle — the
+  * JPEG path, lossy by design, is pinned by determinism + flow specs
+  * instead). Every 25th image is an exact copy of its predecessor
+  * (Hamming 0) and every 50th-plus-7 a perturbed copy (first pixel
+  * column +16 gray — a near-dup that flips only gradient bits on the
+  * grid's left edge). */
 object Images {
 
   /** dHash grid geometry: 9 columns × 8 rows → 8×8 gradient bits. */
@@ -70,37 +76,100 @@ object Images {
     (v % 256L).toInt
   }
 
+  /** Variable-dimension rule for the mixed-geometry fixture (q234):
+    * dims derive from the PATTERN id (copies share their base's
+    * geometry, so designed duplicates stay pixel-identical), ranges
+    * 10..32 × 9..27 — mostly NOT divisible by the 9×8 grid, so the
+    * rational resize path does real fractional-overlap work. Pure
+    * integer mod forms, replayed verbatim by the oracle SQL. */
+  def varW(pid: Long): Int = (10L + (pid * 7L) % 23L).toInt
+  def varH(pid: Long): Int = (9L + (pid * 5L) % 19L).toInt
+
   // In-memory stream cache: ImageIO's default spills every encode /
   // decode through a temp FILE — at corpus scale that is an fsync per
   // image. Process-wide, set once.
   ImageIO.setUseCache(false)
 
-  /** One REUSABLE PNG codec per partition — `ImageIO.write`/`read`
+  /** One REUSABLE codec per partition — `ImageIO.write`/`read`
     * convenience methods scan the service registry per CALL; a
     * million-image partition pays that a million times. This is the
     * "one decoder instance per partition" discipline the multimodal
-    * scaladoc promises, made literal. Not thread-safe; one instance
-    * per `mapPartitions` closure. */
-  final class PngCodec {
-    private val writer = ImageIO.getImageWritersByFormatName("png").next()
-    private val reader = ImageIO.getImageReadersByFormatName("png").next()
+    * scaladoc promises, made literal. Decoding sniffs the payload's
+    * magic bytes (PNG `\x89PNG`, JPEG `\xFF\xD8`) and routes to the
+    * matching reader — a real scraped corpus mixes formats row by
+    * row, so format is a property of the PAYLOAD, never of the
+    * partition. Readers/writers are JDK service instances that must
+    * be `dispose()`d or they accumulate on long-lived executors;
+    * [[partitionCodec]] registers disposal on task completion.
+    * Not thread-safe; one instance per `mapPartitions` closure. */
+  final class MediaCodec {
+    private val pngWriter = ImageIO.getImageWritersByFormatName("png").next()
+    private val pngReader = ImageIO.getImageReadersByFormatName("png").next()
+    private val jpgWriter = ImageIO.getImageWritersByFormatName("jpeg").next()
+    private val jpgReader = ImageIO.getImageReadersByFormatName("jpeg").next()
+    private var disposed = false
 
     def encode(img: BufferedImage): Array[Byte] = {
       val bos = new ByteArrayOutputStream()
       val out = ImageIO.createImageOutputStream(bos)
-      writer.setOutput(out)
-      writer.write(img)
+      pngWriter.setOutput(out)
+      pngWriter.write(img)
       out.close()
       bos.toByteArray
     }
 
-    def decode(png: Array[Byte]): BufferedImage = {
-      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(png))
+    /** JPEG encode at a PINNED explicit quality — the default param
+      * object is fine for tests but pinning removes any ambiguity
+      * about what the determinism spec actually pins. Lossy: never
+      * oracle-checked analytically, only determinism-checked. */
+    def encodeJpeg(img: BufferedImage, quality: Float = 0.9f): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = ImageIO.createImageOutputStream(bos)
+      jpgWriter.setOutput(out)
+      val p = jpgWriter.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      jpgWriter.write(null, new IIOImage(img, null, null), p)
+      out.close()
+      bos.toByteArray
+    }
+
+    /** Format-sniffing decode: PNG or JPEG by magic bytes. */
+    def decode(bytes: Array[Byte]): BufferedImage = {
+      require(bytes.length >= 2, "payload too short to be an image")
+      val reader =
+        if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') pngReader
+        else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+          jpgReader
+        else throw new IllegalArgumentException(
+          s"unrecognized image magic: ${bytes(0)},${bytes(1)}")
+      val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       reader.setInput(in)
       val img = reader.read(0)
       in.close()
       img
     }
+
+    /** Idempotent release of the four JDK codec service instances. */
+    def dispose(): Unit = if (!disposed) {
+      disposed = true
+      pngWriter.dispose(); pngReader.dispose()
+      jpgWriter.dispose(); jpgReader.dispose()
+    }
+  }
+
+  /** The per-partition codec with leak-proof lifetime: on an executor
+    * the codec is disposed by the task-completion listener (fires on
+    * success, failure, AND early termination — a downstream `limit`
+    * that stops consuming the iterator still releases the codec,
+    * which an exhaustion-hook wrapper would miss); driver-side
+    * (tests, no TaskContext) the caller owns disposal. */
+  private def partitionCodec(): MediaCodec = {
+    val c = new MediaCodec()
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null)
+      tc.addTaskCompletionListener[Unit](_ => c.dispose())
+    c
   }
 
   private def renderPattern(id: Long, w: Int, h: Int): BufferedImage = {
@@ -120,45 +189,67 @@ object Images {
     img
   }
 
-  /** REAL PNG encode via `javax.imageio` (lossless 8-bit grayscale). */
-  def encodePng(id: Long, w: Int = DefaultW, h: Int = DefaultH): Array[Byte] =
-    new PngCodec().encode(renderPattern(id, w, h))
+  /** REAL PNG encode via `javax.imageio` (lossless 8-bit grayscale).
+    * Driver-side helper (tests/fixtures); the distributed paths use
+    * one codec per partition. */
+  def encodePng(id: Long, w: Int = DefaultW, h: Int = DefaultH): Array[Byte] = {
+    val c = new MediaCodec()
+    try c.encode(renderPattern(id, w, h)) finally c.dispose()
+  }
 
-  /** REAL PNG decode + exact area-average resize to the
-    * `GridCols`×`GridRows` dHash grid: cell (cx, cy) =
-    * floor(sum of its (w/9)×(h/8) pixel block / block size). Reads
-    * samples off the raster (never `getRGB` — that would route
-    * through sRGB conversion and un-pin the values). Returns the
-    * grid row-major, length 72. */
-  def decodeGrayGrid(png: Array[Byte]): Array[Int] =
-    gridOf(new PngCodec().decode(png))
+  /** REAL decode + exact area-average resize to the 9×8 dHash grid.
+    * Driver-side helper; see [[gridOf]] for the arithmetic. */
+  def decodeGrayGrid(bytes: Array[Byte]): Array[Int] = {
+    val c = new MediaCodec()
+    try gridOf(c.decode(bytes)) finally c.dispose()
+  }
 
-  /** The area-average grid over an already-decoded raster. */
+  /** The EXACT area-average grid over an already-decoded raster,
+    * arbitrary (w, h) — no divisibility requirement. Work in a
+    * scaled integer axis: horizontally every quantity is multiplied
+    * by 9 (GridCols), so cell cx covers [cx·w, (cx+1)·w) and pixel x
+    * covers [x·9, (x+1)·9) — both integer intervals; the overlap
+    * length ox is exact. Vertically the same with 8 (GridRows).
+    * cell(cx, cy) = ⌊ Σ ox·oy·gray(x, y) / (w·h) ⌋ — the rational
+    * box average, floor-divided once at the end (the cell's total
+    * scaled area is exactly w·h). When w and h ARE divisible the
+    * formula reduces algebraically to the plain block mean
+    * ⌊Σ/(bw·bh)⌋ (every interior overlap is the full 9 or 8), so the
+    * q231 fixed-geometry oracle is unchanged. Reads samples off the
+    * raster (never `getRGB` — that would route through sRGB
+    * conversion and un-pin the values). Returns the grid row-major,
+    * length 72. */
   def gridOf(img: BufferedImage): Array[Int] = {
     require(img != null, "payload is not a decodable image")
     val w = img.getWidth
     val h = img.getHeight
-    require(w % GridCols == 0 && h % GridRows == 0,
-      s"image ${w}x$h not divisible into the ${GridCols}x$GridRows grid")
-    val bw = w / GridCols
-    val bh = h / GridRows
+    require(w >= 1 && h >= 1, s"degenerate image ${w}x$h")
     val raster = img.getRaster
     val grid = new Array[Int](GridCols * GridRows)
+    val area = w.toLong * h
     var cy = 0
     while (cy < GridRows) {
+      val y0 = (cy.toLong * h / GridRows).toInt
+      val y1 = (((cy + 1).toLong * h + GridRows - 1) / GridRows).toInt
       var cx = 0
       while (cx < GridCols) {
+        val x0 = (cx.toLong * w / GridCols).toInt
+        val x1 = (((cx + 1).toLong * w + GridCols - 1) / GridCols).toInt
         var s = 0L
-        var dy = 0
-        while (dy < bh) {
-          var dx = 0
-          while (dx < bw) {
-            s += raster.getSample(cx * bw + dx, cy * bh + dy, 0)
-            dx += 1
+        var y = y0
+        while (y < y1) {
+          val oy = math.min((cy + 1).toLong * h, (y + 1).toLong * GridRows) -
+            math.max(cy.toLong * h, y.toLong * GridRows)
+          var x = x0
+          while (x < x1) {
+            val ox = math.min((cx + 1).toLong * w, (x + 1).toLong * GridCols) -
+              math.max(cx.toLong * w, x.toLong * GridCols)
+            s += ox * oy * raster.getSample(x, y, 0)
+            x += 1
           }
-          dy += 1
+          y += 1
         }
-        grid(cy * GridCols + cx) = (s / (bw.toLong * bh)).toInt
+        grid(cy * GridCols + cx) = (s / area).toInt
         cx += 1
       }
       cy += 1
@@ -198,7 +289,7 @@ object Images {
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { ids =>
-        val codec = new PngCodec()
+        val codec = partitionCodec()
         ids.map(id => PngRow(id, codec.encode(renderPattern(id, w, h))))
       }
       .toDF()
@@ -208,14 +299,38 @@ object Images {
           lit(w).as("width"), lit(h).as("height")).as("meta"))
   }
 
+  /** The MIXED-GEOMETRY synthetic frame: every image gets its own
+    * ([[varW]], [[varH]]) dimensions — mostly not divisible by the
+    * 9×8 grid, so decoding exercises the rational resize on every
+    * row. Same slim layout as [[syntheticPngFrame]]; dims ride the
+    * metadata struct per row. */
+  def syntheticPngFrameVarDims(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        val codec = partitionCodec()
+        ids.map { id =>
+          val pid = baseId(id)
+          PngRow(id, codec.encode(renderPattern(id, varW(pid), varH(pid))))
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("payload"),
+        struct(lit("image").as("kind"),
+          octet_length(col("payload")).as("n_bytes")).as("meta"))
+  }
+
   /** Decode + fingerprint a media frame: (media_id, dhash). One
     * decoder pass per partition, payload dropped immediately after
-    * hashing — the output is 16 bytes/row whatever the image size. */
+    * hashing — the output is 16 bytes/row whatever the image size.
+    * Mixed PNG/JPEG corpora flow through the same call — the codec
+    * sniffs per payload. */
   def dHashes(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[PngRow]
       .mapPartitions { rows =>
-        val codec = new PngCodec()
+        val codec = partitionCodec()
         rows.map(r =>
           HashRow(r.media_id, dHash64(gridOf(codec.decode(r.payload)))))
       }
@@ -233,7 +348,7 @@ object Images {
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[PngRow]
       .mapPartitions { rows =>
-        val codec = new PngCodec()
+        val codec = partitionCodec()
         rows.map { r =>
           val img = codec.decode(r.payload)
           DimRow(r.media_id, img.getWidth, img.getHeight)
@@ -249,6 +364,17 @@ object Images {
   def dHashNearDupPairs(spark: SparkSession, docs: DataFrame,
       idCol: String, maxDist: Int = 2, chunks: Int = 4): DataFrame = {
     val fps = dHashes(spark, syntheticPngFrame(spark, docs, idCol))
+    Dedup.hammingPairsFromFingerprints(fps, "media_id", "dhash",
+      maxDist, chunks, nBits = 64)
+  }
+
+  /** [[dHashNearDupPairs]] over the mixed-geometry corpus — every
+    * image its own arbitrary (w, h), decoded through the rational
+    * resize (q234's surface; the oracle replays the rational box
+    * sums analytically). */
+  def dHashNearDupPairsVarDims(spark: SparkSession, docs: DataFrame,
+      idCol: String, maxDist: Int = 2, chunks: Int = 4): DataFrame = {
+    val fps = dHashes(spark, syntheticPngFrameVarDims(spark, docs, idCol))
     Dedup.hammingPairsFromFingerprints(fps, "media_id", "dhash",
       maxDist, chunks, nBits = 64)
   }

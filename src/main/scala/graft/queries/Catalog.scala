@@ -7841,6 +7841,63 @@ object Catalog {
       FROM rk GROUP BY dd
       HAVING count(*) > sum(CASE WHEN rn <= 1 THEN 1 ELSE 0 END)"""))
 
+  /** Mixed-geometry image near-dup — the q231 codec chain over a
+    * corpus where EVERY image has its own (w, h) (10..32 × 9..27,
+    * derived from the pattern id so designed copies share geometry;
+    * mostly NOT divisible by the 9×8 grid): decode runs the EXACT
+    * rational area-average ([[graft.ext.Images.gridOf]] — overlap
+    * lengths in a ×9/×8 scaled integer axis, one floor division per
+    * cell), the path a real scraped corpus needs, where the round-10
+    * engine would have thrown on the first non-divisible image. The
+    * oracle replays the whole rational geometry analytically: pixel
+    * formula → per-(pixel, cell) integer overlap weights → floor'd
+    * box sum → dHash → brute-force Hamming pairs, so a match proves
+    * the fractional resize is bit-exact, not merely plumbed. (JPEG —
+    * lossy, so never analytically replayable — is pinned by the
+    * determinism + mixed-format flow specs in ImagesSpec instead.) */
+  private val q234 = Q("q234_image_dhash_vardims",
+    (s, dir) => graft.ext.Images.dHashNearDupPairsVarDims(
+      s, t(s, dir, "documents"), "doc_id", maxDist = 2),
+    Some("""WITH b AS (SELECT doc_id,
+        CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+             WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+             ELSE doc_id END AS pid,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      d AS (SELECT doc_id, (pid * 2654435761) % 2147483647 AS m, pert,
+        10 + (pid * 7) % 23 AS w, 9 + (pid * 5) % 19 AS h FROM b),
+      px AS (SELECT doc_id, w, h, x, y,
+          ((m % 256 + 1) * (7*x + 13*y + 1)
+            + ((m // 256) % 256) * (x*x + 11*y + 3)
+            + CASE WHEN pert AND x = 0 THEN 16 ELSE 0 END) % 256 AS g
+        FROM d, range(32) rx(x), range(27) ry(y)
+        WHERE x < w AND y < h),
+      cell AS (SELECT doc_id, cx, cy,
+          sum((least((cx+1)*w, (x+1)*9) - greatest(cx*w, x*9))
+            * (least((cy+1)*h, (y+1)*8) - greatest(cy*h, y*8))
+            * g) // (w * h) AS gv
+        FROM px, range(9) r1(cx), range(8) r2(cy)
+        WHERE least((cx+1)*w, (x+1)*9) > greatest(cx*w, x*9)
+          AND least((cy+1)*h, (y+1)*8) > greatest(cy*h, y*8)
+        GROUP BY doc_id, w, h, cx, cy),
+      bits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.gv > l.gv THEN 1 ELSE 0 END AS bit
+        FROM cell l JOIN cell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      hh AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+        CAST(bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+          AS INT) AS hamming
+      FROM hh a JOIN hh z ON a.doc_id < z.doc_id
+      WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+        <= 2"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7868,5 +7925,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234)
 }
