@@ -6,14 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with a typed metadata struct; decode / feature
   * extraction runs batched per partition. IMAGE decode is REAL —
-  * [[Images]] runs the JDK's `javax.imageio` PNG codec on the
-  * executors (encode, decode, exact integral resize, 64-bit dHash,
-  * banded Hamming near-dup; q231's oracle proves the chain lossless).
-  * For payload kinds with no in-container decoder (audio/video
-  * containers need FFmpeg-class libs), `FakeDecoder` remains the
-  * deterministic stand-in with the same signature, so the
-  * partition-streaming plumbing — schema, binary handling, batching,
-  * output shape — stays exercised end-to-end for every kind.
+  * [[Images]] runs the JDK's `javax.imageio` PNG/JPEG codecs on the
+  * executors (encode, decode, exact rational-area resize over any
+  * (w, h), 64-bit dHash, banded Hamming near-dup; the q231/q234
+  * oracles prove the chain lossless). AUDIO decode is REAL too —
+  * [[Audio]] runs the JDK's `javax.sound.sampled` WAV codec
+  * (RIFF/WAVE encode+decode, integral features, 64-bit
+  * energy-gradient fingerprint; q235/q236). Only payload kinds with
+  * no in-JDK decoder remain stubbed — compressed audio/video
+  * CONTAINERS (mp3/mp4/mkv need FFmpeg-class libs the container
+  * lacks): for those `FakeDecoder` is the deterministic stand-in
+  * with the same signature, so the partition-streaming plumbing —
+  * schema, binary handling, batching, output shape — stays exercised
+  * end-to-end for every kind.
   *
   * Scale: payloads never pass through the driver; mapPartitions streams
   * executor-local batches, and the metadata struct lets planners prune

@@ -7898,6 +7898,107 @@ object Catalog {
       WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
         <= 2"""))
 
+  /** REAL audio decode via the JDK's `javax.sound.sampled` WAV codec
+    * ([[graft.ext.Audio]]): synthetic 16-bit mono PCM clips (integer
+    * sample formula of (doc_id, i)) are encoded through
+    * `AudioSystem.write` (real RIFF/WAVE container) and decoded back
+    * through `AudioSystem.getAudioInputStream` on the executors,
+    * then reduced to integral features — sample count, Σ|s|, Σs²,
+    * zero crossings — and a 64-bit energy-gradient fingerprint
+    * (65 sample bins, adjacent-bin comparisons; shipped as two
+    * 32-bit words so no engine builds a sign-bit BIGINT). The oracle
+    * NEVER sees a WAV: it replays the sample formula analytically, so
+    * a match proves the whole encode→container→decode chain is
+    * lossless-correct (PCM is), not merely plumbed — the q231
+    * discipline applied to audio. `FakeDecoder` now honestly covers
+    * only compressed A/V containers (FFmpeg-class territory). */
+  private val q235 = Q("q235_audio_features",
+    (s, dir) => graft.ext.Audio.features(
+      s, graft.ext.Audio.syntheticWavFrame(s, t(s, dir, "documents"),
+        "doc_id")),
+    Some("""WITH b AS (SELECT doc_id,
+        CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+             WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+             ELSE doc_id END AS pid,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      d AS (SELECT doc_id, (pid * 2654435761) % 2147483647 AS m, pert,
+        400 + (pid * 11) % 257 AS n FROM b),
+      s AS (SELECT doc_id, n, i,
+          ((m % 256 + 1) * (5*i + 7)
+            + ((m // 256) % 256) * ((i*i) % 1009)
+            + CASE WHEN pert AND i < 8 THEN 128 ELSE 0 END)
+            % 65536 - 32768 AS v
+        FROM d, range(657) r(i) WHERE i < n),
+      zc AS (SELECT doc_id, v,
+          lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s),
+      feat AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+          CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+          CAST(sum(v*v) AS BIGINT) AS sum_sq FROM s GROUP BY doc_id),
+      zcc AS (SELECT doc_id, CAST(count(*) FILTER (WHERE pv IS NOT NULL
+          AND ((pv < 0) <> (v < 0))) AS BIGINT) AS n_zero_cross
+        FROM zc GROUP BY doc_id),
+      bins AS (SELECT doc_id, (i * 65) // n AS bin, sum(abs(v)) AS e
+        FROM s GROUP BY doc_id, (i * 65) // n),
+      bits AS (SELECT l.doc_id, l.bin AS k,
+          CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+        FROM bins l JOIN bins r ON r.doc_id = l.doc_id
+          AND r.bin = l.bin + 1
+        WHERE l.bin < 64),
+      fp AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS fp_lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS fp_hi
+        FROM bits GROUP BY doc_id)
+      SELECT f.doc_id AS media_id, f.n_samples, f.sum_abs, f.sum_sq,
+        z.n_zero_cross, p.fp_lo, p.fp_hi
+      FROM feat f JOIN zcc z USING (doc_id)
+        JOIN fp p ON p.doc_id = f.doc_id"""))
+
+  /** Audio near-dup pairs over the real WAV decode — the q235
+    * fingerprint through the pigeonhole-banded Hamming join (the
+    * same machinery as image dHash q231/q234 and text SimHash q137).
+    * The oracle brute-forces all pairs from the analytically-replayed
+    * fingerprints — which doubles as the pigeonhole recall proof at
+    * the audio modality. */
+  private val q236 = Q("q236_audio_neardup",
+    (s, dir) => graft.ext.Audio.fingerprintNearDupPairs(
+      s, t(s, dir, "documents"), "doc_id", maxDist = 2),
+    Some("""WITH b AS (SELECT doc_id,
+        CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+             WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+             ELSE doc_id END AS pid,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      d AS (SELECT doc_id, (pid * 2654435761) % 2147483647 AS m, pert,
+        400 + (pid * 11) % 257 AS n FROM b),
+      s AS (SELECT doc_id, n, i,
+          ((m % 256 + 1) * (5*i + 7)
+            + ((m // 256) % 256) * ((i*i) % 1009)
+            + CASE WHEN pert AND i < 8 THEN 128 ELSE 0 END)
+            % 65536 - 32768 AS v
+        FROM d, range(657) r(i) WHERE i < n),
+      bins AS (SELECT doc_id, (i * 65) // n AS bin, sum(abs(v)) AS e
+        FROM s GROUP BY doc_id, (i * 65) // n),
+      bits AS (SELECT l.doc_id, l.bin AS k,
+          CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+        FROM bins l JOIN bins r ON r.doc_id = l.doc_id
+          AND r.bin = l.bin + 1
+        WHERE l.bin < 64),
+      fp AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+        CAST(bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+          AS INT) AS hamming
+      FROM fp a JOIN fp z ON a.doc_id < z.doc_id
+      WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+        <= 2"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -7925,5 +8026,5 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236)
 }
