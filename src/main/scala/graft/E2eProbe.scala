@@ -26,13 +26,21 @@ import graft.ext.{Curation, Dedup, Packing, Sampling, TextAnalysis, Urls}
   * surviving row, so its wall time scales with the corpus, only the
   * output saturates.
   *
-  * Usage: E2eProbe <fixtureDir> <outDir>. Prints one JSON line:
-  * per-stage seconds and output rows. */
+  * Usage: E2eProbe <fixtureDir> <outDir> [cap]. Prints one JSON
+  * line: per-stage seconds and output rows. With cap > 0 the
+  * near-dup stage (s3) runs the ADVERSARIAL-CORPUS mode instead of
+  * the MinHash banding: the q233 capped exact prefix join
+  * ([[graft.ext.Curation.nearDupDropCapped]]), bounding per-doc
+  * verify work at `cap` candidates per orientation; the truncation
+  * ledger lands in `<outDir>/s3_ledger` and its totals
+  * (docs_truncated, slots_dropped) ride the JSON line — the loud
+  * price sheet of the SLA bound. */
 object E2eProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val out = args(1)
+    val cap = if (args.length > 2) args(2).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -117,17 +125,25 @@ object E2eProbe {
       in.join(keepers, "doc_id")
     }
 
-    stage("s3_minhash_dedup") {
+    val s3name = if (cap > 0) "s3_neardup_capped" else "s3_minhash_dedup"
+    stage(s3name) {
       val in = spark.read.parquet(s"$out/s2_url_dedup")
-      val drops = Dedup.minHashLshPairsPortable(in, "clean_text",
-          "doc_id", n = 3, numPerms = 16, rowsPerBand = 4,
-          threshold = 0.5)
-        .select(col("doc_b").as("doc_id")).distinct()
-      in.join(drops, Seq("doc_id"), "left_anti")
+      if (cap > 0) {
+        val (survivors, ledger) = Curation.nearDupDropCapped(in,
+          "clean_text", "doc_id", maxCandidates = cap)
+        ledger.write.mode("overwrite").parquet(s"$out/s3_ledger")
+        survivors
+      } else {
+        val drops = Dedup.minHashLshPairsPortable(in, "clean_text",
+            "doc_id", n = 3, numPerms = 16, rowsPerBand = 4,
+            threshold = 0.5)
+          .select(col("doc_b").as("doc_id")).distinct()
+        in.join(drops, Seq("doc_id"), "left_anti")
+      }
     }
 
     stage("s4_token_budget") {
-      val in = spark.read.parquet(s"$out/s3_minhash_dedup")
+      val in = spark.read.parquet(s"$out/$s3name")
         .withColumn("n_tokens",
           TextAnalysis.tokenCount(col("clean_text")).cast("long"))
       Sampling.tokenBudgetSample(in, "doc_id", "source", "n_tokens",
@@ -146,7 +162,16 @@ object E2eProbe {
     val cells = stages.map { case (n, s, r) =>
       s""""$n":{"sec":${Jfmt.f2(s)},"rows":$r}"""
     }
-    println(s"""{"dir":"$dir","stages":{${cells.mkString(",")}}}""")
+    val ledgerCell =
+      if (cap <= 0) ""
+      else {
+        val l = spark.read.parquet(s"$out/s3_ledger")
+          .agg(count(lit(1)), coalesce(sum(col("n_dropped")), lit(0L)))
+          .collect()(0)
+        s""","cap":$cap,"ledger":{"docs_truncated":${l.getLong(0)},""" +
+          s""""slots_dropped":${l.getLong(1)}}"""
+      }
+    println(s"""{"dir":"$dir","stages":{${cells.mkString(",")}}$ledgerCell}""")
     spark.stop()
   }
 }

@@ -172,6 +172,42 @@ object Curation {
         col("n_docs"))
   }
 
+  /** The EXACT near-dup drop stage: verified prefix-join pairs
+    * ([[Dedup.prefixFilterJaccardPairs]]), drop the larger id of
+    * every pair (doc_b — the deterministic min-id-keeper rule the
+    * catalog's dedup family uses throughout). The uncapped twin of
+    * [[nearDupDropCapped]], exposed so the capped/uncapped E2E
+    * containment is a testable surface. */
+  def nearDupDrop(in: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, thresholdNum: Int = 3,
+      thresholdDen: Int = 5): DataFrame = {
+    val drops = Dedup.prefixFilterJaccardPairs(in, textCol, idCol, n,
+        thresholdNum, thresholdDen)
+      .select(col("doc_b").as(idCol)).distinct()
+    in.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** The ADVERSARIAL-CORPUS near-dup drop stage: the q233 capped
+    * prefix join as an E2E pipeline stage. On a boilerplate-dense
+    * corpus the exact join's candidate set grows with pair density
+    * (the 25× probe's cost law); an SLA-bound production run caps
+    * per-doc verify work at `maxCandidates` and pays in RECALL, not
+    * correctness — capped pairs ⊆ uncapped pairs, so every doc the
+    * capped stage drops is a true near-dup (uncapped survivors ⊆
+    * capped survivors; some dups survive, none are wrongly killed —
+    * the right failure direction for a dedup SLA). The price is
+    * LOUD: returns (survivors, ledger) where the ledger is the q233
+    * per-doc truncation sheet, surfaced in the E2E probe output so
+    * an operator sees exactly how much recall the cap spent. */
+  def nearDupDropCapped(in: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, thresholdNum: Int = 3, thresholdDen: Int = 5,
+      maxCandidates: Int = 64): (DataFrame, DataFrame) = {
+    val (pairs, ledger) = Dedup.prefixFilterJaccardPairsCapped(in,
+      textCol, idCol, n, thresholdNum, thresholdDen, maxCandidates)
+    val drops = pairs.select(col("doc_b").as(idCol)).distinct()
+    (in.join(drops, Seq(idCol), "left_anti"), ledger)
+  }
+
   /** The round-8 web-curation front end, every stage a verified
     * operator: C4 page cleaning (line rules + page keep,
     * [[TextAnalysis.c4Clean]]) → dominant-script gate on the CLEANED

@@ -244,4 +244,27 @@ class Round11Spec extends SparkSpec {
       thresholdDen = 5, maxCandidates = Int.MaxValue)
     assert(fullLedger.isEmpty)
   }
+
+  test("capped near-dup E2E stage: every capped drop is a true " +
+      "uncapped drop (uncapped survivors ⊆ capped survivors), and " +
+      "the truncating run surfaces a non-empty ledger") {
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (0L until 80L).map { i =>
+      val toks = (0 until 8).map(j => vocab(((i * 7 + j * 3) % 5).toInt))
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val all = (0L until 80L).toSet
+    val unc = graft.ext.Curation.nearDupDrop(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (cappedDf, ledger) = graft.ext.Curation.nearDupDropCapped(
+      docs, "text", "doc_id", maxCandidates = 1)
+    val cap = cappedDf.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(unc.subsetOf(cap),
+      "cap wrongly killed a doc the uncapped stage kept")
+    assert((all -- cap).subsetOf(all -- unc),
+      "capped stage dropped a non-duplicate")
+    assert(ledger.count() > 0, "fixture failed to truncate")
+    assert(cap != unc,
+      "fixture spent no recall — containment untested in the strict case")
+  }
 }
