@@ -267,4 +267,21 @@ class Round11Spec extends SparkSpec {
     assert(cap != unc,
       "fixture spent no recall — containment untested in the strict case")
   }
+
+  test("docs stay in sync: README's catalog count equals " +
+      "Catalog.all.size, every query is oracled, names are unique") {
+    val all = graft.queries.Catalog.all
+    assert(all.map(_.name).distinct.size == all.size,
+      "duplicate query names in the catalog")
+    assert(all.forall(_.oracle.nonEmpty),
+      "a catalog query lost its oracle — the driver would downgrade " +
+        "it to a rows-only check")
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/README.md")), "UTF-8")
+    val m = "Catalog: (\\d+) queries".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README lost its 'Catalog: N queries' line")
+    assert(m.get.group(1).toInt == all.size,
+      s"README says ${m.get.group(1)} queries, catalog has ${all.size} " +
+        "— sync the docs (this pin exists because the drift recurred)")
+  }
 }
