@@ -172,9 +172,12 @@ object Images {
     c
   }
 
-  private def renderPattern(id: Long, w: Int, h: Int): BufferedImage = {
-    val pid = baseId(id)
-    val pert = isPerturbed(id)
+  /** Render the RAW pattern `pid` as an 8-bit grayscale raster — no
+    * duplicate-structure rules applied (the [[Video]] frame renderer;
+    * clips apply baseId at the CLIP level and derive per-frame
+    * pattern ids themselves). */
+  def renderPatternImage(pid: Long, w: Int, h: Int,
+      pert: Boolean = false): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
@@ -188,6 +191,9 @@ object Images {
     }
     img
   }
+
+  private def renderPattern(id: Long, w: Int, h: Int): BufferedImage =
+    renderPatternImage(baseId(id), w, h, isPerturbed(id))
 
   /** REAL PNG encode via `javax.imageio` (lossless 8-bit grayscale).
     * Driver-side helper (tests/fixtures); the distributed paths use
