@@ -98,26 +98,33 @@ object Bench {
     val total = results.map(_._2).sum
     val fl = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Ambient normalization: pinned map-only anchor queries with their
-    // committed quiet-machine record times (round-10 quiet run,
-    // local[32], sf0.1). The anchors touch no iterative/stream/state
-    // machinery, so their only failure mode is the machine itself —
-    // the median observed/record ratio mechanically separates ambient
-    // inflation (all anchors uniformly high) from a real regression
-    // (anchors ~1.0 while one family is slow). Spread across the
-    // alphabetical run order so a time-localized interference window
-    // (the round-9 q35-q43 block) lands on at least one anchor.
-    // Re-pin whenever the anchor queries' code changes.
+    // committed quiet-machine record times (round-11 quiet run,
+    // local[32], sf0.1 — the full record is BENCH_QUIET_r11.json,
+    // committed so per-query regressions diff against a quiet record,
+    // not a contended driver run). The anchors touch no iterative/
+    // stream/state machinery, so their only failure mode is the
+    // machine itself — the median observed/record ratio mechanically
+    // separates ambient inflation (all anchors uniformly high) from a
+    // real regression (anchors ~1.0 while one family is slow). Spread
+    // across the alphabetical run order so a time-localized
+    // interference window lands on at least one anchor; q55/q61/q66
+    // close the q50-q68 gap the round-10 driver run's interference
+    // window (q54-q63, adjudicated between anchors q49 and q69) fell
+    // into. Re-pin whenever the anchor queries' code changes.
     val anchorRecord: Map[String, Double] = Map(
-      "q18_bronze_cast" -> 0.145,
-      "q30_token_stats" -> 0.139,
-      "q49_string_funcs" -> 0.164,
-      "q69_array_funcs" -> 0.112,
-      "q77_running_sum" -> 0.099,
-      "q91_window_battery" -> 0.116,
-      "q124_zorder_key" -> 0.160,
-      "q153_pii_redact" -> 0.103,
-      "q175_blocklist_hits" -> 0.109,
-      "q184_dedup_lines_within" -> 0.124)
+      "q18_bronze_cast" -> 0.133,
+      "q30_token_stats" -> 0.089,
+      "q49_string_funcs" -> 0.126,
+      "q55_outer_join" -> 0.142,
+      "q61_unpivot" -> 0.175,
+      "q66_scd2" -> 0.148,
+      "q69_array_funcs" -> 0.099,
+      "q77_running_sum" -> 0.092,
+      "q91_window_battery" -> 0.093,
+      "q124_zorder_key" -> 0.158,
+      "q153_pii_redact" -> 0.102,
+      "q175_blocklist_hits" -> 0.090,
+      "q184_dedup_lines_within" -> 0.116)
     val resMap = results.toMap
     val ratios = anchorRecord.toSeq.sortBy(_._1).flatMap {
       case (n, rec) => resMap.get(n).map(obs => n -> obs / rec)
