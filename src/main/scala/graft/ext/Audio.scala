@@ -1,7 +1,8 @@
 package graft.ext
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -66,10 +67,53 @@ object Audio {
     Array.tabulate(clipLen(pid))(i => sampleAt(pid, pert, i))
   }
 
+  // The `AudioSystem.write` / `AudioSystem.getAudioInputStream`
+  // convenience statics scan the SPI provider registry PER CALL —
+  // the same disease `ImageIO.write` had for images (round-10's
+  // PngCodec lesson), and the 25× audio probe measured it: 35× wall
+  // at 25× clips while the registry-free image path stayed at 2.7×.
+  // Resolve the WAV reader/writer ONCE per JVM; the JDK's
+  // WaveFileReader/Writer are stateless, so one shared instance
+  // serves all executor threads.
+  private lazy val wavWriter: AudioFileWriter = {
+    val it = java.util.ServiceLoader
+      .load(classOf[AudioFileWriter]).iterator()
+    var found: AudioFileWriter = null
+    while (found == null && it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(AudioFileFormat.Type.WAVE)) found = w
+    }
+    require(found != null, "no WAVE AudioFileWriter provider in JVM")
+    found
+  }
+  private lazy val wavReader: AudioFileReader = {
+    val probe = { // a minimal WAV to identify the right reader once
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        SampleRate, 16, 1, 2, SampleRate, false)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(new Array[Byte](4)), fmt, 2L)
+      val bos = new ByteArrayOutputStream()
+      wavWriter.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val it = java.util.ServiceLoader
+      .load(classOf[AudioFileReader]).iterator()
+    var found: AudioFileReader = null
+    while (found == null && it.hasNext) {
+      val r = it.next()
+      try {
+        r.getAudioFileFormat(new ByteArrayInputStream(probe))
+        found = r
+      } catch { case _: Exception => }
+    }
+    require(found != null, "no WAVE AudioFileReader provider in JVM")
+    found
+  }
+
   /** REAL WAV encode via `javax.sound.sampled`: 16-bit signed
-    * little-endian mono PCM wrapped in a RIFF/WAVE container by
-    * `AudioSystem.write` — the actual JDK writer, not a hand-rolled
-    * header. */
+    * little-endian mono PCM wrapped in a RIFF/WAVE container by the
+    * JDK's SPI writer — the actual codec, not a hand-rolled header;
+    * resolved once per JVM, not per call. */
   def encodeWav(samples: Array[Short]): Array[Byte] = {
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
       SampleRate, 16, 1, 2, SampleRate, false)
@@ -83,17 +127,17 @@ object Audio {
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt,
       samples.length.toLong)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
-  /** REAL WAV decode via `AudioSystem.getAudioInputStream`: parses
-    * the RIFF header, checks the format is 16-bit signed mono PCM
-    * (loud on anything else — silent misreads are how corrupt audio
-    * poisons a corpus), and returns the samples honoring the
-    * container's declared endianness. */
+  /** REAL WAV decode via the JDK's SPI reader (resolved once per
+    * JVM): parses the RIFF header, checks the format is 16-bit
+    * signed mono PCM (loud on anything else — silent misreads are
+    * how corrupt audio poisons a corpus), and returns the samples
+    * honoring the container's declared endianness. */
   def decodeWav(wav: Array[Byte]): Array[Short] = {
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    val ais = wavReader.getAudioInputStream(new ByteArrayInputStream(wav))
     val fmt = ais.getFormat
     require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
       fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
@@ -180,6 +224,42 @@ object Audio {
         val fp = fingerprint64(s)
         AudioFeatures(r.media_id, s.length.toLong, sumAbs, sumSq, zc,
           fp & 0xffffffffL, fp >>> 32)
+      })
+      .toDF()
+  }
+
+  final case class PitchRow(media_id: Long, best_lag: Int, best_r: Long)
+
+  /** Integer autocorrelation pitch estimate over decoded samples —
+    * the classic time-domain period detector, kept EXACT: R(L) =
+    * Σ s_i·s_{i+L} over the clip (pure Long arithmetic — spectral
+    * methods need floating FFTs, autocorrelation does not), best lag
+    * = argmax of R over [minLag, maxLag] with smallest-lag
+    * tie-break, so any engine that can read the samples replays the
+    * argmax bit for bit. One pass per clip per lag — O(n·lags),
+    * map-only, no shuffle anywhere (the q235 plan discipline). */
+  def autocorrPitch(spark: SparkSession, media: DataFrame,
+      minLag: Int = 40, maxLag: Int = 72): DataFrame = {
+    require(1 <= minLag && minLag <= maxLag)
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[WavRow]
+      .mapPartitions(_.map { r =>
+        val s = decodeWav(r.payload)
+        var bestLag = minLag
+        var bestR = Long.MinValue
+        var lag = minLag
+        while (lag <= maxLag) {
+          var acc = 0L
+          var i = 0
+          val n = s.length - lag
+          while (i < n) {
+            acc += s(i).toLong * s(i + lag)
+            i += 1
+          }
+          if (acc > bestR) { bestR = acc; bestLag = lag }
+          lag += 1
+        }
+        PitchRow(r.media_id, bestLag, bestR)
       })
       .toDF()
   }

@@ -870,6 +870,29 @@ object Dedup {
     * across bands. */
   def hammingPairsFromFingerprints(fps: DataFrame, idCol: String,
       fpCol: String, maxDist: Int, chunks: Int, nBits: Int): DataFrame = {
+    val base = bandedFingerprints(fps, idCol, fpCol, maxDist, chunks,
+      nBits)
+    val a = base.select(col("_id").as("doc_a"), col("_fp").as("_fpa"),
+      col("_cno"), col("_cv"))
+    val b = base.select(col("_id").as("doc_b"), col("_fp").as("_fpb"),
+      col("_cno"), col("_cv"))
+    a.join(b, Seq("_cno", "_cv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** The pigeonhole banding shared by the self- and delta-join
+    * variants: (_id, _fp, _cno, _cv) — one row per fingerprint per
+    * band combination, behind a keyed repartition barrier (the pair
+    * join consumes it as BOTH sides, and without the cut each side
+    * re-derives the fingerprints from the full corpus — measured 2×
+    * the q182 chain; ReuseExchange serves both branches from one
+    * computation, and nothing is pinned). */
+  private def bandedFingerprints(fps: DataFrame, idCol: String,
+      fpCol: String, maxDist: Int, chunks: Int, nBits: Int): DataFrame = {
     require(maxDist < chunks,
       s"pigeonhole recall guarantee needs maxDist < chunks " +
         s"(got maxDist=$maxDist, chunks=$chunks)")
@@ -886,23 +909,39 @@ object Dedup {
         shiftleft(acc, width).bitwiseOR(b))
       struct(lit(i).as("no"), packed.as("v"))
     }
-    // barrier on the slim (_id, _fp) frame: the pair join consumes it
-    // as BOTH sides, and without the cut each side re-derives the
-    // fingerprints from the full corpus (measured 2× the q182 chain);
-    // behind the keyed repartition ReuseExchange serves both branches
-    // from one computation, and nothing is pinned
-    val base = fps.select(col(idCol).as("_id"), col(fpCol).as("_fp"))
+    fps.select(col(idCol).as("_id"), col(fpCol).as("_fp"))
       .repartition(col("_id"))
       .withColumn("_band", explode(array(bands: _*)))
       .select(col("_id"), col("_fp"),
         col("_band.no").as("_cno"), col("_band.v").as("_cv"))
-    val a = base.select(col("_id").as("doc_a"), col("_fp").as("_fpa"),
-      col("_cno"), col("_cv"))
-    val b = base.select(col("_id").as("doc_b"), col("_fp").as("_fpb"),
-      col("_cno"), col("_cv"))
-    a.join(b, Seq("_cno", "_cv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+  }
+
+  /** INCREMENTAL banded Hamming join: pairs TOUCHING the delta only —
+    * delta×stored plus delta-internal — with banding work sized by
+    * the delta side (the stored corpus is banded once as the join's
+    * right side; no stored² pair enumeration anywhere — the same
+    * delta discipline as [[minHashLshDeltaPairs]] and the suffix
+    * family, extended to decoder fingerprints: a nightly media crawl
+    * lands a delta, joins it against the stored fingerprint table,
+    * appends, and never re-pairs the base). Same zero-false-negative
+    * pigeonhole guarantee; pairs are (least, greatest)-normalized and
+    * deduped, so delta-internal pairs (seen from both orientations)
+    * emit once. `base` and `delta` must be id-disjoint (re-crawled
+    * ids belong in the delta only). */
+  def hammingDeltaPairsFromFingerprints(base: DataFrame, delta: DataFrame,
+      idCol: String, fpCol: String, maxDist: Int, chunks: Int,
+      nBits: Int): DataFrame = {
+    val d = bandedFingerprints(delta, idCol, fpCol, maxDist, chunks,
+      nBits)
+    val all = bandedFingerprints(delta.unionByName(base), idCol, fpCol,
+      maxDist, chunks, nBits)
+    d.select(col("_id").as("_da"), col("_fp").as("_fpa"),
+        col("_cno"), col("_cv"))
+      .join(all.select(col("_id").as("_db"), col("_fp").as("_fpb"),
+        col("_cno"), col("_cv")), Seq("_cno", "_cv"))
+      .filter(col("_da") =!= col("_db"))
+      .select(least(col("_da"), col("_db")).as("doc_a"),
+        greatest(col("_da"), col("_db")).as("doc_b"),
         bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .dropDuplicates("doc_a", "doc_b")

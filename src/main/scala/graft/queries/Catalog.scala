@@ -8052,6 +8052,164 @@ object Catalog {
           AS is_cut
       FROM h a JOIN h p ON p.doc_id = a.doc_id AND p.f = a.f - 1"""))
 
+  /** Integer autocorrelation pitch estimate over the REAL audio
+    * decode ([[graft.ext.Audio.autocorrPitch]]): R(L) = Σ s_i·s_{i+L}
+    * in exact Long arithmetic, argmax over lags 40..72 with
+    * smallest-lag tie-break — the classic time-domain period
+    * detector, float-free so the oracle replays the argmax bit for
+    * bit. Map-only: no shuffle anywhere in the plan (MediaPlanSpec
+    * discipline). */
+  private val q238 = Q("q238_audio_pitch",
+    (s, dir) => graft.ext.Audio.autocorrPitch(
+      s, graft.ext.Audio.syntheticWavFrame(s, t(s, dir, "documents"),
+        "doc_id")),
+    Some("""WITH b AS (SELECT doc_id,
+        CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+             WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+             ELSE doc_id END AS pid,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      d AS (SELECT doc_id, (pid * 2654435761) % 2147483647 AS m, pert,
+        400 + (pid * 11) % 257 AS n FROM b),
+      s AS (SELECT doc_id, i,
+          ((m % 256 + 1) * (5*i + 7)
+            + ((m // 256) % 256) * ((i*i) % 1009)
+            + CASE WHEN pert AND i < 8 THEN 128 ELSE 0 END)
+            % 65536 - 32768 AS v
+        FROM d, range(657) r(i) WHERE i < n),
+      r AS (SELECT a.doc_id, l.lg, CAST(sum(a.v * bb.v) AS BIGINT) AS r
+        FROM s a, range(40, 73) l(lg), s bb
+        WHERE bb.doc_id = a.doc_id AND bb.i = a.i + l.lg
+        GROUP BY a.doc_id, l.lg)
+      SELECT doc_id AS media_id, CAST(lg AS INT) AS best_lag,
+        r AS best_r
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY r DESC, lg) AS rn FROM r) z
+      WHERE rn = 1"""))
+
+  /** Cross-modal consistency audit — the "same image, different
+    * caption" spam/scrape signal a multimodal curation pass needs:
+    * image near-dup pairs (the q231 real-codec chain, Hamming ≤ 2)
+    * that have NO text near-dup support (exact prefix-join Jaccard ≥
+    * 0.6 — q213's zero-false-negative machinery, so "no text pair"
+    * is a proof, not a sampling artifact). Every surviving row is a
+    * pair of documents sharing a (near-)identical image under
+    * different text. The oracle replays both modalities brute-force
+    * and anti-joins. */
+  private val q239 = Q("q239_crossmodal_consistency",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val img = graft.ext.Images.dHashNearDupPairs(s, docs, "doc_id",
+        maxDist = 2)
+      val txt = Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",
+          n = 3, thresholdNum = 3, thresholdDen = 5)
+        .select(col("doc_a"), col("doc_b"))
+      img.join(txt, Seq("doc_a", "doc_b"), "left_anti")
+    },
+    Some("""WITH b AS (SELECT doc_id,
+        (CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+              WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+              ELSE doc_id END * 2654435761) % 2147483647 AS m,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      cell AS (SELECT doc_id, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
+            % 256) // 16 AS g
+        FROM b, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, cx, cy),
+      bits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM cell l JOIN cell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      h AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id),
+      ip AS (SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+          CAST(bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+            AS INT) AS hamming
+        FROM h a JOIN h z ON a.doc_id < z.doc_id
+        WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+          <= 2),
+      g AS (SELECT doc_id, list_distinct(
+          [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM (SELECT doc_id, list_filter(
+            string_split_regex(trim(text), '\s+'), x -> len(x) > 0)
+            AS toks FROM documents) t0
+        WHERE len(toks) >= 3),
+      tp AS (SELECT a.doc_id AS da, b.doc_id AS db
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= 0.6)
+      SELECT doc_a, doc_b, hamming FROM ip
+      WHERE NOT EXISTS (SELECT 1 FROM tp
+        WHERE tp.da = ip.doc_a AND tp.db = ip.doc_b)"""))
+
+  /** Incremental image-fingerprint maintenance
+    * ([[Dedup.hammingDeltaPairsFromFingerprints]]): the stored corpus
+    * (doc_id % 4 ≠ 0) holds its dHash table; a delta crawl
+    * (doc_id % 4 = 0) decodes through the real codec and joins
+    * against the store — banding work sized by the delta, stored²
+    * never enumerated, same pigeonhole recall guarantee. The oracle
+    * brute-forces ALL pairs and keeps those touching the delta —
+    * pinning that the incremental path misses nothing the full
+    * rebuild would find (the minHashLshDeltaPairs contract, extended
+    * to decoder fingerprints). */
+  private val q240 = Q("q240_image_dhash_delta",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val baseF = graft.ext.Images.dHashes(s,
+        graft.ext.Images.syntheticPngFrame(s,
+          docs.filter(col("doc_id") % 4 =!= 0), "doc_id"))
+      val deltaF = graft.ext.Images.dHashes(s,
+        graft.ext.Images.syntheticPngFrame(s,
+          docs.filter(col("doc_id") % 4 === 0), "doc_id"))
+      Dedup.hammingDeltaPairsFromFingerprints(baseF, deltaF,
+        "media_id", "dhash", maxDist = 2, chunks = 4, nBits = 64)
+    },
+    Some("""WITH b AS (SELECT doc_id,
+        (CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+              WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+              ELSE doc_id END * 2654435761) % 2147483647 AS m,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      cell AS (SELECT doc_id, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
+            % 256) // 16 AS g
+        FROM b, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, cx, cy),
+      bits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM cell l JOIN cell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      h AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+        CAST(bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+          AS INT) AS hamming
+      FROM h a JOIN h z ON a.doc_id < z.doc_id
+      WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+        <= 2
+        AND (a.doc_id % 4 = 0 OR z.doc_id % 4 = 0)"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -8079,5 +8237,6 @@ object Catalog {
     q177, q178, q179, q180, q181, q182, q183, q184, q185, q186, q187,
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
+    q240)
 }

@@ -268,6 +268,85 @@ class Round11Spec extends SparkSpec {
       "fixture spent no recall — containment untested in the strict case")
   }
 
+  test("hammingDeltaPairsFromFingerprints == full rebuild filtered " +
+      "to delta-touching pairs (nothing missed, nothing extra, " +
+      "delta-internal pairs once)") {
+    // fingerprints engineered so near-dups cross the base/delta line
+    // in every combination: base-base (must NOT appear), base-delta,
+    // delta-delta
+    val fps = Seq(
+      (1L, 0L), (2L, 1L),              // base-base pair (H=1)
+      (3L, 1L << 40),                  // base, pairs with delta 10
+      (10L, (1L << 40) | 2L),          // delta (H=1 vs 3)
+      (11L, (1L << 40) | 3L),          // delta (H=1 vs 10, H=2 vs 3)
+      (12L, java.lang.Long.MIN_VALUE)) // delta, isolated (sign bit)
+    val base = fps.filter(_._1 < 10).toDF("id", "fp")
+    val delta = fps.filter(_._1 >= 10).toDF("id", "fp")
+    val got = Dedup.hammingDeltaPairsFromFingerprints(base, delta,
+        "id", "fp", maxDist = 2, chunks = 4, nBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Dedup.hammingPairsFromFingerprints(fps.toDF("id", "fp"),
+        "id", "fp", maxDist = 2, chunks = 4, nBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = full.filter { case (a, b, _) => a >= 10 || b >= 10 }
+    assert(got == want)
+    assert(full.contains((1L, 2L, 1)) && !got.contains((1L, 2L, 1)),
+      "base-base pair leaked into (or vanished from) the fixture")
+    assert(got.contains((10L, 11L, 1)), "delta-internal pair missing")
+    assert(got.contains((3L, 10L, 1)), "base-delta pair missing")
+  }
+
+  test("autocorrPitch == brute-force argmax with smallest-lag " +
+      "tie-break, map-only plan") {
+    val ids = (0L until 60L).toDF("doc_id")
+    val media = graft.ext.Audio.syntheticWavFrame(spark, ids, "doc_id")
+    val pitch = graft.ext.Audio.autocorrPitch(spark, media)
+    val got = pitch.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    for (id <- 0L until 60L) {
+      val pid = Images.baseId(id)
+      val s = Array.tabulate(graft.ext.Audio.clipLen(pid))(i =>
+        graft.ext.Audio.sampleAt(pid, Images.isPerturbed(id), i))
+      val rs = (40 to 72).map { lag =>
+        lag -> (0 until s.length - lag)
+          .foldLeft(0L)((acc, i) => acc + s(i).toLong * s(i + lag))
+      }
+      val best = rs.maxBy { case (lag, r) => (r, -lag) }
+      assert(got(id) == ((best._1, best._2)), s"pitch diverged for $id")
+    }
+    val exchanges = pitch.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "pitch extraction must be map-only")
+  }
+
+  test("cross-modal consistency: image-dup pairs WITH matching text " +
+      "are dropped, those with different text survive") {
+    // doc pairs (0,1): same image pattern AND same text -> dropped;
+    // (2,3): same image pattern, different text -> kept
+    import org.apache.spark.sql.functions.{col, when, lit, concat}
+    val docs = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+      // the image side is hand-built below (identical fingerprints),
+      // so only the TEXT relation varies across the two pairs
+      .withColumn("text",
+        when(col("doc_id") < 2, lit("alpha beta gamma delta epsilon"))
+          .when(col("doc_id") === 2,
+            lit("one two three four five six"))
+          .otherwise(lit("seven eight nine ten eleven twelve")))
+    // image near-dup pairs from hand-built identical fingerprints
+    val imgPairs = Seq((0L, 1L, 0), (2L, 3L, 0)).toDF(
+      "doc_a", "doc_b", "hamming")
+    val txtPairs = Dedup.prefixFilterJaccardPairs(docs, "text",
+        "doc_id", n = 3, thresholdNum = 3, thresholdDen = 5)
+      .select(col("doc_a"), col("doc_b"))
+    val kept = imgPairs.join(txtPairs, Seq("doc_a", "doc_b"),
+        "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((2L, 3L)),
+      "same-image/same-text pair must drop; same-image/new-text " +
+        "pair must survive")
+  }
+
   test("docs stay in sync: README's catalog count equals " +
       "Catalog.all.size, every query is oracled, names are unique") {
     val all = graft.queries.Catalog.all
