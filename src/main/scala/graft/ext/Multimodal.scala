@@ -107,6 +107,84 @@ object Multimodal {
       }
   }
 
+  /** Magic-byte payload-kind sniffing — dispatch is a property of the
+    * PAYLOAD, never of metadata (a scraped corpus lies about
+    * content-types constantly): RIFF containers split on their form
+    * fourcc (WAVE → audio, AVI → video), PNG/JPEG magics → image.
+    * Loud on anything else. */
+  def sniffKind(b: Array[Byte]): String = {
+    def cc(off: Int) = new String(b, off, 4, "US-ASCII")
+    if (b.length >= 12 && cc(0) == "RIFF") {
+      cc(8) match {
+        case "WAVE" => "audio"
+        case "AVI " => "video"
+        case other => throw new IllegalArgumentException(
+          s"unrecognized RIFF form: $other")
+      }
+    } else if (b.length >= 2 &&
+      (((b(0) & 0xff) == 0x89 && b(1) == 'P') ||
+        ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8))) "image"
+    else throw new IllegalArgumentException(
+      s"unrecognized payload magic: ${b.take(4).mkString(",")}")
+  }
+
+  final case class UnifiedFp(media_id: Long, kind: String,
+      fp_lo: Long, fp_hi: Long)
+
+  /** ONE decode pass over a MIXED-modality media frame: sniff each
+    * payload's kind from its magic bytes and route to the matching
+    * REAL codec — image → `javax.imageio` → dHash, audio →
+    * `javax.sound` WAV → energy-gradient fingerprint, video →
+    * RIFF/AVI demux → first-frame dHash — emitting one unified
+    * 64-bit fingerprint per payload (split into two non-negative
+    * 32-bit words for the oracle). This is the dispatch shape a real
+    * corpus-wide media pass needs: one partition stream, one codec
+    * set, kind decided per ROW. Payloads never shuffle; output is
+    * ~28 bytes/row. */
+  def unifiedFingerprints(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new Images.MediaCodec()
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ => codec.dispose())
+        rows.map { case (id, payload) =>
+          val kind = sniffKind(payload)
+          val fp = kind match {
+            case "image" =>
+              Images.dHash64(Images.gridOf(codec.decode(payload)))
+            case "audio" =>
+              Audio.fingerprint64(Audio.decodeWav(payload))
+            case "video" =>
+              val (_, first) = Video.demuxFrames(payload).next()
+              Images.dHash64(Images.gridOf(codec.decode(first)))
+          }
+          UnifiedFp(id, kind, fp & 0xffffffffL, fp >>> 32)
+        }
+      }
+      .toDF()
+  }
+
+  /** The mixed-modality synthetic frame: kind cycles with the id
+    * (id%3 = 0 → PNG image, 1 → WAV audio, 2 → AVI video), every
+    * payload a REAL container through its family's synthesis chain
+    * — the q242 fixture. */
+  def syntheticMixedFrame(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    val img = Images.syntheticPngFrame(spark,
+        docs.filter(col(idCol) % 3 === 0), idCol)
+      .select(col("media_id"), col("payload"))
+    val aud = Audio.syntheticWavFrame(spark,
+        docs.filter(col(idCol) % 3 === 1), idCol)
+      .select(col("media_id"), col("payload"))
+    val vid = Video.syntheticAviFrame(spark,
+        docs.filter(col(idCol) % 3 === 2), idCol)
+      .select(col("media_id"), col("payload"))
+    img.unionByName(aud).unionByName(vid)
+  }
+
   /** Payload-level near-duplicate pairs — the perceptual-hash stand-in
     * for image/audio dedup: SimHash over character shingles of the hex
     * rendering of the opaque binary payload (`gram` hex chars ≈

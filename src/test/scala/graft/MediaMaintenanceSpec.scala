@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, concat_ws}
+
+import graft.ext.{Dedup, Images}
+import graft.streaming.MediaDedupMaintenance
+
+/** Round-11: streaming media-fingerprint maintenance. Batched delta
+  * pairs must union to exactly the full-corpus banded join (nothing
+  * missed across batch boundaries, nothing doubled), each payload is
+  * decoded exactly once in its lifetime (the store IS the decode
+  * cache), and a replayed batchId converges to the run-once bytes. */
+class MediaMaintenanceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def pairRows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select(concat_ws("|", col("doc_a"), col("doc_b"), col("hamming")))
+      .collect().map(_.getString(0)).toSet
+
+  test("batch-union pair log == full-corpus banded join; replayed " +
+      "batchId converges; the store is the decode cache") {
+    val n = 160L
+    val docs = (0L until n).toDF("doc_id")
+    val media = Images.syntheticPngFrame(spark, docs, "doc_id")
+      .select(col("media_id"), col("payload"))
+    val landing = tmpDir("medialanding")
+    val storeDir = tmpDir("mediastore")
+    val pairsDir = tmpDir("mediapairs")
+    val ckpt = tmpDir("mediackpt")
+    media.repartitionByRange(4, col("media_id"))
+      .write.mode("overwrite").parquet(landing)
+    val src = spark.readStream
+      .schema(spark.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+    val q = MediaDedupMaintenance.start(src, storeDir, pairsDir, ckpt)
+    q.awaitTermination()
+
+    // ≥2 batches actually ran (maxFilesPerTrigger=1 over 4 files)
+    val batches = new java.io.File(pairsDir).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(batches.size >= 2, s"expected multiple batches, got $batches")
+
+    val streamed = pairRows(spark.read.parquet(pairsDir))
+    val full = pairRows(Dedup.hammingPairsFromFingerprints(
+      Images.dHashes(spark, media), "media_id", "dhash",
+      maxDist = 2, chunks = 4, nBits = 64))
+    assert(streamed == full,
+      "batched delta pairs must union to the full-corpus join")
+    assert(full.nonEmpty, "fixture produced no pairs — parity untested")
+
+    // the store is the decode cache: merged fingerprints == a direct
+    // decode of the whole corpus
+    val stored = MediaDedupMaintenance
+      .readFingerprints(spark, storeDir)
+      .select(concat_ws("|", col("media_id"), col("dhash")))
+      .collect().map(_.getString(0)).toSet
+    val direct = Images.dHashes(spark, media)
+      .select(concat_ws("|", col("media_id"), col("dhash")))
+      .collect().map(_.getString(0)).toSet
+    assert(stored == direct)
+
+    // replay idempotence: processing an already-stored subset under a
+    // fresh batchId must leave the GLOBAL pair set and fingerprint
+    // set unchanged (its pairs/fingerprints are rediscoveries), and
+    // processing it twice converges to the same bytes
+    val replay = spark.read.parquet(landing)
+      .orderBy(col("media_id")).limit(40)
+    MediaDedupMaintenance.processBatch(replay, 99L, storeDir, pairsDir)
+    assert(pairRows(spark.read.parquet(pairsDir)) == streamed,
+      "replaying stored media changed the global pair set")
+    def storedSet(): Set[String] = MediaDedupMaintenance
+      .readFingerprints(spark, storeDir)
+      .select(concat_ws("|", col("media_id"), col("dhash")))
+      .collect().map(_.getString(0)).toSet
+    assert(storedSet() == stored,
+      "replaying stored media changed the fingerprint set")
+    MediaDedupMaintenance.processBatch(replay, 99L, storeDir, pairsDir)
+    assert(pairRows(spark.read.parquet(pairsDir)) == streamed &&
+      storedSet() == stored,
+      "second replay of the same batchId did not converge")
+  }
+}
