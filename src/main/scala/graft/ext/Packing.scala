@@ -119,17 +119,35 @@ object Packing {
       bucketSpan: Long = 65536L,
       cp: Checkpointer = LocalCheckpoint): DataFrame = {
     require(patch > 0, s"patch size must be positive, got $patch")
+    packMultimodalCosts(docs, idCol, textCol,
+      mediaDims.select(col("media_id"), lit("image").as("kind"),
+        (expr(s"(width + ${patch - 1}) div $patch") *
+          expr(s"(height + ${patch - 1}) div $patch")).cast("long")
+          .as("cost")),
+      budget, bucketSpan, cp)
+  }
+
+  /** [[packMultimodal]] generalized to ARBITRARY media costs — the
+    * entry point for modalities whose accelerator cost is not a
+    * single frame's patch grid: video contributes
+    * n_frames × patches-per-frame ([[graft.ext.Video.decodedMeta]]),
+    * audio would contribute codec-frame counts. `mediaCosts` carries
+    * (media_id, kind, cost); each media item interleaves directly
+    * after its document's text (2·doc / 2·doc+1), and the assignment
+    * is the same two-phase bucketed prefix sum — heterogeneous costs
+    * never change the no-global-window shape. */
+  def packMultimodalCosts(docs: DataFrame, idCol: String,
+      textCol: String, mediaCosts: DataFrame, budget: Long,
+      bucketSpan: Long = 65536L,
+      cp: Checkpointer = LocalCheckpoint): DataFrame = {
     val text = docs.select((col(idCol).cast("long") * 2).as("_mid"),
       lit("text").as("kind"),
       graft.ext.TextAnalysis.tokenCount(col(textCol)).cast("long")
         .as("_cost"))
-    val img = mediaDims.select(
+    val media = mediaCosts.select(
       (col("media_id").cast("long") * 2 + 1).as("_mid"),
-      lit("image").as("kind"),
-      (expr(s"(width + ${patch - 1}) div $patch") *
-        expr(s"(height + ${patch - 1}) div $patch")).cast("long")
-        .as("_cost"))
-    val items = text.unionByName(img)
+      col("kind"), col("cost").cast("long").as("_cost"))
+    val items = text.unionByName(media)
     packBudget(items, "_mid", col("_cost"), budget, bucketSpan, cp)
       .join(items.select(col("_mid").as("_id"), col("kind")), "_id")
       .select(col("_id"), col("kind"), col("n_tokens"), col("start"),

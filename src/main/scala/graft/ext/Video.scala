@@ -222,6 +222,37 @@ object Video {
       .toDF()
   }
 
+  final case class VideoMeta(media_id: Long, n_frames: Int,
+      width: Int, height: Int)
+
+  /** DECODED clip geometry — frame count from the real demux walk,
+    * dimensions from DECODING the first frame (never from the avih
+    * header: containers lie, rasters don't — the [[Images.decodedMeta]]
+    * honesty rule at the clip level). One demux + one image decode
+    * per clip; output 20 bytes/row. The honest input for video
+    * patch-token costing (cost = n_frames × patches-per-frame). */
+  def decodedMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[AviRow]
+      .mapPartitions { rows =>
+        val codec = new Images.MediaCodec()
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => codec.dispose())
+        rows.map { r =>
+          var n = 0; var w = 0; var h = 0
+          demuxFrames(r.payload).foreach { case (i, bytes) =>
+            if (i == 0) {
+              val img = codec.decode(bytes)
+              w = img.getWidth; h = img.getHeight
+            }
+            n += 1
+          }
+          VideoMeta(r.media_id, n, w, h)
+        }
+      }
+      .toDF()
+  }
+
   /** Scene-change detection over a corpus id column: synthesize
     * AVIs → demux → decode frames → dHash → consecutive-frame
     * Hamming (media-keyed lag window — bounded by frames-per-clip,

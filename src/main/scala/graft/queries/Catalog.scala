@@ -8210,6 +8210,69 @@ object Catalog {
         <= 2
         AND (a.doc_id % 4 = 0 OR z.doc_id % 4 = 0)"""))
 
+  /** Video-aware multimodal packing — q232's VLM shard sheet with the
+    * THIRD modality: every 4th document carries a real AVI clip whose
+    * accelerator cost is n_frames × patches-per-frame, BOTH earned
+    * through the container (frame count from the real demux walk,
+    * dims from decoding the first frame —
+    * [[graft.ext.Video.decodedMeta]]; the oracle replays the
+    * synthesis formulas analytically while Spark goes through
+    * mux→demux→decode). Interleave and two-phase no-global-window
+    * cumsum unchanged ([[Packing.packMultimodalCosts]]). */
+  private val q241 = Q("q241_video_pack",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.ext.Video.syntheticAviFrame(s,
+        docs.filter(col("doc_id") % 4 === 0), "doc_id")
+      val meta = graft.ext.Video.decodedMeta(s, media)
+      val costs = meta.select(col("media_id"),
+        lit("video").as("kind"),
+        (col("n_frames") *
+          expr("(width + 13) div 14") *
+          expr("(height + 13) div 14")).cast("long").as("cost"))
+      Packing.packMultimodalCosts(docs, "doc_id", "text", costs,
+          budget = 512L)
+        .groupBy(col("shard"))
+        .agg(
+          sum(when(col("kind") === "text", 1L).otherwise(0L))
+            .as("n_text"),
+          sum(when(col("kind") === "video", 1L).otherwise(0L))
+            .as("n_video"),
+          sum(when(col("kind") === "text", col("n_tokens"))
+            .otherwise(0L)).as("text_tokens"),
+          sum(when(col("kind") === "video", col("n_tokens"))
+            .otherwise(0L)).as("video_tokens"),
+          sum(when(col("spills"), 1L).otherwise(0L)).as("n_spills"))
+    },
+    Some("""WITH txt AS (SELECT doc_id * 2 AS id, 'text' AS kind,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0)) AS BIGINT) AS c
+        FROM documents),
+      vid AS (SELECT doc_id * 2 + 1 AS id, 'video' AS kind,
+          CAST((4 + (CASE WHEN doc_id > 0 AND doc_id % 25 = 0
+                THEN doc_id - 1
+              WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+              ELSE doc_id END) % 5) * 9 AS BIGINT) AS c
+        FROM documents WHERE doc_id % 4 = 0),
+      items AS (SELECT * FROM txt UNION ALL SELECT * FROM vid),
+      pos AS (SELECT id, kind, c, CAST(coalesce(sum(c) OVER (
+          ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND
+          1 PRECEDING), 0) AS BIGINT) AS start FROM items),
+      a AS (SELECT kind, c, start // 512 AS shard,
+          start % 512 AS so FROM pos)
+      SELECT shard,
+        CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_text,
+        CAST(sum(CASE WHEN kind = 'video' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_video,
+        CAST(sum(CASE WHEN kind = 'text' THEN c ELSE 0 END) AS BIGINT)
+          AS text_tokens,
+        CAST(sum(CASE WHEN kind = 'video' THEN c ELSE 0 END) AS BIGINT)
+          AS video_tokens,
+        CAST(sum(CASE WHEN so + c > 512 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_spills
+      FROM a GROUP BY shard"""))
+
   /** Unified mixed-modality fingerprint pass
     * ([[graft.ext.Multimodal.unifiedFingerprints]]): ONE decode pass
     * over a corpus whose payloads cycle through PNG image / WAV
@@ -8331,5 +8394,5 @@ object Catalog {
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q242)
+    q240, q241, q242)
 }

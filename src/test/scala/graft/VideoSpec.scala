@@ -60,6 +60,22 @@ class VideoSpec extends SparkSpec {
     } finally codec.dispose()
   }
 
+  test("decodedMeta: frame count from the real demux walk, dims from " +
+      "the decoded first frame — both match the synthesis design") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val got = Video.decodedMeta(spark,
+        Video.syntheticAviFrame(spark, ids, "doc_id"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got.keySet == (0L until 40L).toSet)
+    for (id <- 0L until 40L) {
+      val pid = Images.baseId(id)
+      assert(got(id) == ((Video.nFrames(pid), Video.FrameW,
+        Video.FrameH)), s"meta diverged for clip $id")
+    }
+  }
+
   test("sceneCuts: exactly one non-zero consecutive Hamming per clip " +
       "at the designed cut index; copies share their base's cuts") {
     val n = 120L
