@@ -8273,6 +8273,75 @@ object Catalog {
           AS n_spills
       FROM a GROUP BY shard"""))
 
+  /** The streaming media-dedup maintenance end-to-end as an oracled
+    * catalog row ([[graft.streaming.MediaDedupMaintenance]]): real
+    * PNG payloads land as a multi-file corpus, stream through
+    * AvailableNow one file per micro-batch — each batch decoded once,
+    * delta-joined banded against the accumulated fingerprint store,
+    * its fragment + new pairs landing under batchId keys — and the
+    * returned union of per-batch pair logs must equal the FULL-corpus
+    * analytic pair surface (the oracle is q231's, verbatim): pair
+    * emission across batch boundaries is structurally exactly-once,
+    * which the multi-batch arrival here exercises for real, not just
+    * in the spec. */
+  private val q243 = Q("q243_media_stream_pairs",
+    (s, dir) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("q243store").toString
+      val pairs = java.nio.file.Files
+        .createTempDirectory("q243pairs").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("q243ckpt").toString
+      val landing = java.nio.file.Files
+        .createTempDirectory("q243land").toString
+      graft.ext.Images.syntheticPngFrame(s, t(s, dir, "documents"),
+          "doc_id")
+        .select(col("media_id"), col("payload"))
+        .repartitionByRange(4, col("media_id"))
+        .write.mode("overwrite").parquet(landing)
+      val src = s.readStream
+        .schema(s.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+      val q = graft.streaming.MediaDedupMaintenance.start(
+        src, store, pairs, ckpt)
+      q.awaitTermination()
+      s.read.parquet(pairs)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+        (CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+              WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+              ELSE doc_id END * 2654435761) % 2147483647 AS m,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      cell AS (SELECT doc_id, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
+            % 256) // 16 AS g
+        FROM b, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, cx, cy),
+      bits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM cell l JOIN cell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      h AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+        CAST(bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+          AS INT) AS hamming
+      FROM h a JOIN h z ON a.doc_id < z.doc_id
+      WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+        <= 2"""))
+
   /** Unified mixed-modality fingerprint pass
     * ([[graft.ext.Multimodal.unifiedFingerprints]]): ONE decode pass
     * over a corpus whose payloads cycle through PNG image / WAV
@@ -8394,5 +8463,5 @@ object Catalog {
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242)
+    q240, q241, q242, q243)
 }
