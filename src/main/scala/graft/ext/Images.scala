@@ -384,4 +384,89 @@ object Images {
     Dedup.hammingPairsFromFingerprints(fps, "media_id", "dhash",
       maxDist, chunks, nBits = 64)
   }
+
+  // ------------------------------------------------- mirror invariance
+
+  /** The q244 fixture rule: every (40k+11)th image (k ≥ 1) is the
+    * HORIZONTAL MIRROR of its predecessor's rendered image — the
+    * mirrored-repost case a perceptual dedup pass must catch, which
+    * plain dHash misses (mirroring permutes and partially complements
+    * the gradient bits). */
+  def isMirroredId(id: Long): Boolean = id > 10 && id % 40 == 11
+
+  /** The horizontally-flipped grid (columns reversed). */
+  def mirrorGrid(grid: Array[Int]): Array[Int] = {
+    require(grid.length == GridCols * GridRows)
+    Array.tabulate(grid.length) { k =>
+      val cy = k / GridCols; val cx = k % GridCols
+      grid(cy * GridCols + (GridCols - 1 - cx))
+    }
+  }
+
+  private def renderWithMirrors(id: Long): BufferedImage =
+    if (isMirroredId(id)) {
+      val src = id - 1
+      val pid = baseId(src)
+      val pert = isPerturbed(src)
+      val img = new BufferedImage(DefaultW, DefaultH,
+        BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < DefaultH) {
+        var x = 0
+        while (x < DefaultW) {
+          raster.setSample(x, y, 0,
+            grayAt(pid, pert, DefaultW - 1 - x, y))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    } else renderPattern(id, DefaultW, DefaultH)
+
+  /** The mirror-bearing synthetic frame (q244's corpus). */
+  def syntheticPngFrameWithMirrors(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        val codec = partitionCodec()
+        ids.map(id => PngRow(id, codec.encode(renderWithMirrors(id))))
+      }
+      .toDF()
+  }
+
+  /** MIRROR-INVARIANT near-dup pairs: every image contributes BOTH
+    * orientations' dHashes (the decoded grid and its column-reversed
+    * twin — one extra 72-int flip per image, no second decode), the
+    * banded join runs over composite (media, orientation) ids, and
+    * pairs collapse to media level with the MINIMUM Hamming across
+    * the orientation combos (deterministic — never an arbitrary
+    * surviving variant row). A mirrored repost then surfaces at
+    * Hamming 0 through the (original, mirrored-fingerprint) combo
+    * that plain dHash never sees. Fingerprint state doubles
+    * (32 bytes/image); the join machinery and its pigeonhole
+    * guarantee are unchanged. */
+  def dHashNearDupPairsMirrorAware(spark: SparkSession, docs: DataFrame,
+      idCol: String, maxDist: Int = 2, chunks: Int = 4): DataFrame = {
+    import spark.implicits._
+    val fps = syntheticPngFrameWithMirrors(spark, docs, idCol)
+      .select(col("media_id"), col("payload")).as[PngRow]
+      .mapPartitions { rows =>
+        val codec = partitionCodec()
+        rows.flatMap { r =>
+          val grid = gridOf(codec.decode(r.payload))
+          Seq(HashRow(r.media_id * 2, dHash64(grid)),
+            HashRow(r.media_id * 2 + 1, dHash64(mirrorGrid(grid))))
+        }
+      }
+      .toDF()
+    Dedup.hammingPairsFromFingerprints(fps, "media_id", "dhash",
+        maxDist, chunks, nBits = 64)
+      .select(expr("doc_a div 2").as("ma"),
+        expr("doc_b div 2").as("mb"), col("hamming"))
+      .filter(col("ma") =!= col("mb"))
+      .groupBy(col("ma").as("doc_a"), col("mb").as("doc_b"))
+      .agg(min(col("hamming")).cast("int").as("hamming"))
+  }
 }

@@ -8435,6 +8435,72 @@ object Catalog {
       UNION ALL
       SELECT doc_id, 'video', lo, hi FROM vh"""))
 
+  /** Mirror-invariant image near-dup
+    * ([[graft.ext.Images.dHashNearDupPairsMirrorAware]]): every
+    * (40k+11)th image is the HORIZONTAL MIRROR of its predecessor —
+    * the mirrored-repost case plain dHash misses (mirroring permutes
+    * and partially complements the gradient bits). Every image
+    * contributes both orientations' fingerprints (one 72-int flip,
+    * no second decode); pairs collapse to media level with the
+    * deterministic MINIMUM Hamming across orientation combos. The
+    * oracle replays the mirrored rendering, both per-variant
+    * fingerprints, and the 4-combo min analytically — so the planted
+    * mirror pairs surfacing at Hamming 0 is proved, not assumed. */
+  private val q244 = Q("q244_image_mirror_dedup",
+    (s, dir) => graft.ext.Images.dHashNearDupPairsMirrorAware(
+      s, t(s, dir, "documents"), "doc_id", maxDist = 2),
+    Some("""WITH src AS (SELECT doc_id,
+        CASE WHEN doc_id > 10 AND doc_id % 40 = 11 THEN doc_id - 1
+             ELSE doc_id END AS rid,
+        (doc_id > 10 AND doc_id % 40 = 11) AS mir
+        FROM documents),
+      b AS (SELECT doc_id, mir,
+        (CASE WHEN rid > 0 AND rid % 25 = 0 THEN rid - 1
+              WHEN rid > 6 AND rid % 50 = 7 THEN rid - 1
+              ELSE rid END * 2654435761) % 2147483647 AS m,
+        (rid > 6 AND rid % 50 = 7) AS pert
+        FROM src),
+      px AS (SELECT doc_id, x, y,
+          ((m % 256 + 1) * (7*xx + 13*y + 1)
+            + ((m // 256) % 256) * (xx*xx + 11*y + 3)
+            + CASE WHEN pert AND xx = 0 THEN 16 ELSE 0 END) % 256 AS g
+        FROM (SELECT doc_id, m, pert, x, y,
+            CASE WHEN mir THEN 35 - x ELSE x END AS xx
+          FROM b, range(36) rx(x), range(32) ry(y)) z),
+      cell AS (SELECT doc_id, x // 4 AS cx, y // 4 AS cy,
+          sum(g) // 16 AS g
+        FROM px GROUP BY doc_id, x // 4, y // 4),
+      obits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM cell l JOIN cell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      mbits AS (SELECT l.doc_id, l.cy * 8 + (8 - l.cx) AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM cell l JOIN cell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx - 1
+        WHERE l.cx > 0),
+      fp AS (SELECT doc_id, 0 AS v,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM obits GROUP BY doc_id
+        UNION ALL
+        SELECT doc_id, 1,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END),
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END)
+        FROM mbits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+        CAST(min(bit_count(xor(a.lo, z.lo))
+          + bit_count(xor(a.hi, z.hi))) AS INT) AS hamming
+      FROM fp a JOIN fp z ON a.doc_id < z.doc_id
+      GROUP BY a.doc_id, z.doc_id
+      HAVING min(bit_count(xor(a.lo, z.lo))
+        + bit_count(xor(a.hi, z.hi))) <= 2"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -8463,5 +8529,5 @@ object Catalog {
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242, q243)
+    q240, q241, q242, q243, q244)
 }

@@ -347,6 +347,45 @@ class Round11Spec extends SparkSpec {
         "pair must survive")
   }
 
+  test("mirror-aware dedup: pairs == brute-force 4-combo min over " +
+      "both-orientation fingerprints; planted mirrors surface at " +
+      "Hamming 0 where plain dHash misses them") {
+    val n = 200L
+    val ids = (0L until n).toDF("doc_id")
+    val got = Images.dHashNearDupPairsMirrorAware(spark, ids, "doc_id",
+        maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same decode chain
+    val codec = new Images.MediaCodec()
+    val fps = try {
+      val frame = Images.syntheticPngFrameWithMirrors(spark, ids,
+        "doc_id").collect()
+      frame.map { r =>
+        val grid = Images.gridOf(codec.decode(r.getAs[Array[Byte]](1)))
+        r.getLong(0) -> ((Images.dHash64(grid),
+          Images.dHash64(Images.mirrorGrid(grid))))
+      }.toMap
+    } finally codec.dispose()
+    val want = (for {
+      a <- 0L until n; b <- (a + 1) until n
+      (ao, am) = fps(a); (bo, bm) = fps(b)
+      d = Seq(ao ^ bo, ao ^ bm, am ^ bo, am ^ bm)
+        .map(java.lang.Long.bitCount).min if d <= 2
+    } yield (a, b, d)).toSet
+    assert(got == want)
+    // planted mirrored reposts: (id-1, id) at Hamming 0 via the
+    // cross-orientation combo...
+    for (id <- Seq(51L, 91L, 131L, 171L)) {
+      assert(Images.isMirroredId(id))
+      assert(got.contains((id - 1, id, 0)), s"mirror pair missing at $id")
+      // ...which plain same-orientation dHash does NOT see (unless the
+      // pattern happens to be symmetric — it never is on this fixture)
+      val (ao, _) = fps(id - 1); val (bo, _) = fps(id)
+      assert(java.lang.Long.bitCount(ao ^ bo) > 2,
+        s"fixture degenerate at $id: plain dHash already matches")
+    }
+  }
+
   test("docs stay in sync: README's catalog count equals " +
       "Catalog.all.size, every query is oracled, names are unique") {
     val all = graft.queries.Catalog.all
