@@ -144,6 +144,10 @@ object Audio {
       s"unsupported audio format: $fmt (need 16-bit signed mono PCM)")
     val bytes = ais.readAllBytes()
     ais.close()
+    // a truncated data section (odd byte count for 16-bit samples)
+    // must be loud, not a silently dropped trailing byte
+    require(bytes.length % 2 == 0,
+      s"corrupt PCM data: odd byte count ${bytes.length} for 16-bit samples")
     val n = bytes.length / 2
     val out = new Array[Short](n)
     var i = 0
@@ -245,18 +249,28 @@ object Audio {
     media.select(col("media_id"), col("payload")).as[WavRow]
       .mapPartitions(_.map { r =>
         val s = decodeWav(r.payload)
+        // a lag with zero overlapping terms has no autocorrelation —
+        // scoring it as R=0 would let a phantom out-of-range lag win
+        // the argmax on short clips (and diverge from the oracle,
+        // which has no row for an empty lag). Loud instead: pitch
+        // over [minLag, maxLag] is undefined for clips this short.
+        require(s.length > minLag,
+          s"clip ${r.media_id}: ${s.length} samples too short for " +
+            s"autocorrelation lag $minLag")
         var bestLag = minLag
         var bestR = Long.MinValue
         var lag = minLag
         while (lag <= maxLag) {
-          var acc = 0L
-          var i = 0
           val n = s.length - lag
-          while (i < n) {
-            acc += s(i).toLong * s(i + lag)
-            i += 1
+          if (n > 0) {
+            var acc = 0L
+            var i = 0
+            while (i < n) {
+              acc += s(i).toLong * s(i + lag)
+              i += 1
+            }
+            if (acc > bestR) { bestR = acc; bestLag = lag }
           }
-          if (acc > bestR) { bestR = acc; bestLag = lag }
           lag += 1
         }
         PitchRow(r.media_id, bestLag, bestR)

@@ -933,8 +933,14 @@ object Dedup {
       nBits: Int): DataFrame = {
     val d = bandedFingerprints(delta, idCol, fpCol, maxDist, chunks,
       nBits)
-    val all = bandedFingerprints(delta.unionByName(base), idCol, fpCol,
-      maxDist, chunks, nBits)
+    // band base and delta SEPARATELY and union the banded outputs
+    // (banding is per-row, so this equals banding the union) — the
+    // right side then shares the `d` subplan with the left side and
+    // ReuseExchange serves both from one computation; banding the
+    // union instead would re-derive the delta's upstream (a real
+    // DECODE chain in the media callers) a second time
+    val all = d.unionByName(
+      bandedFingerprints(base, idCol, fpCol, maxDist, chunks, nBits))
     d.select(col("_id").as("_da"), col("_fp").as("_fpa"),
         col("_cno"), col("_cv"))
       .join(all.select(col("_id").as("_db"), col("_fp").as("_fpb"),

@@ -163,8 +163,10 @@ object Images {
     * success, failure, AND early termination — a downstream `limit`
     * that stops consuming the iterator still releases the codec,
     * which an exhaustion-hook wrapper would miss); driver-side
-    * (tests, no TaskContext) the caller owns disposal. */
-  private def partitionCodec(): MediaCodec = {
+    * (tests, no TaskContext) the caller owns disposal. Shared with
+    * the other media modules ([[Video]], [[Multimodal]]) so the
+    * disposal idiom has exactly ONE definition. */
+  private[ext] def partitionCodec(): MediaCodec = {
     val c = new MediaCodec()
     val tc = org.apache.spark.TaskContext.get()
     if (tc != null)

@@ -146,10 +146,7 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val codec = new Images.MediaCodec()
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null)
-          tc.addTaskCompletionListener[Unit](_ => codec.dispose())
+        val codec = Images.partitionCodec()
         rows.map { case (id, payload) =>
           val kind = sniffKind(payload)
           val fp = kind match {
@@ -158,8 +155,13 @@ object Multimodal {
             case "audio" =>
               Audio.fingerprint64(Audio.decodeWav(payload))
             case "video" =>
-              val (_, first) = Video.demuxFrames(payload).next()
-              Images.dHash64(Images.gridOf(codec.decode(first)))
+              val frames = Video.demuxFrames(payload)
+              // a structurally valid AVI with no video chunks (real
+              // scraped files: audio-only or empty movi) must name
+              // the payload problem, not die as NoSuchElementException
+              if (!frames.hasNext) throw new IllegalArgumentException(
+                s"media $id: AVI container holds no video frames")
+              Images.dHash64(Images.gridOf(codec.decode(frames.next()._2)))
           }
           UnifiedFp(id, kind, fp & 0xffffffffL, fp >>> 32)
         }

@@ -160,13 +160,24 @@ object Video {
       while (off + 8 <= to) {
         val id = cc(avi, off)
         val size = rdLe32(avi, off + 4)
+        // corrupt-size guard: a negative or out-of-bounds chunk size
+        // would stall the walk (off advancing by <= 0) or read past
+        // the payload — a crafted/truncated AVI must FAIL the task
+        // loudly, never wedge it
+        if (size < 0 || off + 8 + size > to)
+          throw new IllegalArgumentException(
+            s"corrupt RIFF chunk '$id' at offset $off: size $size " +
+              s"exceeds container bound $to")
         if (id == "LIST") walk(off + 12, off + 8 + size)
         else if (id == "00dc" || id == "00db")
           offsets += ((off + 8, size))
         off += 8 + size + (size % 2) // skip the pad byte on odd sizes
       }
     }
-    walk(12, 8 + rdLe32(avi, 4))
+    val declared = rdLe32(avi, 4)
+    require(declared >= 4 && 8 + declared <= avi.length,
+      s"corrupt RIFF header: declared size $declared vs ${avi.length}")
+    walk(12, 8 + declared)
     offsets.iterator.zipWithIndex.map { case ((off, len), i) =>
       (i, java.util.Arrays.copyOfRange(avi, off, off + len))
     }
@@ -183,9 +194,7 @@ object Video {
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { ids =>
-        val codec = new Images.MediaCodec()
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => codec.dispose())
+        val codec = Images.partitionCodec()
         ids.map { id =>
           val pid = Images.baseId(id)
           val frames = (0 until nFrames(pid)).map { f =>
@@ -209,9 +218,7 @@ object Video {
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[AviRow]
       .mapPartitions { rows =>
-        val codec = new Images.MediaCodec()
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => codec.dispose())
+        val codec = Images.partitionCodec()
         rows.flatMap { r =>
           demuxFrames(r.payload).map { case (i, png) =>
             FrameHash(r.media_id,
@@ -235,9 +242,7 @@ object Video {
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[AviRow]
       .mapPartitions { rows =>
-        val codec = new Images.MediaCodec()
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit](_ => codec.dispose())
+        val codec = Images.partitionCodec()
         rows.map { r =>
           var n = 0; var w = 0; var h = 0
           demuxFrames(r.payload).foreach { case (i, bytes) =>

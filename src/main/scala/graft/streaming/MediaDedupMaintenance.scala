@@ -40,17 +40,37 @@ object MediaDedupMaintenance {
     StructField("media_id", LongType),
     StructField("dhash", LongType)))
 
-  /** The accumulated fingerprint store (all landed `batch=*`
-    * fragments); empty-with-schema before the first batch. */
+  /** The accumulated fingerprint store — COMMITTED `batch=*`
+    * fragments only, by the [[HllMaintenance.mergedRegisters]]
+    * discipline (`_SUCCESS` marker, or finalized part files without a
+    * `_temporary` staging dir when job-commit markers are disabled):
+    * a monitor calling this while the stream is mid-write for batch j
+    * must see the store as of batch j−1, never a partial fragment.
+    * Empty-with-schema before the first batch; non-`batch=` names
+    * skipped. */
   def readFingerprints(spark: SparkSession, storeDir: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
-      spark.read.schema(fpSchema).parquet(storeDir)
-        .select(col("media_id"), col("dhash"))
-    else
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(hconf)
+    val markersOn = hconf.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+    def committed(p: org.apache.hadoop.fs.Path): Boolean =
+      if (markersOn) fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      else {
+        val entries = fs.listStatus(p).toSeq
+        entries.exists(e => e.isFile && e.getPath.getName.startsWith("part-")) &&
+        !entries.exists(e => e.getPath.getName == "_temporary")
+      }
+    val dirs =
+      if (!fs.exists(path)) Seq.empty
+      else fs.listStatus(path).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") && committed(p))
+    if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpSchema)
+    else
+      spark.read.schema(fpSchema).parquet(dirs.map(_.toString): _*)
+        .select(col("media_id"), col("dhash"))
   }
 
   /** The idempotent unit: decode + fingerprint one micro-batch of

@@ -386,6 +386,51 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("corrupt-media guards are LOUD: negative RIFF chunk size " +
+      "(would otherwise loop forever), odd-byte PCM, zero-frame AVI, " +
+      "too-short pitch clip") {
+    // valid magic, then a chunk whose size field is negative
+    val evil = new java.io.ByteArrayOutputStream()
+    evil.write("RIFF".getBytes("US-ASCII"))
+    evil.write(Array[Byte](32, 0, 0, 0)) // declared size 32
+    evil.write("AVI ".getBytes("US-ASCII"))
+    evil.write("00dc".getBytes("US-ASCII"))
+    evil.write(Array[Byte](-8, -1, -1, -1)) // size = -8
+    evil.write(new Array[Byte](20))
+    intercept[IllegalArgumentException] {
+      graft.ext.Video.demuxFrames(evil.toByteArray)
+    }
+    // truncated PCM: strip one byte off a valid WAV's tail — the JDK
+    // reader frame-aligns what it can, so decode must either throw or
+    // return ONLY complete samples (the decodeWav require backstops a
+    // reader that ever surfaced a torn half-sample)
+    val wav = graft.ext.Audio.encodeWav(Array.tabulate(100)(_.toShort))
+    val dec = try Some(graft.ext.Audio.decodeWav(wav.dropRight(1)))
+      catch { case _: Exception => None }
+    dec.foreach(s => assert(s.length <= 100,
+      "truncated WAV decoded to MORE samples than written"))
+    // AVI with zero video chunks through the unified dispatch
+    val emptyAvi = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("RIFF".getBytes("US-ASCII"))
+      b.write(Array[Byte](4, 0, 0, 0))
+      b.write("AVI ".getBytes("US-ASCII"))
+      b.toByteArray
+    }
+    val bad = Seq((1L, emptyAvi)).toDF("media_id", "payload")
+    val err = intercept[Exception] {
+      graft.ext.Multimodal.unifiedFingerprints(spark, bad).collect()
+    }
+    assert(err.getMessage != null)
+    // pitch over [40, 72] undefined for a 30-sample clip
+    val shortWav = Seq((1L,
+        graft.ext.Audio.encodeWav(Array.tabulate(30)(_.toShort))))
+      .toDF("media_id", "payload")
+    intercept[Exception] {
+      graft.ext.Audio.autocorrPitch(spark, shortWav).collect()
+    }
+  }
+
   test("docs stay in sync: README's catalog count equals " +
       "Catalog.all.size, every query is oracled, names are unique") {
     val all = graft.queries.Catalog.all
