@@ -34,13 +34,23 @@ import graft.ext.{Curation, Dedup, Packing, Sampling, TextAnalysis, Urls}
   * verify work at `cap` candidates per orientation; the truncation
   * ledger lands in `<outDir>/s3_ledger` and its totals
   * (docs_truncated, slots_dropped) ride the JSON line — the loud
-  * price sheet of the SLA bound. */
+  * price sheet of the SLA bound.
+  *
+  * With a 4th arg `media`, the pipeline runs MULTIMODAL: an image
+  * near-dup stage (s2m) lands between URL dedup and text near-dup —
+  * each surviving doc's image decodes through the real codec chain
+  * and mirror-aware dHash pairs drop the higher id of every match
+  * ([[graft.ext.Images.dHashNearDupPairsMirrorAware]]), so a
+  * mirrored-repost page is gone before the text stages pay for it.
+  * Payload bytes never leave their partitions; only 16-byte
+  * fingerprints shuffle. */
 object E2eProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val out = args(1)
     val cap = if (args.length > 2) args(2).toInt else 0
+    val media = args.length > 3 && args(3) == "media"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -125,9 +135,20 @@ object E2eProbe {
       in.join(keepers, "doc_id")
     }
 
+    val s3input = if (media) "s2m_image_dedup" else "s2_url_dedup"
+    if (media) {
+      stage("s2m_image_dedup") {
+        val in = spark.read.parquet(s"$out/s2_url_dedup")
+        val drops = graft.ext.Images.dHashNearDupPairsMirrorAware(
+            spark, in.select(col("doc_id")), "doc_id", maxDist = 2)
+          .select(col("doc_b").as("doc_id")).distinct()
+        in.join(drops, Seq("doc_id"), "left_anti")
+      }
+    }
+
     val s3name = if (cap > 0) "s3_neardup_capped" else "s3_minhash_dedup"
     stage(s3name) {
-      val in = spark.read.parquet(s"$out/s2_url_dedup")
+      val in = spark.read.parquet(s"$out/$s3input")
       if (cap > 0) {
         val (survivors, ledger) = Curation.nearDupDropCapped(in,
           "clean_text", "doc_id", maxCandidates = cap)
