@@ -225,14 +225,28 @@ object Images {
     * ⌊Σ/(bw·bh)⌋ (every interior overlap is the full 9 or 8), so the
     * q231 fixed-geometry oracle is unchanged. Reads samples off the
     * raster (never `getRGB` — that would route through sRGB
-    * conversion and un-pin the values). Returns the grid row-major,
-    * length 72. */
+    * conversion and un-pin the values). COLOR rasters (≥ 3 bands —
+    * the JDK PNG/JPEG readers order bands R, G, B whatever the
+    * backing byte layout; a spec pins that with pure-color images)
+    * reduce to EXPLICIT integer luminance ⌊(2126·R + 7152·G + 722·B)
+    * / 10000⌋ (the BT.709 weights, scaled integer, one floor
+    * division) — never a silent band-0 read, which would fingerprint
+    * the red channel of an RGB payload (the corrupt-media-discipline
+    * inconsistency the round-11 review flagged); 2-band gray+alpha
+    * reads the gray band. Returns the grid row-major, length 72. */
   def gridOf(img: BufferedImage): Array[Int] = {
     require(img != null, "payload is not a decodable image")
     val w = img.getWidth
     val h = img.getHeight
     require(w >= 1 && h >= 1, s"degenerate image ${w}x$h")
     val raster = img.getRaster
+    val color = raster.getNumBands >= 3
+    def grayOf(x: Int, y: Int): Long =
+      if (color)
+        (2126L * raster.getSample(x, y, 0) +
+          7152L * raster.getSample(x, y, 1) +
+          722L * raster.getSample(x, y, 2)) / 10000L
+      else raster.getSample(x, y, 0).toLong
     val grid = new Array[Int](GridCols * GridRows)
     val area = w.toLong * h
     var cy = 0
@@ -252,7 +266,7 @@ object Images {
           while (x < x1) {
             val ox = math.min((cx + 1).toLong * w, (x + 1).toLong * GridCols) -
               math.max(cx.toLong * w, x.toLong * GridCols)
-            s += ox * oy * raster.getSample(x, y, 0)
+            s += ox * oy * grayOf(x, y)
             x += 1
           }
           y += 1

@@ -8284,16 +8284,28 @@ object Catalog {
     * emission across batch boundaries is structurally exactly-once,
     * which the multi-batch arrival here exercises for real, not just
     * in the spec. */
+  /** Run a streaming-maintenance catalog query inside four scratch
+    * dirs (store / pairs / checkpoint / landing) that are DELETED
+    * before returning — a correctness drive must not leak a corpus
+    * copy per run (round-11 ADVICE). The result frame is eagerly
+    * `localCheckpoint`ed first, so the returned plan no longer reads
+    * the deleted parquet. */
+  private def withStreamDirs(s: SparkSession, tag: String)(
+      body: (String, String, String, String) => DataFrame): DataFrame = {
+    val dirs = Seq("store", "pairs", "ckpt", "land")
+      .map(k => java.nio.file.Files.createTempDirectory(tag + k))
+    try {
+      val Seq(store, pairs, ckpt, landing) = dirs.map(_.toString)
+      body(store, pairs, ckpt, landing).localCheckpoint(true)
+    } finally dirs.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   private val q243 = Q("q243_media_stream_pairs",
-    (s, dir) => {
-      val store = java.nio.file.Files
-        .createTempDirectory("q243store").toString
-      val pairs = java.nio.file.Files
-        .createTempDirectory("q243pairs").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("q243ckpt").toString
-      val landing = java.nio.file.Files
-        .createTempDirectory("q243land").toString
+    (s, dir) => withStreamDirs(s, "q243") { (store, pairs, ckpt, landing) =>
       graft.ext.Images.syntheticPngFrame(s, t(s, dir, "documents"),
           "doc_id")
         .select(col("media_id"), col("payload"))

@@ -44,43 +44,15 @@ object HllMaintenance {
   /** The current merged register table: cell-wise max of landed
     * fragments with id ≤ `upToBatch` (None = everything).
     * Empty-with-schema before the first batch. Safe against a live
-    * stream: only COMMITTED fragments participate, so a batch write in
-    * flight is invisible rather than a partial merge. Committed means
-    * the `_SUCCESS` marker exists; when the deployment DISABLES
-    * job-commit markers (`mapreduce.fileoutputcommitter
-    * .marksuccessfuljobs=false`, common on object stores — read off
-    * the live Hadoop conf, so the rule matches what the writer
-    * actually did), committed instead means the fragment dir holds
-    * finalized `part-*` data files and no `_temporary` staging dir
-    * (the committer only renames part files out of `_temporary` at
-    * commit, so their visibility IS the commit signal there). Without
-    * the conditional fallback, a marker-less deployment would
-    * silently merge ZERO fragments — a wrong-cardinality mode, not an
-    * error; with an UNconditional fallback, a marker-enabled
-    * deployment would lose in-flight invisibility. Non-`batch=<n>`
-    * names (including non-numeric ids) are skipped, not thrown on. */
+    * stream: only COMMITTED fragments participate
+    * ([[Commits.committedBatchDirs]] — the `_SUCCESS`-or-finalized-
+    * parts rule, conditional on the live Hadoop conf's marker
+    * setting), so a batch write in flight is invisible rather than a
+    * partial merge. */
   def mergedRegisters(spark: SparkSession, outDir: String,
       keyType: DataType = StringType,
       upToBatch: Option[Long] = None): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(outDir)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = path.getFileSystem(hconf)
-    val markersOn = hconf.getBoolean(
-      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
-    def committed(p: org.apache.hadoop.fs.Path): Boolean =
-      if (markersOn) fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-      else {
-        val entries = fs.listStatus(p).toSeq
-        entries.exists(e => e.isFile && e.getPath.getName.startsWith("part-")) &&
-        !entries.exists(e => e.getPath.getName == "_temporary")
-      }
-    val dirs =
-      if (!fs.exists(path)) Seq.empty
-      else fs.listStatus(path).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("batch=") &&
-          p.getName.stripPrefix("batch=").toLongOption
-            .exists(id => upToBatch.forall(id <= _)) &&
-          committed(p))
+    val dirs = Commits.committedBatchDirs(spark, outDir, upToBatch)
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

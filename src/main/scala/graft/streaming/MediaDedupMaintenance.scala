@@ -40,31 +40,15 @@ object MediaDedupMaintenance {
     StructField("media_id", LongType),
     StructField("dhash", LongType)))
 
-  /** The accumulated fingerprint store — COMMITTED `batch=*`
-    * fragments only, by the [[HllMaintenance.mergedRegisters]]
-    * discipline (`_SUCCESS` marker, or finalized part files without a
-    * `_temporary` staging dir when job-commit markers are disabled):
-    * a monitor calling this while the stream is mid-write for batch j
-    * must see the store as of batch j−1, never a partial fragment.
-    * Empty-with-schema before the first batch; non-`batch=` names
-    * skipped. */
+  /** The accumulated fingerprint store — COMMITTED `batch=<n>`
+    * fragments only ([[Commits.committedBatchDirs]] — the
+    * `_SUCCESS`-or-finalized-parts rule shared with
+    * [[HllMaintenance]]): a monitor calling this while the stream is
+    * mid-write for batch j must see the store as of batch j−1, never
+    * a partial fragment. Empty-with-schema before the first batch;
+    * non-`batch=<n>` names skipped. */
   def readFingerprints(spark: SparkSession, storeDir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(storeDir)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val fs = path.getFileSystem(hconf)
-    val markersOn = hconf.getBoolean(
-      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
-    def committed(p: org.apache.hadoop.fs.Path): Boolean =
-      if (markersOn) fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-      else {
-        val entries = fs.listStatus(p).toSeq
-        entries.exists(e => e.isFile && e.getPath.getName.startsWith("part-")) &&
-        !entries.exists(e => e.getPath.getName == "_temporary")
-      }
-    val dirs =
-      if (!fs.exists(path)) Seq.empty
-      else fs.listStatus(path).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("batch=") && committed(p))
+    val dirs = Commits.committedBatchDirs(spark, storeDir)
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpSchema)

@@ -439,8 +439,11 @@ class Round11Spec extends SparkSpec {
     assert(all.forall(_.oracle.nonEmpty),
       "a catalog query lost its oracle — the driver would downgrade " +
         "it to a rows-only check")
+    // resolve relative to the sbt working directory (the repo root),
+    // not an absolute machine-specific path
     val readme = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/repo/README.md")), "UTF-8")
+      java.nio.file.Paths.get(sys.props("user.dir"), "README.md")),
+      "UTF-8")
     val m = "Catalog: (\\d+) queries".r.findFirstMatchIn(readme)
     assert(m.isDefined, "README lost its 'Catalog: N queries' line")
     assert(m.get.group(1).toInt == all.size,
