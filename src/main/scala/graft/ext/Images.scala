@@ -65,13 +65,18 @@ object Images {
   def isPerturbed(id: Long): Boolean = id > 6 && id % 50 == 7
 
   /** Synthetic gray value at (x, y) for pattern id `pid` — a pure
-    * integer formula (Knuth-mix of pid, then two mod-256 linear
-    * forms in the coordinates) that DuckDB replays verbatim; the
-    * perturbation brightens the first pixel column by 16. */
+    * integer formula (Knuth-mix of pid, then THREE mod-256
+    * coordinate forms drawn from bytes 0, 1 and 2 of the mix) that
+    * DuckDB replays verbatim; the perturbation brightens the first
+    * pixel column by 16. Three coefficient bytes give a 2²⁴ pattern
+    * space (~16.7M distinct images) — the round-11 two-byte form
+    * aliased at 65,536, so 100k+-image scale probes measured mostly
+    * fixture collapse instead of designed duplicates. */
   def grayAt(pid: Long, perturb: Boolean, x: Int, y: Int): Int = {
     val m = (pid * 2654435761L) % 2147483647L
     val v = (m % 256L + 1L) * (7L * x + 13L * y + 1L) +
       ((m / 256L) % 256L) * (x.toLong * x + 11L * y + 3L) +
+      ((m / 65536L) % 256L) * (3L * x + 5L * y.toLong * y + 2L) +
       (if (perturb && x == 0) 16L else 0L)
     (v % 256L).toInt
   }

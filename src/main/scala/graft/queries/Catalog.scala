@@ -7713,6 +7713,8 @@ object Catalog {
           sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
             + ((m // 256) % 256)
               * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2)
             + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
             % 256) // 16 AS g
         FROM b, range(9) r1(cx), range(8) r2(cy),
@@ -7869,6 +7871,7 @@ object Catalog {
       px AS (SELECT doc_id, w, h, x, y,
           ((m % 256 + 1) * (7*x + 13*y + 1)
             + ((m // 256) % 256) * (x*x + 11*y + 3)
+            + ((m // 65536) % 256) * (3*x + 5*y*y + 2)
             + CASE WHEN pert AND x = 0 THEN 16 ELSE 0 END) % 256 AS g
         FROM d, range(32) rx(x), range(27) ry(y)
         WHERE x < w AND y < h),
@@ -8029,7 +8032,9 @@ object Catalog {
       cell AS (SELECT doc_id, f, cx, cy,
           sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
             + ((m // 256) % 256)
-              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3))
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2))
             % 256) // 16 AS g
         FROM fr, range(9) r1(cx), range(8) r2(cy),
           range(4) r3(dx), range(4) r4(dy)
@@ -8116,6 +8121,8 @@ object Catalog {
           sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
             + ((m // 256) % 256)
               * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2)
             + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
             % 256) // 16 AS g
         FROM b, range(9) r1(cx), range(8) r2(cy),
@@ -8186,6 +8193,8 @@ object Catalog {
           sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
             + ((m // 256) % 256)
               * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2)
             + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
             % 256) // 16 AS g
         FROM b, range(9) r1(cx), range(8) r2(cy),
@@ -8331,6 +8340,8 @@ object Catalog {
           sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
             + ((m // 256) % 256)
               * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2)
             + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
             % 256) // 16 AS g
         FROM b, range(9) r1(cx), range(8) r2(cy),
@@ -8381,6 +8392,8 @@ object Catalog {
           sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
             + ((m // 256) % 256)
               * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2)
             + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
             % 256) // 16 AS g
         FROM im, range(9) r1(cx), range(8) r2(cy),
@@ -8424,7 +8437,9 @@ object Catalog {
       vcell AS (SELECT doc_id, cx, cy,
           sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
             + ((m // 256) % 256)
-              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3))
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2))
             % 256) // 16 AS g
         FROM vd, range(9) r1(cx), range(8) r2(cy),
           range(4) r3(dx), range(4) r4(dy)
@@ -8475,6 +8490,7 @@ object Catalog {
       px AS (SELECT doc_id, x, y,
           ((m % 256 + 1) * (7*xx + 13*y + 1)
             + ((m // 256) % 256) * (xx*xx + 11*y + 3)
+            + ((m // 65536) % 256) * (3*xx + 5*y*y + 2)
             + CASE WHEN pert AND xx = 0 THEN 16 ELSE 0 END) % 256 AS g
         FROM (SELECT doc_id, m, pert, x, y,
             CASE WHEN mir THEN 35 - x ELSE x END AS xx
