@@ -443,6 +443,19 @@ object Dedup {
   private[graft] def prefixCandidates(docs: DataFrame, textCol: String,
       idCol: String, n: Int, thresholdNum: Int,
       thresholdDen: Int): (DataFrame, DataFrame) = {
+    val (base, prefix) =
+      prefixRows(docs, textCol, idCol, n, thresholdNum, thresholdDen)
+    (base, candidatesOf(prefix, thresholdNum, thresholdDen))
+  }
+
+  /** The per-document prefix rows of the SSJoin discipline: (base =
+    * (_id, sorted shingles), prefix = (_id, _sz, _pos, _tok) rows
+    * surviving π = sz − ⌈t·sz⌉ + 1, positions ordered by (global df,
+    * token)). Split out so the BOUNDED variant can drop hot tokens
+    * between prefix construction and the candidate join. */
+  private def prefixRows(docs: DataFrame, textCol: String,
+      idCol: String, n: Int, thresholdNum: Int,
+      thresholdDen: Int): (DataFrame, DataFrame) = {
     require(n >= 1 && thresholdNum > 0 && thresholdDen >= thresholdNum,
       "threshold must be a rational in (0, 1]")
     val base = docs.select(col(idCol).as("_id"),
@@ -461,6 +474,14 @@ object Dedup {
         expr(s"($thresholdNum * _sz + ${thresholdDen - 1}) " +
           s"div $thresholdDen") + 1)
       .select(col("_id"), col("_sz"), col("_pos"), col("_tok"))
+    (base, prefix)
+  }
+
+  /** The candidate join + length/positional filters over a prefix-row
+    * frame (the tail of [[prefixCandidates]], shared with the bounded
+    * variant). */
+  private def candidatesOf(prefix: DataFrame, thresholdNum: Int,
+      thresholdDen: Int): DataFrame = {
     val cand = prefix.select(col("_id").as("doc_a"),
         col("_sz").as("_sza"), col("_pos").as("_posa"), col("_tok"))
       .join(prefix.select(col("_id").as("doc_b"),
@@ -482,7 +503,7 @@ object Dedup {
           s"div ${thresholdDen + thresholdNum}"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    (base, cand)
+    cand
   }
 
   /** Exact-Jaccard verification of a (doc_a, doc_b) candidate frame
@@ -534,9 +555,18 @@ object Dedup {
       s"maxCandidates must be >= 1, got $maxCandidates")
     val (base, cand) =
       prefixCandidates(docs, textCol, idCol, n, thresholdNum, thresholdDen)
-    // both orientations, ranked by partner id (deterministic, and the
-    // rank window is per-doc — bounded by that doc's candidate count,
-    // which is exactly the quantity being capped)
+    val (kept, stats) = capOriented(cand, idCol, maxCandidates)
+    (verifyJaccard(base, kept, thresholdNum, thresholdDen), stats)
+  }
+
+  /** The per-doc candidate cap shared by the capped and bounded
+    * prefix joins: both orientations ranked by partner id
+    * (deterministic; the rank window is per-doc — bounded by that
+    * doc's candidate count, which is exactly the quantity being
+    * capped), a pair survives iff it makes the cut on BOTH endpoints.
+    * Returns (kept pairs, per-doc truncation ledger). */
+  private def capOriented(cand: DataFrame, idCol: String,
+      maxCandidates: Int): (DataFrame, DataFrame) = {
     val oriented = cand.select(col("doc_a").as("_d"), col("doc_b").as("_p"))
       .unionByName(
         cand.select(col("doc_b").as("_d"), col("doc_a").as("_p")))
@@ -559,7 +589,47 @@ object Dedup {
       .filter(col("n_dropped") > 0)
       .select(col("_d").as(idCol), col("n_cand"), col("n_kept"),
         col("n_dropped"))
-    (verifyJaccard(base, kept, thresholdNum, thresholdDen), stats)
+    (kept, stats)
+  }
+
+  /** The FULLY-BOUNDED prefix join — both cost laws capped, both
+    * caps priced by loud ledgers. The 25× probes pin the need: the
+    * per-doc candidate cap ([[prefixFilterJaccardPairsCapped]])
+    * bounds VERIFY work but still pays the candidate ENUMERATION —
+    * the prefix self-join's Σ df² term over hot tokens — which is
+    * what actually dominates on an adversarial corpus (q233's capped
+    * ledger is 70.2 s at 25×, within noise of the uncapped q213's
+    * 78.9 s). This variant additionally SKIPS prefix tokens whose
+    * prefix-side document frequency exceeds `maxTokenDf` BEFORE the
+    * self-join, so candidate enumeration is bounded by
+    * maxTokenDf · |prefix rows| — linear in the corpus whatever the
+    * vocabulary does. The price is recall (a pair whose ONLY shared
+    * prefix token is hot is never seen); the token ledger
+    * (token, n_docs) names every skipped token so the loss is
+    * priced, never silent — the [[prefixFilterJaccardPairsCapped]]
+    * discipline applied to the second cost law. Emitted pairs remain
+    * a deterministic SUBSET of the uncapped surface (hot-token skip
+    * shrinks the candidate net; the per-doc cap shrinks it again;
+    * exact Jaccard verify is unchanged), so precision is untouched.
+    * Returns (pairs, per-doc truncation ledger, hot-token ledger);
+    * two empty ledgers ARE the proof the bounds changed nothing. */
+  def prefixFilterJaccardPairsBounded(docs: DataFrame, textCol: String,
+      idCol: String, n: Int = 3, thresholdNum: Int = 3,
+      thresholdDen: Int = 5, maxCandidates: Int = 64,
+      maxTokenDf: Int = 64): (DataFrame, DataFrame, DataFrame) = {
+    require(maxCandidates >= 1 && maxTokenDf >= 1,
+      s"caps must be >= 1, got $maxCandidates / $maxTokenDf")
+    val (base, prefix) =
+      prefixRows(docs, textCol, idCol, n, thresholdNum, thresholdDen)
+    val pdf = prefix.groupBy(col("_tok"))
+      .agg(count(lit(1)).as("n_docs"))
+    val hot = pdf.filter(col("n_docs") > maxTokenDf)
+    val cooled = prefix.join(hot.select(col("_tok")), Seq("_tok"),
+      "left_anti")
+    val cand = candidatesOf(cooled, thresholdNum, thresholdDen)
+    val (kept, docStats) = capOriented(cand, idCol, maxCandidates)
+    (verifyJaccard(base, kept, thresholdNum, thresholdDen), docStats,
+      hot.select(col("_tok").as("token"), col("n_docs")))
   }
 
   /** The raw candidate-pair set of the portable MinHash-LSH banding —

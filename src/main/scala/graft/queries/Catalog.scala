@@ -8304,8 +8304,8 @@ object Catalog {
     val dirs = Seq("store", "pairs", "ckpt", "land")
       .map(k => java.nio.file.Files.createTempDirectory(tag + k))
     try {
-      val Seq(store, pairs, ckpt, landing) = dirs.map(_.toString)
-      body(store, pairs, ckpt, landing).localCheckpoint(true)
+      val d = dirs.map(_.toString)
+      body(d(0), d(1), d(2), d(3)).localCheckpoint(true)
     } finally dirs.foreach { d =>
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
@@ -8529,6 +8529,141 @@ object Catalog {
       HAVING min(bit_count(xor(a.lo, z.lo))
         + bit_count(xor(a.hi, z.hi))) <= 2"""))
 
+  /** The BOUNDED cross-modal consistency audit — q239 with its one
+    * measured scale law closed ([[Dedup.prefixFilterJaccardPairsBounded]]):
+    * the exact text join's candidate enumeration is the suite's worst
+    * 25× point (83.9 s — the hot-prefix-token Σ df² law), so the
+    * audit's text side here skips prefix tokens hotter than
+    * `maxTokenDf` and caps per-doc candidates, bounding BOTH cost
+    * laws. The direction is what makes a capped AUDIT sound: capping
+    * only SHRINKS the text-pair surface, and the audit anti-joins
+    * against it — so every true inconsistency (image dup with no
+    * text dup) is still reported (flag recall 1), and the only
+    * possible error is an over-flag whose text pair was capped away.
+    * Each reported pair carries a `suspect` bit — an endpoint lost a
+    * candidate slot or carries a skipped hot token — so a reviewer
+    * knows exactly which flags the bounds may have manufactured; a
+    * pair with suspect = false is PROVEN inconsistent at full
+    * exactness (its endpoints' candidates were untouched). The
+    * oracle replays the whole deterministic chain: image dHash pairs,
+    * prefix positions, hot-token skip, both-orientation rank cap,
+    * both-votes rule, exact Jaccard verify, both ledgers. */
+  private val q245 = Q("q245_crossmodal_audit_bounded",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val img = graft.ext.Images.dHashNearDupPairs(s, docs, "doc_id",
+        maxDist = 2)
+      val (txt, docLedger, tokLedger) =
+        Dedup.prefixFilterJaccardPairsBounded(docs, "text", "doc_id",
+          n = 3, thresholdNum = 3, thresholdDen = 5,
+          maxCandidates = 1, maxTokenDf = 2)
+      // a doc is SUSPECT when the bounds may have cost it a text
+      // pair: it lost a candidate slot, or any of its shingles is a
+      // skipped hot token (a hot-skipped pair's shared prefix token
+      // is among both endpoints' shingles, so this covers every
+      // pair the token skip can drop)
+      val hotDocs = docs.select(col("doc_id"),
+          explode(Dedup.wordShingles(col("text"), 3)).as("_tok"))
+        .join(broadcast(tokLedger.select(col("token").as("_tok"))),
+          Seq("_tok"))
+        .select(col("doc_id")).distinct()
+      val suspect = docLedger.select(col("doc_id"))
+        .unionByName(hotDocs).distinct()
+        .withColumn("_s", lit(true))
+      img.join(txt.select(col("doc_a"), col("doc_b")),
+          Seq("doc_a", "doc_b"), "left_anti")
+        .join(broadcast(suspect.select(col("doc_id").as("doc_a"),
+          col("_s").as("_sa"))), Seq("doc_a"), "left")
+        .join(broadcast(suspect.select(col("doc_id").as("doc_b"),
+          col("_s").as("_sb"))), Seq("doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          (coalesce(col("_sa"), lit(false)) ||
+            coalesce(col("_sb"), lit(false))).as("suspect"))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+        (CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+              WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+              ELSE doc_id END * 2654435761) % 2147483647 AS m,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      cell AS (SELECT doc_id, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2)
+            + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
+            % 256) // 16 AS g
+        FROM b, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, cx, cy),
+      bits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM cell l JOIN cell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      h AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id),
+      ip AS (SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+          CAST(bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+            AS INT) AS hamming
+        FROM h a JOIN h z ON a.doc_id < z.doc_id
+        WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+          <= 2),
+      t AS (SELECT doc_id,
+        list_filter(string_split_regex(trim(text), '\s+'),
+          x -> len(x) > 0) AS toks
+        FROM documents),
+      g AS (SELECT doc_id, list_distinct(
+          [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+            FOR i IN range(1, len(toks) - 1)]) AS sh
+        FROM t WHERE len(toks) >= 3),
+      tok AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS tk FROM g),
+      df AS (SELECT tk, count(*) AS d FROM tok GROUP BY tk),
+      pos AS (SELECT doc_id, sz, tk, row_number() OVER (
+          PARTITION BY doc_id ORDER BY d, tk) AS p
+        FROM tok JOIN df USING (tk)),
+      pre AS (SELECT * FROM pos
+        WHERE p <= sz - ((3 * sz + 4) // 5) + 1),
+      pdf AS (SELECT tk, count(*) AS pd FROM pre GROUP BY tk),
+      hot AS (SELECT tk FROM pdf WHERE pd > 2),
+      cool AS (SELECT * FROM pre
+        WHERE tk NOT IN (SELECT tk FROM hot)),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM cool a JOIN cool b ON a.tk = b.tk AND a.doc_id < b.doc_id
+        WHERE b.sz * 5 >= a.sz * 3 AND a.sz * 5 >= b.sz * 3
+          AND 1 + least(a.sz - a.p, b.sz - b.p)
+            >= (3 * (a.sz + b.sz) + 7) // 8),
+      ori AS (SELECT da AS dd, db AS p2 FROM cand
+        UNION ALL SELECT db, da FROM cand),
+      rk AS (SELECT dd, p2, row_number() OVER (
+          PARTITION BY dd ORDER BY p2) AS rn FROM ori),
+      kp AS (SELECT least(dd, p2) AS da, greatest(dd, p2) AS db
+        FROM rk WHERE rn <= 1
+        GROUP BY 1, 2 HAVING count(*) = 2),
+      ver AS (SELECT kp.da, kp.db
+        FROM kp JOIN g ga ON ga.doc_id = kp.da
+          JOIN g gb ON gb.doc_id = kp.db
+        WHERE len(list_intersect(ga.sh, gb.sh)) * 5 >=
+          3 * (len(ga.sh) + len(gb.sh)
+            - len(list_intersect(ga.sh, gb.sh)))),
+      led AS (SELECT dd FROM rk GROUP BY dd
+        HAVING count(*) > sum(CASE WHEN rn <= 1 THEN 1 ELSE 0 END)),
+      hotdocs AS (SELECT DISTINCT doc_id FROM tok
+        WHERE tk IN (SELECT tk FROM hot)),
+      susp AS (SELECT dd AS doc_id FROM led
+        UNION SELECT doc_id FROM hotdocs)
+      SELECT ip.doc_a, ip.doc_b, ip.hamming,
+        (ip.doc_a IN (SELECT doc_id FROM susp)
+          OR ip.doc_b IN (SELECT doc_id FROM susp)) AS suspect
+      FROM ip
+      WHERE NOT EXISTS (SELECT 1 FROM ver
+        WHERE ver.da = ip.doc_a AND ver.db = ip.doc_b)"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -8557,5 +8692,5 @@ object Catalog {
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242, q243, q244)
+    q240, q241, q242, q243, q244, q245)
 }

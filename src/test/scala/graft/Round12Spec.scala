@@ -39,6 +39,107 @@ class Round12Spec extends SparkSpec {
     } finally codec.dispose()
   }
 
+  test("bounded prefix join: pairs are a subset of the uncapped " +
+      "surface, the bounded audit contains the exact audit, and " +
+      "every extra flag is marked suspect — on a corpus designed to " +
+      "fire BOTH cost caps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ext.Dedup
+    // four designed image pairs (the %25 copy rule): (24,25) with
+    // IDENTICAL unique text (consistent — must never be flagged);
+    // (49,50) with disjoint texts (a TRUE inconsistency — flagged,
+    // suspect=false: exactness untouched at its endpoints);
+    // (74,75) identical text made of pure boilerplate shared with 20
+    // filler docs (every prefix token hot -> pair lost to the TOKEN
+    // cap); (99,100) identical text shared with docs 90..98 (the
+    // smallest-partner rank cap evicts the pair at both endpoints ->
+    // lost to the DOC cap)
+    val boiler = "whiskey xray yankee zulu one two three four five"
+    val group = "red orange yellow green blue indigo violet pink"
+    val docs = (Seq(
+      24L -> "alpha bravo charlie delta echo foxtrot golf",
+      25L -> "alpha bravo charlie delta echo foxtrot golf",
+      49L -> "hotel india juliet kilo lima mike november",
+      50L -> "oscar papa quebec romeo sierra tango uniform") ++
+      Seq(74L, 75L).map(_ -> boiler) ++
+      (200L to 219L).map(_ -> boiler) ++
+      (90L to 100L).map(_ -> group))
+      .toDF("doc_id", "text")
+    val img = graft.ext.Images.dHashNearDupPairs(spark, docs, "doc_id",
+      maxDist = 2)
+    val exact = Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",
+      n = 3, thresholdNum = 3, thresholdDen = 5)
+    val (bounded, docLedger, tokLedger) =
+      Dedup.prefixFilterJaccardPairsBounded(docs, "text", "doc_id",
+        n = 3, thresholdNum = 3, thresholdDen = 5,
+        maxCandidates = 2, maxTokenDf = 15)
+    val exactPairs = exact.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val boundedPairs = bounded.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(boundedPairs.subsetOf(exactPairs),
+      "bounded pairs must be a deterministic subset of the exact join")
+    assert(exactPairs.contains((24L, 25L)) && boundedPairs.contains((24L, 25L)))
+    assert(exactPairs.contains((74L, 75L)) && !boundedPairs.contains((74L, 75L)),
+      "the boilerplate pair must be lost to the hot-token skip")
+    assert(exactPairs.contains((99L, 100L)) && !boundedPairs.contains((99L, 100L)),
+      "the group pair must be lost to the per-doc candidate cap")
+    assert(tokLedger.count() > 0, "token ledger must price the skip")
+    val ledgerDocs = docLedger.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ledgerDocs.contains(99L) && ledgerDocs.contains(100L))
+    // the audits: exact (q239 shape) vs bounded (q245 shape)
+    def auditOf(txt: org.apache.spark.sql.DataFrame) =
+      img.join(txt.select(col("doc_a"), col("doc_b")),
+          Seq("doc_a", "doc_b"), "left_anti")
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactAudit = auditOf(exact)
+    val boundedAudit = auditOf(bounded)
+    assert(exactAudit.subsetOf(boundedAudit),
+      "the bounded audit must never miss a true inconsistency")
+    assert(exactAudit.contains((49L, 50L)))
+    // (206,207) rides along: 207 % 50 == 7 makes it a designed
+    // perturbed image copy inside the boilerplate fillers, so its
+    // text pair is hot-skipped exactly like (74,75)
+    assert(boundedAudit ==
+      exactAudit + ((74L, 75L)) + ((99L, 100L)) + ((206L, 207L)),
+      s"bounded audit surface off: $boundedAudit vs $exactAudit")
+    // every extra flag is suspect: its endpoints are priced by a
+    // ledger (74/75 carry hot tokens; 99/100 lost candidate slots)
+    val hotDocs = docs.select(col("doc_id"),
+        explode(Dedup.wordShingles(col("text"), 3)).as("_tok"))
+      .join(tokLedger.select(col("token").as("_tok")), Seq("_tok"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val suspectDocs = ledgerDocs ++ hotDocs
+    (boundedAudit -- exactAudit).foreach { case (a, bb) =>
+      assert(suspectDocs.contains(a) || suspectDocs.contains(bb),
+        s"extra audit flag ($a,$bb) not priced by any ledger")
+    }
+    assert(!suspectDocs.contains(49L) && !suspectDocs.contains(50L),
+      "the true inconsistency must remain unsuspect")
+  }
+
+  test("bounded prefix join with caps above the corpus maxima is " +
+      "IDENTICAL to the exact join, with empty ledgers") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val exact = Dedup.prefixFilterJaccardPairs(docs, "text", "doc_id",
+        n = 3, thresholdNum = 3, thresholdDen = 5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (b, docLedger, tokLedger) =
+      Dedup.prefixFilterJaccardPairsBounded(docs, "text", "doc_id",
+        n = 3, thresholdNum = 3, thresholdDen = 5,
+        maxCandidates = 1 << 20, maxTokenDf = 1 << 20)
+    val boundedPairs = b.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(boundedPairs == exact)
+    assert(docLedger.count() == 0 && tokLedger.count() == 0,
+      "empty ledgers ARE the proof the bounds changed nothing")
+  }
+
   test("committedBatchDirs: one shared rule — skips non-numeric " +
       "names, honors upToBatch, and sees nothing before the dir " +
       "exists") {
