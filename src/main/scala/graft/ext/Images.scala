@@ -457,22 +457,19 @@ object Images {
       .toDF()
   }
 
-  /** MIRROR-INVARIANT near-dup pairs: every image contributes BOTH
-    * orientations' dHashes (the decoded grid and its column-reversed
-    * twin — one extra 72-int flip per image, no second decode), the
-    * banded join runs over composite (media, orientation) ids, and
-    * pairs collapse to media level with the MINIMUM Hamming across
-    * the orientation combos (deterministic — never an arbitrary
-    * surviving variant row). A mirrored repost then surfaces at
-    * Hamming 0 through the (original, mirrored-fingerprint) combo
-    * that plain dHash never sees. Fingerprint state doubles
-    * (32 bytes/image); the join machinery and its pigeonhole
-    * guarantee are unchanged. */
-  def dHashNearDupPairsMirrorAware(spark: SparkSession, docs: DataFrame,
-      idCol: String, maxDist: Int = 2, chunks: Int = 4): DataFrame = {
+  /** Both orientations' fingerprints from ONE decode: each payload
+    * contributes rows (media_id·2, dHash of the decoded grid) and
+    * (media_id·2 + 1, dHash of its column-reversed twin — a 72-int
+    * flip, never a second decode). The composite-id table is what
+    * mirror-invariant dedup joins over — 32 bytes/image of state,
+    * batch ([[dHashNearDupPairsMirrorAware]]) and streaming
+    * ([[graft.streaming.MediaDedupMaintenance]]) paths share this
+    * ONE definition so they cannot disagree on what a duplicate is
+    * (the round-11 verdict's batch-vs-stream divergence). */
+  def dHashesBothOrientations(spark: SparkSession,
+      media: DataFrame): DataFrame = {
     import spark.implicits._
-    val fps = syntheticPngFrameWithMirrors(spark, docs, idCol)
-      .select(col("media_id"), col("payload")).as[PngRow]
+    media.select(col("media_id"), col("payload")).as[PngRow]
       .mapPartitions { rows =>
         val codec = partitionCodec()
         rows.flatMap { r =>
@@ -482,12 +479,35 @@ object Images {
         }
       }
       .toDF()
-    Dedup.hammingPairsFromFingerprints(fps, "media_id", "dhash",
-        maxDist, chunks, nBits = 64)
+  }
+
+  /** Collapse composite-id orientation pairs to media level with the
+    * MINIMUM Hamming across the orientation combos (deterministic —
+    * never an arbitrary surviving variant row); self-combos (an
+    * image against its own mirror) are dropped. */
+  def collapseOrientationPairs(pairs: DataFrame): DataFrame =
+    pairs
       .select(expr("doc_a div 2").as("ma"),
         expr("doc_b div 2").as("mb"), col("hamming"))
       .filter(col("ma") =!= col("mb"))
       .groupBy(col("ma").as("doc_a"), col("mb").as("doc_b"))
       .agg(min(col("hamming")).cast("int").as("hamming"))
+
+  /** MIRROR-INVARIANT near-dup pairs: every image contributes BOTH
+    * orientations' dHashes ([[dHashesBothOrientations]]), the banded
+    * join runs over composite (media, orientation) ids, and pairs
+    * collapse to media level with the minimum Hamming
+    * ([[collapseOrientationPairs]]). A mirrored repost then surfaces
+    * at Hamming 0 through the (original, mirrored-fingerprint) combo
+    * that plain dHash never sees. Fingerprint state doubles
+    * (32 bytes/image); the join machinery and its pigeonhole
+    * guarantee are unchanged. */
+  def dHashNearDupPairsMirrorAware(spark: SparkSession, docs: DataFrame,
+      idCol: String, maxDist: Int = 2, chunks: Int = 4): DataFrame = {
+    val fps = dHashesBothOrientations(spark,
+      syntheticPngFrameWithMirrors(spark, docs, idCol))
+    collapseOrientationPairs(
+      Dedup.hammingPairsFromFingerprints(fps, "media_id", "dhash",
+        maxDist, chunks, nBits = 64))
   }
 }

@@ -8664,6 +8664,89 @@ object Catalog {
       WHERE NOT EXISTS (SELECT 1 FROM ver
         WHERE ver.da = ip.doc_a AND ver.db = ip.doc_b)"""))
 
+  /** The streaming media store made MIRROR-AWARE — round 11 left
+    * batch and stream disagreeing on what a duplicate is (the
+    * streamed store fingerprinted plain dHash, so a mirrored repost
+    * arriving in a later micro-batch was exactly the miss q244 was
+    * built to catch). The mirror-bearing corpus lands as a
+    * multi-file archive, streams one file per micro-batch through
+    * [[graft.streaming.MediaDedupMaintenance]] in mirrorAware mode
+    * (both orientations' fingerprints from ONE decode ride the
+    * fragment store — 32 bytes/image; pairs collapse to media-level
+    * min Hamming per batch), and the union of per-batch pair logs
+    * must equal q244's FULL-corpus analytic mirror-aware surface —
+    * streamed ≡ batch ≡ analytic in one oracle hash, the q243
+    * discipline extended to orientation state. */
+  private val q246 = Q("q246_media_stream_mirror_pairs",
+    (s, dir) => withStreamDirs(s, "q246") { (store, pairs, ckpt, landing) =>
+      graft.ext.Images.syntheticPngFrameWithMirrors(s,
+          t(s, dir, "documents"), "doc_id")
+        .select(col("media_id"), col("payload"))
+        .repartitionByRange(4, col("media_id"))
+        .write.mode("overwrite").parquet(landing)
+      val src = s.readStream
+        .schema(s.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+      val q = graft.streaming.MediaDedupMaintenance.start(
+        src, store, pairs, ckpt, mirrorAware = true)
+      q.awaitTermination()
+      s.read.parquet(pairs)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    },
+    Some("""WITH src AS (SELECT doc_id,
+        CASE WHEN doc_id > 10 AND doc_id % 40 = 11 THEN doc_id - 1
+             ELSE doc_id END AS rid,
+        (doc_id > 10 AND doc_id % 40 = 11) AS mir
+        FROM documents),
+      b AS (SELECT doc_id, mir,
+        (CASE WHEN rid > 0 AND rid % 25 = 0 THEN rid - 1
+              WHEN rid > 6 AND rid % 50 = 7 THEN rid - 1
+              ELSE rid END * 2654435761) % 2147483647 AS m,
+        (rid > 6 AND rid % 50 = 7) AS pert
+        FROM src),
+      px AS (SELECT doc_id, x, y,
+          ((m % 256 + 1) * (7*xx + 13*y + 1)
+            + ((m // 256) % 256) * (xx*xx + 11*y + 3)
+            + ((m // 65536) % 256) * (3*xx + 5*y*y + 2)
+            + CASE WHEN pert AND xx = 0 THEN 16 ELSE 0 END) % 256 AS g
+        FROM (SELECT doc_id, m, pert, x, y,
+            CASE WHEN mir THEN 35 - x ELSE x END AS xx
+          FROM b, range(36) rx(x), range(32) ry(y)) z),
+      cell AS (SELECT doc_id, x // 4 AS cx, y // 4 AS cy,
+          sum(g) // 16 AS g
+        FROM px GROUP BY doc_id, x // 4, y // 4),
+      obits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM cell l JOIN cell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      mbits AS (SELECT l.doc_id, l.cy * 8 + (8 - l.cx) AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM cell l JOIN cell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx - 1
+        WHERE l.cx > 0),
+      fp AS (SELECT doc_id, 0 AS v,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM obits GROUP BY doc_id
+        UNION ALL
+        SELECT doc_id, 1,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END),
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END)
+        FROM mbits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+        CAST(min(bit_count(xor(a.lo, z.lo))
+          + bit_count(xor(a.hi, z.hi))) AS INT) AS hamming
+      FROM fp a JOIN fp z ON a.doc_id < z.doc_id
+      GROUP BY a.doc_id, z.doc_id
+      HAVING min(bit_count(xor(a.lo, z.lo))
+        + bit_count(xor(a.hi, z.hi))) <= 2"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -8692,5 +8775,5 @@ object Catalog {
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242, q243, q244, q245)
+    q240, q241, q242, q243, q244, q245, q246)
 }

@@ -57,18 +57,48 @@ object MediaDedupMaintenance {
         .select(col("media_id"), col("dhash"))
   }
 
+  /** The delta-vs-store pair join of one micro-batch — exposed so the
+    * physical plan can be audited directly (the streaming wrapper
+    * hides the per-batch plan from the catalog path): banded Hamming
+    * delta join, then — mirror-aware only — the composite-id collapse
+    * ([[Images.collapseOrientationPairs]]). */
+  private[graft] def batchPairs(base: DataFrame, deltaFp: DataFrame,
+      maxDist: Int, chunks: Int, mirrorAware: Boolean): DataFrame = {
+    val raw = Dedup.hammingDeltaPairsFromFingerprints(base, deltaFp,
+      "media_id", "dhash", maxDist, chunks, nBits = 64)
+    if (mirrorAware) Images.collapseOrientationPairs(raw) else raw
+  }
+
   /** The idempotent unit: decode + fingerprint one micro-batch of
     * (media_id, payload), emit its delta pairs against everything
-    * landed so far, land its own fragment. */
+    * landed so far, land its own fragment.
+    *
+    * `mirrorAware` stores BOTH orientations' fingerprints per image
+    * (composite ids media_id·2 + orient —
+    * [[Images.dHashesBothOrientations]], one decode, 32 bytes/image
+    * of state) and collapses emitted pairs to media level with the
+    * minimum Hamming across orientation combos — so the STREAMED
+    * store computes the SAME duplicate relation as the batch
+    * mirror-aware path ([[Images.dHashNearDupPairsMirrorAware]]): a
+    * mirrored repost arriving in a later micro-batch surfaces at
+    * Hamming 0, which the plain-fingerprint store provably misses
+    * (spec-pinned both ways). All four combos of a cross-batch pair
+    * are visible at the later endpoint's batch (both its orientation
+    * rows ride the delta), so min-collapse per batch equals the
+    * full-corpus min. A store written in one mode must be read in
+    * that mode — the modes' id spaces differ. */
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
-      pairsDir: String, maxDist: Int = 2, chunks: Int = 4): Unit = {
+      pairsDir: String, maxDist: Int = 2, chunks: Int = 4,
+      mirrorAware: Boolean = false): Unit = {
     val spark = batch.sparkSession
     // decode ONCE: the fingerprint frame is consumed twice (pairs
     // join reads it as the delta side of the banded join, then it
     // lands as the fragment) — cut it rather than re-run the codec
     // per consumer; released before return
-    val deltaFp = Images.dHashes(spark,
-        batch.select(col("media_id"), col("payload")))
+    val payloads = batch.select(col("media_id"), col("payload"))
+    val deltaFp = (if (mirrorAware)
+        Images.dHashesBothOrientations(spark, payloads)
+      else Images.dHashes(spark, payloads))
       .localCheckpoint()
     try {
       // exclude this batch's own fragment on replay (the fresh delta
@@ -77,8 +107,7 @@ object MediaDedupMaintenance {
       val base = readFingerprints(spark, storeDir)
         .join(deltaFp.select(col("media_id")), Seq("media_id"),
           "left_anti")
-      Dedup.hammingDeltaPairsFromFingerprints(base, deltaFp,
-          "media_id", "dhash", maxDist, chunks, nBits = 64)
+      batchPairs(base, deltaFp, maxDist, chunks, mirrorAware)
         .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
       deltaFp.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
     } finally {
@@ -91,14 +120,15 @@ object MediaDedupMaintenance {
     * streaming `source` carrying (media_id, payload). */
   def start(source: DataFrame, storeDir: String, pairsDir: String,
       checkpointDir: String, maxDist: Int = 2, chunks: Int = 4,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      mirrorAware: Boolean = false): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           processBatch(batch, batchId, storeDir, pairsDir, maxDist,
-            chunks)
+            chunks, mirrorAware)
         }
       }
       .start()

@@ -81,4 +81,55 @@ class MediaMaintenanceSpec extends SparkSpec {
       storedSet() == stored,
       "second replay of the same batchId did not converge")
   }
+
+  test("mirror-aware streamed store == batch mirror-aware surface " +
+      "(stream and batch agree on what a duplicate is); the plain " +
+      "store provably misses the planted mirrors; replay converges") {
+    val n = 160L
+    val docs = (0L until n).toDF("doc_id")
+    val media = Images.syntheticPngFrameWithMirrors(spark, docs, "doc_id")
+      .select(col("media_id"), col("payload"))
+    val landing = tmpDir("mirlanding")
+    media.repartitionByRange(4, col("media_id"))
+      .write.mode("overwrite").parquet(landing)
+    def streamPairs(mirrorAware: Boolean): (Set[String], String, String) = {
+      val storeDir = tmpDir("mirstore")
+      val pairsDir = tmpDir("mirpairs")
+      val src = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+      MediaDedupMaintenance.start(src, storeDir, pairsDir,
+        tmpDir("mirckpt"), mirrorAware = mirrorAware)
+        .awaitTermination()
+      (pairRows(spark.read.parquet(pairsDir)), storeDir, pairsDir)
+    }
+    val (aware, awareStore, awarePairs) = streamPairs(mirrorAware = true)
+    val batch = pairRows(Images.dHashNearDupPairsMirrorAware(
+      spark, docs, "doc_id", maxDist = 2))
+    assert(aware == batch,
+      "streamed mirror-aware pairs must equal the batch surface")
+    // the planted mirrors ((id-1, id) for id%40==11) surface at
+    // Hamming 0 in the mirror-aware stream...
+    val planted = (0L until n).filter(Images.isMirroredId)
+      .map(id => s"${id - 1}|$id|0").toSet
+    assert(planted.nonEmpty && planted.subsetOf(aware),
+      s"planted mirrors missing from the streamed surface: $planted")
+    // ...and are invisible to the plain store at ANY distance — the
+    // round-11 batch-vs-stream divergence, now reproduced as the
+    // designed negative
+    val (plain, _, _) = streamPairs(mirrorAware = false)
+    val plantedAnyDist = (0L until n).filter(Images.isMirroredId)
+      .flatMap(id => plain.filter(_.startsWith(s"${id - 1}|$id|"))).toSet
+    assert(plantedAnyDist.isEmpty,
+      s"plain fingerprints unexpectedly caught mirrors: $plantedAnyDist")
+    // replay idempotence holds in mirror mode too (composite ids
+    // self-exclude through the same left_anti)
+    val replay = spark.read.parquet(landing)
+      .orderBy(col("media_id")).limit(40)
+    MediaDedupMaintenance.processBatch(replay, 99L, awareStore,
+      awarePairs, mirrorAware = true)
+    assert(pairRows(spark.read.parquet(awarePairs)) == aware,
+      "mirror-aware replay changed the global pair set")
+  }
 }
