@@ -1,5 +1,6 @@
 package graft.ext
 
+import java.awt.image.BufferedImage
 import java.io.ByteArrayOutputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -80,9 +81,18 @@ object Video {
     * odd-sized about half the time, so the padding path is exercised
     * constantly, not theoretically). */
   def muxAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
-      fps: Int = 10): Array[Byte] = {
+      fps: Int = 10): Array[Byte] =
+    muxAviChunks(frames.map(("00dc", _)), w, h, fps)
+
+  /** The shared container writer: frames arrive as (fourcc, body)
+    * pairs — `00dc` intra, `00dp` predicted — so the intra and
+    * inter muxers share one header/index/padding discipline. Only
+    * `00dc` entries get the AVIIF_KEYFRAME index flag (that IS what
+    * the flag means: a seek may land there). */
+  private def muxAviChunks(frames: Seq[(String, Array[Byte])], w: Int,
+      h: Int, fps: Int): Array[Byte] = {
     require(frames.nonEmpty, "cannot mux an empty clip")
-    val maxBuf = frames.map(_.length).max
+    val maxBuf = frames.map(_._2.length).max
     val avih = {
       val b = new ByteArrayOutputStream()
       b.write(le32(1000000 / fps)); b.write(le32(maxBuf * fps))
@@ -102,6 +112,12 @@ object Video {
       b.write(le32(0)); b.write(le32((h << 16) | w))
       b.toByteArray
     }
+    muxTail(frames, w, h, avih, strh, maxBuf)
+  }
+
+  private def muxTail(frames: Seq[(String, Array[Byte])], w: Int,
+      h: Int, avih: Array[Byte], strh: Array[Byte],
+      maxBuf: Int): Array[Byte] = {
     val strf = { // BITMAPINFOHEADER with the intra-codec fourcc
       val b = new ByteArrayOutputStream()
       b.write(le32(40)); b.write(le32(w)); b.write(le32(h))
@@ -114,16 +130,18 @@ object Video {
       chunk("avih", avih) ++ list("strl",
         chunk("strh", strh) ++ chunk("strf", strf)))
     val moviBody = new ByteArrayOutputStream()
-    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    frames.foreach { f =>
-      offsets += ((moviBody.size() + 4, f.length))
-      moviBody.write(chunk("00dc", f))
+    val offsets =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    frames.foreach { case (id, f) =>
+      offsets += ((id, moviBody.size() + 4, f.length))
+      moviBody.write(chunk(id, f))
     }
     val movi = list("movi", moviBody.toByteArray)
     val idx1 = {
       val b = new ByteArrayOutputStream()
-      offsets.foreach { case (off, len) =>
-        b.write(fourcc("00dc")); b.write(le32(0x10)) // AVIIF_KEYFRAME
+      offsets.foreach { case (id, off, len) =>
+        b.write(fourcc(id))
+        b.write(le32(if (id == "00dc") 0x10 else 0)) // AVIIF_KEYFRAME
         b.write(le32(off)); b.write(le32(len))
       }
       b.toByteArray
@@ -144,17 +162,16 @@ object Video {
   private def cc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 
-  /** REAL container demux: walk the RIFF chunk tree (recursing into
-    * LISTs, honoring even-byte padding) and return the video-stream
-    * frame payloads (`00dc`/`00db` chunks) as an ITERATOR of
-    * (frame_idx, bytes) — offsets are resolved lazily, so a clip's
-    * frames never exist in memory together. Loud on a non-RIFF/AVI
-    * payload — a silent empty demux is how corrupt media poisons a
-    * corpus. */
-  def demuxFrames(avi: Array[Byte]): Iterator[(Int, Array[Byte])] = {
+  /** The shared chunk walk: recurse the RIFF tree (LISTs, even-byte
+    * padding, corrupt-size guards) and collect the video-stream
+    * chunk (fourcc, offset, size) triples — `00dc`/`00db` intra,
+    * `00dp` predicted. */
+  private def videoChunkOffsets(
+      avi: Array[Byte]): Seq[(String, Int, Int)] = {
     require(avi.length >= 12 && cc(avi, 0) == "RIFF" &&
       cc(avi, 8) == "AVI ", "payload is not a RIFF/AVI container")
-    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val offsets =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
     def walk(from: Int, to: Int): Unit = {
       var off = from
       while (off + 8 <= to) {
@@ -169,8 +186,8 @@ object Video {
             s"corrupt RIFF chunk '$id' at offset $off: size $size " +
               s"exceeds container bound $to")
         if (id == "LIST") walk(off + 12, off + 8 + size)
-        else if (id == "00dc" || id == "00db")
-          offsets += ((off + 8, size))
+        else if (id == "00dc" || id == "00db" || id == "00dp")
+          offsets += ((id, off + 8, size))
         off += 8 + size + (size % 2) // skip the pad byte on odd sizes
       }
     }
@@ -178,8 +195,79 @@ object Video {
     require(declared >= 4 && 8 + declared <= avi.length,
       s"corrupt RIFF header: declared size $declared vs ${avi.length}")
     walk(12, 8 + declared)
-    offsets.iterator.zipWithIndex.map { case ((off, len), i) =>
-      (i, java.util.Arrays.copyOfRange(avi, off, off + len))
+    offsets.toSeq
+  }
+
+  /** REAL container demux: walk the RIFF chunk tree (recursing into
+    * LISTs, honoring even-byte padding) and return the video-stream
+    * frame payloads (`00dc`/`00db` chunks) as an ITERATOR of
+    * (frame_idx, bytes) — offsets are resolved lazily, so a clip's
+    * frames never exist in memory together. Loud on a non-RIFF/AVI
+    * payload — a silent empty demux is how corrupt media poisons a
+    * corpus — and loud on a `00dp` predicted frame: an intra-only
+    * walk fed an INTER-coded container would otherwise hand residual
+    * planes downstream as if they were pictures (use
+    * [[demuxFramesInter]] there). */
+  def demuxFrames(avi: Array[Byte]): Iterator[(Int, Array[Byte])] =
+    videoChunkOffsets(avi).iterator.zipWithIndex.map {
+      case (("00dp", _, _), i) =>
+        throw new IllegalArgumentException(
+          s"frame $i is inter-coded (00dp) — this walk decodes " +
+            "intra-only containers; use demuxFramesInter")
+      case ((_, off, len), i) =>
+        (i, java.util.Arrays.copyOfRange(avi, off, off + len))
+    }
+
+  /** INTER-frame demux + reconstruction — the temporally-dependent
+    * decode a real video corpus needs (the shape H.264/VP9 implement
+    * with entropy coding on top): `00dc` chunks are keyframes
+    * (decoded directly through the real image codec), `00dp` chunks
+    * are PREDICTED frames — a lossless-coded RESIDUAL plane, each
+    * pixel the mod-256 difference against the previous frame — and
+    * the decoder must RECONSTRUCT cur = (prev + residual) mod 256
+    * before the frame exists at all. Returns an iterator of
+    * (frame_idx, reconstructed grayscale raster); exactly one
+    * reference frame is held between steps (inherent to inter
+    * coding — this is the decoder's whole working set, ~w·h bytes).
+    * Loud when the stream opens on a predicted frame (nothing to
+    * predict from — a truncated-archive corruption class) and on
+    * geometry drift between a residual and its reference. */
+  def demuxFramesInter(avi: Array[Byte],
+      codec: Images.MediaCodec): Iterator[(Int, BufferedImage)] = {
+    var prev: BufferedImage = null
+    videoChunkOffsets(avi).iterator.zipWithIndex.map {
+      case ((id, off, len), i) =>
+        val bytes = java.util.Arrays.copyOfRange(avi, off, off + len)
+        val img = id match {
+          case "00dp" =>
+            if (prev == null) throw new IllegalArgumentException(
+              s"frame $i: predicted (00dp) frame with no reference " +
+                "— truncated or mis-spliced archive")
+            val res = codec.decode(bytes)
+            if (res.getWidth != prev.getWidth ||
+                res.getHeight != prev.getHeight)
+              throw new IllegalArgumentException(
+                s"frame $i: residual ${res.getWidth}x${res.getHeight} " +
+                  s"vs reference ${prev.getWidth}x${prev.getHeight}")
+            val out = new BufferedImage(res.getWidth, res.getHeight,
+              BufferedImage.TYPE_BYTE_GRAY)
+            val pr = prev.getRaster; val rr = res.getRaster
+            val or = out.getRaster
+            var y = 0
+            while (y < res.getHeight) {
+              var x = 0
+              while (x < res.getWidth) {
+                or.setSample(x, y, 0,
+                  (pr.getSample(x, y, 0) + rr.getSample(x, y, 0)) % 256)
+                x += 1
+              }
+              y += 1
+            }
+            out
+          case _ => codec.decode(bytes)
+        }
+        prev = img
+        (i, img)
     }
   }
 
@@ -258,15 +346,9 @@ object Video {
       .toDF()
   }
 
-  /** Scene-change detection over a corpus id column: synthesize
-    * AVIs → demux → decode frames → dHash → consecutive-frame
-    * Hamming (media-keyed lag window — bounded by frames-per-clip,
-    * never corpus-wide). Returns (media_id, frame_idx ≥ 1, hamming,
-    * is_cut = hamming > 0) — the exact surface the q237 oracle
-    * replays analytically. */
-  def sceneCuts(spark: SparkSession, docs: DataFrame,
-      idCol: String): DataFrame = {
-    val hashes = frameHashes(spark, syntheticAviFrame(spark, docs, idCol))
+  /** Consecutive-frame Hamming over a frame-hash table (media-keyed
+    * lag window — bounded by frames-per-clip, never corpus-wide). */
+  private def cutsOf(hashes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
     hashes
       .withColumn("_prev", lag(col("dhash"), 1).over(w))
@@ -276,4 +358,112 @@ object Video {
       .select(col("media_id"), col("frame_idx"), col("hamming"),
         (col("hamming") > 0).as("is_cut"))
   }
+
+  /** Scene-change detection over a corpus id column: synthesize
+    * AVIs → demux → decode frames → dHash → consecutive-frame
+    * Hamming. Returns (media_id, frame_idx ≥ 1, hamming,
+    * is_cut = hamming > 0) — the exact surface the q237 oracle
+    * replays analytically. */
+  def sceneCuts(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame =
+    cutsOf(frameHashes(spark, syntheticAviFrame(spark, docs, idCol)))
+
+  // ------------------------------------------------- inter-frame coding
+
+  /** Keyframe cadence of the inter fixture: frame 0 and every 4th
+    * frame intra (`00dc`), the rest predicted (`00dp`) — so 4-8-frame
+    * clips carry 1-2 keyframes and 3-6 predicted frames, and the
+    * scene cut usually lands ON a predicted frame (the residual is
+    * the scene difference — the case that proves reconstruction). */
+  val KeyInterval: Int = 4
+
+  /** Mux grayscale rasters with INTER-frame coding: keyframes encode
+    * the picture itself; every other frame encodes the RESIDUAL
+    * plane (cur − prev mod 256) as a lossless PNG `00dp` chunk.
+    * Within a scene the residual is the all-zero plane (maximally
+    * compressible — exactly why real codecs predict); at a scene
+    * cut it is the scene difference. Integer-exact end to end, so
+    * reconstruction is bit-perfect and SQL-replayable. */
+  def muxAviInter(rasters: Seq[BufferedImage],
+      codec: Images.MediaCodec, fps: Int = 10): Array[Byte] = {
+    require(rasters.nonEmpty, "cannot mux an empty clip")
+    val w = rasters.head.getWidth
+    val h = rasters.head.getHeight
+    val chunks = rasters.zipWithIndex.map { case (img, i) =>
+      if (i % KeyInterval == 0) ("00dc", codec.encode(img))
+      else {
+        val res = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val pr = rasters(i - 1).getRaster
+        val cr = img.getRaster; val rr = res.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            rr.setSample(x, y, 0,
+              (cr.getSample(x, y, 0) - pr.getSample(x, y, 0) + 256) % 256)
+            x += 1
+          }
+          y += 1
+        }
+        ("00dp", codec.encode(res))
+      }
+    }
+    muxAviChunks(chunks, w, h, fps)
+  }
+
+  /** The synthetic INTER-coded AVI frame: same clip content as
+    * [[syntheticAviFrame]] (identical pixels frame by frame — the
+    * q237 oracle replays them unchanged), carried by the delta codec
+    * ([[muxAviInter]]): only keyframes are whole pictures; the rest
+    * must be RECONSTRUCTED from reference + residual before any
+    * downstream step sees a pixel. */
+  def syntheticAviInterFrame(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        val codec = Images.partitionCodec()
+        ids.map { id =>
+          val pid = Images.baseId(id)
+          val rasters = (0 until nFrames(pid)).map { f =>
+            Images.renderPatternImage(framePid(pid, f), FrameW, FrameH)
+          }
+          AviRow(id, muxAviInter(rasters, codec))
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("payload"),
+        struct(lit("video").as("kind"),
+          octet_length(col("payload")).as("n_bytes")).as("meta"))
+  }
+
+  /** Demux + RECONSTRUCT + fingerprint every frame of inter-coded
+    * clips — [[frameHashes]] with the temporally-dependent decode:
+    * each predicted frame's pixels exist only after reference +
+    * residual reconstruction ([[demuxFramesInter]]). Output is the
+    * same slim 24-bytes/frame table; the decoder's working set is
+    * one reference raster per clip in flight. */
+  def frameHashesInter(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[AviRow]
+      .mapPartitions { rows =>
+        val codec = Images.partitionCodec()
+        rows.flatMap { r =>
+          demuxFramesInter(r.payload, codec).map { case (i, img) =>
+            FrameHash(r.media_id, i, Images.dHash64(Images.gridOf(img)))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** [[sceneCuts]] over the INTER-coded corpus: identical output
+    * surface (the q247 oracle is q237's, verbatim) — a hash match
+    * proves mux → demux → reconstruct is bit-lossless, i.e. the
+    * inter-frame decode chain earns the same pixels the intra chain
+    * reads directly. */
+  def sceneCutsInter(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame =
+    cutsOf(frameHashesInter(spark,
+      syntheticAviInterFrame(spark, docs, idCol)))
 }

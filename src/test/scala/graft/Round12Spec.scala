@@ -140,6 +140,63 @@ class Round12Spec extends SparkSpec {
       "empty ledgers ARE the proof the bounds changed nothing")
   }
 
+  test("inter-frame codec: mux -> demux -> reconstruct is byte-exact " +
+      "for every frame, predicted frames genuinely ride residual " +
+      "planes, and single-scene runs compress below the intra mux") {
+    import graft.ext.Video
+    val codec = new Images.MediaCodec()
+    try {
+      for (id <- Seq(1L, 4L, 13L, 26L)) {
+        val pid = Images.baseId(id)
+        val rasters = (0 until Video.nFrames(pid)).map { f =>
+          Images.renderPatternImage(Video.framePid(pid, f),
+            Video.FrameW, Video.FrameH)
+        }
+        val inter = Video.muxAviInter(rasters, codec)
+        val got = Video.demuxFramesInter(inter, codec).toSeq
+        assert(got.size == rasters.size)
+        got.foreach { case (i, img) =>
+          for (y <- 0 until Video.FrameH; x <- 0 until Video.FrameW)
+            assert(img.getRaster.getSample(x, y, 0) ==
+              rasters(i).getRaster.getSample(x, y, 0),
+              s"clip $id frame $i pixel ($x,$y) diverged after " +
+                "reconstruction")
+        }
+        // the container truly carries predicted frames: the
+        // intra-only walk must refuse it loudly (silently decoding a
+        // residual plane as a picture is the corrupt-media mode)
+        if (rasters.size > 1) {
+          val e = intercept[IllegalArgumentException] {
+            Video.demuxFrames(inter).foreach(_ => ())
+          }
+          assert(e.getMessage.contains("inter-coded"))
+        }
+        // zero-residual frames (within a scene) make the inter mux
+        // strictly smaller than the intra mux — the compression
+        // benefit that IS the reason real codecs predict
+        val intra = Video.muxAvi(rasters.map(codec.encode), Video.FrameW,
+          Video.FrameH)
+        if (rasters.size > 1)
+          assert(inter.length < intra.length,
+            s"clip $id: inter ${inter.length}B vs intra ${intra.length}B")
+      }
+      // a predicted frame with no reference (truncated/mis-spliced
+      // archive) fails loudly: rewrite the first movi chunk's fourcc
+      // from 00dc to 00dp by byte surgery
+      val rasters = (0 until 5).map(f =>
+        Images.renderPatternImage(100L + f, Video.FrameW, Video.FrameH))
+      val avi = Video.muxAviInter(rasters, codec)
+      val pat = "00dc".getBytes("US-ASCII")
+      val first = avi.indexOfSlice(pat)
+      assert(first > 0)
+      avi(first + 3) = 'p'.toByte
+      val e = intercept[IllegalArgumentException] {
+        Video.demuxFramesInter(avi, codec).foreach(_ => ())
+      }
+      assert(e.getMessage.contains("no reference"))
+    } finally codec.dispose()
+  }
+
   test("committedBatchDirs: one shared rule — skips non-numeric " +
       "names, honors upToBatch, and sees nothing before the dir " +
       "exists") {
