@@ -187,6 +187,30 @@ object Multimodal {
     img.unionByName(aud).unionByName(vid)
   }
 
+  /** The mixed frame with kind GROUPED in runs of four ids
+    * ((id div 4) % 3 — vs [[syntheticMixedFrame]]'s per-id cycle):
+    * the corpus-wide copy rules place designed duplicates at
+    * ADJACENT ids ((k−1, k) at k%25 = 0 / k%50 = 7), so the per-id
+    * cycle puts every designed pair in two different kinds and a
+    * within-kind dedup surface would be vacuously empty. Grouping by
+    * fours keeps most designed pairs inside one modality — the
+    * fixture a mixed-archive DEDUP (q248) needs, where q242 only
+    * needed fingerprints. */
+  def syntheticMixedFrameGrouped(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    val kindOf = expr(s"cast($idCol as long) div 4") % 3
+    val img = Images.syntheticPngFrame(spark,
+        docs.filter(kindOf === 0), idCol)
+      .select(col("media_id"), col("payload"))
+    val aud = Audio.syntheticWavFrame(spark,
+        docs.filter(kindOf === 1), idCol)
+      .select(col("media_id"), col("payload"))
+    val vid = Video.syntheticAviFrame(spark,
+        docs.filter(kindOf === 2), idCol)
+      .select(col("media_id"), col("payload"))
+    img.unionByName(aud).unionByName(vid)
+  }
+
   /** Payload-level near-duplicate pairs — the perceptual-hash stand-in
     * for image/audio dedup: SimHash over character shingles of the hex
     * rendering of the opaque binary payload (`gram` hex chars ≈

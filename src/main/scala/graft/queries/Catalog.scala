@@ -8800,6 +8800,130 @@ object Catalog {
           AS is_cut
       FROM h a JOIN h p ON p.doc_id = a.doc_id AND p.f = a.f - 1"""))
 
+  /** The unified MIXED-modality streaming dedup
+    * ([[graft.streaming.MediaDedupMaintenance.processBatchUnified]]):
+    * a corpus whose payloads mix real PNG / WAV / AVI containers in
+    * runs of four ids lands as a multi-file archive and streams one
+    * file per micro-batch — each batch decoded ONCE with per-row
+    * magic-byte dispatch to the three real codecs
+    * ([[graft.ext.Multimodal.unifiedFingerprints]]), fingerprints of
+    * all three modalities riding ONE store (kind on the row), pairs
+    * delta-joined banded WITHIN kind per batch (an image dHash and
+    * an audio energy fingerprint agreeing on bits is a collision,
+    * never a duplicate). The union of per-batch pair logs must equal
+    * the analytic within-kind pair surface over all three codec
+    * chains — streamed ≡ analytic across image+audio+video in one
+    * oracle hash. */
+  private val q248 = Q("q248_unified_media_stream_pairs",
+    (s, dir) => withStreamDirs(s, "q248") { (store, pairs, ckpt, landing) =>
+      graft.ext.Multimodal.syntheticMixedFrameGrouped(s,
+          t(s, dir, "documents"), "doc_id")
+        .repartitionByRange(4, col("media_id"))
+        .write.mode("overwrite").parquet(landing)
+      val src = s.readStream
+        .schema(s.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+      val q = graft.streaming.MediaDedupMaintenance.startUnified(
+        src, store, pairs, ckpt)
+      q.awaitTermination()
+      s.read.parquet(pairs)
+        .select(col("doc_a"), col("doc_b"), col("hamming"), col("kind"))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+        CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+             WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+             ELSE doc_id END AS pid,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      im AS (SELECT doc_id, (pid * 2654435761) % 2147483647 AS m, pert
+        FROM b WHERE (doc_id // 4) % 3 = 0),
+      icell AS (SELECT doc_id, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2)
+            + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
+            % 256) // 16 AS g
+        FROM im, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, cx, cy),
+      ibits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM icell l JOIN icell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      ih AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM ibits GROUP BY doc_id),
+      ad AS (SELECT doc_id, (pid * 2654435761) % 2147483647 AS m, pert,
+        400 + (pid * 11) % 257 AS n FROM b WHERE (doc_id // 4) % 3 = 1),
+      sa AS (SELECT doc_id, n, i,
+          ((m % 256 + 1) * (5*i + 7)
+            + ((m // 256) % 256) * ((i*i) % 1009)
+            + CASE WHEN pert AND i < 8 THEN 128 ELSE 0 END)
+            % 65536 - 32768 AS v
+        FROM ad, range(657) r(i) WHERE i < n),
+      abins AS (SELECT doc_id, (i * 65) // n AS bin, sum(abs(v)) AS e
+        FROM sa GROUP BY doc_id, (i * 65) // n),
+      abits AS (SELECT l.doc_id, l.bin AS k,
+          CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+        FROM abins l JOIN abins r ON r.doc_id = l.doc_id
+          AND r.bin = l.bin + 1
+        WHERE l.bin < 64),
+      ah AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM abits GROUP BY doc_id),
+      vd AS (SELECT doc_id,
+          (pid * 8 * 2654435761) % 2147483647 AS m
+        FROM b WHERE (doc_id // 4) % 3 = 2),
+      vcell AS (SELECT doc_id, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2))
+            % 256) // 16 AS g
+        FROM vd, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, cx, cy),
+      vbits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM vcell l JOIN vcell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      vh AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM vbits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, z.doc_id AS doc_b,
+        CAST(bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+          AS INT) AS hamming, 'image' AS kind
+      FROM ih a JOIN ih z ON a.doc_id < z.doc_id
+      WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi)) <= 2
+      UNION ALL
+      SELECT a.doc_id, z.doc_id,
+        CAST(bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+          AS INT), 'audio'
+      FROM ah a JOIN ah z ON a.doc_id < z.doc_id
+      WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi)) <= 2
+      UNION ALL
+      SELECT a.doc_id, z.doc_id,
+        CAST(bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+          AS INT), 'video'
+      FROM vh a JOIN vh z ON a.doc_id < z.doc_id
+      WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
+        <= 2"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -8828,5 +8952,5 @@ object Catalog {
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242, q243, q244, q245, q246, q247)
+    q240, q241, q242, q243, q244, q245, q246, q247, q248)
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import graft.ext.{Dedup, Images}
+import graft.ext.{Dedup, Images, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, shiftleft}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
@@ -129,6 +129,97 @@ object MediaDedupMaintenance {
         if (!batch.isEmpty) {
           processBatch(batch, batchId, storeDir, pairsDir, maxDist,
             chunks, mirrorAware)
+        }
+      }
+      .start()
+
+  // ------------------------------------------- unified mixed modality
+
+  private def unifiedFpSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("dhash", LongType)))
+
+  /** The accumulated MIXED-modality fingerprint store: (media_id,
+    * kind, 64-bit fingerprint) — same committed-fragment discipline
+    * as [[readFingerprints]]. */
+  def readUnifiedFingerprints(spark: SparkSession,
+      storeDir: String): DataFrame = {
+    val dirs = Commits.committedBatchDirs(spark, storeDir)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        unifiedFpSchema)
+    else
+      spark.read.schema(unifiedFpSchema).parquet(dirs.map(_.toString): _*)
+        .select(col("media_id"), col("kind"), col("dhash"))
+  }
+
+  private val UnifiedKinds = Seq("image", "audio", "video")
+
+  /** The per-batch pair join of the unified store: one banded delta
+    * join PER KIND (an image dHash and an audio energy fingerprint
+    * agreeing on 62 bits is a collision, not a duplicate — kinds
+    * never compare), unioned with the kind tagged on each pair. */
+  private[graft] def unifiedBatchPairs(base: DataFrame,
+      deltaFp: DataFrame, maxDist: Int, chunks: Int): DataFrame =
+    UnifiedKinds.map { k =>
+      Dedup.hammingDeltaPairsFromFingerprints(
+        base.filter(col("kind") === k)
+          .select(col("media_id"), col("dhash")),
+        deltaFp.filter(col("kind") === k)
+          .select(col("media_id"), col("dhash")),
+        "media_id", "dhash", maxDist, chunks, nBits = 64)
+        .withColumn("kind", lit(k))
+    }.reduce(_.unionByName(_))
+
+  /** The idempotent unit for a MIXED-modality archive: ONE decode
+    * pass over the batch, each payload's kind sniffed from its magic
+    * bytes and routed to its real codec
+    * ([[Multimodal.unifiedFingerprints]] — image dHash, audio
+    * energy-gradient, video first-frame dHash through the demux),
+    * then per-kind delta joins against the accumulated store. This
+    * is the maintenance shape a scraped-media archive needs: the
+    * stream carries image+audio+video fragments in ONE store (kind
+    * rides the 25-byte fingerprint row), content-type metadata is
+    * never trusted, and each payload is still decoded exactly once
+    * in its lifetime. */
+  def processBatchUnified(batch: DataFrame, batchId: Long,
+      storeDir: String, pairsDir: String, maxDist: Int = 2,
+      chunks: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    val deltaFp = Multimodal.unifiedFingerprints(spark,
+        batch.select(col("media_id"), col("payload")))
+      .select(col("media_id"), col("kind"),
+        col("fp_lo").bitwiseOR(shiftleft(col("fp_hi"), 32)).as("dhash"))
+      .localCheckpoint()
+    try {
+      val base = readUnifiedFingerprints(spark, storeDir)
+        .join(deltaFp.select(col("media_id")), Seq("media_id"),
+          "left_anti")
+      unifiedBatchPairs(base, deltaFp, maxDist, chunks)
+        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      deltaFp.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+    } finally {
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .unpersistLocalCheckpoint(deltaFp)
+    }
+  }
+
+  /** Start maintaining a unified mixed-modality fingerprint store +
+    * per-kind pairs log from a streaming `source` of (media_id,
+    * payload) whose payloads mix PNG/JPEG/WAV/AVI row by row. */
+  def startUnified(source: DataFrame, storeDir: String,
+      pairsDir: String, checkpointDir: String, maxDist: Int = 2,
+      chunks: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          processBatchUnified(batch, batchId, storeDir, pairsDir,
+            maxDist, chunks)
         }
       }
       .start()

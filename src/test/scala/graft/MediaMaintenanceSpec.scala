@@ -132,4 +132,60 @@ class MediaMaintenanceSpec extends SparkSpec {
     assert(pairRows(spark.read.parquet(awarePairs)) == aware,
       "mirror-aware replay changed the global pair set")
   }
+
+  test("unified mixed-modality stream: streamed per-kind pairs == " +
+      "direct batch surface over the three real codecs, every kind " +
+      "contributes, and kinds never cross") {
+    import graft.ext.Multimodal
+    import org.apache.spark.sql.functions.{lit, shiftleft}
+    val docs = (0L until 240L).toDF("doc_id")
+    val media = Multimodal.syntheticMixedFrameGrouped(spark, docs,
+      "doc_id")
+    val landing = tmpDir("unilanding")
+    media.repartitionByRange(4, col("media_id"))
+      .write.mode("overwrite").parquet(landing)
+    val storeDir = tmpDir("unistore")
+    val pairsDir = tmpDir("unipairs")
+    val src = spark.readStream
+      .schema(spark.read.parquet(landing).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+    MediaDedupMaintenance.startUnified(src, storeDir, pairsDir,
+      tmpDir("unickpt")).awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(concat_ws("|", col("doc_a"), col("doc_b"),
+        col("hamming"), col("kind"))).collect()
+        .map(_.getString(0)).toSet
+    val streamed = rows(spark.read.parquet(pairsDir))
+    // direct batch computation through the same codec dispatch
+    val fps = Multimodal.unifiedFingerprints(spark, media)
+      .select(col("media_id"), col("kind"),
+        col("fp_lo").bitwiseOR(shiftleft(col("fp_hi"), 32)).as("dhash"))
+    val batch = Seq("image", "audio", "video").map { k =>
+      Dedup.hammingPairsFromFingerprints(
+        fps.filter(col("kind") === k).select("media_id", "dhash"),
+        "media_id", "dhash", maxDist = 2, chunks = 4, nBits = 64)
+        .withColumn("kind", lit(k))
+    }.reduce(_.unionByName(_))
+    assert(streamed == rows(batch),
+      "streamed unified pairs must equal the batch surface")
+    Seq("image", "audio", "video").foreach { k =>
+      assert(streamed.exists(_.endsWith(s"|$k")),
+        s"fixture produced no $k pairs — that modality went untested")
+    }
+    // kinds never cross: both endpoints of every pair obey the
+    // fixture's (id div 4) % 3 kind rule for the pair's own kind
+    streamed.foreach { p =>
+      val parts = p.split('|')
+      assert((parts(0).toLong / 4) % 3 == (parts(1).toLong / 4) % 3,
+        s"cross-kind pair leaked: $p")
+    }
+    // unified store replay converges (same anti-join discipline)
+    val replay = spark.read.parquet(landing)
+      .orderBy(col("media_id")).limit(60)
+    MediaDedupMaintenance.processBatchUnified(replay, 99L, storeDir,
+      pairsDir)
+    assert(rows(spark.read.parquet(pairsDir)) == streamed,
+      "unified replay changed the global pair set")
+  }
 }
