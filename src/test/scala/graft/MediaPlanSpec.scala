@@ -1,20 +1,51 @@
 package graft
 
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.functions.col
 
-/** Physical-plan audit for the media codec chains (q231-q237): the
-  * 100-TB property that matters most is that PAYLOAD BYTES never
-  * cross an exchange — fingerprints (16-24 bytes/row) shuffle, media
-  * payloads stay partition-local from synthesis to decode. Checked
+/** Physical-plan audit for the media codec chains: the 100-TB
+  * property that matters most is that PAYLOAD BYTES never cross an
+  * exchange — fingerprints (16-32 bytes/row) shuffle, media payloads
+  * stay partition-local from synthesis to decode. Checked
   * programmatically on the plan tree (every Shuffle/Broadcast
   * exchange's child output is payload-free), plus the catalog-wide
-  * no-cartesian/no-nested-loop rules. */
+  * no-cartesian/no-nested-loop rules. Covers EVERY media catalog
+  * query; the three streaming queries (q243/q246/q248) hide their
+  * per-batch plan behind the stream wrapper, so their
+  * batchPairs/unifiedBatchPairs compositions are audited directly —
+  * on the RAW (un-checkpointed) lineage, which is stricter than what
+  * processBatch executes. */
 class MediaPlanSpec extends SparkSpec {
 
   private val media = Seq(
     "q231_image_dhash", "q232_multimodal_pack",
     "q234_image_dhash_vardims", "q235_audio_features",
-    "q236_audio_neardup", "q237_video_scene_cuts")
+    "q236_audio_neardup", "q237_video_scene_cuts",
+    "q238_audio_pitch", "q239_crossmodal_consistency",
+    "q240_image_dhash_delta", "q241_video_pack",
+    "q242_unified_media_fp", "q244_image_mirror_dedup",
+    "q245_crossmodal_audit_bounded", "q247_video_inter_scene_cuts")
+
+  private def auditPlan(name: String,
+      plan: org.apache.spark.sql.execution.SparkPlan): Unit = {
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"),
+      s"$name: cartesian product in plan")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"$name: nested-loop join in plan")
+    val exchanges = plan.collect {
+      case e: ShuffleExchangeExec => ("shuffle", e.child.output)
+      case e: BroadcastExchangeExec => ("broadcast", e.child.output)
+    }
+    // map-only (zero exchanges) is the ideal — q235's feature
+    // extraction never shuffles at all; when exchanges exist they
+    // must carry fingerprints, not payloads
+    exchanges.foreach { case (kind, out) =>
+      assert(!out.exists(_.name == "payload"),
+        s"$name: media payload crosses a $kind exchange — " +
+          s"[${out.map(_.name).mkString(", ")}]")
+    }
+  }
 
   test("media plans: payload bytes never cross an exchange; banded " +
       "joins keyed (no cartesian / nested-loop)") {
@@ -24,25 +55,56 @@ class MediaPlanSpec extends SparkSpec {
     graft.streaming.EventsStream.withConf(spark,
       Seq("spark.sql.adaptive.enabled" -> "false")) {
       qs.foreach { q =>
-        val plan = q.fn(spark, dir).queryExecution.executedPlan
-        val s = plan.toString
-        assert(!s.contains("CartesianProduct"),
-          s"${q.name}: cartesian product in plan")
-        assert(!s.contains("BroadcastNestedLoopJoin"),
-          s"${q.name}: nested-loop join in plan")
-        val exchanges = plan.collect {
-          case e: ShuffleExchangeExec => ("shuffle", e.child.output)
-          case e: BroadcastExchangeExec => ("broadcast", e.child.output)
-        }
-        // map-only (zero exchanges) is the ideal — q235's feature
-        // extraction never shuffles at all; when exchanges exist they
-        // must carry fingerprints, not payloads
-        exchanges.foreach { case (kind, out) =>
-          assert(!out.exists(_.name == "payload"),
-            s"${q.name}: media payload crosses a $kind exchange — " +
-              s"[${out.map(_.name).mkString(", ")}]")
-        }
+        auditPlan(q.name, q.fn(spark, dir).queryExecution.executedPlan)
       }
+    }
+  }
+
+  test("streaming per-batch plans (q243/q246/q248 compositions): " +
+      "payload-free exchanges on the raw batch lineage") {
+    import graft.ext.{Images, Multimodal}
+    import graft.streaming.MediaDedupMaintenance
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"))
+    graft.streaming.EventsStream.withConf(spark,
+      Seq("spark.sql.adaptive.enabled" -> "false")) {
+      // q243's unit: plain fingerprints, delta vs base
+      val plainMedia = Images.syntheticPngFrame(spark, docs, "doc_id")
+        .select(col("media_id"), col("payload"))
+      val plainBase = Images.dHashes(spark,
+        plainMedia.filter(col("media_id") % 4 =!= 0))
+      val plainDelta = Images.dHashes(spark,
+        plainMedia.filter(col("media_id") % 4 === 0))
+      auditPlan("q243 batchPairs",
+        MediaDedupMaintenance.batchPairs(plainBase, plainDelta,
+          maxDist = 2, chunks = 4, mirrorAware = false)
+          .queryExecution.executedPlan)
+      // q246's unit: both-orientation fingerprints + collapse
+      val mirMedia = Images.syntheticPngFrameWithMirrors(spark, docs,
+        "doc_id").select(col("media_id"), col("payload"))
+      val mirBase = Images.dHashesBothOrientations(spark,
+        mirMedia.filter(col("media_id") % 4 =!= 0))
+      val mirDelta = Images.dHashesBothOrientations(spark,
+        mirMedia.filter(col("media_id") % 4 === 0))
+      auditPlan("q246 batchPairs(mirrorAware)",
+        MediaDedupMaintenance.batchPairs(mirBase, mirDelta,
+          maxDist = 2, chunks = 4, mirrorAware = true)
+          .queryExecution.executedPlan)
+      // q248's unit: unified three-codec dispatch, per-kind joins
+      import org.apache.spark.sql.functions.shiftleft
+      val mixed = Multimodal.syntheticMixedFrameGrouped(spark, docs,
+        "doc_id")
+      def fps(m: org.apache.spark.sql.DataFrame) =
+        Multimodal.unifiedFingerprints(spark, m)
+          .select(col("media_id"), col("kind"),
+            col("fp_lo").bitwiseOR(shiftleft(col("fp_hi"), 32))
+              .as("dhash"))
+      auditPlan("q248 unifiedBatchPairs",
+        MediaDedupMaintenance.unifiedBatchPairs(
+          fps(mixed.filter(col("media_id") % 4 =!= 0)),
+          fps(mixed.filter(col("media_id") % 4 === 0)),
+          maxDist = 2, chunks = 4)
+          .queryExecution.executedPlan)
     }
   }
 }
