@@ -186,17 +186,59 @@ object Images {
   def renderPatternImage(pid: Long, w: Int, h: Int,
       pert: Boolean = false): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        raster.setSample(x, y, 0, grayAt(pid, pert, x, y))
-        x += 1
+    val data = grayData(img)
+    if (data != null) {
+      var y = 0
+      while (y < h) {
+        val row = y * w
+        var x = 0
+        while (x < w) {
+          data(row + x) = grayAt(pid, pert, x, y).toByte
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+    } else {
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, grayAt(pid, pert, x, y))
+          x += 1
+        }
+        y += 1
+      }
     }
     img
+  }
+
+  /** Backing byte array of a single-band 8-bit raster when (and only
+    * when) the layout is the plain row-major width-stride form — the
+    * layout `TYPE_BYTE_GRAY` constructions and the JDK grayscale PNG
+    * decode path produce. Returns null for ANY other layout (color,
+    * sub-rasters, banked buffers, padded strides): callers must keep
+    * their per-sample path for those. Same values as
+    * `getSample(x, y, 0)` (`data(y·w + x) & 0xFF`) — this changes
+    * access cost only, never arithmetic, so every analytic oracle is
+    * unaffected; the per-pixel `getSample`/`setSample` virtual
+    * dispatch was the measured CPU tax of the media hot loops (the
+    * decode side pays it once per pixel per payload). */
+  private[ext] def grayData(img: BufferedImage): Array[Byte] = {
+    val r = img.getRaster
+    val db = r.getDataBuffer
+    r.getSampleModel match {
+      case sm: java.awt.image.ComponentSampleModel
+        if r.getNumBands == 1 && sm.getPixelStride == 1 &&
+           sm.getScanlineStride == img.getWidth &&
+           sm.getBandOffsets()(0) == 0 &&
+           db.isInstanceOf[java.awt.image.DataBufferByte] &&
+           db.getNumBanks == 1 && db.getOffset == 0 &&
+           r.getSampleModelTranslateX == 0 &&
+           r.getSampleModelTranslateY == 0 =>
+        db.asInstanceOf[java.awt.image.DataBufferByte].getData
+      case _ => null
+    }
   }
 
   private def renderPattern(id: Long, w: Int, h: Int): BufferedImage =
@@ -246,6 +288,7 @@ object Images {
     require(w >= 1 && h >= 1, s"degenerate image ${w}x$h")
     val raster = img.getRaster
     val color = raster.getNumBands >= 3
+    val fast = if (color) null else grayData(img)
     def grayOf(x: Int, y: Int): Long =
       if (color)
         (2126L * raster.getSample(x, y, 0) +
@@ -262,17 +305,34 @@ object Images {
       while (cx < GridCols) {
         val x0 = (cx.toLong * w / GridCols).toInt
         val x1 = (((cx + 1).toLong * w + GridCols - 1) / GridCols).toInt
+        // the x-overlap weight depends on x alone — hoist it out of
+        // the row loop (it was a min/max pair per PIXEL)
+        val oxArr = new Array[Long](x1 - x0)
+        var xi = x0
+        while (xi < x1) {
+          oxArr(xi - x0) =
+            math.min((cx + 1).toLong * w, (xi + 1).toLong * GridCols) -
+              math.max(cx.toLong * w, xi.toLong * GridCols)
+          xi += 1
+        }
         var s = 0L
         var y = y0
         while (y < y1) {
           val oy = math.min((cy + 1).toLong * h, (y + 1).toLong * GridRows) -
             math.max(cy.toLong * h, y.toLong * GridRows)
-          var x = x0
-          while (x < x1) {
-            val ox = math.min((cx + 1).toLong * w, (x + 1).toLong * GridCols) -
-              math.max(cx.toLong * w, x.toLong * GridCols)
-            s += ox * oy * grayOf(x, y)
-            x += 1
+          if (fast != null) {
+            val row = y * w
+            var x = x0
+            while (x < x1) {
+              s += oxArr(x - x0) * oy * (fast(row + x) & 0xFF)
+              x += 1
+            }
+          } else {
+            var x = x0
+            while (x < x1) {
+              s += oxArr(x - x0) * oy * grayOf(x, y)
+              x += 1
+            }
           }
           y += 1
         }
@@ -431,13 +491,16 @@ object Images {
       val pert = isPerturbed(src)
       val img = new BufferedImage(DefaultW, DefaultH,
         BufferedImage.TYPE_BYTE_GRAY)
+      val data = grayData(img)
       val raster = img.getRaster
       var y = 0
       while (y < DefaultH) {
+        val row = y * DefaultW
         var x = 0
         while (x < DefaultW) {
-          raster.setSample(x, y, 0,
-            grayAt(pid, pert, DefaultW - 1 - x, y))
+          val g = grayAt(pid, pert, DefaultW - 1 - x, y)
+          if (data != null) data(row + x) = g.toByte
+          else raster.setSample(x, y, 0, g)
           x += 1
         }
         y += 1

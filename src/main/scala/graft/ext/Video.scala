@@ -251,17 +251,31 @@ object Video {
                   s"vs reference ${prev.getWidth}x${prev.getHeight}")
             val out = new BufferedImage(res.getWidth, res.getHeight,
               BufferedImage.TYPE_BYTE_GRAY)
-            val pr = prev.getRaster; val rr = res.getRaster
-            val or = out.getRaster
-            var y = 0
-            while (y < res.getHeight) {
-              var x = 0
-              while (x < res.getWidth) {
-                or.setSample(x, y, 0,
-                  (pr.getSample(x, y, 0) + rr.getSample(x, y, 0)) % 256)
-                x += 1
+            // direct-buffer path when all three rasters are plain
+            // 8-bit gray (the layout this codec chain produces) —
+            // (p + r).toByte IS the mod-256 add on 0..255 samples
+            val pb = Images.grayData(prev); val rb = Images.grayData(res)
+            val ob = Images.grayData(out)
+            if (pb != null && rb != null && ob != null) {
+              val n = res.getWidth * res.getHeight
+              var k = 0
+              while (k < n) {
+                ob(k) = ((pb(k) & 0xFF) + (rb(k) & 0xFF)).toByte
+                k += 1
               }
-              y += 1
+            } else {
+              val pr = prev.getRaster; val rr = res.getRaster
+              val or = out.getRaster
+              var y = 0
+              while (y < res.getHeight) {
+                var x = 0
+                while (x < res.getWidth) {
+                  or.setSample(x, y, 0,
+                    (pr.getSample(x, y, 0) + rr.getSample(x, y, 0)) % 256)
+                  x += 1
+                }
+                y += 1
+              }
             }
             out
           case _ => codec.decode(bytes)
@@ -393,17 +407,29 @@ object Video {
       if (i % KeyInterval == 0) ("00dc", codec.encode(img))
       else {
         val res = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-        val pr = rasters(i - 1).getRaster
-        val cr = img.getRaster; val rr = res.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            rr.setSample(x, y, 0,
-              (cr.getSample(x, y, 0) - pr.getSample(x, y, 0) + 256) % 256)
-            x += 1
+        // (c − p).toByte IS (c − p + 256) mod 256 on 0..255 samples
+        val pb = Images.grayData(rasters(i - 1))
+        val cb = Images.grayData(img); val rb = Images.grayData(res)
+        if (pb != null && cb != null && rb != null) {
+          val n = w * h
+          var k = 0
+          while (k < n) {
+            rb(k) = ((cb(k) & 0xFF) - (pb(k) & 0xFF)).toByte
+            k += 1
           }
-          y += 1
+        } else {
+          val pr = rasters(i - 1).getRaster
+          val cr = img.getRaster; val rr = res.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              rr.setSample(x, y, 0,
+                (cr.getSample(x, y, 0) - pr.getSample(x, y, 0) + 256) % 256)
+              x += 1
+            }
+            y += 1
+          }
         }
         ("00dp", codec.encode(res))
       }
