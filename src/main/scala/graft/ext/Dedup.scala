@@ -632,6 +632,7 @@ object Dedup {
       hot.select(col("_tok").as("token"), col("n_docs")))
   }
 
+
   /** The raw candidate-pair set of the portable MinHash-LSH banding —
     * the PRE-verify output (any shared band bucket), before the exact
     * Jaccard filter [[minHashLshPairsPortable]] applies. Exposed so

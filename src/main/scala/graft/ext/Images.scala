@@ -492,18 +492,29 @@ object Images {
       val img = new BufferedImage(DefaultW, DefaultH,
         BufferedImage.TYPE_BYTE_GRAY)
       val data = grayData(img)
-      val raster = img.getRaster
-      var y = 0
-      while (y < DefaultH) {
-        val row = y * DefaultW
-        var x = 0
-        while (x < DefaultW) {
-          val g = grayAt(pid, pert, DefaultW - 1 - x, y)
-          if (data != null) data(row + x) = g.toByte
-          else raster.setSample(x, y, 0, g)
-          x += 1
+      if (data != null) {
+        var y = 0
+        while (y < DefaultH) {
+          val row = y * DefaultW
+          var x = 0
+          while (x < DefaultW) {
+            data(row + x) = grayAt(pid, pert, DefaultW - 1 - x, y).toByte
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+      } else {
+        val raster = img.getRaster
+        var y = 0
+        while (y < DefaultH) {
+          var x = 0
+          while (x < DefaultW) {
+            raster.setSample(x, y, 0,
+              grayAt(pid, pert, DefaultW - 1 - x, y))
+            x += 1
+          }
+          y += 1
+        }
       }
       img
     } else renderPattern(id, DefaultW, DefaultH)

@@ -278,6 +278,14 @@ object Video {
               }
             }
             out
+          case "00db" =>
+            // legal AVI chunk id (uncompressed DIB frame) that this
+            // codec chain does not carry — name it rather than let
+            // the image codec die on an unrecognized magic deep below
+            throw new IllegalArgumentException(
+              s"frame $i: uncompressed DIB (00db) — this codec chain " +
+                "carries PNG/JPEG keyframes (00dc) and residual " +
+                "planes (00dp)")
           case _ => codec.decode(bytes)
         }
         prev = img
@@ -403,6 +411,14 @@ object Video {
     require(rasters.nonEmpty, "cannot mux an empty clip")
     val w = rasters.head.getWidth
     val h = rasters.head.getHeight
+    // residuals are computed at the clip geometry, so a mixed-dims
+    // clip would silently mis-encode (row-misaligned subtraction
+    // that still demuxes cleanly) — reject it loudly instead
+    rasters.zipWithIndex.foreach { case (r, i) =>
+      require(r.getWidth == w && r.getHeight == h,
+        s"frame $i: ${r.getWidth}x${r.getHeight} vs clip geometry " +
+          s"${w}x$h — an AVI stream is fixed-geometry")
+    }
     val chunks = rasters.zipWithIndex.map { case (img, i) =>
       if (i % KeyInterval == 0) ("00dc", codec.encode(img))
       else {

@@ -8282,6 +8282,36 @@ object Catalog {
           AS n_spills
       FROM a GROUP BY shard"""))
 
+  /** Run a streaming-maintenance catalog query inside four scratch
+    * dirs (store / pairs / checkpoint / landing) that are DELETED
+    * before returning — a correctness drive must not leak a corpus
+    * copy per run (round-11 ADVICE). The result is collected to
+    * driver rows and re-created as a local frame: the returned plan
+    * neither reads the deleted parquet nor pins checkpoint blocks in
+    * the block manager for the rest of the JVM (a bench loop runs
+    * hundreds of queries in one session — an unreleased
+    * localCheckpoint per streaming query would accumulate). Bounded
+    * by construction: every caller returns a near-dup PAIR surface —
+    * slim id/hamming rows whose count tracks the corpus's designed
+    * duplicate density (19k rows at the 25× probe), never payloads. */
+  private def withStreamDirs(s: SparkSession, tag: String)(
+      body: (String, String, String, String) => DataFrame): DataFrame = {
+    val dirs = Seq("store", "pairs", "ckpt", "land")
+      .map(k => java.nio.file.Files.createTempDirectory(tag + k))
+    try {
+      val d = dirs.map(_.toString)
+      val out = body(d(0), d(1), d(2), d(3))
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally dirs.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+  }
+
   /** The streaming media-dedup maintenance end-to-end as an oracled
     * catalog row ([[graft.streaming.MediaDedupMaintenance]]): real
     * PNG payloads land as a multi-file corpus, stream through
@@ -8293,26 +8323,6 @@ object Catalog {
     * emission across batch boundaries is structurally exactly-once,
     * which the multi-batch arrival here exercises for real, not just
     * in the spec. */
-  /** Run a streaming-maintenance catalog query inside four scratch
-    * dirs (store / pairs / checkpoint / landing) that are DELETED
-    * before returning — a correctness drive must not leak a corpus
-    * copy per run (round-11 ADVICE). The result frame is eagerly
-    * `localCheckpoint`ed first, so the returned plan no longer reads
-    * the deleted parquet. */
-  private def withStreamDirs(s: SparkSession, tag: String)(
-      body: (String, String, String, String) => DataFrame): DataFrame = {
-    val dirs = Seq("store", "pairs", "ckpt", "land")
-      .map(k => java.nio.file.Files.createTempDirectory(tag + k))
-    try {
-      val d = dirs.map(_.toString)
-      body(d(0), d(1), d(2), d(3)).localCheckpoint(true)
-    } finally dirs.foreach { d =>
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
-
   private val q243 = Q("q243_media_stream_pairs",
     (s, dir) => withStreamDirs(s, "q243") { (store, pairs, ckpt, landing) =>
       graft.ext.Images.syntheticPngFrame(s, t(s, dir, "documents"),
@@ -8553,6 +8563,13 @@ object Catalog {
       val docs = t(s, dir, "documents")
       val img = graft.ext.Images.dHashNearDupPairs(s, docs, "doc_id",
         maxDist = 2)
+      // the three bounded-join outputs ride ONE plan on purpose:
+      // their heavy subtrees (prefix window, candidate enumeration)
+      // are byte-identical, and AQE exchange reuse serves all three
+      // consumers from one execution — a measured 25× A/B (14.4 s
+      // single-plan vs 26.2 s with the subtrees split behind eager
+      // localCheckpoints) refuted the "materialize the shared
+      // lineage" restructure, so do NOT split this plan
       val (txt, docLedger, tokLedger) =
         Dedup.prefixFilterJaccardPairsBounded(docs, "text", "doc_id",
           n = 3, thresholdNum = 3, thresholdDen = 5,

@@ -193,16 +193,24 @@ object MediaDedupMaintenance {
       .select(col("media_id"), col("kind"),
         col("fp_lo").bitwiseOR(shiftleft(col("fp_hi"), 32)).as("dhash"))
       .localCheckpoint()
+    // materialize the store read + anti-join ONCE: unifiedBatchPairs
+    // embeds `base` in three per-kind branches, and un-materialized
+    // each branch would re-scan the whole accumulated store parquet
+    // every micro-batch (a cost that grows with every batch); the
+    // frame is slim 25-byte fingerprint rows, same as deltaFp
+    val base = readUnifiedFingerprints(spark, storeDir)
+      .join(deltaFp.select(col("media_id")), Seq("media_id"),
+        "left_anti")
+      .localCheckpoint()
     try {
-      val base = readUnifiedFingerprints(spark, storeDir)
-        .join(deltaFp.select(col("media_id")), Seq("media_id"),
-          "left_anti")
       unifiedBatchPairs(base, deltaFp, maxDist, chunks)
         .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
       deltaFp.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge
         .unpersistLocalCheckpoint(deltaFp)
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .unpersistLocalCheckpoint(base)
     }
   }
 
