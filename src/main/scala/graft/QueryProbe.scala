@@ -14,7 +14,10 @@ object QueryProbe {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_LOG=INFO surfaces DAGScheduler job timings when a
+    // probe needs per-stage attribution (default stays quiet)
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG", "ERROR"))
     val fn = SparkEntry.queries(name)
     if (doExplain) fn(spark, dir).explain("formatted")
     // warm

@@ -197,7 +197,7 @@ object Audio {
   def syntheticWavFrame(spark: SparkSession, docs: DataFrame,
       idCol: String): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
+    Images.spreadIds(spark, docs, idCol)
       .mapPartitions(_.map(id => WavRow(id, encodeWav(renderClip(id)))))
       .toDF()
       .select(col("media_id"), col("payload"),

@@ -632,6 +632,67 @@ object Dedup {
       hot.select(col("_tok").as("token"), col("n_docs")))
   }
 
+  /** The outputs of [[prefixFilterJaccardPairsBoundedOnce]]: the
+    * bounded pair surface, its two ledgers, the cached per-doc
+    * shingle rows (_id, _tok — every shingle, not just the prefix;
+    * what a consumer needs to intersect documents against the token
+    * ledger without re-tokenizing the corpus), and the release thunk
+    * that drops the backing cache once the outputs are consumed. */
+  final case class BoundedOnceOutputs(pairs: DataFrame,
+      docLedger: DataFrame, tokenLedger: DataFrame,
+      shingleRows: DataFrame, release: () => Unit)
+
+  /** [[prefixFilterJaccardPairsBounded]] with the corpus-derived
+    * frames (base shingle arrays + prefix rows) persisted and filled
+    * by ONE action before any consumer is composed. Why this exists:
+    * the bounded join's outputs feed a multi-consumer composition
+    * (the q245 audit reads the pair surface, both ledgers, and a
+    * shingle∩hot-token intersection), and several of those consumers
+    * sit under AQE BROADCAST-stage futures, which materialize
+    * concurrently. Without a cache boundary each future re-executes
+    * the whole corpus lineage, and the concurrent duplicates contend
+    * for the same executor: the 25× probe measured the chain at
+    * 12.4 s standalone but 36 s PER DUPLICATE inside the audit
+    * (uniform across tasks — contention, not skew), with total query
+    * wall swinging 40–146 s run-to-run as the scheduler raced its
+    * own exchange reuse. Caching makes every consumer terminate at
+    * the cache scan, so the corpus chain executes exactly once,
+    * whatever the scheduler interleaves. The cached frames are
+    * LINEAR in the corpus (per-doc shingle arrays + per-doc prefix
+    * rows — the frames a 100-TB pipeline would persist across a
+    * multi-consumer audit anyway); the caller MUST invoke `release`
+    * once the outputs are consumed. Output-identical to
+    * [[prefixFilterJaccardPairsBounded]] (Round12Spec pins the
+    * equivalence), so the q245 oracle covers both. */
+  def prefixFilterJaccardPairsBoundedOnce(docs: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, thresholdNum: Int = 3,
+      thresholdDen: Int = 5, maxCandidates: Int = 64,
+      maxTokenDf: Int = 64): BoundedOnceOutputs = {
+    require(maxCandidates >= 1 && maxTokenDf >= 1,
+      s"caps must be >= 1, got $maxCandidates / $maxTokenDf")
+    val (base0, prefix0) =
+      prefixRows(docs, textCol, idCol, n, thresholdNum, thresholdDen)
+    val base = base0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = prefix0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one deterministic fill: prefix reads THROUGH base's cache, so
+    // this single action populates both
+    prefix.count()
+    val pdf = prefix.groupBy(col("_tok"))
+      .agg(count(lit(1)).as("n_docs"))
+    val hot = pdf.filter(col("n_docs") > maxTokenDf)
+    val cooled = prefix.join(hot.select(col("_tok")), Seq("_tok"),
+      "left_anti")
+    val cand = candidatesOf(cooled, thresholdNum, thresholdDen)
+    val (kept, docStats) = capOriented(cand, idCol, maxCandidates)
+    val release = () => { base.unpersist(); prefix.unpersist(); () }
+    BoundedOnceOutputs(
+      verifyJaccard(base, kept, thresholdNum, thresholdDen), docStats,
+      hot.select(col("_tok").as("token"), col("n_docs")),
+      base.select(col("_id"), explode(col("_sh")).as("_tok")), release)
+  }
+
 
   /** The raw candidate-pair set of the portable MinHash-LSH banding —
     * the PRE-verify output (any shared band bucket), before the exact

@@ -4,7 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** REAL image decode for the multimodal column surface — the JDK's
@@ -366,6 +366,28 @@ object Images {
   final case class PngRow(media_id: Long, payload: Array[Byte])
   final case class HashRow(media_id: Long, dhash: Long)
 
+  /** The slim id column of a corpus frame, hash-spread to the
+    * session's shuffle parallelism BEFORE the CPU-heavy per-id
+    * synthesis the media builders do. Why: synthesis parallelism
+    * must never be bound by the SOURCE's split count — the sf0.1
+    * documents table is ONE parquet file (1 scan partition) and the
+    * 25× fixture is 8, so without this cut the whole
+    * render+encode(+decode downstream) chain of a 125k-image corpus
+    * ran on 8 of 32 cores (the 25× stage table showed the synthesis
+    * stage at 8 tasks × 52 s). Only 8-byte ids cross the exchange —
+    * payloads are created AFTER it, so the media-plan audit's
+    * payload-free-exchange rule is preserved by construction. The
+    * partition count is explicit (not `repartition(col)`) because
+    * an advisory repartition of a few MB of ids is exactly what AQE
+    * would coalesce back to one partition. */
+  private[ext] def spreadIds(spark: SparkSession, docs: DataFrame,
+      idCol: String): Dataset[Long] = {
+    import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    docs.select(col(idCol).cast("long")).as[Long]
+      .repartition(n, col(idCol))
+  }
+
   /** Materialize the synthetic PNG media frame for a corpus id
     * column: payload = real PNG bytes, metadata struct alongside
     * (the [[Multimodal.toMediaFrame]] layout with image geometry).
@@ -374,7 +396,7 @@ object Images {
   def syntheticPngFrame(spark: SparkSession, docs: DataFrame,
       idCol: String, w: Int = DefaultW, h: Int = DefaultH): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
+    spreadIds(spark, docs, idCol)
       .mapPartitions { ids =>
         val codec = partitionCodec()
         ids.map(id => PngRow(id, codec.encode(renderPattern(id, w, h))))
@@ -394,7 +416,7 @@ object Images {
   def syntheticPngFrameVarDims(spark: SparkSession, docs: DataFrame,
       idCol: String): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
+    spreadIds(spark, docs, idCol)
       .mapPartitions { ids =>
         val codec = partitionCodec()
         ids.map { id =>
@@ -523,7 +545,7 @@ object Images {
   def syntheticPngFrameWithMirrors(spark: SparkSession, docs: DataFrame,
       idCol: String): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
+    spreadIds(spark, docs, idCol)
       .mapPartitions { ids =>
         val codec = partitionCodec()
         ids.map(id => PngRow(id, codec.encode(renderWithMirrors(id))))

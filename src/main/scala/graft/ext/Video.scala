@@ -302,7 +302,7 @@ object Video {
   def syntheticAviFrame(spark: SparkSession, docs: DataFrame,
       idCol: String): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
+    Images.spreadIds(spark, docs, idCol)
       .mapPartitions { ids =>
         val codec = Images.partitionCodec()
         ids.map { id =>
@@ -462,7 +462,7 @@ object Video {
   def syntheticAviInterFrame(spark: SparkSession, docs: DataFrame,
       idCol: String): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long")).as[Long]
+    Images.spreadIds(spark, docs, idCol)
       .mapPartitions { ids =>
         val codec = Images.partitionCodec()
         ids.map { id =>

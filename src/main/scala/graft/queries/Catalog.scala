@@ -8561,41 +8561,62 @@ object Catalog {
   private val q245 = Q("q245_crossmodal_audit_bounded",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val img = graft.ext.Images.dHashNearDupPairs(s, docs, "doc_id",
-        maxDist = 2)
-      // the three bounded-join outputs ride ONE plan on purpose:
-      // their heavy subtrees (prefix window, candidate enumeration)
-      // are byte-identical, and AQE exchange reuse serves all three
-      // consumers from one execution — a measured 25× A/B (14.4 s
-      // single-plan vs 26.2 s with the subtrees split behind eager
-      // localCheckpoints) refuted the "materialize the shared
-      // lineage" restructure, so do NOT split this plan
-      val (txt, docLedger, tokLedger) =
-        Dedup.prefixFilterJaccardPairsBounded(docs, "text", "doc_id",
+      // CACHED composition, deliberately — the audit is a
+      // multi-consumer DAG whose heavy subtrees (image decode chain,
+      // corpus tokenization) otherwise re-execute under concurrent
+      // AQE broadcast-stage futures, contending for the same
+      // executor: the 25× stage table showed the query at 40–146 s
+      // run-to-run (quiet machine) with the decode chain's stage
+      // re-materialized per consumer, vs ~20 s of actual component
+      // work. Both cached frames are SLIM — fingerprints are 16
+      // bytes/row, the corpus frames per-doc shingle state — i.e.
+      // exactly the intermediates a 100-TB pipeline would persist
+      // across a multi-consumer audit; payloads and pixels are never
+      // cached or shuffled.
+      val fps = graft.ext.Images.dHashes(s,
+          graft.ext.Images.syntheticPngFrame(s, docs, "doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fps.count() // decode chain executes exactly once, here
+      val img = Dedup.hammingPairsFromFingerprints(fps, "media_id",
+        "dhash", maxDist = 2, chunks = 4, nBits = 64)
+      val outs =
+        Dedup.prefixFilterJaccardPairsBoundedOnce(docs, "text", "doc_id",
           n = 3, thresholdNum = 3, thresholdDen = 5,
           maxCandidates = 1, maxTokenDf = 2)
-      // a doc is SUSPECT when the bounds may have cost it a text
-      // pair: it lost a candidate slot, or any of its shingles is a
-      // skipped hot token (a hot-skipped pair's shared prefix token
-      // is among both endpoints' shingles, so this covers every
-      // pair the token skip can drop)
-      val hotDocs = docs.select(col("doc_id"),
-          explode(Dedup.wordShingles(col("text"), 3)).as("_tok"))
-        .join(broadcast(tokLedger.select(col("token").as("_tok"))),
-          Seq("_tok"))
-        .select(col("doc_id")).distinct()
-      val suspect = docLedger.select(col("doc_id"))
-        .unionByName(hotDocs).distinct()
-        .withColumn("_s", lit(true))
-      img.join(txt.select(col("doc_a"), col("doc_b")),
-          Seq("doc_a", "doc_b"), "left_anti")
-        .join(broadcast(suspect.select(col("doc_id").as("doc_a"),
-          col("_s").as("_sa"))), Seq("doc_a"), "left")
-        .join(broadcast(suspect.select(col("doc_id").as("doc_b"),
-          col("_s").as("_sb"))), Seq("doc_b"), "left")
-        .select(col("doc_a"), col("doc_b"), col("hamming"),
-          (coalesce(col("_sa"), lit(false)) ||
-            coalesce(col("_sb"), lit(false))).as("suspect"))
+      try {
+        val (txt, docLedger, tokLedger) =
+          (outs.pairs, outs.docLedger, outs.tokenLedger)
+        // a doc is SUSPECT when the bounds may have cost it a text
+        // pair: it lost a candidate slot, or any of its shingles is a
+        // skipped hot token (a hot-skipped pair's shared prefix token
+        // is among both endpoints' shingles, so this covers every
+        // pair the token skip can drop). The id set is slim and
+        // bounded (≤ |docs| longs — 125k at the 25× probe). The
+        // shingle rows ride the SAME cache the join filled — the
+        // corpus is never re-tokenized.
+        val hotDocs = outs.shingleRows
+          .join(broadcast(tokLedger.select(col("token").as("_tok"))),
+            Seq("_tok"))
+          .select(col("_id").as("doc_id")).distinct()
+        val suspectIds = docLedger.select(col("doc_id"))
+          .unionByName(hotDocs).distinct()
+        val suspect = s.createDataFrame(suspectIds.collectAsList(),
+            suspectIds.schema)
+          .withColumn("_s", lit(true))
+        val out = img.join(txt.select(col("doc_a"), col("doc_b")),
+            Seq("doc_a", "doc_b"), "left_anti")
+          .join(broadcast(suspect.select(col("doc_id").as("doc_a"),
+            col("_s").as("_sa"))), Seq("doc_a"), "left")
+          .join(broadcast(suspect.select(col("doc_id").as("doc_b"),
+            col("_s").as("_sb"))), Seq("doc_b"), "left")
+          .select(col("doc_a"), col("doc_b"), col("hamming"),
+            (coalesce(col("_sa"), lit(false)) ||
+              coalesce(col("_sb"), lit(false))).as("suspect"))
+        // the audit surface is slim and bounded by the image-pair
+        // count — collect it local BEFORE releasing the cache txt
+        // still reads from (no cached blocks outlive the query)
+        s.createDataFrame(out.collectAsList(), out.schema)
+      } finally { outs.release(); fps.unpersist(); () }
     },
     Some("""WITH b AS (SELECT doc_id,
         (CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1

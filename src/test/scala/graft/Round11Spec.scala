@@ -314,10 +314,18 @@ class Round11Spec extends SparkSpec {
       val best = rs.maxBy { case (lag, r) => (r, -lag) }
       assert(got(id) == ((best._1, best._2)), s"pitch diverged for $id")
     }
+    // the only permitted shuffle is the pre-synthesis id spread
+    // (8-byte ids — Images.spreadIds); once a payload exists the
+    // pitch chain must stay map-only, so no exchange may carry
+    // payload or sample bytes
     val exchanges = pitch.queryExecution.executedPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(exchanges.isEmpty, "pitch extraction must be map-only")
+    exchanges.foreach { e =>
+      assert(e.child.output.map(_.name) == Seq("doc_id"),
+        s"pitch extraction shuffled more than the id spread: " +
+          s"[${e.child.output.map(_.name).mkString(", ")}]")
+    }
   }
 
   test("cross-modal consistency: image-dup pairs WITH matching text " +

@@ -121,6 +121,48 @@ class Round12Spec extends SparkSpec {
       "the true inconsistency must remain unsuspect")
   }
 
+  test("BoundedOnce (cached single-execution variant) is " +
+      "output-identical to the lazy bounded join on all three " +
+      "surfaces, its shingle rows match a fresh tokenization, and " +
+      "release() drops the cache") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val (pairs, docLedger, tokLedger) =
+      Dedup.prefixFilterJaccardPairsBounded(docs, "text", "doc_id",
+        n = 3, thresholdNum = 3, thresholdDen = 5,
+        maxCandidates = 1, maxTokenDf = 2)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val outs =
+      Dedup.prefixFilterJaccardPairsBoundedOnce(docs, "text", "doc_id",
+        n = 3, thresholdNum = 3, thresholdDen = 5,
+        maxCandidates = 1, maxTokenDf = 2)
+    try {
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairSet(outs.pairs) == pairSet(pairs))
+      def ledgerSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      assert(ledgerSet(outs.docLedger) == ledgerSet(docLedger))
+      assert(ledgerSet(outs.tokenLedger) == ledgerSet(tokLedger))
+      // the cached shingle rows are the corpus tokenization, not a
+      // projection of the prefix: every (doc, shingle) occurrence
+      val fresh = docs.select(col("doc_id").as("_id"),
+          explode(Dedup.wordShingles(col("text"), 3)).as("_tok"))
+        .groupBy("_id", "_tok").count()
+      val cachedRows = outs.shingleRows.groupBy("_id", "_tok").count()
+      assert(cachedRows.join(fresh, Seq("_id", "_tok", "count"))
+        .count() == fresh.count() && cachedRows.count() == fresh.count())
+      assert((spark.sparkContext.getPersistentRDDs.keySet --
+          cachedBefore).nonEmpty,
+        "the corpus cache must be live while outputs are consumed")
+    } finally outs.release()
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+        .subsetOf(cachedBefore),
+      "release() must drop every cached corpus block")
+  }
+
   test("bounded prefix join with caps above the corpus maxima is " +
       "IDENTICAL to the exact join, with empty ledgers") {
     import graft.ext.Dedup
