@@ -1,0 +1,135 @@
+package graft.ext
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The FILE boundary of the media stack: payloads written as one file
+  * per media — the layout a scraped corpus actually lands in — and
+  * read back through Spark's built-in `binaryFile` source, so the
+  * decode chains run against a real file scan instead of in-plan
+  * synthesized columns. What the source gives us at 100 TB, and what
+  * the reader here leans on:
+  *
+  *   - binary files never split: Spark bin-packs WHOLE files into
+  *     scan partitions by `spark.sql.files.maxPartitionBytes` +
+  *     `openCostInBytes` — exactly the right work unit for payload
+  *     decode (a half-file is undecodable).
+  *   - column pruning reaches the scan: a query that needs only file
+  *     metadata (path/length/modificationTime) never reads payload
+  *     bytes — `readMediaFiles` keeps metadata and content in
+  *     separate selects so planners can drop the heavy column
+  *     (Round12Spec pins the pruned ReadSchema).
+  *   - `kind=<modality>/` directory layout + partition discovery:
+  *     filtering one modality prunes the other modalities' FILES
+  *     from the scan entirely (PartitionFilters, spec-pinned) — at
+  *     100 TB that is the difference between touching 1/3 of the
+  *     archive and all of it.
+  *
+  * File NAMES lie on purpose: `extFor` rotates the extension to a
+  * WRONG modality on a fixed id schedule, mirroring the mislabeled
+  * content a crawl delivers. Everything downstream must key off
+  * payload magic bytes ([[Multimodal.sniffKind]]), never the name —
+  * the q249 oracle replays the lie schedule so a reader that trusted
+  * extensions would hash-mismatch. The kind= DIRECTORY, by contrast,
+  * is truthful by construction: the writer places each file by its
+  * SNIFFED kind (our own curated layout, not the crawler's claim).
+  *
+  * Local-filesystem note: on this single-JVM session executors write
+  * to a driver-created temp dir; on a real cluster `dir` would be
+  * shared storage — the Spark-side shape (executor-parallel
+  * `foreachPartition` writes, no payload through the driver) is the
+  * same.
+  */
+object MediaFiles {
+
+  private val Truthful =
+    Map("image" -> "png", "audio" -> "wav", "video" -> "avi")
+  // rotate one modality forward: every lying name claims a DIFFERENT
+  // real modality, the worst case for an extension-trusting reader
+  private val Rotated =
+    Map("image" -> "wav", "audio" -> "avi", "video" -> "png")
+
+  /** Deterministic file extension for (kind, id): truthful except on
+    * the lie schedule id % 7 == 3, where it claims the next modality.
+    * Pure id formula, so oracles replay it. */
+  def extFor(kind: String, id: Long): String =
+    if (id % 7 == 3) Rotated(kind) else Truthful(kind)
+
+  private def fileName(id: Long, kind: String): String =
+    f"media_$id%09d.${extFor(kind, id)}"
+
+  /** Write one file per media row under `dir` (flat layout).
+    * Executor-parallel: payload bytes go straight from the synthesis
+    * partition to the filesystem, never through the driver. Kind is
+    * SNIFFED from the payload (the writer trusts content, not
+    * whatever metadata rode alongside). */
+  def writeMediaFiles(spark: SparkSession, media: DataFrame,
+      dir: String): Unit =
+    media.select(col("media_id").cast("long"), col("payload"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val p = r.getAs[Array[Byte]](1)
+          Files.write(Paths.get(dir, fileName(id, Multimodal.sniffKind(p))), p)
+        }
+      }
+
+  /** Write the `kind=<sniffed>/` partitioned layout: same files, one
+    * subdirectory per modality, discoverable as a partition column by
+    * any Spark file source. File names still lie; directories don't. */
+  def writeMediaFilesPartitioned(spark: SparkSession, media: DataFrame,
+      dir: String): Unit =
+    media.select(col("media_id").cast("long"), col("payload"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val p = r.getAs[Array[Byte]](1)
+          val kind = Multimodal.sniffKind(p)
+          val sub = Paths.get(dir, s"kind=$kind")
+          Files.createDirectories(sub) // idempotent, race-safe
+          Files.write(sub.resolve(fileName(id, kind)), p)
+        }
+      }
+
+  /** Read a media landing dir through the `binaryFile` source:
+    * media_id parsed from the name, the CLAIMED extension alongside
+    * (for lie auditing — never for dispatch), length from file
+    * metadata, payload last so projections that don't need bytes
+    * prune it out of the scan. Partitioned layouts surface their
+    * `kind` directory column automatically (partition discovery). */
+  def readMediaFiles(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.format("binaryFile").load(dir)
+    val cols = Seq(
+      regexp_extract(col("path"), "media_(\\d+)\\.[a-z]+$", 1)
+        .cast("long").as("media_id"),
+      regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("claimed_ext"),
+      col("length").as("n_bytes"),
+      col("content").as("payload")) ++
+      raw.columns.filter(_ == "kind").map(col).toSeq
+    raw.select(cols: _*)
+  }
+
+  /** The q249 surface: unified per-payload fingerprints through the
+    * FILE boundary, plus the extension-lie audit bit. One content
+    * scan feeds the decode pass; a second, metadata-ONLY scan (no
+    * payload bytes read — pruned ReadSchema) supplies the claimed
+    * extension, joined slim-on-slim. `ext_lied` is earned end to end:
+    * the claimed extension comes from the file NAME on disk, the kind
+    * from the payload's magic bytes through the real codecs — a
+    * reader that trusted names would disagree with the oracle's
+    * replayed lie schedule. */
+  def ingestAudit(spark: SparkSession, dir: String): DataFrame = {
+    val back = readMediaFiles(spark, dir)
+    val fps = Multimodal.unifiedFingerprints(spark,
+      back.select(col("media_id"), col("payload")))
+    val claimed = back.select(col("media_id"), col("claimed_ext"))
+    val truthfulExt = map(
+      Truthful.toSeq.flatMap(kv => Seq(lit(kv._1), lit(kv._2))): _*)
+    fps.join(claimed, Seq("media_id"))
+      .select(col("media_id"), col("kind"), col("fp_lo"), col("fp_hi"),
+        (col("claimed_ext") =!=
+          element_at(truthfulExt, col("kind"))).as("ext_lied"))
+  }
+}

@@ -8962,6 +8962,188 @@ object Catalog {
       WHERE bit_count(xor(a.lo, z.lo)) + bit_count(xor(a.hi, z.hi))
         <= 2"""))
 
+  /** One scratch dir for queries that exercise a real FILE boundary
+    * (media landing dirs): created before the body, deleted after the
+    * result is collected driver-local — same lifecycle discipline as
+    * [[withStreamDirs]], so a bench loop never accumulates /tmp
+    * payload copies across hundreds of queries. Bounded by
+    * construction: callers return slim per-media or per-pair rows. */
+  private def withScratchDir(s: SparkSession, tag: String)(
+      body: String => DataFrame): DataFrame = {
+    val d = java.nio.file.Files.createTempDirectory(tag)
+    try {
+      val out = body(d.toString)
+      s.createDataFrame(out.collectAsList(), out.schema)
+    } finally {
+      val walk = java.nio.file.Files.walk(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+  }
+
+  /** Media ingest through the FILE boundary ([[graft.ext.MediaFiles]]):
+    * the mixed three-modality corpus lands as one file per payload
+    * (executor-parallel writes), is read back through Spark's built-in
+    * `binaryFile` source, and every payload flows through the unified
+    * magic-byte dispatch to its real codec. File extensions LIE on a
+    * fixed id schedule (id % 7 == 3 claims the wrong modality) — the
+    * `ext_lied` bit is earned by comparing the claimed name against
+    * the sniffed kind, and the oracle replays the lie schedule plus
+    * all three codec chains analytically, so both a lossy file
+    * round-trip and an extension-trusting reader would hash-mismatch.
+    * The claimed-extension side rides a metadata-ONLY scan (payload
+    * bytes pruned out — Round12Spec pins the ReadSchema). */
+  private val q249 = Q("q249_binary_file_ingest",
+    (s, dir) => withScratchDir(s, "q249land") { landing =>
+      graft.ext.MediaFiles.writeMediaFiles(s,
+        graft.ext.Multimodal.syntheticMixedFrame(s,
+          t(s, dir, "documents"), "doc_id"), landing)
+      graft.ext.MediaFiles.ingestAudit(s, landing)
+    },
+    Some("""WITH b AS (SELECT doc_id,
+        CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+             WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+             ELSE doc_id END AS pid,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      im AS (SELECT doc_id, (pid * 2654435761) % 2147483647 AS m, pert
+        FROM b WHERE doc_id % 3 = 0),
+      icell AS (SELECT doc_id, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2)
+            + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
+            % 256) // 16 AS g
+        FROM im, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, cx, cy),
+      ibits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM icell l JOIN icell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      ih AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM ibits GROUP BY doc_id),
+      ad AS (SELECT doc_id, (pid * 2654435761) % 2147483647 AS m, pert,
+        400 + (pid * 11) % 257 AS n FROM b WHERE doc_id % 3 = 1),
+      sa AS (SELECT doc_id, n, i,
+          ((m % 256 + 1) * (5*i + 7)
+            + ((m // 256) % 256) * ((i*i) % 1009)
+            + CASE WHEN pert AND i < 8 THEN 128 ELSE 0 END)
+            % 65536 - 32768 AS v
+        FROM ad, range(657) r(i) WHERE i < n),
+      abins AS (SELECT doc_id, (i * 65) // n AS bin, sum(abs(v)) AS e
+        FROM sa GROUP BY doc_id, (i * 65) // n),
+      abits AS (SELECT l.doc_id, l.bin AS k,
+          CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+        FROM abins l JOIN abins r ON r.doc_id = l.doc_id
+          AND r.bin = l.bin + 1
+        WHERE l.bin < 64),
+      ah AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM abits GROUP BY doc_id),
+      vd AS (SELECT doc_id,
+          (pid * 8 * 2654435761) % 2147483647 AS m
+        FROM b WHERE doc_id % 3 = 2),
+      vcell AS (SELECT doc_id, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2))
+            % 256) // 16 AS g
+        FROM vd, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, cx, cy),
+      vbits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM vcell l JOIN vcell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      vh AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM vbits GROUP BY doc_id)
+      SELECT doc_id AS media_id, 'image' AS kind,
+        lo AS fp_lo, hi AS fp_hi, (doc_id % 7 = 3) AS ext_lied FROM ih
+      UNION ALL
+      SELECT doc_id, 'audio', lo, hi, (doc_id % 7 = 3) FROM ah
+      UNION ALL
+      SELECT doc_id, 'video', lo, hi, (doc_id % 7 = 3) FROM vh"""))
+
+  /** Modality-pruned scan over the `kind=<sniffed>/` partitioned file
+    * layout: the audio slice of the mixed corpus is selected by the
+    * PARTITION column, so the image and video FILES are pruned from
+    * the binaryFile scan entirely (PartitionFilters — Round12Spec
+    * pins that only the audio directory's files are listed into the
+    * scan); the surviving payloads run the real WAV decode and emit
+    * the q235 feature surface. At archive scale this is the operator
+    * that lets an audio-only pass touch 1/3 of a mixed 100-TB corpus
+    * instead of sniffing-and-discarding all of it. */
+  private val q250 = Q("q250_binary_pruned_audio",
+    (s, dir) => withScratchDir(s, "q250land") { landing =>
+      graft.ext.MediaFiles.writeMediaFilesPartitioned(s,
+        graft.ext.Multimodal.syntheticMixedFrame(s,
+          t(s, dir, "documents"), "doc_id"), landing)
+      graft.ext.Audio.features(s,
+        graft.ext.MediaFiles.readMediaFiles(s, landing)
+          .filter(col("kind") === "audio")
+          .select(col("media_id"), col("payload")))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+        CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+             WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+             ELSE doc_id END AS pid,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      d AS (SELECT doc_id, (pid * 2654435761) % 2147483647 AS m, pert,
+        400 + (pid * 11) % 257 AS n FROM b WHERE doc_id % 3 = 1),
+      s AS (SELECT doc_id, n, i,
+          ((m % 256 + 1) * (5*i + 7)
+            + ((m // 256) % 256) * ((i*i) % 1009)
+            + CASE WHEN pert AND i < 8 THEN 128 ELSE 0 END)
+            % 65536 - 32768 AS v
+        FROM d, range(657) r(i) WHERE i < n),
+      zc AS (SELECT doc_id, v,
+          lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM s),
+      feat AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+          CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+          CAST(sum(v*v) AS BIGINT) AS sum_sq FROM s GROUP BY doc_id),
+      zcc AS (SELECT doc_id, CAST(count(*) FILTER (WHERE pv IS NOT NULL
+          AND ((pv < 0) <> (v < 0))) AS BIGINT) AS n_zero_cross
+        FROM zc GROUP BY doc_id),
+      bins AS (SELECT doc_id, (i * 65) // n AS bin, sum(abs(v)) AS e
+        FROM s GROUP BY doc_id, (i * 65) // n),
+      bits AS (SELECT l.doc_id, l.bin AS k,
+          CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+        FROM bins l JOIN bins r ON r.doc_id = l.doc_id
+          AND r.bin = l.bin + 1
+        WHERE l.bin < 64),
+      fp AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS fp_lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS fp_hi
+        FROM bits GROUP BY doc_id)
+      SELECT f.doc_id AS media_id, f.n_samples, f.sum_abs, f.sum_sq,
+        z.n_zero_cross, p.fp_lo, p.fp_hi
+      FROM feat f JOIN zcc z USING (doc_id)
+        JOIN fp p ON p.doc_id = f.doc_id"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -8990,5 +9172,5 @@ object Catalog {
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242, q243, q244, q245, q246, q247, q248)
+    q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250)
 }

@@ -107,4 +107,28 @@ class MediaPlanSpec extends SparkSpec {
           .queryExecution.executedPlan)
     }
   }
+
+  test("file-boundary plans (q249/q250 compositions): payload-free " +
+      "exchanges over real binaryFile scans") {
+    import graft.ext.{MediaFiles, Multimodal}
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 60)
+    graft.streaming.EventsStream.withConf(spark,
+      Seq("spark.sql.adaptive.enabled" -> "false")) {
+      val mixed = Multimodal.syntheticMixedFrame(spark, docs, "doc_id")
+      val flat = tmpDir("planflat")
+      MediaFiles.writeMediaFiles(spark, mixed, flat)
+      auditPlan("q249 ingestAudit",
+        MediaFiles.ingestAudit(spark, flat)
+          .queryExecution.executedPlan)
+      val part = tmpDir("planpart")
+      MediaFiles.writeMediaFilesPartitioned(spark, mixed, part)
+      auditPlan("q250 pruned audio features",
+        graft.ext.Audio.features(spark,
+          MediaFiles.readMediaFiles(spark, part)
+            .filter(col("kind") === "audio")
+            .select(col("media_id"), col("payload")))
+          .queryExecution.executedPlan)
+    }
+  }
 }

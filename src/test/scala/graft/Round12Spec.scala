@@ -260,4 +260,86 @@ class Round12Spec extends SparkSpec {
     val upTo = Commits.committedBatchDirs(spark, dir, upToBatch = Some(1L))
     assert(upTo.map(_.getName).sorted == Seq("batch=0", "batch=1"))
   }
+
+  test("binaryFile media ingest: the file round-trip is byte-exact, " +
+      "extensions lie exactly on the id % 7 == 3 schedule, and the " +
+      "sniffed kind ignores the lie") {
+    import graft.ext.{MediaFiles, Multimodal}
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 120)
+    val mixed = Multimodal.syntheticMixedFrame(spark, docs, "doc_id")
+    val landing = tmpDir("mediaflat")
+    MediaFiles.writeMediaFiles(spark, mixed, landing)
+    val back = MediaFiles.readMediaFiles(spark, landing)
+    // byte-exact round-trip, row-complete
+    val orig = mixed.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val got = back.select(col("media_id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet == orig.keySet, "ids lost or invented at the boundary")
+    got.foreach { case (id, p) =>
+      assert(java.util.Arrays.equals(p, orig(id)),
+        s"payload bytes changed through the file boundary for $id")
+    }
+    // lie schedule: claimed extension wrong iff id % 7 == 3, and the
+    // audit bit reproduces it through sniff-vs-name comparison
+    val audit = MediaFiles.ingestAudit(spark, landing).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(4))).toMap
+    audit.foreach { case (id, (kind, lied)) =>
+      assert(lied == (id % 7 == 3), s"lie bit wrong for $id")
+      assert(kind == Seq("image", "audio", "video")((id % 3).toInt),
+        s"sniffed kind must come from payload magic, not the name: $id")
+    }
+  }
+
+  test("binaryFile partitioned layout: filtering one modality prunes " +
+      "the other modalities' FILES from the scan, and a metadata-only " +
+      "projection prunes payload bytes out of the read schema") {
+    import graft.ext.{MediaFiles, Multimodal}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 120)
+    val mixed = Multimodal.syntheticMixedFrameGrouped(spark, docs, "doc_id")
+    val landing = tmpDir("mediapart")
+    MediaFiles.writeMediaFilesPartitioned(spark, mixed, landing)
+    val nAudio = new java.io.File(s"$landing/kind=audio").list().length
+    val nAll = Seq("image", "audio", "video")
+      .map(k => new java.io.File(s"$landing/kind=$k").list().length).sum
+    assert(nAudio > 0 && nAll > nAudio, "fixture must be genuinely mixed")
+    val pruned = MediaFiles.readMediaFiles(spark, landing)
+      .filter(col("kind") === "audio")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scan.size == 1)
+    assert(scan.head.metadata("PartitionFilters").contains("kind"),
+      "the modality filter must reach the scan as a partition filter")
+    val listed = scan.head.selectedPartitions.totalNumberOfFiles
+    assert(listed == nAudio,
+      s"scan listed $listed files; " +
+        s"only the $nAudio audio files may survive pruning")
+    // metadata-only projection: payload bytes never read
+    val metaOnly = MediaFiles.readMediaFiles(spark, landing)
+      .select(col("media_id"), col("claimed_ext"), col("n_bytes"))
+    val metaScan = metaOnly.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(metaScan.size == 1)
+    assert(!metaScan.head.requiredSchema.fieldNames.contains("content"),
+      "a metadata projection must prune the content column from the scan")
+    // and the lying file NAMES inside a truthful kind= dir still decode:
+    // the q250 path (features over the pruned audio slice) matches a
+    // direct decode of the audio payloads
+    val viaFiles = graft.ext.Audio.features(spark,
+        pruned.select(col("media_id"), col("payload")))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val direct = graft.ext.Audio.features(spark,
+        mixed.filter(expr("cast(media_id as long) div 4") % 3 === 1)
+          .select(col("media_id"), col("payload")))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(viaFiles == direct,
+      "file-boundary audio features must equal the in-plan decode")
+  }
 }
