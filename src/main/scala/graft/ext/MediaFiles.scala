@@ -111,6 +111,40 @@ object MediaFiles {
     raw.select(cols: _*)
   }
 
+  /** The binaryFile STREAMING source schema (fixed by the format):
+    * spelled out rather than imported from Spark's execution package
+    * so we depend only on the public reader surface. */
+  private val BinaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  /** STREAM a media landing dir: files arriving over time become
+    * micro-batches of (media_id, payload) — `maxFilesPerTrigger`
+    * shapes batch size in FILES, the unit a payload archive actually
+    * arrives in. This is the ingest edge of the streaming media
+    * maintenance: files land (names lying, as ever), each payload is
+    * decoded exactly once in its lifetime by the downstream store,
+    * and exactly-once batch commits make the arrival order
+    * irrelevant to the final pair surface. */
+  def streamMediaFiles(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int): DataFrame = {
+    require(maxFilesPerTrigger >= 1)
+    spark.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.[a-z]+$", 1)
+          .cast("long").as("media_id"),
+        col("content").as("payload"))
+  }
+
   /** The q249 surface: unified per-payload fingerprints through the
     * FILE boundary, plus the extension-lie audit bit. One content
     * scan feeds the decode pass; a second, metadata-ONLY scan (no

@@ -9144,6 +9144,37 @@ object Catalog {
       FROM feat f JOIN zcc z USING (doc_id)
         JOIN fp p ON p.doc_id = f.doc_id"""))
 
+  /** q248's unified mixed-modality streaming dedup with the landing
+    * made REAL: the corpus arrives as one file per payload (names
+    * lying about modality on the q249 schedule) and streams through
+    * Spark's binaryFile STREAMING source — `maxFilesPerTrigger` sized
+    * so the archive arrives in four micro-batches. Each batch's
+    * payloads are decoded once with per-row magic-byte dispatch, the
+    * three modalities' fingerprints ride one store, and the union of
+    * per-batch within-kind pair logs must equal the full-corpus
+    * analytic surface — so the oracle is q248's VERBATIM (reused by
+    * reference): files-in vs parquet-in may not change a single pair,
+    * whatever batching the file listing produces. This is the
+    * complete archive shape end to end: files land, nothing trusts
+    * their names, every payload is decoded exactly once in its
+    * lifetime, and exactly-once batch commits make arrival order
+    * irrelevant. */
+  private val q251 = Q("q251_binary_stream_pairs",
+    (s, dir) => withStreamDirs(s, "q251") { (store, pairs, ckpt, landing) =>
+      graft.ext.MediaFiles.writeMediaFiles(s,
+        graft.ext.Multimodal.syntheticMixedFrameGrouped(s,
+          t(s, dir, "documents"), "doc_id"), landing)
+      val nFiles = new java.io.File(landing).list().length
+      val src = graft.ext.MediaFiles.streamMediaFiles(s, landing,
+        math.max(1, (nFiles + 3) / 4))
+      val q = graft.streaming.MediaDedupMaintenance.startUnified(
+        src, store, pairs, ckpt)
+      q.awaitTermination()
+      s.read.parquet(pairs)
+        .select(col("doc_a"), col("doc_b"), col("hamming"), col("kind"))
+    },
+    q248.oracle)
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9172,5 +9203,6 @@ object Catalog {
     q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
-    q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250)
+    q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
+    q251)
 }

@@ -342,4 +342,48 @@ class Round12Spec extends SparkSpec {
     assert(viaFiles == direct,
       "file-boundary audio features must equal the in-plan decode")
   }
+
+  test("binaryFile STREAMING landing: the archive arrives in " +
+      "file-count-shaped micro-batches, lying names flow through the " +
+      "sniffed dispatch, and the streamed pair surface equals the " +
+      "direct batch surface") {
+    import graft.ext.{Dedup, MediaFiles, Multimodal}
+    import graft.streaming.{Commits, MediaDedupMaintenance}
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 120)
+    val mixed = Multimodal.syntheticMixedFrameGrouped(spark, docs,
+      "doc_id")
+    val landing = tmpDir("binstreamland")
+    MediaFiles.writeMediaFiles(spark, mixed, landing)
+    val nFiles = new java.io.File(landing).list().length
+    assert(nFiles == 120)
+    val mft = (nFiles + 2) / 3 // 3 micro-batches
+    val storeDir = tmpDir("binstreamstore")
+    val pairsDir = tmpDir("binstreampairs")
+    MediaDedupMaintenance.startUnified(
+      MediaFiles.streamMediaFiles(spark, landing, mft),
+      storeDir, pairsDir, tmpDir("binstreamckpt")).awaitTermination()
+    // micro-batch shaping: one committed store fragment per
+    // file-count-sized trigger
+    assert(Commits.committedBatchDirs(spark, storeDir).size == 3,
+      "the landing must arrive in ceil(files/maxFilesPerTrigger) batches")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(concat_ws("|", col("doc_a"), col("doc_b"),
+        col("hamming"), col("kind"))).collect()
+        .map(_.getString(0)).toSet
+    val streamed = rows(spark.read.parquet(pairsDir))
+    val fps = Multimodal.unifiedFingerprints(spark, mixed)
+      .select(col("media_id"), col("kind"),
+        col("fp_lo").bitwiseOR(shiftleft(col("fp_hi"), 32)).as("dhash"))
+    val batch = Seq("image", "audio", "video").map { k =>
+      Dedup.hammingPairsFromFingerprints(
+        fps.filter(col("kind") === k).select("media_id", "dhash"),
+        "media_id", "dhash", maxDist = 2, chunks = 4, nBits = 64)
+        .withColumn("kind", lit(k))
+    }.reduce(_.unionByName(_))
+    assert(streamed == rows(batch),
+      "file-streamed unified pairs must equal the direct batch surface")
+    assert(streamed.nonEmpty, "fixture produced no pairs at all")
+  }
 }
