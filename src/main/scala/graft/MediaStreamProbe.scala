@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Dev probe: the q251 pipeline with the StreamingQuery handle kept,
+  * printing each micro-batch's `durationMs` breakdown (addBatch,
+  * getBatch, latestOffset, walCommit, commitOffsets...) — the
+  * attribution tool for file-STREAM driver overhead that
+  * [[StageProbe]] can't see (it lives between stages, in the
+  * source/offset-log machinery, not in tasks). */
+object MediaStreamProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dirs = Seq("store", "pairs", "ckpt", "land")
+      .map(k => java.nio.file.Files.createTempDirectory("msp" + k))
+    try {
+      val Seq(store, pairs, ckpt, landing) = dirs.map(_.toString)
+      val t0 = System.nanoTime()
+      graft.ext.MediaFiles.writeMediaFiles(spark,
+        graft.ext.Multimodal.syntheticMixedFrameGrouped(spark,
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id"),
+        landing)
+      val t1 = System.nanoTime()
+      val nFiles = new java.io.File(landing).list().length
+      val src = graft.ext.MediaFiles.streamMediaFiles(spark, landing,
+        math.max(1, (nFiles + 3) / 4))
+      val q = graft.streaming.MediaDedupMaintenance.startUnified(
+        src, store, pairs, ckpt)
+      q.awaitTermination()
+      val t2 = System.nanoTime()
+      val n = spark.read.parquet(pairs).count()
+      println(f"PROBE q251-shape files=$nFiles pairs=$n " +
+        f"write=${(t1 - t0) / 1e9}%.1fs stream=${(t2 - t1) / 1e9}%.1fs")
+      q.recentProgress.foreach { p =>
+        println(s"BATCH ${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs}")
+      }
+    } finally {
+      dirs.foreach { d =>
+        val walk = java.nio.file.Files.walk(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally walk.close()
+      }
+      spark.stop()
+    }
+  }
+}

@@ -93,12 +93,28 @@ object MediaFiles {
         }
       }
 
+  /** Cap a media file scan's partition count at the session's shuffle
+    * parallelism — the SMALL-FILES law, measured: the file sources'
+    * bin-packing charges `spark.sql.files.openCostInBytes` (default
+    * 4 MB) per file, so a 125k-file archive of ~3 KB payloads scans as
+    * 977 partitions — and under the STREAMING wrapper AQE is disabled
+    * and the per-batch localCheckpoint FREEZES that partitioning, so
+    * every downstream stage of every micro-batch re-pays 977 tiny
+    * tasks (the 25× probe read 210 s wall / 77 stages, ~50 of them
+    * 977-task, vs 14.8 s for the same work from a parquet landing).
+    * `coalesce` is NARROW — payload bytes never cross an exchange;
+    * each of the ~32 surviving tasks just opens more files. */
+  private def packScan(spark: SparkSession, df: DataFrame): DataFrame =
+    df.coalesce(
+      math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt))
+
   /** Read a media landing dir through the `binaryFile` source:
     * media_id parsed from the name, the CLAIMED extension alongside
     * (for lie auditing — never for dispatch), length from file
     * metadata, payload last so projections that don't need bytes
     * prune it out of the scan. Partitioned layouts surface their
-    * `kind` directory column automatically (partition discovery). */
+    * `kind` directory column automatically (partition discovery).
+    * Partition count capped by [[packScan]]. */
   def readMediaFiles(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.format("binaryFile").load(dir)
     val cols = Seq(
@@ -108,7 +124,7 @@ object MediaFiles {
       col("length").as("n_bytes"),
       col("content").as("payload")) ++
       raw.columns.filter(_ == "kind").map(col).toSeq
-    raw.select(cols: _*)
+    packScan(spark, raw.select(cols: _*))
   }
 
   /** The binaryFile STREAMING source schema (fixed by the format):
@@ -135,14 +151,18 @@ object MediaFiles {
   def streamMediaFiles(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int): DataFrame = {
     require(maxFilesPerTrigger >= 1)
-    spark.readStream.format("binaryFile")
+    // packScan matters MOST here: streaming disables AQE and the
+    // maintenance localCheckpoints each batch's fingerprints, so an
+    // uncapped small-file scan partitioning would be frozen into
+    // every downstream stage of every micro-batch
+    packScan(spark, spark.readStream.format("binaryFile")
       .schema(BinaryFileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(dir)
       .select(
         regexp_extract(col("path"), "media_(\\d+)\\.[a-z]+$", 1)
           .cast("long").as("media_id"),
-        col("content").as("payload"))
+        col("content").as("payload")))
   }
 
   /** The q249 surface: unified per-payload fingerprints through the

@@ -272,6 +272,12 @@ class Round12Spec extends SparkSpec {
     val landing = tmpDir("mediaflat")
     MediaFiles.writeMediaFiles(spark, mixed, landing)
     val back = MediaFiles.readMediaFiles(spark, landing)
+    // the small-files law: scan parallelism is capped at the
+    // session's shuffle parallelism however many files land (the
+    // 4 MB-openCost bin-packing would otherwise hand streaming —
+    // where AQE is off — hundreds of frozen tiny partitions)
+    assert(back.rdd.getNumPartitions <=
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
     // byte-exact round-trip, row-complete
     val orig = mixed.collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
