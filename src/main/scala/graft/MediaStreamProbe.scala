@@ -26,7 +26,7 @@ object MediaStreamProbe {
     try {
       val Seq(store, pairs, ckpt, landing) = dirs.map(_.toString)
       val t0 = System.nanoTime()
-      graft.ext.MediaFiles.writeMediaFiles(spark,
+      graft.ext.MediaFiles.writeMediaFiles(
         graft.ext.Multimodal.syntheticMixedFrameGrouped(spark,
           spark.read.parquet(s"$dir/documents.parquet"), "doc_id"),
         landing)
@@ -46,14 +46,7 @@ object MediaStreamProbe {
           s"durationMs=${p.durationMs}")
       }
     } finally {
-      dirs.foreach { d =>
-        val walk = java.nio.file.Files.walk(d)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } finally walk.close()
-      }
+      dirs.foreach(Scratch.deleteRecursively)
       spark.stop()
     }
   }

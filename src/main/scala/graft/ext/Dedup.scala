@@ -621,6 +621,19 @@ object Dedup {
       s"caps must be >= 1, got $maxCandidates / $maxTokenDf")
     val (base, prefix) =
       prefixRows(docs, textCol, idCol, n, thresholdNum, thresholdDen)
+    boundedTail(base, prefix, idCol, thresholdNum, thresholdDen,
+      maxCandidates, maxTokenDf)
+  }
+
+  /** The bounded join's tail — hot-token skip, candidate enumeration,
+    * per-doc cap, exact verify — shared by the lazy and the cached
+    * ([[prefixFilterJaccardPairsBoundedOnce]]) variants so their
+    * output-identical contract holds by construction, not just by
+    * the Round12Spec equivalence test. */
+  private def boundedTail(base: DataFrame, prefix: DataFrame,
+      idCol: String, thresholdNum: Int, thresholdDen: Int,
+      maxCandidates: Int, maxTokenDf: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val pdf = prefix.groupBy(col("_tok"))
       .agg(count(lit(1)).as("n_docs"))
     val hot = pdf.filter(col("n_docs") > maxTokenDf)
@@ -676,21 +689,20 @@ object Dedup {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefix = prefix0.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one deterministic fill: prefix reads THROUGH base's cache, so
-    // this single action populates both
-    prefix.count()
-    val pdf = prefix.groupBy(col("_tok"))
-      .agg(count(lit(1)).as("n_docs"))
-    val hot = pdf.filter(col("n_docs") > maxTokenDf)
-    val cooled = prefix.join(hot.select(col("_tok")), Seq("_tok"),
-      "left_anti")
-    val cand = candidatesOf(cooled, thresholdNum, thresholdDen)
-    val (kept, docStats) = capOriented(cand, idCol, maxCandidates)
     val release = () => { base.unpersist(); prefix.unpersist(); () }
-    BoundedOnceOutputs(
-      verifyJaccard(base, kept, thresholdNum, thresholdDen), docStats,
-      hot.select(col("_tok").as("token"), col("n_docs")),
-      base.select(col("_id"), explode(col("_sh")).as("_tok")), release)
+    try {
+      // one deterministic fill: prefix reads THROUGH base's cache, so
+      // this single action populates both
+      prefix.count()
+      val (pairs, docStats, tokLedger) = boundedTail(base, prefix,
+        idCol, thresholdNum, thresholdDen, maxCandidates, maxTokenDf)
+      BoundedOnceOutputs(pairs, docStats, tokLedger,
+        base.select(col("_id"), explode(col("_sh")).as("_tok")), release)
+    } catch {
+      // a failed fill must not orphan corpus-sized cache blocks in a
+      // long-lived session (no release handle has escaped yet)
+      case t: Throwable => release(); throw t
+    }
   }
 
 

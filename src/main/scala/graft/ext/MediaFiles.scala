@@ -65,8 +65,7 @@ object MediaFiles {
     * partition to the filesystem, never through the driver. Kind is
     * SNIFFED from the payload (the writer trusts content, not
     * whatever metadata rode alongside). */
-  def writeMediaFiles(spark: SparkSession, media: DataFrame,
-      dir: String): Unit =
+  def writeMediaFiles(media: DataFrame, dir: String): Unit =
     media.select(col("media_id").cast("long"), col("payload"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.foreach { r =>
@@ -79,8 +78,7 @@ object MediaFiles {
   /** Write the `kind=<sniffed>/` partitioned layout: same files, one
     * subdirectory per modality, discoverable as a partition column by
     * any Spark file source. File names still lie; directories don't. */
-  def writeMediaFilesPartitioned(spark: SparkSession, media: DataFrame,
-      dir: String): Unit =
+  def writeMediaFilesPartitioned(media: DataFrame, dir: String): Unit =
     media.select(col("media_id").cast("long"), col("payload"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.foreach { r =>

@@ -8302,14 +8302,7 @@ object Catalog {
       val d = dirs.map(_.toString)
       val out = body(d(0), d(1), d(2), d(3))
       s.createDataFrame(out.collectAsList(), out.schema)
-    } finally dirs.foreach { d =>
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally walk.close()
-    }
+    } finally dirs.foreach(graft.Scratch.deleteRecursively)
   }
 
   /** The streaming media-dedup maintenance end-to-end as an oracled
@@ -8576,14 +8569,18 @@ object Catalog {
       val fps = graft.ext.Images.dHashes(s,
           graft.ext.Images.syntheticPngFrame(s, docs, "doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      fps.count() // decode chain executes exactly once, here
-      val img = Dedup.hammingPairsFromFingerprints(fps, "media_id",
-        "dhash", maxDist = 2, chunks = 4, nBits = 64)
-      val outs =
-        Dedup.prefixFilterJaccardPairsBoundedOnce(docs, "text", "doc_id",
-          n = 3, thresholdNum = 3, thresholdDen = 5,
-          maxCandidates = 1, maxTokenDf = 2)
+      // everything after the persist runs under the try whose finally
+      // unpersists — a failed fill or bounded join must not orphan
+      // cache blocks in a long-lived bench session
       try {
+        fps.count() // decode chain executes exactly once, here
+        val img = Dedup.hammingPairsFromFingerprints(fps, "media_id",
+          "dhash", maxDist = 2, chunks = 4, nBits = 64)
+        val outs =
+          Dedup.prefixFilterJaccardPairsBoundedOnce(docs, "text",
+            "doc_id", n = 3, thresholdNum = 3, thresholdDen = 5,
+            maxCandidates = 1, maxTokenDf = 2)
+        try {
         val (txt, docLedger, tokLedger) =
           (outs.pairs, outs.docLedger, outs.tokenLedger)
         // a doc is SUSPECT when the bounds may have cost it a text
@@ -8616,7 +8613,8 @@ object Catalog {
         // count — collect it local BEFORE releasing the cache txt
         // still reads from (no cached blocks outlive the query)
         s.createDataFrame(out.collectAsList(), out.schema)
-      } finally { outs.release(); fps.unpersist(); () }
+        } finally outs.release()
+      } finally { fps.unpersist(); () }
     },
     Some("""WITH b AS (SELECT doc_id,
         (CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
@@ -8974,14 +8972,7 @@ object Catalog {
     try {
       val out = body(d.toString)
       s.createDataFrame(out.collectAsList(), out.schema)
-    } finally {
-      val walk = java.nio.file.Files.walk(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally walk.close()
-    }
+    } finally graft.Scratch.deleteRecursively(d)
   }
 
   /** Media ingest through the FILE boundary ([[graft.ext.MediaFiles]]):
@@ -8998,7 +8989,7 @@ object Catalog {
     * bytes pruned out — Round12Spec pins the ReadSchema). */
   private val q249 = Q("q249_binary_file_ingest",
     (s, dir) => withScratchDir(s, "q249land") { landing =>
-      graft.ext.MediaFiles.writeMediaFiles(s,
+      graft.ext.MediaFiles.writeMediaFiles(
         graft.ext.Multimodal.syntheticMixedFrame(s,
           t(s, dir, "documents"), "doc_id"), landing)
       graft.ext.MediaFiles.ingestAudit(s, landing)
@@ -9096,7 +9087,7 @@ object Catalog {
     * instead of sniffing-and-discarding all of it. */
   private val q250 = Q("q250_binary_pruned_audio",
     (s, dir) => withScratchDir(s, "q250land") { landing =>
-      graft.ext.MediaFiles.writeMediaFilesPartitioned(s,
+      graft.ext.MediaFiles.writeMediaFilesPartitioned(
         graft.ext.Multimodal.syntheticMixedFrame(s,
           t(s, dir, "documents"), "doc_id"), landing)
       graft.ext.Audio.features(s,
@@ -9161,7 +9152,7 @@ object Catalog {
     * irrelevant. */
   private val q251 = Q("q251_binary_stream_pairs",
     (s, dir) => withStreamDirs(s, "q251") { (store, pairs, ckpt, landing) =>
-      graft.ext.MediaFiles.writeMediaFiles(s,
+      graft.ext.MediaFiles.writeMediaFiles(
         graft.ext.Multimodal.syntheticMixedFrameGrouped(s,
           t(s, dir, "documents"), "doc_id"), landing)
       val nFiles = new java.io.File(landing).list().length

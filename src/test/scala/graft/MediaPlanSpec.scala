@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions.col
   * programmatically on the plan tree (every Shuffle/Broadcast
   * exchange's child output is payload-free), plus the catalog-wide
   * no-cartesian/no-nested-loop rules. Covers EVERY media catalog
-  * query; the three streaming queries (q243/q246/q248) hide their
-  * per-batch plan behind the stream wrapper, so their
-  * batchPairs/unifiedBatchPairs compositions are audited directly —
-  * on the RAW (un-checkpointed) lineage, which is stricter than what
-  * processBatch executes. */
+  * query; rows that hide their distributed plans from the catalog
+  * path — the three streaming queries (q243/q246/q248, per-batch
+  * plans behind the stream wrapper) and the driver-localizing rows
+  * (q245's cached composition, q249-q251's scratch-dir lifecycle) —
+  * have their COMPOSITIONS audited directly, on the RAW
+  * (un-checkpointed) lineage, which is stricter than what actually
+  * executes. */
 class MediaPlanSpec extends SparkSpec {
 
   private val media = Seq(
@@ -24,7 +26,7 @@ class MediaPlanSpec extends SparkSpec {
     "q238_audio_pitch", "q239_crossmodal_consistency",
     "q240_image_dhash_delta", "q241_video_pack",
     "q242_unified_media_fp", "q244_image_mirror_dedup",
-    "q245_crossmodal_audit_bounded", "q247_video_inter_scene_cuts")
+    "q247_video_inter_scene_cuts")
 
   private def auditPlan(name: String,
       plan: org.apache.spark.sql.execution.SparkPlan): Unit = {
@@ -117,18 +119,56 @@ class MediaPlanSpec extends SparkSpec {
       Seq("spark.sql.adaptive.enabled" -> "false")) {
       val mixed = Multimodal.syntheticMixedFrame(spark, docs, "doc_id")
       val flat = tmpDir("planflat")
-      MediaFiles.writeMediaFiles(spark, mixed, flat)
+      MediaFiles.writeMediaFiles(mixed, flat)
       auditPlan("q249 ingestAudit",
         MediaFiles.ingestAudit(spark, flat)
           .queryExecution.executedPlan)
       val part = tmpDir("planpart")
-      MediaFiles.writeMediaFilesPartitioned(spark, mixed, part)
+      MediaFiles.writeMediaFilesPartitioned(mixed, part)
       auditPlan("q250 pruned audio features",
         graft.ext.Audio.features(spark,
           MediaFiles.readMediaFiles(spark, part)
             .filter(col("kind") === "audio")
             .select(col("media_id"), col("payload")))
           .queryExecution.executedPlan)
+    }
+  }
+
+  test("q245's distributed composition (the catalog row collects " +
+      "driver-local): payload-free exchanges across the fingerprint " +
+      "chain, the bounded join, and the audit anti-join") {
+    import graft.ext.{Dedup, Images}
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    graft.streaming.EventsStream.withConf(spark,
+      Seq("spark.sql.adaptive.enabled" -> "false")) {
+      val fps = Images.dHashes(spark,
+        Images.syntheticPngFrame(spark, docs, "doc_id"))
+      val img = Dedup.hammingPairsFromFingerprints(fps, "media_id",
+        "dhash", maxDist = 2, chunks = 4, nBits = 64)
+      auditPlan("q245 image pair chain",
+        img.queryExecution.executedPlan)
+      val outs = Dedup.prefixFilterJaccardPairsBoundedOnce(docs,
+        "text", "doc_id", n = 3, thresholdNum = 3, thresholdDen = 5,
+        maxCandidates = 1, maxTokenDf = 2)
+      try {
+        auditPlan("q245 bounded text pairs",
+          outs.pairs.queryExecution.executedPlan)
+        val hotDocs = outs.shingleRows
+          .join(broadcast(outs.tokenLedger
+            .select(col("token").as("_tok"))), Seq("_tok"))
+          .select(col("_id").as("doc_id")).distinct()
+        val suspect = outs.docLedger.select(col("doc_id"))
+          .unionByName(hotDocs).distinct().withColumn("_s", lit(true))
+        val out = img.join(outs.pairs.select(col("doc_a"), col("doc_b")),
+            Seq("doc_a", "doc_b"), "left_anti")
+          .join(broadcast(suspect.select(col("doc_id").as("doc_a"),
+            col("_s").as("_sa"))), Seq("doc_a"), "left")
+          .join(broadcast(suspect.select(col("doc_id").as("doc_b"),
+            col("_s").as("_sb"))), Seq("doc_b"), "left")
+        auditPlan("q245 audit join",
+          out.queryExecution.executedPlan)
+      } finally outs.release()
     }
   }
 }

@@ -270,7 +270,7 @@ class Round12Spec extends SparkSpec {
       .select(col("doc_id")).filter(col("doc_id") < 120)
     val mixed = Multimodal.syntheticMixedFrame(spark, docs, "doc_id")
     val landing = tmpDir("mediaflat")
-    MediaFiles.writeMediaFiles(spark, mixed, landing)
+    MediaFiles.writeMediaFiles(mixed, landing)
     val back = MediaFiles.readMediaFiles(spark, landing)
     // the small-files law: scan parallelism is capped at the
     // session's shuffle parallelism however many files land (the
@@ -309,7 +309,7 @@ class Round12Spec extends SparkSpec {
       .select(col("doc_id")).filter(col("doc_id") < 120)
     val mixed = Multimodal.syntheticMixedFrameGrouped(spark, docs, "doc_id")
     val landing = tmpDir("mediapart")
-    MediaFiles.writeMediaFilesPartitioned(spark, mixed, landing)
+    MediaFiles.writeMediaFilesPartitioned(mixed, landing)
     val nAudio = new java.io.File(s"$landing/kind=audio").list().length
     val nAll = Seq("image", "audio", "video")
       .map(k => new java.io.File(s"$landing/kind=$k").list().length).sum
@@ -361,7 +361,7 @@ class Round12Spec extends SparkSpec {
     val mixed = Multimodal.syntheticMixedFrameGrouped(spark, docs,
       "doc_id")
     val landing = tmpDir("binstreamland")
-    MediaFiles.writeMediaFiles(spark, mixed, landing)
+    MediaFiles.writeMediaFiles(mixed, landing)
     val nFiles = new java.io.File(landing).list().length
     assert(nFiles == 120)
     val mft = (nFiles + 2) / 3 // 3 micro-batches
