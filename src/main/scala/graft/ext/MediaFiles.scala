@@ -64,16 +64,26 @@ object MediaFiles {
     * Executor-parallel: payload bytes go straight from the synthesis
     * partition to the filesystem, never through the driver. Kind is
     * SNIFFED from the payload (the writer trusts content, not
-    * whatever metadata rode alongside). */
-  def writeMediaFiles(media: DataFrame, dir: String): Unit =
-    media.select(col("media_id").cast("long"), col("payload"))
+    * whatever metadata rode alongside). If the frame carries an
+    * `mtime_ms` LONG column the file's modification time is stamped
+    * from it — the deterministic arrival clock the incremental
+    * (`modifiedAfter`) ingest keys on. */
+  def writeMediaFiles(media: DataFrame, dir: String): Unit = {
+    val stamped = media.columns.contains("mtime_ms")
+    val cols = Seq(col("media_id").cast("long"), col("payload")) ++
+      (if (stamped) Seq(col("mtime_ms").cast("long")) else Nil)
+    media.select(cols: _*)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.foreach { r =>
           val id = r.getLong(0)
           val p = r.getAs[Array[Byte]](1)
-          Files.write(Paths.get(dir, fileName(id, Multimodal.sniffKind(p))), p)
+          val f = Files.write(
+            Paths.get(dir, fileName(id, Multimodal.sniffKind(p))), p)
+          if (stamped) Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(r.getLong(2)))
         }
       }
+  }
 
   /** Write the `kind=<sniffed>/` partitioned layout: same files, one
     * subdirectory per modality, discoverable as a partition column by
@@ -113,8 +123,28 @@ object MediaFiles {
     * prune it out of the scan. Partitioned layouts surface their
     * `kind` directory column automatically (partition discovery).
     * Partition count capped by [[packScan]]. */
-  def readMediaFiles(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.format("binaryFile").load(dir)
+  def readMediaFiles(spark: SparkSession, dir: String): DataFrame =
+    readWith(spark, dir, Map.empty)
+
+  /** INCREMENTAL file ingest — the reference's watermark discipline
+    * applied at the media file boundary: only files whose
+    * modification time is strictly after the watermark are LISTED
+    * into the scan (the `modifiedAfter` option prunes at file-listing
+    * time, before any payload byte is read — the file-level analogue
+    * of the JDBC `>=` watermark pushdown). The watermark is an ISO
+    * timestamp interpreted in the session timezone (UTC everywhere
+    * in this engine). Re-running with the same watermark re-reads
+    * the same delta — idempotent by the same argument as the
+    * reference's at-least-once re-ingest. */
+  def readMediaFilesModifiedAfter(spark: SparkSession, dir: String,
+      watermarkIso: String): DataFrame =
+    readWith(spark, dir, Map("modifiedAfter" -> watermarkIso))
+
+  private def readWith(spark: SparkSession, dir: String,
+      options: Map[String, String]): DataFrame = {
+    val raw = options.foldLeft(spark.read.format("binaryFile")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load(dir)
     val cols = Seq(
       regexp_extract(col("path"), "media_(\\d+)\\.[a-z]+$", 1)
         .cast("long").as("media_id"),

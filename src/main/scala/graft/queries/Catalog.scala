@@ -9166,6 +9166,116 @@ object Catalog {
     },
     q248.oracle)
 
+  /** INCREMENTAL media ingest — the reference's watermark semantics
+    * (only rows newer than the stored watermark are extracted,
+    * `gluejob.py:541`'s `>=` discipline) applied at the FILE
+    * boundary: the corpus lands in two arrival waves (even ids at
+    * T+0h, odd ids at T+1h — mtimes stamped deterministically by the
+    * writer), and the ingest reads with `modifiedAfter = T+30min`,
+    * which prunes the already-ingested wave at file-LISTING time —
+    * no payload byte of an old file is ever read, the file-level
+    * analogue of the JDBC watermark pushdown. Every surviving
+    * payload runs the unified three-codec dispatch; the oracle is
+    * q242's restricted to the late wave (doc_id % 2 = 1), so both a
+    * watermark off-by-one (wrong wave boundary) and any decode
+    * deviation hash-mismatch. */
+  private val q252 = Q("q252_binary_incremental_ingest",
+    (s, dir) => withScratchDir(s, "q252land") { landing =>
+      // 2026-01-01T00:00:00Z; waves one hour apart
+      val base = 1767225600000L
+      graft.ext.MediaFiles.writeMediaFiles(
+        graft.ext.Multimodal.syntheticMixedFrame(s,
+            t(s, dir, "documents"), "doc_id")
+          .withColumn("mtime_ms",
+            lit(base) + (col("media_id") % 2) * lit(3600000L)),
+        landing)
+      graft.ext.Multimodal.unifiedFingerprints(s,
+        graft.ext.MediaFiles.readMediaFilesModifiedAfter(s, landing,
+            "2026-01-01T00:30:00")
+          .select(col("media_id"), col("payload")))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+        CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+             WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+             ELSE doc_id END AS pid,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents WHERE doc_id % 2 = 1),
+      im AS (SELECT doc_id, (pid * 2654435761) % 2147483647 AS m, pert
+        FROM b WHERE doc_id % 3 = 0),
+      icell AS (SELECT doc_id, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2)
+            + CASE WHEN pert AND cx*4+dx = 0 THEN 16 ELSE 0 END)
+            % 256) // 16 AS g
+        FROM im, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, cx, cy),
+      ibits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM icell l JOIN icell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      ih AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM ibits GROUP BY doc_id),
+      ad AS (SELECT doc_id, (pid * 2654435761) % 2147483647 AS m, pert,
+        400 + (pid * 11) % 257 AS n FROM b WHERE doc_id % 3 = 1),
+      sa AS (SELECT doc_id, n, i,
+          ((m % 256 + 1) * (5*i + 7)
+            + ((m // 256) % 256) * ((i*i) % 1009)
+            + CASE WHEN pert AND i < 8 THEN 128 ELSE 0 END)
+            % 65536 - 32768 AS v
+        FROM ad, range(657) r(i) WHERE i < n),
+      abins AS (SELECT doc_id, (i * 65) // n AS bin, sum(abs(v)) AS e
+        FROM sa GROUP BY doc_id, (i * 65) // n),
+      abits AS (SELECT l.doc_id, l.bin AS k,
+          CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+        FROM abins l JOIN abins r ON r.doc_id = l.doc_id
+          AND r.bin = l.bin + 1
+        WHERE l.bin < 64),
+      ah AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM abits GROUP BY doc_id),
+      vd AS (SELECT doc_id,
+          (pid * 8 * 2654435761) % 2147483647 AS m
+        FROM b WHERE doc_id % 3 = 2),
+      vcell AS (SELECT doc_id, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2))
+            % 256) // 16 AS g
+        FROM vd, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, cx, cy),
+      vbits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM vcell l JOIN vcell r ON r.doc_id = l.doc_id
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      vh AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM vbits GROUP BY doc_id)
+      SELECT doc_id AS media_id, 'image' AS kind,
+        lo AS fp_lo, hi AS fp_hi FROM ih
+      UNION ALL
+      SELECT doc_id, 'audio', lo, hi FROM ah
+      UNION ALL
+      SELECT doc_id, 'video', lo, hi FROM vh"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9195,5 +9305,5 @@ object Catalog {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251)
+    q251, q252)
 }

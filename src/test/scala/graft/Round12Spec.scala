@@ -392,4 +392,43 @@ class Round12Spec extends SparkSpec {
       "file-streamed unified pairs must equal the direct batch surface")
     assert(streamed.nonEmpty, "fixture produced no pairs at all")
   }
+
+  test("incremental file ingest: stamped mtimes round-trip through " +
+      "the source, modifiedAfter lists exactly the late wave, the " +
+      "waves partition the corpus, and re-reading the same watermark " +
+      "is idempotent") {
+    import graft.ext.{MediaFiles, Multimodal}
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 120)
+    val base = 1767225600000L // 2026-01-01T00:00:00Z
+    val landing = tmpDir("incland")
+    MediaFiles.writeMediaFiles(
+      Multimodal.syntheticMixedFrame(spark, docs, "doc_id")
+        .withColumn("mtime_ms",
+          lit(base) + (col("media_id") % 2) * lit(3600000L)),
+      landing)
+    // the stamped clock survives the boundary: the source's own
+    // modificationTime column reads back the designed wave times
+    val raw = spark.read.format("binaryFile").load(landing)
+      .select(regexp_extract(col("path"), "media_(\\d+)\\.", 1)
+        .cast("long").as("media_id"),
+        unix_millis(col("modificationTime")).as("mt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    raw.foreach { case (id, mt) =>
+      assert(mt == base + (id % 2) * 3600000L, s"mtime wrong for $id")
+    }
+    def idsAfter(wm: String): Set[Long] =
+      MediaFiles.readMediaFilesModifiedAfter(spark, landing, wm)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+    val late = idsAfter("2026-01-01T00:30:00")
+    assert(late == (0L until 120L).filter(_ % 2 == 1).toSet,
+      "the watermark must list exactly the late wave")
+    assert(idsAfter("2026-01-01T00:30:00") == late,
+      "same watermark, same delta — idempotent re-read")
+    assert(idsAfter("2025-12-31T23:00:00") ==
+      (0L until 120L).toSet, "a pre-corpus watermark sees everything")
+    assert(idsAfter("2026-01-01T02:00:00").isEmpty,
+      "a post-corpus watermark sees nothing")
+  }
 }
