@@ -431,4 +431,44 @@ class Round12Spec extends SparkSpec {
     assert(idsAfter("2026-01-01T02:00:00").isEmpty,
       "a post-corpus watermark sees nothing")
   }
+
+  test("oversized-payload guard: a length filter on the binaryFile " +
+      "scan is PUSHED (the giant blob's bytes are never read) and " +
+      "selects exactly the files under the cap") {
+    import graft.ext.{MediaFiles, Multimodal}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 60)
+    val landing = tmpDir("lenguard")
+    MediaFiles.writeMediaFiles(
+      Multimodal.syntheticMixedFrame(spark, docs, "doc_id"), landing)
+    // plant the "corrupt 40 GB crawl blob" stand-in: a file too big
+    // to decode, which the guard must skip WITHOUT reading
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(landing, "media_000000999.png"),
+      Array.fill[Byte](512 * 1024)(7))
+    val cap = 64 * 1024L
+    val guarded = MediaFiles.readMediaFiles(spark, landing)
+      .filter(col("n_bytes") < cap)
+    val scan = guarded.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scan.size == 1)
+    assert(scan.head.metadata("PushedFilters").contains("length"),
+      s"the length guard must push to the scan: " +
+        s"${scan.head.metadata("PushedFilters")}")
+    val sizes = new java.io.File(landing).listFiles()
+      .map(f => f.getName -> f.length()).toMap
+    val expected = sizes.filter(_._2 < cap).keySet
+      .map(n => n.stripPrefix("media_").takeWhile(_.isDigit).toLong)
+    val got = guarded.select("media_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected && !got.contains(999L),
+      "the guard must select exactly the under-cap files")
+    // and the survivors still decode through the unified dispatch
+    assert(Multimodal.unifiedFingerprints(spark,
+        guarded.select(col("media_id"), col("payload")))
+      .count() == expected.size)
+  }
 }
