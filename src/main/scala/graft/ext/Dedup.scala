@@ -649,11 +649,37 @@ object Dedup {
     * bounded pair surface, its two ledgers, the cached per-doc
     * shingle rows (_id, _tok — every shingle, not just the prefix;
     * what a consumer needs to intersect documents against the token
-    * ledger without re-tokenizing the corpus), and the release thunk
-    * that drops the backing cache once the outputs are consumed. */
-  final case class BoundedOnceOutputs(pairs: DataFrame,
-      docLedger: DataFrame, tokenLedger: DataFrame,
-      shingleRows: DataFrame, release: () => Unit)
+    * ledger without re-tokenizing the corpus), and the release
+    * method that drops the backing cache once the outputs are
+    * consumed. Every accessor CHECKS the release flag: consuming one
+    * of these frames after `release()` would not fail — it would
+    * silently re-execute the full corpus tokenization lineage
+    * (exactly the single-execution contract this type exists to
+    * enforce), so a post-release access is refused loudly at
+    * composition time. The guard is access-time, not action-time: a
+    * reference obtained BEFORE release and executed after still
+    * recomputes — collect results before releasing (the q245
+    * discipline). */
+  final class BoundedOnceOutputs private[ext] (
+      pairs0: DataFrame, docLedger0: DataFrame, tokenLedger0: DataFrame,
+      shingleRows0: DataFrame, releaseFn: () => Unit) {
+    private val released =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    private def guard[A](name: String, a: A): A = {
+      require(!released.get(),
+        s"BoundedOnceOutputs.$name accessed after release(): the " +
+          "backing corpus cache is gone, and consuming this frame " +
+          "would silently re-execute the full tokenization lineage")
+      a
+    }
+    def pairs: DataFrame = guard("pairs", pairs0)
+    def docLedger: DataFrame = guard("docLedger", docLedger0)
+    def tokenLedger: DataFrame = guard("tokenLedger", tokenLedger0)
+    def shingleRows: DataFrame = guard("shingleRows", shingleRows0)
+    /** Drop the backing cache. Idempotent; flips the access guard. */
+    def release(): Unit =
+      if (released.compareAndSet(false, true)) releaseFn()
+  }
 
   /** [[prefixFilterJaccardPairsBounded]] with the corpus-derived
     * frames (base shingle arrays + prefix rows) persisted and filled
@@ -696,7 +722,7 @@ object Dedup {
       prefix.count()
       val (pairs, docStats, tokLedger) = boundedTail(base, prefix,
         idCol, thresholdNum, thresholdDen, maxCandidates, maxTokenDf)
-      BoundedOnceOutputs(pairs, docStats, tokLedger,
+      new BoundedOnceOutputs(pairs, docStats, tokLedger,
         base.select(col("_id"), explode(col("_sh")).as("_tok")), release)
     } catch {
       // a failed fill must not orphan corpus-sized cache blocks in a

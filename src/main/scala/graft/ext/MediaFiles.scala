@@ -101,20 +101,42 @@ object MediaFiles {
         }
       }
 
-  /** Cap a media file scan's partition count at the session's shuffle
-    * parallelism — the SMALL-FILES law, measured: the file sources'
-    * bin-packing charges `spark.sql.files.openCostInBytes` (default
-    * 4 MB) per file, so a 125k-file archive of ~3 KB payloads scans as
-    * 977 partitions — and under the STREAMING wrapper AQE is disabled
-    * and the per-batch localCheckpoint FREEZES that partitioning, so
-    * every downstream stage of every micro-batch re-pays 977 tiny
-    * tasks (the 25× probe read 210 s wall / 77 stages, ~50 of them
+  /** Coalesce target for a media file scan under `dir` — the
+    * SMALL-FILES law, measured: the file sources' bin-packing charges
+    * `spark.sql.files.openCostInBytes` (default 4 MB) per file, so a
+    * 125k-file archive of ~3 KB payloads scans as 977 partitions —
+    * and under the STREAMING wrapper AQE is disabled and the
+    * per-batch localCheckpoint FREEZES that partitioning, so every
+    * downstream stage of every micro-batch re-pays 977 tiny tasks
+    * (the 25× probe read 210 s wall / 77 stages, ~50 of them
     * 977-task, vs 14.8 s for the same work from a parquet landing).
-    * `coalesce` is NARROW — payload bytes never cross an exchange;
-    * each of the ~32 surviving tasks just opens more files. */
-  private def packScan(spark: SparkSession, df: DataFrame): DataFrame =
-    df.coalesce(
-      math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt))
+    * The cap is BYTE-AWARE, not unconditional: target = max(session
+    * parallelism, ceil(actual archive bytes / maxPartitionBytes)), so
+    * a large-payload archive keeps enough tasks that no task
+    * serializes more than ~one maxPartitionBytes of payload — only
+    * the openCost INFLATION is squashed. Sizing comes from one
+    * driver-side recursive listing of `dir` (the same metadata walk
+    * the file source performs anyway; payload bytes are not read). */
+  private def packTarget(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var bytes = 0L
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) bytes += it.next().getLen
+    }
+    val maxPart = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf
+        .get("spark.sql.files.maxPartitionBytes", "128m"))
+    val par =
+      math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    math.max(par, math.ceil(bytes.toDouble / maxPart).toInt)
+  }
+
+  /** `coalesce` is NARROW — payload bytes never cross an exchange;
+    * each surviving task just opens more files. */
+  private def packScan(df: DataFrame, target: Int): DataFrame =
+    df.coalesce(target)
 
   /** Read a media landing dir through the `binaryFile` source:
     * media_id parsed from the name, the CLAIMED extension alongside
@@ -152,7 +174,7 @@ object MediaFiles {
       col("length").as("n_bytes"),
       col("content").as("payload")) ++
       raw.columns.filter(_ == "kind").map(col).toSeq
-    packScan(spark, raw.select(cols: _*))
+    packScan(raw.select(cols: _*), packTarget(spark, dir))
   }
 
   /** The binaryFile STREAMING source schema (fixed by the format):
@@ -182,15 +204,104 @@ object MediaFiles {
     // packScan matters MOST here: streaming disables AQE and the
     // maintenance localCheckpoints each batch's fingerprints, so an
     // uncapped small-file scan partitioning would be frozen into
-    // every downstream stage of every micro-batch
-    packScan(spark, spark.readStream.format("binaryFile")
+    // every downstream stage of every micro-batch. The byte-aware
+    // target is sized from the landing dir AT STREAM-START (files
+    // arriving later aren't counted — for a long-lived stream the
+    // session-parallelism floor still holds, and per-BATCH bytes are
+    // bounded by maxFilesPerTrigger anyway)
+    packScan(spark.readStream.format("binaryFile")
       .schema(BinaryFileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(dir)
       .select(
         regexp_extract(col("path"), "media_(\\d+)\\.[a-z]+$", 1)
           .cast("long").as("media_id"),
-        col("content").as("payload")))
+        col("content").as("payload")),
+      packTarget(spark, dir))
+  }
+
+  // ------------------------------------------- manifest-backed ingest
+
+  /** The file-manifest row: everything the ingest needs to KNOW about
+    * a landed file without opening it. Slim by construction (~100
+    * bytes/file vs the payload's KBs-to-GBs). */
+  private val ManifestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("media_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("mtime_ms",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_bytes",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("claimed_ext",
+      org.apache.spark.sql.types.StringType)))
+
+  /** LIST ONCE into a parquet manifest — the scale fix for the
+    * measured vanilla-`FileStreamSource` law (`MediaStreamProbe`,
+    * BASELINE Law 2: getBatch re-stats EVERY archive file on the
+    * driver each micro-batch, ~0.65 ms/file — 82 of 104 s at the 25×
+    * probe, growing without bound with archive file count). The
+    * landing dir is listed exactly once per ingest wave, through the
+    * metadata-ONLY binaryFile scan (payload bytes pruned out of the
+    * ReadSchema — same discipline as [[ingestAudit]]'s claimed-name
+    * side), and appended to `manifestDir` as slim parquet rows.
+    * Incremental waves compose with the watermark discipline:
+    * `modifiedAfter` prunes already-manifested files at LISTING time
+    * ([[readMediaFilesModifiedAfter]]'s contract), so each append
+    * touches only the new wave's metadata. `manifestFiles` shapes the
+    * append's parquet file count — the unit the manifest STREAM
+    * batches by. */
+  def appendManifest(spark: SparkSession, dir: String,
+      manifestDir: String, watermarkIso: Option[String] = None,
+      manifestFiles: Int = 1): Unit = {
+    require(manifestFiles >= 1)
+    val raw = watermarkIso
+      .foldLeft(spark.read.format("binaryFile"))(
+        (r, w) => r.option("modifiedAfter", w))
+      .load(dir)
+    raw.select(
+        regexp_extract(col("path"), "media_(\\d+)\\.[a-z]+$", 1)
+          .cast("long").as("media_id"),
+        col("path"),
+        unix_millis(col("modificationTime")).as("mtime_ms"),
+        col("length").as("n_bytes"),
+        regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("claimed_ext"))
+      .repartition(manifestFiles)
+      .write.mode("append").parquet(manifestDir)
+  }
+
+  /** STREAM manifest DELTAS as micro-batches of (media_id, payload) —
+    * the manifest-backed twin of [[streamMediaFiles]] with the
+    * driver-side bookkeeping law removed: the streaming source reads
+    * the slim manifest PARQUET (its per-batch getBatch cost is a
+    * listing of manifest part files — O(ingest waves), never
+    * O(archive files)); payload bytes are fetched on the EXECUTORS,
+    * each task opening its batch slice's files through the session
+    * Hadoop filesystem
+    * ([[org.apache.spark.sql.graftbridge.ColumnBridge.fileBytesReader]]).
+    * The slim (media_id, path) rows are repartitioned to session
+    * parallelism BEFORE the fetch, so payload reads parallelize
+    * however few part files the manifest wave wrote — the only thing
+    * that ever crosses that exchange is ~100-byte manifest rows.
+    * `maxFilesPerTrigger` batches by MANIFEST part file (the arrival
+    * unit [[appendManifest]]'s `manifestFiles` shaped). */
+  def streamManifest(spark: SparkSession, manifestDir: String,
+      maxFilesPerTrigger: Int): DataFrame = {
+    require(maxFilesPerTrigger >= 1)
+    import spark.implicits._
+    val fetch = org.apache.spark.sql.graftbridge.ColumnBridge
+      .fileBytesReader(spark)
+    val par =
+      math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    spark.readStream.schema(ManifestSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(manifestDir)
+      .select(col("media_id"), col("path"))
+      .repartition(par)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, p) => (id, fetch(p)) })
+      .toDF("media_id", "payload")
   }
 
   /** The q249 surface: unified per-payload fingerprints through the

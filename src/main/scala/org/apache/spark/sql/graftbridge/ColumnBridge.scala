@@ -35,6 +35,36 @@ object ColumnBridge {
       case _ =>
     }
 
+  /** An executor-shippable whole-file reader over the SESSION's
+    * Hadoop configuration — the bridge here is
+    * `org.apache.spark.util.SerializableConfiguration`, which
+    * upstream keeps private[spark]: without it a task-side
+    * `FileSystem.get` would fall back to a DEFAULT Configuration and
+    * silently drop the session's filesystem settings (credentials,
+    * object-store endpoints — exactly what differs on a real
+    * cluster). The returned function is serializable (it captures
+    * only the wrapped conf) and resolves the FileSystem per call from
+    * the path's scheme; Hadoop's FileSystem cache makes that a map
+    * lookup after the first call per (scheme, authority). Loud on
+    * files over 2 GiB — a single media payload that size is a
+    * corrupt-archive signal, not a read to attempt into one array. */
+  def fileBytesReader(spark: org.apache.spark.sql.SparkSession)
+      : String => Array[Byte] = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    (path: String) => {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf.value)
+      val len = fs.getFileStatus(p).getLen
+      require(len <= Int.MaxValue,
+        s"file $path is $len bytes — exceeds the 2 GiB single-payload bound")
+      val buf = new Array[Byte](len.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      buf
+    }
+  }
+
   /** The RDD ids backing a checkpointed Dataset's LogicalRDD leaves —
     * lets a harness-level storage sweep EXEMPT frames a live memo
     * still references (ripping their blocks out produces

@@ -12,13 +12,15 @@ class WatermarkStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("default watermark is yesterday-midnight (gluejob.py:78-87)") {
     val store = new WatermarkStore(
-      java.nio.file.Paths.get("/root/repo/target/wm-none.json"), clock)
+      java.nio.file.Paths.get(sys.props("user.dir"), "target",
+        "wm-none.json"), clock)
     assert(store.get("retail_plans") == "2026-08-11 00:00:00")
   }
 
   test("advance is in-memory until commit; commit round-trips") {
     val p = java.nio.file.Files.createTempFile(
-      java.nio.file.Paths.get("/root/repo/target"), "wm", ".json")
+      java.nio.file.Paths.get(sys.props("user.dir"), "target"),
+      "wm", ".json")
     java.nio.file.Files.delete(p)
     val store = new WatermarkStore(p, clock)
     store.advance("retail_plans", "2026-08-12 04:00:00")

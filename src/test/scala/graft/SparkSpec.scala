@@ -29,7 +29,7 @@ trait SparkSpec extends AnyFunSuite {
 
   def tmpDir(prefix: String): String = {
     val d = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/root/repo/target"), prefix)
+      java.nio.file.Paths.get(sys.props("user.dir"), "target"), prefix)
     d.toString
   }
 }
