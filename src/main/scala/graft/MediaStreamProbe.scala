@@ -8,10 +8,22 @@ import org.apache.spark.sql.functions.col
   * getBatch, latestOffset, walCommit, commitOffsets...) — the
   * attribution tool for file-STREAM driver overhead that
   * [[StageProbe]] can't see (it lives between stages, in the
-  * source/offset-log machinery, not in tasks). */
+  * source/offset-log machinery, not in tasks).
+  *
+  * Modes (arg 2, default `manifest`):
+  *   - `vanilla`  — the measured-and-replaced shape: binaryFile
+  *     streaming source straight over the landing dir (getBatch
+  *     re-stats every archive file on the driver per batch, ~0.65
+  *     ms/file — BASELINE Law 2).
+  *   - `manifest` — the shipped q251 shape: list once into a slim
+  *     parquet manifest, stream manifest deltas, fetch payload bytes
+  *     executor-side (getBatch cost = listing manifest part files,
+  *     O(ingest waves)).
+  */
 object MediaStreamProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val mode = if (args.length > 1) args(1) else "manifest"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,19 +44,30 @@ object MediaStreamProbe {
         landing)
       val t1 = System.nanoTime()
       val nFiles = new java.io.File(landing).list().length
-      val src = graft.ext.MediaFiles.streamMediaFiles(spark, landing,
-        math.max(1, (nFiles + 3) / 4))
+      val src = mode match {
+        case "vanilla" =>
+          graft.ext.MediaFiles.streamMediaFiles(spark, landing,
+            math.max(1, (nFiles + 3) / 4))
+        case _ =>
+          val manifest = landing + "_manifest"
+          graft.ext.MediaFiles.appendManifest(spark, landing, manifest,
+            manifestFiles = 4)
+          graft.ext.MediaFiles.streamManifest(spark, manifest, 1)
+      }
       val q = graft.streaming.MediaDedupMaintenance.startUnified(
         src, store, pairs, ckpt)
       q.awaitTermination()
       val t2 = System.nanoTime()
       val n = spark.read.parquet(pairs).count()
-      println(f"PROBE q251-shape files=$nFiles pairs=$n " +
+      println(f"PROBE q251-shape mode=$mode files=$nFiles pairs=$n " +
         f"write=${(t1 - t0) / 1e9}%.1fs stream=${(t2 - t1) / 1e9}%.1fs")
       q.recentProgress.foreach { p =>
         println(s"BATCH ${p.batchId} rows=${p.numInputRows} " +
           s"durationMs=${p.durationMs}")
       }
+      if (mode != "vanilla")
+        graft.Scratch.deleteRecursively(
+          java.nio.file.Paths.get(landing + "_manifest"))
     } finally {
       dirs.foreach(Scratch.deleteRecursively)
       spark.stop()

@@ -1062,7 +1062,21 @@ object Dedup {
     * the q182 chain; ReuseExchange serves both branches from one
     * computation, and nothing is pinned). */
   private def bandedFingerprints(fps: DataFrame, idCol: String,
-      fpCol: String, maxDist: Int, chunks: Int, nBits: Int): DataFrame = {
+      fpCol: String, maxDist: Int, chunks: Int, nBits: Int): DataFrame =
+    fps.select(col(idCol).as("_id"), col(fpCol).as("_fp"))
+      .repartition(col("_id"))
+      .withColumn("_band",
+        explode(array(bandStructs(col("_fp"), maxDist, chunks,
+          nBits): _*)))
+      .select(col("_id"), col("_fp"),
+        col("_band.no").as("_cno"), col("_band.v").as("_cv"))
+
+  /** The (no, v) band structs of one fingerprint column — the ONE
+    * definition of the pigeonhole banding math, shared by the
+    * self-/delta-join banding above and the land-time store banding
+    * below. */
+  private def bandStructs(fp: Column, maxDist: Int, chunks: Int,
+      nBits: Int): Seq[Column] = {
     require(maxDist < chunks,
       s"pigeonhole recall guarantee needs maxDist < chunks " +
         s"(got maxDist=$maxDist, chunks=$chunks)")
@@ -1072,18 +1086,13 @@ object Dedup {
     require((chunks - maxDist) * width < 64,
       s"packed band key must fit 63 bits, got ${(chunks - maxDist) * width}")
     def block(c: Int): Column =
-      shiftright(col("_fp"), c * width).bitwiseAND(lit((1L << width) - 1))
+      shiftright(fp, c * width).bitwiseAND(lit((1L << width) - 1))
     val combos = (0 until chunks).combinations(chunks - maxDist).toSeq
-    val bands = combos.zipWithIndex.map { case (combo, i) =>
+    combos.zipWithIndex.map { case (combo, i) =>
       val packed = combo.map(block).reduce((acc, b) =>
         shiftleft(acc, width).bitwiseOR(b))
       struct(lit(i).as("no"), packed.as("v"))
     }
-    fps.select(col(idCol).as("_id"), col(fpCol).as("_fp"))
-      .repartition(col("_id"))
-      .withColumn("_band", explode(array(bands: _*)))
-      .select(col("_id"), col("_fp"),
-        col("_band.no").as("_cno"), col("_band.v").as("_cv"))
   }
 
   /** INCREMENTAL banded Hamming join: pairs TOUCHING the delta only —
@@ -1119,6 +1128,69 @@ object Dedup {
       .select(least(col("_da"), col("_db")).as("doc_a"),
         greatest(col("_da"), col("_db")).as("doc_b"),
         bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** LAND-TIME banding for a fingerprint STORE — the rows a banded
+    * fingerprint fragment persists so the per-batch delta join never
+    * re-bands (or re-shuffles) the accumulated store: one row per
+    * fingerprint per pigeonhole band combination, `band` the combo
+    * index, `band_key` the packed block values (the join key), and
+    * `bucket = band_key mod nBuckets` — the COARSE key the store
+    * prunes on (as a directory level or a sorted column with parquet
+    * statistics, the store's choice), so a delta's bounded (band,
+    * bucket) set skips everything it doesn't touch at the SCAN (the
+    * file-level q250 discipline applied to store state). Same
+    * pigeonhole parameters MUST be used at land time and join time —
+    * the layout bakes (maxDist, chunks) in.
+    *
+    * MAP-ONLY on purpose (an explode, no shuffle barrier): the
+    * maintenance callers hold the input behind a checkpoint and each
+    * consumer re-derives this projection for pennies. `carryCols`
+    * ride through the explode unchanged (e.g. a modality tag that
+    * must end up in the store layout and the join key). */
+  def bandedStoreRows(fps: DataFrame, idCol: String, fpCol: String,
+      maxDist: Int, chunks: Int, nBits: Int, nBuckets: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    require(nBuckets >= 1)
+    fps.withColumn("_band",
+        explode(array(bandStructs(col(fpCol), maxDist, chunks,
+          nBits): _*)))
+      .select(Seq(col(idCol), col(fpCol),
+        col("_band.v").as("band_key"),
+        col("_band.no").cast("int").as("band"),
+        pmod(col("_band.v"), lit(nBuckets.toLong)).cast("int")
+          .as("bucket")) ++ carryCols.map(col): _*)
+  }
+
+  /** [[hammingDeltaPairsFromFingerprints]] with BOTH sides already in
+    * [[bandedStoreRows]] form — the join a PRE-BANDED fingerprint
+    * store runs per maintenance batch: no banding explode and no
+    * store-side shuffle hide in here; the base arrives straight off a
+    * partition-pruned fragment scan. Same zero-false-negative
+    * pigeonhole guarantee, same (least, greatest) pair normalization,
+    * deduped across bands; base and delta must be id-disjoint.
+    * `extraKeys` join ALONGSIDE the band key and ride into the
+    * output — a MIXED store puts its modality tag here, so one join
+    * serves every modality and unlike kinds can never compare (the
+    * key differs). */
+  def hammingDeltaPairsPreBanded(baseBanded: DataFrame,
+      deltaBanded: DataFrame, idCol: String, fpCol: String,
+      maxDist: Int, extraKeys: Seq[String] = Nil): DataFrame = {
+    def norm(df: DataFrame, ia: String, fa: String) =
+      df.select(Seq(col(idCol).as(ia), col(fpCol).as(fa),
+        col("band").cast("int").as("_cno"), col("band_key").as("_cv"))
+        ++ extraKeys.map(col): _*)
+    val d = norm(deltaBanded, "_da", "_fpa")
+    val all = norm(deltaBanded, "_db", "_fpb")
+      .unionByName(norm(baseBanded, "_db", "_fpb"))
+    d.join(all, Seq("_cno", "_cv") ++ extraKeys)
+      .filter(col("_da") =!= col("_db"))
+      .select(Seq(least(col("_da"), col("_db")).as("doc_a"),
+        greatest(col("_da"), col("_db")).as("doc_b"),
+        bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).as("hamming"))
+        ++ extraKeys.map(col): _*)
       .filter(col("hamming") <= maxDist)
       .dropDuplicates("doc_a", "doc_b")
   }

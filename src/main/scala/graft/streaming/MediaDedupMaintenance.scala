@@ -135,82 +135,182 @@ object MediaDedupMaintenance {
 
   // ------------------------------------------- unified mixed modality
 
-  private def unifiedFpSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType),
-    StructField("kind", StringType),
-    StructField("dhash", LongType)))
+  /** Bucket count of the unified store's banded layout (per kind per
+    * band). `bucket = band_key mod 256` is a DATA column the
+    * fragment files are SORTED on — not a directory level: a
+    * dir-per-bucket layout was measured to be its own small-files
+    * law (576 one-row dirs per fragment at harness scale; per-batch
+    * listing + commit costs took q248 from 6 s to 66 s). As a sorted
+    * column the same pruning rides parquet statistics instead: the
+    * delta's bounded (band, bucket) cells push into the scan as a
+    * parquet filter, and file/row-group min-max on the sorted bucket
+    * skips everything a trickle delta doesn't touch — finer (256
+    * cells/band) than a directory scheme could afford, at zero
+    * listing cost. */
+  val UnifiedStoreBuckets = 256
 
-  /** The accumulated MIXED-modality fingerprint store: (media_id,
-    * kind, 64-bit fingerprint) — same committed-fragment discipline
-    * as [[readFingerprints]]. */
-  def readUnifiedFingerprints(spark: SparkSession,
+  /** The unified store's on-disk fragment schema: PRE-BANDED rows
+    * ([[Dedup.bandedStoreRows]] — one row per fingerprint per
+    * pigeonhole band combo, `band_key` the packed join key), with
+    * (kind, band) as DIRECTORY partition columns and `bucket` the
+    * sorted data column above. Banding is paid once at land time so
+    * the per-batch join neither re-bands nor re-shuffles the
+    * accumulated store — and never rematerializes it (the old layout
+    * localCheckpointed an O(store) frame every micro-batch). */
+  private def bandedUnifiedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("dhash", LongType),
+    StructField("band_key", LongType),
+    StructField("bucket", IntegerType),
+    StructField("batch", LongType),
+    StructField("kind", StringType),
+    StructField("band", IntegerType)))
+
+  /** The accumulated unified store in its banded on-disk form — same
+    * committed-fragment discipline as [[readFingerprints]]. Filters
+    * on (kind, band, bucket) prune fragment partitions at the scan. */
+  def readBandedUnifiedFingerprints(spark: SparkSession,
       storeDir: String): DataFrame = {
     val dirs = Commits.committedBatchDirs(spark, storeDir)
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        unifiedFpSchema)
+        bandedUnifiedSchema)
     else
-      spark.read.schema(unifiedFpSchema).parquet(dirs.map(_.toString): _*)
-        .select(col("media_id"), col("kind"), col("dhash"))
+      // basePath makes batch=<n> a discovered partition column (the
+      // committed-dirs list still gates WHICH fragments are read);
+      // without it multi-fragment reads trip partition discovery's
+      // conflicting-structures check
+      spark.read.schema(bandedUnifiedSchema)
+        .option("basePath", storeDir)
+        .parquet(dirs.map(_.toString): _*)
+        .select(bandedUnifiedSchema.fieldNames.map(col): _*)
   }
 
-  private val UnifiedKinds = Seq("image", "audio", "video")
+  /** The accumulated MIXED-modality fingerprint store as (media_id,
+    * kind, 64-bit fingerprint) — each media's band=0 row carries the
+    * full fingerprint, so one partition-pruned slice (1/6 of the
+    * banded dirs) reconstructs the logical store. */
+  def readUnifiedFingerprints(spark: SparkSession,
+      storeDir: String): DataFrame =
+    readBandedUnifiedFingerprints(spark, storeDir)
+      .filter(col("band") === 0)
+      .select(col("media_id"), col("kind"), col("dhash"))
 
-  /** The per-batch pair join of the unified store: one banded delta
-    * join PER KIND (an image dHash and an audio energy fingerprint
-    * agreeing on 62 bits is a collision, not a duplicate — kinds
-    * never compare), unioned with the kind tagged on each pair. */
-  private[graft] def unifiedBatchPairs(base: DataFrame,
-      deltaFp: DataFrame, maxDist: Int, chunks: Int): DataFrame =
-    UnifiedKinds.map { k =>
-      Dedup.hammingDeltaPairsFromFingerprints(
-        base.filter(col("kind") === k)
-          .select(col("media_id"), col("dhash")),
-        deltaFp.filter(col("kind") === k)
-          .select(col("media_id"), col("dhash")),
-        "media_id", "dhash", maxDist, chunks, nBits = 64)
-        .withColumn("kind", lit(k))
-    }.reduce(_.unionByName(_))
+  /** Band a batch's unified fingerprints into store-fragment rows —
+    * ONE map-only explode over the (checkpointed) delta, kind riding
+    * through as a carry column: no per-kind split, no shuffle. */
+  private[graft] def bandDelta(deltaFp: DataFrame, maxDist: Int,
+      chunks: Int, nBuckets: Int): DataFrame =
+    Dedup.bandedStoreRows(deltaFp, "media_id", "dhash", maxDist,
+      chunks, nBits = 64, nBuckets, carryCols = Seq("kind"))
+
+  /** The delta's touched (band, bucket) cells per kind — BOUNDED by
+    * construction: ≤ kinds × C(chunks, chunks−maxDist) ×
+    * [[UnifiedStoreBuckets]] rows (3 × 6 × 32 = 576 at the
+    * defaults), never corpus-sized, so the collect is a legal
+    * driver-side step. These become the static partition filters of
+    * the per-batch store scan. */
+  private[graft] def touchedCells(
+      deltaBanded: DataFrame): Map[String, Seq[(Int, Int)]] =
+    deltaBanded.select(col("kind"), col("band"), col("bucket"))
+      .distinct().collect()
+      .map(r => (r.getString(0), (r.getInt(1), r.getInt(2))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+
+  /** The per-batch pair join of the unified store: ONE pre-banded
+    * delta join with `kind` riding in the join key — an image dHash
+    * and an audio energy fingerprint agreeing on 62 bits is a
+    * collision, not a duplicate, and unlike kinds can never meet
+    * because their keys differ. The base read is pruned to the
+    * delta's own (kind, band, bucket) cells — `touched`, a bounded
+    * set (≤ kinds × bands × [[UnifiedStoreBuckets]] by construction)
+    * collected from the delta, becomes static filters: the separable
+    * kind/band conjuncts prune DIRECTORY partitions
+    * (PartitionFilters), the OR-of-AND carries the per-(kind, band)
+    * bucket sets into the parquet reader (PushedFilters) where the
+    * sorted bucket column's min-max statistics skip untouched files
+    * and row groups — so per-batch scan cost tracks the DELTA's
+    * bucket coverage, not store size. `storeBanded` rows whose ids
+    * ride in `deltaIds` are anti-joined away (replay excludes its
+    * own fragment). */
+  private[graft] def unifiedBatchPairs(storeBanded: DataFrame,
+      deltaBanded: DataFrame, deltaIds: DataFrame,
+      touched: Map[String, Seq[(Int, Int)]], maxDist: Int,
+      chunks: Int): DataFrame = {
+    val cellFilter =
+      if (touched.isEmpty) lit(false)
+      else {
+        val kinds = touched.keys.toSeq
+        val bands = touched.values.flatten.map(_._1).toSeq.distinct
+        col("kind").isin(kinds: _*) &&
+        col("band").isin(bands.map(Integer.valueOf): _*) &&
+        touched.flatMap { case (k, cells) =>
+          cells.groupBy(_._1).map { case (b, bs) =>
+            col("kind") === k && col("band") === b &&
+              col("bucket").isin(bs.map(c => Integer.valueOf(c._2)): _*)
+          }
+        }.reduce(_ || _)
+      }
+    val base = storeBanded.filter(cellFilter)
+      .join(deltaIds, Seq("media_id"), "left_anti")
+    Dedup.hammingDeltaPairsPreBanded(base, deltaBanded, "media_id",
+      "dhash", maxDist, extraKeys = Seq("kind"))
+  }
 
   /** The idempotent unit for a MIXED-modality archive: ONE decode
     * pass over the batch, each payload's kind sniffed from its magic
     * bytes and routed to its real codec
     * ([[Multimodal.unifiedFingerprints]] — image dHash, audio
     * energy-gradient, video first-frame dHash through the demux),
-    * then per-kind delta joins against the accumulated store. This
-    * is the maintenance shape a scraped-media archive needs: the
-    * stream carries image+audio+video fragments in ONE store (kind
-    * rides the 25-byte fingerprint row), content-type metadata is
-    * never trusted, and each payload is still decoded exactly once
-    * in its lifetime. */
+    * then per-kind PRE-BANDED delta joins against the accumulated
+    * store. This is the maintenance shape a scraped-media archive
+    * needs: the stream carries image+audio+video fragments in ONE
+    * banded store ((kind, band) partition dirs, bucket-sorted files),
+    * content-type metadata is never trusted, each payload is decoded
+    * exactly once in its lifetime — and per-batch cost tracks the
+    * delta: the store is never re-banded, re-shuffled, or
+    * rematerialized, and its scan is pruned (dirs by kind/band,
+    * files and row groups by the pushed bucket sets) to the delta's
+    * (band, bucket) cells. */
   def processBatchUnified(batch: DataFrame, batchId: Long,
       storeDir: String, pairsDir: String, maxDist: Int = 2,
       chunks: Int = 4): Unit = {
     val spark = batch.sparkSession
+    // decode ONCE: the slim fingerprint frame is pinned; the
+    // map-only banding explode downstream is re-derived from this
+    // cache for pennies by each consumer (touched-cell collect, both
+    // join sides, fragment write). Pinning the BANDED rows behind
+    // the fragment's (kind, band) clustering instead was measured
+    // 2-3× slower per batch (the shuffle-through-checkpoint shape
+    // serializes the batch's job pipeline) — keep the checkpoint at
+    // the slim pre-explode frame.
     val deltaFp = Multimodal.unifiedFingerprints(spark,
         batch.select(col("media_id"), col("payload")))
       .select(col("media_id"), col("kind"),
         col("fp_lo").bitwiseOR(shiftleft(col("fp_hi"), 32)).as("dhash"))
       .localCheckpoint()
-    // materialize the store read + anti-join ONCE: unifiedBatchPairs
-    // embeds `base` in three per-kind branches, and un-materialized
-    // each branch would re-scan the whole accumulated store parquet
-    // every micro-batch (a cost that grows with every batch); the
-    // frame is slim 25-byte fingerprint rows, same as deltaFp
-    val base = readUnifiedFingerprints(spark, storeDir)
-      .join(deltaFp.select(col("media_id")), Seq("media_id"),
-        "left_anti")
-      .localCheckpoint()
     try {
-      unifiedBatchPairs(base, deltaFp, maxDist, chunks)
+      val deltaBanded =
+        bandDelta(deltaFp, maxDist, chunks, UnifiedStoreBuckets)
+      unifiedBatchPairs(
+        readBandedUnifiedFingerprints(spark, storeDir), deltaBanded,
+        deltaFp.select(col("media_id")), touchedCells(deltaBanded),
+        maxDist, chunks)
         .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-      deltaFp.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+      // one file per (kind, band) dir, rows sorted by bucket so the
+      // parquet footer's min-max statistics carry the pruning the
+      // per-batch join pushes down; the sort is prefix-compatible
+      // with the dynamic-partition writer's required ordering
+      deltaBanded
+        .repartition(col("kind"), col("band"))
+        .sortWithinPartitions(col("kind"), col("band"), col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("kind", "band")
+        .parquet(s"$storeDir/batch=$batchId")
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge
         .unpersistLocalCheckpoint(deltaFp)
-      org.apache.spark.sql.graftbridge.ColumnBridge
-        .unpersistLocalCheckpoint(base)
     }
   }
 

@@ -101,10 +101,16 @@ class MediaPlanSpec extends SparkSpec {
           .select(col("media_id"), col("kind"),
             col("fp_lo").bitwiseOR(shiftleft(col("fp_hi"), 32))
               .as("dhash"))
+      val nb = MediaDedupMaintenance.UnifiedStoreBuckets
+      val baseBanded = MediaDedupMaintenance.bandDelta(
+        fps(mixed.filter(col("media_id") % 4 =!= 0)), 2, 4, nb)
+      val deltaFp248 = fps(mixed.filter(col("media_id") % 4 === 0))
+      val deltaBanded = MediaDedupMaintenance.bandDelta(
+        deltaFp248, 2, 4, nb)
       auditPlan("q248 unifiedBatchPairs",
         MediaDedupMaintenance.unifiedBatchPairs(
-          fps(mixed.filter(col("media_id") % 4 =!= 0)),
-          fps(mixed.filter(col("media_id") % 4 === 0)),
+          baseBanded, deltaBanded, deltaFp248.select(col("media_id")),
+          MediaDedupMaintenance.touchedCells(deltaBanded),
           maxDist = 2, chunks = 4)
           .queryExecution.executedPlan)
     }
