@@ -9298,6 +9298,24 @@ object Catalog {
       UNION ALL
       SELECT doc_id, 'video', lo, hi FROM vh"""))
 
+  /** Scene cuts over ENTROPY-CODED inter clips — the codec ladder's
+    * next rung ([[graft.ext.Video.sceneCutsInterEntropy]]): q247's
+    * fixture re-muxed with the residual planes RLE + canonical-
+    * Huffman coded ([[graft.ext.Entropy]] — the DEFLATE-style
+    * lengths-only code table in each `00dp` GRES body), so a
+    * predicted frame's pixels now exist only after a REAL entropy
+    * decode (bit-unpacking a canonical Huffman stream, expanding run
+    * pairs) plus reference reconstruction. The oracle is q237's
+    * VERBATIM (reused by reference, as q247 did): a hash match
+    * proves the entropy stage bit-lossless through the whole
+    * container round-trip. What remains out of codec scope after
+    * this rung is only arithmetic/CABAC coding and real H.264/VP9
+    * bitstream syntax. */
+  private val q253 = Q("q253_video_entropy_scene_cuts",
+    (s, dir) => graft.ext.Video.sceneCutsInterEntropy(
+      s, t(s, dir, "documents"), "doc_id"),
+    q247.oracle)
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9327,5 +9345,5 @@ object Catalog {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252)
+    q251, q252, q253)
 }

@@ -89,6 +89,91 @@ class Round13Spec extends SparkSpec {
       "logical store lost media through the banded layout")
   }
 
+  test("entropy codec: RLE + canonical Huffman round-trips byte-exact " +
+      "on zero, dense, single-symbol and full-alphabet planes; the " +
+      "all-zero plane compresses to a sliver; corruption is loud") {
+    import graft.ext.Entropy
+    val w = 96; val h = 100; val n = w * h
+    def roundTrip(plane: Array[Byte]): Unit = {
+      val enc = Entropy.encodePlane(plane, w, h)
+      val (dec, dw, dh) = Entropy.decodePlane(enc)
+      assert(dw == w && dh == h, "geometry lost through the codec")
+      assert(java.util.Arrays.equals(dec, plane),
+        "entropy round-trip changed plane bytes")
+    }
+    val zero = new Array[Byte](n)
+    roundTrip(zero)
+    // the all-zero residual (a within-scene predicted frame) must
+    // collapse: sparse code table + a few dozen run pairs
+    val zeroEnc = Entropy.encodePlane(zero, w, h)
+    assert(zeroEnc.length < 64,
+      s"all-zero plane encoded to ${zeroEnc.length} bytes — " +
+        "RLE or the sparse code table is not biting")
+    roundTrip(Array.tabulate(n)(i =>
+      ((i * 2654435761L) % 256).toByte)) // dense pseudo-random
+    roundTrip(Array.fill(n)(123.toByte)) // single symbol
+    roundTrip(Array.tabulate(n)(i => (i % 256).toByte)) // full alphabet
+    roundTrip(Array.tabulate(n)(i =>
+      if (i % 97 == 0) 7.toByte else 0.toByte)) // sparse (typical cut)
+    // corruption: truncated bitstream and bad magic must name the
+    // problem, never hand back a wrong plane
+    val enc = Entropy.encodePlane(
+      Array.tabulate(n)(i => ((i * 31) % 256).toByte), w, h)
+    intercept[IllegalArgumentException] {
+      Entropy.decodePlane(java.util.Arrays.copyOf(enc, enc.length - 8))
+    }
+    intercept[IllegalArgumentException] {
+      val bad = enc.clone(); bad(0) = 'X'.toByte
+      Entropy.decodePlane(bad)
+    }
+  }
+
+  test("entropy-coded inter container: mux -> demux -> entropy decode " +
+      "-> reconstruct is bit-lossless vs the source rasters, and the " +
+      "intra walk still refuses the container loudly") {
+    import graft.ext.{Images, Video}
+    val codec = new Images.MediaCodec()
+    try {
+      def px(img: java.awt.image.BufferedImage): Seq[Int] =
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          yield img.getRaster.getSample(x, y, 0)
+      // pid 12: cut at frame 2 — a PREDICTED frame, so the dense
+      // scene-difference residual goes through the entropy stage;
+      // pid 11: cut lands on a keyframe, all residuals all-zero
+      Seq(11L, 12L).foreach { pid =>
+        val rasters = (0 until Video.nFrames(pid)).map { f =>
+          Images.renderPatternImage(Video.framePid(pid, f),
+            Video.FrameW, Video.FrameH)
+        }
+        val avi = Video.muxAviInterEntropy(rasters, codec)
+        val back = Video.demuxFramesInter(avi, codec).toSeq
+        assert(back.size == rasters.size, s"pid $pid: frame count changed")
+        back.foreach { case (i, img) =>
+          assert(px(img) == px(rasters(i)),
+            s"pid $pid frame $i pixels changed through the " +
+              "entropy-coded chain")
+        }
+        val ex = intercept[IllegalArgumentException] {
+          Video.demuxFrames(avi).toSeq
+        }
+        assert(ex.getMessage.contains("00dp"),
+          "intra walk must name the inter chunk it refuses")
+      }
+      // on the all-zero-residual clip the entropy container must beat
+      // the PNG-residual inter container (the stage must EARN its
+      // rung where prediction makes residuals trivial)
+      val rasters11 = (0 until Video.nFrames(11L)).map { f =>
+        Images.renderPatternImage(Video.framePid(11L, f),
+          Video.FrameW, Video.FrameH)
+      }
+      val ent = Video.muxAviInterEntropy(rasters11, codec).length
+      val png = Video.muxAviInter(rasters11, codec).length
+      assert(ent < png,
+        s"entropy container ${ent}B vs PNG-residual ${png}B — " +
+          "the entropy stage saved nothing")
+    } finally codec.dispose()
+  }
+
   test("manifest-backed file stream == vanilla binaryFile stream: " +
       "same landing, identical pair surface") {
     val docs = (0L until 180L).toDF("doc_id")
