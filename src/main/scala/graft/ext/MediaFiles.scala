@@ -87,9 +87,14 @@ object MediaFiles {
 
   /** Write the `kind=<sniffed>/` partitioned layout: same files, one
     * subdirectory per modality, discoverable as a partition column by
-    * any Spark file source. File names still lie; directories don't. */
-  def writeMediaFilesPartitioned(media: DataFrame, dir: String): Unit =
-    media.select(col("media_id").cast("long"), col("payload"))
+    * any Spark file source. File names still lie; directories don't.
+    * Stamps deterministic mtimes from an `mtime_ms` column when
+    * present ([[writeMediaFiles]]'s incremental-ingest clock). */
+  def writeMediaFilesPartitioned(media: DataFrame, dir: String): Unit = {
+    val stamped = media.columns.contains("mtime_ms")
+    val cols = Seq(col("media_id").cast("long"), col("payload")) ++
+      (if (stamped) Seq(col("mtime_ms").cast("long")) else Nil)
+    media.select(cols: _*)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         rows.foreach { r =>
           val id = r.getLong(0)
@@ -97,9 +102,12 @@ object MediaFiles {
           val kind = Multimodal.sniffKind(p)
           val sub = Paths.get(dir, s"kind=$kind")
           Files.createDirectories(sub) // idempotent, race-safe
-          Files.write(sub.resolve(fileName(id, kind)), p)
+          val f = Files.write(sub.resolve(fileName(id, kind)), p)
+          if (stamped) Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(r.getLong(2)))
         }
       }
+  }
 
   /** Coalesce target for a media file scan under `dir` — the
     * SMALL-FILES law, measured: the file sources' bin-packing charges

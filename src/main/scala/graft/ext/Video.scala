@@ -608,4 +608,237 @@ object Video {
       idCol: String): DataFrame =
     cutsOf(frameHashesInter(spark,
       syntheticAviInterEntropyFrame(spark, docs, idCol)))
+
+  // ------------------------------------------------- audio track (01wb)
+
+  /** Mux video frames AND an audio track into one AVI — the
+    * two-stream interleaved layout real containers use: stream 0 is
+    * the `vids` PNG intra stream (as [[muxAvi]]), stream 1 is an
+    * `auds` 16-bit mono PCM stream whose samples ride `01wb` chunks
+    * interleaved one-per-frame through the `movi` list (the classic
+    * AVI interleave, so a player never seeks far for the frame's
+    * sound). The `strf` is a standard WAVEFORMATEX (PCM, 1 channel,
+    * [[Audio.SampleRate]], 16 bits). Audio chunks are always
+    * index-flagged AVIIF_KEYFRAME (PCM has no inter-sample
+    * dependence). */
+  def muxAviAv(frames: Seq[Array[Byte]], samples: Array[Short],
+      w: Int, h: Int, fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "cannot mux an empty clip")
+    val maxBuf = frames.map(_.length).max
+    val rate = Audio.SampleRate.toInt
+    val avih = {
+      val b = new ByteArrayOutputStream()
+      b.write(le32(1000000 / fps)); b.write(le32(maxBuf * fps))
+      b.write(le32(0)); b.write(le32(0x10)) // AVIF_HASINDEX
+      b.write(le32(frames.length)); b.write(le32(0))
+      b.write(le32(2)) // TWO streams
+      b.write(le32(maxBuf)); b.write(le32(w)); b.write(le32(h))
+      (0 until 4).foreach(_ => b.write(le32(0)))
+      b.toByteArray
+    }
+    val strhV = {
+      val b = new ByteArrayOutputStream()
+      b.write(fourcc("vids")); b.write(fourcc("MPNG"))
+      b.write(le32(0)); b.write(le32(0)); b.write(le32(0))
+      b.write(le32(1)); b.write(le32(fps))
+      b.write(le32(0)); b.write(le32(frames.length))
+      b.write(le32(maxBuf)); b.write(le32(-1)); b.write(le32(0))
+      b.write(le32(0)); b.write(le32((h << 16) | w))
+      b.toByteArray
+    }
+    val strfV = {
+      val b = new ByteArrayOutputStream()
+      b.write(le32(40)); b.write(le32(w)); b.write(le32(h))
+      b.write(le32((24 << 16) | 1))
+      b.write(fourcc("MPNG")); b.write(le32(w * h * 3))
+      b.write(le32(0)); b.write(le32(0)); b.write(le32(0)); b.write(le32(0))
+      b.toByteArray
+    }
+    val strhA = {
+      val b = new ByteArrayOutputStream()
+      b.write(fourcc("auds")); b.write(le32(0)) // handler: raw PCM
+      b.write(le32(0)); b.write(le32(0)); b.write(le32(0))
+      b.write(le32(1)); b.write(le32(rate)) // scale/rate: samples/sec
+      b.write(le32(0)); b.write(le32(samples.length))
+      b.write(le32(rate * 2)); b.write(le32(-1))
+      b.write(le32(2)) // sampleSize: 2 bytes per mono 16-bit sample
+      b.write(le32(0)); b.write(le32(0))
+      b.toByteArray
+    }
+    val strfA = { // WAVEFORMATEX, PCM mono 16-bit
+      val b = new ByteArrayOutputStream()
+      b.write(Array((1 & 0xff).toByte, 0.toByte)) // wFormatTag = PCM
+      b.write(Array((1 & 0xff).toByte, 0.toByte)) // nChannels = 1
+      b.write(le32(rate)); b.write(le32(rate * 2))
+      b.write(Array((2 & 0xff).toByte, 0.toByte)) // nBlockAlign
+      b.write(Array((16 & 0xff).toByte, 0.toByte)) // wBitsPerSample
+      b.toByteArray
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++
+        list("strl", chunk("strh", strhV) ++ chunk("strf", strfV)) ++
+        list("strl", chunk("strh", strhA) ++ chunk("strf", strfA)))
+    // interleave: frame i's video chunk, then its audio slice (the
+    // samples split near-evenly across frames; a short clip's tail
+    // frames may carry no sound — their 01wb chunk is simply absent)
+    val per = (samples.length + frames.length - 1) / frames.length
+    val pcmOf = (i: Int) => {
+      val from = math.min(i * per, samples.length)
+      val to = math.min(from + per, samples.length)
+      val b = new Array[Byte]((to - from) * 2)
+      var k = from
+      while (k < to) {
+        b(2 * (k - from)) = (samples(k) & 0xff).toByte
+        b(2 * (k - from) + 1) = ((samples(k) >> 8) & 0xff).toByte
+        k += 1
+      }
+      b
+    }
+    val moviBody = new ByteArrayOutputStream()
+    val offsets =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    frames.zipWithIndex.foreach { case (f, i) =>
+      offsets += (("00dc", moviBody.size() + 4, f.length))
+      moviBody.write(chunk("00dc", f))
+      val pcm = pcmOf(i)
+      if (pcm.nonEmpty) {
+        offsets += (("01wb", moviBody.size() + 4, pcm.length))
+        moviBody.write(chunk("01wb", pcm))
+      }
+    }
+    val movi = list("movi", moviBody.toByteArray)
+    val idx1 = {
+      val b = new ByteArrayOutputStream()
+      offsets.foreach { case (id, off, len) =>
+        b.write(fourcc(id)); b.write(le32(0x10)) // both keyframe-class
+        b.write(le32(off)); b.write(le32(len))
+      }
+      b.toByteArray
+    }
+    val body = fourcc("AVI ") ++ hdrl ++ movi ++ chunk("idx1", idx1)
+    val out = new ByteArrayOutputStream()
+    out.write(fourcc("RIFF")); out.write(le32(body.length))
+    out.write(body)
+    out.toByteArray
+  }
+
+  /** Demux the AUDIO track: concatenate the `01wb` chunks' PCM in
+    * container order back into 16-bit LE mono samples — the inverse
+    * of [[muxAviAv]]'s interleave, byte-exact (spec-pinned). Loud on
+    * a container with no audio stream and on odd-length PCM (a torn
+    * 16-bit sample is corruption, not sound). The video-chunk walks
+    * ([[demuxFrames]]/[[demuxFramesInter]]) skip `01wb` untouched —
+    * each track's reader sees only its own stream. */
+  def demuxAudioSamples(avi: Array[Byte]): Array[Short] = {
+    require(avi.length >= 12 && cc(avi, 0) == "RIFF" &&
+      cc(avi, 8) == "AVI ", "payload is not a RIFF/AVI container")
+    val offsets =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = cc(avi, off)
+        val size = rdLe32(avi, off + 4)
+        if (size < 0 || off + 8 + size > to)
+          throw new IllegalArgumentException(
+            s"corrupt RIFF chunk '$id' at offset $off: size $size " +
+              s"exceeds container bound $to")
+        if (id == "LIST") walk(off + 12, off + 8 + size)
+        else if (id == "01wb") offsets += ((off + 8, size))
+        off += 8 + size + (size % 2)
+      }
+    }
+    val declared = rdLe32(avi, 4)
+    require(declared >= 4 && 8 + declared <= avi.length,
+      s"corrupt RIFF header: declared size $declared vs ${avi.length}")
+    walk(12, 8 + declared)
+    require(offsets.nonEmpty,
+      "container has no audio track (no 01wb chunks)")
+    val total = offsets.map(_._2).sum
+    require(total % 2 == 0, s"torn 16-bit PCM: $total bytes")
+    val out = new Array[Short](total / 2)
+    var o = 0
+    offsets.foreach { case (off, len) =>
+      var k = 0
+      while (k < len) {
+        out(o) = (((avi(off + k + 1) & 0xff) << 8) |
+          (avi(off + k) & 0xff)).toShort
+        o += 1; k += 2
+      }
+    }
+    out
+  }
+
+  final case class AvAudit(media_id: Long, n_frames: Int, n_cuts: Long,
+      n_samples: Long, sum_abs: Long, n_zero_cross: Long,
+      fp_lo: Long, fp_hi: Long)
+
+  /** The synthetic AUDIO+VIDEO container frame: video frames exactly
+    * as [[syntheticAviFrame]] (the q237 pixel formulas), audio track
+    * exactly as the WAV fixture ([[Audio.sampleAt]]/[[Audio.clipLen]]
+    * with the corpus copy/perturb rules) — one payload carrying both
+    * modalities' designed content, each replayable by formula. */
+  def syntheticAviAvFrame(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    Images.spreadIds(spark, docs, idCol)
+      .mapPartitions { ids =>
+        val codec = Images.partitionCodec()
+        ids.map { id =>
+          val pid = Images.baseId(id)
+          val frames = (0 until nFrames(pid)).map { f =>
+            codec.encode(Images.renderPatternImage(framePid(pid, f),
+              FrameW, FrameH))
+          }
+          val samples = Array.tabulate(Audio.clipLen(pid))(i =>
+            Audio.sampleAt(pid, Images.isPerturbed(id), i))
+          AviRow(id, muxAviAv(frames, samples, FrameW, FrameH))
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("payload"),
+        struct(lit("video").as("kind"),
+          octet_length(col("payload")).as("n_bytes")).as("meta"))
+  }
+
+  /** WITHIN-CONTAINER cross-modal audit: demux BOTH tracks of each
+    * AV payload in one pass — the video stream through demux +
+    * decode + dHash + consecutive-frame Hamming (frame count and
+    * scene-cut count), the audio stream through the full q235
+    * feature chain (sample count, energy, zero crossings, 64-bit
+    * energy-gradient fingerprint) — and emit them PAIRED on the one
+    * media_id the container carries. This is the audit a multimodal
+    * corpus needs before training on A/V pairs: both modalities'
+    * fingerprints provably extracted from the SAME file, not joined
+    * from sibling tables. Map-only per clip; output ≤ 60 bytes/row. */
+  def avConsistency(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    syntheticAviAvFrame(spark, docs, idCol)
+      .select(col("media_id"), col("payload")).as[AviRow]
+      .mapPartitions { rows =>
+        val codec = Images.partitionCodec()
+        rows.map { r =>
+          var n = 0; var cuts = 0L; var prev = 0L
+          demuxFrames(r.payload).foreach { case (i, png) =>
+            val h = Images.dHash64(Images.gridOf(codec.decode(png)))
+            if (i > 0 && java.lang.Long.bitCount(h ^ prev) > 0) cuts += 1
+            prev = h; n += 1
+          }
+          val s = demuxAudioSamples(r.payload)
+          var sumAbs = 0L; var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sumAbs += math.abs(v)
+            if (i > 0 && ((s(i - 1) < 0) != (v < 0))) zc += 1
+            i += 1
+          }
+          val fp = Audio.fingerprint64(s)
+          AvAudit(r.media_id, n, cuts, s.length.toLong, sumAbs, zc,
+            fp & 0xffffffffL, fp >>> 32)
+        }
+      }
+      .toDF()
+  }
 }

@@ -9316,6 +9316,129 @@ object Catalog {
       s, t(s, dir, "documents"), "doc_id"),
     q247.oracle)
 
+  /** COMPOSED file-boundary prunings — q250's modality partition
+    * pruning AND q252's watermark listing cut on ONE scan: the mixed
+    * corpus lands in the `kind=<sniffed>/` layout in two arrival
+    * waves (writer-stamped mtimes, odd ids one hour later), and an
+    * incremental audio-only pass reads with `modifiedAfter =
+    * T+30min` + `kind = 'audio'` — the watermark prunes
+    * already-ingested files at LISTING time and the partition filter
+    * prunes the other modalities' directories from what remains, so
+    * the scan touches exactly the late-wave audio files (Round13Spec
+    * pins both prunings on the one scan's report and file counts).
+    * The surviving payloads run the real WAV decode; the oracle is
+    * q250's feature surface restricted to the late wave, so a
+    * watermark off-by-one, a partition-filter miss, or any decode
+    * deviation hash-mismatches. */
+  private val q254 = Q("q254_binary_pruned_incremental",
+    (s, dir) => withScratchDir(s, "q254land") { landing =>
+      val base = 1767225600000L // 2026-01-01T00:00:00Z
+      graft.ext.MediaFiles.writeMediaFilesPartitioned(
+        graft.ext.Multimodal.syntheticMixedFrame(s,
+            t(s, dir, "documents"), "doc_id")
+          .withColumn("mtime_ms",
+            lit(base) + (col("media_id") % 2) * lit(3600000L)),
+        landing)
+      graft.ext.Audio.features(s,
+        graft.ext.MediaFiles.readMediaFilesModifiedAfter(s, landing,
+            "2026-01-01T00:30:00")
+          .filter(col("kind") === "audio")
+          .select(col("media_id"), col("payload")))
+    },
+    q250.oracle.map(_.replace("FROM documents)",
+      "FROM documents WHERE doc_id % 2 = 1)")))
+
+  /** WITHIN-CONTAINER cross-modal audit
+    * ([[graft.ext.Video.avConsistency]]): the corpus' clips are real
+    * TWO-STREAM AVIs — PNG video chunks and an interleaved 16-bit
+    * PCM audio track in `01wb` chunks ([[graft.ext.Video.muxAviAv]])
+    * — and ONE demux pass per payload extracts both modalities'
+    * surfaces: frame count + scene-cut count through the video
+    * walk's decode-dHash-Hamming chain, and the full q235 audio
+    * feature set (sample count, energy, zero crossings, 64-bit
+    * energy-gradient fingerprint) from the reassembled PCM. The
+    * pairing is earned from the FILE, not joined from sibling
+    * tables — the audit a corpus needs before training on A/V
+    * pairs. The oracle replays BOTH tracks' analytic formulas (the
+    * q237 pixel chain and the q235 sample chain) joined per doc, so
+    * a track mix-up, an interleave bug, or either codec deviating
+    * hash-mismatches. */
+  private val q255 = Q("q255_av_container_audit",
+    (s, dir) => graft.ext.Video.avConsistency(
+      s, t(s, dir, "documents"), "doc_id"),
+    Some("""WITH b AS (SELECT doc_id,
+        CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+             WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+             ELSE doc_id END AS pid,
+        (doc_id > 6 AND doc_id % 50 = 7) AS pert
+        FROM documents),
+      fr AS (SELECT doc_id, f,
+          (pid * 8 + CASE WHEN f >= 2 + pid % 3 THEN 1 ELSE 0 END)
+            * 2654435761 % 2147483647 AS m
+        FROM b, range(9) r(f) WHERE f < 4 + pid % 5),
+      cell AS (SELECT doc_id, f, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx)*(cx*4+dx) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx) + 5*(cy*4+dy)*(cy*4+dy) + 2))
+            % 256) // 16 AS g
+        FROM fr, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, f, cx, cy),
+      vbits AS (SELECT l.doc_id, l.f, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM cell l JOIN cell r ON r.doc_id = l.doc_id AND r.f = l.f
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      h AS (SELECT doc_id, f,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM vbits GROUP BY doc_id, f),
+      vc AS (SELECT a.doc_id,
+          CAST(count(*) FILTER (WHERE
+            bit_count(xor(a.lo, p.lo)) + bit_count(xor(a.hi, p.hi)) > 0)
+            AS BIGINT) AS n_cuts
+        FROM h a JOIN h p ON p.doc_id = a.doc_id AND p.f = a.f - 1
+        GROUP BY a.doc_id),
+      ad AS (SELECT doc_id, (pid * 2654435761) % 2147483647 AS m, pert,
+        400 + (pid * 11) % 257 AS n FROM b),
+      sa AS (SELECT doc_id, n, i,
+          ((m % 256 + 1) * (5*i + 7)
+            + ((m // 256) % 256) * ((i*i) % 1009)
+            + CASE WHEN pert AND i < 8 THEN 128 ELSE 0 END)
+            % 65536 - 32768 AS v
+        FROM ad, range(657) r(i) WHERE i < n),
+      zc0 AS (SELECT doc_id, v,
+          lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM sa),
+      feat AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+          CAST(sum(abs(v)) AS BIGINT) AS sum_abs FROM sa GROUP BY doc_id),
+      zcc AS (SELECT doc_id, CAST(count(*) FILTER (WHERE pv IS NOT NULL
+          AND ((pv < 0) <> (v < 0))) AS BIGINT) AS n_zero_cross
+        FROM zc0 GROUP BY doc_id),
+      abins AS (SELECT doc_id, (i * 65) // n AS bin, sum(abs(v)) AS e
+        FROM sa GROUP BY doc_id, (i * 65) // n),
+      abits AS (SELECT l.doc_id, l.bin AS k,
+          CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+        FROM abins l JOIN abins r ON r.doc_id = l.doc_id
+          AND r.bin = l.bin + 1
+        WHERE l.bin < 64),
+      afp AS (SELECT doc_id,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS fp_lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS fp_hi
+        FROM abits GROUP BY doc_id)
+      SELECT b.doc_id AS media_id,
+        CAST(4 + b.pid % 5 AS INT) AS n_frames, vc.n_cuts,
+        f.n_samples, f.sum_abs, z.n_zero_cross, p.fp_lo, p.fp_hi
+      FROM b JOIN vc ON vc.doc_id = b.doc_id
+        JOIN feat f ON f.doc_id = b.doc_id
+        JOIN zcc z ON z.doc_id = b.doc_id
+        JOIN afp p ON p.doc_id = b.doc_id"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9345,5 +9468,5 @@ object Catalog {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253)
+    q251, q252, q253, q254, q255)
 }

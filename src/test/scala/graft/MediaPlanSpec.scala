@@ -26,7 +26,8 @@ class MediaPlanSpec extends SparkSpec {
     "q238_audio_pitch", "q239_crossmodal_consistency",
     "q240_image_dhash_delta", "q241_video_pack",
     "q242_unified_media_fp", "q244_image_mirror_dedup",
-    "q247_video_inter_scene_cuts")
+    "q247_video_inter_scene_cuts", "q253_video_entropy_scene_cuts",
+    "q255_av_container_audit")
 
   private def auditPlan(name: String,
       plan: org.apache.spark.sql.execution.SparkPlan): Unit = {

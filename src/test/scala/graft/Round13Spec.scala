@@ -174,6 +174,85 @@ class Round13Spec extends SparkSpec {
     } finally codec.dispose()
   }
 
+  test("composed file prunings (q254): one binaryFile scan carries " +
+      "BOTH the kind partition filter and the modifiedAfter listing " +
+      "cut — it lists only late-wave files and reads only the audio " +
+      "ones") {
+    import graft.ext.{MediaFiles, Multimodal}
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 120)
+    val base = 1767225600000L
+    val media = Multimodal.syntheticMixedFrame(spark, docs, "doc_id")
+      .withColumn("mtime_ms",
+        lit(base) + (col("media_id") % 2) * lit(3600000L))
+    val landing = tmpDir("composed")
+    MediaFiles.writeMediaFilesPartitioned(media, landing)
+    val total = media.count()
+    val late = media.filter(col("media_id") % 2 === 1).count()
+    val lateAudio = media.filter(col("media_id") % 2 === 1 &&
+      col("media_id") % 3 === 1).count()
+    assert(lateAudio > 0 && late < total, "fixture degenerate")
+    graft.streaming.EventsStream.withConf(spark,
+      Seq("spark.sql.adaptive.enabled" -> "false")) {
+      val scan = MediaFiles.readMediaFilesModifiedAfter(spark, landing,
+          "2026-01-01T00:30:00")
+        .filter(col("kind") === "audio")
+        .select(col("media_id"), col("payload"))
+      scan.collect() // fill scan metrics
+      val scans = scan.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.size == 1, s"expected one scan, got ${scans.size}")
+      val f = scans.head
+      // listing cut: the file index holds ONLY late-wave files
+      assert(f.relation.location.inputFiles.length == late,
+        "modifiedAfter did not prune the early wave at listing time")
+      // partition cut: of those, only the audio dir's files are read
+      assert(f.metadata.getOrElse("PartitionFilters", "")
+        .contains("kind"),
+        "kind partition filter missing from the composed scan")
+      assert(f.metrics("numFiles").value == lateAudio,
+        s"scan read ${f.metrics("numFiles").value} files, expected " +
+          s"the $lateAudio late-wave audio files")
+    }
+  }
+
+  test("AV container: the audio track round-trips sample-exact " +
+      "through interleaved 01wb chunks, the video walk still sees " +
+      "exactly its frames, and a track-less container is loud") {
+    import graft.ext.{Audio, Images, Video}
+    val codec = new Images.MediaCodec()
+    try {
+      val pid = 23L
+      val frames = (0 until Video.nFrames(pid)).map { f =>
+        codec.encode(Images.renderPatternImage(Video.framePid(pid, f),
+          Video.FrameW, Video.FrameH))
+      }
+      val samples = Array.tabulate(Audio.clipLen(pid))(i =>
+        Audio.sampleAt(pid, perturb = false, i))
+      val avi = Video.muxAviAv(frames, samples, Video.FrameW,
+        Video.FrameH)
+      // audio: sample-exact through the interleave
+      assert(Video.demuxAudioSamples(avi).toSeq == samples.toSeq,
+        "audio samples changed through the 01wb interleave")
+      // video: same frames, audio chunks invisible to the video walk
+      val backFrames = Video.demuxFrames(avi).toSeq
+      assert(backFrames.size == frames.size,
+        "audio interleave changed the video frame count")
+      backFrames.foreach { case (i, bytes) =>
+        assert(java.util.Arrays.equals(bytes, frames(i)),
+          s"frame $i bytes changed in the AV container")
+      }
+      // an audio-less container must refuse the audio demux loudly
+      val videoOnly = Video.muxAvi(frames, Video.FrameW, Video.FrameH)
+      val ex = intercept[IllegalArgumentException] {
+        Video.demuxAudioSamples(videoOnly)
+      }
+      assert(ex.getMessage.contains("01wb"),
+        "audio demux must name the missing track")
+    } finally codec.dispose()
+  }
+
   test("manifest-backed file stream == vanilla binaryFile stream: " +
       "same landing, identical pair surface") {
     val docs = (0L until 180L).toDF("doc_id")
