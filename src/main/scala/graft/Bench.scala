@@ -2,6 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // scratch on tmpfs BEFORE Spark starts: the round-12 bench's 5-7x
+    // per-query inflation was the file-landing/stream queries' disk
+    // writeback bleeding into neighbors (Scratch's doc has the
+    // numbers) — on tmpfs the interference class does not exist
+    Scratch.preferTmpfs()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

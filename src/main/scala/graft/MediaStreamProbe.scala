@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions.col
   */
 object MediaStreamProbe {
   def main(args: Array[String]): Unit = {
+    Scratch.preferTmpfs()
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val mode = if (args.length > 1) args(1) else "manifest"
     val spark = SparkSession.builder().master("local[32]")
@@ -34,7 +35,7 @@ object MediaStreamProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dirs = Seq("store", "pairs", "ckpt", "land")
-      .map(k => java.nio.file.Files.createTempDirectory("msp" + k))
+      .map(k => Scratch.createTempDir("msp" + k))
     try {
       val Seq(store, pairs, ckpt, landing) = dirs.map(_.toString)
       val t0 = System.nanoTime()

@@ -3,6 +3,7 @@ import org.apache.spark.sql.SparkSession
 // dev probe: time one query, optionally print the formatted plan
 object QueryProbe {
   def main(args: Array[String]): Unit = {
+    Scratch.preferTmpfs()
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val doExplain = args.length > 2 && args(2) == "explain"

@@ -14,6 +14,7 @@ import scala.collection.mutable.ArrayBuffer
   * swing was pinned and fixed in round 12. */
 object StageProbe {
   def main(args: Array[String]): Unit = {
+    Scratch.preferTmpfs()
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")

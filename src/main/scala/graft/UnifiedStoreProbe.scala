@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions.col
   */
 object UnifiedStoreProbe {
   def main(args: Array[String]): Unit = {
+    Scratch.preferTmpfs()
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val storeDocs = if (args.length > 1) args(1).toInt else 25000
     val deltaDocs = if (args.length > 2) args(2).toInt else 200
@@ -29,7 +30,7 @@ object UnifiedStoreProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dirs = Seq("store", "pairs", "land")
-      .map(k => java.nio.file.Files.createTempDirectory("usp" + k))
+      .map(k => Scratch.createTempDir("usp" + k))
     try {
       val Seq(store, pairs, landing) = dirs.map(_.toString)
       val docs = spark.read.parquet(s"$dir/documents.parquet")

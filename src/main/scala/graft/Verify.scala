@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    Scratch.preferTmpfs() // scratch on tmpfs (see Scratch's doc)
     val sfDir = args(0)
     val outDir = args(1)
     // optional third arg: comma-separated query-name subset (local iteration)

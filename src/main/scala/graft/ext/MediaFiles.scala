@@ -122,23 +122,23 @@ object MediaFiles {
     * parallelism, ceil(actual archive bytes / maxPartitionBytes)), so
     * a large-payload archive keeps enough tasks that no task
     * serializes more than ~one maxPartitionBytes of payload — only
-    * the openCost INFLATION is squashed. Sizing comes from one
-    * driver-side recursive listing of `dir` (the same metadata walk
-    * the file source performs anyway; payload bytes are not read). */
-  private def packTarget(spark: SparkSession, dir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var bytes = 0L
-    if (fs.exists(p)) {
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) bytes += it.next().getLen
-    }
+    * the openCost INFLATION is squashed. Sizing comes from the
+    * relation's OWN statistics — Spark's parallel file index already
+    * carries the byte total from the listing the source performs
+    * anyway. (A previous version re-walked the dir with Hadoop's
+    * `fs.listFiles(p, true)`: measured 4.5 ms PER FILE on a local
+    * landing — 22.8 s for 5000 files, the per-file permission
+    * shell-out class — vs 0.16 s for Spark's own index of the same
+    * dir.) */
+  private def packTarget(spark: SparkSession, raw: DataFrame): Int = {
+    val bytes = raw.queryExecution.optimizedPlan.stats.sizeInBytes
     val maxPart = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(spark.conf
         .get("spark.sql.files.maxPartitionBytes", "128m"))
     val par =
       math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    math.max(par, math.ceil(bytes.toDouble / maxPart).toInt)
+    math.max(par,
+      ((bytes + maxPart - 1) / maxPart).min(BigInt(1 << 24)).toInt)
   }
 
   /** `coalesce` is NARROW — payload bytes never cross an exchange;
@@ -182,7 +182,7 @@ object MediaFiles {
       col("length").as("n_bytes"),
       col("content").as("payload")) ++
       raw.columns.filter(_ == "kind").map(col).toSeq
-    packScan(raw.select(cols: _*), packTarget(spark, dir))
+    packScan(raw.select(cols: _*), packTarget(spark, raw))
   }
 
   /** The binaryFile STREAMING source schema (fixed by the format):
@@ -213,10 +213,13 @@ object MediaFiles {
     // maintenance localCheckpoints each batch's fingerprints, so an
     // uncapped small-file scan partitioning would be frozen into
     // every downstream stage of every micro-batch. The byte-aware
-    // target is sized from the landing dir AT STREAM-START (files
-    // arriving later aren't counted — for a long-lived stream the
-    // session-parallelism floor still holds, and per-BATCH bytes are
-    // bounded by maxFilesPerTrigger anyway)
+    // target is sized from the landing dir AT STREAM-START via a
+    // throwaway batch index (files arriving later aren't counted —
+    // for a long-lived stream the session-parallelism floor still
+    // holds, and per-BATCH bytes are bounded by maxFilesPerTrigger
+    // anyway)
+    val target =
+      packTarget(spark, spark.read.format("binaryFile").load(dir))
     packScan(spark.readStream.format("binaryFile")
       .schema(BinaryFileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -225,7 +228,7 @@ object MediaFiles {
         regexp_extract(col("path"), "media_(\\d+)\\.[a-z]+$", 1)
           .cast("long").as("media_id"),
         col("content").as("payload")),
-      packTarget(spark, dir))
+      target)
   }
 
   // ------------------------------------------- manifest-backed ingest

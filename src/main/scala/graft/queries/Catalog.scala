@@ -6565,10 +6565,8 @@ object Catalog {
     * replay). */
   private val q210 = Q("q210_stream_hll",
     (s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("q210frag").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("q210ckpt").toString
+      val out = graft.Scratch.createTempDir("q210frag").toString
+      val ckpt = graft.Scratch.createTempDir("q210ckpt").toString
       val raw = EventsStream.streamParquet(s, s"$dir/documents.parquet")
       val hashed = raw.select(col("source"), explode(
         graft.functions.VectorFunctions.polyHashAll(
@@ -7459,8 +7457,7 @@ object Catalog {
     * the zero the contract promises. */
   private val q226 = Q("q226_json_roundtrip",
     (s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("q226json").toString
+      val out = graft.Scratch.createTempDir("q226json").toString
       val docs = t(s, dir, "documents")
       docs.write.mode("overwrite").json(out)
       val split = graft.sources.JsonSource.split(
@@ -7492,8 +7489,7 @@ object Catalog {
     * that the partitioned layout reassembles completely. */
   private val q227 = Q("q227_orc_roundtrip",
     (s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("q227orc").toString
+      val out = graft.Scratch.createTempDir("q227orc").toString
       graft.sources.OrcSource.write(
         t(s, dir, "lineitem").select(col("l_returnflag"),
           col("l_linestatus"), col("l_quantity"),
@@ -7526,8 +7522,7 @@ object Catalog {
     * format-fidelity trilogy (JSONL / ORC / CSV). */
   private val q228 = Q("q228_csv_roundtrip",
     (s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("q228csv").toString
+      val out = graft.Scratch.createTempDir("q228csv").toString
       val proj = t(s, dir, "lineitem").select(col("l_returnflag"),
         col("l_linestatus"), col("l_quantity"), col("l_extendedprice"))
       proj.write.mode("overwrite").option("header", "true")
@@ -8297,7 +8292,7 @@ object Catalog {
   private def withStreamDirs(s: SparkSession, tag: String)(
       body: (String, String, String, String) => DataFrame): DataFrame = {
     val dirs = Seq("store", "pairs", "ckpt", "land")
-      .map(k => java.nio.file.Files.createTempDirectory(tag + k))
+      .map(k => graft.Scratch.createTempDir(tag + k))
     try {
       val d = dirs.map(_.toString)
       val out = body(d(0), d(1), d(2), d(3))
@@ -8979,7 +8974,7 @@ object Catalog {
     * construction: callers return slim per-media or per-pair rows. */
   private def withScratchDir(s: SparkSession, tag: String)(
       body: String => DataFrame): DataFrame = {
-    val d = java.nio.file.Files.createTempDirectory(tag)
+    val d = graft.Scratch.createTempDir(tag)
     try {
       val out = body(d.toString)
       s.createDataFrame(out.collectAsList(), out.schema)
