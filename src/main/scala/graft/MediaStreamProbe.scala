@@ -34,10 +34,11 @@ object MediaStreamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dirs = Seq("store", "pairs", "ckpt", "land")
+    val dirs = Seq("store", "pairs", "ckpt", "land", "manifest")
       .map(k => Scratch.createTempDir("msp" + k))
     try {
-      val Seq(store, pairs, ckpt, landing) = dirs.map(_.toString)
+      val Seq(store, pairs, ckpt, landing, manifestBase) =
+        dirs.map(_.toString)
       val t0 = System.nanoTime()
       graft.ext.MediaFiles.writeMediaFiles(
         graft.ext.Multimodal.syntheticMixedFrameGrouped(spark,
@@ -50,7 +51,7 @@ object MediaStreamProbe {
           graft.ext.MediaFiles.streamMediaFiles(spark, landing,
             math.max(1, (nFiles + 3) / 4))
         case _ =>
-          val manifest = landing + "_manifest"
+          val manifest = s"$manifestBase/m"
           graft.ext.MediaFiles.appendManifest(spark, landing, manifest,
             manifestFiles = 4)
           graft.ext.MediaFiles.streamManifest(spark, manifest, 1)
@@ -66,9 +67,6 @@ object MediaStreamProbe {
         println(s"BATCH ${p.batchId} rows=${p.numInputRows} " +
           s"durationMs=${p.durationMs}")
       }
-      if (mode != "vanilla")
-        graft.Scratch.deleteRecursively(
-          java.nio.file.Paths.get(landing + "_manifest"))
     } finally {
       dirs.foreach(Scratch.deleteRecursively)
       spark.stop()

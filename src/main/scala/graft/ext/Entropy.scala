@@ -100,10 +100,12 @@ object Entropy {
       else { walk(n.l, d + 1); walk(n.r, d + 1) }
     walk(pq.poll(), 0)
     // depth is bounded by the Fibonacci growth of merge weights: a
-    // 32-deep code needs ~2M input bytes with pathological skew —
+    // 31-deep code needs ~1.3M input bytes with pathological skew —
     // far beyond a residual plane's RLE stream; refuse loudly rather
-    // than overflow the packing register
-    require(lens.max <= 32, s"Huffman depth ${lens.max} exceeds 32")
+    // than overflow the Int canonical-code register (a 32-deep code
+    // would wrap `code <<= 1` past Int.MaxValue and sign-extend into
+    // the packing accumulator)
+    require(lens.max <= 31, s"Huffman depth ${lens.max} exceeds 31")
     lens
   }
 
@@ -129,13 +131,11 @@ object Entropy {
 
   private val Magic = "GRES".getBytes("US-ASCII")
 
-  private def le32(v: Int): Array[Byte] = Array(
-    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-
-  private def rdLe32(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
-      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  // the ONE LE32 definition shared with the RIFF muxers (Video owns
+  // it — a third private copy of endianness math in this package is
+  // the drift class Commits/Scratch consolidation exists to prevent)
+  private def le32(v: Int): Array[Byte] = Video.le32(v)
+  private def rdLe32(b: Array[Byte], off: Int): Int = Video.rdLe32(b, off)
 
   /** Encode a `w`×`h` residual plane: RLE, then canonical Huffman,
     * framed with the GRES header. */
@@ -191,6 +191,15 @@ object Entropy {
     val nRle = rdLe32(bytes, 13)
     require(w > 0 && h > 0 && nRle >= 2,
       s"corrupt GRES header: w=$w h=$h nRle=$nRle")
+    // untrusted-header allocation bounds: a crafted nRle must not
+    // allocate gigabytes before the bitstream is even read (every
+    // symbol costs >= 1 bit, so nRle is bounded by the payload's bit
+    // count), and w*h must not overflow Int into a small allocation
+    require(nRle.toLong <= 8L * bytes.length,
+      s"corrupt GRES header: nRle=$nRle exceeds the bitstream's " +
+        s"capacity (${bytes.length} bytes)")
+    require(w.toLong * h <= (1L << 28),
+      s"corrupt GRES header: ${w}x$h plane exceeds the 2^28-pixel bound")
     val lens = new Array[Int](256)
     var bitsStart = 0
     if (mode == 0) {
@@ -210,8 +219,20 @@ object Entropy {
       bitsStart = 18 + 2 * used
     }
     val maxLen = lens.max
-    require(maxLen >= 1 && maxLen <= 32,
+    require(maxLen >= 1 && maxLen <= 31,
       s"corrupt GRES code table: max length $maxLen")
+    // an OVER-subscribed length table (Kraft sum > 1) assembles
+    // canonically into overlapping codes and can decode a WRONG
+    // symbol without tripping any other guard — the one corruption
+    // that would poison planes silently. (UNDER-subscription is safe:
+    // an unassigned code value fails the per-length range check and
+    // the bit loop runs out loudly.) Exception: a single used symbol
+    // carries the degenerate len-1 code, inherently incomplete.
+    val kraft = (0 until 256)
+      .map(s => if (lens(s) > 0) 1L << (maxLen - lens(s)) else 0L).sum
+    require(kraft <= (1L << maxLen),
+      s"corrupt GRES code table: over-subscribed prefix code " +
+        s"(Kraft sum $kraft > ${1L << maxLen})")
     // canonical decode tables: per length, the first code value and
     // the symbols of that length in canonical order
     val codes = canonicalCodes(lens)

@@ -218,8 +218,18 @@ object MediaFiles {
     // for a long-lived stream the session-parallelism floor still
     // holds, and per-BATCH bytes are bounded by maxFilesPerTrigger
     // anyway)
+    // a landing dir that does not exist YET is a legal stream start
+    // (the streaming source lists nothing until files arrive) — the
+    // throwaway batch index would refuse it, so fall back to the
+    // session-parallelism floor there rather than regress the lazy
+    // contract
     val target =
-      packTarget(spark, spark.read.format("binaryFile").load(dir))
+      try packTarget(spark, spark.read.format("binaryFile").load(dir))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          math.max(1,
+            spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      }
     packScan(spark.readStream.format("binaryFile")
       .schema(BinaryFileSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)

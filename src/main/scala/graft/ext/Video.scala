@@ -54,7 +54,8 @@ object Video {
 
   // ---------------------------------------------------------- RIFF mux
 
-  private def le32(v: Int): Array[Byte] = Array(
+  // shared with Entropy's GRES framing — the ONE LE32 definition
+  private[ext] def le32(v: Int): Array[Byte] = Array(
     (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
     ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
@@ -155,7 +156,7 @@ object Video {
 
   // -------------------------------------------------------- RIFF demux
 
-  private def rdLe32(b: Array[Byte], off: Int): Int =
+  private[ext] def rdLe32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
       ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
 

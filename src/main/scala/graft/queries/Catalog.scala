@@ -9340,8 +9340,15 @@ object Catalog {
           .filter(col("kind") === "audio")
           .select(col("media_id"), col("payload")))
     },
-    q250.oracle.map(_.replace("FROM documents)",
-      "FROM documents WHERE doc_id % 2 = 1)")))
+    q250.oracle.map { sql =>
+      val patched =
+        sql.replace("FROM documents)", "FROM documents WHERE doc_id % 2 = 1)")
+      // String.replace succeeds vacuously on zero matches — a reworded
+      // q250 oracle would otherwise leave q254 silently unfiltered
+      require(patched != sql,
+        "q254 oracle surgery no-opped — q250's oracle text changed")
+      patched
+    })
 
   /** WITHIN-CONTAINER cross-modal audit
     * ([[graft.ext.Video.avConsistency]]): the corpus' clips are real

@@ -33,9 +33,29 @@ object Commits {
     def committed(p: Path): Boolean =
       if (markersOn) fs.exists(new Path(p, "_SUCCESS"))
       else {
-        val entries = fs.listStatus(p).toSeq
-        entries.exists(e => e.isFile && e.getPath.getName.startsWith("part-")) &&
-        !entries.exists(e => e.getPath.getName == "_temporary")
+        // fragments may be PARTITIONED (kind=/band=/ subdirs — the
+        // banded unified store), so finalized part files can live
+        // one or two levels down; a top-level-only check would make
+        // a marker-less deployment silently merge ZERO banded
+        // fragments. Recurse shallowly: any finalized part-* file
+        // beneath commits, any _temporary staging dir anywhere
+        // un-commits (the committer renames out of it at commit).
+        def scan(dir: Path, depth: Int): (Boolean, Boolean) = {
+          val es = fs.listStatus(dir).toSeq
+          var part = es.exists(e =>
+            e.isFile && e.getPath.getName.startsWith("part-"))
+          var temp = es.exists(_.getPath.getName == "_temporary")
+          if (depth > 0)
+            es.filter(e => e.isDirectory &&
+                e.getPath.getName != "_temporary")
+              .foreach { d =>
+                val (p2, t2) = scan(d.getPath, depth - 1)
+                part ||= p2; temp ||= t2
+              }
+          (part, temp)
+        }
+        val (part, temp) = scan(p, depth = 3)
+        part && !temp
       }
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq.map(_.getPath)

@@ -217,6 +217,70 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("marker-less commit detection sees PARTITIONED fragments: " +
+      "part files two levels down commit, a nested _temporary " +
+      "un-commits") {
+    import graft.streaming.Commits
+    val dir = tmpDir("commitsPart")
+    val p = java.nio.file.Paths.get(dir)
+    val nested = p.resolve("batch=0").resolve("kind=image")
+      .resolve("band=3")
+    java.nio.file.Files.createDirectories(nested)
+    java.nio.file.Files.write(nested.resolve("part-000.parquet"),
+      Array[Byte](1))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
+    try {
+      assert(Commits.committedBatchDirs(spark, dir)
+        .map(_.getName) == Seq("batch=0"),
+        "marker-less mode must find part files beneath partition dirs")
+      // in-flight write: _temporary anywhere un-commits the fragment
+      java.nio.file.Files.createDirectories(
+        p.resolve("batch=0").resolve("kind=audio")
+          .resolve("_temporary"))
+      assert(Commits.committedBatchDirs(spark, dir).isEmpty,
+        "a nested _temporary staging dir must un-commit the fragment")
+    } finally hconf.setBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+  }
+
+  test("entropy decode refuses an over-subscribed code table loudly " +
+      "(the one corruption that could decode a WRONG plane silently)") {
+    import graft.ext.Entropy
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // hand-built GRES header: sparse mode, 3 symbols with lengths
+    // {1, 1, 2} — Kraft sum 2+2+1 = 5 > 2^2: canonical assembly would
+    // overlap codes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GRES".getBytes("US-ASCII")); out.write(1)
+    out.write(le32(4)); out.write(le32(4)) // w=h=4
+    out.write(le32(4)) // nRle
+    out.write(3) // used
+    Seq((0, 1), (1, 1), (2, 2)).foreach { case (s, l) =>
+      out.write(s); out.write(l)
+    }
+    out.write(0); out.write(0) // some bits
+    val ex = intercept[IllegalArgumentException] {
+      Entropy.decodePlane(out.toByteArray)
+    }
+    assert(ex.getMessage.contains("over-subscribed"),
+      s"must name the Kraft violation, got: ${ex.getMessage}")
+    // allocation bombs refused before any array is sized from the
+    // untrusted header
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write("GRES".getBytes("US-ASCII")); bomb.write(1)
+    bomb.write(le32(4)); bomb.write(le32(4))
+    bomb.write(le32(Int.MaxValue)) // nRle = 2^31-1
+    bomb.write(1); bomb.write(0); bomb.write(1)
+    bomb.write(0)
+    assert(intercept[IllegalArgumentException] {
+      Entropy.decodePlane(bomb.toByteArray)
+    }.getMessage.contains("capacity"))
+  }
+
   test("AV container: the audio track round-trips sample-exact " +
       "through interleaved 01wb chunks, the video walk still sees " +
       "exactly its frames, and a track-less container is loud") {
