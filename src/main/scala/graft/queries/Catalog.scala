@@ -9175,8 +9175,12 @@ object Catalog {
       graft.ext.MediaFiles.appendManifest(s, files, manifest,
         manifestFiles = 4)
       val src = graft.ext.MediaFiles.streamManifest(s, manifest, 1)
+      // compaction ON (fold the store every 2 batches): the pair
+      // surface must be invariant under folding — this query's hash
+      // is the proof, since q248 (uncompacted parquet-in) and the
+      // analytic oracle pin the same bytes
       val q = graft.streaming.MediaDedupMaintenance.startUnified(
-        src, store, pairs, ckpt)
+        src, store, pairs, ckpt, compactEvery = 2)
       q.awaitTermination()
       s.read.parquet(pairs)
         .select(col("doc_a"), col("doc_b"), col("hamming"), col("kind"))

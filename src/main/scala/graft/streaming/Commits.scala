@@ -19,6 +19,39 @@ import org.apache.spark.sql.SparkSession
   * marker-enabled deployment loses in-flight invisibility. */
 object Commits {
 
+  /** The compaction high-water mark of a fragment store — the batch
+    * id up to (and including) which fragments have been FOLDED into
+    * the store's `compact=<upTo>` base dir. Markers are VERSIONED
+    * files (`_compacted.<upTo>`, max wins) created atomically AFTER
+    * the compacted base commits and BEFORE any folded fragment is
+    * deleted — so every crash window leaves a correct view: marker
+    * missing → the un-folded fragments are still all present; marker
+    * present → the compacted base it names is committed. A
+    * rename-over-in-place single marker was rejected: its
+    * delete-then-rename gap can lose the marker AFTER folded
+    * fragments were deleted, which un-commits data. */
+  def compactedUpTo(spark: SparkSession, dir: String): Option[Long] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_compacted."))
+      .flatMap(_.stripPrefix("_compacted.").toLongOption)
+      .maxOption
+  }
+
+  /** Commit a compaction at `upTo`: atomically create the versioned
+    * marker (the compacted base `compact=<upTo>` must already be
+    * fully written). Older markers are left behind — max wins, and
+    * the next compaction's cleanup may remove them. */
+  def writeCompactionMarker(spark: SparkSession, dir: String,
+      upTo: Long): Unit = {
+    val marker = new Path(dir, s"_compacted.$upTo")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, false)
+    try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Committed `batch=<n>` fragment dirs under `dir`, optionally
     * bounded by `upToBatch` (None = everything). Non-`batch=<n>`
     * names — including non-numeric ids — are skipped, not thrown on.

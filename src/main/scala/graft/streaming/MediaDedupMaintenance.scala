@@ -166,25 +166,89 @@ object MediaDedupMaintenance {
     StructField("kind", StringType),
     StructField("band", IntegerType)))
 
-  /** The accumulated unified store in its banded on-disk form — same
-    * committed-fragment discipline as [[readFingerprints]]. Filters
-    * on (kind, band, bucket) prune fragment partitions at the scan. */
+  /** The accumulated unified store in its banded on-disk form: the
+    * COMPACTED base (fragments folded up to the marker's batch id —
+    * [[compactUnifiedStore]]) unioned with the committed TAIL
+    * fragments newer than it. A replayed batch is batch-id-stable
+    * (the checkpoint re-runs the same id), so a folded id's stray
+    * re-written fragment is excluded by the `> upTo` cut and the
+    * view stays exactly-once. Filters on (kind, band, bucket) prune
+    * partitions/files on BOTH sides of the union. */
   def readBandedUnifiedFingerprints(spark: SparkSession,
       storeDir: String): DataFrame = {
-    val dirs = Commits.committedBatchDirs(spark, storeDir)
-    if (dirs.isEmpty)
+    val upTo = Commits.compactedUpTo(spark, storeDir)
+    val tail = Commits.committedBatchDirs(spark, storeDir)
+      .filter(p => upTo.forall(u =>
+        p.getName.stripPrefix("batch=").toLong > u))
+    val parts =
+      upTo.map { u =>
+        // the compacted base has (kind, band) partition dirs but no
+        // batch level; the explicit schema's `batch` column fills null
+        spark.read.schema(bandedUnifiedSchema)
+          .option("basePath", s"$storeDir/compact=$u")
+          .parquet(s"$storeDir/compact=$u")
+      }.toSeq ++
+      (if (tail.isEmpty) Nil
+       else Seq(
+         // basePath makes batch=<n> a discovered partition column
+         // (the committed-dirs list still gates WHICH fragments are
+         // read); without it multi-fragment reads trip partition
+         // discovery's conflicting-structures check
+         spark.read.schema(bandedUnifiedSchema)
+           .option("basePath", storeDir)
+           .parquet(tail.map(_.toString): _*)))
+    if (parts.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         bandedUnifiedSchema)
-    else
-      // basePath makes batch=<n> a discovered partition column (the
-      // committed-dirs list still gates WHICH fragments are read);
-      // without it multi-fragment reads trip partition discovery's
-      // conflicting-structures check
-      spark.read.schema(bandedUnifiedSchema)
-        .option("basePath", storeDir)
-        .parquet(dirs.map(_.toString): _*)
-        .select(bandedUnifiedSchema.fieldNames.map(col): _*)
+    else parts
+      .map(_.select(bandedUnifiedSchema.fieldNames.map(col): _*))
+      .reduce(_.unionByName(_))
+  }
+
+  /** FOLD the unified store: merge the current compacted base (if
+    * any) and every committed fragment newer than it into ONE
+    * `compact=<upTo>` base — the LSM discipline that keeps a
+    * long-lived stream's per-batch listing cost O(1) instead of
+    * O(batches): without it the store accrues one fragment dir per
+    * micro-batch forever. The fold preserves the banded layout
+    * ((kind, band) dirs, bucket-sorted files), commits the versioned
+    * marker only after the base is fully written, and then deletes
+    * the folded inputs (older compact dirs, fragments ≤ upTo, older
+    * markers) — every crash window leaves a correct view (see
+    * [[Commits.compactedUpTo]]). No-op when there is nothing newer
+    * than the current base. */
+  def compactUnifiedStore(spark: SparkSession, storeDir: String): Unit = {
+    val prior = Commits.compactedUpTo(spark, storeDir)
+    val tail = Commits.committedBatchDirs(spark, storeDir)
+      .filter(p => prior.forall(u =>
+        p.getName.stripPrefix("batch=").toLong > u))
+    if (tail.isEmpty) return
+    val upTo = tail.map(_.getName.stripPrefix("batch=").toLong).max
+    readBandedUnifiedFingerprints(spark, storeDir)
+      .select(col("media_id"), col("dhash"), col("band_key"),
+        col("bucket"), col("kind"), col("band"))
+      .repartition(col("kind"), col("band"))
+      .sortWithinPartitions(col("kind"), col("band"), col("bucket"))
+      .write.mode("overwrite")
+      .partitionBy("kind", "band")
+      .parquet(s"$storeDir/compact=$upTo")
+    Commits.writeCompactionMarker(spark, storeDir, upTo)
+    // cleanup AFTER the marker commit: folded fragments, superseded
+    // bases, stale markers
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).foreach { e =>
+      val n = e.getPath.getName
+      val stale =
+        (n.startsWith("batch=") &&
+          n.stripPrefix("batch=").toLongOption.exists(_ <= upTo)) ||
+        (n.startsWith("compact=") &&
+          n.stripPrefix("compact=").toLongOption.exists(_ < upTo)) ||
+        (n.startsWith("_compacted.") &&
+          n.stripPrefix("_compacted.").toLongOption.exists(_ < upTo))
+      if (stale) fs.delete(e.getPath, true)
+    }
   }
 
   /** The accumulated MIXED-modality fingerprint store as (media_id,
@@ -316,11 +380,18 @@ object MediaDedupMaintenance {
 
   /** Start maintaining a unified mixed-modality fingerprint store +
     * per-kind pairs log from a streaming `source` of (media_id,
-    * payload) whose payloads mix PNG/JPEG/WAV/AVI row by row. */
+    * payload) whose payloads mix PNG/JPEG/WAV/AVI row by row.
+    * `compactEvery` > 0 folds the store every that-many batches
+    * ([[compactUnifiedStore]]) so fragment count — and with it the
+    * per-batch listing cost — stays bounded on a long-lived stream;
+    * the pair surface is provably unchanged (q251 runs with
+    * compaction ON against the same oracle as the uncompacted
+    * shapes). */
   def startUnified(source: DataFrame, storeDir: String,
       pairsDir: String, checkpointDir: String, maxDist: Int = 2,
       chunks: Int = 4,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -328,6 +399,8 @@ object MediaDedupMaintenance {
         if (!batch.isEmpty) {
           processBatchUnified(batch, batchId, storeDir, pairsDir,
             maxDist, chunks)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            compactUnifiedStore(batch.sparkSession, storeDir)
         }
       }
       .start()

@@ -217,6 +217,63 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("store compaction: folding every batch leaves ONE compacted " +
+      "base, the pair surface and logical store are unchanged, and a " +
+      "post-compaction delta joins against the folded base") {
+    val docs = (0L until 240L).toDF("doc_id")
+    val media = Multimodal.syntheticMixedFrameGrouped(spark, docs,
+      "doc_id")
+    val landing = tmpDir("compactland")
+    media.repartitionByRange(4, col("media_id"))
+      .write.mode("overwrite").parquet(landing)
+    def run(compactEvery: Int, tag: String): (String, Set[String]) = {
+      val store = tmpDir(s"compactstore$tag")
+      val pairs = tmpDir(s"compactpairs$tag")
+      val src = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+      MediaDedupMaintenance.startUnified(src, store, pairs,
+        tmpDir(s"compactckpt$tag"), compactEvery = compactEvery)
+        .awaitTermination()
+      (store, spark.read.parquet(pairs)
+        .select(concat_ws("|", col("doc_a"), col("doc_b"),
+          col("hamming"), col("kind"))).collect()
+        .map(_.getString(0)).toSet)
+    }
+    val (plainStore, plainPairs) = run(0, "off")
+    val (foldedStore, foldedPairs) = run(1, "on")
+    assert(foldedPairs == plainPairs && plainPairs.nonEmpty,
+      "compaction changed the pair surface")
+    // the folded store holds ONE compacted base and no batch dirs
+    val names = new java.io.File(foldedStore).list().toSeq
+    assert(names.count(_.startsWith("compact=")) == 1 &&
+      !names.exists(_.startsWith("batch=")),
+      s"expected one folded base and no fragments, got $names")
+    // logical content identical either way
+    def logical(store: String): Set[String] =
+      MediaDedupMaintenance.readUnifiedFingerprints(spark, store)
+        .select(concat_ws("|", col("media_id"), col("kind"),
+          col("dhash"))).collect().map(_.getString(0)).toSet
+    assert(logical(foldedStore) == logical(plainStore),
+      "compaction changed the logical store")
+    // a post-compaction delta (a byte-identical clone of doc 0's
+    // media under a fresh id) must find its duplicate IN the folded
+    // base — the pruned read works against compact=<upTo>
+    val latePairs = tmpDir("compactpairslate")
+    val dup = Multimodal.syntheticMixedFrameGrouped(spark,
+      Seq(0L).toDF("doc_id"), "doc_id")
+      .withColumn("media_id", col("media_id") + 4000000L)
+    MediaDedupMaintenance.processBatchUnified(dup, 500L, foldedStore,
+      latePairs)
+    val late = spark.read.parquet(s"$latePairs/batch=500")
+      .filter(col("hamming") === 0 && col("doc_b") >= 4000000L &&
+        col("doc_a") < 4000000L)
+    assert(late.count() >= 1,
+      "post-compaction delta failed to find its planted duplicate " +
+        "in the folded base")
+  }
+
   test("marker-less commit detection sees PARTITIONED fragments: " +
       "part files two levels down commit, a nested _temporary " +
       "un-commits") {
