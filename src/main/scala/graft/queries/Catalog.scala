@@ -8322,8 +8322,11 @@ object Catalog {
         .schema(s.read.parquet(landing).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(landing)
+      // compaction ON for the single-modality store too (fold every
+      // 2 batches): the oracle hash proves fold invariance on this
+      // path exactly as q251 does for the unified store
       val q = graft.streaming.MediaDedupMaintenance.start(
-        src, store, pairs, ckpt)
+        src, store, pairs, ckpt, compactEvery = 2)
       q.awaitTermination()
       s.read.parquet(pairs)
         .select(col("doc_a"), col("doc_b"), col("hamming"))

@@ -36,36 +36,35 @@ import org.apache.spark.sql.types._
   * repay. */
 object MediaDedupMaintenance {
 
-  private def fpSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType),
-    StructField("dhash", LongType)))
-
-  /** The accumulated fingerprint store — COMMITTED `batch=<n>`
-    * fragments only ([[Commits.committedBatchDirs]] — the
-    * `_SUCCESS`-or-finalized-parts rule shared with
-    * [[HllMaintenance]]): a monitor calling this while the stream is
-    * mid-write for batch j must see the store as of batch j−1, never
-    * a partial fragment. Empty-with-schema before the first batch;
-    * non-`batch=<n>` names skipped. */
-  def readFingerprints(spark: SparkSession, storeDir: String): DataFrame = {
-    val dirs = Commits.committedBatchDirs(spark, storeDir)
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpSchema)
-    else
-      spark.read.schema(fpSchema).parquet(dirs.map(_.toString): _*)
-        .select(col("media_id"), col("dhash"))
-  }
+  /** The accumulated IMAGE fingerprint store as (media_id, dhash) —
+    * the single-modality store shares the banded unified layout with
+    * a constant `kind=image` partition (one store discipline, not
+    * two), so the commit rule, the (band, bucket) pruning, and the
+    * LSM compaction all apply identically. A monitor calling this
+    * while the stream is mid-write for batch j sees the store as of
+    * batch j−1 ([[Commits.committedBatchDirs]]); empty-with-schema
+    * before the first batch. */
+  def readFingerprints(spark: SparkSession, storeDir: String): DataFrame =
+    readUnifiedFingerprints(spark, storeDir)
+      .select(col("media_id"), col("dhash"))
 
   /** The delta-vs-store pair join of one micro-batch — exposed so the
     * physical plan can be audited directly (the streaming wrapper
-    * hides the per-batch plan from the catalog path): banded Hamming
-    * delta join, then — mirror-aware only — the composite-id collapse
-    * ([[Images.collapseOrientationPairs]]). */
+    * hides the per-batch plan from the catalog path): PRE-BANDED
+    * Hamming delta join, then — mirror-aware only — the composite-id
+    * collapse ([[Images.collapseOrientationPairs]]). Takes plain
+    * (media_id, dhash) frames and bands both sides here; `base` and
+    * `deltaFp` must be id-disjoint. */
   private[graft] def batchPairs(base: DataFrame, deltaFp: DataFrame,
       maxDist: Int, chunks: Int, mirrorAware: Boolean): DataFrame = {
-    val raw = Dedup.hammingDeltaPairsFromFingerprints(base, deltaFp,
-      "media_id", "dhash", maxDist, chunks, nBits = 64)
+    def tag(df: DataFrame) = df.withColumn("kind", lit("image"))
+    val deltaBanded =
+      bandDelta(tag(deltaFp), maxDist, chunks, UnifiedStoreBuckets)
+    val raw = unifiedBatchPairs(
+      bandDelta(tag(base), maxDist, chunks, UnifiedStoreBuckets),
+      deltaBanded, deltaFp.select(col("media_id")),
+      touchedCells(deltaBanded), maxDist, chunks)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
     if (mirrorAware) Images.collapseOrientationPairs(raw) else raw
   }
 
@@ -91,25 +90,20 @@ object MediaDedupMaintenance {
       pairsDir: String, maxDist: Int = 2, chunks: Int = 4,
       mirrorAware: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    // decode ONCE: the fingerprint frame is consumed twice (pairs
-    // join reads it as the delta side of the banded join, then it
-    // lands as the fragment) — cut it rather than re-run the codec
-    // per consumer; released before return
+    // decode ONCE: the fingerprint frame feeds every downstream
+    // consumer from one checkpoint; released before return
     val payloads = batch.select(col("media_id"), col("payload"))
     val deltaFp = (if (mirrorAware)
         Images.dHashesBothOrientations(spark, payloads)
       else Images.dHashes(spark, payloads))
+      .withColumn("kind", lit("image"))
       .localCheckpoint()
     try {
-      // exclude this batch's own fragment on replay (the fresh delta
-      // IS those rows; base/delta id-disjointness is the delta
-      // join's contract)
-      val base = readFingerprints(spark, storeDir)
-        .join(deltaFp.select(col("media_id")), Seq("media_id"),
-          "left_anti")
-      batchPairs(base, deltaFp, maxDist, chunks, mirrorAware)
-        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-      deltaFp.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+      landBatchFps(deltaFp, batchId, storeDir, pairsDir, maxDist,
+        chunks, finishPairs = raw => {
+          val p = raw.select(col("doc_a"), col("doc_b"), col("hamming"))
+          if (mirrorAware) Images.collapseOrientationPairs(p) else p
+        })
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge
         .unpersistLocalCheckpoint(deltaFp)
@@ -117,11 +111,12 @@ object MediaDedupMaintenance {
   }
 
   /** Start maintaining the fingerprint store + pairs log from a
-    * streaming `source` carrying (media_id, payload). */
+    * streaming `source` carrying (media_id, payload). `compactEvery`
+    * as in [[startUnified]]. */
   def start(source: DataFrame, storeDir: String, pairsDir: String,
       checkpointDir: String, maxDist: Int = 2, chunks: Int = 4,
       trigger: Trigger = Trigger.AvailableNow(),
-      mirrorAware: Boolean = false): StreamingQuery =
+      mirrorAware: Boolean = false, compactEvery: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -129,9 +124,39 @@ object MediaDedupMaintenance {
         if (!batch.isEmpty) {
           processBatch(batch, batchId, storeDir, pairsDir, maxDist,
             chunks, mirrorAware)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            compactUnifiedStore(batch.sparkSession, storeDir)
         }
       }
       .start()
+
+  /** The shared per-batch landing core over PRECOMPUTED (media_id,
+    * kind, dhash) fingerprints (checkpointed by the caller): banded
+    * pruned pair join against the accumulated store, pairs through
+    * `finishPairs`, the delta's banded fragment landed — one store
+    * discipline for the single- and mixed-modality maintenances. */
+  private def landBatchFps(deltaFp: DataFrame, batchId: Long,
+      storeDir: String, pairsDir: String, maxDist: Int, chunks: Int,
+      finishPairs: DataFrame => DataFrame): Unit = {
+    val spark = deltaFp.sparkSession
+    val deltaBanded =
+      bandDelta(deltaFp, maxDist, chunks, UnifiedStoreBuckets)
+    finishPairs(unifiedBatchPairs(
+        readBandedUnifiedFingerprints(spark, storeDir), deltaBanded,
+        deltaFp.select(col("media_id")), touchedCells(deltaBanded),
+        maxDist, chunks))
+      .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    // one file per (kind, band) dir, rows sorted by bucket so the
+    // parquet footer's min-max statistics carry the pruning the
+    // per-batch join pushes down; the sort is prefix-compatible
+    // with the dynamic-partition writer's required ordering
+    deltaBanded
+      .repartition(col("kind"), col("band"))
+      .sortWithinPartitions(col("kind"), col("band"), col("bucket"))
+      .write.mode("overwrite")
+      .partitionBy("kind", "band")
+      .parquet(s"$storeDir/batch=$batchId")
+  }
 
   // ------------------------------------------- unified mixed modality
 
@@ -354,25 +379,9 @@ object MediaDedupMaintenance {
       .select(col("media_id"), col("kind"),
         col("fp_lo").bitwiseOR(shiftleft(col("fp_hi"), 32)).as("dhash"))
       .localCheckpoint()
-    try {
-      val deltaBanded =
-        bandDelta(deltaFp, maxDist, chunks, UnifiedStoreBuckets)
-      unifiedBatchPairs(
-        readBandedUnifiedFingerprints(spark, storeDir), deltaBanded,
-        deltaFp.select(col("media_id")), touchedCells(deltaBanded),
-        maxDist, chunks)
-        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-      // one file per (kind, band) dir, rows sorted by bucket so the
-      // parquet footer's min-max statistics carry the pruning the
-      // per-batch join pushes down; the sort is prefix-compatible
-      // with the dynamic-partition writer's required ordering
-      deltaBanded
-        .repartition(col("kind"), col("band"))
-        .sortWithinPartitions(col("kind"), col("band"), col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("kind", "band")
-        .parquet(s"$storeDir/batch=$batchId")
-    } finally {
+    try landBatchFps(deltaFp, batchId, storeDir, pairsDir, maxDist,
+      chunks, finishPairs = identity)
+    finally {
       org.apache.spark.sql.graftbridge.ColumnBridge
         .unpersistLocalCheckpoint(deltaFp)
     }
