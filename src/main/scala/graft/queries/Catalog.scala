@@ -9448,6 +9448,54 @@ object Catalog {
         JOIN zcc z ON z.doc_id = b.doc_id
         JOIN afp p ON p.doc_id = b.doc_id"""))
 
+  /** INCREMENTAL manifest ingest across arrival WAVES — the
+    * reference's watermark discipline composed with the
+    * manifest-backed stream (q251): the corpus lands in two waves an
+    * hour apart (writer-stamped mtimes), each wave is manifested by
+    * its own [[graft.ext.MediaFiles.appendManifest]] call — the
+    * second passing `modifiedAfter = T+30min`, so wave-1 files are
+    * pruned from its listing and each file is manifested EXACTLY
+    * ONCE (Round13Spec pins the wave-2 append's row count and mtime
+    * floor; a missing watermark would double-manifest wave 1) — and
+    * the manifest stream processes both waves' deltas with
+    * compaction on. The oracle is q248's restricted to the fixture's
+    * half corpus: the two-wave arrival must produce the SAME pair
+    * surface as any other arrival shape. */
+  private val q256 = Q("q256_manifest_incremental_waves",
+    (s, dir) => withStreamDirs(s, "q256") { (store, pairs, ckpt, landing) =>
+      val files = s"$landing/files"
+      val manifest = s"$landing/manifest"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(files))
+      val base = 1767225600000L // 2026-01-01T00:00:00Z
+      val media = graft.ext.Multimodal.syntheticMixedFrameGrouped(s,
+          t(s, dir, "documents").filter(col("doc_id") < 250),
+          "doc_id")
+        .withColumn("mtime_ms",
+          lit(base) + (col("media_id") % 2) * lit(3600000L))
+      graft.ext.MediaFiles.writeMediaFiles(
+        media.filter(col("media_id") % 2 === 0), files)
+      graft.ext.MediaFiles.appendManifest(s, files, manifest,
+        manifestFiles = 2)
+      graft.ext.MediaFiles.writeMediaFiles(
+        media.filter(col("media_id") % 2 === 1), files)
+      graft.ext.MediaFiles.appendManifest(s, files, manifest,
+        watermarkIso = Some("2026-01-01T00:30:00"), manifestFiles = 2)
+      val q = graft.streaming.MediaDedupMaintenance.startUnified(
+        graft.ext.MediaFiles.streamManifest(s, manifest, 1),
+        store, pairs, ckpt, compactEvery = 2)
+      q.awaitTermination()
+      s.read.parquet(pairs)
+        .select(col("doc_a"), col("doc_b"), col("hamming"), col("kind"))
+    },
+    q248.oracle.map { sql =>
+      val patched =
+        sql.replace("FROM documents)", "FROM documents WHERE doc_id < 250)")
+      require(patched != sql,
+        "q256 oracle surgery no-opped — q248's oracle text changed")
+      patched
+    })
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9477,5 +9525,5 @@ object Catalog {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253, q254, q255)
+    q251, q252, q253, q254, q255, q256)
 }

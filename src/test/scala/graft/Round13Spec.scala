@@ -374,6 +374,42 @@ class Round13Spec extends SparkSpec {
     } finally codec.dispose()
   }
 
+  test("watermarked manifest append (q256's unit): the second wave's " +
+      "append manifests ONLY late files — each file exactly once " +
+      "across waves — and a watermark-less second append would " +
+      "double-manifest wave 1") {
+    val docs = (0L until 90L).toDF("doc_id")
+    val base = 1767225600000L
+    val media = Multimodal.syntheticMixedFrameGrouped(spark, docs,
+      "doc_id")
+      .withColumn("mtime_ms",
+        lit(base) + (col("media_id") % 2) * lit(3600000L))
+    val files = tmpDir("wavefiles")
+    val manifest = tmpDir("wavemanifest")
+    MediaFiles.writeMediaFiles(media.filter(col("media_id") % 2 === 0),
+      files)
+    MediaFiles.appendManifest(spark, files, manifest, manifestFiles = 1)
+    MediaFiles.writeMediaFiles(media.filter(col("media_id") % 2 === 1),
+      files)
+    MediaFiles.appendManifest(spark, files, manifest,
+      watermarkIso = Some("2026-01-01T00:30:00"), manifestFiles = 1)
+    val m = spark.read.parquet(manifest)
+    val total = media.count()
+    assert(m.count() == total,
+      "two watermarked appends must manifest each file exactly once")
+    assert(m.select(col("media_id")).distinct().count() == total,
+      "a file was manifested twice across waves")
+    // the second append's rows are exactly the late wave
+    assert(m.filter(col("mtime_ms") > lit(base)).count() ==
+      media.filter(col("media_id") % 2 === 1).count())
+    // counterfactual: a watermark-LESS second append double-manifests
+    val manifest2 = tmpDir("wavemanifest2")
+    MediaFiles.appendManifest(spark, files, manifest2, manifestFiles = 1)
+    MediaFiles.appendManifest(spark, files, manifest2, manifestFiles = 1)
+    assert(spark.read.parquet(manifest2).count() == 2 * total,
+      "fixture no longer demonstrates the double-manifest hazard")
+  }
+
   test("manifest-backed file stream == vanilla binaryFile stream: " +
       "same landing, identical pair surface") {
     val docs = (0L until 180L).toDF("doc_id")
