@@ -141,10 +141,19 @@ object MediaDedupMaintenance {
     val spark = deltaFp.sparkSession
     val deltaBanded =
       bandDelta(deltaFp, maxDist, chunks, UnifiedStoreBuckets)
+    // the touched-cell collect exists to PRUNE the store scan — on an
+    // empty store (every stream's first batch) there is nothing to
+    // prune and the job is pure overhead; the empty Map keeps the
+    // base side filtered to nothing, which is what it is anyway
+    val storeEmpty =
+      Commits.compactedUpTo(spark, storeDir).isEmpty &&
+        Commits.committedBatchDirs(spark, storeDir).isEmpty
+    val touched =
+      if (storeEmpty) Map.empty[String, Seq[(Int, Int)]]
+      else touchedCells(deltaBanded)
     finishPairs(unifiedBatchPairs(
         readBandedUnifiedFingerprints(spark, storeDir), deltaBanded,
-        deltaFp.select(col("media_id")), touchedCells(deltaBanded),
-        maxDist, chunks))
+        deltaFp.select(col("media_id")), touched, maxDist, chunks))
       .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
     // one file per (kind, band) dir, rows sorted by bucket so the
     // parquet footer's min-max statistics carry the pruning the
