@@ -52,6 +52,64 @@ object Commits {
     try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The readable roots of a possibly-compacted fragment store: the
+    * `compact=<upTo>` base (when a marker commits one) plus the
+    * committed `batch=<n>` fragments NEWER than it. The contract for
+    * stores whose readers always consume EVERYTHING — point-in-time
+    * monitors that read `upToBatch` views (e.g. the HLL register
+    * store) must NOT be compacted, since a fold is irreversible. */
+  def fragmentRoots(spark: SparkSession, dir: String): Seq[String] = {
+    val upTo = compactedUpTo(spark, dir)
+    val tail = committedBatchDirs(spark, dir)
+      .filter(p => upTo.forall(u =>
+        p.getName.stripPrefix("batch=").toLong > u))
+    upTo.map(u => s"$dir/compact=$u").toSeq ++ tail.map(_.toString)
+  }
+
+  /** Generic LSM fold for a FLAT (un-partitioned) fragment store:
+    * rewrite the current roots into one `compact=<upTo>` base, commit
+    * the versioned marker, then delete the folded inputs — the same
+    * crash-window discipline as the banded media fold
+    * ([[graft.streaming.MediaDedupMaintenance.compactUnifiedStore]],
+    * which owns the partitioned variant). No-op when nothing is
+    * newer than the current base. */
+  def compactFlatStore(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      outFiles: Int = 4): Unit = {
+    val prior = compactedUpTo(spark, dir)
+    val tail = committedBatchDirs(spark, dir)
+      .filter(p => prior.forall(u =>
+        p.getName.stripPrefix("batch=").toLong > u))
+    if (tail.isEmpty) return
+    val upTo = tail.map(_.getName.stripPrefix("batch=").toLong).max
+    val roots = prior.map(u => s"$dir/compact=$u").toSeq ++
+      tail.map(_.toString)
+    spark.read.schema(schema).parquet(roots: _*)
+      .repartition(outFiles)
+      .write.mode("overwrite").parquet(s"$dir/compact=$upTo")
+    writeCompactionMarker(spark, dir, upTo)
+    cleanupFolded(spark, dir, upTo)
+  }
+
+  /** Delete a fold's inputs AFTER its marker commit: fragments ≤
+    * upTo, superseded bases, stale markers. The ONE definition shared
+    * by the flat and the partitioned (media) folds. */
+  def cleanupFolded(spark: SparkSession, dir: String, upTo: Long): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).foreach { e =>
+      val n = e.getPath.getName
+      val stale =
+        (n.startsWith("batch=") &&
+          n.stripPrefix("batch=").toLongOption.exists(_ <= upTo)) ||
+        (n.startsWith("compact=") &&
+          n.stripPrefix("compact=").toLongOption.exists(_ < upTo)) ||
+        (n.startsWith("_compacted.") &&
+          n.stripPrefix("_compacted.").toLongOption.exists(_ < upTo))
+      if (stale) fs.delete(e.getPath, true)
+    }
+  }
+
   /** Committed `batch=<n>` fragment dirs under `dir`, optionally
     * bounded by `upToBatch` (None = everything). Non-`batch=<n>`
     * names — including non-numeric ids — are skipped, not thrown on.

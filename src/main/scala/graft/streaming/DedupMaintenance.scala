@@ -43,18 +43,28 @@ object DedupMaintenance {
       StructField("_bandNo", IntegerType),
       StructField("_bandKey", StringType)))))))
 
-  /** The accumulated doc index (all landed `batch=*` fragments);
-    * empty-with-schema before the first batch lands. */
+  /** The accumulated doc index: the compacted base (if the store has
+    * been folded — [[compactIndex]]) plus the committed fragments
+    * newer than it; empty-with-schema before the first batch lands. */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
-      spark.read.schema(indexSchema).parquet(indexDir)
+    val roots = Commits.fragmentRoots(spark, indexDir)
+    if (roots.nonEmpty)
+      spark.read.schema(indexSchema).parquet(roots: _*)
         .select(col("_id"), col("_sh"), col("_bands"))
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
   }
+
+  /** LSM fold of the doc index ([[Commits.compactFlatStore]]): a
+    * long-lived crawl's index otherwise accrues one fragment dir per
+    * micro-batch forever — the accrual law measured on the media
+    * store (StoreAccrualProbe: +79% per-batch wall at 150 fragments;
+    * flat with folding) applies to any fragment store, and the text
+    * index's rows are the HEAVIEST in the family (full shingle sets
+    * ride each row for the exact-Jaccard verify). */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit =
+    Commits.compactFlatStore(spark, indexDir, indexSchema)
 
   /** The idempotent unit of maintenance: index one micro-batch, emit
     * its delta pairs against everything landed so far, land its own
@@ -93,7 +103,8 @@ object DedupMaintenance {
       indexDir: String, pairsDir: String, checkpointDir: String,
       n: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, seed: Long = 42L,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -101,6 +112,8 @@ object DedupMaintenance {
         if (!batch.isEmpty) {
           processBatch(batch, batchId, textCol, idCol, indexDir,
             pairsDir, n, numPerms, rowsPerBand, threshold, seed)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            compactIndex(batch.sparkSession, indexDir)
         }
       }
       .start()

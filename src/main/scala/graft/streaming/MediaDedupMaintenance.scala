@@ -268,21 +268,7 @@ object MediaDedupMaintenance {
       .partitionBy("kind", "band")
       .parquet(s"$storeDir/compact=$upTo")
     Commits.writeCompactionMarker(spark, storeDir, upTo)
-    // cleanup AFTER the marker commit: folded fragments, superseded
-    // bases, stale markers
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root).foreach { e =>
-      val n = e.getPath.getName
-      val stale =
-        (n.startsWith("batch=") &&
-          n.stripPrefix("batch=").toLongOption.exists(_ <= upTo)) ||
-        (n.startsWith("compact=") &&
-          n.stripPrefix("compact=").toLongOption.exists(_ < upTo)) ||
-        (n.startsWith("_compacted.") &&
-          n.stripPrefix("_compacted.").toLongOption.exists(_ < upTo))
-      if (stale) fs.delete(e.getPath, true)
-    }
+    Commits.cleanupFolded(spark, storeDir, upTo)
   }
 
   /** The accumulated MIXED-modality fingerprint store as (media_id,

@@ -274,6 +274,52 @@ class Round13Spec extends SparkSpec {
         "in the folded base")
   }
 
+  test("text dedup index fold: compacting every batch leaves the pair " +
+      "surface and index content unchanged, one base and no fragments " +
+      "on disk, and a post-fold batch still joins the folded index") {
+    import graft.streaming.DedupMaintenance
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val landing = tmpDir("tfoldland")
+    docs.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(landing)
+    def run(compactEvery: Int, tag: String): (String, Set[(Long, Long)]) = {
+      val idx = tmpDir(s"tfoldidx$tag"); val pairs = tmpDir(s"tfoldp$tag")
+      val src = spark.readStream
+        .schema(spark.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+      DedupMaintenance.start(src, "text", "doc_id", idx, pairs,
+        tmpDir(s"tfoldck$tag"), compactEvery = compactEvery)
+        .awaitTermination()
+      (idx, spark.read.parquet(pairs).select(col("doc_a"), col("doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+    val (plainIdx, plainPairs) = run(0, "off")
+    val (foldedIdx, foldedPairs) = run(1, "on")
+    assert(foldedPairs == plainPairs && plainPairs.nonEmpty,
+      "index folding changed the pair surface")
+    val names = new java.io.File(foldedIdx).list().toSeq
+    assert(names.count(_.startsWith("compact=")) == 1 &&
+      !names.exists(_.startsWith("batch=")),
+      s"expected one folded base and no fragments, got $names")
+    def ids(idx: String): Seq[Long] =
+      DedupMaintenance.readIndex(spark, idx)
+        .select(col("_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(foldedIdx) == ids(plainIdx),
+      "index folding changed the indexed doc set")
+    // a post-fold batch (clone of doc 0's text under a fresh id)
+    // joins against the folded base
+    val latePairs = tmpDir("tfoldlate")
+    val clone = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", col("doc_id") + 9000000L)
+    DedupMaintenance.processBatch(clone, 500L, "text", "doc_id",
+      foldedIdx, latePairs)
+    assert(spark.read.parquet(s"$latePairs/batch=500")
+      .filter(col("doc_b") === 9000000L).count() >= 1,
+      "post-fold delta failed to find its duplicate in the folded index")
+  }
+
   test("marker-less commit detection sees PARTITIONED fragments: " +
       "part files two levels down commit, a nested _temporary " +
       "un-commits") {
