@@ -165,7 +165,18 @@ object MediaFiles {
     * timestamp interpreted in the session timezone (UTC everywhere
     * in this engine). Re-running with the same watermark re-reads
     * the same delta — idempotent by the same argument as the
-    * reference's at-least-once re-ingest. */
+    * reference's at-least-once re-ingest.
+    *
+    * BOUNDARY CONTRACT: `modifiedAfter` is strictly EXCLUSIVE (the
+    * reference's predicate is inclusive `>=`), so a watermark here
+    * must fall strictly BETWEEN waves — setting it to the prior
+    * wave's max mtime skips any file whose mtime equals it. Callers
+    * that take watermarks from observed mtimes should back them off
+    * ([[isoMinus1Ms]]) and rely on downstream upsert dedup for the
+    * boundary duplicates, the reference's own at-least-once
+    * discipline; the manifest path ([[appendManifest]]) does exactly
+    * that internally, because a manifest miss — unlike a re-read —
+    * would be permanent silent loss. */
   def readMediaFilesModifiedAfter(spark: SparkSession, dir: String,
       watermarkIso: String): DataFrame =
     readWith(spark, dir, Map("modifiedAfter" -> watermarkIso))
@@ -267,30 +278,70 @@ object MediaFiles {
     * metadata-ONLY binaryFile scan (payload bytes pruned out of the
     * ReadSchema — same discipline as [[ingestAudit]]'s claimed-name
     * side), and appended to `manifestDir` as slim parquet rows.
-    * Incremental waves compose with the watermark discipline:
-    * `modifiedAfter` prunes already-manifested files at LISTING time
-    * ([[readMediaFilesModifiedAfter]]'s contract), so each append
-    * touches only the new wave's metadata. `manifestFiles` shapes the
-    * append's parquet file count — the unit the manifest STREAM
-    * batches by. */
+    * Incremental waves compose with the watermark discipline, made
+    * BOUNDARY-SAFE: Spark's `modifiedAfter` is strictly exclusive,
+    * but the natural watermark (the prior wave's max mtime) lands ON
+    * a file's mtime — an exclusive listing would skip that file
+    * forever, and since the manifest is the exactly-once record of
+    * what exists, that is silent data loss (the reference re-ingests
+    * with an inclusive `>=` for exactly this reason, gluejob.py's
+    * watermark predicate, accepting at-least-once duplicates its
+    * upsert dedups). So the listing bound is backed off by 1 ms
+    * (making the watermark itself INCLUSIVE) and the wave is
+    * anti-joined on `path` against the rows already manifested:
+    * boundary collisions become suppressed duplicates, never misses
+    * — every file is manifested exactly once across waves whatever
+    * the watermark's relation to the wave boundary (spec-pinned at
+    * the exact-boundary mtime). The anti-join's read side is the slim
+    * manifest itself, O(archive metadata), never payload bytes.
+    * `manifestFiles` shapes the append's parquet file count — the
+    * unit the manifest STREAM batches by. */
   def appendManifest(spark: SparkSession, dir: String,
       manifestDir: String, watermarkIso: Option[String] = None,
       manifestFiles: Int = 1): Unit = {
     require(manifestFiles >= 1)
     val raw = watermarkIso
       .foldLeft(spark.read.format("binaryFile"))(
-        (r, w) => r.option("modifiedAfter", w))
+        (r, w) => r.option("modifiedAfter", isoMinus1Ms(w)))
       .load(dir)
-    raw.select(
-        regexp_extract(col("path"), "media_(\\d+)\\.[a-z]+$", 1)
-          .cast("long").as("media_id"),
-        col("path"),
-        unix_millis(col("modificationTime")).as("mtime_ms"),
-        col("length").as("n_bytes"),
-        regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("claimed_ext"))
+    val wave = raw.select(
+      regexp_extract(col("path"), "media_(\\d+)\\.[a-z]+$", 1)
+        .cast("long").as("media_id"),
+      col("path"),
+      unix_millis(col("modificationTime")).as("mtime_ms"),
+      col("length").as("n_bytes"),
+      regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("claimed_ext"))
+    val manifestPath = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = manifestPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (fs.exists(manifestPath))
+        wave.join(
+          spark.read.schema(ManifestSchema).parquet(manifestDir)
+            .select(col("path")),
+          Seq("path"), "left_anti")
+      else wave
+    fresh.select(col("media_id"), col("path"), col("mtime_ms"),
+        col("n_bytes"), col("claimed_ext"))
       .repartition(manifestFiles)
       .write.mode("append").parquet(manifestDir)
   }
+
+  /** Back an ISO watermark off by 1 ms so the exclusive
+    * `modifiedAfter` bound includes files whose mtime EQUALS the
+    * watermark. Accepts the local-datetime form the engine's
+    * watermarks use (`2026-01-01T00:30:00`, session-timezone
+    * semantics) and the offset form; loud on anything else — a
+    * watermark that silently failed to parse would silently re-list
+    * the whole archive. */
+  private[ext] def isoMinus1Ms(iso: String): String =
+    try java.time.LocalDateTime.parse(iso)
+      .minusNanos(1000000L).toString
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.OffsetDateTime.parse(iso)
+          .minusNanos(1000000L).toString
+    }
 
   /** STREAM manifest DELTAS as micro-batches of (media_id, payload) —
     * the manifest-backed twin of [[streamMediaFiles]] with the

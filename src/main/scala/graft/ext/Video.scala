@@ -745,7 +745,15 @@ object Video {
             s"corrupt RIFF chunk '$id' at offset $off: size $size " +
               s"exceeds container bound $to")
         if (id == "LIST") walk(off + 12, off + 8 + size)
-        else if (id == "01wb") offsets += ((off + 8, size))
+        else if (id == "01wb") {
+          // parity is PER CHUNK: two odd-length chunks sum even, and
+          // a total-only check would then read a pad byte as sample
+          // data and overrun the output — name the torn chunk itself
+          require(size % 2 == 0,
+            s"torn 16-bit PCM: 01wb chunk at offset $off carries " +
+              s"$size bytes")
+          offsets += ((off + 8, size))
+        }
         off += 8 + size + (size % 2)
       }
     }
@@ -756,7 +764,6 @@ object Video {
     require(offsets.nonEmpty,
       "container has no audio track (no 01wb chunks)")
     val total = offsets.map(_._2).sum
-    require(total % 2 == 0, s"torn 16-bit PCM: $total bytes")
     val out = new Array[Short](total / 2)
     var o = 0
     offsets.foreach { case (off, len) =>

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Images, MediaFiles, Multimodal}
+import graft.ext.{Images, MediaFiles, Multimodal, Video}
 import graft.streaming.MediaDedupMaintenance
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
@@ -422,8 +422,8 @@ class Round13Spec extends SparkSpec {
 
   test("watermarked manifest append (q256's unit): the second wave's " +
       "append manifests ONLY late files — each file exactly once " +
-      "across waves — and a watermark-less second append would " +
-      "double-manifest wave 1") {
+      "across waves — and even a watermark-less second append " +
+      "dedups against the manifested rows") {
     val docs = (0L until 90L).toDF("doc_id")
     val base = 1767225600000L
     val media = Multimodal.syntheticMixedFrameGrouped(spark, docs,
@@ -448,12 +448,86 @@ class Round13Spec extends SparkSpec {
     // the second append's rows are exactly the late wave
     assert(m.filter(col("mtime_ms") > lit(base)).count() ==
       media.filter(col("media_id") % 2 === 1).count())
-    // counterfactual: a watermark-LESS second append double-manifests
+    // the old double-manifest hazard is closed by the path anti-join:
+    // a watermark-LESS second append re-lists everything but manifests
+    // nothing new
     val manifest2 = tmpDir("wavemanifest2")
     MediaFiles.appendManifest(spark, files, manifest2, manifestFiles = 1)
     MediaFiles.appendManifest(spark, files, manifest2, manifestFiles = 1)
-    assert(spark.read.parquet(manifest2).count() == 2 * total,
-      "fixture no longer demonstrates the double-manifest hazard")
+    assert(spark.read.parquet(manifest2).count() == total,
+      "watermark-less second append must dedup against the manifest")
+  }
+
+  test("manifest watermark is boundary-inclusive: a file whose mtime " +
+      "EQUALS the watermark is still manifested (exactly once) — the " +
+      "exclusive-modifiedAfter silent-loss window is closed") {
+    val docs = (0L until 60L).toDF("doc_id")
+    val base = 1767225600000L // 2026-01-01T00:00:00Z
+    val wmMs = base + 3600000L // 2026-01-01T01:00:00Z
+    val media = Multimodal.syntheticMixedFrameGrouped(spark, docs,
+      "doc_id")
+      .withColumn("mtime_ms",
+        when(col("media_id") % 2 === 0, lit(base)).otherwise(lit(wmMs)))
+    val files = tmpDir("bndfiles")
+    val manifest = tmpDir("bndmanifest")
+    MediaFiles.writeMediaFiles(media.filter(col("media_id") % 2 === 0),
+      files)
+    MediaFiles.appendManifest(spark, files, manifest, manifestFiles = 1)
+    // wave 2's files land with mtime EXACTLY at the watermark — the
+    // natural discipline (watermark := observed max mtime) that the
+    // strictly-exclusive listing used to lose silently
+    MediaFiles.writeMediaFiles(media.filter(col("media_id") % 2 === 1),
+      files)
+    MediaFiles.appendManifest(spark, files, manifest,
+      watermarkIso = Some("2026-01-01T01:00:00"), manifestFiles = 1)
+    val m = spark.read.parquet(manifest)
+    assert(m.filter(col("mtime_ms") === wmMs).count() ==
+      media.filter(col("media_id") % 2 === 1).count(),
+      "boundary-mtime files were lost by the watermark listing")
+    assert(m.count() == media.count() &&
+      m.select(col("path")).distinct().count() == media.count(),
+      "boundary handling must stay exactly-once")
+    // and a third append at the same watermark changes nothing — the
+    // boundary duplicates the inclusive listing re-surfaces are
+    // suppressed by the path anti-join
+    MediaFiles.appendManifest(spark, files, manifest,
+      watermarkIso = Some("2026-01-01T01:00:00"), manifestFiles = 1)
+    assert(spark.read.parquet(manifest).count() == media.count(),
+      "re-append at the boundary watermark must be a no-op")
+  }
+
+  test("torn 16-bit PCM is named at the chunk that carries it: two " +
+      "odd-length 01wb chunks sum even but must still refuse loudly") {
+    // hand-build a minimal RIFF/AVI with two 3-byte 01wb chunks (total
+    // 6 bytes — even, so the old total-only parity check passed and
+    // the sample loop overran); the walk must refuse at the chunk
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(id.getBytes("US-ASCII"))
+      b.write(Array[Byte]((body.length & 0xff).toByte,
+        ((body.length >> 8) & 0xff).toByte,
+        ((body.length >> 16) & 0xff).toByte,
+        ((body.length >> 24) & 0xff).toByte))
+      b.write(body)
+      if (body.length % 2 == 1) b.write(0)
+      b.toByteArray
+    }
+    val torn = chunk("01wb", Array[Byte](1, 2, 3)) ++
+      chunk("01wb", Array[Byte](4, 5, 6))
+    val body = "AVI ".getBytes("US-ASCII") ++ torn
+    val riff = new java.io.ByteArrayOutputStream()
+    riff.write("RIFF".getBytes("US-ASCII"))
+    riff.write(Array[Byte]((body.length & 0xff).toByte,
+      ((body.length >> 8) & 0xff).toByte,
+      ((body.length >> 16) & 0xff).toByte,
+      ((body.length >> 24) & 0xff).toByte))
+    riff.write(body)
+    val ex = intercept[IllegalArgumentException] {
+      Video.demuxAudioSamples(riff.toByteArray)
+    }
+    assert(ex.getMessage.contains("torn 16-bit PCM") &&
+      ex.getMessage.contains("chunk"),
+      s"expected the per-chunk torn-PCM diagnostic, got: ${ex.getMessage}")
   }
 
   test("manifest-backed file stream == vanilla binaryFile stream: " +
