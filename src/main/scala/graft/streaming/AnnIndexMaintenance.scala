@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.ext.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Streaming ANN index maintenance — the composition of
@@ -62,16 +63,57 @@ object AnnIndexMaintenance {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/batch=$batchId")
 
+  /** The probeable index: live compacted RUNS plus committed
+    * `batch=` fragments newer than the folded mark, each root read
+    * with itself as `basePath` so `cell` stays a DISCOVERED partition
+    * column — probes' cell-key filters prune directories across runs
+    * and fragments alike. A plain `spark.read.parquet(indexDir)`
+    * stops working once a store has been folded (mixed `run=`/
+    * `batch=` top-level names break partition discovery); this is
+    * the one read path. */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val roots = Commits.fragmentRoots(spark, indexDir)
+    require(roots.nonEmpty,
+      s"ANN index at $indexDir has no committed fragments — was " +
+        "writeBase run?")
+    roots.map(r =>
+      spark.read.option("basePath", r).parquet(r)
+        .select(col("n_id"), col("cell"), col("codes")))
+      .reduce(_.unionByName(_))
+  }
+
+  /** SIZE-TIERED LSM fold of the cell-partitioned index
+    * ([[Commits.tieredCompact]] owns the protocol): without it a
+    * long-lived stream accrues one `batch=` dir per micro-batch
+    * forever — the measured accrual law. The fold preserves the
+    * cell-partitioned layout run by run, so probe-side cell pruning
+    * is unchanged; index CONTENT is provably unchanged (fragments
+    * are per-row maps against frozen state — concatenation
+    * commutes with the fold, spec-pinned). */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      maxRuns: Int = 4): Unit =
+    Commits.tieredCompact(spark, indexDir, (inputs, out) =>
+      inputs.map(in =>
+        spark.read.option("basePath", in).parquet(in)
+          .select(col("n_id"), col("codes"), col("cell")))
+        .reduce(_.unionByName(_))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(out),
+      maxRuns)
+
   /** Start maintaining the index at `indexDir` from the streaming
     * `source` (must carry `idCol` and `vecCol`). `cents` and
     * `codebook` are the frozen quantizer/codebook the base index was
     * built with ([[graft.ext.Similarity.coarseCentroids]] /
     * [[graft.ext.Similarity.pqTrainCodebook]] shapes); the base
-    * fragment should have been laid down with [[writeBase]]. */
+    * fragment should have been laid down with [[writeBase]].
+    * `compactEvery` > 0 folds the index every that-many batches
+    * ([[compactIndex]]). */
   def start(source: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, codebook: DataFrame, indexDir: String,
       checkpointDir: String, nSub: Int = 8, dim: Int = 64,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -79,6 +121,8 @@ object AnnIndexMaintenance {
         if (!batch.isEmpty) {
           writeFragment(batch, batchId, idCol, vecCol, cents, codebook,
             indexDir, nSub, dim)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            compactIndex(batch.sparkSession, indexDir)
         }
       }
       .start()

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
 /** The ONE definition of the maintenance-family commit-detection
@@ -16,98 +16,319 @@ import org.apache.spark.sql.SparkSession
   * `_temporary` at commit, so their visibility IS the commit signal
   * there). Without the conditional fallback a marker-less deployment
   * silently merges ZERO fragments; with an UNconditional fallback a
-  * marker-enabled deployment loses in-flight invisibility. */
+  * marker-enabled deployment loses in-flight invisibility.
+  *
+  * This object also owns the fragment stores' LSM compaction
+  * protocol, SIZE-TIERED (O'Neil et al. 1996 LSM-tree; the
+  * RocksDB-universal-compaction shape): a store holds up to
+  * `maxRuns` sorted RUNS (`run=<rid>` dirs) plus the un-folded
+  * `batch=<n>` tail; each fold writes the tail as a new run and
+  * absorbs existing runs SMALLEST-FIRST only while they are within
+  * `sizeRatio` of the bytes being written anyway — so per-fold write
+  * cost tracks the FOLDED bytes, not store size, and cumulative
+  * compaction I/O over a long-lived stream is O(N log N) instead of
+  * the single-level fold's O(N²/period). The live run set rides a
+  * VERSIONED MANIFEST (`_runs.<ver>`, max version wins, written
+  * atomically via tmp+rename AFTER the new run commits and BEFORE
+  * any folded input is deleted) — every crash window leaves a
+  * correct view: manifest missing → the previous manifest's inputs
+  * are all still present; manifest present → the runs it names are
+  * committed. Cleanup is GRACE-DEFERRED: a fold deletes only inputs
+  * that were already dead in the PREVIOUS manifest, so a concurrent
+  * monitor whose lazy scan planned against the pre-fold roots keeps
+  * its files for at least one full maintenance interval (the
+  * concurrent-monitor contract `readFingerprints`/`readIndex`
+  * document; monitors slower than a whole fold interval are outside
+  * it). A maintenance call that finds NOTHING to fold still runs the
+  * cleanup, so an interrupted fold's garbage — or a retired stream's
+  * grace leftovers — is reclaimed on the next call rather than
+  * lingering forever. */
 object Commits {
 
-  /** The compaction high-water mark of a fragment store — the batch
-    * id up to (and including) which fragments have been FOLDED into
-    * the store's `compact=<upTo>` base dir. Markers are VERSIONED
-    * files (`_compacted.<upTo>`, max wins) created atomically AFTER
-    * the compacted base commits and BEFORE any folded fragment is
-    * deleted — so every crash window leaves a correct view: marker
-    * missing → the un-folded fragments are still all present; marker
-    * present → the compacted base it names is committed. A
-    * rename-over-in-place single marker was rejected: its
-    * delete-then-rename gap can lose the marker AFTER folded
-    * fragments were deleted, which un-commits data. */
-  def compactedUpTo(spark: SparkSession, dir: String): Option[Long] = {
-    val path = new Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) None
-    else fs.listStatus(path).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("_compacted."))
-      .flatMap(_.stripPrefix("_compacted.").toLongOption)
-      .maxOption
+  /** One live sorted run of a tiered store: its directory name under
+    * the store root (`run=<rid>`, or `compact=<upTo>` for a store
+    * folded by the pre-tiered single-level code) and its byte size —
+    * recorded in the manifest so tiering decisions never re-list
+    * run contents. */
+  final case class RunInfo(name: String, bytes: Long)
+
+  /** The persisted state of a tiered store: `ver` the manifest
+    * version (max wins), `upTo` the batch id up to (and including)
+    * which fragments have been folded into runs (None = nothing
+    * folded yet), `next` the next run id to allocate (monotonic —
+    * a crashed fold's orphan run dir is either overwritten by the
+    * reused id or swept as not-live), `runs` the live run set.
+    * `persisted` is false for states synthesized from a legacy
+    * `_compacted.<upTo>` marker or an empty store — cleanup must
+    * never treat a synthesized view as licence to delete the legacy
+    * marker it was synthesized FROM. */
+  final case class RunManifest(ver: Long, upTo: Option[Long],
+      next: Long, runs: Seq[RunInfo], persisted: Boolean)
+
+  private def batchId(p: Path): Long =
+    p.getName.stripPrefix("batch=").toLong
+
+  private def storeFs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Recursive byte size of one run/fragment dir — used only at fold
+    * time on the handful of dirs being folded (runs carry their
+    * bytes in the manifest; the content-summary walk is never run
+    * over the whole store). */
+  private def dirBytes(fs: FileSystem, p: Path): Long =
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+
+  /** The current manifest of a possibly-tiered store: the
+    * max-version `_runs.<ver>` file when one exists; synthesized
+    * from the legacy single-level `_compacted.<upTo>` marker (the
+    * base as one run) when only that exists; the empty state
+    * otherwise. `sizeLegacy` controls whether the legacy synthesis
+    * pays the one content-summary walk for the base's bytes — reads
+    * don't need sizes, only the fold does. */
+  def runManifest(spark: SparkSession, dir: String,
+      sizeLegacy: Boolean = false): RunManifest = {
+    val root = new Path(dir)
+    val fs = storeFs(spark, dir)
+    if (!fs.exists(root))
+      return RunManifest(-1L, None, 0L, Nil, persisted = false)
+    val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
+    val vers = names.filter(_.startsWith("_runs."))
+      .flatMap(_.stripPrefix("_runs.").toLongOption)
+    if (vers.nonEmpty) {
+      val ver = vers.max
+      val in = fs.open(new Path(root, s"_runs.$ver"))
+      val text =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+          new String(bos.toByteArray, "UTF-8")
+        } finally in.close()
+      // loud on a torn manifest: the tmp+rename write makes one
+      // impossible in normal operation, so a parse failure is real
+      // corruption and silently treating it as empty would re-read
+      // folded-away fragments as if never folded
+      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+      def one(k: String): Option[String] = {
+        val vs = lines.filter(_.startsWith(k + "=")).map(_.drop(k.length + 1))
+        require(vs.length <= 1, s"corrupt run manifest _runs.$ver: " +
+          s"${vs.length} '$k=' lines")
+        vs.headOption
+      }
+      val next = one("next").flatMap(_.toLongOption).getOrElse(
+        throw new IllegalStateException(
+          s"corrupt run manifest _runs.$ver in $dir: missing next="))
+      val upTo = one("upTo").map(v => v.toLongOption.getOrElse(
+        throw new IllegalStateException(
+          s"corrupt run manifest _runs.$ver in $dir: bad upTo=$v")))
+      // a run may be a `run=<rid>` dir or a surviving legacy
+      // `compact=<upTo>` base carried over from the single-level code
+      val runs = lines.filter(l =>
+        l.startsWith("run=") || l.startsWith("compact=")).map { l =>
+        val i = l.lastIndexOf(':')
+        require(i > 0, s"corrupt run line '$l' in _runs.$ver")
+        RunInfo(l.take(i), l.drop(i + 1).toLong)
+      }.toSeq
+      RunManifest(ver, upTo, next, runs, persisted = true)
+    } else {
+      names.filter(_.startsWith("_compacted."))
+        .flatMap(_.stripPrefix("_compacted.").toLongOption)
+        .maxOption match {
+        case Some(u) =>
+          val base = s"compact=$u"
+          RunManifest(-1L, Some(u), 0L,
+            Seq(RunInfo(base,
+              if (sizeLegacy) dirBytes(fs, new Path(root, base)) else 0L)),
+            persisted = false)
+        case None => RunManifest(-1L, None, 0L, Nil, persisted = false)
+      }
+    }
   }
 
-  /** Commit a compaction at `upTo`: atomically create the versioned
-    * marker (the compacted base `compact=<upTo>` must already be
-    * fully written). Older markers are left behind — max wins, and
-    * the next compaction's cleanup may remove them. */
-  def writeCompactionMarker(spark: SparkSession, dir: String,
-      upTo: Long): Unit = {
-    val marker = new Path(dir, s"_compacted.$upTo")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(marker, false)
-    try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
+  /** Commit a manifest version: write to a tmp name, then rename —
+    * the manifest is visible fully-written or not at all (the torn-
+    * marker window an in-place create would leave). */
+  private def writeRunManifest(spark: SparkSession, dir: String,
+      m: RunManifest): Unit = {
+    val fs = storeFs(spark, dir)
+    val tmp = new Path(dir, s"_runs.${m.ver}.tmp")
+    val dst = new Path(dir, s"_runs.${m.ver}")
+    val out = fs.create(tmp, true)
+    try {
+      val body = (m.upTo.map(u => s"upTo=$u").toSeq ++
+        Seq(s"next=${m.next}") ++
+        m.runs.map(r => s"${r.name}:${r.bytes}")).mkString("\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    require(fs.rename(tmp, dst),
+      s"failed to commit run manifest $dst — version collision?")
   }
 
   /** The readable roots of a possibly-compacted fragment store: the
-    * `compact=<upTo>` base (when a marker commits one) plus the
-    * committed `batch=<n>` fragments NEWER than it. The contract for
-    * stores whose readers always consume EVERYTHING — point-in-time
-    * monitors that read `upToBatch` views (e.g. the HLL register
-    * store) must NOT be compacted, since a fold is irreversible. */
+    * live runs (from the manifest — or the legacy `compact=<upTo>`
+    * base) plus the committed `batch=<n>` fragments NEWER than the
+    * folded high-water mark. The contract for stores whose readers
+    * always consume EVERYTHING — point-in-time monitors that read
+    * `upToBatch` views (e.g. the HLL register store) must NOT be
+    * compacted, since a fold is irreversible; those stores get a
+    * RETENTION cut instead ([[retainNewest]]). */
   def fragmentRoots(spark: SparkSession, dir: String): Seq[String] = {
-    val upTo = compactedUpTo(spark, dir)
+    val m = runManifest(spark, dir)
     val tail = committedBatchDirs(spark, dir)
-      .filter(p => upTo.forall(u =>
-        p.getName.stripPrefix("batch=").toLong > u))
-    upTo.map(u => s"$dir/compact=$u").toSeq ++ tail.map(_.toString)
+      .filter(p => m.upTo.forall(batchId(p) > _))
+    m.runs.map(r => s"$dir/${r.name}") ++ tail.map(_.toString)
   }
 
-  /** Generic LSM fold for a FLAT (un-partitioned) fragment store:
-    * rewrite the current roots into one `compact=<upTo>` base, commit
-    * the versioned marker, then delete the folded inputs — the same
-    * crash-window discipline as the banded media fold
-    * ([[graft.streaming.MediaDedupMaintenance.compactUnifiedStore]],
-    * which owns the partitioned variant). No-op when nothing is
-    * newer than the current base. */
-  def compactFlatStore(spark: SparkSession, dir: String,
-      schema: org.apache.spark.sql.types.StructType,
-      outFiles: Int = 4): Unit = {
-    val prior = compactedUpTo(spark, dir)
+  /** The folded high-water mark — fragments with ids ≤ this are
+    * folded into runs and excluded from the tail by every reader. */
+  def foldedUpTo(spark: SparkSession, dir: String): Option[Long] =
+    runManifest(spark, dir).upTo
+
+  /** SIZE-TIERED fold of a fragment store — the generic protocol;
+    * `rewrite(inputs, outDir)` owns the data layout (flat repartition
+    * for row stores, partitionBy+sort for the banded media store).
+    *
+    * Per call: the committed tail (fragments newer than the folded
+    * mark) becomes one new run; existing runs are absorbed
+    * smallest-first while `run.bytes <= mergedBytes * sizeRatio`
+    * (absorbing at most multiplies the write we were doing anyway —
+    * the universal-compaction criterion, which leaves surviving runs
+    * geometrically spaced, O(log store/batch) of them), then further
+    * while the live run count would exceed `maxRuns`. With
+    * `maxRuns = 1` every fold merges everything — the single-level
+    * behavior, for stores small enough not to care.
+    *
+    * Crash-window discipline: new run written (Overwrite — a crashed
+    * attempt's orphan is simply overwritten when its id is reused,
+    * or swept as not-live) → manifest committed via tmp+rename →
+    * grace cleanup of inputs dead since the PREVIOUS manifest. A
+    * call with an empty tail runs just the cleanup, so interrupted
+    * folds and retired streams converge to a garbage-free store on
+    * the next maintenance call instead of never. */
+  def tieredCompact(spark: SparkSession, dir: String,
+      rewrite: (Seq[String], String) => Unit, maxRuns: Int = 4,
+      sizeRatio: Double = 2.0): Unit = {
+    require(maxRuns >= 1, s"maxRuns must be >= 1, got $maxRuns")
+    val fs = storeFs(spark, dir)
+    val prev = runManifest(spark, dir, sizeLegacy = true)
     val tail = committedBatchDirs(spark, dir)
-      .filter(p => prior.forall(u =>
-        p.getName.stripPrefix("batch=").toLong > u))
-    if (tail.isEmpty) return
-    val upTo = tail.map(_.getName.stripPrefix("batch=").toLong).max
-    val roots = prior.map(u => s"$dir/compact=$u").toSeq ++
-      tail.map(_.toString)
-    spark.read.schema(schema).parquet(roots: _*)
-      .repartition(outFiles)
-      .write.mode("overwrite").parquet(s"$dir/compact=$upTo")
-    writeCompactionMarker(spark, dir, upTo)
-    cleanupFolded(spark, dir, upTo)
+      .filter(p => prev.upTo.forall(batchId(p) > _))
+    if (tail.isEmpty) {
+      if (prev.persisted) cleanup(spark, dir, prev)
+      return
+    }
+    val newUpTo = (tail.map(batchId) ++ prev.upTo).max
+    val tailBytes = math.max(1L, tail.map(p => dirBytes(fs, p)).sum)
+    val sorted = prev.runs.sortBy(_.bytes)
+    var mergedBytes = tailBytes
+    var k = 0
+    while (k < sorted.size && sorted(k).bytes <= mergedBytes * sizeRatio) {
+      mergedBytes += sorted(k).bytes; k += 1
+    }
+    while (sorted.size - k + 1 > maxRuns && k < sorted.size) {
+      mergedBytes += sorted(k).bytes; k += 1
+    }
+    val absorbed = sorted.take(k)
+    val survivors = sorted.drop(k)
+    val newName = s"run=${prev.next}"
+    rewrite(tail.map(_.toString) ++ absorbed.map(r => s"$dir/${r.name}"),
+      s"$dir/$newName")
+    val newRun = RunInfo(newName, dirBytes(fs, new Path(dir, newName)))
+    writeRunManifest(spark, dir, RunManifest(prev.ver + 1, Some(newUpTo),
+      prev.next + 1, survivors :+ newRun, persisted = true))
+    cleanup(spark, dir, prev)
   }
 
-  /** Delete a fold's inputs AFTER its marker commit: fragments ≤
-    * upTo, superseded bases, stale markers. The ONE definition shared
-    * by the flat and the partitioned (media) folds. */
-  def cleanupFolded(spark: SparkSession, dir: String, upTo: Long): Unit = {
+  /** Delete everything that was already DEAD as of manifest `m`:
+    * fragments at or below its folded mark, run/compact dirs it does
+    * not list (excluding run ids it had not allocated yet — those
+    * belong to the fold that is committing right now), manifests
+    * older than it, and — once any v2 manifest exists — the legacy
+    * single-level markers it superseded. Called with the PREVIOUS
+    * manifest at fold time (grace: this fold's own inputs stay one
+    * more interval) and with the CURRENT manifest on an empty-tail
+    * call (their grace has elapsed). */
+  private def cleanup(spark: SparkSession, dir: String,
+      m: RunManifest): Unit = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root).foreach { e =>
+    val fs = storeFs(spark, dir)
+    if (!fs.exists(root)) return
+    val live = m.runs.map(_.name).toSet
+    val entries = fs.listStatus(root).toSeq
+    val hasV2 = entries.exists(_.getPath.getName.startsWith("_runs."))
+    entries.foreach { e =>
       val n = e.getPath.getName
       val stale =
         (n.startsWith("batch=") &&
-          n.stripPrefix("batch=").toLongOption.exists(_ <= upTo)) ||
-        (n.startsWith("compact=") &&
-          n.stripPrefix("compact=").toLongOption.exists(_ < upTo)) ||
-        (n.startsWith("_compacted.") &&
-          n.stripPrefix("_compacted.").toLongOption.exists(_ < upTo))
+          n.stripPrefix("batch=").toLongOption.exists(id =>
+            m.upTo.exists(id <= _))) ||
+        (n.startsWith("run=") && !live(n) &&
+          n.stripPrefix("run=").toLongOption.exists(_ < m.next)) ||
+        (n.startsWith("compact=") && !live(n)) ||
+        (n.startsWith("_runs.") &&
+          n.stripPrefix("_runs.").toLongOption.exists(_ < m.ver)) ||
+        (n.startsWith("_compacted.") && hasV2)
       if (stale) fs.delete(e.getPath, true)
     }
+  }
+
+  /** Tiered LSM fold for a FLAT (un-partitioned) fragment store —
+    * [[tieredCompact]] with the plain row layout. The partitioned
+    * (banded) variant lives with its layout
+    * ([[graft.streaming.MediaDedupMaintenance.compactUnifiedStore]]). */
+  def compactFlatStore(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      outFiles: Int = 4, maxRuns: Int = 4,
+      sizeRatio: Double = 2.0): Unit =
+    tieredCompact(spark, dir, (inputs, out) =>
+      spark.read.schema(schema).parquet(inputs: _*)
+        .repartition(outFiles)
+        .write.mode("overwrite").parquet(out),
+      maxRuns, sizeRatio)
+
+  /** RETENTION cut for SNAPSHOT/point-in-time stores — the complement
+    * of folding for stores a fold would BREAK: complete-state
+    * snapshot stores (graph edges, components) where old `batch=`
+    * dirs are superseded wholesale, and register stores (HLL) whose
+    * `upToBatch` point-in-time reads need every fragment within the
+    * horizon. Keeps the newest `keep` committed fragments, deletes
+    * the rest, and advances a versioned `_retained.<floor>` marker
+    * (max wins, written BEFORE the deletes — the crash window leaves
+    * the marker conservative, never data-less) so readers can refuse
+    * loudly below the horizon ([[retainedFloor]]) instead of
+    * returning silently-wrong partial state. */
+  def retainNewest(spark: SparkSession, dir: String, keep: Int): Unit = {
+    require(keep >= 1, s"retention must keep at least 1 snapshot, got $keep")
+    val fs = storeFs(spark, dir)
+    val committed = committedBatchDirs(spark, dir).sortBy(batchId)
+    if (committed.size <= keep) return
+    val victims = committed.dropRight(keep)
+    val floor = batchId(committed(victims.size)) // oldest KEPT id
+    val marker = new Path(dir, s"_retained.$floor")
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker, false)
+      try out.write(floor.toString.getBytes("UTF-8")) finally out.close()
+    }
+    victims.foreach(p => fs.delete(p, true))
+    // older markers are now redundant (max wins) — sweep them
+    fs.listStatus(new Path(dir)).foreach { e =>
+      val n = e.getPath.getName
+      if (n.startsWith("_retained.") &&
+          n.stripPrefix("_retained.").toLongOption.exists(_ < floor))
+        fs.delete(e.getPath, false)
+    }
+  }
+
+  /** The oldest batch id retention has promised still exists — reads
+    * at or above it are complete; a point-in-time read BELOW it must
+    * refuse loudly (its fragments are gone). None = never cut. */
+  def retainedFloor(spark: SparkSession, dir: String): Option[Long] = {
+    val root = new Path(dir)
+    val fs = storeFs(spark, dir)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_retained."))
+      .flatMap(_.stripPrefix("_retained.").toLongOption)
+      .maxOption
   }
 
   /** Committed `batch=<n>` fragment dirs under `dir`, optionally

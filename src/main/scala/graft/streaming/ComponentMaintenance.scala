@@ -39,12 +39,19 @@ object ComponentMaintenance {
 
   /** Latest landed label snapshot with batch id < `beforeBatch`
     * (None = newest); None when nothing has landed (first batch runs
-    * the cold contraction on its own fragment). */
+    * the cold contraction on its own fragment). Loud when
+    * `beforeBatch` falls at or below a retention floor
+    * ([[retainState]]) — a silent None would re-run the cold
+    * contraction as if the cut snapshots never existed. */
   def readLabels(spark: SparkSession, labelsDir: String,
       beforeBatch: Option[Long] = None): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(labelsDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return None
+    Commits.retainedFloor(spark, labelsDir).foreach(f =>
+      beforeBatch.foreach(b => require(b > f,
+        s"label snapshots before batch $b were cut by retention " +
+          s"(floor $f) — point-in-time read refused")))
     val ids = fs.listStatus(path).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("batch=") =>
@@ -53,6 +60,26 @@ object ComponentMaintenance {
     if (ids.isEmpty) None
     else Some(spark.read.schema(labelsSchema)
       .parquet(s"$labelsDir/batch=${ids.max}"))
+  }
+
+  /** RETENTION cut for BOTH stores — this maintenance's state is
+    * fully superseded per batch (labels_i = fold(labels_{i−1},
+    * fragment_i): labels are complete state, and an edge fragment is
+    * re-read only by its OWN batch's replay), so neither store is
+    * foldable and both want the retention discipline instead: keep
+    * the newest `keep` (≥ 2 — a replayed head batch re-reads its own
+    * fragment and its predecessor snapshot), delete the rest, advance
+    * the loud floor ([[Commits.retainNewest]]). Without it the label
+    * store accrues one FULL node-set snapshot per batch forever —
+    * worse than fragment accrual, that is O(nodes) garbage per
+    * batch. */
+  def retainState(spark: SparkSession, edgesDir: String,
+      labelsDir: String, keep: Int = 2): Unit = {
+    require(keep >= 2,
+      s"component retention must keep >= 2 snapshots (head replay " +
+        s"reads its predecessor), got $keep")
+    Commits.retainNewest(spark, edgesDir, keep)
+    Commits.retainNewest(spark, labelsDir, keep)
   }
 
   /** The idempotent unit: land one micro-batch of edges, fold it into
@@ -80,11 +107,13 @@ object ComponentMaintenance {
   }
 
   /** Start maintaining label snapshots from a streaming `source`
-    * carrying (`srcCol`, `dstCol`). */
+    * carrying (`srcCol`, `dstCol`). `keepState` > 0 cuts both stores
+    * to the newest that-many after every batch ([[retainState]]). */
   def start(source: DataFrame, srcCol: String, dstCol: String,
       edgesDir: String, labelsDir: String, checkpointDir: String,
       maxIters: Int = 50,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      keepState: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -92,6 +121,9 @@ object ComponentMaintenance {
         if (!batch.isEmpty) {
           processBatch(batch, batchId, srcCol, dstCol, edgesDir,
             labelsDir, maxIters)
+          if (keepState > 0)
+            retainState(batch.sparkSession, edgesDir, labelsDir,
+              keepState)
         }
       }
       .start()

@@ -39,14 +39,24 @@ object GraphMaintenance {
     StructField("node", LongType),
     StructField("rank_micro", LongType)))
 
+  private def edgeSchema: StructType = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType)))
+
   /** Latest landed rank snapshot with batch id < `beforeBatch`
     * (None = take the newest); None result when nothing has landed
-    * yet (the first refresh runs cold). */
+    * yet (the first refresh runs cold). Loud when `beforeBatch`
+    * falls at or below a retention cut's floor ([[retainRanks]]) —
+    * the snapshots that would answer are gone, and a silent None
+    * would restart the refresh cold as if they never existed. */
   def readRanks(spark: SparkSession, ranksDir: String,
       beforeBatch: Option[Long] = None): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(ranksDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return None
+    Commits.retainedFloor(spark, ranksDir).foreach(f =>
+      beforeBatch.foreach(b => require(b > f,
+        s"rank snapshots before batch $b were cut by retention " +
+          s"(floor $f) — point-in-time read refused")))
     val ids = fs.listStatus(path).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("batch=") =>
@@ -57,23 +67,53 @@ object GraphMaintenance {
       .parquet(s"$ranksDir/batch=${ids.max}"))
   }
 
-  /** Accumulated edge log (fragments with id ≤ `upToBatch`; None =
-    * everything landed). Empty-with-schema before the first batch. */
+  /** Accumulated edge log (runs + fragments with id ≤ `upToBatch`;
+    * None = everything landed). Empty-with-schema before the first
+    * batch. Once the log has been folded ([[compactEdges]]) a
+    * bounded read BELOW the folded mark refuses loudly — a run mixes
+    * batches and cannot be subset; in-stream reads are always at the
+    * head (`upToBatch = batchId ≥` any fold the stream ran), so only
+    * out-of-band historical reads hit this. */
   def readEdges(spark: SparkSession, edgesDir: String,
       upToBatch: Option[Long] = None): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("src", LongType), StructField("dst", LongType)))
-    val path = new org.apache.hadoop.fs.Path(edgesDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(path)) Seq.empty
-      else fs.listStatus(path).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("batch=") &&
-          upToBatch.forall(p.getName.stripPrefix("batch=").toLong <= _))
-    if (dirs.isEmpty)
+    val folded = Commits.foldedUpTo(spark, edgesDir)
+    folded.foreach(u => upToBatch.foreach(b => require(b >= u,
+      s"edge log folded up to batch $u — bounded read at $b refused " +
+        "(runs cannot be subset below the folded mark)")))
+    val roots = Commits.fragmentRoots(spark, edgesDir).filter { r =>
+      val n = r.split('/').last
+      !n.startsWith("batch=") ||
+        upToBatch.forall(n.stripPrefix("batch=").toLong <= _)
+    }
+    if (roots.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        edgeSchema)
+    else spark.read.schema(edgeSchema).parquet(roots: _*)
+  }
+
+  /** SIZE-TIERED LSM fold of the edge log
+    * ([[Commits.compactFlatStore]]): PageRank re-reads the WHOLE log
+    * every refresh, so nothing is lost to folding — only the
+    * per-batch listing cost of one-fragment-per-batch-forever. Rows
+    * are concatenated verbatim (a cross-batch duplicate edge keeps
+    * its double weight — folding must not change rank arithmetic). */
+  def compactEdges(spark: SparkSession, edgesDir: String,
+      maxRuns: Int = 4): Unit =
+    Commits.compactFlatStore(spark, edgesDir, edgeSchema,
+      maxRuns = maxRuns)
+
+  /** RETENTION cut for the rank snapshots — complete state that a
+    * fold would BREAK (each snapshot supersedes the last wholesale):
+    * keep the newest `keep` (≥ 2, so a replayed head batch still
+    * finds its warm-start snapshot), delete the rest, advance the
+    * loud floor ([[Commits.retainNewest]]). */
+  def retainRanks(spark: SparkSession, ranksDir: String,
+      keep: Int = 2): Unit = {
+    require(keep >= 2,
+      s"rank retention must keep >= 2 snapshots (head replay warm " +
+        s"start), got $keep")
+    Commits.retainNewest(spark, ranksDir, keep)
   }
 
   /** The idempotent unit of maintenance: land one micro-batch of
@@ -96,11 +136,15 @@ object GraphMaintenance {
   }
 
   /** Start maintaining the edge log + rank snapshots from a streaming
-    * `source` carrying (`srcCol`, `dstCol`). */
+    * `source` carrying (`srcCol`, `dstCol`). `compactEvery` > 0 folds
+    * the edge log every that-many batches ([[compactEdges]]);
+    * `keepRanks` > 0 cuts rank snapshots to the newest that-many
+    * after every batch ([[retainRanks]]). */
   def start(source: DataFrame, srcCol: String, dstCol: String,
       edgesDir: String, ranksDir: String, checkpointDir: String,
       refreshIters: Int = 1, dampMicro: Long = 850000L,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0, keepRanks: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -108,6 +152,10 @@ object GraphMaintenance {
         if (!batch.isEmpty) {
           processBatch(batch, batchId, srcCol, dstCol, edgesDir,
             ranksDir, refreshIters, dampMicro)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            compactEdges(batch.sparkSession, edgesDir)
+          if (keepRanks > 0)
+            retainRanks(batch.sparkSession, ranksDir, keepRanks)
         }
       }
       .start()

@@ -41,27 +41,59 @@ object HllMaintenance {
       .withColumnRenamed(keyCol, "key")
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
 
-  /** The current merged register table: cell-wise max of landed
-    * fragments with id ≤ `upToBatch` (None = everything).
-    * Empty-with-schema before the first batch. Safe against a live
-    * stream: only COMMITTED fragments participate
+  /** The current merged register table: cell-wise max of the live
+    * runs and the landed fragments with id ≤ `upToBatch` (None =
+    * everything). Empty-with-schema before the first batch. Safe
+    * against a live stream: only COMMITTED fragments participate
     * ([[Commits.committedBatchDirs]] — the `_SUCCESS`-or-finalized-
     * parts rule, conditional on the live Hadoop conf's marker
     * setting), so a batch write in flight is invisible rather than a
-    * partial merge. */
+    * partial merge. Once the store has been folded
+    * ([[compactRegisters]]) a point-in-time read BELOW the folded
+    * mark refuses loudly — a max-merged run cannot be subset by
+    * batch; reads at or above it stay EXACT (max is associative). */
   def mergedRegisters(spark: SparkSession, outDir: String,
       keyType: DataType = StringType,
       upToBatch: Option[Long] = None): DataFrame = {
-    val dirs = Commits.committedBatchDirs(spark, outDir, upToBatch)
-    if (dirs.isEmpty)
+    Commits.foldedUpTo(spark, outDir).foreach(u =>
+      upToBatch.foreach(b => require(b >= u,
+        s"register store folded up to batch $u — point-in-time read " +
+          s"at $b refused (a max-merged run cannot be subset)")))
+    val roots = Commits.fragmentRoots(spark, outDir).filter { r =>
+      val n = r.split('/').last
+      !n.startsWith("batch=") ||
+        upToBatch.forall(n.stripPrefix("batch=").toLong <= _)
+    }
+    if (roots.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         regSchema(keyType))
     else spark.read.schema(regSchema(keyType))
-      .parquet(dirs.map(_.toString): _*)
+      .parquet(roots: _*)
       .groupBy(col("key"), col("bkt"))
       .agg(max(col("reg")).as("reg"))
   }
+
+  /** SIZE-TIERED AGGREGATING fold of the register store: runs hold
+    * the cell-wise MAX of their inputs — exact, because integer
+    * max-merge is associative and commutative (the same property
+    * that makes the merged estimate order-independent), so the
+    * store's principal read (`upToBatch = None`) is bit-identical
+    * folded or not (spec-pinned). This is why the register store is
+    * NOT in the retention class: a retention cut would DELETE old
+    * fragments' max contributions and silently shrink every
+    * estimate; the aggregating fold keeps totals exact and only
+    * narrows the point-in-time window — which is all retention
+    * would have left anyway, and here it refuses loudly
+    * ([[mergedRegisters]]). */
+  def compactRegisters(spark: SparkSession, outDir: String,
+      keyType: DataType = StringType, maxRuns: Int = 4): Unit =
+    Commits.tieredCompact(spark, outDir, (inputs, out) =>
+      spark.read.schema(regSchema(keyType)).parquet(inputs: _*)
+        .groupBy(col("key"), col("bkt"))
+        .agg(max(col("reg")).as("reg"))
+        .write.mode("overwrite").parquet(out),
+      maxRuns)
 
   /** Current per-key estimates from the merged registers. */
   def mergedEstimate(spark: SparkSession, outDir: String,

@@ -145,9 +145,7 @@ object MediaDedupMaintenance {
     // empty store (every stream's first batch) there is nothing to
     // prune and the job is pure overhead; the empty Map keeps the
     // base side filtered to nothing, which is what it is anyway
-    val storeEmpty =
-      Commits.compactedUpTo(spark, storeDir).isEmpty &&
-        Commits.committedBatchDirs(spark, storeDir).isEmpty
+    val storeEmpty = Commits.fragmentRoots(spark, storeDir).isEmpty
     val touched =
       if (storeEmpty) Map.empty[String, Seq[(Int, Int)]]
       else touchedCells(deltaBanded)
@@ -201,27 +199,27 @@ object MediaDedupMaintenance {
     StructField("band", IntegerType)))
 
   /** The accumulated unified store in its banded on-disk form: the
-    * COMPACTED base (fragments folded up to the marker's batch id —
-    * [[compactUnifiedStore]]) unioned with the committed TAIL
-    * fragments newer than it. A replayed batch is batch-id-stable
-    * (the checkpoint re-runs the same id), so a folded id's stray
-    * re-written fragment is excluded by the `> upTo` cut and the
-    * view stays exactly-once. Filters on (kind, band, bucket) prune
-    * partitions/files on BOTH sides of the union. */
+    * live RUNS (fragments folded up to the manifest's batch id —
+    * [[compactUnifiedStore]]; possibly several size-tiered runs)
+    * unioned with the committed TAIL fragments newer than the folded
+    * mark. A replayed batch is batch-id-stable (the checkpoint
+    * re-runs the same id), so a folded id's stray re-written
+    * fragment is excluded by the `> upTo` cut and the view stays
+    * exactly-once. Filters on (kind, band, bucket) prune
+    * partitions/files on EVERY side of the union. */
   def readBandedUnifiedFingerprints(spark: SparkSession,
       storeDir: String): DataFrame = {
-    val upTo = Commits.compactedUpTo(spark, storeDir)
-    val tail = Commits.committedBatchDirs(spark, storeDir)
-      .filter(p => upTo.forall(u =>
-        p.getName.stripPrefix("batch=").toLong > u))
+    val roots = Commits.fragmentRoots(spark, storeDir)
+    val (tail, runs) = roots.partition(
+      _.split('/').last.startsWith("batch="))
     val parts =
-      upTo.map { u =>
-        // the compacted base has (kind, band) partition dirs but no
-        // batch level; the explicit schema's `batch` column fills null
+      runs.map { r =>
+        // a run has (kind, band) partition dirs but no batch level;
+        // the explicit schema's `batch` column fills null
         spark.read.schema(bandedUnifiedSchema)
-          .option("basePath", s"$storeDir/compact=$u")
-          .parquet(s"$storeDir/compact=$u")
-      }.toSeq ++
+          .option("basePath", r)
+          .parquet(r)
+      } ++
       (if (tail.isEmpty) Nil
        else Seq(
          // basePath makes batch=<n> a discovered partition column
@@ -230,7 +228,7 @@ object MediaDedupMaintenance {
          // discovery's conflicting-structures check
          spark.read.schema(bandedUnifiedSchema)
            .option("basePath", storeDir)
-           .parquet(tail.map(_.toString): _*)))
+           .parquet(tail: _*)))
     if (parts.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -240,36 +238,35 @@ object MediaDedupMaintenance {
       .reduce(_.unionByName(_))
   }
 
-  /** FOLD the unified store: merge the current compacted base (if
-    * any) and every committed fragment newer than it into ONE
-    * `compact=<upTo>` base — the LSM discipline that keeps a
-    * long-lived stream's per-batch listing cost O(1) instead of
-    * O(batches): without it the store accrues one fragment dir per
-    * micro-batch forever. The fold preserves the banded layout
-    * ((kind, band) dirs, bucket-sorted files), commits the versioned
-    * marker only after the base is fully written, and then deletes
-    * the folded inputs (older compact dirs, fragments ≤ upTo, older
-    * markers) — every crash window leaves a correct view (see
-    * [[Commits.compactedUpTo]]). No-op when there is nothing newer
-    * than the current base. */
-  def compactUnifiedStore(spark: SparkSession, storeDir: String): Unit = {
-    val prior = Commits.compactedUpTo(spark, storeDir)
-    val tail = Commits.committedBatchDirs(spark, storeDir)
-      .filter(p => prior.forall(u =>
-        p.getName.stripPrefix("batch=").toLong > u))
-    if (tail.isEmpty) return
-    val upTo = tail.map(_.getName.stripPrefix("batch=").toLong).max
-    readBandedUnifiedFingerprints(spark, storeDir)
-      .select(col("media_id"), col("dhash"), col("band_key"),
-        col("bucket"), col("kind"), col("band"))
-      .repartition(col("kind"), col("band"))
-      .sortWithinPartitions(col("kind"), col("band"), col("bucket"))
-      .write.mode("overwrite")
-      .partitionBy("kind", "band")
-      .parquet(s"$storeDir/compact=$upTo")
-    Commits.writeCompactionMarker(spark, storeDir, upTo)
-    Commits.cleanupFolded(spark, storeDir, upTo)
-  }
+  /** FOLD the unified store — SIZE-TIERED ([[Commits.tieredCompact]]
+    * owns the protocol: new run from the tail, smallest runs absorbed
+    * only while within the bytes being written anyway, versioned
+    * manifest, grace cleanup): per-fold write cost tracks the FOLDED
+    * bytes, not store size — the single-level fold this replaces
+    * rewrote the ENTIRE store every `compactEvery` batches, O(store)
+    * write amplification per fold. The banded layout ((kind, band)
+    * dirs, bucket-sorted files) is preserved run by run, so the
+    * per-batch (band, bucket) pruning holds across however many
+    * runs are live. No-op (cleanup only) when nothing is newer than
+    * the folded mark. */
+  def compactUnifiedStore(spark: SparkSession, storeDir: String,
+      maxRuns: Int = 4): Unit =
+    Commits.tieredCompact(spark, storeDir, (inputs, out) =>
+      inputs.map { in =>
+        // basePath = the input itself: batch fragments and runs both
+        // carry kind=/band= dirs directly beneath; the fold drops the
+        // batch column (schema fills null, and it is not rewritten)
+        spark.read.schema(bandedUnifiedSchema)
+          .option("basePath", in).parquet(in)
+          .select(col("media_id"), col("dhash"), col("band_key"),
+            col("bucket"), col("kind"), col("band"))
+      }.reduce(_.unionByName(_))
+        .repartition(col("kind"), col("band"))
+        .sortWithinPartitions(col("kind"), col("band"), col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("kind", "band")
+        .parquet(out),
+      maxRuns)
 
   /** The accumulated MIXED-modality fingerprint store as (media_id,
     * kind, 64-bit fingerprint) — each media's band=0 row carries the

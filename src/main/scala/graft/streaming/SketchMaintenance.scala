@@ -34,26 +34,52 @@ object SketchMaintenance {
     TextAnalysis.countMinCells(batch, textCol, d, w, seed)
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
 
-  /** The current corpus sketch: cell-wise sum of landed fragments
-    * with id ≤ `upToBatch` (None = everything). Empty-with-schema
-    * before the first batch. */
+  /** The current corpus sketch: cell-wise sum of the live runs and
+    * the committed fragments with id ≤ `upToBatch` (None =
+    * everything). Empty-with-schema before the first batch. Once the
+    * store has been folded ([[compactCells]]) a point-in-time read
+    * BELOW the folded mark refuses loudly — a sum-merged run cannot
+    * be subset by batch; reads at or above it stay EXACT (integer
+    * addition is associative). */
   def mergedCells(spark: SparkSession, outDir: String,
       upToBatch: Option[Long] = None): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(outDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(path)) Seq.empty
-      else fs.listStatus(path).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("batch=") &&
-          upToBatch.forall(p.getName.stripPrefix("batch=").toLong <= _))
-    if (dirs.isEmpty)
+    Commits.foldedUpTo(spark, outDir).foreach(u =>
+      upToBatch.foreach(b => require(b >= u,
+        s"sketch store folded up to batch $u — point-in-time read " +
+          s"at $b refused (a sum-merged run cannot be subset)")))
+    val roots = Commits.fragmentRoots(spark, outDir).filter { r =>
+      val n = r.split('/').last
+      !n.startsWith("batch=") ||
+        upToBatch.forall(n.stripPrefix("batch=").toLong <= _)
+    }
+    if (roots.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cellSchema)
     else spark.read.schema(cellSchema)
-      .parquet(dirs.map(_.toString): _*)
+      .parquet(roots: _*)
       .groupBy(col("row"), col("col"))
       .agg(sum(col("cnt")).as("cnt"))
   }
+
+  /** SIZE-TIERED AGGREGATING fold of the cell store: runs hold the
+    * cell-wise SUM of their inputs — exact (integer addition is
+    * associative/commutative, the count-min merge law), so the
+    * principal `upToBatch = None` read is bit-identical folded or
+    * not. Like the HLL registers, NOT a retention store: a cut
+    * would delete old fragments' counts and silently shrink every
+    * estimate; the fold keeps totals exact and only narrows the
+    * point-in-time window, loudly ([[mergedCells]]). A fold also
+    * CAPS the store at ≤ maxRuns·d·w rows — without it the
+    * constant-size-fragment story still accrues one d·w fragment
+    * per batch forever. */
+  def compactCells(spark: SparkSession, outDir: String,
+      maxRuns: Int = 4): Unit =
+    Commits.tieredCompact(spark, outDir, (inputs, out) =>
+      spark.read.schema(cellSchema).parquet(inputs: _*)
+        .groupBy(col("row"), col("col"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite").parquet(out),
+      maxRuns)
 
   /** Start sketching the streaming `source` (must carry `textCol`). */
   def start(source: DataFrame, textCol: String, outDir: String,

@@ -52,13 +52,42 @@ object SuffixMaintenance {
 
   private def readFrags(spark: SparkSession, dir: String,
       schema: StructType): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path) && fs.listStatus(path).nonEmpty)
-      spark.read.schema(schema).parquet(dir)
+    // roots = live compacted runs + committed batch fragments newer
+    // than the folded mark — the one readable-roots contract every
+    // foldable store shares ([[Commits.fragmentRoots]])
+    val roots = Commits.fragmentRoots(spark, dir)
+    if (roots.nonEmpty)
+      spark.read.schema(schema).parquet(roots: _*)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** The number of doubling rounds for `spanLen` — indexes live at
+    * `r0..r<rounds>` plus `fin`. */
+  private def rounds(spanLen: Int): Int =
+    63 - java.lang.Long.numberOfLeadingZeros(spanLen.toLong)
+
+  /** SIZE-TIERED LSM fold of ALL the suffix stores — the per-round
+    * class indexes (`r0..rh`, `fin`) and the spans log each accrue
+    * one fragment dir per micro-batch forever without it (the
+    * measured accrual law: +79% per-batch wall at 150 fragments,
+    * StoreAccrualProbe), and every reader here consumes everything,
+    * so all of them are foldable ([[Commits.compactFlatStore]] —
+    * concatenating fold, contents provably unchanged). Call it from
+    * the stream (`compactEvery` in [[start]]) or as out-of-band
+    * maintenance. */
+  def compactStores(spark: SparkSession, indexDir: String,
+      spansDir: String, spanLen: Int = 12, maxRuns: Int = 4): Unit = {
+    Commits.compactFlatStore(spark, s"$indexDir/r0", r0Schema,
+      maxRuns = maxRuns)
+    (1 to rounds(spanLen)).foreach(k =>
+      Commits.compactFlatStore(spark, s"$indexDir/r$k", rkSchema,
+        maxRuns = maxRuns))
+    Commits.compactFlatStore(spark, s"$indexDir/fin", finSchema,
+      maxRuns = maxRuns)
+    Commits.compactFlatStore(spark, spansDir, spansSchema,
+      maxRuns = maxRuns)
   }
 
   /** Exclude rows this batch itself landed (replay): a row is ours
@@ -122,19 +151,25 @@ object SuffixMaintenance {
     }
   }
 
-  /** All landed to-remove spans (every `batch=*` fragment). */
+  private val spansSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("span_start", LongType),
+    StructField("span_end", LongType)))
+
+  /** All landed to-remove spans (runs + committed fragments). */
   def readSpans(spark: SparkSession, spansDir: String): DataFrame =
-    readFrags(spark, spansDir, StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("span_start", LongType),
-      StructField("span_end", LongType))))
+    readFrags(spark, spansDir, spansSchema)
 
   /** Start maintaining the suffix-dedup indexes + spans log from a
-    * streaming `source` carrying (`idCol`, `textCol`). */
+    * streaming `source` carrying (`idCol`, `textCol`).
+    * `compactEvery` > 0 folds all the stores every that-many batches
+    * ([[compactStores]]) so fragment count — and with it per-batch
+    * listing cost — stays bounded on a long-lived stream. */
   def start(source: DataFrame, textCol: String, idCol: String,
       indexDir: String, spansDir: String, checkpointDir: String,
       spanLen: Int = 12,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -142,6 +177,9 @@ object SuffixMaintenance {
         if (!batch.isEmpty) {
           processBatch(batch, batchId, textCol, idCol, indexDir,
             spansDir, spanLen)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            compactStores(batch.sparkSession, indexDir, spansDir,
+              spanLen)
         }
       }
       .start()

@@ -245,11 +245,17 @@ class Round13Spec extends SparkSpec {
     val (foldedStore, foldedPairs) = run(1, "on")
     assert(foldedPairs == plainPairs && plainPairs.nonEmpty,
       "compaction changed the pair surface")
-    // the folded store holds ONE compacted base and no batch dirs
+    // one RETIRE call reclaims the last fold's grace-kept inputs
+    // (cleanup is grace-deferred one maintenance interval for
+    // concurrent monitors); after it the store holds only live
+    // size-tiered runs — bounded by maxRuns — and no batch dirs
+    MediaDedupMaintenance.compactUnifiedStore(spark, foldedStore)
     val names = new java.io.File(foldedStore).list().toSeq
-    assert(names.count(_.startsWith("compact=")) == 1 &&
+    val runs = names.count(n =>
+      n.startsWith("run=") || n.startsWith("compact="))
+    assert(runs >= 1 && runs <= 4 &&
       !names.exists(_.startsWith("batch=")),
-      s"expected one folded base and no fragments, got $names")
+      s"expected 1..4 tiered runs and no fragments, got $names")
     // logical content identical either way
     def logical(store: String): Set[String] =
       MediaDedupMaintenance.readUnifiedFingerprints(spark, store)
@@ -299,10 +305,14 @@ class Round13Spec extends SparkSpec {
     val (foldedIdx, foldedPairs) = run(1, "on")
     assert(foldedPairs == plainPairs && plainPairs.nonEmpty,
       "index folding changed the pair surface")
+    // retire call reclaims the grace-kept last-fold inputs
+    graft.streaming.DedupMaintenance.compactIndex(spark, foldedIdx)
     val names = new java.io.File(foldedIdx).list().toSeq
-    assert(names.count(_.startsWith("compact=")) == 1 &&
+    val runs = names.count(n =>
+      n.startsWith("run=") || n.startsWith("compact="))
+    assert(runs >= 1 && runs <= 4 &&
       !names.exists(_.startsWith("batch=")),
-      s"expected one folded base and no fragments, got $names")
+      s"expected 1..4 tiered runs and no fragments, got $names")
     def ids(idx: String): Seq[Long] =
       DedupMaintenance.readIndex(spark, idx)
         .select(col("_id")).collect().map(_.getLong(0)).sorted.toSeq
