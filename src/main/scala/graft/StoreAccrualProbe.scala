@@ -11,7 +11,16 @@ import org.apache.spark.sql.functions.col
   * tail should read measurably above the head; with folding on it
   * should stay flat.
   *
-  * usage: StoreAccrualProbe <sfDir> <nBatches> <docsPerBatch> <compactEvery>
+  * FOLD COST is timed separately (the per-batch walls exclude it):
+  * `foldHead5`/`foldTail5` compare the first and last five folds'
+  * wall — under the single-level fold (`maxRuns 1`) the tail folds
+  * rewrite the whole store and grow linearly with store size; under
+  * the size-tiered fold (`maxRuns 4`) per-fold cost tracks the
+  * FOLDED bytes (tail + absorbed small runs), flat except the
+  * occasional geometric big-merge.
+  *
+  * usage: StoreAccrualProbe <sfDir> <nBatches> <docsPerBatch>
+  *          <compactEvery> [maxRuns]
   */
 object StoreAccrualProbe {
   def main(args: Array[String]): Unit = {
@@ -20,6 +29,7 @@ object StoreAccrualProbe {
     val nBatches = if (args.length > 1) args(1).toInt else 40
     val docsPer = if (args.length > 2) args(2).toInt else 60
     val compactEvery = if (args.length > 3) args(3).toInt else 0
+    val maxRuns = if (args.length > 4) args(4).toInt else 4
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -36,6 +46,7 @@ object StoreAccrualProbe {
       val Seq(store, pairs) = dirs.map(_.toString)
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"))
+      val foldTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
       val times = (0 until nBatches).map { b =>
         val batch = graft.ext.Multimodal.syntheticMixedFrameGrouped(
           spark,
@@ -45,16 +56,23 @@ object StoreAccrualProbe {
         val t0 = System.nanoTime()
         graft.streaming.MediaDedupMaintenance.processBatchUnified(
           batch, b.toLong, store, pairs)
-        if (compactEvery > 0 && (b + 1) % compactEvery == 0)
+        val t1 = System.nanoTime()
+        if (compactEvery > 0 && (b + 1) % compactEvery == 0) {
           graft.streaming.MediaDedupMaintenance.compactUnifiedStore(
-            spark, store)
-        (System.nanoTime() - t0) / 1e6
+            spark, store, maxRuns)
+          foldTimes += (System.nanoTime() - t1) / 1e6
+        }
+        (t1 - t0) / 1e6
       }
-      def avg(xs: Seq[Double]): Double = xs.sum / xs.size
+      def avg(xs: Seq[Double]): Double =
+        if (xs.isEmpty) 0.0 else xs.sum / xs.size
       println(f"PROBE accrual nBatches=$nBatches docsPer=$docsPer " +
-        f"compactEvery=$compactEvery " +
+        f"compactEvery=$compactEvery maxRuns=$maxRuns " +
         f"head5=${avg(times.slice(10, 15))}%.0fms " + // post-JIT window
         f"tail5=${avg(times.takeRight(5))}%.0fms " +
+        f"foldHead5=${avg(foldTimes.take(5).toSeq)}%.0fms " +
+        f"foldTail5=${avg(foldTimes.takeRight(5).toSeq)}%.0fms " +
+        f"nFolds=${foldTimes.size} " +
         f"storeRows=${graft.streaming.MediaDedupMaintenance
           .readUnifiedFingerprints(spark, store).count()}")
     } finally {
