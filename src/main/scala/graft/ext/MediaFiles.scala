@@ -288,14 +288,23 @@ object MediaFiles {
     * watermark predicate, accepting at-least-once duplicates its
     * upsert dedups). So the listing bound is backed off by 1 ms
     * (making the watermark itself INCLUSIVE) and the wave is
-    * anti-joined on `path` against the rows already manifested:
-    * boundary collisions become suppressed duplicates, never misses
-    * — every file is manifested exactly once across waves whatever
-    * the watermark's relation to the wave boundary (spec-pinned at
-    * the exact-boundary mtime). The anti-join's read side is the slim
-    * manifest itself, O(archive metadata), never payload bytes.
-    * `manifestFiles` shapes the append's parquet file count — the
-    * unit the manifest STREAM batches by. */
+    * anti-joined on `(path, mtime_ms)` against the rows already
+    * manifested: boundary collisions become suppressed duplicates,
+    * never misses — every file VERSION is manifested exactly once
+    * across waves whatever the watermark's relation to the wave
+    * boundary (spec-pinned at the exact-boundary mtime). Keying the
+    * dedup by `(path, mtime_ms)` rather than `path` alone means a
+    * file RE-MODIFIED after being manifested re-manifests as a new
+    * row (spec-pinned) — the reference's inclusive re-ingest +
+    * newest-wins upsert, where a path-only key would suppress the
+    * new version forever and pin the stale row. Consumers wanting
+    * the CURRENT archive view take max-`mtime_ms`-per-path
+    * (downstream payload stores already dedup re-processed payloads
+    * by their exactly-once batch discipline + fingerprint dedup).
+    * The anti-join's read side is the slim manifest itself,
+    * O(archive metadata), never payload bytes. `manifestFiles`
+    * shapes the append's parquet file count — the unit the manifest
+    * STREAM batches by. */
   def appendManifest(spark: SparkSession, dir: String,
       manifestDir: String, watermarkIso: Option[String] = None,
       manifestFiles: Int = 1): Unit = {
@@ -318,8 +327,8 @@ object MediaFiles {
       if (fs.exists(manifestPath))
         wave.join(
           spark.read.schema(ManifestSchema).parquet(manifestDir)
-            .select(col("path")),
-          Seq("path"), "left_anti")
+            .select(col("path"), col("mtime_ms")),
+          Seq("path", "mtime_ms"), "left_anti")
       else wave
     fresh.select(col("media_id"), col("path"), col("mtime_ms"),
         col("n_bytes"), col("claimed_ext"))

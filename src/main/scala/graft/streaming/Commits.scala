@@ -166,13 +166,32 @@ object Commits {
   /** The readable roots of a possibly-compacted fragment store: the
     * live runs (from the manifest — or the legacy `compact=<upTo>`
     * base) plus the committed `batch=<n>` fragments NEWER than the
-    * folded high-water mark. The contract for stores whose readers
-    * always consume EVERYTHING — point-in-time monitors that read
-    * `upToBatch` views (e.g. the HLL register store) must NOT be
-    * compacted, since a fold is irreversible; those stores get a
-    * RETENTION cut instead ([[retainNewest]]). */
-  def fragmentRoots(spark: SparkSession, dir: String): Seq[String] = {
-    val m = runManifest(spark, dir)
+    * folded high-water mark. Folding is transparent to readers that
+    * consume the whole store, and stays EXACT for aggregating stores
+    * whose fold merges by an associative law (HLL register max,
+    * count-min cell sum); what a fold does give up is the
+    * point-in-time view BELOW the folded mark — a run mixes batches
+    * and cannot be subset, so bounded reads there must refuse loudly
+    * ([[foldedUpTo]]). Only wholesale-superseded SNAPSHOT stores
+    * (PageRank ranks, component labels) are not foldable at all;
+    * those take a RETENTION cut instead ([[retainNewest]]).
+    *
+    * Readers that pair a bounded-read refusal check with the roots
+    * MUST use the manifest-taking overload with ONE
+    * [[runManifest]] read — calling [[foldedUpTo]] and then this
+    * method reads the manifest twice, and a concurrent fold
+    * committing between the reads advances the mark past the bound
+    * the check approved, silently including future batches. */
+  def fragmentRoots(spark: SparkSession, dir: String): Seq[String] =
+    fragmentRoots(spark, dir, runManifest(spark, dir))
+
+  /** [[fragmentRoots]] against a caller-held manifest snapshot — the
+    * check-then-read TOCTOU fix: the refusal check and the roots see
+    * the SAME `upTo`/run set. The tail listing races only against
+    * grace-deferred cleanup, which never deletes a fragment the
+    * snapshot's `upTo` still includes. */
+  def fragmentRoots(spark: SparkSession, dir: String,
+      m: RunManifest): Seq[String] = {
     val tail = committedBatchDirs(spark, dir)
       .filter(p => m.upTo.forall(batchId(p) > _))
     m.runs.map(r => s"$dir/${r.name}") ++ tail.map(_.toString)

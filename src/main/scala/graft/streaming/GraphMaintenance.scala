@@ -53,18 +53,37 @@ object GraphMaintenance {
     val path = new org.apache.hadoop.fs.Path(ranksDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return None
-    Commits.retainedFloor(spark, ranksDir).foreach(f =>
-      beforeBatch.foreach(b => require(b > f,
-        s"rank snapshots before batch $b were cut by retention " +
-          s"(floor $f) — point-in-time read refused")))
+    def floorCheck(): Unit =
+      Commits.retainedFloor(spark, ranksDir).foreach(f =>
+        beforeBatch.foreach(b => require(b > f,
+          s"rank snapshots before batch $b were cut by retention " +
+            s"(floor $f) — point-in-time read refused")))
+    floorCheck()
     val ids = fs.listStatus(path).toSeq
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("batch=") =>
         s.stripPrefix("batch=").toLong }
       .filter(id => beforeBatch.forall(id < _))
-    if (ids.isEmpty) None
-    else Some(spark.read.schema(ranksSchema)
-      .parquet(s"$ranksDir/batch=${ids.max}"))
+    if (ids.isEmpty) {
+      // re-check AFTER the listing: a concurrent retention cut racing
+      // the list can have deleted the only qualifying snapshot after
+      // the first check passed — the loud floor must fire, not a
+      // silent None cold start (the failure the floor exists for)
+      floorCheck()
+      None
+    } else {
+      val chosen = new org.apache.hadoop.fs.Path(path, s"batch=${ids.max}")
+      if (fs.exists(chosen))
+        Some(spark.read.schema(ranksSchema).parquet(chosen.toString))
+      else {
+        // listed-then-deleted by a concurrent cut: the floor re-check
+        // either refuses loudly or a NEWER snapshot now answers —
+        // retention floors advance monotonically, so each retry sees
+        // strictly newer state (no livelock)
+        floorCheck()
+        readRanks(spark, ranksDir, beforeBatch)
+      }
+    }
   }
 
   /** Accumulated edge log (runs + fragments with id ≤ `upToBatch`;
@@ -76,11 +95,13 @@ object GraphMaintenance {
     * out-of-band historical reads hit this. */
   def readEdges(spark: SparkSession, edgesDir: String,
       upToBatch: Option[Long] = None): DataFrame = {
-    val folded = Commits.foldedUpTo(spark, edgesDir)
-    folded.foreach(u => upToBatch.foreach(b => require(b >= u,
+    // ONE manifest read serves both the refusal check and the roots
+    // (see HllMaintenance.mergedRegisters — same concurrent-fold race)
+    val m = Commits.runManifest(spark, edgesDir)
+    m.upTo.foreach(u => upToBatch.foreach(b => require(b >= u,
       s"edge log folded up to batch $u — bounded read at $b refused " +
         "(runs cannot be subset below the folded mark)")))
-    val roots = Commits.fragmentRoots(spark, edgesDir).filter { r =>
+    val roots = Commits.fragmentRoots(spark, edgesDir, m).filter { r =>
       val n = r.split('/').last
       !n.startsWith("batch=") ||
         upToBatch.forall(n.stripPrefix("batch=").toLong <= _)

@@ -55,11 +55,16 @@ object HllMaintenance {
   def mergedRegisters(spark: SparkSession, outDir: String,
       keyType: DataType = StringType,
       upToBatch: Option[Long] = None): DataFrame = {
-    Commits.foldedUpTo(spark, outDir).foreach(u =>
+    // ONE manifest read serves both the refusal check and the roots —
+    // separate reads would race a concurrent fold committing between
+    // them (check passes against the old mark, roots include runs
+    // containing batches past the requested bound: silent future data)
+    val m = Commits.runManifest(spark, outDir)
+    m.upTo.foreach(u =>
       upToBatch.foreach(b => require(b >= u,
         s"register store folded up to batch $u — point-in-time read " +
           s"at $b refused (a max-merged run cannot be subset)")))
-    val roots = Commits.fragmentRoots(spark, outDir).filter { r =>
+    val roots = Commits.fragmentRoots(spark, outDir, m).filter { r =>
       val n = r.split('/').last
       !n.startsWith("batch=") ||
         upToBatch.forall(n.stripPrefix("batch=").toLong <= _)

@@ -43,11 +43,14 @@ object SketchMaintenance {
     * addition is associative). */
   def mergedCells(spark: SparkSession, outDir: String,
       upToBatch: Option[Long] = None): DataFrame = {
-    Commits.foldedUpTo(spark, outDir).foreach(u =>
+    // ONE manifest read serves both the refusal check and the roots
+    // (see HllMaintenance.mergedRegisters — same concurrent-fold race)
+    val m = Commits.runManifest(spark, outDir)
+    m.upTo.foreach(u =>
       upToBatch.foreach(b => require(b >= u,
         s"sketch store folded up to batch $u — point-in-time read " +
           s"at $b refused (a sum-merged run cannot be subset)")))
-    val roots = Commits.fragmentRoots(spark, outDir).filter { r =>
+    val roots = Commits.fragmentRoots(spark, outDir, m).filter { r =>
       val n = r.split('/').last
       !n.startsWith("batch=") ||
         upToBatch.forall(n.stripPrefix("batch=").toLong <= _)
