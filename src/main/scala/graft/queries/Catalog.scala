@@ -8322,11 +8322,16 @@ object Catalog {
         .schema(s.read.parquet(landing).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(landing)
-      // compaction ON for the single-modality store too (fold every
-      // 2 batches): the oracle hash proves fold invariance on this
-      // path exactly as q251 does for the unified store
+      // compaction ON for the single-modality store too (one fold
+      // over the fixture's final batch): the oracle hash proves fold
+      // invariance on this path exactly as q251 does for the unified
+      // store. compactEvery=4, not 2 — at 2 the grace-deferred
+      // cleanup keeps ~2x the fragments resident and doubles the
+      // fold bookkeeping over a handful of batches (measured, see
+      // BASELINE.md round-15 addendum); one fold buys the same
+      // invariance coverage
       val q = graft.streaming.MediaDedupMaintenance.start(
-        src, store, pairs, ckpt, compactEvery = 2)
+        src, store, pairs, ckpt, compactEvery = 4)
       q.awaitTermination()
       s.read.parquet(pairs)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -9178,12 +9183,13 @@ object Catalog {
       graft.ext.MediaFiles.appendManifest(s, files, manifest,
         manifestFiles = 4)
       val src = graft.ext.MediaFiles.streamManifest(s, manifest, 1)
-      // compaction ON (fold the store every 2 batches): the pair
-      // surface must be invariant under folding — this query's hash
-      // is the proof, since q248 (uncompacted parquet-in) and the
-      // analytic oracle pin the same bytes
+      // compaction ON (one fold over the fixture — see the q243
+      // compactEvery note): the pair surface must be invariant
+      // under folding — this query's hash is the proof, since q248
+      // (uncompacted parquet-in) and the analytic oracle pin the
+      // same bytes
       val q = graft.streaming.MediaDedupMaintenance.startUnified(
-        src, store, pairs, ckpt, compactEvery = 2)
+        src, store, pairs, ckpt, compactEvery = 4)
       q.awaitTermination()
       s.read.parquet(pairs)
         .select(col("doc_a"), col("doc_b"), col("hamming"), col("kind"))
@@ -9483,7 +9489,7 @@ object Catalog {
         watermarkIso = Some("2026-01-01T00:30:00"), manifestFiles = 2)
       val q = graft.streaming.MediaDedupMaintenance.startUnified(
         graft.ext.MediaFiles.streamManifest(s, manifest, 1),
-        store, pairs, ckpt, compactEvery = 2)
+        store, pairs, ckpt, compactEvery = 4)
       q.awaitTermination()
       s.read.parquet(pairs)
         .select(col("doc_a"), col("doc_b"), col("hamming"), col("kind"))
