@@ -381,8 +381,80 @@ object MediaFiles {
       .select(col("media_id"), col("path"))
       .repartition(par)
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, p) => (id, fetch(p)) })
+      .mapPartitions(it => prefetched(it, PrefetchDepth)(fetch))
       .toDF("media_id", "payload")
+  }
+
+  /** Payload fetches in flight per task in [[streamManifest]] — deep
+    * enough to hide one object store's time-to-first-byte behind the
+    * previous payload's transfer, small enough that a task's resident
+    * prefetch window (depth × payload size) stays a few MB for
+    * typical media payloads. */
+  private val PrefetchDepth = 4
+
+  /** Bounded READ-AHEAD over a per-task iterator: up to `depth`
+    * `fetch` calls run concurrently ahead of the consumer, results
+    * are yielded strictly in input order. This is the pipelining fix
+    * for the serial fetch law: one `open`+`readFully` per file per
+    * task means every payload pays the store's full round-trip
+    * LATENCY serially — on an object store the time-to-first-byte
+    * dominates small-payload waves, and a 1000-file task spends most
+    * of its wall waiting, not transferring. Read-ahead overlaps the
+    * next files' TTFB with the current file's transfer; ordering is
+    * preserved so downstream per-batch determinism (and the
+    * exactly-once overwrite discipline) sees exactly the rows the
+    * serial loop produced.
+    *
+    * Lifecycle: the worker pool is per PARTITION (daemon threads,
+    * named for thread dumps), torn down on normal exhaustion AND on
+    * task failure/abandonment via the task-completion listener — an
+    * abandoned iterator must not leak threads into the executor.
+    * Fetch failures rethrow the ORIGINAL cause at `next()` (not the
+    * ExecutionException wrapper), so the loud single-payload bounds
+    * in the reader surface unchanged. */
+  private[graft] def prefetched[A](it: Iterator[(Long, String)], depth: Int)(
+      fetch: String => A): Iterator[(Long, A)] = {
+    if (!it.hasNext) return Iterator.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      depth,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r,
+            s"graft-manifest-prefetch-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+    val pending = scala.collection.mutable.Queue
+      .empty[(Long, java.util.concurrent.Future[A])]
+    new Iterator[(Long, A)] {
+      private def fill(): Unit =
+        while (pending.size < depth && it.hasNext) {
+          val (id, p) = it.next()
+          pending.enqueue((id, pool.submit(
+            new java.util.concurrent.Callable[A] {
+              override def call(): A = fetch(p)
+            })))
+        }
+      fill()
+      override def hasNext: Boolean = pending.nonEmpty
+      override def next(): (Long, A) = {
+        val (id, f) = pending.dequeue()
+        val bytes =
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              pool.shutdownNow()
+              throw e.getCause
+          }
+        fill()
+        if (pending.isEmpty) pool.shutdown()
+        (id, bytes)
+      }
+    }
   }
 
   /** The q249 surface: unified per-payload fingerprints through the

@@ -80,6 +80,53 @@ class Round15Spec extends SparkSpec {
       .readLabels(spark, empty, beforeBatch = Some(9L)).isEmpty)
   }
 
+  test("manifest payload read-ahead: order-preserving, byte-identical " +
+      "to the serial fetch, loud with the ORIGINAL cause on a fetch " +
+      "failure, empty-safe") {
+    val rows = (0L until 97L).map(i => (i, s"p$i"))
+    val serial = rows.map { case (id, p) => (id, s"bytes:$p") }
+    val ahead = MediaFiles.prefetched(rows.iterator, 4)(
+      p => s"bytes:$p").toSeq
+    assert(ahead == serial,
+      "read-ahead changed the fetch surface or its order")
+    assert(MediaFiles.prefetched(
+      Iterator.empty[(Long, String)], 4)(p => p).isEmpty)
+    // a failing fetch must surface ITS exception (the reader's loud
+    // bounds), not the ExecutionException wrapper
+    val ex = intercept[IllegalArgumentException] {
+      MediaFiles.prefetched(rows.iterator, 4) { p =>
+        require(p != "p7", s"boom at $p"); p
+      }.toSeq
+    }
+    assert(ex.getMessage.contains("boom at p7"))
+    // streamManifest end-to-end still lands the same payload surface
+    // (the q251 wiring, one batch): manifest -> prefetch-fetched
+    // payloads == the files on disk
+    val docs = (0L until 40L).toDF("doc_id")
+    val media = Multimodal.syntheticMixedFrameGrouped(spark, docs,
+      "doc_id")
+    val files = tmpDir("pffiles"); val manifest = tmpDir("pfmanifest")
+    MediaFiles.writeMediaFiles(media, files)
+    MediaFiles.appendManifest(spark, files, manifest, manifestFiles = 2)
+    val got = scala.collection.mutable.Map.empty[Long, Int]
+    val q = MediaFiles.streamManifest(spark, manifest, 8)
+      .writeStream.option("checkpointLocation", tmpDir("pfck"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          got(r.getLong(0)) = java.util.Arrays.hashCode(
+            r.getAs[Array[Byte]](1))
+        }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val want = media.select(col("media_id"), col("payload")).collect()
+      .map(r => (r.getLong(0), java.util.Arrays.hashCode(
+        r.getAs[Array[Byte]](1)))).toMap
+    assert(got.toMap == want,
+      "prefetched streamManifest payload surface diverged")
+  }
+
   test("a re-modified archive file RE-MANIFESTS as a new row (path " +
       "kept, new mtime) — the path-only suppression that pinned the " +
       "stale version forever is gone; unchanged files stay " +
