@@ -9502,6 +9502,25 @@ object Catalog {
       patched
     })
 
+  /** Scene cuts over the MOTION-COMPENSATED inter corpus — the codec
+    * ladder's prediction rung completed
+    * ([[graft.ext.Video.sceneCutsInterMc]]): q253's fixture re-muxed
+    * with per-block block-matching translation before the entropy
+    * stage ([[graft.ext.Motion]] — MPEG-1-era full-search SAD, the
+    * `00dp` GMCP body carrying the vector table plus the entropy-
+    * coded MC residual), so a predicted frame's pixels now exist
+    * only after vector parse + entropy decode + per-block shifted-
+    * reference reconstruction. The oracle is q237's VERBATIM (as
+    * q247/q253 before it): a hash match proves the whole MC chain
+    * bit-lossless. The compression VALUE of the vectors (smaller
+    * containers under motion) is pinned by the panning fixture in
+    * Round15Spec — this corpus is static-scene, where vectors
+    * degenerate to (0,0) and the proof is losslessness. */
+  private val q257 = Q("q257_video_mc_scene_cuts",
+    (s, dir) => graft.ext.Video.sceneCutsInterMc(
+      s, t(s, dir, "documents"), "doc_id"),
+    q247.oracle)
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9531,5 +9550,5 @@ object Catalog {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253, q254, q255, q256)
+    q251, q252, q253, q254, q255, q256, q257)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{MediaFiles, Multimodal}
+import graft.ext.{Images, MediaFiles, Motion, Multimodal, Video}
 import graft.streaming.Commits
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -125,6 +125,112 @@ class Round15Spec extends SparkSpec {
         r.getAs[Array[Byte]](1)))).toMap
     assert(got.toMap == want,
       "prefetched streamManifest payload surface diverged")
+  }
+
+  // ---------------------------------------- motion compensation (GMCP)
+
+  /** Panning fixture: a wide designed pattern windowed `shift` px
+    * further right each frame — translation is the one content class
+    * whole-plane differencing is worst at and block matching exists
+    * for. */
+  private def panningPlanes(pid: Long, w: Int, h: Int, shift: Int,
+      nF: Int): Seq[Array[Byte]] = {
+    val wideImg = Images.renderPatternImage(pid, w + shift * nF, h)
+    val wr = wideImg.getRaster
+    (0 until nF).map { f =>
+      val p = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          p(y * w + x) = wr.getSample(x + f * shift, y, 0).toByte
+          x += 1
+        }
+        y += 1
+      }
+      p
+    }
+  }
+
+  private def grayImageOf(plane: Array[Byte], w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        r.setSample(x, y, 0, plane(y * w + x) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  test("motion compensation is integer-exact (encode-decode identity), " +
+      "a panning clip rides NON-ZERO vectors and beats the entropy-only " +
+      "container, and a corrupt vector refuses loudly") {
+    val w = Video.FrameW; val h = Video.FrameH
+    val shift = 2; val nF = 6
+    val planes = panningPlanes(91L, w, h, shift, nF)
+    // direct round-trip + the vectors actually track the pan
+    (1 until nF).foreach { f =>
+      val enc = Motion.encodePredicted(planes(f), planes(f - 1), w, h)
+      assert(java.util.Arrays.equals(
+        Motion.decodePredicted(enc, planes(f - 1), w, h), planes(f)),
+        s"MC reconstruction diverged at frame $f")
+      val mvs = Motion.motionVectors(enc)
+      assert(mvs.contains((shift, 0)),
+        s"pan of ($shift,0) not found by block matching: $mvs")
+    }
+    // container comparison on identical pixels: MC strictly smaller
+    // than the whole-plane-diff entropy container under motion
+    val rasters = planes.map(grayImageOf(_, w, h))
+    val codec = new Images.MediaCodec()
+    try {
+      val mc = Video.muxAviInterMc(rasters, codec)
+      val ent = Video.muxAviInterEntropy(rasters, codec)
+      assert(mc.length < ent.length,
+        s"MC container ${mc.length}B not smaller than entropy-only " +
+          s"${ent.length}B on the panning fixture")
+      // reconstruction bit-exact through the full container walk
+      Video.demuxFramesInter(mc, codec).foreach { case (i, img) =>
+        val r = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            assert(r.getSample(x, y, 0) == (planes(i)(y * w + x) & 0xFF),
+              s"pixel ($x,$y) of frame $i diverged through the MC demux")
+            x += 1
+          }
+          y += 1
+        }
+      }
+    } finally codec.dispose()
+    // a vector that walks its block out of the reference is loud
+    val enc = Motion.encodePredicted(planes(1), planes(0), w, h)
+    enc(13) = 120.toByte // first block's dx
+    val ex = intercept[IllegalArgumentException] {
+      Motion.decodePredicted(enc, planes(0), w, h)
+    }
+    assert(ex.getMessage.contains("out"),
+      s"expected the out-of-reference refusal, got: ${ex.getMessage}")
+  }
+
+  test("MC corpus scene cuts == intra corpus scene cuts (the q257 " +
+      "surface is q237's, earned through the MC decode chain)") {
+    val docs = (0L until 40L).toDF("doc_id")
+    def keyed(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(concat_ws("|", col("media_id"), col("frame_idx"),
+        col("hamming"), col("is_cut")))
+        .collect().map(_.getString(0)).toSet
+    val intra = keyed(Video.sceneCuts(spark, docs, "doc_id"))
+    val mc = keyed(Video.sceneCutsInterMc(spark, docs, "doc_id"))
+    assert(mc == intra && intra.nonEmpty,
+      "MC corpus scene-cut surface diverged from the intra corpus")
   }
 
   test("a re-modified archive file RE-MANIFESTS as a new row (path " +
