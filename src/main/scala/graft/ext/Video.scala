@@ -163,11 +163,14 @@ object Video {
   private def cc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 
-  /** The shared chunk walk: recurse the RIFF tree (LISTs, even-byte
-    * padding, corrupt-size guards) and collect the video-stream
-    * chunk (fourcc, offset, size) triples — `00dc`/`00db` intra,
-    * `00dp` predicted. */
-  private def videoChunkOffsets(
+  /** The ONE RIFF chunk walk: recurse the tree (LISTs, even-byte
+    * padding, corrupt-size guards) and collect EVERY non-LIST chunk
+    * as (fourcc, body offset, body size) in container order —
+    * headers (`avih`/`strh`/`strf`), both streams' data chunks, the
+    * index. Every reader filters this one walk; three private copies
+    * of the recursion guards is the drift class the Commits
+    * consolidation exists to prevent. */
+  private def allChunkOffsets(
       avi: Array[Byte]): Seq[(String, Int, Int)] = {
     require(avi.length >= 12 && cc(avi, 0) == "RIFF" &&
       cc(avi, 8) == "AVI ", "payload is not a RIFF/AVI container")
@@ -187,8 +190,7 @@ object Video {
             s"corrupt RIFF chunk '$id' at offset $off: size $size " +
               s"exceeds container bound $to")
         if (id == "LIST") walk(off + 12, off + 8 + size)
-        else if (id == "00dc" || id == "00db" || id == "00dp")
-          offsets += ((id, off + 8, size))
+        else offsets += ((id, off + 8, size))
         off += 8 + size + (size % 2) // skip the pad byte on odd sizes
       }
     }
@@ -198,6 +200,14 @@ object Video {
     walk(12, 8 + declared)
     offsets.toSeq
   }
+
+  /** The video-stream chunks — `00dc`/`00db` intra, `00dp`
+    * predicted — in container order. */
+  private def videoChunkOffsets(
+      avi: Array[Byte]): Seq[(String, Int, Int)] =
+    allChunkOffsets(avi).filter { case (id, _, _) =>
+      id == "00dc" || id == "00db" || id == "00dp"
+    }
 
   /** REAL container demux: walk the RIFF chunk tree (recursing into
     * LISTs, honoring even-byte padding) and return the video-stream
@@ -836,36 +846,16 @@ object Video {
     * ([[demuxFrames]]/[[demuxFramesInter]]) skip `01wb` untouched —
     * each track's reader sees only its own stream. */
   def demuxAudioSamples(avi: Array[Byte]): Array[Short] = {
-    require(avi.length >= 12 && cc(avi, 0) == "RIFF" &&
-      cc(avi, 8) == "AVI ", "payload is not a RIFF/AVI container")
-    val offsets =
-      scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    def walk(from: Int, to: Int): Unit = {
-      var off = from
-      while (off + 8 <= to) {
-        val id = cc(avi, off)
-        val size = rdLe32(avi, off + 4)
-        if (size < 0 || off + 8 + size > to)
-          throw new IllegalArgumentException(
-            s"corrupt RIFF chunk '$id' at offset $off: size $size " +
-              s"exceeds container bound $to")
-        if (id == "LIST") walk(off + 12, off + 8 + size)
-        else if (id == "01wb") {
-          // parity is PER CHUNK: two odd-length chunks sum even, and
-          // a total-only check would then read a pad byte as sample
-          // data and overrun the output — name the torn chunk itself
-          require(size % 2 == 0,
-            s"torn 16-bit PCM: 01wb chunk at offset $off carries " +
-              s"$size bytes")
-          offsets += ((off + 8, size))
-        }
-        off += 8 + size + (size % 2)
-      }
+    val offsets = allChunkOffsets(avi).collect {
+      case ("01wb", off, size) =>
+        // parity is PER CHUNK: two odd-length chunks sum even, and
+        // a total-only check would then read a pad byte as sample
+        // data and overrun the output — name the torn chunk itself
+        require(size % 2 == 0,
+          s"torn 16-bit PCM: 01wb chunk at offset ${off - 8} carries " +
+            s"$size bytes")
+        (off, size)
     }
-    val declared = rdLe32(avi, 4)
-    require(declared >= 4 && 8 + declared <= avi.length,
-      s"corrupt RIFF header: declared size $declared vs ${avi.length}")
-    walk(12, 8 + declared)
     require(offsets.nonEmpty,
       "container has no audio track (no 01wb chunks)")
     val total = offsets.map(_._2).sum
@@ -954,4 +944,115 @@ object Video {
       }
       .toDF()
   }
+
+  // --------------------------------------------- A/V sync (interleave)
+
+  final case class AvSync(media_id: Long, n_frames: Int,
+      n_samples: Long, n_audio_chunks: Int, per_chunk: Int,
+      max_spread_skew: Long, sync_deficit: Long)
+
+  /** Parse the container's TIMING headers: microseconds per video
+    * frame from `avih`, audio samples per second from the `auds`
+    * stream's `strh` (rate/scale — the AVI stream clock). Loud when
+    * either header is missing: a container whose clocks cannot be
+    * read cannot be sync-audited, and a silent default would grade
+    * drift against invented time. */
+  private def aviTiming(avi: Array[Byte]): (Int, Int) = {
+    var usPerFrame = -1
+    var audioRate = -1
+    allChunkOffsets(avi).foreach {
+      case ("avih", off, size) if usPerFrame < 0 && size >= 4 =>
+        usPerFrame = rdLe32(avi, off)
+      case ("strh", off, size)
+          if audioRate < 0 && size >= 28 && cc(avi, off) == "auds" =>
+        val scale = rdLe32(avi, off + 20)
+        val rate = rdLe32(avi, off + 24)
+        require(scale >= 1 && rate >= 1,
+          s"corrupt auds strh clock: scale=$scale rate=$rate")
+        audioRate = rate / scale
+      case _ =>
+    }
+    require(usPerFrame >= 1, "container has no readable avih header")
+    require(audioRate >= 1, "container has no auds stream clock")
+    (usPerFrame, audioRate)
+  }
+
+  /** WITHIN-CONTAINER A/V SYNC audit over (media_id, payload) AV
+    * containers — the drift question a multimodal corpus must answer
+    * before training on A/V pairs: does the audio the container
+    * carries actually SPAN the video it is interleaved with? Both
+    * clocks are read from the container's own headers ([[aviTiming]]
+    * — never assumed), the per-frame audio spans from the real
+    * `01wb` chunk walk, and two integer drift signals come out:
+    *
+    *   - `sync_deficit` = n_frames × (rate·usPerFrame/10⁶) −
+    *     n_samples: how many samples SHORT of the video's nominal
+    *     duration the audio track runs (positive = audio ends early
+    *     — the classic mux-from-truncated-source defect; 0 = spans
+    *     exactly).
+    *   - `max_spread_skew` = maxᵢ |cumSamples(i)·n_frames −
+    *     (i+1)·n_samples| over frame positions i: how UNEVENLY the
+    *     interleave spreads what audio there is (scaled by n_frames
+    *     to stay integral — 0 would be a perfectly even spread;
+    *     the mux's ceil-rounding leaves a designed nonzero tail
+    *     that the oracle replays exactly).
+    *
+    * Map-only per clip; output 44 bytes/row. The q258 oracle replays
+    * both signals from the fixture's interleave formula (chunk i
+    * carries samples [i·per, min((i+1)·per, len)), per =
+    * ceil(len/n_frames)); the spec additionally pins a designed
+    * EXACT-SPAN fixture (deficit 0) against a short-audio one. */
+  def avSyncAuditOf(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[AviRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (us, rate) = aviTiming(r.payload)
+          // nominal samples per frame from the container's two
+          // clocks; exact for every real (rate, fps) pair this
+          // engine writes (8000 Hz, 10 fps -> 800)
+          val nominal = rate.toLong * us / 1000000L
+          var nFrames = 0
+          var total = 0L
+          var nChunks = 0
+          var perChunk = 0
+          // frame-end cumulative audio positions: chunk order IS the
+          // interleave (video frame i, then its audio slice)
+          val cums = scala.collection.mutable.ArrayBuffer.empty[Long]
+          allChunkOffsets(r.payload).foreach {
+            case (id, _, _) if id == "00dc" || id == "00db" ||
+                id == "00dp" =>
+              if (nFrames > 0) cums += total
+              nFrames += 1
+            case ("01wb", off, size) =>
+              require(size % 2 == 0,
+                s"torn 16-bit PCM: 01wb chunk at offset ${off - 8} " +
+                  s"carries $size bytes")
+              val n = size / 2
+              total += n; nChunks += 1
+              if (n > perChunk) perChunk = n
+            case _ =>
+          }
+          cums += total // the last frame's end
+          require(nFrames >= 1, "container has no video frames")
+          var maxSkew = 0L
+          var i = 0
+          while (i < cums.length) {
+            val skew = math.abs(
+              cums(i) * nFrames - (i + 1).toLong * total)
+            if (skew > maxSkew) maxSkew = skew
+            i += 1
+          }
+          AvSync(r.media_id, nFrames, total, nChunks, perChunk,
+            maxSkew, nFrames * nominal - total)
+        }
+      }
+      .toDF()
+  }
+
+  /** [[avSyncAuditOf]] over the synthetic AV corpus — the q258
+    * surface. */
+  def avSyncAudit(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame =
+    avSyncAuditOf(spark, syntheticAviAvFrame(spark, docs, idCol))
 }

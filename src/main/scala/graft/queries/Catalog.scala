@@ -9521,6 +9521,42 @@ object Catalog {
       s, t(s, dir, "documents"), "doc_id"),
     q247.oracle)
 
+  /** WITHIN-CONTAINER A/V SYNC audit ([[graft.ext.Video.avSyncAudit]])
+    * — does the audio a container carries actually span the video it
+    * is interleaved with? Both clocks are parsed from the container's
+    * OWN headers (`avih` µs/frame, `auds` `strh` rate/scale — never
+    * assumed), per-frame audio spans from the real `01wb` chunk walk,
+    * and two integer drift signals emerge: `sync_deficit` (samples
+    * short of the video's nominal duration — the mux-from-truncated-
+    * source defect) and `max_spread_skew` (how unevenly the
+    * interleave spreads the audio across frame positions, scaled by
+    * n_frames to stay integral). The oracle replays both from the
+    * interleave formula (chunk i carries samples [i·per,
+    * min((i+1)·per, len)), per = ceil(len/n_frames); nominal
+    * samples/frame = 8000 Hz / 10 fps = 800) — a header mis-parse,
+    * chunk-walk drift, or off-by-one in the cumulative positions
+    * hash-mismatches. Round15Spec pins the designed EXACT-SPAN
+    * fixture (deficit 0) against a short-audio one. */
+  private val q258 = Q("q258_av_sync_audit",
+    (s, dir) => graft.ext.Video.avSyncAudit(
+      s, t(s, dir, "documents"), "doc_id"),
+    Some("""WITH b AS (SELECT doc_id,
+        (CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+              WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+              ELSE doc_id END) AS pid
+        FROM documents),
+      t AS (SELECT doc_id, CAST(4 + pid % 5 AS INT) AS nf,
+          CAST(400 + (pid * 11) % 257 AS BIGINT) AS len FROM b),
+      u AS (SELECT doc_id, nf, len,
+          CAST((len + nf - 1) // nf AS INT) AS per FROM t)
+      SELECT doc_id AS media_id, nf AS n_frames, len AS n_samples,
+        CAST((len + per - 1) // per AS INT) AS n_audio_chunks,
+        per AS per_chunk,
+        list_max([ABS(LEAST((i + 1) * per, len) * nf - (i + 1) * len)
+          FOR i IN range(0, nf)]) AS max_spread_skew,
+        nf * 800 - len AS sync_deficit
+      FROM u"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9550,5 +9586,5 @@ object Catalog {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253, q254, q255, q256, q257)
+    q251, q252, q253, q254, q255, q256, q257, q258)
 }

@@ -233,6 +233,46 @@ class Round15Spec extends SparkSpec {
       "MC corpus scene-cut surface diverged from the intra corpus")
   }
 
+  test("A/V sync audit: a designed EXACT-SPAN container reads deficit " +
+      "0, a short-audio one reads exactly its missing samples, and " +
+      "the interleave skew is replayed from the chunk walk") {
+    import graft.ext.Audio
+    val codec = new Images.MediaCodec()
+    try {
+      val nF = 5
+      val frames = (0 until nF).map(f => codec.encode(
+        Images.renderPatternImage(40L + f, Video.FrameW, Video.FrameH)))
+      // nominal samples/frame from the container's own clocks:
+      // 8000 Hz at 10 fps -> 800
+      val exact = Array.tabulate[Short](nF * 800)(i =>
+        Audio.sampleAt(3L, perturb = false, i))
+      val short = exact.take(nF * 800 - 137)
+      val media = Seq(
+        (1L, Video.muxAviAv(frames, exact, Video.FrameW, Video.FrameH)),
+        (2L, Video.muxAviAv(frames, short, Video.FrameW, Video.FrameH)))
+        .toDF("media_id", "payload")
+      val rows = Video.avSyncAuditOf(spark, media).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      val ex = rows(1L); val sh = rows(2L)
+      assert(ex.getAs[Long]("sync_deficit") == 0L,
+        s"exact-span clip must read deficit 0, got $ex")
+      assert(ex.getAs[Long]("max_spread_skew") == 0L,
+        "an exactly-divisible interleave must read spread skew 0")
+      assert(sh.getAs[Long]("sync_deficit") == 137L,
+        s"short-audio clip must read its missing 137 samples, got $sh")
+      assert(sh.getAs[Int]("n_frames") == nF &&
+        ex.getAs[Long]("n_samples") == (nF * 800).toLong)
+      // skew formula replay: short clip's per = ceil(3863/5) = 773,
+      // cum_i = min((i+1)*773, 3863); max |cum_i*5 - (i+1)*3863|
+      val len = nF * 800L - 137L; val per = (len + nF - 1) / nF
+      val want = (0 until nF).map { i =>
+        math.abs(math.min((i + 1) * per, len) * nF - (i + 1) * len)
+      }.max
+      assert(sh.getAs[Long]("max_spread_skew") == want,
+        s"spread skew diverged from the interleave formula: $sh vs $want")
+    } finally codec.dispose()
+  }
+
   test("a re-modified archive file RE-MANIFESTS as a new row (path " +
       "kept, new mtime) — the path-only suppression that pinned the " +
       "stale version forever is gone; unchanged files stay " +
