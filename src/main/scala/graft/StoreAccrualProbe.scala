@@ -44,23 +44,35 @@ object StoreAccrualProbe {
       .map(k => Scratch.createTempDir("sap" + k))
     try {
       val Seq(store, pairs) = dirs.map(_.toString)
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"))
+      // ranged synthetic ids, not the documents table: nBatches ×
+      // docsPer distinct ids must exist however long the probe runs
+      // (150 × 60 = 9000 > the sf0.1 table's 5000 — recycled ids
+      // would plant cross-batch duplicates and grow the PAIR store,
+      // contaminating the accrual signal with join output cost)
       val foldTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // bytes the fold WROTE (the new run's manifest-recorded size) —
+      // the machine-independent form of the write-amplification law:
+      // at small store sizes per-fold WALL is job-overhead-dominated
+      // and identical across maxRuns, but bytes written per fold is
+      // O(store) under maxRuns=1 and O(folded tail) under tiering
+      val foldBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
       val times = (0 until nBatches).map { b =>
         val batch = graft.ext.Multimodal.syntheticMixedFrameGrouped(
           spark,
-          docs.filter(col("doc_id") >= b.toLong * docsPer &&
-            col("doc_id") < (b + 1).toLong * docsPer),
+          spark.range(b.toLong * docsPer, (b + 1).toLong * docsPer)
+            .select(col("id").as("doc_id")),
           "doc_id")
         val t0 = System.nanoTime()
         graft.streaming.MediaDedupMaintenance.processBatchUnified(
           batch, b.toLong, store, pairs)
         val t1 = System.nanoTime()
         if (compactEvery > 0 && (b + 1) % compactEvery == 0) {
+          val next = graft.streaming.Commits.runManifest(spark, store).next
           graft.streaming.MediaDedupMaintenance.compactUnifiedStore(
             spark, store, maxRuns)
           foldTimes += (System.nanoTime() - t1) / 1e6
+          graft.streaming.Commits.runManifest(spark, store).runs
+            .find(_.name == s"run=$next").foreach(foldBytes += _.bytes)
         }
         (t1 - t0) / 1e6
       }
@@ -73,6 +85,9 @@ object StoreAccrualProbe {
         f"foldHead5=${avg(foldTimes.take(5).toSeq)}%.0fms " +
         f"foldTail5=${avg(foldTimes.takeRight(5).toSeq)}%.0fms " +
         f"nFolds=${foldTimes.size} " +
+        f"foldKbHead5=${avg(foldBytes.take(5).map(_ / 1024.0).toSeq)}%.0f " +
+        f"foldKbTail5=${avg(foldBytes.takeRight(5).map(_ / 1024.0).toSeq)}%.0f " +
+        f"foldKbTotal=${foldBytes.sum / 1024}%d " +
         f"storeRows=${graft.streaming.MediaDedupMaintenance
           .readUnifiedFingerprints(spark, store).count()}")
     } finally {
