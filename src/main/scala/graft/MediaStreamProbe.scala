@@ -56,13 +56,16 @@ object MediaStreamProbe {
             manifestFiles = 4)
           graft.ext.MediaFiles.streamManifest(spark, manifest, 1)
       }
+      val tA = System.nanoTime() // manifest append attributed apart
       val q = graft.streaming.MediaDedupMaintenance.startUnified(
         src, store, pairs, ckpt)
       q.awaitTermination()
       val t2 = System.nanoTime()
       val n = spark.read.parquet(pairs).count()
       println(f"PROBE q251-shape mode=$mode files=$nFiles pairs=$n " +
-        f"write=${(t1 - t0) / 1e9}%.1fs stream=${(t2 - t1) / 1e9}%.1fs")
+        f"write=${(t1 - t0) / 1e9}%.1fs " +
+        f"append=${(tA - t1) / 1e9}%.1fs " +
+        f"stream=${(t2 - tA) / 1e9}%.1fs")
       q.recentProgress.foreach { p =>
         println(s"BATCH ${p.batchId} rows=${p.numInputRows} " +
           s"durationMs=${p.durationMs}")

@@ -313,7 +313,13 @@ object MediaFiles {
       .foldLeft(spark.read.format("binaryFile"))(
         (r, w) => r.option("modifiedAfter", isoMinus1Ms(w)))
       .load(dir)
-    val wave = raw.select(
+    // the metadata-only scan still pays binaryFile's openCost
+    // bin-packing (4 MB charged PER FILE -> thousands of tiny stat
+    // tasks on a large archive; measured 6.5 s of a 25-s 25x wave) —
+    // packScan squashes the inflation exactly as the payload reads
+    // do; nothing but ~100-byte rows flows, so session parallelism
+    // is plenty
+    val wave = packScan(raw, packTarget(spark, raw)).select(
       regexp_extract(col("path"), "media_(\\d+)\\.[a-z]+$", 1)
         .cast("long").as("media_id"),
       col("path"),
