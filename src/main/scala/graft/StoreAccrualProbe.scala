@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions.col
   * FOLDED bytes (tail + absorbed small runs), flat except the
   * occasional geometric big-merge.
   *
-  * usage: StoreAccrualProbe <sfDir> <nBatches> <docsPerBatch>
+  * usage: StoreAccrualProbe <sfDirIgnored> <nBatches> <docsPerBatch>
   *          <compactEvery> [maxRuns]
+  * (arg 0 kept for recorded-command compatibility; batch ids are
+  * synthetic ranges, so no fixture is read)
   */
 object StoreAccrualProbe {
   def main(args: Array[String]): Unit = {
     Scratch.preferTmpfs()
-    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    // arg 0 (a fixture dir) is retained for CLI compatibility with
+    // the recorded BASELINE command lines but is no longer read:
+    // batches are ranged synthetic ids (see below)
     val nBatches = if (args.length > 1) args(1).toInt else 40
     val docsPer = if (args.length > 2) args(2).toInt else 60
     val compactEvery = if (args.length > 3) args(3).toInt else 0
@@ -67,10 +71,14 @@ object StoreAccrualProbe {
           batch, b.toLong, store, pairs)
         val t1 = System.nanoTime()
         if (compactEvery > 0 && (b + 1) % compactEvery == 0) {
+          // the byte-attribution manifest reads stay OUTSIDE the
+          // fold-timing window — foldHead5/foldTail5 must time the
+          // fold alone
           val next = graft.streaming.Commits.runManifest(spark, store).next
+          val f0 = System.nanoTime()
           graft.streaming.MediaDedupMaintenance.compactUnifiedStore(
             spark, store, maxRuns)
-          foldTimes += (System.nanoTime() - t1) / 1e6
+          foldTimes += (System.nanoTime() - f0) / 1e6
           graft.streaming.Commits.runManifest(spark, store).runs
             .find(_.name == s"run=$next").foreach(foldBytes += _.bytes)
         }

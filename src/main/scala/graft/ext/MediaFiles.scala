@@ -411,18 +411,17 @@ object MediaFiles {
     * exactly-once overwrite discipline) sees exactly the rows the
     * serial loop produced.
     *
-    * Lifecycle: the worker pool is per PARTITION (daemon threads,
-    * named for thread dumps), torn down on normal exhaustion AND on
-    * task failure/abandonment via the task-completion listener — an
-    * abandoned iterator must not leak threads into the executor.
-    * Fetch failures rethrow the ORIGINAL cause at `next()` (not the
-    * ExecutionException wrapper), so the loud single-payload bounds
-    * in the reader surface unchanged. */
-  private[graft] def prefetched[A](it: Iterator[(Long, String)], depth: Int)(
-      fetch: String => A): Iterator[(Long, A)] = {
-    if (!it.hasNext) return Iterator.empty
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      depth,
+    * Lifecycle: workers come from ONE process-wide cached daemon
+    * pool (named for thread dumps, 60 s idle reap) — an abandoned
+    * iterator therefore leaks nothing durable: its ≤ `depth`
+    * in-flight fetches finish and their threads return to the pool,
+    * to be reaped when idle. Per-iterator concurrency is bounded by
+    * the fill window, so total pool occupancy is ≤ depth × live
+    * tasks. Fetch failures rethrow the ORIGINAL cause at `next()`
+    * (not the ExecutionException wrapper), so the loud
+    * single-payload bounds in the reader surface unchanged. */
+  private lazy val prefetchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
       new java.util.concurrent.ThreadFactory {
         private val n = new java.util.concurrent.atomic.AtomicInteger()
         override def newThread(r: Runnable): Thread = {
@@ -432,15 +431,17 @@ object MediaFiles {
           t
         }
       })
-    Option(org.apache.spark.TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+
+  private[graft] def prefetched[A](it: Iterator[(Long, String)], depth: Int)(
+      fetch: String => A): Iterator[(Long, A)] = {
+    if (!it.hasNext) return Iterator.empty
     val pending = scala.collection.mutable.Queue
       .empty[(Long, java.util.concurrent.Future[A])]
     new Iterator[(Long, A)] {
       private def fill(): Unit =
         while (pending.size < depth && it.hasNext) {
           val (id, p) = it.next()
-          pending.enqueue((id, pool.submit(
+          pending.enqueue((id, prefetchPool.submit(
             new java.util.concurrent.Callable[A] {
               override def call(): A = fetch(p)
             })))
@@ -453,11 +454,9 @@ object MediaFiles {
           try f.get()
           catch {
             case e: java.util.concurrent.ExecutionException =>
-              pool.shutdownNow()
               throw e.getCause
           }
         fill()
-        if (pending.isEmpty) pool.shutdown()
         (id, bytes)
       }
     }

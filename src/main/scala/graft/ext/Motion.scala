@@ -206,6 +206,7 @@ object Motion {
     require(isMcPlane(bytes) && bytes.length >= 13,
       "payload is not a GMCP motion-compensated frame")
     val block = bytes(4) & 0xFF
+    require(block >= 1, s"corrupt GMCP header: block size $block")
     val w = Video.rdLe32(bytes, 5); val h = Video.rdLe32(bytes, 9)
     val n = blocksAcross(w, block) * blocksAcross(h, block)
     require(bytes.length >= 13 + n * 2, "truncated GMCP vector table")

@@ -957,10 +957,11 @@ object Video {
     * either header is missing: a container whose clocks cannot be
     * read cannot be sync-audited, and a silent default would grade
     * drift against invented time. */
-  private def aviTiming(avi: Array[Byte]): (Int, Int) = {
+  private def aviTiming(avi: Array[Byte],
+      chunks: Seq[(String, Int, Int)]): (Int, Int) = {
     var usPerFrame = -1
     var audioRate = -1
-    allChunkOffsets(avi).foreach {
+    chunks.foreach {
       case ("avih", off, size) if usPerFrame < 0 && size >= 4 =>
         usPerFrame = rdLe32(avi, off)
       case ("strh", off, size)
@@ -1007,7 +1008,9 @@ object Video {
     media.select(col("media_id"), col("payload")).as[AviRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (us, rate) = aviTiming(r.payload)
+          // ONE chunk walk serves the timing headers and the audit
+          val chunks = allChunkOffsets(r.payload)
+          val (us, rate) = aviTiming(r.payload, chunks)
           // nominal samples per frame from the container's two
           // clocks; exact for every real (rate, fps) pair this
           // engine writes (8000 Hz, 10 fps -> 800)
@@ -1019,7 +1022,7 @@ object Video {
           // frame-end cumulative audio positions: chunk order IS the
           // interleave (video frame i, then its audio slice)
           val cums = scala.collection.mutable.ArrayBuffer.empty[Long]
-          allChunkOffsets(r.payload).foreach {
+          chunks.foreach {
             case (id, _, _) if id == "00dc" || id == "00db" ||
                 id == "00dp" =>
               if (nFrames > 0) cums += total

@@ -202,6 +202,70 @@ object Commits {
   def foldedUpTo(spark: SparkSession, dir: String): Option[Long] =
     runManifest(spark, dir).upTo
 
+  /** The ONE safe form of a BOUNDED read over a foldable store: the
+    * readable roots restricted to fragments with id ≤ `upToBatch`,
+    * refusing loudly (message built by `refuse(foldedUpTo,
+    * requestedBound)`) when the bound falls below the folded mark — a
+    * run mixes batches and cannot be subset. Check and roots ride ONE
+    * manifest read, so a concurrent fold committing mid-call can
+    * never slip future batches past an already-approved bound (the
+    * TOCTOU every bounded reader used to hand-roll — and that a new
+    * reader copying from an unfixed template would reintroduce). */
+  def boundedRoots(spark: SparkSession, dir: String,
+      upToBatch: Option[Long],
+      refuse: (Long, Long) => String): Seq[String] = {
+    val m = runManifest(spark, dir)
+    m.upTo.foreach(u =>
+      upToBatch.foreach(b => require(b >= u, refuse(u, b))))
+    fragmentRoots(spark, dir, m).filter { r =>
+      val n = r.split('/').last
+      !n.startsWith("batch=") ||
+        upToBatch.forall(n.stripPrefix("batch=").toLong <= _)
+    }
+  }
+
+  /** The ONE safe form of a retention-floored SNAPSHOT read: the
+    * newest `batch=<n>` snapshot with id < `beforeBatch` (None = the
+    * newest of all), refusing loudly when the bound falls at or below
+    * a retention floor ([[retainNewest]]'s `_retained.<floor>`
+    * marker). The floor is re-checked AFTER the listing — a
+    * concurrent cut racing the list must trip the loud floor, never
+    * return a silent None cold start — and a listed-then-deleted
+    * snapshot retries against the strictly newer state (floors are
+    * monotonic, so no livelock). `noun` names the store in the
+    * refusal message. */
+  def readNewestSnapshot(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      beforeBatch: Option[Long], noun: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val path = new Path(dir)
+    val fs = storeFs(spark, dir)
+    if (!fs.exists(path)) return None
+    def floorCheck(): Unit =
+      retainedFloor(spark, dir).foreach(f =>
+        beforeBatch.foreach(b => require(b > f,
+          s"$noun before batch $b were cut by retention " +
+            s"(floor $f) — point-in-time read refused")))
+    floorCheck()
+    val ids = fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch=") =>
+        s.stripPrefix("batch=").toLong }
+      .filter(id => beforeBatch.forall(id < _))
+    if (ids.isEmpty) {
+      floorCheck()
+      None
+    } else {
+      val chosen = new Path(path, s"batch=${ids.max}")
+      if (fs.exists(chosen))
+        Some(spark.read.schema(schema).parquet(chosen.toString))
+      else {
+        floorCheck()
+        readNewestSnapshot(spark, dir, schema, beforeBatch, noun)
+      }
+    }
+  }
+
   /** SIZE-TIERED fold of a fragment store — the generic protocol;
     * `rewrite(inputs, outDir)` owns the data layout (flat repartition
     * for row stores, partitionBy+sort for the banded media store).

@@ -44,39 +44,9 @@ object ComponentMaintenance {
     * ([[retainState]]) — a silent None would re-run the cold
     * contraction as if the cut snapshots never existed. */
   def readLabels(spark: SparkSession, labelsDir: String,
-      beforeBatch: Option[Long] = None): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(labelsDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return None
-    def floorCheck(): Unit =
-      Commits.retainedFloor(spark, labelsDir).foreach(f =>
-        beforeBatch.foreach(b => require(b > f,
-          s"label snapshots before batch $b were cut by retention " +
-            s"(floor $f) — point-in-time read refused")))
-    floorCheck()
-    val ids = fs.listStatus(path).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("batch=") =>
-        s.stripPrefix("batch=").toLong }
-      .filter(id => beforeBatch.forall(id < _))
-    if (ids.isEmpty) {
-      // re-check AFTER the listing — a concurrent retention cut racing
-      // the list must trip the loud floor, never return a silent None
-      // that re-runs the cold contraction (see GraphMaintenance.readRanks)
-      floorCheck()
-      None
-    } else {
-      val chosen = new org.apache.hadoop.fs.Path(path, s"batch=${ids.max}")
-      if (fs.exists(chosen))
-        Some(spark.read.schema(labelsSchema).parquet(chosen.toString))
-      else {
-        // listed-then-deleted by a concurrent cut: refuse loudly or
-        // retry against the strictly newer state (floors are monotonic)
-        floorCheck()
-        readLabels(spark, labelsDir, beforeBatch)
-      }
-    }
-  }
+      beforeBatch: Option[Long] = None): Option[DataFrame] =
+    Commits.readNewestSnapshot(spark, labelsDir, labelsSchema,
+      beforeBatch, "label snapshots")
 
   /** RETENTION cut for BOTH stores — this maintenance's state is
     * fully superseded per batch (labels_i = fold(labels_{i−1},

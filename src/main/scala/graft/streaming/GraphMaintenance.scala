@@ -49,42 +49,9 @@ object GraphMaintenance {
     * the snapshots that would answer are gone, and a silent None
     * would restart the refresh cold as if they never existed. */
   def readRanks(spark: SparkSession, ranksDir: String,
-      beforeBatch: Option[Long] = None): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(ranksDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return None
-    def floorCheck(): Unit =
-      Commits.retainedFloor(spark, ranksDir).foreach(f =>
-        beforeBatch.foreach(b => require(b > f,
-          s"rank snapshots before batch $b were cut by retention " +
-            s"(floor $f) — point-in-time read refused")))
-    floorCheck()
-    val ids = fs.listStatus(path).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("batch=") =>
-        s.stripPrefix("batch=").toLong }
-      .filter(id => beforeBatch.forall(id < _))
-    if (ids.isEmpty) {
-      // re-check AFTER the listing: a concurrent retention cut racing
-      // the list can have deleted the only qualifying snapshot after
-      // the first check passed — the loud floor must fire, not a
-      // silent None cold start (the failure the floor exists for)
-      floorCheck()
-      None
-    } else {
-      val chosen = new org.apache.hadoop.fs.Path(path, s"batch=${ids.max}")
-      if (fs.exists(chosen))
-        Some(spark.read.schema(ranksSchema).parquet(chosen.toString))
-      else {
-        // listed-then-deleted by a concurrent cut: the floor re-check
-        // either refuses loudly or a NEWER snapshot now answers —
-        // retention floors advance monotonically, so each retry sees
-        // strictly newer state (no livelock)
-        floorCheck()
-        readRanks(spark, ranksDir, beforeBatch)
-      }
-    }
-  }
+      beforeBatch: Option[Long] = None): Option[DataFrame] =
+    Commits.readNewestSnapshot(spark, ranksDir, ranksSchema,
+      beforeBatch, "rank snapshots")
 
   /** Accumulated edge log (runs + fragments with id ≤ `upToBatch`;
     * None = everything landed). Empty-with-schema before the first
@@ -95,17 +62,9 @@ object GraphMaintenance {
     * out-of-band historical reads hit this. */
   def readEdges(spark: SparkSession, edgesDir: String,
       upToBatch: Option[Long] = None): DataFrame = {
-    // ONE manifest read serves both the refusal check and the roots
-    // (see HllMaintenance.mergedRegisters — same concurrent-fold race)
-    val m = Commits.runManifest(spark, edgesDir)
-    m.upTo.foreach(u => upToBatch.foreach(b => require(b >= u,
+    val roots = Commits.boundedRoots(spark, edgesDir, upToBatch, (u, b) =>
       s"edge log folded up to batch $u — bounded read at $b refused " +
-        "(runs cannot be subset below the folded mark)")))
-    val roots = Commits.fragmentRoots(spark, edgesDir, m).filter { r =>
-      val n = r.split('/').last
-      !n.startsWith("batch=") ||
-        upToBatch.forall(n.stripPrefix("batch=").toLong <= _)
-    }
+        "(runs cannot be subset below the folded mark)")
     if (roots.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

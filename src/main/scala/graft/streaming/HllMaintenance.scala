@@ -55,20 +55,9 @@ object HllMaintenance {
   def mergedRegisters(spark: SparkSession, outDir: String,
       keyType: DataType = StringType,
       upToBatch: Option[Long] = None): DataFrame = {
-    // ONE manifest read serves both the refusal check and the roots —
-    // separate reads would race a concurrent fold committing between
-    // them (check passes against the old mark, roots include runs
-    // containing batches past the requested bound: silent future data)
-    val m = Commits.runManifest(spark, outDir)
-    m.upTo.foreach(u =>
-      upToBatch.foreach(b => require(b >= u,
-        s"register store folded up to batch $u — point-in-time read " +
-          s"at $b refused (a max-merged run cannot be subset)")))
-    val roots = Commits.fragmentRoots(spark, outDir, m).filter { r =>
-      val n = r.split('/').last
-      !n.startsWith("batch=") ||
-        upToBatch.forall(n.stripPrefix("batch=").toLong <= _)
-    }
+    val roots = Commits.boundedRoots(spark, outDir, upToBatch, (u, b) =>
+      s"register store folded up to batch $u — point-in-time read " +
+        s"at $b refused (a max-merged run cannot be subset)")
     if (roots.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

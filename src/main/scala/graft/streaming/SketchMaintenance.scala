@@ -43,18 +43,9 @@ object SketchMaintenance {
     * addition is associative). */
   def mergedCells(spark: SparkSession, outDir: String,
       upToBatch: Option[Long] = None): DataFrame = {
-    // ONE manifest read serves both the refusal check and the roots
-    // (see HllMaintenance.mergedRegisters — same concurrent-fold race)
-    val m = Commits.runManifest(spark, outDir)
-    m.upTo.foreach(u =>
-      upToBatch.foreach(b => require(b >= u,
-        s"sketch store folded up to batch $u — point-in-time read " +
-          s"at $b refused (a sum-merged run cannot be subset)")))
-    val roots = Commits.fragmentRoots(spark, outDir, m).filter { r =>
-      val n = r.split('/').last
-      !n.startsWith("batch=") ||
-        upToBatch.forall(n.stripPrefix("batch=").toLong <= _)
-    }
+    val roots = Commits.boundedRoots(spark, outDir, upToBatch, (u, b) =>
+      s"sketch store folded up to batch $u — point-in-time read " +
+        s"at $b refused (a sum-merged run cannot be subset)")
     if (roots.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cellSchema)
