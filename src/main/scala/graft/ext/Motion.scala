@@ -25,7 +25,9 @@ package graft.ext
   * {{{
   *   "GMCP" | u8 blockSize | le32 w | le32 h
   *   | (s8 dx, s8 dy) per block, row-major over ceil(w/B)×ceil(h/B)
-  *   | GRES entropy-coded residual plane ([[Entropy.encodePlane]])
+  *   | entropy-coded residual plane — GRES (RLE + canonical
+  *     Huffman, [[Entropy.encodePlane]]) or GRNG (RLE + adaptive
+  *     range coding, [[RangeCoder.encodePlane]]), dispatched by magic
   * }}}
   * Motion vectors point INTO the reference: cur(x,y) is predicted by
   * prev(x+dx, y+dy); candidates are restricted so the whole shifted
@@ -78,7 +80,9 @@ object Motion {
     * is the tile size (16 is the MPEG convention; edge tiles
     * truncate), `range` the full-search window radius in pixels. */
   def encodePredicted(cur: Array[Byte], prev: Array[Byte], w: Int,
-      h: Int, block: Int = 16, range: Int = 4): Array[Byte] = {
+      h: Int, block: Int = 16, range: Int = 4,
+      planeCoder: (Array[Byte], Int, Int) => Array[Byte] =
+        Entropy.encodePlane): Array[Byte] = {
     require(cur.length == w * h && prev.length == w * h,
       s"plane geometry mismatch: cur=${cur.length} prev=${prev.length} " +
         s"vs ${w}x$h")
@@ -136,7 +140,7 @@ object Motion {
     out.write(block)
     out.write(Video.le32(w)); out.write(Video.le32(h))
     out.write(mvs)
-    out.write(Entropy.encodePlane(res, w, h))
+    out.write(planeCoder(res, w, h))
     out.toByteArray
   }
 
@@ -162,8 +166,14 @@ object Motion {
     require(bytes.length > mvEnd,
       s"truncated GMCP body: ${bytes.length} bytes, vector table " +
         s"needs $mvEnd")
-    val (res, rw, rh) = Entropy.decodePlane(
-      java.util.Arrays.copyOfRange(bytes, mvEnd, bytes.length))
+    // the residual section dispatches by MAGIC like every reader in
+    // this engine: GRES = RLE + canonical Huffman, GRNG = RLE +
+    // adaptive range coding — same reconstruction after either
+    val resBytes = java.util.Arrays.copyOfRange(bytes, mvEnd, bytes.length)
+    val (res, rw, rh) =
+      if (RangeCoder.isEncodedPlane(resBytes))
+        RangeCoder.decodePlane(resBytes)
+      else Entropy.decodePlane(resBytes)
     require(rw == w && rh == h,
       s"GMCP residual ${rw}x$rh vs declared ${w}x$h")
     val out = new Array[Byte](w * h)

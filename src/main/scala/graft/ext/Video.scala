@@ -725,6 +725,72 @@ object Video {
     cutsOf(frameHashesInter(spark,
       syntheticAviInterMcFrame(spark, docs, idCol)))
 
+  // ------------------------------------------- range-coded residuals
+
+  /** [[muxAviInterMc]] with the ADAPTIVE RANGE CODER on the MC
+    * residuals — the full prediction + fractional-bit entropy ladder
+    * (Witten-Neal-Cleary 1987 / Subbotin's carryless range coder,
+    * [[RangeCoder]]): no code table ships at all, and symbol costs
+    * are fractional bits instead of Huffman's integer quantization.
+    * The `00dp` GMCP body is identical except its residual section
+    * carries GRNG instead of GRES — the decoder dispatches by magic.
+    * After this rung the only codec ground left out of scope is real
+    * H.264/VP9 bitstream SYNTAX (context modeling beyond order-0,
+    * transforms, loop filters) — the coding-theory ladder itself is
+    * complete. */
+  def muxAviInterMcRange(rasters: Seq[BufferedImage],
+      codec: Images.MediaCodec, fps: Int = 10, block: Int = 16,
+      range: Int = 4): Array[Byte] = {
+    require(rasters.nonEmpty, "cannot mux an empty clip")
+    val w = rasters.head.getWidth
+    val h = rasters.head.getHeight
+    rasters.zipWithIndex.foreach { case (r, i) =>
+      require(r.getWidth == w && r.getHeight == h,
+        s"frame $i: ${r.getWidth}x${r.getHeight} vs clip geometry " +
+          s"${w}x$h — an AVI stream is fixed-geometry")
+    }
+    val planes = rasters.map(planeOf)
+    val chunks = rasters.zipWithIndex.map { case (img, i) =>
+      if (i % KeyInterval == 0) ("00dc", codec.encode(img))
+      else ("00dp", Motion.encodePredicted(planes(i), planes(i - 1),
+        w, h, block, range, RangeCoder.encodePlane))
+    }
+    muxAviChunks(chunks, w, h, fps)
+  }
+
+  /** The synthetic RANGE-CODED MC inter AVI frame: identical clip
+    * pixels to [[syntheticAviFrame]] — predicted frames now exist
+    * only behind vector parse + adaptive arithmetic decode +
+    * per-block shifted-reference reconstruction. */
+  def syntheticAviInterMcRangeFrame(spark: SparkSession,
+      docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    Images.spreadIds(spark, docs, idCol)
+      .mapPartitions { ids =>
+        val codec = Images.partitionCodec()
+        ids.map { id =>
+          val pid = Images.baseId(id)
+          val rasters = (0 until nFrames(pid)).map { f =>
+            Images.renderPatternImage(framePid(pid, f), FrameW, FrameH)
+          }
+          AviRow(id, muxAviInterMcRange(rasters, codec))
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("payload"),
+        struct(lit("video").as("kind"),
+          octet_length(col("payload")).as("n_bytes")).as("meta"))
+  }
+
+  /** [[sceneCuts]] over the RANGE-CODED MC corpus: the q259 oracle
+    * is q237's VERBATIM — a hash match proves the adaptive
+    * arithmetic coding bit-lossless through the whole container
+    * round-trip. */
+  def sceneCutsInterMcRange(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame =
+    cutsOf(frameHashesInter(spark,
+      syntheticAviInterMcRangeFrame(spark, docs, idCol)))
+
   // ------------------------------------------------- audio track (01wb)
 
   /** Mux video frames AND an audio track into one AVI — the

@@ -9557,6 +9557,24 @@ object Catalog {
         nf * 800 - len AS sync_deficit
       FROM u"""))
 
+  /** Scene cuts over the RANGE-CODED motion-compensated corpus — the
+    * coding-theory ladder completed
+    * ([[graft.ext.Video.sceneCutsInterMcRange]]): q257's fixture
+    * re-muxed with the MC residuals coded by an ADAPTIVE RANGE CODER
+    * ([[graft.ext.RangeCoder]] — Witten-Neal-Cleary 1987 arithmetic
+    * coding in Subbotin's carryless byte-oriented form, order-0
+    * adaptive model, NO shipped code table), so a predicted frame's
+    * pixels now exist only after a real adaptive arithmetic decode +
+    * vector reconstruction. The oracle is q237's VERBATIM (as
+    * q247/q253/q257): one hash pins fractional-bit entropy coding
+    * bit-lossless end to end. After this rung only real H.264/VP9
+    * bitstream SYNTAX remains out of scope — the entropy ladder
+    * (RLE → Huffman → arithmetic) is complete. */
+  private val q259 = Q("q259_video_range_scene_cuts",
+    (s, dir) => graft.ext.Video.sceneCutsInterMcRange(
+      s, t(s, dir, "documents"), "doc_id"),
+    q247.oracle)
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9586,5 +9604,5 @@ object Catalog {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253, q254, q255, q256, q257, q258)
+    q251, q252, q253, q254, q255, q256, q257, q258, q259)
 }

@@ -1,6 +1,7 @@
 package graft
 
-import graft.ext.{Images, MediaFiles, Motion, Multimodal, Video}
+import graft.ext.{Entropy, Images, MediaFiles, Motion, Multimodal,
+  RangeCoder, Video}
 import graft.streaming.Commits
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -231,6 +232,73 @@ class Round15Spec extends SparkSpec {
     val mc = keyed(Video.sceneCutsInterMc(spark, docs, "doc_id"))
     assert(mc == intra && intra.nonEmpty,
       "MC corpus scene-cut surface diverged from the intra corpus")
+  }
+
+  test("adaptive range coder: decode∘encode is the identity on every " +
+      "plane class (zero, dense, single-symbol, full-alphabet, " +
+      "adversarial run boundaries), truncation and corruption are " +
+      "loud, and dense planes code tighter than Huffman") {
+    val w = Video.FrameW; val h = Video.FrameH
+    val n = w * h
+    def rt(plane: Array[Byte], name: String): Array[Byte] = {
+      val enc = RangeCoder.encodePlane(plane, w, h)
+      val (back, rw, rh) = RangeCoder.decodePlane(enc)
+      assert(rw == w && rh == h, s"$name geometry drifted")
+      assert(java.util.Arrays.equals(back, plane),
+        s"$name plane diverged through the range coder")
+      enc
+    }
+    rt(new Array[Byte](n), "all-zero")
+    rt(Array.tabulate(n)(i => i.toByte), "full-alphabet")
+    rt(Array.fill(n)(77.toByte), "single-symbol")
+    // deterministic pseudo-noise (splitmix-style): the dense class
+    val dense = Array.tabulate(n) { i =>
+      var x = i.toLong + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      (x >>> 24).toByte
+    }
+    val encDense = rt(dense, "pseudo-noise")
+    // runs straddling the 255 RLE cap and byte-boundary bit counts
+    rt(Array.tabulate(n)(i => if (i % 509 < 255) 0.toByte
+      else (i % 17).toByte), "run-boundary")
+    // fractional-bit advantage: on a skewed-but-dense plane the
+    // adaptive coder must beat Huffman's integer bits + shipped table
+    val skewed = Array.tabulate(n) { i =>
+      var x = i.toLong * 0x94d049bb133111ebL
+      x ^= x >>> 29
+      (if ((x & 7) == 0) (x >>> 40) & 0xFF else (x >>> 41) & 0x03).toByte
+    }
+    val encR = RangeCoder.encodePlane(skewed, w, h)
+    val encH = Entropy.encodePlane(skewed, w, h)
+    assert(encR.length < encH.length,
+      s"range-coded ${encR.length}B not under Huffman ${encH.length}B " +
+        "on the skewed dense plane")
+    // loudness: truncation mid-stream, bad magic, crafted nRle
+    val ex1 = intercept[IllegalArgumentException] {
+      RangeCoder.decodePlane(
+        java.util.Arrays.copyOf(encDense, encDense.length - 8))
+    }
+    assert(ex1.getMessage.contains("exhausted") ||
+      ex1.getMessage.contains("RLE"),
+      s"truncation must be loud, got: ${ex1.getMessage}")
+    intercept[IllegalArgumentException] {
+      RangeCoder.decodePlane("NOPE".getBytes ++ encDense.drop(4))
+    }
+    val crafted = encDense.clone()
+    crafted(12) = 0xFF.toByte; crafted(13) = 0xFF.toByte
+    crafted(14) = 0xFF.toByte; crafted(15) = 0x7F.toByte
+    intercept[IllegalArgumentException] {
+      RangeCoder.decodePlane(crafted)
+    }
+    // end-to-end: the MC + range-coded corpus earns the intra surface
+    val docs = (0L until 30L).toDF("doc_id")
+    def keyed(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(concat_ws("|", col("media_id"), col("frame_idx"),
+        col("hamming"), col("is_cut")))
+        .collect().map(_.getString(0)).toSet
+    assert(keyed(Video.sceneCutsInterMcRange(spark, docs, "doc_id")) ==
+      keyed(Video.sceneCuts(spark, docs, "doc_id")),
+      "range-coded MC corpus scene-cut surface diverged")
   }
 
   test("A/V sync audit: a designed EXACT-SPAN container reads deficit " +
