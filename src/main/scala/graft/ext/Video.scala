@@ -791,6 +791,73 @@ object Video {
     cutsOf(frameHashesInter(spark,
       syntheticAviInterMcRangeFrame(spark, docs, idCol)))
 
+  /** The horizontal pan step of the PANNING fixture (px/frame). */
+  val PanShift: Int = 2
+
+  /** The synthetic PANNING clip — the content class the MC rung
+    * exists for, as a corpus: one designed pattern rendered WIDE and
+    * windowed [[PanShift]] px further right each frame (every pixel
+    * moves every frame — whole-plane differencing's worst case,
+    * block matching's best), muxed through the full MC + range-coded
+    * ladder so the predicted frames ride NON-ZERO motion vectors
+    * (interior blocks match at exactly (PanShift, 0); edge blocks,
+    * whose shifted reference would leave the frame, take their
+    * best legal vector and carry the uncovered strip in the
+    * residual). Single scene — the pattern is frame 0's
+    * ([[framePid]] at f = 0), no cut anywhere. */
+  def syntheticAviPanFrame(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    Images.spreadIds(spark, docs, idCol)
+      .mapPartitions { ids =>
+        val codec = Images.partitionCodec()
+        ids.map { id =>
+          val pid = Images.baseId(id)
+          val nF = nFrames(pid)
+          val wide = Images.renderPatternImage(pid * 8L,
+            FrameW + PanShift * (nF - 1), FrameH)
+          val wr = wide.getRaster
+          val rasters = (0 until nF).map { f =>
+            val img = new BufferedImage(FrameW, FrameH,
+              BufferedImage.TYPE_BYTE_GRAY)
+            val r = img.getRaster
+            var y = 0
+            while (y < FrameH) {
+              var x = 0
+              while (x < FrameW) {
+                r.setSample(x, y, 0,
+                  wr.getSample(x + f * PanShift, y, 0))
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          AviRow(id, muxAviInterMcRange(rasters, codec))
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("payload"),
+        struct(lit("video").as("kind"),
+          octet_length(col("payload")).as("n_bytes")).as("meta"))
+  }
+
+  /** Consecutive-frame Hamming over the PANNING corpus — two things
+    * earned at once: (1) MC + range-coded reconstruction proved
+    * bit-lossless UNDER REAL MOTION (non-zero vectors on every
+    * interior block — the case the static corpora's (0,0) fast path
+    * never exercises through the oracle gate), and (2) the honest
+    * record of the dHash cut detector's known failure mode on global
+    * motion: a pan is NOT a scene cut, but the consecutive-frame
+    * gradient hashes drift, so `is_cut` fires — exactly why real
+    * pipelines separate pan from cut with the motion evidence the MC
+    * layer already computes. The oracle replays every shifted pixel
+    * analytically. */
+  def panCutsInterMcRange(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame =
+    cutsOf(frameHashesInter(spark,
+      syntheticAviPanFrame(spark, docs, idCol)))
+
   // ------------------------------------------------- audio track (01wb)
 
   /** Mux video frames AND an audio track into one AVI — the

@@ -9575,6 +9575,59 @@ object Catalog {
       s, t(s, dir, "documents"), "doc_id"),
     q247.oracle)
 
+  /** Consecutive-frame Hamming over a PANNING corpus muxed through
+    * the full MC + range-coded ladder
+    * ([[graft.ext.Video.panCutsInterMcRange]]) — the motion case the
+    * static fixtures' (0,0) fast path never pushes through the
+    * oracle gate: every interior block rides a NON-ZERO vector
+    * (exactly (2, 0) — the pan step), edge blocks carry the
+    * uncovered strip in their residual, and the hash proves the
+    * reconstruction bit-exact under real motion. Doubles as the
+    * honest record of the dHash cut detector's failure mode on
+    * global motion (a pan is not a cut, but the gradient hashes
+    * drift and `is_cut` fires — why real pipelines consult the MC
+    * layer's motion evidence). The oracle replays every shifted
+    * pixel analytically: frame f's pixel (x, y) is the designed
+    * pattern at (x + 2f, y), single scene (frame 0's pattern id). */
+  private val q260 = Q("q260_video_pan_mc_cuts",
+    (s, dir) => graft.ext.Video.panCutsInterMcRange(
+      s, t(s, dir, "documents"), "doc_id"),
+    Some("""WITH b AS (SELECT doc_id,
+        CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+             WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+             ELSE doc_id END AS pid
+        FROM documents),
+      fr AS (SELECT doc_id, f,
+          (pid * 8) * 2654435761 % 2147483647 AS m
+        FROM b, range(9) r(f) WHERE f < 4 + pid % 5),
+      cell AS (SELECT doc_id, f, cx, cy,
+          sum(((m % 256 + 1) * (7*(cx*4+dx + f*2) + 13*(cy*4+dy) + 1)
+            + ((m // 256) % 256)
+              * ((cx*4+dx + f*2)*(cx*4+dx + f*2) + 11*(cy*4+dy) + 3)
+            + ((m // 65536) % 256)
+              * (3*(cx*4+dx + f*2) + 5*(cy*4+dy)*(cy*4+dy) + 2))
+            % 256) // 16 AS g
+        FROM fr, range(9) r1(cx), range(8) r2(cy),
+          range(4) r3(dx), range(4) r4(dy)
+        GROUP BY doc_id, f, cx, cy),
+      bits AS (SELECT l.doc_id, l.f, l.cy * 8 + l.cx AS k,
+          CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+        FROM cell l JOIN cell r ON r.doc_id = l.doc_id AND r.f = l.f
+          AND r.cy = l.cy AND r.cx = l.cx + 1
+        WHERE l.cx < 8),
+      h AS (SELECT doc_id, f,
+          bit_or(CASE WHEN bit = 1 AND k < 32
+            THEN (1::BIGINT << k) ELSE 0 END) AS lo,
+          bit_or(CASE WHEN bit = 1 AND k >= 32
+            THEN (1::BIGINT << (k - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id, f)
+      SELECT a.doc_id AS media_id, CAST(a.f AS INT) AS frame_idx,
+        CAST(bit_count(xor(a.lo, p.lo)) + bit_count(xor(a.hi, p.hi))
+          AS INT) AS hamming,
+        (bit_count(xor(a.lo, p.lo)) + bit_count(xor(a.hi, p.hi)) > 0)
+          AS is_cut
+      FROM h a JOIN h p ON p.doc_id = a.doc_id AND p.f = a.f - 1"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9604,5 +9657,5 @@ object Catalog {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253, q254, q255, q256, q257, q258, q259)
+    q251, q252, q253, q254, q255, q256, q257, q258, q259, q260)
 }
