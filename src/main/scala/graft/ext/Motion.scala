@@ -92,6 +92,14 @@ object Motion {
     val nby = blocksAcross(h, block)
     val mvs = new Array[Byte](nbx * nby * 2)
     val res = new Array[Byte](w * h)
+    // PREDICTOR seed: motion is spatially coherent (the MPEG
+    // median-predictor insight) — the previous block's winning
+    // vector is tried right after (0,0), so a global pan pays the
+    // full window scan ONCE per frame and every later block exits
+    // at SAD 0 on its second candidate. Deterministic: the seed is
+    // itself a deterministic function of earlier blocks, and it can
+    // only tighten `best` before the same pinned row-major scan.
+    var seedDx = 0; var seedDy = 0
     var by = 0
     while (by < nby) {
       var bx = 0
@@ -100,14 +108,25 @@ object Motion {
         val bw = math.min(block, w - x0)
         val bh = math.min(block, h - y0)
         // (0,0) first — the static-scene fast path and the pinned
-        // tie-break incumbent; then row-major over the window
+        // tie-break incumbent; then the seed; then row-major over
+        // the window. The incumbent is displaced only by a STRICTLY
+        // smaller SAD, so candidate order never changes the chosen
+        // vector for distinct SADs and ties resolve to the earliest
+        // candidate in this pinned order.
         var bestDx = 0; var bestDy = 0
         var best = sad(cur, prev, w, x0, y0, bw, bh, 0, 0, Int.MaxValue)
+        if (best > 0 && (seedDx != 0 || seedDy != 0) &&
+            x0 + seedDx >= 0 && x0 + seedDx + bw <= w &&
+            y0 + seedDy >= 0 && y0 + seedDy + bh <= h) {
+          val s = sad(cur, prev, w, x0, y0, bw, bh, seedDx, seedDy, best)
+          if (s < best) { best = s; bestDx = seedDx; bestDy = seedDy }
+        }
         var dy = -range
         while (dy <= range && best > 0) {
           var dx = -range
           while (dx <= range && best > 0) {
             if ((dx != 0 || dy != 0) &&
+                (dx != bestDx || dy != bestDy) &&
                 x0 + dx >= 0 && x0 + dx + bw <= w &&
                 y0 + dy >= 0 && y0 + dy + bh <= h) {
               val s = sad(cur, prev, w, x0, y0, bw, bh, dx, dy, best)
@@ -117,6 +136,7 @@ object Motion {
           }
           dy += 1
         }
+        seedDx = bestDx; seedDy = bestDy
         val bi = (by * nbx + bx) * 2
         mvs(bi) = bestDx.toByte; mvs(bi + 1) = bestDy.toByte
         var y = 0

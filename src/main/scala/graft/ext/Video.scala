@@ -814,22 +814,36 @@ object Video {
         ids.map { id =>
           val pid = Images.baseId(id)
           val nF = nFrames(pid)
-          val wide = Images.renderPatternImage(pid * 8L,
-            FrameW + PanShift * (nF - 1), FrameH)
-          val wr = wide.getRaster
+          val wideW = FrameW + PanShift * (nF - 1)
+          val wide = Images.renderPatternImage(pid * 8L, wideW, FrameH)
+          val wd = Images.grayData(wide)
           val rasters = (0 until nF).map { f =>
             val img = new BufferedImage(FrameW, FrameH,
               BufferedImage.TYPE_BYTE_GRAY)
-            val r = img.getRaster
-            var y = 0
-            while (y < FrameH) {
-              var x = 0
-              while (x < FrameW) {
-                r.setSample(x, y, 0,
-                  wr.getSample(x + f * PanShift, y, 0))
-                x += 1
+            val buf = Images.grayData(img)
+            if (wd != null && buf != null) {
+              // row-wise arraycopy window — the per-pixel
+              // getSample/setSample virtual-dispatch tax measured
+              // elsewhere in this engine applies here times
+              // frames × corpus
+              var y = 0
+              while (y < FrameH) {
+                System.arraycopy(wd, y * wideW + f * PanShift,
+                  buf, y * FrameW, FrameW)
+                y += 1
               }
-              y += 1
+            } else {
+              val wr = wide.getRaster; val r = img.getRaster
+              var y = 0
+              while (y < FrameH) {
+                var x = 0
+                while (x < FrameW) {
+                  r.setSample(x, y, 0,
+                    wr.getSample(x + f * PanShift, y, 0))
+                  x += 1
+                }
+                y += 1
+              }
             }
             img
           }
