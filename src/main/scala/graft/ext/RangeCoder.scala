@@ -197,16 +197,21 @@ object RangeCoder {
     val nRle = rdLe32(bytes, 12)
     require(w > 0 && h > 0 && nRle >= 2,
       s"corrupt GRNG header: w=$w h=$h nRle=$nRle")
-    // untrusted-header bounds (the Entropy.decodePlane discipline):
-    // every RLE byte costs > 0 coded bits under the adaptive model's
-    // minimum probability (1/2^16 → ≥ 1/8 byte amortized is far too
-    // generous a floor to help an attacker; the hard bound below is
-    // what stops a crafted nRle allocating gigabytes)
-    require(nRle.toLong <= 16L * bytes.length + 64,
-      s"corrupt GRNG header: nRle=$nRle exceeds the bitstream's " +
-        s"capacity (${bytes.length} bytes)")
+    // untrusted-header bounds. NOTE: a per-byte bitstream-capacity
+    // bound (Entropy.decodePlane's >= 1 bit/symbol, sound for
+    // Huffman) is UNSOUND here — an adaptive coder's repeated symbol
+    // approaches probability 1 and costs ~0.006 bits at the count
+    // cap, so a legal all-one-value plane compresses its RLE stream
+    // >100x and would trip it (decode∘encode identity broken on
+    // valid data). The sound bound is STRUCTURAL: every RLE pair is
+    // 2 bytes covering >= 1 pixel, so nRle <= 2·w·h — which, with
+    // the 2^28-pixel cap below, still stops a crafted header from
+    // allocating beyond ~2x the plane the caller already asked for.
     require(w.toLong * h <= (1L << 28),
       s"corrupt GRNG header: ${w}x$h plane exceeds the 2^28-pixel bound")
+    require(nRle.toLong <= 2L * w * h,
+      s"corrupt GRNG header: nRle=$nRle exceeds the ${w}x$h plane's " +
+        "structural RLE bound")
     val rle = decode(bytes, 16, nRle)
     (Entropy.rleDecode(rle, w * h), w, h)
   }

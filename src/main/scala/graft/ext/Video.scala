@@ -674,7 +674,9 @@ object Video {
     * fixture). Still integer-exact end to end. */
   def muxAviInterMc(rasters: Seq[BufferedImage],
       codec: Images.MediaCodec, fps: Int = 10, block: Int = 16,
-      range: Int = 4): Array[Byte] = {
+      range: Int = 4,
+      planeCoder: (Array[Byte], Int, Int) => Array[Byte] =
+        Entropy.encodePlane): Array[Byte] = {
     require(rasters.nonEmpty, "cannot mux an empty clip")
     val w = rasters.head.getWidth
     val h = rasters.head.getHeight
@@ -687,7 +689,7 @@ object Video {
     val chunks = rasters.zipWithIndex.map { case (img, i) =>
       if (i % KeyInterval == 0) ("00dc", codec.encode(img))
       else ("00dp", Motion.encodePredicted(planes(i), planes(i - 1),
-        w, h, block, range))
+        w, h, block, range, planeCoder))
     }
     muxAviChunks(chunks, w, h, fps)
   }
@@ -697,24 +699,8 @@ object Video {
     * exist only behind vector-table parse + entropy decode + per-
     * block shifted-reference reconstruction. */
   def syntheticAviInterMcFrame(spark: SparkSession,
-      docs: DataFrame, idCol: String): DataFrame = {
-    import spark.implicits._
-    Images.spreadIds(spark, docs, idCol)
-      .mapPartitions { ids =>
-        val codec = Images.partitionCodec()
-        ids.map { id =>
-          val pid = Images.baseId(id)
-          val rasters = (0 until nFrames(pid)).map { f =>
-            Images.renderPatternImage(framePid(pid, f), FrameW, FrameH)
-          }
-          AviRow(id, muxAviInterMc(rasters, codec))
-        }
-      }
-      .toDF()
-      .select(col("media_id"), col("payload"),
-        struct(lit("video").as("kind"),
-          octet_length(col("payload")).as("n_bytes")).as("meta"))
-  }
+      docs: DataFrame, idCol: String): DataFrame =
+    syntheticMcFrame(spark, docs, idCol, Entropy.encodePlane)
 
   /** [[sceneCuts]] over the MOTION-COMPENSATED corpus: the q257
     * oracle is q237's VERBATIM (as q247/q253 before it) — a hash
@@ -740,30 +726,24 @@ object Video {
     * complete. */
   def muxAviInterMcRange(rasters: Seq[BufferedImage],
       codec: Images.MediaCodec, fps: Int = 10, block: Int = 16,
-      range: Int = 4): Array[Byte] = {
-    require(rasters.nonEmpty, "cannot mux an empty clip")
-    val w = rasters.head.getWidth
-    val h = rasters.head.getHeight
-    rasters.zipWithIndex.foreach { case (r, i) =>
-      require(r.getWidth == w && r.getHeight == h,
-        s"frame $i: ${r.getWidth}x${r.getHeight} vs clip geometry " +
-          s"${w}x$h — an AVI stream is fixed-geometry")
-    }
-    val planes = rasters.map(planeOf)
-    val chunks = rasters.zipWithIndex.map { case (img, i) =>
-      if (i % KeyInterval == 0) ("00dc", codec.encode(img))
-      else ("00dp", Motion.encodePredicted(planes(i), planes(i - 1),
-        w, h, block, range, RangeCoder.encodePlane))
-    }
-    muxAviChunks(chunks, w, h, fps)
-  }
+      range: Int = 4): Array[Byte] =
+    muxAviInterMc(rasters, codec, fps, block, range,
+      RangeCoder.encodePlane)
 
   /** The synthetic RANGE-CODED MC inter AVI frame: identical clip
     * pixels to [[syntheticAviFrame]] — predicted frames now exist
     * only behind vector parse + adaptive arithmetic decode +
     * per-block shifted-reference reconstruction. */
   def syntheticAviInterMcRangeFrame(spark: SparkSession,
-      docs: DataFrame, idCol: String): DataFrame = {
+      docs: DataFrame, idCol: String): DataFrame =
+    syntheticMcFrame(spark, docs, idCol, RangeCoder.encodePlane)
+
+  /** The shared MC synthetic-corpus builder — ONE definition of the
+    * clip content and mux loop; the two public rungs differ only in
+    * the residual plane coder. */
+  private def syntheticMcFrame(spark: SparkSession, docs: DataFrame,
+      idCol: String,
+      planeCoder: (Array[Byte], Int, Int) => Array[Byte]): DataFrame = {
     import spark.implicits._
     Images.spreadIds(spark, docs, idCol)
       .mapPartitions { ids =>
@@ -773,7 +753,8 @@ object Video {
           val rasters = (0 until nFrames(pid)).map { f =>
             Images.renderPatternImage(framePid(pid, f), FrameW, FrameH)
           }
-          AviRow(id, muxAviInterMcRange(rasters, codec))
+          AviRow(id, muxAviInterMc(rasters, codec,
+            planeCoder = planeCoder))
         }
       }
       .toDF()

@@ -251,6 +251,19 @@ class Round15Spec extends SparkSpec {
     rt(new Array[Byte](n), "all-zero")
     rt(Array.tabulate(n)(i => i.toByte), "full-alphabet")
     rt(Array.fill(n)(77.toByte), "single-symbol")
+    // the >100x-compression class a per-byte capacity bound rejects:
+    // a LARGE all-one-value plane's RLE stream is single-symbol and
+    // the adaptive coder drives its cost to ~0.006 bits/symbol —
+    // nRle (706 pairs at 300x300) dwarfs the coded bytes (~32), so
+    // any "nRle <= k*bytes" check breaks decode∘encode on VALID data
+    // (only the structural nRle <= 2wh bound is sound)
+    locally {
+      val big = Array.fill(300 * 300)(0xFF.toByte)
+      val enc = RangeCoder.encodePlane(big, 300, 300)
+      val (back, _, _) = RangeCoder.decodePlane(enc)
+      assert(java.util.Arrays.equals(back, big),
+        "large single-value plane diverged through the range coder")
+    }
     // deterministic pseudo-noise (splitmix-style): the dense class
     val dense = Array.tabulate(n) { i =>
       var x = i.toLong + 0x9e3779b97f4a7c15L
