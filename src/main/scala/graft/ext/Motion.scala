@@ -238,9 +238,17 @@ object Motion {
     val block = bytes(4) & 0xFF
     require(block >= 1, s"corrupt GMCP header: block size $block")
     val w = Video.rdLe32(bytes, 5); val h = Video.rdLe32(bytes, 9)
-    val n = blocksAcross(w, block) * blocksAcross(h, block)
+    // untrusted header: crafted large w/h used to overflow the Int
+    // block count to a small/negative value, slipping past the length
+    // require and returning a silently TRUNCATED vector list — the
+    // bounds [[RangeCoder.decodePlane]] pins, plus a Long block count,
+    // keep this reader fail-loud like decodePredicted (which is safe
+    // only because it pins geometry to the caller's reference plane)
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 28),
+      s"corrupt GMCP header: ${w}x$h exceeds the 2^28-pixel bound")
+    val n = blocksAcross(w, block).toLong * blocksAcross(h, block)
     require(bytes.length >= 13 + n * 2, "truncated GMCP vector table")
-    (0 until n).map(i =>
+    (0 until n.toInt).map(i =>
       (bytes(13 + 2 * i).toInt, bytes(13 + 2 * i + 1).toInt))
   }
 }

@@ -212,6 +212,22 @@ object RangeCoder {
     require(nRle.toLong <= 2L * w * h,
       s"corrupt GRNG header: nRle=$nRle exceeds the ${w}x$h plane's " +
         "structural RLE bound")
+    // ... AND the adaptive-coder capacity bound, so a ~20-byte crafted
+    // header can't pre-allocate the structural maximum (2·2^28 bytes)
+    // before the first bitstream byte is validated. The SOUND form for
+    // an adaptive coder (the per-byte >= 1 bit/symbol Huffman bound is
+    // not): a symbol's cost is log2(total/freq) bits, and with counts
+    // capped at TotalCap = 2^16 - 24 and 255 competitors floored at 1,
+    // freq <= total - 255, so every symbol costs >= log2(65512/65257)
+    // ~= 0.00563 bits — <= ~1422 symbols per bitstream byte, plus up
+    // to ~5700 more riding the 32-bit register the 4 flush bytes
+    // settle. 1500/byte + 6000 is strictly above both, so every legal
+    // stream (including the >100x all-one-value plane) stays legal,
+    // while the crafted-header allocation is capped at ~1500x the
+    // bytes actually presented.
+    require(nRle.toLong <= 1500L * (bytes.length - 16) + 6000L,
+      s"corrupt GRNG header: nRle=$nRle exceeds the adaptive coder's " +
+        s"capacity for ${bytes.length - 16} bitstream bytes")
     val rle = decode(bytes, 16, nRle)
     (Entropy.rleDecode(rle, w * h), w, h)
   }

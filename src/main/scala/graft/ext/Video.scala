@@ -866,13 +866,32 @@ object Video {
     * index-flagged AVIIF_KEYFRAME (PCM has no inter-sample
     * dependence). */
   def muxAviAv(frames: Seq[Array[Byte]], samples: Array[Short],
-      w: Int, h: Int, fps: Int = 10): Array[Byte] = {
+      w: Int, h: Int, fps: Int = 10): Array[Byte] =
+    muxAviAvClocked(frames, samples, w, h, 1000000 / fps,
+      Audio.SampleRate.toInt, 1)
+
+  /** [[muxAviAv]] with the container clocks EXPLICIT — the fixture
+    * surface for the variable-clock sync audit (q261): real
+    * containers carry non-integral clocks (NTSC-class 33367 µs
+    * frames, scale>1 audio rates like 88200/2), and a mux that only
+    * speaks integer fps can't produce them. The avih gets
+    * `usPerFrame` verbatim; the video strh carries the equivalent
+    * (scale=usPerFrame, rate=10⁶) rational; the auds strh carries
+    * (audioScale, audioRate) verbatim — exactly the fields
+    * [[aviTiming]] reads back. */
+  def muxAviAvClocked(frames: Seq[Array[Byte]], samples: Array[Short],
+      w: Int, h: Int, usPerFrame: Int, audioRate: Int,
+      audioScale: Int): Array[Byte] = {
     require(frames.nonEmpty, "cannot mux an empty clip")
+    require(usPerFrame >= 1, s"frame clock $usPerFrame µs")
+    require(audioScale >= 1 && audioRate >= audioScale,
+      s"audio clock $audioRate/$audioScale")
     val maxBuf = frames.map(_.length).max
-    val rate = Audio.SampleRate.toInt
+    val rate = audioRate
+    val bufPerSec = (maxBuf.toLong * 1000000L / usPerFrame).toInt
     val avih = {
       val b = new ByteArrayOutputStream()
-      b.write(le32(1000000 / fps)); b.write(le32(maxBuf * fps))
+      b.write(le32(usPerFrame)); b.write(le32(bufPerSec))
       b.write(le32(0)); b.write(le32(0x10)) // AVIF_HASINDEX
       b.write(le32(frames.length)); b.write(le32(0))
       b.write(le32(2)) // TWO streams
@@ -884,7 +903,7 @@ object Video {
       val b = new ByteArrayOutputStream()
       b.write(fourcc("vids")); b.write(fourcc("MPNG"))
       b.write(le32(0)); b.write(le32(0)); b.write(le32(0))
-      b.write(le32(1)); b.write(le32(fps))
+      b.write(le32(usPerFrame)); b.write(le32(1000000))
       b.write(le32(0)); b.write(le32(frames.length))
       b.write(le32(maxBuf)); b.write(le32(-1)); b.write(le32(0))
       b.write(le32(0)); b.write(le32((h << 16) | w))
@@ -902,9 +921,10 @@ object Video {
       val b = new ByteArrayOutputStream()
       b.write(fourcc("auds")); b.write(le32(0)) // handler: raw PCM
       b.write(le32(0)); b.write(le32(0)); b.write(le32(0))
-      b.write(le32(1)); b.write(le32(rate)) // scale/rate: samples/sec
+      // the RATIONAL stream clock, verbatim: rate/scale samples/sec
+      b.write(le32(audioScale)); b.write(le32(rate))
       b.write(le32(0)); b.write(le32(samples.length))
-      b.write(le32(rate * 2)); b.write(le32(-1))
+      b.write(le32((rate.toLong * 2 / audioScale).toInt)); b.write(le32(-1))
       b.write(le32(2)) // sampleSize: 2 bytes per mono 16-bit sample
       b.write(le32(0)); b.write(le32(0))
       b.toByteArray
@@ -913,7 +933,8 @@ object Video {
       val b = new ByteArrayOutputStream()
       b.write(Array((1 & 0xff).toByte, 0.toByte)) // wFormatTag = PCM
       b.write(Array((1 & 0xff).toByte, 0.toByte)) // nChannels = 1
-      b.write(le32(rate)); b.write(le32(rate * 2))
+      b.write(le32(rate / audioScale))
+      b.write(le32((rate.toLong * 2 / audioScale).toInt))
       b.write(Array((2 & 0xff).toByte, 0.toByte)) // nBlockAlign
       b.write(Array((16 & 0xff).toByte, 0.toByte)) // wBitsPerSample
       b.toByteArray
@@ -1080,15 +1101,20 @@ object Video {
       max_spread_skew: Long, sync_deficit: Long)
 
   /** Parse the container's TIMING headers: microseconds per video
-    * frame from `avih`, audio samples per second from the `auds`
-    * stream's `strh` (rate/scale — the AVI stream clock). Loud when
-    * either header is missing: a container whose clocks cannot be
-    * read cannot be sync-audited, and a silent default would grade
-    * drift against invented time. */
-  private def aviTiming(avi: Array[Byte],
-      chunks: Seq[(String, Int, Int)]): (Int, Int) = {
+    * frame from `avih`, the audio clock from the `auds` stream's
+    * `strh` as the RATIONAL (rate, scale) pair the container carries
+    * — rate/scale samples per second, NOT pre-divided: real clocks
+    * are non-integral (a 44100/1 track against a 33367 µs NTSC-class
+    * frame, a scale>1 rate), and truncating rate/scale up front
+    * accumulates the rounding error once per frame across the whole
+    * audit. Loud when either header is missing: a container whose
+    * clocks cannot be read cannot be sync-audited, and a silent
+    * default would grade drift against invented time. */
+  private[ext] def aviTiming(avi: Array[Byte],
+      chunks: Seq[(String, Int, Int)]): (Int, Int, Int) = {
     var usPerFrame = -1
     var audioRate = -1
+    var audioScale = -1
     chunks.foreach {
       case ("avih", off, size) if usPerFrame < 0 && size >= 4 =>
         usPerFrame = rdLe32(avi, off)
@@ -1096,14 +1122,14 @@ object Video {
           if audioRate < 0 && size >= 28 && cc(avi, off) == "auds" =>
         val scale = rdLe32(avi, off + 20)
         val rate = rdLe32(avi, off + 24)
-        require(scale >= 1 && rate >= 1,
+        require(scale >= 1 && rate >= scale,
           s"corrupt auds strh clock: scale=$scale rate=$rate")
-        audioRate = rate / scale
+        audioRate = rate; audioScale = scale
       case _ =>
     }
     require(usPerFrame >= 1, "container has no readable avih header")
     require(audioRate >= 1, "container has no auds stream clock")
-    (usPerFrame, audioRate)
+    (usPerFrame, audioRate, audioScale)
   }
 
   /** WITHIN-CONTAINER A/V SYNC audit over (media_id, payload) AV
@@ -1114,9 +1140,12 @@ object Video {
     * — never assumed), the per-frame audio spans from the real
     * `01wb` chunk walk, and two integer drift signals come out:
     *
-    *   - `sync_deficit` = n_frames × (rate·usPerFrame/10⁶) −
+    *   - `sync_deficit` = ⌊rate·usPerFrame·n_frames / (scale·10⁶)⌋ −
     *     n_samples: how many samples SHORT of the video's nominal
-    *     duration the audio track runs (positive = audio ends early
+    *     duration the audio track runs — the whole-clip nominal in
+    *     ONE exact rational step, so non-integral clocks (NTSC-class
+    *     frame times, scale>1 rates) don't accumulate a per-frame
+    *     rounding error (positive = audio ends early
     *     — the classic mux-from-truncated-source defect; 0 = spans
     *     exactly).
     *   - `max_spread_skew` = maxᵢ |cumSamples(i)·n_frames −
@@ -1138,11 +1167,7 @@ object Video {
         rows.map { r =>
           // ONE chunk walk serves the timing headers and the audit
           val chunks = allChunkOffsets(r.payload)
-          val (us, rate) = aviTiming(r.payload, chunks)
-          // nominal samples per frame from the container's two
-          // clocks; exact for every real (rate, fps) pair this
-          // engine writes (8000 Hz, 10 fps -> 800)
-          val nominal = rate.toLong * us / 1000000L
+          val (us, rate, scale) = aviTiming(r.payload, chunks)
           var nFrames = 0
           var total = 0L
           var nChunks = 0
@@ -1174,8 +1199,22 @@ object Video {
             if (skew > maxSkew) maxSkew = skew
             i += 1
           }
+          // nominal samples over the WHOLE clip in one exact rational
+          // step: rate·us·nFrames / (scale·10⁶), floored ONCE at the
+          // end — a per-frame floor (the old rate/scale, rate·us/10⁶
+          // shape) loses its fractional sample once per frame, so a
+          // 44100 Hz track against a 33367 µs frame would misread a
+          // perfectly-spanned clip as ~0.48·nFrames samples short.
+          // BigInt because all four factors are untrusted header
+          // fields: rate·us·nFrames overflows Long at legal extremes,
+          // and a silent wrap would grade drift against garbage time.
+          val nominalTotal =
+            BigInt(rate) * us * nFrames / (BigInt(scale) * 1000000L)
+          require(nominalTotal.isValidLong,
+            s"corrupt container clocks: rate=$rate/$scale us=$us " +
+              s"nFrames=$nFrames overflow the sample count")
           AvSync(r.media_id, nFrames, total, nChunks, perChunk,
-            maxSkew, nFrames * nominal - total)
+            maxSkew, nominalTotal.toLong - total)
         }
       }
       .toDF()
@@ -1186,4 +1225,86 @@ object Video {
   def avSyncAudit(spark: SparkSession, docs: DataFrame,
       idCol: String): DataFrame =
     avSyncAuditOf(spark, syntheticAviAvFrame(spark, docs, idCol))
+
+  // ------------------------------------- variable-clock AV fixture
+
+  /** The designed VARIABLE-CLOCK classes (by pattern id, cycling all
+    * three): the q258 fixture's 8000 Hz/10 fps clocks are integral —
+    * every division in the audit is exact there, so a per-frame
+    * truncation bug is invisible. Real containers aren't integral:
+    *   - class 0: 33367 µs frames (NTSC-class ~29.97 fps) against a
+    *     44100/1 track — 1471.48… samples/frame, the fractional
+    *     accumulation case;
+    *   - class 1: 100000 µs against 88200/2 — a scale>1 rational
+    *     clock (= 44100 Hz) that a reader pre-dividing rate/scale
+    *     gets right only by luck, exact per frame;
+    *   - class 2: 41708 µs (~23.976 fps) against 48000/1 —
+    *     2001.98… samples/frame. */
+  private[graft] def varClockOf(pid: Long): (Int, Int, Int) =
+    (pid % 3).toInt match {
+      case 0 => (33367, 44100, 1)
+      case 1 => (100000, 88200, 2)
+      case _ => (41708, 48000, 1)
+    }
+
+  /** The designed sample DEFICIT per pattern id: 0 = exact span,
+    * positive = drop-frame-class truncated audio (the
+    * mux-from-truncated-source defect), negative = surplus (audio
+    * runs past the video — the opposite trim defect). The fixture
+    * muxes `len = nominal − deficit` samples, so the audit's
+    * `sync_deficit` must read back exactly this value — analytically
+    * replayable by the oracle. */
+  private[graft] def varClockDeficit(pid: Long): Int =
+    (pid % 5).toInt match {
+      case 0 => 0
+      case 1 => 97
+      case 2 => 211
+      case 3 => -64
+      case _ => 1009
+    }
+
+  /** The synthetic VARIABLE-CLOCK AV container frame — q258's fixture
+    * with the clocks drawn from [[varClockOf]] (non-integral
+    * samples/frame, scale>1 rationals) and the audio length designed
+    * to [[varClockDeficit]] around the whole-clip nominal
+    * ⌊rate·us·nF/(scale·10⁶)⌋. Every field of the audit is an exact
+    * integer function of the corpus id, so the q261 oracle replays
+    * the entire surface (clock selection, rational nominal, deficit,
+    * interleave skew) in SQL while Spark earns it through the real
+    * container walk. */
+  def syntheticAviAvVarClockFrame(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    Images.spreadIds(spark, docs, idCol)
+      .mapPartitions { ids =>
+        val codec = Images.partitionCodec()
+        ids.map { id =>
+          val pid = Images.baseId(id)
+          val nf = nFrames(pid)
+          val (us, rate, scale) = varClockOf(pid)
+          val nominal =
+            (BigInt(rate) * us * nf / (BigInt(scale) * 1000000L)).toLong
+          val len = (nominal - varClockDeficit(pid)).toInt
+          val frames = (0 until nf).map { f =>
+            codec.encode(Images.renderPatternImage(framePid(pid, f),
+              FrameW, FrameH))
+          }
+          val samples = Array.tabulate(len)(i =>
+            Audio.sampleAt(pid, Images.isPerturbed(id), i))
+          AviRow(id,
+            muxAviAvClocked(frames, samples, FrameW, FrameH, us, rate,
+              scale))
+        }
+      }
+      .toDF()
+      .select(col("media_id"), col("payload"),
+        struct(lit("video").as("kind"),
+          octet_length(col("payload")).as("n_bytes")).as("meta"))
+  }
+
+  /** [[avSyncAuditOf]] over the variable-clock corpus — the q261
+    * surface. */
+  def avSyncAuditVarClock(spark: SparkSession, docs: DataFrame,
+      idCol: String): DataFrame =
+    avSyncAuditOf(spark, syntheticAviAvVarClockFrame(spark, docs, idCol))
 }

@@ -9628,6 +9628,51 @@ object Catalog {
           AS is_cut
       FROM h a JOIN h p ON p.doc_id = a.doc_id AND p.f = a.f - 1"""))
 
+  /** A/V sync audit over the VARIABLE-CLOCK corpus
+    * ([[graft.ext.Video.avSyncAuditVarClock]]) — q258 widened past
+    * integral clocks: the fixture cycles three designed clock classes
+    * (NTSC-class 33367 µs frames against 44100/1, a scale>1 rational
+    * 88200/2, ~23.976 fps against 48000/1 — non-integral
+    * samples/frame everywhere) and five designed deficits (exact
+    * span, drop-frame-class truncations, a surplus), so the audit's
+    * whole-clip rational nominal ⌊rate·us·nF/(scale·10⁶)⌋ is earned
+    * where a per-frame floor (or a pre-divided rate/scale) visibly
+    * misreads: at 1471.48 samples/frame a per-frame truncation
+    * misstates a perfectly-spanned clip by ~0.48·nF samples. The
+    * oracle replays clock selection, the exact rational nominal, the
+    * designed deficit, and the interleave skew analytically from
+    * doc_id; the container's own headers carry the clocks Spark reads
+    * back. */
+  private val q261 = Q("q261_av_sync_varclock",
+    (s, dir) => graft.ext.Video.avSyncAuditVarClock(
+      s, t(s, dir, "documents"), "doc_id"),
+    Some("""WITH b AS (SELECT doc_id,
+        (CASE WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+              WHEN doc_id > 6 AND doc_id % 50 = 7 THEN doc_id - 1
+              ELSE doc_id END) AS pid
+        FROM documents),
+      c AS (SELECT doc_id, CAST(4 + pid % 5 AS INT) AS nf,
+          CASE WHEN pid % 3 = 0 THEN 33367
+               WHEN pid % 3 = 1 THEN 100000 ELSE 41708 END AS us,
+          CASE WHEN pid % 3 = 0 THEN 44100
+               WHEN pid % 3 = 1 THEN 88200 ELSE 48000 END AS rate,
+          CASE WHEN pid % 3 = 1 THEN 2 ELSE 1 END AS scale,
+          CASE pid % 5 WHEN 0 THEN 0 WHEN 1 THEN 97 WHEN 2 THEN 211
+               WHEN 3 THEN -64 ELSE 1009 END AS d
+        FROM b),
+      t AS (SELECT doc_id, nf, d,
+          (CAST(rate AS BIGINT) * us * nf) // (scale * 1000000)
+            AS nominal FROM c),
+      u AS (SELECT doc_id, nf, d, nominal - d AS len,
+          CAST((nominal - d + nf - 1) // nf AS INT) AS per FROM t)
+      SELECT doc_id AS media_id, nf AS n_frames, len AS n_samples,
+        CAST((len + per - 1) // per AS INT) AS n_audio_chunks,
+        per AS per_chunk,
+        list_max([ABS(LEAST((i + 1) * per, len) * nf - (i + 1) * len)
+          FOR i IN range(0, nf)]) AS max_spread_skew,
+        CAST(d AS BIGINT) AS sync_deficit
+      FROM u"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9657,5 +9702,5 @@ object Catalog {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253, q254, q255, q256, q257, q258, q259, q260)
+    q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261)
 }

@@ -251,12 +251,16 @@ class Round15Spec extends SparkSpec {
     rt(new Array[Byte](n), "all-zero")
     rt(Array.tabulate(n)(i => i.toByte), "full-alphabet")
     rt(Array.fill(n)(77.toByte), "single-symbol")
-    // the >100x-compression class a per-byte capacity bound rejects:
-    // a LARGE all-one-value plane's RLE stream is single-symbol and
-    // the adaptive coder drives its cost to ~0.006 bits/symbol —
-    // nRle (706 pairs at 300x300) dwarfs the coded bytes (~32), so
-    // any "nRle <= k*bytes" check breaks decode∘encode on VALID data
-    // (only the structural nRle <= 2wh bound is sound)
+    // the >100x-compression class a HUFFMAN-style per-byte capacity
+    // bound rejects: a LARGE all-one-value plane's RLE stream is
+    // single-symbol and the adaptive coder drives its cost to ~0.006
+    // bits/symbol — nRle (706 pairs at 300x300) dwarfs the coded
+    // bytes (~32), so any "nRle <= 8*bytes" check breaks
+    // decode∘encode on VALID data. The shipped bounds are the
+    // structural nRle <= 2wh AND the adaptive-capacity
+    // nRle <= 1500*bytes + 6000 (strictly above the coder's
+    // ~0.0056-bit/symbol floor — this plane must stay legal under
+    // both)
     locally {
       val big = Array.fill(300 * 300)(0xFF.toByte)
       val enc = RangeCoder.encodePlane(big, 300, 300)

@@ -1,0 +1,129 @@
+package graft
+
+import graft.ext.{Images, Motion, RangeCoder, Video}
+import org.apache.spark.sql.functions._
+
+/** Round-16: the A/V sync audit widened past integral clocks (exact
+  * whole-clip rational nominal, scale>1 rates, drop-frame/surplus
+  * fixtures — q261), and the untrusted-header hardening the round-15
+  * advice named (GMCP vector-table Int overflow, GRNG pre-read
+  * allocation bound). */
+class Round16Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def le32(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def pngFrames(n: Int, codec: Images.MediaCodec): Seq[Array[Byte]] =
+    (0 until n).map(f => codec.encode(
+      Images.renderPatternImage(40L + f, Video.FrameW, Video.FrameH)))
+
+  test("variable-clock sync audit: a 29.97-fps/44100-Hz clip spanning " +
+      "the exact whole-clip rational nominal reads deficit 0 (a " +
+      "per-frame floor would misread it), scale>1 clocks parse, and " +
+      "drop-frame/surplus fixtures read their designed deficits") {
+    val codec = new Images.MediaCodec()
+    try {
+      val nF = 5
+      val frames = pngFrames(nF, codec)
+      // NTSC-class clocks: 44100 Hz against 33367 µs frames —
+      // 1471.4847 samples/frame. Whole-clip nominal:
+      // ⌊44100·33367·5/10⁶⌋ = 7357; a per-frame floor reads
+      // 5·⌊1471.4847⌋ = 7355 — the 2-sample misread this fixture
+      // exists to catch (the counterfactual is asserted below).
+      val nominal = (BigInt(44100) * 33367 * nF / BigInt(1000000)).toLong
+      assert(nominal != nF.toLong * (44100L * 33367L / 1000000L),
+        "fixture no longer discriminates the per-frame floor")
+      def clip(len: Int, us: Int, rate: Int, scale: Int): Array[Byte] =
+        Video.muxAviAvClocked(frames,
+          Array.tabulate[Short](len)(i =>
+            graft.ext.Audio.sampleAt(3L, perturb = false, i)),
+          Video.FrameW, Video.FrameH, us, rate, scale)
+      val media = Seq(
+        (1L, clip(nominal.toInt, 33367, 44100, 1)), // exact span
+        (2L, clip(nominal.toInt - 137, 33367, 44100, 1)), // drop-frame
+        (3L, clip(nominal.toInt + 64, 33367, 44100, 1)), // surplus
+        // scale>1 rational clock: 88200/2 = 44100 Hz, 10 fps —
+        // nominal ⌊88200·100000·5/(2·10⁶)⌋ = 22050
+        (4L, clip(22050, 100000, 88200, 2)))
+        .toDF("media_id", "payload")
+      val rows = Video.avSyncAuditOf(spark, media).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(rows(1L).getAs[Long]("sync_deficit") == 0L,
+        s"exact rational span must read deficit 0, got ${rows(1L)}")
+      assert(rows(2L).getAs[Long]("sync_deficit") == 137L,
+        s"drop-frame clip must read 137, got ${rows(2L)}")
+      assert(rows(3L).getAs[Long]("sync_deficit") == -64L,
+        s"surplus clip must read -64, got ${rows(3L)}")
+      assert(rows(4L).getAs[Long]("sync_deficit") == 0L,
+        s"scale>1 exact span must read deficit 0, got ${rows(4L)}")
+      assert(rows(4L).getAs[Long]("n_samples") == 22050L)
+    } finally codec.dispose()
+  }
+
+  test("q261 fixture agrees with its analytic formula end to end " +
+      "(clock class, rational nominal, designed deficit, interleave " +
+      "skew) — the oracle's replay, checked in-process") {
+    val docs = (0L until 16L).toDF("doc_id")
+    val rows = Video.avSyncAuditVarClock(spark, docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 16)
+    (0L until 16L).foreach { id =>
+      val pid = Images.baseId(id)
+      val nf = Video.nFrames(pid)
+      val (us, rate, scale) = Video.varClockOf(pid)
+      val nominal =
+        (BigInt(rate) * us * nf / (BigInt(scale) * 1000000L)).toLong
+      val d = Video.varClockDeficit(pid).toLong
+      val len = nominal - d
+      val per = (len + nf - 1) / nf
+      val skew = (0 until nf).map(i =>
+        math.abs(math.min((i + 1) * per, len) * nf - (i + 1) * len)).max
+      val r = rows(id)
+      assert(r.getAs[Int]("n_frames") == nf &&
+        r.getAs[Long]("n_samples") == len &&
+        r.getAs[Int]("per_chunk") == per.toInt &&
+        r.getAs[Long]("max_spread_skew") == skew &&
+        r.getAs[Long]("sync_deficit") == d,
+        s"id $id diverged from the analytic replay: $r vs " +
+          s"(nf=$nf len=$len per=$per skew=$skew d=$d)")
+    }
+  }
+
+  test("GMCP vector-table reader refuses a crafted-geometry header " +
+      "loudly (the Int-overflow silent-truncation hole): 2^30-pixel " +
+      "extents used to wrap the block count to 0 and return an empty " +
+      "vector list") {
+    val w = Video.FrameW; val h = Video.FrameH
+    val a = Array.tabulate(w * h)(i => (i * 31).toByte)
+    val b = Array.tabulate(w * h)(i => (i * 31 + 7).toByte)
+    val enc = Motion.encodePredicted(b, a, w, h)
+    assert(Motion.motionVectors(enc).nonEmpty)
+    val crafted = enc.clone()
+    // w = h = 0x40000000: blocksAcross(2^30,16)² overflows Int to 0
+    crafted(5) = 0; crafted(6) = 0; crafted(7) = 0; crafted(8) = 0x40
+    crafted(9) = 0; crafted(10) = 0; crafted(11) = 0; crafted(12) = 0x40
+    val ex = intercept[IllegalArgumentException] {
+      Motion.motionVectors(crafted)
+    }
+    assert(ex.getMessage.contains("2^28"),
+      s"crafted geometry must refuse on the pixel bound: ${ex.getMessage}")
+  }
+
+  test("GRNG decode refuses a crafted header whose nRle passes the " +
+      "structural bound but not the adaptive-capacity bound — the " +
+      "~512 MB pre-read allocation a 20-byte payload could force") {
+    val bomb = new java.io.ByteArrayOutputStream()
+    bomb.write("GRNG".getBytes("US-ASCII"))
+    bomb.write(le32(16384)); bomb.write(le32(16384))
+    bomb.write(le32(500000000)) // <= 2wh = 2^29, structural-legal
+    (0 until 16).foreach(_ => bomb.write(0xAB)) // 16 bitstream bytes
+    val ex = intercept[IllegalArgumentException] {
+      RangeCoder.decodePlane(bomb.toByteArray)
+    }
+    assert(ex.getMessage.contains("capacity"),
+      s"expected the capacity refusal, got: ${ex.getMessage}")
+  }
+}
