@@ -374,7 +374,8 @@ object MediaFiles {
     * `maxFilesPerTrigger` batches by MANIFEST part file (the arrival
     * unit [[appendManifest]]'s `manifestFiles` shaped). */
   def streamManifest(spark: SparkSession, manifestDir: String,
-      maxFilesPerTrigger: Int): DataFrame = {
+      maxFilesPerTrigger: Int,
+      prefetchDepth: Int = PrefetchDepth): DataFrame = {
     require(maxFilesPerTrigger >= 1)
     import spark.implicits._
     val fetch = org.apache.spark.sql.graftbridge.ColumnBridge
@@ -387,7 +388,7 @@ object MediaFiles {
       .select(col("media_id"), col("path"))
       .repartition(par)
       .as[(Long, String)]
-      .mapPartitions(it => prefetched(it, PrefetchDepth)(fetch))
+      .mapPartitions(it => prefetched(it, prefetchDepth)(fetch))
       .toDF("media_id", "payload")
   }
 
@@ -434,6 +435,10 @@ object MediaFiles {
 
   private[graft] def prefetched[A](it: Iterator[(Long, String)], depth: Int)(
       fetch: String => A): Iterator[(Long, A)] = {
+    // depth <= 0 = the SERIAL reference shape (one fetch inline per
+    // next(), no read-ahead) — the counterfactual the latency probe
+    // measures the overlap win against
+    if (depth <= 0) return it.map { case (id, p) => (id, fetch(p)) }
     if (!it.hasNext) return Iterator.empty
     val pending = scala.collection.mutable.Queue
       .empty[(Long, java.util.concurrent.Future[A])]

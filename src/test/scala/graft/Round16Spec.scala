@@ -112,6 +112,48 @@ class Round16Spec extends SparkSpec {
       s"crafted geometry must refuse on the pixel bound: ${ex.getMessage}")
   }
 
+  test("slowfs latency-injecting filesystem: bytes are the local " +
+      "truth, the TTFB sleep is really injected (deterministic lower " +
+      "bound), and the prefetched read-ahead through it preserves the " +
+      "serial order/content surface") {
+    val dir = tmpDir("slowfs")
+    val bodies = (0 until 8).map(i =>
+      Array.tabulate[Byte](64 + i)(j => (i * 131 + j).toByte))
+    bodies.zipWithIndex.foreach { case (b, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/f$i.bin"), b)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.slowfs.impl", "graft.sources.SlowFs")
+    conf.setLong("fs.slowfs.open.delay.ms", 30L)
+    val fetch = org.apache.spark.sql.graftbridge.ColumnBridge
+      .fileBytesReader(spark)
+    val rows = (0 until 8).map(i => (i.toLong, s"slowfs://$dir/f$i.bin"))
+    // byte parity + injected delay: 8 opens, 30 ms each, serially —
+    // the wall is >= 240 ms BY CONSTRUCTION (every open sleeps), so
+    // this pins that the wrapper actually injects, without a flaky
+    // upper-bound assert
+    val t0 = System.nanoTime()
+    val serial = graft.ext.MediaFiles.prefetched(rows.iterator, 0)(fetch)
+      .toVector
+    val serialMs = (System.nanoTime() - t0) / 1e6
+    assert(serialMs >= 240,
+      s"8 serial opens at 30 ms injected TTFB read $serialMs ms — " +
+        "the slowfs delay is not being applied")
+    serial.zip(bodies).zipWithIndex.foreach { case (((id, got), want), i) =>
+      assert(id == i.toLong && java.util.Arrays.equals(got, want),
+        s"slowfs read of f$i diverged from the local bytes")
+    }
+    // the depth-4 read-ahead sees the identical ordered surface
+    val ahead = graft.ext.MediaFiles.prefetched(rows.iterator, 4)(fetch)
+      .toVector
+    assert(ahead.map(_._1) == serial.map(_._1) &&
+      ahead.zip(serial).forall { case ((_, a), (_, b)) =>
+        java.util.Arrays.equals(a, b) },
+      "prefetched through slowfs diverged from the serial surface")
+    conf.unset("fs.slowfs.open.delay.ms")
+  }
+
   test("GRNG decode refuses a crafted header whose nRle passes the " +
       "structural bound but not the adaptive-capacity bound — the " +
       "~512 MB pre-read allocation a 20-byte payload could force") {
