@@ -6602,10 +6602,20 @@ object Catalog {
       val truth = Dedup.ngramJaccardPairs(sub, "text", "doc_id",
         blockCols = Seq(lit(1)), n = 3, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))
-      val hit = cand.join(truth, Seq("doc_a", "doc_b"), "leftsemi")
-      cand.agg(count(lit(1)).as("n_cand"))
-        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      // ONE full-outer pass computes all three counts: the old
+      // 3-agg crossJoin (n_cand, n_truth, semijoin n_hit) evaluated
+      // the quadratic single-block truth subtree TWICE (no exchange
+      // reuse across the agg and the semijoin — stage-probed: two
+      // identical 1-task stages at ~3.6 s each); pair keys are unique
+      // on both sides, so count(_t)/count(_c)/count(both) over the
+      // full outer join are exactly the three set sizes
+      cand.withColumn("_c", lit(1))
+        .join(truth.withColumn("_t", lit(1)),
+          Seq("doc_a", "doc_b"), "full_outer")
+        .agg(count(col("_t")).as("n_truth"),
+          count(col("_c")).as("n_cand"),
+          count(when(col("_c").isNotNull && col("_t").isNotNull, 1))
+            .as("n_hit"))
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           expr("n_hit * 1000000L div greatest(n_truth, 1L)")
             .as("recall_micro"),
