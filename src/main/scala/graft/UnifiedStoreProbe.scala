@@ -11,7 +11,18 @@ import org.apache.spark.sql.functions.col
   * pruned to the delta's (band, bucket) cells; no store re-band,
   * re-shuffle, or rematerialization anywhere in the batch).
   *
+  * With `trickleBatches > 0` the probe continues past the one-shot
+  * phase attribution into the round-16 protocol: fold the seeded
+  * store into run form, then run that many REAL maintenance batches
+  * (`processBatchUnified`) with the size-tiered fold
+  * (`compactUnifiedStore(maxRuns)`) every 4 batches — per-batch wall,
+  * per-fold wall, and the live run set's manifest bytes after each
+  * fold, at STORE scale (the r13 trickle rows measured the batch
+  * only; the r15 accrual probe measured the fold only at sf0.1 where
+  * wall is job-overhead-bound).
+  *
   * usage: UnifiedStoreProbe <sfDir> <storeDocs> <deltaDocs>
+  *          [trickleBatches] [maxRuns]
   */
 object UnifiedStoreProbe {
   def main(args: Array[String]): Unit = {
@@ -19,6 +30,8 @@ object UnifiedStoreProbe {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val storeDocs = if (args.length > 1) args(1).toInt else 25000
     val deltaDocs = if (args.length > 2) args(2).toInt else 200
+    val trickleBatches = if (args.length > 3) args(3).toInt else 0
+    val maxRuns = if (args.length > 4) args(4).toInt else 4
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -91,6 +104,33 @@ object UnifiedStoreProbe {
         f"deltaDocs=$deltaDocs storeRows=$storeRows " +
         f"seed=${(t1 - t0) / 1e9}%.1fs " +
         f"trickleBatch=${(t3 - t2) / 1e9}%.2fs")
+      if (trickleBatches > 0) {
+        import graft.streaming.{Commits, MediaDedupMaintenance => M}
+        // steady state: the seeded store folded into run form
+        M.compactUnifiedStore(spark, store, maxRuns)
+        (1 to trickleBatches).foreach { i =>
+          val d = graft.ext.Multimodal.syntheticMixedFrameGrouped(
+            spark,
+            spark.range(20000000L + i * 1000L,
+              20000000L + i * 1000L + deltaDocs).toDF("doc_id"),
+            "doc_id")
+          val b0 = System.nanoTime()
+          M.processBatchUnified(d, 100L + i, store, pairs)
+          val b1 = System.nanoTime()
+          var foldS = 0.0
+          var runLine = ""
+          if (i % 4 == 0) {
+            val f0 = System.nanoTime()
+            M.compactUnifiedStore(spark, store, maxRuns)
+            foldS = (System.nanoTime() - f0) / 1e9
+            val m = Commits.runManifest(spark, store)
+            runLine = m.runs
+              .map(r => s"${r.name}:${r.bytes / 1024}KB").mkString(" ")
+          }
+          println(f"TRICKLE $i%02d batch=${(b1 - b0) / 1e9}%.2fs " +
+            f"fold=$foldS%.2fs $runLine")
+        }
+      }
     } finally {
       dirs.foreach(Scratch.deleteRecursively)
       spark.stop()

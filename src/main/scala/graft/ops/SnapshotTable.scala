@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SNAPSHOT-VERSIONED table with MERGE-INTO semantics, snapshot-
+  * isolated readers, and time travel — the open-table-format
+  * capabilities a 100-TB user asks Delta/Iceberg for (their public
+  * design: an immutable manifest names each version's data files;
+  * writers commit a NEW manifest and never mutate published data),
+  * rebuilt on this engine's commit discipline because the sandbox
+  * ships no Delta/Iceberg jars (zero egress, pinned dependencies).
+  *
+  * Layout:
+  * {{{
+  *   dir/_snap.<ver>                     version manifest (tmp+rename):
+  *     batch=<id>                          idempotence key (optional)
+  *     entry=<partKey>/v=<writerVer>       one line per live partition dir
+  *   dir/data/<partKey>/v=<writerVer>/part-*.parquet
+  * }}}
+  *
+  * MERGE = [[Upsert.merge]] (the reference's deterministic new-wins
+  * dedup, gluejob.py:173-205) executed COPY-ON-WRITE at partition
+  * granularity: only partitions the delta touches are read and
+  * rewritten into fresh `v=<ver>` dirs; untouched partitions carry
+  * into the new manifest BY REFERENCE — the manifest indirection that
+  * keeps the write cost O(delta + touched partitions), exactly the
+  * K1 dynamic-overwrite's bound, while ADDING what the in-place
+  * overwrite cannot give: every committed version stays readable
+  * (time travel), and a reader holding a resolved manifest sees an
+  * immutable file set however many merges land after it (snapshot
+  * isolation). Replay idempotence: a merge carrying the batch id
+  * already at the head is a no-op — the foreachBatch replay contract.
+  *
+  * Partition columns stay REAL data columns in the files (dir names
+  * are organization, not schema), so a snapshot read is a plain
+  * parquet read over the manifest's dir list — no partition-inference
+  * coupling, and entries from different writer versions mix freely.
+  *
+  * Single-writer discipline like every store in this engine: two
+  * racing merges allocate the same version and the second tmp+rename
+  * fails LOUDLY rather than silently last-write-wins. */
+object SnapshotTable {
+
+  /** One resolved version: the immutable contract a reader holds. */
+  final case class Snap(ver: Long, batchId: Option[Long],
+      entries: Seq[String])
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All committed versions, ascending (empty = no table yet). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_snap."))
+      .flatMap(_.stripPrefix("_snap.").toLongOption).sorted
+  }
+
+  /** Resolve a manifest — the newest, or the pinned `version`. Loud
+    * when the table is missing or the requested version is not
+    * retained: a silent empty read of a time-travel query is how a
+    * reproducibility audit reports "nothing changed" against garbage. */
+  def resolve(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Snap = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no snapshot table at $dir")
+    val ver = version.getOrElse(vs.max)
+    require(vs.contains(ver),
+      s"version $ver of $dir is not retained (have ${vs.mkString(",")})")
+    val fs = fsOf(spark, dir)
+    val in = fs.open(new Path(dir, s"_snap.$ver"))
+    val text =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+    val batch = lines.filter(_.startsWith("batch="))
+      .flatMap(_.stripPrefix("batch=").toLongOption).headOption
+    val entries = lines.filter(_.startsWith("entry="))
+      .map(_.stripPrefix("entry=")).toSeq
+    Snap(ver, batch, entries)
+  }
+
+  /** Read a HELD snapshot — the isolation surface: the entries name
+    * immutable dirs, so this frame is the same rows however many
+    * merges commit concurrently. */
+  def readSnap(spark: SparkSession, dir: String, snap: Snap): DataFrame = {
+    require(snap.entries.nonEmpty, s"snapshot v${snap.ver} has no data")
+    spark.read.parquet(snap.entries.map(e => s"$dir/data/$e"): _*)
+  }
+
+  /** Read the table at the newest (or a pinned) version. */
+  def read(spark: SparkSession, dir: String,
+      version: Option[Long] = None): DataFrame =
+    readSnap(spark, dir, resolve(spark, dir, version))
+
+  /** MERGE `delta` into the table: new-wins by `key` with the
+    * deterministic `tieBreak` ([[Upsert.merge]]'s pinned priority),
+    * copy-on-write over the partitions the delta touches, committed
+    * as version head+1. Returns the committed version (the head's,
+    * unchanged, when `batchId` replays). The touched-partition
+    * collect is bounded exactly as [[Upsert.upsertPartitioned]]'s —
+    * a delta spans few storage partitions by construction. */
+  def merge(spark: SparkSession, dir: String, delta: DataFrame,
+      key: String, tieBreak: String, partCols: Seq[String],
+      batchId: Option[Long] = None): Long = {
+    require(partCols.nonEmpty, "partCols must name >= 1 column")
+    val head =
+      if (versions(spark, dir).isEmpty) Snap(0L, None, Nil)
+      else resolve(spark, dir)
+    if (batchId.isDefined && head.batchId == batchId) return head.ver
+    val touched = delta.select(partCols.map(col): _*).distinct().collect()
+      .map(r => partCols.map(c => s"$c=${r.getAs[Any](c)}").mkString("/"))
+      .toSeq.sorted
+    require(touched.nonEmpty, "empty delta — nothing to merge")
+    val touchedSet = touched.toSet
+    def partKeyOf(entry: String): String =
+      entry.substring(0, entry.lastIndexOf("/v="))
+    val (replaced, kept) =
+      head.entries.partition(e => touchedSet.contains(partKeyOf(e)))
+    val existingTouched =
+      if (replaced.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          delta.schema)
+      else spark.read.parquet(replaced.map(e => s"$dir/data/$e"): _*)
+        .select(delta.columns.map(col): _*)
+    // localCheckpoint: one merge computation feeds every touched
+    // partition's write (and decouples the write from paths the plan
+    // reads — the Upsert discipline)
+    val merged = Upsert.merge(delta, existingTouched, key, tieBreak)
+      .localCheckpoint()
+    val newVer = head.ver + 1
+    val newEntries = touched.map { pk =>
+      val filter = pk.split("/").map { kv =>
+        val Array(c, v) = kv.split("=", 2)
+        col(c).cast("string") === lit(v)
+      }.reduce(_ && _)
+      merged.filter(filter).write.mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(s"$dir/data/$pk/v=$newVer")
+      s"$pk/v=$newVer"
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .unpersistLocalCheckpoint(merged)
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, s"_snap.$newVer.tmp")
+    val dst = new Path(dir, s"_snap.$newVer")
+    val out = fs.create(tmp, true)
+    try {
+      val body = (batchId.map(b => s"batch=$b").toSeq ++
+        (kept ++ newEntries).sorted.map(e => s"entry=$e")).mkString("\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    require(fs.rename(tmp, dst),
+      s"failed to commit snapshot manifest $dst — concurrent writer?")
+    newVer
+  }
+
+  /** Retention cut: keep the newest `keep` versions' manifests and
+    * every data dir any retained manifest references; delete the
+    * rest. Time travel below the cut refuses loudly ([[resolve]]'s
+    * retained-version check) — the [[graft.streaming.Commits]]
+    * retention discipline. */
+  def retainNewest(spark: SparkSession, dir: String, keep: Int): Unit = {
+    require(keep >= 1, s"must retain >= 1 version, got $keep")
+    val vs = versions(spark, dir)
+    if (vs.size <= keep) return
+    val cut = vs.takeRight(keep)
+    val live = cut.flatMap(v => resolve(spark, dir, Some(v)).entries).toSet
+    val fs = fsOf(spark, dir)
+    vs.dropRight(keep).foreach(v =>
+      fs.delete(new Path(dir, s"_snap.$v"), false))
+    // sweep data dirs no retained manifest references
+    val dataRoot = new Path(dir, "data")
+    if (fs.exists(dataRoot)) {
+      def walk(p: Path, rel: String): Unit =
+        fs.listStatus(p).foreach { st =>
+          val r = if (rel.isEmpty) st.getPath.getName
+            else s"$rel/${st.getPath.getName}"
+          if (st.getPath.getName.startsWith("v=")) {
+            if (!live.contains(r)) fs.delete(st.getPath, true)
+          } else if (st.isDirectory) walk(st.getPath, r)
+        }
+      walk(dataRoot, "")
+    }
+  }
+}

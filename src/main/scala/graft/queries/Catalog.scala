@@ -9683,6 +9683,63 @@ object Catalog {
         CAST(d AS BIGINT) AS sync_deficit
       FROM u"""))
 
+  /** K1's merge semantics on a SNAPSHOT-VERSIONED table
+    * ([[graft.ops.SnapshotTable]] — manifest-named immutable versions,
+    * the public Delta/Iceberg design rebuilt on the engine's commit
+    * discipline; no table-format jars ship in this environment): two
+    * batches MERGE-INTO a table dir (old corpus as batch 1, the
+    * watermark delta as batch 2, the q07 slices), then BOTH versions
+    * are read back time-travel style and unioned under a `ver`
+    * column. Version 2's content is exactly the K1 new-wins upsert
+    * (the q07 oracle, replayed under ver=2) — content equality of the
+    * snapshot path with the dynamic-overwrite path, pinned in the
+    * hash gate; version 1 proves the superseded version stays
+    * readable AFTER later merges (the overwrite path destroys it).
+    * Copy-on-write is partition-scoped (year/month), so the write
+    * cost keeps K1's O(delta + touched partitions) bound; isolation/
+    * replay/retention are spec-pinned (Round16Spec). */
+  private val q262 = Q("q262_snapshot_merge_tt",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q262tbl").toString + "/t"
+      val o = t(s, dir, "orders")
+      def prep(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), lit(src).as("src"),
+          col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        prep(o.filter(col("o_orderdate") <
+          to_timestamp(lit("2000-01-01"))), "old"),
+        "o_orderkey", "order_date", Seq("year", "month"), Some(1L))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        prep(o.filter(col("o_orderdate") >=
+          to_timestamp(lit("1999-01-01"))), "new"),
+        "o_orderkey", "order_date", Seq("year", "month"), Some(2L))
+      Seq(1L, 2L).map(v =>
+          graft.ops.SnapshotTable.read(s, tbl, Some(v))
+            .select(lit(v).as("ver"), col("o_orderkey"), col("src"),
+              col("o_orderstatus"), col("order_date")))
+        .reduce(_.unionByName(_))
+    },
+    Some("""SELECT CAST(1 AS BIGINT) AS ver, o_orderkey, 'old' AS src,
+        o_orderstatus, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+      UNION ALL
+      SELECT CAST(2 AS BIGINT) AS ver, o_orderkey, src, o_orderstatus,
+        order_date FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY o_orderkey
+          ORDER BY src ASC) rn
+        FROM (
+          SELECT o_orderkey, 'new' AS src, o_orderstatus,
+            strftime(o_orderdate, '%Y-%m-%d') AS order_date
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          UNION ALL
+          SELECT o_orderkey, 'old' AS src, o_orderstatus,
+            strftime(o_orderdate, '%Y-%m-%d') AS order_date
+          FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01') u) z
+        WHERE rn = 1"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9712,5 +9769,6 @@ object Catalog {
     q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
-    q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261)
+    q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
+    q262)
 }

@@ -154,6 +154,63 @@ class Round16Spec extends SparkSpec {
     conf.unset("fs.slowfs.open.delay.ms")
   }
 
+  test("snapshot table: merge-into semantics, replay idempotence, " +
+      "snapshot isolation through a concurrent merge, untouched-" +
+      "partition carry-by-reference, time travel, and a retention cut " +
+      "that keeps dropped-version dirs a retained manifest still " +
+      "references") {
+    import graft.ops.SnapshotTable
+    val tbl = tmpDir("snaptbl") + "/t"
+    val b1 = Seq((1L, "a1", 1), (2L, "a2", 1), (3L, "a3", 2),
+      (4L, "a4", 2)).toDF("k", "v", "p")
+    assert(SnapshotTable.merge(spark, tbl, b1, "k", "v", Seq("p"),
+      Some(10L)) == 1L)
+    // replay: the same batch id at the head is a no-op
+    assert(SnapshotTable.merge(spark, tbl, b1, "k", "v", Seq("p"),
+      Some(10L)) == 1L)
+    assert(SnapshotTable.versions(spark, tbl) == Seq(1L))
+    def content(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
+      df.select(col("k"), col("v"), col("p")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val v1Content = Set((1L, "a1", 1), (2L, "a2", 1), (3L, "a3", 2),
+      (4L, "a4", 2))
+    // a reader holds v1 while batch 2 merges (update k=2, insert k=9,
+    // touching ONLY partition p=1)
+    val held = SnapshotTable.resolve(spark, tbl)
+    val b2 = Seq((2L, "b2", 1), (9L, "b9", 1)).toDF("k", "v", "p")
+    assert(SnapshotTable.merge(spark, tbl, b2, "k", "v", Seq("p"),
+      Some(11L)) == 2L)
+    // isolation: the held snapshot still reads exactly v1's rows
+    assert(content(SnapshotTable.readSnap(spark, tbl, held)) == v1Content,
+      "a concurrent merge changed what a held snapshot reads")
+    // head = merge-into semantics; p=2 rows carried untouched
+    assert(content(SnapshotTable.read(spark, tbl)) ==
+      Set((1L, "a1", 1), (2L, "b2", 1), (9L, "b9", 1), (3L, "a3", 2),
+        (4L, "a4", 2)))
+    // time travel re-resolves v1 by version number
+    assert(content(SnapshotTable.read(spark, tbl, Some(1L))) == v1Content)
+    // carry-by-REFERENCE: v2's manifest names v1's p=2 dir verbatim
+    val m2 = SnapshotTable.resolve(spark, tbl)
+    assert(m2.entries.toSet == Set("p=1/v=2", "p=2/v=1"),
+      s"expected partition-scoped copy-on-write entries, got ${m2.entries}")
+    // retention: drop v1's manifest; time travel below the cut is
+    // loud; the p=2/v=1 DIR survives because the retained v2
+    // manifest still references it (the live-reference sweep)
+    SnapshotTable.retainNewest(spark, tbl, 1)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.resolve(spark, tbl, Some(1L))
+    }
+    val fs = new org.apache.hadoop.fs.Path(tbl).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tbl/data/p=1/v=1")),
+      "the superseded, unreferenced p=1/v=1 dir must be swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tbl/data/p=2/v=1")),
+      "p=2/v=1 is referenced by the retained head and must survive")
+    assert(content(SnapshotTable.read(spark, tbl)) ==
+      Set((1L, "a1", 1), (2L, "b2", 1), (9L, "b9", 1), (3L, "a3", 2),
+        (4L, "a4", 2)), "head content changed across the retention cut")
+  }
+
   test("GRNG decode refuses a crafted header whose nRle passes the " +
       "structural bound but not the adaptive-capacity bound — the " +
       "~512 MB pre-read allocation a 20-byte payload could force") {
