@@ -16,9 +16,16 @@ import org.apache.spark.sql.functions._
   * {{{
   *   dir/_snap.<ver>                     version manifest (tmp+rename):
   *     batch=<id>                          idempotence key (optional)
-  *     entry=<partKey>/v=<writerVer>       one line per live partition dir
-  *   dir/data/<partKey>/v=<writerVer>/part-*.parquet
+  *     entry=v=<writerVer>/<partKey>       one line per live partition dir
+  *   dir/data/v=<writerVer>/<partKey>/part-*.parquet
   * }}}
+  * where `<partKey>` is the hive-style `col=value[/col=value…]` path
+  * `partitionBy` renders — ONE write job per merge lays down every
+  * touched partition (no per-partition driver loop), and reads
+  * recover the partition columns via basePath inference per writer
+  * version. Partition values must therefore be path-simple scalars
+  * (ints, plain strings — year/month/company-class keys), the same
+  * constraint every hive-partitioned layout in this engine carries.
   *
   * MERGE = [[Upsert.merge]] (the reference's deterministic new-wins
   * dedup, gluejob.py:173-205) executed COPY-ON-WRITE at partition
@@ -89,10 +96,18 @@ object SnapshotTable {
 
   /** Read a HELD snapshot — the isolation surface: the entries name
     * immutable dirs, so this frame is the same rows however many
-    * merges commit concurrently. */
+    * merges commit concurrently. Entries group by writer version
+    * (each group shares one `v=<ver>` basePath so the hive partition
+    * columns re-infer), then union — a snapshot mixes at most
+    * O(live versions) groups. */
   def readSnap(spark: SparkSession, dir: String, snap: Snap): DataFrame = {
     require(snap.entries.nonEmpty, s"snapshot v${snap.ver} has no data")
-    spark.read.parquet(snap.entries.map(e => s"$dir/data/$e"): _*)
+    snap.entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (vDir, es) =>
+        spark.read.option("basePath", s"$dir/data/$vDir")
+          .parquet(es.map(e => s"$dir/data/$e"): _*)
+      }
+      .reduce(_.unionByName(_))
   }
 
   /** Read the table at the newest (or a pinned) version. */
@@ -121,7 +136,7 @@ object SnapshotTable {
     require(touched.nonEmpty, "empty delta — nothing to merge")
     val touchedSet = touched.toSet
     def partKeyOf(entry: String): String =
-      entry.substring(0, entry.lastIndexOf("/v="))
+      entry.substring(entry.indexOf('/') + 1)
     val (replaced, kept) =
       head.entries.partition(e => touchedSet.contains(partKeyOf(e)))
     val existingTouched =
@@ -129,26 +144,31 @@ object SnapshotTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           delta.schema)
-      else spark.read.parquet(replaced.map(e => s"$dir/data/$e"): _*)
+      else replaced.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+        .map { case (vDir, es) =>
+          spark.read.option("basePath", s"$dir/data/$vDir")
+            .parquet(es.map(e => s"$dir/data/$e"): _*)
+        }
+        .reduce(_.unionByName(_))
         .select(delta.columns.map(col): _*)
-    // localCheckpoint: one merge computation feeds every touched
-    // partition's write (and decouples the write from paths the plan
-    // reads — the Upsert discipline)
+    // localCheckpoint decouples the write from paths the merge plan
+    // reads (the Upsert discipline)
     val merged = Upsert.merge(delta, existingTouched, key, tieBreak)
       .localCheckpoint()
     val newVer = head.ver + 1
-    val newEntries = touched.map { pk =>
-      val filter = pk.split("/").map { kv =>
-        val Array(c, v) = kv.split("=", 2)
-        col(c).cast("string") === lit(v)
-      }.reduce(_ && _)
-      merged.filter(filter).write.mode("overwrite")
-        .option("compression", "snappy")
-        .parquet(s"$dir/data/$pk/v=$newVer")
-      s"$pk/v=$newVer"
-    }
+    // ONE write job lays down every touched partition (hive layout
+    // under this version's dir) — never a per-partition driver loop
+    merged.repartition(partCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy(partCols: _*)
+      .parquet(s"$dir/data/v=$newVer")
     org.apache.spark.sql.graftbridge.ColumnBridge
       .unpersistLocalCheckpoint(merged)
+    // entries from the touched keys the merge was planned on; the
+    // write above laid down exactly these dirs (merged holds rows
+    // for touched partitions only, by construction)
+    val newEntries = touched.map(pk => s"v=$newVer/$pk")
     val fs = fsOf(spark, dir)
     val tmp = new Path(dir, s"_snap.$newVer.tmp")
     val dst = new Path(dir, s"_snap.$newVer")
@@ -177,18 +197,25 @@ object SnapshotTable {
     val fs = fsOf(spark, dir)
     vs.dropRight(keep).foreach(v =>
       fs.delete(new Path(dir, s"_snap.$v"), false))
-    // sweep data dirs no retained manifest references
+    // sweep data dirs no retained manifest references: a dir is kept
+    // iff its rel path is live or any descendant is; an emptied
+    // version dir goes wholesale (its _SUCCESS marker with it)
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {
-      def walk(p: Path, rel: String): Unit =
-        fs.listStatus(p).foreach { st =>
-          val r = if (rel.isEmpty) st.getPath.getName
-            else s"$rel/${st.getPath.getName}"
-          if (st.getPath.getName.startsWith("v=")) {
-            if (!live.contains(r)) fs.delete(st.getPath, true)
-          } else if (st.isDirectory) walk(st.getPath, r)
+      def sweep(p: Path, rel: String): Boolean =
+        if (live.contains(rel)) true
+        else {
+          val subdirs = fs.listStatus(p).filter(_.isDirectory)
+          if (subdirs.isEmpty) { fs.delete(p, true); false }
+          else {
+            val kept = subdirs.map(d =>
+              sweep(d.getPath, s"$rel/${d.getPath.getName}"))
+            if (!kept.exists(identity)) { fs.delete(p, true); false }
+            else true
+          }
         }
-      walk(dataRoot, "")
+      fs.listStatus(dataRoot).filter(_.isDirectory)
+        .foreach(d => sweep(d.getPath, d.getPath.getName))
     }
   }
 }

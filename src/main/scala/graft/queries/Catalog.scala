@@ -9740,6 +9740,61 @@ object Catalog {
           FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01') u) z
         WHERE rn = 1"""))
 
+  /** STREAMED MERGE-INTO the snapshot table — q262's semantics earned
+    * through Structured Streaming's replay contract: two arrival waves
+    * land as parquet files, each wave drains under
+    * `Trigger.AvailableNow` (a stream restart on one checkpoint — the
+    * reference's daily-cron shape), and every micro-batch MERGEs via
+    * `foreachBatch` with the STREAM's batchId as the idempotence key
+    * (the Delta txn-version-per-sink pattern: a crash between the
+    * table commit and the checkpoint commit replays the batch, and
+    * the manifest's batch id makes the replay a no-op instead of a
+    * double-merge). Output = the final table content; the oracle is
+    * q07's new-wins merge VERBATIM — streamed-in ≡ batch-in ≡ the K1
+    * upsert, one hash. Batching-shape independence is by
+    * construction: keys are unique within each wave, so any
+    * micro-batch split of a wave merges to the same table. */
+  private val q263 = Q("q263_snapshot_stream_merge",
+    (s, dir) => {
+      val land = graft.Scratch.createTempDir("q263land").toString
+      val tbl = graft.Scratch.createTempDir("q263tbl").toString + "/t"
+      val ckpt = graft.Scratch.createTempDir("q263ckpt").toString
+      val o = t(s, dir, "orders")
+      def prep(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), lit(src).as("src"),
+          col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"))
+      val schema = prep(o.limit(0), "x").schema
+      def drainWave(wave: org.apache.spark.sql.DataFrame): Unit = {
+        wave.repartition(1).write.mode("append").parquet(land)
+        val q = s.readStream.schema(schema).parquet(land)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              if (!batch.isEmpty) {
+                graft.ops.SnapshotTable.merge(s, tbl, batch,
+                  "o_orderkey", "order_date", Seq("year", "month"),
+                  Some(id))
+                ()
+              }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainWave(prep(o.filter(col("o_orderdate") <
+        to_timestamp(lit("2000-01-01"))), "old"))
+      drainWave(prep(o.filter(col("o_orderdate") >=
+        to_timestamp(lit("1999-01-01"))), "new"))
+      graft.ops.SnapshotTable.read(s, tbl)
+        .select(col("o_orderkey"), col("src"), col("o_orderstatus"),
+          col("order_date"))
+    },
+    q07.oracle)
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9770,5 +9825,5 @@ object Catalog {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262)
+    q262, q263)
 }
