@@ -183,6 +183,43 @@ object SnapshotTable {
     newVer
   }
 
+  /** OPTIMIZE: rewrite the head's content into fresh compacted
+    * partition dirs (the accumulated small files of many merges
+    * collapse to `partitionBy`'s one-task-per-partition output) and
+    * commit it as a new version with IDENTICAL content — Delta's
+    * OPTIMIZE shape: subsequent reads open fewer files, time travel
+    * and held snapshots are untouched (copy-on-write like every
+    * commit), and the head's batch id CARRIES FORWARD so a replayed
+    * last merge batch is still recognized as a no-op after the
+    * rewrite. Returns the committed version. */
+  def optimize(spark: SparkSession, dir: String,
+      partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "partCols must name >= 1 column")
+    val head = resolve(spark, dir)
+    val df = readSnap(spark, dir, head)
+    val parts = df.select(partCols.map(col): _*).distinct().collect()
+      .map(r => partCols.map(c => s"$c=${r.getAs[Any](c)}").mkString("/"))
+      .toSeq.sorted
+    val newVer = head.ver + 1
+    df.repartition(partCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy(partCols: _*)
+      .parquet(s"$dir/data/v=$newVer")
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, s"_snap.$newVer.tmp")
+    val dst = new Path(dir, s"_snap.$newVer")
+    val out = fs.create(tmp, true)
+    try {
+      val body = (head.batchId.map(b => s"batch=$b").toSeq ++
+        parts.map(pk => s"entry=v=$newVer/$pk")).mkString("\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    require(fs.rename(tmp, dst),
+      s"failed to commit snapshot manifest $dst — concurrent writer?")
+    newVer
+  }
+
   /** Retention cut: keep the newest `keep` versions' manifests and
     * every data dir any retained manifest references; delete the
     * rest. Time travel below the cut refuses loudly ([[resolve]]'s

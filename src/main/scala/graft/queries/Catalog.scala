@@ -9795,6 +9795,42 @@ object Catalog {
     },
     q07.oracle)
 
+  /** OPTIMIZE on the snapshot table — q262's two merges followed by
+    * [[graft.ops.SnapshotTable.optimize]] (Delta's OPTIMIZE shape:
+    * the head's content rewritten into fresh compacted partition
+    * dirs, committed as a NEW content-identical version; the merge
+    * batch id carries forward so replay stays a no-op). Output = the
+    * head read AFTER the rewrite; the oracle is q07's new-wins merge
+    * verbatim — the hash gate pins optimize as content-preserving
+    * end to end (a lost or duplicated row anywhere in the rewrite
+    * breaks the hash). File-count collapse, held-snapshot isolation
+    * through the rewrite, and post-optimize replay idempotence are
+    * spec-pinned (Round16Spec). */
+  private val q264 = Q("q264_snapshot_optimize",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q264tbl").toString + "/t"
+      val o = t(s, dir, "orders")
+      def prep(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), lit(src).as("src"),
+          col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        prep(o.filter(col("o_orderdate") <
+          to_timestamp(lit("2000-01-01"))), "old"),
+        "o_orderkey", "order_date", Seq("year", "month"), Some(1L))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        prep(o.filter(col("o_orderdate") >=
+          to_timestamp(lit("1999-01-01"))), "new"),
+        "o_orderkey", "order_date", Seq("year", "month"), Some(2L))
+      graft.ops.SnapshotTable.optimize(s, tbl, Seq("year", "month"))
+      graft.ops.SnapshotTable.read(s, tbl)
+        .select(col("o_orderkey"), col("src"), col("o_orderstatus"),
+          col("order_date"))
+    },
+    q07.oracle)
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9825,5 +9861,5 @@ object Catalog {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263)
+    q262, q263, q264)
 }

@@ -211,6 +211,39 @@ class Round16Spec extends SparkSpec {
         (4L, "a4", 2)), "head content changed across the retention cut")
   }
 
+  test("snapshot table OPTIMIZE: content-identical new version, all " +
+      "entries compacted under it, held pre-optimize snapshots " +
+      "untouched, and the carried batch id keeps a replayed merge a " +
+      "no-op after the rewrite") {
+    import graft.ops.SnapshotTable
+    val tbl = tmpDir("snapopt") + "/t"
+    val b1 = Seq((1L, "a1", 1), (2L, "a2", 1), (3L, "a3", 2)).toDF("k", "v", "p")
+    val b2 = Seq((2L, "b2", 1), (9L, "b9", 2)).toDF("k", "v", "p")
+    SnapshotTable.merge(spark, tbl, b1, "k", "v", Seq("p"), Some(10L))
+    SnapshotTable.merge(spark, tbl, b2, "k", "v", Seq("p"), Some(11L))
+    val held = SnapshotTable.resolve(spark, tbl)
+    def content(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Int)] =
+      df.select(col("k"), col("v"), col("p")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val want = Set((1L, "a1", 1), (2L, "b2", 1), (3L, "a3", 2),
+      (9L, "b9", 2))
+    assert(content(SnapshotTable.read(spark, tbl)) == want)
+    assert(SnapshotTable.optimize(spark, tbl, Seq("p")) == 3L)
+    assert(content(SnapshotTable.read(spark, tbl)) == want,
+      "optimize changed the table's content")
+    val m3 = SnapshotTable.resolve(spark, tbl)
+    assert(m3.entries.forall(_.startsWith("v=3/")) &&
+      m3.entries.size == 2,
+      s"optimize must compact every partition under its version: ${m3.entries}")
+    assert(content(SnapshotTable.readSnap(spark, tbl, held)) == want,
+      "a held pre-optimize snapshot changed through the rewrite")
+    // the batch id carried forward: replaying the last merge is a
+    // no-op against the OPTIMIZED head
+    assert(SnapshotTable.merge(spark, tbl, b2, "k", "v", Seq("p"),
+      Some(11L)) == 3L)
+    assert(SnapshotTable.versions(spark, tbl) == Seq(1L, 2L, 3L))
+  }
+
   test("GRNG decode refuses a crafted header whose nRle passes the " +
       "structural bound but not the adaptive-capacity bound — the " +
       "~512 MB pre-read allocation a 20-byte payload could force") {
