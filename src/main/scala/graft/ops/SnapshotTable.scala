@@ -57,6 +57,20 @@ object SnapshotTable {
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Render one partition row to its manifest key, LOUD on a null —
+    * `partitionBy` writes a null as `__HIVE_DEFAULT_PARTITION__`, so
+    * the hive path would silently diverge from the manifest entry and
+    * the partition's data would be committed but unreadable. */
+  private def partKeyRow(partCols: Seq[String],
+      r: org.apache.spark.sql.Row): String =
+    partCols.zipWithIndex.map { case (c, i) =>
+      require(!r.isNullAt(i),
+        s"null partition value for '$c' — hive path rendering would " +
+          "diverge from the manifest key; partition values must be " +
+          "non-null path-simple scalars")
+      s"$c=${r.getAs[Any](c)}"
+    }.mkString("/")
+
   /** All committed versions, ascending (empty = no table yet). */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val fs = fsOf(spark, dir)
@@ -131,8 +145,7 @@ object SnapshotTable {
       else resolve(spark, dir)
     if (batchId.isDefined && head.batchId == batchId) return head.ver
     val touched = delta.select(partCols.map(col): _*).distinct().collect()
-      .map(r => partCols.map(c => s"$c=${r.getAs[Any](c)}").mkString("/"))
-      .toSeq.sorted
+      .map(r => partKeyRow(partCols, r)).toSeq.sorted
     require(touched.nonEmpty, "empty delta — nothing to merge")
     val touchedSet = touched.toSet
     def partKeyOf(entry: String): String =
@@ -198,8 +211,7 @@ object SnapshotTable {
     val head = resolve(spark, dir)
     val df = readSnap(spark, dir, head)
     val parts = df.select(partCols.map(col): _*).distinct().collect()
-      .map(r => partCols.map(c => s"$c=${r.getAs[Any](c)}").mkString("/"))
-      .toSeq.sorted
+      .map(r => partKeyRow(partCols, r)).toSeq.sorted
     val newVer = head.ver + 1
     df.repartition(partCols.map(col): _*)
       .write.mode("overwrite")

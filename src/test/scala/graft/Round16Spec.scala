@@ -209,6 +209,17 @@ class Round16Spec extends SparkSpec {
     assert(content(SnapshotTable.read(spark, tbl)) ==
       Set((1L, "a1", 1), (2L, "b2", 1), (9L, "b9", 1), (3L, "a3", 2),
         (4L, "a4", 2)), "head content changed across the retention cut")
+    // a null partition value refuses loudly BEFORE any mutation —
+    // partitionBy would render __HIVE_DEFAULT_PARTITION__ and the
+    // committed data would diverge from its manifest key
+    val exNull = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, tbl,
+        Seq((50L, "x", None: Option[Int])).toDF("k", "v", "p"),
+        "k", "v", Seq("p"), Some(99L))
+    }
+    assert(exNull.getMessage.contains("null partition value"))
+    assert(SnapshotTable.versions(spark, tbl) == Seq(2L),
+      "the refused merge must not have committed anything")
   }
 
   test("snapshot table OPTIMIZE: content-identical new version, all " +
