@@ -111,8 +111,8 @@ object UnifiedStoreProbe {
         (1 to trickleBatches).foreach { i =>
           val d = graft.ext.Multimodal.syntheticMixedFrameGrouped(
             spark,
-            spark.range(20000000L + i * 1000L,
-              20000000L + i * 1000L + deltaDocs).toDF("doc_id"),
+            spark.range(20000000L + i.toLong * deltaDocs,
+              20000000L + (i + 1).toLong * deltaDocs).toDF("doc_id"),
             "doc_id")
           val b0 = System.nanoTime()
           M.processBatchUnified(d, 100L + i, store, pairs)

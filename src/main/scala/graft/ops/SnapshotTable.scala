@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** SNAPSHOT-VERSIONED table with MERGE-INTO semantics, snapshot-
   * isolated readers, and time travel — the open-table-format
@@ -14,23 +15,31 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   dir/_snap.<ver>                     version manifest (tmp+rename):
-  *     batch=<id>                          idempotence key (optional)
+  *   dir/_snap.<ver>                     version manifest (tmp+rename,
+  *     batch=<id>                          read-back verified):
   *     entry=v=<writerVer>/<partKey>       one line per live partition dir
   *   dir/data/v=<writerVer>/<partKey>/part-*.parquet
   * }}}
-  * where `<partKey>` is the hive-style `col=value[/col=value…]` path
-  * `partitionBy` renders — ONE write job per merge lays down every
-  * touched partition (no per-partition driver loop), and reads
-  * recover the partition columns via basePath inference per writer
-  * version. Partition values must therefore be path-simple scalars
-  * (ints, plain strings — year/month/company-class keys), the same
-  * constraint every hive-partitioned layout in this engine carries.
+  * `<partKey>` is `__gp_<col>=<escaped value>[/…]`: the writer
+  * duplicates each partition column into a hidden `__gp_` twin and
+  * partitions by THAT, so the ORIGINAL columns stay real data columns
+  * in the parquet files — snapshot reads are a plain parquet read
+  * over the manifest's dir list with no partition-type inference
+  * anywhere (a `"007"` string partition value comes back `"007"`,
+  * not the integer 7 a hive-inference read would invent). Values are
+  * rendered with Spark's own hive path escaping
+  * ([[org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+  * .escapePathName]]), so the manifest key and the dir `partitionBy`
+  * writes cannot diverge; partition column types are restricted to
+  * the ones whose string rendering is that escaping's input
+  * (integral, string, boolean — loud otherwise, because a timestamp's
+  * dir rendering is not its `Row.toString`).
   *
   * MERGE = [[Upsert.merge]] (the reference's deterministic new-wins
   * dedup, gluejob.py:173-205) executed COPY-ON-WRITE at partition
   * granularity: only partitions the delta touches are read and
-  * rewritten into fresh `v=<ver>` dirs; untouched partitions carry
+  * rewritten into fresh `v=<ver>` dirs (ONE `partitionBy` write job,
+  * never a per-partition driver loop); untouched partitions carry
   * into the new manifest BY REFERENCE — the manifest indirection that
   * keeps the write cost O(delta + touched partitions), exactly the
   * K1 dynamic-overwrite's bound, while ADDING what the in-place
@@ -40,36 +49,100 @@ import org.apache.spark.sql.functions._
   * isolation). Replay idempotence: a merge carrying the batch id
   * already at the head is a no-op — the foreachBatch replay contract.
   *
-  * Partition columns stay REAL data columns in the files (dir names
-  * are organization, not schema), so a snapshot read is a plain
-  * parquet read over the manifest's dir list — no partition-inference
-  * coupling, and entries from different writer versions mix freely.
-  *
-  * Single-writer discipline like every store in this engine: two
-  * racing merges allocate the same version and the second tmp+rename
-  * fails LOUDLY rather than silently last-write-wins. */
+  * Single-writer discipline like every store in this engine, with the
+  * violation made LOUD: local filesystems let `rename` replace an
+  * existing destination (POSIX), so the commit re-reads the manifest
+  * it just renamed and refuses if the bytes are not its own — two
+  * racing merges cannot BOTH return success (the loser sees the
+  * winner's manifest). The residual window (a racer's data write
+  * interleaving with the winner's before either commits) is the
+  * documented price of running without a lock service; coordination
+  * belongs to the caller, as in every maintenance store here. */
 object SnapshotTable {
 
   /** One resolved version: the immutable contract a reader holds. */
   final case class Snap(ver: Long, batchId: Option[Long],
       entries: Seq[String])
 
+  /** Hidden partition-column prefix: `partitionBy` consumes the
+    * `__gp_` twins into dir names while the originals ride the files. */
+  private val P = "__gp_"
+
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Render one partition row to its manifest key, LOUD on a null —
-    * `partitionBy` writes a null as `__HIVE_DEFAULT_PARTITION__`, so
-    * the hive path would silently diverge from the manifest entry and
-    * the partition's data would be committed but unreadable. */
+  /** Types whose `toString` equals Spark's partition-dir rendering —
+    * the precondition for manifest keys matching `partitionBy` dirs. */
+  private def pathSafe(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         BooleanType => true
+    case _ => false
+  }
+
+  private def requirePathSafe(df: DataFrame, partCols: Seq[String]): Unit =
+    partCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(pathSafe(dt),
+        s"partition column '$c' is $dt — dir rendering would diverge " +
+          "from the manifest key; use integral, string, or boolean " +
+          "partition values")
+    }
+
+  /** Render one partition row to its manifest key with Spark's own
+    * hive path escaping, LOUD on a null — `partitionBy` writes a null
+    * as `__HIVE_DEFAULT_PARTITION__`, so the path would silently
+    * diverge from the manifest entry and the partition's data would
+    * be committed but unreadable. */
   private def partKeyRow(partCols: Seq[String],
       r: org.apache.spark.sql.Row): String =
     partCols.zipWithIndex.map { case (c, i) =>
       require(!r.isNullAt(i),
         s"null partition value for '$c' — hive path rendering would " +
           "diverge from the manifest key; partition values must be " +
-          "non-null path-simple scalars")
-      s"$c=${r.getAs[Any](c)}"
+          "non-null integral/string/boolean scalars")
+      val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(r.getAs[Any](i).toString)
+      s"$P$c=$v"
     }.mkString("/")
+
+  /** One write job: duplicate the partition columns into their
+    * hidden `__gp_` twins and lay every partition of `df` down under
+    * `dest` — originals stay in the files. */
+  private def writePartitioned(df: DataFrame, partCols: Seq[String],
+      dest: String): Unit =
+    df.select(col("*") +: partCols.map(c => col(c).as(s"$P$c")): _*)
+      .repartition(partCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .partitionBy(partCols.map(P + _): _*)
+      .parquet(dest)
+
+  /** Commit a manifest: tmp write, rename, then READ BACK and require
+    * our own bytes — on POSIX filesystems rename replaces an existing
+    * destination, so without the read-back two racing writers would
+    * both return success and one merge would silently vanish. */
+  private def commitManifest(spark: SparkSession, dir: String,
+      newVer: Long, batchId: Option[Long], entries: Seq[String]): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, s"_snap.$newVer.tmp")
+    val dst = new Path(dir, s"_snap.$newVer")
+    val body = (batchId.map(b => s"batch=$b").toSeq ++
+      entries.sorted.map(e => s"entry=$e")).mkString("\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, dst),
+      s"failed to commit snapshot manifest $dst — concurrent writer?")
+    val in = fs.open(dst)
+    val back =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+    require(back == body,
+      s"snapshot manifest $dst was replaced by a concurrent writer — " +
+        "this table has a single-writer contract; the other commit won")
+  }
 
   /** All committed versions, ascending (empty = no table yet). */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
@@ -110,18 +183,13 @@ object SnapshotTable {
 
   /** Read a HELD snapshot — the isolation surface: the entries name
     * immutable dirs, so this frame is the same rows however many
-    * merges commit concurrently. Entries group by writer version
-    * (each group shares one `v=<ver>` basePath so the hive partition
-    * columns re-infer), then union — a snapshot mixes at most
-    * O(live versions) groups. */
+    * merges commit concurrently. A PLAIN parquet read (the partition
+    * columns are real data columns; the `__gp_` twins live only in
+    * dir names) — no basePath, no inference, entries from different
+    * writer versions mix freely in one read. */
   def readSnap(spark: SparkSession, dir: String, snap: Snap): DataFrame = {
     require(snap.entries.nonEmpty, s"snapshot v${snap.ver} has no data")
-    snap.entries.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-      .map { case (vDir, es) =>
-        spark.read.option("basePath", s"$dir/data/$vDir")
-          .parquet(es.map(e => s"$dir/data/$e"): _*)
-      }
-      .reduce(_.unionByName(_))
+    spark.read.parquet(snap.entries.map(e => s"$dir/data/$e"): _*)
   }
 
   /** Read the table at the newest (or a pinned) version. */
@@ -140,6 +208,7 @@ object SnapshotTable {
       key: String, tieBreak: String, partCols: Seq[String],
       batchId: Option[Long] = None): Long = {
     require(partCols.nonEmpty, "partCols must name >= 1 column")
+    requirePathSafe(delta, partCols)
     val head =
       if (versions(spark, dir).isEmpty) Snap(0L, None, Nil)
       else resolve(spark, dir)
@@ -157,42 +226,21 @@ object SnapshotTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           delta.schema)
-      else replaced.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
-        .map { case (vDir, es) =>
-          spark.read.option("basePath", s"$dir/data/$vDir")
-            .parquet(es.map(e => s"$dir/data/$e"): _*)
-        }
-        .reduce(_.unionByName(_))
+      else readSnap(spark, dir, head.copy(entries = replaced))
         .select(delta.columns.map(col): _*)
     // localCheckpoint decouples the write from paths the merge plan
     // reads (the Upsert discipline)
     val merged = Upsert.merge(delta, existingTouched, key, tieBreak)
       .localCheckpoint()
     val newVer = head.ver + 1
-    // ONE write job lays down every touched partition (hive layout
-    // under this version's dir) — never a per-partition driver loop
-    merged.repartition(partCols.map(col): _*)
-      .write.mode("overwrite")
-      .option("compression", "snappy")
-      .partitionBy(partCols: _*)
-      .parquet(s"$dir/data/v=$newVer")
+    writePartitioned(merged, partCols, s"$dir/data/v=$newVer")
     org.apache.spark.sql.graftbridge.ColumnBridge
       .unpersistLocalCheckpoint(merged)
     // entries from the touched keys the merge was planned on; the
     // write above laid down exactly these dirs (merged holds rows
     // for touched partitions only, by construction)
-    val newEntries = touched.map(pk => s"v=$newVer/$pk")
-    val fs = fsOf(spark, dir)
-    val tmp = new Path(dir, s"_snap.$newVer.tmp")
-    val dst = new Path(dir, s"_snap.$newVer")
-    val out = fs.create(tmp, true)
-    try {
-      val body = (batchId.map(b => s"batch=$b").toSeq ++
-        (kept ++ newEntries).sorted.map(e => s"entry=$e")).mkString("\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    require(fs.rename(tmp, dst),
-      s"failed to commit snapshot manifest $dst — concurrent writer?")
+    commitManifest(spark, dir, newVer, batchId,
+      kept ++ touched.map(pk => s"v=$newVer/$pk"))
     newVer
   }
 
@@ -210,25 +258,13 @@ object SnapshotTable {
     require(partCols.nonEmpty, "partCols must name >= 1 column")
     val head = resolve(spark, dir)
     val df = readSnap(spark, dir, head)
+    requirePathSafe(df, partCols)
     val parts = df.select(partCols.map(col): _*).distinct().collect()
       .map(r => partKeyRow(partCols, r)).toSeq.sorted
     val newVer = head.ver + 1
-    df.repartition(partCols.map(col): _*)
-      .write.mode("overwrite")
-      .option("compression", "snappy")
-      .partitionBy(partCols: _*)
-      .parquet(s"$dir/data/v=$newVer")
-    val fs = fsOf(spark, dir)
-    val tmp = new Path(dir, s"_snap.$newVer.tmp")
-    val dst = new Path(dir, s"_snap.$newVer")
-    val out = fs.create(tmp, true)
-    try {
-      val body = (head.batchId.map(b => s"batch=$b").toSeq ++
-        parts.map(pk => s"entry=v=$newVer/$pk")).mkString("\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    require(fs.rename(tmp, dst),
-      s"failed to commit snapshot manifest $dst — concurrent writer?")
+    writePartitioned(df, partCols, s"$dir/data/v=$newVer")
+    commitManifest(spark, dir, newVer, head.batchId,
+      parts.map(pk => s"v=$newVer/$pk"))
     newVer
   }
 
