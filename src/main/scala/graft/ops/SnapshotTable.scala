@@ -60,9 +60,14 @@ import org.apache.spark.sql.types._
   * belongs to the caller, as in every maintenance store here. */
 object SnapshotTable {
 
-  /** One resolved version: the immutable contract a reader holds. */
+  /** One resolved version: the immutable contract a reader holds.
+    * `schemaDdl` is the TABLE SCHEMA AS OF THIS VERSION (Spark DDL),
+    * recorded in the manifest like Delta/Iceberg record theirs — the
+    * read side pins it, so files written before an additive schema
+    * evolution surface the added columns as nulls without any
+    * footer-merging scan. */
   final case class Snap(ver: Long, batchId: Option[Long],
-      entries: Seq[String])
+      entries: Seq[String], schemaDdl: String)
 
   /** Hidden partition-column prefix: `partitionBy` consumes the
     * `__gp_` twins into dir names while the originals ride the files. */
@@ -122,11 +127,15 @@ object SnapshotTable {
     * destination, so without the read-back two racing writers would
     * both return success and one merge would silently vanish. */
   private def commitManifest(spark: SparkSession, dir: String,
-      newVer: Long, batchId: Option[Long], entries: Seq[String]): Unit = {
+      newVer: Long, batchId: Option[Long], entries: Seq[String],
+      schemaDdl: String): Unit = {
+    require(!schemaDdl.contains("\n"),
+      "schema DDL must be a single manifest line")
     val fs = fsOf(spark, dir)
     val tmp = new Path(dir, s"_snap.$newVer.tmp")
     val dst = new Path(dir, s"_snap.$newVer")
     val body = (batchId.map(b => s"batch=$b").toSeq ++
+      Seq(s"schema=$schemaDdl") ++
       entries.sorted.map(e => s"entry=$e")).mkString("\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -178,7 +187,10 @@ object SnapshotTable {
       .flatMap(_.stripPrefix("batch=").toLongOption).headOption
     val entries = lines.filter(_.startsWith("entry="))
       .map(_.stripPrefix("entry=")).toSeq
-    Snap(ver, batch, entries)
+    val ddl = lines.find(_.startsWith("schema="))
+      .map(_.stripPrefix("schema="))
+    require(ddl.isDefined, s"manifest _snap.$ver carries no schema line")
+    Snap(ver, batch, entries, ddl.get)
   }
 
   /** Read a HELD snapshot — the isolation surface: the entries name
@@ -189,7 +201,8 @@ object SnapshotTable {
     * writer versions mix freely in one read. */
   def readSnap(spark: SparkSession, dir: String, snap: Snap): DataFrame = {
     require(snap.entries.nonEmpty, s"snapshot v${snap.ver} has no data")
-    spark.read.parquet(snap.entries.map(e => s"$dir/data/$e"): _*)
+    spark.read.schema(StructType.fromDDL(snap.schemaDdl))
+      .parquet(snap.entries.map(e => s"$dir/data/$e"): _*)
   }
 
   /** Read the table at the newest (or a pinned) version. */
@@ -210,9 +223,28 @@ object SnapshotTable {
     require(partCols.nonEmpty, "partCols must name >= 1 column")
     requirePathSafe(delta, partCols)
     val head =
-      if (versions(spark, dir).isEmpty) Snap(0L, None, Nil)
+      if (versions(spark, dir).isEmpty)
+        Snap(0L, None, Nil, delta.schema.toDDL)
       else resolve(spark, dir)
     if (batchId.isDefined && head.batchId == batchId) return head.ver
+    // ADDITIVE schema evolution (the Delta mergeSchema discipline):
+    // the delta may ADD columns — they join the manifest schema and
+    // pre-evolution files surface them as nulls through the
+    // schema-pinned read — but it may neither DROP a table column
+    // (rewritten partitions would silently lose it) nor CHANGE a
+    // column's type (two files would disagree about the same name).
+    val tableSchema = StructType.fromDDL(head.schemaDdl)
+    val tableTypes = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    delta.schema.fields.foreach(f =>
+      tableTypes.get(f.name).foreach(t => require(t == f.dataType,
+        s"schema evolution cannot change '${f.name}': table has $t, " +
+          s"delta has ${f.dataType}")))
+    val dropped = tableSchema.fieldNames.filterNot(delta.columns.contains)
+    require(dropped.isEmpty,
+      s"delta drops table column(s) ${dropped.mkString(", ")} — " +
+        "schema evolution is additive only")
+    val newSchema = StructType(tableSchema.fields ++
+      delta.schema.fields.filterNot(f => tableTypes.contains(f.name)))
     val touched = delta.select(partCols.map(col): _*).distinct().collect()
       .map(r => partKeyRow(partCols, r)).toSeq.sorted
     require(touched.nonEmpty, "empty delta — nothing to merge")
@@ -226,8 +258,15 @@ object SnapshotTable {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           delta.schema)
-      else readSnap(spark, dir, head.copy(entries = replaced))
-        .select(delta.columns.map(col): _*)
+      else {
+        // pre-evolution rows: pinned to the TABLE schema, then the
+        // delta's added columns ride in as typed nulls
+        val raw = readSnap(spark, dir, head.copy(entries = replaced))
+        delta.schema.fields.filterNot(f => tableTypes.contains(f.name))
+          .foldLeft(raw)((df, f) =>
+            df.withColumn(f.name, lit(null).cast(f.dataType)))
+          .select(delta.columns.map(col): _*)
+      }
     // localCheckpoint decouples the write from paths the merge plan
     // reads (the Upsert discipline)
     val merged = Upsert.merge(delta, existingTouched, key, tieBreak)
@@ -240,7 +279,7 @@ object SnapshotTable {
     // write above laid down exactly these dirs (merged holds rows
     // for touched partitions only, by construction)
     commitManifest(spark, dir, newVer, batchId,
-      kept ++ touched.map(pk => s"v=$newVer/$pk"))
+      kept ++ touched.map(pk => s"v=$newVer/$pk"), newSchema.toDDL)
     newVer
   }
 
@@ -264,7 +303,7 @@ object SnapshotTable {
     val newVer = head.ver + 1
     writePartitioned(df, partCols, s"$dir/data/v=$newVer")
     commitManifest(spark, dir, newVer, head.batchId,
-      parts.map(pk => s"v=$newVer/$pk"))
+      parts.map(pk => s"v=$newVer/$pk"), head.schemaDdl)
     newVer
   }
 

@@ -9831,6 +9831,53 @@ object Catalog {
     },
     q07.oracle)
 
+  /** ADDITIVE SCHEMA EVOLUTION on the snapshot table — batch 2 MERGEs
+    * with a column batch 1 never had (`flag_even`), the manifest
+    * schema widens (the Delta mergeSchema discipline: adds join the
+    * recorded schema; drops and type changes refuse loudly —
+    * spec-pinned), and the schema-pinned read surfaces the new column
+    * as NULL on every row whose winner predates it — no footer-merge
+    * scan, the manifest knows the schema. The oracle replays exactly
+    * that null rule over q07's merge: `flag_even` is non-null iff the
+    * row's winner came from batch 2. */
+  private val q265 = Q("q265_snapshot_schema_evolution",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q265tbl").toString + "/t"
+      val o = t(s, dir, "orders")
+      def prep(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), lit(src).as("src"),
+          col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        prep(o.filter(col("o_orderdate") <
+          to_timestamp(lit("2000-01-01"))), "old"),
+        "o_orderkey", "order_date", Seq("year", "month"), Some(1L))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        prep(o.filter(col("o_orderdate") >=
+          to_timestamp(lit("1999-01-01"))), "new")
+          .withColumn("flag_even", expr("o_orderkey % 2 = 0")),
+        "o_orderkey", "order_date", Seq("year", "month"), Some(2L))
+      graft.ops.SnapshotTable.read(s, tbl)
+        .select(col("o_orderkey"), col("src"), col("o_orderstatus"),
+          col("order_date"), col("flag_even"))
+    },
+    Some("""SELECT o_orderkey, src, o_orderstatus, order_date,
+        CASE WHEN src = 'new' THEN (o_orderkey % 2 = 0) END AS flag_even
+      FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY o_orderkey
+          ORDER BY src ASC) rn
+        FROM (
+          SELECT o_orderkey, 'new' AS src, o_orderstatus,
+            strftime(o_orderdate, '%Y-%m-%d') AS order_date
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          UNION ALL
+          SELECT o_orderkey, 'old' AS src, o_orderstatus,
+            strftime(o_orderdate, '%Y-%m-%d') AS order_date
+          FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01') u) z
+      WHERE rn = 1"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9861,5 +9908,5 @@ object Catalog {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264)
+    q262, q263, q264, q265)
 }

@@ -255,6 +255,44 @@ class Round16Spec extends SparkSpec {
     assert(SnapshotTable.versions(spark, tbl) == Seq(1L, 2L, 3L))
   }
 
+  test("snapshot table schema evolution: an added column widens the " +
+      "manifest schema and reads null on pre-evolution rows, a " +
+      "time-travel read keeps the schema AS OF that version, and " +
+      "drops/type-changes refuse loudly") {
+    import graft.ops.SnapshotTable
+    val tbl = tmpDir("snapevo") + "/t"
+    val b1 = Seq((1L, "a1", 1), (3L, "a3", 2)).toDF("k", "v", "p")
+    val b2 = Seq((1L, "b1", 1), (9L, "b9", 1)).toDF("k", "v", "p")
+      .withColumn("extra", col("k") * 10)
+    SnapshotTable.merge(spark, tbl, b1, "k", "v", Seq("p"), Some(10L))
+    SnapshotTable.merge(spark, tbl, b2, "k", "v", Seq("p"), Some(11L))
+    val head = SnapshotTable.read(spark, tbl)
+      .select(col("k"), col("v"), col("p"), col("extra")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(head == Set((1L, "b1", 1, Some(10L)), (9L, "b9", 1, Some(90L)),
+      (3L, "a3", 2, None)),
+      s"evolved head must read nulls on pre-evolution winners: $head")
+    // schema AS OF a version: v1 has no 'extra' at all
+    assert(!SnapshotTable.read(spark, tbl, Some(1L)).columns
+      .contains("extra"),
+      "a time-travel read must carry the schema as of that version")
+    // type change and column drop refuse loudly
+    val exType = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, tbl,
+        Seq((5L, 7, 1, 5L)).toDF("k", "v", "p", "extra"),
+        "k", "v", Seq("p"), Some(12L))
+    }
+    assert(exType.getMessage.contains("cannot change"))
+    val exDrop = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, tbl, Seq((5L, "x", 1)).toDF("k", "v", "p"),
+        "k", "v", Seq("p"), Some(12L))
+    }
+    assert(exDrop.getMessage.contains("drops table column"))
+    assert(SnapshotTable.versions(spark, tbl) == Seq(1L, 2L),
+      "refused merges must not have committed")
+  }
+
   test("GRNG decode refuses a crafted header whose nRle passes the " +
       "structural bound but not the adaptive-capacity bound — the " +
       "~512 MB pre-read allocation a 20-byte payload could force") {
