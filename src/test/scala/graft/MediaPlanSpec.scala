@@ -29,7 +29,7 @@ class MediaPlanSpec extends SparkSpec {
     "q247_video_inter_scene_cuts", "q253_video_entropy_scene_cuts",
     "q255_av_container_audit", "q257_video_mc_scene_cuts",
     "q258_av_sync_audit", "q259_video_range_scene_cuts",
-    "q260_video_pan_mc_cuts")
+    "q260_video_pan_mc_cuts", "q261_av_sync_varclock")
 
   private def auditPlan(name: String,
       plan: org.apache.spark.sql.execution.SparkPlan): Unit = {
