@@ -49,6 +49,11 @@ import org.apache.spark.sql.types._
   * isolation). Replay idempotence: a merge carrying the batch id
   * already at the head is a no-op — the foreachBatch replay contract.
   *
+  * Manifest format v2 (schema= and parts= lines) — manifests written
+  * before schema tracking refuse loudly on resolve (no durable
+  * pre-format tables exist; every table in this repo is an ephemeral
+  * fixture, so a silent fallback would only ever mask corruption).
+  *
   * Single-writer discipline like every store in this engine, with the
   * violation made LOUD: local filesystems let `rename` replace an
   * existing destination (POSIX), so the commit re-reads the manifest
@@ -67,7 +72,7 @@ object SnapshotTable {
     * evolution surface the added columns as nulls without any
     * footer-merging scan. */
   final case class Snap(ver: Long, batchId: Option[Long],
-      entries: Seq[String], schemaDdl: String)
+      entries: Seq[String], schemaDdl: String, partCols: Seq[String])
 
   /** Hidden partition-column prefix: `partitionBy` consumes the
     * `__gp_` twins into dir names while the originals ride the files. */
@@ -75,6 +80,18 @@ object SnapshotTable {
 
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Nullability-normalized type (containers forced nullable,
+    * recursively) — `toDDL`/`fromDDL` loses `containsNull`-class
+    * flags, so schema-evolution type equality must ignore them. */
+  private def normalized(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(normalized(et), containsNull = true)
+    case MapType(kt, vt, _) =>
+      MapType(normalized(kt), normalized(vt), valueContainsNull = true)
+    case StructType(fields) => StructType(fields.map(f =>
+      StructField(f.name, normalized(f.dataType), nullable = true)))
+    case other => other
+  }
 
   /** Types whose `toString` equals Spark's partition-dir rendering —
     * the precondition for manifest keys matching `partitionBy` dirs. */
@@ -128,14 +145,14 @@ object SnapshotTable {
     * both return success and one merge would silently vanish. */
   private def commitManifest(spark: SparkSession, dir: String,
       newVer: Long, batchId: Option[Long], entries: Seq[String],
-      schemaDdl: String): Unit = {
+      schemaDdl: String, partCols: Seq[String]): Unit = {
     require(!schemaDdl.contains("\n"),
       "schema DDL must be a single manifest line")
     val fs = fsOf(spark, dir)
     val tmp = new Path(dir, s"_snap.$newVer.tmp")
     val dst = new Path(dir, s"_snap.$newVer")
     val body = (batchId.map(b => s"batch=$b").toSeq ++
-      Seq(s"schema=$schemaDdl") ++
+      Seq(s"schema=$schemaDdl", s"parts=${partCols.mkString(",")}") ++
       entries.sorted.map(e => s"entry=$e")).mkString("\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -190,7 +207,11 @@ object SnapshotTable {
     val ddl = lines.find(_.startsWith("schema="))
       .map(_.stripPrefix("schema="))
     require(ddl.isDefined, s"manifest _snap.$ver carries no schema line")
-    Snap(ver, batch, entries, ddl.get)
+    val parts = lines.find(_.startsWith("parts="))
+      .map(_.stripPrefix("parts=").split(",").toSeq.filter(_.nonEmpty))
+    require(parts.isDefined,
+      s"manifest _snap.$ver carries no parts line")
+    Snap(ver, batch, entries, ddl.get, parts.get)
   }
 
   /** Read a HELD snapshot — the isolation surface: the entries name
@@ -222,11 +243,22 @@ object SnapshotTable {
       batchId: Option[Long] = None): Long = {
     require(partCols.nonEmpty, "partCols must name >= 1 column")
     requirePathSafe(delta, partCols)
+    require(!delta.schema.toDDL.contains("\n"),
+      "delta schema DDL must be a single line (multi-line column " +
+        "metadata comments are not supported) — checked BEFORE any " +
+        "partition write, not at commit time")
     val head =
       if (versions(spark, dir).isEmpty)
-        Snap(0L, None, Nil, delta.schema.toDDL)
+        Snap(0L, None, Nil, delta.schema.toDDL, partCols)
       else resolve(spark, dir)
     if (batchId.isDefined && head.batchId == batchId) return head.ver
+    // the PARTITIONING is part of the table contract: a merge keyed on
+    // different columns (including one the delta just added) would
+    // replace nothing, carry every old entry, and commit duplicate
+    // keys side by side — refuse before any work
+    require(head.partCols == partCols,
+      s"table at $dir is partitioned by (${head.partCols.mkString(", ")})" +
+        s" — merge passed (${partCols.mkString(", ")})")
     // ADDITIVE schema evolution (the Delta mergeSchema discipline):
     // the delta may ADD columns — they join the manifest schema and
     // pre-evolution files surface them as nulls through the
@@ -235,10 +267,15 @@ object SnapshotTable {
     // column's type (two files would disagree about the same name).
     val tableSchema = StructType.fromDDL(head.schemaDdl)
     val tableTypes = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    // nullability-INSENSITIVE compare: toDDL/fromDDL loses container
+    // nullability (ArrayType.containsNull etc), so an exact equality
+    // would spuriously refuse a non-nullable-container column on its
+    // very first round trip
     delta.schema.fields.foreach(f =>
-      tableTypes.get(f.name).foreach(t => require(t == f.dataType,
-        s"schema evolution cannot change '${f.name}': table has $t, " +
-          s"delta has ${f.dataType}")))
+      tableTypes.get(f.name).foreach(t =>
+        require(normalized(t) == normalized(f.dataType),
+          s"schema evolution cannot change '${f.name}': table has $t, " +
+            s"delta has ${f.dataType}")))
     val dropped = tableSchema.fieldNames.filterNot(delta.columns.contains)
     require(dropped.isEmpty,
       s"delta drops table column(s) ${dropped.mkString(", ")} — " +
@@ -279,7 +316,8 @@ object SnapshotTable {
     // write above laid down exactly these dirs (merged holds rows
     // for touched partitions only, by construction)
     commitManifest(spark, dir, newVer, batchId,
-      kept ++ touched.map(pk => s"v=$newVer/$pk"), newSchema.toDDL)
+      kept ++ touched.map(pk => s"v=$newVer/$pk"), newSchema.toDDL,
+      partCols)
     newVer
   }
 
@@ -296,6 +334,9 @@ object SnapshotTable {
       partCols: Seq[String]): Long = {
     require(partCols.nonEmpty, "partCols must name >= 1 column")
     val head = resolve(spark, dir)
+    require(head.partCols == partCols,
+      s"table at $dir is partitioned by (${head.partCols.mkString(", ")})" +
+        s" — optimize passed (${partCols.mkString(", ")})")
     val df = readSnap(spark, dir, head)
     requirePathSafe(df, partCols)
     val parts = df.select(partCols.map(col): _*).distinct().collect()
@@ -303,7 +344,7 @@ object SnapshotTable {
     val newVer = head.ver + 1
     writePartitioned(df, partCols, s"$dir/data/v=$newVer")
     commitManifest(spark, dir, newVer, head.batchId,
-      parts.map(pk => s"v=$newVer/$pk"), head.schemaDdl)
+      parts.map(pk => s"v=$newVer/$pk"), head.schemaDdl, partCols)
     newVer
   }
 

@@ -289,8 +289,30 @@ class Round16Spec extends SparkSpec {
         "k", "v", Seq("p"), Some(12L))
     }
     assert(exDrop.getMessage.contains("drops table column"))
+    // the PARTITIONING is part of the table contract: merging (or
+    // optimizing) keyed on different columns — including one the
+    // delta just added — would replace nothing and commit duplicate
+    // keys side by side
+    val exParts = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, tbl, b2, "k", "v", Seq("extra"),
+        Some(12L))
+    }
+    assert(exParts.getMessage.contains("partitioned by"))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.optimize(spark, tbl, Seq("extra"))
+    }
     assert(SnapshotTable.versions(spark, tbl) == Seq(1L, 2L),
       "refused merges must not have committed")
+    // a non-nullable container column survives its own DDL round trip
+    // (toDDL/fromDDL loses containsNull — an exact type equality
+    // would refuse the SECOND merge of an unchanged schema)
+    val t2 = tmpDir("snaparr") + "/t"
+    def arr(k: Long) = Seq((k, "z", 3)).toDF("k", "v", "p")
+      .withColumn("a", array(col("k")))
+    SnapshotTable.merge(spark, t2, arr(100L), "k", "v", Seq("p"), Some(1L))
+    SnapshotTable.merge(spark, t2, arr(101L), "k", "v", Seq("p"), Some(2L))
+    assert(SnapshotTable.read(spark, t2).count() == 2L,
+      "non-nullable array column must merge across the DDL round trip")
   }
 
   test("GRNG decode refuses a crafted header whose nRle passes the " +
