@@ -2,16 +2,41 @@
 """Regenerate BENCH_MEDIANS.json: per-query median over the committed
 quiet-machine bench records (the trailing quiet record Bench.scala's
 self-adjudicating re-run pass thresholds against). Run from repo root
-after committing a new BENCH_QUIET_r*.json."""
+after committing a new BENCH_QUIET_r*.json.
+
+Envelope normalization (round-17, verdict #6): sandbox hosts differ
+~1.5-2x in single-core speed across rounds, and the single-core-bound
+query family (the attributed q151/q219 class) scales its wall with
+that envelope. Records stamped with a machine envelope
+(machine.cpu1_msteps_ms, emitted since round 16) are normalized to the
+BASIS envelope (the median of the available stamps): a record from a
+host with cpu1 = 2*basis ran everything twice as fast single-core, so
+its rows count as 2x their reading in basis-host seconds. Unstamped
+pre-r16 records pass through unscaled (their envelopes are unknown;
+they age out of the trailing set as stamped records accumulate). The
+basis rides the output as cpu1_basis — Bench scales its outlier
+threshold by basis/cpu1_now at runtime so a slow-envelope host doesn't
+spuriously re-run the single-core family."""
 import json, glob, statistics, sys
 
 records = sorted(glob.glob('BENCH_QUIET_r*.json'))
+stamps = {}
+for f in records:
+    d = json.load(open(f))
+    c = d.get('machine', {}).get('cpu1_msteps_ms')
+    if c:
+        stamps[f] = c
+basis = round(statistics.median(stamps.values()), 4) if stamps else None
+
 per = {}
 for f in records:
     d = json.load(open(f))
+    scale = (stamps[f] / basis) if (basis and f in stamps) else 1.0
     for q, v in d.get('queries', {}).items():
-        per.setdefault(q, []).append(v)
+        per.setdefault(q, []).append(v * scale)
 med = {q: round(statistics.median(vs), 4) for q, vs in sorted(per.items())}
-out = {'source_records': records, 'medians': med}
+out = {'source_records': records,
+       'cpu1_stamps': stamps, 'cpu1_basis': basis, 'medians': med}
 json.dump(out, open('BENCH_MEDIANS.json', 'w'), indent=1)
-print(f"{len(med)} query medians from {len(records)} records")
+print(f"{len(med)} query medians from {len(records)} records "
+      f"({len(stamps)} stamped, basis cpu1={basis})")

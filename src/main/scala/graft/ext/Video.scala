@@ -888,7 +888,11 @@ object Video {
       s"audio clock $audioRate/$audioScale")
     val maxBuf = frames.map(_.length).max
     val rate = audioRate
-    val bufPerSec = (maxBuf.toLong * 1000000L / usPerFrame).toInt
+    // dwMaxBytesPerSec is informational, but a large frame against a
+    // tiny usPerFrame would wrap the Int negative — clamp at the
+    // field's own ceiling instead of writing garbage
+    val bufPerSec = math.min(maxBuf.toLong * 1000000L / usPerFrame,
+      Int.MaxValue.toLong).toInt
     val avih = {
       val b = new ByteArrayOutputStream()
       b.write(le32(usPerFrame)); b.write(le32(bufPerSec))

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -17,7 +17,10 @@ import org.apache.spark.sql.types._
   * {{{
   *   dir/_snap.<ver>                     version manifest (tmp+rename,
   *     batch=<id>                          read-back verified):
+  *     schema=<ddl> / parts=<cols>
+  *     statskey=<col>                      key whose min/max the entries carry
   *     entry=v=<writerVer>/<partKey>       one line per live partition dir
+  *     stat=<i> <minEnc> <maxEnc>          per-entry key bounds (by entry index)
   *   dir/data/v=<writerVer>/<partKey>/part-*.parquet
   * }}}
   * `<partKey>` is `__gp_<col>=<escaped value>[/…]`: the writer
@@ -49,34 +52,67 @@ import org.apache.spark.sql.types._
   * isolation). Replay idempotence: a merge carrying the batch id
   * already at the head is a no-op — the foreachBatch replay contract.
   *
-  * Manifest format v2 (schema= and parts= lines) — manifests written
+  * PARTITION/KEY CONTRACT: partition columns must be functionally
+  * dependent on the merge key (a key lives in exactly one partition
+  * value, for all time). The committed entry list is derived from the
+  * MERGED output's actual distinct partitions — not the delta's — so
+  * a delta that (in violation of the contract) carries one key under
+  * two partition values still commits a manifest whose every entry
+  * names a dir the write really produced; but a key whose existing
+  * winner sits in an UNtouched partition cannot be removed by a
+  * touched-partition merge, so contract violations can leave the same
+  * key alive under two partitions. The contract is the caller's to
+  * keep (Delta/Iceberg partitioned MERGEs carry the same caveat).
+  *
+  * Manifest format: v3 adds the optional `statskey=`/`stat=` lines
+  * (per-entry min/max of the merge key — the Iceberg manifest-stats
+  * shape, used by [[readRange]] to skip partitions a point/range
+  * predicate cannot touch). v2 manifests (no stats) resolve fine —
+  * entries without stats are simply never pruned. Manifests written
   * before schema tracking refuse loudly on resolve (no durable
   * pre-format tables exist; every table in this repo is an ephemeral
   * fixture, so a silent fallback would only ever mask corruption).
   *
-  * Single-writer discipline like every store in this engine, with the
-  * violation made LOUD: local filesystems let `rename` replace an
-  * existing destination (POSIX), so the commit re-reads the manifest
-  * it just renamed and refuses if the bytes are not its own — two
-  * racing merges cannot BOTH return success (the loser sees the
-  * winner's manifest). The residual window (a racer's data write
-  * interleaving with the winner's before either commits) is the
-  * documented price of running without a lock service; coordination
-  * belongs to the caller, as in every maintenance store here. */
+  * Single-writer discipline like every store in this engine, with a
+  * violation made LOUD on a best-effort basis: the commit refuses if
+  * `_snap.<ver>` already exists before its rename, and re-reads the
+  * manifest after the rename requiring its own bytes (local
+  * filesystems let `rename` replace an existing destination, POSIX).
+  * This catches every race the filesystem lets it see, but it is
+  * DETECTION, not a lock: a racer whose data write and rename both
+  * land after the winner's read-back can still replace the manifest
+  * undetected. Coordination belongs to the caller, as in every
+  * maintenance store here. */
 object SnapshotTable {
+
+  /** One manifest entry: a live partition dir (relative to
+    * `dir/data/`) plus optional min/max of the table's stats key over
+    * that dir's rows (rendered `toString`, escaped only on disk). */
+  final case class Entry(path: String, stats: Option[(String, String)])
 
   /** One resolved version: the immutable contract a reader holds.
     * `schemaDdl` is the TABLE SCHEMA AS OF THIS VERSION (Spark DDL),
     * recorded in the manifest like Delta/Iceberg record theirs — the
     * read side pins it, so files written before an additive schema
     * evolution surface the added columns as nulls without any
-    * footer-merging scan. */
+    * footer-merging scan. `statsKey` names the column the entries'
+    * min/max bounds describe (the merge key, when stat-safe). */
   final case class Snap(ver: Long, batchId: Option[Long],
-      entries: Seq[String], schemaDdl: String, partCols: Seq[String])
+      entries: Seq[Entry], schemaDdl: String, partCols: Seq[String],
+      statsKey: Option[String]) {
+    def entryPaths: Seq[String] = entries.map(_.path)
+  }
 
   /** Hidden partition-column prefix: `partitionBy` consumes the
     * `__gp_` twins into dir names while the originals ride the files. */
   private val P = "__gp_"
+
+  /** Default row cap per write task AND per output file — aligned
+    * with [[Upsert.upsertPartitioned]]'s `maxRecordsPerFile`. A
+    * partition whose merged row count exceeds this is salted across
+    * `ceil(rows/cap)` tasks so one hot month is never one multi-GB
+    * straggler task at 100×. */
+  val DefaultMaxRowsPerTask = 5000000L
 
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -101,6 +137,15 @@ object SnapshotTable {
     case _ => false
   }
 
+  /** Types whose min/max round-trip through a manifest string with a
+    * driver-side total order (integral as Long, string lexicographic)
+    * — the precondition for recording entry stats. Other key types
+    * simply get no stats (reads stay correct, just unpruned). */
+  private def statSafe(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType => true
+    case _ => false
+  }
+
   private def requirePathSafe(df: DataFrame, partCols: Seq[String]): Unit =
     partCols.foreach { c =>
       val dt = df.schema(c).dataType
@@ -115,8 +160,7 @@ object SnapshotTable {
     * as `__HIVE_DEFAULT_PARTITION__`, so the path would silently
     * diverge from the manifest entry and the partition's data would
     * be committed but unreadable. */
-  private def partKeyRow(partCols: Seq[String],
-      r: org.apache.spark.sql.Row): String =
+  private def partKeyRow(partCols: Seq[String], r: Row): String =
     partCols.zipWithIndex.map { case (c, i) =>
       require(!r.isNullAt(i),
         s"null partition value for '$c' — hive path rendering would " +
@@ -127,33 +171,89 @@ object SnapshotTable {
       s"$P$c=$v"
     }.mkString("/")
 
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
   /** One write job: duplicate the partition columns into their
     * hidden `__gp_` twins and lay every partition of `df` down under
-    * `dest` — originals stay in the files. */
+    * `dest` — originals stay in the files. Partitions whose row count
+    * exceeds `maxRowsPerTask` are salted across `ceil(n/cap)` tasks
+    * (`saltOn`'s hash mod the per-partition split count, via a
+    * broadcast of the tiny per-partition split table) so a hot
+    * partition value is parallel work, not one straggler task; the
+    * common all-small case keeps the salt-free one-task-per-partition
+    * shape (no small-file spray). `maxRecordsPerFile` bounds file
+    * sizes either way (the [[Upsert.upsertPartitioned]] discipline). */
   private def writePartitioned(df: DataFrame, partCols: Seq[String],
-      dest: String): Unit =
-    df.select(col("*") +: partCols.map(c => col(c).as(s"$P$c")): _*)
-      .repartition(partCols.map(col): _*)
-      .write.mode("overwrite")
+      dest: String, saltOn: Column, partRows: Seq[(Row, Long)],
+      maxRowsPerTask: Long): Unit = {
+    val spark = df.sparkSession
+    val out = df.select(col("*") +: partCols.map(c => col(c).as(s"$P$c")): _*)
+    val splits = partRows.map { case (r, n) =>
+      ((n + maxRowsPerTask - 1) / maxRowsPerTask).toInt.max(1)
+    }
+    val shaped =
+      if (splits.forall(_ <= 1))
+        out.repartition(partCols.map(col): _*)
+      else {
+        val partTypes = partCols.map(c => df.schema(c))
+        val splitRows = partRows.zip(splits).map { case ((r, _), k) =>
+          Row.fromSeq(partCols.indices.map(r.get) :+ k)
+        }
+        val splitDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(splitRows, 1),
+          StructType(partTypes :+
+            StructField(s"${P}splits", IntegerType, nullable = false)))
+        // EXPLICIT task count = one write task per (partition, salt)
+        // slice: an explicit repartition count opts out of AQE
+        // coalescing, which would re-merge the hot partition's salted
+        // slices back into one task (the exact straggler the salt
+        // exists to break) whenever the bytes look small to AQE
+        out.join(broadcast(splitDf), partCols)
+          .repartition(splits.sum,
+            partCols.map(col) :+
+              pmod(saltOn, col(s"${P}splits")).cast("int"): _*)
+          .drop(s"${P}splits")
+      }
+    shaped.write.mode("overwrite")
       .option("compression", "snappy")
+      .option("maxRecordsPerFile", maxRowsPerTask)
       .partitionBy(partCols.map(P + _): _*)
       .parquet(dest)
+  }
 
-  /** Commit a manifest: tmp write, rename, then READ BACK and require
-    * our own bytes — on POSIX filesystems rename replaces an existing
-    * destination, so without the read-back two racing writers would
-    * both return success and one merge would silently vanish. */
-  private def commitManifest(spark: SparkSession, dir: String,
-      newVer: Long, batchId: Option[Long], entries: Seq[String],
-      schemaDdl: String, partCols: Seq[String]): Unit = {
+  /** Commit a manifest: refuse if the destination version already
+    * exists, tmp write, rename, then READ BACK and require our own
+    * bytes — on POSIX filesystems rename replaces an existing
+    * destination, so without these checks two racing writers would
+    * both return success and one merge would silently vanish. (Best-
+    * effort detection under the single-writer contract — see the
+    * object doc for the residual undetectable window. Package-private
+    * so the spec can exercise the losing writer's commit attempt
+    * directly — the interleaving is not reachable through merge()
+    * without a real race.) */
+  private[graft] def commitManifest(spark: SparkSession, dir: String,
+      newVer: Long, batchId: Option[Long], entries: Seq[Entry],
+      schemaDdl: String, partCols: Seq[String],
+      statsKey: Option[String]): Unit = {
     require(!schemaDdl.contains("\n"),
       "schema DDL must be a single manifest line")
     val fs = fsOf(spark, dir)
     val tmp = new Path(dir, s"_snap.$newVer.tmp")
     val dst = new Path(dir, s"_snap.$newVer")
+    require(!fs.exists(dst),
+      s"snapshot manifest $dst already exists — a concurrent writer " +
+        "committed this version first (single-writer contract)")
+    val sorted = entries.sortBy(_.path)
+    val statLines = sorted.zipWithIndex.flatMap { case (e, i) =>
+      e.stats.map { case (mn, mx) => s"stat=$i ${enc(mn)} ${enc(mx)}" }
+    }
     val body = (batchId.map(b => s"batch=$b").toSeq ++
       Seq(s"schema=$schemaDdl", s"parts=${partCols.mkString(",")}") ++
-      entries.sorted.map(e => s"entry=$e")).mkString("\n")
+      statsKey.map(k => s"statskey=$k").toSeq ++
+      sorted.map(e => s"entry=${e.path}") ++ statLines).mkString("\n")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, dst),
@@ -176,7 +276,7 @@ object SnapshotTable {
     val root = new Path(dir)
     if (!fs.exists(root)) return Nil
     fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("_snap."))
+      .filter(n => n.startsWith("_snap.") && !n.endsWith(".tmp"))
       .flatMap(_.stripPrefix("_snap.").toLongOption).sorted
   }
 
@@ -202,8 +302,16 @@ object SnapshotTable {
     val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
     val batch = lines.filter(_.startsWith("batch="))
       .flatMap(_.stripPrefix("batch=").toLongOption).headOption
-    val entries = lines.filter(_.startsWith("entry="))
+    val paths = lines.filter(_.startsWith("entry="))
       .map(_.stripPrefix("entry=")).toSeq
+    val stats = lines.filter(_.startsWith("stat="))
+      .map(_.stripPrefix("stat=").split(" ", 3)).collect {
+        case Array(i, mn, mx) if i.toIntOption.isDefined =>
+          i.toInt -> ((dec(mn), dec(mx)))
+      }.toMap
+    val entries = paths.zipWithIndex.map { case (p, i) =>
+      Entry(p, stats.get(i))
+    }
     val ddl = lines.find(_.startsWith("schema="))
       .map(_.stripPrefix("schema="))
     require(ddl.isDefined, s"manifest _snap.$ver carries no schema line")
@@ -211,7 +319,9 @@ object SnapshotTable {
       .map(_.stripPrefix("parts=").split(",").toSeq.filter(_.nonEmpty))
     require(parts.isDefined,
       s"manifest _snap.$ver carries no parts line")
-    Snap(ver, batch, entries, ddl.get, parts.get)
+    val sk = lines.find(_.startsWith("statskey="))
+      .map(_.stripPrefix("statskey="))
+    Snap(ver, batch, entries, ddl.get, parts.get, sk)
   }
 
   /** Read a HELD snapshot — the isolation surface: the entries name
@@ -223,7 +333,7 @@ object SnapshotTable {
   def readSnap(spark: SparkSession, dir: String, snap: Snap): DataFrame = {
     require(snap.entries.nonEmpty, s"snapshot v${snap.ver} has no data")
     spark.read.schema(StructType.fromDDL(snap.schemaDdl))
-      .parquet(snap.entries.map(e => s"$dir/data/$e"): _*)
+      .parquet(snap.entries.map(e => s"$dir/data/${e.path}"): _*)
   }
 
   /** Read the table at the newest (or a pinned) version. */
@@ -231,27 +341,129 @@ object SnapshotTable {
       version: Option[Long] = None): DataFrame =
     readSnap(spark, dir, resolve(spark, dir, version))
 
-  /** MERGE `delta` into the table: new-wins by `key` with the
-    * deterministic `tieBreak` ([[Upsert.merge]]'s pinned priority),
-    * copy-on-write over the partitions the delta touches, committed
-    * as version head+1. Returns the committed version (the head's,
-    * unchanged, when `batchId` replays). The touched-partition
-    * collect is bounded exactly as [[Upsert.upsertPartitioned]]'s —
-    * a delta spans few storage partitions by construction. */
-  def merge(spark: SparkSession, dir: String, delta: DataFrame,
-      key: String, tieBreak: String, partCols: Seq[String],
-      batchId: Option[Long] = None): Long = {
+  /** Drop the entries whose recorded key bounds prove they cannot
+    * hold a value in `[lo, hi]` (either bound optional). CONSERVATIVE
+    * by construction: an entry without stats, a `statsKey` mismatch,
+    * or a non-stat-safe key keeps everything — pruning only ever
+    * removes provably-disjoint dirs. Bounds compare in the key's own
+    * order (integral as Long, string lexicographic). */
+  def pruneByKey(snap: Snap, key: String, lo: Option[Any],
+      hi: Option[Any]): Snap = {
+    if (!snap.statsKey.contains(key) || (lo.isEmpty && hi.isEmpty))
+      return snap
+    val dt = StructType.fromDDL(snap.schemaDdl)
+      .fields.find(_.name == key).map(_.dataType)
+    if (dt.isEmpty || !statSafe(dt.get)) return snap
+    def cmp(a: String, b: String): Int = dt.get match {
+      case StringType => a.compareTo(b)
+      case _ => java.lang.Long.compare(a.toLong, b.toLong)
+    }
+    snap.copy(entries = snap.entries.filter(e => e.stats match {
+      case None => true
+      case Some((mn, mx)) =>
+        lo.forall(l => cmp(mx, l.toString) >= 0) &&
+          hi.forall(h => cmp(mn, h.toString) <= 0)
+    }))
+  }
+
+  /** Range read: resolve, prune entries by the manifest's per-entry
+    * key bounds ([[pruneByKey]] — the Iceberg data-skipping shape:
+    * a selective key predicate opens only the partitions whose
+    * recorded min/max overlap it), then apply the same predicate as
+    * a residual row filter (pruning is dir-granular; the filter is
+    * exact — and it pushes into the parquet scan as usual). */
+  def readRange(spark: SparkSession, dir: String, key: String,
+      lo: Option[Any], hi: Option[Any],
+      version: Option[Long] = None): DataFrame = {
+    val snap = resolve(spark, dir, version)
+    val pruned = pruneByKey(snap, key, lo, hi)
+    val base =
+      if (pruned.entries.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType.fromDDL(snap.schemaDdl))
+      else readSnap(spark, dir, pruned)
+    val preds = lo.map(l => col(key) >= lit(l)).toSeq ++
+      hi.map(h => col(key) <= lit(h)).toSeq
+    preds.foldLeft(base)(_.filter(_))
+  }
+
+  /** Per-partition (row count, key min, key max) of `df`, collected —
+    * bounded exactly as the touched-partition collects throughout the
+    * engine (a delta spans few storage partitions by construction).
+    * One aggregation job over the already-checkpointed merge output;
+    * it feeds the committed entry list (the partitions the write
+    * REALLY produced), the hot-partition split table, and the
+    * manifest stats in a single pass. */
+  private def partProfile(df: DataFrame, partCols: Seq[String],
+      key: String): Seq[(Row, Long, Option[(String, String)])] = {
+    val hasStats = statSafe(df.schema(key).dataType)
+    val aggs =
+      if (hasStats)
+        Seq(count(lit(1)).as("_n"), min(col(key)).cast("string").as("_mn"),
+          max(col(key)).cast("string").as("_mx"))
+      else Seq(count(lit(1)).as("_n"))
+    df.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        val n = r.getLong(partCols.length)
+        val st =
+          if (hasStats && !r.isNullAt(partCols.length + 1) &&
+            !r.isNullAt(partCols.length + 2))
+            Some((r.getString(partCols.length + 1),
+              r.getString(partCols.length + 2)))
+          else None
+        (r, n, st)
+      }
+  }
+
+  /** Shared write+commit tail of [[merge]]/[[mergeCdc]]/[[optimize]]:
+    * profile the output's ACTUAL partitions (post-dedup — the entry
+    * list must name dirs the write really produces, never the delta's
+    * raw partition set), lay them down with hot-partition salting,
+    * and commit `kept ++ produced`. `kept` entries lose their stats
+    * when the stats key changes (conservative: unstated bounds are
+    * never pruned). Empty output commits `kept` alone (a merge whose
+    * every touched row was deleted). */
+  private def writeAndCommit(spark: SparkSession, dir: String,
+      output: DataFrame, key: String, partCols: Seq[String],
+      newVer: Long, batchId: Option[Long], kept: Seq[Entry],
+      headStatsKey: Option[String], schemaDdl: String,
+      maxRowsPerTask: Long): Long = {
+    val newStatsKey =
+      if (statSafe(output.schema(key).dataType)) Some(key) else None
+    val keptAdj =
+      if (headStatsKey == newStatsKey) kept
+      else kept.map(_.copy(stats = None))
+    val profile = partProfile(output, partCols, key)
+    val produced = profile.map { case (r, _, st) =>
+      Entry(s"v=$newVer/${partKeyRow(partCols, r)}",
+        if (newStatsKey.isDefined) st else None)
+    }
+    if (profile.nonEmpty)
+      writePartitioned(output, partCols, s"$dir/data/v=$newVer",
+        xxhash64(col(key)), profile.map(p => (p._1, p._2)), maxRowsPerTask)
+    commitManifest(spark, dir, newVer, batchId, keptAdj ++ produced,
+      schemaDdl, partCols, newStatsKey)
+    newVer
+  }
+
+  /** Head resolution + the shared merge preamble: replay check,
+    * partitioning contract, additive schema evolution against
+    * `dataSchema` (the delta minus any operator columns). Returns
+    * (head, evolved schema) or Left(head version) on a replay no-op. */
+  private def mergePreamble(spark: SparkSession, dir: String,
+      dataSchema: StructType, partCols: Seq[String],
+      batchId: Option[Long]): Either[Long, (Snap, StructType)] = {
     require(partCols.nonEmpty, "partCols must name >= 1 column")
-    requirePathSafe(delta, partCols)
-    require(!delta.schema.toDDL.contains("\n"),
+    require(!dataSchema.toDDL.contains("\n"),
       "delta schema DDL must be a single line (multi-line column " +
         "metadata comments are not supported) — checked BEFORE any " +
         "partition write, not at commit time")
     val head =
       if (versions(spark, dir).isEmpty)
-        Snap(0L, None, Nil, delta.schema.toDDL, partCols)
+        Snap(0L, None, Nil, dataSchema.toDDL, partCols, None)
       else resolve(spark, dir)
-    if (batchId.isDefined && head.batchId == batchId) return head.ver
+    if (batchId.isDefined && head.batchId == batchId)
+      return Left(head.ver)
     // the PARTITIONING is part of the table contract: a merge keyed on
     // different columns (including one the delta just added) would
     // replace nothing, carry every old entry, and commit duplicate
@@ -271,67 +483,163 @@ object SnapshotTable {
     // nullability (ArrayType.containsNull etc), so an exact equality
     // would spuriously refuse a non-nullable-container column on its
     // very first round trip
-    delta.schema.fields.foreach(f =>
+    dataSchema.fields.foreach(f =>
       tableTypes.get(f.name).foreach(t =>
         require(normalized(t) == normalized(f.dataType),
           s"schema evolution cannot change '${f.name}': table has $t, " +
             s"delta has ${f.dataType}")))
-    val dropped = tableSchema.fieldNames.filterNot(delta.columns.contains)
+    val dropped = tableSchema.fieldNames
+      .filterNot(dataSchema.fieldNames.contains)
     require(dropped.isEmpty,
       s"delta drops table column(s) ${dropped.mkString(", ")} — " +
         "schema evolution is additive only")
     val newSchema = StructType(tableSchema.fields ++
-      delta.schema.fields.filterNot(f => tableTypes.contains(f.name)))
-    val touched = delta.select(partCols.map(col): _*).distinct().collect()
-      .map(r => partKeyRow(partCols, r)).toSeq.sorted
-    require(touched.nonEmpty, "empty delta — nothing to merge")
-    val touchedSet = touched.toSet
+      dataSchema.fields.filterNot(f => tableTypes.contains(f.name)))
+    Right((head, newSchema))
+  }
+
+  /** Read the head's delta-touched partitions pinned to the table
+    * schema, with the delta's added columns riding in as typed nulls,
+    * projected to the delta's column order. */
+  private def readTouched(spark: SparkSession, dir: String, head: Snap,
+      replaced: Seq[Entry], dataSchema: StructType): DataFrame =
+    if (replaced.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+    else {
+      val tableTypes = StructType.fromDDL(head.schemaDdl)
+        .fields.map(_.name).toSet
+      val raw = readSnap(spark, dir, head.copy(entries = replaced))
+      dataSchema.fields.filterNot(f => tableTypes.contains(f.name))
+        .foldLeft(raw)((df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType)))
+        .select(dataSchema.fieldNames.map(col).toSeq: _*)
+    }
+
+  private def splitTouched(head: Snap, partCols: Seq[String],
+      touchedRows: Seq[Row]): (Seq[Entry], Seq[Entry]) = {
+    val touchedSet = touchedRows.map(r => partKeyRow(partCols, r)).toSet
     def partKeyOf(entry: String): String =
       entry.substring(entry.indexOf('/') + 1)
-    val (replaced, kept) =
-      head.entries.partition(e => touchedSet.contains(partKeyOf(e)))
-    val existingTouched =
-      if (replaced.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          delta.schema)
-      else {
-        // pre-evolution rows: pinned to the TABLE schema, then the
-        // delta's added columns ride in as typed nulls
-        val raw = readSnap(spark, dir, head.copy(entries = replaced))
-        delta.schema.fields.filterNot(f => tableTypes.contains(f.name))
-          .foldLeft(raw)((df, f) =>
-            df.withColumn(f.name, lit(null).cast(f.dataType)))
-          .select(delta.columns.map(col): _*)
+    head.entries.partition(e => touchedSet.contains(partKeyOf(e.path)))
+  }
+
+  /** MERGE `delta` into the table: new-wins by `key` with the
+    * deterministic `tieBreak` ([[Upsert.merge]]'s pinned priority),
+    * copy-on-write over the partitions the delta touches, committed
+    * as version head+1. Returns the committed version (the head's,
+    * unchanged, when `batchId` replays). The touched-partition
+    * collect is bounded exactly as [[Upsert.upsertPartitioned]]'s —
+    * a delta spans few storage partitions by construction. */
+  def merge(spark: SparkSession, dir: String, delta: DataFrame,
+      key: String, tieBreak: String, partCols: Seq[String],
+      batchId: Option[Long] = None,
+      maxRowsPerTask: Long = DefaultMaxRowsPerTask): Long = {
+    requirePathSafe(delta, partCols)
+    val (head, newSchema) =
+      mergePreamble(spark, dir, delta.schema, partCols, batchId) match {
+        case Left(ver) => return ver
+        case Right(hs) => hs
       }
+    val touched = delta.select(partCols.map(col): _*).distinct().collect()
+    require(touched.nonEmpty, "empty delta — nothing to merge")
+    val (replaced, kept) = splitTouched(head, partCols, touched.toSeq)
+    val existingTouched = readTouched(spark, dir, head, replaced,
+      delta.schema)
     // localCheckpoint decouples the write from paths the merge plan
     // reads (the Upsert discipline)
     val merged = Upsert.merge(delta, existingTouched, key, tieBreak)
       .localCheckpoint()
-    val newVer = head.ver + 1
-    writePartitioned(merged, partCols, s"$dir/data/v=$newVer")
+    val newVer = writeAndCommit(spark, dir, merged, key, partCols,
+      head.ver + 1, batchId, kept, head.statsKey, newSchema.toDDL,
+      maxRowsPerTask)
     org.apache.spark.sql.graftbridge.ColumnBridge
       .unpersistLocalCheckpoint(merged)
-    // entries from the touched keys the merge was planned on; the
-    // write above laid down exactly these dirs (merged holds rows
-    // for touched partitions only, by construction)
-    commitManifest(spark, dir, newVer, batchId,
-      kept ++ touched.map(pk => s"v=$newVer/$pk"), newSchema.toDDL,
-      partCols)
+    newVer
+  }
+
+  /** Tombstone-aware MERGE — the CDC rung: apply a change feed whose
+    * rows carry an operation column (`'D'` = delete; anything else
+    * upserts) at the same touched-partition cost bound as [[merge]].
+    * The feed collapses per key to its LATEST row by `seqCols`
+    * descending ([[Cdc.applyLatest]]'s totally-ordered-seq contract —
+    * gluejob.py:197-198's new-wins dedup extended with the delete rule
+    * the reference's delete-less feed never needed); a key whose
+    * latest op is `'D'` is REMOVED from its partition, any other key
+    * in the feed replaces the stored row, and stored keys the feed
+    * never mentions carry through. The op column is an operator
+    * column, not data: it never enters the table schema.
+    *
+    * Delete rows must carry the key's partition values (a CDC feed
+    * carries the full before/after image, so they always do) — the
+    * partition/key functional-dependency contract from the object doc
+    * applies here verbatim. A feed that deletes every row of every
+    * touched partition commits a version whose entry list simply
+    * drops those partitions (and an empty table refuses on read, like
+    * every empty snapshot). */
+  def mergeCdc(spark: SparkSession, dir: String, delta: DataFrame,
+      key: String, seqCols: Seq[String], opCol: String,
+      partCols: Seq[String], batchId: Option[Long] = None,
+      maxRowsPerTask: Long = DefaultMaxRowsPerTask): Long = {
+    require(seqCols.nonEmpty, "seqCols must name >= 1 column")
+    require(delta.columns.contains(opCol),
+      s"op column '$opCol' is not in the delta")
+    require(!(partCols :+ key).contains(opCol),
+      s"op column '$opCol' cannot double as key or partition column")
+    requirePathSafe(delta, partCols)
+    val dataSchema = StructType(
+      delta.schema.fields.filterNot(_.name == opCol))
+    val (head, newSchema) =
+      mergePreamble(spark, dir, dataSchema, partCols, batchId) match {
+        case Left(ver) => return ver
+        case Right(hs) => hs
+      }
+    // collapse the feed: latest row per key (one key-shuffle window,
+    // the Cdc.applyLatest profile) — deletes stay as tombstones here
+    // because they still TOUCH their partition (the stored row must
+    // be dropped from its rewrite)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(seqCols.map(col(_).desc): _*)
+    val collapsed = delta.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .localCheckpoint()
+    val touched = collapsed.select(partCols.map(col): _*).distinct()
+      .collect()
+    require(touched.nonEmpty, "empty delta — nothing to merge")
+    val (replaced, kept) = splitTouched(head, partCols, touched.toSeq)
+    val existingTouched = readTouched(spark, dir, head, replaced,
+      dataSchema)
+    // survivors: feed winners that are not deletes, plus stored rows
+    // whose key the feed never mentions (one broadcast-able anti join
+    // on the collapsed keys — the feed is delta-sized)
+    val upserts = collapsed.filter(col(opCol) =!= "D").drop(opCol)
+      .select(dataSchema.fieldNames.map(col).toSeq: _*)
+    val carried = existingTouched.join(
+      collapsed.select(col(key)), Seq(key), "left_anti")
+      .select(dataSchema.fieldNames.map(col).toSeq: _*)
+    val survivors = upserts.unionByName(carried).localCheckpoint()
+    val newVer = writeAndCommit(spark, dir, survivors, key, partCols,
+      head.ver + 1, batchId, kept, head.statsKey, newSchema.toDDL,
+      maxRowsPerTask)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .unpersistLocalCheckpoint(survivors)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .unpersistLocalCheckpoint(collapsed)
     newVer
   }
 
   /** OPTIMIZE: rewrite the head's content into fresh compacted
     * partition dirs (the accumulated small files of many merges
-    * collapse to `partitionBy`'s one-task-per-partition output) and
-    * commit it as a new version with IDENTICAL content — Delta's
-    * OPTIMIZE shape: subsequent reads open fewer files, time travel
-    * and held snapshots are untouched (copy-on-write like every
-    * commit), and the head's batch id CARRIES FORWARD so a replayed
-    * last merge batch is still recognized as a no-op after the
-    * rewrite. Returns the committed version. */
-  def optimize(spark: SparkSession, dir: String,
-      partCols: Seq[String]): Long = {
+    * collapse to bounded-size files — hot partitions split across
+    * tasks like every write here) and commit it as a new version with
+    * IDENTICAL content — Delta's OPTIMIZE shape: subsequent reads
+    * open fewer files, time travel and held snapshots are untouched
+    * (copy-on-write like every commit), and the head's batch id
+    * CARRIES FORWARD so a replayed last merge batch is still
+    * recognized as a no-op after the rewrite. Entry stats are
+    * recomputed over the rewritten dirs (same stats key as the head).
+    * Returns the committed version. */
+  def optimize(spark: SparkSession, dir: String, partCols: Seq[String],
+      maxRowsPerTask: Long = DefaultMaxRowsPerTask): Long = {
     require(partCols.nonEmpty, "partCols must name >= 1 column")
     val head = resolve(spark, dir)
     require(head.partCols == partCols,
@@ -339,13 +647,12 @@ object SnapshotTable {
         s" — optimize passed (${partCols.mkString(", ")})")
     val df = readSnap(spark, dir, head)
     requirePathSafe(df, partCols)
-    val parts = df.select(partCols.map(col): _*).distinct().collect()
-      .map(r => partKeyRow(partCols, r)).toSeq.sorted
-    val newVer = head.ver + 1
-    writePartitioned(df, partCols, s"$dir/data/v=$newVer")
-    commitManifest(spark, dir, newVer, head.batchId,
-      parts.map(pk => s"v=$newVer/$pk"), head.schemaDdl, partCols)
-    newVer
+    // stats key: the head's when it has one, else any scalar column
+    // works for the salt hash (profile stats are then simply absent)
+    val key = head.statsKey.getOrElse(
+      df.schema.fields.map(_.name).filterNot(partCols.contains).head)
+    writeAndCommit(spark, dir, df, key, partCols, head.ver + 1,
+      head.batchId, Nil, head.statsKey, head.schemaDdl, maxRowsPerTask)
   }
 
   /** Retention cut: keep the newest `keep` versions' manifests and
@@ -358,7 +665,8 @@ object SnapshotTable {
     val vs = versions(spark, dir)
     if (vs.size <= keep) return
     val cut = vs.takeRight(keep)
-    val live = cut.flatMap(v => resolve(spark, dir, Some(v)).entries).toSet
+    val live = cut.flatMap(v =>
+      resolve(spark, dir, Some(v)).entryPaths).toSet
     val fs = fsOf(spark, dir)
     vs.dropRight(keep).foreach(v =>
       fs.delete(new Path(dir, s"_snap.$v"), false))
@@ -381,6 +689,45 @@ object SnapshotTable {
         }
       fs.listStatus(dataRoot).filter(_.isDirectory)
         .foreach(d => sweep(d.getPath, d.getPath.getName))
+    }
+  }
+
+  /** VACUUM: reclaim data a crash stranded — a writer that died
+    * between its data write and its manifest commit leaves a fully-
+    * written `data/v=<n>/` tree (and possibly a `_snap.<n>.tmp`) that
+    * NO manifest references and [[retainNewest]]'s live-reference
+    * sweep (which only runs below the retention cut) never touches.
+    * Orphanhood is decided at the whole-version granularity — every
+    * committed write produces exactly the dirs its manifest names, so
+    * a version dir is either referenced by some manifest or a crash
+    * remnant. The grace window is the same crash-window discipline as
+    * [[graft.streaming.Commits]]' grace-deferred cleanup: a tree
+    * younger than `graceMs` is spared, so an IN-FLIGHT commit's dir
+    * (written, manifest rename microseconds away) survives its own
+    * vacuum. Safe to run any time; referenced data is never touched. */
+  def vacuum(spark: SparkSession, dir: String,
+      graceMs: Long = 3600000L): Unit = {
+    require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) return
+    val vs = versions(spark, dir)
+    val liveVers = vs.flatMap(v =>
+      resolve(spark, dir, Some(v)).entryPaths
+        .map(p => p.substring(0, p.indexOf('/')))).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    // stale tmp manifests from a crashed commit (rename never ran)
+    fs.listStatus(root)
+      .filter(st => st.getPath.getName.startsWith("_snap.") &&
+        st.getPath.getName.endsWith(".tmp") &&
+        st.getModificationTime <= cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
+    val dataRoot = new Path(dir, "data")
+    if (!fs.exists(dataRoot)) return
+    fs.listStatus(dataRoot).filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName
+      if (!liveVers.contains(name) && st.getModificationTime <= cutoff)
+        fs.delete(st.getPath, true)
     }
   }
 }

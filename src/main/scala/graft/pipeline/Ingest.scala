@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.ops.{Normalize, PartitionKeys, Upsert}
+import graft.ops.{Normalize, PartitionKeys, SnapshotTable, Upsert}
 import graft.schema.{TableSpec, Tables}
 import graft.sources.CsvSource
 import graft.state.WatermarkStore
@@ -28,6 +28,24 @@ object Ingest {
   case object Scheduled extends Flow
   case object NoOp extends Flow
 
+  /** Sink strategy for the per-table upsert. [[OverwriteSink]] is the
+    * reference's shape (K1 dynamic partition overwrite — the merged
+    * partition replaces the old in place); [[SnapshotSink]] lands the
+    * SAME merged content through [[graft.ops.SnapshotTable.merge]],
+    * so the daily watermark pipeline earns time travel, snapshot-
+    * isolated readers, and replayable history end to end — content
+    * per run is IDENTICAL by construction (both sinks run
+    * [[Upsert.merge]]'s new-wins dedup over delta + touched
+    * partitions; parity is spec-pinned). One semantic difference,
+    * deliberate: a null partition value (a row whose date column
+    * failed to parse) writes a `__HIVE_DEFAULT_PARTITION__` dir under
+    * the overwrite sink but refuses LOUDLY under the snapshot sink —
+    * a versioned table must never commit an entry whose path diverges
+    * from its manifest key. */
+  sealed trait Sink
+  case object OverwriteSink extends Sink
+  case object SnapshotSink extends Sink
+
   def flowOf(trigger: String): Flow = trigger match {
     case "OnDemand" => OnDemand
     case "Scheduled" => Scheduled
@@ -46,15 +64,23 @@ object Ingest {
     * raw frame from CsvSource/JdbcSource; empty batches short-circuit
     * before the sink (gluejob.py:175-179). */
   def ingestTable(spark: SparkSession, spec: TableSpec, source: DataFrame,
-      watermark: String, outRoot: String): Boolean = {
+      watermark: String, outRoot: String,
+      sink: Sink = OverwriteSink): Boolean = {
     val delta = source.filter(
       coalesce(col(spec.updatedCol).cast("string"), lit("")) >= watermark)
     if (delta.isEmpty) false
     else {
       val bronze = PartitionKeys.withCompanyYearMonth(
         Normalize.toBronze(delta, spec), spec.dateCol)
-      Upsert.upsertPartitioned(spark, bronze, s"$outRoot/${spec.name}",
-        key = spec.idCol, tieBreak = spec.updatedCol)
+      sink match {
+        case OverwriteSink =>
+          Upsert.upsertPartitioned(spark, bronze, s"$outRoot/${spec.name}",
+            key = spec.idCol, tieBreak = spec.updatedCol)
+        case SnapshotSink =>
+          SnapshotTable.merge(spark, s"$outRoot/${spec.name}", bronze,
+            key = spec.idCol, tieBreak = spec.updatedCol,
+            partCols = Seq("company", "year", "month"))
+      }
       true
     }
   }
@@ -81,10 +107,11 @@ object Ingest {
     * table that ingested. Watermarks commit only after all succeed. */
   def incrementalRun(spark: SparkSession, store: WatermarkStore,
       sources: Map[String, DataFrame], probeTime: String, outRoot: String,
-      tables: Seq[TableSpec] = Tables.active): Seq[String] = {
+      tables: Seq[TableSpec] = Tables.active,
+      sink: Sink = OverwriteSink): Seq[String] = {
     val done = tables.filter(t => sources.contains(t.name)).map { spec =>
       ingestTable(spark, spec, sources(spec.name), store.get(spec.name),
-        outRoot)
+        outRoot, sink)
       store.advance(spec.name, probeTime)
       spec.name
     }
@@ -110,7 +137,7 @@ object Ingest {
   def incrementalRunParallel(spark: SparkSession, store: WatermarkStore,
       sources: Map[String, DataFrame], probeTime: String, outRoot: String,
       tables: Seq[TableSpec] = Tables.active,
-      parallelism: Int = 4): Seq[String] = {
+      parallelism: Int = 4, sink: Sink = OverwriteSink): Seq[String] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     require(parallelism > 0)
@@ -127,7 +154,7 @@ object Ingest {
         Future.sequence(selected.map { spec =>
           Future {
             ingestTable(spark, spec, sources(spec.name), wms(spec.name),
-              outRoot)
+              outRoot, sink)
             spec.name
           }
         }), Duration.Inf)

@@ -9878,6 +9878,103 @@ object Catalog {
           FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01') u) z
       WHERE rn = 1"""))
 
+  /** TOMBSTONE-AWARE MERGE on the snapshot table
+    * ([[graft.ops.SnapshotTable.mergeCdc]]) — the CDC rung a
+    * versioned table exists for (GDPR erasure, a CDC feed with
+    * `op='D'`): batch 1 seeds the table with every order's
+    * linenumber-1 row (plain MERGE, q07's new-wins dedup); batch 2
+    * applies the rest of lineitem as a change feed where
+    * linenumber 7 marks a delete (q74's feed derivation verbatim,
+    * gluejob.py:197-198's delete-less dedup extended with the delete
+    * rule). Per key the feed collapses to its latest row by
+    * (linenumber, quantity) descending — the totally-ordered-seq
+    * contract [[graft.ops.Cdc.applyLatest]] pins; a key whose latest
+    * op is 'D' leaves the table, any other feed key replaces its
+    * stored row, and keys the feed never mentions carry their batch-1
+    * row. Same touched-partition copy-on-write cost bound as MERGE
+    * (partitions keyed `l_orderkey % 4` — functionally dependent on
+    * the key, the documented contract). The oracle replays the
+    * latest-wins + delete rule analytically over the same slices;
+    * delete-then-reinsert across versions and replay idempotence are
+    * spec-pinned (Round17Spec). */
+  private val q266 = Q("q266_snapshot_merge_cdc",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q266tbl").toString + "/t"
+      val li = t(s, dir, "lineitem")
+      def qty = col("l_quantity").cast(dec2).cast("string").as("quantity")
+      val base = li.filter(col("l_linenumber") === 1).select(
+        col("l_orderkey"), col("l_linenumber"), qty,
+        (col("l_orderkey") % 4).as("part"))
+      graft.ops.SnapshotTable.merge(s, tbl, base,
+        "l_orderkey", "quantity", Seq("part"), Some(1L))
+      val feed = li.filter(col("l_linenumber") >= 2).select(
+        col("l_orderkey"), col("l_linenumber"), qty,
+        (col("l_orderkey") % 4).as("part"),
+        when(col("l_linenumber") === 7, "D").otherwise("U").as("op"))
+      graft.ops.SnapshotTable.mergeCdc(s, tbl, feed, "l_orderkey",
+        Seq("l_linenumber", "quantity"), "op", Seq("part"), Some(2L))
+      graft.ops.SnapshotTable.read(s, tbl)
+        .select(col("l_orderkey"), col("l_linenumber"), col("quantity"),
+          col("part"))
+    },
+    Some("""WITH base AS (
+        SELECT l_orderkey, l_linenumber, quantity, part FROM (
+          SELECT l_orderkey, l_linenumber,
+            CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS quantity,
+            l_orderkey % 4 AS part,
+            row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                DESC) rn
+          FROM lineitem WHERE l_linenumber = 1) z WHERE rn = 1),
+      fw AS (
+        SELECT l_orderkey, l_linenumber, quantity, part, op FROM (
+          SELECT l_orderkey, l_linenumber,
+            CASE WHEN l_linenumber = 7 THEN 'D' ELSE 'U' END AS op,
+            CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS quantity,
+            l_orderkey % 4 AS part,
+            row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber DESC,
+                CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                DESC) rn
+          FROM lineitem WHERE l_linenumber >= 2) z WHERE rn = 1)
+      SELECT l_orderkey, l_linenumber, quantity, part
+      FROM fw WHERE op <> 'D'
+      UNION ALL
+      SELECT b.l_orderkey, b.l_linenumber, b.quantity, b.part FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM fw
+        WHERE fw.l_orderkey = b.l_orderkey)"""))
+
+  /** DATA SKIPPING through the snapshot manifest's per-entry key
+    * stats ([[graft.ops.SnapshotTable.readRange]]) — the Iceberg
+    * manifest-stats shape: every MERGE records min/max of the merge
+    * key per committed partition dir, and a range read prunes the
+    * entries whose bounds are provably disjoint from the predicate
+    * BEFORE any file is listed or opened, then applies the exact
+    * predicate as a residual scan filter. The table buckets orders by
+    * `o_orderkey div 4096` (key-correlated partitioning, the layout
+    * that makes skipping bite); the [1000, 3000] range resolves to
+    * ONE surviving entry of the many committed — the scanned-dir
+    * count is spec-pinned (Round17Spec); this oracle pins that
+    * pruning never changes RESULTS. */
+  private val q267 = Q("q267_snapshot_data_skipping",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q267tbl").toString + "/t"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(dec2).cast("string").as("total"),
+        expr("o_orderkey div 4096").as("bucket"))
+      graft.ops.SnapshotTable.merge(s, tbl, o,
+        "o_orderkey", "total", Seq("bucket"), Some(1L))
+      graft.ops.SnapshotTable.readRange(s, tbl, "o_orderkey",
+        Some(1000L), Some(3000L))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("total"),
+          col("bucket"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket
+      FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -9908,5 +10005,5 @@ object Catalog {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265)
+    q262, q263, q264, q265, q266, q267)
 }

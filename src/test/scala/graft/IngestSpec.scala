@@ -88,6 +88,55 @@ class IngestSpec extends SparkSpec {
       .getAs[String]("pre_paid") == "false") // new beat old
   }
 
+  test("snapshot sink parity: the daily watermark pipeline through " +
+      "SnapshotSink lands content identical to OverwriteSink per run, " +
+      "and earns readable history across two incremental runs (time " +
+      "travel to the pre-update state the overwrite sink destroys)") {
+    val root = tmpDir("snapingest")
+    val clock = () => java.time.LocalDateTime.of(2024, 2, 2, 4, 0, 0)
+    import spark.implicits._
+    def src(rows: (String, String, String)*) =
+      rows.map { case (id, ts, flag) =>
+        (id, s"s$id", "c1", "ok", ts, ts, flag, "f")
+      }.toDF("id", "retail_subscription_id", "customer_id", "status",
+        "created_at", "updated_at", "pre_paid", "main")
+    val spec = Tables.registry("retail_order_migrations")
+    val b1 = src(("10", "2024-02-01 00:00:00", "t"),
+      ("11", "2024-02-01 12:00:00", "f"))
+    val b2 = src(("10", "2024-02-02 06:00:00", "f"),
+      ("12", "2024-02-02 07:00:00", "t"))
+    def run(batch: org.apache.spark.sql.DataFrame, probe: String): Unit =
+      Seq(Ingest.OverwriteSink -> "ow", Ingest.SnapshotSink -> "sn")
+        .foreach { case (sink, tag) =>
+          Ingest.incrementalRun(spark,
+            new WatermarkStore(Paths.get(s"$root/wm_$tag.json"), clock),
+            Map(spec.name -> batch), probe, s"$root/$tag",
+            tables = Seq(spec), sink = sink)
+        }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] = {
+      val cols = (spec.columns ++ Seq("company", "year", "month")).sorted
+      df.select(cols.map(c => col(c).cast("string")): _*).collect()
+        .map(_.toSeq.map(String.valueOf)).toSet
+    }
+    val snapTbl = s"$root/sn/${spec.name}"
+    run(b1, "2024-02-02 04:00:00")
+    val after1 = rows(spark.read.parquet(s"$root/ow/${spec.name}"))
+    assert(rows(graft.ops.SnapshotTable.read(spark, snapTbl)) == after1,
+      "run-1 content must be identical across sinks")
+    run(b2, "2024-02-03 04:00:00")
+    val after2 = rows(spark.read.parquet(s"$root/ow/${spec.name}"))
+    assert(rows(graft.ops.SnapshotTable.read(spark, snapTbl)) == after2,
+      "run-2 content must be identical across sinks")
+    assert(after1 != after2)
+    // history: run 1's state is still readable AFTER run 2 committed —
+    // the overwrite sink destroyed it, the snapshot sink kept it
+    assert(graft.ops.SnapshotTable.versions(spark, snapTbl) ==
+      Seq(1L, 2L))
+    assert(rows(graft.ops.SnapshotTable.read(spark, snapTbl, Some(1L)))
+      == after1,
+      "time travel must read run 1's exact content after run 2")
+  }
+
   test("empty delta short-circuits the sink (gluejob.py:175-179)") {
     val root = tmpDir("ingest")
     import spark.implicits._

@@ -191,7 +191,7 @@ class Round16Spec extends SparkSpec {
     assert(content(SnapshotTable.read(spark, tbl, Some(1L))) == v1Content)
     // carry-by-REFERENCE: v2's manifest names v1's p=2 dir verbatim
     val m2 = SnapshotTable.resolve(spark, tbl)
-    assert(m2.entries.toSet == Set("v=2/__gp_p=1", "v=1/__gp_p=2"),
+    assert(m2.entryPaths.toSet == Set("v=2/__gp_p=1", "v=1/__gp_p=2"),
       s"expected partition-scoped copy-on-write entries, got ${m2.entries}")
     // retention: drop v1's manifest; time travel below the cut is
     // loud; the p=2/v=1 DIR survives because the retained v2
@@ -243,7 +243,7 @@ class Round16Spec extends SparkSpec {
     assert(content(SnapshotTable.read(spark, tbl)) == want,
       "optimize changed the table's content")
     val m3 = SnapshotTable.resolve(spark, tbl)
-    assert(m3.entries.forall(_.startsWith("v=3/")) &&
+    assert(m3.entryPaths.forall(_.startsWith("v=3/")) &&
       m3.entries.size == 2,
       s"optimize must compact every partition under its version: ${m3.entries}")
     assert(content(SnapshotTable.readSnap(spark, tbl, held)) == want,

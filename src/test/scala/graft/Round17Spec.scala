@@ -1,0 +1,260 @@
+package graft
+
+import graft.ops.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** Round-17: the snapshot table earns its Delta/Iceberg checklist
+  * rungs — tombstone-aware CDC MERGE (q266), VACUUM for the
+  * crash-stranded data the commit window can orphan, per-entry key
+  * stats + data skipping (q267), hot-partition write salting — plus
+  * the round-16 advice closures (entries derived from the merged
+  * output's ACTUAL partitions; pre-rename commit refusal). */
+class Round17Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def content(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, String, Int)] =
+    df.select(col("k"), col("v"), col("p")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+  test("mergeCdc: latest-wins by seq within the feed, op='D' removes " +
+      "the key, unmentioned keys carry, delete-then-reinsert across " +
+      "versions, replay idempotence, and a feed that wipes a whole " +
+      "partition drops its entry from the manifest") {
+    val tbl = tmpDir("cdctbl") + "/t"
+    val b1 = Seq((1L, "a1", 1), (2L, "a2", 1), (3L, "a3", 2),
+      (4L, "a4", 2)).toDF("k", "v", "p")
+    assert(SnapshotTable.merge(spark, tbl, b1, "k", "v", Seq("p"),
+      Some(1L)) == 1L)
+    // feed: k=2 has TWO versions (seq 1 then 2 — the later must win),
+    // k=1 is deleted, k=9 inserted; k=3/k=4 never mentioned
+    val feed = Seq(
+      (2L, "stale", 1, 1L, "U"), (2L, "b2", 1, 2L, "U"),
+      (1L, "a1", 1, 1L, "D"),
+      (9L, "b9", 2, 1L, "I")).toDF("k", "v", "p", "seq", "op")
+    assert(SnapshotTable.mergeCdc(spark, tbl, feed, "k", Seq("seq"),
+      "op", Seq("p"), Some(2L)) == 2L)
+    // replay: the same batch id at the head is a no-op
+    assert(SnapshotTable.mergeCdc(spark, tbl, feed, "k", Seq("seq"),
+      "op", Seq("p"), Some(2L)) == 2L)
+    assert(SnapshotTable.versions(spark, tbl) == Seq(1L, 2L))
+    assert(content(SnapshotTable.read(spark, tbl)) ==
+      Set((2L, "b2", 1), (3L, "a3", 2), (4L, "a4", 2), (9L, "b9", 2)),
+      "cdc merge must delete k=1, update k=2 to its latest feed row, " +
+        "insert k=9, and carry k=3/k=4")
+    // the op column is an operator column, never table schema
+    assert(!SnapshotTable.read(spark, tbl).columns.contains("op"))
+    // delete-then-REINSERT across versions: k=1 comes back with new data
+    val reinsert = Seq((1L, "c1", 1, 3L, "I")).toDF("k", "v", "p", "seq", "op")
+    assert(SnapshotTable.mergeCdc(spark, tbl, reinsert, "k", Seq("seq"),
+      "op", Seq("p"), Some(3L)) == 3L)
+    assert(content(SnapshotTable.read(spark, tbl))
+      .contains((1L, "c1", 1)))
+    // time travel reads the pre-delete, mid-delete, and post-reinsert
+    // states as committed
+    assert(content(SnapshotTable.read(spark, tbl, Some(1L)))
+      .contains((1L, "a1", 1)))
+    assert(!content(SnapshotTable.read(spark, tbl, Some(2L)))
+      .exists(_._1 == 1L))
+    // wipe partition p=1 entirely (its only live keys are 1 and 2):
+    // the committed entry list must simply drop the partition
+    val wipe = Seq((1L, "c1", 1, 4L, "D"), (2L, "b2", 1, 4L, "D"))
+      .toDF("k", "v", "p", "seq", "op")
+    assert(SnapshotTable.mergeCdc(spark, tbl, wipe, "k", Seq("seq"),
+      "op", Seq("p"), Some(4L)) == 4L)
+    val m4 = SnapshotTable.resolve(spark, tbl)
+    assert(!m4.entryPaths.exists(_.contains("__gp_p=1")),
+      s"a fully-deleted partition must leave the manifest: ${m4.entryPaths}")
+    assert(content(SnapshotTable.read(spark, tbl)) ==
+      Set((3L, "a3", 2), (4L, "a4", 2), (9L, "b9", 2)))
+    // loud refusals: missing op column; op column doubling as key/part
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeCdc(spark, tbl, b1, "k", Seq("v"), "op",
+        Seq("p"), Some(9L))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeCdc(spark, tbl, feed, "op", Seq("seq"), "op",
+        Seq("p"), Some(9L))
+    }
+  }
+
+  test("advice closure: a delta carrying one key under two partition " +
+      "values commits a manifest whose every entry names a dir the " +
+      "write really produced (entries derive from the merged output's " +
+      "actual partitions, not the delta's) — and the table stays " +
+      "readable afterwards") {
+    val tbl = tmpDir("fdtbl") + "/t"
+    // k=5 appears under p=1 AND p=2; new-wins dedup (tieBreak v desc)
+    // keeps only the p=2 row, so the write produces NO p=1 dir — the
+    // old code committed a dangling entry and every later read died
+    val delta = Seq((5L, "a", 1), (5L, "z", 2)).toDF("k", "v", "p")
+    assert(SnapshotTable.merge(spark, tbl, delta, "k", "v", Seq("p"),
+      Some(1L)) == 1L)
+    val m = SnapshotTable.resolve(spark, tbl)
+    assert(m.entryPaths == Seq("v=1/__gp_p=2"),
+      s"only the winner's partition may be committed: ${m.entryPaths}")
+    assert(content(SnapshotTable.read(spark, tbl)) == Set((5L, "z", 2)))
+    // and a later merge over the same table still works end to end
+    SnapshotTable.merge(spark, tbl, Seq((6L, "b", 1)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(2L))
+    assert(content(SnapshotTable.read(spark, tbl)) ==
+      Set((5L, "z", 2), (6L, "b", 1)))
+  }
+
+  test("manifest entry stats + data skipping: merge records per-entry " +
+      "key min/max, pruneByKey drops provably-disjoint entries, " +
+      "readRange returns exactly the filtered rows, carried entries " +
+      "keep their stats, and a stats-key change strips kept stats " +
+      "(conservative, never wrong)") {
+    val tbl = tmpDir("stattbl") + "/t"
+    val b1 = ((1L to 10L).map(k => (k, s"a$k", 1)) ++
+      (101L to 110L).map(k => (k, s"a$k", 2))).toDF("k", "v", "p")
+    SnapshotTable.merge(spark, tbl, b1, "k", "v", Seq("p"), Some(1L))
+    val s1 = SnapshotTable.resolve(spark, tbl)
+    assert(s1.statsKey.contains("k"))
+    val stats1 = s1.entries.map(e => e.path -> e.stats).toMap
+    assert(stats1("v=1/__gp_p=1").contains(("1", "10")) &&
+      stats1("v=1/__gp_p=2").contains(("101", "110")),
+      s"entry stats must carry the key bounds: $stats1")
+    // pruning: [3,7] can only live in p=1's entry
+    assert(SnapshotTable.pruneByKey(s1, "k", Some(3L), Some(7L))
+      .entryPaths == Seq("v=1/__gp_p=1"))
+    // numeric (not lexicographic) compare: 101 > 20 even though
+    // "101" < "20" as strings — [20, 120] must keep p=2
+    assert(SnapshotTable.pruneByKey(s1, "k", Some(20L), Some(120L))
+      .entryPaths == Seq("v=1/__gp_p=2"))
+    assert(content(SnapshotTable.readRange(spark, tbl, "k",
+      Some(3L), Some(7L))) ==
+      (3L to 7L).map(k => (k, s"a$k", 1)).toSet)
+    // a disjoint range reads empty (all entries pruned, schema kept)
+    assert(SnapshotTable.readRange(spark, tbl, "k",
+      Some(500L), Some(600L)).count() == 0L)
+    // second merge touches only p=2: the CARRIED p=1 entry keeps its
+    // recorded bounds, the rewritten p=2 entry gets fresh ones
+    SnapshotTable.merge(spark, tbl,
+      Seq((150L, "b150", 2)).toDF("k", "v", "p"), "k", "v", Seq("p"),
+      Some(2L))
+    val s2 = SnapshotTable.resolve(spark, tbl)
+    val stats2 = s2.entries.map(e => e.path -> e.stats).toMap
+    assert(stats2("v=1/__gp_p=1").contains(("1", "10")),
+      "a carried entry must keep its stats")
+    assert(stats2("v=2/__gp_p=2").contains(("101", "150")),
+      s"the rewritten entry must record fresh bounds: $stats2")
+    assert(SnapshotTable.pruneByKey(s2, "k", Some(1L), Some(2L))
+      .entryPaths == Seq("v=1/__gp_p=1"))
+    // merging on a DIFFERENT key re-keys the stats: kept entries'
+    // old bounds are stripped (pruning on either key stays correct —
+    // entries without stats are never pruned)
+    SnapshotTable.merge(spark, tbl,
+      Seq((200L, "zz", 2)).toDF("k", "v", "p"), "v", "k", Seq("p"),
+      Some(3L))
+    val s3 = SnapshotTable.resolve(spark, tbl)
+    assert(s3.statsKey.contains("v"))
+    assert(s3.entries.find(_.path == "v=1/__gp_p=1").get.stats.isEmpty,
+      "a stats-key change must strip carried entries' bounds")
+    assert(SnapshotTable.pruneByKey(s3, "k", Some(1L), Some(2L))
+      .entries == s3.entries,
+      "pruning on a non-stats key must be a no-op")
+  }
+
+  test("hot-partition write salting: a partition whose merged rows " +
+      "exceed maxRowsPerTask is spread across multiple write tasks " +
+      "(distinct task file prefixes) while small partitions keep the " +
+      "one-task shape — and the content is byte-for-byte the same " +
+      "merge semantics") {
+    val tbl = tmpDir("salttbl") + "/t"
+    val rows = (1L to 60L).map(k => (k, s"a$k", 1)) ++
+      Seq((1001L, "b1", 2), (1002L, "b2", 2))
+    SnapshotTable.merge(spark, tbl, rows.toDF("k", "v", "p"), "k", "v",
+      Seq("p"), Some(1L), maxRowsPerTask = 20L)
+    def taskPrefixes(rel: String): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(tbl).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$tbl/data/$rel"))
+        .map(_.getPath.getName).filter(_.startsWith("part-"))
+        .map(_.split("-")(1)).toSet
+    }
+    assert(taskPrefixes("v=1/__gp_p=1").size > 1,
+      "60 rows at maxRowsPerTask=20 must spread across >1 write task")
+    assert(taskPrefixes("v=1/__gp_p=2").size == 1,
+      "a small partition must keep the one-task, no-spray shape")
+    assert(content(SnapshotTable.read(spark, tbl)) == rows.toSet,
+      "salting must not change the merged content")
+    // stats are computed pre-salt over the whole partition
+    val st = SnapshotTable.resolve(spark, tbl).entries
+      .find(_.path == "v=1/__gp_p=1").get.stats
+    assert(st.contains(("1", "60")), s"salted partition stats: $st")
+  }
+
+  test("vacuum: a crash-stranded data dir (written, never committed) " +
+      "and a stale tmp manifest are reclaimed after the grace window; " +
+      "younger-than-grace trees and every referenced dir survive") {
+    val tbl = tmpDir("vactbl") + "/t"
+    val b1 = Seq((1L, "a1", 1), (3L, "a3", 2)).toDF("k", "v", "p")
+    SnapshotTable.merge(spark, tbl, b1, "k", "v", Seq("p"), Some(1L))
+    SnapshotTable.merge(spark, tbl,
+      Seq((2L, "b2", 1)).toDF("k", "v", "p"), "k", "v", Seq("p"), Some(2L))
+    val want = content(SnapshotTable.read(spark, tbl))
+    val fs = new org.apache.hadoop.fs.Path(tbl).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def plant(rel: String, ageMs: Long): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(s"$tbl/$rel")
+      fs.mkdirs(p)
+      val f = fs.create(new org.apache.hadoop.fs.Path(p, "part-x.parquet"))
+      f.write(Array[Byte](1, 2, 3)); f.close()
+      if (ageMs > 0)
+        fs.setTimes(p, System.currentTimeMillis() - ageMs, -1)
+      p
+    }
+    // the crash shape: data written, manifest never committed
+    val orphanOld = plant("data/v=99", 7200000L)
+    val orphanFresh = plant("data/v=98", 0L)
+    val tmp = new org.apache.hadoop.fs.Path(s"$tbl/_snap.97.tmp")
+    val tf = fs.create(tmp); tf.write("half a manifest".getBytes); tf.close()
+    fs.setTimes(tmp, System.currentTimeMillis() - 7200000L, -1)
+    SnapshotTable.vacuum(spark, tbl, graceMs = 3600000L)
+    assert(!fs.exists(orphanOld),
+      "an orphan older than the grace window must be reclaimed")
+    assert(!fs.exists(tmp),
+      "a stale tmp manifest from a crashed commit must be reclaimed")
+    assert(fs.exists(orphanFresh),
+      "an orphan younger than the grace window (an in-flight commit's " +
+        "dir) must survive its own vacuum")
+    // every referenced dir intact: both versions still read
+    assert(content(SnapshotTable.read(spark, tbl)) == want)
+    assert(content(SnapshotTable.read(spark, tbl, Some(1L))) ==
+      Set((1L, "a1", 1), (3L, "a3", 2)))
+    // grace 0 = reclaim everything unreferenced right now
+    SnapshotTable.vacuum(spark, tbl, graceMs = 0L)
+    assert(!fs.exists(orphanFresh))
+    assert(content(SnapshotTable.read(spark, tbl)) == want,
+      "vacuum must never touch referenced data")
+  }
+
+  test("advice closure: a losing racer's commit refuses BEFORE its " +
+      "rename when the version's manifest already exists — the exact " +
+      "interleaving the read-back check alone could miss (racer's " +
+      "rename lands after the winner's read-back)") {
+    val tbl = tmpDir("racetbl") + "/t"
+    SnapshotTable.merge(spark, tbl, Seq((1L, "a", 1)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(1L))
+    // both writers resolved head ver=1; the winner commits ver 2...
+    val head = SnapshotTable.resolve(spark, tbl)
+    SnapshotTable.merge(spark, tbl, Seq((2L, "b", 1)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(2L))
+    // ...and the loser's commit of the SAME version must refuse on the
+    // pre-rename existence check, leaving the winner's manifest intact
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.commitManifest(spark, tbl, 2L, Some(99L), Nil,
+        head.schemaDdl, head.partCols, None)
+    }
+    assert(ex.getMessage.contains("already exists"),
+      s"expected the pre-rename refusal: ${ex.getMessage}")
+    assert(content(SnapshotTable.read(spark, tbl)) ==
+      Set((1L, "a", 1), (2L, "b", 1)),
+      "the winner's commit must be untouched by the refused racer")
+    assert(SnapshotTable.resolve(spark, tbl).batchId.contains(2L),
+      "the surviving manifest must be the winner's, not the racer's")
+  }
+}
