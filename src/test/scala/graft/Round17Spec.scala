@@ -187,6 +187,23 @@ class Round17Spec extends SparkSpec {
     assert(st.contains(("1", "60")), s"salted partition stats: $st")
   }
 
+  test("readRange plan shape: the residual range predicate pushes " +
+      "into the parquet scan of the surviving entries (manifest " +
+      "pruning and scan-level pushdown compose — dir skipping first, " +
+      "row-group stats inside what remains)") {
+    val tbl = tmpDir("pushtbl") + "/t"
+    val rows = ((1L to 50L).map(k => (k, s"a$k", 1)) ++
+      (101L to 150L).map(k => (k, s"a$k", 2))).toDF("k", "v", "p")
+    SnapshotTable.merge(spark, tbl, rows, "k", "v", Seq("p"), Some(1L))
+    val df = SnapshotTable.readRange(spark, tbl, "k", Some(10L), Some(20L))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThanOrEqual(k,10)") &&
+      scan.contains("LessThanOrEqual(k,20)"),
+      s"range predicate must reach the parquet scan:\n$scan")
+    assert(content(df) == (10L to 20L).map(k => (k, s"a$k", 1)).toSet)
+  }
+
   test("vacuum: a crash-stranded data dir (written, never committed) " +
       "and a stale tmp manifest are reclaimed after the grace window; " +
       "younger-than-grace trees and every referenced dir survive") {
