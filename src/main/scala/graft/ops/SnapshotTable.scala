@@ -73,16 +73,26 @@ import org.apache.spark.sql.types._
   * pre-format tables exist; every table in this repo is an ephemeral
   * fixture, so a silent fallback would only ever mask corruption).
   *
-  * Single-writer discipline like every store in this engine, with a
-  * violation made LOUD on a best-effort basis: the commit refuses if
-  * `_snap.<ver>` already exists before its rename, and re-reads the
-  * manifest after the rename requiring its own bytes (local
-  * filesystems let `rename` replace an existing destination, POSIX).
-  * This catches every race the filesystem lets it see, but it is
-  * DETECTION, not a lock: a racer whose data write and rename both
-  * land after the winner's read-back can still replace the manifest
-  * undetected. Coordination belongs to the caller, as in every
-  * maintenance store here. */
+  * Concurrency, in three tiers:
+  *  - WITHIN one driver JVM, [[mergeRetrying]]/[[mergeCdcRetrying]]
+  *    are fully safe under concurrency (optimistic, Delta's public
+  *    shape): each attempt stages data under a unique per-attempt dir
+  *    token, the commit's check-rename-readback section is serialized
+  *    per table dir, exactly one writer wins each version, and losers
+  *    rebase — re-resolve the advanced head and recompute; loser
+  *    stagings are unreferenced and [[vacuum]] reclaims them.
+  *  - Plain [[merge]]/[[mergeCdc]]/[[optimize]] keep the single-writer
+  *    discipline of every store in this engine, with a violation made
+  *    LOUD: the commit refuses if `_snap.<ver>` already exists before
+  *    its rename, and re-reads the manifest after the rename
+  *    requiring its own bytes (local filesystems let `rename` replace
+  *    an existing destination, POSIX).
+  *  - Across PROCESSES those checks are best-effort DETECTION, not a
+  *    lock: a racer whose data write and rename both land after the
+  *    winner's read-back can still replace the manifest undetected.
+  *    Cross-process coordination belongs to the caller, as in every
+  *    maintenance store here (a real lock service or a
+  *    create-exclusive filesystem is the missing primitive). */
 object SnapshotTable {
 
   /** One manifest entry: a live partition dir (relative to
@@ -106,6 +116,18 @@ object SnapshotTable {
   /** Hidden partition-column prefix: `partitionBy` consumes the
     * `__gp_` twins into dir names while the originals ride the files. */
   private val P = "__gp_"
+
+  /** Per-table-dir commit monitors: the commit's check-rename-readback
+    * section is serialized WITHIN this JVM, so two threads of one
+    * driver (the engine's real concurrency shape —
+    * `incrementalRunParallel` futures, foreachBatch callbacks) racing
+    * the same version get exactly one winner and one loud loser; the
+    * loser's [[mergeRetrying]] rebase then lands on the next version.
+    * Cross-PROCESS writers stay best-effort detection, as documented
+    * on the object. The map grows one Object per table dir touched by
+    * this JVM — bounded by the tables a driver writes, not by data. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Default row cap per write task AND per output file — aligned
     * with [[Upsert.upsertPartitioned]]'s `maxRecordsPerFile`. A
@@ -241,11 +263,12 @@ object SnapshotTable {
     require(!schemaDdl.contains("\n"),
       "schema DDL must be a single manifest line")
     val fs = fsOf(spark, dir)
-    val tmp = new Path(dir, s"_snap.$newVer.tmp")
+    // tmp name unique per ATTEMPT (not per version): two in-JVM racers
+    // at the same version must never overwrite each other's staging
+    // bytes; stale attempts sweep as *.tmp in [[vacuum]]
+    val tmp = new Path(dir,
+      s"_snap.$newVer.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
     val dst = new Path(dir, s"_snap.$newVer")
-    require(!fs.exists(dst),
-      s"snapshot manifest $dst already exists — a concurrent writer " +
-        "committed this version first (single-writer contract)")
     val sorted = entries.sortBy(_.path)
     val statLines = sorted.zipWithIndex.flatMap { case (e, i) =>
       e.stats.map { case (mn, mx) => s"stat=$i ${enc(mn)} ${enc(mx)}" }
@@ -254,21 +277,36 @@ object SnapshotTable {
       Seq(s"schema=$schemaDdl", s"parts=${partCols.mkString(",")}") ++
       statsKey.map(k => s"statskey=$k").toSeq ++
       sorted.map(e => s"entry=${e.path}") ++ statLines).mkString("\n")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    require(fs.rename(tmp, dst),
-      s"failed to commit snapshot manifest $dst — concurrent writer?")
-    val in = fs.open(dst)
-    val back =
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
-        new String(bos.toByteArray, "UTF-8")
-      } finally in.close()
-    require(back == body,
-      s"snapshot manifest $dst was replaced by a concurrent writer — " +
-        "this table has a single-writer contract; the other commit won")
+    val lock = commitLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      require(!fs.exists(dst),
+        s"snapshot manifest $dst already exists — a concurrent writer " +
+          "committed this version first")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      require(fs.rename(tmp, dst),
+        s"failed to commit snapshot manifest $dst — concurrent writer?")
+      val in = fs.open(dst)
+      val back =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+          new String(bos.toByteArray, "UTF-8")
+        } finally in.close()
+      require(back == body,
+        s"snapshot manifest $dst was replaced by a concurrent writer — " +
+          "cross-process commits are best-effort detection; the other " +
+          "commit won")
+    }
   }
+
+  /** True for the refusals a LOSING optimistic writer raises at
+    * commit time — the retryable class: the table advanced under us;
+    * re-resolve and recompute. Schema/partitioning/null refusals are
+    * NOT in it (retrying cannot fix a contract violation). */
+  private def isCommitConflict(e: IllegalArgumentException): Boolean =
+    e.getMessage != null && (e.getMessage.contains("already exists") ||
+      e.getMessage.contains("replaced by a concurrent writer"))
 
   /** All committed versions, ascending (empty = no table yet). */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
@@ -427,19 +465,26 @@ object SnapshotTable {
       output: DataFrame, key: String, partCols: Seq[String],
       newVer: Long, batchId: Option[Long], kept: Seq[Entry],
       headStatsKey: Option[String], schemaDdl: String,
-      maxRowsPerTask: Long): Long = {
+      maxRowsPerTask: Long, dirToken: Option[String]): Long = {
     val newStatsKey =
       if (statSafe(output.schema(key).dataType)) Some(key) else None
     val keptAdj =
       if (headStatsKey == newStatsKey) kept
       else kept.map(_.copy(stats = None))
     val profile = partProfile(output, partCols, key)
+    // the data dir carries the attempt token when one is supplied
+    // (the retrying writers): two optimistic racers at the same
+    // version then stage into DISJOINT dirs — without it, the loser's
+    // mode(overwrite) write could clobber the winner's committed data
+    // BEFORE either commit resolves the race. Entries are opaque
+    // paths, so readers/vacuum/retention are name-agnostic.
+    val verDir = dirToken.fold(s"v=$newVer")(t => s"v=$newVer-$t")
     val produced = profile.map { case (r, _, st) =>
-      Entry(s"v=$newVer/${partKeyRow(partCols, r)}",
+      Entry(s"$verDir/${partKeyRow(partCols, r)}",
         if (newStatsKey.isDefined) st else None)
     }
     if (profile.nonEmpty)
-      writePartitioned(output, partCols, s"$dir/data/v=$newVer",
+      writePartitioned(output, partCols, s"$dir/data/$verDir",
         xxhash64(col(key)), profile.map(p => (p._1, p._2)), maxRowsPerTask)
     commitManifest(spark, dir, newVer, batchId, keptAdj ++ produced,
       schemaDdl, partCols, newStatsKey)
@@ -533,7 +578,8 @@ object SnapshotTable {
   def merge(spark: SparkSession, dir: String, delta: DataFrame,
       key: String, tieBreak: String, partCols: Seq[String],
       batchId: Option[Long] = None,
-      maxRowsPerTask: Long = DefaultMaxRowsPerTask): Long = {
+      maxRowsPerTask: Long = DefaultMaxRowsPerTask,
+      dirToken: Option[String] = None): Long = {
     requirePathSafe(delta, partCols)
     val (head, newSchema) =
       mergePreamble(spark, dir, delta.schema, partCols, batchId) match {
@@ -546,15 +592,69 @@ object SnapshotTable {
     val existingTouched = readTouched(spark, dir, head, replaced,
       delta.schema)
     // localCheckpoint decouples the write from paths the merge plan
-    // reads (the Upsert discipline)
+    // reads (the Upsert discipline); unpersist in finally so a
+    // refused commit (an optimistic loser about to retry) does not
+    // leak its checkpoint blocks into the retry
     val merged = Upsert.merge(delta, existingTouched, key, tieBreak)
       .localCheckpoint()
-    val newVer = writeAndCommit(spark, dir, merged, key, partCols,
+    try writeAndCommit(spark, dir, merged, key, partCols,
       head.ver + 1, batchId, kept, head.statsKey, newSchema.toDDL,
-      maxRowsPerTask)
-    org.apache.spark.sql.graftbridge.ColumnBridge
+      maxRowsPerTask, dirToken)
+    finally org.apache.spark.sql.graftbridge.ColumnBridge
       .unpersistLocalCheckpoint(merged)
-    newVer
+  }
+
+  /** [[merge]] with OPTIMISTIC CONCURRENCY — the multi-writer-safe
+    * entry point for threads of one driver (foreachBatch callbacks,
+    * `incrementalRunParallel` futures targeting a shared table): each
+    * attempt stages its data under a unique per-attempt dir token (so
+    * racers never touch each other's files), the commit's
+    * check-rename-readback is serialized per table dir within the
+    * JVM (exactly one winner per version), and a losing attempt
+    * REBASES — re-resolves the advanced head, recomputes the new-wins
+    * merge over it, and commits the next version. Merge is
+    * deterministic given (head, delta), so the rebase is equivalent
+    * to having run after the winner: the outcome is the serial order
+    * the commits actually took. Loser attempts' staged dirs are
+    * unreferenced by construction — [[vacuum]] reclaims them. Replay
+    * stays idempotent: a retry that finds its own batchId at the
+    * head (the racer was a replay of the same batch) no-ops. Refusals
+    * that retrying cannot fix (schema evolution, partitioning,
+    * null partition values) propagate immediately. */
+  def mergeRetrying(spark: SparkSession, dir: String, delta: DataFrame,
+      key: String, tieBreak: String, partCols: Seq[String],
+      batchId: Option[Long] = None,
+      maxRowsPerTask: Long = DefaultMaxRowsPerTask,
+      maxAttempts: Int = 8): Long =
+    retrying(maxAttempts)(token =>
+      merge(spark, dir, delta, key, tieBreak, partCols, batchId,
+        maxRowsPerTask, Some(token)))
+
+  /** [[mergeCdc]] with the same optimistic-concurrency loop as
+    * [[mergeRetrying]]. */
+  def mergeCdcRetrying(spark: SparkSession, dir: String,
+      delta: DataFrame, key: String, seqCols: Seq[String], opCol: String,
+      partCols: Seq[String], batchId: Option[Long] = None,
+      maxRowsPerTask: Long = DefaultMaxRowsPerTask,
+      maxAttempts: Int = 8): Long =
+    retrying(maxAttempts)(token =>
+      mergeCdc(spark, dir, delta, key, seqCols, opCol, partCols,
+        batchId, maxRowsPerTask, Some(token)))
+
+  private def retrying(maxAttempts: Int)(attempt: String => Long): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var n = 0
+    while (true) {
+      n += 1
+      val token = java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      try return attempt(token)
+      catch {
+        case e: IllegalArgumentException
+            if isCommitConflict(e) && n < maxAttempts => // rebase + retry
+      }
+    }
+    -1L // unreachable
   }
 
   /** Tombstone-aware MERGE — the CDC rung: apply a change feed whose
@@ -579,7 +679,8 @@ object SnapshotTable {
   def mergeCdc(spark: SparkSession, dir: String, delta: DataFrame,
       key: String, seqCols: Seq[String], opCol: String,
       partCols: Seq[String], batchId: Option[Long] = None,
-      maxRowsPerTask: Long = DefaultMaxRowsPerTask): Long = {
+      maxRowsPerTask: Long = DefaultMaxRowsPerTask,
+      dirToken: Option[String] = None): Long = {
     require(seqCols.nonEmpty, "seqCols must name >= 1 column")
     require(delta.columns.contains(opCol),
       s"op column '$opCol' is not in the delta")
@@ -617,14 +718,15 @@ object SnapshotTable {
       collapsed.select(col(key)), Seq(key), "left_anti")
       .select(dataSchema.fieldNames.map(col).toSeq: _*)
     val survivors = upserts.unionByName(carried).localCheckpoint()
-    val newVer = writeAndCommit(spark, dir, survivors, key, partCols,
+    try writeAndCommit(spark, dir, survivors, key, partCols,
       head.ver + 1, batchId, kept, head.statsKey, newSchema.toDDL,
-      maxRowsPerTask)
-    org.apache.spark.sql.graftbridge.ColumnBridge
-      .unpersistLocalCheckpoint(survivors)
-    org.apache.spark.sql.graftbridge.ColumnBridge
-      .unpersistLocalCheckpoint(collapsed)
-    newVer
+      maxRowsPerTask, dirToken)
+    finally {
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .unpersistLocalCheckpoint(survivors)
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .unpersistLocalCheckpoint(collapsed)
+    }
   }
 
   /** OPTIMIZE: rewrite the head's content into fresh compacted
@@ -652,7 +754,8 @@ object SnapshotTable {
     val key = head.statsKey.getOrElse(
       df.schema.fields.map(_.name).filterNot(partCols.contains).head)
     writeAndCommit(spark, dir, df, key, partCols, head.ver + 1,
-      head.batchId, Nil, head.statsKey, head.schemaDdl, maxRowsPerTask)
+      head.batchId, Nil, head.statsKey, head.schemaDdl, maxRowsPerTask,
+      dirToken = None)
   }
 
   /** Retention cut: keep the newest `keep` versions' manifests and

@@ -9975,6 +9975,54 @@ object Catalog {
         o_orderkey // 4096 AS bucket
       FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000"""))
 
+  /** OPTIMISTIC CONCURRENT MERGE on the snapshot table
+    * ([[graft.ops.SnapshotTable.mergeRetrying]] — Delta's public
+    * optimistic-concurrency shape rebuilt on the manifest protocol):
+    * FOUR driver threads race key-disjoint order slices into ONE
+    * table whose partitions (year/month) all four share, so every
+    * losing attempt must rebase — re-resolve the advanced head,
+    * re-read the touched partitions including the racers' committed
+    * rows, recompute, commit the next version. Commit ORDER is
+    * nondeterministic; the FINAL content is not (slices are
+    * key-disjoint, merge is deterministic given head+delta), which is
+    * what lets the concurrent path live in the hash gate at all. The
+    * emitted `ver_count` pins the protocol's version discipline:
+    * exactly one dense version per racer, retries never burn version
+    * numbers. Losing attempts' staged dirs are unreferenced by
+    * construction (per-attempt dir tokens) — reclaim is
+    * [[graft.ops.SnapshotTable.vacuum]]'s job, spec-pinned. */
+  private val q268 = Q("q268_snapshot_concurrent_merge",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q268tbl").toString + "/t"
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        year(col("o_orderdate")).as("year"),
+        month(col("o_orderdate")).as("month"))
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence((0 until 4).map { i =>
+        Future {
+          graft.ops.SnapshotTable.mergeRetrying(s, tbl,
+            o.filter(col("o_orderkey") % 4 === i),
+            "o_orderkey", "order_date", Seq("year", "month"),
+            Some(10L + i))
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
+      val nVers = graft.ops.SnapshotTable.versions(s, tbl).size
+      graft.ops.SnapshotTable.read(s, tbl)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("order_date"), lit(nVers).as("ver_count"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+        strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        CAST(4 AS INT) AS ver_count
+      FROM orders"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10005,5 +10053,5 @@ object Catalog {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267)
+    q262, q263, q264, q265, q266, q267, q268)
 }

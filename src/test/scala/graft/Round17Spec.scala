@@ -249,6 +249,57 @@ class Round17Spec extends SparkSpec {
       "vacuum must never touch referenced data")
   }
 
+  test("optimistic concurrency: N driver threads race mergeRetrying " +
+      "into ONE table — every delta lands exactly once (serialized as " +
+      "the commit order), versions are dense, losers' staged dirs are " +
+      "unreferenced and vacuum reclaims them with content intact") {
+    val tbl = tmpDir("conctbl") + "/t"
+    val nThreads = 4
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val committed =
+      try Await.result(Future.sequence((1 to nThreads).map { i =>
+        Future {
+          // disjoint keys, overlapping partitions — every thread's
+          // rebase must re-read what the others committed
+          SnapshotTable.mergeRetrying(spark, tbl,
+            Seq((i.toLong, s"t$i", i % 2)).toDF("k", "v", "p"),
+            "k", "v", Seq("p"), batchId = Some(100L + i))
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
+    assert(committed.sorted == (1L to nThreads.toLong),
+      s"each racer must win exactly one dense version: $committed")
+    assert(SnapshotTable.versions(spark, tbl) ==
+      (1L to nThreads.toLong))
+    val want = (1 to nThreads).map(i => (i.toLong, s"t$i", i % 2)).toSet
+    assert(content(SnapshotTable.read(spark, tbl)) == want,
+      "every racer's delta must survive the race (no lost merge)")
+    // each intermediate version is a consistent prefix of the commit
+    // order: version v holds exactly v of the deltas, never a torn row
+    (1L to nThreads.toLong).foreach { v =>
+      val rows = content(SnapshotTable.read(spark, tbl, Some(v)))
+      assert(rows.size == v.toInt && rows.subsetOf(want),
+        s"version $v must hold exactly $v committed deltas: $rows")
+    }
+    // losers' abandoned stagings (tokened v=<n>-<tok> dirs no manifest
+    // references) reclaim under vacuum; winners' data is untouched
+    SnapshotTable.vacuum(spark, tbl, graceMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(tbl).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val liveVers = (1L to nThreads.toLong).flatMap(v =>
+      SnapshotTable.resolve(spark, tbl, Some(v)).entryPaths
+        .map(p => p.substring(0, p.indexOf('/')))).toSet
+    val dataDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$tbl/data"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(dataDirs == liveVers,
+      s"after vacuum only referenced dirs remain: $dataDirs vs $liveVers")
+    assert(content(SnapshotTable.read(spark, tbl)) == want)
+  }
+
   test("advice closure: a losing racer's commit refuses BEFORE its " +
       "rename when the version's manifest already exists — the exact " +
       "interleaving the read-back check alone could miss (racer's " +
