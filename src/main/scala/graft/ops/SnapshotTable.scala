@@ -210,14 +210,27 @@ object SnapshotTable {
     * sizes either way (the [[Upsert.upsertPartitioned]] discipline). */
   private def writePartitioned(df: DataFrame, partCols: Seq[String],
       dest: String, saltOn: Column, partRows: Seq[(Row, Long)],
-      maxRowsPerTask: Long): Unit = {
+      maxRowsPerTask: Long, clusterKey: Option[Column] = None): Unit = {
     val spark = df.sparkSession
     val out = df.select(col("*") +: partCols.map(c => col(c).as(s"$P$c")): _*)
     val splits = partRows.map { case (r, n) =>
       ((n + maxRowsPerTask - 1) / maxRowsPerTask).toInt.max(1)
     }
     val shaped =
-      if (splits.forall(_ <= 1))
+      if (clusterKey.isDefined)
+        // CLUSTERED rewrite (OPTIMIZE ZORDER): range-partition on
+        // (partition cols, cluster key) — a hot partition's rows
+        // spread over range buckets proportionally to its share, so
+        // the salt's straggler protection falls out of the sampling —
+        // then sort within tasks, so every output FILE covers a
+        // contiguous, per-partition-disjoint key interval and parquet
+        // footer min/max prune at file AND row-group granularity
+        out.withColumn(s"${P}z", clusterKey.get)
+          .repartitionByRange(math.max(splits.sum, 1),
+            partCols.map(col) :+ col(s"${P}z"): _*)
+          .sortWithinPartitions(partCols.map(col) :+ col(s"${P}z"): _*)
+          .drop(s"${P}z")
+      else if (splits.forall(_ <= 1))
         out.repartition(partCols.map(col): _*)
       else {
         val partTypes = partCols.map(c => df.schema(c))
@@ -425,6 +438,79 @@ object SnapshotTable {
     preds.foldLeft(base)(_.filter(_))
   }
 
+  /** CHANGE DATA FEED: the row-level diff between two committed
+    * versions — Delta's `table_changes` surface derived from the
+    * snapshots themselves. Emits the `toVer` schema's columns plus
+    * `_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage (both images for an update, the Delta CDF
+    * shape); rows identical in both versions emit nothing.
+    *
+    * THE MANIFEST MAKES THIS O(changed partitions), NOT O(table):
+    * an entry carried BY REFERENCE between the two manifests names
+    * the same immutable dir — its rows are byte-identical on both
+    * sides and cannot contain a change — so both reads restrict to
+    * the entries the two manifests do NOT share. (Sound under the
+    * object's partition/key functional-dependency contract: a key
+    * never moves partitions, so a key inside a shared dir is the same
+    * row in both versions.) One key-shuffle full-outer join over the
+    * changed partitions classifies everything; schema evolution
+    * between the versions surfaces `fromVer`-side rows with the added
+    * columns as typed nulls (additive evolution, so `toVer`'s schema
+    * is always the superset). Keys must be non-null (null keys never
+    * equality-join and would misread as delete+insert). */
+  def changesBetween(spark: SparkSession, dir: String, key: String,
+      fromVer: Long, toVer: Long): DataFrame = {
+    val from = resolve(spark, dir, Some(fromVer))
+    val to = resolve(spark, dir, Some(toVer))
+    val toSchema = StructType.fromDDL(to.schemaDdl)
+    require(toSchema.fieldNames.contains(key) &&
+      StructType.fromDDL(from.schemaDdl).fieldNames.contains(key),
+      s"key '$key' must exist in both versions' schemas")
+    val shared = from.entryPaths.toSet.intersect(to.entryPaths.toSet)
+    def side(s: Snap, schemaDdl: String): DataFrame = {
+      val es = s.entries.filterNot(e => shared.contains(e.path))
+      if (es.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType.fromDDL(schemaDdl))
+      else readSnap(spark, dir, s.copy(entries = es))
+    }
+    val cols = toSchema.fieldNames.toSeq
+    val fromDf = {
+      val raw = side(from, from.schemaDdl)
+      toSchema.fields.filterNot(f => raw.columns.contains(f.name))
+        .foldLeft(raw)((df, f) =>
+          df.withColumn(f.name, lit(null).cast(f.dataType)))
+        .select(cols.map(col): _*)
+    }
+    val toDf = side(to, to.schemaDdl).select(cols.map(col): _*)
+    val pre = struct(cols.map(col): _*).as("_pre")
+    val post = struct(cols.map(col): _*).as("_post")
+    val j = fromDf.select(col(key).as("_k"), pre)
+      .join(toDf.select(col(key).as("_k"), post), Seq("_k"), "full_outer")
+    // one pass: classify into 0, 1, or 2 change rows and explode —
+    // identical rows produce the empty array and vanish
+    j.select(col("_pre"), col("_post"),
+        explode(when(col("_pre").isNull, array(lit("insert")))
+          .when(col("_post").isNull, array(lit("delete")))
+          .when(!(col("_pre") <=> col("_post")),
+            array(lit("update_preimage"), lit("update_postimage")))
+          .otherwise(array().cast("array<string>")).as("_cts"))
+          .as("_change_type"))
+      .select(when(col("_change_type").isin("insert", "update_postimage"),
+        col("_post")).otherwise(col("_pre")).as("_r"), col("_change_type"))
+      .select(col("_r.*"), col("_change_type"))
+  }
+
+  /** The entry pair [[changesBetween]] actually reads — exposed for
+    * the spec that pins the shared-entry skip (the O(changed
+    * partitions) claim). */
+  private[graft] def cdfEntries(from: Snap, to: Snap)
+      : (Seq[String], Seq[String]) = {
+    val shared = from.entryPaths.toSet.intersect(to.entryPaths.toSet)
+    (from.entryPaths.filterNot(shared.contains),
+      to.entryPaths.filterNot(shared.contains))
+  }
+
   /** Per-partition (row count, key min, key max) of `df`, collected —
     * bounded exactly as the touched-partition collects throughout the
     * engine (a delta spans few storage partitions by construction).
@@ -465,7 +551,8 @@ object SnapshotTable {
       output: DataFrame, key: String, partCols: Seq[String],
       newVer: Long, batchId: Option[Long], kept: Seq[Entry],
       headStatsKey: Option[String], schemaDdl: String,
-      maxRowsPerTask: Long, dirToken: Option[String]): Long = {
+      maxRowsPerTask: Long, dirToken: Option[String],
+      clusterKey: Option[Column] = None): Long = {
     val newStatsKey =
       if (statSafe(output.schema(key).dataType)) Some(key) else None
     val keptAdj =
@@ -485,7 +572,8 @@ object SnapshotTable {
     }
     if (profile.nonEmpty)
       writePartitioned(output, partCols, s"$dir/data/$verDir",
-        xxhash64(col(key)), profile.map(p => (p._1, p._2)), maxRowsPerTask)
+        xxhash64(col(key)), profile.map(p => (p._1, p._2)), maxRowsPerTask,
+        clusterKey)
     commitManifest(spark, dir, newVer, batchId, keptAdj ++ produced,
       schemaDdl, partCols, newStatsKey)
     newVer
@@ -741,7 +829,8 @@ object SnapshotTable {
     * recomputed over the rewritten dirs (same stats key as the head).
     * Returns the committed version. */
   def optimize(spark: SparkSession, dir: String, partCols: Seq[String],
-      maxRowsPerTask: Long = DefaultMaxRowsPerTask): Long = {
+      maxRowsPerTask: Long = DefaultMaxRowsPerTask,
+      zorderBy: Seq[String] = Nil): Long = {
     require(partCols.nonEmpty, "partCols must name >= 1 column")
     val head = resolve(spark, dir)
     require(head.partCols == partCols,
@@ -749,13 +838,44 @@ object SnapshotTable {
         s" — optimize passed (${partCols.mkString(", ")})")
     val df = readSnap(spark, dir, head)
     requirePathSafe(df, partCols)
+    // OPTIMIZE ZORDER (Delta's clustering rewrite): 1 column sorts it
+    // directly (file key-ranges come out DISJOINT per partition — the
+    // range partitioner's lexicographic boundaries); 2 columns
+    // interleave through the codegen Morton key ZOrder64, so footer
+    // min/max stay tight on BOTH columns and predicates on either
+    // skip files/row groups — a plain sort only ever skips on its
+    // leading column. Inputs are normalized below 2^30 (q124's pmod
+    // discipline: interleaving wildly different magnitudes wastes the
+    // high bits); integral columns only, loud otherwise. Content is
+    // IDENTICAL by construction — the hash gate pins it (q270).
+    val cluster = zorderBy match {
+      case Nil => None
+      case cols =>
+        require(cols.size <= 2,
+          s"zorderBy supports 1 or 2 columns (ZOrder64 is a 2-D " +
+            s"Morton key), got ${cols.size}")
+        cols.foreach { c =>
+          val dt = df.schema(c).dataType
+          require(dt == LongType || dt == IntegerType ||
+            dt == ShortType || dt == ByteType,
+            s"zorderBy column '$c' is $dt — integral columns only " +
+              "(rank/bucket/truncated-epoch normalization is the " +
+              "caller's)")
+        }
+        Some(cols match {
+          case Seq(a) => col(a).cast("long")
+          case Seq(a, b) => graft.functions.ZOrder64(
+            pmod(col(a).cast("long"), lit(1073741824L)),
+            pmod(col(b).cast("long"), lit(1073741824L)))
+        })
+    }
     // stats key: the head's when it has one, else any scalar column
     // works for the salt hash (profile stats are then simply absent)
     val key = head.statsKey.getOrElse(
       df.schema.fields.map(_.name).filterNot(partCols.contains).head)
     writeAndCommit(spark, dir, df, key, partCols, head.ver + 1,
       head.batchId, Nil, head.statsKey, head.schemaDdl, maxRowsPerTask,
-      dirToken = None)
+      dirToken = None, clusterKey = cluster)
   }
 
   /** Retention cut: keep the newest `keep` versions' manifests and

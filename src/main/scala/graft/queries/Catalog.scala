@@ -10023,6 +10023,133 @@ object Catalog {
         CAST(4 AS INT) AS ver_count
       FROM orders"""))
 
+  /** CHANGE DATA FEED from the snapshot table
+    * ([[graft.ops.SnapshotTable.changesBetween]] — Delta's
+    * `table_changes` surface derived from the manifests themselves):
+    * q266's exact table (base merge, then the tombstone-bearing CDC
+    * feed), diffed between version 1 and version 2. Every change
+    * class appears by construction: inserts (feed keys absent from
+    * the base), deletes (base keys whose latest feed op is 'D'),
+    * update pre/postimages (base keys the feed replaces — the base
+    * row always carries linenumber 1 and the feed's winner >= 2, so
+    * every replacement is a REAL difference), and — the rows that
+    * must NOT appear — base keys the feed never mentions, whether
+    * their partition was rewritten (read both sides, compared equal,
+    * suppressed) or carried by reference (skipped without a read: a
+    * shared entry names the same immutable dir on both sides, the
+    * O(changed partitions) CDF bound, spec-pinned via cdfEntries).
+    * The oracle replays all four classes analytically from the same
+    * slices. */
+  private val q269 = Q("q269_snapshot_cdf",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q269tbl").toString + "/t"
+      val li = t(s, dir, "lineitem")
+      def qty = col("l_quantity").cast(dec2).cast("string").as("quantity")
+      val base = li.filter(col("l_linenumber") === 1).select(
+        col("l_orderkey"), col("l_linenumber"), qty,
+        (col("l_orderkey") % 4).as("part"))
+      graft.ops.SnapshotTable.merge(s, tbl, base,
+        "l_orderkey", "quantity", Seq("part"), Some(1L))
+      val feed = li.filter(col("l_linenumber") >= 2).select(
+        col("l_orderkey"), col("l_linenumber"), qty,
+        (col("l_orderkey") % 4).as("part"),
+        when(col("l_linenumber") === 7, "D").otherwise("U").as("op"))
+      graft.ops.SnapshotTable.mergeCdc(s, tbl, feed, "l_orderkey",
+        Seq("l_linenumber", "quantity"), "op", Seq("part"), Some(2L))
+      graft.ops.SnapshotTable.changesBetween(s, tbl, "l_orderkey", 1L, 2L)
+    },
+    Some("""WITH base AS (
+        SELECT l_orderkey, l_linenumber, quantity, part FROM (
+          SELECT l_orderkey, l_linenumber,
+            CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS quantity,
+            l_orderkey % 4 AS part,
+            row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                DESC) rn
+          FROM lineitem WHERE l_linenumber = 1) z WHERE rn = 1),
+      fw AS (
+        SELECT l_orderkey, l_linenumber, quantity, part, op FROM (
+          SELECT l_orderkey, l_linenumber,
+            CASE WHEN l_linenumber = 7 THEN 'D' ELSE 'U' END AS op,
+            CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS quantity,
+            l_orderkey % 4 AS part,
+            row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber DESC,
+                CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                DESC) rn
+          FROM lineitem WHERE l_linenumber >= 2) z WHERE rn = 1)
+      SELECT f.l_orderkey, f.l_linenumber, f.quantity, f.part,
+        'insert' AS _change_type
+      FROM fw f WHERE f.op <> 'D' AND NOT EXISTS
+        (SELECT 1 FROM base b WHERE b.l_orderkey = f.l_orderkey)
+      UNION ALL
+      SELECT b.l_orderkey, b.l_linenumber, b.quantity, b.part,
+        'delete' AS _change_type
+      FROM base b JOIN fw f ON f.l_orderkey = b.l_orderkey
+        AND f.op = 'D'
+      UNION ALL
+      SELECT b.l_orderkey, b.l_linenumber, b.quantity, b.part,
+        'update_preimage' AS _change_type
+      FROM base b JOIN fw f ON f.l_orderkey = b.l_orderkey
+        AND f.op <> 'D'
+      UNION ALL
+      SELECT f.l_orderkey, f.l_linenumber, f.quantity, f.part,
+        'update_postimage' AS _change_type
+      FROM fw f JOIN base b ON b.l_orderkey = f.l_orderkey
+        AND f.op <> 'D'"""))
+
+  /** OPTIMIZE ZORDER on the snapshot table — Delta's clustering
+    * rewrite: q262's two merges, then
+    * [[graft.ops.SnapshotTable.optimize]] with a 2-D Morton cluster
+    * key over (o_orderkey, o_custkey) (the q124 [[graft.functions
+    * .ZOrder64]] codegen expression, pmod-normalized): the head's
+    * content is range-partitioned and sorted by the interleaved key
+    * within each storage partition, so parquet footer min/max stay
+    * tight on BOTH columns and a predicate on either skips files and
+    * row groups — a plain sort only ever skips on its leading column.
+    * The rewrite must be CONTENT-IDENTICAL: the oracle is the same
+    * new-wins merge replay, hash-gated — a row lost, duplicated, or
+    * altered anywhere in the clustered rewrite breaks the hash.
+    * Disjoint per-file key ranges and the refusal surface are
+    * spec-pinned (Round17Spec). */
+  private val q270 = Q("q270_snapshot_optimize_zorder",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q270tbl").toString + "/t"
+      val o = t(s, dir, "orders")
+      def prep(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), lit(src).as("src"),
+          col("o_orderstatus"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        prep(o.filter(col("o_orderdate") <
+          to_timestamp(lit("2000-01-01"))), "old"),
+        "o_orderkey", "order_date", Seq("year", "month"), Some(1L))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        prep(o.filter(col("o_orderdate") >=
+          to_timestamp(lit("1999-01-01"))), "new"),
+        "o_orderkey", "order_date", Seq("year", "month"), Some(2L))
+      graft.ops.SnapshotTable.optimize(s, tbl, Seq("year", "month"),
+        zorderBy = Seq("o_orderkey", "o_custkey"))
+      graft.ops.SnapshotTable.read(s, tbl)
+        .select(col("o_orderkey"), col("src"), col("o_orderstatus"),
+          col("o_custkey"), col("order_date"))
+    },
+    Some("""SELECT o_orderkey, src, o_orderstatus, o_custkey, order_date
+      FROM (
+        SELECT u.*, row_number() OVER (PARTITION BY o_orderkey
+          ORDER BY src ASC) rn
+        FROM (
+          SELECT o_orderkey, 'new' AS src, o_orderstatus, o_custkey,
+            strftime(o_orderdate, '%Y-%m-%d') AS order_date
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+          UNION ALL
+          SELECT o_orderkey, 'old' AS src, o_orderstatus, o_custkey,
+            strftime(o_orderdate, '%Y-%m-%d') AS order_date
+          FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01') u) z
+      WHERE rn = 1"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10053,5 +10180,5 @@ object Catalog {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270)
 }

@@ -249,6 +249,111 @@ class Round17Spec extends SparkSpec {
       "vacuum must never touch referenced data")
   }
 
+  test("OPTIMIZE ZORDER: a single-column cluster rewrite yields " +
+      "files whose key ranges are DISJOINT within each partition " +
+      "(the file-skipping surface), content is identical, and the " +
+      "refusal surface is loud (>2 columns, non-integral column)") {
+    val tbl = tmpDir("zopttbl") + "/t"
+    // interleave keys so the pre-optimize layout has overlapping
+    // file ranges; 30 rows at maxRowsPerTask=10 force >= 3 files
+    val rows = (1L to 30L).map(k => ((k * 17) % 30 + 1, s"a$k", 1))
+      .map { case (k, v, p) => (k, v, p) }
+    SnapshotTable.merge(spark, tbl, rows.toDF("k", "v", "p"), "k", "v",
+      Seq("p"), Some(1L), maxRowsPerTask = 10L)
+    SnapshotTable.optimize(spark, tbl, Seq("p"),
+      maxRowsPerTask = 10L, zorderBy = Seq("k"))
+    val head = SnapshotTable.resolve(spark, tbl)
+    assert(head.ver == 2L)
+    assert(content(SnapshotTable.read(spark, tbl)) == rows.toSet,
+      "the clustered rewrite must be content-identical")
+    val fs = new org.apache.hadoop.fs.Path(tbl).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = s"$tbl/data/${head.entryPaths.head}"
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.toString).filter(_.endsWith(".parquet"))
+    assert(files.length >= 2,
+      s"the fixture must produce multiple files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("k")), max(col("k"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2,
+          s"zordered file key ranges must be disjoint: $ranges")
+      case _ =>
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.optimize(spark, tbl, Seq("p"),
+        zorderBy = Seq("k", "k", "k"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.optimize(spark, tbl, Seq("p"), zorderBy = Seq("v"))
+    }
+    assert(SnapshotTable.versions(spark, tbl) == Seq(1L, 2L),
+      "refused optimizes must not have committed")
+  }
+
+  test("change data feed: insert/delete/update pre+post images " +
+      "between two versions, shared (carried-by-reference) entries " +
+      "skipped without a read, unchanged-but-rewritten rows " +
+      "suppressed, schema evolution surfaces from-side nulls, and " +
+      "identical versions diff empty") {
+    val tbl = tmpDir("cdftbl") + "/t"
+    val b1 = Seq((1L, "a1", 1), (2L, "a2", 1), (3L, "a3", 2),
+      (4L, "a4", 2)).toDF("k", "v", "p")
+    SnapshotTable.merge(spark, tbl, b1, "k", "v", Seq("p"), Some(1L))
+    // v2 touches ONLY p=1: k=1 deleted, k=2 updated, k=9 inserted;
+    // p=2 (k=3, k=4) carries by reference
+    val feed = Seq((1L, "a1", 1, 1L, "D"), (2L, "b2", 1, 1L, "U"),
+      (9L, "b9", 1, 1L, "I")).toDF("k", "v", "p", "seq", "op")
+    SnapshotTable.mergeCdc(spark, tbl, feed, "k", Seq("seq"), "op",
+      Seq("p"), Some(2L))
+    // note: the feed's `seq` column joined the table schema via
+    // additive evolution (a CDC feed's sequence column is real data,
+    // e.g. updated_at) — select the asserted columns by name
+    val cdf = SnapshotTable.changesBetween(spark, tbl, "k", 1L, 2L)
+      .select(col("k"), col("v"), col("p"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(cdf == Set(
+      (1L, "a1", 1, "delete"),
+      (2L, "a2", 1, "update_preimage"),
+      (2L, "b2", 1, "update_postimage"),
+      (9L, "b9", 1, "insert")),
+      s"CDF must carry exactly the four change rows: $cdf")
+    // the O(changed partitions) bound: the shared p=2 entry is read
+    // on NEITHER side
+    val (fe, te) = SnapshotTable.cdfEntries(
+      SnapshotTable.resolve(spark, tbl, Some(1L)),
+      SnapshotTable.resolve(spark, tbl, Some(2L)))
+    assert(fe == Seq("v=1/__gp_p=1") && te == Seq("v=2/__gp_p=1"),
+      s"carried entries must be skipped from both sides: $fe / $te")
+    // identical versions (OPTIMIZE rewrites everything, content
+    // unchanged): every row compares equal — the CDF is EMPTY even
+    // though no entry is shared and every row is read on both sides
+    SnapshotTable.optimize(spark, tbl, Seq("p"))
+    assert(SnapshotTable.changesBetween(spark, tbl, "k", 2L, 3L)
+      .count() == 0L,
+      "a content-identical rewrite must diff empty")
+    // schema evolution across the diff: v4 adds a column; the v2-side
+    // images surface it as null, the v4-side carries the value
+    SnapshotTable.merge(spark, tbl,
+      Seq((2L, "c2", 1)).toDF("k", "v", "p")
+        .withColumn("seq", lit(5L)).withColumn("extra", lit(7L)),
+      "k", "v", Seq("p"), Some(4L))
+    val evo = SnapshotTable.changesBetween(spark, tbl, "k", 2L, 4L)
+      .select(col("k"), col("v"), col("extra"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getString(3))).toSet
+    assert(evo == Set(
+      (2L, "b2", None, "update_preimage"),
+      (2L, "c2", Some(7L), "update_postimage")),
+      s"evolved CDF must null the added column on pre-images: $evo")
+  }
+
   test("optimistic concurrency: N driver threads race mergeRetrying " +
       "into ONE table — every delta lands exactly once (serialized as " +
       "the commit order), versions are dense, losers' staged dirs are " +
