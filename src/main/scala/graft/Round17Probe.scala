@@ -92,6 +92,32 @@ object Round17Probe {
         SnapshotTable.readRange(spark, tbl, "k", Some(lo), Some(hi)).count()
       }
       println(s"PROBE skip rows full=$full pruned=$pruned (must be equal)")
+
+      // ---- CDF: O(changed partitions), not O(table) — diff after a
+      // narrow merge reads only the unshared entries; after OPTIMIZE
+      // (all entries fresh, zero shared) the same diff is the full
+      // O(table) join, returning EMPTY because content is identical
+      // 50k updates whose keys span 5 of the table's key-correlated
+      // buckets (k = 5*id keeps k/span in 0..4)
+      val cdfDelta = spark.range(50000L).select(
+        (col("id") * 5).as("k"), (col("id") % 1000 + 7).as("v"),
+        ((col("id") * 5) / span).cast("int").as("p"))
+      SnapshotTable.merge(spark, tbl, cdfDelta, "k", "v", Seq("p"),
+        Some(2L))
+      val (fe, te) = SnapshotTable.cdfEntries(
+        SnapshotTable.resolve(spark, tbl, Some(1L)),
+        SnapshotTable.resolve(spark, tbl, Some(2L)))
+      val nNarrow = timed(s"cdf-NARROW v1→v2 entries=${fe.size}+${te.size}" +
+          s" of $nParts") {
+        SnapshotTable.changesBetween(spark, tbl, "k", 1L, 2L).count()
+      }
+      SnapshotTable.optimize(spark, tbl, Seq("p"))
+      val nFull = timed(s"cdf-FULL v2→v3 zero shared entries " +
+          s"(content-identical rewrite)") {
+        SnapshotTable.changesBetween(spark, tbl, "k", 2L, 3L).count()
+      }
+      println(s"PROBE cdf narrow_changes=$nNarrow full_changes=$nFull " +
+        "(full must be 0)")
     } finally {
       Scratch.deleteRecursively(root)
       spark.stop()
