@@ -118,6 +118,28 @@ object Round17Probe {
       }
       println(s"PROBE cdf narrow_changes=$nNarrow full_changes=$nFull " +
         "(full must be 0)")
+
+      // ---- FSKIP: per-file bounds after OPTIMIZE ZORDER — a tight
+      // range inside one bucket opens a fraction of the bucket's
+      // files (footer-harvested manifest file stats), on top of the
+      // dir-level prune
+      timed(s"fskip-optimize zorder(k) ~4 files/bucket") {
+        SnapshotTable.optimize(spark, tbl, Seq("p"),
+          maxRowsPerTask = span / 4, zorderBy = Seq("k"))
+      }
+      val snapZ = SnapshotTable.resolve(spark, tbl)
+      val nFilesTotal = snapZ.entries.map(_.fileStats.size).sum
+      val tLo = span * 7 + 10
+      val tHi = tLo + span / 10
+      val pz = SnapshotTable.prunedReadPaths(tbl, snapZ, "k",
+        Some(tLo), Some(tHi))
+      val nTight = timed(s"fskip-ON tight range opens ${pz.size} of " +
+          s"$nFilesTotal files (dir-level alone would open ~4)") {
+        SnapshotTable.readRange(spark, tbl, "k", Some(tLo), Some(tHi))
+          .count()
+      }
+      println(s"PROBE fskip rows=$nTight files_opened=${pz.size} " +
+        s"files_total=$nFilesTotal")
     } finally {
       Scratch.deleteRecursively(root)
       spark.stop()

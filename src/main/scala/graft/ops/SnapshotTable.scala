@@ -95,10 +95,20 @@ import org.apache.spark.sql.types._
   *    create-exclusive filesystem is the missing primitive). */
 object SnapshotTable {
 
+  /** Per-file key bounds inside an entry's dir (`name` is the bare
+    * parquet file name) — the Iceberg manifest granularity: with
+    * salted or ZORDER-clustered writes a partition dir holds several
+    * files, and file-level bounds let a point/range read open only
+    * the files that can match. */
+  final case class FileStat(name: String, min: String, max: String)
+
   /** One manifest entry: a live partition dir (relative to
     * `dir/data/`) plus optional min/max of the table's stats key over
-    * that dir's rows (rendered `toString`, escaped only on disk). */
-  final case class Entry(path: String, stats: Option[(String, String)])
+    * that dir's rows (rendered `toString`, escaped only on disk), and
+    * optional per-file bounds harvested from the parquet FOOTERS at
+    * commit time (metadata-only reads — no data pass). */
+  final case class Entry(path: String, stats: Option[(String, String)],
+      fileStats: Seq[FileStat] = Nil)
 
   /** One resolved version: the immutable contract a reader holds.
     * `schemaDdl` is the TABLE SCHEMA AS OF THIS VERSION (Spark DDL),
@@ -286,10 +296,15 @@ object SnapshotTable {
     val statLines = sorted.zipWithIndex.flatMap { case (e, i) =>
       e.stats.map { case (mn, mx) => s"stat=$i ${enc(mn)} ${enc(mx)}" }
     }
+    val fstatLines = sorted.zipWithIndex.flatMap { case (e, i) =>
+      e.fileStats.map(f =>
+        s"fstat=$i ${enc(f.name)} ${enc(f.min)} ${enc(f.max)}")
+    }
     val body = (batchId.map(b => s"batch=$b").toSeq ++
       Seq(s"schema=$schemaDdl", s"parts=${partCols.mkString(",")}") ++
       statsKey.map(k => s"statskey=$k").toSeq ++
-      sorted.map(e => s"entry=${e.path}") ++ statLines).mkString("\n")
+      sorted.map(e => s"entry=${e.path}") ++ statLines ++
+      fstatLines).mkString("\n")
     val lock = commitLocks.computeIfAbsent(dir, _ => new Object)
     lock.synchronized {
       require(!fs.exists(dst),
@@ -360,8 +375,13 @@ object SnapshotTable {
         case Array(i, mn, mx) if i.toIntOption.isDefined =>
           i.toInt -> ((dec(mn), dec(mx)))
       }.toMap
+    val fstats = lines.filter(_.startsWith("fstat="))
+      .map(_.stripPrefix("fstat=").split(" ", 4)).collect {
+        case Array(i, n, mn, mx) if i.toIntOption.isDefined =>
+          i.toInt -> FileStat(dec(n), dec(mn), dec(mx))
+      }.groupBy(_._1).map { case (i, fs) => i -> fs.map(_._2).toSeq }
     val entries = paths.zipWithIndex.map { case (p, i) =>
-      Entry(p, stats.get(i))
+      Entry(p, stats.get(i), fstats.getOrElse(i, Nil))
     }
     val ddl = lines.find(_.startsWith("schema="))
       .map(_.stripPrefix("schema="))
@@ -392,6 +412,20 @@ object SnapshotTable {
       version: Option[Long] = None): DataFrame =
     readSnap(spark, dir, resolve(spark, dir, version))
 
+  /** The key's comparator when its recorded bounds are usable for
+    * pruning on `snap` — None means "cannot prune, keep everything"
+    * (statsKey mismatch, non-stat-safe type, key missing). */
+  private def pruneCmp(snap: Snap, key: String)
+      : Option[(String, String) => Int] = {
+    if (!snap.statsKey.contains(key)) return None
+    StructType.fromDDL(snap.schemaDdl).fields.find(_.name == key)
+      .map(_.dataType).filter(statSafe).map {
+        case StringType => (a: String, b: String) => a.compareTo(b)
+        case _ => (a: String, b: String) =>
+          java.lang.Long.compare(a.toLong, b.toLong)
+      }
+  }
+
   /** Drop the entries whose recorded key bounds prove they cannot
     * hold a value in `[lo, hi]` (either bound optional). CONSERVATIVE
     * by construction: an entry without stats, a `statsKey` mismatch,
@@ -400,39 +434,62 @@ object SnapshotTable {
     * order (integral as Long, string lexicographic). */
   def pruneByKey(snap: Snap, key: String, lo: Option[Any],
       hi: Option[Any]): Snap = {
-    if (!snap.statsKey.contains(key) || (lo.isEmpty && hi.isEmpty))
-      return snap
-    val dt = StructType.fromDDL(snap.schemaDdl)
-      .fields.find(_.name == key).map(_.dataType)
-    if (dt.isEmpty || !statSafe(dt.get)) return snap
-    def cmp(a: String, b: String): Int = dt.get match {
-      case StringType => a.compareTo(b)
-      case _ => java.lang.Long.compare(a.toLong, b.toLong)
+    if (lo.isEmpty && hi.isEmpty) return snap
+    pruneCmp(snap, key).fold(snap) { cmp =>
+      snap.copy(entries = snap.entries.filter(e => e.stats match {
+        case None => true
+        case Some((mn, mx)) =>
+          lo.forall(l => cmp(mx, l.toString) >= 0) &&
+            hi.forall(h => cmp(mn, h.toString) <= 0)
+      }))
     }
-    snap.copy(entries = snap.entries.filter(e => e.stats match {
-      case None => true
-      case Some((mn, mx)) =>
-        lo.forall(l => cmp(mx, l.toString) >= 0) &&
-          hi.forall(h => cmp(mn, h.toString) <= 0)
-    }))
   }
 
-  /** Range read: resolve, prune entries by the manifest's per-entry
-    * key bounds ([[pruneByKey]] — the Iceberg data-skipping shape:
-    * a selective key predicate opens only the partitions whose
-    * recorded min/max overlap it), then apply the same predicate as
-    * a residual row filter (pruning is dir-granular; the filter is
-    * exact — and it pushes into the parquet scan as usual). */
+  /** The concrete paths a range read opens, after BOTH pruning
+    * granularities: entries (dirs) whose bounds are disjoint go
+    * first ([[pruneByKey]]); inside a surviving entry, per-FILE
+    * bounds (harvested from the parquet footers at commit — the
+    * Iceberg manifest granularity) drop the files that cannot match,
+    * so a point lookup on a clustered table opens ONE file of a
+    * multi-file dir. An entry without file stats contributes its
+    * whole dir — conservative, never wrong. */
+  private[graft] def prunedReadPaths(dir: String, snap: Snap,
+      key: String, lo: Option[Any], hi: Option[Any]): Seq[String] = {
+    val surviving = pruneByKey(snap, key, lo, hi).entries
+    pruneCmp(snap, key) match {
+      case None => surviving.map(e => s"$dir/data/${e.path}")
+      case Some(cmp) =>
+        def overlaps(mn: String, mx: String): Boolean =
+          lo.forall(l => cmp(mx, l.toString) >= 0) &&
+            hi.forall(h => cmp(mn, h.toString) <= 0)
+        surviving.flatMap { e =>
+          if (e.fileStats.isEmpty || (lo.isEmpty && hi.isEmpty))
+            Seq(s"$dir/data/${e.path}")
+          else e.fileStats.filter(f => overlaps(f.min, f.max))
+            .map(f => s"$dir/data/${e.path}/${f.name}")
+        }
+    }
+  }
+
+  /** Range read: resolve, prune to the entries AND files whose
+    * recorded key bounds overlap the predicate
+    * ([[prunedReadPaths]] — the Iceberg data-skipping shape: a
+    * selective key predicate opens only the partitions, then only
+    * the FILES, whose min/max overlap it), then apply the same
+    * predicate as a residual row filter (pruning is file-granular;
+    * the filter is exact — and it pushes into the parquet scan as
+    * usual, so row-group stats prune inside the opened files too). */
   def readRange(spark: SparkSession, dir: String, key: String,
       lo: Option[Any], hi: Option[Any],
       version: Option[Long] = None): DataFrame = {
     val snap = resolve(spark, dir, version)
-    val pruned = pruneByKey(snap, key, lo, hi)
+    val paths = prunedReadPaths(dir, snap, key, lo, hi)
     val base =
-      if (pruned.entries.isEmpty)
+      if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           StructType.fromDDL(snap.schemaDdl))
-      else readSnap(spark, dir, pruned)
+      else spark.read.schema(StructType.fromDDL(snap.schemaDdl))
+        .parquet(paths: _*)
     val preds = lo.map(l => col(key) >= lit(l)).toSeq ++
       hi.map(h => col(key) <= lit(h)).toSeq
     preds.foldLeft(base)(_.filter(_))
@@ -511,6 +568,63 @@ object SnapshotTable {
       to.entryPaths.filterNot(shared.contains))
   }
 
+  /** Per-file key bounds of every parquet file under `dirPath`,
+    * harvested from the FOOTERS — metadata-only reads on the driver,
+    * never a data pass (the Iceberg stats-collection mechanism; one
+    * footer per file the commit just wrote, O(delta files)). A file
+    * whose footer carries no usable stats for the key (all-null key
+    * rows, or a writer that recorded none) gets no [[FileStat]] —
+    * conservative: such files are always opened. Parquet may TRUNCATE
+    * binary (string) stats; truncation keeps min a lower bound and
+    * max an upper bound (the BinaryTruncator contract), so pruning
+    * with them stays sound — they are bounds, not exact extremes. */
+  private def footerStats(spark: SparkSession, dirPath: Path,
+      key: String, dt: DataType): Seq[FileStat] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dirPath.getFileSystem(conf)
+    fs.listStatus(dirPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try {
+          val stats = reader.getFooter.getBlocks.asScala.toSeq
+            .flatMap(b => b.getColumns.asScala
+              .find(c => c.getPath.toDotString == key)
+              .map(_.getStatistics))
+            .filter(s => s != null && s.hasNonNullValue)
+          if (stats.isEmpty) None
+          else {
+            val bounds = dt match {
+              case LongType => Some((
+                stats.map(_.genericGetMin
+                  .asInstanceOf[java.lang.Long].longValue).min.toString,
+                stats.map(_.genericGetMax
+                  .asInstanceOf[java.lang.Long].longValue).max.toString))
+              case IntegerType | ShortType | ByteType => Some((
+                stats.map(_.genericGetMin
+                  .asInstanceOf[Number].intValue).min.toString,
+                stats.map(_.genericGetMax
+                  .asInstanceOf[Number].intValue).max.toString))
+              case StringType => Some((
+                stats.map(_.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8).min,
+                stats.map(_.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8).max))
+              case _ => None
+            }
+            bounds.map { case (mn, mx) =>
+              FileStat(st.getPath.getName, mn, mx)
+            }
+          }
+        } finally reader.close()
+      }
+  }
+
   /** Per-partition (row count, key min, key max) of `df`, collected —
     * bounded exactly as the touched-partition collects throughout the
     * engine (a delta spans few storage partitions by construction).
@@ -557,7 +671,9 @@ object SnapshotTable {
       if (statSafe(output.schema(key).dataType)) Some(key) else None
     val keptAdj =
       if (headStatsKey == newStatsKey) kept
-      else kept.map(_.copy(stats = None))
+      // a stats-key change invalidates dir AND file bounds alike —
+      // they describe the old key; unstated bounds are never pruned
+      else kept.map(_.copy(stats = None, fileStats = Nil))
     val profile = partProfile(output, partCols, key)
     // the data dir carries the attempt token when one is supplied
     // (the retrying writers): two optimistic racers at the same
@@ -574,7 +690,16 @@ object SnapshotTable {
       writePartitioned(output, partCols, s"$dir/data/$verDir",
         xxhash64(col(key)), profile.map(p => (p._1, p._2)), maxRowsPerTask,
         clusterKey)
-    commitManifest(spark, dir, newVer, batchId, keptAdj ++ produced,
+    // file-level bounds from the freshly-written footers (metadata
+    // reads, O(files this commit wrote)); carried entries keep theirs
+    val producedF =
+      if (newStatsKey.isEmpty) produced
+      else {
+        val dt = output.schema(key).dataType
+        produced.map(e => e.copy(fileStats =
+          footerStats(spark, new Path(s"$dir/data/${e.path}"), key, dt)))
+      }
+    commitManifest(spark, dir, newVer, batchId, keptAdj ++ producedF,
       schemaDdl, partCols, newStatsKey)
     newVer
   }

@@ -295,6 +295,53 @@ class Round17Spec extends SparkSpec {
       "refused optimizes must not have committed")
   }
 
+  test("per-FILE manifest stats (parquet-footer harvest): a range " +
+      "read opens only the files whose bounds overlap — one file of " +
+      "a multi-file zordered dir for a point-ish lookup — bounds " +
+      "contain the files' true extremes, and a stats-key change " +
+      "clears file bounds along with dir bounds") {
+    val tbl = tmpDir("fstattbl") + "/t"
+    val rows = (1L to 60L).map(k => ((k * 13) % 60 + 1, s"a$k", 1))
+    SnapshotTable.merge(spark, tbl, rows.toDF("k", "v", "p"), "k", "v",
+      Seq("p"), Some(1L), maxRowsPerTask = 20L)
+    SnapshotTable.optimize(spark, tbl, Seq("p"),
+      maxRowsPerTask = 20L, zorderBy = Seq("k"))
+    val snap = SnapshotTable.resolve(spark, tbl)
+    val entry = snap.entries.head
+    assert(entry.fileStats.size >= 2,
+      s"the zordered dir must carry several file bounds: $entry")
+    // bounds really contain each file's extremes (read back and check)
+    entry.fileStats.foreach { f =>
+      val r = spark.read
+        .parquet(s"$tbl/data/${entry.path}/${f.name}")
+        .agg(min(col("k")), max(col("k"))).collect()(0)
+      assert(f.min.toLong <= r.getLong(0) && r.getLong(1) <= f.max.toLong,
+        s"footer bounds must contain the file's extremes: $f vs $r")
+    }
+    // a narrow range inside ONE file's bounds opens exactly that file
+    val tight = entry.fileStats.sortBy(_.min.toLong).head
+    val lo = tight.min.toLong
+    val paths = SnapshotTable.prunedReadPaths(tbl, snap, "k",
+      Some(lo), Some(lo))
+    assert(paths == Seq(s"$tbl/data/${entry.path}/${tight.name}"),
+      s"a point lookup must open one file: $paths")
+    assert(content(SnapshotTable.readRange(spark, tbl, "k",
+      Some(lo), Some(lo))) == rows.filter(_._1 == lo).toSet)
+    // full-range read through the file-pruned path ≡ the whole table
+    assert(content(SnapshotTable.readRange(spark, tbl, "k",
+      Some(1L), Some(60L))) == rows.toSet)
+    // stats-key change clears file bounds with the dir bounds
+    SnapshotTable.merge(spark, tbl,
+      Seq((200L, "zz", 1)).toDF("k", "v", "p"), "v", "k", Seq("p"),
+      Some(3L))
+    val s3 = SnapshotTable.resolve(spark, tbl)
+    assert(s3.entries.forall(e =>
+      e.path.startsWith("v=3/") ||
+        (e.stats.isEmpty && e.fileStats.isEmpty)),
+      s"carried entries must lose stale file bounds on a key change: " +
+        s"${s3.entries}")
+  }
+
   test("change data feed: insert/delete/update pre+post images " +
       "between two versions, shared (carried-by-reference) entries " +
       "skipped without a read, unchanged-but-rewritten rows " +
