@@ -19,6 +19,15 @@ threshold by basis/cpu1_now at runtime so a slow-envelope host doesn't
 spuriously re-run the single-core family."""
 import json, glob, statistics, sys
 
+# The queries whose wall is single-core/driver-envelope bound (the
+# round-16 forensics' attributed class: 1-task stages, driver-side
+# scheduling) — the ONLY rows the envelope law applies to. Parallel
+# map-bound queries scale with aggregate throughput, which the
+# ambient anchors already track; scaling them by the single-core
+# ratio would distort their medians and mask real regressions. Grow
+# this list only with probe-pair attribution, never by guess.
+CPU1_BOUND = ['q151_authority_sample', 'q219_exact_collapse']
+
 records = sorted(glob.glob('BENCH_QUIET_r*.json'))
 stamps = {}
 for f in records:
@@ -33,10 +42,11 @@ for f in records:
     d = json.load(open(f))
     scale = (stamps[f] / basis) if (basis and f in stamps) else 1.0
     for q, v in d.get('queries', {}).items():
-        per.setdefault(q, []).append(v * scale)
+        per.setdefault(q, []).append(v * (scale if q in CPU1_BOUND else 1.0))
 med = {q: round(statistics.median(vs), 4) for q, vs in sorted(per.items())}
-out = {'source_records': records,
-       'cpu1_stamps': stamps, 'cpu1_basis': basis, 'medians': med}
+out = {'source_records': records, 'cpu1_stamps': stamps,
+       'cpu1_basis': basis, 'cpu1_bound': CPU1_BOUND, 'medians': med}
 json.dump(out, open('BENCH_MEDIANS.json', 'w'), indent=1)
 print(f"{len(med)} query medians from {len(records)} records "
-      f"({len(stamps)} stamped, basis cpu1={basis})")
+      f"({len(stamps)} stamped, basis cpu1={basis}, "
+      f"{len(CPU1_BOUND)} envelope-scoped queries)")

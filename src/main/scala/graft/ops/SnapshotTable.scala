@@ -99,8 +99,12 @@ object SnapshotTable {
     * parquet file name) — the Iceberg manifest granularity: with
     * salted or ZORDER-clustered writes a partition dir holds several
     * files, and file-level bounds let a point/range read open only
-    * the files that can match. */
-  final case class FileStat(name: String, min: String, max: String)
+    * the files that can match. `bounds = None` records a file whose
+    * footer carried no usable stats (it must ALWAYS be opened) — the
+    * manifest still lists it, so a non-empty `fileStats` is a
+    * COMPLETE inventory of the dir and pruning can rely on it. */
+  final case class FileStat(name: String,
+      bounds: Option[(String, String)])
 
   /** One manifest entry: a live partition dir (relative to
     * `dir/data/`) plus optional min/max of the table's stats key over
@@ -138,6 +142,15 @@ object SnapshotTable {
     * this JVM — bounded by the tables a driver writes, not by data. */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Lock key: the FILESYSTEM-QUALIFIED table path — two spellings of
+    * one dir ("/t" vs "/t/" vs a relative path) must map to ONE
+    * monitor, or the per-dir serialization silently splits. */
+  private def lockKey(spark: SparkSession, dir: String): String = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
 
   /** Default row cap per write task AND per output file — aligned
     * with [[Upsert.upsertPartitioned]]'s `maxRecordsPerFile`. A
@@ -207,6 +220,15 @@ object SnapshotTable {
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Byte-wise unsigned UTF-8 comparison — the single string order
+    * every stats producer (Spark UTF8String aggregates, parquet
+    * binary stats) and consumer (entry/file pruning) in this table
+    * must agree on. */
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** One write job: duplicate the partition columns into their
     * hidden `__gp_` twins and lay every partition of `df` down under
@@ -296,16 +318,22 @@ object SnapshotTable {
     val statLines = sorted.zipWithIndex.flatMap { case (e, i) =>
       e.stats.map { case (mn, mx) => s"stat=$i ${enc(mn)} ${enc(mx)}" }
     }
+    // a statless file serializes with the bare `?` sentinel (URL
+    // encoding can never produce a bare `?`, so no value collides)
     val fstatLines = sorted.zipWithIndex.flatMap { case (e, i) =>
-      e.fileStats.map(f =>
-        s"fstat=$i ${enc(f.name)} ${enc(f.min)} ${enc(f.max)}")
+      e.fileStats.map(f => f.bounds match {
+        case Some((mn, mx)) =>
+          s"fstat=$i ${enc(f.name)} ${enc(mn)} ${enc(mx)}"
+        case None => s"fstat=$i ${enc(f.name)} ? ?"
+      })
     }
     val body = (batchId.map(b => s"batch=$b").toSeq ++
       Seq(s"schema=$schemaDdl", s"parts=${partCols.mkString(",")}") ++
       statsKey.map(k => s"statskey=$k").toSeq ++
       sorted.map(e => s"entry=${e.path}") ++ statLines ++
       fstatLines).mkString("\n")
-    val lock = commitLocks.computeIfAbsent(dir, _ => new Object)
+    val lock = commitLocks.computeIfAbsent(lockKey(spark, dir),
+      _ => new Object)
     lock.synchronized {
       require(!fs.exists(dst),
         s"snapshot manifest $dst already exists — a concurrent writer " +
@@ -334,7 +362,8 @@ object SnapshotTable {
     * NOT in it (retrying cannot fix a contract violation). */
   private def isCommitConflict(e: IllegalArgumentException): Boolean =
     e.getMessage != null && (e.getMessage.contains("already exists") ||
-      e.getMessage.contains("replaced by a concurrent writer"))
+      e.getMessage.contains("replaced by a concurrent writer") ||
+      e.getMessage.contains("failed to commit snapshot manifest"))
 
   /** All committed versions, ascending (empty = no table yet). */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
@@ -377,8 +406,10 @@ object SnapshotTable {
       }.toMap
     val fstats = lines.filter(_.startsWith("fstat="))
       .map(_.stripPrefix("fstat=").split(" ", 4)).collect {
+        case Array(i, n, "?", "?") if i.toIntOption.isDefined =>
+          i.toInt -> FileStat(dec(n), None)
         case Array(i, n, mn, mx) if i.toIntOption.isDefined =>
-          i.toInt -> FileStat(dec(n), dec(mn), dec(mx))
+          i.toInt -> FileStat(dec(n), Some((dec(mn), dec(mx))))
       }.groupBy(_._1).map { case (i, fs) => i -> fs.map(_._2).toSeq }
     val entries = paths.zipWithIndex.map { case (p, i) =>
       Entry(p, stats.get(i), fstats.getOrElse(i, Nil))
@@ -420,7 +451,14 @@ object SnapshotTable {
     if (!snap.statsKey.contains(key)) return None
     StructType.fromDDL(snap.schemaDdl).fields.find(_.name == key)
       .map(_.dataType).filter(statSafe).map {
-        case StringType => (a: String, b: String) => a.compareTo(b)
+        // byte-wise UNSIGNED UTF-8 order — the order Spark's
+        // UTF8String min/max AND parquet's binary stats were computed
+        // under. Java String.compareTo (UTF-16 code units) DISAGREES
+        // above the BMP: a supplementary character (emoji, surrogate
+        // pair) sorts above U+E000..U+FFFF byte-wise but below it in
+        // UTF-16 — comparing recorded bounds with the wrong order
+        // would prune an entry that really holds the queried key
+        case StringType => utf8Cmp _
         case _ => (a: String, b: String) =>
           java.lang.Long.compare(a.toLong, b.toLong)
       }
@@ -465,7 +503,8 @@ object SnapshotTable {
         surviving.flatMap { e =>
           if (e.fileStats.isEmpty || (lo.isEmpty && hi.isEmpty))
             Seq(s"$dir/data/${e.path}")
-          else e.fileStats.filter(f => overlaps(f.min, f.max))
+          else e.fileStats.filter(f =>
+              f.bounds.forall { case (mn, mx) => overlaps(mn, mx) })
             .map(f => s"$dir/data/${e.path}/${f.name}")
         }
     }
@@ -532,13 +571,7 @@ object SnapshotTable {
       else readSnap(spark, dir, s.copy(entries = es))
     }
     val cols = toSchema.fieldNames.toSeq
-    val fromDf = {
-      val raw = side(from, from.schemaDdl)
-      toSchema.fields.filterNot(f => raw.columns.contains(f.name))
-        .foldLeft(raw)((df, f) =>
-          df.withColumn(f.name, lit(null).cast(f.dataType)))
-        .select(cols.map(col): _*)
-    }
+    val fromDf = padToSchema(side(from, from.schemaDdl), toSchema)
     val toDf = side(to, to.schemaDdl).select(cols.map(col): _*)
     val pre = struct(cols.map(col): _*).as("_pre")
     val post = struct(cols.map(col): _*).as("_post")
@@ -585,42 +618,55 @@ object SnapshotTable {
     val fs = dirPath.getFileSystem(conf)
     fs.listStatus(dirPath).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .flatMap { st =>
+      .map { st =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromStatus(st, conf))
         try {
-          val stats = reader.getFooter.getBlocks.asScala.toSeq
-            .flatMap(b => b.getColumns.asScala
-              .find(c => c.getPath.toDotString == key)
-              .map(_.getStatistics))
-            .filter(s => s != null && s.hasNonNullValue)
-          if (stats.isEmpty) None
-          else {
-            val bounds = dt match {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val stats = blocks.map(b => b.getColumns.asScala
+            .find(c => c.getPath.toDotString == key)
+            .map(_.getStatistics).orNull)
+          // bounds are recorded ONLY when EVERY row group carries
+          // usable stats — a partial cover would yield too-narrow
+          // bounds and prune rows that live in the uncovered blocks.
+          // (An all-null-key block reports hasNonNullValue=false and
+          // !isEmpty... its rows can never match a range predicate,
+          // so treating it as covered-by-nothing is sound; but a
+          // block with NO statistics object at all means unknown
+          // content — the file gets bounds=None and is always opened.)
+          val usable = stats.filter(s => s != null && s.hasNonNullValue)
+          val bounds =
+            if (stats.exists(_ == null) || usable.isEmpty) None
+            else dt match {
               case LongType => Some((
-                stats.map(_.genericGetMin
+                usable.map(_.genericGetMin
                   .asInstanceOf[java.lang.Long].longValue).min.toString,
-                stats.map(_.genericGetMax
+                usable.map(_.genericGetMax
                   .asInstanceOf[java.lang.Long].longValue).max.toString))
               case IntegerType | ShortType | ByteType => Some((
-                stats.map(_.genericGetMin
+                usable.map(_.genericGetMin
                   .asInstanceOf[Number].intValue).min.toString,
-                stats.map(_.genericGetMax
+                usable.map(_.genericGetMax
                   .asInstanceOf[Number].intValue).max.toString))
-              case StringType => Some((
-                stats.map(_.genericGetMin
+              case StringType =>
+                // min/max across row groups selected under the SAME
+                // byte-wise order the bounds are compared with —
+                // Scala's String min (UTF-16) could pick a value
+                // that is not the byte-wise extreme above the BMP
+                val mins = usable.map(_.genericGetMin
                   .asInstanceOf[org.apache.parquet.io.api.Binary]
-                  .toStringUsingUTF8).min,
-                stats.map(_.genericGetMax
+                  .toStringUsingUTF8)
+                val maxs = usable.map(_.genericGetMax
                   .asInstanceOf[org.apache.parquet.io.api.Binary]
-                  .toStringUsingUTF8).max))
+                  .toStringUsingUTF8)
+                Some((mins.reduce((a, b) =>
+                    if (utf8Cmp(a, b) <= 0) a else b),
+                  maxs.reduce((a, b) =>
+                    if (utf8Cmp(a, b) >= 0) a else b)))
               case _ => None
             }
-            bounds.map { case (mn, mx) =>
-              FileStat(st.getPath.getName, mn, mx)
-            }
-          }
+          FileStat(st.getPath.getName, bounds)
         } finally reader.close()
       }
   }
@@ -756,6 +802,16 @@ object SnapshotTable {
     Right((head, newSchema))
   }
 
+  /** Pad `df` with typed-null columns for every `target` field it
+    * lacks and project to `target`'s column order — the one
+    * additive-schema-evolution alignment both the merge read path and
+    * the CDF's from-side share. */
+  private def padToSchema(df: DataFrame, target: StructType): DataFrame =
+    target.fields.filterNot(f => df.columns.contains(f.name))
+      .foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(target.fieldNames.map(col).toSeq: _*)
+
   /** Read the head's delta-touched partitions pinned to the table
     * schema, with the delta's added columns riding in as typed nulls,
     * projected to the delta's column order. */
@@ -763,15 +819,8 @@ object SnapshotTable {
       replaced: Seq[Entry], dataSchema: StructType): DataFrame =
     if (replaced.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
-    else {
-      val tableTypes = StructType.fromDDL(head.schemaDdl)
-        .fields.map(_.name).toSet
-      val raw = readSnap(spark, dir, head.copy(entries = replaced))
-      dataSchema.fields.filterNot(f => tableTypes.contains(f.name))
-        .foldLeft(raw)((df, f) =>
-          df.withColumn(f.name, lit(null).cast(f.dataType)))
-        .select(dataSchema.fieldNames.map(col).toSeq: _*)
-    }
+    else padToSchema(readSnap(spark, dir, head.copy(entries = replaced)),
+      dataSchema)
 
   private def splitTouched(head: Snap, partCols: Seq[String],
       touchedRows: Seq[Row]): (Seq[Entry], Seq[Entry]) = {
@@ -916,30 +965,32 @@ object SnapshotTable {
     val collapsed = delta.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
       .localCheckpoint()
-    val touched = collapsed.select(partCols.map(col): _*).distinct()
-      .collect()
-    require(touched.nonEmpty, "empty delta — nothing to merge")
-    val (replaced, kept) = splitTouched(head, partCols, touched.toSeq)
-    val existingTouched = readTouched(spark, dir, head, replaced,
-      dataSchema)
-    // survivors: feed winners that are not deletes, plus stored rows
-    // whose key the feed never mentions (one broadcast-able anti join
-    // on the collapsed keys — the feed is delta-sized)
-    val upserts = collapsed.filter(col(opCol) =!= "D").drop(opCol)
-      .select(dataSchema.fieldNames.map(col).toSeq: _*)
-    val carried = existingTouched.join(
-      collapsed.select(col(key)), Seq(key), "left_anti")
-      .select(dataSchema.fieldNames.map(col).toSeq: _*)
-    val survivors = upserts.unionByName(carried).localCheckpoint()
-    try writeAndCommit(spark, dir, survivors, key, partCols,
-      head.ver + 1, batchId, kept, head.statsKey, newSchema.toDDL,
-      maxRowsPerTask, dirToken)
-    finally {
-      org.apache.spark.sql.graftbridge.ColumnBridge
+    // EVERYTHING after the checkpoint runs under its finally — a
+    // refusal in the touched collect or the partition-key render
+    // (empty feed, null partition value) must not leak the blocks
+    try {
+      val touched = collapsed.select(partCols.map(col): _*).distinct()
+        .collect()
+      require(touched.nonEmpty, "empty delta — nothing to merge")
+      val (replaced, kept) = splitTouched(head, partCols, touched.toSeq)
+      val existingTouched = readTouched(spark, dir, head, replaced,
+        dataSchema)
+      // survivors: feed winners that are not deletes, plus stored rows
+      // whose key the feed never mentions (one broadcast-able anti join
+      // on the collapsed keys — the feed is delta-sized)
+      val upserts = collapsed.filter(col(opCol) =!= "D").drop(opCol)
+        .select(dataSchema.fieldNames.map(col).toSeq: _*)
+      val carried = existingTouched.join(
+        collapsed.select(col(key)), Seq(key), "left_anti")
+        .select(dataSchema.fieldNames.map(col).toSeq: _*)
+      val survivors = upserts.unionByName(carried).localCheckpoint()
+      try writeAndCommit(spark, dir, survivors, key, partCols,
+        head.ver + 1, batchId, kept, head.statsKey, newSchema.toDDL,
+        maxRowsPerTask, dirToken)
+      finally org.apache.spark.sql.graftbridge.ColumnBridge
         .unpersistLocalCheckpoint(survivors)
-      org.apache.spark.sql.graftbridge.ColumnBridge
-        .unpersistLocalCheckpoint(collapsed)
-    }
+    } finally org.apache.spark.sql.graftbridge.ColumnBridge
+      .unpersistLocalCheckpoint(collapsed)
   }
 
   /** OPTIMIZE: rewrite the head's content into fresh compacted
@@ -998,9 +1049,16 @@ object SnapshotTable {
     // works for the salt hash (profile stats are then simply absent)
     val key = head.statsKey.getOrElse(
       df.schema.fields.map(_.name).filterNot(partCols.contains).head)
-    writeAndCommit(spark, dir, df, key, partCols, head.ver + 1,
+    // localCheckpoint: writeAndCommit scans its input up to three
+    // times (profile agg, range-boundary sampling on the zorder
+    // path, the write) — for the one deliberately O(table) operation
+    // that must be ONE parquet pass + block reads, not three scans
+    val pinned = df.localCheckpoint()
+    try writeAndCommit(spark, dir, pinned, key, partCols, head.ver + 1,
       head.batchId, Nil, head.statsKey, head.schemaDdl, maxRowsPerTask,
       dirToken = None, clusterKey = cluster)
+    finally org.apache.spark.sql.graftbridge.ColumnBridge
+      .unpersistLocalCheckpoint(pinned)
   }
 
   /** Retention cut: keep the newest `keep` versions' manifests and

@@ -311,16 +311,19 @@ class Round17Spec extends SparkSpec {
     assert(entry.fileStats.size >= 2,
       s"the zordered dir must carry several file bounds: $entry")
     // bounds really contain each file's extremes (read back and check)
+    assert(entry.fileStats.forall(_.bounds.isDefined),
+      s"spark-written files must all carry usable footer stats: $entry")
     entry.fileStats.foreach { f =>
+      val (mn, mx) = f.bounds.get
       val r = spark.read
         .parquet(s"$tbl/data/${entry.path}/${f.name}")
         .agg(min(col("k")), max(col("k"))).collect()(0)
-      assert(f.min.toLong <= r.getLong(0) && r.getLong(1) <= f.max.toLong,
+      assert(mn.toLong <= r.getLong(0) && r.getLong(1) <= mx.toLong,
         s"footer bounds must contain the file's extremes: $f vs $r")
     }
     // a narrow range inside ONE file's bounds opens exactly that file
-    val tight = entry.fileStats.sortBy(_.min.toLong).head
-    val lo = tight.min.toLong
+    val tight = entry.fileStats.sortBy(_.bounds.get._1.toLong).head
+    val lo = tight.bounds.get._1.toLong
     val paths = SnapshotTable.prunedReadPaths(tbl, snap, "k",
       Some(lo), Some(lo))
     assert(paths == Seq(s"$tbl/data/${entry.path}/${tight.name}"),
@@ -340,6 +343,44 @@ class Round17Spec extends SparkSpec {
         (e.stats.isEmpty && e.fileStats.isEmpty)),
       s"carried entries must lose stale file bounds on a key change: " +
         s"${s3.entries}")
+  }
+
+  test("review closures: string pruning compares byte-wise UTF-8 " +
+      "(a supplementary-plane key above the BMP is not wrongly " +
+      "pruned), and a manifest file listed WITHOUT bounds is opened " +
+      "by every range read") {
+    val tbl = tmpDir("utf8tbl") + "/t"
+    // "�" (EF BF BD) sorts BELOW the emoji (F0 9F 98 80) in
+    // UTF-8 bytes, but ABOVE it in UTF-16 code units (surrogate
+    // D83D < FFFD) — a compareTo-based prune would read max<lo and
+    // drop the entry that really holds the key
+    val hi = "😀" // 😀
+    val rows = Seq(("�", "a", 1), (hi, "b", 1))
+    SnapshotTable.merge(spark, tbl, rows.toDF("k", "v", "p"), "k", "v",
+      Seq("p"), Some(1L))
+    val got = SnapshotTable.readRange(spark, tbl, "k",
+      Some("�"), Some("�"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("�", "a")),
+      s"byte-wise string pruning must keep the BMP key's entry: $got")
+    assert(SnapshotTable.readRange(spark, tbl, "k", Some(hi), Some(hi))
+      .count() == 1L, "the supplementary-plane key must also resolve")
+    // a statless file (bounds=None — e.g. a writer that recorded no
+    // stats) round-trips through the manifest and is ALWAYS opened
+    val head = SnapshotTable.resolve(spark, tbl)
+    val e = head.entries.head
+    SnapshotTable.commitManifest(spark, tbl, head.ver + 1, None,
+      Seq(e.copy(fileStats = e.fileStats :+
+        SnapshotTable.FileStat("ghost.parquet", None))),
+      head.schemaDdl, head.partCols, head.statsKey)
+    val s2 = SnapshotTable.resolve(spark, tbl)
+    assert(s2.entries.head.fileStats
+      .exists(f => f.name == "ghost.parquet" && f.bounds.isEmpty),
+      s"the unbounded file stat must round-trip: ${s2.entries.head}")
+    val paths = SnapshotTable.prunedReadPaths(tbl, s2, "k",
+      Some("�"), Some("�"))
+    assert(paths.exists(_.endsWith("/ghost.parquet")),
+      s"a file without bounds must be opened by every range read: $paths")
   }
 
   test("change data feed: insert/delete/update pre+post images " +
