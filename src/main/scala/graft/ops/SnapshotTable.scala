@@ -1061,6 +1061,42 @@ object SnapshotTable {
       .unpersistLocalCheckpoint(pinned)
   }
 
+  /** PARTITION EVOLUTION: rewrite the head's content under a NEW
+    * partitioning and commit it as the next version — the migration
+    * a long-lived table eventually needs (daily dirs that should have
+    * been monthly, a tenant column that joined the layout late).
+    * Content is IDENTICAL by construction; only the layout and the
+    * manifest's `parts=` line change. Because every manifest records
+    * ITS OWN partitioning, time travel across the evolution is
+    * seamless: a version pinned below the change resolves and reads
+    * under the old layout, and later merges validate against the new
+    * one (the partition-contract refusal now points at the evolved
+    * columns). The head's batch id carries forward, so a replayed
+    * last merge stays a no-op across the migration — the OPTIMIZE
+    * discipline. O(table) by nature, like OPTIMIZE; hot partitions
+    * split, stats and file bounds recomputed for the new dirs. */
+  def repartitionTable(spark: SparkSession, dir: String,
+      newPartCols: Seq[String],
+      maxRowsPerTask: Long = DefaultMaxRowsPerTask): Long = {
+    require(newPartCols.nonEmpty, "newPartCols must name >= 1 column")
+    val head = resolve(spark, dir)
+    require(head.partCols != newPartCols,
+      s"table at $dir is already partitioned by " +
+        s"(${newPartCols.mkString(", ")})")
+    val df = readSnap(spark, dir, head)
+    newPartCols.foreach(c => require(df.columns.contains(c),
+      s"partition column '$c' is not a table column"))
+    requirePathSafe(df, newPartCols)
+    val key = head.statsKey.getOrElse(
+      df.schema.fields.map(_.name).filterNot(newPartCols.contains).head)
+    val pinned = df.localCheckpoint()
+    try writeAndCommit(spark, dir, pinned, key, newPartCols,
+      head.ver + 1, head.batchId, Nil, head.statsKey, head.schemaDdl,
+      maxRowsPerTask, dirToken = None)
+    finally org.apache.spark.sql.graftbridge.ColumnBridge
+      .unpersistLocalCheckpoint(pinned)
+  }
+
   /** Retention cut: keep the newest `keep` versions' manifests and
     * every data dir any retained manifest references; delete the
     * rest. Time travel below the cut refuses loudly ([[resolve]]'s

@@ -10150,6 +10150,48 @@ object Catalog {
           FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01') u) z
       WHERE rn = 1"""))
 
+  /** PARTITION EVOLUTION on the snapshot table
+    * ([[graft.ops.SnapshotTable.repartitionTable]] — the layout
+    * migration a long-lived table eventually needs): q262's two
+    * merges land under (year, month), then the table is rewritten
+    * under (year) alone and a THIRD merge (the 1998-Q4 slice re-sent)
+    * validates against the EVOLVED partitioning. Output = the final
+    * head; the oracle replays the same new-wins dedup — batch 3's
+    * rows are a subset of batch 2's with identical values, so
+    * re-merging them cannot change content, and the hash gate pins
+    * that the migration + post-migration merge preserved every row.
+    * Time travel across the change (old versions read under the OLD
+    * layout) and the old-partCols refusal are spec-pinned. */
+  private val q271 = Q("q271_snapshot_partition_evolution",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q271tbl").toString + "/t"
+      val o = t(s, dir, "orders")
+      def prep(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), lit(src).as("src"),
+          col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        prep(o.filter(col("o_orderdate") <
+          to_timestamp(lit("2000-01-01"))), "old"),
+        "o_orderkey", "order_date", Seq("year", "month"), Some(1L))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        prep(o.filter(col("o_orderdate") >=
+          to_timestamp(lit("1999-01-01"))), "new"),
+        "o_orderkey", "order_date", Seq("year", "month"), Some(2L))
+      graft.ops.SnapshotTable.repartitionTable(s, tbl, Seq("year"))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        prep(o.filter(col("o_orderdate") >=
+            to_timestamp(lit("1998-10-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1999-01-01"))), "old"),
+        "o_orderkey", "order_date", Seq("year"), Some(3L))
+      graft.ops.SnapshotTable.read(s, tbl)
+        .select(col("o_orderkey"), col("src"), col("o_orderstatus"),
+          col("order_date"))
+    },
+    q07.oracle)
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10180,5 +10222,5 @@ object Catalog {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271)
 }

@@ -345,6 +345,49 @@ class Round17Spec extends SparkSpec {
         s"${s3.entries}")
   }
 
+  test("partition evolution: the rewrite commits the new layout in " +
+      "its manifest, merges validate against the evolved partitioning " +
+      "(old partCols refuse), time travel below the change reads the " +
+      "OLD layout, and content is identical through the migration") {
+    val tbl = tmpDir("evoparttbl") + "/t"
+    val rows = Seq((1L, "a1", 1, 10), (2L, "a2", 1, 20),
+      (3L, "a3", 2, 10), (4L, "a4", 2, 20))
+    SnapshotTable.merge(spark, tbl, rows.toDF("k", "v", "p", "q"),
+      "k", "v", Seq("p", "q"), Some(1L))
+    assert(SnapshotTable.repartitionTable(spark, tbl, Seq("p")) == 2L)
+    val head = SnapshotTable.resolve(spark, tbl)
+    assert(head.partCols == Seq("p") &&
+      head.entryPaths.forall(e =>
+        e.startsWith("v=2/__gp_p=") && !e.contains("__gp_q=")),
+      s"the evolved layout must drop q from the dirs: ${head.entryPaths}")
+    def all(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("v"), col("p"), col("q")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getInt(3))).toSet
+    assert(all(SnapshotTable.read(spark, tbl)) == rows.toSet,
+      "the migration must be content-identical")
+    // the pre-evolution version still resolves and reads its own layout
+    val v1 = SnapshotTable.resolve(spark, tbl, Some(1L))
+    assert(v1.partCols == Seq("p", "q") &&
+      v1.entryPaths.forall(_.contains("__gp_q=")))
+    assert(all(SnapshotTable.readSnap(spark, tbl, v1)) == rows.toSet)
+    // merges now validate against the NEW partitioning
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, tbl,
+        Seq((9L, "b9", 1, 30)).toDF("k", "v", "p", "q"),
+        "k", "v", Seq("p", "q"), Some(5L))
+    }
+    assert(SnapshotTable.merge(spark, tbl,
+      Seq((9L, "b9", 1, 30)).toDF("k", "v", "p", "q"),
+      "k", "v", Seq("p"), Some(5L)) == 3L)
+    assert(all(SnapshotTable.read(spark, tbl)) ==
+      rows.toSet + ((9L, "b9", 1, 30)))
+    // a same-layout "evolution" refuses (nothing to do)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.repartitionTable(spark, tbl, Seq("p"))
+    }
+  }
+
   test("review closures: string pruning compares byte-wise UTF-8 " +
       "(a supplementary-plane key above the BMP is not wrongly " +
       "pruned), and a manifest file listed WITHOUT bounds is opened " +
