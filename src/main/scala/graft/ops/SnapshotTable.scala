@@ -630,14 +630,19 @@ object SnapshotTable {
           // bounds are recorded ONLY when EVERY row group carries
           // usable stats — a partial cover would yield too-narrow
           // bounds and prune rows that live in the uncovered blocks.
-          // (An all-null-key block reports hasNonNullValue=false and
-          // !isEmpty... its rows can never match a range predicate,
-          // so treating it as covered-by-nothing is sound; but a
-          // block with NO statistics object at all means unknown
-          // content — the file gets bounds=None and is always opened.)
+          // The discriminator is Statistics.isEmpty, NOT null:
+          // parquet-mr materializes an EMPTY Statistics object when a
+          // row group's footer stats were omitted (e.g. a value
+          // exceeding the stats size cap) — isEmpty=true, unknown
+          // content, the whole file must get bounds=None. An
+          // all-null-key block reports isEmpty=false with
+          // hasNonNullValue=false (its null count IS recorded);
+          // excluding it from the bound computation is sound because
+          // null keys never match a range predicate.
           val usable = stats.filter(s => s != null && s.hasNonNullValue)
+          val unknown = stats.exists(s => s == null || s.isEmpty)
           val bounds =
-            if (stats.exists(_ == null) || usable.isEmpty) None
+            if (unknown || usable.isEmpty) None
             else dt match {
               case LongType => Some((
                 usable.map(_.genericGetMin
@@ -699,22 +704,34 @@ object SnapshotTable {
       }
   }
 
-  /** Shared write+commit tail of [[merge]]/[[mergeCdc]]/[[optimize]]:
-    * profile the output's ACTUAL partitions (post-dedup — the entry
-    * list must name dirs the write really produces, never the delta's
-    * raw partition set), lay them down with hot-partition salting,
-    * and commit `kept ++ produced`. `kept` entries lose their stats
-    * when the stats key changes (conservative: unstated bounds are
-    * never pruned). Empty output commits `kept` alone (a merge whose
-    * every touched row was deleted). */
+  /** Shared write+commit tail of [[merge]]/[[mergeCdc]]/[[optimize]]/
+    * [[repartitionTable]]: profile the output's ACTUAL partitions
+    * (post-dedup — the entry list must name dirs the write really
+    * produces, never the delta's raw partition set), lay them down
+    * with hot-partition salting, and commit `kept ++ produced`.
+    * `statsKey` is the INTENT — the column bounds should describe
+    * (the merge key for merges, the head's recorded key for
+    * rewrites); it is recorded only when stat-safe, and the salt
+    * hash rides it (any scalar column spreads rows). `kept` entries
+    * lose their stats when the recorded key changes (conservative:
+    * unstated bounds are never pruned). Empty output commits `kept`
+    * alone (a merge whose every touched row was deleted). */
   private def writeAndCommit(spark: SparkSession, dir: String,
-      output: DataFrame, key: String, partCols: Seq[String],
+      output: DataFrame, statsKey: Option[String], partCols: Seq[String],
       newVer: Long, batchId: Option[Long], kept: Seq[Entry],
       headStatsKey: Option[String], schemaDdl: String,
       maxRowsPerTask: Long, dirToken: Option[String],
       clusterKey: Option[Column] = None): Long = {
+    // salt/profile column: the stats key when present, else any
+    // non-partition column — needed even statless for the row counts
+    val saltCol = statsKey.orElse(
+      output.schema.fieldNames.find(!partCols.contains(_)))
+    require(saltCol.isDefined,
+      "every column is a partition column — the table would hold no " +
+        "data columns to write")
+    val key = saltCol.get
     val newStatsKey =
-      if (statSafe(output.schema(key).dataType)) Some(key) else None
+      statsKey.filter(c => statSafe(output.schema(c).dataType))
     val keptAdj =
       if (headStatsKey == newStatsKey) kept
       // a stats-key change invalidates dir AND file bounds alike —
@@ -859,7 +876,7 @@ object SnapshotTable {
     // leak its checkpoint blocks into the retry
     val merged = Upsert.merge(delta, existingTouched, key, tieBreak)
       .localCheckpoint()
-    try writeAndCommit(spark, dir, merged, key, partCols,
+    try writeAndCommit(spark, dir, merged, Some(key), partCols,
       head.ver + 1, batchId, kept, head.statsKey, newSchema.toDDL,
       maxRowsPerTask, dirToken)
     finally org.apache.spark.sql.graftbridge.ColumnBridge
@@ -984,7 +1001,7 @@ object SnapshotTable {
         collapsed.select(col(key)), Seq(key), "left_anti")
         .select(dataSchema.fieldNames.map(col).toSeq: _*)
       val survivors = upserts.unionByName(carried).localCheckpoint()
-      try writeAndCommit(spark, dir, survivors, key, partCols,
+      try writeAndCommit(spark, dir, survivors, Some(key), partCols,
         head.ver + 1, batchId, kept, head.statsKey, newSchema.toDDL,
         maxRowsPerTask, dirToken)
       finally org.apache.spark.sql.graftbridge.ColumnBridge
@@ -1045,18 +1062,25 @@ object SnapshotTable {
             pmod(col(b).cast("long"), lit(1073741824L)))
         })
     }
-    // stats key: the head's when it has one, else any scalar column
-    // works for the salt hash (profile stats are then simply absent)
-    val key = head.statsKey.getOrElse(
-      df.schema.fields.map(_.name).filterNot(partCols.contains).head)
-    // localCheckpoint: writeAndCommit scans its input up to three
-    // times (profile agg, range-boundary sampling on the zorder
-    // path, the write) — for the one deliberately O(table) operation
-    // that must be ONE parquet pass + block reads, not three scans
+    rewriteHead(spark, dir, head, df, partCols, maxRowsPerTask, cluster)
+  }
+
+  /** The shared O(table) rewrite tail of [[optimize]] and
+    * [[repartitionTable]]: checkpoint the head's content ONCE (the
+    * commit tail scans its input up to three times — profile agg,
+    * range-boundary sampling on the zorder path, the write — and a
+    * deliberate O(table) operation must be one parquet pass + block
+    * reads, not three scans), then write+commit under `partCols`
+    * preserving the head's STATS KEY intent and carrying its batch id
+    * forward (a replayed last merge stays a no-op across the
+    * rewrite). */
+  private def rewriteHead(spark: SparkSession, dir: String, head: Snap,
+      df: DataFrame, partCols: Seq[String], maxRowsPerTask: Long,
+      clusterKey: Option[Column]): Long = {
     val pinned = df.localCheckpoint()
-    try writeAndCommit(spark, dir, pinned, key, partCols, head.ver + 1,
-      head.batchId, Nil, head.statsKey, head.schemaDdl, maxRowsPerTask,
-      dirToken = None, clusterKey = cluster)
+    try writeAndCommit(spark, dir, pinned, head.statsKey, partCols,
+      head.ver + 1, head.batchId, Nil, head.statsKey, head.schemaDdl,
+      maxRowsPerTask, dirToken = None, clusterKey = clusterKey)
     finally org.apache.spark.sql.graftbridge.ColumnBridge
       .unpersistLocalCheckpoint(pinned)
   }
@@ -1087,14 +1111,8 @@ object SnapshotTable {
     newPartCols.foreach(c => require(df.columns.contains(c),
       s"partition column '$c' is not a table column"))
     requirePathSafe(df, newPartCols)
-    val key = head.statsKey.getOrElse(
-      df.schema.fields.map(_.name).filterNot(newPartCols.contains).head)
-    val pinned = df.localCheckpoint()
-    try writeAndCommit(spark, dir, pinned, key, newPartCols,
-      head.ver + 1, head.batchId, Nil, head.statsKey, head.schemaDdl,
-      maxRowsPerTask, dirToken = None)
-    finally org.apache.spark.sql.graftbridge.ColumnBridge
-      .unpersistLocalCheckpoint(pinned)
+    rewriteHead(spark, dir, head, df, newPartCols, maxRowsPerTask,
+      clusterKey = None)
   }
 
   /** Retention cut: keep the newest `keep` versions' manifests and

@@ -10157,9 +10157,13 @@ object Catalog {
     * under (year) alone and a THIRD merge (the 1998-Q4 slice re-sent)
     * validates against the EVOLVED partitioning. Output = the final
     * head; the oracle replays the same new-wins dedup — batch 3's
-    * rows are a subset of batch 2's with identical values, so
-    * re-merging them cannot change content, and the hash gate pins
-    * that the migration + post-migration merge preserved every row.
+    * rows are a subset of BATCH 1's (src='old', all < 1999-01-01, so
+    * disjoint from batch 2's 'new' slice) with identical values:
+    * their stored winners are those very rows, re-merging them cannot
+    * change content, and the hash gate pins that the migration +
+    * post-migration merge preserved every row. (Widening batch 3 past
+    * 1999-01-01 would send 'old' rows against stored 'new' winners
+    * and flip them — keep the slice inside batch 1's range.)
     * Time travel across the change (old versions read under the OLD
     * layout) and the old-partCols refusal are spec-pinned. */
   private val q271 = Q("q271_snapshot_partition_evolution",
