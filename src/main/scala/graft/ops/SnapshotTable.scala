@@ -611,17 +611,54 @@ object SnapshotTable {
     * binary (string) stats; truncation keeps min a lower bound and
     * max an upper bound (the BinaryTruncator contract), so pruning
     * with them stays sound — they are bounds, not exact extremes. */
-  private def footerStats(spark: SparkSession, dirPath: Path,
-      key: String, dt: DataType): Seq[FileStat] = {
-    import scala.jdk.CollectionConverters._
+  /** Harvest per-file key bounds for every produced entry. Listing is
+    * driver-side (bounded by the commit's touched dirs); the FOOTER
+    * reads distribute: a small commit (the daily narrow delta) reads
+    * its few footers serially on the driver — no job-scheduling
+    * latency — while a large one (bulk load, OPTIMIZE over 10³-10⁵
+    * dirs) ships the footer reads to the executors as one Spark job
+    * (the session's Hadoop conf rides a SerializableConfiguration —
+    * a task-side default Configuration would drop credentials/
+    * endpoint settings on a real cluster). Iceberg collects these in
+    * the write tasks; reading them back from footers keeps the write
+    * path stock while staying O(files)/cluster-parallel. */
+  private def harvestFileStats(spark: SparkSession,
+      dirs: Seq[(String, Path)], key: String, dt: DataType)
+      : Map[String, Seq[FileStat]] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = dirPath.getFileSystem(conf)
-    fs.listStatus(dirPath).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
+    val files: Seq[(String, String)] = dirs.flatMap { case (ep, p) =>
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => ep -> st.getPath.toString).toSeq
+    }
+    val harvested: Seq[(String, FileStat)] =
+      if (files.size <= 32)
+        files.map { case (ep, f) => ep -> footerBounds(conf, f, key, dt) }
+      else {
+        val sconf = new org.apache.spark.util.SerializableConfiguration(
+          conf)
+        val (k, d) = (key, dt)
+        spark.sparkContext
+          .parallelize(files, math.min(64, 1 + files.size / 8))
+          .map { case (ep, f) =>
+            ep -> SnapshotTable.footerBounds(sconf.value, f, k, d)
+          }
+          .collect().toSeq
+      }
+    harvested.groupBy(_._1).map { case (ep, fs) => ep -> fs.map(_._2) }
+  }
+
+  /** One file's key bounds from its parquet footer — a metadata-only
+    * read, callable on driver or executor (takes a bare Hadoop conf). */
+  private[ops] def footerBounds(
+      conf: org.apache.hadoop.conf.Configuration, file: String,
+      key: String, dt: DataType): FileStat = {
+    import scala.jdk.CollectionConverters._
+    val p = new Path(file)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(st, conf))
+            .fromPath(p, conf))
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
           val stats = blocks.map(b => b.getColumns.asScala
@@ -671,9 +708,8 @@ object SnapshotTable {
                     if (utf8Cmp(a, b) >= 0) a else b)))
               case _ => None
             }
-          FileStat(st.getPath.getName, bounds)
+          FileStat(p.getName, bounds)
         } finally reader.close()
-      }
   }
 
   /** Per-partition (row count, key min, key max) of `df`, collected —
@@ -754,13 +790,17 @@ object SnapshotTable {
         xxhash64(col(key)), profile.map(p => (p._1, p._2)), maxRowsPerTask,
         clusterKey)
     // file-level bounds from the freshly-written footers (metadata
-    // reads, O(files this commit wrote)); carried entries keep theirs
+    // reads, O(files this commit wrote), executor-distributed when
+    // many); carried entries keep theirs
     val producedF =
       if (newStatsKey.isEmpty) produced
       else {
         val dt = output.schema(key).dataType
-        produced.map(e => e.copy(fileStats =
-          footerStats(spark, new Path(s"$dir/data/${e.path}"), key, dt)))
+        val byEntry = harvestFileStats(spark,
+          produced.map(e => e.path -> new Path(s"$dir/data/${e.path}")),
+          key, dt)
+        produced.map(e =>
+          e.copy(fileStats = byEntry.getOrElse(e.path, Nil)))
       }
     commitManifest(spark, dir, newVer, batchId, keptAdj ++ producedF,
       schemaDdl, partCols, newStatsKey)
@@ -1066,24 +1106,25 @@ object SnapshotTable {
   }
 
   /** The shared O(table) rewrite tail of [[optimize]] and
-    * [[repartitionTable]]: checkpoint the head's content ONCE (the
-    * commit tail scans its input up to three times — profile agg,
-    * range-boundary sampling on the zorder path, the write — and a
-    * deliberate O(table) operation must be one parquet pass + block
-    * reads, not three scans), then write+commit under `partCols`
-    * preserving the head's STATS KEY intent and carrying its batch id
-    * forward (a replayed last merge stays a no-op across the
-    * rewrite). */
+    * [[repartitionTable]]: write+commit under `partCols` preserving
+    * the head's STATS KEY intent and carrying its batch id forward
+    * (a replayed last merge stays a no-op across the rewrite).
+    *
+    * Deliberately NOT localCheckpoint'ed, unlike the merge paths: the
+    * input here is a plain parquet read of immutable committed dirs —
+    * re-scanning it for the profile agg and the write is columnar,
+    * compressed, pushdown-friendly I/O, while materializing the WHOLE
+    * table as uncompressed row blocks costs more than the scans it
+    * saves (measured at 50M rows/400 partitions: checkpointed
+    * OPTIMIZE 17.7 s vs re-scanning 5.9 s). The merge paths keep
+    * their checkpoints because their inputs are delta-sized and may
+    * sit atop expensive upstream plans. */
   private def rewriteHead(spark: SparkSession, dir: String, head: Snap,
       df: DataFrame, partCols: Seq[String], maxRowsPerTask: Long,
-      clusterKey: Option[Column]): Long = {
-    val pinned = df.localCheckpoint()
-    try writeAndCommit(spark, dir, pinned, head.statsKey, partCols,
+      clusterKey: Option[Column]): Long =
+    writeAndCommit(spark, dir, df, head.statsKey, partCols,
       head.ver + 1, head.batchId, Nil, head.statsKey, head.schemaDdl,
       maxRowsPerTask, dirToken = None, clusterKey = clusterKey)
-    finally org.apache.spark.sql.graftbridge.ColumnBridge
-      .unpersistLocalCheckpoint(pinned)
-  }
 
   /** PARTITION EVOLUTION: rewrite the head's content under a NEW
     * partitioning and commit it as the next version — the migration
