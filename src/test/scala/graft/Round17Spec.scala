@@ -388,6 +388,32 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("distributed footer harvest: a commit writing more than 32 " +
+      "files ships the footer reads to the executors (the session " +
+      "conf rides a SerializableConfiguration) and every file still " +
+      "gets correct bounds — point reads open exactly one file") {
+    val tbl = tmpDir("bigharvest") + "/t"
+    val rows = (1L to 120L).map(k => (k, s"a$k", (k % 3).toInt))
+    // cap 2 rows/task+file: 120 rows over 3 partitions → ~60 tasks,
+    // >= 60 files — well past the 32-file serial/distributed cutover
+    SnapshotTable.merge(spark, tbl, rows.toDF("k", "v", "p"), "k", "v",
+      Seq("p"), Some(1L), maxRowsPerTask = 2L)
+    val snap = SnapshotTable.resolve(spark, tbl)
+    val nFiles = snap.entries.map(_.fileStats.size).sum
+    assert(nFiles > 32,
+      s"the fixture must cross the distributed cutover, got $nFiles")
+    assert(snap.entries.flatMap(_.fileStats).forall(_.bounds.isDefined),
+      "every spark-written file must carry harvested bounds")
+    // a point read opens exactly the files whose bounds admit the key
+    val paths = SnapshotTable.prunedReadPaths(tbl, snap, "k",
+      Some(77L), Some(77L))
+    assert(paths.nonEmpty && paths.size < nFiles / 4,
+      s"a point read must open a small fraction: ${paths.size}/$nFiles")
+    assert(content(SnapshotTable.readRange(spark, tbl, "k",
+      Some(77L), Some(77L))) == Set((77L, "a77", 2)))
+    assert(content(SnapshotTable.read(spark, tbl)) == rows.toSet)
+  }
+
   test("review closures: string pruning compares byte-wise UTF-8 " +
       "(a supplementary-plane key above the BMP is not wrongly " +
       "pruned), and a manifest file listed WITHOUT bounds is opened " +
