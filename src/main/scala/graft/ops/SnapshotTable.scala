@@ -191,6 +191,15 @@ object SnapshotTable {
     case _ => false
   }
 
+  /** Loud, before any work: a duplicated partition column would only
+    * surface as an opaque duplicate-`__gp_` AnalysisException deep in
+    * the write, after the table scan is already paid. */
+  private def requireDistinctCols(partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "partCols must name >= 1 column")
+    require(partCols.distinct.size == partCols.size,
+      s"partition columns must be distinct, got ${partCols.mkString(", ")}")
+  }
+
   private def requirePathSafe(df: DataFrame, partCols: Seq[String]): Unit =
     partCols.foreach { c =>
       val dt = df.schema(c).dataType
@@ -601,46 +610,47 @@ object SnapshotTable {
       to.entryPaths.filterNot(shared.contains))
   }
 
-  /** Per-file key bounds of every parquet file under `dirPath`,
-    * harvested from the FOOTERS — metadata-only reads on the driver,
-    * never a data pass (the Iceberg stats-collection mechanism; one
-    * footer per file the commit just wrote, O(delta files)). A file
-    * whose footer carries no usable stats for the key (all-null key
-    * rows, or a writer that recorded none) gets no [[FileStat]] —
-    * conservative: such files are always opened. Parquet may TRUNCATE
-    * binary (string) stats; truncation keeps min a lower bound and
-    * max an upper bound (the BinaryTruncator contract), so pruning
-    * with them stays sound — they are bounds, not exact extremes. */
-  /** Harvest per-file key bounds for every produced entry. Listing is
-    * driver-side (bounded by the commit's touched dirs); the FOOTER
-    * reads distribute: a small commit (the daily narrow delta) reads
-    * its few footers serially on the driver — no job-scheduling
-    * latency — while a large one (bulk load, OPTIMIZE over 10³-10⁵
-    * dirs) ships the footer reads to the executors as one Spark job
-    * (the session's Hadoop conf rides a SerializableConfiguration —
-    * a task-side default Configuration would drop credentials/
-    * endpoint settings on a real cluster). Iceberg collects these in
-    * the write tasks; reading them back from footers keeps the write
-    * path stock while staying O(files)/cluster-parallel. */
+  /** Harvest per-file key bounds for every produced entry — the
+    * Iceberg stats-collection mechanism read back from the FOOTERS
+    * (metadata-only, never a data pass; parquet may TRUNCATE binary
+    * stats, which keeps min a lower bound and max an upper bound —
+    * the BinaryTruncator contract — so pruning with them stays
+    * sound). Listing is driver-side (bounded by the commit's touched
+    * dirs); the footer reads distribute: a small commit (the daily
+    * narrow delta) reads its few footers serially on the driver —
+    * reusing the listing's FileStatus, no extra status round-trip,
+    * no job-scheduling latency — while a large one (bulk load,
+    * OPTIMIZE over 10³-10⁵ dirs) ships the reads to the executors as
+    * one Spark job (the session's Hadoop conf rides a
+    * SerializableConfiguration — a task-side default Configuration
+    * would drop credentials/endpoint settings on a real cluster). */
   private def harvestFileStats(spark: SparkSession,
       dirs: Seq[(String, Path)], key: String, dt: DataType)
       : Map[String, Seq[FileStat]] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val files: Seq[(String, String)] = dirs.flatMap { case (ep, p) =>
-      val fs = p.getFileSystem(conf)
-      fs.listStatus(p)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(st => ep -> st.getPath.toString).toSeq
-    }
+    val files: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      dirs.flatMap { case (ep, p) =>
+        val fs = p.getFileSystem(conf)
+        fs.listStatus(p)
+          .filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet"))
+          .map(st => ep -> st).toSeq
+      }
     val harvested: Seq[(String, FileStat)] =
       if (files.size <= 32)
-        files.map { case (ep, f) => ep -> footerBounds(conf, f, key, dt) }
+        files.map { case (ep, st) =>
+          ep -> boundsOf(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, conf), st.getPath.getName, key, dt)
+        }
       else {
         val sconf = new org.apache.spark.util.SerializableConfiguration(
           conf)
         val (k, d) = (key, dt)
         spark.sparkContext
-          .parallelize(files, math.min(64, 1 + files.size / 8))
+          .parallelize(files.map { case (ep, st) =>
+            ep -> st.getPath.toString
+          }, math.min(64, 1 + files.size / 8))
           .map { case (ep, f) =>
             ep -> SnapshotTable.footerBounds(sconf.value, f, k, d)
           }
@@ -654,11 +664,16 @@ object SnapshotTable {
   private[ops] def footerBounds(
       conf: org.apache.hadoop.conf.Configuration, file: String,
       key: String, dt: DataType): FileStat = {
-    import scala.jdk.CollectionConverters._
     val p = new Path(file)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(p, conf))
+    boundsOf(org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, conf), p.getName, key, dt)
+  }
+
+  private def boundsOf(
+      in: org.apache.parquet.hadoop.util.HadoopInputFile, name: String,
+      key: String, dt: DataType): FileStat = {
+    import scala.jdk.CollectionConverters._
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
           val stats = blocks.map(b => b.getColumns.asScala
@@ -708,7 +723,7 @@ object SnapshotTable {
                     if (utf8Cmp(a, b) >= 0) a else b)))
               case _ => None
             }
-          FileStat(p.getName, bounds)
+          FileStat(name, bounds)
         } finally reader.close()
   }
 
@@ -814,7 +829,7 @@ object SnapshotTable {
   private def mergePreamble(spark: SparkSession, dir: String,
       dataSchema: StructType, partCols: Seq[String],
       batchId: Option[Long]): Either[Long, (Snap, StructType)] = {
-    require(partCols.nonEmpty, "partCols must name >= 1 column")
+    requireDistinctCols(partCols)
     require(!dataSchema.toDDL.contains("\n"),
       "delta schema DDL must be a single line (multi-line column " +
         "metadata comments are not supported) — checked BEFORE any " +
@@ -1143,7 +1158,7 @@ object SnapshotTable {
   def repartitionTable(spark: SparkSession, dir: String,
       newPartCols: Seq[String],
       maxRowsPerTask: Long = DefaultMaxRowsPerTask): Long = {
-    require(newPartCols.nonEmpty, "newPartCols must name >= 1 column")
+    requireDistinctCols(newPartCols)
     val head = resolve(spark, dir)
     require(head.partCols != newPartCols,
       s"table at $dir is already partitioned by " +
