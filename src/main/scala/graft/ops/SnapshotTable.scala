@@ -600,6 +600,70 @@ object SnapshotTable {
       .select(col("_r.*"), col("_change_type"))
   }
 
+  /** PUBLISH the head's unpublished changes into an append-only
+    * parquet landing — the bridge that makes the table a STREAMING
+    * SOURCE with the machinery Spark already has: the landing is a
+    * plain directory a `readStream.parquet` file source consumes
+    * (the same manifest-landing shape the media pipeline streams
+    * through), and this publisher is the maintenance step a cron or
+    * foreachBatch loop calls after its merges.
+    *
+    * State IS the landing: each publish writes ONE range dir
+    * `changes_v<from>_v<to>` (tmp+rename, `_`-prefixed staging that
+    * file sources ignore), and the next publish resumes from the
+    * largest published `to`. Consumers read the GLOB
+    * `<outDir>/changes_*` (batch or stream — range dirs are not
+    * hive-partition dirs, so a bare directory read would not recurse
+    * into them). Replay-safe by construction — a replayed
+    * publish finds its range dir already present and no-ops; a crash
+    * mid-write leaves only hidden staging a later attempt replaces.
+    * The first publish emits the whole head as `insert` rows; later
+    * ones emit [[changesBetween]]'s NET diff of the range (coarser
+    * than Delta's per-commit CDF when several versions land between
+    * publishes — the range rides every row as `_from_version`/
+    * `_to_version`, so consumers see exactly what was collapsed).
+    * Publishing must outpace [[retainNewest]]: a from-version below
+    * the retention floor refuses loudly in resolve rather than
+    * silently emitting a wrong diff. Returns the published range, or
+    * None when the head is already published. */
+  def publishChanges(spark: SparkSession, dir: String, key: String,
+      outDir: String): Option[(Long, Long)] = {
+    val fs = fsOf(spark, outDir)
+    val out = new Path(outDir)
+    val rangeRe = "^changes_v([0-9]+)_v([0-9]+)$".r
+    val published =
+      if (!fs.exists(out)) 0L
+      else fs.listStatus(out).toSeq.map(_.getPath.getName).collect {
+        case rangeRe(_, b) => b.toLong
+      }.maxOption.getOrElse(0L)
+    // stale staging from a crashed attempt (hidden from readers by
+    // the `_` prefix, and its range will be recomputed from the
+    // published floor anyway — possibly wider, under a new name)
+    if (fs.exists(out))
+      fs.listStatus(out).toSeq
+        .filter(_.getPath.getName.startsWith("_staging_changes_"))
+        .foreach(st => fs.delete(st.getPath, true))
+    val head = resolve(spark, dir)
+    if (head.ver <= published) return None
+    val changes =
+      if (published == 0L)
+        readSnap(spark, dir, head)
+          .withColumn("_change_type", lit("insert"))
+      else changesBetween(spark, dir, key, published, head.ver)
+    val stamped = changes
+      .withColumn("_from_version", lit(published))
+      .withColumn("_to_version", lit(head.ver))
+    val dest = new Path(out, s"changes_v${published}_v${head.ver}")
+    if (fs.exists(dest)) return Some((published, head.ver)) // replayed
+    val tmp = new Path(out,
+      s"_staging_changes_v${published}_v${head.ver}")
+    stamped.write.mode("overwrite")
+      .option("compression", "snappy").parquet(tmp.toString)
+    require(fs.rename(tmp, dest) || fs.exists(dest),
+      s"failed to publish $dest — concurrent publisher?")
+    Some((published, head.ver))
+  }
+
   /** The entry pair [[changesBetween]] actually reads — exposed for
     * the spec that pins the shared-entry skip (the O(changed
     * partitions) claim). */

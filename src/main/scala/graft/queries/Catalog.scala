@@ -10196,6 +10196,92 @@ object Catalog {
     },
     q07.oracle)
 
+  /** STREAMING-SOURCE BRIDGE for the snapshot table
+    * ([[graft.ops.SnapshotTable.publishChanges]]): the CDF published
+    * into an append-only, range-named parquet landing that Spark's
+    * stock file source consumes — the table-as-a-source rung, earned
+    * with the engine's own manifest-landing shape instead of a
+    * hand-rolled reader. Two publishes land here: the whole head as
+    * `insert` rows after the base merge (range v0→v1), then the net
+    * diff of the CDC batch (v1→v2, q269's four change classes); the
+    * output is the BATCH read of the landing glob — exactly what a
+    * streaming consumer drains (spec-pinned with a real
+    * `readStream.parquet` AvailableNow run; replay/no-op/staging-
+    * sweep discipline also spec-pinned). The oracle replays both
+    * published ranges analytically, version stamps included. */
+  private val q272 = Q("q272_snapshot_publish_changes",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q272tbl").toString + "/t"
+      val land = graft.Scratch.createTempDir("q272land").toString
+      val li = t(s, dir, "lineitem")
+      def qty = col("l_quantity").cast(dec2).cast("string").as("quantity")
+      val base = li.filter(col("l_linenumber") === 1).select(
+        col("l_orderkey"), col("l_linenumber"), qty,
+        (col("l_orderkey") % 4).as("part"))
+      graft.ops.SnapshotTable.merge(s, tbl, base,
+        "l_orderkey", "quantity", Seq("part"), Some(1L))
+      graft.ops.SnapshotTable.publishChanges(s, tbl, "l_orderkey", land)
+      val feed = li.filter(col("l_linenumber") >= 2).select(
+        col("l_orderkey"), col("l_linenumber"), qty,
+        (col("l_orderkey") % 4).as("part"),
+        when(col("l_linenumber") === 7, "D").otherwise("U").as("op"))
+      graft.ops.SnapshotTable.mergeCdc(s, tbl, feed, "l_orderkey",
+        Seq("l_linenumber", "quantity"), "op", Seq("part"), Some(2L))
+      graft.ops.SnapshotTable.publishChanges(s, tbl, "l_orderkey", land)
+      s.read.parquet(s"$land/changes_*")
+        .select(col("l_orderkey"), col("l_linenumber"), col("quantity"),
+          col("part"), col("_change_type"), col("_from_version"),
+          col("_to_version"))
+    },
+    Some("""WITH base AS (
+        SELECT l_orderkey, l_linenumber, quantity, part FROM (
+          SELECT l_orderkey, l_linenumber,
+            CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS quantity,
+            l_orderkey % 4 AS part,
+            row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                DESC) rn
+          FROM lineitem WHERE l_linenumber = 1) z WHERE rn = 1),
+      fw AS (
+        SELECT l_orderkey, l_linenumber, quantity, part, op FROM (
+          SELECT l_orderkey, l_linenumber,
+            CASE WHEN l_linenumber = 7 THEN 'D' ELSE 'U' END AS op,
+            CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS quantity,
+            l_orderkey % 4 AS part,
+            row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber DESC,
+                CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                DESC) rn
+          FROM lineitem WHERE l_linenumber >= 2) z WHERE rn = 1)
+      SELECT l_orderkey, l_linenumber, quantity, part,
+        'insert' AS _change_type, CAST(0 AS BIGINT) AS _from_version,
+        CAST(1 AS BIGINT) AS _to_version
+      FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, quantity, part, _change_type,
+        CAST(1 AS BIGINT) AS _from_version,
+        CAST(2 AS BIGINT) AS _to_version
+      FROM (
+        SELECT f.l_orderkey, f.l_linenumber, f.quantity, f.part,
+          'insert' AS _change_type
+        FROM fw f WHERE f.op <> 'D' AND NOT EXISTS
+          (SELECT 1 FROM base b WHERE b.l_orderkey = f.l_orderkey)
+        UNION ALL
+        SELECT b.l_orderkey, b.l_linenumber, b.quantity, b.part,
+          'delete' AS _change_type
+        FROM base b JOIN fw f ON f.l_orderkey = b.l_orderkey
+          AND f.op = 'D'
+        UNION ALL
+        SELECT b.l_orderkey, b.l_linenumber, b.quantity, b.part,
+          'update_preimage' AS _change_type
+        FROM base b JOIN fw f ON f.l_orderkey = b.l_orderkey
+          AND f.op <> 'D'
+        UNION ALL
+        SELECT f.l_orderkey, f.l_linenumber, f.quantity, f.part,
+          'update_postimage' AS _change_type
+        FROM fw f JOIN base b ON b.l_orderkey = f.l_orderkey
+          AND f.op <> 'D') cdf"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10226,5 +10312,5 @@ object Catalog {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272)
 }

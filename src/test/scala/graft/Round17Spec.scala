@@ -388,6 +388,70 @@ class Round17Spec extends SparkSpec {
     }
   }
 
+  test("publishChanges: the CDF lands append-only and range-named " +
+      "(first publish = whole head as inserts, later = net diffs), a " +
+      "replayed publish is a no-op, a crashed attempt's staging is " +
+      "swept, and Structured Streaming consumes the landing with the " +
+      "plain parquet file source") {
+    val tbl = tmpDir("pubtbl") + "/t"
+    val land = tmpDir("publand")
+    val b1 = Seq((1L, "a1", 1), (2L, "a2", 1), (3L, "a3", 2))
+      .toDF("k", "v", "p")
+    SnapshotTable.merge(spark, tbl, b1, "k", "v", Seq("p"), Some(1L))
+    assert(SnapshotTable.publishChanges(spark, tbl, "k", land)
+      .contains((0L, 1L)))
+    // replay with nothing new: no-op
+    assert(SnapshotTable.publishChanges(spark, tbl, "k", land).isEmpty)
+    // seq = the existing v column: no schema evolution mid-landing,
+    // so every published file shares one schema (a widened landing
+    // still reads — name-based resolution nulls the old files'
+    // missing columns — but a single-schema landing is the shape to
+    // test the stream against)
+    val feed = Seq((1L, "a1", 1, "D"), (2L, "b2", 1, "U"),
+      (9L, "b9", 2, "I")).toDF("k", "v", "p", "op")
+    SnapshotTable.mergeCdc(spark, tbl, feed, "k", Seq("v"), "op",
+      Seq("p"), Some(2L))
+    // plant a stale staging dir (a crashed attempt) — must be swept
+    val fs = new org.apache.hadoop.fs.Path(land).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$land/_staging_changes_v1_v2"))
+    assert(SnapshotTable.publishChanges(spark, tbl, "k", land)
+      .contains((1L, 2L)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$land/_staging_changes_v1_v2")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$land/changes_v1_v2")),
+      "stale staging must be swept and the real range published")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("v"), col("_change_type"),
+        col("_from_version"), col("_to_version")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val want = Set(
+      (1L, "a1", "insert", 0L, 1L), (2L, "a2", "insert", 0L, 1L),
+      (3L, "a3", "insert", 0L, 1L),
+      (1L, "a1", "delete", 1L, 2L),
+      (2L, "a2", "update_preimage", 1L, 2L),
+      (2L, "b2", "update_postimage", 1L, 2L),
+      (9L, "b9", "insert", 1L, 2L))
+    assert(rows(spark.read.parquet(s"$land/changes_*")) == want,
+      "the landing must hold exactly the published change history")
+    // the landing is a STREAMING source with stock machinery
+    val sink = s"pub_sink_${System.nanoTime()}"
+    val q = spark.readStream
+      .schema(spark.read.parquet(s"$land/changes_*").schema)
+      .parquet(s"$land/changes_*")
+      .writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(rows(spark.table(sink)) == want,
+      "a parquet file stream must consume the landing as-is")
+    spark.catalog.dropTempView(sink)
+    // replay after everything published: still a no-op
+    assert(SnapshotTable.publishChanges(spark, tbl, "k", land).isEmpty)
+  }
+
   test("distributed footer harvest: a commit writing more than 32 " +
       "files ships the footer reads to the executors (the session " +
       "conf rides a SerializableConfiguration) and every file still " +
