@@ -609,12 +609,18 @@ object SnapshotTable {
     * foreachBatch loop calls after its merges.
     *
     * State IS the landing: each publish writes ONE range dir
-    * `changes_v<from>_v<to>` (tmp+rename, `_`-prefixed staging that
-    * file sources ignore), and the next publish resumes from the
+    * `changes_v<from>_v<to>` (per-attempt staging + rename,
+    * `_`-prefixed staging that file sources ignore; crashed staging
+    * sweeps on an age guard so a concurrent publisher's fresh
+    * staging survives), and the next publish resumes from the
     * largest published `to`. Consumers read the GLOB
     * `<outDir>/changes_*` (batch or stream — range dirs are not
     * hive-partition dirs, so a bare directory read would not recurse
-    * into them). Replay-safe by construction — a replayed
+    * into them). On a landing whose schema WIDENED between publishes
+    * (the table evolved), pass an explicit schema (the stream API
+    * requires one anyway) or set `mergeSchema=true` for batch reads:
+    * the default batch inference picks one footer and would silently
+    * drop the added column from older files' rows. Replay-safe by construction — a replayed
     * publish finds its range dir already present and no-ops; a crash
     * mid-write leaves only hidden staging a later attempt replaces.
     * The first publish emits the whole head as `insert` rows; later
@@ -627,24 +633,39 @@ object SnapshotTable {
     * silently emitting a wrong diff. Returns the published range, or
     * None when the head is already published. */
   def publishChanges(spark: SparkSession, dir: String, key: String,
-      outDir: String): Option[(Long, Long)] = {
+      outDir: String, stagingGraceMs: Long = 3600000L)
+      : Option[(Long, Long)] = {
     val fs = fsOf(spark, outDir)
     val out = new Path(outDir)
     val rangeRe = "^changes_v([0-9]+)_v([0-9]+)$".r
-    val published =
-      if (!fs.exists(out)) 0L
-      else fs.listStatus(out).toSeq.map(_.getPath.getName).collect {
-        case rangeRe(_, b) => b.toLong
-      }.maxOption.getOrElse(0L)
-    // stale staging from a crashed attempt (hidden from readers by
-    // the `_` prefix, and its range will be recomputed from the
-    // published floor anyway — possibly wider, under a new name)
-    if (fs.exists(out))
-      fs.listStatus(out).toSeq
-        .filter(_.getPath.getName.startsWith("_staging_changes_"))
-        .foreach(st => fs.delete(st.getPath, true))
+    // ONE listing serves the floor, the sweep, and the replay check —
+    // a cron-tick path should not pay several LIST round trips
+    val listing =
+      if (fs.exists(out)) fs.listStatus(out).toSeq else Nil
+    val published = listing.map(_.getPath.getName).collect {
+      case rangeRe(_, b) => b.toLong
+    }.maxOption.getOrElse(0L)
+    // stale staging from a CRASHED attempt: staging names are unique
+    // per attempt, so an age guard (the vacuum discipline) is what
+    // separates crashed from in-flight — a concurrent publisher's
+    // fresh staging survives its neighbor's sweep
+    val cutoff = System.currentTimeMillis() - stagingGraceMs
+    listing.filter(st =>
+        st.getPath.getName.startsWith("_staging_changes_") &&
+          st.getModificationTime <= cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
     val head = resolve(spark, dir)
-    if (head.ver <= published) return None
+    // a floor ABOVE the head is always a misconfiguration (a rebuilt
+    // table against an old landing, or someone else's landing) —
+    // silent None here would report healthy forever while no changes
+    // flow and the landing's history describes different content
+    require(published <= head.ver,
+      s"landing $outDir is published through v$published but the " +
+        s"table head is v${head.ver} — this landing belongs to a " +
+        "different (or rebuilt) table")
+    if (head.ver == published) return None
+    if (published == 0L && head.entries.isEmpty)
+      return None // an empty head has nothing to seed
     val changes =
       if (published == 0L)
         readSnap(spark, dir, head)
@@ -655,12 +676,30 @@ object SnapshotTable {
       .withColumn("_to_version", lit(head.ver))
     val dest = new Path(out, s"changes_v${published}_v${head.ver}")
     if (fs.exists(dest)) return Some((published, head.ver)) // replayed
+    // per-ATTEMPT staging name (the mergeRetrying dir-token
+    // discipline): two racing publishers of the same range stage into
+    // disjoint dirs, so neither can half-overwrite the other's files;
+    // the rename is the single contention point
     val tmp = new Path(out,
-      s"_staging_changes_v${published}_v${head.ver}")
+      s"_staging_changes_v${published}_v${head.ver}." +
+        java.lang.Long.toHexString(System.nanoTime()))
     stamped.write.mode("overwrite")
       .option("compression", "snappy").parquet(tmp.toString)
-    require(fs.rename(tmp, dest) || fs.exists(dest),
-      s"failed to publish $dest — concurrent publisher?")
+    if (fs.exists(dest)) {
+      // the racer won while we were writing; both computed the same
+      // deterministic diff from the same (floor, head), so the
+      // published content is the same — drop our staging and accept
+      fs.delete(tmp, true)
+      return Some((published, head.ver))
+    }
+    val renamed = fs.rename(tmp, dest)
+    // POSIX rename into an EXISTING dir nests the source inside it —
+    // if a racer's dest appeared in the window, our staging landed as
+    // a hidden child of the winner's dir; remove it and accept
+    val nested = new Path(dest, tmp.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
+    require(renamed || fs.exists(dest),
+      s"failed to publish $dest")
     Some((published, head.ver))
   }
 

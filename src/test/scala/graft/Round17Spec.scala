@@ -403,25 +403,33 @@ class Round17Spec extends SparkSpec {
     // replay with nothing new: no-op
     assert(SnapshotTable.publishChanges(spark, tbl, "k", land).isEmpty)
     // seq = the existing v column: no schema evolution mid-landing,
-    // so every published file shares one schema (a widened landing
-    // still reads — name-based resolution nulls the old files'
-    // missing columns — but a single-schema landing is the shape to
-    // test the stream against)
+    // so every published file shares one schema (a WIDENED landing
+    // needs an explicit schema or mergeSchema=true — default batch
+    // inference picks one footer and silently drops the added column
+    // from older files; stated in publishChanges' doc)
     val feed = Seq((1L, "a1", 1, "D"), (2L, "b2", 1, "U"),
       (9L, "b9", 2, "I")).toDF("k", "v", "p", "op")
     SnapshotTable.mergeCdc(spark, tbl, feed, "k", Seq("v"), "op",
       Seq("p"), Some(2L))
-    // plant a stale staging dir (a crashed attempt) — must be swept
+    // plant CRASHED staging (old mtime, a name no current attempt
+    // uses) and an IN-FLIGHT one (fresh): the sweep must take the
+    // first and spare the second — a concurrent publisher's live
+    // staging must survive its neighbor's sweep
     val fs = new org.apache.hadoop.fs.Path(land).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(
-      s"$land/_staging_changes_v1_v2"))
+    val crashed = new org.apache.hadoop.fs.Path(
+      s"$land/_staging_changes_v0_v9.dead")
+    val inflight = new org.apache.hadoop.fs.Path(
+      s"$land/_staging_changes_v1_v2.live")
+    fs.mkdirs(crashed); fs.mkdirs(inflight)
+    fs.setTimes(crashed, System.currentTimeMillis() - 7200000L, -1)
     assert(SnapshotTable.publishChanges(spark, tbl, "k", land)
       .contains((1L, 2L)))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      s"$land/_staging_changes_v1_v2")) ||
-      fs.exists(new org.apache.hadoop.fs.Path(s"$land/changes_v1_v2")),
-      "stale staging must be swept and the real range published")
+    assert(!fs.exists(crashed),
+      "crashed staging older than the grace window must be swept")
+    assert(fs.exists(inflight),
+      "a concurrent publisher's fresh staging must survive the sweep")
+    fs.delete(inflight, true)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select(col("k"), col("v"), col("_change_type"),
         col("_from_version"), col("_to_version")).collect()
