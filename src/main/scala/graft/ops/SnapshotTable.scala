@@ -84,15 +84,21 @@ import org.apache.spark.sql.types._
   *  - Plain [[merge]]/[[mergeCdc]]/[[optimize]] keep the single-writer
   *    discipline of every store in this engine, with a violation made
   *    LOUD: the commit refuses if `_snap.<ver>` already exists before
-  *    its rename, and re-reads the manifest after the rename
-  *    requiring its own bytes (local filesystems let `rename` replace
-  *    an existing destination, POSIX).
-  *  - Across PROCESSES those checks are best-effort DETECTION, not a
-  *    lock: a racer whose data write and rename both land after the
-  *    winner's read-back can still replace the manifest undetected.
-  *    Cross-process coordination belongs to the caller, as in every
-  *    maintenance store here (a real lock service or a
-  *    create-exclusive filesystem is the missing primitive). */
+  *    its rename, claims the version with a NO-CLOBBER rename, and
+  *    re-reads the manifest after the rename requiring its own bytes.
+  *  - Across PROCESSES the version CLAIM is the filesystem's own:
+  *    the commit renames through [[org.apache.hadoop.fs.FileContext]]
+  *    WITHOUT `Options.Rename.OVERWRITE`, which refuses an existing
+  *    destination — ATOMICALLY on HDFS-class stores (the namenode
+  *    picks exactly one winner; this is the `FileContext` rename
+  *    contract Delta's HDFS LogStore publishes), check-then-rename on
+  *    the local filesystem (the window shrinks to the syscall gap).
+  *    A cross-process loser surfaces as the same retryable conflict
+  *    the in-JVM monitor raises, so [[mergeRetrying]] rebases across
+  *    processes too. The post-rename read-back stays as
+  *    defense-in-depth for stores whose rename can still clobber
+  *    (raw object stores without a rename primitive) — only THERE is
+  *    the protection best-effort detection rather than a claim. */
 object SnapshotTable {
 
   /** Per-file key bounds inside an entry's dir (`name` is the bare
@@ -110,9 +116,14 @@ object SnapshotTable {
     * `dir/data/`) plus optional min/max of the table's stats key over
     * that dir's rows (rendered `toString`, escaped only on disk), and
     * optional per-file bounds harvested from the parquet FOOTERS at
-    * commit time (metadata-only reads — no data pass). */
+    * commit time (metadata-only reads — no data pass). `dvs` lists
+    * DELETION-VECTOR sidecars (parquet dirs of deleted keys, relative
+    * to `dir/data/`) applied to this entry's rows as an anti-join at
+    * read — the merge-on-read shape (Iceberg's equality deletes /
+    * Delta's deletion vectors): a point delete costs O(delete keys),
+    * not a rewrite of every touched partition. */
   final case class Entry(path: String, stats: Option[(String, String)],
-      fileStats: Seq[FileStat] = Nil)
+      fileStats: Seq[FileStat] = Nil, dvs: Seq[String] = Nil)
 
   /** One resolved version: the immutable contract a reader holds.
     * `schemaDdl` is the TABLE SCHEMA AS OF THIS VERSION (Spark DDL),
@@ -123,7 +134,7 @@ object SnapshotTable {
     * min/max bounds describe (the merge key, when stat-safe). */
   final case class Snap(ver: Long, batchId: Option[Long],
       entries: Seq[Entry], schemaDdl: String, partCols: Seq[String],
-      statsKey: Option[String]) {
+      statsKey: Option[String], dvKey: Option[String] = None) {
     def entryPaths: Seq[String] = entries.map(_.path)
   }
 
@@ -300,22 +311,56 @@ object SnapshotTable {
       .parquet(dest)
   }
 
+  /** Atomically CLAIM a version: rename `tmp` onto `dst` refusing an
+    * existing destination — [[org.apache.hadoop.fs.FileContext]]
+    * without `Options.Rename.OVERWRITE`, the portable no-clobber
+    * rename (atomic on HDFS-class stores, check-then-rename on the
+    * local FS — object doc, tier 3). A claim lost to a racer raises
+    * the same retryable conflict the in-JVM monitor does (and sweeps
+    * our staging); any OTHER rename failure (permissions, quota, fs
+    * fault) propagates as the IOException it is — retrying a
+    * persistent failure would recompute the full merge `maxAttempts`
+    * times and then blame a writer that never existed. Package-
+    * private so the spec can drive the exact cross-client
+    * interleaving (two writers past the exists check, both staged,
+    * both renaming) that the in-JVM monitor makes unreachable
+    * through merge(). */
+  private[graft] def claimVersion(spark: SparkSession, tmp: Path,
+      dst: Path): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, conf)
+    try fc.rename(tmp, dst) // Options.Rename.NONE: no-clobber
+    catch {
+      case e: java.io.IOException =>
+        val fs = dst.getFileSystem(conf)
+        if (fs.exists(dst)) {
+          fs.delete(tmp, false) // our staging lost; reclaim eagerly
+          throw new IllegalArgumentException(
+            s"snapshot manifest $dst already exists — a concurrent " +
+              s"writer committed this version first " +
+              s"(${e.getClass.getSimpleName})", e)
+        } else throw e
+    }
+  }
+
   /** Commit a manifest: refuse if the destination version already
-    * exists, tmp write, rename, then READ BACK and require our own
-    * bytes — on POSIX filesystems rename replaces an existing
-    * destination, so without these checks two racing writers would
-    * both return success and one merge would silently vanish. (Best-
-    * effort detection under the single-writer contract — see the
-    * object doc for the residual undetectable window. Package-private
-    * so the spec can exercise the losing writer's commit attempt
-    * directly — the interleaving is not reachable through merge()
-    * without a real race.) */
+    * exists, tmp write, no-clobber rename ([[claimVersion]] — the
+    * filesystem picks exactly one winner per version), then READ BACK
+    * and require our own bytes (defense-in-depth for stores whose
+    * rename can clobber — see the object doc's concurrency tiers).
+    * (Package-private so the spec can exercise the losing writer's
+    * commit attempt directly — the interleaving is not reachable
+    * through merge() without a real race.) */
   private[graft] def commitManifest(spark: SparkSession, dir: String,
       newVer: Long, batchId: Option[Long], entries: Seq[Entry],
       schemaDdl: String, partCols: Seq[String],
-      statsKey: Option[String]): Unit = {
+      statsKey: Option[String], dvKey: Option[String] = None): Unit = {
     require(!schemaDdl.contains("\n"),
       "schema DDL must be a single manifest line")
+    require(dvKey.isDefined || entries.forall(_.dvs.isEmpty),
+      "entries carry deletion vectors but no dvkey names the column " +
+        "they delete by — the manifest would be unreadable")
     val fs = fsOf(spark, dir)
     // tmp name unique per ATTEMPT (not per version): two in-JVM racers
     // at the same version must never overwrite each other's staging
@@ -336,11 +381,15 @@ object SnapshotTable {
         case None => s"fstat=$i ${enc(f.name)} ? ?"
       })
     }
+    val dvLines = sorted.zipWithIndex.flatMap { case (e, i) =>
+      e.dvs.map(p => s"dv=$i ${enc(p)}")
+    }
     val body = (batchId.map(b => s"batch=$b").toSeq ++
       Seq(s"schema=$schemaDdl", s"parts=${partCols.mkString(",")}") ++
       statsKey.map(k => s"statskey=$k").toSeq ++
+      dvKey.filter(_ => dvLines.nonEmpty).map(k => s"dvkey=$k").toSeq ++
       sorted.map(e => s"entry=${e.path}") ++ statLines ++
-      fstatLines).mkString("\n")
+      fstatLines ++ dvLines).mkString("\n")
     val lock = commitLocks.computeIfAbsent(lockKey(spark, dir),
       _ => new Object)
     lock.synchronized {
@@ -349,8 +398,7 @@ object SnapshotTable {
           "committed this version first")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-      require(fs.rename(tmp, dst),
-        s"failed to commit snapshot manifest $dst — concurrent writer?")
+      claimVersion(spark, tmp, dst)
       val in = fs.open(dst)
       val back =
         try {
@@ -368,11 +416,13 @@ object SnapshotTable {
   /** True for the refusals a LOSING optimistic writer raises at
     * commit time — the retryable class: the table advanced under us;
     * re-resolve and recompute. Schema/partitioning/null refusals are
-    * NOT in it (retrying cannot fix a contract violation). */
+    * NOT in it (retrying cannot fix a contract violation), and
+    * neither is a rename that failed WITHOUT the destination
+    * appearing (permissions, quota — [[claimVersion]] lets those
+    * propagate as IOExceptions, which this filter never sees). */
   private def isCommitConflict(e: IllegalArgumentException): Boolean =
     e.getMessage != null && (e.getMessage.contains("already exists") ||
-      e.getMessage.contains("replaced by a concurrent writer") ||
-      e.getMessage.contains("failed to commit snapshot manifest"))
+      e.getMessage.contains("replaced by a concurrent writer"))
 
   /** All committed versions, ascending (empty = no table yet). */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
@@ -420,8 +470,13 @@ object SnapshotTable {
         case Array(i, n, mn, mx) if i.toIntOption.isDefined =>
           i.toInt -> FileStat(dec(n), Some((dec(mn), dec(mx))))
       }.groupBy(_._1).map { case (i, fs) => i -> fs.map(_._2).toSeq }
+    val dvs = lines.filter(_.startsWith("dv="))
+      .map(_.stripPrefix("dv=").split(" ", 2)).collect {
+        case Array(i, p) if i.toIntOption.isDefined => i.toInt -> dec(p)
+      }.groupBy(_._1).map { case (i, ps) => i -> ps.map(_._2).toSeq }
     val entries = paths.zipWithIndex.map { case (p, i) =>
-      Entry(p, stats.get(i), fstats.getOrElse(i, Nil))
+      Entry(p, stats.get(i), fstats.getOrElse(i, Nil),
+        dvs.getOrElse(i, Nil))
     }
     val ddl = lines.find(_.startsWith("schema="))
       .map(_.stripPrefix("schema="))
@@ -432,7 +487,11 @@ object SnapshotTable {
       s"manifest _snap.$ver carries no parts line")
     val sk = lines.find(_.startsWith("statskey="))
       .map(_.stripPrefix("statskey="))
-    Snap(ver, batch, entries, ddl.get, parts.get, sk)
+    val dvk = lines.find(_.startsWith("dvkey="))
+      .map(_.stripPrefix("dvkey="))
+    require(dvk.isDefined || entries.forall(_.dvs.isEmpty),
+      s"manifest _snap.$ver carries dv lines but no dvkey")
+    Snap(ver, batch, entries, ddl.get, parts.get, sk, dvk)
   }
 
   /** Read a HELD snapshot — the isolation surface: the entries name
@@ -440,11 +499,39 @@ object SnapshotTable {
     * merges commit concurrently. A PLAIN parquet read (the partition
     * columns are real data columns; the `__gp_` twins live only in
     * dir names) — no basePath, no inference, entries from different
-    * writer versions mix freely in one read. */
+    * writer versions mix freely in one read.
+    *
+    * Entries carrying DELETION VECTORS apply them here, merge-on-read:
+    * entries group by their dv SET (one group per distinct set — the
+    * common shapes are one group of dv-free entries plus one group
+    * per delete commit; [[optimize]] folds them back to zero), each
+    * dv'd group anti-joins its union of deleted keys (delta-sized,
+    * AQE picks the broadcast), and the groups union. A key deleted
+    * from one entry and re-inserted by a later merge lives in a NEW
+    * entry the dv never attaches to — per-entry application is what
+    * keeps re-inserts alive, a global anti-join would eat them. */
   def readSnap(spark: SparkSession, dir: String, snap: Snap): DataFrame = {
     require(snap.entries.nonEmpty, s"snapshot v${snap.ver} has no data")
-    spark.read.schema(StructType.fromDDL(snap.schemaDdl))
-      .parquet(snap.entries.map(e => s"$dir/data/${e.path}"): _*)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    def plain(es: Seq[Entry]): DataFrame =
+      spark.read.schema(schema)
+        .parquet(es.map(e => s"$dir/data/${e.path}"): _*)
+    if (snap.entries.forall(_.dvs.isEmpty)) plain(snap.entries)
+    else {
+      val key = snap.dvKey.getOrElse(throw new IllegalStateException(
+        s"snapshot v${snap.ver} has dv entries but no dvKey"))
+      snap.entries.groupBy(_.dvs.toSet).toSeq
+        .sortBy(_._2.head.path) // deterministic plan shape
+        .map { case (dvSet, es) =>
+          if (dvSet.isEmpty) plain(es)
+          else {
+            val dels = spark.read
+              .parquet(dvSet.toSeq.sorted.map(p => s"$dir/data/$p"): _*)
+              .select(col(key))
+            plain(es).join(dels, Seq(key), "left_anti")
+          }
+        }.reduce(_.unionByName(_))
+    }
   }
 
   /** Read the table at the newest (or a pinned) version. */
@@ -531,15 +618,40 @@ object SnapshotTable {
       lo: Option[Any], hi: Option[Any],
       version: Option[Long] = None): DataFrame = {
     val snap = resolve(spark, dir, version)
-    val paths = prunedReadPaths(dir, snap, key, lo, hi)
-    val base =
-      if (paths.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          StructType.fromDDL(snap.schemaDdl))
-      else spark.read.schema(StructType.fromDDL(snap.schemaDdl))
-        .parquet(paths: _*)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
     val preds = lo.map(l => col(key) >= lit(l)).toSeq ++
       hi.map(h => col(key) <= lit(h)).toSeq
+    val base =
+      if (snap.entries.forall(_.dvs.isEmpty)) {
+        val paths = prunedReadPaths(dir, snap, key, lo, hi)
+        if (paths.isEmpty) empty
+        else spark.read.schema(schema).parquet(paths: _*)
+      } else {
+        // deletion vectors apply per entry GROUP exactly as in
+        // [[readSnap]]; file-level pruning still runs inside each
+        // group (the anti-join commutes with the residual filter)
+        val dvk = snap.dvKey.getOrElse(throw new IllegalStateException(
+          s"snapshot v${snap.ver} has dv entries but no dvKey"))
+        val surviving = pruneByKey(snap, key, lo, hi)
+        surviving.entries.groupBy(_.dvs.toSet).toSeq
+          .sortBy(_._2.head.path)
+          .flatMap { case (dvSet, es) =>
+            val ps = prunedReadPaths(dir,
+              surviving.copy(entries = es), key, lo, hi)
+            if (ps.isEmpty) None
+            else {
+              val df = spark.read.schema(schema).parquet(ps: _*)
+              Some(if (dvSet.isEmpty) df
+              else df.join(
+                spark.read.parquet(
+                  dvSet.toSeq.sorted.map(p => s"$dir/data/$p"): _*)
+                  .select(col(dvk)),
+                Seq(dvk), "left_anti"))
+            }
+          }.reduceOption(_.unionByName(_)).getOrElse(empty)
+      }
     preds.foldLeft(base)(_.filter(_))
   }
 
@@ -561,8 +673,10 @@ object SnapshotTable {
     * changed partitions classifies everything; schema evolution
     * between the versions surfaces `fromVer`-side rows with the added
     * columns as typed nulls (additive evolution, so `toVer`'s schema
-    * is always the superset). Keys must be non-null (null keys never
-    * equality-join and would misread as delete+insert). */
+    * is always the superset). Keys are non-null by table invariant:
+    * every write path refuses a null merge key at commit time
+    * (writeAndCommit's census), so rows here always equality-join —
+    * a null key would otherwise misread as delete+insert. */
   def changesBetween(spark: SparkSession, dir: String, key: String,
       fromVer: Long, toVer: Long): DataFrame = {
     val from = resolve(spark, dir, Some(fromVer))
@@ -571,9 +685,13 @@ object SnapshotTable {
     require(toSchema.fieldNames.contains(key) &&
       StructType.fromDDL(from.schemaDdl).fieldNames.contains(key),
       s"key '$key' must exist in both versions' schemas")
-    val shared = from.entryPaths.toSet.intersect(to.entryPaths.toSet)
+    // an entry is "shared" only when BOTH its dir and its deletion-
+    // vector set match: a carried-by-reference dir that gained a dv
+    // DOES differ (its visible rows shrank) and must be read
+    val shared = from.entries.map(e => (e.path, e.dvs.toSet)).toSet
+      .intersect(to.entries.map(e => (e.path, e.dvs.toSet)).toSet)
     def side(s: Snap, schemaDdl: String): DataFrame = {
-      val es = s.entries.filterNot(e => shared.contains(e.path))
+      val es = s.entries.filterNot(e => shared.contains((e.path, e.dvs.toSet)))
       if (es.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           StructType.fromDDL(schemaDdl))
@@ -631,9 +749,31 @@ object SnapshotTable {
     * Publishing must outpace [[retainNewest]]: a from-version below
     * the retention floor refuses loudly in resolve rather than
     * silently emitting a wrong diff. Returns the published range, or
-    * None when the head is already published. */
+    * None when the head is already published.
+    *
+    * Publishers SERIALIZE per landing dir within the JVM (the
+    * [[commitManifest]] per-path monitor): two publishers that would
+    * otherwise observe DIFFERENT heads (a merge landing between their
+    * resolves) commit overlapping ranges — e.g. `changes_v0_v1` and
+    * `changes_v0_v2`, duplicating the v0→v1 rows to every consumer of
+    * the glob — so the floor listing, head resolve, and rename run
+    * under one monitor and the second publisher sees the first's
+    * advanced floor. ACROSS processes run a single publisher per
+    * landing (the cron contract); as defense the post-rename re-list
+    * refuses loudly when an overlapping range is detected, naming
+    * both dirs, instead of leaving the duplication silent. */
   def publishChanges(spark: SparkSession, dir: String, key: String,
       outDir: String, stagingGraceMs: Long = 3600000L)
+      : Option[(Long, Long)] = {
+    val lock = commitLocks.computeIfAbsent(lockKey(spark, outDir),
+      _ => new Object)
+    lock.synchronized {
+      publishChangesLocked(spark, dir, key, outDir, stagingGraceMs)
+    }
+  }
+
+  private def publishChangesLocked(spark: SparkSession, dir: String,
+      key: String, outDir: String, stagingGraceMs: Long)
       : Option[(Long, Long)] = {
     val fs = fsOf(spark, outDir)
     val out = new Path(outDir)
@@ -700,7 +840,35 @@ object SnapshotTable {
     if (fs.exists(nested)) fs.delete(nested, true)
     require(renamed || fs.exists(dest),
       s"failed to publish $dest")
+    // cross-process defense (in-JVM publishers are serialized by the
+    // caller's monitor): a publisher that resolved a STALE head
+    // commits a range overlapping ours — the duplication must be
+    // loud, not a silent double-feed to every consumer of the glob
+    refuseOverlap(fs, out, dest.getName, published, head.ver)
     Some((published, head.ver))
+  }
+
+  /** Refuse when the landing holds a range overlapping
+    * `(published, headVer]` other than `destName` itself — the
+    * post-rename re-list that turns a cross-process double-publish
+    * (two publishers, different observed heads) from a silent
+    * double-feed into a loud repair. Package-private: the racer's
+    * dir appears mid-publish, an interleaving a spec can only drive
+    * by planting it and invoking the check directly. */
+  private[graft] def refuseOverlap(fs: org.apache.hadoop.fs.FileSystem,
+      out: Path, destName: String, published: Long, headVer: Long): Unit = {
+    val rangeRe = "^changes_v([0-9]+)_v([0-9]+)$".r
+    val overlapping = fs.listStatus(out).map(_.getPath.getName).collect {
+      case n @ rangeRe(a, b)
+          if n != destName &&
+            a.toLong < headVer && b.toLong > published => n
+    }
+    if (overlapping.nonEmpty)
+      throw new IllegalStateException(
+        s"landing $out holds ranges overlapping $destName: " +
+          s"${overlapping.mkString(", ")} — two publishers observed " +
+          "different heads; run a single publisher per landing and " +
+          "repair the landing before consumers double-read the overlap")
   }
 
   /** The entry pair [[changesBetween]] actually reads — exposed for
@@ -708,9 +876,12 @@ object SnapshotTable {
     * partitions) claim). */
   private[graft] def cdfEntries(from: Snap, to: Snap)
       : (Seq[String], Seq[String]) = {
-    val shared = from.entryPaths.toSet.intersect(to.entryPaths.toSet)
-    (from.entryPaths.filterNot(shared.contains),
-      to.entryPaths.filterNot(shared.contains))
+    val shared = from.entries.map(e => (e.path, e.dvs.toSet)).toSet
+      .intersect(to.entries.map(e => (e.path, e.dvs.toSet)).toSet)
+    (from.entries.filterNot(e => shared.contains((e.path, e.dvs.toSet)))
+      .map(_.path),
+      to.entries.filterNot(e => shared.contains((e.path, e.dvs.toSet)))
+        .map(_.path))
   }
 
   /** Harvest per-file key bounds for every produced entry — the
@@ -838,13 +1009,18 @@ object SnapshotTable {
     * REALLY produced), the hot-partition split table, and the
     * manifest stats in a single pass. */
   private def partProfile(df: DataFrame, partCols: Seq[String],
-      key: String): Seq[(Row, Long, Option[(String, String)])] = {
+      key: String): Seq[(Row, Long, Option[(String, String)], Long)] = {
     val hasStats = statSafe(df.schema(key).dataType)
     val aggs =
-      if (hasStats)
+      (if (hasStats)
         Seq(count(lit(1)).as("_n"), min(col(key)).cast("string").as("_mn"),
           max(col(key)).cast("string").as("_mx"))
-      else Seq(count(lit(1)).as("_n"))
+      else Seq(count(lit(1)).as("_n"))) :+
+        // null-KEY census, riding the same single pass: a null merge
+        // key breaks the new-wins dedup (every null groups together)
+        // AND the CDF's equality classification — refused at commit
+        // (writeAndCommit), not silently committed
+        count(when(col(key).isNull, lit(1))).as("_knull")
     df.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         val n = r.getLong(partCols.length)
@@ -854,7 +1030,7 @@ object SnapshotTable {
             Some((r.getString(partCols.length + 1),
               r.getString(partCols.length + 2)))
           else None
-        (r, n, st)
+        (r, n, st, r.getLong(partCols.length + (if (hasStats) 3 else 1)))
       }
   }
 
@@ -875,7 +1051,8 @@ object SnapshotTable {
       newVer: Long, batchId: Option[Long], kept: Seq[Entry],
       headStatsKey: Option[String], schemaDdl: String,
       maxRowsPerTask: Long, dirToken: Option[String],
-      clusterKey: Option[Column] = None): Long = {
+      clusterKey: Option[Column] = None,
+      headDvKey: Option[String] = None): Long = {
     // salt/profile column: the stats key when present, else any
     // non-partition column — needed even statless for the row counts
     val saltCol = statsKey.orElse(
@@ -892,6 +1069,18 @@ object SnapshotTable {
       // they describe the old key; unstated bounds are never pruned
       else kept.map(_.copy(stats = None, fileStats = Nil))
     val profile = partProfile(output, partCols, key)
+    // the MERGE-KEY contract, enforced where every write path funnels
+    // (merge/mergeCdc/optimize/repartition all pass their key as
+    // statsKey): a null key breaks new-wins dedup and silently
+    // misclassifies in the CDF as delete+insert — refuse BEFORE the
+    // data write, from the census the profile pass already computed
+    if (statsKey.isDefined) {
+      val nulls = profile.map(_._4).sum
+      require(nulls == 0L,
+        s"merge key '${statsKey.get}' is null on $nulls row(s) — " +
+          "snapshot-table keys must be non-null (new-wins dedup and " +
+          "the change data feed both classify by key equality)")
+    }
     // the data dir carries the attempt token when one is supplied
     // (the retrying writers): two optimistic racers at the same
     // version then stage into DISJOINT dirs — without it, the loser's
@@ -899,7 +1088,7 @@ object SnapshotTable {
     // BEFORE either commit resolves the race. Entries are opaque
     // paths, so readers/vacuum/retention are name-agnostic.
     val verDir = dirToken.fold(s"v=$newVer")(t => s"v=$newVer-$t")
-    val produced = profile.map { case (r, _, st) =>
+    val produced = profile.map { case (r, _, st, _) =>
       Entry(s"$verDir/${partKeyRow(partCols, r)}",
         if (newStatsKey.isDefined) st else None)
     }
@@ -920,8 +1109,14 @@ object SnapshotTable {
         produced.map(e =>
           e.copy(fileStats = byEntry.getOrElse(e.path, Nil)))
       }
-    commitManifest(spark, dir, newVer, batchId, keptAdj ++ producedF,
-      schemaDdl, partCols, newStatsKey)
+    // deletion vectors ride ONLY on kept entries (a rewritten
+    // partition folded its deletes in; produced entries are dv-free
+    // by construction) — the dvkey survives exactly as long as some
+    // entry still needs it
+    val allEntries = keptAdj ++ producedF
+    commitManifest(spark, dir, newVer, batchId, allEntries,
+      schemaDdl, partCols, newStatsKey,
+      headDvKey.filter(_ => allEntries.exists(_.dvs.nonEmpty)))
     newVer
   }
 
@@ -1036,7 +1231,7 @@ object SnapshotTable {
       .localCheckpoint()
     try writeAndCommit(spark, dir, merged, Some(key), partCols,
       head.ver + 1, batchId, kept, head.statsKey, newSchema.toDDL,
-      maxRowsPerTask, dirToken)
+      maxRowsPerTask, dirToken, headDvKey = head.dvKey)
     finally org.apache.spark.sql.graftbridge.ColumnBridge
       .unpersistLocalCheckpoint(merged)
   }
@@ -1077,6 +1272,99 @@ object SnapshotTable {
     retrying(maxAttempts)(token =>
       mergeCdc(spark, dir, delta, key, seqCols, opCol, partCols,
         batchId, maxRowsPerTask, Some(token)))
+
+  /** MERGE-ON-READ point deletes — deletion vectors, the public
+    * Delta-DV / Iceberg-equality-delete shape rebuilt on the
+    * manifest: a delete commits ONE parquet sidecar of deleted keys
+    * (`data/v=<n>/_dv`) plus a manifest whose affected entries gain a
+    * `dv=` reference; NO data partition is rewritten, so the delete
+    * costs O(delete keys) however many partitions — and however many
+    * BYTES — the keys touch, where [[mergeCdc]]'s tombstones pay a
+    * full rewrite of every touched partition. Reads anti-join the
+    * sidecar per referencing entry ([[readSnap]]); [[optimize]] and
+    * any merge that rewrites a referencing partition FOLD the
+    * deletes into fresh dv-free entries (rewritten content is read
+    * dv-applied), which is the compaction story: DVs accumulate one
+    * read-side anti-join per delete commit until the next rewrite
+    * folds them away.
+    *
+    * `key` may be ANY table column (equality deletes — a GDPR erasure
+    * by user id works on a table merged by event id), but one table
+    * carries ONE dv key at a time (mixed-column sidecars would need
+    * per-sidecar join keys; refused loudly — fold existing DVs with
+    * [[optimize]] first). Deleting a key later re-inserted by a merge
+    * is safe by construction: the re-insert rewrote its partition
+    * into a fresh entry the old sidecar never attaches to. Keys
+    * absent from the table are harmless extra sidecar rows. Affected
+    * entries = those whose recorded key bounds overlap the delete
+    * set's [min, max] (conservative — no stats, no pruning, every
+    * entry attaches); entry stats stay valid (deletes only shrink a
+    * dir's true bounds). Time travel below the delete reads the
+    * pre-delete rows — the sidecar is referenced only from the new
+    * manifest. Replay-idempotent via `batchId` like every commit
+    * here. Returns the committed version (the head's when the delete
+    * set misses every entry — nothing changed, nothing committed). */
+  def deleteKeys(spark: SparkSession, dir: String, delKeys: DataFrame,
+      key: String, batchId: Option[Long] = None,
+      dirToken: Option[String] = None): Long = {
+    val head = resolve(spark, dir)
+    if (batchId.isDefined && head.batchId == batchId) return head.ver
+    val schema = StructType.fromDDL(head.schemaDdl)
+    require(schema.fieldNames.contains(key),
+      s"delete key '$key' is not a table column")
+    require(delKeys.columns.contains(key),
+      s"delete frame carries no '$key' column")
+    require(normalized(schema(key).dataType) ==
+      normalized(delKeys.schema(key).dataType),
+      s"delete key '$key' is ${delKeys.schema(key).dataType} but the " +
+        s"table column is ${schema(key).dataType}")
+    head.dvKey.foreach(k => require(k == key,
+      s"table at $dir already carries deletion vectors keyed on '$k' " +
+        s"— one dv key per table (OPTIMIZE folds them, then delete " +
+        s"by '$key')"))
+    val keys = delKeys.select(col(key)).distinct()
+    // one pass over the delta-sized key set: count, null census, and
+    // bounds for the entry-attach pruning
+    val statsOk = statSafe(schema(key).dataType)
+    val aggs = Seq(count(lit(1)).as("_n"),
+      count(when(col(key).isNull, lit(1))).as("_nn")) ++
+      (if (statsOk) Seq(min(col(key)).cast("string").as("_mn"),
+        max(col(key)).cast("string").as("_mx")) else Nil)
+    val prof = keys.agg(aggs.head, aggs.tail: _*).collect()(0)
+    require(prof.getLong(0) > 0, "empty delete set — nothing to delete")
+    require(prof.getLong(1) == 0,
+      s"delete key '$key' is null on ${prof.getLong(1)} row(s) — " +
+        "null never equality-matches a stored row; a null here is " +
+        "always an upstream bug")
+    val (lo, hi) =
+      if (statsOk) (Some(prof.getString(2)), Some(prof.getString(3)))
+      else (None, None)
+    val targets = pruneByKey(head, key, lo, hi).entryPaths.toSet
+    if (targets.isEmpty) return head.ver // provably misses every entry
+    val verDir = dirToken.fold(s"v=${head.ver + 1}")(
+      t => s"v=${head.ver + 1}-$t")
+    val dvPath = s"$verDir/_dv"
+    // a small delete set lands as one file (no 32-way spray for a
+    // handful of keys); a bulk erasure keeps its parallelism
+    (if (prof.getLong(0) <= DefaultMaxRowsPerTask) keys.coalesce(1)
+    else keys)
+      .write.mode("overwrite").option("compression", "snappy")
+      .parquet(s"$dir/data/$dvPath")
+    val entries = head.entries.map(e =>
+      if (targets.contains(e.path)) e.copy(dvs = e.dvs :+ dvPath) else e)
+    commitManifest(spark, dir, head.ver + 1, batchId, entries,
+      head.schemaDdl, head.partCols, head.statsKey, Some(key))
+    head.ver + 1
+  }
+
+  /** [[deleteKeys]] with the same optimistic-concurrency loop as
+    * [[mergeRetrying]] — a losing delete re-resolves the advanced
+    * head and re-attaches to its entries. */
+  def deleteKeysRetrying(spark: SparkSession, dir: String,
+      delKeys: DataFrame, key: String, batchId: Option[Long] = None,
+      maxAttempts: Int = 8): Long =
+    retrying(maxAttempts)(token =>
+      deleteKeys(spark, dir, delKeys, key, batchId, Some(token)))
 
   private def retrying(maxAttempts: Int)(attempt: String => Long): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
@@ -1161,7 +1449,7 @@ object SnapshotTable {
       val survivors = upserts.unionByName(carried).localCheckpoint()
       try writeAndCommit(spark, dir, survivors, Some(key), partCols,
         head.ver + 1, batchId, kept, head.statsKey, newSchema.toDDL,
-        maxRowsPerTask, dirToken)
+        maxRowsPerTask, dirToken, headDvKey = head.dvKey)
       finally org.apache.spark.sql.graftbridge.ColumnBridge
         .unpersistLocalCheckpoint(survivors)
     } finally org.apache.spark.sql.graftbridge.ColumnBridge
@@ -1278,36 +1566,56 @@ object SnapshotTable {
     * every data dir any retained manifest references; delete the
     * rest. Time travel below the cut refuses loudly ([[resolve]]'s
     * retained-version check) — the [[graft.streaming.Commits]]
-    * retention discipline. */
-  def retainNewest(spark: SparkSession, dir: String, keep: Int): Unit = {
+    * retention discipline.
+    *
+    * `graceMs` is [[vacuum]]'s crash-window discipline applied to the
+    * UNREFERENCED-dir sweep: an in-flight [[mergeRetrying]] attempt's
+    * freshly staged `v=<n>-<token>` tree is referenced by nothing
+    * until its commit lands — without the grace, retention running
+    * concurrently with writers would delete the staging out from
+    * under a commit that then succeeds, leaving a manifest whose
+    * entries point at deleted data. A young unreferenced dir is
+    * spared (the next retention pass reclaims it once aged);
+    * referenced data is never age-gated. Pass `graceMs = 0` only
+    * when no writer can be in flight. */
+  def retainNewest(spark: SparkSession, dir: String, keep: Int,
+      graceMs: Long = 3600000L): Unit = {
     require(keep >= 1, s"must retain >= 1 version, got $keep")
+    require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
     val vs = versions(spark, dir)
     if (vs.size <= keep) return
     val cut = vs.takeRight(keep)
-    val live = cut.flatMap(v =>
-      resolve(spark, dir, Some(v)).entryPaths).toSet
+    val live = cut.flatMap { v =>
+      val s = resolve(spark, dir, Some(v))
+      s.entryPaths ++ s.entries.flatMap(_.dvs) // dv sidecars are live too
+    }.toSet
     val fs = fsOf(spark, dir)
     vs.dropRight(keep).foreach(v =>
       fs.delete(new Path(dir, s"_snap.$v"), false))
+    val cutoff = System.currentTimeMillis() - graceMs
     // sweep data dirs no retained manifest references: a dir is kept
-    // iff its rel path is live or any descendant is; an emptied
-    // version dir goes wholesale (its _SUCCESS marker with it)
+    // iff its rel path is live, any descendant is, or the tree is
+    // younger than the grace window (an in-flight writer's staging);
+    // an emptied version dir goes wholesale (its _SUCCESS marker with
+    // it)
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {
-      def sweep(p: Path, rel: String): Boolean =
+      def sweep(st: org.apache.hadoop.fs.FileStatus, rel: String)
+          : Boolean =
         if (live.contains(rel)) true
+        else if (st.getModificationTime > cutoff) true // in-flight?
         else {
-          val subdirs = fs.listStatus(p).filter(_.isDirectory)
-          if (subdirs.isEmpty) { fs.delete(p, true); false }
+          val subdirs = fs.listStatus(st.getPath).filter(_.isDirectory)
+          if (subdirs.isEmpty) { fs.delete(st.getPath, true); false }
           else {
             val kept = subdirs.map(d =>
-              sweep(d.getPath, s"$rel/${d.getPath.getName}"))
-            if (!kept.exists(identity)) { fs.delete(p, true); false }
+              sweep(d, s"$rel/${d.getPath.getName}"))
+            if (!kept.exists(identity)) { fs.delete(st.getPath, true); false }
             else true
           }
         }
       fs.listStatus(dataRoot).filter(_.isDirectory)
-        .foreach(d => sweep(d.getPath, d.getPath.getName))
+        .foreach(d => sweep(d, d.getPath.getName))
     }
   }
 
@@ -1331,9 +1639,11 @@ object SnapshotTable {
     val root = new Path(dir)
     if (!fs.exists(root)) return
     val vs = versions(spark, dir)
-    val liveVers = vs.flatMap(v =>
-      resolve(spark, dir, Some(v)).entryPaths
-        .map(p => p.substring(0, p.indexOf('/')))).toSet
+    val liveVers = vs.flatMap { v =>
+      val s = resolve(spark, dir, Some(v))
+      (s.entryPaths ++ s.entries.flatMap(_.dvs))
+        .map(p => p.substring(0, p.indexOf('/')))
+    }.toSet
     val cutoff = System.currentTimeMillis() - graceMs
     // stale tmp manifests from a crashed commit (rename never ran)
     fs.listStatus(root)

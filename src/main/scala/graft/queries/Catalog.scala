@@ -10282,6 +10282,58 @@ object Catalog {
         FROM fw f JOIN base b ON b.l_orderkey = f.l_orderkey
           AND f.op <> 'D') cdf"""))
 
+  /** DELETION VECTORS on the snapshot table
+    * ([[graft.ops.SnapshotTable.deleteKeys]] — Delta's DV / Iceberg's
+    * equality-delete shape, merge-on-read): q266's base table, then a
+    * scattered point-delete of every `l_orderkey % 10 == 3` key —
+    * committed as ONE parquet sidecar plus manifest references, with
+    * ZERO partition rewrites (the decoupling [[graft.ops.SnapshotTable
+    * .mergeCdc]]'s tombstones cannot give: their deletes rewrite every
+    * touched partition) — and then a MERGE re-inserting half the
+    * deleted keys (`% 20 == 3`, linenumber stamped 99). The read is
+    * merge-on-read: dv'd entries anti-join the sidecar, the rewritten
+    * partition folded its deletes in and carries the re-inserts, so
+    * the hash gate pins the full interplay — delete applied, re-insert
+    * alive, untouched keys carried. Sidecar lifecycle (vacuum,
+    * retention, OPTIMIZE folding) and CDF classes are spec-pinned
+    * (Round18Spec). */
+  private val q273 = Q("q273_snapshot_deletion_vectors",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q273tbl").toString + "/t"
+      val li = t(s, dir, "lineitem")
+      def qty = col("l_quantity").cast(dec2).cast("string").as("quantity")
+      val base = li.filter(col("l_linenumber") === 1).select(
+        col("l_orderkey"), col("l_linenumber"), qty,
+        (col("l_orderkey") % 4).as("part"))
+      graft.ops.SnapshotTable.merge(s, tbl, base,
+        "l_orderkey", "quantity", Seq("part"), Some(1L))
+      graft.ops.SnapshotTable.deleteKeys(s, tbl,
+        base.filter(col("l_orderkey") % 10 === 3).select(col("l_orderkey")),
+        "l_orderkey", Some(2L))
+      val reinsert = base.filter(col("l_orderkey") % 20 === 3)
+        .withColumn("l_linenumber", lit(99))
+      graft.ops.SnapshotTable.merge(s, tbl, reinsert,
+        "l_orderkey", "quantity", Seq("part"), Some(3L))
+      graft.ops.SnapshotTable.read(s, tbl)
+        .select(col("l_orderkey"), col("l_linenumber"), col("quantity"),
+          col("part"))
+    },
+    Some("""WITH base AS (
+        SELECT l_orderkey, l_linenumber, quantity, part FROM (
+          SELECT l_orderkey, l_linenumber,
+            CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS quantity,
+            l_orderkey % 4 AS part,
+            row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                DESC) rn
+          FROM lineitem WHERE l_linenumber = 1) z WHERE rn = 1)
+      SELECT l_orderkey, l_linenumber, quantity, part FROM base
+      WHERE l_orderkey % 10 <> 3
+      UNION ALL
+      SELECT l_orderkey, CAST(99 AS INTEGER) AS l_linenumber, quantity,
+        part
+      FROM base WHERE l_orderkey % 20 = 3"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10312,5 +10364,6 @@ object Catalog {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239,
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
-    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272)
+    q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272,
+    q273)
 }

@@ -196,7 +196,7 @@ class Round16Spec extends SparkSpec {
     // retention: drop v1's manifest; time travel below the cut is
     // loud; the p=2/v=1 DIR survives because the retained v2
     // manifest still references it (the live-reference sweep)
-    SnapshotTable.retainNewest(spark, tbl, 1)
+    SnapshotTable.retainNewest(spark, tbl, 1, graceMs = 0L)
     intercept[IllegalArgumentException] {
       SnapshotTable.resolve(spark, tbl, Some(1L))
     }

@@ -1,0 +1,370 @@
+package graft
+
+import graft.ops.SnapshotTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Round-18: the snapshot table's remaining lakehouse rungs — the
+  * cross-process commit window closed with the filesystem's own
+  * no-clobber rename (r17 verdict #1), the retryable-conflict /
+  * persistent-failure split (r17 advice), null merge keys refused at
+  * commit (r17 advice), retention's grace window for in-flight
+  * writers (r17 advice), and publish serialization + overlap defense
+  * (r17 advice). */
+class Round18Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def content(df: org.apache.spark.sql.DataFrame)
+      : Set[(Long, String, Int)] =
+    df.select(col("k"), col("v"), col("p")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+  private def fs(dir: String) = new Path(dir).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  test("atomic version claim: two writers past the exists check, both " +
+      "staged, both renaming the same version — the filesystem picks " +
+      "exactly one winner, the loser surfaces the retryable conflict, " +
+      "and the winner's bytes survive untouched (the interleaving the " +
+      "old clobbering rename lost a merge to)") {
+    val dir = tmpDir("claim")
+    val f = fs(dir)
+    val dst = new Path(dir, "_snap.7")
+    def stage(name: String, body: String): Path = {
+      val p = new Path(dir, name)
+      val out = f.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      p
+    }
+    // both "clients" are past the pre-rename exists check (dst absent)
+    // and fully staged — exactly the cross-process window
+    val tmpA = stage("_snap.7.aaaa.tmp", "winner-bytes")
+    val tmpB = stage("_snap.7.bbbb.tmp", "loser-bytes")
+    SnapshotTable.claimVersion(spark, tmpA, dst) // A claims first
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.claimVersion(spark, tmpB, dst) // B must LOSE, loudly
+    }
+    assert(ex.getMessage.contains("already exists"),
+      s"the lost claim must surface as the retryable conflict: " +
+        s"${ex.getMessage}")
+    val in = f.open(dst)
+    val back =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+    assert(back == "winner-bytes",
+      "the loser's rename must never replace the winner's manifest")
+    assert(!f.exists(tmpB),
+      "the lost claim must sweep its own staging eagerly")
+  }
+
+  test("atomic version claim under REAL concurrency: N threads, each " +
+      "its own staged file, one barrier, all rename the same version " +
+      "— exactly one winner, N-1 retryable conflicts") {
+    val dir = tmpDir("claimrace")
+    val f = fs(dir)
+    val dst = new Path(dir, "_snap.3")
+    val n = 8
+    val tmps = (0 until n).map { i =>
+      val p = new Path(dir, s"_snap.3.t$i.tmp")
+      val out = f.create(p, true)
+      try out.write(s"writer-$i".getBytes("UTF-8")) finally out.close()
+      p
+    }
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results =
+      try Await.result(Future.sequence((0 until n).map { i =>
+        Future {
+          barrier.await()
+          try { SnapshotTable.claimVersion(spark, tmps(i), dst); "won" }
+          catch {
+            case e: IllegalArgumentException
+                if e.getMessage.contains("already exists") => "conflict"
+          }
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
+    assert(results.count(_ == "won") == 1,
+      s"exactly one claim must win: $results")
+    assert(results.count(_ == "conflict") == n - 1)
+  }
+
+  test("a rename that fails WITHOUT a racer's manifest appearing " +
+      "(missing staging — the persistent-failure class) propagates as " +
+      "an IOException the optimistic retry loop never swallows") {
+    val dir = tmpDir("claimhard")
+    intercept[java.io.IOException] {
+      SnapshotTable.claimVersion(spark,
+        new Path(dir, "_snap.1.never-written.tmp"), new Path(dir, "_snap.1"))
+    }
+    assert(!fs(dir).exists(new Path(dir, "_snap.1")),
+      "a failed claim must not fabricate a destination")
+  }
+
+  test("null merge keys refuse at commit, before any data write — " +
+      "merge, mergeCdc, and the unchanged-table proof") {
+    val tbl = tmpDir("nullkey") + "/t"
+    val ok = Seq((1L, "a", 1)).toDF("k", "v", "p")
+    assert(SnapshotTable.merge(spark, tbl, ok, "k", "v", Seq("p"),
+      Some(1L)) == 1L)
+    val bad = Seq((Some(2L), "b", 1), (None, "oops", 1))
+      .toDF("k", "v", "p")
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, tbl, bad, "k", "v", Seq("p"), Some(2L))
+    }
+    assert(ex.getMessage.contains("is null on 1 row"),
+      s"expected the null-key census refusal: ${ex.getMessage}")
+    val badCdc = Seq((Option.empty[Long], "x", 1, 1L, "U"))
+      .toDF("k", "v", "p", "seq", "op")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeCdc(spark, tbl, badCdc, "k", Seq("seq"), "op",
+        Seq("p"), Some(2L))
+    }
+    // the refusals never burned a version or touched content
+    assert(SnapshotTable.versions(spark, tbl) == Seq(1L))
+    assert(content(SnapshotTable.read(spark, tbl)) == Set((1L, "a", 1)))
+  }
+
+  test("retainNewest grace window: a young unreferenced staging (an " +
+      "in-flight writer's) survives the cut; aged orphans and " +
+      "below-cut dirs sweep once the grace passes") {
+    val tbl = tmpDir("retgrace") + "/t"
+    SnapshotTable.merge(spark, tbl, Seq((1L, "a", 1)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(1L))
+    SnapshotTable.merge(spark, tbl, Seq((1L, "b", 1)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(2L))
+    // a racer's freshly staged, not-yet-committed attempt dir
+    val f = fs(tbl)
+    val staging = new Path(s"$tbl/data/v=3-deadbeef/__gp_p=1")
+    f.mkdirs(staging)
+    // grace-guarded cut: manifests below the cut go, but the young
+    // staging AND the young superseded v=1 dir are spared (any of
+    // them could be an in-flight writer's)
+    SnapshotTable.retainNewest(spark, tbl, 1)
+    assert(SnapshotTable.versions(spark, tbl) == Seq(2L))
+    assert(f.exists(staging),
+      "an in-flight writer's staging must survive a concurrent cut")
+    assert(f.exists(new Path(s"$tbl/data/v=1")),
+      "the young superseded dir is spared too — it is " +
+        "indistinguishable from an in-flight writer's by age")
+    assert(content(SnapshotTable.read(spark, tbl)) == Set((1L, "b", 1)))
+    // once aged (grace 0 stands in for the elapsed window), the next
+    // cut sweeps orphans and superseded dirs alike
+    SnapshotTable.merge(spark, tbl, Seq((1L, "c", 1)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(3L))
+    SnapshotTable.retainNewest(spark, tbl, 1, graceMs = 0L)
+    assert(!f.exists(staging.getParent),
+      "aged unreferenced dirs must sweep after the grace window")
+    assert(!f.exists(new Path(s"$tbl/data/v=1")))
+    assert(content(SnapshotTable.read(spark, tbl)) == Set((1L, "c", 1)))
+  }
+
+  test("publishers serialize per landing dir: concurrent publishes " +
+      "interleaved with merges always land non-overlapping, " +
+      "contiguous ranges (the different-observed-heads race)") {
+    val tbl = tmpDir("pubser") + "/t"
+    val land = tmpDir("pubserland")
+    SnapshotTable.merge(spark, tbl, Seq((1L, "a", 1)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(1L))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(Seq(
+      Future { SnapshotTable.publishChanges(spark, tbl, "k", land) },
+      Future {
+        SnapshotTable.merge(spark, tbl,
+          Seq((2L, "b", 1)).toDF("k", "v", "p"), "k", "v", Seq("p"),
+          Some(2L))
+        SnapshotTable.publishChanges(spark, tbl, "k", land)
+      },
+      Future { SnapshotTable.publishChanges(spark, tbl, "k", land) }
+    )), Duration.Inf)
+    finally pool.shutdown()
+    // drain whatever remains, then audit the landing's range dirs
+    SnapshotTable.publishChanges(spark, tbl, "k", land)
+    val rangeRe = "^changes_v([0-9]+)_v([0-9]+)$".r
+    val ranges = fs(land).listStatus(new Path(land))
+      .map(_.getPath.getName).collect {
+        case rangeRe(a, b) => (a.toLong, b.toLong)
+      }.sorted.toSeq
+    assert(ranges.nonEmpty && ranges.head._1 == 0L &&
+      ranges.last._2 == 2L,
+      s"the landing must cover v0..head: $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, t1), (f2, _)) =>
+        assert(t1 == f2, s"ranges must be contiguous, got $ranges")
+      case _ =>
+    }
+    // content sanity: the glob replays to the head's rows
+    val replay = spark.read.parquet(s"$land/changes_*")
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+    assert(content(replay.select(col("k"), col("v"), col("p"))) ==
+      Set((1L, "a", 1), (2L, "b", 1)))
+  }
+
+  test("deletion vectors: a point delete commits a sidecar, rewrites " +
+      "NOTHING, reads apply it merge-on-read, time travel below it " +
+      "reads the pre-delete rows, and replay no-ops") {
+    val tbl = tmpDir("dv") + "/t"
+    val b1 = Seq((1L, "a1", 1), (2L, "a2", 1), (3L, "a3", 2),
+      (4L, "a4", 2)).toDF("k", "v", "p")
+    SnapshotTable.merge(spark, tbl, b1, "k", "v", Seq("p"), Some(1L))
+    val dataDirsBefore = fs(tbl).listStatus(new Path(s"$tbl/data/v=1"))
+      .map(_.getPath.getName).toSet
+    assert(SnapshotTable.deleteKeys(spark, tbl,
+      Seq(1L, 3L, 99L).toDF("k"), "k", Some(2L)) == 2L)
+    // merge-on-read: v=1's partition dirs are byte-untouched, only a
+    // sidecar dir appeared under v=2
+    assert(fs(tbl).listStatus(new Path(s"$tbl/data/v=1"))
+      .map(_.getPath.getName).toSet == dataDirsBefore)
+    assert(fs(tbl).exists(new Path(s"$tbl/data/v=2/_dv")))
+    assert(content(SnapshotTable.read(spark, tbl)) ==
+      Set((2L, "a2", 1), (4L, "a4", 2)),
+      "deleted keys must vanish from the head read (k=99 was absent " +
+        "and harmless)")
+    // time travel: v1 still reads everything
+    assert(content(SnapshotTable.read(spark, tbl, Some(1L))) ==
+      Set((1L, "a1", 1), (2L, "a2", 1), (3L, "a3", 2), (4L, "a4", 2)))
+    // replay no-ops; a second delete stacks
+    assert(SnapshotTable.deleteKeys(spark, tbl, Seq(1L).toDF("k"), "k",
+      Some(2L)) == 2L)
+    assert(SnapshotTable.deleteKeys(spark, tbl, Seq(4L).toDF("k"), "k",
+      Some(3L)) == 3L)
+    assert(content(SnapshotTable.read(spark, tbl)) ==
+      Set((2L, "a2", 1)))
+    // null delete keys refuse; a mismatched dv key refuses
+    intercept[IllegalArgumentException] {
+      SnapshotTable.deleteKeys(spark, tbl,
+        Seq(Option.empty[Long]).toDF("k"), "k", Some(4L))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.deleteKeys(spark, tbl, Seq("x").toDF("v"), "v",
+        Some(4L))
+    }
+  }
+
+  test("deletion vectors + re-insert: a merge rewriting the deleted " +
+      "key's partition folds the delete in and the re-inserted row " +
+      "survives (per-entry application, not a global anti-join)") {
+    val tbl = tmpDir("dvreins") + "/t"
+    SnapshotTable.merge(spark, tbl,
+      Seq((1L, "a1", 1), (2L, "a2", 1), (3L, "a3", 2))
+        .toDF("k", "v", "p"), "k", "v", Seq("p"), Some(1L))
+    SnapshotTable.deleteKeys(spark, tbl, Seq(1L, 3L).toDF("k"), "k",
+      Some(2L))
+    // re-insert k=1 (touches ONLY p=1; p=2 keeps its dv reference)
+    SnapshotTable.merge(spark, tbl, Seq((1L, "back", 1)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(3L))
+    assert(content(SnapshotTable.read(spark, tbl)) ==
+      Set((1L, "back", 1), (2L, "a2", 1)),
+      "k=1 must come back, k=3 (untouched partition) must stay deleted")
+    val head = SnapshotTable.resolve(spark, tbl)
+    assert(head.entries.find(_.path.contains("p=2")).get.dvs.nonEmpty,
+      "the untouched partition must still reference the sidecar")
+    assert(head.entries.find(_.path.startsWith("v=3")).get.dvs.isEmpty,
+      "the rewritten partition must have folded its deletes in")
+    // a rewrite that also carries the deleted key's row must NOT
+    // resurrect k=3's old row through the touched-partition read
+    SnapshotTable.merge(spark, tbl, Seq((5L, "a5", 2)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(4L))
+    assert(content(SnapshotTable.read(spark, tbl)) ==
+      Set((1L, "back", 1), (2L, "a2", 1), (5L, "a5", 2)),
+      "rewriting p=2 must fold k=3's delete, not resurrect the row")
+    assert(SnapshotTable.resolve(spark, tbl).dvKey.isEmpty,
+      "once no entry references a sidecar the dvkey line drops")
+  }
+
+  test("deletion vectors + OPTIMIZE: the clustering rewrite folds " +
+      "every dv away, content identical, and vacuum/retention treat " +
+      "sidecars as live data until their manifests go") {
+    val tbl = tmpDir("dvopt") + "/t"
+    SnapshotTable.merge(spark, tbl,
+      (1L to 100L).map(k => (k, s"v$k", (k % 4).toInt))
+        .toDF("k", "v", "p"), "k", "v", Seq("p"), Some(1L))
+    SnapshotTable.deleteKeys(spark, tbl,
+      Seq(7L, 13L, 42L, 77L).toDF("k"), "k", Some(2L))
+    val want = (1L to 100L).filterNot(Set(7L, 13L, 42L, 77L))
+      .map(k => (k, s"v$k", (k % 4).toInt)).toSet
+    assert(content(SnapshotTable.read(spark, tbl)) == want)
+    // vacuum with no grace: the sidecar is REFERENCED — must survive
+    SnapshotTable.vacuum(spark, tbl, graceMs = 0L)
+    assert(fs(tbl).exists(new Path(s"$tbl/data/v=2/_dv")))
+    assert(content(SnapshotTable.read(spark, tbl)) == want)
+    SnapshotTable.optimize(spark, tbl, Seq("p"))
+    val head = SnapshotTable.resolve(spark, tbl)
+    assert(head.entries.forall(_.dvs.isEmpty) && head.dvKey.isEmpty,
+      "OPTIMIZE must fold deletion vectors away")
+    assert(content(SnapshotTable.read(spark, tbl)) == want,
+      "the folding rewrite must be content-identical")
+    // retention below the dv'd versions reclaims the sidecar
+    SnapshotTable.retainNewest(spark, tbl, 1, graceMs = 0L)
+    assert(!fs(tbl).exists(new Path(s"$tbl/data/v=2")),
+      "an unreferenced sidecar version dir sweeps with its manifests")
+    assert(content(SnapshotTable.read(spark, tbl)) == want)
+  }
+
+  test("deletion vectors + CDF: a delete commit surfaces as delete " +
+      "rows, a dv'd entry carried by reference in a LATER commit is " +
+      "shared (skipped), and readRange applies the dv") {
+    val tbl = tmpDir("dvcdf") + "/t"
+    SnapshotTable.merge(spark, tbl,
+      Seq((1L, "a1", 1), (2L, "a2", 1), (3L, "a3", 2))
+        .toDF("k", "v", "p"), "k", "v", Seq("p"), Some(1L))
+    SnapshotTable.deleteKeys(spark, tbl, Seq(1L).toDF("k"), "k", Some(2L))
+    val cdf = SnapshotTable.changesBetween(spark, tbl, "k", 1L, 2L)
+      .select(col("k"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cdf == Set((1L, "delete")),
+      s"a dv delete must emit exactly its delete rows: $cdf")
+    // merge into p=2 only: p=1 keeps its (path, dv) identity across
+    // v2→v3 and must be SKIPPED by the cdf entry restriction
+    SnapshotTable.merge(spark, tbl, Seq((5L, "a5", 2)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(3L))
+    val (fromEs, toEs) = SnapshotTable.cdfEntries(
+      SnapshotTable.resolve(spark, tbl, Some(2L)),
+      SnapshotTable.resolve(spark, tbl, Some(3L)))
+    assert(fromEs.forall(_.contains("p=2")) &&
+      toEs.forall(_.contains("p=2")),
+      s"the dv'd-but-unchanged p=1 entry must be shared: $fromEs / $toEs")
+    val cdf23 = SnapshotTable.changesBetween(spark, tbl, "k", 2L, 3L)
+      .select(col("k"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cdf23 == Set((5L, "insert")))
+    // readRange over a dv'd table: pruning + residual + anti-join
+    val rr = SnapshotTable.readRange(spark, tbl, "k", Some(1L), Some(2L))
+    assert(content(rr) == Set((2L, "a2", 1)),
+      "readRange must apply the deletion vector")
+  }
+
+  test("publish overlap defense: a cross-process racer's range dir " +
+      "landing mid-publish is refused loudly by the post-rename " +
+      "re-list, never left as a silent double-feed") {
+    val land = tmpDir("puboverlap")
+    val f = fs(land)
+    // our publish just renamed changes_v0_v2; the racer (stale head)
+    // landed changes_v0_v1 in the window — its rows duplicate ours
+    f.mkdirs(new Path(land, "changes_v0_v2"))
+    f.mkdirs(new Path(land, "changes_v0_v1"))
+    val ex = intercept[IllegalStateException] {
+      SnapshotTable.refuseOverlap(f, new Path(land), "changes_v0_v2",
+        published = 0L, headVer = 2L)
+    }
+    assert(ex.getMessage.contains("changes_v0_v1"),
+      s"the refusal must name the overlapping dir: ${ex.getMessage}")
+    // disjoint neighbors never trip it: [0,2] then [2,5]
+    f.delete(new Path(land, "changes_v0_v1"), true)
+    f.mkdirs(new Path(land, "changes_v2_v5"))
+    SnapshotTable.refuseOverlap(f, new Path(land), "changes_v0_v2",
+      published = 0L, headVer = 2L)
+    SnapshotTable.refuseOverlap(f, new Path(land), "changes_v2_v5",
+      published = 2L, headVer = 5L)
+  }
+}
