@@ -15,13 +15,23 @@ import org.apache.spark.sql.types._
   *
   * Layout:
   * {{{
-  *   dir/_snap.<ver>                     version manifest (tmp+rename,
-  *     batch=<id>                          read-back verified):
-  *     schema=<ddl> / parts=<cols>
-  *     statskey=<col>                      key whose min/max the entries carry
-  *     entry=v=<writerVer>/<partKey>       one line per live partition dir
-  *     stat=<i> <minEnc> <maxEnc>          per-entry key bounds (by entry index)
+  *   dir/_head                           advisory head pointer (text
+  *                                         version; resolve probes
+  *                                         forward past it — never an
+  *                                         O(versions) listing)
+  *   dir/_snap.<ver>                     version manifest (tmp + no-
+  *     batch=<id>                          clobber rename, read-back
+  *     schema=<ddl> / parts=<cols>         verified):
+  *     statskey=<col>[,<col>...]           columns with recorded bounds
+  *     dvkey=<col>                         deletion-vector join column
+  *     base=<ver-1>                        DELTA manifest: entries are
+  *     drop=<path>                           base minus drops plus the
+  *     entry=v=<writerVer>/<partKey>         entry= lines (full
+  *     stat=<i> <k> <minEnc> <maxEnc>        manifests re-emitted every
+  *     fstat=<i> <file> <k> <mn> <mx>        ManifestCheckpointEvery)
+  *     dv=<i> <dvPathEnc>                  per-entry sidecar refs
   *   dir/data/v=<writerVer>/<partKey>/part-*.parquet
+  *   dir/data/v=<writerVer>/_dv/part-*.parquet   deleted-key sidecars
   * }}}
   * `<partKey>` is `__gp_<col>=<escaped value>[/…]`: the writer
   * duplicates each partition column into a hidden `__gp_` twin and
@@ -64,14 +74,20 @@ import org.apache.spark.sql.types._
   * key alive under two partitions. The contract is the caller's to
   * keep (Delta/Iceberg partitioned MERGEs carry the same caveat).
   *
-  * Manifest format: v3 adds the optional `statskey=`/`stat=` lines
-  * (per-entry min/max of the merge key — the Iceberg manifest-stats
-  * shape, used by [[readRange]] to skip partitions a point/range
-  * predicate cannot touch). v2 manifests (no stats) resolve fine —
-  * entries without stats are simply never pruned. Manifests written
-  * before schema tracking refuse loudly on resolve (no durable
-  * pre-format tables exist; every table in this repo is an ephemeral
-  * fixture, so a silent fallback would only ever mask corruption).
+  * Manifest format (v5): `statskey=` carries a column LIST and every
+  * `stat=`/`fstat=` line addresses its column by index — Iceberg's
+  * per-column bounds, so [[readRange]] skips on ANY recorded column;
+  * `dvkey=`/`dv=` lines reference deletion-vector sidecars
+  * ([[deleteKeys]]); `base=`/`drop=` lines make a manifest an entry
+  * DELTA against its predecessor (full manifests re-emitted every
+  * [[ManifestCheckpointEvery]] commits — the Delta-checkpoint shape
+  * that keeps commit bytes O(changed entries) and resolve O(chain),
+  * with the `_head` pointer making head discovery O(1) instead of an
+  * O(versions) listing). Statless manifests resolve fine — entries
+  * without bounds are simply never pruned. Manifests written before
+  * schema tracking refuse loudly on resolve (no durable pre-format
+  * tables exist; every table in this repo is an ephemeral fixture,
+  * so a silent fallback would only ever mask corruption).
   *
   * Concurrency, in three tiers:
   *  - WITHIN one driver JVM, [[mergeRetrying]]/[[mergeCdcRetrying]]
@@ -101,16 +117,19 @@ import org.apache.spark.sql.types._
   *    the protection best-effort detection rather than a claim. */
 object SnapshotTable {
 
-  /** Per-file key bounds inside an entry's dir (`name` is the bare
-    * parquet file name) — the Iceberg manifest granularity: with
+  /** Per-file, PER-COLUMN bounds inside an entry's dir (`name` is the
+    * bare parquet file name) — the Iceberg manifest granularity: with
     * salted or ZORDER-clustered writes a partition dir holds several
     * files, and file-level bounds let a point/range read open only
-    * the files that can match. `bounds = None` records a file whose
-    * footer carried no usable stats (it must ALWAYS be opened) — the
-    * manifest still lists it, so a non-empty `fileStats` is a
-    * COMPLETE inventory of the dir and pruning can rely on it. */
+    * the files that can match. `bounds` maps each recorded stats
+    * column to its (min, max); a column absent from the map carried
+    * no usable footer stats in this file (the file must always be
+    * opened for predicates on it). An EMPTY map records a file with
+    * no usable stats at all — the manifest still lists it, so a
+    * non-empty `fileStats` is a COMPLETE inventory of the dir and
+    * pruning can rely on it. */
   final case class FileStat(name: String,
-      bounds: Option[(String, String)])
+      bounds: Map[String, (String, String)])
 
   /** One manifest entry: a live partition dir (relative to
     * `dir/data/`) plus optional min/max of the table's stats key over
@@ -122,7 +141,8 @@ object SnapshotTable {
     * read — the merge-on-read shape (Iceberg's equality deletes /
     * Delta's deletion vectors): a point delete costs O(delete keys),
     * not a rewrite of every touched partition. */
-  final case class Entry(path: String, stats: Option[(String, String)],
+  final case class Entry(path: String,
+      stats: Map[String, (String, String)] = Map.empty,
       fileStats: Seq[FileStat] = Nil, dvs: Seq[String] = Nil)
 
   /** One resolved version: the immutable contract a reader holds.
@@ -130,13 +150,28 @@ object SnapshotTable {
     * recorded in the manifest like Delta/Iceberg record theirs — the
     * read side pins it, so files written before an additive schema
     * evolution surface the added columns as nulls without any
-    * footer-merging scan. `statsKey` names the column the entries'
-    * min/max bounds describe (the merge key, when stat-safe). */
+    * footer-merging scan. `statsKeys` names the columns the entries'
+    * per-column min/max bounds describe — the merge key first, plus
+    * any caller-requested stats columns (Iceberg records per-column
+    * bounds the same way); [[readRange]] prunes on ANY recorded
+    * column. */
   final case class Snap(ver: Long, batchId: Option[Long],
       entries: Seq[Entry], schemaDdl: String, partCols: Seq[String],
-      statsKey: Option[String], dvKey: Option[String] = None) {
+      statsKeys: Seq[String], dvKey: Option[String] = None,
+      depth: Int = 0) {
     def entryPaths: Seq[String] = entries.map(_.path)
+    /** The PRIMARY stats column (the merge key) — the salt column and
+      * the bound [[pruneByKey]] historically served. */
+    def statsKey: Option[String] = statsKeys.headOption
   }
+
+  /** Checkpoint cadence for DELTA manifests: a manifest may record
+    * only its entry diff against `base=<ver-1>` as long as the chain
+    * below it is shorter than this; the next commit past the cap
+    * re-emits the full entry list (Delta's checkpoint shape). Caps
+    * both the resolve chain (≤ this many manifest reads) and the
+    * blast radius of a lost manifest file. */
+  val ManifestCheckpointEvery = 10
 
   /** Hidden partition-column prefix: `partitionBy` consumes the
     * `__gp_` twins into dir names while the originals ride the files. */
@@ -344,23 +379,92 @@ object SnapshotTable {
     }
   }
 
+  /** Serialize the entry lines (`entry=`/`stat=`/`fstat=`/`dv=`) for
+    * `entries`, indices into THEIR OWN sorted order — a full
+    * manifest's whole inventory, or a delta manifest's added set. */
+  private def entryLines(entries: Seq[Entry], statsKeys: Seq[String])
+      : Seq[String] = {
+    val sorted = entries.sortBy(_.path)
+    // stat/fstat lines address their column by INDEX into the
+    // statskey list; bounds for a column not in the list cannot
+    // serialize and are dropped (writeAndCommit intersects first —
+    // unstated bounds only ever widen reads, never corrupt them)
+    val keyIdx = statsKeys.zipWithIndex.toMap
+    val statLines = sorted.zipWithIndex.flatMap { case (e, i) =>
+      e.stats.toSeq.collect {
+        case (c, (mn, mx)) if keyIdx.contains(c) =>
+          (keyIdx(c), s"stat=$i ${keyIdx(c)} ${enc(mn)} ${enc(mx)}")
+      }.sortBy(_._1).map(_._2)
+    }
+    // a statless file serializes with the bare `?` sentinel (URL
+    // encoding can never produce a bare `?`, so no value collides)
+    val fstatLines = sorted.zipWithIndex.flatMap { case (e, i) =>
+      e.fileStats.flatMap { f =>
+        val cols = f.bounds.toSeq.collect {
+          case (c, (mn, mx)) if keyIdx.contains(c) =>
+            (keyIdx(c), mn, mx)
+        }.sortBy(_._1)
+        if (cols.isEmpty) Seq(s"fstat=$i ${enc(f.name)} ? ?")
+        else cols.map { case (k, mn, mx) =>
+          s"fstat=$i ${enc(f.name)} $k ${enc(mn)} ${enc(mx)}"
+        }
+      }
+    }
+    val dvLines = sorted.zipWithIndex.flatMap { case (e, i) =>
+      e.dvs.map(p => s"dv=$i ${enc(p)}")
+    }
+    sorted.map(e => s"entry=${e.path}") ++ statLines ++ fstatLines ++
+      dvLines
+  }
+
+  /** The full manifest body for a final entry state — also what
+    * [[retainNewest]] re-emits when it checkpoints the oldest
+    * retained delta before deleting its base chain. */
+  private def fullBody(batchId: Option[Long], entries: Seq[Entry],
+      schemaDdl: String, partCols: Seq[String], statsKeys: Seq[String],
+      dvKey: Option[String]): String =
+    (batchId.map(b => s"batch=$b").toSeq ++
+      Seq(s"schema=$schemaDdl", s"parts=${partCols.mkString(",")}") ++
+      (if (statsKeys.nonEmpty)
+        Seq(s"statskey=${statsKeys.mkString(",")}") else Nil) ++
+      dvKey.filter(_ => entries.exists(_.dvs.nonEmpty))
+        .map(k => s"dvkey=$k").toSeq ++
+      entryLines(entries, statsKeys)).mkString("\n")
+
   /** Commit a manifest: refuse if the destination version already
     * exists, tmp write, no-clobber rename ([[claimVersion]] — the
     * filesystem picks exactly one winner per version), then READ BACK
     * and require our own bytes (defense-in-depth for stores whose
-    * rename can clobber — see the object doc's concurrency tiers).
+    * rename can clobber — see the object doc's concurrency tiers),
+    * then advance the advisory `_head` pointer.
+    *
+    * `entries` is always the FULL final entry state; when `base` (the
+    * head this commit was computed against) is supplied, the manifest
+    * may serialize as a DELTA — `base=<ver-1>` plus `drop=` lines and
+    * the added entries — so a narrow merge writes O(changed entries)
+    * manifest text instead of O(all partitions) (the Delta/Iceberg
+    * incremental-manifest shape). A full manifest is emitted instead
+    * whenever the chain below would reach [[ManifestCheckpointEvery]]
+    * (the checkpoint cadence) or the diff wouldn't actually be
+    * smaller (an OPTIMIZE replaces everything). Resolution applies
+    * the chain base-up; content is identical either way.
     * (Package-private so the spec can exercise the losing writer's
     * commit attempt directly — the interleaving is not reachable
     * through merge() without a real race.) */
   private[graft] def commitManifest(spark: SparkSession, dir: String,
       newVer: Long, batchId: Option[Long], entries: Seq[Entry],
       schemaDdl: String, partCols: Seq[String],
-      statsKey: Option[String], dvKey: Option[String] = None): Unit = {
+      statsKeys: Seq[String], dvKey: Option[String] = None,
+      base: Option[Snap] = None): Unit = {
     require(!schemaDdl.contains("\n"),
       "schema DDL must be a single manifest line")
     require(dvKey.isDefined || entries.forall(_.dvs.isEmpty),
       "entries carry deletion vectors but no dvkey names the column " +
         "they delete by — the manifest would be unreadable")
+    require(statsKeys.distinct.size == statsKeys.size &&
+      statsKeys.forall(k => !k.contains(",") && !k.contains(" ")),
+      s"stats columns must be distinct, comma/space-free names: " +
+        statsKeys.mkString(", "))
     val fs = fsOf(spark, dir)
     // tmp name unique per ATTEMPT (not per version): two in-JVM racers
     // at the same version must never overwrite each other's staging
@@ -368,28 +472,34 @@ object SnapshotTable {
     val tmp = new Path(dir,
       s"_snap.$newVer.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
     val dst = new Path(dir, s"_snap.$newVer")
-    val sorted = entries.sortBy(_.path)
-    val statLines = sorted.zipWithIndex.flatMap { case (e, i) =>
-      e.stats.map { case (mn, mx) => s"stat=$i ${enc(mn)} ${enc(mx)}" }
+    val body = base match {
+      case Some(b) if b.ver == newVer - 1 && b.ver > 0 &&
+          b.depth + 1 < ManifestCheckpointEvery =>
+        // diff vs base: an entry changed in place (same path, new
+        // stats/dvs) serializes as drop + re-add
+        val baseByPath = b.entries.map(e => e.path -> e).toMap
+        val newByPath = entries.map(e => e.path -> e).toMap
+        val adds = entries.filter(e =>
+          !baseByPath.get(e.path).contains(e))
+        val drops = b.entries.map(_.path).filter(p =>
+          !newByPath.get(p).exists(e => baseByPath(p) == e))
+        if (adds.size + drops.size >= entries.size)
+          fullBody(batchId, entries, schemaDdl, partCols, statsKeys,
+            dvKey) // the diff is no smaller — checkpoint now
+        else
+          (batchId.map(bi => s"batch=$bi").toSeq ++
+            Seq(s"schema=$schemaDdl",
+              s"parts=${partCols.mkString(",")}") ++
+            (if (statsKeys.nonEmpty)
+              Seq(s"statskey=${statsKeys.mkString(",")}") else Nil) ++
+            dvKey.filter(_ => entries.exists(_.dvs.nonEmpty))
+              .map(k => s"dvkey=$k").toSeq ++
+            Seq(s"base=${b.ver}") ++
+            drops.sorted.map(p => s"drop=$p") ++
+            entryLines(adds, statsKeys)).mkString("\n")
+      case _ =>
+        fullBody(batchId, entries, schemaDdl, partCols, statsKeys, dvKey)
     }
-    // a statless file serializes with the bare `?` sentinel (URL
-    // encoding can never produce a bare `?`, so no value collides)
-    val fstatLines = sorted.zipWithIndex.flatMap { case (e, i) =>
-      e.fileStats.map(f => f.bounds match {
-        case Some((mn, mx)) =>
-          s"fstat=$i ${enc(f.name)} ${enc(mn)} ${enc(mx)}"
-        case None => s"fstat=$i ${enc(f.name)} ? ?"
-      })
-    }
-    val dvLines = sorted.zipWithIndex.flatMap { case (e, i) =>
-      e.dvs.map(p => s"dv=$i ${enc(p)}")
-    }
-    val body = (batchId.map(b => s"batch=$b").toSeq ++
-      Seq(s"schema=$schemaDdl", s"parts=${partCols.mkString(",")}") ++
-      statsKey.map(k => s"statskey=$k").toSeq ++
-      dvKey.filter(_ => dvLines.nonEmpty).map(k => s"dvkey=$k").toSeq ++
-      sorted.map(e => s"entry=${e.path}") ++ statLines ++
-      fstatLines ++ dvLines).mkString("\n")
     val lock = commitLocks.computeIfAbsent(lockKey(spark, dir),
       _ => new Object)
     lock.synchronized {
@@ -410,6 +520,62 @@ object SnapshotTable {
         s"snapshot manifest $dst was replaced by a concurrent writer — " +
           "cross-process commits are best-effort detection; the other " +
           "commit won")
+      advanceHeadPointer(spark, dir, newVer)
+    }
+  }
+
+  /** Advance the advisory `_head` pointer (Delta's `_last_checkpoint`
+    * shape): tmp write + overwrite rename, BEST-EFFORT — a crash (or
+    * an out-of-order cross-process landing) leaves it lagging, and
+    * [[headVersion]] probes forward from whatever it reads, so the
+    * pointer only ever has to be close, never exact. Failures are
+    * swallowed: the fallback is the full listing, not a wrong head. */
+  private def advanceHeadPointer(spark: SparkSession, dir: String,
+      ver: Long): Unit =
+    try {
+      val fs = fsOf(spark, dir)
+      val tmp = new Path(dir,
+        s"_head.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(ver.toString.getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, new Path(dir, "_head"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case _: Throwable => }
+
+  /** The head version, O(1)-ish: read `_head`, verify, probe FORWARD
+    * past any commits whose pointer write lagged (crash between
+    * manifest rename and pointer swap, or out-of-order racers) —
+    * amortized one or two existence checks instead of [[versions]]'
+    * O(versions) directory listing. A missing/garbled/stale-beyond-
+    * repair pointer falls back to the listing. */
+  private def headVersion(spark: SparkSession, dir: String): Long = {
+    val fs = fsOf(spark, dir)
+    val ptr =
+      try {
+        val p = new Path(dir, "_head")
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          val text =
+            try {
+              val bos = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 256, false)
+              new String(bos.toByteArray, "UTF-8").trim
+            } finally in.close()
+          text.toLongOption
+        }
+      } catch { case _: java.io.IOException => None }
+    ptr.filter(v => fs.exists(new Path(dir, s"_snap.$v"))) match {
+      case Some(v) =>
+        var h = v
+        while (fs.exists(new Path(dir, s"_snap.${h + 1}"))) h += 1
+        h
+      case None =>
+        val vs = versions(spark, dir)
+        require(vs.nonEmpty, s"no snapshot table at $dir")
+        vs.max
     }
   }
 
@@ -434,19 +600,28 @@ object SnapshotTable {
       .flatMap(_.stripPrefix("_snap.").toLongOption).sorted
   }
 
-  /** Resolve a manifest — the newest, or the pinned `version`. Loud
-    * when the table is missing or the requested version is not
-    * retained: a silent empty read of a time-travel query is how a
-    * reproducibility audit reports "nothing changed" against garbage. */
+  /** Resolve a manifest — the newest (via the `_head` pointer, never
+    * an O(versions) listing), or the pinned `version`. Loud when the
+    * table is missing or the requested version is not retained: a
+    * silent empty read of a time-travel query is how a
+    * reproducibility audit reports "nothing changed" against garbage.
+    * A DELTA manifest resolves by applying its drop/add diff to its
+    * recursively-resolved base — the chain is bounded by
+    * [[ManifestCheckpointEvery]] reads. */
   def resolve(spark: SparkSession, dir: String,
-      version: Option[Long] = None): Snap = {
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"no snapshot table at $dir")
-    val ver = version.getOrElse(vs.max)
-    require(vs.contains(ver),
-      s"version $ver of $dir is not retained (have ${vs.mkString(",")})")
+      version: Option[Long] = None): Snap =
+    resolveAt(spark, dir,
+      version.getOrElse(headVersion(spark, dir)))
+
+  private def resolveAt(spark: SparkSession, dir: String,
+      ver: Long): Snap = {
     val fs = fsOf(spark, dir)
-    val in = fs.open(new Path(dir, s"_snap.$ver"))
+    val manifest = new Path(dir, s"_snap.$ver")
+    if (!fs.exists(manifest)) {
+      require(fs.exists(new Path(dir)), s"no snapshot table at $dir")
+      require(false, s"version $ver of $dir is not retained")
+    }
+    val in = fs.open(manifest)
     val text =
       try {
         val bos = new java.io.ByteArrayOutputStream()
@@ -458,24 +633,42 @@ object SnapshotTable {
       .flatMap(_.stripPrefix("batch=").toLongOption).headOption
     val paths = lines.filter(_.startsWith("entry="))
       .map(_.stripPrefix("entry=")).toSeq
+    val skList = lines.find(_.startsWith("statskey="))
+      .map(_.stripPrefix("statskey=").split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+    // stat=<entry> <keyIdx> <mn> <mx> — per-column entry bounds
     val stats = lines.filter(_.startsWith("stat="))
-      .map(_.stripPrefix("stat=").split(" ", 3)).collect {
-        case Array(i, mn, mx) if i.toIntOption.isDefined =>
-          i.toInt -> ((dec(mn), dec(mx)))
-      }.toMap
+      .map(_.stripPrefix("stat=").split(" ", 4)).collect {
+        case Array(i, k, mn, mx)
+            if i.toIntOption.isDefined &&
+              k.toIntOption.exists(skList.indices.contains) =>
+          i.toInt -> (skList(k.toInt) -> ((dec(mn), dec(mx))))
+      }.groupBy(_._1).map { case (i, cs) => i -> cs.map(_._2).toMap }
+    // fstat=<entry> <name> ? ?            (file listed, no stats)
+    // fstat=<entry> <name> <keyIdx> <mn> <mx>  (one line per column)
     val fstats = lines.filter(_.startsWith("fstat="))
-      .map(_.stripPrefix("fstat=").split(" ", 4)).collect {
+      .map(_.stripPrefix("fstat=").split(" ", 5)).collect {
         case Array(i, n, "?", "?") if i.toIntOption.isDefined =>
-          i.toInt -> FileStat(dec(n), None)
-        case Array(i, n, mn, mx) if i.toIntOption.isDefined =>
-          i.toInt -> FileStat(dec(n), Some((dec(mn), dec(mx))))
-      }.groupBy(_._1).map { case (i, fs) => i -> fs.map(_._2).toSeq }
+          (i.toInt, dec(n)) -> None
+        case Array(i, n, k, mn, mx)
+            if i.toIntOption.isDefined &&
+              k.toIntOption.exists(skList.indices.contains) =>
+          (i.toInt, dec(n)) -> Some(skList(k.toInt) -> ((dec(mn), dec(mx))))
+      }.groupBy(_._1._1).map { case (i, fs) =>
+        i -> fs.groupBy(_._1._2).toSeq.sortBy(_._1).map {
+          case (name, cols) =>
+            FileStat(name, cols.flatMap(_._2).toMap)
+        }
+      }
     val dvs = lines.filter(_.startsWith("dv="))
       .map(_.stripPrefix("dv=").split(" ", 2)).collect {
         case Array(i, p) if i.toIntOption.isDefined => i.toInt -> dec(p)
       }.groupBy(_._1).map { case (i, ps) => i -> ps.map(_._2).toSeq }
-    val entries = paths.zipWithIndex.map { case (p, i) =>
-      Entry(p, stats.get(i), fstats.getOrElse(i, Nil),
+    // in a FULL manifest these are the whole inventory; in a DELTA
+    // manifest (base= present) they are the ADDED entries, indexed
+    // into their own sorted order
+    val own = paths.zipWithIndex.map { case (p, i) =>
+      Entry(p, stats.getOrElse(i, Map.empty), fstats.getOrElse(i, Nil),
         dvs.getOrElse(i, Nil))
     }
     val ddl = lines.find(_.startsWith("schema="))
@@ -485,13 +678,25 @@ object SnapshotTable {
       .map(_.stripPrefix("parts=").split(",").toSeq.filter(_.nonEmpty))
     require(parts.isDefined,
       s"manifest _snap.$ver carries no parts line")
-    val sk = lines.find(_.startsWith("statskey="))
-      .map(_.stripPrefix("statskey="))
     val dvk = lines.find(_.startsWith("dvkey="))
       .map(_.stripPrefix("dvkey="))
+    val baseVer = lines.find(_.startsWith("base="))
+      .flatMap(_.stripPrefix("base=").toLongOption)
+    val (entries, depth) = baseVer match {
+      case None => (own, 0)
+      case Some(bv) =>
+        require(bv == ver - 1,
+          s"manifest _snap.$ver bases on $bv — bases are always the " +
+            "immediately preceding version")
+        val b = resolveAt(spark, dir, bv)
+        val dropped = lines.filter(_.startsWith("drop="))
+          .map(_.stripPrefix("drop=")).toSet
+        ((b.entries.filterNot(e => dropped.contains(e.path)) ++ own)
+          .sortBy(_.path), b.depth + 1)
+    }
     require(dvk.isDefined || entries.forall(_.dvs.isEmpty),
       s"manifest _snap.$ver carries dv lines but no dvkey")
-    Snap(ver, batch, entries, ddl.get, parts.get, sk, dvk)
+    Snap(ver, batch, entries, ddl.get, parts.get, skList, dvk, depth)
   }
 
   /** Read a HELD snapshot — the isolation surface: the entries name
@@ -544,7 +749,7 @@ object SnapshotTable {
     * (statsKey mismatch, non-stat-safe type, key missing). */
   private def pruneCmp(snap: Snap, key: String)
       : Option[(String, String) => Int] = {
-    if (!snap.statsKey.contains(key)) return None
+    if (!snap.statsKeys.contains(key)) return None
     StructType.fromDDL(snap.schemaDdl).fields.find(_.name == key)
       .map(_.dataType).filter(statSafe).map {
         // byte-wise UNSIGNED UTF-8 order — the order Spark's
@@ -570,7 +775,7 @@ object SnapshotTable {
       hi: Option[Any]): Snap = {
     if (lo.isEmpty && hi.isEmpty) return snap
     pruneCmp(snap, key).fold(snap) { cmp =>
-      snap.copy(entries = snap.entries.filter(e => e.stats match {
+      snap.copy(entries = snap.entries.filter(e => e.stats.get(key) match {
         case None => true
         case Some((mn, mx)) =>
           lo.forall(l => cmp(mx, l.toString) >= 0) &&
@@ -600,7 +805,8 @@ object SnapshotTable {
           if (e.fileStats.isEmpty || (lo.isEmpty && hi.isEmpty))
             Seq(s"$dir/data/${e.path}")
           else e.fileStats.filter(f =>
-              f.bounds.forall { case (mn, mx) => overlaps(mn, mx) })
+              f.bounds.get(key).forall { case (mn, mx) =>
+                overlaps(mn, mx) })
             .map(f => s"$dir/data/${e.path}/${f.name}")
         }
     }
@@ -899,7 +1105,7 @@ object SnapshotTable {
     * SerializableConfiguration — a task-side default Configuration
     * would drop credentials/endpoint settings on a real cluster). */
   private def harvestFileStats(spark: SparkSession,
-      dirs: Seq[(String, Path)], key: String, dt: DataType)
+      dirs: Seq[(String, Path)], cols: Seq[(String, DataType)])
       : Map[String, Seq[FileStat]] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
@@ -915,90 +1121,94 @@ object SnapshotTable {
         files.map { case (ep, st) =>
           ep -> boundsOf(
             org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromStatus(st, conf), st.getPath.getName, key, dt)
+              .fromStatus(st, conf), st.getPath.getName, cols)
         }
       else {
         val sconf = new org.apache.spark.util.SerializableConfiguration(
           conf)
-        val (k, d) = (key, dt)
+        val cs = cols
         spark.sparkContext
           .parallelize(files.map { case (ep, st) =>
             ep -> st.getPath.toString
           }, math.min(64, 1 + files.size / 8))
           .map { case (ep, f) =>
-            ep -> SnapshotTable.footerBounds(sconf.value, f, k, d)
+            ep -> SnapshotTable.footerBounds(sconf.value, f, cs)
           }
           .collect().toSeq
       }
     harvested.groupBy(_._1).map { case (ep, fs) => ep -> fs.map(_._2) }
   }
 
-  /** One file's key bounds from its parquet footer — a metadata-only
-    * read, callable on driver or executor (takes a bare Hadoop conf). */
+  /** One file's per-column bounds from its parquet footer — a
+    * metadata-only read, callable on driver or executor (takes a bare
+    * Hadoop conf). ONE footer open serves every stats column. */
   private[ops] def footerBounds(
       conf: org.apache.hadoop.conf.Configuration, file: String,
-      key: String, dt: DataType): FileStat = {
+      cols: Seq[(String, DataType)]): FileStat = {
     val p = new Path(file)
     boundsOf(org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(p, conf), p.getName, key, dt)
+      .fromPath(p, conf), p.getName, cols)
   }
 
   private def boundsOf(
       in: org.apache.parquet.hadoop.util.HadoopInputFile, name: String,
-      key: String, dt: DataType): FileStat = {
+      cols: Seq[(String, DataType)]): FileStat = {
     import scala.jdk.CollectionConverters._
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala.toSeq
-          val stats = blocks.map(b => b.getColumns.asScala
-            .find(c => c.getPath.toDotString == key)
-            .map(_.getStatistics).orNull)
-          // bounds are recorded ONLY when EVERY row group carries
-          // usable stats — a partial cover would yield too-narrow
-          // bounds and prune rows that live in the uncovered blocks.
-          // The discriminator is Statistics.isEmpty, NOT null:
-          // parquet-mr materializes an EMPTY Statistics object when a
-          // row group's footer stats were omitted (e.g. a value
-          // exceeding the stats size cap) — isEmpty=true, unknown
-          // content, the whole file must get bounds=None. An
-          // all-null-key block reports isEmpty=false with
-          // hasNonNullValue=false (its null count IS recorded);
-          // excluding it from the bound computation is sound because
-          // null keys never match a range predicate.
-          val usable = stats.filter(s => s != null && s.hasNonNullValue)
-          val unknown = stats.exists(s => s == null || s.isEmpty)
-          val bounds =
-            if (unknown || usable.isEmpty) None
-            else dt match {
-              case LongType => Some((
-                usable.map(_.genericGetMin
-                  .asInstanceOf[java.lang.Long].longValue).min.toString,
-                usable.map(_.genericGetMax
-                  .asInstanceOf[java.lang.Long].longValue).max.toString))
-              case IntegerType | ShortType | ByteType => Some((
-                usable.map(_.genericGetMin
-                  .asInstanceOf[Number].intValue).min.toString,
-                usable.map(_.genericGetMax
-                  .asInstanceOf[Number].intValue).max.toString))
-              case StringType =>
-                // min/max across row groups selected under the SAME
-                // byte-wise order the bounds are compared with —
-                // Scala's String min (UTF-16) could pick a value
-                // that is not the byte-wise extreme above the BMP
-                val mins = usable.map(_.genericGetMin
-                  .asInstanceOf[org.apache.parquet.io.api.Binary]
-                  .toStringUsingUTF8)
-                val maxs = usable.map(_.genericGetMax
-                  .asInstanceOf[org.apache.parquet.io.api.Binary]
-                  .toStringUsingUTF8)
-                Some((mins.reduce((a, b) =>
-                    if (utf8Cmp(a, b) <= 0) a else b),
-                  maxs.reduce((a, b) =>
-                    if (utf8Cmp(a, b) >= 0) a else b)))
-              case _ => None
-            }
-          FileStat(name, bounds)
-        } finally reader.close()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val all = cols.flatMap { case (key, dt) =>
+        val stats = blocks.map(b => b.getColumns.asScala
+          .find(c => c.getPath.toDotString == key)
+          .map(_.getStatistics).orNull)
+        // bounds are recorded ONLY when EVERY row group carries
+        // usable stats — a partial cover would yield too-narrow
+        // bounds and prune rows that live in the uncovered blocks.
+        // The discriminator is Statistics.isEmpty, NOT null:
+        // parquet-mr materializes an EMPTY Statistics object when a
+        // row group's footer stats were omitted (e.g. a value
+        // exceeding the stats size cap) — isEmpty=true, unknown
+        // content, the whole column must stay unrecorded. An
+        // all-null-key block reports isEmpty=false with
+        // hasNonNullValue=false (its null count IS recorded);
+        // excluding it from the bound computation is sound because
+        // null keys never match a range predicate.
+        val usable = stats.filter(s => s != null && s.hasNonNullValue)
+        val unknown = stats.exists(s => s == null || s.isEmpty)
+        val bounds =
+          if (unknown || usable.isEmpty) None
+          else dt match {
+            case LongType => Some((
+              usable.map(_.genericGetMin
+                .asInstanceOf[java.lang.Long].longValue).min.toString,
+              usable.map(_.genericGetMax
+                .asInstanceOf[java.lang.Long].longValue).max.toString))
+            case IntegerType | ShortType | ByteType => Some((
+              usable.map(_.genericGetMin
+                .asInstanceOf[Number].intValue).min.toString,
+              usable.map(_.genericGetMax
+                .asInstanceOf[Number].intValue).max.toString))
+            case StringType =>
+              // min/max across row groups selected under the SAME
+              // byte-wise order the bounds are compared with —
+              // Scala's String min (UTF-16) could pick a value
+              // that is not the byte-wise extreme above the BMP
+              val mins = usable.map(_.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8)
+              val maxs = usable.map(_.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8)
+              Some((mins.reduce((a, b) =>
+                  if (utf8Cmp(a, b) <= 0) a else b),
+                maxs.reduce((a, b) =>
+                  if (utf8Cmp(a, b) >= 0) a else b)))
+            case _ => None
+          }
+        bounds.map(key -> _)
+      }.toMap
+      FileStat(name, all)
+    } finally reader.close()
   }
 
   /** Per-partition (row count, key min, key max) of `df`, collected —
@@ -1009,28 +1219,30 @@ object SnapshotTable {
     * REALLY produced), the hot-partition split table, and the
     * manifest stats in a single pass. */
   private def partProfile(df: DataFrame, partCols: Seq[String],
-      key: String): Seq[(Row, Long, Option[(String, String)], Long)] = {
-    val hasStats = statSafe(df.schema(key).dataType)
-    val aggs =
-      (if (hasStats)
-        Seq(count(lit(1)).as("_n"), min(col(key)).cast("string").as("_mn"),
-          max(col(key)).cast("string").as("_mx"))
-      else Seq(count(lit(1)).as("_n"))) :+
-        // null-KEY census, riding the same single pass: a null merge
-        // key breaks the new-wins dedup (every null groups together)
-        // AND the CDF's equality classification — refused at commit
-        // (writeAndCommit), not silently committed
-        count(when(col(key).isNull, lit(1))).as("_knull")
+      nullCensusCol: Option[String], statCols: Seq[String])
+      : Seq[(Row, Long, Map[String, (String, String)], Long)] = {
+    val censusCol = nullCensusCol.getOrElse(statCols.headOption
+      .getOrElse(df.schema.fieldNames.head))
+    val aggs = Seq(count(lit(1)).as("_n"),
+      // null-KEY census, riding the same single pass: a null merge
+      // key breaks the new-wins dedup (every null groups together)
+      // AND the CDF's equality classification — refused at commit
+      // (writeAndCommit), not silently committed
+      count(when(col(censusCol).isNull, lit(1))).as("_knull")) ++
+      statCols.flatMap(k => Seq(
+        min(col(k)).cast("string").as(s"_mn_$k"),
+        max(col(k)).cast("string").as(s"_mx_$k")))
     df.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         val n = r.getLong(partCols.length)
-        val st =
-          if (hasStats && !r.isNullAt(partCols.length + 1) &&
-            !r.isNullAt(partCols.length + 2))
-            Some((r.getString(partCols.length + 1),
-              r.getString(partCols.length + 2)))
+        val knull = r.getLong(partCols.length + 1)
+        val stats = statCols.zipWithIndex.flatMap { case (k, j) =>
+          val mnIdx = partCols.length + 2 + 2 * j
+          if (!r.isNullAt(mnIdx) && !r.isNullAt(mnIdx + 1))
+            Some(k -> ((r.getString(mnIdx), r.getString(mnIdx + 1))))
           else None
-        (r, n, st, r.getLong(partCols.length + (if (hasStats) 3 else 1)))
+        }.toMap
+        (r, n, stats, knull)
       }
   }
 
@@ -1039,45 +1251,53 @@ object SnapshotTable {
     * (post-dedup — the entry list must name dirs the write really
     * produces, never the delta's raw partition set), lay them down
     * with hot-partition salting, and commit `kept ++ produced`.
-    * `statsKey` is the INTENT — the column bounds should describe
-    * (the merge key for merges, the head's recorded key for
-    * rewrites); it is recorded only when stat-safe, and the salt
-    * hash rides it (any scalar column spreads rows). `kept` entries
-    * lose their stats when the recorded key changes (conservative:
-    * unstated bounds are never pruned). Empty output commits `kept`
-    * alone (a merge whose every touched row was deleted). */
+    * `statsCols` is the INTENT — the columns whose bounds the entries
+    * should describe, MERGE KEY FIRST (the salt hash and the null
+    * census ride the head of the list), plus any caller-requested
+    * extra stats columns; each is recorded only when stat-safe.
+    * `kept` entries keep their bounds for columns still recorded and
+    * drop the rest (per-column — a grown list never invalidates the
+    * carried columns; unstated bounds are never pruned). Empty output
+    * commits `kept` alone (a merge whose every touched row was
+    * deleted). */
   private def writeAndCommit(spark: SparkSession, dir: String,
-      output: DataFrame, statsKey: Option[String], partCols: Seq[String],
+      output: DataFrame, statsCols: Seq[String], partCols: Seq[String],
       newVer: Long, batchId: Option[Long], kept: Seq[Entry],
-      headStatsKey: Option[String], schemaDdl: String,
+      schemaDdl: String,
       maxRowsPerTask: Long, dirToken: Option[String],
       clusterKey: Option[Column] = None,
-      headDvKey: Option[String] = None): Long = {
-    // salt/profile column: the stats key when present, else any
+      head: Option[Snap] = None): Long = {
+    val headDvKey = head.flatMap(_.dvKey)
+    // salt/profile column: the merge key when present, else any
     // non-partition column — needed even statless for the row counts
-    val saltCol = statsKey.orElse(
+    val saltCol = statsCols.headOption.orElse(
       output.schema.fieldNames.find(!partCols.contains(_)))
     require(saltCol.isDefined,
       "every column is a partition column — the table would hold no " +
         "data columns to write")
     val key = saltCol.get
-    val newStatsKey =
-      statsKey.filter(c => statSafe(output.schema(c).dataType))
-    val keptAdj =
-      if (headStatsKey == newStatsKey) kept
-      // a stats-key change invalidates dir AND file bounds alike —
-      // they describe the old key; unstated bounds are never pruned
-      else kept.map(_.copy(stats = None, fileStats = Nil))
-    val profile = partProfile(output, partCols, key)
+    val newStatsCols =
+      statsCols.filter(c => statSafe(output.schema(c).dataType))
+    val newSet = newStatsCols.toSet
+    // per-column carry: bounds for columns leaving the recorded list
+    // cannot serialize (stat lines index into it) and drop; columns
+    // joining it stay absent on kept entries — both conservative
+    val keptAdj = kept.map(e => e.copy(
+      stats = e.stats.filter { case (c, _) => newSet.contains(c) },
+      fileStats = e.fileStats.map(f => f.copy(
+        bounds = f.bounds.filter { case (c, _) => newSet.contains(c) }))))
+    val profile = partProfile(output, partCols, statsCols.headOption,
+      newStatsCols)
     // the MERGE-KEY contract, enforced where every write path funnels
-    // (merge/mergeCdc/optimize/repartition all pass their key as
-    // statsKey): a null key breaks new-wins dedup and silently
-    // misclassifies in the CDF as delete+insert — refuse BEFORE the
-    // data write, from the census the profile pass already computed
-    if (statsKey.isDefined) {
+    // (merge/mergeCdc/optimize/repartition all pass their key at the
+    // head of statsCols): a null key breaks new-wins dedup and
+    // silently misclassifies in the CDF as delete+insert — refuse
+    // BEFORE the data write, from the census the profile pass already
+    // computed
+    if (statsCols.nonEmpty) {
       val nulls = profile.map(_._4).sum
       require(nulls == 0L,
-        s"merge key '${statsKey.get}' is null on $nulls row(s) — " +
+        s"merge key '${statsCols.head}' is null on $nulls row(s) — " +
           "snapshot-table keys must be non-null (new-wins dedup and " +
           "the change data feed both classify by key equality)")
     }
@@ -1089,23 +1309,23 @@ object SnapshotTable {
     // paths, so readers/vacuum/retention are name-agnostic.
     val verDir = dirToken.fold(s"v=$newVer")(t => s"v=$newVer-$t")
     val produced = profile.map { case (r, _, st, _) =>
-      Entry(s"$verDir/${partKeyRow(partCols, r)}",
-        if (newStatsKey.isDefined) st else None)
+      Entry(s"$verDir/${partKeyRow(partCols, r)}", st)
     }
     if (profile.nonEmpty)
       writePartitioned(output, partCols, s"$dir/data/$verDir",
         xxhash64(col(key)), profile.map(p => (p._1, p._2)), maxRowsPerTask,
         clusterKey)
     // file-level bounds from the freshly-written footers (metadata
-    // reads, O(files this commit wrote), executor-distributed when
-    // many); carried entries keep theirs
+    // reads, O(files this commit wrote), ONE footer open per file for
+    // every stats column, executor-distributed when many); carried
+    // entries keep theirs
     val producedF =
-      if (newStatsKey.isEmpty) produced
+      if (newStatsCols.isEmpty) produced
       else {
-        val dt = output.schema(key).dataType
+        val cols = newStatsCols.map(c => c -> output.schema(c).dataType)
         val byEntry = harvestFileStats(spark,
           produced.map(e => e.path -> new Path(s"$dir/data/${e.path}")),
-          key, dt)
+          cols)
         produced.map(e =>
           e.copy(fileStats = byEntry.getOrElse(e.path, Nil)))
       }
@@ -1115,8 +1335,9 @@ object SnapshotTable {
     // entry still needs it
     val allEntries = keptAdj ++ producedF
     commitManifest(spark, dir, newVer, batchId, allEntries,
-      schemaDdl, partCols, newStatsKey,
-      headDvKey.filter(_ => allEntries.exists(_.dvs.nonEmpty)))
+      schemaDdl, partCols, newStatsCols,
+      headDvKey.filter(_ => allEntries.exists(_.dvs.nonEmpty)),
+      base = head)
     newVer
   }
 
@@ -1134,7 +1355,7 @@ object SnapshotTable {
         "partition write, not at commit time")
     val head =
       if (versions(spark, dir).isEmpty)
-        Snap(0L, None, Nil, dataSchema.toDDL, partCols, None)
+        Snap(0L, None, Nil, dataSchema.toDDL, partCols, Nil)
       else resolve(spark, dir)
     if (batchId.isDefined && head.batchId == batchId)
       return Left(head.ver)
@@ -1206,12 +1427,16 @@ object SnapshotTable {
     * as version head+1. Returns the committed version (the head's,
     * unchanged, when `batchId` replays). The touched-partition
     * collect is bounded exactly as [[Upsert.upsertPartitioned]]'s —
-    * a delta spans few storage partitions by construction. */
+    * a delta spans few storage partitions by construction.
+    * `statsCols` names EXTRA columns (beyond the merge key) whose
+    * per-entry/per-file min/max the manifest records — Iceberg's
+    * per-column bounds — so [[readRange]] prunes on any of them. */
   def merge(spark: SparkSession, dir: String, delta: DataFrame,
       key: String, tieBreak: String, partCols: Seq[String],
       batchId: Option[Long] = None,
       maxRowsPerTask: Long = DefaultMaxRowsPerTask,
-      dirToken: Option[String] = None): Long = {
+      dirToken: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
     requirePathSafe(delta, partCols)
     val (head, newSchema) =
       mergePreamble(spark, dir, delta.schema, partCols, batchId) match {
@@ -1229,9 +1454,9 @@ object SnapshotTable {
     // leak its checkpoint blocks into the retry
     val merged = Upsert.merge(delta, existingTouched, key, tieBreak)
       .localCheckpoint()
-    try writeAndCommit(spark, dir, merged, Some(key), partCols,
-      head.ver + 1, batchId, kept, head.statsKey, newSchema.toDDL,
-      maxRowsPerTask, dirToken, headDvKey = head.dvKey)
+    try writeAndCommit(spark, dir, merged, (key +: statsCols).distinct,
+      partCols, head.ver + 1, batchId, kept, newSchema.toDDL,
+      maxRowsPerTask, dirToken, head = Some(head))
     finally org.apache.spark.sql.graftbridge.ColumnBridge
       .unpersistLocalCheckpoint(merged)
   }
@@ -1257,10 +1482,10 @@ object SnapshotTable {
       key: String, tieBreak: String, partCols: Seq[String],
       batchId: Option[Long] = None,
       maxRowsPerTask: Long = DefaultMaxRowsPerTask,
-      maxAttempts: Int = 8): Long =
+      maxAttempts: Int = 8, statsCols: Seq[String] = Nil): Long =
     retrying(maxAttempts)(token =>
       merge(spark, dir, delta, key, tieBreak, partCols, batchId,
-        maxRowsPerTask, Some(token)))
+        maxRowsPerTask, Some(token), statsCols))
 
   /** [[mergeCdc]] with the same optimistic-concurrency loop as
     * [[mergeRetrying]]. */
@@ -1268,10 +1493,10 @@ object SnapshotTable {
       delta: DataFrame, key: String, seqCols: Seq[String], opCol: String,
       partCols: Seq[String], batchId: Option[Long] = None,
       maxRowsPerTask: Long = DefaultMaxRowsPerTask,
-      maxAttempts: Int = 8): Long =
+      maxAttempts: Int = 8, statsCols: Seq[String] = Nil): Long =
     retrying(maxAttempts)(token =>
       mergeCdc(spark, dir, delta, key, seqCols, opCol, partCols,
-        batchId, maxRowsPerTask, Some(token)))
+        batchId, maxRowsPerTask, Some(token), statsCols))
 
   /** MERGE-ON-READ point deletes — deletion vectors, the public
     * Delta-DV / Iceberg-equality-delete shape rebuilt on the
@@ -1353,7 +1578,8 @@ object SnapshotTable {
     val entries = head.entries.map(e =>
       if (targets.contains(e.path)) e.copy(dvs = e.dvs :+ dvPath) else e)
     commitManifest(spark, dir, head.ver + 1, batchId, entries,
-      head.schemaDdl, head.partCols, head.statsKey, Some(key))
+      head.schemaDdl, head.partCols, head.statsKeys, Some(key),
+      base = Some(head))
     head.ver + 1
   }
 
@@ -1405,7 +1631,8 @@ object SnapshotTable {
       key: String, seqCols: Seq[String], opCol: String,
       partCols: Seq[String], batchId: Option[Long] = None,
       maxRowsPerTask: Long = DefaultMaxRowsPerTask,
-      dirToken: Option[String] = None): Long = {
+      dirToken: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long = {
     require(seqCols.nonEmpty, "seqCols must name >= 1 column")
     require(delta.columns.contains(opCol),
       s"op column '$opCol' is not in the delta")
@@ -1447,9 +1674,10 @@ object SnapshotTable {
         collapsed.select(col(key)), Seq(key), "left_anti")
         .select(dataSchema.fieldNames.map(col).toSeq: _*)
       val survivors = upserts.unionByName(carried).localCheckpoint()
-      try writeAndCommit(spark, dir, survivors, Some(key), partCols,
-        head.ver + 1, batchId, kept, head.statsKey, newSchema.toDDL,
-        maxRowsPerTask, dirToken, headDvKey = head.dvKey)
+      try writeAndCommit(spark, dir, survivors,
+        (key +: statsCols).distinct, partCols,
+        head.ver + 1, batchId, kept, newSchema.toDDL,
+        maxRowsPerTask, dirToken, head = Some(head))
       finally org.apache.spark.sql.graftbridge.ColumnBridge
         .unpersistLocalCheckpoint(survivors)
     } finally org.apache.spark.sql.graftbridge.ColumnBridge
@@ -1528,9 +1756,10 @@ object SnapshotTable {
   private def rewriteHead(spark: SparkSession, dir: String, head: Snap,
       df: DataFrame, partCols: Seq[String], maxRowsPerTask: Long,
       clusterKey: Option[Column]): Long =
-    writeAndCommit(spark, dir, df, head.statsKey, partCols,
-      head.ver + 1, head.batchId, Nil, head.statsKey, head.schemaDdl,
-      maxRowsPerTask, dirToken = None, clusterKey = clusterKey)
+    writeAndCommit(spark, dir, df, head.statsKeys, partCols,
+      head.ver + 1, head.batchId, Nil, head.schemaDdl,
+      maxRowsPerTask, dirToken = None, clusterKey = clusterKey,
+      head = Some(head))
 
   /** PARTITION EVOLUTION: rewrite the head's content under a NEW
     * partitioning and commit it as the next version — the migration
@@ -1590,6 +1819,24 @@ object SnapshotTable {
       s.entryPaths ++ s.entries.flatMap(_.dvs) // dv sidecars are live too
     }.toSet
     val fs = fsOf(spark, dir)
+    // the oldest retained manifest may be a DELTA whose base chain is
+    // about to be deleted — checkpoint it in place first (atomic
+    // overwrite swap; the rewritten bytes resolve to identical
+    // content, so a concurrent reader is safe either way)
+    val oldest = resolve(spark, dir, Some(cut.head))
+    if (oldest.depth > 0) {
+      val body = fullBody(oldest.batchId, oldest.entries,
+        oldest.schemaDdl, oldest.partCols, oldest.statsKeys,
+        oldest.dvKey)
+      val tmp = new Path(dir, s"_snap.${oldest.ver}." +
+        s"${java.lang.Long.toHexString(System.nanoTime())}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(
+        tmp.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, new Path(dir, s"_snap.${oldest.ver}"),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
     vs.dropRight(keep).foreach(v =>
       fs.delete(new Path(dir, s"_snap.$v"), false))
     val cutoff = System.currentTimeMillis() - graceMs
@@ -1645,9 +1892,11 @@ object SnapshotTable {
         .map(p => p.substring(0, p.indexOf('/')))
     }.toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    // stale tmp manifests from a crashed commit (rename never ran)
+    // stale tmp manifests / head-pointer stagings from a crashed
+    // commit (rename never ran)
     fs.listStatus(root)
-      .filter(st => st.getPath.getName.startsWith("_snap.") &&
+      .filter(st => (st.getPath.getName.startsWith("_snap.") ||
+        st.getPath.getName.startsWith("_head.")) &&
         st.getPath.getName.endsWith(".tmp") &&
         st.getModificationTime <= cutoff)
       .foreach(st => fs.delete(st.getPath, false))

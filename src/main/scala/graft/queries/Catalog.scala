@@ -10334,6 +10334,37 @@ object Catalog {
         part
       FROM base WHERE l_orderkey % 20 = 3"""))
 
+  /** MULTI-COLUMN MANIFEST STATS ([[graft.ops.SnapshotTable.merge]]'s
+    * `statsCols` — Iceberg's per-column bounds): the orders table is
+    * merged with `o_custkey` as an EXTRA stats column beyond the merge
+    * key, so every committed entry and file records (min, max) for
+    * BOTH; the output is a [[graft.ops.SnapshotTable.readRange]] on
+    * the NON-key column — entries and files whose recorded custkey
+    * bounds are disjoint from [100, 200] never open, the residual
+    * predicate runs exactly, and the hash gate pins pruned ≡ plain
+    * filter (q267's guarantee, generalized past the merge key).
+    * File-count skipping on both dimensions of a 2-D zordered table
+    * and per-column carry are spec-pinned (Round18Spec). */
+  private val q274 = Q("q274_snapshot_multicol_stats",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q274tbl").toString + "/t"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(dec2).cast("string").as("total"),
+        expr("o_orderkey div 4096").as("bucket"))
+      graft.ops.SnapshotTable.merge(s, tbl, o,
+        "o_orderkey", "total", Seq("bucket"), Some(1L),
+        statsCols = Seq("o_custkey"))
+      graft.ops.SnapshotTable.readRange(s, tbl, "o_custkey",
+        Some(100L), Some(200L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("total"), col("bucket"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket
+      FROM orders WHERE o_custkey BETWEEN 100 AND 200"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10365,5 +10396,5 @@ object Catalog {
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
     q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272,
-    q273)
+    q273, q274)
 }

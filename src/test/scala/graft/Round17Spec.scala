@@ -114,8 +114,8 @@ class Round17Spec extends SparkSpec {
     val s1 = SnapshotTable.resolve(spark, tbl)
     assert(s1.statsKey.contains("k"))
     val stats1 = s1.entries.map(e => e.path -> e.stats).toMap
-    assert(stats1("v=1/__gp_p=1").contains(("1", "10")) &&
-      stats1("v=1/__gp_p=2").contains(("101", "110")),
+    assert(stats1("v=1/__gp_p=1").get("k").contains(("1", "10")) &&
+      stats1("v=1/__gp_p=2").get("k").contains(("101", "110")),
       s"entry stats must carry the key bounds: $stats1")
     // pruning: [3,7] can only live in p=1's entry
     assert(SnapshotTable.pruneByKey(s1, "k", Some(3L), Some(7L))
@@ -137,9 +137,9 @@ class Round17Spec extends SparkSpec {
       Some(2L))
     val s2 = SnapshotTable.resolve(spark, tbl)
     val stats2 = s2.entries.map(e => e.path -> e.stats).toMap
-    assert(stats2("v=1/__gp_p=1").contains(("1", "10")),
+    assert(stats2("v=1/__gp_p=1").get("k").contains(("1", "10")),
       "a carried entry must keep its stats")
-    assert(stats2("v=2/__gp_p=2").contains(("101", "150")),
+    assert(stats2("v=2/__gp_p=2").get("k").contains(("101", "150")),
       s"the rewritten entry must record fresh bounds: $stats2")
     assert(SnapshotTable.pruneByKey(s2, "k", Some(1L), Some(2L))
       .entryPaths == Seq("v=1/__gp_p=1"))
@@ -184,7 +184,8 @@ class Round17Spec extends SparkSpec {
     // stats are computed pre-salt over the whole partition
     val st = SnapshotTable.resolve(spark, tbl).entries
       .find(_.path == "v=1/__gp_p=1").get.stats
-    assert(st.contains(("1", "60")), s"salted partition stats: $st")
+    assert(st.get("k").contains(("1", "60")),
+      s"salted partition stats: $st")
   }
 
   test("readRange plan shape: the residual range predicate pushes " +
@@ -311,10 +312,10 @@ class Round17Spec extends SparkSpec {
     assert(entry.fileStats.size >= 2,
       s"the zordered dir must carry several file bounds: $entry")
     // bounds really contain each file's extremes (read back and check)
-    assert(entry.fileStats.forall(_.bounds.isDefined),
+    assert(entry.fileStats.forall(_.bounds.contains("k")),
       s"spark-written files must all carry usable footer stats: $entry")
     entry.fileStats.foreach { f =>
-      val (mn, mx) = f.bounds.get
+      val (mn, mx) = f.bounds("k")
       val r = spark.read
         .parquet(s"$tbl/data/${entry.path}/${f.name}")
         .agg(min(col("k")), max(col("k"))).collect()(0)
@@ -322,8 +323,8 @@ class Round17Spec extends SparkSpec {
         s"footer bounds must contain the file's extremes: $f vs $r")
     }
     // a narrow range inside ONE file's bounds opens exactly that file
-    val tight = entry.fileStats.sortBy(_.bounds.get._1.toLong).head
-    val lo = tight.bounds.get._1.toLong
+    val tight = entry.fileStats.sortBy(_.bounds("k")._1.toLong).head
+    val lo = tight.bounds("k")._1.toLong
     val paths = SnapshotTable.prunedReadPaths(tbl, snap, "k",
       Some(lo), Some(lo))
     assert(paths == Seq(s"$tbl/data/${entry.path}/${tight.name}"),
@@ -474,7 +475,7 @@ class Round17Spec extends SparkSpec {
     val nFiles = snap.entries.map(_.fileStats.size).sum
     assert(nFiles > 32,
       s"the fixture must cross the distributed cutover, got $nFiles")
-    assert(snap.entries.flatMap(_.fileStats).forall(_.bounds.isDefined),
+    assert(snap.entries.flatMap(_.fileStats).forall(_.bounds.contains("k")),
       "every spark-written file must carry harvested bounds")
     // a point read opens exactly the files whose bounds admit the key
     val paths = SnapshotTable.prunedReadPaths(tbl, snap, "k",
@@ -512,8 +513,8 @@ class Round17Spec extends SparkSpec {
     val e = head.entries.head
     SnapshotTable.commitManifest(spark, tbl, head.ver + 1, None,
       Seq(e.copy(fileStats = e.fileStats :+
-        SnapshotTable.FileStat("ghost.parquet", None))),
-      head.schemaDdl, head.partCols, head.statsKey)
+        SnapshotTable.FileStat("ghost.parquet", Map.empty))),
+      head.schemaDdl, head.partCols, head.statsKeys)
     val s2 = SnapshotTable.resolve(spark, tbl)
     assert(s2.entries.head.fileStats
       .exists(f => f.name == "ghost.parquet" && f.bounds.isEmpty),
@@ -649,7 +650,7 @@ class Round17Spec extends SparkSpec {
     // pre-rename existence check, leaving the winner's manifest intact
     val ex = intercept[IllegalArgumentException] {
       SnapshotTable.commitManifest(spark, tbl, 2L, Some(99L), Nil,
-        head.schemaDdl, head.partCols, None)
+        head.schemaDdl, head.partCols, Nil)
     }
     assert(ex.getMessage.contains("already exists"),
       s"expected the pre-rename refusal: ${ex.getMessage}")

@@ -344,6 +344,162 @@ class Round18Spec extends SparkSpec {
       "readRange must apply the deletion vector")
   }
 
+  test("multi-column manifest stats: merge records bounds for the key " +
+      "AND requested stats columns, readRange prunes on a NON-key " +
+      "column, a 2-D zorder skips files on BOTH dimensions, and " +
+      "per-column carry keeps surviving columns across list changes") {
+    val tbl = tmpDir("mcstats") + "/t"
+    // k and c decorrelated (multiplicative shuffle mod 256)
+    val rows = (0L until 256L).map(k => (k, (k * 37) % 256, s"v$k", 1))
+    SnapshotTable.merge(spark, tbl, rows.toDF("k", "c", "v", "p"),
+      "k", "v", Seq("p"), Some(1L), statsCols = Seq("c"))
+    val s1 = SnapshotTable.resolve(spark, tbl)
+    assert(s1.statsKeys == Seq("k", "c"), s"statsKeys: ${s1.statsKeys}")
+    val st = s1.entries.head.stats
+    assert(st.get("k").contains(("0", "255")) &&
+      st.get("c").contains(("0", "255")),
+      s"entry bounds must cover both columns: $st")
+    // readRange on the NON-key column: exact rows
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("c"), col("v"), col("p")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getInt(3))).toSet
+    assert(rowsOf(SnapshotTable.readRange(spark, tbl, "c",
+      Some(10L), Some(20L))) ==
+      rows.filter(r => r._2 >= 10 && r._2 <= 20).toSet)
+    // 2-D zorder: per-file bounds exist for BOTH columns, and a point
+    // lookup on EITHER dimension opens a strict subset of the files
+    SnapshotTable.optimize(spark, tbl, Seq("p"), maxRowsPerTask = 32L,
+      zorderBy = Seq("k", "c"))
+    val s2 = SnapshotTable.resolve(spark, tbl)
+    val files = s2.entries.head.fileStats
+    assert(files.size >= 4, s"expected several zordered files: $files")
+    assert(files.forall(f =>
+      f.bounds.contains("k") && f.bounds.contains("c")),
+      s"every file must carry bounds on both columns: $files")
+    val nk = SnapshotTable.prunedReadPaths(tbl, s2, "k",
+      Some(7L), Some(7L)).size
+    val nc = SnapshotTable.prunedReadPaths(tbl, s2, "c",
+      Some(7L), Some(7L)).size
+    assert(nk < files.size && nc < files.size,
+      s"a point lookup must skip files on either dimension: " +
+        s"k->$nk, c->$nc of ${files.size}")
+    assert(rowsOf(SnapshotTable.readRange(spark, tbl, "c",
+      Some(7L), Some(7L))) == rows.filter(_._2 == 7).toSet)
+    // a merge that stops recording c keeps k's carried bounds and
+    // drops c's (per-column, conservative both ways)
+    SnapshotTable.merge(spark, tbl, Seq((999L, 999L, "z", 2))
+      .toDF("k", "c", "v", "p"), "k", "v", Seq("p"), Some(2L))
+    val s3 = SnapshotTable.resolve(spark, tbl)
+    assert(s3.statsKeys == Seq("k"))
+    val carried = s3.entries.find(_.path == s2.entries.head.path).get
+    assert(carried.stats.contains("k") && !carried.stats.contains("c"),
+      s"per-column carry: $carried")
+    assert(carried.fileStats.forall(f =>
+      f.bounds.contains("k") && !f.bounds.contains("c")))
+    // pruning on the no-longer-recorded column is a no-op, never wrong
+    assert(rowsOf(SnapshotTable.readRange(spark, tbl, "c",
+      Some(7L), Some(7L))) == rows.filter(_._2 == 7).toSet)
+  }
+
+  test("delta manifests + checkpoint cadence: narrow merges write " +
+      "entry diffs (base=/drop= chains), every resolve applies the " +
+      "chain to identical content, and a full manifest is re-emitted " +
+      "exactly at the cadence") {
+    val tbl = tmpDir("chain") + "/t"
+    val expect = scala.collection.mutable.Map[Long, (String, Int)]()
+    (1 to 25).foreach { i =>
+      val k = (i % 7).toLong // churn a small key set
+      val p = (k % 3).toInt // partition is key-determined (the FD contract)
+      SnapshotTable.merge(spark, tbl,
+        Seq((k, s"v$i", p)).toDF("k", "v", "p"), "k", "v", Seq("p"),
+        Some(i.toLong))
+      expect(k) = (s"v$i", p) // new beats old (Upsert.merge's priority)
+      assert(content(SnapshotTable.read(spark, tbl)) ==
+        expect.map { case (kk, (vv, pp)) => (kk, vv, pp) }.toSet,
+        s"content must survive the manifest chain at version $i")
+    }
+    def manifestText(v: Long): String = {
+      val in = fs(tbl).open(new Path(s"$tbl/_snap.$v"))
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+    }
+    val fulls = (1L to 25L).filter(v => !manifestText(v).contains("base="))
+    assert(fulls == Seq(1L, 11L, 21L),
+      s"full manifests must land exactly at the checkpoint cadence: " +
+        s"$fulls")
+    assert(SnapshotTable.resolve(spark, tbl).depth == 4,
+      "the head (v25) must sit 4 deltas above the v21 checkpoint")
+    // time travel through the chain resolves every version
+    (1L to 25L).foreach(v =>
+      assert(SnapshotTable.resolve(spark, tbl, Some(v)).ver == v))
+  }
+
+  test("retention checkpoints the oldest retained DELTA manifest " +
+      "before deleting its base chain — time travel to it survives " +
+      "the cut, below it refuses") {
+    val tbl = tmpDir("chaincut") + "/t"
+    // seed 4 partitions, then narrow merges (one partition each) so
+    // the commits genuinely serialize as deltas
+    SnapshotTable.merge(spark, tbl,
+      (1L to 4L).map(k => (k, "v1", k.toInt)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(1L))
+    (2 to 8).foreach { i =>
+      val k = (i % 4) + 1L
+      SnapshotTable.merge(spark, tbl,
+        Seq((k, s"v$i", k.toInt)).toDF("k", "v", "p"), "k", "v",
+        Seq("p"), Some(i.toLong))
+    }
+    // v6 is a delta (depth 5); keep 3 => oldest retained = 6
+    assert(SnapshotTable.resolve(spark, tbl, Some(6L)).depth == 5)
+    SnapshotTable.retainNewest(spark, tbl, 3, graceMs = 0L)
+    assert(SnapshotTable.versions(spark, tbl) == Seq(6L, 7L, 8L))
+    val v6 = SnapshotTable.resolve(spark, tbl, Some(6L))
+    assert(v6.depth == 0,
+      "the oldest retained manifest must have been checkpointed full")
+    assert(content(SnapshotTable.readSnap(spark, tbl, v6)) ==
+      Set((1L, "v4", 1), (2L, "v5", 2), (3L, "v6", 3), (4L, "v3", 4)),
+      "the checkpointed manifest must resolve its original content")
+    // the deltas above it still chain onto the rewritten base
+    assert(content(SnapshotTable.read(spark, tbl)) ==
+      Set((1L, "v8", 1), (2L, "v5", 2), (3L, "v6", 3), (4L, "v7", 4)))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.resolve(spark, tbl, Some(5L))
+    }
+  }
+
+  test("_head pointer: written on every commit, resolve survives a " +
+      "missing/garbled/stale pointer (fallback listing + forward " +
+      "probe) and never trusts it blindly") {
+    val tbl = tmpDir("headptr") + "/t"
+    (1 to 3).foreach { i =>
+      SnapshotTable.merge(spark, tbl,
+        Seq((1L, s"v$i", 1)).toDF("k", "v", "p"), "k", "v", Seq("p"),
+        Some(i.toLong))
+    }
+    val f = fs(tbl)
+    val head = new Path(s"$tbl/_head")
+    assert(f.exists(head), "commits must advance the head pointer")
+    assert(SnapshotTable.resolve(spark, tbl).ver == 3L)
+    // stale pointer (a crash between manifest rename and pointer
+    // swap): the forward probe recovers the true head
+    val out1 = f.create(head, true)
+    try out1.write("1".getBytes("UTF-8")) finally out1.close()
+    assert(SnapshotTable.resolve(spark, tbl).ver == 3L,
+      "a stale pointer must be probed forward, never trusted")
+    // garbled pointer: fallback to the listing
+    val out2 = f.create(head, true)
+    try out2.write("not-a-number".getBytes("UTF-8")) finally out2.close()
+    assert(SnapshotTable.resolve(spark, tbl).ver == 3L)
+    // missing pointer: fallback to the listing
+    f.delete(head, false)
+    assert(SnapshotTable.resolve(spark, tbl).ver == 3L)
+    assert(content(SnapshotTable.read(spark, tbl)) == Set((1L, "v3", 1)))
+  }
+
   test("publish overlap defense: a cross-process racer's range dir " +
       "landing mid-publish is refused loudly by the post-rename " +
       "re-list, never left as a silent double-feed") {
