@@ -952,6 +952,15 @@ object SnapshotTable {
     * than Delta's per-commit CDF when several versions land between
     * publishes — the range rides every row as `_from_version`/
     * `_to_version`, so consumers see exactly what was collapsed).
+    * Pass `perCommit = true` for Delta's `table_changes` granularity
+    * instead: one `changes_v<n-1>_v<n>` dir lands per head advance
+    * (the seed dir `changes_v0_v1` carries version 1's full content
+    * as inserts), so a consumer replays every intermediate state; the
+    * collapsed net range stays the default because it is what a
+    * downstream MATERIALIZER wants (no self-canceling churn), while
+    * per-commit is what an AUDITOR wants. The two modes share one
+    * landing protocol and may be mixed across ticks — the floor is
+    * the largest published `to` either way.
     * Publishing must outpace [[retainNewest]]: a from-version below
     * the retention floor refuses loudly in resolve rather than
     * silently emitting a wrong diff. Returns the published range, or
@@ -969,18 +978,19 @@ object SnapshotTable {
     * refuses loudly when an overlapping range is detected, naming
     * both dirs, instead of leaving the duplication silent. */
   def publishChanges(spark: SparkSession, dir: String, key: String,
-      outDir: String, stagingGraceMs: Long = 3600000L)
-      : Option[(Long, Long)] = {
+      outDir: String, stagingGraceMs: Long = 3600000L,
+      perCommit: Boolean = false): Option[(Long, Long)] = {
     val lock = commitLocks.computeIfAbsent(lockKey(spark, outDir),
       _ => new Object)
     lock.synchronized {
-      publishChangesLocked(spark, dir, key, outDir, stagingGraceMs)
+      publishChangesLocked(spark, dir, key, outDir, stagingGraceMs,
+        perCommit)
     }
   }
 
   private def publishChangesLocked(spark: SparkSession, dir: String,
-      key: String, outDir: String, stagingGraceMs: Long)
-      : Option[(Long, Long)] = {
+      key: String, outDir: String, stagingGraceMs: Long,
+      perCommit: Boolean): Option[(Long, Long)] = {
     val fs = fsOf(spark, outDir)
     val out = new Path(outDir)
     val rangeRe = "^changes_v([0-9]+)_v([0-9]+)$".r
@@ -1010,33 +1020,56 @@ object SnapshotTable {
         s"table head is v${head.ver} — this landing belongs to a " +
         "different (or rebuilt) table")
     if (head.ver == published) return None
-    if (published == 0L && head.entries.isEmpty)
+    if (published == 0L && head.entries.isEmpty && !perCommit)
       return None // an empty head has nothing to seed
+    // perCommit = one landed dir per head advance (Delta's
+    // table_changes granularity); default = one NET range dir
+    val steps: Seq[(Long, Long)] =
+      if (perCommit) (published until head.ver).map(v => (v, v + 1))
+      else Seq((published, head.ver))
+    steps.foreach { case (from, to) =>
+      publishOne(spark, dir, key, fs, out, from, to)
+    }
+    Some((published, head.ver))
+  }
+
+  /** Land ONE range dir `changes_v<from>_v<to>` — the single-range
+    * protocol every publish step runs: replay no-op, per-attempt
+    * staging, rename, nested-dir cleanup, overlap defense. `from = 0`
+    * seeds with version `to`'s full content as `insert` rows. */
+  private def publishOne(spark: SparkSession, dir: String, key: String,
+      fs: org.apache.hadoop.fs.FileSystem, out: Path, from: Long,
+      to: Long): Unit = {
     val changes =
-      if (published == 0L)
-        readSnap(spark, dir, head)
-          .withColumn("_change_type", lit("insert"))
-      else changesBetween(spark, dir, key, published, head.ver)
+      if (from == 0L) {
+        val snap = resolve(spark, dir, Some(to))
+        val df =
+          if (snap.entries.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              StructType.fromDDL(snap.schemaDdl))
+          else readSnap(spark, dir, snap)
+        df.withColumn("_change_type", lit("insert"))
+      } else changesBetween(spark, dir, key, from, to)
     val stamped = changes
-      .withColumn("_from_version", lit(published))
-      .withColumn("_to_version", lit(head.ver))
-    val dest = new Path(out, s"changes_v${published}_v${head.ver}")
-    if (fs.exists(dest)) return Some((published, head.ver)) // replayed
+      .withColumn("_from_version", lit(from))
+      .withColumn("_to_version", lit(to))
+    val dest = new Path(out, s"changes_v${from}_v$to")
+    if (fs.exists(dest)) return // replayed
     // per-ATTEMPT staging name (the mergeRetrying dir-token
     // discipline): two racing publishers of the same range stage into
     // disjoint dirs, so neither can half-overwrite the other's files;
     // the rename is the single contention point
     val tmp = new Path(out,
-      s"_staging_changes_v${published}_v${head.ver}." +
+      s"_staging_changes_v${from}_v$to." +
         java.lang.Long.toHexString(System.nanoTime()))
     stamped.write.mode("overwrite")
       .option("compression", "snappy").parquet(tmp.toString)
     if (fs.exists(dest)) {
       // the racer won while we were writing; both computed the same
-      // deterministic diff from the same (floor, head), so the
-      // published content is the same — drop our staging and accept
+      // deterministic diff from the same range, so the published
+      // content is the same — drop our staging and accept
       fs.delete(tmp, true)
-      return Some((published, head.ver))
+      return
     }
     val renamed = fs.rename(tmp, dest)
     // POSIX rename into an EXISTING dir nests the source inside it —
@@ -1050,8 +1083,7 @@ object SnapshotTable {
     // caller's monitor): a publisher that resolved a STALE head
     // commits a range overlapping ours — the duplication must be
     // loud, not a silent double-feed to every consumer of the glob
-    refuseOverlap(fs, out, dest.getName, published, head.ver)
-    Some((published, head.ver))
+    refuseOverlap(fs, out, dest.getName, from, to)
   }
 
   /** Refuse when the landing holds a range overlapping

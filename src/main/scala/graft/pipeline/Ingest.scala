@@ -86,17 +86,30 @@ object Ingest {
   }
 
   /** Initial CSV load: no watermark filter, no watermark advance
-    * (gluejob.py:163-171); missing files skip the table. */
+    * (gluejob.py:163-171); missing files skip the table. The sink
+    * seam matches [[ingestTable]]'s, so an OnDemand-seeded snapshot
+    * table carries history from VERSION 1 — the first incremental run
+    * lands as version 2 and time travel reaches the seed (parity with
+    * the overwrite sink is spec-pinned). */
   def initialLoad(spark: SparkSession, csvRoot: String, outRoot: String,
-      tables: Seq[TableSpec] = Tables.active): Seq[String] =
+      tables: Seq[TableSpec] = Tables.active,
+      sink: Sink = OverwriteSink): Seq[String] =
     tables.flatMap { spec =>
       val df = CsvSource.read(spark, spec, s"$csvRoot/${spec.name}.csv")
       if (df.isEmpty) None
       else {
         val bronze = PartitionKeys.withCompanyYearMonth(
           Normalize.toBronze(df, spec), spec.dateCol)
-        Upsert.upsertPartitioned(spark, bronze, s"$outRoot/${spec.name}",
-          key = spec.idCol, tieBreak = spec.updatedCol)
+        sink match {
+          case OverwriteSink =>
+            Upsert.upsertPartitioned(spark, bronze,
+              s"$outRoot/${spec.name}",
+              key = spec.idCol, tieBreak = spec.updatedCol)
+          case SnapshotSink =>
+            SnapshotTable.merge(spark, s"$outRoot/${spec.name}", bronze,
+              key = spec.idCol, tieBreak = spec.updatedCol,
+              partCols = Seq("company", "year", "month"))
+        }
         Some(spec.name)
       }
     }

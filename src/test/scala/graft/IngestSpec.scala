@@ -137,6 +137,53 @@ class IngestSpec extends SparkSpec {
       "time travel must read run 1's exact content after run 2")
   }
 
+  test("initial load through the snapshot sink: OnDemand-seeded " +
+      "tables carry history from VERSION 1 — seed content identical " +
+      "across sinks, the first incremental run lands as version 2, " +
+      "and time travel reaches the seed") {
+    val root = tmpDir("snapseed")
+    val csvDir = s"$root/load"
+    Files.createDirectories(Paths.get(csvDir))
+    writeCsv(csvDir, "retail_order_migrations.csv", migCsv(Seq(
+      migRow("1", "2024-01-05 10:00:00", "True"),
+      migRow("2", "2024-02-01 10:00:00", "f"))))
+    val spec = Tables.registry("retail_order_migrations")
+    assert(Ingest.initialLoad(spark, csvDir, s"$root/ow") ==
+      Seq(spec.name))
+    assert(Ingest.initialLoad(spark, csvDir, s"$root/sn",
+      sink = Ingest.SnapshotSink) == Seq(spec.name))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[String]] = {
+      val cols = (spec.columns ++ Seq("company", "year", "month")).sorted
+      df.select(cols.map(c => col(c).cast("string")): _*).collect()
+        .map(_.toSeq.map(String.valueOf)).toSet
+    }
+    val snapTbl = s"$root/sn/${spec.name}"
+    val seeded = rows(spark.read.parquet(s"$root/ow/${spec.name}"))
+    assert(rows(graft.ops.SnapshotTable.read(spark, snapTbl)) == seeded,
+      "snapshot-seeded content must equal the overwrite seed")
+    assert(graft.ops.SnapshotTable.versions(spark, snapTbl) == Seq(1L),
+      "the seed must be version 1 of the table's history")
+    // an incremental run on top lands as version 2; time travel
+    // still reads the OnDemand seed exactly
+    val clock = () => java.time.LocalDateTime.of(2024, 2, 2, 4, 0, 0)
+    import spark.implicits._
+    val b = Seq(("2", "s2", "c1", "ok", "2024-02-02 06:00:00",
+      "2024-02-02 06:00:00", "t", "f"))
+      .toDF("id", "retail_subscription_id", "customer_id", "status",
+        "created_at", "updated_at", "pre_paid", "main")
+    Ingest.incrementalRun(spark,
+      new WatermarkStore(Paths.get(s"$root/wm.json"), clock),
+      Map(spec.name -> b), "2024-02-03 04:00:00", s"$root/sn",
+      tables = Seq(spec), sink = Ingest.SnapshotSink)
+    assert(graft.ops.SnapshotTable.versions(spark, snapTbl) ==
+      Seq(1L, 2L))
+    assert(rows(graft.ops.SnapshotTable.read(spark, snapTbl, Some(1L)))
+      == seeded,
+      "time travel must read the OnDemand seed after the first " +
+        "incremental run")
+    assert(rows(graft.ops.SnapshotTable.read(spark, snapTbl)) != seeded)
+  }
+
   test("empty delta short-circuits the sink (gluejob.py:175-179)") {
     val root = tmpDir("ingest")
     import spark.implicits._

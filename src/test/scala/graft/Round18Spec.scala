@@ -500,6 +500,49 @@ class Round18Spec extends SparkSpec {
     assert(content(SnapshotTable.read(spark, tbl)) == Set((1L, "v3", 1)))
   }
 
+  test("per-commit publish granularity: one call with perCommit=true " +
+      "lands one range dir per head advance (the table_changes " +
+      "shape), each replaying its exact step; net and per-commit " +
+      "modes mix safely in one landing") {
+    val tbl = tmpDir("pcpub") + "/t"
+    val land = tmpDir("pcpubland")
+    SnapshotTable.merge(spark, tbl,
+      Seq((1L, "a", 1), (2L, "b", 2)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(1L))
+    SnapshotTable.merge(spark, tbl, Seq((1L, "a2", 1)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(2L))
+    SnapshotTable.merge(spark, tbl, Seq((3L, "c", 2)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(3L))
+    assert(SnapshotTable.publishChanges(spark, tbl, "k", land,
+      perCommit = true).contains((0L, 3L)))
+    val f = fs(land)
+    val dirs = f.listStatus(new Path(land)).map(_.getPath.getName)
+      .filter(_.startsWith("changes_")).sorted.toSeq
+    assert(dirs == Seq("changes_v0_v1", "changes_v1_v2", "changes_v2_v3"),
+      s"per-commit publish must land one dir per head advance: $dirs")
+    def changes(d: String): Set[(Long, String, String)] =
+      spark.read.parquet(s"$land/$d")
+        .select(col("k"), col("v"), col("_change_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(changes("changes_v0_v1") ==
+      Set((1L, "a", "insert"), (2L, "b", "insert")))
+    assert(changes("changes_v1_v2") ==
+      Set((1L, "a", "update_preimage"), (1L, "a2", "update_postimage")))
+    assert(changes("changes_v2_v3") == Set((3L, "c", "insert")))
+    // replay is a no-op; a later NET publish continues from the floor
+    assert(SnapshotTable.publishChanges(spark, tbl, "k", land,
+      perCommit = true).isEmpty)
+    SnapshotTable.merge(spark, tbl, Seq((2L, "b2", 2)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(4L))
+    SnapshotTable.merge(spark, tbl, Seq((4L, "d", 1)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(5L))
+    assert(SnapshotTable.publishChanges(spark, tbl, "k", land)
+      .contains((3L, 5L)), "net mode must continue from the floor")
+    assert(changes("changes_v3_v5") ==
+      Set((2L, "b", "update_preimage"), (2L, "b2", "update_postimage"),
+        (4L, "d", "insert")))
+  }
+
   test("publish overlap defense: a cross-process racer's range dir " +
       "landing mid-publish is refused loudly by the post-rename " +
       "re-list, never left as a silent double-feed") {
