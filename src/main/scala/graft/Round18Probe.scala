@@ -51,9 +51,11 @@ object Round18Probe {
       (r, s)
     }
     try {
-      // ---- DV vs tombstone rewrite: identical tables, same deletes
+      // ---- DV vs tombstone rewrite: identical tables, same deletes.
+      // 256-byte payloads so the touched-partition rewrite is BYTE-
+      // bound (the 100-TB shape), not task-overhead-bound
       val base = spark.range(nRows).select(col("id").as("k"),
-        (col("id") % 997).cast("string").as("v"),
+        rpad((col("id") % 997).cast("string"), 256, "x").as("v"),
         pmod(col("id"), lit(nParts)).cast("int").as("p"))
       SnapshotTable.merge(spark, s"$root/dv", base, "k", "v", Seq("p"),
         Some(1L))
