@@ -10485,6 +10485,52 @@ object Catalog {
           'update_postimage' AS _change_type
         FROM upd u JOIN v2 v ON v.l_orderkey = u.l_orderkey) c3"""))
 
+  /** MANIFEST-CHAIN RESOLUTION in the hash gate (round 18's
+    * checkpointing rung: delta manifests + the `_head` pointer —
+    * `base=`/`drop=` chains applied base-up, full checkpoints every
+    * [[graft.ops.SnapshotTable.ManifestCheckpointEvery]] commits):
+    * TWELVE narrow merges land disjoint `o_orderkey % 12` slices of
+    * orders, so the version history crosses the checkpoint cadence
+    * (v1 and v11 full, everything else a delta) and the head resolves
+    * through a real chain; the output unions the HEAD read with a
+    * TIME-TRAVEL read at version 6 (whose own resolution walks five
+    * deltas above the v1 checkpoint). A chain bug that drops,
+    * duplicates, or mis-merges one entry anywhere in the history
+    * breaks the hash. The oracle replays both states analytically —
+    * head = all orders, v6 = the first six slices. */
+  private val q276 = Q("q276_snapshot_manifest_chain",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q276tbl").toString + "/t"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(dec2).cast("string").as("total"),
+        (col("o_orderkey") % 12).as("slice"),
+        (col("o_orderkey") % 8).as("part"))
+      (0 until 12).foreach { i =>
+        graft.ops.SnapshotTable.merge(s, tbl,
+          o.filter(col("slice") === i),
+          "o_orderkey", "total", Seq("part"), Some(i + 1L))
+      }
+      val head = graft.ops.SnapshotTable.read(s, tbl)
+        .withColumn("at", lit("head"))
+      val v6 = graft.ops.SnapshotTable.read(s, tbl, Some(6L))
+        .withColumn("at", lit("v6"))
+      head.unionByName(v6)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("total"),
+          col("slice"), col("part"), col("at"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey % 12 AS slice, o_orderkey % 8 AS part,
+        'head' AS at
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey % 12 AS slice, o_orderkey % 8 AS part,
+        'v6' AS at
+      FROM orders WHERE o_orderkey % 12 <= 5"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10516,5 +10562,5 @@ object Catalog {
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
     q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272,
-    q273, q274, q275)
+    q273, q274, q275, q276)
 }
