@@ -19,17 +19,24 @@ import org.apache.spark.sql.types._
   *                                         version; resolve probes
   *                                         forward past it — never an
   *                                         O(versions) listing)
+  *   dir/_tag.<name>                     named ref (Iceberg's tags):
+  *                                         a pinned version, exempt
+  *                                         from retention until dropped
   *   dir/_snap.<ver>                     version manifest (tmp + no-
   *     batch=<id>                          clobber rename, read-back
   *     schema=<ddl> / parts=<cols>         verified):
   *     statskey=<col>[,<col>...]           columns with recorded bounds
   *     dvkey=<col>                         deletion-vector join column
+  *     check=<name> <exprEnc>              CHECK constraints (enforced
+  *                                           on every write's output)
   *     base=<ver-1>                        DELTA manifest: entries are
   *     drop=<path>                           base minus drops plus the
   *     entry=v=<writerVer>/<partKey>         entry= lines (full
   *     stat=<i> <k> <minEnc> <maxEnc>        manifests re-emitted every
   *     fstat=<i> <file> <k> <mn> <mx>        ManifestCheckpointEvery)
   *     dv=<i> <dvPathEnc>                  per-entry sidecar refs
+  *     rows=<i> <n>                        exact per-entry row counts
+  *                                           (metadata-only count(*))
   *   dir/data/v=<writerVer>/<partKey>/part-*.parquet
   *   dir/data/v=<writerVer>/_dv/part-*.parquet   deleted-key sidecars
   * }}}
@@ -143,7 +150,8 @@ object SnapshotTable {
     * not a rewrite of every touched partition. */
   final case class Entry(path: String,
       stats: Map[String, (String, String)] = Map.empty,
-      fileStats: Seq[FileStat] = Nil, dvs: Seq[String] = Nil)
+      fileStats: Seq[FileStat] = Nil, dvs: Seq[String] = Nil,
+      rows: Option[Long] = None)
 
   /** One resolved version: the immutable contract a reader holds.
     * `schemaDdl` is the TABLE SCHEMA AS OF THIS VERSION (Spark DDL),
@@ -158,7 +166,7 @@ object SnapshotTable {
   final case class Snap(ver: Long, batchId: Option[Long],
       entries: Seq[Entry], schemaDdl: String, partCols: Seq[String],
       statsKeys: Seq[String], dvKey: Option[String] = None,
-      depth: Int = 0) {
+      depth: Int = 0, checks: Map[String, String] = Map.empty) {
     def entryPaths: Seq[String] = entries.map(_.path)
     /** The PRIMARY stats column (the merge key) — the salt column and
       * the bound [[pruneByKey]] historically served. */
@@ -413,23 +421,38 @@ object SnapshotTable {
     val dvLines = sorted.zipWithIndex.flatMap { case (e, i) =>
       e.dvs.map(p => s"dv=$i ${enc(p)}")
     }
+    val rowLines = sorted.zipWithIndex.flatMap { case (e, i) =>
+      e.rows.map(n => s"rows=$i $n")
+    }
     sorted.map(e => s"entry=${e.path}") ++ statLines ++ fstatLines ++
-      dvLines
+      dvLines ++ rowLines
   }
 
   /** The full manifest body for a final entry state — also what
     * [[retainNewest]] re-emits when it checkpoints the oldest
     * retained delta before deleting its base chain. */
-  private def fullBody(batchId: Option[Long], entries: Seq[Entry],
+  /** The always-full metadata header every manifest (full or delta)
+    * carries: batch id, schema, partitioning, stats columns, dv key,
+    * CHECK constraints — tiny, so deltas re-emit it whole. */
+  private def headerLines(batchId: Option[Long], entries: Seq[Entry],
       schemaDdl: String, partCols: Seq[String], statsKeys: Seq[String],
-      dvKey: Option[String]): String =
-    (batchId.map(b => s"batch=$b").toSeq ++
+      dvKey: Option[String], checks: Map[String, String]): Seq[String] =
+    batchId.map(b => s"batch=$b").toSeq ++
       Seq(s"schema=$schemaDdl", s"parts=${partCols.mkString(",")}") ++
       (if (statsKeys.nonEmpty)
         Seq(s"statskey=${statsKeys.mkString(",")}") else Nil) ++
       dvKey.filter(_ => entries.exists(_.dvs.nonEmpty))
         .map(k => s"dvkey=$k").toSeq ++
-      entryLines(entries, statsKeys)).mkString("\n")
+      checks.toSeq.sortBy(_._1).map { case (n, e) =>
+        s"check=$n ${enc(e)}"
+      }
+
+  private def fullBody(batchId: Option[Long], entries: Seq[Entry],
+      schemaDdl: String, partCols: Seq[String], statsKeys: Seq[String],
+      dvKey: Option[String],
+      checks: Map[String, String] = Map.empty): String =
+    (headerLines(batchId, entries, schemaDdl, partCols, statsKeys,
+      dvKey, checks) ++ entryLines(entries, statsKeys)).mkString("\n")
 
   /** Commit a manifest: refuse if the destination version already
     * exists, tmp write, no-clobber rename ([[claimVersion]] — the
@@ -455,7 +478,10 @@ object SnapshotTable {
       newVer: Long, batchId: Option[Long], entries: Seq[Entry],
       schemaDdl: String, partCols: Seq[String],
       statsKeys: Seq[String], dvKey: Option[String] = None,
-      base: Option[Snap] = None): Unit = {
+      base: Option[Snap] = None,
+      checks: Map[String, String] = Map.empty): Unit = {
+    require(checks.keys.forall(n => !n.contains(" ") && !n.contains("\n")),
+      s"check names must be space-free: ${checks.keys.mkString(", ")}")
     require(!schemaDdl.contains("\n"),
       "schema DDL must be a single manifest line")
     require(dvKey.isDefined || entries.forall(_.dvs.isEmpty),
@@ -485,20 +511,16 @@ object SnapshotTable {
           !newByPath.get(p).exists(e => baseByPath(p) == e))
         if (adds.size + drops.size >= entries.size)
           fullBody(batchId, entries, schemaDdl, partCols, statsKeys,
-            dvKey) // the diff is no smaller — checkpoint now
+            dvKey, checks) // the diff is no smaller — checkpoint now
         else
-          (batchId.map(bi => s"batch=$bi").toSeq ++
-            Seq(s"schema=$schemaDdl",
-              s"parts=${partCols.mkString(",")}") ++
-            (if (statsKeys.nonEmpty)
-              Seq(s"statskey=${statsKeys.mkString(",")}") else Nil) ++
-            dvKey.filter(_ => entries.exists(_.dvs.nonEmpty))
-              .map(k => s"dvkey=$k").toSeq ++
+          (headerLines(batchId, entries, schemaDdl, partCols,
+            statsKeys, dvKey, checks) ++
             Seq(s"base=${b.ver}") ++
             drops.sorted.map(p => s"drop=$p") ++
             entryLines(adds, statsKeys)).mkString("\n")
       case _ =>
-        fullBody(batchId, entries, schemaDdl, partCols, statsKeys, dvKey)
+        fullBody(batchId, entries, schemaDdl, partCols, statsKeys,
+          dvKey, checks)
     }
     val lock = commitLocks.computeIfAbsent(lockKey(spark, dir),
       _ => new Object)
@@ -664,12 +686,18 @@ object SnapshotTable {
       .map(_.stripPrefix("dv=").split(" ", 2)).collect {
         case Array(i, p) if i.toIntOption.isDefined => i.toInt -> dec(p)
       }.groupBy(_._1).map { case (i, ps) => i -> ps.map(_._2).toSeq }
+    val rowCounts = lines.filter(_.startsWith("rows="))
+      .map(_.stripPrefix("rows=").split(" ", 2)).collect {
+        case Array(i, n)
+            if i.toIntOption.isDefined && n.toLongOption.isDefined =>
+          i.toInt -> n.toLong
+      }.toMap
     // in a FULL manifest these are the whole inventory; in a DELTA
     // manifest (base= present) they are the ADDED entries, indexed
     // into their own sorted order
     val own = paths.zipWithIndex.map { case (p, i) =>
       Entry(p, stats.getOrElse(i, Map.empty), fstats.getOrElse(i, Nil),
-        dvs.getOrElse(i, Nil))
+        dvs.getOrElse(i, Nil), rowCounts.get(i))
     }
     val ddl = lines.find(_.startsWith("schema="))
       .map(_.stripPrefix("schema="))
@@ -680,6 +708,10 @@ object SnapshotTable {
       s"manifest _snap.$ver carries no parts line")
     val dvk = lines.find(_.startsWith("dvkey="))
       .map(_.stripPrefix("dvkey="))
+    val checks = lines.filter(_.startsWith("check="))
+      .map(_.stripPrefix("check=").split(" ", 2)).collect {
+        case Array(n, e) => n -> dec(e)
+      }.toMap
     val baseVer = lines.find(_.startsWith("base="))
       .flatMap(_.stripPrefix("base=").toLongOption)
     val (entries, depth) = baseVer match {
@@ -696,7 +728,8 @@ object SnapshotTable {
     }
     require(dvk.isDefined || entries.forall(_.dvs.isEmpty),
       s"manifest _snap.$ver carries dv lines but no dvkey")
-    Snap(ver, batch, entries, ddl.get, parts.get, skList, dvk, depth)
+    Snap(ver, batch, entries, ddl.get, parts.get, skList, dvk, depth,
+      checks)
   }
 
   /** Read a HELD snapshot — the isolation surface: the entries name
@@ -743,6 +776,22 @@ object SnapshotTable {
   def read(spark: SparkSession, dir: String,
       version: Option[Long] = None): DataFrame =
     readSnap(spark, dir, resolve(spark, dir, version))
+
+  /** METADATA-ONLY row count — the Iceberg/Delta `count(*)` shape:
+    * every commit records each produced entry's exact row count
+    * (`rows=` lines, from the same profile pass that derives the
+    * entry list), so a full-table count is a driver-side sum over the
+    * manifest with ZERO files opened. Returns None — fall back to a
+    * scan count — when any entry predates row tracking or carries a
+    * deletion vector (a dv hides an unknowable number of rows until
+    * the next rewrite folds it; an upper bound dressed as a count is
+    * how an audit silently double-books). */
+  def countRows(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Option[Long] = {
+    val snap = resolve(spark, dir, version)
+    if (snap.entries.exists(e => e.rows.isEmpty || e.dvs.nonEmpty)) None
+    else Some(snap.entries.flatMap(_.rows).sum)
+  }
 
   /** The key's comparator when its recorded bounds are usable for
     * pruning on `snap` — None means "cannot prune, keep everything"
@@ -1251,8 +1300,9 @@ object SnapshotTable {
     * REALLY produced), the hot-partition split table, and the
     * manifest stats in a single pass. */
   private def partProfile(df: DataFrame, partCols: Seq[String],
-      nullCensusCol: Option[String], statCols: Seq[String])
-      : Seq[(Row, Long, Map[String, (String, String)], Long)] = {
+      nullCensusCol: Option[String], statCols: Seq[String],
+      checks: Seq[(String, String)] = Nil)
+      : Seq[(Row, Long, Map[String, (String, String)], Long, Seq[Long])] = {
     val censusCol = nullCensusCol.getOrElse(statCols.headOption
       .getOrElse(df.schema.fieldNames.head))
     val aggs = Seq(count(lit(1)).as("_n"),
@@ -1263,7 +1313,12 @@ object SnapshotTable {
       count(when(col(censusCol).isNull, lit(1))).as("_knull")) ++
       statCols.flatMap(k => Seq(
         min(col(k)).cast("string").as(s"_mn_$k"),
-        max(col(k)).cast("string").as(s"_mx_$k")))
+        max(col(k)).cast("string").as(s"_mx_$k"))) ++
+      // CHECK-constraint census, same pass: SQL CHECK semantics — a
+      // row violates only when the expression is FALSE; null passes
+      checks.zipWithIndex.map { case ((_, e), j) =>
+        count(when(!expr(e), lit(1))).as(s"_chk$j")
+      }
     df.groupBy(partCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         val n = r.getLong(partCols.length)
@@ -1274,7 +1329,9 @@ object SnapshotTable {
             Some(k -> ((r.getString(mnIdx), r.getString(mnIdx + 1))))
           else None
         }.toMap
-        (r, n, stats, knull)
+        val chkBase = partCols.length + 2 + 2 * statCols.size
+        val viol = checks.indices.map(j => r.getLong(chkBase + j))
+        (r, n, stats, knull, viol)
       }
   }
 
@@ -1318,8 +1375,10 @@ object SnapshotTable {
       stats = e.stats.filter { case (c, _) => newSet.contains(c) },
       fileStats = e.fileStats.map(f => f.copy(
         bounds = f.bounds.filter { case (c, _) => newSet.contains(c) }))))
+    val checkList = head.map(_.checks).getOrElse(Map.empty)
+      .toSeq.sortBy(_._1)
     val profile = partProfile(output, partCols, statsCols.headOption,
-      newStatsCols)
+      newStatsCols, checkList)
     // the MERGE-KEY contract, enforced where every write path funnels
     // (merge/mergeCdc/optimize/repartition all pass their key at the
     // head of statsCols): a null key breaks new-wins dedup and
@@ -1333,6 +1392,16 @@ object SnapshotTable {
           "snapshot-table keys must be non-null (new-wins dedup and " +
           "the change data feed both classify by key equality)")
     }
+    // CHECK constraints (Delta's ADD CONSTRAINT shape): every write
+    // path re-verifies the table's recorded checks on its OUTPUT rows
+    // — same single profile pass, zero extra jobs — and refuses
+    // BEFORE any data write, naming the constraint
+    checkList.zipWithIndex.foreach { case ((name, e), j) =>
+      val viol = profile.map(_._5(j)).sum
+      require(viol == 0L,
+        s"CHECK constraint '$name' ($e) is violated by $viol row(s) — " +
+          "nothing was written or committed")
+    }
     // the data dir carries the attempt token when one is supplied
     // (the retrying writers): two optimistic racers at the same
     // version then stage into DISJOINT dirs — without it, the loser's
@@ -1340,8 +1409,8 @@ object SnapshotTable {
     // BEFORE either commit resolves the race. Entries are opaque
     // paths, so readers/vacuum/retention are name-agnostic.
     val verDir = dirToken.fold(s"v=$newVer")(t => s"v=$newVer-$t")
-    val produced = profile.map { case (r, _, st, _) =>
-      Entry(s"$verDir/${partKeyRow(partCols, r)}", st)
+    val produced = profile.map { case (r, n, st, _, _) =>
+      Entry(s"$verDir/${partKeyRow(partCols, r)}", st, rows = Some(n))
     }
     if (profile.nonEmpty)
       writePartitioned(output, partCols, s"$dir/data/$verDir",
@@ -1369,7 +1438,7 @@ object SnapshotTable {
     commitManifest(spark, dir, newVer, batchId, allEntries,
       schemaDdl, partCols, newStatsCols,
       headDvKey.filter(_ => allEntries.exists(_.dvs.nonEmpty)),
-      base = head)
+      base = head, checks = checkList.toMap)
     newVer
   }
 
@@ -1611,7 +1680,7 @@ object SnapshotTable {
       if (targets.contains(e.path)) e.copy(dvs = e.dvs :+ dvPath) else e)
     commitManifest(spark, dir, head.ver + 1, batchId, entries,
       head.schemaDdl, head.partCols, head.statsKeys, Some(key),
-      base = Some(head))
+      base = Some(head), checks = head.checks)
     head.ver + 1
   }
 
@@ -1623,6 +1692,121 @@ object SnapshotTable {
       maxAttempts: Int = 8): Long =
     retrying(maxAttempts)(token =>
       deleteKeys(spark, dir, delKeys, key, batchId, Some(token)))
+
+  /** NAMED TAG (Iceberg's refs): pin a version under a stable name —
+    * `_tag.<name>` holds the version number, claimed CREATE-EXCLUSIVE
+    * through the same no-clobber rename as manifests (two racers
+    * tagging the same name get one winner, loudly). A tagged version
+    * is PINNED against [[retainNewest]]: retention keeps its manifest
+    * (checkpointed full if its base chain falls below the cut) and
+    * every data dir it references until the tag drops — the
+    * reproducibility contract a training-run audit needs ("the
+    * exact table the run read, by name, months later"). Returns the
+    * tagged version. */
+  def tag(spark: SparkSession, dir: String, name: String,
+      version: Option[Long] = None): Long = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+") &&
+      !name.endsWith(".tmp"),
+      s"tag name must be a [A-Za-z0-9._-]+ token not ending .tmp: " +
+        s"'$name'")
+    val v = version.getOrElse(resolve(spark, dir).ver)
+    val fs = fsOf(spark, dir)
+    require(fs.exists(new Path(dir, s"_snap.$v")),
+      s"version $v of $dir is not retained — cannot tag it")
+    val tmp = new Path(dir,
+      s"_tag.$name.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    claimVersion(spark, tmp, new Path(dir, s"_tag.$name"))
+    v
+  }
+
+  /** All tags: name → pinned version. */
+  def tags(spark: SparkSession, dir: String): Map[String, Long] = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_tag.") && !n.endsWith(".tmp"))
+      .flatMap { n =>
+        val name = n.stripPrefix("_tag.")
+        val in = fs.open(new Path(dir, n))
+        val text =
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 256, false)
+            new String(bos.toByteArray, "UTF-8").trim
+          } finally in.close()
+        text.toLongOption.map(name -> _)
+      }.toMap
+  }
+
+  /** Resolve a table BY TAG — time travel by name. */
+  def resolveTag(spark: SparkSession, dir: String, name: String): Snap = {
+    val t = tags(spark, dir)
+    require(t.contains(name),
+      s"no tag '$name' on $dir (have ${t.keys.toSeq.sorted.mkString(", ")})")
+    resolve(spark, dir, Some(t(name)))
+  }
+
+  /** Drop a tag — unknown names refuse loudly (a typo'd drop that
+    * silently no-ops leaves the version unpinned in the operator's
+    * head but pinned on disk, or vice versa). The version's data
+    * becomes reclaimable at the next retention cut. */
+  def dropTag(spark: SparkSession, dir: String, name: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir, s"_tag.$name")
+    require(fs.exists(p),
+      s"no tag '$name' on $dir")
+    fs.delete(p, false)
+  }
+
+  /** ADD a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`):
+    * validates the expression against the CURRENT head content first
+    * (one scan — Delta does the same; a constraint the existing data
+    * already violates would make every future merge unfixably loud),
+    * then commits a metadata-only version recording it. From that
+    * version on, EVERY write path (merge, mergeCdc, optimize,
+    * repartition) re-verifies the constraint on its output rows
+    * inside the commit's existing profile pass — zero extra jobs —
+    * and refuses before writing anything. SQL CHECK semantics: a row
+    * violates only when the expression evaluates FALSE (null passes).
+    * The head's batch id carries forward (a replayed merge stays a
+    * no-op across the metadata commit). */
+  def addCheck(spark: SparkSession, dir: String, name: String,
+      expression: String): Long = {
+    require(name.nonEmpty && !name.contains(" "),
+      s"check name must be a non-empty, space-free token: '$name'")
+    val head = resolve(spark, dir)
+    require(!head.checks.contains(name),
+      s"check '$name' already exists on $dir (drop it first)")
+    val viol =
+      if (head.entries.isEmpty) 0L
+      else readSnap(spark, dir, head)
+        .filter(!expr(expression)).limit(1).count()
+    require(viol == 0L,
+      s"existing rows violate CHECK '$name' ($expression) — a " +
+        "constraint the current content fails would make every " +
+        "future merge refuse; clean the data first")
+    commitManifest(spark, dir, head.ver + 1, head.batchId, head.entries,
+      head.schemaDdl, head.partCols, head.statsKeys, head.dvKey,
+      base = Some(head), checks = head.checks + (name -> expression))
+    head.ver + 1
+  }
+
+  /** DROP a CHECK constraint — metadata-only commit; unknown names
+    * refuse loudly (a typo'd drop that silently no-ops leaves the
+    * operator believing enforcement ended). */
+  def dropCheck(spark: SparkSession, dir: String, name: String): Long = {
+    val head = resolve(spark, dir)
+    require(head.checks.contains(name),
+      s"no check named '$name' on $dir (have " +
+        s"${head.checks.keys.toSeq.sorted.mkString(", ")})")
+    commitManifest(spark, dir, head.ver + 1, head.batchId, head.entries,
+      head.schemaDdl, head.partCols, head.statsKeys, head.dvKey,
+      base = Some(head), checks = head.checks - name)
+    head.ver + 1
+  }
 
   private def retrying(maxAttempts: Int)(attempt: String => Long): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
@@ -1729,13 +1913,50 @@ object SnapshotTable {
     * Returns the committed version. */
   def optimize(spark: SparkSession, dir: String, partCols: Seq[String],
       maxRowsPerTask: Long = DefaultMaxRowsPerTask,
+      zorderBy: Seq[String] = Nil): Long =
+    optimizeWhere(spark, dir, partCols, _ => true, maxRowsPerTask,
+      zorderBy)
+
+  /** The partition values an entry's dir encodes (unescaped) —
+    * `v=3/__gp_year=2024/__gp_month=7` → `Map(year->2024, month->7)` —
+    * the vocabulary [[optimizeWhere]] predicates speak. */
+  def partitionValues(e: Entry): Map[String, String] =
+    e.path.split("/").drop(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0 || !seg.startsWith(P)) None
+      else Some(seg.substring(P.length, i) ->
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.substring(i + 1)))
+    }.toMap
+
+  /** SELECTIVE OPTIMIZE — Delta's `OPTIMIZE ... WHERE`: rewrite ONLY
+    * the entries `select` picks (by partition values via
+    * [[partitionValues]], by accumulated small files via
+    * `e.fileStats.size`, by dv presence via `e.dvs` — whatever the
+    * maintenance policy is); everything else carries BY REFERENCE
+    * into the new version. This is the rung that keeps compaction
+    * affordable at 10⁵ partitions: a full [[optimize]] is O(table) by
+    * nature, but the partitions that actually accumulate small files
+    * or deletion vectors are the recently-merged few — rewriting just
+    * those is O(selected bytes). Sound because partition→entry is 1:1
+    * in every manifest (a merge commits at most one entry per
+    * partition value), so rewritten and carried entries can never
+    * collide on a partition dir. Selected entries fold their deletion
+    * vectors in ([[readSnap]] applies them); carried entries keep
+    * their dv references. No-op (head version returned, nothing
+    * committed) when nothing matches. */
+  def optimizeWhere(spark: SparkSession, dir: String,
+      partCols: Seq[String], select: Entry => Boolean,
+      maxRowsPerTask: Long = DefaultMaxRowsPerTask,
       zorderBy: Seq[String] = Nil): Long = {
     require(partCols.nonEmpty, "partCols must name >= 1 column")
     val head = resolve(spark, dir)
     require(head.partCols == partCols,
       s"table at $dir is partitioned by (${head.partCols.mkString(", ")})" +
         s" — optimize passed (${partCols.mkString(", ")})")
-    val df = readSnap(spark, dir, head)
+    val (targets, kept) = head.entries.partition(select)
+    if (targets.isEmpty) return head.ver
+    val df = readSnap(spark, dir, head.copy(entries = targets))
     requirePathSafe(df, partCols)
     // OPTIMIZE ZORDER (Delta's clustering rewrite): 1 column sorts it
     // directly (file key-ranges come out DISJOINT per partition — the
@@ -1768,7 +1989,13 @@ object SnapshotTable {
             pmod(col(b).cast("long"), lit(1073741824L)))
         })
     }
-    rewriteHead(spark, dir, head, df, partCols, maxRowsPerTask, cluster)
+    // the selected entries' rewrite commits alongside the carried
+    // rest; batch id carries forward (a replayed last merge stays a
+    // no-op across the maintenance rewrite, the optimize discipline)
+    writeAndCommit(spark, dir, df, head.statsKeys, partCols,
+      head.ver + 1, head.batchId, kept, head.schemaDdl,
+      maxRowsPerTask, dirToken = None, clusterKey = cluster,
+      head = Some(head))
   }
 
   /** The shared O(table) rewrite tail of [[optimize]] and
@@ -1845,31 +2072,39 @@ object SnapshotTable {
     require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
     val vs = versions(spark, dir)
     if (vs.size <= keep) return
-    val cut = vs.takeRight(keep)
-    val live = cut.flatMap { v =>
+    // TAGGED versions are pinned (the Iceberg-refs contract): the
+    // retained set is the newest `keep` plus every tagged version
+    val tagged = tags(spark, dir).values.toSet
+    val retainedSet = vs.takeRight(keep).toSet ++
+      tagged.filter(vs.contains)
+    if (vs.forall(retainedSet.contains)) return
+    val retained = vs.filter(retainedSet.contains)
+    val live = retained.flatMap { v =>
       val s = resolve(spark, dir, Some(v))
       s.entryPaths ++ s.entries.flatMap(_.dvs) // dv sidecars are live too
     }.toSet
     val fs = fsOf(spark, dir)
-    // the oldest retained manifest may be a DELTA whose base chain is
-    // about to be deleted — checkpoint it in place first (atomic
-    // overwrite swap; the rewritten bytes resolve to identical
-    // content, so a concurrent reader is safe either way)
-    val oldest = resolve(spark, dir, Some(cut.head))
-    if (oldest.depth > 0) {
-      val body = fullBody(oldest.batchId, oldest.entries,
-        oldest.schemaDdl, oldest.partCols, oldest.statsKeys,
-        oldest.dvKey)
-      val tmp = new Path(dir, s"_snap.${oldest.ver}." +
-        s"${java.lang.Long.toHexString(System.nanoTime())}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      org.apache.hadoop.fs.FileContext.getFileContext(
-        tmp.toUri, spark.sparkContext.hadoopConfiguration)
-        .rename(tmp, new Path(dir, s"_snap.${oldest.ver}"),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // every retained DELTA manifest whose base is about to be deleted
+    // is checkpointed in place first (atomic overwrite swap; the
+    // rewritten bytes resolve to identical content, so a concurrent
+    // reader is safe either way) — ascending order, so a chain
+    // resolving through an earlier retained version stays intact
+    retained.foreach { v =>
+      val s = resolve(spark, dir, Some(v))
+      if (s.depth > 0 && !retainedSet.contains(v - 1)) {
+        val body = fullBody(s.batchId, s.entries, s.schemaDdl,
+          s.partCols, s.statsKeys, s.dvKey, s.checks)
+        val tmp = new Path(dir, s"_snap.$v." +
+          s"${java.lang.Long.toHexString(System.nanoTime())}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        org.apache.hadoop.fs.FileContext.getFileContext(
+          tmp.toUri, spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, new Path(dir, s"_snap.$v"),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
     }
-    vs.dropRight(keep).foreach(v =>
+    vs.filterNot(retainedSet.contains).foreach(v =>
       fs.delete(new Path(dir, s"_snap.$v"), false))
     val cutoff = System.currentTimeMillis() - graceMs
     // sweep data dirs no retained manifest references: a dir is kept
@@ -1924,11 +2159,12 @@ object SnapshotTable {
         .map(p => p.substring(0, p.indexOf('/')))
     }.toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    // stale tmp manifests / head-pointer stagings from a crashed
-    // commit (rename never ran)
+    // stale tmp manifests / head-pointer / tag stagings from a
+    // crashed commit (rename never ran)
     fs.listStatus(root)
       .filter(st => (st.getPath.getName.startsWith("_snap.") ||
-        st.getPath.getName.startsWith("_head.")) &&
+        st.getPath.getName.startsWith("_head.") ||
+        st.getPath.getName.startsWith("_tag.")) &&
         st.getPath.getName.endsWith(".tmp") &&
         st.getModificationTime <= cutoff)
       .foreach(st => fs.delete(st.getPath, false))

@@ -10531,6 +10531,80 @@ object Catalog {
         'v6' AS at
       FROM orders WHERE o_orderkey % 12 <= 5"""))
 
+  /** SELECTIVE OPTIMIZE in the hash gate
+    * ([[graft.ops.SnapshotTable.optimizeWhere]] — Delta's
+    * `OPTIMIZE ... WHERE`, the rung that keeps compaction affordable
+    * at 10⁵ partitions): orders land under (year, month), a scattered
+    * DV delete (`o_orderkey % 30 == 7`) attaches a sidecar to every
+    * entry, then ONLY the 1995 partitions are rewritten — they fold
+    * their deletion vectors in, everything else carries by reference
+    * with its dv intact. The read after is the mixed path — folded
+    * entries plain, carried entries anti-joining the sidecar — and
+    * the hash gate pins that the partial rewrite changed NOTHING:
+    * the oracle is the plain delete replay. */
+  private val q277 = Q("q277_snapshot_selective_optimize",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q277tbl").toString + "/t"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(dec2).cast("string").as("total"),
+        year(col("o_orderdate")).as("year"),
+        month(col("o_orderdate")).as("month"))
+      graft.ops.SnapshotTable.merge(s, tbl, o,
+        "o_orderkey", "total", Seq("year", "month"), Some(1L))
+      graft.ops.SnapshotTable.deleteKeys(s, tbl,
+        o.filter(col("o_orderkey") % 30 === 7).select(col("o_orderkey")),
+        "o_orderkey", Some(2L))
+      graft.ops.SnapshotTable.optimizeWhere(s, tbl,
+        Seq("year", "month"),
+        e => graft.ops.SnapshotTable.partitionValues(e)
+          .get("year").contains("1995"))
+      graft.ops.SnapshotTable.read(s, tbl)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("total"),
+          col("year"), col("month"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        EXTRACT(year FROM o_orderdate) AS year,
+        EXTRACT(month FROM o_orderdate) AS month
+      FROM orders WHERE o_orderkey % 30 <> 7"""))
+
+  /** METADATA-ONLY COUNTS from the manifest
+    * ([[graft.ops.SnapshotTable.countRows]] + per-entry `rows=`
+    * lines — the Iceberg/Delta `count(*)`-from-metadata shape): the
+    * orders table is merged under `o_orderkey % 8` buckets, a CDC
+    * batch DELETES every `o_orderkey % 50 == 3` key (a rewrite, so
+    * counts stay exact), and the output is built from the MANIFEST
+    * ALONE — one row per entry with its partition value and recorded
+    * row count, zero data files opened. The oracle recomputes the
+    * same per-bucket counts from the raw data; a count that drifted
+    * by one row anywhere breaks the hash. */
+  private val q278 = Q("q278_snapshot_metadata_counts",
+    (s, dir) => {
+      import s.implicits._
+      val tbl = graft.Scratch.createTempDir("q278tbl").toString + "/t"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(dec2).cast("string").as("total"),
+        (col("o_orderkey") % 8).as("bucket"))
+      graft.ops.SnapshotTable.merge(s, tbl, o,
+        "o_orderkey", "total", Seq("bucket"), Some(1L))
+      val feed = o.filter(col("o_orderkey") % 50 === 3)
+        .withColumn("op", lit("D"))
+      graft.ops.SnapshotTable.mergeCdc(s, tbl, feed, "o_orderkey",
+        Seq("o_orderkey"), "op", Seq("bucket"), Some(2L))
+      val snap = graft.ops.SnapshotTable.resolve(s, tbl)
+      val total = graft.ops.SnapshotTable.countRows(s, tbl).get
+      snap.entries.map(e => (
+        graft.ops.SnapshotTable.partitionValues(e)("bucket").toLong,
+        e.rows.get, total)).toDF("bucket", "n_rows", "n_total")
+    },
+    Some("""SELECT o_orderkey % 8 AS bucket,
+        COUNT(*) AS n_rows,
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 50 <> 3)
+          AS n_total
+      FROM orders WHERE o_orderkey % 50 <> 3 GROUP BY 1"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10562,5 +10636,5 @@ object Catalog {
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
     q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272,
-    q273, q274, q275, q276)
+    q273, q274, q275, q276, q277, q278)
 }

@@ -543,6 +543,157 @@ class Round18Spec extends SparkSpec {
         (4L, "d", "insert")))
   }
 
+  test("selective OPTIMIZE: only the selected entries rewrite (their " +
+      "deletion vectors fold), the rest carry by reference, content " +
+      "is identical, batch id carries, and a no-match select is a " +
+      "no-op") {
+    val tbl = tmpDir("selopt") + "/t"
+    SnapshotTable.merge(spark, tbl,
+      (1L to 40L).map(k => (k, s"v$k", (k % 4).toInt))
+        .toDF("k", "v", "p"), "k", "v", Seq("p"), Some(7L))
+    SnapshotTable.deleteKeys(spark, tbl, Seq(5L, 6L).toDF("k"), "k",
+      Some(8L)) // 5 lives in p=1, 6 in p=2
+    val before = SnapshotTable.resolve(spark, tbl)
+    val want = (1L to 40L).filterNot(Set(5L, 6L))
+      .map(k => (k, s"v$k", (k % 4).toInt)).toSet
+    // rewrite ONLY partition p=1
+    val v = SnapshotTable.optimizeWhere(spark, tbl, Seq("p"),
+      e => SnapshotTable.partitionValues(e).get("p").contains("1"))
+    assert(v == 3L)
+    val after = SnapshotTable.resolve(spark, tbl)
+    val p1 = after.entries.find(_.path.contains("__gp_p=1")).get
+    assert(p1.path.startsWith("v=3/") && p1.dvs.isEmpty,
+      s"the selected partition must be rewritten dv-free: $p1")
+    val carried = after.entries.filterNot(_.path.contains("__gp_p=1"))
+    assert(carried.toSet ==
+      before.entries.filterNot(_.path.contains("__gp_p=1")).toSet,
+      "unselected entries must carry by reference, dv refs intact")
+    assert(content(SnapshotTable.read(spark, tbl)) == want,
+      "the selective rewrite must be content-identical")
+    assert(after.batchId == before.batchId,
+      "the head batch id must carry across the maintenance rewrite")
+    // small-file / no-match select: nothing matches → no-op, no commit
+    assert(SnapshotTable.optimizeWhere(spark, tbl, Seq("p"),
+      _.fileStats.size > 99) == 3L)
+    assert(SnapshotTable.versions(spark, tbl) == Seq(1L, 2L, 3L))
+  }
+
+  test("metadata-only COUNT: exact from manifest row counts, honest " +
+      "None under deletion vectors, exact again after the fold") {
+    val tbl = tmpDir("metacount") + "/t"
+    SnapshotTable.merge(spark, tbl,
+      (1L to 30L).map(k => (k, s"v$k", (k % 3).toInt))
+        .toDF("k", "v", "p"), "k", "v", Seq("p"), Some(1L))
+    assert(SnapshotTable.countRows(spark, tbl).contains(30L))
+    // a CDC delete REWRITES its partitions — counts stay exact
+    SnapshotTable.mergeCdc(spark, tbl,
+      Seq((3L, "x", 0, 1L, "D")).toDF("k", "v", "p", "seq", "op"),
+      "k", Seq("seq"), "op", Seq("p"), Some(2L))
+    assert(SnapshotTable.countRows(spark, tbl).contains(29L))
+    assert(SnapshotTable.countRows(spark, tbl, Some(1L)).contains(30L),
+      "time travel counts the pinned version's rows")
+    // a DV delete hides rows behind the sidecar — the count must
+    // refuse (None), never report the stale upper bound
+    SnapshotTable.deleteKeys(spark, tbl, Seq(7L, 8L).toDF("k"), "k",
+      Some(3L))
+    assert(SnapshotTable.countRows(spark, tbl).isEmpty,
+      "a dv'd table must fall back to a scan count")
+    assert(SnapshotTable.read(spark, tbl).count() == 27L)
+    // OPTIMIZE folds the dv — metadata count is exact again
+    SnapshotTable.optimize(spark, tbl, Seq("p"))
+    assert(SnapshotTable.countRows(spark, tbl).contains(27L))
+    assert(SnapshotTable.read(spark, tbl).count() == 27L)
+  }
+
+  test("CHECK constraints: recorded in the manifest, enforced on " +
+      "every write path's output before anything lands, null passes " +
+      "(SQL semantics), add validates existing data, drop re-opens") {
+    val tbl = tmpDir("checks") + "/t"
+    SnapshotTable.merge(spark, tbl,
+      Seq((1L, 10, 1), (2L, 20, 2)).toDF("k", "q", "p"),
+      "k", "q", Seq("p"), Some(1L))
+    assert(SnapshotTable.addCheck(spark, tbl, "q_nonneg", "q >= 0") == 2L)
+    assert(SnapshotTable.resolve(spark, tbl).checks ==
+      Map("q_nonneg" -> "q >= 0"))
+    // a valid merge passes; a violating merge refuses BEFORE writing
+    assert(SnapshotTable.merge(spark, tbl,
+      Seq((3L, 30, 1)).toDF("k", "q", "p"), "k", "q", Seq("p"),
+      Some(3L)) == 3L)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, tbl,
+        Seq((4L, -5, 2)).toDF("k", "q", "p"), "k", "q", Seq("p"),
+        Some(4L))
+    }
+    assert(ex.getMessage.contains("q_nonneg") &&
+      ex.getMessage.contains("1 row"),
+      s"the refusal must name the constraint: ${ex.getMessage}")
+    assert(SnapshotTable.versions(spark, tbl) == Seq(1L, 2L, 3L),
+      "a refused merge must not burn a version")
+    def ks = SnapshotTable.read(spark, tbl).select(col("k")).collect()
+      .map(_.getLong(0)).toSet
+    assert(ks == Set(1L, 2L, 3L))
+    // null CHECK result passes (SQL semantics)
+    assert(SnapshotTable.merge(spark, tbl,
+      Seq((5L, Option.empty[Int], 1)).toDF("k", "q", "p"),
+      "k", "q", Seq("p"), Some(5L)) == 4L)
+    // adding a constraint the existing data violates refuses
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addCheck(spark, tbl, "q_small", "q < 15")
+    }
+    // duplicate add and unknown drop refuse; a real drop re-opens
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addCheck(spark, tbl, "q_nonneg", "q >= 0")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropCheck(spark, tbl, "nope")
+    }
+    assert(SnapshotTable.dropCheck(spark, tbl, "q_nonneg") == 5L)
+    assert(SnapshotTable.merge(spark, tbl,
+      Seq((4L, -5, 2)).toDF("k", "q", "p"), "k", "q", Seq("p"),
+      Some(6L)) == 6L)
+    assert(ks == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("tags pin versions by name: create-exclusive claim, resolve " +
+      "by tag, retention keeps tagged manifests (checkpointed full " +
+      "when their chain falls below the cut) and their data; a " +
+      "dropped tag unpins") {
+    val tbl = tmpDir("tags") + "/t"
+    (1 to 5).foreach { i =>
+      SnapshotTable.merge(spark, tbl,
+        Seq(((i % 3).toLong, s"v$i", i % 3)).toDF("k", "v", "p"),
+        "k", "v", Seq("p"), Some(i.toLong))
+    }
+    assert(SnapshotTable.tag(spark, tbl, "model-v1", Some(2L)) == 2L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.tag(spark, tbl, "model-v1", Some(3L)) // exclusive
+    }
+    assert(SnapshotTable.tags(spark, tbl) == Map("model-v1" -> 2L))
+    val taggedContent = content(SnapshotTable.readSnap(spark, tbl,
+      SnapshotTable.resolveTag(spark, tbl, "model-v1")))
+    // retention: newest 2 + the tagged v2 survive; v1/v3 go
+    SnapshotTable.retainNewest(spark, tbl, 2, graceMs = 0L)
+    assert(SnapshotTable.versions(spark, tbl) == Seq(2L, 4L, 5L))
+    assert(SnapshotTable.resolve(spark, tbl, Some(2L)).depth == 0 &&
+      SnapshotTable.resolve(spark, tbl, Some(4L)).depth == 0,
+      "retained manifests whose base chains were cut must have been " +
+        "checkpointed full")
+    assert(content(SnapshotTable.readSnap(spark, tbl,
+      SnapshotTable.resolveTag(spark, tbl, "model-v1"))) == taggedContent,
+      "the tagged version must read its exact content after the cut")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.resolve(spark, tbl, Some(3L))
+    }
+    // drop the tag: the next cut reclaims v2
+    SnapshotTable.dropTag(spark, tbl, "model-v1")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropTag(spark, tbl, "model-v1")
+    }
+    SnapshotTable.retainNewest(spark, tbl, 2, graceMs = 0L)
+    assert(SnapshotTable.versions(spark, tbl) == Seq(4L, 5L))
+    assert(content(SnapshotTable.read(spark, tbl)).nonEmpty)
+  }
+
   test("publish overlap defense: a cross-process racer's range dir " +
       "landing mid-publish is refused loudly by the post-rename " +
       "re-list, never left as a silent double-feed") {
