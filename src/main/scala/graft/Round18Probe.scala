@@ -61,8 +61,10 @@ object Round18Probe {
         Some(1L))
       SnapshotTable.merge(spark, s"$root/cow", base, "k", "v", Seq("p"),
         Some(1L))
-      // one deleted key per partition: every partition is "touched"
-      val delKeys = (0L until nParts.toLong).map(p => p * 13 + p)
+      // exactly one deleted key per partition (key k lives in
+      // partition k mod nParts, so keys 0..nParts-1 hit every
+      // partition once): every partition is "touched"
+      val delKeys = (0L until nParts.toLong)
       timed(s"dv-delete ${delKeys.size} keys across $nParts parts " +
           "(sidecar, zero rewrites)") {
         SnapshotTable.deleteKeys(spark, s"$root/dv",

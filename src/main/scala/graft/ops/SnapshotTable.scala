@@ -546,25 +546,37 @@ object SnapshotTable {
     }
   }
 
+  private def writeHeadPointer(spark: SparkSession, dir: String,
+      ver: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir,
+      s"_head.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(ver.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(dir, "_head"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   /** Advance the advisory `_head` pointer (Delta's `_last_checkpoint`
     * shape): tmp write + overwrite rename, BEST-EFFORT — a crash (or
     * an out-of-order cross-process landing) leaves it lagging, and
     * [[headVersion]] probes forward from whatever it reads, so the
     * pointer only ever has to be close, never exact. Failures are
-    * swallowed: the fallback is the full listing, not a wrong head. */
+    * swallowed: the fallback is the full listing, not a wrong head.
+    * (SOUND because commits only ever append version `max+1`, so the
+    * manifests ABOVE any stale pointer are contiguous and the probe
+    * always walks to the true head. The one operation that creates
+    * version GAPS — retention — repairs the pointer STRICTLY first,
+    * via [[writeHeadPointer]], so a gap can never sit above the
+    * pointer: without that ordering, a stale pointer landing on a
+    * tagged retention island would silently resolve an OLD version
+    * as head and let the next merge fork history onto it.) */
   private def advanceHeadPointer(spark: SparkSession, dir: String,
       ver: Long): Unit =
-    try {
-      val fs = fsOf(spark, dir)
-      val tmp = new Path(dir,
-        s"_head.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(ver.toString.getBytes("UTF-8")) finally out.close()
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        tmp.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, new Path(dir, "_head"),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch { case _: Throwable => }
+    try writeHeadPointer(spark, dir, ver)
+    catch { case scala.util.control.NonFatal(_) => }
 
   /** The head version, O(1)-ish: read `_head`, verify, probe FORWARD
     * past any commits whose pointer write lagged (crash between
@@ -658,24 +670,35 @@ object SnapshotTable {
     val skList = lines.find(_.startsWith("statskey="))
       .map(_.stripPrefix("statskey=").split(",").toSeq.filter(_.nonEmpty))
       .getOrElse(Nil)
-    // stat=<entry> <keyIdx> <mn> <mx> — per-column entry bounds
+    // stat=<entry> <keyIdx> <mn> <mx> — per-column entry bounds. An
+    // UNPARSEABLE stat line refuses LOUDLY rather than dropping:
+    // dropped stat lines are merely unpruned (conservative), but a
+    // dropped FSTAT line would turn a complete file inventory into a
+    // partial one and prune REAL files — and a manifest this writer
+    // didn't produce is corruption either way, never a fallback.
+    def badLine(l: String): Nothing = throw new IllegalArgumentException(
+      s"manifest _snap.$ver carries an unparseable line '$l' — " +
+        "pre-format manifests and corrupt manifests refuse loudly " +
+        "(a silent partial parse would mis-prune)")
     val stats = lines.filter(_.startsWith("stat="))
-      .map(_.stripPrefix("stat=").split(" ", 4)).collect {
-        case Array(i, k, mn, mx)
+      .map(l => (l, l.stripPrefix("stat=").split(" ", 4))).map {
+        case (_, Array(i, k, mn, mx))
             if i.toIntOption.isDefined &&
               k.toIntOption.exists(skList.indices.contains) =>
           i.toInt -> (skList(k.toInt) -> ((dec(mn), dec(mx))))
+        case (l, _) => badLine(l)
       }.groupBy(_._1).map { case (i, cs) => i -> cs.map(_._2).toMap }
     // fstat=<entry> <name> ? ?            (file listed, no stats)
     // fstat=<entry> <name> <keyIdx> <mn> <mx>  (one line per column)
     val fstats = lines.filter(_.startsWith("fstat="))
-      .map(_.stripPrefix("fstat=").split(" ", 5)).collect {
-        case Array(i, n, "?", "?") if i.toIntOption.isDefined =>
+      .map(l => (l, l.stripPrefix("fstat=").split(" ", 5))).map {
+        case (_, Array(i, n, "?", "?")) if i.toIntOption.isDefined =>
           (i.toInt, dec(n)) -> None
-        case Array(i, n, k, mn, mx)
+        case (_, Array(i, n, k, mn, mx))
             if i.toIntOption.isDefined &&
               k.toIntOption.exists(skList.indices.contains) =>
           (i.toInt, dec(n)) -> Some(skList(k.toInt) -> ((dec(mn), dec(mx))))
+        case (l, _) => badLine(l)
       }.groupBy(_._1._1).map { case (i, fs) =>
         i -> fs.groupBy(_._1._2).toSeq.sortBy(_._1).map {
           case (name, cols) =>
@@ -751,25 +774,43 @@ object SnapshotTable {
   def readSnap(spark: SparkSession, dir: String, snap: Snap): DataFrame = {
     require(snap.entries.nonEmpty, s"snapshot v${snap.ver} has no data")
     val schema = StructType.fromDDL(snap.schemaDdl)
-    def plain(es: Seq[Entry]): DataFrame =
+    if (snap.entries.forall(_.dvs.isEmpty))
       spark.read.schema(schema)
-        .parquet(es.map(e => s"$dir/data/${e.path}"): _*)
-    if (snap.entries.forall(_.dvs.isEmpty)) plain(snap.entries)
-    else {
-      val key = snap.dvKey.getOrElse(throw new IllegalStateException(
-        s"snapshot v${snap.ver} has dv entries but no dvKey"))
-      snap.entries.groupBy(_.dvs.toSet).toSeq
-        .sortBy(_._2.head.path) // deterministic plan shape
-        .map { case (dvSet, es) =>
-          if (dvSet.isEmpty) plain(es)
-          else {
-            val dels = spark.read
-              .parquet(dvSet.toSeq.sorted.map(p => s"$dir/data/$p"): _*)
-              .select(col(key))
-            plain(es).join(dels, Seq(key), "left_anti")
-          }
-        }.reduce(_.unionByName(_))
-    }
+        .parquet(snap.entries.map(e => s"$dir/data/${e.path}"): _*)
+    else dvGroupedRead(spark, dir, snap, schema,
+      es => es.map(e => s"$dir/data/${e.path}"))
+  }
+
+  /** The DV-aware grouped read [[readSnap]] and [[readRange]] share:
+    * entries group by their dv SET, each group reads through
+    * `pathsOf` (whole dirs for snapshot reads; file-pruned lists for
+    * range reads), dv'd groups anti-join their union of deleted keys
+    * (delta-sized, AQE picks the broadcast), groups union in a
+    * deterministic order. Per-entry application is what keeps
+    * re-inserted keys alive — a global anti-join would eat them. */
+  private def dvGroupedRead(spark: SparkSession, dir: String,
+      snap: Snap, schema: StructType,
+      pathsOf: Seq[Entry] => Seq[String]): DataFrame = {
+    val dvk = snap.dvKey.getOrElse(throw new IllegalStateException(
+      s"snapshot v${snap.ver} has dv entries but no dvKey"))
+    snap.entries.groupBy(_.dvs.toSet).toSeq
+      .sortBy(_._2.head.path) // deterministic plan shape
+      .flatMap { case (dvSet, es) =>
+        val ps = pathsOf(es)
+        if (ps.isEmpty) None
+        else {
+          val df = spark.read.schema(schema).parquet(ps: _*)
+          Some(
+            if (dvSet.isEmpty) df
+            else df.join(
+              spark.read
+                .parquet(dvSet.toSeq.sorted.map(p => s"$dir/data/$p"): _*)
+                .select(col(dvk)),
+              Seq(dvk), "left_anti"))
+        }
+      }.reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema))
   }
 
   /** Read the table at the newest (or a pinned) version. */
@@ -887,25 +928,10 @@ object SnapshotTable {
         // deletion vectors apply per entry GROUP exactly as in
         // [[readSnap]]; file-level pruning still runs inside each
         // group (the anti-join commutes with the residual filter)
-        val dvk = snap.dvKey.getOrElse(throw new IllegalStateException(
-          s"snapshot v${snap.ver} has dv entries but no dvKey"))
         val surviving = pruneByKey(snap, key, lo, hi)
-        surviving.entries.groupBy(_.dvs.toSet).toSeq
-          .sortBy(_._2.head.path)
-          .flatMap { case (dvSet, es) =>
-            val ps = prunedReadPaths(dir,
-              surviving.copy(entries = es), key, lo, hi)
-            if (ps.isEmpty) None
-            else {
-              val df = spark.read.schema(schema).parquet(ps: _*)
-              Some(if (dvSet.isEmpty) df
-              else df.join(
-                spark.read.parquet(
-                  dvSet.toSeq.sorted.map(p => s"$dir/data/$p"): _*)
-                  .select(col(dvk)),
-                Seq(dvk), "left_anti"))
-            }
-          }.reduceOption(_.unionByName(_)).getOrElse(empty)
+        dvGroupedRead(spark, dir, surviving, schema,
+          es => prunedReadPaths(dir, surviving.copy(entries = es),
+            key, lo, hi))
       }
     preds.foldLeft(base)(_.filter(_))
   }
@@ -1454,10 +1480,19 @@ object SnapshotTable {
       "delta schema DDL must be a single line (multi-line column " +
         "metadata comments are not supported) — checked BEFORE any " +
         "partition write, not at commit time")
+    // resolve-first, not list-first: an existing table resolves
+    // through the _head pointer (no O(versions) listing on the hot
+    // commit path — the listing the pointer exists to eliminate);
+    // only the not-yet-a-table case falls through to the loud refusal
+    // we turn into the empty head
     val head =
-      if (versions(spark, dir).isEmpty)
-        Snap(0L, None, Nil, dataSchema.toDDL, partCols, Nil)
-      else resolve(spark, dir)
+      try resolve(spark, dir)
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("no snapshot table") =>
+          Snap(0L, None, Nil, dataSchema.toDDL, partCols, Nil)
+      }
     if (batchId.isDefined && head.batchId == batchId)
       return Left(head.ver)
     // the PARTITIONING is part of the table contract: a merge keyed on
@@ -2104,6 +2139,14 @@ object SnapshotTable {
             org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
     }
+    // the pointer must be CORRECT before any version gap exists:
+    // deleting below-cut manifests around a tagged island while the
+    // pointer lags inside the island would make headVersion's forward
+    // probe stop at the island (gaps above the pointer break its
+    // contiguity invariant) and silently resolve an old version as
+    // head. STRICT write — a failure here aborts the cut with no gap
+    // created, which is always recoverable; a silent island is not.
+    writeHeadPointer(spark, dir, vs.max)
     vs.filterNot(retainedSet.contains).foreach(v =>
       fs.delete(new Path(dir, s"_snap.$v"), false))
     val cutoff = System.currentTimeMillis() - graceMs

@@ -694,6 +694,57 @@ class Round18Spec extends SparkSpec {
     assert(content(SnapshotTable.read(spark, tbl)).nonEmpty)
   }
 
+  test("review closure: a STALE head pointer + a tagged retention " +
+      "island cannot resolve an old version as head — retention " +
+      "repairs the pointer STRICTLY before creating any version gap") {
+    val tbl = tmpDir("island") + "/t"
+    (1 to 5).foreach { i =>
+      SnapshotTable.merge(spark, tbl,
+        Seq((1L, s"v$i", 1)).toDF("k", "v", "p"), "k", "v", Seq("p"),
+        Some(i.toLong))
+    }
+    SnapshotTable.tag(spark, tbl, "pin", Some(2L))
+    // simulate a pointer that lagged (crashes swallowed its writes)
+    val f = fs(tbl)
+    val out = f.create(new Path(s"$tbl/_head"), true)
+    try out.write("2".getBytes("UTF-8")) finally out.close()
+    // the cut creates the island {2, 4, 5} — WITHOUT the strict
+    // pointer repair, headVersion would probe 2 -> _snap.3 missing ->
+    // stop, silently resolving v2 as head and letting the next merge
+    // fork history onto it
+    SnapshotTable.retainNewest(spark, tbl, 2, graceMs = 0L)
+    assert(SnapshotTable.versions(spark, tbl) == Seq(2L, 4L, 5L))
+    assert(SnapshotTable.resolve(spark, tbl).ver == 5L,
+      "the head must resolve PAST the tagged island")
+    assert(content(SnapshotTable.read(spark, tbl)) == Set((1L, "v5", 1)))
+    // and the next merge continues the true history
+    assert(SnapshotTable.merge(spark, tbl,
+      Seq((2L, "w", 1)).toDF("k", "v", "p"), "k", "v", Seq("p"),
+      Some(6L)) == 6L)
+  }
+
+  test("review closure: an unparseable stat/fstat manifest line " +
+      "refuses LOUDLY — a silent partial parse would turn a complete " +
+      "file inventory into a pruning hazard") {
+    val tbl = tmpDir("badline") + "/t"
+    val f = fs(tbl)
+    val body = Seq(
+      "schema=k BIGINT,v STRING,p INT",
+      "parts=p",
+      "statskey=k",
+      "entry=v=1/__gp_p=1",
+      // the PRE-multi-column fstat shape: 4 tokens with values — a
+      // parser that dropped it would leave a partial inventory
+      "fstat=0 part-00000.parquet 1 9").mkString("\n")
+    val out = f.create(new Path(s"$tbl/_snap.1"), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.resolve(spark, tbl, Some(1L))
+    }
+    assert(ex.getMessage.contains("unparseable"),
+      s"expected the loud parse refusal: ${ex.getMessage}")
+  }
+
   test("publish overlap defense: a cross-process racer's range dir " +
       "landing mid-publish is refused loudly by the post-rename " +
       "re-list, never left as a silent double-feed") {
