@@ -216,6 +216,26 @@ object SnapshotTable {
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Per-filesystem [[org.apache.hadoop.fs.FileContext]] cache:
+    * FileContext is thread-safe, but unlike `FileSystem.get` Hadoop
+    * does NOT cache its AbstractFileSystem — every `getFileContext`
+    * pays a reflective construction, which on the per-commit paths
+    * (version claim, head pointer) would tax every merge. One
+    * instance per (scheme, authority) per JVM, the commitLocks
+    * discipline. */
+  private val fileContexts = new java.util.concurrent
+    .ConcurrentHashMap[String, org.apache.hadoop.fs.FileContext]()
+
+  private def fcOf(spark: SparkSession,
+      p: Path): org.apache.hadoop.fs.FileContext = {
+    val u = p.toUri
+    val key = Option(u.getScheme).getOrElse("") + "://" +
+      Option(u.getAuthority).getOrElse("")
+    fileContexts.computeIfAbsent(key,
+      _ => org.apache.hadoop.fs.FileContext.getFileContext(u,
+        spark.sparkContext.hadoopConfiguration))
+  }
+
   /** Nullability-normalized type (containers forced nullable,
     * recursively) — `toDDL`/`fromDDL` loses `containsNull`-class
     * flags, so schema-evolution type equality must ignore them. */
@@ -371,8 +391,7 @@ object SnapshotTable {
   private[graft] def claimVersion(spark: SparkSession, tmp: Path,
       dst: Path): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      dst.toUri, conf)
+    val fc = fcOf(spark, dst)
     try fc.rename(tmp, dst) // Options.Rename.NONE: no-clobber
     catch {
       case e: java.io.IOException =>
@@ -553,9 +572,7 @@ object SnapshotTable {
       s"_head.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
     val out = fs.create(tmp, true)
     try out.write(ver.toString.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      tmp.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, new Path(dir, "_head"),
+    fcOf(spark, tmp).rename(tmp, new Path(dir, "_head"),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
@@ -2133,10 +2150,8 @@ object SnapshotTable {
           s"${java.lang.Long.toHexString(System.nanoTime())}.tmp")
         val out = fs.create(tmp, true)
         try out.write(body.getBytes("UTF-8")) finally out.close()
-        org.apache.hadoop.fs.FileContext.getFileContext(
-          tmp.toUri, spark.sparkContext.hadoopConfiguration)
-          .rename(tmp, new Path(dir, s"_snap.$v"),
-            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        fcOf(spark, tmp).rename(tmp, new Path(dir, s"_snap.$v"),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
     }
     // the pointer must be CORRECT before any version gap exists:
