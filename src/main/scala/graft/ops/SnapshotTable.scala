@@ -166,7 +166,8 @@ object SnapshotTable {
   final case class Snap(ver: Long, batchId: Option[Long],
       entries: Seq[Entry], schemaDdl: String, partCols: Seq[String],
       statsKeys: Seq[String], dvKey: Option[String] = None,
-      depth: Int = 0, checks: Map[String, String] = Map.empty) {
+      depth: Int = 0, checks: Map[String, String] = Map.empty,
+      droppedCols: Seq[String] = Nil) {
     def entryPaths: Seq[String] = entries.map(_.path)
     /** The PRIMARY stats column (the merge key) — the salt column and
       * the bound [[pruneByKey]] historically served. */
@@ -455,7 +456,8 @@ object SnapshotTable {
     * CHECK constraints — tiny, so deltas re-emit it whole. */
   private def headerLines(batchId: Option[Long], entries: Seq[Entry],
       schemaDdl: String, partCols: Seq[String], statsKeys: Seq[String],
-      dvKey: Option[String], checks: Map[String, String]): Seq[String] =
+      dvKey: Option[String], checks: Map[String, String],
+      droppedCols: Seq[String]): Seq[String] =
     batchId.map(b => s"batch=$b").toSeq ++
       Seq(s"schema=$schemaDdl", s"parts=${partCols.mkString(",")}") ++
       (if (statsKeys.nonEmpty)
@@ -464,14 +466,17 @@ object SnapshotTable {
         .map(k => s"dvkey=$k").toSeq ++
       checks.toSeq.sortBy(_._1).map { case (n, e) =>
         s"check=$n ${enc(e)}"
-      }
+      } ++
+      droppedCols.sorted.map(c => s"dropped=$c")
 
   private def fullBody(batchId: Option[Long], entries: Seq[Entry],
       schemaDdl: String, partCols: Seq[String], statsKeys: Seq[String],
       dvKey: Option[String],
-      checks: Map[String, String] = Map.empty): String =
+      checks: Map[String, String] = Map.empty,
+      droppedCols: Seq[String] = Nil): String =
     (headerLines(batchId, entries, schemaDdl, partCols, statsKeys,
-      dvKey, checks) ++ entryLines(entries, statsKeys)).mkString("\n")
+      dvKey, checks, droppedCols) ++
+      entryLines(entries, statsKeys)).mkString("\n")
 
   /** Commit a manifest: refuse if the destination version already
     * exists, tmp write, no-clobber rename ([[claimVersion]] — the
@@ -498,7 +503,8 @@ object SnapshotTable {
       schemaDdl: String, partCols: Seq[String],
       statsKeys: Seq[String], dvKey: Option[String] = None,
       base: Option[Snap] = None,
-      checks: Map[String, String] = Map.empty): Unit = {
+      checks: Map[String, String] = Map.empty,
+      droppedCols: Seq[String] = Nil): Unit = {
     require(checks.keys.forall(n => !n.contains(" ") && !n.contains("\n")),
       s"check names must be space-free: ${checks.keys.mkString(", ")}")
     require(!schemaDdl.contains("\n"),
@@ -530,16 +536,16 @@ object SnapshotTable {
           !newByPath.get(p).exists(e => baseByPath(p) == e))
         if (adds.size + drops.size >= entries.size)
           fullBody(batchId, entries, schemaDdl, partCols, statsKeys,
-            dvKey, checks) // the diff is no smaller — checkpoint now
+            dvKey, checks, droppedCols) // diff no smaller — checkpoint
         else
           (headerLines(batchId, entries, schemaDdl, partCols,
-            statsKeys, dvKey, checks) ++
+            statsKeys, dvKey, checks, droppedCols) ++
             Seq(s"base=${b.ver}") ++
             drops.sorted.map(p => s"drop=$p") ++
             entryLines(adds, statsKeys)).mkString("\n")
       case _ =>
         fullBody(batchId, entries, schemaDdl, partCols, statsKeys,
-          dvKey, checks)
+          dvKey, checks, droppedCols)
     }
     val lock = commitLocks.computeIfAbsent(lockKey(spark, dir),
       _ => new Object)
@@ -752,6 +758,8 @@ object SnapshotTable {
       .map(_.stripPrefix("check=").split(" ", 2)).collect {
         case Array(n, e) => n -> dec(e)
       }.toMap
+    val droppedCols = lines.filter(_.startsWith("dropped="))
+      .map(_.stripPrefix("dropped=")).toSeq
     val baseVer = lines.find(_.startsWith("base="))
       .flatMap(_.stripPrefix("base=").toLongOption)
     val (entries, depth) = baseVer match {
@@ -769,7 +777,7 @@ object SnapshotTable {
     require(dvk.isDefined || entries.forall(_.dvs.isEmpty),
       s"manifest _snap.$ver carries dv lines but no dvkey")
     Snap(ver, batch, entries, ddl.get, parts.get, skList, dvk, depth,
-      checks)
+      checks, droppedCols)
   }
 
   /** Read a HELD snapshot — the isolation surface: the entries name
@@ -1478,10 +1486,17 @@ object SnapshotTable {
     // by construction) — the dvkey survives exactly as long as some
     // entry still needs it
     val allEntries = keptAdj ++ producedF
+    // column tombstones (dropColumn's resurrect hazard) carry until a
+    // FULL rewrite (kept empty = every surviving row rewrote under
+    // the pinned schema) purges the dropped columns' physical bytes
+    val tombstones =
+      if (kept.isEmpty) Nil
+      else head.map(_.droppedCols).getOrElse(Nil)
     commitManifest(spark, dir, newVer, batchId, allEntries,
       schemaDdl, partCols, newStatsCols,
       headDvKey.filter(_ => allEntries.exists(_.dvs.nonEmpty)),
-      base = head, checks = checkList.toMap)
+      base = head, checks = checkList.toMap,
+      droppedCols = tombstones)
     newVer
   }
 
@@ -1541,8 +1556,18 @@ object SnapshotTable {
     require(dropped.isEmpty,
       s"delta drops table column(s) ${dropped.mkString(", ")} — " +
         "schema evolution is additive only")
-    val newSchema = StructType(tableSchema.fields ++
-      dataSchema.fields.filterNot(f => tableTypes.contains(f.name)))
+    val added = dataSchema.fields.filterNot(f =>
+      tableTypes.contains(f.name))
+    // the dropColumn resurrect hazard: pre-drop files still carry the
+    // dropped column's PHYSICAL bytes, and a schema that re-adds the
+    // name would surface them as live data — refuse until a full
+    // rewrite purges the bytes and clears the tombstone
+    added.foreach(f => require(!head.droppedCols.contains(f.name),
+      s"column '${f.name}' was DROPPED from this table and pre-drop " +
+        "files may still carry its bytes — re-adding the name would " +
+        "resurrect them; run a full OPTIMIZE (purges the bytes and " +
+        "clears the tombstone), then re-add"))
+    val newSchema = StructType(tableSchema.fields ++ added)
     Right((head, newSchema))
   }
 
@@ -1732,7 +1757,8 @@ object SnapshotTable {
       if (targets.contains(e.path)) e.copy(dvs = e.dvs :+ dvPath) else e)
     commitManifest(spark, dir, head.ver + 1, batchId, entries,
       head.schemaDdl, head.partCols, head.statsKeys, Some(key),
-      base = Some(head), checks = head.checks)
+      base = Some(head), checks = head.checks,
+      droppedCols = head.droppedCols)
     head.ver + 1
   }
 
@@ -1842,7 +1868,8 @@ object SnapshotTable {
         "future merge refuse; clean the data first")
     commitManifest(spark, dir, head.ver + 1, head.batchId, head.entries,
       head.schemaDdl, head.partCols, head.statsKeys, head.dvKey,
-      base = Some(head), checks = head.checks + (name -> expression))
+      base = Some(head), checks = head.checks + (name -> expression),
+      droppedCols = head.droppedCols)
     head.ver + 1
   }
 
@@ -1856,7 +1883,8 @@ object SnapshotTable {
         s"${head.checks.keys.toSeq.sorted.mkString(", ")})")
     commitManifest(spark, dir, head.ver + 1, head.batchId, head.entries,
       head.schemaDdl, head.partCols, head.statsKeys, head.dvKey,
-      base = Some(head), checks = head.checks - name)
+      base = Some(head), checks = head.checks - name,
+      droppedCols = head.droppedCols)
     head.ver + 1
   }
 
@@ -2102,6 +2130,91 @@ object SnapshotTable {
       clusterKey = None)
   }
 
+  /** The column names a recorded CHECK expression references —
+    * unresolved attribute collection over the parsed tree, used to
+    * refuse schema changes that would break a constraint later and
+    * loudly elsewhere. */
+  private def checkRefs(expression: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(expression).collect {
+        case a: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => a.name
+      }.toSet
+
+  /** DROP COLUMN — metadata-only (`ALTER TABLE DROP COLUMN` without
+    * a rewrite): the manifest's pinned schema loses the column, so
+    * every read projects it away while pre-drop files keep their
+    * physical bytes until the next rewrite touches them. The dropped
+    * NAME is tombstoned (`dropped=` lines): re-adding it through
+    * schema evolution refuses until a FULL rewrite ([[optimize]] /
+    * [[repartitionTable]] / [[renameColumn]]) purges the old bytes —
+    * otherwise the evolved schema would resurrect pre-drop values as
+    * live data (the hazard Delta's column mapping exists to solve;
+    * this is the honest no-mapping discipline). Refuses on partition
+    * columns (evolve the layout first), the dv key (fold the
+    * sidecars first), and columns a CHECK references (drop the check
+    * first). Time travel below the drop reads the column as
+    * committed. */
+  def dropColumn(spark: SparkSession, dir: String, column: String): Long = {
+    val head = resolve(spark, dir)
+    val schema = StructType.fromDDL(head.schemaDdl)
+    require(schema.fieldNames.contains(column),
+      s"no column '$column' in the table schema")
+    require(!head.partCols.contains(column),
+      s"'$column' is a partition column — evolve the partitioning " +
+        "first (repartitionTable)")
+    head.dvKey.foreach(k => require(k != column,
+      s"'$column' is the deletion-vector key — fold the sidecars " +
+        "first (OPTIMIZE)"))
+    head.checks.foreach { case (n, e) =>
+      require(!checkRefs(e).contains(column),
+        s"CHECK '$n' ($e) references '$column' — drop the check first")
+    }
+    val newSchema = StructType(schema.fields.filterNot(_.name == column))
+    require(newSchema.fields.exists(f => !head.partCols.contains(f.name)),
+      "dropping the last data column would leave an unreadable table")
+    commitManifest(spark, dir, head.ver + 1, head.batchId, head.entries,
+      newSchema.toDDL, head.partCols,
+      head.statsKeys.filterNot(_ == column), head.dvKey,
+      base = Some(head), checks = head.checks,
+      droppedCols = (head.droppedCols :+ column).distinct)
+    head.ver + 1
+  }
+
+  /** RENAME COLUMN — an honest O(table) rewrite (the Delta shape
+    * WITHOUT column mapping: physical names follow logical names, so
+    * a rename rewrites; with ~daily renames being schema governance
+    * events, O(table) once is the right trade against carrying a
+    * name-indirection layer in every read forever). The full rewrite
+    * also purges any dropped columns' physical bytes, so tombstones
+    * clear with it. Partition and stats columns rename through;
+    * a CHECK referencing the old name refuses (drop, rename,
+    * re-add). Time travel below the rename reads the old name. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String, maxRowsPerTask: Long = DefaultMaxRowsPerTask): Long = {
+    val head = resolve(spark, dir)
+    val schema = StructType.fromDDL(head.schemaDdl)
+    require(schema.fieldNames.contains(from),
+      s"no column '$from' in the table schema")
+    require(!schema.fieldNames.contains(to),
+      s"column '$to' already exists")
+    require(from != to, "rename to the same name is a no-op refusal")
+    head.checks.foreach { case (n, e) =>
+      require(!checkRefs(e).contains(from),
+        s"CHECK '$n' ($e) references '$from' — drop the check, " +
+          "rename, then re-add it under the new name")
+    }
+    val df = readSnap(spark, dir, head).withColumnRenamed(from, to)
+    val newPartCols = head.partCols.map(c => if (c == from) to else c)
+    requirePathSafe(df, newPartCols)
+    val newStatsKeys = head.statsKeys.map(c => if (c == from) to else c)
+    val newDdl = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f)).toDDL
+    writeAndCommit(spark, dir, df, newStatsKeys, newPartCols,
+      head.ver + 1, head.batchId, Nil, newDdl, maxRowsPerTask,
+      dirToken = None, head = Some(head))
+  }
+
   /** Retention cut: keep the newest `keep` versions' manifests and
     * every data dir any retained manifest references; delete the
     * rest. Time travel below the cut refuses loudly ([[resolve]]'s
@@ -2145,7 +2258,7 @@ object SnapshotTable {
       val s = resolve(spark, dir, Some(v))
       if (s.depth > 0 && !retainedSet.contains(v - 1)) {
         val body = fullBody(s.batchId, s.entries, s.schemaDdl,
-          s.partCols, s.statsKeys, s.dvKey, s.checks)
+          s.partCols, s.statsKeys, s.dvKey, s.checks, s.droppedCols)
         val tmp = new Path(dir, s"_snap.$v." +
           s"${java.lang.Long.toHexString(System.nanoTime())}.tmp")
         val out = fs.create(tmp, true)

@@ -10605,6 +10605,57 @@ object Catalog {
           AS n_total
       FROM orders WHERE o_orderkey % 50 <> 3 GROUP BY 1"""))
 
+  /** DROP COLUMN lifecycle in the hash gate
+    * ([[graft.ops.SnapshotTable.dropColumn]] /
+    * [[graft.ops.SnapshotTable.renameColumn]]'s discipline — the
+    * no-column-mapping `ALTER TABLE DROP COLUMN`): orders land with
+    * `o_orderpriority`, the column is dropped METADATA-ONLY (reads
+    * project it away while pre-drop files keep the bytes), a
+    * post-drop merge updates the `% 7 == 0` keys without the column,
+    * a FULL OPTIMIZE purges the physical bytes and clears the
+    * tombstone, and a final merge RE-ADDS the name for the
+    * `% 11 == 0` keys. The hash gate pins the whole story: re-added
+    * values live only on the final batch's keys, every other row
+    * surfaces NULL — the old bytes did NOT resurrect — and the
+    * mid-history update is intact. (The refusal half — re-add before
+    * the purge — is spec-pinned; refusals cannot live in a hash
+    * gate.) */
+  private val q279 = Q("q279_snapshot_drop_column",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q279tbl").toString + "/t"
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast(dec2).cast("string").as("total"),
+        (col("o_orderkey") % 4).as("bucket"))
+      graft.ops.SnapshotTable.merge(s, tbl, base,
+        "o_orderkey", "total", Seq("bucket"), Some(1L))
+      graft.ops.SnapshotTable.dropColumn(s, tbl, "o_orderpriority")
+      graft.ops.SnapshotTable.merge(s, tbl,
+        base.drop("o_orderpriority")
+          .filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("X")),
+        "o_orderkey", "total", Seq("bucket"), Some(2L))
+      graft.ops.SnapshotTable.optimize(s, tbl, Seq("bucket"))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        base.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderstatus", lit("Z"))
+          .withColumn("o_orderpriority", lit("fresh")),
+        "o_orderkey", "total", Seq("bucket"), Some(3L))
+      graft.ops.SnapshotTable.read(s, tbl)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("total"),
+          col("bucket"), col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderkey,
+        CASE WHEN o_orderkey % 11 = 0 THEN 'Z'
+             WHEN o_orderkey % 7 = 0 THEN 'X'
+             ELSE o_orderstatus END AS o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey % 4 AS bucket,
+        CASE WHEN o_orderkey % 11 = 0 THEN 'fresh'
+             ELSE NULL END AS o_orderpriority
+      FROM orders"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10636,5 +10687,5 @@ object Catalog {
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
     q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272,
-    q273, q274, q275, q276, q277, q278)
+    q273, q274, q275, q276, q277, q278, q279)
 }

@@ -745,6 +745,99 @@ class Round18Spec extends SparkSpec {
       s"expected the loud parse refusal: ${ex.getMessage}")
   }
 
+  test("DROP COLUMN is metadata-only: reads project it away, time " +
+      "travel below the drop keeps it, re-adding the name refuses " +
+      "until a full rewrite purges the bytes and clears the tombstone") {
+    val tbl = tmpDir("dropcol") + "/t"
+    SnapshotTable.merge(spark, tbl,
+      Seq((1L, "a", "secret1", 1), (2L, "b", "secret2", 2))
+        .toDF("k", "v", "s", "p"), "k", "v", Seq("p"), Some(1L))
+    assert(SnapshotTable.dropColumn(spark, tbl, "s") == 2L)
+    val head = SnapshotTable.read(spark, tbl)
+    assert(!head.columns.contains("s"),
+      "the dropped column must vanish from reads")
+    assert(content(head) == Set((1L, "a", 1), (2L, "b", 2)))
+    // time travel below the drop reads the column as committed
+    val v1 = SnapshotTable.read(spark, tbl, Some(1L))
+    assert(v1.columns.contains("s"))
+    assert(v1.filter(col("k") === 1L).collect()(0)
+      .getAs[String]("s") == "secret1")
+    // merges WITHOUT the column pass; re-ADDING the name refuses (the
+    // resurrect hazard: pre-drop files still carry the bytes)
+    assert(SnapshotTable.merge(spark, tbl,
+      Seq((3L, "c", 1)).toDF("k", "v", "p"), "k", "v", Seq("p"),
+      Some(2L)) == 3L)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, tbl,
+        Seq((4L, "d", "zombie", 2)).toDF("k", "v", "s", "p"),
+        "k", "v", Seq("p"), Some(3L))
+    }
+    assert(ex.getMessage.contains("resurrect"),
+      s"expected the tombstone refusal: ${ex.getMessage}")
+    // a FULL rewrite purges the bytes and clears the tombstone —
+    // re-adding is then a clean, all-null-history evolution
+    SnapshotTable.optimize(spark, tbl, Seq("p"))
+    assert(SnapshotTable.resolve(spark, tbl).droppedCols.isEmpty)
+    assert(SnapshotTable.merge(spark, tbl,
+      Seq((4L, "d", "fresh", 2)).toDF("k", "v", "s", "p"),
+      "k", "v", Seq("p"), Some(3L)) == 5L)
+    val re = SnapshotTable.read(spark, tbl)
+    assert(re.filter(col("k") === 4L).collect()(0)
+      .getAs[String]("s") == "fresh")
+    assert(re.filter(col("k") === 1L).collect()(0)
+      .getAs[String]("s") == null,
+      "pre-purge rows must surface the re-added column as NULL, " +
+        "never the old bytes")
+    // refusal surface: partition columns and checked columns
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, tbl, "p")
+    }
+    SnapshotTable.addCheck(spark, tbl, "v_nonempty", "length(v) > 0")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, tbl, "v")
+    }
+  }
+
+  test("RENAME COLUMN rewrites once (honest O(table), no mapping " +
+      "layer): content identical under the new name, partition/stats " +
+      "columns rename through, time travel keeps the old name") {
+    val tbl = tmpDir("renamecol") + "/t"
+    SnapshotTable.merge(spark, tbl,
+      Seq((1L, "a", 1), (2L, "b", 2)).toDF("k", "v", "p"),
+      "k", "v", Seq("p"), Some(1L))
+    assert(SnapshotTable.renameColumn(spark, tbl, "v", "val") == 2L)
+    val head = SnapshotTable.resolve(spark, tbl)
+    assert(org.apache.spark.sql.types.StructType.fromDDL(head.schemaDdl).fieldNames.toSeq ==
+      Seq("k", "val", "p"), "field order must survive the rename")
+    val rows = SnapshotTable.read(spark, tbl)
+      .select(col("k"), col("val"), col("p")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set((1L, "a", 1), (2L, "b", 2)))
+    assert(content(SnapshotTable.read(spark, tbl, Some(1L))) ==
+      Set((1L, "a", 1), (2L, "b", 2)),
+      "time travel below the rename reads the OLD name")
+    // a PARTITION column renames through (layout rewrites with it)
+    assert(SnapshotTable.renameColumn(spark, tbl, "p", "bucket") == 3L)
+    val h3 = SnapshotTable.resolve(spark, tbl)
+    assert(h3.partCols == Seq("bucket") &&
+      h3.entryPaths.forall(_.contains("__gp_bucket=")))
+    // merges continue under the new names
+    assert(SnapshotTable.merge(spark, tbl,
+      Seq((3L, "c", 1)).toDF("k", "val", "bucket"), "k", "val",
+      Seq("bucket"), Some(2L)) == 4L)
+    // refusals: duplicate target, missing source, checked column
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, tbl, "k", "val")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, tbl, "nope", "x")
+    }
+    SnapshotTable.addCheck(spark, tbl, "val_ok", "length(val) > 0")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, tbl, "val", "v2")
+    }
+  }
+
   test("publish overlap defense: a cross-process racer's range dir " +
       "landing mid-publish is refused loudly by the post-rename " +
       "re-list, never left as a silent double-feed") {
