@@ -1562,7 +1562,12 @@ object SnapshotTable {
     // dropped column's PHYSICAL bytes, and a schema that re-adds the
     // name would surface them as live data — refuse until a full
     // rewrite purges the bytes and clears the tombstone
-    added.foreach(f => require(!head.droppedCols.contains(f.name),
+    val tombstoned = head.droppedCols.map(_.toLowerCase).toSet
+    added.foreach(f => require(
+      !tombstoned.contains(f.name.toLowerCase), // case-INsensitive:
+      // Spark's default resolution clips parquet schemas case-
+      // insensitively, so a case-variant re-add would resurrect the
+      // old bytes just the same
       s"column '${f.name}' was DROPPED from this table and pre-drop " +
         "files may still carry its bytes — re-adding the name would " +
         "resurrect them; run a full OPTIMIZE (purges the bytes and " +
@@ -2137,8 +2142,13 @@ object SnapshotTable {
   private def checkRefs(expression: String): Set[String] =
     org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(expression).collect {
+        // the TOP-LEVEL column each reference roots in, lowercased:
+        // "s.inner > 0" references column s, and Spark resolves
+        // case-insensitively by default — an exact-full-name compare
+        // would let a drop slip past the guard and brick every later
+        // write on an unresolvable constraint
         case a: org.apache.spark.sql.catalyst.analysis
-            .UnresolvedAttribute => a.name
+            .UnresolvedAttribute => a.nameParts.head.toLowerCase
       }.toSet
 
   /** DROP COLUMN — metadata-only (`ALTER TABLE DROP COLUMN` without
@@ -2152,9 +2162,11 @@ object SnapshotTable {
     * live data (the hazard Delta's column mapping exists to solve;
     * this is the honest no-mapping discipline). Refuses on partition
     * columns (evolve the layout first), the dv key (fold the
-    * sidecars first), and columns a CHECK references (drop the check
-    * first). Time travel below the drop reads the column as
-    * committed. */
+    * sidecars first), the recorded merge key (maintenance rewrites
+    * enforce its non-null census), and columns a CHECK references
+    * (drop the check first). Time travel below the drop reads the
+    * column as committed. CDC/publish ranges must not span the drop
+    * — see [[renameColumn]]'s caveat (drain the landing first). */
   def dropColumn(spark: SparkSession, dir: String, column: String): Long = {
     val head = resolve(spark, dir)
     val schema = StructType.fromDDL(head.schemaDdl)
@@ -2166,8 +2178,13 @@ object SnapshotTable {
     head.dvKey.foreach(k => require(k != column,
       s"'$column' is the deletion-vector key — fold the sidecars " +
         "first (OPTIMIZE)"))
+    require(!head.statsKey.contains(column),
+      s"'$column' is the table's recorded merge key — every " +
+        "maintenance rewrite enforces its non-null census, so " +
+        "dropping it would wedge optimize/repartition; re-key the " +
+        "table (merge under the new key) first")
     head.checks.foreach { case (n, e) =>
-      require(!checkRefs(e).contains(column),
+      require(!checkRefs(e).contains(column.toLowerCase),
         s"CHECK '$n' ($e) references '$column' — drop the check first")
     }
     val newSchema = StructType(schema.fields.filterNot(_.name == column))
@@ -2189,27 +2206,50 @@ object SnapshotTable {
     * also purges any dropped columns' physical bytes, so tombstones
     * clear with it. Partition and stats columns rename through;
     * a CHECK referencing the old name refuses (drop, rename,
-    * re-add). Time travel below the rename reads the old name. */
+    * re-add). Time travel below the rename reads the old name.
+    *
+    * CDC/PUBLISH CAVEAT (drop and rename both): a [[changesBetween]]
+    * range SPANNING the change cannot classify — renaming the CDC
+    * key leaves no key present in both endpoint schemas (the range
+    * refuses loudly), and even a non-key rename rewrites every
+    * entry, so the "diff" is the rewrite itself (full-table update
+    * pairs whose pre-images null the renamed column), not a semantic
+    * change feed. DRAIN the landing to the head (publishChanges
+    * until None) BEFORE a rename/drop, so no published range ever
+    * spans it — the same discipline Delta asks of `table_changes`
+    * consumers across column-mapping changes. */
   def renameColumn(spark: SparkSession, dir: String, from: String,
       to: String, maxRowsPerTask: Long = DefaultMaxRowsPerTask): Long = {
     val head = resolve(spark, dir)
     val schema = StructType.fromDDL(head.schemaDdl)
     require(schema.fieldNames.contains(from),
       s"no column '$from' in the table schema")
-    require(!schema.fieldNames.contains(to),
-      s"column '$to' already exists")
+    // case-INsensitive collision check: Spark's default resolution
+    // would make a schema holding both 'v' and 'V' ambiguous on
+    // every later reference — refuse before it is durably committed
+    require(!schema.fieldNames.exists(n =>
+      n != from && n.equalsIgnoreCase(to)),
+      s"column '$to' already exists (case-insensitive)")
     require(from != to, "rename to the same name is a no-op refusal")
     head.checks.foreach { case (n, e) =>
-      require(!checkRefs(e).contains(from),
+      require(!checkRefs(e).contains(from.toLowerCase),
         s"CHECK '$n' ($e) references '$from' — drop the check, " +
           "rename, then re-add it under the new name")
     }
-    val df = readSnap(spark, dir, head).withColumnRenamed(from, to)
     val newPartCols = head.partCols.map(c => if (c == from) to else c)
-    requirePathSafe(df, newPartCols)
     val newStatsKeys = head.statsKeys.map(c => if (c == from) to else c)
     val newDdl = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f)).toDDL
+    if (head.entries.isEmpty) {
+      // an empty table renames metadata-only — there is nothing to
+      // rewrite and readSnap would (rightly) refuse the empty read
+      commitManifest(spark, dir, head.ver + 1, head.batchId, Nil,
+        newDdl, newPartCols, newStatsKeys, head.dvKey,
+        base = Some(head), checks = head.checks)
+      return head.ver + 1
+    }
+    val df = readSnap(spark, dir, head).withColumnRenamed(from, to)
+    requirePathSafe(df, newPartCols)
     writeAndCommit(spark, dir, df, newStatsKeys, newPartCols,
       head.ver + 1, head.batchId, Nil, newDdl, maxRowsPerTask,
       dirToken = None, head = Some(head))

@@ -838,6 +838,67 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  test("review closure 2: case-variant re-adds hit the tombstone, " +
+      "nested/case-variant CHECK references block a drop, the merge " +
+      "key cannot drop, an empty table renames metadata-only, and a " +
+      "case-colliding rename target refuses") {
+    val tbl = tmpDir("rc2") + "/t"
+    SnapshotTable.merge(spark, tbl,
+      Seq((1L, "a", "x", 1)).toDF("k", "v", "s", "p"),
+      "k", "v", Seq("p"), Some(1L))
+    SnapshotTable.dropColumn(spark, tbl, "s")
+    // case-VARIANT re-add: Spark resolves case-insensitively, so "S"
+    // would surface the old "s" bytes — the tombstone must catch it
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, tbl,
+        Seq((2L, "b", "zombie", 1)).toDF("k", "v", "S", "p"),
+        "k", "v", Seq("p"), Some(2L))
+    }
+    assert(ex.getMessage.contains("resurrect"), ex.getMessage)
+    // the recorded merge key cannot drop (maintenance would wedge on
+    // its non-null census)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, tbl, "k")
+    }
+    // a CHECK referencing the column CASE-VARIANTLY still blocks the
+    // drop (resolution is case-insensitive, the guard must be too)
+    SnapshotTable.addCheck(spark, tbl, "v_ok", "length(V) > 0")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, tbl, "v")
+    }
+    SnapshotTable.dropCheck(spark, tbl, "v_ok")
+    // case-colliding rename target refuses BEFORE committing an
+    // ambiguous schema
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, tbl, "k", "V")
+    }
+    // a nested-field CHECK blocks dropping its ROOT column
+    val tbl2 = tmpDir("rc2n") + "/t"
+    SnapshotTable.merge(spark, tbl2,
+      Seq((1L, (10, "i"), 1)).toDF("k", "s", "p"),
+      "k", "p", Seq("p"), Some(1L))
+    SnapshotTable.addCheck(spark, tbl2, "inner_pos", "s._1 > 0")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropColumn(spark, tbl2, "s")
+    }
+    // an EMPTY table renames metadata-only (nothing to rewrite)
+    val tbl3 = tmpDir("rc2e") + "/t"
+    SnapshotTable.merge(spark, tbl3,
+      Seq((1L, "a", 1)).toDF("k", "v", "p"), "k", "v", Seq("p"),
+      Some(1L))
+    SnapshotTable.mergeCdc(spark, tbl3,
+      Seq((1L, "a", 1, "D")).toDF("k", "v", "p", "op"),
+      "k", Seq("v"), "op", Seq("p"), Some(2L)) // table now empty
+    assert(SnapshotTable.renameColumn(spark, tbl3, "v", "val") == 3L)
+    assert(org.apache.spark.sql.types.StructType
+      .fromDDL(SnapshotTable.resolve(spark, tbl3).schemaDdl)
+      .fieldNames.toSeq == Seq("k", "val", "p"))
+    // and the renamed empty table accepts a merge under the new name
+    assert(SnapshotTable.merge(spark, tbl3,
+      Seq((2L, "b", 1)).toDF("k", "val", "p"), "k", "val", Seq("p"),
+      Some(3L)) == 4L)
+  }
+
   test("publish overlap defense: a cross-process racer's range dir " +
       "landing mid-publish is refused loudly by the post-rename " +
       "re-list, never left as a silent double-feed") {
