@@ -223,7 +223,12 @@ object SnapshotTable {
     * pays a reflective construction, which on the per-commit paths
     * (version claim, head pointer) would tax every merge. One
     * instance per (scheme, authority) per JVM, the commitLocks
-    * discipline. */
+    * discipline. CAVEAT (deliberate, mirrors `FileSystem.get`'s own
+    * cache): the instance binds the Hadoop configuration seen at
+    * FIRST use per filesystem — credential/endpoint changes made to
+    * the session conf afterwards do not reach the commit paths. A
+    * deployment that rotates per-session conf should key this cache
+    * on a config fingerprint; none of this engine's paths do. */
   private val fileContexts = new java.util.concurrent
     .ConcurrentHashMap[String, org.apache.hadoop.fs.FileContext]()
 
@@ -248,6 +253,30 @@ object SnapshotTable {
       StructField(f.name, normalized(f.dataType), nullable = true)))
     case other => other
   }
+
+  /** TYPE-WIDENING lattice (Delta 3.x / Iceberg v2's safe widenings,
+    * restricted to what Spark 4's parquet readers verifiably upcast
+    * under a pinned wider schema — the SPARK-40876 read path, each
+    * edge spec-pinned with a real narrow file): a column may grow
+    * byte→short→int→long, {byte,short,int}→double (exact — every
+    * int32 is a double), float→double, and decimal(p,s)→decimal(P,S)
+    * when both the scale and the integral headroom grow or hold
+    * (S>=s ∧ P-S>=p-s). Long→double is NOT here (2⁶³ loses ulps),
+    * nor int→float (2³¹ doesn't fit a 24-bit mantissa), nor any
+    * narrowing. */
+  private[graft] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if normalized(a) == normalized(b) => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          d2.precision - d2.scale >= d1.precision - d1.scale
+      case _ => false
+    }
 
   /** Types whose `toString` equals Spark's partition-dir rendering —
     * the precondition for manifest keys matching `partitionBy` dirs. */
@@ -988,9 +1017,31 @@ object SnapshotTable {
     val from = resolve(spark, dir, Some(fromVer))
     val to = resolve(spark, dir, Some(toVer))
     val toSchema = StructType.fromDDL(to.schemaDdl)
+    val fromSchema = StructType.fromDDL(from.schemaDdl)
     require(toSchema.fieldNames.contains(key) &&
-      StructType.fromDDL(from.schemaDdl).fieldNames.contains(key),
+      fromSchema.fieldNames.contains(key),
       s"key '$key' must exist in both versions' schemas")
+    // DRAIN DISCIPLINE, enforced (the rename/drop caveat on
+    // [[renameColumn]] made loud): a range spanning a non-additive
+    // schema change cannot classify — a dropped/renamed column's
+    // from-side values would be silently projected away (the diff
+    // would claim "no change" against rows whose data changed shape),
+    // and the rewrite the rename paid would land as a full-table
+    // "update" feed to every consumer. Every from-field must survive
+    // into the to-schema at the same (or a widened) type; publishers
+    // hit this through [[publishChanges]], so an undrained landing
+    // refuses instead of double-feeding. Additive adds and type
+    // widenings pass (the from side pads/upcasts).
+    val toTypes = toSchema.fields.map(f => f.name -> f.dataType).toMap
+    val lost = fromSchema.fields.filter(f =>
+      !toTypes.get(f.name).exists(t => widens(f.dataType, t)))
+    require(lost.isEmpty,
+      s"version range v$fromVer→v$toVer spans a non-additive schema " +
+        s"change: column(s) ${lost.map(_.name).mkString(", ")} of " +
+        s"v$fromVer do not survive into v$toVer's schema — a change " +
+        "feed cannot classify across a rename/drop; drain the " +
+        "landing (publishChanges until None) BEFORE schema changes, " +
+        "and consume per-commit ranges that stop at the change")
     // an entry is "shared" only when BOTH its dir and its deletion-
     // vector set match: a carried-by-reference dir that gained a dv
     // DOES differ (its visible rows shrank) and must be read
@@ -1004,7 +1055,13 @@ object SnapshotTable {
       else readSnap(spark, dir, s.copy(entries = es))
     }
     val cols = toSchema.fieldNames.toSeq
+    // pad adds, then UPCAST to the to-side types (a widened column's
+    // from-side rows must struct-compare in the wider type — int 5 and
+    // long 5 are the same row, not an update pair); widening-only by
+    // the drain check above, so the cast never narrows
     val fromDf = padToSchema(side(from, from.schemaDdl), toSchema)
+      .select(toSchema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
     val toDf = side(to, to.schemaDdl).select(cols.map(col): _*)
     val pre = struct(cols.map(col): _*).as("_pre")
     val post = struct(cols.map(col): _*).as("_post")
@@ -1534,23 +1591,37 @@ object SnapshotTable {
     require(head.partCols == partCols,
       s"table at $dir is partitioned by (${head.partCols.mkString(", ")})" +
         s" — merge passed (${partCols.mkString(", ")})")
-    // ADDITIVE schema evolution (the Delta mergeSchema discipline):
-    // the delta may ADD columns — they join the manifest schema and
-    // pre-evolution files surface them as nulls through the
-    // schema-pinned read — but it may neither DROP a table column
-    // (rewritten partitions would silently lose it) nor CHANGE a
-    // column's type (two files would disagree about the same name).
+    // ADDITIVE + WIDENING schema evolution (Delta's mergeSchema
+    // discipline plus Delta 3.x/Iceberg type widening): the delta may
+    // ADD columns — they join the manifest schema and pre-evolution
+    // files surface them as nulls through the schema-pinned read —
+    // and a shared column may WIDEN along the safe lattice
+    // ([[widens]]): the manifest schema takes the wider type, kept
+    // entries' narrower files upcast through the pinned read (the
+    // SPARK-40876 parquet read path, each edge spec-pinned), and a
+    // NARROWER delta upcasts into the table type at merge. What stays
+    // refused: dropping a table column (rewritten partitions would
+    // silently lose it) and any non-widening type change (two files
+    // would disagree about the same name).
     val tableSchema = StructType.fromDDL(head.schemaDdl)
     val tableTypes = tableSchema.fields.map(f => f.name -> f.dataType).toMap
     // nullability-INSENSITIVE compare: toDDL/fromDDL loses container
     // nullability (ArrayType.containsNull etc), so an exact equality
     // would spuriously refuse a non-nullable-container column on its
     // very first round trip
-    dataSchema.fields.foreach(f =>
-      tableTypes.get(f.name).foreach(t =>
-        require(normalized(t) == normalized(f.dataType),
+    val widenedTo: Map[String, DataType] = dataSchema.fields.flatMap {
+      f => tableTypes.get(f.name).flatMap { t =>
+        if (normalized(t) == normalized(f.dataType)) None
+        else if (widens(t, f.dataType)) Some(f.name -> f.dataType)
+        else if (widens(f.dataType, t)) None // delta upcasts to table
+        else throw new IllegalArgumentException(
           s"schema evolution cannot change '${f.name}': table has $t, " +
-            s"delta has ${f.dataType}")))
+            s"delta has ${f.dataType} — only the safe widenings " +
+            "(byte→short→int→long, {byte,short,int}→double, " +
+            "float→double, decimal precision/scale growth) evolve " +
+            "in place")
+      }
+    }.toMap
     val dropped = tableSchema.fieldNames
       .filterNot(dataSchema.fieldNames.contains)
     require(dropped.isEmpty,
@@ -1572,8 +1643,23 @@ object SnapshotTable {
         "files may still carry its bytes — re-adding the name would " +
         "resurrect them; run a full OPTIMIZE (purges the bytes and " +
         "clears the tombstone), then re-add"))
-    val newSchema = StructType(tableSchema.fields ++ added)
+    val newSchema = StructType(tableSchema.fields.map(f =>
+      widenedTo.get(f.name).fold(f)(t => f.copy(dataType = t))) ++ added)
     Right((head, newSchema))
+  }
+
+  /** Cast every column of `df` that `target` names to the target's
+    * type, preserving `df`'s column order — the widening conform both
+    * merge paths run on BOTH sides before the union, so the merged
+    * output's types are exactly the evolved manifest schema's (never
+    * whatever union coercion would invent: two growing decimals union
+    * to max(p−s)+max(s), which can overshoot the committed type).
+    * Casts to an identical type are eliminated by Catalyst — the
+    * no-widening common case pays nothing. */
+  private def conformTo(df: DataFrame, target: StructType): DataFrame = {
+    val types = target.fields.map(f => f.name -> f.dataType).toMap
+    df.select(df.columns.toSeq.map(c =>
+      types.get(c).fold(col(c))(t => col(c).cast(t).as(c))): _*)
   }
 
   /** Pad `df` with typed-null columns for every `target` field it
@@ -1631,11 +1717,15 @@ object SnapshotTable {
     val (replaced, kept) = splitTouched(head, partCols, touched.toSeq)
     val existingTouched = readTouched(spark, dir, head, replaced,
       delta.schema)
+    // both sides conform to the EVOLVED types before the union (the
+    // widening seam — a no-op select when nothing widened)
+    val deltaC = conformTo(delta, newSchema)
+    val existingC = conformTo(existingTouched, newSchema)
     // localCheckpoint decouples the write from paths the merge plan
     // reads (the Upsert discipline); unpersist in finally so a
     // refused commit (an optimistic loser about to retry) does not
     // leak its checkpoint blocks into the retry
-    val merged = Upsert.merge(delta, existingTouched, key, tieBreak)
+    val merged = Upsert.merge(deltaC, existingC, key, tieBreak)
       .localCheckpoint()
     try writeAndCommit(spark, dir, merged, (key +: statsCols).distinct,
       partCols, head.ver + 1, batchId, kept, newSchema.toDDL,
@@ -1785,23 +1875,51 @@ object SnapshotTable {
     * every data dir it references until the tag drops — the
     * reproducibility contract a training-run audit needs ("the
     * exact table the run read, by name, months later"). Returns the
-    * tagged version. */
+    * tagged version.
+    *
+    * TAG vs RETENTION race: a tag landing while [[retainNewest]] is
+    * mid-cut could otherwise pin a version whose manifest the cut is
+    * about to delete (a DANGLING pin — resolveTag would refuse
+    * forever). Closed on two sides: in-JVM, tag and retention's
+    * manifest-critical section serialize through the same per-dir
+    * commit monitor (a tag runs strictly before or strictly after a
+    * cut); cross-process, the claim is RE-VERIFIED — if `_snap.<v>`
+    * vanished between our existence check and the claim landing, the
+    * tag deletes itself and refuses loudly (and retention re-lists
+    * tags immediately before deleting manifests, so a tag it can see
+    * is honored). The residual window is the microseconds between
+    * retention's re-list and its deletes — same best-effort tier as
+    * every cross-process story here. */
   def tag(spark: SparkSession, dir: String, name: String,
       version: Option[Long] = None): Long = {
     require(name.nonEmpty && name.matches("[A-Za-z0-9._-]+") &&
       !name.endsWith(".tmp"),
       s"tag name must be a [A-Za-z0-9._-]+ token not ending .tmp: " +
         s"'$name'")
-    val v = version.getOrElse(resolve(spark, dir).ver)
-    val fs = fsOf(spark, dir)
-    require(fs.exists(new Path(dir, s"_snap.$v")),
-      s"version $v of $dir is not retained — cannot tag it")
-    val tmp = new Path(dir,
-      s"_tag.$name.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    claimVersion(spark, tmp, new Path(dir, s"_tag.$name"))
-    v
+    val lock = commitLocks.computeIfAbsent(lockKey(spark, dir),
+      _ => new Object)
+    lock.synchronized {
+      val v = version.getOrElse(resolve(spark, dir).ver)
+      val fs = fsOf(spark, dir)
+      require(fs.exists(new Path(dir, s"_snap.$v")),
+        s"version $v of $dir is not retained — cannot tag it")
+      val tmp = new Path(dir,
+        s"_tag.$name.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      claimVersion(spark, tmp, new Path(dir, s"_tag.$name"))
+      // post-claim re-verify (cross-process retention may have cut v
+      // between the check above and the claim): a dangling pin must
+      // surface NOW, to the tagger, not months later to the audit
+      if (!fs.exists(new Path(dir, s"_snap.$v"))) {
+        fs.delete(new Path(dir, s"_tag.$name"), false)
+        throw new IllegalStateException(
+          s"version $v of $dir was deleted by a concurrent retention " +
+            s"cut while tag '$name' was being claimed — the tag was " +
+            "rolled back; re-resolve and tag a retained version")
+      }
+      v
+    }
   }
 
   /** All tags: name → pinned version. */
@@ -1950,22 +2068,51 @@ object SnapshotTable {
     // collapse the feed: latest row per key (one key-shuffle window,
     // the Cdc.applyLatest profile) — deletes stay as tombstones here
     // because they still TOUCH their partition (the stored row must
-    // be dropped from its rewrite)
+    // be dropped from its rewrite). The feed conforms to the evolved
+    // (possibly widened) types first, so survivors union type-exact.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(seqCols.map(col(_).desc): _*)
-    val collapsed = delta.withColumn("_rn", row_number().over(w))
+    val collapsed = conformTo(delta, newSchema)
+      .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
       .localCheckpoint()
     // EVERYTHING after the checkpoint runs under its finally — a
     // refusal in the touched collect or the partition-key render
     // (empty feed, null partition value) must not leak the blocks
     try {
-      val touched = collapsed.select(partCols.map(col): _*).distinct()
+      // touched partitions + FEED HYGIENE in one pass (the census
+      // rides the same job the touched collect always was): a NULL op
+      // value would silently behave as a delete (the upsert filter
+      // `op =!= 'D'` drops the null row while its key still anti-joins
+      // the stored row out), and a null-KEY delete would silently
+      // no-op (null never equality-matches; writeAndCommit's census
+      // sees only SURVIVORS, so unlike a null-key upsert it was never
+      // refused — [[deleteKeys]] refuses the identical input as
+      // "always an upstream bug"). Both refuse HERE, before any
+      // partition read or write, version unburned.
+      val censused = collapsed.groupBy(partCols.map(col): _*).agg(
+        count(when(col(opCol).isNull, lit(1))).as("_nullop"),
+        count(when(col(key).isNull, lit(1))).as("_nullkey"))
         .collect()
+      val nullOps = censused.map(_.getLong(partCols.length)).sum
+      require(nullOps == 0L,
+        s"op column '$opCol' is null on $nullOps collapsed feed row(s)" +
+          " — a null op would silently DELETE (the contract is 'D' = " +
+          "delete, anything else upserts); clean the feed or " +
+          s"coalesce($opCol, 'U') upstream with the choice made " +
+          "deliberately")
+      val nullKeys = censused.map(_.getLong(partCols.length + 1)).sum
+      require(nullKeys == 0L,
+        s"merge key '$key' is null on $nullKeys collapsed feed row(s)" +
+          " — a null key never equality-matches a stored row (a " +
+          "null-key delete would silently no-op); a null here is " +
+          "always an upstream bug")
+      val touched = censused.map(r =>
+        Row.fromSeq(partCols.indices.map(r.get)))
       require(touched.nonEmpty, "empty delta — nothing to merge")
       val (replaced, kept) = splitTouched(head, partCols, touched.toSeq)
-      val existingTouched = readTouched(spark, dir, head, replaced,
-        dataSchema)
+      val existingTouched = conformTo(
+        readTouched(spark, dir, head, replaced, dataSchema), newSchema)
       // survivors: feed winners that are not deletes, plus stored rows
       // whose key the feed never mentions (one broadcast-able anti join
       // on the collapsed keys — the feed is delta-sized)
@@ -2275,48 +2422,81 @@ object SnapshotTable {
       graceMs: Long = 3600000L): Unit = {
     require(keep >= 1, s"must retain >= 1 version, got $keep")
     require(graceMs >= 0, s"graceMs must be >= 0, got $graceMs")
-    val vs = versions(spark, dir)
-    if (vs.size <= keep) return
-    // TAGGED versions are pinned (the Iceberg-refs contract): the
-    // retained set is the newest `keep` plus every tagged version
-    val tagged = tags(spark, dir).values.toSet
-    val retainedSet = vs.takeRight(keep).toSet ++
-      tagged.filter(vs.contains)
-    if (vs.forall(retainedSet.contains)) return
-    val retained = vs.filter(retainedSet.contains)
-    val live = retained.flatMap { v =>
-      val s = resolve(spark, dir, Some(v))
-      s.entryPaths ++ s.entries.flatMap(_.dvs) // dv sidecars are live too
-    }.toSet
     val fs = fsOf(spark, dir)
-    // every retained DELTA manifest whose base is about to be deleted
-    // is checkpointed in place first (atomic overwrite swap; the
-    // rewritten bytes resolve to identical content, so a concurrent
-    // reader is safe either way) — ascending order, so a chain
-    // resolving through an earlier retained version stays intact
-    retained.foreach { v =>
-      val s = resolve(spark, dir, Some(v))
-      if (s.depth > 0 && !retainedSet.contains(v - 1)) {
-        val body = fullBody(s.batchId, s.entries, s.schemaDdl,
-          s.partCols, s.statsKeys, s.dvKey, s.checks, s.droppedCols)
-        val tmp = new Path(dir, s"_snap.$v." +
-          s"${java.lang.Long.toHexString(System.nanoTime())}.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(body.getBytes("UTF-8")) finally out.close()
-        fcOf(spark, tmp).rename(tmp, new Path(dir, s"_snap.$v"),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // the manifest-critical section (listing → checkpoint → pointer
+    // repair → manifest deletes) serializes with tag() AND with
+    // commits through the per-dir monitor: an in-JVM tag can never
+    // land between this cut's tag listing and its deletes (the
+    // dangling-pin TOCTOU) — tags run strictly before or after
+    val lock = commitLocks.computeIfAbsent(lockKey(spark, dir),
+      _ => new Object)
+    val live: Set[String] = lock.synchronized {
+      val vs = versions(spark, dir)
+      if (vs.size <= keep) return
+      // TAGGED versions are pinned (the Iceberg-refs contract): the
+      // retained set is the newest `keep` plus every tagged version.
+      // The listing REPEATS until stable: a cross-process tag landing
+      // mid-computation is picked up by the re-list and its version
+      // joins the retained set before anything is deleted (bounded
+      // rounds — a tag slipping past the final listing is the
+      // residual cross-process window tag()'s own post-claim
+      // re-verify turns into a loud self-rollback, never a silent
+      // dangling pin).
+      var tagged = tags(spark, dir).values.toSet
+      var retainedSet = Set.empty[Long]
+      // each retained version resolves exactly ONCE into this map —
+      // the live-entry set and the checkpoint rewrite both read it
+      // (resolving twice costs up to 2×retained×chain manifest reads)
+      var resolved = Map.empty[Long, Snap]
+      var rounds = 0
+      var stable = false
+      while (!stable) {
+        rounds += 1
+        retainedSet = vs.takeRight(keep).toSet ++ tagged.filter(vs.contains)
+        if (vs.forall(retainedSet.contains)) return
+        val retained = vs.filter(retainedSet.contains)
+        resolved = retained.map(v => v -> resolveAt(spark, dir, v)).toMap
+        // every retained DELTA manifest whose base is about to be
+        // deleted is checkpointed in place first (atomic overwrite
+        // swap; the rewritten bytes resolve to identical content, so
+        // a concurrent reader is safe either way)
+        retained.foreach { v =>
+          val s = resolved(v)
+          if (s.depth > 0 && !retainedSet.contains(v - 1)) {
+            val body = fullBody(s.batchId, s.entries, s.schemaDdl,
+              s.partCols, s.statsKeys, s.dvKey, s.checks, s.droppedCols)
+            val tmp = new Path(dir, s"_snap.$v." +
+              s"${java.lang.Long.toHexString(System.nanoTime())}.tmp")
+            val out = fs.create(tmp, true)
+            try out.write(body.getBytes("UTF-8")) finally out.close()
+            fcOf(spark, tmp).rename(tmp, new Path(dir, s"_snap.$v"),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            resolved += v -> s.copy(depth = 0) // now a checkpoint
+          }
+        }
+        // re-list immediately before the deletes: honor any tag that
+        // landed while this cut was checkpointing
+        val again = tags(spark, dir).values.toSet
+        stable = again == tagged || rounds >= 3
+        tagged = again
       }
+      // the pointer must be CORRECT before any version gap exists:
+      // deleting below-cut manifests around a tagged island while the
+      // pointer lags inside the island would make headVersion's forward
+      // probe stop at the island (gaps above the pointer break its
+      // contiguity invariant) and silently resolve an old version as
+      // head. STRICT write — a failure here aborts the cut with no gap
+      // created, which is always recoverable; a silent island is not.
+      writeHeadPointer(spark, dir, vs.max)
+      vs.filterNot(retainedSet.contains).foreach(v =>
+        fs.delete(new Path(dir, s"_snap.$v"), false))
+      resolved.values.flatMap(s =>
+        s.entryPaths ++ s.entries.flatMap(_.dvs)).toSet // dv sidecars live
     }
-    // the pointer must be CORRECT before any version gap exists:
-    // deleting below-cut manifests around a tagged island while the
-    // pointer lags inside the island would make headVersion's forward
-    // probe stop at the island (gaps above the pointer break its
-    // contiguity invariant) and silently resolve an old version as
-    // head. STRICT write — a failure here aborts the cut with no gap
-    // created, which is always recoverable; a silent island is not.
-    writeHeadPointer(spark, dir, vs.max)
-    vs.filterNot(retainedSet.contains).foreach(v =>
-      fs.delete(new Path(dir, s"_snap.$v"), false))
+    // the DATA sweep runs outside the monitor (it can be slow and
+    // touches only unreferenced dirs; a concurrent commit references
+    // only live data plus its own fresh staging, which the grace
+    // window spares)
     val cutoff = System.currentTimeMillis() - graceMs
     // sweep data dirs no retained manifest references: a dir is kept
     // iff its rel path is live, any descendant is, or the tree is

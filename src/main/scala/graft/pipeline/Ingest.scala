@@ -106,9 +106,15 @@ object Ingest {
               s"$outRoot/${spec.name}",
               key = spec.idCol, tieBreak = spec.updatedCol)
           case SnapshotSink =>
+            // reserved SEED batch id: a replayed initial load finds
+            // batch 0 at the head and no-ops like every other commit
+            // here, so "the seed is version 1" stays true across
+            // reruns (the content was always identical via new-wins
+            // dedup; the id makes the HISTORY identical too)
             SnapshotTable.merge(spark, s"$outRoot/${spec.name}", bronze,
               key = spec.idCol, tieBreak = spec.updatedCol,
-              partCols = Seq("company", "year", "month"))
+              partCols = Seq("company", "year", "month"),
+              batchId = Some(0L))
         }
         Some(spec.name)
       }

@@ -10656,6 +10656,59 @@ object Catalog {
              ELSE NULL END AS o_orderpriority
       FROM orders"""))
 
+  /** TYPE-WIDENING schema evolution on the snapshot table
+    * ([[graft.ops.SnapshotTable.merge]]'s widening lattice — Delta
+    * 3.x/Iceberg v2 type widening rebuilt on the manifest's pinned
+    * schema and Spark 4's SPARK-40876 parquet upcast read): an
+    * INT-keyed table takes a LONG-keyed delta touching ONLY bucket 0,
+    * so every other bucket's int32 files are CARRIED BY REFERENCE and
+    * read through the widened BIGINT manifest schema with zero
+    * rewrites — the rung that saves a long-lived bronze table whose
+    * id column outgrows int from an O(table) manual migration. The
+    * emitted `k` is the read's NATIVE type, so the driver's schema
+    * check gates the widening itself (an unwidened read would emit
+    * int32 against the oracle's BIGINT); `carried` pins the
+    * no-rewrite claim as a number the oracle computes independently
+    * (the untouched-bucket count). */
+  private val q280 = Q("q280_snapshot_type_widening",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q280tbl").toString + "/t"
+      val o = t(s, dir, "orders")
+      val base = o.select(col("o_orderkey").cast("int").as("k"),
+        col("o_orderstatus").as("st"),
+        col("o_totalprice").cast(dec2).cast("string").as("total"),
+        expr("o_orderkey div 4096").cast("int").as("bucket"))
+      graft.ops.SnapshotTable.merge(s, tbl, base, "k", "total",
+        Seq("bucket"), Some(1L))
+      val delta = o.filter(col("o_orderkey") < 4096).select(
+        col("o_orderkey").cast("long").as("k"),
+        lit("W").as("st"),
+        (col("o_totalprice").cast(dec2) + lit(1).cast(dec2))
+          .cast(dec2).cast("string").as("total"),
+        lit(0).as("bucket"))
+      graft.ops.SnapshotTable.merge(s, tbl, delta, "k", "total",
+        Seq("bucket"), Some(2L))
+      val head = graft.ops.SnapshotTable.resolve(s, tbl)
+      val carried = head.entries.count(_.path.startsWith("v=1/"))
+      graft.ops.SnapshotTable.read(s, tbl)
+        .select(col("k"), col("st"), col("total"), col("bucket"),
+          lit(carried).as("carried"))
+    },
+    Some("""WITH untouched AS (
+        SELECT CAST(COUNT(DISTINCT o_orderkey // 4096) AS INT) AS n
+        FROM orders WHERE o_orderkey >= 4096)
+      SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderstatus AS st,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        CAST(o_orderkey // 4096 AS INT) AS bucket,
+        (SELECT n FROM untouched) AS carried
+      FROM orders WHERE o_orderkey >= 4096
+      UNION ALL
+      SELECT CAST(o_orderkey AS BIGINT), 'W',
+        CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) +
+          CAST(1 AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS VARCHAR),
+        CAST(0 AS INT), (SELECT n FROM untouched)
+      FROM orders WHERE o_orderkey < 4096"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10687,5 +10740,5 @@ object Catalog {
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
     q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272,
-    q273, q274, q275, q276, q277, q278, q279)
+    q273, q274, q275, q276, q277, q278, q279, q280)
 }
