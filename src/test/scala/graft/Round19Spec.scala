@@ -329,4 +329,171 @@ class Round19Spec extends SparkSpec {
     assert(ch == Set((3L, "insert")),
       s"unchanged keys 1,2 must not misread as updates: $ch")
   }
+
+  // -------------------------------- disjoint-writer conflict detection
+
+  /** Count the staged write dirs under data/ — one per merge
+    * COMPUTATION (every attempt that reached the write phase lays
+    * down exactly one `v=...` dir; a fast re-commit lays down none). */
+  private def stageDirs(dir: String): Seq[String] = {
+    val f = fs(dir)
+    val root = new Path(dir, "data")
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq.map(_.getPath.getName).sorted
+  }
+
+  /** Run `loser` with a winner's commit deterministically interleaved
+    * into the window between the loser's merge computation and its
+    * version claim (the onBeforeCommit seam — self-clearing so the
+    * winner's own nested commit does not recurse). */
+  private def withInterleavedWinner[T](winner: => Unit)(loser: => T): T = {
+    SnapshotTable.onBeforeCommit = () => {
+      SnapshotTable.onBeforeCommit = () => ()
+      winner
+    }
+    try loser
+    finally SnapshotTable.onBeforeCommit = () => ()
+  }
+
+  test("disjoint-writer conflict detection: a loser whose partitions " +
+      "are DISJOINT from the winner's changed entries re-commits its " +
+      "already-written staging — zero extra merge computations, zero " +
+      "extra stage writes, content = the serial order") {
+    val dir = tmpDir("disjoint") + "/t"
+    SnapshotTable.merge(spark, dir,
+      kvp((1L, "a", 1), (2L, "b", 2), (9L, "z", 9)),
+      "k", "v", Seq("p"), Some(1L))                       // v1: p=1,2,9
+    val before = stageDirs(dir).size
+    withInterleavedWinner {
+      // the winner lands on partition 9 while the loser (partition 1)
+      // is already staged and about to claim the same version
+      SnapshotTable.merge(spark, dir, kvp((10L, "w", 9)),
+        "k", "v", Seq("p"), Some(2L))                     // v2
+    } {
+      SnapshotTable.mergeRetrying(spark, dir, kvp((3L, "c", 1)),
+        "k", "v", Seq("p"), Some(3L))                     // v3, fast path
+    }
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(stageDirs(dir).size == before + 2,
+      s"exactly one stage dir per writer — the loser must NOT have " +
+        s"recomputed: ${stageDirs(dir)}")
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (2L, "b", 2), (9L, "z", 9), (10L, "w", 9),
+        (3L, "c", 1)))
+    // and the fast-committed manifest carries the WINNER's entry for
+    // partition 9, not the loser's stale base view
+    val head = SnapshotTable.resolve(spark, dir)
+    assert(head.entries.map(_.path).exists(_.startsWith("v=2/")),
+      s"the winner's p=9 entry must carry: ${head.entryPaths}")
+  }
+
+  test("disjoint-writer conflict detection: an OVERLAPPING pair still " +
+      "rebases — the loser recomputes against the winner's rows (one " +
+      "extra stage write) and new-wins merges them") {
+    val dir = tmpDir("overlap") + "/t"
+    SnapshotTable.merge(spark, dir, kvp((1L, "a", 1)),
+      "k", "v", Seq("p"), Some(1L))                       // v1
+    val before = stageDirs(dir).size
+    withInterleavedWinner {
+      SnapshotTable.merge(spark, dir, kvp((2L, "win", 1)),
+        "k", "v", Seq("p"), Some(2L))                     // v2: SAME p=1
+    } {
+      SnapshotTable.mergeRetrying(spark, dir, kvp((3L, "lose", 1)),
+        "k", "v", Seq("p"), Some(3L))                     // must rebase
+    }
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(stageDirs(dir).size == before + 3,
+      s"the overlapping loser pays the rebase (abandoned staging + " +
+        s"recompute): ${stageDirs(dir)}")
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (2L, "win", 1), (3L, "lose", 1)),
+      "the rebase must carry the winner's row — a fast re-commit " +
+        "here would have silently dropped key 2")
+  }
+
+  test("disjoint-writer conflict detection: METADATA drift refuses " +
+      "the fast path — a CHECK added mid-window forces the rebase, " +
+      "which then verifies the loser's output against the new " +
+      "constraint") {
+    val dir = tmpDir("metadrift") + "/t"
+    SnapshotTable.merge(spark, dir, kvp((1L, "a", 1), (9L, "z", 9)),
+      "k", "v", Seq("p"), Some(1L))
+    withInterleavedWinner {
+      SnapshotTable.addCheck(spark, dir, "k_pos", "k > 0") // metadata v2
+    } {
+      // disjoint partitions, but the check landed mid-window: the
+      // loser must rebase so its output is verified against it
+      SnapshotTable.mergeRetrying(spark, dir, kvp((3L, "c", 1)),
+        "k", "v", Seq("p"), Some(3L))
+    }
+    assert(SnapshotTable.resolve(spark, dir).checks.contains("k_pos"))
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (9L, "z", 9), (3L, "c", 1)))
+    // and a VIOLATING loser in the same interleaving refuses loudly
+    withInterleavedWinner {
+      SnapshotTable.dropCheck(spark, dir, "k_pos")
+      SnapshotTable.addCheck(spark, dir, "k_small", "k < 100")
+    } {
+      val ex = intercept[IllegalArgumentException] {
+        SnapshotTable.mergeRetrying(spark, dir, kvp((500L, "big", 1)),
+          "k", "v", Seq("p"), Some(4L))
+      }
+      assert(ex.getMessage.contains("k_small"), ex.getMessage)
+    }
+  }
+
+  test("disjoint-writer conflict detection: a DELETION VECTOR " +
+      "attached to a loser partition mid-window surfaces as a changed " +
+      "entry and forces the rebase (the loser's staging was computed " +
+      "over pre-delete rows)") {
+    val dir = tmpDir("dvdrift") + "/t"
+    SnapshotTable.merge(spark, dir,
+      kvp((1L, "a", 1), (2L, "b", 1), (9L, "z", 9)),
+      "k", "v", Seq("p"), Some(1L))
+    withInterleavedWinner {
+      SnapshotTable.deleteKeys(spark, dir, Seq(2L).toDF("k"), "k",
+        Some(2L))                                         // dv on p=1
+    } {
+      SnapshotTable.mergeRetrying(spark, dir, kvp((3L, "c", 1)),
+        "k", "v", Seq("p"), Some(3L))
+    }
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (9L, "z", 9), (3L, "c", 1)),
+      "key 2's deletion must survive the loser's merge — a fast " +
+        "re-commit would have resurrected it from the stale staging")
+  }
+
+  test("disjoint-writer fleet: N barrier-raced key-AND-partition-" +
+      "disjoint writers produce exactly N stage writes under ANY " +
+      "interleaving (the fast path never recomputes), N dense " +
+      "versions, and the serial content") {
+    val dir = tmpDir("fleet") + "/t"
+    SnapshotTable.merge(spark, dir,
+      kvp((0 until 4).map(i => (i.toLong, s"seed$i", i)): _*),
+      "k", "v", Seq("p"), Some(1L))                       // v1: p=0..3
+    val before = stageDirs(dir).size
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val n = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    try Await.result(Future.sequence((0 until n).map { i =>
+      Future {
+        barrier.await()
+        SnapshotTable.mergeRetrying(spark, dir,
+          kvp((100L + i, s"w$i", i)),
+          "k", "v", Seq("p"), Some(10L + i))
+      }
+    }), Duration.Inf)
+    finally pool.shutdown()
+    assert(SnapshotTable.versions(spark, dir) ==
+      (1L to (1L + n)).toSeq)
+    assert(stageDirs(dir).size == before + n,
+      s"N disjoint racers = N merge computations, NOT N²/2 rebases: " +
+        s"${stageDirs(dir)}")
+    val expect = (0 until 4).map(i => (i.toLong, s"seed$i", i)).toSet ++
+      (0 until n).map(i => (100L + i, s"w$i", i))
+    assert(content(SnapshotTable.read(spark, dir)) == expect)
+  }
 }
