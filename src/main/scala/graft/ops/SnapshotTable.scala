@@ -937,24 +937,9 @@ object SnapshotTable {
     * multi-file dir. An entry without file stats contributes its
     * whole dir — conservative, never wrong. */
   private[graft] def prunedReadPaths(dir: String, snap: Snap,
-      key: String, lo: Option[Any], hi: Option[Any]): Seq[String] = {
-    val surviving = pruneByKey(snap, key, lo, hi).entries
-    pruneCmp(snap, key) match {
-      case None => surviving.map(e => s"$dir/data/${e.path}")
-      case Some(cmp) =>
-        def overlaps(mn: String, mx: String): Boolean =
-          lo.forall(l => cmp(mx, l.toString) >= 0) &&
-            hi.forall(h => cmp(mn, h.toString) <= 0)
-        surviving.flatMap { e =>
-          if (e.fileStats.isEmpty || (lo.isEmpty && hi.isEmpty))
-            Seq(s"$dir/data/${e.path}")
-          else e.fileStats.filter(f =>
-              f.bounds.get(key).forall { case (mn, mx) =>
-                overlaps(mn, mx) })
-            .map(f => s"$dir/data/${e.path}/${f.name}")
-        }
-    }
-  }
+      key: String, lo: Option[Any], hi: Option[Any]): Seq[String] =
+    prunedFilePaths(dir, pruneByKey(snap, key, lo, hi),
+      Seq((key, lo, hi)))
 
   /** Range read: resolve, prune to the entries AND files whose
     * recorded key bounds overlap the predicate
@@ -968,26 +953,64 @@ object SnapshotTable {
       lo: Option[Any], hi: Option[Any],
       version: Option[Long] = None): DataFrame = {
     val snap = resolve(spark, dir, version)
+    val preds = lo.map(l => col(key) >= lit(l)).toSeq ++
+      hi.map(h => col(key) <= lit(h)).toSeq
+    preds.foldLeft(readSnapPruned(spark, dir, snap,
+      Seq((key, lo, hi))))(_.filter(_))
+  }
+
+  /** The MULTI-PREDICATE pruned read both [[readRange]] and the DSv2
+    * source ([[graft.sources.SnapshotSource]]) drive: entries prune
+    * on EVERY bound (chained [[pruneByKey]] — each recorded column
+    * skips independently), surviving entries' files prune on every
+    * bound their footers recorded, deletion vectors apply per entry
+    * group exactly as in [[readSnap]]. NO residual row filter: the
+    * result is a superset of the matching rows (pruning only removes
+    * provably-disjoint dirs/files) — callers apply the exact
+    * predicates themselves (readRange's residual; the DSv2 path
+    * returns every pushed filter as unhandled so Spark re-applies,
+    * the parquet-source discipline). */
+  private[graft] def readSnapPruned(spark: SparkSession, dir: String,
+      snap: Snap, bounds: Seq[(String, Option[Any], Option[Any])])
+      : DataFrame = {
     val schema = StructType.fromDDL(snap.schemaDdl)
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
-    val preds = lo.map(l => col(key) >= lit(l)).toSeq ++
-      hi.map(h => col(key) <= lit(h)).toSeq
-    val base =
-      if (snap.entries.forall(_.dvs.isEmpty)) {
-        val paths = prunedReadPaths(dir, snap, key, lo, hi)
-        if (paths.isEmpty) empty
-        else spark.read.schema(schema).parquet(paths: _*)
-      } else {
-        // deletion vectors apply per entry GROUP exactly as in
-        // [[readSnap]]; file-level pruning still runs inside each
-        // group (the anti-join commutes with the residual filter)
-        val surviving = pruneByKey(snap, key, lo, hi)
-        dvGroupedRead(spark, dir, surviving, schema,
-          es => prunedReadPaths(dir, surviving.copy(entries = es),
-            key, lo, hi))
-      }
-    preds.foldLeft(base)(_.filter(_))
+    val surviving = bounds.foldLeft(snap) { case (s, (k, lo, hi)) =>
+      pruneByKey(s, k, lo, hi)
+    }
+    if (surviving.entries.forall(_.dvs.isEmpty)) {
+      val paths = prunedFilePaths(dir, surviving, bounds)
+      if (paths.isEmpty) empty
+      else spark.read.schema(schema).parquet(paths: _*)
+    } else
+      // file-level pruning still runs inside each dv group (the
+      // anti-join commutes with the callers' residual filters)
+      dvGroupedRead(spark, dir, surviving, schema,
+        es => prunedFilePaths(dir, surviving.copy(entries = es), bounds))
+  }
+
+  /** File-granularity pruning over ALREADY entry-pruned entries: a
+    * file survives only when EVERY bound whose column its footer
+    * recorded overlaps — one pass over the file list however many
+    * predicates pushed. Entries without file stats contribute their
+    * whole dir (conservative, never wrong). */
+  private[graft] def prunedFilePaths(dir: String, snap: Snap,
+      bounds: Seq[(String, Option[Any], Option[Any])]): Seq[String] = {
+    val cmps = bounds.flatMap { case (k, lo, hi) =>
+      if (lo.isEmpty && hi.isEmpty) None
+      else pruneCmp(snap, k).map(cmp => (k, lo, hi, cmp))
+    }
+    snap.entries.flatMap { e =>
+      if (e.fileStats.isEmpty || cmps.isEmpty)
+        Seq(s"$dir/data/${e.path}")
+      else e.fileStats.filter(f =>
+          cmps.forall { case (k, lo, hi, cmp) =>
+            f.bounds.get(k).forall { case (mn, mx) =>
+              lo.forall(l => cmp(mx, l.toString) >= 0) &&
+                hi.forall(h => cmp(mn, h.toString) <= 0) } })
+        .map(f => s"$dir/data/${e.path}/${f.name}")
+    }
   }
 
   /** CHANGE DATA FEED: the row-level diff between two committed

@@ -10709,6 +10709,56 @@ object Catalog {
         CAST(0 AS INT), (SELECT n FROM untouched)
       FROM orders WHERE o_orderkey < 4096"""))
 
+  /** DSv2 READ SURFACE over the snapshot table
+    * ([[graft.sources.SnapshotSource]] — `spark.read.format(...)` +
+    * `versionAsOf` time travel + pushed range predicates routed into
+    * the manifest's three-stage pruning, the rung that makes the
+    * table consumable the way its Delta/Iceberg models are): q267's
+    * exact table read THROUGH THE FORMAT DOOR with the same range
+    * predicate (the scan plans only the overlapping buckets' files —
+    * spec-pinned via the planned-path surface), UNIONed with a
+    * `versionAsOf` read of version 1 after a second merge bumps the
+    * head — so one hash gates pushdown correctness AND option-pinned
+    * time travel against a head that has moved on. */
+  private val q281 = Q("q281_snapshot_dsv2_read",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q281tbl").toString + "/t"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(dec2).cast("string").as("total"),
+        expr("o_orderkey div 4096").as("bucket"))
+      graft.ops.SnapshotTable.merge(s, tbl, o,
+        "o_orderkey", "total", Seq("bucket"), Some(1L))
+      // advance the head so versionAsOf=1 is genuine time travel
+      graft.ops.SnapshotTable.merge(s, tbl,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderstatus", lit("Z")),
+        "o_orderkey", "total", Seq("bucket"), Some(2L))
+      val fmt = "graft.sources.SnapshotSource"
+      val ranged = s.read.format(fmt).option("path", tbl).load()
+        .filter(col("o_orderkey") >= 1000L &&
+          col("o_orderkey") <= 3000L)
+        .withColumn("src", lit("head_range"))
+      val pinned = s.read.format(fmt).option("path", tbl)
+        .option("versionAsOf", "1").load()
+        .filter(col("o_orderkey") <= 500L)
+        .withColumn("src", lit("v1_point"))
+      ranged.unionByName(pinned)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("total"),
+          col("bucket"), col("src"))
+    },
+    Some("""SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'Z' ELSE o_orderstatus END
+          AS o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'head_range' AS src
+      FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'v1_point' AS src
+      FROM orders WHERE o_orderkey <= 500"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10740,5 +10790,5 @@ object Catalog {
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
     q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272,
-    q273, q274, q275, q276, q277, q278, q279, q280)
+    q273, q274, q275, q276, q277, q278, q279, q280, q281)
 }

@@ -496,4 +496,97 @@ class Round19Spec extends SparkSpec {
       (0 until n).map(i => (100L + i, s"w$i", i))
     assert(content(SnapshotTable.read(spark, dir)) == expect)
   }
+
+  // ---------------------------------------------------- DSv2 surface
+
+  private val fmt = "graft.sources.SnapshotSource"
+
+  test("DSv2 read surface: spark.read.format over the snapshot table " +
+      "equals the Scala API — head, versionAsOf, and tag options all " +
+      "resolve the same pinned manifests") {
+    val dir = tmpDir("dsv2") + "/t"
+    SnapshotTable.merge(spark, dir, kvp((1L, "a", 1), (2L, "b", 2)),
+      "k", "v", Seq("p"), Some(1L))                       // v1
+    SnapshotTable.tag(spark, dir, "first")
+    SnapshotTable.merge(spark, dir, kvp((2L, "b2", 2), (3L, "c", 3)),
+      "k", "v", Seq("p"), Some(2L))                       // v2
+    def viaFormat(opts: (String, String)*) = {
+      val r = spark.read.format(fmt).option("path", dir)
+      content(opts.foldLeft(r) { case (x, (k, v)) => x.option(k, v) }
+        .load())
+    }
+    assert(viaFormat() == content(SnapshotTable.read(spark, dir)))
+    assert(viaFormat("versionAsOf" -> "1") ==
+      Set((1L, "a", 1), (2L, "b", 2)))
+    assert(viaFormat("tag" -> "first") ==
+      Set((1L, "a", 1), (2L, "b", 2)))
+    val ex = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir)
+        .option("versionAsOf", "1").option("tag", "first").load()
+    }
+    assert(ex.getMessage.contains("mutually exclusive"), ex.getMessage)
+  }
+
+  test("DSv2 pushdown: a range predicate on the recorded stats column " +
+      "routes into the manifest's file pruning (fewer paths planned " +
+      "than the table holds), the scan result matches readRange AND " +
+      "the plain filter, and column pruning reaches the reader") {
+    val dir = tmpDir("dsv2push") + "/t"
+    // 4 partitions, keys clustered per partition so entry bounds prune
+    val rows = (0 until 4).flatMap(p =>
+      (0 until 50).map(i => (p * 1000L + i, s"v$p-$i", p)))
+    SnapshotTable.merge(spark, dir, kvp(rows: _*), "k", "v", Seq("p"),
+      Some(1L))
+    val all = SnapshotTable.resolve(spark, dir)
+    val allFiles = all.entries.map(_.fileStats.size.max(1)).sum
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .filter(col("k") >= 2000L && col("k") <= 2010L)
+    val viaApi = SnapshotTable.readRange(spark, dir, "k",
+      Some(2000L), Some(2010L))
+    val plain = SnapshotTable.read(spark, dir)
+      .filter(col("k") >= 2000L && col("k") <= 2010L)
+    assert(content(got) == content(viaApi) &&
+      content(got) == content(plain))
+    assert(content(got).size == 11)
+    // the scan PLANNED fewer paths than the table holds — entry
+    // pruning reached the DSv2 path (only partition p=2 overlaps)
+    assert(graft.sources.SnapshotSource.lastPlannedPaths.nonEmpty &&
+      graft.sources.SnapshotSource.lastPlannedPaths.size < allFiles,
+      s"planned ${graft.sources.SnapshotSource.lastPlannedPaths} " +
+        s"vs $allFiles files")
+    assert(graft.sources.SnapshotSource.lastPlannedPaths
+      .forall(_.contains("__gp_p=2")),
+      "only the overlapping partition may plan: " +
+        graft.sources.SnapshotSource.lastPlannedPaths)
+    // column pruning: a two-column projection reaches the reader
+    val narrow = spark.read.format(fmt).option("path", dir).load()
+      .filter(col("k") === 2005L).select("k", "p")
+    assert(narrow.collect().map(r => (r.getLong(0), r.getInt(1)))
+      .toSet == Set((2005L, 2)))
+    assert(graft.sources.SnapshotSource.lastReadSchema.fieldNames
+      .toSet == Set("k", "p"),
+      s"pruned ReadSchema must reach the reader: " +
+        s"${graft.sources.SnapshotSource.lastReadSchema.simpleString}")
+    // and the V2 scan advertises the pushdown (the explain surface)
+    val desc = got.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedFilters") || desc.contains("Filter"),
+      s"plan must carry the filter evidence:\n$desc")
+  }
+
+  test("DSv2 read surface composes with deletion vectors and " +
+      "time travel below them") {
+    val dir = tmpDir("dsv2dv") + "/t"
+    SnapshotTable.merge(spark, dir,
+      kvp((1L, "a", 1), (2L, "b", 1), (3L, "c", 2)),
+      "k", "v", Seq("p"), Some(1L))                       // v1
+    SnapshotTable.deleteKeys(spark, dir, Seq(2L).toDF("k"), "k",
+      Some(2L))                                           // v2: dv
+    assert(content(spark.read.format(fmt).option("path", dir).load())
+      == Set((1L, "a", 1), (3L, "c", 2)),
+      "the DSv2 read must apply the deletion vector")
+    assert(content(spark.read.format(fmt).option("path", dir)
+      .option("versionAsOf", "1").load())
+      == Set((1L, "a", 1), (2L, "b", 1), (3L, "c", 2)),
+      "time travel below the delete must read the pre-delete rows")
+  }
 }
