@@ -379,23 +379,34 @@ object SnapshotTable {
         out.repartition(partCols.map(col): _*)
       else {
         val partTypes = partCols.map(c => df.schema(c))
-        val splitRows = partRows.zip(splits).map { case ((r, _), k) =>
-          Row.fromSeq(partCols.indices.map(r.get) :+ k)
+        // each partition value owns a CONTIGUOUS task-index range
+        // [offset, offset+k): the broadcast split table carries the
+        // per-partition slice count AND its cumulative offset, and
+        // every row routes to task offset + (saltHash mod k) —
+        // Spark 4's repartitionById (DirectShufflePartitionID) makes
+        // the computed index the ACTUAL shuffle partition id, so a
+        // hot partition gets EXACTLY k tasks. The previous shape
+        // hash-partitioned the (partCols, salt) tuple into
+        // splits.sum tasks, where balls-in-bins collisions could
+        // land a hot partition's k slices in < k tasks (two slices
+        // re-merged into one straggler) and leave other tasks empty.
+        // Exact routing also opts out of AQE coalescing by
+        // construction — the id IS the partition.
+        val offsets = splits.scanLeft(0)(_ + _)
+        val splitRows = partRows.zip(splits.zip(offsets)).map {
+          case ((r, _), (k, off)) =>
+            Row.fromSeq(partCols.indices.map(r.get) ++ Seq(k, off))
         }
         val splitDf = spark.createDataFrame(
           spark.sparkContext.parallelize(splitRows, 1),
-          StructType(partTypes :+
-            StructField(s"${P}splits", IntegerType, nullable = false)))
-        // EXPLICIT task count = one write task per (partition, salt)
-        // slice: an explicit repartition count opts out of AQE
-        // coalescing, which would re-merge the hot partition's salted
-        // slices back into one task (the exact straggler the salt
-        // exists to break) whenever the bytes look small to AQE
+          StructType(partTypes ++ Seq(
+            StructField(s"${P}splits", IntegerType, nullable = false),
+            StructField(s"${P}off", IntegerType, nullable = false))))
         out.join(broadcast(splitDf), partCols)
-          .repartition(splits.sum,
-            partCols.map(col) :+
-              pmod(saltOn, col(s"${P}splits")).cast("int"): _*)
-          .drop(s"${P}splits")
+          .repartitionById(splits.sum,
+            (col(s"${P}off") +
+              pmod(saltOn, col(s"${P}splits"))).cast("int"))
+          .drop(s"${P}splits", s"${P}off")
       }
     shaped.write.mode("overwrite")
       .option("compression", "snappy")

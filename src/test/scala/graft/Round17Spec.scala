@@ -175,8 +175,10 @@ class Round17Spec extends SparkSpec {
         .map(_.getPath.getName).filter(_.startsWith("part-"))
         .map(_.split("-")(1)).toSet
     }
-    assert(taskPrefixes("v=1/__gp_p=1").size > 1,
-      "60 rows at maxRowsPerTask=20 must spread across >1 write task")
+    assert(taskPrefixes("v=1/__gp_p=1").size == 3,
+      "60 rows at maxRowsPerTask=20 must spread across EXACTLY " +
+        "ceil(60/20)=3 write tasks (repartitionById routes each salt " +
+        "slice to its own task — no balls-in-bins collisions)")
     assert(taskPrefixes("v=1/__gp_p=2").size == 1,
       "a small partition must keep the one-task, no-spray shape")
     assert(content(SnapshotTable.read(spark, tbl)) == rows.toSet,

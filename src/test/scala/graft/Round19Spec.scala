@@ -589,4 +589,39 @@ class Round19Spec extends SparkSpec {
       == Set((1L, "a", 1), (2L, "b", 1), (3L, "c", 2)),
       "time travel below the delete must read the pre-delete rows")
   }
+
+  // ------------------------------------------- exact salted routing
+
+  test("salted write exact routing (r18 carried minor): TWO hot " +
+      "partitions salted in one write each get EXACTLY their " +
+      "ceil(rows/cap) task-file count — the direct partition-index " +
+      "shuffle cannot collide slices the way the old pmod-hash " +
+      "assignment could — and content/stats are unchanged") {
+    val dir = tmpDir("exactsalt") + "/t"
+    // p=1: 100 rows → 5 slices; p=2: 60 rows → 3 slices; p=3 cold
+    val rows = (1L to 100L).map(k => (k, s"a$k", 1)) ++
+      (201L to 260L).map(k => (k, s"b$k", 2)) ++ Seq((999L, "c", 3))
+    SnapshotTable.merge(spark, dir, rows.toDF("k", "v", "p"), "k", "v",
+      Seq("p"), Some(1L), maxRowsPerTask = 20L)
+    def taskIds(rel: String): Set[String] = {
+      val f = fs(dir)
+      f.listStatus(new Path(s"$dir/data/$rel"))
+        .map(_.getPath.getName).filter(_.startsWith("part-"))
+        .map(_.split("-")(1)).toSet
+    }
+    assert(taskIds("v=1/__gp_p=1").size == 5,
+      s"100 rows / cap 20 = exactly 5 tasks: ${taskIds("v=1/__gp_p=1")}")
+    assert(taskIds("v=1/__gp_p=2").size == 3,
+      s"60 rows / cap 20 = exactly 3 tasks: ${taskIds("v=1/__gp_p=2")}")
+    assert(taskIds("v=1/__gp_p=3").size == 1)
+    // the two hot partitions' task-id ranges are DISJOINT (contiguous
+    // offset blocks — no task writes two partitions' slices)
+    assert(taskIds("v=1/__gp_p=1").intersect(taskIds("v=1/__gp_p=2"))
+      .isEmpty)
+    assert(content(SnapshotTable.read(spark, dir)) == rows.toSet)
+    val st = SnapshotTable.resolve(spark, dir).entries
+      .find(_.path == "v=1/__gp_p=1").get
+    assert(st.stats.get("k").contains(("1", "100")))
+    assert(st.rows.contains(100L))
+  }
 }
