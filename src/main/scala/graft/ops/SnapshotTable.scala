@@ -687,6 +687,29 @@ object SnapshotTable {
     e.getMessage != null && (e.getMessage.contains("already exists") ||
       e.getMessage.contains("replaced by a concurrent writer"))
 
+  /** The staged version dirs live `_inflight.<verDir>` markers
+    * protect (see writeAndCommit's marker) — the STORE-PORTABLE
+    * in-flight signal the sweeps consult before directory mtimes,
+    * which S3-class stores synthesize. A marker older than `cutoff`
+    * is its dead writer's residue: ignored here (the tree it named
+    * becomes sweepable) and deleted when `sweepStale`. */
+  private def inflightDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, cutoff: Long, sweepStale: Boolean = false)
+      : Set[String] = {
+    val root = new Path(dir)
+    if (!fs.exists(root)) return Set.empty
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.startsWith("_inflight."))
+      .flatMap { st =>
+        if (st.getModificationTime > cutoff)
+          Some(st.getPath.getName.stripPrefix("_inflight."))
+        else {
+          if (sweepStale) fs.delete(st.getPath, false)
+          None
+        }
+      }.toSet
+  }
+
   /** All committed versions, ascending (empty = no table yet). */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val fs = fsOf(spark, dir)
@@ -1554,65 +1577,82 @@ object SnapshotTable {
     val produced = profile.map { case (r, n, st, _, _) =>
       Entry(s"$verDir/${partKeyRow(partCols, r)}", st, rows = Some(n))
     }
-    if (profile.nonEmpty)
-      writePartitioned(output, partCols, s"$dir/data/$verDir",
-        xxhash64(col(key)), profile.map(p => (p._1, p._2)), maxRowsPerTask,
-        clusterKey)
-    // file-level bounds from the freshly-written footers (metadata
-    // reads, O(files this commit wrote), ONE footer open per file for
-    // every stats column, executor-distributed when many); carried
-    // entries keep theirs
-    val producedF =
-      if (newStatsCols.isEmpty) produced
-      else {
-        val cols = newStatsCols.map(c => c -> output.schema(c).dataType)
-        val byEntry = harvestFileStats(spark,
-          produced.map(e => e.path -> new Path(s"$dir/data/${e.path}")),
-          cols)
-        produced.map(e =>
-          e.copy(fileStats = byEntry.getOrElse(e.path, Nil)))
-      }
-    // deletion vectors ride ONLY on kept entries (a rewritten
-    // partition folded its deletes in; produced entries are dv-free
-    // by construction) — the dvkey survives exactly as long as some
-    // entry still needs it
-    val allEntries = keptAdj ++ producedF
-    // column tombstones (dropColumn's resurrect hazard) carry until a
-    // FULL rewrite (kept empty = every surviving row rewrote under
-    // the pinned schema) purges the dropped columns' physical bytes
-    val tombstones =
-      if (kept.isEmpty) Nil
-      else head.map(_.droppedCols).getOrElse(Nil)
-    onBeforeCommit() // test seam — no-op in production
+    // IN-FLIGHT MARKER (the store-portable staleness signal): a tiny
+    // `_inflight.<verDir>` file claims the staged tree for the
+    // duration of the write+commit, so retention/vacuum sweeps spare
+    // it by NAME — no directory-mtime reasoning, which S3-class
+    // stores synthesize. Removed in the finally whatever the outcome
+    // (committed → referenced; refused/abandoned → sweepable
+    // garbage); a crashed writer's marker ages out under the sweeps'
+    // grace window (marker FILE mtimes are real on every store).
+    val fsD = fsOf(spark, dir)
+    val marker = new Path(dir, s"_inflight.$verDir")
+    if (profile.nonEmpty) fsD.create(marker, true).close()
     try {
-      commitManifest(spark, dir, newVer, batchId, allEntries,
-        schemaDdl, partCols, newStatsCols,
-        headDvKey.filter(_ => allEntries.exists(_.dvs.nonEmpty)),
-        base = head, checks = checkList.toMap,
-        droppedCols = tombstones)
-      newVer
-    } catch {
-      // DISJOINT-WRITER CONFLICT RESOLUTION (Delta's public
-      // conflict-detection shape): a lost claim does not always mean
-      // the computed merge is stale — when the winner's changed
-      // entries are partition-disjoint from this commit's read+write
-      // set (and table metadata didn't move), the already-written
-      // staging is EXACTLY what a rebase would recompute, so
-      // re-commit it at the next version instead of paying the full
-      // O(delta + touched) merge again. N same-table writers then
-      // cost N merge computations, not N²/2. Only optimistic writers
-      // (dirToken present — their stagings are race-safe by
-      // construction) take the fast path; a genuine overlap or
-      // metadata change rethrows and the retry loop rebases.
-      case e: IllegalArgumentException
-          if isCommitConflict(e) && dirToken.isDefined &&
-            head.isDefined && fastRecommitEnabled =>
-        val keptSet = kept.map(_.path).toSet
-        val ourKeys = producedF.map(e => partKeyOfEntry(e.path)).toSet ++
-          head.get.entries.filterNot(en => keptSet.contains(en.path))
-            .map(en => partKeyOfEntry(en.path))
-        fastRecommit(spark, dir, head.get, producedF, ourKeys, batchId,
-          schemaDdl, partCols, newStatsCols, checkList.toMap, e)
+      if (profile.nonEmpty)
+        writePartitioned(output, partCols, s"$dir/data/$verDir",
+          xxhash64(col(key)), profile.map(p => (p._1, p._2)),
+          maxRowsPerTask, clusterKey)
+      // file-level bounds from the freshly-written footers (metadata
+      // reads, O(files this commit wrote), ONE footer open per file
+      // for every stats column, executor-distributed when many);
+      // carried entries keep theirs
+      val producedF =
+        if (newStatsCols.isEmpty) produced
+        else {
+          val cols = newStatsCols.map(c => c -> output.schema(c).dataType)
+          val byEntry = harvestFileStats(spark,
+            produced.map(e => e.path -> new Path(s"$dir/data/${e.path}")),
+            cols)
+          produced.map(e =>
+            e.copy(fileStats = byEntry.getOrElse(e.path, Nil)))
+        }
+      // deletion vectors ride ONLY on kept entries (a rewritten
+      // partition folded its deletes in; produced entries are dv-free
+      // by construction) — the dvkey survives exactly as long as some
+      // entry still needs it
+      val allEntries = keptAdj ++ producedF
+      // column tombstones (dropColumn's resurrect hazard) carry until
+      // a FULL rewrite (kept empty = every surviving row rewrote under
+      // the pinned schema) purges the dropped columns' physical bytes
+      val tombstones =
+        if (kept.isEmpty) Nil
+        else head.map(_.droppedCols).getOrElse(Nil)
+      onBeforeCommit() // test seam — no-op in production
+      try {
+        commitManifest(spark, dir, newVer, batchId, allEntries,
+          schemaDdl, partCols, newStatsCols,
+          headDvKey.filter(_ => allEntries.exists(_.dvs.nonEmpty)),
+          base = head, checks = checkList.toMap,
+          droppedCols = tombstones)
+        newVer
+      } catch {
+        // DISJOINT-WRITER CONFLICT RESOLUTION (Delta's public
+        // conflict-detection shape): a lost claim does not always mean
+        // the computed merge is stale — when the winner's changed
+        // entries are partition-disjoint from this commit's read+write
+        // set (and table metadata didn't move), the already-written
+        // staging is EXACTLY what a rebase would recompute, so
+        // re-commit it at the next version instead of paying the full
+        // O(delta + touched) merge again. N same-table writers then
+        // cost N merge computations, not N²/2. Only optimistic writers
+        // (dirToken present — their stagings are race-safe by
+        // construction) take the fast path; a genuine overlap or
+        // metadata change rethrows and the retry loop rebases.
+        case e: IllegalArgumentException
+            if isCommitConflict(e) && dirToken.isDefined &&
+              head.isDefined && fastRecommitEnabled =>
+          val keptSet = kept.map(_.path).toSet
+          val ourKeys = producedF.map(e => partKeyOfEntry(e.path)).toSet ++
+            head.get.entries.filterNot(en => keptSet.contains(en.path))
+              .map(en => partKeyOfEntry(en.path))
+          fastRecommit(spark, dir, head.get, producedF, ourKeys, batchId,
+            schemaDdl, partCols, newStatsCols, checkList.toMap, e)
+      }
+    } finally {
+      if (profile.nonEmpty)
+        try fsD.delete(marker, false)
+        catch { case scala.util.control.NonFatal(_) => } // ages out
     }
   }
 
@@ -1984,19 +2024,29 @@ object SnapshotTable {
     val verDir = dirToken.fold(s"v=${head.ver + 1}")(
       t => s"v=${head.ver + 1}-$t")
     val dvPath = s"$verDir/_dv"
-    // a small delete set lands as one file (no 32-way spray for a
-    // handful of keys); a bulk erasure keeps its parallelism
-    (if (prof.getLong(0) <= DefaultMaxRowsPerTask) keys.coalesce(1)
-    else keys)
-      .write.mode("overwrite").option("compression", "snappy")
-      .parquet(s"$dir/data/$dvPath")
-    val entries = head.entries.map(e =>
-      if (targets.contains(e.path)) e.copy(dvs = e.dvs :+ dvPath) else e)
-    commitManifest(spark, dir, head.ver + 1, batchId, entries,
-      head.schemaDdl, head.partCols, head.statsKeys, Some(key),
-      base = Some(head), checks = head.checks,
-      droppedCols = head.droppedCols)
-    head.ver + 1
+    // in-flight marker around the sidecar write + commit, exactly as
+    // writeAndCommit's (the sweeps spare the staged tree by name)
+    val fsD = fsOf(spark, dir)
+    val marker = new Path(dir, s"_inflight.$verDir")
+    fsD.create(marker, true).close()
+    try {
+      // a small delete set lands as one file (no 32-way spray for a
+      // handful of keys); a bulk erasure keeps its parallelism
+      (if (prof.getLong(0) <= DefaultMaxRowsPerTask) keys.coalesce(1)
+      else keys)
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(s"$dir/data/$dvPath")
+      val entries = head.entries.map(e =>
+        if (targets.contains(e.path)) e.copy(dvs = e.dvs :+ dvPath) else e)
+      commitManifest(spark, dir, head.ver + 1, batchId, entries,
+        head.schemaDdl, head.partCols, head.statsKeys, Some(key),
+        base = Some(head), checks = head.checks,
+        droppedCols = head.droppedCols)
+      head.ver + 1
+    } finally {
+      try fsD.delete(marker, false)
+      catch { case scala.util.control.NonFatal(_) => } // ages out
+    }
   }
 
   /** [[deleteKeys]] with the same optimistic-concurrency loop as
@@ -2550,16 +2600,18 @@ object SnapshotTable {
     * retained-version check) — the [[graft.streaming.Commits]]
     * retention discipline.
     *
-    * `graceMs` is [[vacuum]]'s crash-window discipline applied to the
-    * UNREFERENCED-dir sweep: an in-flight [[mergeRetrying]] attempt's
-    * freshly staged `v=<n>-<token>` tree is referenced by nothing
-    * until its commit lands — without the grace, retention running
-    * concurrently with writers would delete the staging out from
-    * under a commit that then succeeds, leaving a manifest whose
-    * entries point at deleted data. A young unreferenced dir is
-    * spared (the next retention pass reclaims it once aged);
-    * referenced data is never age-gated. Pass `graceMs = 0` only
-    * when no writer can be in flight. */
+    * IN-FLIGHT protection, two tiers: every writer claims its staged
+    * `v=<n>[-<token>]` tree with an `_inflight.<verDir>` MARKER FILE
+    * for the duration of its write+commit (removed in its finally) —
+    * the sweep spares marked trees by name, which is store-portable
+    * (marker-file mtimes are real on every store, where the
+    * directory-mtime fallback below is synthetic on S3-class stores).
+    * `graceMs` stays as the fallback tier ([[vacuum]]'s crash-window
+    * discipline): a young unreferenced dir is spared even unmarked,
+    * and a crashed writer's orphaned MARKER ages out under the same
+    * window (its tree becomes sweepable garbage). Referenced data is
+    * never age-gated. Pass `graceMs = 0` only when no writer can be
+    * in flight. */
   def retainNewest(spark: SparkSession, dir: String, keep: Int,
       graceMs: Long = 3600000L): Unit = {
     require(keep >= 1, s"must retain >= 1 version, got $keep")
@@ -2637,14 +2689,19 @@ object SnapshotTable {
     }
     // the DATA sweep runs outside the monitor (it can be slow and
     // touches only unreferenced dirs; a concurrent commit references
-    // only live data plus its own fresh staging, which the grace
-    // window spares)
+    // only live data plus its own fresh staging, which the in-flight
+    // markers — and as fallback the grace window — spare)
     val cutoff = System.currentTimeMillis() - graceMs
-    // sweep data dirs no retained manifest references: a dir is kept
-    // iff its rel path is live, any descendant is, or the tree is
-    // younger than the grace window (an in-flight writer's staging);
-    // an emptied version dir goes wholesale (its _SUCCESS marker with
-    // it)
+    // sweep data dirs no retained manifest references: a version dir
+    // is spared wholesale when a live `_inflight.<verDir>` marker
+    // names it (the store-portable signal — marker FILE mtimes are
+    // real everywhere, where the per-dir mtime check below is
+    // synthetic on S3-class stores and stays only as belt-and-
+    // suspenders); below that, a dir is kept iff its rel path is
+    // live, any descendant is, or the tree is younger than the grace
+    // window; an emptied version dir goes wholesale (its _SUCCESS
+    // marker with it)
+    val inflight = inflightDirs(fs, dir, cutoff)
     val dataRoot = new Path(dir, "data")
     if (fs.exists(dataRoot)) {
       def sweep(st: org.apache.hadoop.fs.FileStatus, rel: String)
@@ -2662,6 +2719,7 @@ object SnapshotTable {
           }
         }
       fs.listStatus(dataRoot).filter(_.isDirectory)
+        .filterNot(d => inflight.contains(d.getPath.getName))
         .foreach(d => sweep(d, d.getPath.getName))
     }
   }
@@ -2701,11 +2759,16 @@ object SnapshotTable {
         st.getPath.getName.endsWith(".tmp") &&
         st.getModificationTime <= cutoff)
       .foreach(st => fs.delete(st.getPath, false))
+    // live in-flight markers spare their staged trees by NAME (the
+    // store-portable signal); stale markers — dead writers' residue —
+    // sweep here along with the .tmp files
+    val inflight = inflightDirs(fs, dir, cutoff, sweepStale = true)
     val dataRoot = new Path(dir, "data")
     if (!fs.exists(dataRoot)) return
     fs.listStatus(dataRoot).filter(_.isDirectory).foreach { st =>
       val name = st.getPath.getName
-      if (!liveVers.contains(name) && st.getModificationTime <= cutoff)
+      if (!liveVers.contains(name) && !inflight.contains(name) &&
+        st.getModificationTime <= cutoff)
         fs.delete(st.getPath, true)
     }
   }

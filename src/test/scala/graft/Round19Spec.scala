@@ -624,4 +624,67 @@ class Round19Spec extends SparkSpec {
     assert(st.stats.get("k").contains(("1", "100")))
     assert(st.rows.contains(100L))
   }
+
+  // ------------------------------------------- in-flight markers
+
+  test("in-flight markers: an OLD unreferenced staging named by a " +
+      "FRESH _inflight marker survives retention AND vacuum (the " +
+      "store-portable signal — no directory-mtime reasoning); with " +
+      "the marker gone the same tree sweeps; a STALE marker ages out " +
+      "and stops protecting") {
+    val dir = tmpDir("inflight") + "/t"
+    (1 to 3).foreach(i => SnapshotTable.merge(spark, dir,
+      kvp((i.toLong, s"v$i", 1)), "k", "v", Seq("p"), Some(i.toLong)))
+    val f = fs(dir)
+    // simulate a writer mid-commit on a SLOW store: its staged tree's
+    // dir mtimes look ancient (S3-class synthesis / long write), but
+    // its marker is fresh
+    val staged = new Path(s"$dir/data/v=9-feed")
+    f.mkdirs(new Path(staged, "__gp_p=1"))
+    val old = System.currentTimeMillis() - 86400000L
+    def ageTree(p: Path): Unit = {
+      f.listStatus(p).foreach(st => if (st.isDirectory) ageTree(st.getPath))
+      f.setTimes(p, old, old)
+    }
+    ageTree(staged)
+    f.create(new Path(dir, "_inflight.v=9-feed"), true).close()
+    SnapshotTable.retainNewest(spark, dir, keep = 1, graceMs = 60000L)
+    assert(f.exists(staged),
+      "retention must spare a marker-protected staging whatever its " +
+        "directory mtimes say")
+    SnapshotTable.vacuum(spark, dir, graceMs = 60000L)
+    assert(f.exists(staged),
+      "vacuum must spare a marker-protected staging")
+    assert(f.exists(new Path(dir, "_inflight.v=9-feed")),
+      "a live marker must survive vacuum")
+    // stale marker: its writer is dead — protection ends, vacuum
+    // sweeps marker AND tree
+    f.setTimes(new Path(dir, "_inflight.v=9-feed"), old, old)
+    SnapshotTable.vacuum(spark, dir, graceMs = 60000L)
+    assert(!f.exists(staged), "an aged-out marker stops protecting")
+    assert(!f.exists(new Path(dir, "_inflight.v=9-feed")),
+      "vacuum sweeps the dead writer's marker")
+    // and the table itself is intact (head = all three upserted keys)
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "v1", 1), (2L, "v2", 1), (3L, "v3", 1)))
+  }
+
+  test("in-flight markers: every write path cleans its marker up on " +
+      "success AND on refusal (no marker residue after normal " +
+      "operation)") {
+    val dir = tmpDir("mclean") + "/t"
+    SnapshotTable.merge(spark, dir, kvp((1L, "a", 1)), "k", "v",
+      Seq("p"), Some(1L))
+    SnapshotTable.deleteKeys(spark, dir, Seq(1L).toDF("k"), "k", Some(2L))
+    SnapshotTable.optimize(spark, dir, Seq("p"))
+    intercept[IllegalArgumentException] { // null-key refusal mid-path
+      SnapshotTable.merge(spark, dir,
+        Seq((Option.empty[Long], "x", 1)).toDF("k", "v", "p"),
+        "k", "v", Seq("p"), Some(3L))
+    }
+    val f = fs(dir)
+    val markers = f.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("_inflight."))
+    assert(markers.isEmpty, s"marker residue: ${markers.mkString(", ")}")
+  }
 }
