@@ -1254,19 +1254,7 @@ object SnapshotTable {
   private def publishOne(spark: SparkSession, dir: String, key: String,
       fs: org.apache.hadoop.fs.FileSystem, out: Path, from: Long,
       to: Long): Unit = {
-    val changes =
-      if (from == 0L) {
-        val snap = resolve(spark, dir, Some(to))
-        val df =
-          if (snap.entries.isEmpty)
-            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-              StructType.fromDDL(snap.schemaDdl))
-          else readSnap(spark, dir, snap)
-        df.withColumn("_change_type", lit("insert"))
-      } else changesBetween(spark, dir, key, from, to)
-    val stamped = changes
-      .withColumn("_from_version", lit(from))
-      .withColumn("_to_version", lit(to))
+    val stamped = changeFeedRange(spark, dir, key, from, to)
     val dest = new Path(out, s"changes_v${from}_v$to")
     if (fs.exists(dest)) return // replayed
     // per-ATTEMPT staging name (the mergeRetrying dir-token
@@ -1298,6 +1286,31 @@ object SnapshotTable {
     // commits a range overlapping ours — the duplication must be
     // loud, not a silent double-feed to every consumer of the glob
     refuseOverlap(fs, out, dest.getName, from, to)
+  }
+
+  /** One change-feed range's STAMPED frame — the single surface both
+    * the landing publisher ([[publishOne]] writes it) and the direct
+    * streaming source ([[graft.sources.SnapshotChanges]] returns it
+    * as a microbatch, no copy landed) compute: `from = 0` seeds with
+    * version `to`'s full content as `insert` rows, any other range is
+    * [[changesBetween]]'s classified diff; every row rides
+    * `_from_version`/`_to_version`. One producer function is what
+    * keeps the two consumption doors hash-identical by construction. */
+  private[graft] def changeFeedRange(spark: SparkSession, dir: String,
+      key: String, from: Long, to: Long): DataFrame = {
+    val changes =
+      if (from == 0L) {
+        val snap = resolve(spark, dir, Some(to))
+        val df =
+          if (snap.entries.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              StructType.fromDDL(snap.schemaDdl))
+          else readSnap(spark, dir, snap)
+        df.withColumn("_change_type", lit("insert"))
+      } else changesBetween(spark, dir, key, from, to)
+    changes
+      .withColumn("_from_version", lit(from))
+      .withColumn("_to_version", lit(to))
   }
 
   /** Refuse when the landing holds a range overlapping

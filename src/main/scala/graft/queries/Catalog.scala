@@ -10759,6 +10759,128 @@ object Catalog {
         o_orderkey // 4096 AS bucket, 'v1_point' AS src
       FROM orders WHERE o_orderkey <= 500"""))
 
+  /** DIRECT STREAMING SOURCE over the snapshot table
+    * ([[graft.sources.SnapshotChanges]] — Delta's `readChangeFeed`
+    * shape: table versions are the stream offsets, each microbatch is
+    * [[graft.ops.SnapshotTable.changeFeedRange]] computed on demand,
+    * NO landing copy written anywhere): q275's EXACT three-commit
+    * scenario consumed through `readStream.format(...)` with
+    * AvailableNow into a scratch sink — the same oracle as q275 by
+    * construction, because the stream and the landing publisher call
+    * one producer function. One hash therefore gates "stream ≡
+    * landing surface", per-commit stamps included, which is the
+    * copy-free replacement for the publish bridge. */
+  private val q282 = Q("q282_snapshot_changes_stream",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q282tbl").toString + "/t"
+      val sink = graft.Scratch.createTempDir("q282sink").toString
+      val ckpt = graft.Scratch.createTempDir("q282ckpt").toString
+      val li = t(s, dir, "lineitem")
+      def qty = col("l_quantity").cast(dec2).cast("string").as("quantity")
+      val base = li.filter(col("l_linenumber") === 1).select(
+        col("l_orderkey"), col("l_linenumber"), qty,
+        (col("l_orderkey") % 4).as("part"))
+      graft.ops.SnapshotTable.merge(s, tbl, base,
+        "l_orderkey", "quantity", Seq("part"), Some(1L))
+      val feed = li.filter(col("l_linenumber") >= 2).select(
+        col("l_orderkey"), col("l_linenumber"), qty,
+        (col("l_orderkey") % 4).as("part"),
+        when(col("l_linenumber") === 7, "D").otherwise("U").as("op"))
+      graft.ops.SnapshotTable.mergeCdc(s, tbl, feed, "l_orderkey",
+        Seq("l_linenumber", "quantity"), "op", Seq("part"), Some(2L))
+      val upd = base.filter(col("l_orderkey") % 50 === 1)
+        .withColumn("l_linenumber", lit(77))
+      graft.ops.SnapshotTable.merge(s, tbl, upd,
+        "l_orderkey", "quantity", Seq("part"), Some(3L))
+      val q = s.readStream.format("graft.sources.SnapshotChanges")
+        .option("path", tbl).option("key", "l_orderkey").load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .select(col("l_orderkey"), col("l_linenumber"), col("quantity"),
+          col("part"), col("_change_type"), col("_from_version"),
+          col("_to_version"))
+    },
+    Some("""WITH base AS (
+        SELECT l_orderkey, l_linenumber, quantity, part FROM (
+          SELECT l_orderkey, l_linenumber,
+            CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS quantity,
+            l_orderkey % 4 AS part,
+            row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                DESC) rn
+          FROM lineitem WHERE l_linenumber = 1) z WHERE rn = 1),
+      fw AS (
+        SELECT l_orderkey, l_linenumber, quantity, part, op FROM (
+          SELECT l_orderkey, l_linenumber,
+            CASE WHEN l_linenumber = 7 THEN 'D' ELSE 'U' END AS op,
+            CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS quantity,
+            l_orderkey % 4 AS part,
+            row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber DESC,
+                CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+                DESC) rn
+          FROM lineitem WHERE l_linenumber >= 2) z WHERE rn = 1),
+      v2 AS (
+        SELECT l_orderkey, l_linenumber, quantity, part
+        FROM fw WHERE op <> 'D'
+        UNION ALL
+        SELECT b.l_orderkey, b.l_linenumber, b.quantity, b.part
+        FROM base b WHERE NOT EXISTS (SELECT 1 FROM fw
+          WHERE fw.l_orderkey = b.l_orderkey)),
+      upd AS (
+        SELECT l_orderkey, CAST(77 AS INTEGER) AS l_linenumber,
+          quantity, part
+        FROM base WHERE l_orderkey % 50 = 1)
+      SELECT l_orderkey, l_linenumber, quantity, part,
+        'insert' AS _change_type, CAST(0 AS BIGINT) AS _from_version,
+        CAST(1 AS BIGINT) AS _to_version
+      FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, quantity, part, _change_type,
+        CAST(1 AS BIGINT) AS _from_version,
+        CAST(2 AS BIGINT) AS _to_version
+      FROM (
+        SELECT f.l_orderkey, f.l_linenumber, f.quantity, f.part,
+          'insert' AS _change_type
+        FROM fw f WHERE f.op <> 'D' AND NOT EXISTS
+          (SELECT 1 FROM base b WHERE b.l_orderkey = f.l_orderkey)
+        UNION ALL
+        SELECT b.l_orderkey, b.l_linenumber, b.quantity, b.part,
+          'delete' AS _change_type
+        FROM base b JOIN fw f ON f.l_orderkey = b.l_orderkey
+          AND f.op = 'D'
+        UNION ALL
+        SELECT b.l_orderkey, b.l_linenumber, b.quantity, b.part,
+          'update_preimage' AS _change_type
+        FROM base b JOIN fw f ON f.l_orderkey = b.l_orderkey
+          AND f.op <> 'D'
+        UNION ALL
+        SELECT f.l_orderkey, f.l_linenumber, f.quantity, f.part,
+          'update_postimage' AS _change_type
+        FROM fw f JOIN base b ON b.l_orderkey = f.l_orderkey
+          AND f.op <> 'D') cdf
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, quantity, part, _change_type,
+        CAST(2 AS BIGINT) AS _from_version,
+        CAST(3 AS BIGINT) AS _to_version
+      FROM (
+        SELECT u.l_orderkey, u.l_linenumber, u.quantity, u.part,
+          'insert' AS _change_type
+        FROM upd u WHERE NOT EXISTS
+          (SELECT 1 FROM v2 WHERE v2.l_orderkey = u.l_orderkey)
+        UNION ALL
+        SELECT v.l_orderkey, v.l_linenumber, v.quantity, v.part,
+          'update_preimage' AS _change_type
+        FROM v2 v JOIN upd u ON u.l_orderkey = v.l_orderkey
+        UNION ALL
+        SELECT u.l_orderkey, u.l_linenumber, u.quantity, u.part,
+          'update_postimage' AS _change_type
+        FROM upd u JOIN v2 v ON v.l_orderkey = u.l_orderkey) c3"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10790,5 +10912,5 @@ object Catalog {
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
     q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272,
-    q273, q274, q275, q276, q277, q278, q279, q280, q281)
+    q273, q274, q275, q276, q277, q278, q279, q280, q281, q282)
 }

@@ -65,6 +65,22 @@ object ColumnBridge {
     }
   }
 
+  /** Re-tag a (lazily planned) batch DataFrame as a STREAMING one —
+    * what a V1 [[org.apache.spark.sql.execution.streaming.Source]]'s
+    * `getBatch` must hand MicroBatchExecution (it asserts
+    * `isStreaming`), and exactly how Spark's own FileStreamSource
+    * builds its batches: `internalCreateDataFrame(rdd, schema,
+    * isStreaming = true)`, which upstream keeps private[sql] — hence
+    * the bridge. The RDD is the frame's compiled plan, still lazy (no
+    * job runs here). */
+  def asStreamingFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** The RDD ids backing a checkpointed Dataset's LogicalRDD leaves —
     * lets a harness-level storage sweep EXEMPT frames a live memo
     * still references (ripping their blocks out produces
