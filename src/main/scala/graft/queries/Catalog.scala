@@ -10881,6 +10881,70 @@ object Catalog {
           'update_postimage' AS _change_type
         FROM upd u JOIN v2 v ON v.l_orderkey = u.l_orderkey) c3"""))
 
+  /** SQL CATALOG door over the snapshot table
+    * ([[graft.sources.SnapshotCatalog]] — Delta's `delta.`path``
+    * catalog shape on Spark's `TableCatalog` plugin API): the SAME
+    * table q281 reads through the format door is consumed here from
+    * PLAIN SQL — `SELECT ... FROM graft.`<dir>`` resolves the head,
+    * `VERSION AS OF 1` pins a version number, and `VERSION AS OF
+    * 'pin'` resolves a NAMED TAG (the Iceberg name/number duality) —
+    * all three through one [[graft.sources.SnapshotSourceTable]]
+    * scan, so pushdown into manifest pruning and deletion-vector
+    * reads are identical behind every entry point. The WHERE on the
+    * head read rides the pushed-filter path (PlanShapeSpec pins the
+    * `PushedFilters` evidence); the tag read crosses a later commit,
+    * so a stale-tag resolution would hash-mismatch. */
+  private val q283 = Q("q283_snapshot_sql_catalog",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q283tbl").toString + "/t"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(dec2).cast("string").as("total"),
+        expr("o_orderkey div 4096").as("bucket"))
+      graft.ops.SnapshotTable.merge(s, tbl, o,
+        "o_orderkey", "total", Seq("bucket"), Some(1L))
+      graft.ops.SnapshotTable.tag(s, tbl, "pin")
+      // advance the head so both travel doors cross a real commit
+      graft.ops.SnapshotTable.merge(s, tbl,
+        o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderstatus", lit("X")),
+        "o_orderkey", "total", Seq("bucket"), Some(2L))
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.SnapshotCatalog")
+      val head = s.sql(
+        s"""SELECT o_orderkey, o_orderstatus, total, bucket
+            FROM graft.`$tbl`
+            WHERE o_orderkey BETWEEN 2000 AND 4000""")
+        .withColumn("src", lit("head_sql"))
+      val byVersion = s.sql(
+        s"""SELECT o_orderkey, o_orderstatus, total, bucket
+            FROM graft.`$tbl` VERSION AS OF 1
+            WHERE o_orderkey <= 700""")
+        .withColumn("src", lit("v1_sql"))
+      val byTag = s.sql(
+        s"""SELECT o_orderkey, o_orderstatus, total, bucket
+            FROM graft.`$tbl` VERSION AS OF 'pin'
+            WHERE o_orderkey % 1000 = 0""")
+        .withColumn("src", lit("tag_sql"))
+      head.unionByName(byVersion).unionByName(byTag)
+    },
+    Some("""SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+          AS o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'head_sql' AS src
+      FROM orders WHERE o_orderkey BETWEEN 2000 AND 4000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'v1_sql' AS src
+      FROM orders WHERE o_orderkey <= 700
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'tag_sql' AS src
+      FROM orders WHERE o_orderkey % 1000 = 0"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10912,5 +10976,5 @@ object Catalog {
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
     q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272,
-    q273, q274, q275, q276, q277, q278, q279, q280, q281, q282)
+    q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283)
 }

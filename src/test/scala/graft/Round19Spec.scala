@@ -737,4 +737,49 @@ class Round19Spec extends SparkSpec {
     drain()
     assert(rows().size == firstRun.size + 2)
   }
+
+  // ------------------------------------------------ SQL catalog door
+
+  test("SQL catalog: spark.sql over graft.`<dir>` reads the head, " +
+      "VERSION AS OF <n> pins a version, VERSION AS OF '<tag>' " +
+      "resolves the named ref, TIMESTAMP AS OF and writes refuse " +
+      "loudly — one table implementation behind every door") {
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.SnapshotCatalog")
+    val dir = tmpDir("sqlcat") + "/t"
+    SnapshotTable.merge(spark, dir, kvp((1L, "a", 1), (2L, "b", 2)),
+      "k", "v", Seq("p"), Some(1L))                       // v1
+    SnapshotTable.tag(spark, dir, "first")
+    SnapshotTable.merge(spark, dir, kvp((2L, "b2", 2)),
+      "k", "v", Seq("p"), Some(2L))                       // v2
+    def sql(q: String) = content(spark.sql(q))
+    assert(sql(s"SELECT k, v, p FROM graft.`$dir`") ==
+      Set((1L, "a", 1), (2L, "b2", 2)))
+    assert(sql(s"SELECT k, v, p FROM graft.`$dir` VERSION AS OF 1") ==
+      Set((1L, "a", 1), (2L, "b", 2)))
+    assert(sql(
+      s"SELECT k, v, p FROM graft.`$dir` VERSION AS OF 'first'") ==
+      Set((1L, "a", 1), (2L, "b", 2)))
+    // pushdown reaches the same pruning through the SQL door
+    assert(sql(s"SELECT k, v, p FROM graft.`$dir` WHERE k >= 2") ==
+      Set((2L, "b2", 2)))
+    val exT = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft.`$dir` TIMESTAMP AS OF '2026-01-01'")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(exT).exists(_.contains("TIMESTAMP AS OF is not")),
+      s"got: $exT")
+    val exW = intercept[Exception] {
+      spark.sql(s"DROP TABLE graft.`$dir`")
+    }
+    assert(chain(exW).exists(_.contains("read-only")), s"got: $exW")
+    val exM = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`/nowhere/at/all`").collect()
+    }
+    assert(exM.getMessage != null) // NoSuchTable surfaces, not a crash
+  }
 }
