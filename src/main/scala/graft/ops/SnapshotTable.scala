@@ -544,7 +544,8 @@ object SnapshotTable {
       statsKeys: Seq[String], dvKey: Option[String] = None,
       base: Option[Snap] = None,
       checks: Map[String, String] = Map.empty,
-      droppedCols: Seq[String] = Nil): Unit = {
+      droppedCols: Seq[String] = Nil,
+      ref: Option[String] = None): Unit = {
     require(checks.keys.forall(n => !n.contains(" ") && !n.contains("\n")),
       s"check names must be space-free: ${checks.keys.mkString(", ")}")
     require(!schemaDdl.contains("\n"),
@@ -560,9 +561,12 @@ object SnapshotTable {
     // tmp name unique per ATTEMPT (not per version): two in-JVM racers
     // at the same version must never overwrite each other's staging
     // bytes; stale attempts sweep as *.tmp in [[vacuum]]
+    // a branch commit claims in its own namespace (`_bsnap.<name>.<v>`)
+    // — invisible to main's resolution until fastForward adopts it
+    val mname = ref.fold(s"_snap.$newVer")(b => s"_bsnap.$b.$newVer")
     val tmp = new Path(dir,
-      s"_snap.$newVer.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
-    val dst = new Path(dir, s"_snap.$newVer")
+      s"$mname.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
+    val dst = new Path(dir, mname)
     val body = base match {
       case Some(b) if b.ver == newVer - 1 && b.ver > 0 &&
           b.depth + 1 < ManifestCheckpointEvery =>
@@ -607,7 +611,9 @@ object SnapshotTable {
         s"snapshot manifest $dst was replaced by a concurrent writer — " +
           "cross-process commits are best-effort detection; the other " +
           "commit won")
-      advanceHeadPointer(spark, dir, newVer)
+      // branches have no pointer: their heads probe forward from the
+      // immutable fork record, and audit branches stay short
+      if (ref.isEmpty) advanceHeadPointer(spark, dir, newVer)
     }
   }
 
@@ -734,12 +740,19 @@ object SnapshotTable {
       version.getOrElse(headVersion(spark, dir)))
 
   private def resolveAt(spark: SparkSession, dir: String,
-      ver: Long): Snap = {
+      ver: Long, ref: Option[String] = None): Snap = {
     val fs = fsOf(spark, dir)
-    val manifest = new Path(dir, s"_snap.$ver")
+    // a branch (`ref`) resolves its OWN manifest when one exists at
+    // `ver` and falls back to main's below its fork — the shared
+    // history is read in place, never copied (the Iceberg ref model:
+    // branches are names into one version DAG, not table copies)
+    val manifest = ref.map(b => new Path(dir, s"_bsnap.$b.$ver"))
+      .filter(fs.exists)
+      .getOrElse(new Path(dir, s"_snap.$ver"))
     if (!fs.exists(manifest)) {
       require(fs.exists(new Path(dir)), s"no snapshot table at $dir")
-      require(false, s"version $ver of $dir is not retained")
+      require(false, s"version $ver of $dir is not retained" +
+        ref.fold("")(b => s" (resolving branch '$b')"))
     }
     val in = fs.open(manifest)
     val text =
@@ -763,7 +776,7 @@ object SnapshotTable {
     // partial one and prune REAL files — and a manifest this writer
     // didn't produce is corruption either way, never a fallback.
     def badLine(l: String): Nothing = throw new IllegalArgumentException(
-      s"manifest _snap.$ver carries an unparseable line '$l' — " +
+      s"manifest ${manifest.getName} carries an unparseable line '$l' — " +
         "pre-format manifests and corrupt manifests refuse loudly " +
         "(a silent partial parse would mis-prune)")
     val stats = lines.filter(_.startsWith("stat="))
@@ -810,11 +823,12 @@ object SnapshotTable {
     }
     val ddl = lines.find(_.startsWith("schema="))
       .map(_.stripPrefix("schema="))
-    require(ddl.isDefined, s"manifest _snap.$ver carries no schema line")
+    require(ddl.isDefined,
+      s"manifest ${manifest.getName} carries no schema line")
     val parts = lines.find(_.startsWith("parts="))
       .map(_.stripPrefix("parts=").split(",").toSeq.filter(_.nonEmpty))
     require(parts.isDefined,
-      s"manifest _snap.$ver carries no parts line")
+      s"manifest ${manifest.getName} carries no parts line")
     val dvk = lines.find(_.startsWith("dvkey="))
       .map(_.stripPrefix("dvkey="))
     val checks = lines.filter(_.startsWith("check="))
@@ -829,16 +843,16 @@ object SnapshotTable {
       case None => (own, 0)
       case Some(bv) =>
         require(bv == ver - 1,
-          s"manifest _snap.$ver bases on $bv — bases are always the " +
-            "immediately preceding version")
-        val b = resolveAt(spark, dir, bv)
+          s"manifest ${manifest.getName} bases on $bv — bases are " +
+            "always the immediately preceding version")
+        val b = resolveAt(spark, dir, bv, ref)
         val dropped = lines.filter(_.startsWith("drop="))
           .map(_.stripPrefix("drop=")).toSet
         ((b.entries.filterNot(e => dropped.contains(e.path)) ++ own)
           .sortBy(_.path), b.depth + 1)
     }
     require(dvk.isDefined || entries.forall(_.dvs.isEmpty),
-      s"manifest _snap.$ver carries dv lines but no dvkey")
+      s"manifest ${manifest.getName} carries dv lines but no dvkey")
     Snap(ver, batch, entries, ddl.get, parts.get, skList, dvk, depth,
       checks, droppedCols)
   }
@@ -1533,7 +1547,8 @@ object SnapshotTable {
       schemaDdl: String,
       maxRowsPerTask: Long, dirToken: Option[String],
       clusterKey: Option[Column] = None,
-      head: Option[Snap] = None): Long = {
+      head: Option[Snap] = None,
+      ref: Option[String] = None): Long = {
     val headDvKey = head.flatMap(_.dvKey)
     // salt/profile column: the merge key when present, else any
     // non-partition column — needed even statless for the row counts
@@ -1637,7 +1652,7 @@ object SnapshotTable {
           schemaDdl, partCols, newStatsCols,
           headDvKey.filter(_ => allEntries.exists(_.dvs.nonEmpty)),
           base = head, checks = checkList.toMap,
-          droppedCols = tombstones)
+          droppedCols = tombstones, ref = ref)
         newVer
       } catch {
         // DISJOINT-WRITER CONFLICT RESOLUTION (Delta's public
@@ -1654,7 +1669,11 @@ object SnapshotTable {
         // metadata change rethrows and the retry loop rebases.
         case e: IllegalArgumentException
             if isCommitConflict(e) && dirToken.isDefined &&
-              head.isDefined && fastRecommitEnabled =>
+              head.isDefined && fastRecommitEnabled && ref.isEmpty =>
+          // ref.isEmpty: the fast path re-resolves the WINNER's commit,
+          // which on a branch would need ref-aware chain inspection —
+          // branch contention is the single-audit-writer exception, so
+          // a branch loser takes the honest full rebase instead
           val keptSet = kept.map(_.path).toSet
           val ourKeys = producedF.map(e => partKeyOfEntry(e.path)).toSet ++
             head.get.entries.filterNot(en => keptSet.contains(en.path))
@@ -1759,7 +1778,8 @@ object SnapshotTable {
     * (head, evolved schema) or Left(head version) on a replay no-op. */
   private def mergePreamble(spark: SparkSession, dir: String,
       dataSchema: StructType, partCols: Seq[String],
-      batchId: Option[Long]): Either[Long, (Snap, StructType)] = {
+      batchId: Option[Long],
+      ref: Option[String] = None): Either[Long, (Snap, StructType)] = {
     requireDistinctCols(partCols)
     require(!dataSchema.toDDL.contains("\n"),
       "delta schema DDL must be a single line (multi-line column " +
@@ -1770,14 +1790,21 @@ object SnapshotTable {
     // commit path — the listing the pointer exists to eliminate);
     // only the not-yet-a-table case falls through to the loud refusal
     // we turn into the empty head
-    val head =
-      try resolve(spark, dir)
-      catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null &&
-              e.getMessage.contains("no snapshot table") =>
-          Snap(0L, None, Nil, dataSchema.toDDL, partCols, Nil)
-      }
+    val head = ref match {
+      // a branch head: the branch must exist (created from a retained
+      // version — there is no "first merge creates the branch" path;
+      // an implicit create would silently fork from whatever main
+      // happened to be at, which is never what an audit staged)
+      case Some(b) => resolveBranch(spark, dir, b)
+      case None =>
+        try resolve(spark, dir)
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("no snapshot table") =>
+            Snap(0L, None, Nil, dataSchema.toDDL, partCols, Nil)
+        }
+    }
     if (batchId.isDefined && head.batchId == batchId)
       return Left(head.ver)
     // the PARTITIONING is part of the table contract: a merge keyed on
@@ -1894,16 +1921,30 @@ object SnapshotTable {
     * a delta spans few storage partitions by construction.
     * `statsCols` names EXTRA columns (beyond the merge key) whose
     * per-entry/per-file min/max the manifest records — Iceberg's
-    * per-column bounds — so [[readRange]] prunes on any of them. */
+    * per-column bounds — so [[readRange]] prunes on any of them.
+    * `branch` stages the commit on a [[createBranch writable branch]]
+    * instead of main (the write-audit-publish workflow) — same
+    * semantics, invisible to main's readers until [[fastForward]]. */
   def merge(spark: SparkSession, dir: String, delta: DataFrame,
       key: String, tieBreak: String, partCols: Seq[String],
       batchId: Option[Long] = None,
       maxRowsPerTask: Long = DefaultMaxRowsPerTask,
       dirToken: Option[String] = None,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      branch: Option[String] = None): Long = {
     requirePathSafe(delta, partCols)
+    // branch writes ALWAYS stage under a unique per-commit token: the
+    // branch's version counter overlaps main's (both append above the
+    // fork), so an untokened `v=<n>` staging dir could collide with —
+    // and mode(overwrite) clobber — a main commit's at the same
+    // number; and a dropped-then-recreated branch must never reuse a
+    // dir name an already-published manifest still references
+    val token = branch.fold(dirToken)(_ => Some(
+      s"b${java.lang.Long.toHexString(System.nanoTime())}" +
+        dirToken.fold("")(t => s"-$t")))
     val (head, newSchema) =
-      mergePreamble(spark, dir, delta.schema, partCols, batchId) match {
+      mergePreamble(spark, dir, delta.schema, partCols, batchId,
+        branch) match {
         case Left(ver) => return ver
         case Right(hs) => hs
       }
@@ -1924,7 +1965,7 @@ object SnapshotTable {
       .localCheckpoint()
     try writeAndCommit(spark, dir, merged, (key +: statsCols).distinct,
       partCols, head.ver + 1, batchId, kept, newSchema.toDDL,
-      maxRowsPerTask, dirToken, head = Some(head))
+      maxRowsPerTask, token, head = Some(head), ref = branch)
     finally org.apache.spark.sql.graftbridge.ColumnBridge
       .unpersistLocalCheckpoint(merged)
   }
@@ -2127,15 +2168,16 @@ object SnapshotTable {
     }
   }
 
-  /** All tags: name → pinned version. */
-  def tags(spark: SparkSession, dir: String): Map[String, Long] = {
+  /** All refs under `prefix` (`_tag.` / `_branch.`): name → version. */
+  private def namedRefs(spark: SparkSession, dir: String,
+      prefix: String): Map[String, Long] = {
     val fs = fsOf(spark, dir)
     val root = new Path(dir)
     if (!fs.exists(root)) return Map.empty
     fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("_tag.") && !n.endsWith(".tmp"))
+      .filter(n => n.startsWith(prefix) && !n.endsWith(".tmp"))
       .flatMap { n =>
-        val name = n.stripPrefix("_tag.")
+        val name = n.stripPrefix(prefix)
         val in = fs.open(new Path(dir, n))
         val text =
           try {
@@ -2146,6 +2188,10 @@ object SnapshotTable {
         text.toLongOption.map(name -> _)
       }.toMap
   }
+
+  /** All tags: name → pinned version. */
+  def tags(spark: SparkSession, dir: String): Map[String, Long] =
+    namedRefs(spark, dir, "_tag.")
 
   /** Resolve a table BY TAG — time travel by name. */
   def resolveTag(spark: SparkSession, dir: String, name: String): Snap = {
@@ -2164,6 +2210,190 @@ object SnapshotTable {
     val p = new Path(dir, s"_tag.$name")
     require(fs.exists(p),
       s"no tag '$name' on $dir")
+    fs.delete(p, false)
+  }
+
+  /** WRITABLE BRANCH (Iceberg refs beyond tags — the write-audit-
+    * publish workflow): fork a named line of commits off a retained
+    * version. Branch commits claim manifests in a PARALLEL namespace
+    * (`_bsnap.<name>.<v>`, version numbers continuing from the fork)
+    * in the same table dir and stage data under the shared `data/`
+    * root with per-commit unique dir tokens; the history at and below
+    * the fork is read IN PLACE through [[resolveAt]]'s namespace
+    * fallback, never copied — a branch costs O(commits staged on it),
+    * not O(table). Main's readers never look at `_bsnap.*`, so staged
+    * commits are invisible until [[fastForward]] publishes them; the
+    * fork version is pinned against [[retainNewest]] exactly like a
+    * tag, and branch-referenced data stays live to retention/vacuum
+    * until [[dropBranch]].
+    *
+    * `_branch.<name>` records the IMMUTABLE fork version, claimed
+    * create-exclusive through the same no-clobber rename as tags (two
+    * racers creating one name get one winner, loudly), with the same
+    * post-claim re-verify against a concurrent retention cut. Names
+    * exclude dots — `_bsnap.<name>.<v>` parses by its LAST dot, and
+    * [[dropBranch]] deletes by name-prefix.
+    *
+    * Write surface on a branch: [[merge]] and [[mergeCdc]] take
+    * `branch = Some(name)`. Maintenance ops (optimize, deleteKeys,
+    * repartition, drop/rename column) stay MAIN-only by design —
+    * they are post-publish concerns, and running them against a
+    * quarantined line would burn O(table) work that the publish gate
+    * might reject. */
+  def createBranch(spark: SparkSession, dir: String, name: String,
+      version: Option[Long] = None): Long = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_-]+"),
+      s"branch name must be a [A-Za-z0-9_-]+ token (no dots): '$name'")
+    val lock = commitLocks.computeIfAbsent(lockKey(spark, dir),
+      _ => new Object)
+    lock.synchronized {
+      val v = version.getOrElse(resolve(spark, dir).ver)
+      val fs = fsOf(spark, dir)
+      require(fs.exists(new Path(dir, s"_snap.$v")),
+        s"version $v of $dir is not retained — cannot branch from it")
+      val tmp = new Path(dir, s"_branch.$name." +
+        s"${java.lang.Long.toHexString(System.nanoTime())}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      claimVersion(spark, tmp, new Path(dir, s"_branch.$name"))
+      // post-claim re-verify — the same dangling-pin discipline as tag()
+      if (!fs.exists(new Path(dir, s"_snap.$v"))) {
+        fs.delete(new Path(dir, s"_branch.$name"), false)
+        throw new IllegalStateException(
+          s"version $v of $dir was deleted by a concurrent retention " +
+            s"cut while branch '$name' was being claimed — the branch " +
+            "was rolled back; re-resolve and branch a retained version")
+      }
+      v
+    }
+  }
+
+  /** All branches: name → fork version. */
+  def branches(spark: SparkSession, dir: String): Map[String, Long] =
+    namedRefs(spark, dir, "_branch.")
+
+  private def branchFork(spark: SparkSession, dir: String,
+      name: String): Long = {
+    val bs = branches(spark, dir)
+    require(bs.contains(name), s"no branch '$name' on $dir (have " +
+      s"${bs.keys.toSeq.sorted.mkString(", ")})")
+    bs(name)
+  }
+
+  /** The branch's newest version: its immutable fork plus a forward
+    * probe over its own manifests — branch commits only ever append
+    * at head+1 (the contiguity invariant [[headVersion]] rides), and
+    * audit branches stay short, so the probe is a handful of
+    * existence checks with no pointer file to maintain. */
+  def branchHead(spark: SparkSession, dir: String, name: String): Long = {
+    val fork = branchFork(spark, dir, name)
+    val fs = fsOf(spark, dir)
+    var h = fork
+    while (fs.exists(new Path(dir, s"_bsnap.$name.${h + 1}"))) h += 1
+    h
+  }
+
+  /** Resolve a branch at its head or a pinned `version` — versions at
+    * or below the fork resolve the shared main history in place.
+    * Versions ABOVE the branch head refuse (the namespace fallback
+    * would otherwise silently resolve an unrelated MAIN commit that
+    * landed after the fork as if it were branch history). */
+  def resolveBranch(spark: SparkSession, dir: String, name: String,
+      version: Option[Long] = None): Snap = {
+    val bh = branchHead(spark, dir, name)
+    val v = version.getOrElse(bh)
+    require(v <= bh,
+      s"version $v is beyond branch '$name' head $bh on $dir")
+    resolveAt(spark, dir, v, Some(name))
+  }
+
+  /** Read a branch at its head (or a pinned version) — the AUDIT
+    * surface of write-audit-publish. */
+  def readBranch(spark: SparkSession, dir: String, name: String,
+      version: Option[Long] = None): DataFrame =
+    readSnap(spark, dir, resolveBranch(spark, dir, name, version))
+
+  /** PUBLISH a branch — Iceberg's `fastForwardBranch(main, branch)`:
+    * adopt every staged branch commit into main's namespace, version
+    * by version, through the same no-clobber claim every commit uses.
+    * Requires main UNCHANGED since the fork (the fast-forward
+    * ancestor rule: the staged line must be a strict extension of
+    * main — when main moved, re-branch from the new head and replay).
+    * The adopted manifests are byte-copies of the branch's, so the
+    * published history keeps per-commit time travel, batch replay
+    * ids, and the change feed across the whole published range — a
+    * squash commit would lose all three. Data never moves: branch
+    * commits staged into the shared `data/` root from the start, so
+    * the publish is O(staged commits) metadata and ZERO data bytes.
+    * Returns the new main head (the fork when nothing was staged).
+    * The branch itself survives for post-publish audit trail reads —
+    * [[dropBranch]] it when done (a published branch cannot
+    * fast-forward again: main has moved past its fork).
+    *
+    * Cross-process honesty: each adoption claim is individually
+    * atomic, but the sequence is not one atomic ref swap — a
+    * cross-process main writer racing the publish can claim an
+    * intermediate version first, in which case the publish stops
+    * LOUDLY at the last version it adopted (still a valid linear
+    * history: the racer based on adopted content) and the remainder
+    * stays staged on the branch. In-JVM, the per-dir monitor makes
+    * the publish atomic against other commits. */
+  def fastForward(spark: SparkSession, dir: String, name: String): Long = {
+    val lock = commitLocks.computeIfAbsent(lockKey(spark, dir),
+      _ => new Object)
+    lock.synchronized {
+      val fork = branchFork(spark, dir, name)
+      val bh = branchHead(spark, dir, name)
+      if (bh == fork) return fork
+      val mainHead = resolve(spark, dir).ver
+      require(mainHead == fork,
+        s"main is at v$mainHead but branch '$name' forked at v$fork — " +
+          "fast-forward publishes only a strict extension of main; " +
+          "re-branch from the current head and replay the staged " +
+          "commits")
+      val fs = fsOf(spark, dir)
+      (fork + 1 to bh).foreach { v =>
+        val in = fs.open(new Path(dir, s"_bsnap.$name.$v"))
+        val bytes =
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+            bos.toByteArray
+          } finally in.close()
+        val tmp = new Path(dir, s"_snap.$v." +
+          s"${java.lang.Long.toHexString(System.nanoTime())}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        try claimVersion(spark, tmp, new Path(dir, s"_snap.$v"))
+        catch {
+          case e: IllegalArgumentException if isCommitConflict(e) =>
+            throw new IllegalArgumentException(
+              s"fast-forward of branch '$name' was interrupted at v$v " +
+                s"by a concurrent main commit — versions ${fork + 1}.." +
+                s"${v - 1} were published; the rest stay staged on the " +
+                "branch", e)
+        }
+      }
+      advanceHeadPointer(spark, dir, bh)
+      bh
+    }
+  }
+
+  /** Drop a branch: its manifests go immediately; data only its
+    * commits referenced becomes reclaimable at the next [[vacuum]] or
+    * [[retainNewest]] cut (PUBLISHED data is referenced by the
+    * adopted main manifests and stays). Unknown names refuse loudly —
+    * a typo'd drop that silently no-ops leaves the fork pinned against
+    * retention forever. */
+  def dropBranch(spark: SparkSession, dir: String, name: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir, s"_branch.$name")
+    require(fs.exists(p), s"no branch '$name' on $dir")
+    // names exclude dots, so the `_bsnap.<name>.` prefix is exact —
+    // it can never capture another branch's manifests
+    fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(_.getName.startsWith(s"_bsnap.$name."))
+      .foreach(fs.delete(_, false))
     fs.delete(p, false)
   }
 
@@ -2250,23 +2480,32 @@ object SnapshotTable {
     * applies here verbatim. A feed that deletes every row of every
     * touched partition commits a version whose entry list simply
     * drops those partitions (and an empty table refuses on read, like
-    * every empty snapshot). */
+    * every empty snapshot). `branch` stages the CDC commit on a
+    * [[createBranch writable branch]] — a change feed is exactly what
+    * an audit pipeline wants quarantined until the gate passes. */
   def mergeCdc(spark: SparkSession, dir: String, delta: DataFrame,
       key: String, seqCols: Seq[String], opCol: String,
       partCols: Seq[String], batchId: Option[Long] = None,
       maxRowsPerTask: Long = DefaultMaxRowsPerTask,
       dirToken: Option[String] = None,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      branch: Option[String] = None): Long = {
     require(seqCols.nonEmpty, "seqCols must name >= 1 column")
     require(delta.columns.contains(opCol),
       s"op column '$opCol' is not in the delta")
     require(!(partCols :+ key).contains(opCol),
       s"op column '$opCol' cannot double as key or partition column")
     requirePathSafe(delta, partCols)
+    // same unique-staging rule as merge's branch path (version-number
+    // overlap with main, dropped-and-recreated branch dir reuse)
+    val token = branch.fold(dirToken)(_ => Some(
+      s"b${java.lang.Long.toHexString(System.nanoTime())}" +
+        dirToken.fold("")(t => s"-$t")))
     val dataSchema = StructType(
       delta.schema.fields.filterNot(_.name == opCol))
     val (head, newSchema) =
-      mergePreamble(spark, dir, dataSchema, partCols, batchId) match {
+      mergePreamble(spark, dir, dataSchema, partCols, batchId,
+        branch) match {
         case Left(ver) => return ver
         case Right(hs) => hs
       }
@@ -2330,7 +2569,7 @@ object SnapshotTable {
       try writeAndCommit(spark, dir, survivors,
         (key +: statsCols).distinct, partCols,
         head.ver + 1, batchId, kept, newSchema.toDDL,
-        maxRowsPerTask, dirToken, head = Some(head))
+        maxRowsPerTask, token, head = Some(head), ref = branch)
       finally org.apache.spark.sql.graftbridge.ColumnBridge
         .unpersistLocalCheckpoint(survivors)
     } finally org.apache.spark.sql.graftbridge.ColumnBridge
@@ -2640,16 +2879,20 @@ object SnapshotTable {
     val live: Set[String] = lock.synchronized {
       val vs = versions(spark, dir)
       if (vs.size <= keep) return
-      // TAGGED versions are pinned (the Iceberg-refs contract): the
-      // retained set is the newest `keep` plus every tagged version.
-      // The listing REPEATS until stable: a cross-process tag landing
-      // mid-computation is picked up by the re-list and its version
-      // joins the retained set before anything is deleted (bounded
-      // rounds — a tag slipping past the final listing is the
-      // residual cross-process window tag()'s own post-claim
-      // re-verify turns into a loud self-rollback, never a silent
-      // dangling pin).
-      var tagged = tags(spark, dir).values.toSet
+      // TAGGED versions and BRANCH FORKS are pinned (the Iceberg-refs
+      // contract): the retained set is the newest `keep` plus every
+      // tagged version plus every branch's fork (branch delta chains
+      // bottom out on the fork's main manifest — cutting it would
+      // orphan the whole branch). The listing REPEATS until stable: a
+      // cross-process tag/branch landing mid-computation is picked up
+      // by the re-list and its version joins the retained set before
+      // anything is deleted (bounded rounds — a ref slipping past the
+      // final listing is the residual cross-process window the
+      // post-claim re-verify turns into a loud self-rollback, never a
+      // silent dangling pin).
+      def pinned() = tags(spark, dir).values.toSet ++
+        branches(spark, dir).values.toSet
+      var tagged = pinned()
       var retainedSet = Set.empty[Long]
       // each retained version resolves exactly ONCE into this map —
       // the live-entry set and the checkpoint rewrite both read it
@@ -2681,9 +2924,9 @@ object SnapshotTable {
             resolved += v -> s.copy(depth = 0) // now a checkpoint
           }
         }
-        // re-list immediately before the deletes: honor any tag that
-        // landed while this cut was checkpointing
-        val again = tags(spark, dir).values.toSet
+        // re-list immediately before the deletes: honor any tag or
+        // branch that landed while this cut was checkpointing
+        val again = pinned()
         stable = again == tagged || rounds >= 3
         tagged = again
       }
@@ -2697,8 +2940,22 @@ object SnapshotTable {
       writeHeadPointer(spark, dir, vs.max)
       vs.filterNot(retainedSet.contains).foreach(v =>
         fs.delete(new Path(dir, s"_snap.$v"), false))
+      // data any BRANCH commit references is live too — staged audit
+      // work must survive a main retention cut until the branch drops
+      // (branch manifests themselves are never cut: they live outside
+      // the `_snap.` namespace this sweep touches, and audit branches
+      // are short, so the per-version resolution here is a handful of
+      // bounded manifest reads per branch)
+      val branchLive = branches(spark, dir).toSeq.flatMap {
+        case (b, fork) =>
+          (fork + 1 to branchHead(spark, dir, b)).flatMap { v =>
+            val s = resolveAt(spark, dir, v, Some(b))
+            s.entryPaths ++ s.entries.flatMap(_.dvs)
+          }
+      }
       resolved.values.flatMap(s =>
-        s.entryPaths ++ s.entries.flatMap(_.dvs)).toSet // dv sidecars live
+        s.entryPaths ++ s.entries.flatMap(_.dvs)).toSet ++
+        branchLive // dv sidecars live
     }
     // the DATA sweep runs outside the monitor (it can be slow and
     // touches only unreferenced dirs; a concurrent commit references
@@ -2757,20 +3014,34 @@ object SnapshotTable {
     val root = new Path(dir)
     if (!fs.exists(root)) return
     val vs = versions(spark, dir)
-    val liveVers = vs.flatMap { v =>
-      val s = resolve(spark, dir, Some(v))
+    val bs = branches(spark, dir)
+    // a version dir is live when ANY main or branch manifest
+    // references it — staged audit work is not a crash remnant
+    val liveVers = (vs.map(v => () => resolve(spark, dir, Some(v))) ++
+      bs.toSeq.flatMap { case (b, fork) =>
+        (fork + 1 to branchHead(spark, dir, b)).map(v =>
+          () => resolveAt(spark, dir, v, Some(b)))
+      }).flatMap { r =>
+      val s = r()
       (s.entryPaths ++ s.entries.flatMap(_.dvs))
         .map(p => p.substring(0, p.indexOf('/')))
     }.toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    // stale tmp manifests / head-pointer / tag stagings from a
-    // crashed commit (rename never ran)
+    // stale tmp manifests / head-pointer / tag / branch stagings from
+    // a crashed commit (rename never ran), plus ORPHANED branch
+    // manifests — a commit that raced its own branch's drop claimed a
+    // `_bsnap.` file no `_branch.` pointer names, unresolvable forever
     fs.listStatus(root)
-      .filter(st => (st.getPath.getName.startsWith("_snap.") ||
-        st.getPath.getName.startsWith("_head.") ||
-        st.getPath.getName.startsWith("_tag.")) &&
-        st.getPath.getName.endsWith(".tmp") &&
-        st.getModificationTime <= cutoff)
+      .filter { st =>
+        val n = st.getPath.getName
+        val staleTmp = (n.startsWith("_snap.") || n.startsWith("_head.") ||
+          n.startsWith("_tag.") || n.startsWith("_branch.") ||
+          n.startsWith("_bsnap.")) && n.endsWith(".tmp")
+        val orphanBsnap = n.startsWith("_bsnap.") && !n.endsWith(".tmp") &&
+          !bs.contains(n.stripPrefix("_bsnap.").reverse.dropWhile(_ != '.')
+            .drop(1).reverse)
+        (staleTmp || orphanBsnap) && st.getModificationTime <= cutoff
+      }
       .foreach(st => fs.delete(st.getPath, false))
     // live in-flight markers spare their staged trees by NAME (the
     // store-portable signal); stale markers — dead writers' residue —

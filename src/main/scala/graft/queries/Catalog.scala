@@ -10945,6 +10945,88 @@ object Catalog {
         o_orderkey // 4096 AS bucket, 'tag_sql' AS src
       FROM orders WHERE o_orderkey % 1000 = 0"""))
 
+  /** WRITABLE BRANCHES — write-audit-publish on the snapshot table
+    * ([[graft.ops.SnapshotTable.createBranch]]/[[graft.ops.SnapshotTable.fastForward]]
+    * — Iceberg's refs-beyond-tags rebuilt on the manifest: branch
+    * commits claim a parallel `_bsnap.<name>.<v>` namespace sharing
+    * main's version counter and `data/` root, so a branch costs
+    * O(staged commits) and the publish is O(metadata) with ZERO data
+    * movement): two staged merges land on branch `wap` while main's
+    * head never moves (`main_before` reads main AFTER both stagings
+    * and must still hash as the seed — the isolation claim), the
+    * audit surface reads the staged line, and fast-forward adopts the
+    * branch manifests version-by-version so post-publish main serves
+    * BOTH the final state and time travel to the intermediate staged
+    * commit (`published_v2` — a squash would fail this leg). The
+    * closing dropBranch exercises ref cleanup on the verify path
+    * (manifests only — published data is main's now). */
+  private val q284 = Q("q284_snapshot_branch_wap",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q284tbl").toString + "/t"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(dec2).cast("string").as("total"),
+        expr("o_orderkey div 4096").as("bucket"))
+      graft.ops.SnapshotTable.merge(s, tbl, o,
+        "o_orderkey", "total", Seq("bucket"), Some(1L))
+      graft.ops.SnapshotTable.createBranch(s, tbl, "wap")
+      graft.ops.SnapshotTable.merge(s, tbl,
+        o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_orderstatus", lit("W")),
+        "o_orderkey", "total", Seq("bucket"), Some(2L),
+        branch = Some("wap"))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderstatus", lit("V")),
+        "o_orderkey", "total", Seq("bucket"), Some(3L),
+        branch = Some("wap"))
+      // resolved BEFORE the publish: snapshot isolation pins these
+      // frames to the manifests they resolved, however late they run
+      val mainBefore = graft.ops.SnapshotTable.read(s, tbl)
+        .filter(col("o_orderkey") <= 2000L)
+        .withColumn("src", lit("main_before"))
+      val audit = graft.ops.SnapshotTable.readBranch(s, tbl, "wap")
+        .filter(col("o_orderkey") >= 2000L && col("o_orderkey") <= 5000L)
+        .withColumn("src", lit("audit"))
+      graft.ops.SnapshotTable.fastForward(s, tbl, "wap")
+      val published = graft.ops.SnapshotTable.read(s, tbl)
+        .filter(col("o_orderkey") >= 5000L && col("o_orderkey") <= 8000L)
+        .withColumn("src", lit("published"))
+      val midTravel = graft.ops.SnapshotTable.read(s, tbl, Some(2L))
+        .filter(col("o_orderkey") % 500 === 0)
+        .withColumn("src", lit("published_v2"))
+      graft.ops.SnapshotTable.dropBranch(s, tbl, "wap")
+      mainBefore.unionByName(audit).unionByName(published)
+        .unionByName(midTravel)
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'main_before' AS src
+      FROM orders WHERE o_orderkey <= 2000
+      UNION ALL
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'V'
+             WHEN o_orderkey % 3 = 0 THEN 'W'
+             ELSE o_orderstatus END AS o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'audit' AS src
+      FROM orders WHERE o_orderkey BETWEEN 2000 AND 5000
+      UNION ALL
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'V'
+             WHEN o_orderkey % 3 = 0 THEN 'W'
+             ELSE o_orderstatus END AS o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'published' AS src
+      FROM orders WHERE o_orderkey BETWEEN 5000 AND 8000
+      UNION ALL
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 3 = 0 THEN 'W'
+             ELSE o_orderstatus END AS o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'published_v2' AS src
+      FROM orders WHERE o_orderkey % 500 = 0"""))
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -10976,5 +11058,6 @@ object Catalog {
     q240, q241, q242, q243, q244, q245, q246, q247, q248, q249, q250,
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
     q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272,
-    q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283)
+    q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283,
+    q284)
 }

@@ -20,7 +20,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   SELECT * FROM graft.`/data/events/t` VERSION AS OF 3
   *   SELECT * FROM graft.`/data/events/t` VERSION AS OF 'train-v1'
   * }}}
-  * (a non-numeric version string resolves as a NAMED TAG — the same
+  * (a non-numeric version string resolves as a NAMED TAG, or — when
+  * no tag has the name — a writable BRANCH's staged head, the same
   * name/number duality Iceberg's SQL surface keeps). Identifiers are
   * PATHS (Delta's `delta.`path`` shape): a backtick-quoted single
   * part is the table dir; dotted parts join with `/`. Scans come from
@@ -46,12 +47,26 @@ class SnapshotCatalog extends TableCatalog {
     (ident.namespace() :+ ident.name()).mkString("/")
 
   private def load(ident: Identifier, version: Option[Long],
-      tag: Option[String]): Table = {
+      ref: Option[String]): Table = {
     val dir = dirOf(ident)
     val spark = SparkSession.active
     try {
-      val snap = tag.fold(SnapshotTable.resolve(spark, dir, version))(
-        t => SnapshotTable.resolveTag(spark, dir, t))
+      val snap = ref.fold(SnapshotTable.resolve(spark, dir, version)) {
+        n =>
+          // the Iceberg name duality: a named ref is a TAG when one
+          // exists, else a writable BRANCH's staged head — loud with
+          // both namespaces' inventories when it is neither
+          val t = SnapshotTable.tags(spark, dir)
+          if (t.contains(n)) SnapshotTable.resolve(spark, dir, Some(t(n)))
+          else {
+            val bs = SnapshotTable.branches(spark, dir)
+            require(bs.contains(n),
+              s"no tag or branch '$n' on $dir (tags: " +
+                s"${t.keys.toSeq.sorted.mkString(", ")}; branches: " +
+                s"${bs.keys.toSeq.sorted.mkString(", ")})")
+            SnapshotTable.resolveBranch(spark, dir, n)
+          }
+      }
       new SnapshotSourceTable(dir, snap)
     } catch {
       case e: IllegalArgumentException
@@ -67,7 +82,7 @@ class SnapshotCatalog extends TableCatalog {
     load(ident, None, None)
 
   /** `VERSION AS OF <v>` — a number pins a version, anything else
-    * resolves as a named tag. */
+    * resolves as a named tag, or a branch when no tag matches. */
   override def loadTable(ident: Identifier, version: String): Table =
     version.toLongOption match {
       case Some(v) => load(ident, Some(v), None)

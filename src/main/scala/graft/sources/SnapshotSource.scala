@@ -60,8 +60,9 @@ class SnapshotSource extends TableProvider {
 object SnapshotSource {
 
   /** Resolve the pinned snapshot the options name — head by default,
-    * `versionAsOf` for time travel, `tag` for named refs (mutually
-    * exclusive, like Delta's versionAsOf/timestampAsOf). */
+    * `versionAsOf` for time travel, `tag` for named refs, `branch`
+    * for a writable branch's staged head (all mutually exclusive,
+    * like Delta's versionAsOf/timestampAsOf). */
   private[sources] def resolveFrom(opts: CaseInsensitiveStringMap)
       : (String, Snap) = {
     val dir = Option(opts.get("path")).getOrElse(
@@ -72,11 +73,15 @@ object SnapshotSource {
         s"versionAsOf must be a version number, got '$v'"))
     }
     val tag = Option(opts.get("tag"))
-    require(ver.isEmpty || tag.isEmpty,
-      "versionAsOf and tag are mutually exclusive")
+    val branch = Option(opts.get("branch"))
+    require(Seq(ver, tag, branch).count(_.isDefined) <= 1,
+      "versionAsOf, tag, and branch are mutually exclusive")
     val spark = SparkSession.active
-    val snap = tag.fold(SnapshotTable.resolve(spark, dir, ver))(t =>
-      SnapshotTable.resolveTag(spark, dir, t))
+    val snap = (tag, branch) match {
+      case (Some(t), _) => SnapshotTable.resolveTag(spark, dir, t)
+      case (_, Some(b)) => SnapshotTable.resolveBranch(spark, dir, b)
+      case _ => SnapshotTable.resolve(spark, dir, ver)
+    }
     (dir, snap)
   }
 

@@ -782,4 +782,202 @@ class Round19Spec extends SparkSpec {
     }
     assert(exM.getMessage != null) // NoSuchTable surfaces, not a crash
   }
+
+  // ------------------------------------------ writable branches (WAP)
+
+  test("branch WAP lifecycle: staged commits are invisible to main, " +
+      "audit reads see them (head and time travel), fastForward " +
+      "publishes the EXACT per-version history (batch ids, CDF range " +
+      "included) with zero data movement, drop removes the ref") {
+    val dir = tmpDir("wap") + "/t"
+    SnapshotTable.merge(spark, dir, kvp((1L, "a", 1), (2L, "b", 2)),
+      "k", "v", Seq("p"), Some(1L))                         // main v1
+    assert(SnapshotTable.createBranch(spark, dir, "wap") == 1L)
+    assert(SnapshotTable.branches(spark, dir) == Map("wap" -> 1L))
+    SnapshotTable.merge(spark, dir, kvp((2L, "b2", 2), (3L, "c", 1)),
+      "k", "v", Seq("p"), Some(2L), branch = Some("wap"))   // staged v2
+    SnapshotTable.merge(spark, dir, kvp((4L, "d", 3)),
+      "k", "v", Seq("p"), Some(3L), branch = Some("wap"))   // staged v3
+    // WRITE: invisible to main — head version AND content unmoved
+    assert(SnapshotTable.resolve(spark, dir).ver == 1L)
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L))
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (2L, "b", 2)))
+    // AUDIT: the branch surface sees the staged line, with time travel
+    assert(SnapshotTable.branchHead(spark, dir, "wap") == 3L)
+    assert(content(SnapshotTable.readBranch(spark, dir, "wap")) ==
+      Set((1L, "a", 1), (2L, "b2", 2), (3L, "c", 1), (4L, "d", 3)))
+    assert(content(
+      SnapshotTable.readBranch(spark, dir, "wap", Some(2L))) ==
+      Set((1L, "a", 1), (2L, "b2", 2), (3L, "c", 1)))
+    // a branch replay no-ops exactly like main's
+    assert(SnapshotTable.merge(spark, dir, kvp((4L, "d", 3)),
+      "k", "v", Seq("p"), Some(3L), branch = Some("wap")) == 3L)
+    assert(SnapshotTable.branchHead(spark, dir, "wap") == 3L)
+    // PUBLISH: per-version adoption — history, replay ids, CDF carry
+    assert(SnapshotTable.fastForward(spark, dir, "wap") == 3L)
+    assert(SnapshotTable.resolve(spark, dir).ver == 3L)
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (2L, "b2", 2), (3L, "c", 1), (4L, "d", 3)))
+    assert(content(SnapshotTable.read(spark, dir, Some(2L))) ==
+      Set((1L, "a", 1), (2L, "b2", 2), (3L, "c", 1)))
+    assert(SnapshotTable.resolve(spark, dir, Some(3L)).batchId ==
+      Some(3L))
+    val cdf = SnapshotTable.changesBetween(spark, dir, "k", 1L, 3L)
+    assert(cdf.filter(col("_change_type") === "insert" &&
+      col("k") === 4L).count() == 1L)
+    // published data was never moved: the branch's staged dirs are
+    // what main's manifests now reference
+    val pubPaths = SnapshotTable.resolve(spark, dir).entries.map(_.path)
+    assert(pubPaths.exists(_.startsWith("v=2-b")) &&
+      pubPaths.exists(_.startsWith("v=3-b")), s"got: $pubPaths")
+    SnapshotTable.dropBranch(spark, dir, "wap")
+    assert(SnapshotTable.branches(spark, dir).isEmpty)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readBranch(spark, dir, "wap")
+    }
+    // main's published history is untouched by the drop
+    assert(content(SnapshotTable.read(spark, dir, Some(2L))) ==
+      Set((1L, "a", 1), (2L, "b2", 2), (3L, "c", 1)))
+  }
+
+  test("branch/main version-number overlap: a branch commit and a " +
+      "main commit at the SAME version number stage into disjoint " +
+      "dirs and neither clobbers the other; fast-forward then " +
+      "refuses (main moved) — the WAP rebase discipline") {
+    val dir = tmpDir("wapoverlap") + "/t"
+    SnapshotTable.merge(spark, dir, kvp((1L, "a", 1)),
+      "k", "v", Seq("p"), Some(1L))                         // main v1
+    SnapshotTable.createBranch(spark, dir, "b1")
+    SnapshotTable.merge(spark, dir, kvp((2L, "staged", 1)),
+      "k", "v", Seq("p"), Some(2L), branch = Some("b1"))    // branch v2
+    SnapshotTable.merge(spark, dir, kvp((3L, "mainline", 1)),
+      "k", "v", Seq("p"), Some(20L))                        // main v2
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (3L, "mainline", 1)))
+    assert(content(SnapshotTable.readBranch(spark, dir, "b1")) ==
+      Set((1L, "a", 1), (2L, "staged", 1)))
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.fastForward(spark, dir, "b1")
+    }
+    assert(ex.getMessage.contains("forked at"), ex.getMessage)
+    // refusal surfaces: unknown branch, duplicate create, beyond-head
+    // resolve, non-retained fork, empty-branch publish no-op
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(spark, dir, kvp((9L, "x", 1)),
+        "k", "v", Seq("p"), None, branch = Some("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.createBranch(spark, dir, "b1")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.resolveBranch(spark, dir, "b1", Some(5L))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.createBranch(spark, dir, "b2", Some(99L))
+    }
+    SnapshotTable.createBranch(spark, dir, "quiet")
+    assert(SnapshotTable.fastForward(spark, dir, "quiet") == 2L)
+  }
+
+  test("branch survives retention and vacuum while it exists (fork " +
+      "pinned + checkpointed like a tag, staged data live); after " +
+      "drop, vacuum reclaims branch-only dirs") {
+    val dir = tmpDir("wapretain") + "/t"
+    SnapshotTable.merge(spark, dir, kvp((1L, "a", 1)),
+      "k", "v", Seq("p"), Some(1L))                         // v1
+    SnapshotTable.merge(spark, dir, kvp((2L, "b", 2)),
+      "k", "v", Seq("p"), Some(2L))                         // v2
+    SnapshotTable.createBranch(spark, dir, "keepme")        // fork = 2
+    SnapshotTable.merge(spark, dir, kvp((5L, "staged", 3)),
+      "k", "v", Seq("p"), Some(5L), branch = Some("keepme"))
+    val stagedDirs = SnapshotTable
+      .resolveBranch(spark, dir, "keepme").entries.map(_.path)
+      .filter(_.startsWith("v=3-b"))
+      .map(_.split("/")(0)).distinct
+    assert(stagedDirs.nonEmpty)
+    SnapshotTable.merge(spark, dir, kvp((3L, "c", 1)),
+      "k", "v", Seq("p"), Some(3L))                         // main v3
+    SnapshotTable.retainNewest(spark, dir, keep = 1, graceMs = 0L)
+    // newest (3) kept, fork (2) pinned for the branch, 1 cut
+    assert(SnapshotTable.versions(spark, dir) == Seq(2L, 3L))
+    SnapshotTable.vacuum(spark, dir, graceMs = 0L)
+    assert(content(SnapshotTable.readBranch(spark, dir, "keepme")) ==
+      Set((1L, "a", 1), (2L, "b", 2), (5L, "staged", 3)))
+    val f = fs(dir)
+    stagedDirs.foreach(d => assert(
+      f.exists(new Path(s"$dir/data/$d")), s"$d swept while branch live"))
+    SnapshotTable.dropBranch(spark, dir, "keepme")
+    SnapshotTable.vacuum(spark, dir, graceMs = 0L)
+    stagedDirs.foreach(d => assert(
+      !f.exists(new Path(s"$dir/data/$d")), s"$d not reclaimed"))
+    // retention can now cut the un-pinned fork too
+    SnapshotTable.retainNewest(spark, dir, keep = 1, graceMs = 0L)
+    assert(SnapshotTable.versions(spark, dir) == Seq(3L))
+  }
+
+  test("mergeCdc stages on a branch: a change feed with deletes and " +
+      "upserts lands quarantined (main frozen), publishes through " +
+      "fastForward with the delete applied, and the published CDF " +
+      "classifies the staged delete") {
+    val dir = tmpDir("wapcdc") + "/t"
+    SnapshotTable.merge(spark, dir,
+      kvp((1L, "a", 1), (2L, "b", 1), (3L, "c", 2)),
+      "k", "v", Seq("p"), Some(1L))
+    SnapshotTable.createBranch(spark, dir, "cdc")
+    import spark.implicits._
+    val feed = Seq((2L, "ignored", 1, 10L, "D"), (3L, "c2", 2, 11L, "U"),
+      (4L, "d", 2, 12L, "I"))
+      .toDF("k", "v", "p", "seq", "op")
+    SnapshotTable.mergeCdc(spark, dir, feed, "k", Seq("seq"), "op",
+      Seq("p"), Some(2L), branch = Some("cdc"))
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (2L, "b", 1), (3L, "c", 2)))
+    assert(content(SnapshotTable.readBranch(spark, dir, "cdc")) ==
+      Set((1L, "a", 1), (3L, "c2", 2), (4L, "d", 2)))
+    SnapshotTable.fastForward(spark, dir, "cdc")
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (3L, "c2", 2), (4L, "d", 2)))
+    val cdf = SnapshotTable.changesBetween(spark, dir, "k", 1L, 2L)
+    assert(cdf.filter(col("_change_type") === "delete" &&
+      col("k") === 2L).count() == 1L)
+    SnapshotTable.dropBranch(spark, dir, "cdc")
+  }
+
+  test("branch doors: the DSv2 branch option and the SQL catalog's " +
+      "named-ref fallback (tag wins, branch when no tag matches, " +
+      "loud with both inventories when neither)") {
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.SnapshotCatalog")
+    val dir = tmpDir("wapdoors") + "/t"
+    SnapshotTable.merge(spark, dir, kvp((1L, "a", 1)),
+      "k", "v", Seq("p"), Some(1L))
+    SnapshotTable.tag(spark, dir, "pin")
+    SnapshotTable.createBranch(spark, dir, "stage")
+    SnapshotTable.merge(spark, dir, kvp((2L, "staged", 1)),
+      "k", "v", Seq("p"), Some(2L), branch = Some("stage"))
+    val viaOpt = spark.read.format("graft.sources.SnapshotSource")
+      .option("path", dir).option("branch", "stage").load()
+    assert(content(viaOpt) == Set((1L, "a", 1), (2L, "staged", 1)))
+    assert(content(spark.sql(
+      s"SELECT k, v, p FROM graft.`$dir` VERSION AS OF 'stage'")) ==
+      Set((1L, "a", 1), (2L, "staged", 1)))
+    assert(content(spark.sql(
+      s"SELECT k, v, p FROM graft.`$dir` VERSION AS OF 'pin'")) ==
+      Set((1L, "a", 1)))
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 'ghost'")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(ex).exists(m => m.contains("pin") &&
+      m.contains("stage")), s"got: $ex")
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.SnapshotSource")
+        .option("path", dir).option("branch", "stage")
+        .option("tag", "pin").load()
+    }
+  }
 }
