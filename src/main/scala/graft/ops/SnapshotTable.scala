@@ -1991,10 +1991,11 @@ object SnapshotTable {
       key: String, tieBreak: String, partCols: Seq[String],
       batchId: Option[Long] = None,
       maxRowsPerTask: Long = DefaultMaxRowsPerTask,
-      maxAttempts: Int = 8, statsCols: Seq[String] = Nil): Long =
+      maxAttempts: Int = 8, statsCols: Seq[String] = Nil,
+      branch: Option[String] = None): Long =
     retrying(maxAttempts)(token =>
       merge(spark, dir, delta, key, tieBreak, partCols, batchId,
-        maxRowsPerTask, Some(token), statsCols))
+        maxRowsPerTask, Some(token), statsCols, branch))
 
   /** [[mergeCdc]] with the same optimistic-concurrency loop as
     * [[mergeRetrying]]. */
@@ -2002,10 +2003,11 @@ object SnapshotTable {
       delta: DataFrame, key: String, seqCols: Seq[String], opCol: String,
       partCols: Seq[String], batchId: Option[Long] = None,
       maxRowsPerTask: Long = DefaultMaxRowsPerTask,
-      maxAttempts: Int = 8, statsCols: Seq[String] = Nil): Long =
+      maxAttempts: Int = 8, statsCols: Seq[String] = Nil,
+      branch: Option[String] = None): Long =
     retrying(maxAttempts)(token =>
       mergeCdc(spark, dir, delta, key, seqCols, opCol, partCols,
-        batchId, maxRowsPerTask, Some(token), statsCols))
+        batchId, maxRowsPerTask, Some(token), statsCols, branch))
 
   /** MERGE-ON-READ point deletes — deletion vectors, the public
     * Delta-DV / Iceberg-equality-delete shape rebuilt on the
@@ -2444,6 +2446,39 @@ object SnapshotTable {
       base = Some(head), checks = head.checks - name,
       droppedCols = head.droppedCols)
     head.ver + 1
+  }
+
+  /** RESTORE — Delta's `RESTORE TABLE ... TO VERSION AS OF` (public
+    * shape): re-commit `toVersion`'s FULL table state as a NEW version
+    * at head+1. History only ever moves FORWARD — time travel to the
+    * undone versions still works, so an audit sees both the mistake
+    * and the correction — and data moves not at all: the restored
+    * manifest re-references the old dirs by entry (retention already
+    * keeps whatever any retained manifest names). Schema,
+    * partitioning, stats columns, dv key, CHECK constraints, and
+    * column tombstones all restore to the target's. The restored
+    * commit carries the TARGET's batch id: a replay of the batch that
+    * produced the restored state stays a no-op, while the batch whose
+    * damage was undone can re-run (its id no longer sits at the
+    * head) — exactly the replay semantics rolling back a bad batch
+    * wants. The change feed across the restore classifies the UNDO
+    * (deletes for rows the bad batch added, update pre/post pairs
+    * back to the restored values). Restoring to the current head
+    * version is a no-op; a version below the retention cut refuses
+    * loudly through [[resolve]]. */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val lock = commitLocks.computeIfAbsent(lockKey(spark, dir),
+      _ => new Object)
+    lock.synchronized {
+      val head = resolve(spark, dir)
+      if (head.ver == toVersion) return head.ver
+      val target = resolve(spark, dir, Some(toVersion))
+      commitManifest(spark, dir, head.ver + 1, target.batchId,
+        target.entries, target.schemaDdl, target.partCols,
+        target.statsKeys, target.dvKey, base = Some(head),
+        checks = target.checks, droppedCols = target.droppedCols)
+      head.ver + 1
+    }
   }
 
   private def retrying(maxAttempts: Int)(attempt: String => Long): Long = {

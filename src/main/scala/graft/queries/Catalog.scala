@@ -11027,6 +11027,112 @@ object Catalog {
         o_orderkey // 4096 AS bucket, 'published_v2' AS src
       FROM orders WHERE o_orderkey % 500 = 0"""))
 
+  /** RESTORE — Delta's `RESTORE TABLE ... TO VERSION AS OF`
+    * ([[graft.ops.SnapshotTable.restore]]: the bad version's state is
+    * undone by re-committing the target's FULL entry state forward as
+    * a new version — ZERO data movement, the restored manifest
+    * re-references the old dirs): v2 corrupts every fourth order's
+    * status table-wide, restore re-commits v1's state as v3. The
+    * `restored` leg reads the head (must hash as the pristine seed),
+    * `bad_v2` time-travels INTO the undone version (history moved
+    * forward, the mistake stays auditable), and the `update_*` legs
+    * are the change feed ACROSS the restore — the undo itself,
+    * classified: every corrupted row pre-images as 'BAD' and
+    * post-images back to its original status, and rows v2 never
+    * touched are absent (identical rows vanish from the diff). */
+  private val q285 = Q("q285_snapshot_restore",
+    (s, dir) => {
+      val tbl = graft.Scratch.createTempDir("q285tbl").toString + "/t"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(dec2).cast("string").as("total"),
+        expr("o_orderkey div 4096").as("bucket"))
+      graft.ops.SnapshotTable.merge(s, tbl, o,
+        "o_orderkey", "total", Seq("bucket"), Some(1L))
+      graft.ops.SnapshotTable.merge(s, tbl,
+        o.filter(col("o_orderkey") % 4 === 0)
+          .withColumn("o_orderstatus", lit("BAD")),
+        "o_orderkey", "total", Seq("bucket"), Some(2L))
+      graft.ops.SnapshotTable.restore(s, tbl, 1L)
+      val restored = graft.ops.SnapshotTable.read(s, tbl)
+        .filter(col("o_orderkey") <= 3000L)
+        .withColumn("src", lit("restored"))
+      val bad = graft.ops.SnapshotTable.read(s, tbl, Some(2L))
+        .filter(col("o_orderkey") >= 3000L && col("o_orderkey") <= 6000L)
+        .withColumn("src", lit("bad_v2"))
+      val undo = graft.ops.SnapshotTable
+        .changesBetween(s, tbl, "o_orderkey", 2L, 3L)
+        .withColumnRenamed("_change_type", "src")
+      restored.unionByName(bad).unionByName(undo)
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'restored' AS src
+      FROM orders WHERE o_orderkey <= 3000
+      UNION ALL
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 4 = 0 THEN 'BAD'
+             ELSE o_orderstatus END AS o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'bad_v2' AS src
+      FROM orders WHERE o_orderkey BETWEEN 3000 AND 6000
+      UNION ALL
+      SELECT o_orderkey, 'BAD' AS o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'update_preimage' AS src
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+        o_orderkey // 4096 AS bucket, 'update_postimage' AS src
+      FROM orders WHERE o_orderkey % 4 = 0"""))
+
+  /** STREAMING SINK door ([[graft.sources.SnapshotSink]] — the write
+    * half of "one table, every door": `writeStream.format(...)`
+    * lands each microbatch as one `mergeRetrying` commit with the
+    * epoch id as the batch id, so re-delivered epochs replay as
+    * no-ops — Delta's idempotent txn-write shape on the manifest's
+    * `batch=` line): q263's EXACT two-wave landing-drain scenario
+    * with the foreachBatch boilerplate replaced by the format door —
+    * same oracle (q07's new-wins merge) by construction, so the hash
+    * gates "sink ≡ Scala API" end to end, overlap re-delivery
+    * included (wave 2 re-lands the 1999 overlap; new-wins dedup must
+    * pick the later wave). */
+  private val q286 = Q("q286_snapshot_sink_stream",
+    (s, dir) => {
+      val land = graft.Scratch.createTempDir("q286land").toString
+      val tbl = graft.Scratch.createTempDir("q286tbl").toString + "/t"
+      val ckpt = graft.Scratch.createTempDir("q286ckpt").toString
+      val o = t(s, dir, "orders")
+      def prep(df: org.apache.spark.sql.DataFrame, src: String) =
+        df.select(col("o_orderkey"), lit(src).as("src"),
+          col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          year(col("o_orderdate")).as("year"),
+          month(col("o_orderdate")).as("month"))
+      val schema = prep(o.limit(0), "x").schema
+      def drainWave(wave: org.apache.spark.sql.DataFrame): Unit = {
+        wave.repartition(1).write.mode("append").parquet(land)
+        val q = s.readStream.schema(schema).parquet(land)
+          .writeStream.format("graft.sources.SnapshotSink")
+          .option("path", tbl)
+          .option("key", "o_orderkey").option("tieBreak", "order_date")
+          .option("partitionCols", "year,month")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drainWave(prep(o.filter(col("o_orderdate") <
+        to_timestamp(lit("2000-01-01"))), "old"))
+      drainWave(prep(o.filter(col("o_orderdate") >=
+        to_timestamp(lit("1999-01-01"))), "new"))
+      graft.ops.SnapshotTable.read(s, tbl)
+        .select(col("o_orderkey"), col("src"), col("o_orderstatus"),
+          col("order_date"))
+    },
+    q07.oracle)
+
   /** Every catalog query carries a full DuckDB oracle. The five
     * engine-hash queries that could only ever get a rows-only check
     * (q23 minhash-LSH, q24 simhash, q44 approx_distinct, q99 HLL,
@@ -11059,5 +11165,5 @@ object Catalog {
     q251, q252, q253, q254, q255, q256, q257, q258, q259, q260, q261,
     q262, q263, q264, q265, q266, q267, q268, q269, q270, q271, q272,
     q273, q274, q275, q276, q277, q278, q279, q280, q281, q282, q283,
-    q284)
+    q284, q285, q286)
 }

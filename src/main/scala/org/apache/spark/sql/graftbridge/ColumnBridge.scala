@@ -81,6 +81,23 @@ object ColumnBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The INVERSE of [[asStreamingFrame]]: detach a V1 streaming
+    * sink's per-batch DataFrame from its IncrementalExecution so the
+    * multi-action commit protocols (merge's profile + write + stats
+    * passes) can re-execute it freely — `addBatch` hands a frame
+    * whose plan belongs to the running MicroBatchExecution, and
+    * re-planning THAT through a second action is undefined; the
+    * compiled per-batch RDD, re-wrapped as a plain batch frame, is
+    * exactly how Spark's own V1 sink consumers detach. Lazy — no job
+    * runs here. */
+  def asBatchFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** The RDD ids backing a checkpointed Dataset's LogicalRDD leaves —
     * lets a harness-level storage sweep EXEMPT frames a live memo
     * still references (ripping their blocks out produces

@@ -944,6 +944,150 @@ class Round19Spec extends SparkSpec {
     SnapshotTable.dropBranch(spark, dir, "cdc")
   }
 
+  test("streaming sink door: writeStream.format lands each microbatch " +
+      "as one merge commit — exactly-once across re-drains, CDC mode " +
+      "through opCol/seqCols options, Complete mode refuses") {
+    val dir = tmpDir("sink") + "/t"
+    val land = tmpDir("sinkland")
+    val ckpt = tmpDir("sinkckpt")
+    import spark.implicits._
+    val schema = kvp().schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(land)
+        .writeStream.format("graft.sources.SnapshotSink")
+        .option("path", dir).option("key", "k").option("tieBreak", "v")
+        .option("partitionCols", "p")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    kvp((1L, "a", 1), (2L, "b", 2)).repartition(1)
+      .write.mode("append").parquet(land)
+    drain()
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (2L, "b", 2)))
+    val v1 = SnapshotTable.versions(spark, dir)
+    drain() // no new data — no new commits (exactly-once surface)
+    assert(SnapshotTable.versions(spark, dir) == v1)
+    kvp((2L, "b2", 2), (3L, "c", 1)).repartition(1)
+      .write.mode("append").parquet(land)
+    drain()
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (2L, "b2", 2), (3L, "c", 1)))
+    // CDC mode: the op column classifies, seqCols collapse the feed
+    val cdcLand = tmpDir("sinkcdcland")
+    val cdcCkpt = tmpDir("sinkcdcckpt")
+    Seq((1L, "x", 1, 5L, "D"), (4L, "d", 2, 6L, "U"))
+      .toDF("k", "v", "p", "seq", "op").repartition(1)
+      .write.mode("append").parquet(cdcLand)
+    val cq = spark.readStream
+      .schema(Seq.empty[(Long, String, Int, Long, String)]
+        .toDF("k", "v", "p", "seq", "op").schema)
+      .parquet(cdcLand)
+      .writeStream.format("graft.sources.SnapshotSink")
+      .option("path", dir).option("key", "k")
+      .option("opCol", "op").option("seqCols", "seq")
+      .option("partitionCols", "p")
+      .option("appId", "cdc-feed") // second stream on this table
+      .option("checkpointLocation", cdcCkpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    cq.awaitTermination()
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((2L, "b2", 2), (3L, "c", 1), (4L, "d", 2)))
+    val exC = intercept[Exception] {
+      spark.readStream.schema(schema).parquet(land)
+        .writeStream.format("graft.sources.SnapshotSink")
+        .option("path", dir).option("key", "k").option("tieBreak", "v")
+        .option("partitionCols", "p")
+        .option("checkpointLocation", tmpDir("sinkbadckpt"))
+        .outputMode("complete")
+        .start()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(exC).exists(m => m.contains("Complete") ||
+      m.contains("complete")), s"got: $exC")
+  }
+
+  test("streaming sink stages on a branch: a stream with " +
+      "option(branch) quarantines every microbatch until fastForward " +
+      "— the streaming write-audit-publish pipeline") {
+    val dir = tmpDir("sinkwap") + "/t"
+    val land = tmpDir("sinkwapland")
+    val ckpt = tmpDir("sinkwapckpt")
+    val schema = kvp().schema
+    SnapshotTable.merge(spark, dir, kvp((1L, "a", 1)),
+      "k", "v", Seq("p"), Some(100L))
+    SnapshotTable.createBranch(spark, dir, "stream")
+    kvp((2L, "staged", 1), (3L, "staged2", 2)).repartition(1)
+      .write.mode("append").parquet(land)
+    val q = spark.readStream.schema(schema).parquet(land)
+      .writeStream.format("graft.sources.SnapshotSink")
+      .option("path", dir).option("key", "k").option("tieBreak", "v")
+      .option("partitionCols", "p").option("branch", "stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(content(SnapshotTable.read(spark, dir)) == Set((1L, "a", 1)))
+    assert(content(SnapshotTable.readBranch(spark, dir, "stream")) ==
+      Set((1L, "a", 1), (2L, "staged", 1), (3L, "staged2", 2)))
+    SnapshotTable.fastForward(spark, dir, "stream")
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (2L, "staged", 1), (3L, "staged2", 2)))
+    SnapshotTable.dropBranch(spark, dir, "stream")
+  }
+
+  test("restore: re-commits an old version's full state FORWARD — " +
+      "data untouched (entries re-referenced), undone versions still " +
+      "time-travel, the undone batch can re-run while the restored " +
+      "batch replays as a no-op, and a dv'd delete restores away") {
+    val dir = tmpDir("restore") + "/t"
+    SnapshotTable.merge(spark, dir, kvp((1L, "a", 1), (2L, "b", 2)),
+      "k", "v", Seq("p"), Some(1L))                          // v1
+    SnapshotTable.merge(spark, dir,
+      kvp((2L, "CORRUPT", 2), (3L, "junk", 1)),
+      "k", "v", Seq("p"), Some(2L))                          // v2 (bad)
+    val v1Paths = SnapshotTable.resolve(spark, dir, Some(1L))
+      .entries.map(_.path).toSet
+    assert(SnapshotTable.restore(spark, dir, 1L) == 3L)
+    // head is v1's content, served by v1's exact dirs — zero rewrites
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (2L, "b", 2)))
+    assert(SnapshotTable.resolve(spark, dir).entries.map(_.path).toSet ==
+      v1Paths)
+    // the mistake is still auditable below the head
+    assert(content(SnapshotTable.read(spark, dir, Some(2L))) ==
+      Set((1L, "a", 1), (2L, "CORRUPT", 2), (3L, "junk", 1)))
+    // CDF across the restore classifies the UNDO
+    val undo = SnapshotTable.changesBetween(spark, dir, "k", 2L, 3L)
+    assert(undo.filter(col("_change_type") === "delete" &&
+      col("k") === 3L).count() == 1L)
+    assert(undo.filter(col("_change_type") === "update_postimage" &&
+      col("k") === 2L && col("v") === "b").count() == 1L)
+    // replay semantics: the restored state's batch replays as a no-op,
+    // the UNDONE batch is free to re-run (corrected this time)
+    assert(SnapshotTable.merge(spark, dir, kvp((9L, "x", 1)),
+      "k", "v", Seq("p"), Some(1L)) == 3L)                   // no-op
+    assert(SnapshotTable.merge(spark, dir, kvp((3L, "fixed", 1)),
+      "k", "v", Seq("p"), Some(2L)) == 4L)                   // re-run
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (2L, "b", 2), (3L, "fixed", 1)))
+    // restore to the current head no-ops; a dv'd delete restores away
+    assert(SnapshotTable.restore(spark, dir, 4L) == 4L)
+    import spark.implicits._
+    SnapshotTable.deleteKeys(spark, dir,
+      Seq(1L).toDF("k"), "k", Some(5L))                      // v5: dv
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((2L, "b", 2), (3L, "fixed", 1)))
+    assert(SnapshotTable.restore(spark, dir, 4L) == 6L)
+    assert(content(SnapshotTable.read(spark, dir)) ==
+      Set((1L, "a", 1), (2L, "b", 2), (3L, "fixed", 1)))
+  }
+
   test("branch doors: the DSv2 branch option and the SQL catalog's " +
       "named-ref fallback (tag wins, branch when no tag matches, " +
       "loud with both inventories when neither)") {
