@@ -82,6 +82,44 @@ object Round19Probe {
         f""""rebase_wall_sec":$wallOff%.2f,"rebase_stage_writes":$stagesOff,""" +
         f""""fast_wall_sec":$wallOn%.2f,"fast_stage_writes":$stagesOn,""" +
         f""""speedup":${wallOff / wallOn}%.2f}""")
+
+      // BRANCH PUBLISH law: fastForward is O(staged commits) manifest
+      // I/O with ZERO data movement, so its wall time must stay FLAT
+      // as the table grows — the number that separates a metadata
+      // publish from any copy-based alternative (publishChanges'
+      // landing pays O(changed rows) per range by design; the branch
+      // door removes even that from the publish step).
+      def wapPublish(tag: String, tableRows: Long): (Double, Double) = {
+        val dir = s"$root/wap-$tag/t"
+        val seed = spark.range(tableRows).select(
+          col("id").as("k"), concat(lit("seed"), col("id")).as("v"),
+          (col("id") % 64).cast("int").as("p"))
+        SnapshotTable.merge(spark, dir, seed, "k", "v", Seq("p"), Some(1L))
+        SnapshotTable.createBranch(spark, dir, "wap")
+        val tS0 = System.nanoTime()
+        (0 until 5).foreach { i =>
+          val delta = spark.range(1000L).select(
+            (col("id") + tableRows + i * 1000L).as("k"),
+            concat(lit(s"c$i-"), col("id")).as("v"),
+            lit(i % 64).cast("int").as("p"))
+          SnapshotTable.merge(spark, dir, delta, "k", "v", Seq("p"),
+            Some(10L + i), branch = Some("wap"))
+        }
+        val stageSec = (System.nanoTime() - tS0) / 1e9
+        val tP0 = System.nanoTime()
+        SnapshotTable.fastForward(spark, dir, "wap")
+        val pubSec = (System.nanoTime() - tP0) / 1e9
+        (stageSec, pubSec)
+      }
+      val (stageSmall, pubSmall) = wapPublish("small", 100000L)
+      val (stageBig, pubBig) = wapPublish("big", 10000000L)
+      println(f"PROBE wap small: stage5=$stageSmall%.2fs " +
+        f"publish=$pubSmall%.3fs | big(100x rows): stage5=$stageBig%.2fs " +
+        f"publish=$pubBig%.3fs")
+      println(f"""{"metric":"branch_publish","staged_commits":5,""" +
+        f""""publish_sec_at_100k_rows":$pubSmall%.3f,""" +
+        f""""publish_sec_at_10m_rows":$pubBig%.3f,""" +
+        f""""bytes_moved":0}""")
     } finally {
       Scratch.deleteRecursively(root)
       spark.stop()
