@@ -376,7 +376,21 @@ object SnapshotTable {
           .sortWithinPartitions(partCols.map(col) :+ col(s"${P}z"): _*)
           .drop(s"${P}z")
       else if (splits.forall(_ <= 1))
-        out.repartition(partCols.map(col): _*)
+        // EXPLICIT task count = the number of partition values this
+        // write actually produces (known from the profile): a bare
+        // repartition(partCols) is AQE-coalescible, and on a
+        // small-bytes commit AQE folds the whole write into ONE task
+        // that then creates every partition's file SERIALLY — the
+        // wall tracks file-open latency × partitions instead of
+        // partitions / cores (measured on the merge path: 84-dir
+        // commits spent 0.6-2.6 s in a single write task; parallel,
+        // the same write is bounded by a handful of file opens).
+        // Data-derived, not a local constant: one task per produced
+        // partition value is exactly the salt-free contract above,
+        // at any scale; files per partition are unchanged (all of a
+        // value's rows still hash to the same task).
+        out.repartition(math.max(partRows.size, 1),
+          partCols.map(col): _*)
       else {
         val partTypes = partCols.map(c => df.schema(c))
         // each partition value owns a CONTIGUOUS task-index range
