@@ -97,7 +97,12 @@ object AnnIndexMaintenance {
         spark.read.option("basePath", in).parquet(in)
           .select(col("n_id"), col("codes"), col("cell")))
         .reduce(_.unionByName(_))
-        .repartition(col("cell"))
+        // explicit count: a bare repartition(cell) AQE-coalesces a
+        // small fold into one task that writes every cell dir
+        // serially; the pinned session count keeps writers parallel
+        // with the same one-file-per-cell layout
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(out),
       maxRuns)
 

@@ -156,9 +156,16 @@ object MediaDedupMaintenance {
     // one file per (kind, band) dir, rows sorted by bucket so the
     // parquet footer's min-max statistics carry the pruning the
     // per-batch join pushes down; the sort is prefix-compatible
-    // with the dynamic-partition writer's required ordering
+    // with the dynamic-partition writer's required ordering.
+    // EXPLICIT partition count: a bare repartition(cols) is
+    // AQE-coalescible, and a small fragment coalesces into ONE task
+    // that then creates every (kind, band) dir's file serially —
+    // pinning the session's shuffle partition count keeps the ≤
+    // kinds × bands writer tasks parallel (file count per dir is
+    // unchanged: all of a combo's rows still hash to one task)
     deltaBanded
-      .repartition(col("kind"), col("band"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("kind"), col("band"))
       .sortWithinPartitions(col("kind"), col("band"), col("bucket"))
       .write.mode("overwrite")
       .partitionBy("kind", "band")
@@ -261,7 +268,10 @@ object MediaDedupMaintenance {
           .select(col("media_id"), col("dhash"), col("band_key"),
             col("bucket"), col("kind"), col("band"))
       }.reduce(_.unionByName(_))
-        .repartition(col("kind"), col("band"))
+        // explicit count for the same serial-writer reason as the
+        // per-batch fragment landing above
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("kind"), col("band"))
         .sortWithinPartitions(col("kind"), col("band"), col("bucket"))
         .write.mode("overwrite")
         .partitionBy("kind", "band")
