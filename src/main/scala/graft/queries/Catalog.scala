@@ -27,8 +27,31 @@ final case class Q(name: String,
 
 object Catalog {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    s.read.parquet(s"$dir/$n.parquet")
+  /** Fixture-relation memo: one resolved DataFrame per (session,
+    * fixture path). A bare `spark.read.parquet` re-lists the
+    * directory, re-reads a footer for schema inference, and
+    * re-analyzes the relation on EVERY call — pure metadata overhead
+    * repeated hundreds of times across the catalog (the manifest-
+    * backed-table argument of the optimization guide's §6, applied
+    * to the fixture scans). The memo holds only the ANALYZED plan:
+    * no data is cached, every action still computes from the parquet
+    * bytes, and the fixtures are immutable for the life of a run.
+    * Weak session keys let a stopped test session collect. */
+  private val tMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = {
+    val per = tMemo.synchronized {
+      var m = tMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        tMemo.put(s, m)
+      }
+      m
+    }
+    per.computeIfAbsent(s"$dir/$n.parquet",
+      p => s.read.parquet(p))
+  }
 
   /** events with `ts` canonicalized to epoch-nanosecond LONG, whatever
     * the fixture generation shipped (TIMESTAMP(NANOS) → raw long;
