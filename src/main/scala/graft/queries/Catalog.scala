@@ -36,12 +36,15 @@ object Catalog {
     * to the fixture scans). The memo holds only the ANALYZED plan:
     * no data is cached, every action still computes from the parquet
     * bytes, and the fixtures are immutable for the life of a run.
-    * Weak session keys let a stopped test session collect. */
+    * Entries for STOPPED sessions are purged on the next lookup (a
+    * weak-keyed map would not work here: the cached DataFrames hold
+    * their session, so the value would pin the key forever). */
   private val tMemo =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
   private def t(s: SparkSession, dir: String, n: String): DataFrame = {
     val per = tMemo.synchronized {
+      tMemo.keySet.removeIf(k => k.sparkContext.isStopped)
       var m = tMemo.get(s)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
