@@ -17,7 +17,7 @@ they age out of the trailing set as stamped records accumulate). The
 basis rides the output as cpu1_basis — Bench scales its outlier
 threshold by basis/cpu1_now at runtime so a slow-envelope host doesn't
 spuriously re-run the single-core family."""
-import json, glob, statistics, sys
+import json, glob, re, statistics, sys
 
 # The queries whose wall is single-core/driver-envelope bound (the
 # round-16 forensics' attributed class: 1-task stages, driver-side
@@ -28,7 +28,18 @@ import json, glob, statistics, sys
 # this list only with probe-pair attribution, never by guess.
 CPU1_BOUND = ['q151_authority_sample', 'q219_exact_collapse']
 
-records = sorted(glob.glob('BENCH_QUIET_r*.json'))
+# Post-memo records only (round 20, verdict #1): the round-19
+# fixture-relation memo (queries/Catalog.scala tMemo) made the whole
+# small-query population 1.5-2.9x faster, so every pre-r20 quiet
+# record systematically over-predicts current code. A median mixing
+# eras would neither catch contamination (threshold too loose) nor
+# track the shipped code. Records re-accumulate from r20 on.
+MIN_ROUND = 20
+def rnd(f):
+    m = re.search(r'BENCH_QUIET_r(\d+)', f)
+    return int(m.group(1)) if m else 0
+records = sorted(f for f in glob.glob('BENCH_QUIET_r*.json')
+                 if rnd(f) >= MIN_ROUND)
 stamps = {}
 for f in records:
     d = json.load(open(f))
