@@ -1391,9 +1391,50 @@ object SnapshotTable {
     * one Spark job (the session's Hadoop conf rides a
     * SerializableConfiguration — a task-side default Configuration
     * would drop credentials/endpoint settings on a real cluster). */
+  /** One written file's full commit-time harvest — everything the
+    * manifest needs, from ONE footer open (a metadata-only read):
+    * per-column bounds ([[FileStat]]), the file's ROW COUNT (footer
+    * block counts — exact, it feeds the entry `rows=` lines and the
+    * metadata-only `count(*)`), the census column's NULL COUNT
+    * (`None` when any row group's footer omitted it — the caller
+    * falls back to a read), and `unknownCols` — the stats columns
+    * whose footer statistics were present-but-unusable in some row
+    * group: a file-level bound is simply dropped there, but an
+    * ENTRY-level bound must drop the column for the whole entry (a
+    * min/max over the other files would be too narrow and prune rows
+    * that live in the unknown blocks). */
+  private[ops] final case class FileHarvest(stat: FileStat, rows: Long,
+      censusNulls: Option[Long], unknownCols: Set[String])
+
+  /** Max files a commit harvests on the DRIVER (a thread pool over
+    * footer opens) before distributing the harvest as a Spark job.
+    * Footer reads are tiny metadata I/O: measured on the merge path,
+    * an 84-file harvest cost ~0.8 s as a parallelize job (task
+    * serialization + scheduling under concurrent writers) vs ~20 ms
+    * pooled on the driver. The crossover is well past hundreds of
+    * files even on object stores (~10-50 ms per footer, 32-way
+    * pooled); commits that write MORE files than this are exactly
+    * the commits whose write job dwarfs a distributed harvest.
+    * Parameterised for deployments with slower metadata paths. */
+  private def harvestDriverMaxFiles(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.snapshot.harvestDriverMaxFiles")
+      .map(_.toInt).getOrElse(512)
+
   private def harvestFileStats(spark: SparkSession,
       dirs: Seq[(String, Path)], cols: Seq[(String, DataType)])
-      : Map[String, Seq[FileStat]] = {
+      : Map[String, Seq[FileStat]] =
+    harvestFiles(spark, dirs, cols, None).map { case (ep, hs) =>
+      ep -> hs.map(_.stat)
+    }
+
+  /** Harvest every `.parquet` file under each dir (ONE footer open
+    * per file): driver-pooled below [[harvestDriverMaxFiles]],
+    * executor-distributed beyond. Returns the harvests grouped by
+    * the caller's entry key. */
+  private def harvestFiles(spark: SparkSession,
+      dirs: Seq[(String, Path)], cols: Seq[(String, DataType)],
+      censusCol: Option[String])
+      : Map[String, Seq[FileHarvest]] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val files: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
       dirs.flatMap { case (ep, p) =>
@@ -1403,47 +1444,82 @@ object SnapshotTable {
             st.getPath.getName.endsWith(".parquet"))
           .map(st => ep -> st).toSeq
       }
-    val harvested: Seq[(String, FileStat)] =
-      if (files.size <= 32)
-        files.map { case (ep, st) =>
-          ep -> boundsOf(
-            org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromStatus(st, conf), st.getPath.getName, cols)
+    val harvested: Seq[(String, FileHarvest)] =
+      if (files.size <= harvestDriverMaxFiles(spark)) {
+        if (files.size <= 4)
+          files.map { case (ep, st) =>
+            ep -> harvestOf(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st, conf), st.getPath.getName, cols,
+              censusCol)
+          }
+        else {
+          // driver thread pool: footer opens are independent tiny
+          // I/O — pooling beats both a serial loop and the job
+          // overhead of a parallelize at this file count
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(32, files.size))
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(files.map { case (ep, st) =>
+              scala.concurrent.Future(ep -> harvestOf(
+                org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromStatus(st, conf), st.getPath.getName, cols,
+                censusCol))
+            }), scala.concurrent.duration.Duration.Inf)
+          finally pool.shutdown()
         }
-      else {
+      } else {
         val sconf = new org.apache.spark.util.SerializableConfiguration(
           conf)
         val cs = cols
+        val cc = censusCol
         spark.sparkContext
           .parallelize(files.map { case (ep, st) =>
             ep -> st.getPath.toString
           }, math.min(64, 1 + files.size / 8))
           .map { case (ep, f) =>
-            ep -> SnapshotTable.footerBounds(sconf.value, f, cs)
+            ep -> SnapshotTable.footerBounds(sconf.value, f, cs, cc)
           }
           .collect().toSeq
       }
     harvested.groupBy(_._1).map { case (ep, fs) => ep -> fs.map(_._2) }
   }
 
-  /** One file's per-column bounds from its parquet footer — a
+  /** One file's commit harvest from its parquet footer — a
     * metadata-only read, callable on driver or executor (takes a bare
     * Hadoop conf). ONE footer open serves every stats column. */
   private[ops] def footerBounds(
       conf: org.apache.hadoop.conf.Configuration, file: String,
-      cols: Seq[(String, DataType)]): FileStat = {
+      cols: Seq[(String, DataType)],
+      censusCol: Option[String] = None): FileHarvest = {
     val p = new Path(file)
-    boundsOf(org.apache.parquet.hadoop.util.HadoopInputFile
-      .fromPath(p, conf), p.getName, cols)
+    harvestOf(org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, conf), p.getName, cols, censusCol)
   }
 
-  private def boundsOf(
+  private def harvestOf(
       in: org.apache.parquet.hadoop.util.HadoopInputFile, name: String,
-      cols: Seq[(String, DataType)]): FileStat = {
+      cols: Seq[(String, DataType)],
+      censusCol: Option[String]): FileHarvest = {
     import scala.jdk.CollectionConverters._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // null-count census from the same footer: exact when every row
+      // group recorded it (parquet-mr always does for its own
+      // writes); None makes the caller fall back to a read
+      val census = censusCol.flatMap { k =>
+        val sts = blocks.map(b => b.getColumns.asScala
+          .find(c => c.getPath.toDotString == k)
+          .map(_.getStatistics).orNull)
+        if (sts.isEmpty || sts.exists(s => s == null || !s.isNumNullsSet))
+          None
+        else Some(sts.map(_.getNumNulls).sum)
+      }
+      var unknownCols = Set.empty[String]
       val all = cols.flatMap { case (key, dt) =>
         val stats = blocks.map(b => b.getColumns.asScala
           .find(c => c.getPath.toDotString == key)
@@ -1462,6 +1538,7 @@ object SnapshotTable {
         // null keys never match a range predicate.
         val usable = stats.filter(s => s != null && s.hasNonNullValue)
         val unknown = stats.exists(s => s == null || s.isEmpty)
+        if (unknown) unknownCols += key
         val bounds =
           if (unknown || usable.isEmpty) None
           else dt match {
@@ -1494,8 +1571,58 @@ object SnapshotTable {
           }
         bounds.map(key -> _)
       }.toMap
-      FileStat(name, all)
+      FileHarvest(FileStat(name, all), rows, census, unknownCols)
     } finally reader.close()
+  }
+
+  /** ENTRY-level bounds from the entry's files' footer bounds —
+    * exact where recorded: min/max over the files' typed extremes
+    * equals the row-level min/max (an all-null file simply
+    * contributes nothing), compared in the key's own order (integral
+    * as Long, string byte-wise). A column any file marked UNKNOWN
+    * drops from the entry entirely — a bound over the remaining
+    * files could be too narrow and prune rows that live in the
+    * unknown blocks (reads stay correct either way; pruning is
+    * conservative by contract). */
+  private def entryStatsFromFiles(harvests: Seq[FileHarvest],
+      cols: Seq[(String, DataType)]): Map[String, (String, String)] =
+    cols.flatMap { case (k, dt) =>
+      if (harvests.exists(_.unknownCols.contains(k))) None
+      else {
+        val bs = harvests.flatMap(_.stat.bounds.get(k))
+        if (bs.isEmpty) None
+        else dt match {
+          case StringType => Some(k -> ((
+            bs.map(_._1).reduce((a, b) => if (utf8Cmp(a, b) <= 0) a else b),
+            bs.map(_._2).reduce((a, b) => if (utf8Cmp(a, b) >= 0) a else b))))
+          case _ => Some(k -> ((
+            bs.map(_._1.toLong).min.toString,
+            bs.map(_._2.toLong).max.toString)))
+        }
+      }
+    }.toMap
+
+  /** The partition LEAF dirs a write produced under `base`, relative
+    * (`__gp_a=1/__gp_b=2`), exactly `depth` levels deep — the
+    * committed entry list of the footer-derived commit path. Only
+    * `__gp_`-prefixed dirs descend (the committer's `_SUCCESS` /
+    * `_temporary` never match). */
+  private def listLeafPartDirs(fs: org.apache.hadoop.fs.FileSystem,
+      base: Path, depth: Int): Seq[String] = {
+    def rec(p: Path, d: Int, rel: String): Seq[String] =
+      if (d == 0) Seq(rel)
+      else fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(P))
+        .toSeq.flatMap { st =>
+          val seg = st.getPath.getName
+          require(!seg.endsWith("=__HIVE_DEFAULT_PARTITION__"),
+            s"null partition value surfaced in the written layout " +
+              s"($seg) — partition values must be non-null (refused " +
+              "at the touched-partition render on every merge path)")
+          rec(st.getPath, d - 1,
+            if (rel.isEmpty) seg else s"$rel/$seg")
+        }
+    if (!fs.exists(base)) Nil else rec(base, depth, "")
   }
 
   /** Per-partition (row count, key min, key max) of `df`, collected —
@@ -1542,10 +1669,8 @@ object SnapshotTable {
   }
 
   /** Shared write+commit tail of [[merge]]/[[mergeCdc]]/[[optimize]]/
-    * [[repartitionTable]]: profile the output's ACTUAL partitions
-    * (post-dedup — the entry list must name dirs the write really
-    * produces, never the delta's raw partition set), lay them down
-    * with hot-partition salting, and commit `kept ++ produced`.
+    * [[repartitionTable]]: lay the output's partitions down with
+    * hot-partition salting and commit `kept ++ produced`.
     * `statsCols` is the INTENT — the columns whose bounds the entries
     * should describe, MERGE KEY FIRST (the salt hash and the null
     * census ride the head of the list), plus any caller-requested
@@ -1554,7 +1679,41 @@ object SnapshotTable {
     * drop the rest (per-column — a grown list never invalidates the
     * carried columns; unstated bounds are never pruned). Empty output
     * commits `kept` alone (a merge whose every touched row was
-    * deleted). */
+    * deleted).
+    *
+    * TWO paths (round 20):
+    *
+    *   - FOOTER-DERIVED (the default, taken when the caller supplies
+    *     `estParts` and the table carries no CHECK constraints):
+    *     write FIRST, then derive the committed entry list, row
+    *     counts, per-column entry/file bounds, and the null-key
+    *     census from the WRITTEN FILES' parquet footers — manifest ≡
+    *     written bytes BY CONSTRUCTION (the determinism the old
+    *     pre-write localCheckpoint barrier existed to buy), so the
+    *     merge paths drop the checkpoint materialize AND the separate
+    *     profile aggregation: the output plan is computed exactly
+    *     ONCE, by the write job. `estParts` carries the partitions
+    *     the output CAN produce with estimated row counts (delta
+    *     counts + carried entry rows — an upper bound), which sizes
+    *     the write's task layout; estimates only ever OVER-split a
+    *     hot partition (bounded 2x when a delta fully replaces it),
+    *     never understaff one. A null merge key now refuses AFTER the
+    *     staged write (same message, version unburned, content
+    *     untouched — the token'd staging is sweepable garbage): the
+    *     failure path pays a wasted write so the success path saves
+    *     two driver actions per commit.
+    *
+    *   - PROFILE-FIRST (the legacy path, taken for tables with CHECK
+    *     constraints — their census needs row-level expression
+    *     evaluation — and for rewrites whose output partitioning the
+    *     manifest cannot predict, `repartitionTable`/`renameColumn`):
+    *     aggregate the output's actual partitions, refuse
+    *     null-key/CHECK violations BEFORE any write, then write.
+    *     When the caller passed `estParts` (a merge-family plan that
+    *     no longer pre-checkpoints), this path localCheckpoints the
+    *     output itself so profile and write still read one
+    *     materialization — the old determinism barrier, preserved
+    *     exactly where it is still load-bearing. */
   private def writeAndCommit(spark: SparkSession, dir: String,
       output: DataFrame, statsCols: Seq[String], partCols: Seq[String],
       newVer: Long, batchId: Option[Long], kept: Seq[Entry],
@@ -1562,7 +1721,8 @@ object SnapshotTable {
       maxRowsPerTask: Long, dirToken: Option[String],
       clusterKey: Option[Column] = None,
       head: Option[Snap] = None,
-      ref: Option[String] = None): Long = {
+      ref: Option[String] = None,
+      estParts: Option[Seq[(Row, Long)]] = None): Long = {
     val headDvKey = head.flatMap(_.dvKey)
     // salt/profile column: the merge key when present, else any
     // non-partition column — needed even statless for the row counts
@@ -1584,31 +1744,7 @@ object SnapshotTable {
         bounds = f.bounds.filter { case (c, _) => newSet.contains(c) }))))
     val checkList = head.map(_.checks).getOrElse(Map.empty)
       .toSeq.sortBy(_._1)
-    val profile = partProfile(output, partCols, statsCols.headOption,
-      newStatsCols, checkList)
-    // the MERGE-KEY contract, enforced where every write path funnels
-    // (merge/mergeCdc/optimize/repartition all pass their key at the
-    // head of statsCols): a null key breaks new-wins dedup and
-    // silently misclassifies in the CDF as delete+insert — refuse
-    // BEFORE the data write, from the census the profile pass already
-    // computed
-    if (statsCols.nonEmpty) {
-      val nulls = profile.map(_._4).sum
-      require(nulls == 0L,
-        s"merge key '${statsCols.head}' is null on $nulls row(s) — " +
-          "snapshot-table keys must be non-null (new-wins dedup and " +
-          "the change data feed both classify by key equality)")
-    }
-    // CHECK constraints (Delta's ADD CONSTRAINT shape): every write
-    // path re-verifies the table's recorded checks on its OUTPUT rows
-    // — same single profile pass, zero extra jobs — and refuses
-    // BEFORE any data write, naming the constraint
-    checkList.zipWithIndex.foreach { case ((name, e), j) =>
-      val viol = profile.map(_._5(j)).sum
-      require(viol == 0L,
-        s"CHECK constraint '$name' ($e) is violated by $viol row(s) — " +
-          "nothing was written or committed")
-    }
+    val fastPath = estParts.isDefined && checkList.isEmpty
     // the data dir carries the attempt token when one is supplied
     // (the retrying writers): two optimistic racers at the same
     // version then stage into DISJOINT dirs — without it, the loser's
@@ -1616,9 +1752,8 @@ object SnapshotTable {
     // BEFORE either commit resolves the race. Entries are opaque
     // paths, so readers/vacuum/retention are name-agnostic.
     val verDir = dirToken.fold(s"v=$newVer")(t => s"v=$newVer-$t")
-    val produced = profile.map { case (r, n, st, _, _) =>
-      Entry(s"$verDir/${partKeyRow(partCols, r)}", st, rows = Some(n))
-    }
+    val dest = s"$dir/data/$verDir"
+    val statTyped = newStatsCols.map(c => c -> output.schema(c).dataType)
     // IN-FLIGHT MARKER (the store-portable staleness signal): a tiny
     // `_inflight.<verDir>` file claims the staged tree for the
     // duration of the write+commit, so retention/vacuum sweeps spare
@@ -1629,26 +1764,98 @@ object SnapshotTable {
     // grace window (marker FILE mtimes are real on every store).
     val fsD = fsOf(spark, dir)
     val marker = new Path(dir, s"_inflight.$verDir")
-    if (profile.nonEmpty) fsD.create(marker, true).close()
+    // legacy-path state (empty/None on the fast path)
+    var ckpt: Option[DataFrame] = None
     try {
-      if (profile.nonEmpty)
-        writePartitioned(output, partCols, s"$dir/data/$verDir",
-          xxhash64(col(key)), profile.map(p => (p._1, p._2)),
-          maxRowsPerTask, clusterKey)
-      // file-level bounds from the freshly-written footers (metadata
-      // reads, O(files this commit wrote), ONE footer open per file
-      // for every stats column, executor-distributed when many);
-      // carried entries keep theirs
-      val producedF =
+      val producedF: Seq[Entry] = if (fastPath) {
+        val est = estParts.get
+        fsD.create(marker, true).close()
+        writePartitioned(output, partCols, dest,
+          xxhash64(col(key)), est, maxRowsPerTask, clusterKey)
+        val rels = listLeafPartDirs(fsD, new Path(dest), partCols.size)
+        // an empty output (a CDC feed that deleted every touched row)
+        // wrote only the committer's _SUCCESS — reclaim the husk
+        // eagerly rather than leaving it to the retention sweeps
+        if (rels.isEmpty)
+          try fsD.delete(new Path(dest), true)
+          catch { case scala.util.control.NonFatal(_) => }
+        val byEntry =
+          if (rels.isEmpty) Map.empty[String, Seq[FileHarvest]]
+          else harvestFiles(spark,
+            rels.map(r => r -> new Path(s"$dest/$r")), statTyped,
+            statsCols.headOption)
+        // the MERGE-KEY contract, from the same footers: a null key
+        // breaks new-wins dedup and silently misclassifies in the
+        // CDF as delete+insert — refuse before the commit (version
+        // unburned; the staged bytes are unreferenced garbage)
+        if (statsCols.nonEmpty) {
+          val perFile = byEntry.values.flatten.toSeq
+          val nulls =
+            if (perFile.forall(_.censusNulls.isDefined))
+              perFile.flatMap(_.censusNulls).sum
+            else // footer omitted null counts — count the bytes once
+              spark.read.parquet(dest)
+                .filter(col(statsCols.head).isNull).count()
+          require(nulls == 0L,
+            s"merge key '${statsCols.head}' is null on $nulls row(s) — " +
+              "snapshot-table keys must be non-null (new-wins dedup " +
+              "and the change data feed both classify by key equality)")
+        }
+        rels.map { rel =>
+          val hs = byEntry.getOrElse(rel, Nil)
+          Entry(s"$verDir/$rel",
+            stats = entryStatsFromFiles(hs, statTyped),
+            fileStats = if (newStatsCols.isEmpty) Nil else hs.map(_.stat),
+            rows = Some(hs.map(_.rows).sum))
+        }
+      } else {
+        // PROFILE-FIRST: a merge-family caller (estParts present) no
+        // longer pre-checkpoints, so materialize here — profile and
+        // write must read ONE computation of the output or an
+        // evicted block could resolve ties differently between them
+        val out = if (estParts.isDefined) {
+          val c = output.localCheckpoint(); ckpt = Some(c); c
+        } else output
+        val profile = partProfile(out, partCols, statsCols.headOption,
+          newStatsCols, checkList)
+        if (statsCols.nonEmpty) {
+          val nulls = profile.map(_._4).sum
+          require(nulls == 0L,
+            s"merge key '${statsCols.head}' is null on $nulls row(s) — " +
+              "snapshot-table keys must be non-null (new-wins dedup " +
+              "and the change data feed both classify by key equality)")
+        }
+        // CHECK constraints (Delta's ADD CONSTRAINT shape): every
+        // write path re-verifies the table's recorded checks on its
+        // OUTPUT rows — same single profile pass, zero extra jobs —
+        // and refuses BEFORE any data write, naming the constraint
+        checkList.zipWithIndex.foreach { case ((name, e), j) =>
+          val viol = profile.map(_._5(j)).sum
+          require(viol == 0L,
+            s"CHECK constraint '$name' ($e) is violated by $viol " +
+              "row(s) — nothing was written or committed")
+        }
+        val produced = profile.map { case (r, n, st, _, _) =>
+          Entry(s"$verDir/${partKeyRow(partCols, r)}", st, rows = Some(n))
+        }
+        if (profile.nonEmpty) fsD.create(marker, true).close()
+        if (profile.nonEmpty)
+          writePartitioned(out, partCols, dest,
+            xxhash64(col(key)), profile.map(p => (p._1, p._2)),
+            maxRowsPerTask, clusterKey)
+        // file-level bounds from the freshly-written footers
+        // (metadata reads, O(files this commit wrote), ONE footer
+        // open per file for every stats column); carried entries
+        // keep theirs
         if (newStatsCols.isEmpty) produced
         else {
-          val cols = newStatsCols.map(c => c -> output.schema(c).dataType)
           val byEntry = harvestFileStats(spark,
             produced.map(e => e.path -> new Path(s"$dir/data/${e.path}")),
-            cols)
+            statTyped)
           produced.map(e =>
             e.copy(fileStats = byEntry.getOrElse(e.path, Nil)))
         }
+      }
       // deletion vectors ride ONLY on kept entries (a rewritten
       // partition folded its deletes in; produced entries are dv-free
       // by construction) — the dvkey survives exactly as long as some
@@ -1696,9 +1903,10 @@ object SnapshotTable {
             schemaDdl, partCols, newStatsCols, checkList.toMap, e)
       }
     } finally {
-      if (profile.nonEmpty)
-        try fsD.delete(marker, false)
-        catch { case scala.util.control.NonFatal(_) => } // ages out
+      ckpt.foreach(org.apache.spark.sql.graftbridge.ColumnBridge
+        .unpersistLocalCheckpoint)
+      try fsD.delete(marker, false)
+      catch { case scala.util.control.NonFatal(_) => } // ages out
     }
   }
 
@@ -1962,26 +2170,43 @@ object SnapshotTable {
         case Left(ver) => return ver
         case Right(hs) => hs
       }
-    val touched = delta.select(partCols.map(col): _*).distinct().collect()
+    // conform BEFORE the touched collect so the collected partition
+    // rows carry the EVOLVED types (the write's salted split table
+    // joins them against the output's columns — a widened partition
+    // column must not leave Int rows against a Long schema)
+    val deltaC = conformTo(delta, newSchema)
+    // touched partitions WITH per-partition delta counts in the same
+    // single collect the touched set always was: the counts (plus the
+    // replaced entries' recorded rows — the manifest already knows
+    // them) give writeAndCommit's footer-derived path its task-layout
+    // estimate without a profile aggregation over the merge output
+    val touched = deltaC.groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("_gp_n")).collect()
     require(touched.nonEmpty, "empty delta — nothing to merge")
     val (replaced, kept) = splitTouched(head, partCols, touched.toSeq)
+    val replacedRows = replaced.groupBy(e => partKeyOfEntry(e.path))
+      .map { case (k, es) =>
+        k -> es.map(_.rows.getOrElse(maxRowsPerTask)).sum
+      }
+    val est = touched.toSeq.map { r =>
+      (r: Row, r.getLong(partCols.size) +
+        replacedRows.getOrElse(partKeyRow(partCols, r), 0L))
+    }
     val existingTouched = readTouched(spark, dir, head, replaced,
       delta.schema)
     // both sides conform to the EVOLVED types before the union (the
-    // widening seam — a no-op select when nothing widened)
-    val deltaC = conformTo(delta, newSchema)
+    // widening seam — a no-op select when nothing widened). No
+    // localCheckpoint any more: the footer-derived commit path
+    // computes this plan exactly once (the write job) and derives the
+    // manifest from the written bytes, so there is no second reader
+    // to keep consistent — the barrier's job. The write lands in a
+    // fresh v=<n+1> dir, never a path the plan reads.
     val existingC = conformTo(existingTouched, newSchema)
-    // localCheckpoint decouples the write from paths the merge plan
-    // reads (the Upsert discipline); unpersist in finally so a
-    // refused commit (an optimistic loser about to retry) does not
-    // leak its checkpoint blocks into the retry
     val merged = Upsert.merge(deltaC, existingC, key, tieBreak)
-      .localCheckpoint()
-    try writeAndCommit(spark, dir, merged, (key +: statsCols).distinct,
+    writeAndCommit(spark, dir, merged, (key +: statsCols).distinct,
       partCols, head.ver + 1, batchId, kept, newSchema.toDDL,
-      maxRowsPerTask, token, head = Some(head), ref = branch)
-    finally org.apache.spark.sql.graftbridge.ColumnBridge
-      .unpersistLocalCheckpoint(merged)
+      maxRowsPerTask, token, head = Some(head), ref = branch,
+      estParts = Some(est))
   }
 
   /** [[merge]] with OPTIMISTIC CONCURRENCY — the multi-writer-safe
@@ -2007,7 +2232,7 @@ object SnapshotTable {
       maxRowsPerTask: Long = DefaultMaxRowsPerTask,
       maxAttempts: Int = 8, statsCols: Seq[String] = Nil,
       branch: Option[String] = None): Long =
-    retrying(maxAttempts)(token =>
+    retrying(spark, dir, maxAttempts)(token =>
       merge(spark, dir, delta, key, tieBreak, partCols, batchId,
         maxRowsPerTask, Some(token), statsCols, branch))
 
@@ -2019,7 +2244,7 @@ object SnapshotTable {
       maxRowsPerTask: Long = DefaultMaxRowsPerTask,
       maxAttempts: Int = 8, statsCols: Seq[String] = Nil,
       branch: Option[String] = None): Long =
-    retrying(maxAttempts)(token =>
+    retrying(spark, dir, maxAttempts)(token =>
       mergeCdc(spark, dir, delta, key, seqCols, opCol, partCols,
         batchId, maxRowsPerTask, Some(token), statsCols, branch))
 
@@ -2125,7 +2350,7 @@ object SnapshotTable {
   def deleteKeysRetrying(spark: SparkSession, dir: String,
       delKeys: DataFrame, key: String, batchId: Option[Long] = None,
       maxAttempts: Int = 8): Long =
-    retrying(maxAttempts)(token =>
+    retrying(spark, dir, maxAttempts)(token =>
       deleteKeys(spark, dir, delKeys, key, batchId, Some(token)))
 
   /** NAMED TAG (Iceberg's refs): pin a version under a stable name —
@@ -2495,15 +2720,35 @@ object SnapshotTable {
     }
   }
 
-  private def retrying(maxAttempts: Int)(attempt: String => Long): Long = {
+  private def retrying(spark: SparkSession, dir: String,
+      maxAttempts: Int)(attempt: String => Long): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     var n = 0
     while (true) {
       n += 1
       val token = java.lang.Long.toHexString(
         java.util.concurrent.ThreadLocalRandom.current().nextLong())
-      try return attempt(token)
-      catch {
+      try {
+        if (n == 1) return attempt(token)
+        // REBASE attempts serialize per table dir WITHIN this JVM
+        // (the same monitor the commit section already uses, held for
+        // the whole recompute): N same-JVM losers racing the same
+        // table would otherwise all rebase from the SAME advanced
+        // head concurrently and N−1 of those recomputed merges are
+        // guaranteed-stale work — measured on the 4-writer
+        // full-overlap shape as 10 merge computations where 7
+        // suffice. Serialized, each rebase resolves a FRESH head and
+        // commits first try. First attempts still race optimistically
+        // (the protocol under test is unchanged — this is in-process
+        // contention scheduling, invisible cross-JVM, and commit
+        // order was always declared nondeterministic). The monitor is
+        // reentrant, so the rebase's own commit re-enters it safely;
+        // other threads' commits wait, which only defers conflicts
+        // they were about to pay anyway.
+        val lock = commitLocks.computeIfAbsent(lockKey(spark, dir),
+          _ => new Object)
+        lock.synchronized { return attempt(token) }
+      } catch {
         case e: IllegalArgumentException
             if isCommitConflict(e) && n < maxAttempts => // rebase + retry
       }
@@ -2585,7 +2830,8 @@ object SnapshotTable {
       // partition read or write, version unburned.
       val censused = collapsed.groupBy(partCols.map(col): _*).agg(
         count(when(col(opCol).isNull, lit(1))).as("_nullop"),
-        count(when(col(key).isNull, lit(1))).as("_nullkey"))
+        count(when(col(key).isNull, lit(1))).as("_nullkey"),
+        count(lit(1)).as("_gp_n"))
         .collect()
       val nullOps = censused.map(_.getLong(partCols.length)).sum
       require(nullOps == 0L,
@@ -2604,23 +2850,35 @@ object SnapshotTable {
         Row.fromSeq(partCols.indices.map(r.get)))
       require(touched.nonEmpty, "empty delta — nothing to merge")
       val (replaced, kept) = splitTouched(head, partCols, touched.toSeq)
+      // task-layout estimate for the footer-derived commit path:
+      // survivors per partition are bounded by the collapsed feed's
+      // rows plus the stored rows the manifest already counts
+      val replacedRows = replaced.groupBy(e => partKeyOfEntry(e.path))
+        .map { case (k, es) =>
+          k -> es.map(_.rows.getOrElse(maxRowsPerTask)).sum
+        }
+      val est = censused.toSeq.zip(touched).map { case (r, tr) =>
+        (tr, r.getLong(partCols.length + 2) +
+          replacedRows.getOrElse(partKeyRow(partCols, tr), 0L))
+      }
       val existingTouched = conformTo(
         readTouched(spark, dir, head, replaced, dataSchema), newSchema)
       // survivors: feed winners that are not deletes, plus stored rows
       // whose key the feed never mentions (one broadcast-able anti join
-      // on the collapsed keys — the feed is delta-sized)
+      // on the collapsed keys — the feed is delta-sized). No
+      // localCheckpoint: the footer-derived commit computes this plan
+      // once, in the write job (see merge).
       val upserts = collapsed.filter(col(opCol) =!= "D").drop(opCol)
         .select(dataSchema.fieldNames.map(col).toSeq: _*)
       val carried = existingTouched.join(
         collapsed.select(col(key)), Seq(key), "left_anti")
         .select(dataSchema.fieldNames.map(col).toSeq: _*)
-      val survivors = upserts.unionByName(carried).localCheckpoint()
-      try writeAndCommit(spark, dir, survivors,
+      val survivors = upserts.unionByName(carried)
+      writeAndCommit(spark, dir, survivors,
         (key +: statsCols).distinct, partCols,
         head.ver + 1, batchId, kept, newSchema.toDDL,
-        maxRowsPerTask, token, head = Some(head), ref = branch)
-      finally org.apache.spark.sql.graftbridge.ColumnBridge
-        .unpersistLocalCheckpoint(survivors)
+        maxRowsPerTask, token, head = Some(head), ref = branch,
+        estParts = Some(est))
     } finally org.apache.spark.sql.graftbridge.ColumnBridge
       .unpersistLocalCheckpoint(collapsed)
   }
@@ -2716,12 +2974,42 @@ object SnapshotTable {
     }
     // the selected entries' rewrite commits alongside the carried
     // rest; batch id carries forward (a replayed last merge stays a
-    // no-op across the maintenance rewrite, the optimize discipline)
+    // no-op across the maintenance rewrite, the optimize discipline).
+    // Task-layout estimate from the manifest itself: an optimize
+    // rewrites IDENTICAL content, so the selected entries' recorded
+    // rows are the EXACT per-partition output counts — the
+    // footer-derived commit path then writes in one table scan where
+    // the profile-first path paid two (the r19-measured reason this
+    // family was never checkpointed).
+    val est = if (targets.forall(_.rows.isDefined))
+      Some(targets.map { e =>
+        val pv = partitionValues(e)
+        (typedPartRow(df.schema, partCols, pv), e.rows.get)
+      })
+    else None
     writeAndCommit(spark, dir, df, head.statsKeys, partCols,
       head.ver + 1, head.batchId, kept, head.schemaDdl,
       maxRowsPerTask, dirToken = None, clusterKey = cluster,
-      head = Some(head))
+      head = Some(head), estParts = est)
   }
+
+  /** A typed partition-values [[Row]] from an entry's unescaped dir
+    * values — the inverse of [[partKeyRow]] for the path-safe types,
+    * so manifest-derived write estimates join the output's columns
+    * type-exactly. */
+  private def typedPartRow(schema: StructType, partCols: Seq[String],
+      values: Map[String, String]): Row =
+    Row.fromSeq(partCols.map { c =>
+      val v = values(c)
+      schema(c).dataType match {
+        case LongType => v.toLong
+        case IntegerType => v.toInt
+        case ShortType => v.toShort
+        case ByteType => v.toByte
+        case BooleanType => v.toBoolean
+        case _ => v
+      }
+    })
 
   /** The shared O(table) rewrite tail of [[optimize]] and
     * [[repartitionTable]]: write+commit under `partCols` preserving

@@ -108,8 +108,10 @@ class Round18Spec extends SparkSpec {
       "a failed claim must not fabricate a destination")
   }
 
-  test("null merge keys refuse at commit, before any data write — " +
-      "merge, mergeCdc, and the unchanged-table proof") {
+  test("null merge keys refuse before any commit — merge, mergeCdc, " +
+      "and the unchanged-table proof (round 20: the census reads the " +
+      "staged footers, so the refusal is post-write but the version " +
+      "stays unburned and content untouched)") {
     val tbl = tmpDir("nullkey") + "/t"
     val ok = Seq((1L, "a", 1)).toDF("k", "v", "p")
     assert(SnapshotTable.merge(spark, tbl, ok, "k", "v", Seq("p"),
