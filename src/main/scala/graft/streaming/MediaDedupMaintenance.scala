@@ -88,7 +88,7 @@ object MediaDedupMaintenance {
     * that mode — the modes' id spaces differ. */
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String,
       pairsDir: String, maxDist: Int = 2, chunks: Int = 4,
-      mirrorAware: Boolean = false): Unit = {
+      mirrorAware: Boolean = false): Boolean = {
     val spark = batch.sparkSession
     // decode ONCE: the fingerprint frame feeds every downstream
     // consumer from one checkpoint; released before return
@@ -99,11 +99,20 @@ object MediaDedupMaintenance {
       .withColumn("kind", lit("image"))
       .localCheckpoint()
     try {
-      landBatchFps(deltaFp, batchId, storeDir, pairsDir, maxDist,
-        chunks, finishPairs = raw => {
-          val p = raw.select(col("doc_a"), col("doc_b"), col("hamming"))
-          if (mirrorAware) Images.collapseOrientationPairs(p) else p
-        })
+      // emptiness decided HERE, on the checkpointed blocks (a plan-
+      // free take(1)) — the old pre-decode batch.isEmpty guard paid a
+      // full plan+job of the raw source EVERY batch to defend against
+      // the rare empty one; an empty batch now costs one empty decode
+      // job instead, and the common non-empty batch saves an action
+      if (deltaFp.isEmpty) false
+      else {
+        landBatchFps(deltaFp, batchId, storeDir, pairsDir, maxDist,
+          chunks, finishPairs = raw => {
+            val p = raw.select(col("doc_a"), col("doc_b"), col("hamming"))
+            if (mirrorAware) Images.collapseOrientationPairs(p) else p
+          })
+        true
+      }
     } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge
         .unpersistLocalCheckpoint(deltaFp)
@@ -121,55 +130,91 @@ object MediaDedupMaintenance {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          processBatch(batch, batchId, storeDir, pairsDir, maxDist,
-            chunks, mirrorAware)
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            compactUnifiedStore(batch.sparkSession, storeDir)
-        }
+        val landed = processBatch(batch, batchId, storeDir, pairsDir,
+          maxDist, chunks, mirrorAware)
+        if (landed && compactEvery > 0 &&
+            (batchId + 1) % compactEvery == 0)
+          compactUnifiedStore(batch.sparkSession, storeDir)
       }
       .start()
+
+  /** Daemon pool for the per-batch job overlap below — threads are
+    * reused across batches and never pin JVM shutdown. */
+  private lazy val overlapPool =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => {
+        val t = new Thread(r, "media-maint-overlap")
+        t.setDaemon(true); t
+      })
 
   /** The shared per-batch landing core over PRECOMPUTED (media_id,
     * kind, dhash) fingerprints (checkpointed by the caller): banded
     * pruned pair join against the accumulated store, pairs through
     * `finishPairs`, the delta's banded fragment landed — one store
-    * discipline for the single- and mixed-modality maintenances. */
+    * discipline for the single- and mixed-modality maintenances.
+    *
+    * The two landings are INDEPENDENT consumers of the checkpointed
+    * delta (the fragment never reads the store; the pair join never
+    * reads the fragment — batch i's fragment only matters to batch
+    * i+1's store read), so they run as two concurrent driver-thread
+    * jobs and the batch's wall is max(pairs, fragment) instead of
+    * their sum — a micro-batch here is a handful of 20-250 ms jobs
+    * whose driver-side planning gaps dominate, the exact idle-tail
+    * shape the overlap recovers. BOTH complete before this returns:
+    * the streaming checkpoint marks the batch done only after
+    * foreachBatch, so exactly-once on storage is untouched (either
+    * failure fails the batch; the replay rewrites both batch=<id>
+    * dirs mode-Overwrite, idempotent by construction). */
   private def landBatchFps(deltaFp: DataFrame, batchId: Long,
       storeDir: String, pairsDir: String, maxDist: Int, chunks: Int,
       finishPairs: DataFrame => DataFrame): Unit = {
     val spark = deltaFp.sparkSession
     val deltaBanded =
       bandDelta(deltaFp, maxDist, chunks, UnifiedStoreBuckets)
-    // the touched-cell collect exists to PRUNE the store scan — on an
-    // empty store (every stream's first batch) there is nothing to
-    // prune and the job is pure overhead; the empty Map keeps the
-    // base side filtered to nothing, which is what it is anyway
-    val storeEmpty = Commits.fragmentRoots(spark, storeDir).isEmpty
-    val touched =
-      if (storeEmpty) Map.empty[String, Seq[(Int, Int)]]
-      else touchedCells(deltaBanded)
-    finishPairs(unifiedBatchPairs(
-        readBandedUnifiedFingerprints(spark, storeDir), deltaBanded,
-        deltaFp.select(col("media_id")), touched, maxDist, chunks))
-      .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-    // one file per (kind, band) dir, rows sorted by bucket so the
-    // parquet footer's min-max statistics carry the pruning the
-    // per-batch join pushes down; the sort is prefix-compatible
-    // with the dynamic-partition writer's required ordering.
-    // EXPLICIT partition count: a bare repartition(cols) is
-    // AQE-coalescible, and a small fragment coalesces into ONE task
-    // that then creates every (kind, band) dir's file serially —
-    // pinning the session's shuffle partition count keeps the ≤
-    // kinds × bands writer tasks parallel (file count per dir is
-    // unchanged: all of a combo's rows still hash to one task)
-    deltaBanded
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("kind"), col("band"))
-      .sortWithinPartitions(col("kind"), col("band"), col("bucket"))
-      .write.mode("overwrite")
-      .partitionBy("kind", "band")
-      .parquet(s"$storeDir/batch=$batchId")
+    // fragment landing first INTO the pool: one file per (kind, band)
+    // dir, rows sorted by bucket so the parquet footer's min-max
+    // statistics carry the pruning the per-batch join pushes down;
+    // the sort is prefix-compatible with the dynamic-partition
+    // writer's required ordering. EXPLICIT partition count: a bare
+    // repartition(cols) is AQE-coalescible, and a small fragment
+    // coalesces into ONE task that then creates every (kind, band)
+    // dir's file serially — pinning the session's shuffle partition
+    // count keeps the ≤ kinds × bands writer tasks parallel (file
+    // count per dir is unchanged: all of a combo's rows still hash
+    // to one task)
+    val fragment = overlapPool.submit(new java.util.concurrent
+        .Callable[Unit] {
+      override def call(): Unit = deltaBanded
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("kind"), col("band"))
+        .sortWithinPartitions(col("kind"), col("band"), col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("kind", "band")
+        .parquet(s"$storeDir/batch=$batchId")
+    })
+    try {
+      // the touched-cell collect exists to PRUNE the store scan — on
+      // an empty store (every stream's first batch) there is nothing
+      // to prune and the job is pure overhead; the empty Map keeps
+      // the base side filtered to nothing, which is what it is anyway
+      val storeEmpty = Commits.fragmentRoots(spark, storeDir).isEmpty
+      val touched =
+        if (storeEmpty) Map.empty[String, Seq[(Int, Int)]]
+        else touchedCells(deltaBanded)
+      finishPairs(unifiedBatchPairs(
+          readBandedUnifiedFingerprints(spark, storeDir), deltaBanded,
+          deltaFp.select(col("media_id")), touched, maxDist, chunks))
+        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+    } catch {
+      case e: Throwable =>
+        // the pairs failure is the primary signal; still drain the
+        // fragment job so it never bleeds into the next batch, but
+        // never let its (secondary) failure mask this one
+        try fragment.get()
+        catch { case _: Throwable => }
+        throw e
+    }
+    fragment.get() // surface a fragment-only failure
   }
 
   // ------------------------------------------- unified mixed modality
@@ -366,7 +411,7 @@ object MediaDedupMaintenance {
     * (band, bucket) cells. */
   def processBatchUnified(batch: DataFrame, batchId: Long,
       storeDir: String, pairsDir: String, maxDist: Int = 2,
-      chunks: Int = 4): Unit = {
+      chunks: Int = 4): Boolean = {
     val spark = batch.sparkSession
     // decode ONCE: the slim fingerprint frame is pinned; the
     // map-only banding explode downstream is re-derived from this
@@ -381,9 +426,15 @@ object MediaDedupMaintenance {
       .select(col("media_id"), col("kind"),
         col("fp_lo").bitwiseOR(shiftleft(col("fp_hi"), 32)).as("dhash"))
       .localCheckpoint()
-    try landBatchFps(deltaFp, batchId, storeDir, pairsDir, maxDist,
-      chunks, finishPairs = identity)
-    finally {
+    try {
+      // emptiness on the checkpointed blocks — see processBatch
+      if (deltaFp.isEmpty) false
+      else {
+        landBatchFps(deltaFp, batchId, storeDir, pairsDir, maxDist,
+          chunks, finishPairs = identity)
+        true
+      }
+    } finally {
       org.apache.spark.sql.graftbridge.ColumnBridge
         .unpersistLocalCheckpoint(deltaFp)
     }
@@ -407,12 +458,11 @@ object MediaDedupMaintenance {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          processBatchUnified(batch, batchId, storeDir, pairsDir,
-            maxDist, chunks)
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            compactUnifiedStore(batch.sparkSession, storeDir)
-        }
+        val landed = processBatchUnified(batch, batchId, storeDir,
+          pairsDir, maxDist, chunks)
+        if (landed && compactEvery > 0 &&
+            (batchId + 1) % compactEvery == 0)
+          compactUnifiedStore(batch.sparkSession, storeDir)
       }
       .start()
 }
