@@ -9519,14 +9519,29 @@ object Catalog {
         media.filter(col("media_id") % 2 === 0), files)
       graft.ext.MediaFiles.appendManifest(s, files, manifest,
         manifestFiles = 2)
-      graft.ext.MediaFiles.writeMediaFiles(
-        media.filter(col("media_id") % 2 === 1), files)
-      graft.ext.MediaFiles.appendManifest(s, files, manifest,
-        watermarkIso = Some("2026-01-01T00:30:00"), manifestFiles = 2)
+      // LIVE trigger, started between the waves (r19 verdict #5): the
+      // stream chews wave 1's manifest batches WHILE wave 2's files
+      // are still being written and manifested, instead of the whole
+      // arrival being replayed after the fact — the maintenance jobs
+      // and the ingest-side work overlap (guide §2.6), and this is
+      // the truer shape of an incremental ingest anyway (waves arrive
+      // against a RUNNING maintenance stream). The pair surface is
+      // arrival-shape-invariant by the oracle's own pin, so batching
+      // timing cannot move the result; the wave-2 manifest append
+      // completes before processAllAvailable, so the drain covers
+      // both waves exactly as awaitTermination covered them.
       val q = graft.streaming.MediaDedupMaintenance.startUnified(
         graft.ext.MediaFiles.streamManifest(s, manifest, 1),
-        store, pairs, ckpt, compactEvery = 4)
-      q.awaitTermination()
+        store, pairs, ckpt, compactEvery = 4,
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime(0L))
+      try {
+        graft.ext.MediaFiles.writeMediaFiles(
+          media.filter(col("media_id") % 2 === 1), files)
+        graft.ext.MediaFiles.appendManifest(s, files, manifest,
+          watermarkIso = Some("2026-01-01T00:30:00"), manifestFiles = 2)
+        q.processAllAvailable()
+      } finally q.stop()
       s.read.parquet(pairs)
         .select(col("doc_a"), col("doc_b"), col("hamming"), col("kind"))
     },
