@@ -86,19 +86,24 @@ object GraphOps {
     // rank_micro) fixed point — the incremental re-rank path after a
     // graph update, and how a multi-day 10^9-edge rank job restarts
     // without replaying finished rounds. Nodes absent from the warm
-    // state enter at the cold 1e6.
-    var ranks = cp.cutState(initRanks match {
+    // state enter at the cold 1e6. The INITIAL state stays LAZY (no
+    // cutState): it is a projection (or one join) over already-cut
+    // inputs with a single consumer — round 1 derives it for pennies,
+    // and the cut would be one more action per query for nothing.
+    var ranks = initRanks match {
       case Some(init) => nodes
         .join(init.select(col("node").as("_n"),
           col("rank_micro").as("_ir")), Seq("_n"), "left")
         .select(col("_n"), coalesce(col("_ir"), lit(1000000L)).as("_r"))
       case None => nodes.select(col("_n"), lit(1000000L).as("_r"))
-    })
+    }
+    var cutRanks: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val next = rankRound(e, outDeg, nodes, ranks, dampMicro)
-      val old = ranks
+      val old = cutRanks
       ranks = cp.cutState(next)
-      cp.release(old)
+      cutRanks = Some(ranks)
+      old.foreach(cp.release)
     }
     // the final rank cut is materialized (cuts are eager), so the
     // frozen inputs' blocks are dead weight — release them rather than
@@ -114,17 +119,31 @@ object GraphOps {
     * weighted round formula identical term for term to the classic
     * one, so every unweighted oracle replays unchanged. */
   private def rankEdges(edges: DataFrame, srcCol: String,
-      dstCol: String, weightCol: Option[String]): DataFrame =
+      dstCol: String, weightCol: Option[String]): DataFrame = {
+    // ONE shuffle, laid out by _src — the key every round joins and
+    // aggregates the edge list on. The natural `distinct()` would
+    // hash-partition by (_src, _dst), and a cut of THAT layout makes
+    // every power-iteration round re-shuffle the edge table (the
+    // biggest table in the job) to get _src-clustered rows; an
+    // explicit repartition(_src) FIRST satisfies the dedup/weight
+    // aggregate's clustered-distribution requirement too (equal
+    // (src, dst) pairs co-locate under hash(src)), so the dedup adds
+    // no second exchange and the cut's blocks come out _src-keyed —
+    // per-round edge-side exchanges drop to zero.
     weightCol match {
       case Some(w) => edges.select(col(srcCol).cast("long").as("_src"),
           col(dstCol).cast("long").as("_dst"),
           col(w).cast("long").as("_w"))
         .filter(col("_w") > 0)
+        .repartition(col("_src"))
         .groupBy(col("_src"), col("_dst")).agg(sum(col("_w")).as("_w"))
       case None => edges.select(col(srcCol).cast("long").as("_src"),
-          col(dstCol).cast("long").as("_dst")).distinct()
+          col(dstCol).cast("long").as("_dst"))
+        .repartition(col("_src"))
+        .dropDuplicates(Seq("_src", "_dst"))
         .withColumn("_w", lit(1L))
     }
+  }
 
   /** ONE power-iteration round, shared verbatim by
     * [[pageRankFixedPoint]] and [[pageRankConvergence]] so the two
@@ -179,25 +198,40 @@ object GraphOps {
       .withColumn("_base", lit(base)), Seq("_n"))
     val outDeg = cp.cutShared(
       e.groupBy(col("_src")).agg(sum(col("_w")).as("_deg")), Seq("_src"))
-    var ranks = cp.cutState(nodes.select(col("_n"), lit(1000000L).as("_r")))
+    // initial state lazy, exactly as the fixed point's (one cheap
+    // projection of the nodes cut, single-consumer per round)
+    var ranks = nodes.select(col("_n"), lit(1000000L).as("_r"))
+    var cutRanks: Option[DataFrame] = None
     val spark = edges.sparkSession
     import spark.implicits._
     var rows = Seq.empty[(Int, Long, Long)]
     for (it <- 1 to iters) {
-      val next = cp.cutState(rankRound(e, outDeg, nodes, ranks, dampMicro))
-      // 1-row telemetry per round: bounded driver state by contract
-      val d = ranks.select(col("_n"), col("_r").as("_old"))
-        .join(next.select(col("_n"), col("_r").as("_new")), Seq("_n"))
-        .agg(sum(abs(col("_new") - col("_old"))).as("d"),
-          sum(when(col("_new") =!= col("_old"), 1L).otherwise(0L))
-            .as("c"))
-        .head()
-      rows = rows :+ ((it, d.getLong(0), d.getLong(1)))
-      cp.release(ranks)
+      // telemetry rides the ROUND'S OWN materialization: the old rank
+      // joins in on the same _n the round's node join already
+      // clusters by (no extra exchange), and the 1-row |Δ| aggregate
+      // is an `observe` metric computed DURING the cut's job —
+      // CollectMetrics is exactly-once per action by contract, so
+      // this replaces the old per-round join + head() action (one
+      // planned job per round instead of two, and no join of two
+      // checkpointed states)
+      val obs = new org.apache.spark.sql.Observation()
+      val next = cp.cutState(
+        rankRound(e, outDeg, nodes, ranks, dampMicro)
+          .join(ranks.select(col("_n"), col("_r").as("_old")), Seq("_n"))
+          .observe(obs,
+            sum(abs(col("_r") - col("_old"))).as("d"),
+            sum(when(col("_r") =!= col("_old"), 1L).otherwise(0L))
+              .as("c"))
+          .select(col("_n"), col("_r")))
+      val m = obs.get
+      rows = rows :+ ((it, m("d").asInstanceOf[Long],
+        m("c").asInstanceOf[Long]))
+      cutRanks.foreach(cp.release)
       ranks = next
+      cutRanks = Some(next)
     }
     cp.release(e); cp.release(nodes); cp.release(outDeg)
-    cp.release(ranks)
+    cutRanks.foreach(cp.release)
     rows.toDF("iter", "delta_mass_micro", "n_changed")
   }
 
