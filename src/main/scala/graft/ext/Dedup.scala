@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   */
 trait Checkpointer {
   def cut(df: DataFrame): DataFrame
+  /** Whether [[cutState]] runs an ACTION (materializes eagerly) — the
+    * precondition for fusing per-round loop-control aggregates into
+    * the cut's own job via `observe` (an Observation's get() blocks
+    * until an action computes it; under a lazy barrier it would block
+    * forever, so callers fall back to a separate aggregate). */
+  def eager: Boolean = true
   /** Drop a superseded cut's storage (iterations would otherwise pin
     * executor memory for the rest of the job). */
   def release(df: DataFrame): Unit
@@ -80,6 +86,7 @@ case object ShuffleBarrier extends Checkpointer {
   def cut(df: DataFrame): DataFrame =
     df.repartition(df.columns.map(col): _*)
   def release(df: DataFrame): Unit = ()
+  override def eager: Boolean = false
   /** Keyed layout: one exchange on exactly the columns downstream
     * joins/aggs need — ReuseExchange serves every consumer from it and
     * nobody re-shuffles. */

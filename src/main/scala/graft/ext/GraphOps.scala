@@ -214,18 +214,28 @@ object GraphOps {
       // this replaces the old per-round join + head() action (one
       // planned job per round instead of two, and no join of two
       // checkpointed states)
-      val obs = new org.apache.spark.sql.Observation()
-      val next = cp.cutState(
-        rankRound(e, outDeg, nodes, ranks, dampMicro)
-          .join(ranks.select(col("_n"), col("_r").as("_old")), Seq("_n"))
-          .observe(obs,
-            sum(abs(col("_r") - col("_old"))).as("d"),
+      val withOld = rankRound(e, outDeg, nodes, ranks, dampMicro)
+        .join(ranks.select(col("_n"), col("_r").as("_old")), Seq("_n"))
+      val (next, d, c) =
+        if (cp.eager) {
+          val obs = new org.apache.spark.sql.Observation()
+          val cut = cp.cutState(withOld.observe(obs,
+              sum(abs(col("_r") - col("_old"))).as("d"),
+              sum(when(col("_r") =!= col("_old"), 1L).otherwise(0L))
+                .as("c"))
+            .select(col("_n"), col("_r")))
+          val m = obs.get
+          (cut, m("d").asInstanceOf[Long], m("c").asInstanceOf[Long])
+        } else {
+          // lazy barrier: the telemetry aggregate IS the round's
+          // action, over the same carried-_old round output
+          val cut = cp.cutState(withOld)
+          val r = cut.agg(sum(abs(col("_r") - col("_old"))).as("d"),
             sum(when(col("_r") =!= col("_old"), 1L).otherwise(0L))
-              .as("c"))
-          .select(col("_n"), col("_r")))
-      val m = obs.get
-      rows = rows :+ ((it, m("d").asInstanceOf[Long],
-        m("c").asInstanceOf[Long]))
+              .as("c")).head()
+          (cut.select(col("_n"), col("_r")), r.getLong(0), r.getLong(1))
+        }
+      rows = rows :+ ((it, d, c))
       cutRanks.foreach(cp.release)
       ranks = next
       cutRanks = Some(next)
@@ -384,13 +394,13 @@ object GraphOps {
       maxIters: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
-    var e = cp.cutState(edges.select(
+    val rawEdges = edges.select(
         greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
           .as("_a"),
         least(col(srcCol).cast("long"), col(dstCol).cast("long"))
           .as("_b"))
       .filter(col("_a") =!= col("_b"))
-      .distinct())
+      .distinct()
     // (count, xor of per-edge hashes): order-independent fingerprint
     // of the edge set for loop control. xor (not sum) so no overflow
     // semantics are in play; a collision would only ever end the loop
@@ -402,7 +412,22 @@ object GraphOps {
         .head()
       (r.getLong(0), r.getLong(1))
     }
-    var fp = fingerprint(e)
+    // cut + fingerprint in ONE job where the checkpointer is eager:
+    // the fingerprint rides the cut's materialization as an observe
+    // metric (CollectMetrics, exactly-once per action), so each round
+    // plans and runs one job instead of two. A lazy barrier keeps the
+    // separate aggregate — its head() IS the round's action there.
+    def cutFp(df: DataFrame): (DataFrame, (Long, Long)) =
+      if (!cp.eager) {
+        val c = cp.cutState(df); (c, fingerprint(c))
+      } else {
+        val obs = new org.apache.spark.sql.Observation()
+        val c = cp.cutState(df.observe(obs, count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(_a, _b))"), lit(0L)).as("h")))
+        val m = obs.get
+        (c, (m("n").asInstanceOf[Long], m("h").asInstanceOf[Long]))
+      }
+    var (e, fp) = cutFp(rawEdges)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -431,9 +456,9 @@ object GraphOps {
         .filter(col("_a") =!= col("_b"))
         .distinct()
       val old = e
-      e = cp.cutState(ss)
+      val (ne, nfp) = cutFp(ss)
+      e = ne
       cp.release(old)
-      val nfp = fingerprint(e)
       converged = nfp == fp
       fp = nfp
     }
