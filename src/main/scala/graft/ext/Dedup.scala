@@ -61,6 +61,18 @@ case object LocalCheckpoint extends Checkpointer {
   def cut(df: DataFrame): DataFrame = df.localCheckpoint()
   def release(df: DataFrame): Unit =
     org.apache.spark.sql.graftbridge.ColumnBridge.unpersistLocalCheckpoint(df)
+  /** Keyed layout, DECLARED (round 20): an AQE-era localCheckpoint
+    * surfaces UnknownPartitioning, so a frozen input cut once and
+    * joined every round re-shuffled PER ROUND regardless of its real
+    * layout. The keyed cut pins the layout with one explicit-count
+    * repartition (never AQE-coalesced) and re-declares it on the
+    * checkpoint's LogicalRDD, trading one setup exchange for the
+    * per-round ones ([[ColumnBridge.localCheckpointKeyed]]). */
+  override def cutShared(df: DataFrame, keys: Seq[String]): DataFrame =
+    if (keys.isEmpty) cut(df)
+    else org.apache.spark.sql.graftbridge.ColumnBridge
+      .localCheckpointKeyed(df, keys,
+        df.sparkSession.sessionState.conf.numShufflePartitions)
 }
 case object ReliableCheckpoint extends Checkpointer {
   def cut(df: DataFrame): DataFrame = df.checkpoint()

@@ -119,31 +119,22 @@ object GraphOps {
     * weighted round formula identical term for term to the classic
     * one, so every unweighted oracle replays unchanged. */
   private def rankEdges(edges: DataFrame, srcCol: String,
-      dstCol: String, weightCol: Option[String]): DataFrame = {
-    // ONE shuffle, laid out by _src — the key every round joins and
-    // aggregates the edge list on. The natural `distinct()` would
-    // hash-partition by (_src, _dst), and a cut of THAT layout makes
-    // every power-iteration round re-shuffle the edge table (the
-    // biggest table in the job) to get _src-clustered rows; an
-    // explicit repartition(_src) FIRST satisfies the dedup/weight
-    // aggregate's clustered-distribution requirement too (equal
-    // (src, dst) pairs co-locate under hash(src)), so the dedup adds
-    // no second exchange and the cut's blocks come out _src-keyed —
-    // per-round edge-side exchanges drop to zero.
+      dstCol: String, weightCol: Option[String]): DataFrame =
+    // layout note: every round joins and aggregates this table on
+    // _src — the _src-keyed layout itself is cutShared's job (the
+    // keyed checkpoint declares HashPartitioning on the cut, see
+    // LocalCheckpoint.cutShared), so the dedup here stays the plain
+    // shape and pays no extra exchange of its own
     weightCol match {
       case Some(w) => edges.select(col(srcCol).cast("long").as("_src"),
           col(dstCol).cast("long").as("_dst"),
           col(w).cast("long").as("_w"))
         .filter(col("_w") > 0)
-        .repartition(col("_src"))
         .groupBy(col("_src"), col("_dst")).agg(sum(col("_w")).as("_w"))
       case None => edges.select(col(srcCol).cast("long").as("_src"),
-          col(dstCol).cast("long").as("_dst"))
-        .repartition(col("_src"))
-        .dropDuplicates(Seq("_src", "_dst"))
+          col(dstCol).cast("long").as("_dst")).distinct()
         .withColumn("_w", lit(1L))
     }
-  }
 
   /** ONE power-iteration round, shared verbatim by
     * [[pageRankFixedPoint]] and [[pageRankConvergence]] so the two

@@ -98,6 +98,49 @@ object ColumnBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** A KEYED localCheckpoint: lay `df` out by `keys` (an explicit
+    * `repartition(n, keys)` — explicit-count repartitions are the one
+    * shuffle AQE never coalesces, so the materialized blocks are
+    * EXACTLY `HashPartitioning(keys, n)`), checkpoint, and rebuild
+    * the resulting LogicalRDD with that partitioning DECLARED.
+    *
+    * Why the declaration is needed at all: under AQE,
+    * `Dataset.localCheckpoint` captures the adaptive plan's
+    * outputPartitioning, which is `UnknownPartitioning` before
+    * execution finalizes — so every downstream join/aggregate on the
+    * cut RE-SHUFFLES it (measured: a keyed cut consumed by a same-key
+    * aggregate still plans an ENSURE_REQUIREMENTS exchange). An
+    * iterative job that cuts its frozen inputs once and joins them
+    * every round pays that exchange per round; with the layout
+    * declared, EnsureRequirements sees the cut already satisfies the
+    * join's distribution and only the non-cut side exchanges.
+    *
+    * The declaration is TRUE by construction — the checkpoint
+    * materializes the explicit repartition's reducer partitions 1:1
+    * and nothing between the exchange and the blocks reorders rows
+    * across partitions. Stats and constraints carry from the plain
+    * checkpoint's own LogicalRDD, so join-strategy estimates are
+    * unchanged. */
+  def localCheckpointKeyed(df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], n: Int): org.apache.spark.sql.DataFrame = {
+    require(keys.nonEmpty && n >= 1)
+    val cut = df.repartition(n, keys.map(df.col): _*).localCheckpoint()
+    cut.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val attrs = keys.map(k => l.output.find(_.name == k).getOrElse(
+          throw new IllegalArgumentException(
+            s"keyed checkpoint: no column '$k' in ${l.output}")))
+        val hp = org.apache.spark.sql.catalyst.plans.physical
+          .HashPartitioning(attrs, n)
+        val spark = df.sparkSession
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        ofRows(spark, new org.apache.spark.sql.execution.LogicalRDD(
+          l.output, l.rdd, hp, l.outputOrdering, l.isStreaming,
+          l.stream)(spark, Some(l.computeStats()), Some(l.constraints)))
+      case _ => cut // not a plain checkpoint leaf — keep it undeclared
+    }
+  }
+
   /** The RDD ids backing a checkpointed Dataset's LogicalRDD leaves —
     * lets a harness-level storage sweep EXEMPT frames a live memo
     * still references (ripping their blocks out produces
